@@ -1,0 +1,117 @@
+package graft.extensions
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`.
+  *
+  * All operators are pure column expressions (whole-stage-codegen friendly,
+  * no UDFs), so they scale linearly with input partitions: at 100 TB the
+  * only cost is the scan plus per-row expression evaluation — no shuffle
+  * except the final aggregations.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords = Seq("the", "a")
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("bigint")
+
+  /** Fraction of stopword tokens — integer/integer division, bit-stable. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text) * lit(1.0) / tokenCount(text)
+
+  /** Mean token length: total chars minus the (n-1) separators, over n. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + lit(1.0)) / tokenCount(text)
+
+  /** Composite quality score in [0,1]: longer docs score higher, capped at
+    * 100 tokens; heavily-stopworded docs are discounted. Deterministic
+    * arithmetic only — mirrors reference-style quality heuristics. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text) / lit(100.0)) * (lit(1.0) - stopwordRatio(text))
+
+  /** Stopword-frequency language heuristic (an n-gram/stopword language ID:
+    * English function words are strong discriminators). */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) > 0.05, "en").otherwise("unknown")
+
+  /** Content fingerprint: md5 of the lower-cased text. Stable across
+    * engines, usable as an exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(lower(text).cast("binary"))
+
+  // ---- queries ----
+
+  private def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_computed"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountsSql =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars_computed, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(avgTokenLen(col("text")), 4).as("avg_token_len"),
+      round(qualityScore(col("text")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qualitySql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |    length(text) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+      |  round((n_chars - n_tokens + 1.0) / n_tokens, 4) AS avg_token_len,
+      |  round(least(1.0, n_tokens / 100.0)
+      |        * (1.0 - n_stop * 1.0 / n_tokens), 4) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private def langid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val langidSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+      |      / len(string_split(text, ' ')) AS ratio
+      |  FROM documents)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN ratio > 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintsSql =
+    """SELECT doc_id, md5(lower(text)) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_token_count", tokenCounts, Some(tokenCountsSql)),
+    GraftQuery("text_quality", quality, Some(qualitySql)),
+    GraftQuery("text_langid", langid, Some(langidSql)),
+    GraftQuery("text_fingerprint", fingerprints, Some(fingerprintsSql)),
+  )
+}

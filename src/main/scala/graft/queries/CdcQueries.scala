@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import graft.ingest.Cdc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC surface bound to the synthetic `events` table.
+  *
+  * The driver's testdata has no real WAL stream, so a deterministic CDC
+  * envelope is synthesized from `events`: event_type maps onto an operation
+  * (signup→INSERT, error→DELETE, everything else→UPDATE), `ts` is the
+  * commit timestamp and a zero-padded event_id stands in for the LSN
+  * (monotone, sortable — same contract as a real LSN). The envelope is
+  * SQL-expressible so every operator here has a DuckDB oracle.
+  */
+object CdcQueries extends QueryModule {
+
+  /** Shared envelope CTE for the oracles. */
+  private val envelopeSql =
+    """SELECT user_id, event_id, value,
+      | CASE event_type WHEN 'signup' THEN 'INSERT'
+      |                 WHEN 'error' THEN 'DELETE'
+      |                 ELSE 'UPDATE' END AS _cdc_operation,
+      | ts AS _cdc_timestamp,
+      | lpad(CAST(event_id AS VARCHAR), 16, '0') AS _cdc_lsn
+      |FROM events""".stripMargin
+
+  /** The Spark-side envelope, column-for-column equal to [[envelopeSql]]. */
+  def envelope(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as(Cdc.OpColumn),
+      col("ts").as(Cdc.TsColumn),
+      lpad(col("event_id").cast("string"), 16, "0").as(Cdc.LsnColumn))
+
+  private def cdcEnvelope(s: SparkSession, d: String): DataFrame =
+    envelope(s, d).orderBy(col("event_id"))
+
+  private val cdcEnvelopeSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT * FROM envelope ORDER BY event_id""".stripMargin
+
+  private def cdcLatest(s: SparkSession, d: String): DataFrame =
+    Cdc.latestVersions(envelope(s, d), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"), col(Cdc.OpColumn))
+      .orderBy(col("user_id"))
+
+  private val cdcLatestSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, event_id, value, _cdc_operation FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn FROM envelope) t
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  private def cdcCurrentState(s: SparkSession, d: String): DataFrame =
+    Cdc.currentState(envelope(s, d), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+
+  private val cdcCurrentStateSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn FROM envelope) t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE' ORDER BY user_id""".stripMargin
+
+  private def cdcOpCounts(s: SparkSession, d: String): DataFrame =
+    Cdc.operationCounts(envelope(s, d))
+
+  private val cdcOpCountsSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT _cdc_operation, count(*) AS n FROM envelope
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def cdcHistory(s: SparkSession, d: String): DataFrame =
+    Cdc.history(envelope(s, d), Seq("user_id"), col("user_id") % 50 === 3)
+      .select(col("user_id"), col("event_id"), col(Cdc.OpColumn),
+        col(Cdc.TsColumn), col("value"))
+
+  private val cdcHistorySql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, event_id, _cdc_operation, _cdc_timestamp, value
+       |FROM envelope WHERE user_id % 50 = 3
+       |ORDER BY user_id, _cdc_timestamp, _cdc_lsn""".stripMargin
+
+  private def cdcMultiVersion(s: SparkSession, d: String): DataFrame =
+    Cdc.multiVersionKeys(envelope(s, d), Seq("user_id"))
+      .orderBy(col("user_id"))
+
+  private val cdcMultiVersionSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, count(*) AS n_versions FROM envelope
+       |GROUP BY 1 HAVING count(*) > 1 ORDER BY user_id""".stripMargin
+
+  private def cdcFreshness(s: SparkSession, d: String): DataFrame =
+    Cdc.freshness(envelope(s, d))
+
+  private val cdcFreshnessSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT max(_cdc_timestamp) AS latest_ts, count(*) AS n_events FROM envelope""".stripMargin
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("cdc_envelope", cdcEnvelope, Some(cdcEnvelopeSql)),
+    GraftQuery("cdc_latest_version", cdcLatest, Some(cdcLatestSql)),
+    GraftQuery("cdc_current_state", cdcCurrentState, Some(cdcCurrentStateSql)),
+    GraftQuery("cdc_op_counts", cdcOpCounts, Some(cdcOpCountsSql)),
+    GraftQuery("cdc_history", cdcHistory, Some(cdcHistorySql)),
+    GraftQuery("cdc_multi_version_keys", cdcMultiVersion, Some(cdcMultiVersionSql)),
+    GraftQuery("cdc_freshness", cdcFreshness, Some(cdcFreshnessSql)),
+  )
+}
