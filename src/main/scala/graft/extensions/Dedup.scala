@@ -1,0 +1,285 @@
+package graft.extensions
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`.
+  *
+  * Four families, each with a DuckDB-replayable oracle (every hash in the
+  * pipeline is md5-derived — seeded, RNG-free — so both engines compute
+  * bit-identical signatures):
+  *
+  *  - exact:    group by content fingerprint (md5 of lowercased text)
+  *  - MinHash:  shingle → K seeded min-hashes → banded LSH bucket join →
+  *              verify exact Jaccard. Candidate generation is an equi-join
+  *              on (band, band_key), NEVER all-pairs: at 100 TB the join
+  *              shuffles each doc K/band times by band key, and only
+  *              near-identical docs collide. Runs over word 3-shingles
+  *              (dedup_minhash) and char trigrams (dedup_ngram).
+  *  - SimHash:  32-bit shingle-majority signature, banded into 4×8-bit
+  *              tables; hamming ≤ 3 implies (pigeonhole) at least one exact
+  *              band, so the band equi-join has perfect recall at the
+  *              threshold — the classic simhash dedup layout.
+  *  - embedding: cosine near-dup over `embeddings`, bucketed by the sign
+  *              pattern of leading components (a degenerate but
+  *              deterministic coarse quantizer; swap for trained IVF
+  *              centroids at scale — the bucket equi-join shape is what
+  *              survives 100 TB, not the quantizer).
+  *
+  * Reference context: philotes has no fuzzy dedup; its exact-dup surface is
+  * `GROUP BY id HAVING count(*)>1` (docs/query/sample-queries.sql:166-169).
+  * These operators extend that to content-level dedup.
+  */
+object Dedup extends QueryModule {
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word 3-shingles. Spark `sequence(0, n)` is stop-INCLUSIVE and
+    * DuckDB `range(0, n)` stop-EXCLUSIVE; the two expressions below are
+    * aligned index-for-index. Docs shorter than 3 tokens degrade to one
+    * truncated shingle in both engines. */
+  def wordShingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+  }
+
+  private val wordShinglesSql =
+    """list_distinct(list_transform(range(0, greatest(len(string_split(text,' '))-2, 1)),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))""".stripMargin
+
+  /** Distinct character trigrams. */
+  def charTrigrams(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(text) - 3, lit(0))),
+      i => text.substr(i + lit(1), lit(3))))
+
+  private val charTrigramsSql =
+    """list_distinct(list_transform(range(0, greatest(length(text)-2, 1)),
+      |    i -> substr(text, i+1, 3)))""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+
+  private def exactGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), col("fp"))
+      .orderBy(col("rep_id"))
+
+  private val exactGroupsSql =
+    """SELECT min(doc_id) AS rep_id, count(*) AS n_copies, md5(lower(text)) AS fp
+      |FROM documents GROUP BY md5(lower(text)) ORDER BY rep_id""".stripMargin
+
+  private def exactSummary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+
+  private val exactSummarySql =
+    """SELECT count(*) AS n_docs, count(DISTINCT md5(lower(text))) AS n_unique,
+      | count(*) - count(DISTINCT md5(lower(text))) AS n_dups
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- MinHash + LSH
+
+  private val K = 8      // minhash functions
+  private val Bands = 4  // bands of K/Bands = 2 rows each
+
+  /** K seeded min-hashes: h_k = min over shingles of md5("k|" ++ shingle).
+    * Lexicographic min over lowercase hex is identical in both engines. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until K).map(k =>
+      array_min(transform(sh, s => md5(concat(lit(s"$k|"), s))))): _*)
+
+  /** Band keys: md5 of the band's concatenated signature rows. */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map(b =>
+      md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2)))): _*)
+
+  /** Candidate pairs from the banded LSH bucket join, verified with exact
+    * set Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard). */
+  private def lshPairs(docs: DataFrame, shingleExpr: Column, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingleExpr.as("sh"))
+    val bands = sh
+      .select(col("doc_id"), posexplode(bandKeys(minhashSignature(col("sh")))).as(Seq("b", "bk")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def lshPairsSql(shingleSql: String, threshold: Double): String = {
+    val mh = (0 until K)
+      .map(k => s"list_min(list_transform(sh, s -> md5('$k|' || s)))")
+      .mkString("[", ", ", "]")
+    val bandIdx = (0 until Bands).map(_.toString).mkString("[", ", ", "]")
+    s"""WITH shi AS (
+       |  SELECT doc_id, $shingleSql AS sh FROM documents),
+       |sig AS (SELECT doc_id, $mh AS mh FROM shi),
+       |bands AS (
+       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bk
+       |  FROM sig, unnest($bandIdx) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |FROM cand c
+       |JOIN shi x ON c.doc_a = x.doc_id
+       |JOIN shi y ON c.doc_b = y.doc_id
+       |WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    lshPairs(Tables.documents(s, d), wordShingles(col("text")), 0.5)
+
+  // 0.7: char trigrams from this corpus's small vocabulary are so common
+  // that random pairs reach ~0.6 trigram-Jaccard; planted near-dups sit
+  // at 0.8+ with a clean gap (37 pairs at >=0.7 vs 7357 at >=0.6).
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    lshPairs(Tables.documents(s, d), charTrigrams(col("text")), 0.7)
+
+  /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
+    * pair (the anti-join is the scale shape: pairs table is tiny relative
+    * to the corpus, so Catalyst broadcasts it). */
+  private def minhashSurvivors(s: SparkSession, d: String): DataFrame = {
+    val dups = minhashPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val minhashSurvivorsSql = {
+    s"""WITH pairs AS (${lshPairsSql(wordShinglesSql, 0.5)})
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  private val SimBits = 32
+  private val SimBandBits = 8 // 4 bands of 8 bits; exact-band recall for ham <= 3
+  private val HamMax = 3
+
+  /** 32-bit SimHash over a shingle set: bit b is the majority vote of bit b
+    * of md5(shingle) (read from hex chars 1..8) across shingles. */
+  def simhash(sh: Column): Column = {
+    val hashes = transform(sh, s => md5(s))
+    val bitTerms = (0 until SimBits).map { b =>
+      val chPos = b / 4 + 1
+      val bitInChar = b % 4
+      val votes = transform(hashes, h => {
+        val hexVal = conv(substring(h, chPos, 1), 16, 10).cast("int")
+        when(shiftright(hexVal, bitInChar) % 2 === 1, 1).otherwise(-1)
+      })
+      when(aggregate(votes, lit(0), (acc, x) => acc + x) > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitTerms.reduce(_ + _)
+  }
+
+  private def simhashSql: String = {
+    val bitTerms = (0 until SimBits).map { b =>
+      val chPos = b / 4 + 1
+      val bitInChar = b % 4
+      val hexVal = s"(strpos('0123456789abcdef', substr(md5(t), $chPos, 1)) - 1)"
+      s"""CASE WHEN list_sum(list_transform(sh,
+         |    t -> CASE WHEN (CAST(floor($hexVal / ${1 << bitInChar}) AS BIGINT) % 2) = 1
+         |         THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << b} AS BIGINT) ELSE 0 END""".stripMargin
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  /** Near-dup pairs by SimHash: band equi-join (4 bands of 8 bits) then
+    * verify hamming distance <= 3. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val nBands = SimBits / SimBandBits
+    val sg = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(wordShingles(col("text"))).as("sh"))
+    val bands = sg.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("sh"), j * SimBandBits) % lit(1 << SimBandBits)): _*)).as(Seq("b", "bv")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def simhashPairsSql: String = {
+    val nBands = SimBits / SimBandBits
+    val bandIdx = (0 until nBands).map(_.toString).mkString("[", ", ", "]")
+    s"""WITH shi AS (
+       |  SELECT doc_id, $wordShinglesSql AS sh FROM documents),
+       |sg AS (SELECT doc_id, $simhashSql AS sh FROM shi),
+       |bands AS (
+       |  SELECT doc_id, sh, j, CAST(floor(sh / power(2, j*$SimBandBits)) AS BIGINT) % ${1 << SimBandBits} AS bv
+       |  FROM sg, unnest($bandIdx) AS t(j))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Near-dup vector pairs: sign-bucket LSH (bucket = sign pattern of the
+    * first 3 components) then exact cosine >= 0.45 within buckets.
+    * Cosine uses Similarity's scaled-integer dot product, so the value is
+    * bit-identical across engines. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val v = Similarity.scaledVec(s, d)
+      .withColumn("bucket", Similarity.signBucket(col("v")))
+    v.alias("a")
+      .join(v.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embeddingPairsSql =
+    s"""WITH v AS (${Similarity.scaledVecSql}),
+       |bk AS (SELECT *, ${Similarity.signBucketSql("v")} AS bucket FROM v)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Similarity.cosineSql("a", "b")} AS cos
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE cos >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
+    GraftQuery("dedup_exact_summary", exactSummary, Some(exactSummarySql)),
+    GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
+    GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),
+    GraftQuery("dedup_ngram_pairs", ngramPairs, Some(lshPairsSql(charTrigramsSql, 0.7))),
+    GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    GraftQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
+  )
+}

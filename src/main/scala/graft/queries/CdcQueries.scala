@@ -22,7 +22,7 @@ object CdcQueries extends QueryModule {
       | CASE event_type WHEN 'signup' THEN 'INSERT'
       |                 WHEN 'error' THEN 'DELETE'
       |                 ELSE 'UPDATE' END AS _cdc_operation,
-      | ts AS _cdc_timestamp,
+      | CAST(ts AS TIMESTAMP) AS _cdc_timestamp,
       | lpad(CAST(event_id AS VARCHAR), 16, '0') AS _cdc_lsn
       |FROM events""".stripMargin
 

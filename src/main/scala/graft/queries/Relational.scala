@@ -56,17 +56,20 @@ object Relational extends QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // ---- Q2/Q4: projection + filter with date arithmetic (ref sample-queries.sql:32,38-39)
+  // ---- Q2/Q4: projection + filter with date arithmetic + LIMIT
+  // (ref sample-queries.sql:32,38-39 — the reference shape is LIMIT 100;
+  // deterministic because the ORDER BY key is unique)
   private def q02(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderdate") > lit("2001-08-01").cast("timestamp") - expr("INTERVAL 180 DAYS"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+      .limit(100)
 
   private val q02Sql =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderdate > TIMESTAMP '2001-08-01' - INTERVAL 180 DAY
-      |ORDER BY o_orderkey""".stripMargin
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
 
   // ---- Q3: COUNT(*) (ref sample-queries.sql:35)
   private def q03(s: SparkSession, d: String): DataFrame =
@@ -82,7 +85,7 @@ object Relational extends QueryModule {
       .orderBy(col("n").desc, col("day"))
 
   private val q04Sql =
-    """SELECT date_trunc('day', ts) AS day, count(*) AS n
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY n DESC, day""".stripMargin
 
   // ---- Q8: top-N → TakeOrderedAndProject, no full sort (ref sample-queries.sql:77-80)
@@ -141,7 +144,8 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
 
   private val q08Sql =
-    """SELECT event_id, user_id, event_type, ts, value FROM events
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events
       |WHERE user_id % 100 = 7 AND event_type <> 'view'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
@@ -223,7 +227,8 @@ object Relational extends QueryModule {
       count(lit(1)).as("n"))
 
   private val q14Sql =
-    "SELECT max(ts) AS latest_ts, min(ts) AS earliest_ts, count(*) AS n FROM events"
+    """SELECT CAST(max(ts) AS TIMESTAMP) AS latest_ts,
+      | CAST(min(ts) AS TIMESTAMP) AS earliest_ts, count(*) AS n FROM events""".stripMargin
 
   // ---- Q19: per-pipeline monitoring agg (group-by + count/min/max, ref sample-queries.sql:189-196)
   private def q15(s: SparkSession, d: String): DataFrame =
@@ -234,7 +239,8 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
 
   private val q15Sql =
-    """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts,
+    """SELECT event_type, count(*) AS n, CAST(min(ts) AS TIMESTAMP) AS first_ts,
+      | CAST(max(ts) AS TIMESTAMP) AS last_ts,
       | round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -273,11 +279,11 @@ object Relational extends QueryModule {
 
   private val q18Sql =
     """SELECT nationkey FROM (
-      |  SELECT c_nationkey AS nationkey FROM customer
+      |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
       |  UNION
-      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
       |) u WHERE nationkey NOT IN (
-      |  SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      |  SELECT CAST(n_nationkey AS INTEGER) FROM nation WHERE n_regionkey = 0)
       |ORDER BY nationkey""".stripMargin
 
   // ---- ROLLUP (subtotals + grand total)
@@ -414,15 +420,14 @@ object Relational extends QueryModule {
       | round(corr(o_totalprice, o_custkey), 4) AS corr_price_cust, count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---- GROUPING SETS via the SQL surface
-  private def q27(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
-  }
+  // ---- GROUPING SETS via the DataFrame API (no session-state side effects)
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private val q27Sql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n
@@ -430,16 +435,21 @@ object Relational extends QueryModule {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  // ---- correlated scalar subquery via the SQL surface
+  // ---- correlated scalar subquery via the SQL surface. Per-call unique
+  // view names: registering fixed names would leak session-global state
+  // that could bind a concurrent query to the wrong scale-factor dir.
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def q28(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.customer(s, d).createOrReplaceTempView("customer")
+    val tag = s"q28_${viewSeq.incrementAndGet()}"
+    Tables.orders(s, d).createOrReplaceTempView(s"orders_$tag")
+    Tables.customer(s, d).createOrReplaceTempView(s"customer_$tag")
     s.sql(
-      """SELECT c_custkey, c_name,
-        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
-        |FROM customer
-        |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) > 15
-        |ORDER BY c_custkey""".stripMargin)
+      s"""SELECT c_custkey, c_name,
+         |  (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) AS n_orders
+         |FROM customer_$tag
+         |WHERE (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) > 15
+         |ORDER BY c_custkey""".stripMargin)
   }
 
   private val q28Sql =
@@ -461,7 +471,8 @@ object Relational extends QueryModule {
 
   private val q29Sql =
     """WITH daily AS (
-      |  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1)
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
       |SELECT day, n, round(avg(n) OVER (ORDER BY day
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
       |FROM daily ORDER BY day""".stripMargin
