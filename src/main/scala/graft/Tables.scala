@@ -15,7 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Name-based loader; routes `events` through its nanos fix. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
@@ -26,7 +31,7 @@ object Tables {
     * TIMESTAMP_NS to TIMESTAMP (µs) for the identical value. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    raw(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import graft.ingest.{Cdc, CdcWriter, TimeTravel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle surface: the write path, time travel, catalog exploration and
+  * EXPLAIN — the parts of the reference's product surface that live around
+  * plain SELECTs (SURVEY §2.4 Q1, Q5, Q6, Q17, Q18).
+  */
+object Lifecycle extends QueryModule {
+
+  /** Envelope CTE shared with CdcQueries oracles. */
+  private val envelopeSql =
+    """SELECT user_id, event_id, value,
+      | CASE event_type WHEN 'signup' THEN 'INSERT'
+      |                 WHEN 'error' THEN 'DELETE'
+      |                 ELSE 'UPDATE' END AS _cdc_operation,
+      | CAST(ts AS TIMESTAMP) AS _cdc_timestamp,
+      | lpad(CAST(event_id AS VARCHAR), 16, '0') AS _cdc_lsn
+      |FROM events""".stripMargin
+
+  private def roundtripDir(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip$tag"
+  }
+
+  // ---- write path + partition pruning (Q18): envelope → day-partitioned
+  // parquet → pruned read-back. The filter hits the hive-style partition
+  // column, so the scan lists only 7 of ~31 day directories — the same
+  // pruning Iceberg metadata would give (asserted in LifecycleSpec).
+  private def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = roundtripDir(d)
+    CdcWriter.write(CdcQueries.envelope(s, d), dir)
+    CdcWriter.read(s, dir)
+      .filter(col("_cdc_date").between("2024-01-05", "2024-01-11"))
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col(Cdc.OpColumn) === "DELETE", 1).otherwise(0)).as("n_deletes"))
+      .orderBy(col("day"))
+  }
+
+  private val writeRoundtripSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(CASE WHEN _cdc_operation = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+       |FROM envelope
+       |WHERE strftime(_cdc_timestamp, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-11'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- time travel (Q5): state AS OF a timestamp / an LSN
+  private val AsOfTs = "2024-01-15 00:00:00"
+  private val AsOfLsn = "0000000000000500"
+
+  private def asOfTimestamp(s: SparkSession, d: String): DataFrame =
+    TimeTravel.asOfTimestamp(CdcQueries.envelope(s, d), Seq("user_id"),
+        lit(AsOfTs).cast("timestamp"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+
+  private val asOfTimestampSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM envelope WHERE _cdc_timestamp <= TIMESTAMP '$AsOfTs') t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE' ORDER BY user_id""".stripMargin
+
+  private def asOfLsnQ(s: SparkSession, d: String): DataFrame =
+    TimeTravel.asOfLsn(CdcQueries.envelope(s, d), Seq("user_id"), lit(AsOfLsn))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+
+  private val asOfLsnSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT user_id, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM envelope WHERE _cdc_lsn <= '$AsOfLsn') t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE' ORDER BY user_id""".stripMargin
+
+  // ---- metadata tables (Q6): $snapshots emulation
+  private def snapshotsQ(s: SparkSession, d: String): DataFrame =
+    TimeTravel.snapshots(CdcQueries.envelope(s, d))
+
+  private val snapshotsSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT CAST(date_trunc('day', _cdc_timestamp) AS TIMESTAMP) AS snapshot_day,
+       |  count(*) AS n_events, max(_cdc_lsn) AS lsn_watermark
+       |FROM envelope GROUP BY 1 ORDER BY snapshot_day""".stripMargin
+
+  // ---- catalog exploration (Q1): SHOW TABLES parity with live row counts
+  private def catalogTables(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.names.sorted.map { t =>
+      (t, Tables.load(s, d, t).count())
+    }
+    import s.implicits._
+    counts.toDF("table_name", "n_rows").orderBy(col("table_name"))
+  }
+
+  private val catalogTablesSql = Tables.names.sorted
+    .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+    .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  // ---- EXPLAIN surface (Q17): the formatted plan of a representative
+  // query as data. Plan text embeds paths/stats → rows-only check.
+  private def explainPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Relational.all.head.run(s, d)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq(plan).toDF("plan")
+  }
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
+    GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
+    GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
+    GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
+    GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
+    GraftQuery("explain_plan", explainPlan, None),
+  )
+}

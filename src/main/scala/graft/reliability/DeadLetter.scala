@@ -1,0 +1,64 @@
+package graft.reliability
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dead-letter queue: failed micro-batches land in an append-only table
+  * with the original payload JSON plus error columns.
+  *
+  * Mirrors the reference's FailedEvent model and error typing
+  * (ref internal/cdc/deadletter/deadletter.go:13-68: transient/permanent/
+  * validation/schema/unknown + retry_count + created_at/expires_at), minus
+  * the Postgres storage — the DLQ is itself a lake table, so its contents
+  * are queryable with the same engine (`groupBy(error_type).count()` is
+  * the reference's GetStats, deadletter/postgres.go:300-352).
+  */
+object DeadLetter {
+
+  object ErrorType {
+    val Transient = "transient"
+    val Permanent = "permanent"
+    val Validation = "validation"
+    val Schema = "schema"
+    val Unknown = "unknown"
+  }
+
+  /** Classify a failure (ref deadletter.go error typing; the reference
+    * classifies by error source — here by exception family). */
+  def classify(e: Throwable): String = e match {
+    case _: NonRetryableException                  => ErrorType.Permanent
+    case _: IllegalArgumentException               => ErrorType.Validation
+    case _: org.apache.spark.sql.AnalysisException => ErrorType.Schema
+    case _: java.io.IOException                    => ErrorType.Transient
+    case Retry.Exhausted(_, last)                  => classify(last)
+    case _                                         => ErrorType.Unknown
+  }
+
+  /** Append a failed batch to the DLQ dir. Every original column is
+    * preserved as one JSON payload column (ref Event⇄FailedEvent JSON
+    * round-trip, deadletter.go:100-130) so the DLQ schema is stable no
+    * matter which table the batch belonged to. */
+  def append(batch: DataFrame, dlqDir: String, sourceId: String,
+             tableName: String, error: Throwable, retryCount: Int): Unit = {
+    val failed = batch
+      .select(to_json(struct(col("*"))).as("event_data"))
+      .withColumn("source_id", lit(sourceId))
+      .withColumn("table_name", lit(tableName))
+      .withColumn("error_message", lit(String.valueOf(error.getMessage)))
+      .withColumn("error_type", lit(classify(error)))
+      .withColumn("retry_count", lit(retryCount))
+      .withColumn("created_at", current_timestamp())
+    failed.write.mode(SaveMode.Append).parquet(dlqDir)
+  }
+
+  def read(spark: SparkSession, dlqDir: String): DataFrame =
+    spark.read.parquet(dlqDir)
+
+  /** Failure counts by table and error type (ref GetStats,
+    * deadletter/postgres.go:300-352). */
+  def stats(spark: SparkSession, dlqDir: String): DataFrame =
+    read(spark, dlqDir)
+      .groupBy(col("table_name"), col("error_type"))
+      .agg(count(lit(1)).as("n_failed"))
+      .orderBy(col("table_name"), col("error_type"))
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.ingest.CdcWriter
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Write-path behavior: day partition layout and partition pruning (Q18). */
+class LifecycleSpec extends SparkTestBase {
+
+  test("day-partitioned write prunes the scan on _cdc_date (Q18)") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    CdcWriter.write(CdcQueries.envelope(spark, sf0001), dir)
+
+    val pruned = CdcWriter.read(spark, dir)
+      .filter(col("_cdc_date").between("2024-01-05", "2024-01-11"))
+    // the physical scan must carry a partition filter on _cdc_date and
+    // select only the 7 matching day directories
+    val explain = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(explain.contains("PartitionFilters"), explain.take(2000))
+    assert(explain.contains("_cdc_date"), explain.take(2000))
+
+    val allDays = CdcWriter.read(spark, dir)
+      .select("_cdc_date").distinct().count()
+    val readDays = pruned.select("_cdc_date").distinct().count()
+    assert(readDays === 7 && allDays > 25)
+  }
+}
