@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // testdata tables are single ~50 MB parquet files; the 128 MB
+      // default makes every scan one task. Smaller splits keep all
+      // cores busy at these SFs (at 100 TB the default is fine).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

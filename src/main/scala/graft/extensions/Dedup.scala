@@ -50,15 +50,15 @@ object Dedup extends QueryModule {
     """list_distinct(list_transform(range(0, greatest(len(string_split(text,' '))-2, 1)),
       |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))""".stripMargin
 
-  /** Distinct character trigrams. */
-  def charTrigrams(text: Column): Column =
+  /** Distinct character n-grams. */
+  def charNgrams(text: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(0), greatest(length(text) - 3, lit(0))),
-      i => text.substr(i + lit(1), lit(3))))
+      sequence(lit(0), greatest(length(text) - n, lit(0))),
+      i => text.substr(i + lit(1), lit(n))))
 
-  private val charTrigramsSql =
-    """list_distinct(list_transform(range(0, greatest(length(text)-2, 1)),
-      |    i -> substr(text, i+1, 3)))""".stripMargin
+  private def charNgramsSql(n: Int) =
+    s"""list_distinct(list_transform(range(0, greatest(length(text)-${n - 1}, 1)),
+       |    i -> substr(text, i+1, $n)))""".stripMargin
 
   // ------------------------------------------------------------ exact dedup
 
@@ -86,26 +86,41 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------- MinHash + LSH
 
-  private val K = 8      // minhash functions
-  private val Bands = 4  // bands of K/Bands = 2 rows each
-
-  /** K seeded min-hashes: h_k = min over shingles of md5("k|" ++ shingle).
-    * Lexicographic min over lowercase hex is identical in both engines. */
-  def minhashSignature(sh: Column): Column =
-    array((0 until K).map(k =>
-      array_min(transform(sh, s => md5(concat(lit(s"$k|"), s))))): _*)
-
-  /** Band keys: md5 of the band's concatenated signature rows. */
-  def bandKeys(sig: Column): Column =
-    array((0 until Bands).map(b =>
-      md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2)))): _*)
+  private val K = 8 // minhash functions
 
   /** Candidate pairs from the banded LSH bucket join, verified with exact
-    * set Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard). */
-  private def lshPairs(docs: DataFrame, shingleExpr: Column, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingleExpr.as("sh"))
-    val bands = sh
-      .select(col("doc_id"), posexplode(bandKeys(minhashSignature(col("sh")))).as(Seq("b", "bk")))
+    * set Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard).
+    *
+    * Signature computation (the md5-heavy per-row loop) runs as a typed
+    * map over [[Signatures]] — see that file for why a JVM kernel beats
+    * interpreted higher-order expressions ~20× here. The candidate join
+    * and verify stage stay declarative so Catalyst plans them.
+    *
+    * `bandRows` tunes selectivity: K/bandRows bands of bandRows hashes.
+    * A band collides with probability jaccard^bandRows — wider bands for
+    * shingle spaces where random pairs already overlap heavily.
+    */
+  private def lshPairs(s: SparkSession, docs: DataFrame,
+                       shingler: String => Seq[String], threshold: Double,
+                       bandRows: Int = 2): DataFrame = {
+    import s.implicits._
+    // repartition: the fixture is one parquet file = one input split; the
+    // signature kernel is the expensive stage, so spread it across cores
+    // (at production scale the source has many splits and this is a no-op
+    // cost-wise — the shuffle payload here is just (id, text)).
+    // persist: the signature set is consumed four times (band self-join a/b
+    // + verify join a/b); without it each consumer re-runs the kernel.
+    val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, t) =>
+        val shs = shingler(t)
+        (id, shs, Signatures.bandKeys(Signatures.minhash(shs, K), bandRows))
+      }
+      .toDF("doc_id", "sh", "bands")
+      .persist()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    val bands = sig
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bk")))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
@@ -122,16 +137,18 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private def lshPairsSql(shingleSql: String, threshold: Double): String = {
+  private def lshPairsSql(shingleSql: String, threshold: Double,
+                          bandRows: Int = 2): String = {
     val mh = (0 until K)
       .map(k => s"list_min(list_transform(sh, s -> md5('$k|' || s)))")
       .mkString("[", ", ", "]")
-    val bandIdx = (0 until Bands).map(_.toString).mkString("[", ", ", "]")
+    val bandIdx = (0 until K / bandRows).map(_.toString).mkString("[", ", ", "]")
+    val bandKey = (1 to bandRows).map(r => s"mh[$bandRows*b+$r]").mkString(" || ")
     s"""WITH shi AS (
        |  SELECT doc_id, $shingleSql AS sh FROM documents),
        |sig AS (SELECT doc_id, $mh AS mh FROM shi),
        |bands AS (
-       |  SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS bk
+       |  SELECT doc_id, b, md5($bandKey) AS bk
        |  FROM sig, unnest($bandIdx) AS t(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -148,13 +165,20 @@ object Dedup extends QueryModule {
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(Tables.documents(s, d), wordShingles(col("text")), 0.5)
+    lshPairs(s, Tables.documents(s, d), Signatures.wordShingles, 0.5)
 
-  // 0.7: char trigrams from this corpus's small vocabulary are so common
-  // that random pairs reach ~0.6 trigram-Jaccard; planted near-dups sit
-  // at 0.8+ with a clean gap (37 pairs at >=0.7 vs 7357 at >=0.6).
+  // Char 5-grams with 2 bands of 4 rows: this corpus's alphabet is tiny,
+  // so trigram sets of RANDOM pairs overlap ~0.6 and 2-row bands collide
+  // for nearly every pair (5.8M candidates at sf0.1 — a quadratic
+  // blow-up). 5-grams push random overlap down and 4-row bands demand
+  // jaccard^4 per collision: 3.7k candidates at sf0.1, recall ~0.88 for
+  // the planted >=0.9 near-dups, verified at jaccard >= 0.6.
+  private val NgramN = 5
+  private val NgramBandRows = 4
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(Tables.documents(s, d), charTrigrams(col("text")), 0.7)
+    lshPairs(s, Tables.documents(s, d),
+      t => Signatures.charNgrams(t, NgramN), 0.6, NgramBandRows)
 
   /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
     * pair (the anti-join is the scale shape: pairs table is tiny relative
@@ -180,22 +204,6 @@ object Dedup extends QueryModule {
   private val SimBandBits = 8 // 4 bands of 8 bits; exact-band recall for ham <= 3
   private val HamMax = 3
 
-  /** 32-bit SimHash over a shingle set: bit b is the majority vote of bit b
-    * of md5(shingle) (read from hex chars 1..8) across shingles. */
-  def simhash(sh: Column): Column = {
-    val hashes = transform(sh, s => md5(s))
-    val bitTerms = (0 until SimBits).map { b =>
-      val chPos = b / 4 + 1
-      val bitInChar = b % 4
-      val votes = transform(hashes, h => {
-        val hexVal = conv(substring(h, chPos, 1), 16, 10).cast("int")
-        when(shiftright(hexVal, bitInChar) % 2 === 1, 1).otherwise(-1)
-      })
-      when(aggregate(votes, lit(0), (acc, x) => acc + x) > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitTerms.reduce(_ + _)
-  }
-
   private def simhashSql: String = {
     val bitTerms = (0 until SimBits).map { b =>
       val chPos = b / 4 + 1
@@ -212,9 +220,14 @@ object Dedup extends QueryModule {
   /** Near-dup pairs by SimHash: band equi-join (4 bands of 8 bits) then
     * verify hamming distance <= 3. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val nBands = SimBits / SimBandBits
     val sg = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(wordShingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { case (id, t) => (id, Signatures.simhash32(Signatures.wordShingles(t))) }
+      .toDF("doc_id", "sh")
+      .persist()
     val bands = sg.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nBands).map(j =>
         shiftright(col("sh"), j * SimBandBits) % lit(1 << SimBandBits)): _*)).as(Seq("b", "bv")))
@@ -255,6 +268,7 @@ object Dedup extends QueryModule {
   private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val v = Similarity.scaledVec(s, d)
       .withColumn("bucket", Similarity.signBucket(col("v")))
+      .persist() // consumed twice by the bucket self-join
     v.alias("a")
       .join(v.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -278,7 +292,8 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_exact_summary", exactSummary, Some(exactSummarySql)),
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
     GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),
-    GraftQuery("dedup_ngram_pairs", ngramPairs, Some(lshPairsSql(charTrigramsSql, 0.7))),
+    GraftQuery("dedup_ngram_pairs", ngramPairs,
+      Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows))),
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )

@@ -71,7 +71,7 @@ object Similarity extends QueryModule {
   // ------------------------------------------------------------ brute force
 
   private def knnBrute(s: SparkSession, d: String): DataFrame = {
-    val v = scaledVec(s, d)
+    val v = scaledVec(s, d).persist() // read twice: query set + corpus scan
     val queries = v.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = broadcast(queries)
@@ -105,7 +105,7 @@ object Similarity extends QueryModule {
   // ----------------------------------------------------------- IVF-bucketed
 
   private def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val v = scaledVec(s, d).withColumn("bucket", signBucket(col("v")))
+    val v = scaledVec(s, d).withColumn("bucket", signBucket(col("v"))).persist()
     val queries = v.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("v").as("qv"), col("nrm").as("qnrm"))

@@ -27,10 +27,16 @@ object CdcWriter {
     envelope.withColumn(SchemaBuilder.partitionColumn,
       date_format(col(Cdc.TsColumn), "yyyy-MM-dd"))
 
-  /** Write one table's envelope day-partitioned. */
+  /** Write one table's envelope day-partitioned.
+    *
+    * The pre-write `repartition(partitionCol)` routes each day to one
+    * task: without it every write task emits a file into every day dir
+    * (tasks × days small files — the same small-file problem the
+    * reference suffers from its 5 s batches, writer/writer.go:141-163). */
   def write(envelope: DataFrame, tableDir: String,
             mode: SaveMode = SaveMode.Overwrite): Unit =
     withPartitionColumn(envelope)
+      .repartition(col(SchemaBuilder.partitionColumn))
       .write.mode(mode)
       .partitionBy(SchemaBuilder.partitionColumn)
       .parquet(tableDir)

@@ -3,49 +3,58 @@ package graft.extensions
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** Dedup signature semantics on hand-built documents. */
+/** Dedup signature semantics: pure-kernel expectations plus a cross-check
+  * that the JVM kernels ([[Signatures]]) agree with the declarative
+  * column expressions whose semantics the DuckDB oracles mirror. */
 class DedupSpec extends SparkTestBase {
 
-  private lazy val docs = {
-    import spark.implicits._
-    Seq(
-      (0L, "the quick brown fox jumps over the lazy dog"),
-      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
-      (2L, "completely different content about spark engines and lakes"),
-      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
-    ).toDF("doc_id", "text")
-  }
-
-  test("word shingles are 3-grams, distinct, aligned with DuckDB range()") {
-    import spark.implicits._
-    val sh = docs.filter(col("doc_id") === 0)
-      .select(Dedup.wordShingles(col("text")).as("sh"))
-      .as[Seq[String]].head()
+  test("word shingles: 3-grams, distinct, degenerate short docs") {
+    val sh = Signatures.wordShingles("the quick brown fox jumps over the lazy dog")
     assert(sh.head === "the quick brown")
     assert(sh.contains("over the lazy"))
     assert(sh.length === 7) // 9 tokens -> 7 shingles, all distinct here
+    assert(Signatures.wordShingles("one two") === Seq("one two"))
+    assert(Signatures.wordShingles("one") === Seq("one"))
   }
 
-  test("minhash signature is deterministic and order-insensitive") {
-    import spark.implicits._
-    val sig = docs.select(
-      Dedup.minhashSignature(Dedup.wordShingles(col("text"))).as("sig"),
-      col("doc_id"))
-    val s0 = sig.filter(col("doc_id") === 0).as[(Seq[String], Long)].head()._1
-    val s3 = sig.filter(col("doc_id") === 3).as[(Seq[String], Long)].head()._1
-    assert(s0 === s3)      // identical text -> identical signature
-    assert(s0.length === 8)
-    assert(s0.forall(_.matches("[0-9a-f]{32}")))
+  test("char n-grams: distinct, truncated tail handled like substr()") {
+    assert(Signatures.charNgrams("abcd", 3) === Seq("abc", "bcd"))
+    assert(Signatures.charNgrams("ab", 3) === Seq("ab"))
+    assert(Signatures.charNgrams("abcdef", 5) === Seq("abcde", "bcdef"))
   }
 
-  test("simhash: identical docs collide, near-dups are close, others far") {
+  test("JVM kernels match the declarative expression semantics") {
     import spark.implicits._
-    val sh = docs.select(col("doc_id"),
-      Dedup.simhash(Dedup.wordShingles(col("text"))).as("sh"))
-      .as[(Long, Long)].collect().toMap
-    assert(sh(0L) === sh(3L))
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+    val viaExpr = docs.select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaJvm = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> Signatures.wordShingles(t) }.toMap
+    assert(viaExpr === viaJvm)
+    val triExpr = docs.select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val triJvm = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> Signatures.charNgrams(t, 5) }.toMap
+    assert(triExpr === triJvm)
+  }
+
+  test("minhash signature is deterministic, identical text -> identical sig") {
+    val a = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
+    val b = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
+    assert(a === b && a.length === 8)
+    assert(a.forall(_.matches("[0-9a-f]{32}")))
+    assert(Signatures.bandKeys(a).length === 4)
+  }
+
+  test("simhash: identical docs collide, near-dups closer than strangers") {
+    def sh(t: String) = Signatures.simhash32(Signatures.wordShingles(t))
+    val d0 = sh("the quick brown fox jumps over the lazy dog")
+    val d1 = sh("the quick brown fox jumps over the lazy cat")
+    val d2 = sh("completely different content about spark engines and lakes")
+    val d3 = sh("the quick brown fox jumps over the lazy dog")
+    assert(d0 === d3)
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
-    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(ham(d0, d1) < ham(d0, d2))
+    assert(Seq(d0, d1, d2).forall(v => v >= 0 && v < (1L << 32)))
   }
 }
