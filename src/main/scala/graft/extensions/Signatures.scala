@@ -82,6 +82,23 @@ object Signatures {
   def bandKeys(sig: Seq[String], rows: Int = 2): Seq[String] =
     sig.grouped(rows).map(g => md5hex(g.mkString)).toSeq
 
+  /** Position-weighted rolling document fingerprint:
+    * sum over tokens of hash32(token) * (1-based position), mod 1e9+7.
+    * Order-sensitive (unlike a bag-of-words hash) and replayable in SQL:
+    * terms < 2^39, full sum < 2^46, so sum-then-mod in BIGINT matches the
+    * iterative mod here. */
+  def rollingFingerprint(text: String): Long = {
+    val toks = text.split(" ", -1)
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      val v = java.lang.Long.parseLong(md5hex(toks(i)).substring(0, 8), 16)
+      sum = (sum + v * (i + 1)) % 1000000007L
+      i += 1
+    }
+    sum
+  }
+
   /** 32-bit SimHash. Bit b reads nibble b/4 (counting from the MOST
     * significant hex char of the digest) at in-nibble bit b%4 —
     * identical layout to the per-char strpos arithmetic in the oracle. */

@@ -108,10 +108,48 @@ object TextAnalysis extends QueryModule {
     """SELECT doc_id, md5(lower(text)) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- BPE-ish subword counting: letter runs, digit runs, and single
+  // punctuation marks each count as one unit — the shape (not the vocab)
+  // of a byte-pair tokenizer's pre-tokenization pass.
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("bigint").as("n_bpe"),
+      tokenCount(col("text")).as("n_words"))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensSql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- rolling-hash document fingerprint (order-sensitive; JVM kernel,
+  // see Signatures.rollingFingerprint for the determinism contract)
+  private def rollingFp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Signatures.rollingFingerprint(t)) }
+      .toDF("doc_id", "rolling_fp")
+      .orderBy(col("doc_id"))
+  }
+
+  private val rollingFpSql =
+    """SELECT doc_id,
+      | list_sum(list_transform(range(1, len(string_split(text,' '))+1),
+      |   i -> (('0x' || substr(md5(string_split(text,' ')[i]), 1, 8))::BIGINT) * i))
+      |   % 1000000007 AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("text_token_count", tokenCounts, Some(tokenCountsSql)),
     GraftQuery("text_quality", quality, Some(qualitySql)),
     GraftQuery("text_langid", langid, Some(langidSql)),
     GraftQuery("text_fingerprint", fingerprints, Some(fingerprintsSql)),
+    GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
   )
 }

@@ -1,0 +1,78 @@
+package graft.observe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, DoubleAdder}
+import scala.jdk.CollectionConverters._
+
+/** Observability parity: the reference's Prometheus metric surface
+  * (ref internal/metrics/metrics.go:14-230 — namespace `philotes`,
+  * subsystems cdc/buffer/iceberg/api; counters events_total,
+  * errors_total, retries_total, dlq_total, commits_total,
+  * files_written_total, bytes_written_total, batches_total,
+  * events_processed_total; gauges lag_seconds, pipeline_state, depth),
+  * fed from Spark's own instrumentation instead of hand-rolled counters:
+  * a StreamingQueryListener turns progress events into the same metric
+  * names, and sinks/retry paths increment their counters directly.
+  *
+  * The registry is queryable as a DataFrame — metrics are data here, not
+  * an HTTP endpoint (Prometheus scraping would hang off the same rows).
+  */
+object Metrics {
+
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  private val gauges = new ConcurrentHashMap[String, DoubleAdder]()
+
+  def counterName(subsystem: String, name: String): String =
+    s"philotes_${subsystem}_$name"
+
+  def inc(subsystem: String, name: String, delta: Long = 1L): Unit =
+    counters.computeIfAbsent(counterName(subsystem, name), _ => new AtomicLong())
+      .addAndGet(delta)
+
+  def setGauge(subsystem: String, name: String, value: Double): Unit = {
+    val adder = gauges.computeIfAbsent(counterName(subsystem, name), _ => new DoubleAdder())
+    adder.reset()
+    adder.add(value)
+  }
+
+  def snapshot(): Map[String, Double] =
+    counters.asScala.map { case (k, v) => k -> v.get().toDouble }.toMap ++
+      gauges.asScala.map { case (k, v) => k -> v.sum() }
+
+  def reset(): Unit = { counters.clear(); gauges.clear() }
+
+  def toDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot().toSeq.sortBy(_._1).toDF("metric", "value")
+  }
+
+  /** Streaming listener: micro-batch progress → philotes_cdc_* metrics
+    * (ref pipeline event-loop stats, internal/cdc/pipeline/pipeline.go:
+    * 227-277, and batch processor counters, buffer/batch.go). */
+  final class Listener extends StreamingQueryListener {
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      setGauge("cdc", "pipeline_state", 1.0) // 1 = running (ref state gauge)
+
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      inc("cdc", "events_total", e.progress.numInputRows)
+      inc("buffer", "batches_total")
+      inc("buffer", "events_processed_total", e.progress.numInputRows)
+      setGauge("buffer", "depth", e.progress.numInputRows.toDouble)
+    }
+
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      setGauge("cdc", "pipeline_state",
+        if (e.exception.isDefined) 5.0 /* failed */ else 4.0 /* stopped */)
+      if (e.exception.isDefined) inc("cdc", "errors_total")
+    }
+  }
+
+  def attach(spark: SparkSession): Listener = {
+    val l = new Listener
+    spark.streams.addListener(l)
+    l
+  }
+}

@@ -115,7 +115,32 @@ object Lifecycle extends QueryModule {
     Seq(plan).toDF("plan")
   }
 
+  // ---- alert rule evaluation (C1, ref internal/alerting/evaluator.go):
+  // per-series threshold compare over a metrics aggregation
+  private val alertRules = Seq(
+    graft.observe.Alerts.Rule("avg_value_high", "gt", 50.0),
+    graft.observe.Alerts.Rule("avg_value_floor", "gte", 10.0))
+
+  private def alertEval(s: SparkSession, d: String): DataFrame = {
+    val metrics = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 4).as("avg_value"))
+    graft.observe.Alerts.evaluateAll(metrics, "event_type", "avg_value", alertRules)
+  }
+
+  private val alertEvalSql =
+    """WITH m AS (
+      |  SELECT event_type AS series, round(avg(value), 4) AS value
+      |  FROM events GROUP BY 1)
+      |SELECT series, value, 'avg_value_high' AS rule,
+      |  CASE WHEN value > 50.0 THEN 'firing' ELSE 'resolved' END AS state FROM m
+      |UNION ALL
+      |SELECT series, value, 'avg_value_floor' AS rule,
+      |  CASE WHEN value >= 10.0 THEN 'firing' ELSE 'resolved' END AS state FROM m
+      |ORDER BY rule, series""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
