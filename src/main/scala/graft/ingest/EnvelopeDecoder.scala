@@ -1,0 +1,69 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Decoder for Debezium-format CDC envelopes (the lingua franca of
+  * Postgres logical replication streams; the reference's pgstream emits
+  * an equivalent shape it converts in `convertEvent`,
+  * ref internal/cdc/source/postgres/reader.go:172-242).
+  *
+  * Input: a DataFrame with one JSON string column holding
+  * `{"before":{...}|null, "after":{...}|null, "op":"c|r|u|d|t",
+  *   "ts_ms":..., "source":{"schema":..., "table":..., "lsn":..., "txId":...}}`.
+  * Output: typed `before`/`after` structs (per-table payload schema from
+  * [[graft.model.SchemaBuilder]]) plus the `_cdc_*` system columns —
+  * a pure projection, fully codegen'd, no UDFs.
+  *
+  * Op mapping (ref reader.go action mapping I/U/D/T): c (create) and
+  * r (snapshot read) → INSERT; u → UPDATE; d → DELETE; t → TRUNCATE.
+  */
+object EnvelopeDecoder {
+
+  /** Zero-padded sortable LSN string — the total order Postgres provides
+    * (ref internal/cdc/types.go LSN; string form keeps it portable). */
+  def lsnString(lsn: Column): Column = lpad(lsn.cast("string"), 16, "0")
+
+  def opFromDebezium(op: Column): Column =
+    when(op.isin("c", "r"), "INSERT")
+      .when(op === "u", "UPDATE")
+      .when(op === "d", "DELETE")
+      .when(op === "t", "TRUNCATE")
+      .otherwise("UNKNOWN")
+
+  /** Decode a JSON envelope column into the typed CDC envelope. */
+  def decode(raw: DataFrame, jsonCol: String, payloadSchema: StructType): DataFrame = {
+    val envelopeSchema = new StructType()
+      .add("before", payloadSchema)
+      .add("after", payloadSchema)
+      .add("op", "string")
+      .add("ts_ms", "long")
+      .add("source", new StructType()
+        .add("schema", "string").add("table", "string")
+        .add("lsn", "long").add("txId", "long"))
+    raw
+      .withColumn("_env", from_json(col(jsonCol), envelopeSchema))
+      .select(
+        col("_env.before").as("before"),
+        col("_env.after").as("after"),
+        opFromDebezium(col("_env.op")).as(Cdc.OpColumn),
+        timestamp_millis(col("_env.ts_ms")).as(Cdc.TsColumn),
+        lsnString(col("_env.source.lsn")).as(Cdc.LsnColumn),
+        col("_env.source.schema").as("_cdc_schema"),
+        col("_env.source.table").as("_cdc_table"),
+        col("_env.source.txId").as("_cdc_txid"))
+  }
+
+  /** Flatten the row image a reader would query: after for upserts,
+    * before for deletes (TRUNCATE rows carry no image — ref
+    * reader.go:237-238, represented as all-null payload). */
+  def flattened(decoded: DataFrame): DataFrame = {
+    val image = when(col(Cdc.OpColumn) === "DELETE", col("before"))
+      .otherwise(col("after"))
+    decoded.withColumn("_image", image)
+      .select(col("_image.*"),
+        col(Cdc.OpColumn), col(Cdc.TsColumn), col(Cdc.LsnColumn),
+        col("_cdc_schema"), col("_cdc_table"), col("_cdc_txid"))
+  }
+}

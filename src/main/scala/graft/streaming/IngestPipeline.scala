@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.ingest.CdcWriter
+import graft.observe.Metrics
 import graft.reliability.{DeadLetter, Retry, RetryPolicy}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
@@ -45,17 +46,41 @@ object IngestPipeline {
       .collect().map(_.getString(0)).toSeq.sorted
     tables.foreach { t =>
       val slice = batch.filter(col(cfg.tableCol) === t)
-      try
+      try {
         Retry.execute(cfg.retry) { () =>
           CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
         }
-      catch {
+        Metrics.inc("iceberg", "commits_total")
+      } catch {
         case e: Throwable =>
           DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,
             retryCount = cfg.retry.maxAttempts)
+          Metrics.inc("cdc", "dlq_total")
       }
     }
+    // replication lag: wall clock minus newest commit timestamp in the
+    // batch (ref T12 lag gauge, internal/cdc/pipeline/pipeline.go:247-250)
+    if (batch.columns.contains(graft.ingest.Cdc.TsColumn)) {
+      val maxTs = batch.agg(max(col(graft.ingest.Cdc.TsColumn))).collect()(0)
+      if (!maxTs.isNullAt(0))
+        Metrics.setGauge("cdc", "lag_seconds",
+          (System.currentTimeMillis() - maxTs.getTimestamp(0).getTime) / 1000.0)
+    }
   }
+
+  /** Rate-limited file-based envelope source: `maxFilesPerTrigger` caps
+    * how much each micro-batch admits — Spark's native backpressure
+    * control, standing in for the reference's pause/resume watermarks
+    * (ref internal/cdc/pipeline/backpressure.go:26-165, pause >=8000 /
+    * resume <=5000; here the bound is enforced at admission, so depth
+    * can never exceed the limit and no pause protocol is needed). */
+  def fileEnvelopeSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
 
   /** Start the streaming query over an envelope stream (any streaming
     * DataFrame with `_cdc_*` columns and `cfg.tableCol`). */
