@@ -37,7 +37,7 @@ object Similarity extends QueryModule {
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => round(x.cast("double") * Scale).cast("long")).as("v"))
-      .withColumn("nrm", aggregate(transform(col("v"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .withColumn("nrm", graft.functions.ScaledDotProduct(col("v"), col("v")))
 
   val scaledVecSql: String =
     s"""SELECT vec_id, label,
@@ -46,10 +46,14 @@ object Similarity extends QueryModule {
        |    x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)), x -> x*x)) AS nrm
        |FROM embeddings""".stripMargin
 
-  /** Exact cosine between two scaled vectors, rounded to 4 decimals. */
+  /** Exact cosine between two scaled vectors, rounded to 4 decimals.
+    * The dot product is a native codegen'd expression — the interpreted
+    * `aggregate(zip_with(...))` equivalent spent the whole bucketed-join
+    * runtime in per-element lambda frames
+    * (see [[graft.functions.ScaledDotProduct]]). */
   def cosine(va: Column, nrmA: Column, vb: Column, nrmB: Column): Column =
     round(
-      aggregate(zip_with(va, vb, (x, y) => x * y), lit(0L), (acc, x) => acc + x) /
+      graft.functions.ScaledDotProduct(va, vb) /
         sqrt(nrmA.cast("double") * nrmB.cast("double")), 4)
 
   /** DuckDB equivalent of [[cosine]] over aliases `a`/`b` with columns v/nrm. */

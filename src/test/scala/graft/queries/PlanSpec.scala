@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions: correctness says the numbers match;
+  * these say the PLAN is the one that survives a 100× scale-up. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("fixed-size dimensions are broadcast in the multiway join (q11)") {
+    val plan = planOf("q11_multiway_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("filters and projections reach the parquet scan (q02)") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      plan.take(3000))
+    // column pruning: the scan reads only the 4 needed columns + filter col
+    assert(!plan.contains("o_comment"), "scan should not read unused columns")
+  }
+
+  test("top-N compiles to TakeOrderedAndProject, not a full sort (q05)") {
+    val plan = planOf("q05_topn")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("no cartesian products anywhere in the registered surface") {
+    // every self-join in the dedup/similarity family must be an equi-join
+    // on band/bucket keys; a CartesianProduct would mean an all-pairs plan
+    for (name <- Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
+        "dedup_embedding_pairs", "sim_knn_ivf")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(2000)}")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation (q01)") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      plan.take(3000))
+  }
+}
