@@ -492,6 +492,57 @@ object Relational extends QueryModule {
       |SELECT 'low' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000
       |ORDER BY tier, o_orderkey""".stripMargin
 
+  // ---- tumbling time windows (epoch-aligned, same boundaries as DuckDB
+  // time_bucket; the streaming dual is StreamOps.tumblingCounts)
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("value"))).as("total_value"))
+      .orderBy(col("window_start"))
+
+  private val q31Sql =
+    """SELECT CAST(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+      |   AS window_start,
+      | count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- sessionization: gap > 1 h starts a new session. The classic
+  // lag → break flag → running sum pattern; both the flag and the
+  // cumulative sum partition by user, so state distributes by key.
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q32Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM e)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", q01, Some(q01Sql)),
     GraftQuery("q02_filter_project", q02, Some(q02Sql)),
@@ -523,5 +574,7 @@ object Relational extends QueryModule {
     GraftQuery("q28_corr_subquery", q28, Some(q28Sql)),
     GraftQuery("q29_moving_avg", q29, Some(q29Sql)),
     GraftQuery("q30_union_all", q30, Some(q30Sql)),
+    GraftQuery("q31_tumbling_window", q31, Some(q31Sql)),
+    GraftQuery("q32_sessionize", q32, Some(q32Sql)),
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.extensions.Signatures
+import graft.model.{SchemaBuilder, TypeMapping}
+import graft.reliability.{Retry, RetryPolicy}
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (ScalaCheck) for the pure kernels. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pgToSpark is total: any string maps to some DataType, arrays nest") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val t = TypeMapping.pgToSpark(s)
+      val compat = TypeMapping.pgToSpark(s, compat = true)
+      t.isInstanceOf[DataType] && compat.isInstanceOf[DataType] &&
+        (TypeMapping.pgToSpark(s + "[]") match {
+          case ArrayType(inner, _) => inner == t
+          case _ => false
+        }) &&
+        TypeMapping.pgToSpark(s + "[]", compat = true) == StringType
+    })
+  }
+
+  test("schema merge is idempotent and add-only") {
+    val genCols = Gen.mapOf(Gen.zip(
+      Gen.identifier.map(_.take(8)),
+      Gen.oneOf[Any](true, 1, 1L, 1.0f, 1.0, "s")))
+    check(Prop.forAll(genCols, genCols) { (a, b) =>
+      val sa = SchemaBuilder.buildFromEvents(Seq(a))
+      val sb = SchemaBuilder.buildFromEvents(Seq(b))
+      val (m1, v1) = SchemaBuilder.merge(sa, sb, 0)
+      val (m2, v2) = SchemaBuilder.merge(m1, sb, v1)
+      // idempotent
+      m2 == m1 && v2 == v1 &&
+        // add-only: every original field survives with its type, in place
+        m1.fields.take(sa.fields.length).toSeq == sa.fields.toSeq &&
+        // complete: every incoming field name is present
+        sb.fieldNames.forall(m1.fieldNames.contains)
+    })
+  }
+
+  test("backoff is bounded by the jittered cap and never negative") {
+    val genAttempt = Gen.choose(1, 50)
+    val genJitter = Gen.choose(0.0, 1.0)
+    check(Prop.forAll(genAttempt, genJitter) { (attempt, j) =>
+      val p = RetryPolicy(initialIntervalMs = 1000, maxIntervalMs = 30000,
+        multiplier = 2.0, jitter = true, jitterFraction = () => j)
+      val b = Retry.backoffMs(p, attempt)
+      b >= 0 && b <= (30000 * 1.25).toLong &&
+        (attempt == 1 && j == 0.5) == (b == 1000 && attempt == 1 && j == 0.5)
+    })
+  }
+
+  test("signature kernels: determinism, ranges, and set semantics") {
+    val genText = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      .map(_.mkString(" "))
+    check(Prop.forAll(genText) { t =>
+      val sh = Signatures.wordShingles(t)
+      val mh = Signatures.minhash(sh, 8)
+      val sim = Signatures.simhash32(sh)
+      sh.nonEmpty && sh.distinct == sh &&
+        mh == Signatures.minhash(sh, 8) && mh.length == 8 &&
+        mh.forall(h => h != null && h.matches("[0-9a-f]{32}")) &&
+        sim >= 0 && sim < (1L << 32) &&
+        Signatures.rollingFingerprint(t) == Signatures.rollingFingerprint(t) &&
+        Signatures.rollingFingerprint(t) >= 0
+    })
+  }
+
+  test("minhash agreement rises with jaccard (LSH premise, statistical)") {
+    // identical inputs agree on all hashes; disjoint inputs agree on ~none
+    val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
+    val b = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
+    val c = Signatures.wordShingles((100 to 150).map(i => s"tok$i").mkString(" "))
+    val k = 64
+    def agree(x: Seq[String], y: Seq[String]) =
+      Signatures.minhash(x, k).zip(Signatures.minhash(y, k)).count(p => p._1 == p._2)
+    assert(agree(a, b) === k)
+    assert(agree(a, c) <= k / 8)
+  }
+}

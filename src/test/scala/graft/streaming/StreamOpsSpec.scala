@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling windows finalize in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val windows = StreamOps.tumblingCounts(
+      stream.toDF().toDF("event_id", "ts"), "ts",
+      watermarkDelay = "10 minutes", windowDuration = "1 hour")
+
+    val q = windows.writeStream
+      .format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two events in the 00:00 window, one in the 01:00 window
+      stream.addData((1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 00:40:00")),
+        (3L, ts("2024-01-01 01:05:00")))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (01:05 - 10 min) hasn't passed 01:00
+      assert(spark.table("tumbling_test").count() === 0)
+      // events far ahead advance the watermark and close earlier windows
+      // (the 05:00 event closes 03:00's window too — watermark 04:50)
+      stream.addData((4L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      stream.addData((5L, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", 2L),
+        ("2024-01-01 01:00:00.0", 1L),
+        ("2024-01-01 03:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val activity = StreamOps.runningActivity(stream.toDS())
+
+    val q = activity.toDF().writeStream
+      .format("memory").queryName("activity_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      stream.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+        (2L, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // second batch: state must carry over, counts accumulate
+      stream.addData((1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val latest = spark.table("activity_test")
+        .groupBy("userId")
+        .agg(org.apache.spark.sql.functions.max("nEvents").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
