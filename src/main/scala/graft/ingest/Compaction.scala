@@ -1,0 +1,60 @@
+package graft.ingest
+
+import graft.model.SchemaBuilder
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction for day-partitioned CDC tables.
+  *
+  * The reference writes one parquet file per 5 s micro-batch per table
+  * (ref internal/iceberg/writer/writer.go:141-163) and has no rewrite
+  * job — its tables accrete thousands of tiny files, the classic lake
+  * pathology. With the Iceberg runtime this is `rewrite_data_files`;
+  * over plain parquet dirs the equivalent is a per-partition rewrite:
+  * read a day directory, coalesce to the target file count, atomically
+  * swap via rename. Partitions are compacted independently, so the job
+  * parallelizes across days and a failure affects at most one
+  * partition's swap.
+  */
+object Compaction {
+
+  /** Number of data files in each day partition. */
+  def fileCounts(spark: SparkSession, tableDir: String): Map[String, Int] = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val prefix = SchemaBuilder.partitionColumn + "="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { dir =>
+        val n = fs.listStatus(dir.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        dir.getPath.getName.stripPrefix(prefix) -> n
+      }.toMap
+  }
+
+  /** Rewrite every day partition holding more than `maxFiles` files down
+    * to exactly `targetFiles`. Returns the compacted partition values. */
+  def compact(spark: SparkSession, tableDir: String,
+              maxFiles: Int = 4, targetFiles: Int = 1): Seq[String] = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversized = fileCounts(spark, tableDir).filter(_._2 > maxFiles).keys.toSeq.sorted
+    oversized.foreach { day =>
+      val partDir = new Path(root, s"${SchemaBuilder.partitionColumn}=$day")
+      val tmpDir = new Path(root, s".compact_$day")
+      spark.read.parquet(partDir.toString)
+        .coalesce(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+      // swap: remove originals, move compacted files in (single-FS
+      // renames; Iceberg's snapshot commit makes this atomic for real)
+      fs.delete(partDir, true)
+      fs.mkdirs(partDir)
+      fs.listStatus(tmpDir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath, new Path(partDir, f.getPath.getName)))
+      fs.delete(tmpDir, true)
+    }
+    oversized
+  }
+}
