@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function triple on a live session's registry (the
+    * post-build equivalent of SparkSessionExtensions.injectFunction). */
+  def registerFunction(
+      spark: SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.sessionState.functionRegistry.registerFunction(fn._1, fn._2, fn._3)
 }

@@ -22,6 +22,20 @@ class ScaledDotProductSpec extends SparkTestBase {
     assert(both(2).getLong(0) === 0L)
   }
 
+  test("registered on the SQL surface via GraftFunctions/extensions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .createOrReplaceTempView("sdp_test_vw")
+    val out = spark.sql("SELECT scaled_dot_product(a, b) AS d FROM sdp_test_vw")
+      .as[Long].head()
+    assert(out === 32L)
+    // type contract rejects wrong argument types at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT scaled_dot_product('x', 'y')").collect()
+    }
+  }
+
   test("null inputs yield null (SQL semantics)") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
