@@ -543,6 +543,73 @@ object Relational extends QueryModule {
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // ---- exact interpolated percentiles (both engines use linear
+  // interpolation: Spark percentile == DuckDB quantile_cont)
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q33Sql =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      | count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- PIVOT: priorities to columns (explicit value list keeps the
+  // output schema static — at scale an implicit pivot would scan twice)
+  private val Priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PriorityCols = Seq("urgent", "high", "medium", "unspecified", "low")
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    Priorities.zip(PriorityCols)
+      .foldLeft(pivoted) { case (df, (v, n)) => df.withColumnRenamed(v, n) }
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q34Sql =
+    """SELECT o_orderstatus,
+      | count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+      | count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+      | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+      | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+      | count(*) FILTER (o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- array functions over the embedding column (min/max are exact on
+  // floats; mean goes through the scaled-integer representation)
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("bigint").as("dim"),
+      array_min(col("embedding")).cast("double").as("c_min"),
+      array_max(col("embedding")).cast("double").as("c_max"),
+      graft.functions.ScaledDotProduct(
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")))
+        .as("nrm2_scaled"))
+      .orderBy(col("vec_id"))
+
+  private val q35Sql =
+    """SELECT vec_id,
+      | CAST(len(embedding) AS BIGINT) AS dim,
+      | CAST(list_min(embedding) AS DOUBLE) AS c_min,
+      | CAST(list_max(embedding) AS DOUBLE) AS c_max,
+      | list_sum(list_transform(embedding,
+      |   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS nrm2_scaled
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", q01, Some(q01Sql)),
     GraftQuery("q02_filter_project", q02, Some(q02Sql)),
@@ -576,5 +643,8 @@ object Relational extends QueryModule {
     GraftQuery("q30_union_all", q30, Some(q30Sql)),
     GraftQuery("q31_tumbling_window", q31, Some(q31Sql)),
     GraftQuery("q32_sessionize", q32, Some(q32Sql)),
+    GraftQuery("q33_percentiles", q33, Some(q33Sql)),
+    GraftQuery("q34_pivot", q34, Some(q34Sql)),
+    GraftQuery("q35_array_funcs", q35, Some(q35Sql)),
   )
 }
