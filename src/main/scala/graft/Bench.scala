@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,10 +28,22 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def jmap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map for local inspection (stderr + file) …
+    System.err.println(s"[bench] full: ${jmap(results)}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"), jmap(results))
+    catch { case _: Throwable => }
+    // … but the stdout contract line must survive the driver's 2000-char
+    // output-tail window (sbt appends a ~75-char "[success]" line after
+    // us). r02's line carried all 68 queries, ran ~2.3 KB, and the tail
+    // truncated its head — the driver parsed nothing. Report the slowest
+    // 20 queries (the informative ones) and keep the line under ~1 KB.
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,24 +100,36 @@ object Dedup extends QueryModule {
     * A band collides with probability jaccard^bandRows — wider bands for
     * shingle spaces where random pairs already overlap heavily.
     */
-  private def lshPairs(s: SparkSession, docs: DataFrame,
+  /** One persisted signature set per (session, sfDir, shingle kind): the
+    * kernel output is consumed by several registered queries (pairs,
+    * survivors, clusters), and by four joins within each — recomputing it
+    * per consumer was the dominant dedup cost in the r02 bench. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
+
+  private def signatures(s: SparkSession, d: String, kind: String,
+                         shingler: String => Seq[String],
+                         bandRows: Int): DataFrame =
+    sigCache.getOrElseUpdate((System.identityHashCode(s), d, kind, bandRows), {
+      import s.implicits._
+      // repartition: the fixture is one parquet file = one input split; the
+      // signature kernel is the expensive stage, so spread it across cores
+      // (at production scale the source has many splits and this is a no-op
+      // cost-wise — the shuffle payload here is just (id, text)).
+      Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { case (id, t) =>
+          val shs = shingler(t)
+          (id, shs, Signatures.bandKeys(Signatures.minhash(shs, K), bandRows))
+        }
+        .toDF("doc_id", "sh", "bands")
+        .persist()
+    })
+
+  private def lshPairs(s: SparkSession, d: String, kind: String,
                        shingler: String => Seq[String], threshold: Double,
                        bandRows: Int = 2): DataFrame = {
-    import s.implicits._
-    // repartition: the fixture is one parquet file = one input split; the
-    // signature kernel is the expensive stage, so spread it across cores
-    // (at production scale the source has many splits and this is a no-op
-    // cost-wise — the shuffle payload here is just (id, text)).
-    // persist: the signature set is consumed four times (band self-join a/b
-    // + verify join a/b); without it each consumer re-runs the kernel.
-    val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(s.sparkContext.defaultParallelism)
-      .map { case (id, t) =>
-        val shs = shingler(t)
-        (id, shs, Signatures.bandKeys(Signatures.minhash(shs, K), bandRows))
-      }
-      .toDF("doc_id", "sh", "bands")
-      .persist()
+    val sig = signatures(s, d, kind, shingler, bandRows)
     val sh = sig.select(col("doc_id"), col("sh"))
     val bands = sig
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bk")))
@@ -139,16 +151,21 @@ object Dedup extends QueryModule {
 
   private def lshPairsSql(shingleSql: String, threshold: Double,
                           bandRows: Int = 2): String = {
+    import Signatures.{MinhashA, MinhashB, MinhashP}
     val mh = (0 until K)
-      .map(k => s"list_min(list_transform(sh, s -> md5('$k|' || s)))")
+      .map(k => s"list_min(list_transform(h, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
       .mkString("[", ", ", "]")
     val bandIdx = (0 until K / bandRows).map(_.toString).mkString("[", ", ", "]")
-    val bandKey = (1 to bandRows).map(r => s"mh[$bandRows*b+$r]").mkString(" || ")
+    val bandKey = (1 to bandRows)
+      .map(r => s"CAST(mh[$bandRows*b+$r] AS VARCHAR)").mkString(" || '|' || ")
     s"""WITH shi AS (
        |  SELECT doc_id, $shingleSql AS sh FROM documents),
-       |sig AS (SELECT doc_id, $mh AS mh FROM shi),
+       |hs AS (SELECT doc_id,
+       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+       |  FROM shi),
+       |sig AS (SELECT doc_id, $mh AS mh FROM hs),
        |bands AS (
-       |  SELECT doc_id, b, md5($bandKey) AS bk
+       |  SELECT doc_id, b, $bandKey AS bk
        |  FROM sig, unnest($bandIdx) AS t(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -165,7 +182,7 @@ object Dedup extends QueryModule {
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(s, Tables.documents(s, d), Signatures.wordShingles, 0.5)
+    lshPairs(s, d, "word3", Signatures.wordShingles, 0.5)
 
   // Char 5-grams with 2 bands of 4 rows: this corpus's alphabet is tiny,
   // so trigram sets of RANDOM pairs overlap ~0.6 and 2-row bands collide
@@ -177,7 +194,7 @@ object Dedup extends QueryModule {
   private val NgramBandRows = 4
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(s, Tables.documents(s, d),
+    lshPairs(s, d, s"char$NgramN",
       t => Signatures.charNgrams(t, NgramN), 0.6, NgramBandRows)
 
   /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
@@ -259,6 +276,64 @@ object Dedup extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------- near-dup cluster assignment
+
+  /** Connected components over the verified near-dup pair graph:
+    * every doc gets a cluster id = min doc_id of its component (singletons
+    * keep their own id). Implemented as distributed hash-to-min label
+    * propagation — each iteration is one join + aggregation over the edge
+    * list, labels converge in O(component diameter) rounds. That is the
+    * standard BSP shape for connected components at scale (the pair graph
+    * at 100 TB still fits the join-per-round pattern; no driver-side
+    * union-find, no collect). Deterministic: the fixpoint is the
+    * component-wise minimum regardless of iteration order. */
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist()
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("lbl", col("u")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.u") === col("o.u"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    Tables.documents(s, d)
+      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clustersSql =
+    s"""WITH RECURSIVE pairs AS (${lshPairsSql(wordShinglesSql, 0.5)}),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(least(d.doc_id, m.lbl), d.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents d
+       |LEFT JOIN (SELECT u, min(v) AS lbl FROM reach GROUP BY u) m
+       |  ON d.doc_id = m.u
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup vector pairs: sign-bucket LSH (bucket = sign pattern of the
@@ -266,9 +341,7 @@ object Dedup extends QueryModule {
     * Cosine uses Similarity's scaled-integer dot product, so the value is
     * bit-identical across engines. */
   private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val v = Similarity.scaledVec(s, d)
-      .withColumn("bucket", Similarity.signBucket(col("v")))
-      .persist() // consumed twice by the bucket self-join
+    val v = Similarity.scaledVecCached(s, d)
     v.alias("a")
       .join(v.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -295,6 +368,7 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_ngram_pairs", ngramPairs,
       Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows))),
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    GraftQuery("dedup_clusters", clusters, Some(clustersSql)),
     GraftQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 }

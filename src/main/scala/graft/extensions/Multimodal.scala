@@ -90,7 +90,7 @@ object Multimodal extends QueryModule {
         round(avg(col("width")), 4).as("avg_width"),
         round(avg(col("height")), 4).as("avg_height"),
         sum(col("frames")).as("total_frames"),
-        max(col("width")).as("max_width"))
+        max(col("width")).cast("bigint").as("max_width"))
       .orderBy(col("mime"))
   }
 

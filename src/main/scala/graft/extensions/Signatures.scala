@@ -64,23 +64,57 @@ object Signatures {
     out.toSeq
   }
 
-  /** K seeded min-hashes (lexicographic min of lowercase hex). */
-  def minhash(shingles: Seq[String], k: Int): Seq[String] =
-    (0 until k).map { j =>
-      val prefix = j.toString + "|"
-      var min: String = null
-      shingles.foreach { s =>
-        val h = md5hex(prefix + s)
-        if (min == null || h < min) min = h
-      }
-      min
-    }
+  /** First 4 digest bytes of md5(s) as an unsigned 32-bit value — equal to
+    * DuckDB's `('0x' || substr(md5(s), 1, 8))::BIGINT` without building the
+    * 32-char hex string. */
+  def md5w32(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
-  /** Band keys: md5 of each band's concatenated signature rows
-    * (sig length must be divisible by `rows`). Fewer, wider bands =
-    * stricter candidate generation. */
-  def bandKeys(sig: Seq[String], rows: Int = 2): Seq[String] =
-    sig.grouped(rows).map(g => md5hex(g.mkString)).toSeq
+  /** Affine minhash family over md5w32 values: h_j(x) = (A_j·x + B_j) mod P.
+    * P prime > 2^32; A_j < 2^28 keeps A_j·x < 2^60 — no 64-bit overflow in
+    * either engine (DuckDB BIGINT errors on overflow rather than wrapping,
+    * so the bound is a correctness constraint for the oracle, not a nicety).
+    * One md5 per shingle instead of K — this is what took dedup_ngram_pairs
+    * from 72 s to single digits at sf0.1. */
+  val MinhashP = 4294967311L
+  private val MaxK = 64
+
+  /** splitmix64 finalizer — a fixed, RNG-free constant stream, so the
+    * oracle SQL (which embeds the first K values verbatim) replays. */
+  private def mix(j: Long): Long = {
+    var z = j * 0x9e3779b97f4a7c15L + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val MinhashA: Array[Long] =
+    Array.tabulate(MaxK)(j => (mix(j) & ((1L << 28) - 1)) | 1L)
+  val MinhashB: Array[Long] =
+    Array.tabulate(MaxK)(j => (mix(j + 1000) & Long.MaxValue) % MinhashP)
+
+  /** K numeric min-hashes: min over shingles of (A_j·md5w32(s) + B_j) mod P. */
+  def minhash(shingles: Seq[String], k: Int): Seq[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = md5w32(s)
+      var j = 0
+      while (j < k) {
+        val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    mins.toSeq
+  }
+
+  /** Band keys: each band's signature rows joined with '|' (bucket-join
+    * equality key — no extra hashing needed; sig length must be divisible
+    * by `rows`). Fewer, wider bands = stricter candidate generation. */
+  def bandKeys(sig: Seq[Long], rows: Int = 2): Seq[String] =
+    sig.grouped(rows).map(_.mkString("|")).toSeq
 
   /** Position-weighted rolling document fingerprint:
     * sum over tokens of hash32(token) * (1-based position), mod 1e9+7.
@@ -92,7 +126,7 @@ object Signatures {
     var sum = 0L
     var i = 0
     while (i < toks.length) {
-      val v = java.lang.Long.parseLong(md5hex(toks(i)).substring(0, 8), 16)
+      val v = md5w32(toks(i))
       sum = (sum + v * (i + 1)) % 1000000007L
       i += 1
     }

@@ -39,6 +39,17 @@ object Similarity extends QueryModule {
       transform(col("embedding"), x => round(x.cast("double") * Scale).cast("long")).as("v"))
       .withColumn("nrm", graft.functions.ScaledDotProduct(col("v"), col("v")))
 
+  /** One persisted copy per (session, sfDir): seven registered queries
+    * consume this projection (brute/IVF/recall/centroids/embedding-dedup);
+    * before the cache each of them persisted a private copy. Includes the
+    * sign bucket — brute-force consumers just ignore the column. */
+  private val vecCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def scaledVecCached(s: SparkSession, d: String): DataFrame =
+    vecCache.getOrElseUpdate((System.identityHashCode(s), d),
+      scaledVec(s, d).withColumn("bucket", signBucket(col("v"))).persist())
+
   val scaledVecSql: String =
     s"""SELECT vec_id, label,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS v,
@@ -75,7 +86,7 @@ object Similarity extends QueryModule {
   // ------------------------------------------------------------ brute force
 
   private def knnBrute(s: SparkSession, d: String): DataFrame = {
-    val v = scaledVec(s, d).persist() // read twice: query set + corpus scan
+    val v = scaledVecCached(s, d)
     val queries = v.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = broadcast(queries)
@@ -109,7 +120,7 @@ object Similarity extends QueryModule {
   // ----------------------------------------------------------- IVF-bucketed
 
   private def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val v = scaledVec(s, d).withColumn("bucket", signBucket(col("v"))).persist()
+    val v = scaledVecCached(s, d)
     val queries = v.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("v").as("qv"), col("nrm").as("qnrm"))
@@ -144,13 +155,48 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ------------------------------------------------------------- IVF recall
+
+  /** Recall@k of the IVF-bucketed search against the exact brute-force
+    * answer — the quality metric that makes the approximate operator's
+    * trade-off measurable (probing one sign bucket trades recall for a
+    * 2^SignDims candidate-set reduction). Both sides are deterministic,
+    * so the recall itself is oracle-checkable. */
+  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(TopK.toDouble), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ivfRecallSql =
+    s"""WITH exact AS ($knnBruteSql),
+       |approx AS ($knnIvfSql),
+       |hits AS (
+       |  SELECT e.query_id, count(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  round(coalesce(h.n_hits, 0) / CAST($TopK AS DOUBLE), 4) AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   // --------------------------------------------------------- label centroids
 
   /** Mean vector per label (integer sums + one exact division per
     * component), then each query vector's nearest centroid — a
     * classify-by-centroid operator exercising distributed vector agg. */
   private def labelCentroids(s: SparkSession, d: String): DataFrame = {
-    val v = scaledVec(s, d)
+    val v = scaledVecCached(s, d)
     val byLabel = v.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(element_at(col("v"), 1)), 4).as("c1"),
@@ -170,6 +216,7 @@ object Similarity extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
+    GraftQuery("sim_ivf_recall", ivfRecall, Some(ivfRecallSql)),
     GraftQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
   )
 }

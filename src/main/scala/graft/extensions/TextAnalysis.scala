@@ -127,6 +127,41 @@ object TextAnalysis extends QueryModule {
        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- composite cleaning pipeline: quality gates + exact dedup in one
+  // pass — the C4-style "filter then keep one representative per content
+  // fingerprint" shape. Gates and dedup are both shuffle-by-fp only; at
+  // 100 TB the filters run scan-side (pushed ahead of the shuffle) and the
+  // window dedup is a single hash-partitioned pass.
+  private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gated = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(qualityScore(col("text")), 4).as("quality"),
+      fingerprint(col("text")).as("fp"))
+      .filter(col("n_tokens") >= 10 && col("quality") >= 0.2)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cleanCorpusSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (1.0 - len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a'))) * 1.0
+      |           / len(string_split(text, ' '))), 4) AS quality,
+      |    md5(lower(text)) AS fp
+      |  FROM documents),
+      |gated AS (SELECT * FROM t WHERE n_tokens >= 10 AND quality >= 0.2)
+      |SELECT doc_id, lang, n_tokens, quality FROM gated
+      |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---- rolling-hash document fingerprint (order-sensitive; JVM kernel,
   // see Signatures.rollingFingerprint for the determinism contract)
   private def rollingFp(s: SparkSession, d: String): DataFrame = {
@@ -139,9 +174,9 @@ object TextAnalysis extends QueryModule {
 
   private val rollingFpSql =
     """SELECT doc_id,
-      | list_sum(list_transform(range(1, len(string_split(text,' '))+1),
+      | CAST(list_sum(list_transform(range(1, len(string_split(text,' '))+1),
       |   i -> (('0x' || substr(md5(string_split(text,' ')[i]), 1, 8))::BIGINT) * i))
-      |   % 1000000007 AS rolling_fp
+      |   % 1000000007 AS BIGINT) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   override def all: Seq[GraftQuery] = Seq(
@@ -151,5 +186,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_fingerprint", fingerprints, Some(fingerprintsSql)),
     GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
+    GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
   )
 }

@@ -307,7 +307,7 @@ object Relational extends QueryModule {
       .groupBy(col("c_nationkey"), col("c_custkey"))
       .agg(round2(sum(col("o_totalprice"))).as("total"))
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("total").desc, col("c_custkey"))
-    spend.withColumn("rnk", rank().over(w))
+    spend.withColumn("rnk", rank().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
   }
@@ -506,6 +506,26 @@ object Relational extends QueryModule {
       | count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- hopping (sliding) window: 12 h windows every 6 h — each event
+  // lands in exactly two windows. Spark's window() handles the fan-out
+  // natively (batch and streaming share the semantics); the oracle
+  // replays it as an explicit 2-way hop explode.
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "12 hours", "6 hours")
+        .getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("value"))).as("total_value"))
+      .orderBy(col("window_start"))
+
+  private val q36Sql =
+    """SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM (
+      |  SELECT CAST(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+      |           - k * INTERVAL 6 HOUR AS window_start,
+      |         value
+      |  FROM events, unnest([0, 1]) AS t(k))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- sessionization: gap > 1 h starts a new session. The classic
   // lag → break flag → running sum pattern; both the flag and the
   // cumulative sum partition by user, so state distributes by key.
@@ -605,9 +625,9 @@ object Relational extends QueryModule {
       | CAST(len(embedding) AS BIGINT) AS dim,
       | CAST(list_min(embedding) AS DOUBLE) AS c_min,
       | CAST(list_max(embedding) AS DOUBLE) AS c_max,
-      | list_sum(list_transform(embedding,
+      | CAST(list_sum(list_transform(embedding,
       |   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS nrm2_scaled
+      |        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS nrm2_scaled
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   override def all: Seq[GraftQuery] = Seq(
@@ -646,5 +666,6 @@ object Relational extends QueryModule {
     GraftQuery("q33_percentiles", q33, Some(q33Sql)),
     GraftQuery("q34_pivot", q34, Some(q34Sql)),
     GraftQuery("q35_array_funcs", q35, Some(q35Sql)),
+    GraftQuery("q36_hopping_window", q36, Some(q36Sql)),
   )
 }

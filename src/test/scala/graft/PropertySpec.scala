@@ -67,7 +67,7 @@ class PropertySpec extends AnyFunSuite {
       val sim = Signatures.simhash32(sh)
       sh.nonEmpty && sh.distinct == sh &&
         mh == Signatures.minhash(sh, 8) && mh.length == 8 &&
-        mh.forall(h => h != null && h.matches("[0-9a-f]{32}")) &&
+        mh.forall(h => h >= 0 && h < Signatures.MinhashP) &&
         sim >= 0 && sim < (1L << 32) &&
         Signatures.rollingFingerprint(t) == Signatures.rollingFingerprint(t) &&
         Signatures.rollingFingerprint(t) >= 0

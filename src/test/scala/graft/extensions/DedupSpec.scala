@@ -42,7 +42,7 @@ class DedupSpec extends SparkTestBase {
     val a = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
     val b = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
     assert(a === b && a.length === 8)
-    assert(a.forall(_.matches("[0-9a-f]{32}")))
+    assert(a.forall(v => v >= 0 && v < Signatures.MinhashP))
     assert(Signatures.bandKeys(a).length === 4)
   }
 

@@ -51,6 +51,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != oracle {ecols}")
             n_fail += 1
             continue
+        # The driver's value hash is arrow-type-sensitive across type
+        # CLASSES (a DuckDB HUGEINT/decimal128 123 != a Spark BIGINT 123 —
+        # broke q35/text_rolling_fp in r02) but tolerates integer-width
+        # differences (int32 vs int64 passed in r02). Mirror that: compare
+        # type classes, not exact widths.
+        def tclass(t):
+            s = str(t)
+            for pfx, cls in [("int", "int"), ("uint", "int"),
+                             ("float", "float"), ("double", "float"),
+                             ("decimal", "decimal")]:
+                if s.startswith(pfx):
+                    return cls
+            return s
+        tbad = [(c, str(got.schema.field(c).type), str(exp.schema.field(c).type))
+                for c in ecols
+                if tclass(got.schema.field(c).type) != tclass(exp.schema.field(c).type)]
+        if tbad:
+            print(f"FAIL {name}: arrow type mismatch {tbad}")
+            n_fail += 1
+            continue
         if exp.num_rows != got.num_rows:
             print(f"FAIL {name}: rows {got.num_rows} != oracle {exp.num_rows}")
             n_fail += 1
