@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for a training-data pipeline over `documents`.
   *
   * Four families, each with a DuckDB-replayable oracle (every hash in the
-  * pipeline is md5-derived — seeded, RNG-free — so both engines compute
-  * bit-identical signatures):
+  * pipeline is seeded and RNG-free — md5-derived for word shingles and
+  * SimHash, a polynomial rolling hash for char ngrams — so both engines
+  * compute bit-identical signatures):
   *
   *  - exact:    group by content fingerprint (md5 of lowercased text)
   *  - MinHash:  shingle → K seeded min-hashes → banded LSH bucket join →
@@ -108,7 +109,7 @@ object Dedup extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
 
   private def signatures(s: SparkSession, d: String, kind: String,
-                         shingler: String => Seq[String],
+                         sigFn: String => (Seq[String], Seq[Long]),
                          bandRows: Int): DataFrame =
     sigCache.getOrElseUpdate((System.identityHashCode(s), d, kind, bandRows), {
       import s.implicits._
@@ -119,17 +120,31 @@ object Dedup extends QueryModule {
       Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .repartition(s.sparkContext.defaultParallelism)
         .map { case (id, t) =>
-          val shs = shingler(t)
-          (id, shs, Signatures.bandKeys(Signatures.minhash(shs, K), bandRows))
+          val (shs, mh) = sigFn(t)
+          (id, shs, mh, Signatures.bandKeys(mh, bandRows))
         }
-        .toDF("doc_id", "sh", "bands")
+        .toDF("doc_id", "sh", "mh", "bands")
         .persist()
     })
 
+  /** Word-shingle signature function: md5w32 per distinct shingle. */
+  private val wordSig: String => (Seq[String], Seq[Long]) = { t =>
+    val sh = Signatures.wordShingles(t)
+    (sh, Signatures.minhash(sh, K))
+  }
+
+  /** Char-ngram signature function: polynomial rolling hash per position —
+    * no md5, no per-window strings in the minhash (the shingle-string set
+    * is still materialized for the exact-Jaccard verify stage). */
+  private val charSig: String => (Seq[String], Seq[Long]) = { t =>
+    (Signatures.charNgrams(t, NgramN),
+      Signatures.charNgramMinhash(t, NgramN, K))
+  }
+
   private def lshPairs(s: SparkSession, d: String, kind: String,
-                       shingler: String => Seq[String], threshold: Double,
+                       sigFn: String => (Seq[String], Seq[Long]), threshold: Double,
                        bandRows: Int = 2): DataFrame = {
-    val sig = signatures(s, d, kind, shingler, bandRows)
+    val sig = signatures(s, d, kind, sigFn, bandRows)
     val sh = sig.select(col("doc_id"), col("sh"))
     val bands = sig
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bk")))
@@ -149,8 +164,18 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** md5w32 in SQL — the word-shingle base hash. */
+  private val md5HashSql = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+
+  /** [[Signatures.polyHash]] in SQL — the char-ngram base hash. */
+  private val polyHashSql =
+    s"""list_reduce(list_transform(range(1, len(s)+1),
+       |      j -> CAST(unicode(substr(s, j, 1)) AS BIGINT)),
+       |      (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})""".stripMargin
+
   private def lshPairsSql(shingleSql: String, threshold: Double,
-                          bandRows: Int = 2): String = {
+                          bandRows: Int = 2,
+                          hashSql: String = md5HashSql): String = {
     import Signatures.{MinhashA, MinhashB, MinhashP}
     val mh = (0 until K)
       .map(k => s"list_min(list_transform(h, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
@@ -161,7 +186,7 @@ object Dedup extends QueryModule {
     s"""WITH shi AS (
        |  SELECT doc_id, $shingleSql AS sh FROM documents),
        |hs AS (SELECT doc_id,
-       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+       |  list_transform(sh, s -> $hashSql) AS h
        |  FROM shi),
        |sig AS (SELECT doc_id, $mh AS mh FROM hs),
        |bands AS (
@@ -182,7 +207,7 @@ object Dedup extends QueryModule {
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(s, d, "word3", Signatures.wordShingles, 0.5)
+    lshPairs(s, d, "word3", wordSig, 0.5)
 
   // Char 5-grams with 2 bands of 4 rows: this corpus's alphabet is tiny,
   // so trigram sets of RANDOM pairs overlap ~0.6 and 2-row bands collide
@@ -194,8 +219,7 @@ object Dedup extends QueryModule {
   private val NgramBandRows = 4
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(s, d, s"char$NgramN",
-      t => Signatures.charNgrams(t, NgramN), 0.6, NgramBandRows)
+    lshPairs(s, d, s"char$NgramN", charSig, 0.6, NgramBandRows)
 
   /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
     * pair (the anti-join is the scale shape: pairs table is tiny relative
@@ -274,6 +298,50 @@ object Dedup extends QueryModule {
        |  ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $HamMax
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------- sketch-vs-truth jaccard metric
+
+  /** For every verified word-shingle near-dup pair: the MinHash ESTIMATE of
+    * jaccard (fraction of the K hash functions agreeing) next to the exact
+    * value — the metric that quantifies what the sketch trades away. At
+    * 100 TB the estimate is what you can afford to compute for all
+    * candidate pairs; this query is the calibration harness for it. */
+  private def jaccardEst(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d, "word3", wordSig, 2)
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
+          / lit(K.toDouble), 4).as("est_jaccard"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val jaccardEstSql = {
+    import Signatures.{MinhashA, MinhashB, MinhashP}
+    val mh = (0 until K)
+      .map(k => s"list_min(list_transform(h, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
+      .mkString("[", ", ", "]")
+    val agree = (1 to K)
+      .map(j => s"CASE WHEN a.mh[$j] = b.mh[$j] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH pairs AS (${lshPairsSql(wordShinglesSql, 0.5)}),
+       |shi AS (SELECT doc_id, $wordShinglesSql AS sh FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+       |  FROM shi),
+       |sig AS (SELECT doc_id, $mh AS mh FROM hs)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(($agree) / CAST($K AS DOUBLE), 4) AS est_jaccard,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN sig a ON p.doc_a = a.doc_id
+       |JOIN sig b ON p.doc_b = b.doc_id
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
   // ------------------------------------------- near-dup cluster assignment
@@ -366,9 +434,10 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
     GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),
     GraftQuery("dedup_ngram_pairs", ngramPairs,
-      Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows))),
+      Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows, polyHashSql))),
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("dedup_clusters", clusters, Some(clustersSql)),
+    GraftQuery("dedup_jaccard_est", jaccardEst, Some(jaccardEstSql)),
     GraftQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 }

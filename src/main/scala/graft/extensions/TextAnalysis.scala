@@ -127,6 +127,37 @@ object TextAnalysis extends QueryModule {
        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- top terms per language: the explode-then-aggregate shape. The
+  // groupBy gets map-side partial aggregation for free, so the shuffle
+  // carries (lang, term, partial_count) — at 100 TB that is the difference
+  // between shuffling 35M exploded tokens and shuffling the distinct-term
+  // footprint. Top-5 folds into a per-lang window on the aggregated set.
+  private def topTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val topTermsSql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |counts AS (
+      |  SELECT lang, term, count(*) AS n FROM tok
+      |  WHERE length(term) >= 3 GROUP BY lang, term),
+      |ranked AS (
+      |  SELECT lang, term, n, CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rk
+      |  FROM counts)
+      |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
   // ---- composite cleaning pipeline: quality gates + exact dedup in one
   // pass — the C4-style "filter then keep one representative per content
   // fingerprint" shape. Gates and dedup are both shuffle-by-fp only; at
@@ -187,5 +218,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
+    GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
   )
 }

@@ -526,6 +526,31 @@ object Relational extends QueryModule {
       |  FROM events, unnest([0, 1]) AS t(k))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- as-of join: attach to every event the user's most recent
+  // "milestone" (value > 0.95) at or before the event's timestamp.
+  // Spark has no native ASOF JOIN; the scalable composition is a
+  // range-frame window over the union of both sides — ONE shuffle by
+  // key, state bounded per key, no per-row subquery. The default
+  // ORDER BY frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) includes
+  // timestamp ties, which matches the oracle's `m.ts <= e.ts` —
+  // DuckDB executes the same semantics with its native ASOF LEFT JOIN.
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, d)
+      .withColumn("mts", when(col("value") > 0.95, col("ts")))
+      .withColumn("asof_ts", max(col("mts")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q37Sql =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  CAST(m.ts AS TIMESTAMP) AS asof_ts
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts FROM events WHERE value > 0.95) m
+      |  ON e.user_id = m.user_id AND m.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- sessionization: gap > 1 h starts a new session. The classic
   // lag → break flag → running sum pattern; both the flag and the
   // cumulative sum partition by user, so state distributes by key.
@@ -667,5 +692,6 @@ object Relational extends QueryModule {
     GraftQuery("q34_pivot", q34, Some(q34Sql)),
     GraftQuery("q35_array_funcs", q35, Some(q35Sql)),
     GraftQuery("q36_hopping_window", q36, Some(q36Sql)),
+    GraftQuery("q37_asof_join", q37, Some(q37Sql)),
   )
 }

@@ -28,6 +28,31 @@ object StreamOps {
     * aggregate that outlives a single batch). */
   final case class UserActivity(userId: Long, nEvents: Long, lastTs: java.sql.Timestamp)
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, and per-key state is evicted once
+    * the watermark passes — the streaming dual of the batch exact-dedup
+    * queries, and the only dedup shape whose state stays bounded on an
+    * unbounded stream. Keyed on the content fingerprint column. */
+  def dedupWithinWatermark(docs: DataFrame, tsCol: String, keyCol: String,
+                           watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Watermarked stream-stream inner join: each side keeps only the state
+    * the time-bound condition can still match, so the join state is
+    * bounded by the watermark horizon — the streaming dual of the batch
+    * equi-joins (events enriched with the user's clicks within the
+    * preceding hour). */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("lts", "1 hour")
+    val r = right.withWatermark("rts", "2 hours")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("rts") >= col("lts") - expr("INTERVAL 1 HOUR") &&
+        col("rts") <= col("lts"))
+  }
+
   def runningActivity(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserActivity] = {
     implicit val stateEnc: Encoder[UserActivity] = Encoders.product[UserActivity]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong

@@ -44,4 +44,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       plan.take(3000))
   }
+
+  test("IVF recall has no cartesian product (sim_ivf_recall)") {
+    // the embedded brute-force baseline IS a broadcast nested loop by
+    // design (tiny broadcast query set x corpus scan); what must never
+    // appear is an unbroadcast all-pairs product
+    val plan = planOf("sim_ivf_recall")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("explode-then-aggregate keeps partial aggregation (text_top_terms)") {
+    val plan = planOf("text_top_terms")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+  }
+
+  test("cluster assignment broadcasts the tiny label table (dedup_clusters)") {
+    // the final corpus←labels join must not shuffle the corpus side
+    val plan = planOf("dedup_clusters")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }

@@ -44,6 +44,61 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups within the horizon, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    val deduped = StreamOps.dedupWithinWatermark(
+      stream.toDF().toDF("fp", "ts"), "ts", "fp", "10 minutes")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // duplicate fingerprint within the horizon: second copy dropped
+      stream.addData(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:01:00")),
+        ("b", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("fp").as[String]
+        .collect().sorted.toSeq === Seq("a", "b"))
+      // same key long after the watermark passed: state was evicted, so
+      // the "duplicate" is admitted again — bounded-state semantics
+      stream.addData(("a", ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      stream.addData(("a", ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      val n = spark.table("dedup_test").filter($"fp" === "a").count()
+      assert(n >= 2, s"expected re-admission after state eviction, got $n")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join bounds state by the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      left.toDF().toDF("l_user", "lts"),
+      right.toDF().toDF("r_user", "rts"))
+
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // click at 00:30 is within the hour before the 01:00 purchase;
+      // the 23:00-previous-day click is not
+      right.addData((1L, ts("2024-01-01 00:30:00")), (1L, ts("2023-12-31 23:00:00")))
+      left.addData((1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .select("l_user", "rts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      assert(rows.toSeq === Seq((1L, "2024-01-01 00:30:00.0")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
