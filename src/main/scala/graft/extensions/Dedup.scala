@@ -109,7 +109,7 @@ object Dedup extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
 
   private def signatures(s: SparkSession, d: String, kind: String,
-                         sigFn: String => (Seq[String], Seq[Long]),
+                         sigFn: String => (Seq[Long], Seq[Long]),
                          bandRows: Int): DataFrame =
     sigCache.getOrElseUpdate((System.identityHashCode(s), d, kind, bandRows), {
       import s.implicits._
@@ -127,22 +127,22 @@ object Dedup extends QueryModule {
         .persist()
     })
 
-  /** Word-shingle signature function: md5w32 per distinct shingle. */
-  private val wordSig: String => (Seq[String], Seq[Long]) = { t =>
+  /** Word-shingle signature function: md5w32 per distinct shingle; the
+    * verify set is the distinct HASH set, not the strings — Jaccard over
+    * hashed shingles (deterministic cross-engine; the oracle applies the
+    * same hash) with an int64 set join instead of string arrays. */
+  private val wordSig: String => (Seq[Long], Seq[Long]) = { t =>
     val sh = Signatures.wordShingles(t)
-    (sh, Signatures.minhash(sh, K))
+    (Signatures.hashedSet(sh), Signatures.minhash(sh, K))
   }
 
   /** Char-ngram signature function: polynomial rolling hash per position —
-    * no md5, no per-window strings in the minhash (the shingle-string set
-    * is still materialized for the exact-Jaccard verify stage). */
-  private val charSig: String => (Seq[String], Seq[Long]) = { t =>
-    (Signatures.charNgrams(t, NgramN),
-      Signatures.charNgramMinhash(t, NgramN, K))
-  }
+    * no md5 and no per-window string materialization at all. */
+  private val charSig: String => (Seq[Long], Seq[Long]) =
+    t => Signatures.charNgramSig(t, NgramN, K)
 
   private def lshPairs(s: SparkSession, d: String, kind: String,
-                       sigFn: String => (Seq[String], Seq[Long]), threshold: Double,
+                       sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
                        bandRows: Int = 2): DataFrame = {
     val sig = signatures(s, d, kind, sigFn, bandRows)
     val sh = sig.select(col("doc_id"), col("sh"))
@@ -178,17 +178,16 @@ object Dedup extends QueryModule {
                           hashSql: String = md5HashSql): String = {
     import Signatures.{MinhashA, MinhashB, MinhashP}
     val mh = (0 until K)
-      .map(k => s"list_min(list_transform(h, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
+      .map(k => s"list_min(list_transform(sh, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
       .mkString("[", ", ", "]")
     val bandIdx = (0 until K / bandRows).map(_.toString).mkString("[", ", ", "]")
     val bandKey = (1 to bandRows)
       .map(r => s"CAST(mh[$bandRows*b+$r] AS VARCHAR)").mkString(" || '|' || ")
     s"""WITH shi AS (
-       |  SELECT doc_id, $shingleSql AS sh FROM documents),
-       |hs AS (SELECT doc_id,
-       |  list_transform(sh, s -> $hashSql) AS h
-       |  FROM shi),
-       |sig AS (SELECT doc_id, $mh AS mh FROM hs),
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($shingleSql, s -> $hashSql)) AS sh
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $mh AS mh FROM shi),
        |bands AS (
        |  SELECT doc_id, b, $bandKey AS bk
        |  FROM sig, unnest($bandIdx) AS t(b)),
@@ -324,17 +323,16 @@ object Dedup extends QueryModule {
   private val jaccardEstSql = {
     import Signatures.{MinhashA, MinhashB, MinhashP}
     val mh = (0 until K)
-      .map(k => s"list_min(list_transform(h, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
+      .map(k => s"list_min(list_transform(sh, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
       .mkString("[", ", ", "]")
     val agree = (1 to K)
       .map(j => s"CASE WHEN a.mh[$j] = b.mh[$j] THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH pairs AS (${lshPairsSql(wordShinglesSql, 0.5)}),
-       |shi AS (SELECT doc_id, $wordShinglesSql AS sh FROM documents),
-       |hs AS (SELECT doc_id,
-       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
-       |  FROM shi),
-       |sig AS (SELECT doc_id, $mh AS mh FROM hs)
+       |shi AS (SELECT doc_id,
+       |  list_distinct(list_transform($wordShinglesSql, s -> $md5HashSql)) AS sh
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $mh AS mh FROM shi)
        |SELECT p.doc_a, p.doc_b,
        |  round(($agree) / CAST($K AS DOUBLE), 4) AS est_jaccard,
        |  p.jaccard

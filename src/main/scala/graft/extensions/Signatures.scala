@@ -132,25 +132,38 @@ object Signatures {
     h
   }
 
-  /** Char-ngram minhash without materializing shingle strings OR md5: the
-    * window's polynomial hash feeds the affine family directly, per text
-    * position. Min over the position MULTISET equals min over the distinct
-    * shingle set (min is idempotent), so this matches an oracle that hashes
-    * the `list_distinct` shingle list. ~40× cheaper than the md5-per-window
-    * kernel — this is what the 100 TB char-level dedup path has to look
-    * like (constant work per input byte, no per-window allocation). */
-  def charNgramMinhash(text: String, n: Int, k: Int): Seq[Long] = {
-    val len = text.length
-    val mins = Array.fill(k)(Long.MaxValue)
-    def update(h: Long): Unit = {
-      var j = 0
-      while (j < k) {
-        val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
+  /** Sorted-distinct copy of a raw hash array (mutates the input order). */
+  def distinctSorted(hs: Array[Long]): Seq[Long] = {
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
     }
-    if (len <= n) update(polyHash(text))
+    hs.take(w).toSeq
+  }
+
+  /** Distinct hash set of word shingles (md5w32 each) — the verify-stage
+    * set representation: Jaccard over hashed shingles instead of strings.
+    * Deterministic cross-engine (the oracle applies the same hash), and
+    * the int64 set join is far cheaper than string-array intersection. */
+  def hashedSet(shingles: Seq[String]): Seq[Long] =
+    distinctSorted(shingles.map(md5w32).toArray)
+
+  /** Char-ngram signature — (distinct window-hash set, K minhashes) —
+    * without materializing shingle strings OR md5: each window's
+    * polynomial hash feeds the affine family directly, per text position.
+    * Min over the position MULTISET equals min over the distinct set (min
+    * is idempotent), so this matches an oracle that hashes the
+    * `list_distinct` shingle list. Constant work per input byte and no
+    * per-window allocation — the only kernel shape that survives
+    * char-level dedup at 100 TB. */
+  def charNgramSig(text: String, n: Int, k: Int): (Seq[Long], Seq[Long]) = {
+    val len = text.length
+    val m = if (len <= n) 1 else len - n + 1
+    val hs = new Array[Long](m)
+    if (len <= n) hs(0) = polyHash(text)
     else {
       var i = 0
       while (i + n <= len) {
@@ -161,11 +174,23 @@ object Signatures {
           h = if (j == i) c else (h * PolyB + c) % MinhashP
           j += 1
         }
-        update(h)
+        hs(i) = h
         i += 1
       }
     }
-    mins.toSeq
+    val mins = Array.fill(k)(Long.MaxValue)
+    var x = 0
+    while (x < m) {
+      val h = hs(x)
+      var j = 0
+      while (j < k) {
+        val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      x += 1
+    }
+    (distinctSorted(hs), mins.toSeq)
   }
 
   /** Band keys: each band's signature rows joined with '|' (bucket-join

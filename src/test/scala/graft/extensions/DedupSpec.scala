@@ -38,6 +38,21 @@ class DedupSpec extends SparkTestBase {
     assert(triExpr === triJvm)
   }
 
+  test("char-ngram fast kernel matches the definitional shingle+hash path") {
+    val texts = Seq("", "ab", "abcde", "the quick brown fox jumps", "aaaaaaaaaa")
+    for (t <- texts) {
+      val (hset, mh) = Signatures.charNgramSig(t, 5, 8)
+      val defSet = Signatures.distinctSorted(
+        Signatures.charNgrams(t, 5).map(Signatures.polyHash).toArray)
+      assert(hset === defSet, s"hash set for '$t'")
+      val defMins = (0 until 8).map { j =>
+        defSet.map(h => (Signatures.MinhashA(j) * h + Signatures.MinhashB(j))
+          % Signatures.MinhashP).min
+      }
+      assert(mh === defMins, s"minhash for '$t'")
+    }
+  }
+
   test("minhash signature is deterministic, identical text -> identical sig") {
     val a = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
     val b = Signatures.minhash(Signatures.wordShingles("a b c d e f"), 8)
