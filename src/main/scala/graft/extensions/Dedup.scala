@@ -358,23 +358,27 @@ object Dedup extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").persist()
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("lbl", col("u")).persist()
+    // seed with one propagation folded in: lbl = min(self, neighbors)
+    var backing = edges
+      .groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl"))
+      .persist()
+    var labels = backing
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("u", "v"), "v")
         .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // one persisted join per round carries BOTH the new labels and the
+      // convergence signal — no second labels join just to count changes
+      val step = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("nlbl"))
         .persist()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.u") === col("o.u"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("nlbl") < col("lbl")).count()
+      backing.unpersist()
+      backing = step
+      labels = step.select(col("u"), col("nlbl").as("lbl"))
       rounds += 1
     }
     Tables.documents(s, d)

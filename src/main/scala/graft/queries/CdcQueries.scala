@@ -102,8 +102,30 @@ object CdcQueries extends QueryModule {
     s"""WITH envelope AS ($envelopeSql)
        |SELECT max(_cdc_timestamp) AS latest_ts, count(*) AS n_events FROM envelope""".stripMargin
 
+  // ---- incremental MERGE: apply the deltas after an LSN watermark onto
+  // the snapshot at that watermark — the reference writer's upsert
+  // semantics (ref internal/iceberg/writer/writer.go:95-194) as a
+  // composable batch operator. The anti-join + union is the MERGE shape
+  // that scales: base is never shuffled beyond the key join, deltas are
+  // the small side. The oracle is the full-recompute current state —
+  // asserting incremental apply ≡ recompute is the point.
+  private val ApplyLsn = "0000000000005000"
+
+  private def cdcApplyChanges(s: SparkSession, d: String): DataFrame = {
+    val env = envelope(s, d)
+    val base = graft.ingest.TimeTravel.asOfLsn(env, Seq("user_id"), lit(ApplyLsn))
+    val deltas = Cdc.latestVersions(
+      env.filter(col(Cdc.LsnColumn) > ApplyLsn), Seq("user_id"))
+    base.join(deltas.select(col("user_id")), Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .unionByName(deltas.filter(col(Cdc.OpColumn) =!= "DELETE")
+        .select(col("user_id"), col("event_id"), col("value")))
+      .orderBy(col("user_id"))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_envelope", cdcEnvelope, Some(cdcEnvelopeSql)),
+    GraftQuery("cdc_apply_changes", cdcApplyChanges, Some(cdcCurrentStateSql)),
     GraftQuery("cdc_latest_version", cdcLatest, Some(cdcLatestSql)),
     GraftQuery("cdc_current_state", cdcCurrentState, Some(cdcCurrentStateSql)),
     GraftQuery("cdc_op_counts", cdcOpCounts, Some(cdcOpCountsSql)),

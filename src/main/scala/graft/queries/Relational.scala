@@ -551,6 +551,33 @@ object Relational extends QueryModule {
       |  ON e.user_id = m.user_id AND m.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---- first/last value windows: each customer's first and latest order
+  // over an explicit unbounded frame (last_value needs it — the default
+  // frame ends at CURRENT ROW and silently returns the current row's
+  // value, a classic window footgun both engines share).
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        count(lit(1)).over(w).as("n_orders"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q38Sql =
+    """SELECT DISTINCT o_custkey,
+      | first_value(o_orderkey) OVER w AS first_order,
+      | last_value(o_orderkey) OVER w AS last_order,
+      | count(*) OVER w AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   // ---- sessionization: gap > 1 h starts a new session. The classic
   // lag → break flag → running sum pattern; both the flag and the
   // cumulative sum partition by user, so state distributes by key.
@@ -693,5 +720,6 @@ object Relational extends QueryModule {
     GraftQuery("q35_array_funcs", q35, Some(q35Sql)),
     GraftQuery("q36_hopping_window", q36, Some(q36Sql)),
     GraftQuery("q37_asof_join", q37, Some(q37Sql)),
+    GraftQuery("q38_first_last", q38, Some(q38Sql)),
   )
 }

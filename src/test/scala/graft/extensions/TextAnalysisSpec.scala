@@ -1,0 +1,44 @@
+package graft.extensions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column semantics (pure expressions, no UDFs). */
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def one(expr: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(expr).collect()(0).get(0)
+  }
+
+  test("token count follows split semantics incl. degenerate inputs") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
+    assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
+    // empty string still yields one (empty) token — string_split semantics
+    assert(one(TextAnalysis.tokenCount(col("text")), "") === 1L)
+  }
+
+  test("stopword ratio and quality score are bounded") {
+    val q = one(round(TextAnalysis.qualityScore(col("text")), 4),
+      "the quick brown fox jumps over a lazy dog").asInstanceOf[Double]
+    assert(q >= 0.0 && q <= 1.0)
+    val r = one(TextAnalysis.stopwordRatio(col("text")), "the the the")
+      .asInstanceOf[Double]
+    assert(r === 1.0)
+  }
+
+  test("langId flags stopword-bearing text as en") {
+    assert(one(TextAnalysis.langId(col("text")),
+      "the cat sat on the mat with a hat") === "en")
+    assert(one(TextAnalysis.langId(col("text")),
+      "lorem ipsum dolor sit amet consectetur") === "unknown")
+  }
+
+  test("fingerprint is case-insensitive and content-sensitive") {
+    val a = one(TextAnalysis.fingerprint(col("text")), "Hello World")
+    val b = one(TextAnalysis.fingerprint(col("text")), "hello world")
+    val c = one(TextAnalysis.fingerprint(col("text")), "hello worlds")
+    assert(a === b)
+    assert(a !== c)
+  }
+}
