@@ -12,6 +12,9 @@ object Bench {
       // default makes every scan one task. Smaller splits keep all
       // cores busy at these SFs (at 100 TB the default is fine).
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // filterless COUNT/MIN/MAX answered from parquet footer stats
+      // (exact; Spark refuses the pushdown where NaN could lie)
+      .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
