@@ -127,6 +127,23 @@ object TextAnalysis extends QueryModule {
        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- whole-document polynomial fingerprint via the native poly_hash
+  // Catalyst expression (codegen'd; same kernel as the char-ngram dedup
+  // base hash) — an order-sensitive content id that is cheaper than md5
+  // and exactly replayable in the oracle.
+  private def polyFp(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.PolyHash(col("text")).as("poly_fp"))
+      .orderBy(col("doc_id"))
+
+  private val polyFpSql =
+    s"""SELECT doc_id,
+       | list_reduce(list_transform(range(1, len(text)+1),
+       |   j -> CAST(unicode(substr(text, j, 1)) AS BIGINT)),
+       |   (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP}) AS poly_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- top terms per language: the explode-then-aggregate shape. The
   // groupBy gets map-side partial aggregation for free, so the shuffle
   // carries (lang, term, partial_count) — at 100 TB that is the difference
@@ -219,5 +236,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
+    GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
   )
 }

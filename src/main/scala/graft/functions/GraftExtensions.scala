@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `SELECT scaled_dot_product(a, b)` works in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.scaledDotProduct)
+    ext.injectFunction(GraftFunctions.polyHash)
+  }
 }
 
 object GraftFunctions {
@@ -30,7 +32,18 @@ object GraftFunctions {
       ScaledDotProduct(children.head, children(1))
     })
 
+  val polyHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("poly_hash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"poly_hash takes 1 argument, got ${children.length}")
+      PolyHash(children.head)
+    })
+
   /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(spark, scaledDotProduct)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, polyHash)
+  }
 }

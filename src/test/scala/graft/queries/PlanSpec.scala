@@ -64,4 +64,23 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("dedup_clusters")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("as-of join compiles to a single keyed window, not a join (q37)") {
+    val plan = planOf("q37_asof_join")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "the window composition must avoid any join")
+  }
+
+  test("incremental merge is an anti-join + union, no cartesian (cdc_apply)") {
+    val plan = planOf("cdc_apply_changes")
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("corpus cleaning prunes unused columns at the scan (text_clean_corpus)") {
+    val plan = planOf("text_clean_corpus")
+    // only doc_id, lang, text feed the pipeline; the scan must not read
+    // the table's other columns
+    assert(!plan.contains("n_chars"), "scan should prune n_chars")
+  }
 }
