@@ -144,6 +144,26 @@ object TextAnalysis extends QueryModule {
        |   (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP}) AS poly_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic stratified sampling: keep doc_id iff
+  // poly_hash(doc_id) ≡ 0 (mod 20) — a ~5% sample that is reproducible
+  // across runs, engines and retries (no RNG), joinable (the same ids
+  // sample everywhere), and embarrassingly parallel. This is how a
+  // 100 TB pipeline samples: a pure filter ahead of every shuffle.
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(graft.functions.PolyHash(col("doc_id").cast("string")) % 20 === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+      .orderBy(col("lang"))
+
+  private val sampleStratifiedSql =
+    s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+       |FROM documents
+       |WHERE list_reduce(list_transform(range(1, len(CAST(doc_id AS VARCHAR))+1),
+       |    j -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), j, 1)) AS BIGINT)),
+       |    (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP}) % 20 = 0
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- top terms per language: the explode-then-aggregate shape. The
   // groupBy gets map-side partial aggregation for free, so the shuffle
   // carries (lang, term, partial_count) — at 100 TB that is the difference
@@ -237,5 +257,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
     GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
+    GraftQuery("text_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
   )
 }

@@ -578,6 +578,28 @@ object Relational extends QueryModule {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  // ---- salted skew join: semantically identical to the plain equi-join
+  // (the oracle IS the plain join) but the fact side's hot keys spread
+  // over 8 shuffle partitions per key — the static answer when one key
+  // dominates beyond what AQE's runtime skew split can absorb.
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val dims = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    Skew.saltedEquiJoin(facts, dims, "okey", 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(round2(sum(col("l_quantity"))).as("total_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q39Sql =
+    """SELECT o_orderstatus, round(sum(l_quantity), 2) AS total_qty,
+      | count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- sessionization: gap > 1 h starts a new session. The classic
   // lag → break flag → running sum pattern; both the flag and the
   // cumulative sum partition by user, so state distributes by key.
@@ -721,5 +743,6 @@ object Relational extends QueryModule {
     GraftQuery("q36_hopping_window", q36, Some(q36Sql)),
     GraftQuery("q37_asof_join", q37, Some(q37Sql)),
     GraftQuery("q38_first_last", q38, Some(q38Sql)),
+    GraftQuery("q39_salted_join", q39, Some(q39Sql)),
   )
 }
