@@ -195,6 +195,48 @@ object TextAnalysis extends QueryModule {
       |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- TF-IDF: each document's most characteristic term. Classic shape:
+  // explode → per-(doc,term) tf → per-term df → broadcast the corpus size
+  // (computed as a 1-row aggregate crossed in, NOT a driver-side count —
+  // keeps the whole thing one lazy plan) → score → per-doc top-1 window.
+  // Ranking uses the ROUNDED score with the term as tiebreak, so the
+  // order is insensitive to last-ulp ln() differences across engines.
+  private def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = t.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = t.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("dfreq")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tfidfTopSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |      WHERE length(term) >= 3 GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS dfreq FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT t.doc_id, t.term,
+      |        round(t.tf * ln(CAST(n.n AS DOUBLE) / d.dfreq), 4) AS tfidf
+      |      FROM t JOIN d USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tfidf FROM s
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY tfidf DESC, term) = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---- composite cleaning pipeline: quality gates + exact dedup in one
   // pass — the C4-style "filter then keep one representative per content
   // fingerprint" shape. Gates and dedup are both shuffle-by-fp only; at
@@ -258,5 +300,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
     GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
     GraftQuery("text_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    GraftQuery("text_tfidf_top", tfidfTop, Some(tfidfTopSql)),
   )
 }
