@@ -74,6 +74,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("char-ngram fast kernel == definitional path (property)") {
+    val genText = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(genText) { t =>
+      val (hs, mh) = Signatures.charNgramSig(t, 5, 8)
+      val defSet = Signatures.distinctSorted(
+        Signatures.charNgrams(t, 5).map(Signatures.polyHash).toArray)
+      hs == defSet &&
+        mh.length == 8 && mh.forall(v => v >= 0 && v < Signatures.MinhashP)
+    })
+  }
+
+  test("hashed shingle sets are sorted, distinct, and order-insensitive") {
+    val genTokens = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    check(Prop.forAll(genTokens) { toks =>
+      val hs = Signatures.hashedSet(toks)
+      hs == hs.sorted && hs.distinct == hs &&
+        hs == Signatures.hashedSet(scala.util.Random.shuffle(toks).distinct ++ toks)
+    })
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
