@@ -141,9 +141,22 @@ object Dedup extends QueryModule {
   private val charSig: String => (Seq[Long], Seq[Long]) =
     t => Signatures.charNgramSig(t, NgramN, K)
 
+  /** Verified pairs are consumed by four registered queries (pairs,
+    * survivors, clusters, jaccard-est) — persist the small result once
+    * per (session, dir, configuration) like the signatures above. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   private def lshPairs(s: SparkSession, d: String, kind: String,
                        sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
-                       bandRows: Int = 2): DataFrame = {
+                       bandRows: Int = 2): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, s"$kind|$threshold|$bandRows"),
+      lshPairsUncached(s, d, kind, sigFn, threshold, bandRows).persist())
+
+  private def lshPairsUncached(s: SparkSession, d: String, kind: String,
+                       sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
+                       bandRows: Int): DataFrame = {
     val sig = signatures(s, d, kind, sigFn, bandRows)
     val sh = sig.select(col("doc_id"), col("sh"))
     val bands = sig
