@@ -600,6 +600,39 @@ object Relational extends QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- running DISTINCT count over a window: neither engine supports
+  // COUNT(DISTINCT) OVER, so both build it the scalable way — flag each
+  // key's first occurrence (row_number = 1 over key within partition),
+  // then running-sum the flags by event order. One shuffle by customer;
+  // no per-row set state.
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val firstOcc = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("first_occ",
+        when(row_number().over(firstOcc) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_priorities", sum(col("first_occ")).over(running))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("n_distinct_priorities"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q40Sql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(sum(first_occ) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS n_distinct_priorities
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+      |      ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_occ
+      |  FROM orders)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- sessionization: gap > 1 h starts a new session. The classic
   // lag → break flag → running sum pattern; both the flag and the
   // cumulative sum partition by user, so state distributes by key.
@@ -744,5 +777,6 @@ object Relational extends QueryModule {
     GraftQuery("q37_asof_join", q37, Some(q37Sql)),
     GraftQuery("q38_first_last", q38, Some(q38Sql)),
     GraftQuery("q39_salted_join", q39, Some(q39Sql)),
+    GraftQuery("q40_running_distinct", q40, Some(q40Sql)),
   )
 }
