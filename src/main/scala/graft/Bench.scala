@@ -54,7 +54,17 @@ object Bench {
     // truncated its head — the driver parsed nothing. Report the slowest
     // 20 queries (the informative ones) and keep the line under ~1 KB.
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    // Calibration: a fixed single-thread arithmetic loop. This VM shows
+    // 3-8x run-to-run variance from hypervisor CPU steal (identical
+    // binaries measured 65s and 571s twenty minutes apart); cal_sec makes
+    // an inflated run self-identifying — ~0.5s clean, scales with steal.
+    val c0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 2000000000L) { acc += i ^ (acc >>> 3); i += 1 }
+    val cal = (System.nanoTime() - c0) / 1e9
+    if (acc == 42) System.err.println("") // defeat dead-code elimination
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cal_sec":${fmt(cal)},"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
