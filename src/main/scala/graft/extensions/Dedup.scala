@@ -147,6 +147,25 @@ object Dedup extends QueryModule {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
+  /** Per-call persisted frames (cluster labels) that outlive their query's
+    * return but are not keyed caches — retained so [[invalidateCaches]]
+    * can free them. */
+  private val retained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Release every persisted frame this module holds. A long-lived engine
+    * calls this between workloads (specs exercise it); the bench/verify
+    * binaries rely on process exit. Safe anytime: unpersist only forces
+    * recomputation, never wrong answers. */
+  def invalidateCaches(): Unit = {
+    sigCache.values.foreach(_.unpersist())
+    sigCache.clear()
+    pairsCache.values.foreach(_.unpersist())
+    pairsCache.clear()
+    retained.forEach(df => df.unpersist())
+    retained.clear()
+  }
+
   private def lshPairs(s: SparkSession, d: String, kind: String,
                        sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
                        bandRows: Int = 2): DataFrame =
@@ -275,12 +294,14 @@ object Dedup extends QueryModule {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nBands = SimBits / SimBandBits
-    val sg = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(s.sparkContext.defaultParallelism)
-      .map { case (id, t) => (id, Signatures.simhash32(Signatures.wordShingles(t))) }
-      .toDF("doc_id", "sh")
-      .persist()
+    val sg = sigCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, "simhash32", 0),
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { case (id, t) => (id, Signatures.simhash32(Signatures.wordShingles(t))) }
+        .toDF("doc_id", "sh")
+        .persist())
     val bands = sg.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nBands).map(j =>
         shiftright(col("sh"), j * SimBandBits) % lit(1 << SimBandBits)): _*)).as(Seq("b", "bv")))
@@ -394,6 +415,11 @@ object Dedup extends QueryModule {
       labels = step.select(col("u"), col("nlbl").as("lbl"))
       rounds += 1
     }
+    // the loop's count() actions materialized `backing`; the edge list is
+    // only lineage now (recompute-on-eviction), so release it eagerly and
+    // track the surviving labels frame for invalidateCaches()
+    edges.unpersist()
+    retained.add(backing)
     Tables.documents(s, d)
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

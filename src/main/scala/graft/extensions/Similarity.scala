@@ -50,6 +50,13 @@ object Similarity extends QueryModule {
     vecCache.getOrElseUpdate((System.identityHashCode(s), d),
       scaledVec(s, d).withColumn("bucket", signBucket(col("v"))).persist())
 
+  /** Release every persisted frame this module holds (see
+    * [[Dedup.invalidateCaches]] for the contract). */
+  def invalidateCaches(): Unit = {
+    vecCache.values.foreach(_.unpersist())
+    vecCache.clear()
+  }
+
   val scaledVecSql: String =
     s"""SELECT vec_id, label,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS v,

@@ -442,14 +442,22 @@ object Relational extends QueryModule {
 
   private def q28(s: SparkSession, d: String): DataFrame = {
     val tag = s"q28_${viewSeq.incrementAndGet()}"
-    Tables.orders(s, d).createOrReplaceTempView(s"orders_$tag")
-    Tables.customer(s, d).createOrReplaceTempView(s"customer_$tag")
-    s.sql(
-      s"""SELECT c_custkey, c_name,
-         |  (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) AS n_orders
-         |FROM customer_$tag
-         |WHERE (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) > 15
-         |ORDER BY c_custkey""".stripMargin)
+    // spark.sql analyzes eagerly (the returned DataFrame's plan holds the
+    // resolved relations), so the views can be dropped before execution —
+    // no session-catalog growth in a long-lived service.
+    try {
+      Tables.orders(s, d).createOrReplaceTempView(s"orders_$tag")
+      Tables.customer(s, d).createOrReplaceTempView(s"customer_$tag")
+      s.sql(
+        s"""SELECT c_custkey, c_name,
+           |  (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) AS n_orders
+           |FROM customer_$tag
+           |WHERE (SELECT count(*) FROM orders_$tag WHERE o_custkey = c_custkey) > 15
+           |ORDER BY c_custkey""".stripMargin)
+    } finally {
+      s.catalog.dropTempView(s"orders_$tag")
+      s.catalog.dropTempView(s"customer_$tag")
+    }
   }
 
   private val q28Sql =
