@@ -51,6 +51,48 @@ object Lifecycle extends QueryModule {
        |WHERE strftime(_cdc_timestamp, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-11'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- compaction round-trip: fragment the envelope into many small
+  // files per day partition (8 write tasks x days — the exact pathology
+  // the reference's 5 s micro-batches produce, ref writer/writer.go:
+  // 141-163), rewrite each day to one file, then read back. The oracle
+  // replays the aggregate from the raw events — proving compaction
+  // changed the file layout and nothing else. CompactionSpec asserts the
+  // file counts actually dropped 8 → 1.
+  private def compactionDir(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_compact$tag"
+  }
+
+  /** Fragmented write + compact; returns the table dir. Shared with
+    * CompactionSpec so the spec asserts layout on exactly what the
+    * registered query ran. */
+  def compactionRoundtripSetup(s: SparkSession, d: String): String = {
+    val dir = compactionDir(d)
+    CdcWriter.withPartitionColumn(CdcQueries.envelope(s, d))
+      .repartition(8) // 8 files into every day dir
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(graft.model.SchemaBuilder.partitionColumn)
+      .parquet(dir)
+    graft.ingest.Compaction.compact(s, dir, maxFiles = 4, targetFiles = 1)
+    dir
+  }
+
+  private def compactionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = compactionRoundtripSetup(s, d)
+    CdcWriter.read(s, dir)
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("day"))
+  }
+
+  private val compactionRoundtripSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- time travel (Q5): state AS OF a timestamp / an LSN
   private val AsOfTs = "2024-01-15 00:00:00"
   private val AsOfLsn = "0000000000000500"
@@ -107,6 +149,73 @@ object Lifecycle extends QueryModule {
     .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
     .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  // ---- catalog exploration (Q1): DESCRIBE / SHOW CREATE TABLE parity.
+  // The reference proxies these through Trino (ref internal/api/services/
+  // query.go:121-265; docs/query/sample-queries.sql:12-24). Schemas are
+  // catalog metadata — built driver-side from the table schemas (parquet
+  // footers), no jobs run. The DuckDB oracle replays both from
+  // information_schema.columns, so the type names the two engines surface
+  // are proven identical, not just plausible.
+
+  /** Spark type → the ANSI-ish name the reference's DESCRIBE surface
+    * (Trino types) and DuckDB's information_schema both speak. */
+  private def ansiName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case TimestampType => "TIMESTAMP"
+      // parquet isAdjustedToUTC=false surfaces as NTZ in Spark; DuckDB's
+      // TIMESTAMP has NTZ semantics, so both map to the same ANSI name
+      case TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case BooleanType => "BOOLEAN"
+      case ArrayType(e, _) => ansiName(e) + "[]"
+      case o => o.sql
+    }
+  }
+
+  private val tablesInList = Tables.names.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private def catalogDescribe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.names.flatMap { t =>
+      Tables.load(s, d, t).schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, f.name, (i + 1).toLong, ansiName(f.dataType), f.nullable)
+      }
+    }.toDF("table_name", "column_name", "ordinal", "data_type", "nullable")
+      .orderBy(col("table_name"), col("ordinal"))
+  }
+
+  private val catalogDescribeSql =
+    s"""SELECT table_name, column_name,
+       |  CAST(ordinal_position AS BIGINT) AS ordinal, data_type,
+       |  (is_nullable = 'YES') AS nullable
+       |FROM information_schema.columns
+       |WHERE table_name IN $tablesInList
+       |ORDER BY table_name, ordinal""".stripMargin
+
+  private def catalogShowCreate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.names.map { t =>
+      val cols = Tables.load(s, d, t).schema.fields
+        .map(f => s"${f.name} ${ansiName(f.dataType)}").mkString(", ")
+      (t, s"CREATE TABLE $t ($cols)")
+    }.toDF("table_name", "ddl").orderBy(col("table_name"))
+  }
+
+  private val catalogShowCreateSql =
+    s"""SELECT table_name,
+       |  'CREATE TABLE ' || table_name || ' (' ||
+       |  string_agg(column_name || ' ' || data_type, ', ' ORDER BY ordinal_position)
+       |  || ')' AS ddl
+       |FROM information_schema.columns
+       |WHERE table_name IN $tablesInList
+       |GROUP BY table_name ORDER BY table_name""".stripMargin
+
   // ---- EXPLAIN surface (Q17): the formatted plan of a representative
   // query as data. Plan text embeds paths/stats → rows-only check.
   private def explainPlan(s: SparkSession, d: String): DataFrame = {
@@ -115,6 +224,36 @@ object Lifecycle extends QueryModule {
     val plan = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     Seq(plan).toDF("plan")
+  }
+
+  // ---- EXPLAIN ANALYZE surface (Q17, ref sample-queries.sql:150-154):
+  // execute the representative query, then surface the final physical
+  // plan's RUNTIME metrics (rows/bytes/time per operator) as data — the
+  // same per-operator numbers Trino's EXPLAIN ANALYZE prints. Values are
+  // runtime-dependent → rows-only check; ExplainAnalyzeSpec asserts the
+  // row counts are real.
+  private def explainAnalyze(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Relational.all.head.run(s, d)
+    q.collect() // populates the SQL metrics on q's own executedPlan
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
+    var nextId = 0L
+    def walk(p: SparkPlan, depth: Long): Unit = p match {
+      // AQE/stage wrappers: descend into the plan that actually ran
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case st: QueryStageExec => walk(st.plan, depth)
+      case op =>
+        val id = nextId
+        nextId += 1
+        op.metrics.toSeq.sortBy(_._1).foreach { case (name, m) =>
+          rows += ((id, depth, op.nodeName, m.name.getOrElse(name), m.value))
+        }
+        op.children.foreach(walk(_, depth + 1))
+    }
+    walk(q.queryExecution.executedPlan, 0L)
+    rows.toSeq.toDF("op_id", "depth", "operator", "metric", "value")
   }
 
   // ---- alert rule evaluation (C1, ref internal/alerting/evaluator.go):
@@ -144,10 +283,14 @@ object Lifecycle extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
+    GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
+    GraftQuery("catalog_describe", catalogDescribe, Some(catalogDescribeSql)),
+    GraftQuery("catalog_show_create", catalogShowCreate, Some(catalogShowCreateSql)),
     GraftQuery("explain_plan", explainPlan, None),
+    GraftQuery("explain_analyze", explainAnalyze, None),
   )
 }

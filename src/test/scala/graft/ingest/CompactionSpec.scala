@@ -33,4 +33,11 @@ class CompactionSpec extends SparkTestBase {
     // idempotent: nothing left oversized
     assert(Compaction.compact(spark, dir, maxFiles = 4) === Seq.empty)
   }
+
+  test("registered cdc_compaction_roundtrip leaves one file per day") {
+    val dir = graft.queries.Lifecycle.compactionRoundtripSetup(spark, sf0001)
+    val counts = Compaction.fileCounts(spark, dir)
+    assert(counts.nonEmpty, "fragmented write produced no day partitions")
+    assert(counts.values.forall(_ === 1), s"uncompacted partitions: $counts")
+  }
 }

@@ -26,4 +26,24 @@ class LifecycleSpec extends SparkTestBase {
     val readDays = pruned.select("_cdc_date").distinct().count()
     assert(readDays === 7 && allDays > 25)
   }
+
+  test("explain_analyze surfaces non-zero runtime metrics per operator") {
+    val rows = graft.SparkEntry.queries("explain_analyze")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // at least one operator actually emitted rows, and a scan is present
+    assert(rows.exists(r =>
+      r.getAs[String]("metric") == "number of output rows" && r.getAs[Long]("value") > 0))
+    assert(rows.exists(_.getAs[String]("operator").toLowerCase.contains("scan")))
+  }
+
+  test("catalog_describe covers every column of every table") {
+    val rows = graft.SparkEntry.queries("catalog_describe")(spark, sf0001).collect()
+    val expected = graft.Tables.names
+      .map(t => t -> graft.Tables.load(spark, sf0001, t).schema.size).toMap
+    val got = rows.groupBy(_.getAs[String]("table_name")).view.mapValues(_.length).toMap
+    assert(got === expected)
+    // the embeddings vector column surfaces as a typed array, not a blob
+    assert(rows.exists(r => r.getAs[String]("column_name") == "embedding" &&
+      r.getAs[String]("data_type") == "FLOAT[]"))
+  }
 }
