@@ -445,27 +445,39 @@ object Dedup extends QueryModule {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Near-dup vector pairs: sign-bucket LSH (bucket = sign pattern of the
-    * first 3 components) then exact cosine >= 0.45 within buckets.
-    * Cosine uses Similarity's scaled-integer dot product, so the value is
-    * bit-identical across engines. */
+  /** Near-dup vector pairs over the TRAINED IVF quantizer: each vector is
+    * multi-assigned to its NProbe nearest centroids (probe expansion —
+    * near neighbors straddling a centroid boundary still share a list),
+    * candidates are the centroid-id equi-join, verified with exact cosine
+    * >= 0.45. Cosine uses Similarity's scaled-integer dot product and the
+    * quantizer retrains identically in DuckDB, so the whole pipeline is
+    * bit-identical across engines. The within-list join is bounded by the
+    * bucket-balance invariant sim_ivf_buckets asserts — no O(n²) trap. */
   private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val v = Similarity.scaledVecCached(s, d)
-    v.alias("a")
-      .join(v.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val mp = Similarity.multiAssigned(s, d)
+    mp.alias("a")
+      .join(mp.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Similarity.cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= 0.45)
+      .distinct() // a pair can share both probed lists
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val embeddingPairsSql =
+  private def embeddingPairsSql =
     s"""WITH v AS (${Similarity.scaledVecSql}),
-       |bk AS (SELECT *, ${Similarity.signBucketSql("v")} AS bucket FROM v)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |${Similarity.centroidsSqlCtes},
+       |mpr AS (
+       |  SELECT x.vec_id, x.v, x.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      x.nrm + c.cnrm - 2 * list_sum(list_transform(range(1, len(x.v)+1), k -> x.v[k] * c.c[k])),
+       |      c.cid) AS rn
+       |  FROM v x CROSS JOIN centroids c),
+       |mp AS (SELECT vec_id, v, nrm, cid FROM mpr WHERE rn <= ${Similarity.NProbe})
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |  ${Similarity.cosineSql("a", "b")} AS cos
-       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |FROM mp a JOIN mp b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |WHERE cos >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -6,30 +6,35 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video payloads modeled as
   * opaque `binary` columns plus typed metadata, per the large-scale
-  * training-pipeline pattern (the real decode libraries are not in this
-  * container — see [[Multimodal.decodeStub]]).
+  * training-pipeline pattern.
   *
   * The testdata has no binary fixture, so a deterministic payload is
-  * synthesized: blob = UTF-8 bytes of `text`, mime assigned round-robin by
-  * doc_id. Everything downstream of the synthesis treats the blob as
-  * opaque bytes — the schema (binary + metadata struct), partition-parallel
-  * decode (`mapPartitions` over the binary column, no driver collection)
-  * and batch shape are the real 100 TB plumbing; only the pixel/sample
-  * decoding is faked.
+  * synthesized: mime assigned round-robin by doc_id; image/png blobs get
+  * a VALID 33-byte PNG signature+IHDR header ([[Png]]) in front of the
+  * UTF-8 text payload, with dimensions derived from the payload length
+  * (so the DuckDB oracle can replay them arithmetically while the engine
+  * genuinely parses them from container bytes). Everything downstream
+  * treats the blob as opaque bytes — schema (binary + metadata struct),
+  * partition-parallel decode (`mapPartitions` over the binary column, no
+  * driver collection) and batch shape are the real 100 TB plumbing.
   */
 object Multimodal extends QueryModule {
 
-  /** Deterministic fake of an image/audio/video header decode.
+  /** Deterministic image dimensions for a payload of n bytes — the
+    * values written INTO the PNG header at synthesis and replayed
+    * arithmetically by the oracle. */
+  def pngDims(n: Int): (Int, Int) = (16 + n % 624, 16 + (n * 7) % 464)
+
+  /** Deterministic fake of an audio/video header decode.
     *
-    * STUB: a real implementation would parse the container format (PNG
-    * header, WAV RIFF chunk, MP4 moov atom) with a native decoder; none are
-    * installed here. The stand-in derives plausible dimensions purely from
-    * the byte length, so both engines (and the DuckDB oracle) can replay it.
-    */
+    * STUB: a real implementation would parse the container (WAV RIFF
+    * chunk, MP4 moov atom) the way [[Png.parseIhdr]] does for PNG; no
+    * codec libs are installed here. The stand-in derives plausible
+    * dimensions purely from the byte length, so both engines (and the
+    * DuckDB oracle) can replay it. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
     val n = bytes.length
-    val width = 16 + n % 624
-    val height = 16 + (n * 7) % 464
+    val (width, height) = pngDims(n)
     val frames = 1L + n / 256
     (width, height, frames)
   }
@@ -45,14 +50,27 @@ object Multimodal extends QueryModule {
       |     WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |     ELSE 'video/mp4' END""".stripMargin
 
-  /** The multimodal table: doc_id, blob (binary), meta (struct). */
-  def assets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      col("text").cast("binary").as("blob"),
-      struct(
-        mime(col("doc_id")).as("mime"),
-        col("source").as("origin")).as("meta"))
+  /** The multimodal table: doc_id, blob (binary), meta (struct).
+    * Synthesis runs partition-parallel in a typed map — the same batch
+    * shape real container muxing would use. */
+  def assets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, src) =>
+        val payload = text.getBytes("UTF-8")
+        val blob =
+          if (id % 3 == 0) {
+            val (w, h) = pngDims(payload.length)
+            Png.header(w, h) ++ payload
+          } else payload
+        (id, blob, src)
+      })
+      .toDF("doc_id", "blob", "source")
+      .select(col("doc_id"), col("blob"),
+        struct(mime(col("doc_id")).as("mime"), col("source").as("origin")).as("meta"))
+  }
 
   // ------------------------------------------------------------- metadata
 
@@ -66,22 +84,32 @@ object Multimodal extends QueryModule {
 
   private val blobMetaSql =
     s"""SELECT doc_id, $mimeSql AS mime, source AS origin,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  CAST(octet_length(encode(text)) +
+       |    CASE WHEN doc_id % 3 = 0 THEN ${Png.HeaderLen} ELSE 0 END AS BIGINT) AS n_bytes
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ----------------------------------------------- decode (stubbed) + stats
+  // ------------------------------------------------ decode (real for PNG)
 
-  /** Partition-parallel decode of every blob via [[decodeStub]], then a
-    * per-mime rollup. The mapPartitions stage is the genuine article: it
-    * receives an iterator of (id, bytes) per partition — exactly the batch
-    * shape a native decoder (or GPU feature extractor) would consume. */
+  /** Partition-parallel decode of every blob, then a per-mime rollup.
+    * image/png is a REAL container parse — [[Png.parseIhdr]] reads
+    * width/height out of the IHDR bytes (signature + CRC verified; a
+    * malformed header fails loudly rather than guessing). wav/mp4 fall
+    * back to [[decodeStub]]. The mapPartitions stage receives an iterator
+    * of (id, bytes) per partition — exactly the batch shape a native
+    * decoder (or GPU feature extractor) would consume. */
   private def decodeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val decoded = assets(s, d)
       .select(col("doc_id"), col("meta.mime").as("mime"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, m, bytes) =>
-        val (w, h, f) = decodeStub(bytes)
+        val (w, h, f) = m match {
+          case "image/png" =>
+            val (w, h) = Png.parseIhdr(bytes).getOrElse(
+              throw new IllegalArgumentException(s"doc $id: invalid PNG header"))
+            (w, h, 1L)
+          case _ => decodeStub(bytes)
+        }
         (id, m, w, h, f)
       })
       .toDF("doc_id", "mime", "width", "height", "frames")
@@ -99,7 +127,8 @@ object Multimodal extends QueryModule {
        |  SELECT doc_id, $mimeSql AS mime,
        |    16 + octet_length(encode(text)) % 624 AS width,
        |    16 + (octet_length(encode(text)) * 7) % 464 AS height,
-       |    1 + octet_length(encode(text)) // 256 AS frames
+       |    CASE WHEN doc_id % 3 = 0 THEN 1
+       |         ELSE 1 + octet_length(encode(text)) // 256 END AS frames
        |  FROM documents)
        |SELECT mime, count(*) AS n_assets,
        |  round(avg(width), 4) AS avg_width,
@@ -114,7 +143,8 @@ object Multimodal extends QueryModule {
 
   /** Every FrameStep-th frame index of each video asset — the sampling
     * pattern of a frame-extraction stage (explode is partition-local; no
-    * shuffle until a downstream agg). */
+    * shuffle until a downstream agg). Videos carry no PNG header, so the
+    * frame count is the stub's length-derived value. */
   private def frameSample(s: SparkSession, d: String): DataFrame = {
     val decoded = assets(s, d).select(
       col("doc_id"), col("meta.mime").as("mime"),

@@ -32,4 +32,33 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(mimes === Set("image/png", "audio/wav", "video/mp4"))
   }
+
+  test("PNG header round-trips and corrupt headers are rejected") {
+    for ((w, h) <- Seq((16, 16), (639, 479), (1, 1), (65535, 1))) {
+      val hdr = Png.header(w, h)
+      assert(hdr.length === Png.HeaderLen)
+      assert(Png.parseIhdr(hdr ++ "payload".getBytes("UTF-8")) === Some((w, h)))
+    }
+    val good = Png.header(100, 50)
+    assert(Png.parseIhdr("not a png at all".getBytes("UTF-8")) === None)
+    assert(Png.parseIhdr(good.take(20)) === None) // truncated
+    val flipped = good.clone(); flipped(17) = (flipped(17) ^ 1).toByte
+    assert(Png.parseIhdr(flipped) === None) // CRC catches a bit flip
+  }
+
+  test("every png asset carries a valid header and decode reads real dims") {
+    import spark.implicits._
+    val pngs = Multimodal.assets(spark, sf0001)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .collect()
+    assert(pngs.nonEmpty)
+    pngs.foreach { case (id, blob) =>
+      val parsed = Png.parseIhdr(blob)
+      assert(parsed.isDefined, s"doc $id: invalid PNG header")
+      val (w, h) = parsed.get
+      // dims were derived from the payload length at synthesis
+      assert((w, h) === Multimodal.pngDims(blob.length - Png.HeaderLen))
+    }
+  }
 }

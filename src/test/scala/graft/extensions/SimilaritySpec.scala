@@ -16,20 +16,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
-  test("sign bucket is a deterministic 2^3-way partition") {
-    val b = Similarity.scaledVecCached(spark, sf0001)
-      .select(col("bucket")).distinct()
-      .collect().map(_.getString(0)).toSet
-    assert(b.subsetOf(Set("000", "001", "010", "011", "100", "101", "110", "111")))
-    assert(b.nonEmpty)
+  test("k-means training is deterministic and centroids are non-degenerate") {
+    val c1 = Similarity.centroids(spark, sf0001)
+    Similarity.invalidateCaches()
+    val c2 = Similarity.centroids(spark, sf0001)
+    assert(c1 === c2, "retraining must be bit-identical")
+    assert(c1.size > 1, "training collapsed to a single centroid")
+    assert(c1.map(_.c).distinct.size === c1.size, "duplicate centroids")
   }
 
-  test("IVF recall is between 0 and 1 and brute-force top-k is exactly k") {
+  test("no trained bucket degenerates into an all-pairs trap") {
+    val sizes = graft.SparkEntry.queries("sim_ivf_buckets")(spark, sf0001)
+      .collect().map(_.getAs[Long]("n_vecs"))
+    val total = sizes.sum.toDouble
+    assert(sizes.length >= Similarity.NCentroids / 2,
+      s"only ${sizes.length} non-empty buckets")
+    assert(sizes.max / total <= 0.20,
+      s"largest bucket holds ${sizes.max / total} of the corpus " +
+        "(quadratic within-bucket joins at scale)")
+  }
+
+  test("IVF recall clears the trained-quantizer floor; brute top-k is exactly k") {
     val brute = graft.SparkEntry.queries("sim_knn_brute")(spark, sf0001)
     val perQuery = brute.groupBy("query_id").count().collect()
     assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) === 5L))
     val recall = graft.SparkEntry.queries("sim_ivf_recall")(spark, sf0001)
       .collect().map(r => r.getDouble(r.fieldIndex("recall")))
     assert(recall.forall(r => r >= 0.0 && r <= 1.0))
+    // the approximation must stay useful: mean recall@5 over the query set
+    val mean = recall.sum / recall.length
+    assert(mean >= 0.5, s"mean recall@5 = $mean — quantizer not earning its keep")
   }
 }
