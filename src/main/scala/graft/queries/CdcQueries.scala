@@ -123,8 +123,58 @@ object CdcQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- DSv2 WAL source (S1): synthesize a Debezium-JSONL log from
+  // `events` (the wire format the reference's reader consumes, ref
+  // internal/cdc/source/postgres/reader.go:172-242), read it back through
+  // graft.sources.CdcLogSource — LSN offsets, serial WAL reader — then
+  // decode + aggregate. The oracle replays from the raw events, so the
+  // whole encode → source scan → decode loop is proven lossless.
+
+  /** Payload schema of the synthesized WAL log. */
+  val SourcePayloadSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("value", "double")
+
+  /** Debezium-envelope JSON lines from `events`. */
+  def debeziumLines(s: SparkSession, d: String): DataFrame = {
+    val payload = struct(col("user_id"), col("event_id"), col("value"))
+    val nullPayload = lit(null).cast(SourcePayloadSchema)
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d").otherwise("u")
+    Tables.events(s, d).select(to_json(struct(
+      when(op === "d", payload).otherwise(nullPayload).as("before"),
+      when(op =!= "d", payload).otherwise(nullPayload).as("after"),
+      op.as("op"),
+      unix_millis(col("ts")).as("ts_ms"),
+      struct(lit("public").as("schema"), lit("events").as("table"),
+        col("event_id").as("lsn"), col("event_id").as("txId")).as("source"))).as("value"))
+  }
+
+  def writeDebeziumLog(s: SparkSession, d: String, outDir: String): Unit =
+    debeziumLines(s, d).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).text(outDir)
+
+  private def cdcSourceScan(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdclog${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    writeDebeziumLog(s, d, dir)
+    val raw = s.read.format("graft.sources.CdcLogSource").option("path", dir).load()
+    val decoded = graft.ingest.EnvelopeDecoder.flattened(
+      graft.ingest.EnvelopeDecoder.decode(raw, "value", SourcePayloadSchema))
+    decoded.groupBy(col(Cdc.OpColumn))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"), max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col(Cdc.OpColumn))
+  }
+
+  private val cdcSourceScanSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT _cdc_operation, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_envelope", cdcEnvelope, Some(cdcEnvelopeSql)),
+    GraftQuery("cdc_source_scan", cdcSourceScan, Some(cdcSourceScanSql)),
     GraftQuery("cdc_apply_changes", cdcApplyChanges, Some(cdcCurrentStateSql)),
     GraftQuery("cdc_latest_version", cdcLatest, Some(cdcLatestSql)),
     GraftQuery("cdc_current_state", cdcCurrentState, Some(cdcCurrentStateSql)),

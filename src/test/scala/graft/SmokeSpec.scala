@@ -17,8 +17,10 @@ class SmokeSpec extends SparkTestBase {
     // every oracle key is a registered query
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    // at most one rows-only query for now (explain_plan)
-    assert((qs -- SparkEntry.oracleSql.keySet).size <= 1)
+    // rows-only queries are the explicit, justified exceptions: plan text
+    // and runtime metrics embed paths/timings no oracle can replay
+    assert((qs -- SparkEntry.oracleSql.keySet) ==
+      Set("explain_plan", "explain_analyze"))
   }
 
   test("all registered queries execute at sf0.001") {
