@@ -34,27 +34,42 @@ object Compaction {
   }
 
   /** Rewrite every day partition holding more than `maxFiles` files down
-    * to exactly `targetFiles`. Returns the compacted partition values. */
+    * to exactly `targetFiles`. Returns the compacted partition values.
+    *
+    * Partitions are independent, so their rewrite jobs are SUBMITTED
+    * concurrently from a small pool (SparkSession is thread-safe; the
+    * serial form spent ~0.4 s of fixed job overhead per day — 31 days
+    * made the roundtrip 12 s at sf0.01). Each partition's swap still
+    * happens only after its own rewrite, so a failure affects at most
+    * that partition. */
   def compact(spark: SparkSession, tableDir: String,
               maxFiles: Int = 4, targetFiles: Int = 1): Seq[String] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oversized = fileCounts(spark, tableDir).filter(_._2 > maxFiles).keys.toSeq.sorted
-    oversized.foreach { day =>
-      val partDir = new Path(root, s"${SchemaBuilder.partitionColumn}=$day")
-      val tmpDir = new Path(root, s".compact_$day")
-      spark.read.parquet(partDir.toString)
-        .coalesce(targetFiles)
-        .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-      // swap: remove originals, move compacted files in (single-FS
-      // renames; Iceberg's snapshot commit makes this atomic for real)
-      fs.delete(partDir, true)
-      fs.mkdirs(partDir)
-      fs.listStatus(tmpDir)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach(f => fs.rename(f.getPath, new Path(partDir, f.getPath.getName)))
-      fs.delete(tmpDir, true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val jobs = oversized.map { day =>
+      scala.concurrent.Future {
+        val partDir = new Path(root, s"${SchemaBuilder.partitionColumn}=$day")
+        val tmpDir = new Path(root, s".compact_$day")
+        spark.read.parquet(partDir.toString)
+          .coalesce(targetFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+        // swap: remove originals, move compacted files in (single-FS
+        // renames; Iceberg's snapshot commit makes this atomic for real)
+        fs.delete(partDir, true)
+        fs.mkdirs(partDir)
+        fs.listStatus(tmpDir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f.getPath, new Path(partDir, f.getPath.getName)))
+        fs.delete(tmpDir, true)
+      }
     }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     oversized
   }
 }

@@ -467,7 +467,12 @@ object Relational extends QueryModule {
       |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) > 15
       |ORDER BY c_custkey""".stripMargin
 
-  // ---- moving average over daily aggregates (rows frame)
+  // ---- moving average over daily aggregates (rows frame).
+  // The window has no partitionBy BY DESIGN: its input is the per-day
+  // aggregate, whose cardinality is bounded by the calendar (~365 rows/
+  // year regardless of data volume), so the single-partition sort is
+  // metadata-sized even at 100 TB. Windows over raw rows partition by a
+  // key (see q06/q20/q40).
   private def q29(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
