@@ -93,6 +93,34 @@ object Lifecycle extends QueryModule {
        |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- retention round-trip (S7): write the envelope day-partitioned,
+  // drop partitions older than the cutoff (an O(partitions) metadata
+  // delete — never a scan), read back. The oracle applies the same
+  // cutoff as a WHERE clause over the raw events: surviving data must be
+  // exactly "everything at or after the cutoff day".
+  private val RetentionCutoff = "2024-01-20"
+
+  private def retentionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_retain$tag"
+    CdcWriter.write(CdcQueries.envelope(s, d), dir)
+    graft.ingest.Retention.dropOlderThan(s, dir, RetentionCutoff)
+    CdcWriter.read(s, dir)
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"))
+      .orderBy(col("day"))
+  }
+
+  private val retentionRoundtripSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users, min(_cdc_lsn) AS lsn_min
+       |FROM envelope
+       |WHERE strftime(_cdc_timestamp, '%Y-%m-%d') >= '$RetentionCutoff'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- time travel (Q5): state AS OF a timestamp / an LSN
   private val AsOfTs = "2024-01-15 00:00:00"
   private val AsOfLsn = "0000000000000500"
@@ -284,6 +312,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),
+    GraftQuery("cdc_retention_roundtrip", retentionRoundtrip, Some(retentionRoundtripSql)),
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),

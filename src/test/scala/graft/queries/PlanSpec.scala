@@ -39,6 +39,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("IVF probes broadcast against the inverted lists (sim_knn_ivf)") {
+    // the tiny probe set (queries x nprobe) must be the broadcast side;
+    // the corpus is joined by centroid id, never shuffled wholesale
+    val plan = planOf("sim_knn_ivf")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("DSv2 source scan keeps partial aggregation (cdc_source_scan)") {
+    // decode + rollup over the WAL source: map-side partial agg before
+    // the single exchange on the operation key
+    val plan = planOf("cdc_source_scan")
+    assert(plan.contains("BatchScan") || plan.contains("cdc_log"), plan.take(2000))
+    assert(plan.contains("Partial") || plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf("q01_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
