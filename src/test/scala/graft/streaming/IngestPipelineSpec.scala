@@ -82,4 +82,34 @@ class IngestPipelineSpec extends SparkTestBase {
     val stats = DeadLetter.stats(spark, c.dlqDir).collect()
     assert(stats.head.getAs[Long]("n_failed") === 1)
   }
+
+  test("full reference pipeline: WAL source -> decode -> router -> lake table") {
+    // S1→S8 through the REAL source: Debezium JSONL log, DSv2 LSN-offset
+    // stream, declarative decode, per-table routing, day-partitioned
+    // parquet — the reference's whole ingest path in one wiring.
+    import graft.ingest.EnvelopeDecoder
+    import graft.queries.CdcQueries
+    val logDir = tmp("graft-wal-e2e")
+    CdcQueries.writeDebeziumLog(spark, sf0001, logDir)
+    val n = graft.Tables.events(spark, sf0001).count()
+
+    val raw = spark.readStream.format("graft.sources.CdcLogSource")
+      .option("path", logDir)
+      .option("maxEventsPerBatch", 400)
+      .load()
+    val envelope = EnvelopeDecoder.flattened(
+      EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
+    val c = cfg(tmp("graft-out"))
+    IngestPipeline.start(envelope, c, availableNow = true).awaitTermination()
+
+    val written = spark.read.parquet(s"${c.outDir}/events")
+    assert(written.count() === n)
+    // exactly-once at the row level: every WAL LSN landed exactly once
+    assert(written.select(countDistinct(col("_cdc_lsn"))).collect()(0).getLong(0) === n)
+    // the lake layout is the pruning-friendly day partitioning
+    assert(written.select("_cdc_date").distinct().count() > 1)
+    // typed payload survived the wire format
+    assert(written.schema.fieldNames.contains("user_id"))
+    assert(written.filter(col("user_id").isNull).count() === 0)
+  }
 }
