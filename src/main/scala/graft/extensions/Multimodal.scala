@@ -137,6 +137,57 @@ object Multimodal extends QueryModule {
        |  max(width) AS max_width
        |FROM decoded GROUP BY mime ORDER BY mime""".stripMargin
 
+  // -------------------------------------------------------- resize planning
+
+  private val FitBox = 224
+
+  /** Resize-to-fit plan for every image asset: scale the long side to
+    * [[FitBox]], keep aspect ratio with exact integer arithmetic
+    * (short * FitBox / long, floor division — both engines agree), pad
+    * the rest. The input dims are the REAL parsed IHDR values, the
+    * standard front half of a vision-training preprocessing stage; the
+    * oracle replays the arithmetic from the synthesis formulas. */
+  private def resizePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = assets(s, d)
+      .filter(col("meta.mime") === "image/png")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h) = Png.parseIhdr(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid PNG header"))
+        (id, w.toLong, h.toLong)
+      })
+      .toDF("doc_id", "width", "height")
+    dims.select(
+      col("doc_id"), col("width"), col("height"),
+      when(col("width") >= col("height"), lit(FitBox.toLong))
+        .otherwise(col("width") * FitBox / col("height"))
+        .cast("long").as("out_w"),
+      when(col("height") > col("width"), lit(FitBox.toLong))
+        .otherwise(col("height") * FitBox / col("width"))
+        .cast("long").as("out_h"))
+      .withColumn("pad_x", lit(FitBox.toLong) - col("out_w"))
+      .withColumn("pad_y", lit(FitBox.toLong) - col("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val resizePlanSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(16 + octet_length(encode(text)) % 624 AS BIGINT) AS width,
+       |    CAST(16 + (octet_length(encode(text)) * 7) % 464 AS BIGINT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT doc_id, width, height,
+       |  CASE WHEN width >= height THEN $FitBox
+       |       ELSE width * $FitBox // height END AS out_w,
+       |  CASE WHEN height > width THEN $FitBox
+       |       ELSE height * $FitBox // width END AS out_h,
+       |  $FitBox - (CASE WHEN width >= height THEN $FitBox
+       |       ELSE width * $FitBox // height END) AS pad_x,
+       |  $FitBox - (CASE WHEN height > width THEN $FitBox
+       |       ELSE height * $FitBox // width END) AS pad_y
+       |FROM dims ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- frame sample
 
   private val FrameStep = 8
@@ -167,6 +218,7 @@ object Multimodal extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
+    GraftQuery("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     GraftQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
   )
 }
