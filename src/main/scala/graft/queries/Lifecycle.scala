@@ -162,6 +162,70 @@ object Lifecycle extends QueryModule {
        |  count(*) AS n_events, max(_cdc_lsn) AS lsn_watermark
        |FROM envelope GROUP BY 1 ORDER BY snapshot_day""".stripMargin
 
+  // ---- metadata tables (Q6): $history emulation. Iceberg's $history is
+  // the snapshot lineage (made_current_at, snapshot, parent, current
+  // ancestor — ref sample-queries.sql:57-58); over the envelope the
+  // commit days ARE the snapshots, so lineage = each day's LSN watermark
+  // chained to the previous day's via lag, current = newest day.
+  private def tableHistory(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = TimeTravel.snapshots(CdcQueries.envelope(s, d))
+    val byDay = Window.orderBy(col("snapshot_day"))
+    val all = Window.partitionBy()
+    snaps
+      .withColumn("parent_watermark", lag(col("lsn_watermark"), 1).over(byDay))
+      .withColumn("is_current",
+        col("snapshot_day") === max(col("snapshot_day")).over(all))
+      .select(col("snapshot_day").as("made_current_at"),
+        col("lsn_watermark").as("snapshot_lsn"),
+        col("parent_watermark"), col("n_events"), col("is_current"))
+      .orderBy(col("made_current_at"))
+  }
+
+  private val tableHistorySql =
+    s"""WITH envelope AS ($envelopeSql),
+       |snaps AS (
+       |  SELECT CAST(date_trunc('day', _cdc_timestamp) AS TIMESTAMP) AS snapshot_day,
+       |    count(*) AS n_events, max(_cdc_lsn) AS lsn_watermark
+       |  FROM envelope GROUP BY 1)
+       |SELECT snapshot_day AS made_current_at,
+       |  lsn_watermark AS snapshot_lsn,
+       |  lag(lsn_watermark) OVER (ORDER BY snapshot_day) AS parent_watermark,
+       |  n_events,
+       |  snapshot_day = max(snapshot_day) OVER () AS is_current
+       |FROM snaps ORDER BY made_current_at""".stripMargin
+
+  // ---- metadata tables (Q6): $partitions emulation (ref
+  // sample-queries.sql:60-61: partition value, record/file counts).
+  // Row counts come from reading the written table back; file counts are
+  // MEASURED from the filesystem — and the oracle expects exactly 1 per
+  // day, because that is the layout contract CdcWriter's pre-write
+  // repartition(partitionCol) exists to enforce. A regression to
+  // many-files-per-day fails correctness, not just a perf eyeball.
+  private def tablePartitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_parts$tag"
+    CdcWriter.write(CdcQueries.envelope(s, d), dir)
+    val files = graft.ingest.Compaction.fileCounts(s, dir).toSeq
+      .toDF("day", "n_files")
+      .select(col("day"), col("n_files").cast("bigint").as("n_files"))
+    CdcWriter.read(s, dir)
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .join(files, Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  private val tablePartitionsSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day,
+       |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       |  max(_cdc_lsn) AS lsn_max, CAST(1 AS BIGINT) AS n_files
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- catalog exploration (Q1): SHOW TABLES parity with live row counts.
   // One unioned job instead of a driver loop of per-table count() actions
   // (10 serial job round-trips was most of this query's bench time; the
@@ -316,6 +380,8 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
+    GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
+    GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_describe", catalogDescribe, Some(catalogDescribeSql)),
     GraftQuery("catalog_show_create", catalogShowCreate, Some(catalogShowCreateSql)),
