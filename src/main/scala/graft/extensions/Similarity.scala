@@ -114,9 +114,11 @@ object Similarity extends QueryModule {
 
   private[extensions] def centroids(s: SparkSession, d: String): Seq[Centroid] =
     centroidCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dim = 64
       val sample = scaledVecCached(s, d)
         .filter((col("vec_id") * SampleMult) % SampleMod < SampleKeep)
+      // vector width from the data (one row off the cached projection);
+      // the SQL replay is width-agnostic via len(v)/generate_subscripts
+      val dim = sample.select(size(col("v"))).head().getInt(0)
       // init: per residue class vec_id % K, the lowest-id sample vector
       val wInit = Window.partitionBy(col("vec_id") % NCentroids).orderBy(col("vec_id"))
       var cents: Seq[Centroid] = sample

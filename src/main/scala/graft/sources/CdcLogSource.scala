@@ -81,10 +81,14 @@ object CdcLog {
     else Seq.empty
   }
 
-  /** Stream (lsn, line) pairs of every well-formed log line. */
+  /** Stream (lsn, line) pairs of every well-formed log line. Files are
+    * read eagerly one at a time (read-and-close — no handle leaks across
+    * the lazily-consumed iterator; a real WAL source tails a socket and
+    * never touches files). */
   def scan(path: String): Iterator[(Long, String)] =
     logFiles(path).iterator.flatMap { f =>
-      scala.io.Source.fromFile(f.toFile, "UTF-8").getLines()
+      java.nio.file.Files.readAllLines(f, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala
     }.filter(_.nonEmpty).flatMap { line =>
       val lsn = lineLsn(line)
       if (lsn >= 0) Some(lsn -> line)
