@@ -94,6 +94,13 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PNG header round-trips for arbitrary dimensions") {
+    import graft.extensions.Png
+    check(Prop.forAll(Gen.choose(1, 1 << 20), Gen.choose(1, 1 << 20)) { (w, h) =>
+      Png.parseIhdr(Png.header(w, h) ++ Array.fill(7)(0x5a.toByte)).contains((w, h))
+    })
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))

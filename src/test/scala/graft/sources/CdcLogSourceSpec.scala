@@ -28,6 +28,20 @@ class CdcLogSourceSpec extends SparkTestBase {
     assert(lsns.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
   }
 
+  test("malformed log lines are skipped, well-formed ones still surface") {
+    val dir = Files.createTempDirectory("graft-wal-bad")
+    Files.writeString(dir.resolve("log.json"),
+      """{"op":"c","ts_ms":1,"source":{"schema":"s","table":"t","lsn":7,"txId":7}}
+        |not json at all
+        |{"op":"u","ts_ms":2,"source":{"schema":"s","table":"t"}}
+        |{"op":"u","ts_ms":2,"source":{"schema":"s","table":"t","lsn":9,"txId":9}}
+        |""".stripMargin)
+    val rows = spark.read.format(Fmt).option("path", dir.toString).load().collect()
+    // the garbage line and the lsn-less line are dropped, the rest keep order
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("0000000000000007", "0000000000000009"))
+  }
+
   test("admission-bounded micro-batches, exactly-once resume across restart") {
     val logDir = Files.createTempDirectory("graft-wal-log")
     val out = Files.createTempDirectory("graft-wal-out").toString
