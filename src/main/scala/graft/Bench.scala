@@ -101,12 +101,19 @@ object Bench {
     // noop sink: fully materializes every row (honest timing for the
     // ORDER-BY-heavy queries, whose sorts a bare count() would let the
     // optimizer elide) without paying for an output format.
+    // Errored queries report their (tiny) failure time but must never
+    // enter the history: a 0.01 s "best" from a crash would make every
+    // healthy future run look steal-inflated.
+    val errored = scala.collection.mutable.Set.empty[String]
     def measure(names: Seq[String]): Map[String, Double] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        catch { case e: Throwable =>
+          errored += name
+          System.err.println(s"[bench] $name: $e")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
@@ -148,10 +155,15 @@ object Bench {
 
     val total = times.values.sum
     val results = times.toSeq.sortBy(_._1)
-    // Min-merge this run into the local history for the next run.
-    val hist = (base.keySet ++ times.keySet + "_cal").map { k =>
-      k -> math.min(base.getOrElse(k, Double.MaxValue),
-        if (k == "_cal") cal else times.getOrElse(k, Double.MaxValue))
+    // Min-merge this run into the local history for the next run. An
+    // errored query contributes nothing but keeps its prior best.
+    val hist = (base.keySet ++ times.keySet + "_cal").flatMap { k =>
+      val v =
+        if (k == "_cal") Some(math.min(base.getOrElse(k, Double.MaxValue), cal))
+        else if (errored(k)) base.get(k)
+        else Some(math.min(base.getOrElse(k, Double.MaxValue),
+          times.getOrElse(k, Double.MaxValue)))
+      v.map(k -> _)
     }.toMap
     writeTimes(java.nio.file.Paths.get(s"target/bench_history_${tag(sfDir)}.json"), hist)
 
