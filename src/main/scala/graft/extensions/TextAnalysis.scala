@@ -289,7 +289,48 @@ object TextAnalysis extends QueryModule {
       |   % 1000000007 AS BIGINT) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- statistical LM scoring: each document's average corpus-frequency
+  // of its word bigrams — the frequency half of perplexity-based quality
+  // filtering (docs full of corpus-rare bigrams are the noise). Kept
+  // integer-exact so it replays cross-engine: the per-doc numerator is a
+  // BIGINT sum of occurrence counts (associative — no float accumulation
+  // order), with ONE final division. Scale shape: explode → count by
+  // bigram → join back by bigram → per-doc agg; everything shuffles by
+  // bigram/doc key, the classic two-pass n-gram-LM layout.
+  private def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+  }
+
+  private def bigramFreq(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    bg.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+        round(col("freq_sum").cast("double") / col("n_bigrams"), 4).as("avg_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramFreqSql =
+    """WITH bgr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bg
+      |  FROM documents),
+      |counts AS (SELECT bg, count(*) AS n FROM bgr GROUP BY bg)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(c.n) AS BIGINT) AS freq_sum,
+      |  round(CAST(sum(c.n) AS DOUBLE) / count(*), 4) AS avg_freq
+      |FROM bgr b JOIN counts c ON b.bg = c.bg
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),
     GraftQuery("text_token_count", tokenCounts, Some(tokenCountsSql)),
     GraftQuery("text_quality", quality, Some(qualitySql)),
     GraftQuery("text_langid", langid, Some(langidSql)),
