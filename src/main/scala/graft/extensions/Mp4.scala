@@ -1,0 +1,96 @@
+package graft.extensions
+
+/** Minimal, real MP4 (ISO BMFF) container handling: write and parse
+  * `ftyp` + `moov`/`mvhd` boxes (ISO/IEC 14496-12 §4.3/§8.2.2 — public
+  * format, pure byte layout, no codec needed). The movie header carries
+  * the timescale and duration every video pipeline needs for frame
+  * sampling; sample tables (stts/stsz) are out of scope.
+  *
+  * Mirrors [[Png]]/[[Wav]]: the video/mp4 fixture blobs carry a VALID
+  * ftyp+mvhd prefix and the decode stage box-walks to the real values.
+  */
+object Mp4 {
+
+  /** ftyp(20) + moov(8) + mvhd(108, version 0). */
+  val HeaderLen: Int = 136
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readBe64(b: Array[Byte], off: Int): Long =
+    (readBe32(b, off).toLong << 32) | (readBe32(b, off + 4).toLong & 0xffffffffL)
+
+  private def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Identity transform matrix per §8.2.2.2 (fixed-point 16.16 / 2.30). */
+  private val IdentityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** A valid ftyp + moov(mvhd v0) prefix for a movie of `duration`
+    * ticks at `timescale` ticks/second. */
+  def header(timescale: Int, duration: Int): Array[Byte] = {
+    require(timescale > 0 && duration >= 0)
+    val ftyp = be32(20) ++ tag("ftyp") ++ tag("isom") ++ be32(0x200) ++ tag("isom")
+    val mvhdData =
+      be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation/modification time (epoch 1904; fixed 0)
+        be32(timescale) ++ be32(duration) ++
+        be32(0x00010000) /*rate 1.0*/ ++
+        Array[Byte](0x01, 0x00) /*volume 1.0*/ ++ Array.fill[Byte](10)(0) /*reserved*/ ++
+        IdentityMatrix ++
+        Array.fill[Byte](24)(0) /*pre_defined*/ ++
+        be32(2) /*next_track_ID*/
+    val mvhd = be32(8 + mvhdData.length) ++ tag("mvhd") ++ mvhdData
+    val moov = be32(8 + mvhd.length) ++ tag("moov") ++ mvhd
+    ftyp ++ moov
+  }
+
+  /** Parsed movie header. `durationMs` floors, matching integer SQL. */
+  final case class Mvhd(timescale: Long, duration: Long) {
+    def durationMs: Long = if (timescale == 0) 0L else duration * 1000L / timescale
+  }
+
+  /** Box-walk the top level for `moov`, then inside it for `mvhd`
+    * (version 0 or 1), and read (timescale, duration). A real reader
+    * can't assume moov is first — trailing/mdat-style siblings are
+    * skipped. None = not a (well-formed) MP4 prefix. */
+  def parseMvhd(bytes: Array[Byte]): Option[Mvhd] = {
+    // require a leading ftyp so arbitrary payloads aren't misread
+    if (bytes.length < 16 || readBe32(bytes, 0) < 16) return None
+    if (!bytes.slice(4, 8).sameElements(tag("ftyp"))) return None
+    findBox(bytes, 0, bytes.length, "moov").flatMap { case (mOff, mEnd) =>
+      findBox(bytes, mOff, mEnd, "mvhd").flatMap { case (off, end) =>
+        if (off + 4 > end) None
+        else (bytes(off) & 0xff) match {
+          case 0 if off + 4 + 16 <= end =>
+            Some(Mvhd(readBe32(bytes, off + 12).toLong & 0xffffffffL,
+              readBe32(bytes, off + 16).toLong & 0xffffffffL))
+          case 1 if off + 4 + 28 <= end =>
+            Some(Mvhd(readBe32(bytes, off + 20).toLong & 0xffffffffL,
+              readBe64(bytes, off + 24)))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Scan sibling boxes in [from, to); return the payload span of the
+    * first box of the wanted type. */
+  private def findBox(b: Array[Byte], from: Int, to: Int, want: String): Option[(Int, Int)] = {
+    var off = from
+    val w = tag(want)
+    while (off + 8 <= to) {
+      val size = readBe32(b, off)
+      if (size < 8 || off + size > to) return None // size64/malformed: reject
+      if (b.slice(off + 4, off + 8).sameElements(w)) return Some((off + 8, off + size))
+      off += size
+    }
+    None
+  }
+}

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * training-pipeline pattern.
   *
   * The testdata has no binary fixture, so a deterministic payload is
-  * synthesized: mime assigned round-robin by doc_id; image/png blobs get
-  * a VALID 33-byte PNG signature+IHDR header ([[Png]]) in front of the
-  * UTF-8 text payload, with dimensions derived from the payload length
-  * (so the DuckDB oracle can replay them arithmetically while the engine
-  * genuinely parses them from container bytes). Everything downstream
-  * treats the blob as opaque bytes — schema (binary + metadata struct),
+  * synthesized: mime assigned round-robin by doc_id, and EVERY blob gets
+  * a VALID container prefix — PNG signature+IHDR ([[Png]]), RIFF/WAVE
+  * fmt+data ([[Wav]]), or MP4 ftyp+mvhd ([[Mp4]]) — in front of the
+  * UTF-8 text payload. Header fields are derived from the payload length
+  * at synthesis (so the DuckDB oracle can replay them arithmetically)
+  * while the engine genuinely parses them back out of container bytes:
+  * signature/box/CRC checks and all. Everything downstream treats the
+  * blob as opaque bytes — schema (binary + metadata struct),
   * partition-parallel decode (`mapPartitions` over the binary column, no
   * driver collection) and batch shape are the real 100 TB plumbing.
   */
@@ -25,19 +27,27 @@ object Multimodal extends QueryModule {
     * arithmetically by the oracle. */
   def pngDims(n: Int): (Int, Int) = (16 + n % 624, 16 + (n * 7) % 464)
 
-  /** Deterministic fake of an audio/video header decode.
-    *
-    * STUB: a real implementation would parse the container (WAV RIFF
-    * chunk, MP4 moov atom) the way [[Png.parseIhdr]] does for PNG; no
-    * codec libs are installed here. The stand-in derives plausible
-    * dimensions purely from the byte length, so both engines (and the
-    * DuckDB oracle) can replay it. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
-    val n = bytes.length
-    val (width, height) = pngDims(n)
-    val frames = 1L + n / 256
-    (width, height, frames)
+  /** Deterministic audio params for a payload of n bytes: 1-2 channels,
+    * a standard sample rate, 16-bit PCM, n bytes of sample data. */
+  def wavParams(n: Int): (Int, Int) = {
+    val channels = 1 + n % 2
+    val rate = (n % 5) match {
+      case 0 => 8000
+      case 1 => 16000
+      case 2 => 22050
+      case 3 => 44100
+      case _ => 48000
+    }
+    (channels, rate)
   }
+
+  /** Deterministic movie params for a payload of n bytes: the classic
+    * 600-tick QuickTime timescale, 3n ticks of duration. */
+  val Mp4Timescale = 600
+  def mp4Duration(n: Int): Int = 3 * n
+
+  /** Nominal frame rate used to turn mvhd duration into a frame count. */
+  val Fps = 24
 
   /** Round-robin mime assignment (the fixture has no real containers). */
   def mime(docId: Column): Column =
@@ -60,12 +70,18 @@ object Multimodal extends QueryModule {
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, src) =>
         val payload = text.getBytes("UTF-8")
-        val blob =
-          if (id % 3 == 0) {
-            val (w, h) = pngDims(payload.length)
-            Png.header(w, h) ++ payload
-          } else payload
-        (id, blob, src)
+        val n = payload.length
+        val header = (id % 3) match {
+          case 0 =>
+            val (w, h) = pngDims(n)
+            Png.header(w, h)
+          case 1 =>
+            val (ch, sr) = wavParams(n)
+            Wav.header(ch, sr, n)
+          case _ =>
+            Mp4.header(Mp4Timescale, mp4Duration(n))
+        }
+        (id, header ++ payload, src)
       })
       .toDF("doc_id", "blob", "source")
       .select(col("doc_id"), col("blob"),
@@ -85,30 +101,41 @@ object Multimodal extends QueryModule {
   private val blobMetaSql =
     s"""SELECT doc_id, $mimeSql AS mime, source AS origin,
        |  CAST(octet_length(encode(text)) +
-       |    CASE WHEN doc_id % 3 = 0 THEN ${Png.HeaderLen} ELSE 0 END AS BIGINT) AS n_bytes
+       |    CASE WHEN doc_id % 3 = 0 THEN ${Png.HeaderLen}
+       |         WHEN doc_id % 3 = 1 THEN ${Wav.HeaderLen}
+       |         ELSE ${Mp4.HeaderLen} END AS BIGINT) AS n_bytes
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ------------------------------------------------ decode (real for PNG)
+  // ---------------------------------------------------------- decode (real)
 
   /** Partition-parallel decode of every blob, then a per-mime rollup.
-    * image/png is a REAL container parse — [[Png.parseIhdr]] reads
-    * width/height out of the IHDR bytes (signature + CRC verified; a
-    * malformed header fails loudly rather than guessing). wav/mp4 fall
-    * back to [[decodeStub]]. The mapPartitions stage receives an iterator
-    * of (id, bytes) per partition — exactly the batch shape a native
-    * decoder (or GPU feature extractor) would consume. */
+    * ALL THREE mimes are REAL container parses — [[Png.parseIhdr]] reads
+    * width/height out of IHDR (CRC verified), [[Wav.parseFmt]] walks the
+    * RIFF chunks, [[Mp4.parseMvhd]] box-walks to the movie header; a
+    * malformed container fails loudly rather than guessing. "frames" is
+    * the modality's natural frame count: 1 per image, PCM sample frames
+    * for audio, duration x [[Fps]] for video. width/height are 0 for
+    * non-images (mvhd carries no dims — true to the format). The
+    * mapPartitions stage receives an iterator of (id, bytes) per
+    * partition — exactly the batch shape a native decoder (or GPU
+    * feature extractor) would consume. */
   private def decodeStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val decoded = assets(s, d)
       .select(col("doc_id"), col("meta.mime").as("mime"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, m, bytes) =>
+        def bad = throw new IllegalArgumentException(s"doc $id: invalid $m container")
         val (w, h, f) = m match {
           case "image/png" =>
-            val (w, h) = Png.parseIhdr(bytes).getOrElse(
-              throw new IllegalArgumentException(s"doc $id: invalid PNG header"))
+            val (w, h) = Png.parseIhdr(bytes).getOrElse(bad)
             (w, h, 1L)
-          case _ => decodeStub(bytes)
+          case "audio/wav" =>
+            val fmt = Wav.parseFmt(bytes).getOrElse(bad)
+            (0, 0, fmt.dataLen.toLong / (fmt.channels * fmt.bitsPerSample / 8))
+          case _ =>
+            val mvhd = Mp4.parseMvhd(bytes).getOrElse(bad)
+            (0, 0, 1L + mvhd.duration * Fps / mvhd.timescale)
         }
         (id, m, w, h, f)
       })
@@ -124,18 +151,98 @@ object Multimodal extends QueryModule {
 
   private val decodeStatsSql =
     s"""WITH decoded AS (
-       |  SELECT doc_id, $mimeSql AS mime,
-       |    16 + octet_length(encode(text)) % 624 AS width,
-       |    16 + (octet_length(encode(text)) * 7) % 464 AS height,
-       |    CASE WHEN doc_id % 3 = 0 THEN 1
-       |         ELSE 1 + octet_length(encode(text)) // 256 END AS frames
-       |  FROM documents)
+       |  SELECT doc_id, $mimeSql AS mime, octet_length(encode(text)) AS n
+       |  FROM documents), fields AS (
+       |  SELECT mime,
+       |    CASE WHEN mime = 'image/png' THEN 16 + n % 624 ELSE 0 END AS width,
+       |    CASE WHEN mime = 'image/png' THEN 16 + (n * 7) % 464 ELSE 0 END AS height,
+       |    CASE WHEN mime = 'image/png' THEN 1
+       |         WHEN mime = 'audio/wav' THEN n // ((1 + n % 2) * 2)
+       |         ELSE 1 + (3 * n * $Fps) // $Mp4Timescale END AS frames
+       |  FROM decoded)
        |SELECT mime, count(*) AS n_assets,
        |  round(avg(width), 4) AS avg_width,
        |  round(avg(height), 4) AS avg_height,
        |  CAST(sum(frames) AS BIGINT) AS total_frames,
        |  max(width) AS max_width
-       |FROM decoded GROUP BY mime ORDER BY mime""".stripMargin
+       |FROM fields GROUP BY mime ORDER BY mime""".stripMargin
+
+  // ------------------------------------------------------------ audio stats
+
+  /** Per-(channels, sample_rate) rollup over REAL parsed WAV headers —
+    * the profiling pass an audio-training pipeline runs before deciding
+        * resample targets. duration_ms floors per asset (integer SQL). */
+  private def audioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parsed = assets(s, d)
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fmt = Wav.parseFmt(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid WAV header"))
+        (id, fmt.channels, fmt.sampleRate, fmt.dataLen.toLong, fmt.durationMs)
+      })
+      .toDF("doc_id", "channels", "sample_rate", "data_bytes", "duration_ms")
+    parsed.groupBy(col("channels"), col("sample_rate"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("data_bytes")).as("total_bytes"),
+        sum(col("duration_ms")).as("total_ms"),
+        max(col("duration_ms")).as("max_ms"))
+      .orderBy(col("channels"), col("sample_rate"))
+  }
+
+  private val audioStatsSql =
+    s"""WITH parsed AS (
+       |  SELECT 1 + n % 2 AS channels,
+       |    CASE n % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+       |               WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+       |    n AS data_bytes
+       |  FROM (SELECT octet_length(encode(text)) AS n
+       |        FROM documents WHERE doc_id % 3 = 1)), timed AS (
+       |  SELECT channels, sample_rate, data_bytes,
+       |    (data_bytes * 1000) // (sample_rate * channels * 2) AS duration_ms
+       |  FROM parsed)
+       |SELECT CAST(channels AS INT) AS channels, CAST(sample_rate AS INT) AS sample_rate,
+       |  count(*) AS n_assets,
+       |  CAST(sum(data_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+       |  CAST(max(duration_ms) AS BIGINT) AS max_ms
+       |FROM timed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ video stats
+
+  /** Corpus-level rollup over REAL parsed mvhd movie headers. */
+  private def videoStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parsed = assets(s, d)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parseMvhd(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid MP4 header"))
+        (id, m.timescale, m.duration, m.durationMs)
+      })
+      .toDF("doc_id", "timescale", "duration_ticks", "duration_ms")
+    parsed.agg(
+      count(lit(1)).as("n_assets"),
+      countDistinct(col("timescale")).as("n_timescales"),
+      sum(col("duration_ms")).as("total_ms"),
+      round(avg(col("duration_ms")), 4).as("avg_ms"),
+      max(col("duration_ticks")).as("max_ticks"))
+  }
+
+  private val videoStatsSql =
+    s"""WITH parsed AS (
+       |  SELECT $Mp4Timescale AS timescale, 3 * n AS duration_ticks,
+       |    (3 * n * 1000) // $Mp4Timescale AS duration_ms
+       |  FROM (SELECT octet_length(encode(text)) AS n
+       |        FROM documents WHERE doc_id % 3 = 2))
+       |SELECT count(*) AS n_assets,
+       |  count(DISTINCT timescale) AS n_timescales,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+       |  round(avg(duration_ms), 4) AS avg_ms,
+       |  CAST(max(duration_ticks) AS BIGINT) AS max_ticks
+       |FROM parsed""".stripMargin
 
   // -------------------------------------------------------- resize planning
 
@@ -193,14 +300,21 @@ object Multimodal extends QueryModule {
   private val FrameStep = 8
 
   /** Every FrameStep-th frame index of each video asset — the sampling
-    * pattern of a frame-extraction stage (explode is partition-local; no
-    * shuffle until a downstream agg). Videos carry no PNG header, so the
-    * frame count is the stub's length-derived value. */
+    * pattern of a frame-extraction stage. Frame counts come from the
+    * REAL parsed mvhd (duration x [[Fps]]); explode is partition-local,
+    * no shuffle until a downstream agg. */
   private def frameSample(s: SparkSession, d: String): DataFrame = {
-    val decoded = assets(s, d).select(
-      col("doc_id"), col("meta.mime").as("mime"),
-      (lit(1L) + (length(col("blob")) / lit(256)).cast("long")).as("frames"))
-    decoded.filter(col("mime") === "video/mp4")
+    import s.implicits._
+    val decoded = assets(s, d)
+      .filter(col("meta.mime") === "video/mp4")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parseMvhd(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid MP4 header"))
+        (id, 1L + m.duration * Fps / m.timescale)
+      })
+      .toDF("doc_id", "frames")
+    decoded
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("frames") - 1, lit(FrameStep.toLong))).as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -208,16 +322,17 @@ object Multimodal extends QueryModule {
 
   private val frameSampleSql =
     s"""WITH decoded AS (
-       |  SELECT doc_id, $mimeSql AS mime,
-       |    1 + octet_length(encode(text)) // 256 AS frames
-       |  FROM documents)
+       |  SELECT doc_id, 1 + (3 * octet_length(encode(text)) * $Fps) // $Mp4Timescale AS frames
+       |  FROM documents WHERE doc_id % 3 = 2)
        |SELECT doc_id, CAST(unnest(range(0, frames, $FrameStep)) AS BIGINT) AS frame_idx
-       |FROM decoded WHERE mime = 'video/mp4'
+       |FROM decoded
        |ORDER BY doc_id, frame_idx""".stripMargin
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
+    GraftQuery("mm_audio_stats", audioStats, Some(audioStatsSql)),
+    GraftQuery("mm_video_stats", videoStats, Some(videoStatsSql)),
     GraftQuery("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     GraftQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
   )
