@@ -329,8 +329,114 @@ object TextAnalysis extends QueryModule {
       |FROM bgr b JOIN counts c ON b.bg = c.bg
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- repetition measures (Gopher-style, Rae et al. 2021 §A1.1): the
+  // filters that kill boilerplate/spam docs whose text is dominated by a
+  // few repeated tokens or n-grams. Token-count fractions stand in for the
+  // paper's character fractions (the corpus is single-space tokenized, so
+  // they order documents identically). Scale shape: explode → count by
+  // (doc, gram) → per-doc agg; both shuffles are keyed by doc granularity
+  // and the second reuses the first's partitioning.
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"),
+        count(lit(1)).as("n_distinct"))
+    val bg = docs.select(col("doc_id"), explode(wordBigrams(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
+    tok.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        round(col("top_bg").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("distinct_ratio") >= 0.2 && col("top_token_frac") <= 0.2 &&
+          col("top_bigram_frac") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
+      |tc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok,
+      |    count(*) AS n_distinct
+      |  FROM (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bgr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
+      |  FROM documents),
+      |bc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+      |  FROM (SELECT doc_id, g, count(*) AS c FROM bgr GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT t.doc_id, t.n_tokens,
+      |    round(CAST(n_distinct AS DOUBLE) / t.n_tokens, 4) AS distinct_ratio,
+      |    round(CAST(top_tok AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
+      |    round(CAST(top_bg AS DOUBLE) / b.n_bigrams, 4) AS top_bigram_frac
+      |  FROM tc t JOIN bc b ON t.doc_id = b.doc_id)
+      |SELECT *, distinct_ratio >= 0.2 AND top_token_frac <= 0.2
+      |  AND top_bigram_frac <= 0.2 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- filter funnel: every document binned by the FIRST quality rule it
+  // violates — the acceptance report a cleaning pipeline publishes per
+  // snapshot. Pure column expressions (array_distinct is per-row, no
+  // explode), so the whole query is one scan + a tiny final agg: the ideal
+  // 100 TB shape.
+  private def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = tokenCount(col("text"))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val reason = when(nTok < 10, "too_short")
+      .when(stopwordRatio(col("text")) > 0.5, "too_stoppy")
+      .when(distinctRatio < 0.2, "repetitive")
+      .when(qualityScore(col("text")) < 0.2, "low_quality")
+      .otherwise("keep")
+    Tables.documents(s, d)
+      .groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        round(avg(qualityScore(col("text"))), 4).as("avg_quality"))
+      .orderBy(col("reason"))
+  }
+
+  private val filterFunnelSql =
+    """WITH t AS (
+      |  SELECT
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS distinct_ratio,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (1.0 - len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a'))) * 1.0
+      |           / len(string_split(text, ' '))) AS quality
+      |  FROM documents),
+      |binned AS (
+      |  SELECT CASE WHEN n_tokens < 10 THEN 'too_short'
+      |              WHEN stop_ratio > 0.5 THEN 'too_stoppy'
+      |              WHEN distinct_ratio < 0.2 THEN 'repetitive'
+      |              WHEN quality < 0.2 THEN 'low_quality'
+      |              ELSE 'keep' END AS reason,
+      |         n_tokens, quality
+      |  FROM t)
+      |SELECT reason, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  round(avg(quality), 4) AS avg_quality
+      |FROM binned GROUP BY reason ORDER BY reason""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),
+    GraftQuery("text_repetition", repetition, Some(repetitionSql)),
+    GraftQuery("text_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     GraftQuery("text_token_count", tokenCounts, Some(tokenCountsSql)),
     GraftQuery("text_quality", quality, Some(qualitySql)),
     GraftQuery("text_langid", langid, Some(langidSql)),

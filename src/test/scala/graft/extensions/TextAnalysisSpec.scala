@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.SparkTestBase
+import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column semantics (pure expressions, no UDFs). */
@@ -40,5 +40,28 @@ class TextAnalysisSpec extends SparkTestBase {
     val c = one(TextAnalysis.fingerprint(col("text")), "hello worlds")
     assert(a === b)
     assert(a !== c)
+  }
+
+  test("repetition measures separate repetitive docs from diverse ones") {
+    val rep = SparkEntry.queries("text_repetition")(spark, sf0001)
+      .select("doc_id", "distinct_ratio", "top_token_frac", "keep")
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val dr = r.getDouble(1); val tf = r.getDouble(2)
+      assert(dr > 0.0 && dr <= 1.0, s"doc ${r.getLong(0)}: distinct_ratio $dr")
+      assert(tf > 0.0 && tf <= 1.0, s"doc ${r.getLong(0)}: top_token_frac $tf")
+      // a doc where every token is distinct cannot have a dominant token
+      if (dr == 1.0) assert(tf <= 0.5)
+    }
+  }
+
+  test("filter funnel reasons partition the corpus exactly") {
+    val funnel = SparkEntry.queries("text_filter_funnel")(spark, sf0001).collect()
+    val total = funnel.map(_.getLong(1)).sum
+    assert(total === graft.Tables.documents(spark, sf0001).count())
+    val reasons = funnel.map(_.getString(0)).toSet
+    assert(reasons.subsetOf(
+      Set("keep", "too_short", "too_stoppy", "repetitive", "low_quality")))
   }
 }
