@@ -121,6 +121,10 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val preCal = calibrate()
     var times = measure(allNames)
+    // As-measured total of the single first pass, before any defensive
+    // re-measures: consumers see both the defended composite and the
+    // raw number one real pass produced.
+    val firstPassTotal = times.values.sum
     val postCal = calibrate()
     var cal = math.min(preCal, postCal)
     var reruns = 0
@@ -179,7 +183,7 @@ object Bench {
     // truncated its head — the driver parsed nothing. Report the slowest
     // 20 queries (the informative ones) and keep the line under ~1 KB.
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cal_sec":${fmt(cal)},"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

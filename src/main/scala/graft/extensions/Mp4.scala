@@ -87,7 +87,9 @@ object Mp4 {
     val w = tag(want)
     while (off + 8 <= to) {
       val size = readBe32(b, off)
-      if (size < 8 || off + size > to) return None // size64/malformed: reject
+      // Long bounds check: a size near Int.MaxValue must not wrap negative
+      // and sneak past the window test.
+      if (size < 8 || off.toLong + size > to) return None // size64/malformed: reject
       if (b.slice(off + 4, off + 8).sameElements(w)) return Some((off + 8, off + size))
       off += size
     }

@@ -74,7 +74,11 @@ object Wav {
           return fmt.map { case (ch, sr, bits) => Fmt(ch, sr, bits, size) }
         case _ => // skip unknown chunk
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      // Long advance: a size near Int.MaxValue must not wrap `off` negative
+      // and index the array out of bounds on the next iteration.
+      val next = off.toLong + 8L + size.toLong + (size & 1)
+      if (next > bytes.length) return None
+      off = next.toInt // chunks are word-aligned
     }
     None
   }

@@ -155,7 +155,7 @@ object CdcQueries extends QueryModule {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).text(outDir)
 
   private def cdcSourceScan(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdclog${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val dir = Lifecycle.scratchDir(s, "graft_cdclog", d)
     writeDebeziumLog(s, d, dir)
     val raw = s.read.format("graft.sources.CdcLogSource").option("path", dir).load()
     val decoded = graft.ingest.EnvelopeDecoder.flattened(

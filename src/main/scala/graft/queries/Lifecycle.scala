@@ -21,9 +21,14 @@ object Lifecycle extends QueryModule {
       | lpad(CAST(event_id AS VARCHAR), 16, '0') AS _cdc_lsn
       |FROM events""".stripMargin
 
-  private def roundtripDir(sfDir: String): String = {
+  /** Per-process scratch dir: keyed by the sf tag AND the Spark
+    * applicationId, so two JVMs running concurrently against the same sf
+    * dir (e.g. bench and verify overlapping) never Overwrite-race on each
+    * other's half-written files. Within one JVM the id is stable, so
+    * re-measures still reuse the path. */
+  private[queries] def scratchDir(s: SparkSession, prefix: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip$tag"
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${s.sparkContext.applicationId}$tag"
   }
 
   // ---- write path + partition pruning (Q18): envelope → day-partitioned
@@ -31,7 +36,7 @@ object Lifecycle extends QueryModule {
   // column, so the scan lists only 7 of ~31 day directories — the same
   // pruning Iceberg metadata would give (asserted in LifecycleSpec).
   private def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = roundtripDir(d)
+    val dir = scratchDir(s, "graft_roundtrip", d)
     CdcWriter.write(CdcQueries.envelope(s, d), dir)
     CdcWriter.read(s, dir)
       .filter(col("_cdc_date").between("2024-01-05", "2024-01-11"))
@@ -58,16 +63,11 @@ object Lifecycle extends QueryModule {
   // replays the aggregate from the raw events — proving compaction
   // changed the file layout and nothing else. CompactionSpec asserts the
   // file counts actually dropped 8 → 1.
-  private def compactionDir(sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_compact$tag"
-  }
-
   /** Fragmented write + compact; returns the table dir. Shared with
     * CompactionSpec so the spec asserts layout on exactly what the
     * registered query ran. */
   def compactionRoundtripSetup(s: SparkSession, d: String): String = {
-    val dir = compactionDir(d)
+    val dir = scratchDir(s, "graft_compact", d)
     CdcWriter.withPartitionColumn(CdcQueries.envelope(s, d))
       .repartition(8) // 8 files into every day dir
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -101,8 +101,7 @@ object Lifecycle extends QueryModule {
   private val RetentionCutoff = "2024-01-20"
 
   private def retentionRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_retain$tag"
+    val dir = scratchDir(s, "graft_retain", d)
     CdcWriter.write(CdcQueries.envelope(s, d), dir)
     graft.ingest.Retention.dropOlderThan(s, dir, RetentionCutoff)
     CdcWriter.read(s, dir)
@@ -204,8 +203,7 @@ object Lifecycle extends QueryModule {
   // many-files-per-day fails correctness, not just a perf eyeball.
   private def tablePartitions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_parts$tag"
+    val dir = scratchDir(s, "graft_parts", d)
     CdcWriter.write(CdcQueries.envelope(s, d), dir)
     val files = graft.ingest.Compaction.fileCounts(s, dir).toSeq
       .toDF("day", "n_files")

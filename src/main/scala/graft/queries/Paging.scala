@@ -29,9 +29,15 @@ object Paging {
     private val it = df.toLocalIterator().asScala
     private var fetched = 0L
 
-    /** Next page of up to `pageSize` rows; empty when exhausted. */
+    /** Next page of up to `pageSize` rows; empty when exhausted.
+      * Explicit drain loop: `Iterator.take` documents that the original
+      * iterator must be discarded afterwards, so reusing `it` across
+      * pages via `take` would lean on an implementation detail. */
     def nextPage(): Seq[Row] = {
-      val page = it.take(pageSize).toVector
+      val buf = Vector.newBuilder[Row]
+      var k = 0
+      while (k < pageSize && it.hasNext) { buf += it.next(); k += 1 }
+      val page = buf.result()
       fetched += page.length
       page
     }

@@ -170,14 +170,35 @@ final class CdcLogMicroBatchStream(path: String, maxEvents: Option[Int])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = lsnOf(start)
     val cap = availableNowTarget.getOrElse(Long.MaxValue)
-    val pending = CdcLog.scan(path).map(_._1)
-      .filter(l => l > s && l <= cap).toArray.sorted
-    if (pending.isEmpty) return LsnOffset(s)
-    limit match {
-      case r: ReadMaxRows if pending.length > r.maxRows() =>
-        LsnOffset(pending(r.maxRows().toInt - 1))
-      case _ => LsnOffset(pending.last)
+    val maxRows = limit match {
+      case r: ReadMaxRows => r.maxRows().toInt
+      case _ => -1
     }
+    // Bounded scan: O(maxRows) driver memory regardless of log size.
+    // With a row cap, a max-heap retains only the `maxRows` smallest
+    // pending LSNs — its root is the k-th smallest, the batch-end LSN.
+    // Without a cap, only the running max is kept. (Previously this
+    // materialized every pending LSN on the driver per trigger.)
+    val heap =
+      if (maxRows > 0)
+        new java.util.PriorityQueue[java.lang.Long](
+          maxRows, java.util.Comparator.reverseOrder[java.lang.Long]())
+      else null
+    var count = 0L
+    var maxSeen = -1L
+    val it = CdcLog.scan(path).iterator.map(_._1).filter(l => l > s && l <= cap)
+    while (it.hasNext) {
+      val l = it.next()
+      count += 1
+      if (l > maxSeen) maxSeen = l
+      if (heap != null) {
+        if (heap.size < maxRows) heap.add(l)
+        else if (l < heap.peek()) { heap.poll(); heap.add(l) }
+      }
+    }
+    if (count == 0) LsnOffset(s)
+    else if (heap != null && count > maxRows) LsnOffset(heap.peek())
+    else LsnOffset(maxSeen)
   }
 
   override def reportLatestOffset(): Offset =

@@ -101,6 +101,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mp4/wav parsers reject crafted near-MaxValue chunk sizes (no overflow)") {
+    import graft.extensions.{Mp4, Wav}
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // ftyp, then a box whose size wraps `off + size` negative if summed in Int
+    val mp4 = Mp4.header(1000, 500).take(20) ++
+      be32(0x7ffffff9) ++ "free".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    assert(Mp4.parseMvhd(mp4).isEmpty) // must not throw AIOOBE
+    // valid RIFF/WAVE + fmt, then a junk chunk with a wrapping size before data
+    val wav = Wav.header(2, 44100, 100).take(36) ++
+      "junk".getBytes("US-ASCII") ++ le32(0x7ffffff0) ++ Array.fill[Byte](8)(0)
+    assert(Wav.parseFmt(wav).isEmpty) // must not throw AIOOBE
+    // sanity: the well-formed fixtures still parse
+    assert(Mp4.parseMvhd(Mp4.header(1000, 500)).contains(Mp4.Mvhd(1000L, 500L)))
+    assert(Wav.parseFmt(Wav.header(2, 44100, 100)).contains(Wav.Fmt(2, 44100, 16, 100)))
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
