@@ -481,7 +481,94 @@ object Dedup extends QueryModule {
        |WHERE cos >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    * cluster the embedding space, then within each cluster drop every
+    * vector that has a semantically near-identical neighbor with a
+    * smaller id (keep the earliest representative). Reuses the TRAINED
+    * k-means quantizer ([[Similarity.centroids]]), so clustering costs
+    * nothing extra and the DuckDB oracle retrains it bit-identically.
+    * The paper's core trade is exactly this shape: pairwise work only
+    * WITHIN clusters — O(Σ cluster²) bounded by the bucket-balance
+    * invariant sim_ivf_buckets asserts — never O(n²) across the corpus.
+    * Single-assignment (not probe-expanded) is the paper's semantics:
+    * a boundary-straddling pair is the recall loss SemDeDup accepts. */
+  private val SemThreshold = 0.45 // same planted near-dup bar as embeddingPairs
+
+  private def semPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Similarity.assigned(s, d)
+    a.alias("a")
+      .join(a.alias("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= SemThreshold)
+  }
+
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    semPairs(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("id_b").as("removed_id"),
+        col("id_a").as("kept_id"), col("cos"))
+      .orderBy(col("removed_id"))
+  }
+
+  /** Shared CTE prefix: centroids + single-assignment + within-cluster
+    * near-dup pairs. */
+  private def semPairsSqlCtes =
+    s"""v AS (${Similarity.scaledVecSql}),
+       |${Similarity.centroidsSqlCtes},
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT x.vec_id, x.v, x.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        x.nrm + c.cnrm - 2 * list_sum(list_transform(range(1, len(x.v)+1), k -> x.v[k] * c.c[k])),
+       |        c.cid) AS rn
+       |    FROM v x CROSS JOIN centroids c)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${Similarity.cosineSql("a", "b")} AS cos
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${Similarity.cosineSql("a", "b")} >= $SemThreshold)""".stripMargin
+
+  private def semDedupSql =
+    s"""WITH $semPairsSqlCtes
+       |SELECT cid, id_b AS removed_id, id_a AS kept_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY removed_id""".stripMargin
+
+  /** Per-cluster dedup report: corpus size, removed count, survivor
+    * count — the summary a pipeline publishes after a SemDeDup pass. */
+  private def semSummary(s: SparkSession, d: String): DataFrame = {
+    val removed = semDedup(s, d).select(col("removed_id"))
+    Similarity.assigned(s, d)
+      .join(removed, col("vec_id") === col("removed_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("removed_id").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("cid"), col("n_vecs"), col("n_removed"),
+        (col("n_vecs") - col("n_removed")).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
+  private def semSummarySql =
+    s"""WITH $semPairsSqlCtes,
+       |removed AS (SELECT DISTINCT id_b AS removed_id FROM pairs)
+       |SELECT a.cid, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN r.removed_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(count(*) - sum(CASE WHEN r.removed_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM asg a LEFT JOIN removed r ON a.vec_id = r.removed_id
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_semantic", semDedup, Some(semDedupSql)),
+    GraftQuery("dedup_semantic_summary", semSummary, Some(semSummarySql)),
     GraftQuery("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
     GraftQuery("dedup_exact_summary", exactSummary, Some(exactSummarySql)),
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),

@@ -433,7 +433,97 @@ object TextAnalysis extends QueryModule {
       |  round(avg(quality), 4) AS avg_quality
       |FROM binned GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ---- benchmark decontamination (the n-gram-overlap check every
+  // training pipeline runs before release, per GPT-3/Gopher appendices):
+  // a deterministic held-out "benchmark" slice (doc_id % EvalMod = 0)
+  // contributes its distinct word trigrams; every remaining corpus doc is
+  // scored by the fraction of its trigram instances that appear in that
+  // set. Scale shape: the eval set is tiny relative to the corpus, so its
+  // distinct-gram table is BROADCAST against the exploded corpus scan —
+  // the corpus (the 100 TB side) is shuffled only by doc_id for the final
+  // per-doc aggregation. The flag threshold (>= 80%) is evaluated in
+  // integer arithmetic so both engines agree exactly.
+  private val EvalMod = 25
+
+  private def wordTrigrams(text: Column): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordTrigrams(col("text"))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("contamination"),
+        (col("n_hit") * 5 >= col("n_grams") * 4).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql =
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0)
+       |SELECT c.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS contamination,
+       |  sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) * 5 >= count(*) * 4
+       |    AS contaminated
+       |FROM (SELECT * FROM grams WHERE doc_id % $EvalMod <> 0) c
+       |LEFT JOIN ev e ON c.g = e.g
+       |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- corpus shape report: doc counts / token mass / quality per
+  // (lang, 16-token length bucket) — the histogram a pipeline publishes
+  // per snapshot to catch length-distribution drift. Bucketing is integer
+  // arithmetic (no log floats); one scan + one tiny agg.
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    // mean quality in integer basis points: per-doc quality scaled to
+    // 1e4 and rounded (exact), summed as BIGINT (order-insensitive),
+    // mean taken as half-up INTEGER division — a double avg() flipped
+    // the last rounded digit between engines, and even identical
+    // doubles tie-break differently under Spark's (decimal-string) vs
+    // DuckDB's (binary) round at an exact .5, so no float ever appears
+    val q4 = round(qualityScore(col("text")) * 10000).cast("long")
+    Tables.documents(s, d)
+      .groupBy(col("lang"), (nTok - nTok % 16).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"),
+        floor((sum(q4) * 2 + count(lit(1))) / (count(lit(1)) * 2))
+          .cast("long").as("avg_quality_bp"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
+  private val corpusStatsSql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(round((least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (1.0 - len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a'))) * 1.0
+      |           / len(string_split(text, ' ')))) * 10000) AS BIGINT) AS q4
+      |  FROM documents)
+      |SELECT lang, n_tokens - n_tokens % 16 AS len_bucket,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(floor((CAST(sum(q4) AS BIGINT) * 2 + count(*))
+      |    / (count(*) * 2)) AS BIGINT) AS avg_quality_bp
+      |FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_contamination", contamination, Some(contaminationSql)),
+    GraftQuery("text_corpus_stats", corpusStats, Some(corpusStatsSql)),
     GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),
     GraftQuery("text_repetition", repetition, Some(repetitionSql)),
     GraftQuery("text_filter_funnel", filterFunnel, Some(filterFunnelSql)),

@@ -750,6 +750,80 @@ object Relational extends QueryModule {
       |        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS nrm2_scaled
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---- CUBE: all 2^2 grouping-set combinations in one pass with the
+  // grouping_id bitmask (bit set = dimension aggregated away) — the same
+  // single-shuffle expansion ROLLUP gets in q19. Both engines use the
+  // identical bit encoding, so gid is oracle-exact.
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"), round2(sum(col("o_totalprice"))).as("total"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q41Sql =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      | o_orderstatus, o_orderpriority, count(*) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---- offset windows: lead/lag neighbors + ntile quartile per status
+  // partition. Pure window pass — one shuffle by partition key, no joins.
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  private val q42Sql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | lead(o_totalprice, 1) OVER w AS next_price,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  // ---- range (band) join: events bucketed into value bands via a
+  // non-equi join against a tiny broadcast band table — the 100 TB shape
+  // for histogram/banding joins (BroadcastNestedLoopJoin over 4 rows; the
+  // fact side is never shuffled for the join). The band mean is computed
+  // in exact integer cents so both engines agree bit-for-bit.
+  private val ValueBands = Seq(
+    (1L, 0.0, 50.0), (2L, 50.0, 100.0), (3L, 100.0, 200.0), (4L, 200.0, 500.0))
+
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = ValueBands.toDF("band_id", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("band_id"), col("n"),
+        round(col("cents") / lit(100.0) / col("n"), 4).as("avg_value"))
+      .orderBy(col("band_id"))
+  }
+
+  private val q43Sql = {
+    val bandRows = ValueBands
+      .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band_id, lo, hi) AS (VALUES $bandRows)
+       |SELECT band_id, count(*) AS n,
+       |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |    / 100.0 / count(*), 4) AS avg_value
+       |FROM events JOIN bands ON value >= lo AND value < hi
+       |GROUP BY band_id ORDER BY band_id""".stripMargin
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", q01, Some(q01Sql)),
     GraftQuery("q02_filter_project", q02, Some(q02Sql)),
