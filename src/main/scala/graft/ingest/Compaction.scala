@@ -36,40 +36,45 @@ object Compaction {
   /** Rewrite every day partition holding more than `maxFiles` files down
     * to exactly `targetFiles`. Returns the compacted partition values.
     *
-    * Partitions are independent, so their rewrite jobs are SUBMITTED
-    * concurrently from a small pool (SparkSession is thread-safe; the
-    * serial form spent ~0.4 s of fixed job overhead per day — 31 days
-    * made the roundtrip 12 s at sf0.01). Each partition's swap still
-    * happens only after its own rewrite, so a failure affects at most
-    * that partition. */
+    * ONE distributed job rewrites all oversized partitions: the scan
+    * prunes to just those days (partition-column filter), rows are
+    * clustered by day (+ a deterministic salt when targetFiles > 1) so
+    * each day lands in exactly targetFiles output files, and the whole
+    * temp tree is written in a single pass. The previous shape — one
+    * read-coalesce-write job per day off a thread pool — paid fixed job
+    * overhead O(#days); a year of partitions at production scale means
+    * thousands of jobs, whereas this is one job regardless of partition
+    * count (the same reason Iceberg's rewrite_data_files plans one job).
+    * Swaps happen per-day only after the full rewrite succeeds, so a
+    * mid-rewrite failure leaves every original partition intact. */
   def compact(spark: SparkSession, tableDir: String,
               maxFiles: Int = 4, targetFiles: Int = 1): Seq[String] = {
+    import org.apache.spark.sql.functions._
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oversized = fileCounts(spark, tableDir).filter(_._2 > maxFiles).keys.toSeq.sorted
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val jobs = oversized.map { day =>
-      scala.concurrent.Future {
-        val partDir = new Path(root, s"${SchemaBuilder.partitionColumn}=$day")
-        val tmpDir = new Path(root, s".compact_$day")
-        spark.read.parquet(partDir.toString)
-          .coalesce(targetFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-        // swap: remove originals, move compacted files in (single-FS
-        // renames; Iceberg's snapshot commit makes this atomic for real)
-        fs.delete(partDir, true)
-        fs.mkdirs(partDir)
-        fs.listStatus(tmpDir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.rename(f.getPath, new Path(partDir, f.getPath.getName)))
-        fs.delete(tmpDir, true)
-      }
+    if (oversized.isEmpty) return Seq.empty
+    val pcol = SchemaBuilder.partitionColumn
+    val tmpDir = new Path(root, ".compact_tmp")
+    val pruned = spark.read.parquet(tableDir)
+      .filter(col(pcol).cast("string").isin(oversized: _*))
+    val clustered =
+      if (targetFiles <= 1) pruned.repartition(col(pcol))
+      else pruned.repartition(col(pcol),
+        pmod(hash(pruned.columns.map(col): _*), lit(targetFiles)))
+    clustered.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmpDir.toString)
+    // swap: remove originals, move compacted files in (single-FS
+    // renames; Iceberg's snapshot commit makes this atomic for real)
+    oversized.foreach { day =>
+      val partDir = new Path(root, s"$pcol=$day")
+      val newDir = new Path(tmpDir, s"$pcol=$day")
+      fs.delete(partDir, true)
+      fs.mkdirs(partDir)
+      fs.listStatus(newDir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath, new Path(partDir, f.getPath.getName)))
     }
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    fs.delete(tmpDir, true)
     oversized
   }
 }

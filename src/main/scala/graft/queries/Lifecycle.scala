@@ -93,6 +93,49 @@ object Lifecycle extends QueryModule {
        |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- alternate-format round-trips: the same envelope write path
+  // through ORC (second columnar format, natively codegen'd scans) and
+  // JSON lines (the reference's actual blob storage format — ref
+  // internal/iceberg/writer/writer.go marshals row JSON). Both prove the
+  // sink/source pair is lossless: the oracle replays the aggregate from
+  // the raw events, so any encode/decode drift fails the hash. JSON
+  // reads back through an EXPLICIT schema — at 100 TB schema inference
+  // would be a second full scan.
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, "graft_orc", d)
+    CdcWriter.withPartitionColumn(CdcQueries.envelope(s, d))
+      .repartition(col(graft.model.SchemaBuilder.partitionColumn))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(graft.model.SchemaBuilder.partitionColumn)
+      .orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("day"))
+  }
+
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, "graft_json", d)
+    val env = CdcQueries.envelope(s, d)
+    env.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir)
+    s.read.schema(env.schema).json(dir)
+      .groupBy(col("_cdc_operation"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("_cdc_operation"))
+  }
+
+  private val jsonRoundtripSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT _cdc_operation, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- retention round-trip (S7): write the envelope day-partitioned,
   // drop partitions older than the cutoff (an O(partitions) metadata
   // delete — never a scan), read back. The oracle applies the same
@@ -375,6 +418,8 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),
     GraftQuery("cdc_retention_roundtrip", retentionRoundtrip, Some(retentionRoundtripSql)),
+    GraftQuery("cdc_orc_roundtrip", orcRoundtrip, Some(compactionRoundtripSql)),
+    GraftQuery("cdc_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),

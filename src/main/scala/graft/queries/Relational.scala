@@ -824,6 +824,27 @@ object Relational extends QueryModule {
        |GROUP BY band_id ORDER BY band_id""".stripMargin
   }
 
+  // ---- distribution windows: percent_rank / cume_dist per status over
+  // the order key — both are exact rationals ((rank-1)/(n-1), rank/n) of
+  // integers, so the single double division is bit-identical across
+  // engines. One window shuffle, no joins.
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderstatus"), col("o_orderkey"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  private val q44Sql =
+    """SELECT o_orderstatus, o_orderkey,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", q01, Some(q01Sql)),
     GraftQuery("q02_filter_project", q02, Some(q02Sql)),
@@ -865,5 +886,9 @@ object Relational extends QueryModule {
     GraftQuery("q38_first_last", q38, Some(q38Sql)),
     GraftQuery("q39_salted_join", q39, Some(q39Sql)),
     GraftQuery("q40_running_distinct", q40, Some(q40Sql)),
+    GraftQuery("q41_cube", q41, Some(q41Sql)),
+    GraftQuery("q42_offset_windows", q42, Some(q42Sql)),
+    GraftQuery("q43_range_join", q43, Some(q43Sql)),
+    GraftQuery("q44_dist_windows", q44, Some(q44Sql)),
   )
 }
