@@ -117,6 +117,18 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
+    // Focused mode: `runMain graft.Bench <name>...` measures just those
+    // queries (3 passes each, all reported) — for iterating on one
+    // operator without a full suite run. No history/defense involved.
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        val ts = (1 to 3).map { _ => measure(Seq(name))(name) }
+        println(s"""{"query":"$name","passes":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
+      }
+      spark.stop()
+      return
+    }
+
     val base = baseline(sfDir)
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val preCal = calibrate()
@@ -137,6 +149,13 @@ object Bench {
         val bad = allNames.filter(n => base.get(n).exists(b => suspect(times(n), b)))
         System.err.println(s"[bench] ${bad.size} inflated queries " +
           s"(steal window?) — re-measuring: ${bad.take(8).mkString(",")}...")
+        // Re-measures must be comparable to a first pass: the dedup/
+        // similarity queries share persisted caches, and a re-measure
+        // against a warm cache records an un-reproducible "best" that
+        // flags every future cold run as inflated (a ratchet). Drop the
+        // caches so the flagged queries pay the same fills a fresh pass
+        // would.
+        EngineCaches.invalidateAll()
         val again = measure(bad)
         times = times.map { case (k, v) => k -> math.min(v, again.getOrElse(k, v)) }
         cal = math.min(cal, calibrate())
@@ -150,6 +169,7 @@ object Bench {
       if (math.max(preCal, postCal) > 2.5 * cal || cal > 5.0) {
         System.err.println(
           s"[bench] inflated pass suspected (preCal=$preCal postCal=$postCal) — re-measuring all")
+        EngineCaches.invalidateAll() // cold-comparable re-pass (see above)
         val again = measure(allNames)
         times = times.map { case (k, v) => k -> math.min(v, again.getOrElse(k, v)) }
         cal = math.min(cal, calibrate())

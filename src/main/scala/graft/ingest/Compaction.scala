@@ -61,8 +61,20 @@ object Compaction {
     val clustered =
       if (targetFiles <= 1) pruned.repartition(col(pcol))
       else pruned.repartition(col(pcol),
-        pmod(hash(pruned.columns.map(col): _*), lit(targetFiles)))
-    clustered.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmpDir.toString)
+        pmod(hash(pruned.columns.toIndexedSeq.map(col): _*), lit(targetFiles)))
+    // A compaction rewrite is bandwidth-bound and reads exactly the tiny
+    // files it exists to remove — pack them into big input splits for the
+    // duration of this job instead of inheriting an analytics-tuned split
+    // size (hundreds of 4 MB-open-cost tasks over 1 KB files is pure
+    // scheduler overhead).
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.getOption(splitKey)
+    spark.conf.set(splitKey, (512L * 1024 * 1024).toString)
+    try clustered.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmpDir.toString)
+    finally prevSplit match {
+      case Some(v) => spark.conf.set(splitKey, v)
+      case None => spark.conf.unset(splitKey)
+    }
     // swap: remove originals, move compacted files in (single-FS
     // renames; Iceberg's snapshot commit makes this atomic for real)
     oversized.foreach { day =>
