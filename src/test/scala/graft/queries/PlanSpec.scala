@@ -98,4 +98,36 @@ class PlanSpec extends SparkTestBase {
     // the table's other columns
     assert(!plan.contains("n_chars"), "scan should prune n_chars")
   }
+
+  test("decontamination broadcasts the benchmark gram set (text_contamination)") {
+    // the eval slice is tiny relative to the corpus: its distinct-gram
+    // table must be the broadcast side — the corpus scan (the 100 TB
+    // side) is never shuffled for the membership join
+    val plan = planOf("text_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("range join broadcasts the band table, never the fact side (q43)") {
+    // a non-equi band join is a nested-loop by nature; the only
+    // admissible shape is broadcasting the 4-row band table
+    val plan = planOf("q43_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("semantic dedup joins within clusters only, no cartesian (dedup_semantic)") {
+    // SemDeDup's pairwise work is an equi-join on the centroid id; an
+    // all-pairs product would be the O(n²) trap the clustering exists
+    // to avoid
+    val plan = planOf("dedup_semantic")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("cube expands grouping sets in one pass with partial agg (q41)") {
+    val plan = planOf("q41_cube")
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(plan.contains("Partial") || plan.contains("partial_count"), plan.take(3000))
+  }
 }
