@@ -53,6 +53,23 @@ object StreamOps {
         col("rts") <= col("lts"))
   }
 
+  /** Watermarked session windows: per-user sessions close after `gap` of
+    * inactivity and are emitted once the watermark passes — the streaming
+    * dual of the batch `q32_sessionize` query (which derives the same
+    * sessions with a lag-window over the full history). State per open
+    * session only; merged sessions are native (`session_window` merges
+    * overlapping windows at the state store, not in user code). */
+  def sessionCounts(events: DataFrame, tsCol: String, userCol: String,
+                    watermarkDelay: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   def runningActivity(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserActivity] = {
     implicit val stateEnc: Encoder[UserActivity] = Encoders.product[UserActivity]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong

@@ -44,6 +44,41 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows merge on the gap and finalize in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.sessionCounts(
+      stream.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      watermarkDelay = "10 minutes", gap = "30 minutes")
+
+    val q = sessions.writeStream
+      .format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two events 20 min apart (one session), then one 2h later
+      // (a second session); user 2: one event
+      stream.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:20:00")),
+        (2L, ts("2024-01-01 00:05:00")), (1L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      stream.addData((3L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      stream.addData((3L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      // sessions end gap after the last contained event
+      assert(rows.toSeq.take(3) === Seq(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", 2L),
+        (1L, "2024-01-01 02:00:00.0", "2024-01-01 02:30:00.0", 1L),
+        (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:35:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
