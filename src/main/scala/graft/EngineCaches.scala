@@ -10,5 +10,6 @@ object EngineCaches {
   def invalidateAll(): Unit = {
     extensions.Dedup.invalidateCaches()
     extensions.Similarity.invalidateCaches()
+    extensions.Pq.invalidateCaches()
   }
 }

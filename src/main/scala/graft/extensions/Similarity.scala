@@ -37,8 +37,8 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryModule {
 
   private val Scale = 1000
-  private val TopK = 5
-  private val NQueryVecs = 10 // vec_id < 10 are the query set
+  private[extensions] val TopK = 5
+  private[extensions] val NQueryVecs = 10 // vec_id < 10 are the query set
 
   // ---- IVF quantizer parameters. 16 centroids on a 500-2000 vector
   // fixture keeps buckets ~admissible (balance spec-asserted); at real
@@ -48,9 +48,9 @@ object Similarity extends QueryModule {
   private val KmIters = 3
   private[extensions] val NProbe = 3
   // deterministic ~50% training sample: (vec_id * Knuth-multiplier) mod 97
-  private val SampleMult = 2654435761L
-  private val SampleMod = 97
-  private val SampleKeep = 49
+  private[extensions] val SampleMult = 2654435761L
+  private[extensions] val SampleMod = 97
+  private[extensions] val SampleKeep = 49
 
   /** Scaled-integer vectors with their squared norms. */
   def scaledVec(s: SparkSession, d: String): DataFrame =
@@ -204,7 +204,7 @@ object Similarity extends QueryModule {
   /** Ranked vector→centroid CTE: every row of `v` with its centroids
     * ordered by (dist, cid); filter rn = 1 for assignment, rn <= NProbe
     * for probing. */
-  private def rankedSql: String =
+  private[extensions] def rankedSql: String =
     s"""ranked AS (
        |  SELECT x.vec_id, x.label, x.v, x.nrm, c.cid,
        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
@@ -214,7 +214,7 @@ object Similarity extends QueryModule {
 
   // ------------------------------------------------------------ brute force
 
-  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+  private[extensions] def knnBrute(s: SparkSession, d: String): DataFrame = {
     val v = scaledVecCached(s, d)
     val queries = v.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -231,7 +231,7 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  private val knnBruteSql =
+  private[extensions] val knnBruteSql: String =
     s"""WITH v AS ($scaledVecSql),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM v WHERE vec_id < $NQueryVecs),
        |scored AS (
