@@ -70,9 +70,18 @@ object Bench {
     }.toMap
   }
 
-  /** A time is suspect vs its best: >3x AND >1s absolute above it. */
-  private def suspect(t: Double, best: Double): Boolean =
-    t > 3 * best && t - best > 1.0
+  /** A time is suspect vs its best. Three triggers, because the heaviest
+    * queries are precisely where a sub-3x inflation dominates the total
+    * (a 5.9 s-best query reporting 16.9 s is 2.85x — under the classic
+    * ratio — yet carries ~11 extra seconds):
+    *  - the classic 3x AND >1 s absolute (sub-second jitter never fires);
+    *  - 2x for heavy queries (best > 3 s);
+    *  - any absolute excess above 5% of the suite's best total — weight-
+    *    scaled, so whatever could move the headline number gets re-checked. */
+  private def suspect(t: Double, best: Double, totalBest: Double): Boolean =
+    (t > 3 * best && t - best > 1.0) ||
+      (best > 3.0 && t > 2 * best) ||
+      (t - best > math.max(1.0, 0.05 * totalBest))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,10 +152,11 @@ object Bench {
 
     if (base.nonEmpty) {
       // Per-query defense: re-measure whatever exceeds its known best.
+      val totalBest = (base - "_cal").values.sum
       var round = 0
       while (round < 2 &&
-        allNames.exists(n => base.get(n).exists(b => suspect(times(n), b)))) {
-        val bad = allNames.filter(n => base.get(n).exists(b => suspect(times(n), b)))
+        allNames.exists(n => base.get(n).exists(b => suspect(times(n), b, totalBest)))) {
+        val bad = allNames.filter(n => base.get(n).exists(b => suspect(times(n), b, totalBest)))
         System.err.println(s"[bench] ${bad.size} inflated queries " +
           s"(steal window?) — re-measuring: ${bad.take(8).mkString(",")}...")
         // Re-measures must be comparable to a first pass: the dedup/

@@ -171,15 +171,15 @@ object Pq extends QueryModule {
     val adcDot = (1 to m).map(sub =>
       element_at(element_at(col("lut"), sub), element_at(col("codes"), sub) + 1))
       .reduce(_ + _)
+    // no dedup needed: the corpus side is SINGLE-assigned (one cid per
+    // vector), so a (query, neighbor) pair joins on exactly one shared
+    // cid — each pair is emitted once and goes straight to the window,
+    // one exchange instead of the distinct-then-window two
     val scored = broadcast(probes)
       .join(encoded(s, d), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adcDot / sqrt(col("qnrm").cast("double") * col("nrm")), 4).as("adc_cos"))
-      // a pair can share several probed lists with the same code-derived
-      // score — dedup BEFORE ranking so duplicates can't occupy two
-      // shortlist slots
-      .distinct()
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id"))
     val shortlist = scored.withColumn("srk", row_number().over(wAdc))
@@ -303,7 +303,7 @@ object Pq extends QueryModule {
        |  SELECT vec_id AS query_id, cid
        |  FROM ranked WHERE rn <= ${Similarity.NProbe} AND vec_id < ${Similarity.NQueryVecs}),
        |cand AS (
-       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p
        |  JOIN (SELECT vec_id, cid FROM ranked WHERE rn = 1) a ON p.cid = a.cid
        |  WHERE p.query_id <> a.vec_id),

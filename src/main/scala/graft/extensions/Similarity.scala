@@ -103,66 +103,106 @@ object Similarity extends QueryModule {
   private[extensions] final case class Centroid(cid: Int, c: Seq[Long], cnrm: Long)
 
   /** Trained centroids per (session, dir). The training set is a
-    * deterministic hash-sample, each iteration is ONE distributed
-    * aggregation job (assignment is a pure expression over broadcast
-    * literal centroids — no join, no shuffle of the vectors), and only
-    * the K x 64 centroid table ever reaches the driver — the same
-    * metadata-sized collect a broadcast would do. At 100 TB: the sample
-    * bound caps training cost; assignment stays expression-only. */
+    * deterministic hash-sample; init and each iteration are ONE
+    * distributed treeAggregate over the sample RDD (assignment is the
+    * same exact (dist, cid)-argmin as the kernel, in plain JVM loops),
+    * and only the K x dim centroid table ever reaches the driver — the
+    * same metadata-sized collect a broadcast would do. RDD here is
+    * deliberate: the DataFrame formulation re-analyzed and re-janino-
+    * compiled a K × dim literal expression tree EVERY iteration, ~3 s of
+    * fixed driver cost this path pays exactly never. At 100 TB: the
+    * sample bound caps training cost; assignment stays kernel-only. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[Centroid]]
 
   private[extensions] def centroids(s: SparkSession, d: String): Seq[Centroid] =
     centroidCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val sample = scaledVecCached(s, d)
+      val sampleRdd = scaledVecCached(s, d)
         .filter((col("vec_id") * SampleMult) % SampleMod < SampleKeep)
-      // vector width from the data (one row off the cached projection);
-      // the SQL replay is width-agnostic via len(v)/generate_subscripts
-      val dim = sample.select(size(col("v"))).head().getInt(0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .rdd.map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .persist()
       // init: per residue class vec_id % K, the lowest-id sample vector
-      val wInit = Window.partitionBy(col("vec_id") % NCentroids).orderBy(col("vec_id"))
-      var cents: Seq[Centroid] = sample
-        .withColumn("rn", row_number().over(wInit)).filter(col("rn") === 1)
-        .select((col("vec_id") % NCentroids).cast("int").as("cid"), col("v"), col("nrm"))
-        .collect().map(r => Centroid(r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      var cents: Seq[Centroid] = sampleRdd
+        .map { case (id, v, nrm) => ((id % NCentroids).toInt, (id, v, nrm)) }
+        .reduceByKey((a, b) => if (a._1 <= b._1) a else b)
+        .collect()
+        .map { case (cid, (_, v, nrm)) => Centroid(cid, v.toSeq, nrm) }
         .sortBy(_.cid).toSeq
+      val dim = cents.head.c.length
       for (_ <- 1 to KmIters) {
-        val sums = (1 to dim).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
-        val updated = sample
-          .withColumn("cid", nearestCid(cents))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("cnt"), sums: _*)
-          .collect()
-        cents = updated.map { r =>
-          val cnt = r.getLong(1)
-          // exact: |component sums| < 2^53 by construction, so the double
-          // division + floor is the bit-identical value DuckDB computes
-          val c = (1 to dim).map(i => math.floor(r.getLong(1 + i).toDouble / cnt).toLong)
-          Centroid(r.getInt(0), c, c.map(x => x * x).sum)
-        }.sortBy(_.cid).toSeq
+        // flat primitive copies for the executor-side argmin closure
+        val k = cents.size
+        val cVecs = cents.map(_.c.toArray).toArray
+        val cNrm = cents.map(_.cnrm).toArray
+        val cCid = cents.map(_.cid).toArray
+        // acc layout: per centroid index, [count, sum_1..sum_dim]
+        val width = dim + 1
+        val agg = sampleRdd.treeAggregate(new Array[Long](k * width))(
+          seqOp = (acc, row) => {
+            val v = row._2
+            // argmin over (dist, cid): dist = nrm + cnrm - 2·dot with nrm
+            // constant per row, so cnrm - 2·dot is the identical order;
+            // entries ascend by cid and strict < keeps the lowest cid —
+            // exactly the kernel's (and the oracle's) tiebreak
+            var best = Long.MaxValue
+            var bi = -1
+            var i = 0
+            while (i < k) {
+              val c = cVecs(i)
+              var dot = 0L
+              var j = 0
+              while (j < dim) { dot += v(j) * c(j); j += 1 }
+              val score = cNrm(i) - 2L * dot
+              if (score < best) { best = score; bi = i }
+              i += 1
+            }
+            acc(bi * width) += 1L
+            var j = 0
+            while (j < dim) { acc(bi * width + 1 + j) += v(j); j += 1 }
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        // exact: |component sums| < 2^53 by construction, so the double
+        // division + floor is the bit-identical value DuckDB computes.
+        // A centroid that lost every point drops out, matching the SQL
+        // GROUP BY (which only emits observed cids).
+        cents = (0 until k).flatMap { i =>
+          val cnt = agg(i * width)
+          if (cnt == 0) None
+          else {
+            val c = (1 to dim).map(j => math.floor(agg(i * width + j).toDouble / cnt).toLong)
+            Some(Centroid(cCid(i), c, c.map(x => x * x).sum))
+          }
+        }.sortBy(_.cid)
       }
+      sampleRdd.unpersist(blocking = false)
       cents
     })
 
-  /** Squared L2 distance to a literal centroid: ||v||² + ||c||² - 2 v·c,
-    * all BIGINT — exact, codegen'd, no shuffle. */
-  private def distTo(ct: Centroid): Column =
-    col("nrm") + lit(ct.cnrm) -
-      graft.functions.ScaledDotProduct(col("v"), typedlit(ct.c)) * 2
+  /** Trained centroids as a flat-array coarse-quantizer codebook: the
+    * m = 1, subDim = dim special case of [[graft.functions.PqCodebookData]],
+    * so IVF assignment/probing share the PQ kernels (single virtual call
+    * inside whole-stage codegen instead of a K × dim literal tree). */
+  private def ivfCb(cents: Seq[Centroid]): graft.functions.PqCodebookData = {
+    val sorted = cents.sortBy(_.cid).toArray
+    val dim = sorted.head.c.length
+    new graft.functions.PqCodebookData(
+      dim, Array(0, sorted.length), sorted.map(_.cid),
+      sorted.flatMap(_.c), sorted.map(_.cnrm))
+  }
 
-  /** (dist, cid) structs to every centroid — lexicographic order gives
-    * the deterministic argmin/top-nprobe both engines agree on. */
-  private def distStructs(cents: Seq[Centroid]): Column =
-    array(cents.map(ct =>
-      struct(distTo(ct).as("d"), lit(ct.cid).as("cid"))): _*)
-
-  /** Nearest centroid id as a pure expression. */
+  /** Nearest centroid id — codegen'd kernel argmin, (dist, cid) order. */
   private def nearestCid(cents: Seq[Centroid]): Column =
-    array_min(distStructs(cents)).getField("cid")
+    graft.functions.PqKernels.nearestCid(lit(0), col("v"), ivfCb(cents))
 
-  /** The [[NProbe]] nearest centroid ids as an array expression. */
+  /** The [[NProbe]] nearest centroid ids, (dist, cid) ascending. */
   private def probeCids(cents: Seq[Centroid]): Column =
-    transform(slice(sort_array(distStructs(cents)), 1, NProbe), x => x.getField("cid"))
+    graft.functions.PqKernels.probeCids(col("v"), ivfCb(cents), NProbe)
 
   // ------------------------------------------------- k-means training (SQL)
 

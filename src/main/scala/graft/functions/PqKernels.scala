@@ -62,6 +62,46 @@ final class PqCodebookData(
     bestCid
   }
 
+  /** The `nProbe` cids nearest to the sub-vector at `svOff`, ordered by
+    * (dist, cid) ascending — the IVF probe list. Insertion sort over a
+    * bounded buffer: strict `<` comparisons mean an equal-score entry
+    * never displaces an earlier (lower-cid) one, so the order is the
+    * exact lexicographic (dist, cid) the oracle's row_number replays. */
+  def probeCids(v: ArrayData, svOff: Int, sub: Int, nProbe: Int): ArrayData = {
+    val start = subOff(sub)
+    val end = subOff(sub + 1)
+    val n = math.min(nProbe, end - start)
+    val bestScore = new Array[Long](n)
+    val bestCid = new Array[Int](n)
+    var filled = 0
+    var e = start
+    while (e < end) {
+      val base = e * subDim
+      var dot = 0L
+      var k = 0
+      while (k < subDim) {
+        dot += v.getLong(svOff + k) * flat(base + k)
+        k += 1
+      }
+      val score = cnrm(e) - 2L * dot
+      if (filled < n) {
+        var pos = filled
+        while (pos > 0 && score < bestScore(pos - 1)) {
+          bestScore(pos) = bestScore(pos - 1); bestCid(pos) = bestCid(pos - 1); pos -= 1
+        }
+        bestScore(pos) = score; bestCid(pos) = cids(e); filled += 1
+      } else if (score < bestScore(n - 1)) {
+        var pos = n - 1
+        while (pos > 0 && score < bestScore(pos - 1)) {
+          bestScore(pos) = bestScore(pos - 1); bestCid(pos) = bestCid(pos - 1); pos -= 1
+        }
+        bestScore(pos) = score; bestCid(pos) = cids(e)
+      }
+      e += 1
+    }
+    new GenericArrayData(bestCid)
+  }
+
   /** All M codes of a full vector, one argmin per subspace. */
   def encode(v: ArrayData): ArrayData = {
     val codes = new Array[Int](m)
@@ -164,6 +204,33 @@ case class PqEncode(child: Expression, cb: PqCodebookData)
     copy(child = newChild)
 }
 
+/** `ivf_probe_cids(v)` → the nProbe nearest centroid ids, (dist, cid)
+  * ascending. The IVF coarse quantizer is the m = 1, subDim = dim special
+  * case of the codebook, so it shares [[PqCodebookData]]: the inlined
+  * K × dim literal-struct expression this replaces cost a fresh janino
+  * compile in every consumer plan. */
+case class PqProbeCids(child: Expression, cb: PqCodebookData, nProbe: Int)
+  extends UnaryExpression with PqLongArrayInput {
+
+  override def nullIntolerant: Boolean = true
+  override protected def vectorChild: Expression = child
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVector()
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probe_cids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    cb.probeCids(v.asInstanceOf[ArrayData], 0, 0, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcb", cb, classOf[PqCodebookData].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.probeCids($v, 0, 0, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqProbeCids =
+    copy(child = newChild)
+}
+
 /** `pq_lut(qv)` → the query's M × Ks table of exact sub-dot-products. */
 case class PqLut(child: Expression, cb: PqCodebookData)
   extends UnaryExpression with PqLongArrayInput {
@@ -196,4 +263,6 @@ object PqKernels {
     GraftBridge.column(PqEncode(GraftBridge.expression(v), cb))
   def lut(qv: Column, cb: PqCodebookData): Column =
     GraftBridge.column(PqLut(GraftBridge.expression(qv), cb))
+  def probeCids(v: Column, cb: PqCodebookData, nProbe: Int): Column =
+    GraftBridge.column(PqProbeCids(GraftBridge.expression(v), cb, nProbe))
 }
