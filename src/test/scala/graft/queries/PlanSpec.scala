@@ -125,6 +125,18 @@ class PlanSpec extends SparkTestBase {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("IVF-PQ ADC stage feeds the shortlist window directly (sim_knn_ivfpq)") {
+    // the corpus side is single-assigned, so (query, neighbor) candidate
+    // pairs are already unique off the broadcast join — a dedup before the
+    // shortlist window would be a full extra exchange of the candidate
+    // set. Admissible exchanges: the two shortlist/top-k windows plus the
+    // final presentation sort; any more means a dedup crept back in.
+    val plan = planOf("sim_knn_ivfpq")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 exchanges (2 windows + sort), got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("cube expands grouping sets in one pass with partial agg (q41)") {
     val plan = planOf("q41_cube")
     assert(plan.contains("Expand"), plan.take(3000))
