@@ -44,6 +44,24 @@ object Cdc {
   def currentState(envelope: DataFrame, keyCols: Seq[String]): DataFrame =
     latestVersions(envelope, keyCols).filter(col(OpColumn) =!= "DELETE")
 
+  /** Materialized current state honoring TRUNCATE markers: a TRUNCATE at
+    * LSN t is a table-wide reset — every event at or before t is discarded
+    * before the latest-per-key materialization (ref internal/cdc/source/
+    * postgres/reader.go:237-242: TRUNCATE carries no row image, only its
+    * position). The reset watermark is a 1-row aggregate crossed back in
+    * via broadcast, so the operator stays fully distributed — no driver
+    * collect of the marker, works per-table at any scale. */
+  def currentStateWithTruncate(envelope: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val wm = envelope.agg(
+      max(when(col(OpColumn) === "TRUNCATE", col(LsnColumn))).as("_trunc_lsn"))
+    currentState(
+      envelope.crossJoin(broadcast(wm))
+        .filter(col(OpColumn) =!= "TRUNCATE" &&
+          (col("_trunc_lsn").isNull || col(LsnColumn) > col("_trunc_lsn")))
+        .drop("_trunc_lsn"),
+      keyCols)
+  }
+
   /** Ordered change history for a key predicate (ref sample-queries.sql:105-112). */
   def history(envelope: DataFrame, keyCols: Seq[String], pred: Column): DataFrame =
     envelope.filter(pred)

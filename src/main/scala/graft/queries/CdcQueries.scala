@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object CdcQueries extends QueryModule {
 
-  /** Shared envelope CTE for the oracles. */
-  private val envelopeSql =
+  /** Shared envelope CTE for the oracles (also reused by PipelineOps). */
+  private[queries] val envelopeSql =
     """SELECT user_id, event_id, value,
       | CASE event_type WHEN 'signup' THEN 'INSERT'
       |                 WHEN 'error' THEN 'DELETE'
@@ -123,6 +123,45 @@ object CdcQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- TRUNCATE semantics: a TRUNCATE marker in the stream resets the
+  // table — current state must contain only events strictly after the
+  // newest marker (ref internal/cdc/source/postgres/reader.go:237-242:
+  // the T action carries no row image, just its WAL position). A marker
+  // is injected at a fixed LSN so the reset boundary is deterministic
+  // and the oracle replays the identical watermark-filter-materialize.
+  private val TruncateLsn = "0000000000003000"
+  private val TruncateTs = "2024-01-01 00:00:00"
+
+  private def cdcTruncateState(s: SparkSession, d: String): DataFrame = {
+    val env = envelope(s, d)
+    val marker = s.range(1).select(
+      lit(null).cast("long").as("user_id"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"),
+      lit("TRUNCATE").as(Cdc.OpColumn),
+      lit(TruncateTs).cast("timestamp").as(Cdc.TsColumn),
+      lit(TruncateLsn).as(Cdc.LsnColumn))
+    Cdc.currentStateWithTruncate(env.unionByName(marker), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cdcTruncateStateSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |env2 AS (
+       |  SELECT * FROM envelope
+       |  UNION ALL SELECT NULL, NULL, NULL, 'TRUNCATE',
+       |    TIMESTAMP '$TruncateTs', '$TruncateLsn'),
+       |tw AS (SELECT max(CASE WHEN _cdc_operation = 'TRUNCATE'
+       |                       THEN _cdc_lsn END) AS tl FROM env2)
+       |SELECT user_id, event_id, value FROM (
+       |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM env2 e, tw
+       |  WHERE e._cdc_operation <> 'TRUNCATE'
+       |    AND (tw.tl IS NULL OR e._cdc_lsn > tw.tl)) t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE' ORDER BY user_id""".stripMargin
+
   // ---- DSv2 WAL source (S1): synthesize a Debezium-JSONL log from
   // `events` (the wire format the reference's reader consumes, ref
   // internal/cdc/source/postgres/reader.go:172-242), read it back through
@@ -182,5 +221,6 @@ object CdcQueries extends QueryModule {
     GraftQuery("cdc_history", cdcHistory, Some(cdcHistorySql)),
     GraftQuery("cdc_multi_version_keys", cdcMultiVersion, Some(cdcMultiVersionSql)),
     GraftQuery("cdc_freshness", cdcFreshness, Some(cdcFreshnessSql)),
+    GraftQuery("cdc_truncate_state", cdcTruncateState, Some(cdcTruncateStateSql)),
   )
 }

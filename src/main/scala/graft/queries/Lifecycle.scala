@@ -349,6 +349,122 @@ object Lifecycle extends QueryModule {
        |WHERE table_name IN $tablesInList
        |GROUP BY table_name ORDER BY table_name""".stripMargin
 
+  // ---- catalog exploration (Q1): SHOW CATALOGS / SHOW SCHEMAS emulation
+  // (ref sample-queries.sql:12-18: catalog `iceberg`, schema `philotes`).
+  // Single-catalog engine, so the namespace rows are config — but the
+  // table inventory is MEASURED from the warehouse dir, and the oracle
+  // counts DuckDB's information_schema over the same registration: the
+  // two engines must agree on what the catalog actually contains.
+  private def catalogSchemas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val n = Tables.names.count(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/$t.parquet")))
+    Seq(("iceberg", "philotes", n.toLong))
+      .toDF("catalog_name", "schema_name", "n_tables")
+  }
+
+  private val catalogSchemasSql =
+    s"""SELECT 'iceberg' AS catalog_name, 'philotes' AS schema_name,
+       |  count(*) AS n_tables
+       |FROM information_schema.tables
+       |WHERE table_name IN $tablesInList""".stripMargin
+
+  // ---- metadata tables (Q6): $properties emulation (ref
+  // sample-queries.sql:140-143). Key/value rows of the written table's
+  // static config — format and partition spec measured from the actual
+  // lake layout, row count and LSN watermark from the read-back — so a
+  // layout regression fails correctness, not just an eyeball.
+  private def tableProperties(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, "graft_props", d)
+    CdcWriter.write(CdcQueries.envelope(s, d), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // partition spec parsed from the hive-style dirs actually on disk
+    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.contains("="))
+    val partCol = dayDirs.map(_.getName.takeWhile(_ != '=')).distinct.sorted.mkString(",")
+    // data format from the files inside the first partition
+    val fmt = fs.listStatus(dayDirs.head).map(_.getPath.getName)
+      .filter(!_.startsWith("_")).map(_.split('.').last).distinct.sorted.mkString(",")
+    CdcWriter.read(s, dir)
+      .agg(count(lit(1)).as("n"), max(col(Cdc.LsnColumn)).as("wm"),
+        countDistinct(col(graft.model.SchemaBuilder.partitionColumn)).as("nparts"))
+      .select(explode(map(
+        lit("format"), lit(fmt),
+        lit("lsn.watermark"), col("wm"),
+        lit("partition.columns"), lit(partCol),
+        lit("partition.count"), col("nparts").cast("string"),
+        lit("rows.total"), col("n").cast("string"))).as(Seq("key", "value")))
+      .orderBy(col("key"))
+  }
+
+  private val tablePropertiesSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |m AS (SELECT count(*) AS n, max(_cdc_lsn) AS wm,
+       |  count(DISTINCT strftime(_cdc_timestamp, '%Y-%m-%d')) AS nparts
+       |  FROM envelope)
+       |SELECT key, value FROM (
+       |  SELECT 'format' AS key, 'parquet' AS value FROM m
+       |  UNION ALL SELECT 'lsn.watermark', wm FROM m
+       |  UNION ALL SELECT 'partition.columns', '_cdc_date' FROM m
+       |  UNION ALL SELECT 'partition.count', CAST(nparts AS VARCHAR) FROM m
+       |  UNION ALL SELECT 'rows.total', CAST(n AS VARCHAR) FROM m) t
+       |ORDER BY key""".stripMargin
+
+  // ---- schema-evolution history ($metadata, ref sample-queries.sql:
+  // 135-138; persisted per-version in the reference's
+  // philotes.cdc_schema_history, init-scripts/02-cdc-schema.sql:21-31).
+  // Version 1 is the declared source payload (the typed subscription
+  // schema); version 2 is SchemaBuilder.merge of the drifted source
+  // relation read from the warehouse footer — add-only, version bumped,
+  // existing fields keep position (ref MergeSchemas, schema.go:149-174).
+  // The oracle replays the identical merge from information_schema and
+  // measures the same per-version LSN watermarks from the envelope.
+  private val DriftLsn = "0000000000005000"
+
+  private def schemaHistory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v1 = CdcQueries.SourcePayloadSchema
+    val incoming = Tables.events(s, d).schema
+    val (v2, ver2) = graft.model.SchemaBuilder.merge(v1, incoming, 1)
+    val added = v2.fields.drop(v1.fields.length).map(_.name)
+    val versions = Seq(
+      (1L, v1.fields.map(_.name).mkString(","), None: Option[String]),
+      (ver2.toLong, v2.fields.map(_.name).mkString(","), Some(added.mkString(","))))
+      .toDF("version", "columns", "added_columns")
+    // per-version capture watermarks, measured from the stream itself
+    val wm = CdcQueries.envelope(s, d).agg(
+      max(when(col(Cdc.LsnColumn) <= DriftLsn, col(Cdc.LsnColumn))).as("w1"),
+      max(col(Cdc.LsnColumn)).as("w2"))
+    versions.crossJoin(broadcast(wm))
+      .select(col("version"),
+        when(col("version") === 1, col("w1")).otherwise(col("w2")).as("lsn_watermark"),
+        col("columns"), col("added_columns"))
+      .orderBy(col("version"))
+  }
+
+  private val schemaHistorySql =
+    s"""WITH envelope AS ($envelopeSql),
+       |added AS (
+       |  SELECT string_agg(column_name, ',' ORDER BY ordinal_position) AS ac
+       |  FROM information_schema.columns
+       |  WHERE table_name = 'events'
+       |    AND column_name NOT IN ('user_id', 'event_id', 'value')),
+       |wm AS (
+       |  SELECT max(CASE WHEN _cdc_lsn <= '$DriftLsn' THEN _cdc_lsn END) AS w1,
+       |         max(_cdc_lsn) AS w2
+       |  FROM envelope)
+       |SELECT 1 AS version, w1 AS lsn_watermark,
+       |  'user_id,event_id,value' AS columns, CAST(NULL AS VARCHAR) AS added_columns
+       |FROM wm
+       |UNION ALL
+       |SELECT 2, w2, 'user_id,event_id,value' || ',' || ac, ac
+       |FROM wm, added
+       |ORDER BY version""".stripMargin
+
   // ---- EXPLAIN surface (Q17): the formatted plan of a representative
   // query as data. Plan text embeds paths/stats → rows-only check.
   private def explainPlan(s: SparkSession, d: String): DataFrame = {
@@ -426,6 +542,9 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
+    GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
+    GraftQuery("cdc_table_properties", tableProperties, Some(tablePropertiesSql)),
+    GraftQuery("cdc_schema_history", schemaHistory, Some(schemaHistorySql)),
     GraftQuery("catalog_describe", catalogDescribe, Some(catalogDescribeSql)),
     GraftQuery("catalog_show_create", catalogShowCreate, Some(catalogShowCreateSql)),
     GraftQuery("explain_plan", explainPlan, None),

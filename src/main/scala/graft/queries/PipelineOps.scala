@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule}
+import graft.ingest.Cdc
+import graft.reliability.{DeadLetter, RetryPolicy}
+import graft.streaming.{IngestConfig, IngestPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational surface of the streaming pipeline as REGISTERED queries:
+  * the DLQ read side and a full stream-drain roundtrip. Both run the real
+  * pipeline machinery (router, retry, DLQ, checkpointed micro-batches)
+  * against deterministic inputs, so the write path is proven end-to-end
+  * in the driver's DuckDB-oracle signal, not only in specs.
+  */
+object PipelineOps extends QueryModule {
+
+  private def rmrf(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** No-sleep retry: these queries inject VALIDATION failures (never
+    * retried) and healthy writes (first-attempt success), so backoff
+    * sleeps would only ever stall a re-measure. */
+  private def fastRetry = RetryPolicy(maxAttempts = 2, sleep = _ => ())
+
+  // ---- DLQ read surface (ref internal/cdc/deadletter/postgres.go:45-352:
+  // Read / GetStats). A deterministic poison slice — per-key table names,
+  // one of them an invalid identifier — routes through the REAL batch
+  // processor: validation dead-letters the poison slice row-for-row while
+  // the healthy tables land. dlq_stats is GetStats over the DLQ table;
+  // the oracle recomputes the expected failure counts from the envelope.
+  private def dlqStats(s: SparkSession, d: String): DataFrame = {
+    val base = Lifecycle.scratchDir(s, "graft_dlqq", d)
+    rmrf(s, base) // append-mode DLQ: re-runs must start clean
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "events_cdc",
+      retry = fastRetry)
+    val batch = CdcQueries.envelope(s, d).withColumn(cfg.tableCol,
+      when(col("user_id") % 10 === 0, lit("events bad")) // not an identifier
+        .otherwise(concat(lit("events_"), (col("user_id") % 2).cast("string"))))
+    IngestPipeline.processBatch(cfg)(batch, 0L)
+    DeadLetter.stats(s, cfg.dlqDir)
+  }
+
+  private val dlqStatsSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT 'events_cdc' AS source_id, 'events bad' AS table_name,
+       |  'validation' AS error_type, count(*) AS n_failed
+       |FROM envelope WHERE user_id % 10 = 0""".stripMargin
+
+  // ---- streaming write path end-to-end (T1/S4-S6): the envelope drained
+  // through IngestPipeline.start as an AvailableNow stream — file source
+  // with admission control, per-table router, day-partitioned lake append,
+  // offsets committed per batch — then the lake read back and aggregated.
+  // The oracle computes the same aggregate from the raw events: any loss,
+  // duplication or corruption in the streaming path fails the hash.
+  private def streamRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = Lifecycle.scratchDir(s, "graft_streamrt", d)
+    rmrf(s, base) // append sink + checkpoint: re-runs must start clean
+    val env = CdcQueries.envelope(s, d).withColumn("_cdc_table",
+      concat(lit("events_"), (col("user_id") % 2).cast("string")))
+    env.repartition(4).write.parquet(s"$base/src")
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "stream_rt",
+      retry = fastRetry)
+    val stream = IngestPipeline.fileEnvelopeSource(
+      s, s"$base/src", env.schema, maxFilesPerTrigger = 2)
+    IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
+    s.read.parquet(s"${cfg.outDir}/events_0")
+      .unionByName(s.read.parquet(s"${cfg.outDir}/events_1"))
+      .groupBy(col("_cdc_table"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"), max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("_cdc_table"))
+  }
+
+  private val streamRoundtripSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT 'events_' || CAST(user_id % 2 AS VARCHAR) AS _cdc_table,
+       |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
+    GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
+  )
+}

@@ -54,11 +54,11 @@ object DeadLetter {
   def read(spark: SparkSession, dlqDir: String): DataFrame =
     spark.read.parquet(dlqDir)
 
-  /** Failure counts by table and error type (ref GetStats,
-    * deadletter/postgres.go:300-352). */
+  /** Failure counts by source, table and error type (ref GetStats,
+    * deadletter/postgres.go:300-352: per-source/per-table/per-type). */
   def stats(spark: SparkSession, dlqDir: String): DataFrame =
     read(spark, dlqDir)
-      .groupBy(col("table_name"), col("error_type"))
+      .groupBy(col("source_id"), col("table_name"), col("error_type"))
       .agg(count(lit(1)).as("n_failed"))
-      .orderBy(col("table_name"), col("error_type"))
+      .orderBy(col("source_id"), col("table_name"), col("error_type"))
 }

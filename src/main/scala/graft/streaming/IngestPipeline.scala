@@ -38,6 +38,12 @@ final case class IngestConfig(
 
 object IngestPipeline {
 
+  /** Lake table names must be plain SQL identifiers — a WAL source can
+    * carry arbitrary relation names, and anything else would become a
+    * malformed object-store path. Violations are a VALIDATION failure
+    * (dead-lettered, never retried — retrying can't fix a name). */
+  private val TableNameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   /** Process one micro-batch: route per table, write each with retry,
     * dead-letter a table's slice if retries exhaust. Public so batch jobs
     * and tests can drive it without a stream. */
@@ -47,6 +53,9 @@ object IngestPipeline {
     tables.foreach { t =>
       val slice = batch.filter(col(cfg.tableCol) === t)
       try {
+        // validate BEFORE the retry loop: IllegalArgumentException maps to
+        // the `validation` DLQ class (ref deadletter.go error typing)
+        require(TableNameRe.matches(t), s"invalid table name: '$t'")
         Retry.execute(cfg.retry) { () =>
           CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
         }

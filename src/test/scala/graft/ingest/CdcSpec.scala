@@ -50,4 +50,27 @@ class CdcSpec extends SparkTestBase {
     val multi = Cdc.multiVersionKeys(envelope, Seq("id")).orderBy("id").collect()
     assert(multi.map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
+
+  test("currentStateWithTruncate resets the table at the newest marker") {
+    import spark.implicits._
+    // TRUNCATE at lsn 0003: keys 1-2's earlier rows are discarded; key 2's
+    // DELETE (0004) and key 3's INSERT (0005) are after the reset
+    val marker = Seq((null.asInstanceOf[java.lang.Long], "TRUNCATE",
+        "2024-01-01 18:00:00", "0003", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", Cdc.OpColumn, "ts_s", Cdc.LsnColumn, "value")
+      .withColumn(Cdc.TsColumn, col("ts_s").cast("timestamp")).drop("ts_s")
+      .select(envelope.columns.map(col): _*)
+    val state = Cdc.currentStateWithTruncate(
+      envelope.unionByName(marker), Seq("id")).orderBy("id").collect()
+    // key 1's UPDATE (0002) is at/before the marker → gone; key 2's newest
+    // surviving op is DELETE → dropped; only key 3 survives
+    assert(state.map(_.getAs[Long]("id")).toSeq === Seq(3L))
+  }
+
+  test("currentStateWithTruncate without a marker equals currentState") {
+    val a = Cdc.currentStateWithTruncate(envelope, Seq("id"))
+      .orderBy("id").collect().toSeq
+    val b = Cdc.currentState(envelope, Seq("id")).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }

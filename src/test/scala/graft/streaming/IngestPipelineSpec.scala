@@ -83,6 +83,31 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(stats.head.getAs[Long]("n_failed") === 1)
   }
 
+  test("invalid table names are dead-lettered as validation, not retried") {
+    import spark.implicits._
+    val c = cfg(tmp("graft-out"))
+    var sleeps = 0
+    val counting = c.copy(retry = RetryPolicy(maxAttempts = 3, sleep = _ => sleeps += 1))
+    val batch = Seq(ev(1, "users", 1), ev(2, "not a name", 1))
+      .map(e => (e.user_id, e.event_id, e.value, e._cdc_operation,
+        e._cdc_timestamp, e._cdc_lsn, e._cdc_table))
+      .toDF("user_id", "event_id", "value", "_cdc_operation",
+        "_cdc_timestamp", "_cdc_lsn", "_cdc_table")
+    IngestPipeline.processBatch(counting)(batch, 0L)
+    // healthy table landed; poison slice classified as validation
+    assert(spark.read.parquet(s"${c.outDir}/users").count() === 1)
+    val dlq = DeadLetter.read(spark, c.dlqDir).collect()
+    assert(dlq.length === 1)
+    assert(dlq.head.getAs[String]("table_name") === "not a name")
+    assert(dlq.head.getAs[String]("error_type") === "validation")
+    // validation short-circuits BEFORE the retry loop — no backoff ran
+    assert(sleeps === 0)
+    // stats is the GetStats shape: per source / table / error type
+    val st = DeadLetter.stats(spark, c.dlqDir).collect().head
+    assert(st.getAs[String]("source_id") === "stream")
+    assert(st.getAs[Long]("n_failed") === 1L)
+  }
+
   test("full reference pipeline: WAL source -> decode -> router -> lake table") {
     // S1→S8 through the REAL source: Debezium JSONL log, DSv2 LSN-offset
     // stream, declarative decode, per-table routing, day-partitioned
