@@ -45,6 +45,10 @@ object Pq extends QueryModule {
   // narrower subspaces halve the per-cell distortion vs 8-dim ones at
   // the same 8-byte code budget. Real embedding corpora sit far below
   // their ambient dimension and recall improves accordingly.
+  // Unlike the IVF list count (Similarity.ivfParams: K ≈ ⌈√n⌉, a
+  // corpus-size function), Ks is a BITS-PER-CODE budget: capacity at
+  // scale comes from the M·log2(Ks)-bit product space (16^M cells),
+  // not from growing each codebook — so it stays a fixed design choice.
   private val SubDim = 4
   private val Ks = 16
   private val PqIters = 3
@@ -301,7 +305,7 @@ object Pq extends QueryModule {
        |$pqCodesSqlCte,
        |probes AS (
        |  SELECT vec_id AS query_id, cid
-       |  FROM ranked WHERE rn <= ${Similarity.NProbe} AND vec_id < ${Similarity.NQueryVecs}),
+       |  FROM ranked WHERE rn <= (SELECT np FROM kparam) AND vec_id < ${Similarity.NQueryVecs}),
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p

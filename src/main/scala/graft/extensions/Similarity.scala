@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   *    shuffled, and per-partition top-k folds into the final window.
   *  - IVF top-k over TRAINED centroids: k-means in exact integer
   *    arithmetic (see [[centroids]]) partitions the corpus into
-  *    [[NCentroids]] lists; queries probe their [[NProbe]] nearest
-  *    centroids. Candidate generation is a centroid-id equi-join, so the
-  *    per-query cost drops to ~NProbe/NCentroids of the corpus and the
-  *    join shape survives 100 TB. Recall is approximate by design and
-  *    MEASURED by `sim_ivf_recall`, not asserted.
+  *    K ≈ ⌈√n⌉ lists (derived from the corpus, see [[ivfParams]]);
+  *    queries probe their ⌈√K⌉ nearest centroids. Candidate generation
+  *    is a centroid-id equi-join, so the per-query scanned fraction is
+  *    ~1/√K — shrinking as the corpus grows — and the join shape
+  *    survives 100 TB. Recall is approximate by design and MEASURED by
+  *    `sim_ivf_recall`, not asserted.
   *
   * Why the training replays in the oracle: every k-means step is exact —
   * distances are BIGINT (||v||² + ||c||² - 2·v·c), the argmin tiebreak is
@@ -40,13 +41,39 @@ object Similarity extends QueryModule {
   private[extensions] val TopK = 5
   private[extensions] val NQueryVecs = 10 // vec_id < 10 are the query set
 
-  // ---- IVF quantizer parameters. 16 centroids on a 500-2000 vector
-  // fixture keeps buckets ~admissible (balance spec-asserted); at real
-  // scale NCentroids grows ~sqrt(n) and the same training/assignment
-  // shapes hold (sample-bounded training set, expression-only assignment).
-  private[extensions] val NCentroids = 16
+  // ---- IVF quantizer capacity, DERIVED from the corpus: K ≈ ⌈√n⌉
+  // inverted lists (the standard IVF sizing — per-list size and list
+  // count grow together as √n) and a probe width of ⌈√K⌉, so the scanned
+  // fraction per query is ~√K/K = 1/√K, SHRINKING as the corpus grows.
+  // Both derivations are one SQL-replayable count, so the DuckDB oracle
+  // computes the identical (K, nprobe) and retrains bit-identically at
+  // any scale factor. Bounds are operational guards for tiny/huge
+  // fixtures, not semantics.
+  private val KMin = 4
+  private val KMax = 64
+  private val NProbeMin = 3
   private val KmIters = 3
-  private[extensions] val NProbe = 3
+
+  private val paramCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Int, Int)]
+
+  /** (K, nprobe) for this corpus — one count job, cached per (session, dir). */
+  private[extensions] def ivfParams(s: SparkSession, d: String): (Int, Int) =
+    paramCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val n = scaledVecCached(s, d).count()
+      val k = math.max(KMin, math.min(KMax, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val np = math.max(NProbeMin, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
+      (k, np)
+    })
+
+  /** SQL mirror of [[ivfParams]]: CTEs `kparam(k, np)` over the `v` CTE. */
+  private def kparamSqlCtes: String =
+    s"""kparam0 AS (
+       |  SELECT GREATEST($KMin, LEAST($KMax,
+       |    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM v),
+       |kparam AS (
+       |  SELECT k, GREATEST($NProbeMin, LEAST(k,
+       |    CAST(ceil(sqrt(k)) AS BIGINT))) AS np FROM kparam0)""".stripMargin
   // deterministic ~50% training sample: (vec_id * Knuth-multiplier) mod 97
   private[extensions] val SampleMult = 2654435761L
   private[extensions] val SampleMod = 97
@@ -74,6 +101,7 @@ object Similarity extends QueryModule {
     vecCache.values.foreach(_.unpersist())
     vecCache.clear()
     centroidCache.clear()
+    paramCache.clear()
   }
 
   val scaledVecSql: String =
@@ -117,6 +145,7 @@ object Similarity extends QueryModule {
 
   private[extensions] def centroids(s: SparkSession, d: String): Seq[Centroid] =
     centroidCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val nCent = ivfParams(s, d)._1
       val sampleRdd = scaledVecCached(s, d)
         .filter((col("vec_id") * SampleMult) % SampleMod < SampleKeep)
         .select(col("vec_id"), col("v"), col("nrm"))
@@ -124,7 +153,7 @@ object Similarity extends QueryModule {
         .persist()
       // init: per residue class vec_id % K, the lowest-id sample vector
       var cents: Seq[Centroid] = sampleRdd
-        .map { case (id, v, nrm) => ((id % NCentroids).toInt, (id, v, nrm)) }
+        .map { case (id, v, nrm) => ((id % nCent).toInt, (id, v, nrm)) }
         .reduceByKey((a, b) => if (a._1 <= b._1) a else b)
         .collect()
         .map { case (cid, (_, v, nrm)) => Centroid(cid, v.toSeq, nrm) }
@@ -200,9 +229,9 @@ object Similarity extends QueryModule {
   private def nearestCid(cents: Seq[Centroid]): Column =
     graft.functions.PqKernels.nearestCid(lit(0), col("v"), ivfCb(cents))
 
-  /** The [[NProbe]] nearest centroid ids, (dist, cid) ascending. */
-  private def probeCids(cents: Seq[Centroid]): Column =
-    graft.functions.PqKernels.probeCids(col("v"), ivfCb(cents), NProbe)
+  /** The `np` nearest centroid ids, (dist, cid) ascending. */
+  private def probeCids(cents: Seq[Centroid], np: Int): Column =
+    graft.functions.PqKernels.probeCids(col("v"), ivfCb(cents), np)
 
   // ------------------------------------------------- k-means training (SQL)
 
@@ -213,14 +242,15 @@ object Similarity extends QueryModule {
     val distSql =
       "s.nrm + c.cnrm - 2 * list_sum(list_transform(range(1, len(s.v)+1), k -> s.v[k] * c.c[k]))"
     val init =
-      s"""sample AS (
+      s"""$kparamSqlCtes,
+         |sample AS (
          |  SELECT vec_id, v, nrm FROM v
          |  WHERE (vec_id * $SampleMult) % $SampleMod < $SampleKeep),
          |c0 AS (
-         |  SELECT CAST(vec_id % $NCentroids AS INT) AS cid, v AS c, CAST(nrm AS BIGINT) AS cnrm
-         |  FROM (SELECT *, row_number() OVER (
-         |          PARTITION BY vec_id % $NCentroids ORDER BY vec_id) AS rn
-         |        FROM sample)
+         |  SELECT CAST(vec_id % k AS INT) AS cid, v AS c, CAST(nrm AS BIGINT) AS cnrm
+         |  FROM (SELECT s.*, kp.k, row_number() OVER (
+         |          PARTITION BY s.vec_id % kp.k ORDER BY s.vec_id) AS rn
+         |        FROM sample s CROSS JOIN kparam kp)
          |  WHERE rn = 1)""".stripMargin
     val iters = (1 to KmIters).map { i =>
       s"""a$i AS (
@@ -242,8 +272,8 @@ object Similarity extends QueryModule {
   }
 
   /** Ranked vector→centroid CTE: every row of `v` with its centroids
-    * ordered by (dist, cid); filter rn = 1 for assignment, rn <= NProbe
-    * for probing. */
+    * ordered by (dist, cid); filter rn = 1 for assignment,
+    * rn <= (SELECT np FROM kparam) for probing. */
   private[extensions] def rankedSql: String =
     s"""ranked AS (
        |  SELECT x.vec_id, x.label, x.v, x.nrm, c.cid,
@@ -293,18 +323,18 @@ object Similarity extends QueryModule {
   private[extensions] def assigned(s: SparkSession, d: String): DataFrame =
     scaledVecCached(s, d).withColumn("cid", nearestCid(centroids(s, d)))
 
-  /** Each vector multi-assigned to its [[NProbe]] nearest centroids
+  /** Each vector multi-assigned to its nprobe nearest centroids
     * (probe expansion for dedup-style self-joins). */
   private[extensions] def multiAssigned(s: SparkSession, d: String): DataFrame =
     scaledVecCached(s, d)
-      .withColumn("cid", explode(probeCids(centroids(s, d))))
+      .withColumn("cid", explode(probeCids(centroids(s, d), ivfParams(s, d)._2)))
 
   private def knnIvf(s: SparkSession, d: String): DataFrame = {
     val probes = multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("cid"),
         col("v").as("qv"), col("nrm").as("qnrm"))
-    // candidates: centroid-id equi-join — each query scans ~NProbe of
-    // NCentroids inverted lists, never the whole corpus
+    // candidates: centroid-id equi-join — each query scans ~⌈√K⌉ of the
+    // K inverted lists, never the whole corpus
     val scored = broadcast(probes)
       .join(assigned(s, d), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -325,7 +355,7 @@ object Similarity extends QueryModule {
        |$rankedSql,
        |probes AS (
        |  SELECT vec_id AS query_id, cid, v AS qv, nrm AS qnrm
-       |  FROM ranked WHERE rn <= $NProbe AND vec_id < $NQueryVecs),
+       |  FROM ranked WHERE rn <= (SELECT np FROM kparam) AND vec_id < $NQueryVecs),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i] * a.v[i]))
@@ -344,7 +374,7 @@ object Similarity extends QueryModule {
 
   /** Recall@k of the IVF search against the exact brute-force answer —
     * the quality metric that makes the approximate operator's trade-off
-    * measurable (probing NProbe of NCentroids lists trades recall for the
+    * measurable (probing ⌈√K⌉ of the K lists trades recall for the
     * candidate-set reduction). Both sides are deterministic, so the
     * recall itself is oracle-checkable. */
   private def ivfRecall(s: SparkSession, d: String): DataFrame = {

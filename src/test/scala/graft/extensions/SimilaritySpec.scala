@@ -26,14 +26,25 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("no trained bucket degenerates into an all-pairs trap") {
-    val sizes = graft.SparkEntry.queries("sim_ivf_buckets")(spark, sf0001)
-      .collect().map(_.getAs[Long]("n_vecs"))
-    val total = sizes.sum.toDouble
-    assert(sizes.length >= Similarity.NCentroids / 2,
-      s"only ${sizes.length} non-empty buckets")
-    assert(sizes.max / total <= 0.20,
-      s"largest bucket holds ${sizes.max / total} of the corpus " +
-        "(quadratic within-bucket joins at scale)")
+    // asserted at BOTH spec scale factors: the derived K must keep the
+    // bucket-balance invariant as the corpus (and so K) grows
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val k = Similarity.ivfParams(spark, sf)._1
+      val sizes = graft.SparkEntry.queries("sim_ivf_buckets")(spark, sf)
+        .collect().map(_.getAs[Long]("n_vecs"))
+      val total = sizes.sum.toDouble
+      assert(sizes.length >= k / 2, s"$sf: only ${sizes.length} non-empty buckets of $k")
+      assert(sizes.max / total <= 0.20,
+        s"$sf: largest bucket holds ${sizes.max / total} of the corpus " +
+          "(quadratic within-bucket joins at scale)")
+    }
+  }
+
+  test("quantizer capacity derives from the corpus count") {
+    val (k, np) = Similarity.ivfParams(spark, sf0001)
+    val n = Similarity.scaledVecCached(spark, sf0001).count()
+    assert(k === math.max(4, math.min(64, math.ceil(math.sqrt(n.toDouble)).toInt)))
+    assert(np === math.max(3, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt)))
   }
 
   test("IVF recall clears the trained-quantizer floor; brute top-k is exactly k") {
