@@ -446,7 +446,8 @@ object Dedup extends QueryModule {
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup vector pairs over the TRAINED IVF quantizer: each vector is
-    * multi-assigned to its ⌈√K⌉ nearest centroids (probe expansion —
+    * multi-assigned to its [[Similarity.PairProbe]] nearest centroids
+    * (a both-sides expansion, so candidate volume scales np²/K —
     * near neighbors straddling a centroid boundary still share a list),
     * candidates are the centroid-id equi-join, verified with exact cosine
     * >= 0.45. Cosine uses Similarity's scaled-integer dot product and the
@@ -454,7 +455,7 @@ object Dedup extends QueryModule {
     * bit-identical across engines. The within-list join is bounded by the
     * bucket-balance invariant sim_ivf_buckets asserts — no O(n²) trap. */
   private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val mp = Similarity.multiAssigned(s, d)
+    val mp = Similarity.multiAssigned(s, d, Similarity.PairProbe)
     mp.alias("a")
       .join(mp.alias("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -474,7 +475,7 @@ object Dedup extends QueryModule {
        |      x.nrm + c.cnrm - 2 * list_sum(list_transform(range(1, len(x.v)+1), k -> x.v[k] * c.c[k])),
        |      c.cid) AS rn
        |  FROM v x CROSS JOIN centroids c),
-       |mp AS (SELECT vec_id, v, nrm, cid FROM mpr WHERE rn <= (SELECT np FROM kparam))
+       |mp AS (SELECT vec_id, v, nrm, cid FROM mpr WHERE rn <= ${Similarity.PairProbe})
        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |  ${Similarity.cosineSql("a", "b")} AS cos
        |FROM mp a JOIN mp b ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -323,11 +323,23 @@ object Similarity extends QueryModule {
   private[extensions] def assigned(s: SparkSession, d: String): DataFrame =
     scaledVecCached(s, d).withColumn("cid", nearestCid(centroids(s, d)))
 
-  /** Each vector multi-assigned to its nprobe nearest centroids
-    * (probe expansion for dedup-style self-joins). */
+  /** Dedup-side probe width. Pair generation expands BOTH sides of the
+    * self-join, so candidate volume scales as np²/K of n² — a small
+    * CONSTANT keeps that quadratic term bounded while the growing list
+    * count K already shrinks the within-list pair counts. The knn path
+    * expands only the (tiny) query side, cost np/K per query, so its np
+    * is the derived ⌈√K⌉ instead. */
+  private[extensions] val PairProbe = 3
+
+  /** Each vector multi-assigned to its `np` nearest centroids (probe
+    * expansion; default ⌈√K⌉ for query-side knn probing — pass
+    * [[PairProbe]] for both-sides dedup self-joins). */
   private[extensions] def multiAssigned(s: SparkSession, d: String): DataFrame =
+    multiAssigned(s, d, ivfParams(s, d)._2)
+
+  private[extensions] def multiAssigned(s: SparkSession, d: String, np: Int): DataFrame =
     scaledVecCached(s, d)
-      .withColumn("cid", explode(probeCids(centroids(s, d), ivfParams(s, d)._2)))
+      .withColumn("cid", explode(probeCids(centroids(s, d), np)))
 
   private def knnIvf(s: SparkSession, d: String): DataFrame = {
     val probes = multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
