@@ -63,11 +63,13 @@ object PipelineOps extends QueryModule {
     rmrf(s, base) // append sink + checkpoint: re-runs must start clean
     val env = CdcQueries.envelope(s, d).withColumn("_cdc_table",
       concat(lit("events_"), (col("user_id") % 2).cast("string")))
-    env.repartition(4).write.parquet(s"$base/src")
+    env.repartition(2).write.parquet(s"$base/src")
     val cfg = IngestConfig(
       outDir = s"$base/lake", dlqDir = s"$base/dlq",
       checkpointDir = s"$base/ckpt", sourceId = "stream_rt",
       retry = fastRetry)
+    // one AvailableNow batch here — multi-batch admission control (T8) is
+    // covered by IngestPipelineSpec; the oracle checks the data path
     val stream = IngestPipeline.fileEnvelopeSource(
       s, s"$base/src", env.schema, maxFilesPerTrigger = 2)
     IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
