@@ -48,33 +48,39 @@ object IngestPipeline {
     * dead-letter a table's slice if retries exhaust. Public so batch jobs
     * and tests can drive it without a stream. */
   def processBatch(cfg: IngestConfig)(batch: DataFrame, batchId: Long): Unit = {
-    val tables = batch.select(col(cfg.tableCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    tables.foreach { t =>
-      val slice = batch.filter(col(cfg.tableCol) === t)
-      try {
-        // validate BEFORE the retry loop: IllegalArgumentException maps to
-        // the `validation` DLQ class (ref deadletter.go error typing)
-        require(TableNameRe.matches(t), s"invalid table name: '$t'")
-        Retry.execute(cfg.retry) { () =>
-          CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
+    // the fanout runs T per-table filtered writes plus the table-list and
+    // lag aggregates off this one frame — persist so the upstream source
+    // (WAL decode, file scan) is computed once, not T + 2 times
+    batch.persist()
+    try {
+      val tables = batch.select(col(cfg.tableCol)).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      tables.foreach { t =>
+        val slice = batch.filter(col(cfg.tableCol) === t)
+        try {
+          // validate BEFORE the retry loop: IllegalArgumentException maps to
+          // the `validation` DLQ class (ref deadletter.go error typing)
+          require(TableNameRe.matches(t), s"invalid table name: '$t'")
+          Retry.execute(cfg.retry) { () =>
+            CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
+          }
+          Metrics.inc("iceberg", "commits_total")
+        } catch {
+          case e: Throwable =>
+            DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,
+              retryCount = cfg.retry.maxAttempts)
+            Metrics.inc("cdc", "dlq_total")
         }
-        Metrics.inc("iceberg", "commits_total")
-      } catch {
-        case e: Throwable =>
-          DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,
-            retryCount = cfg.retry.maxAttempts)
-          Metrics.inc("cdc", "dlq_total")
       }
-    }
-    // replication lag: wall clock minus newest commit timestamp in the
-    // batch (ref T12 lag gauge, internal/cdc/pipeline/pipeline.go:247-250)
-    if (batch.columns.contains(graft.ingest.Cdc.TsColumn)) {
-      val maxTs = batch.agg(max(col(graft.ingest.Cdc.TsColumn))).collect()(0)
-      if (!maxTs.isNullAt(0))
-        Metrics.setGauge("cdc", "lag_seconds",
-          (System.currentTimeMillis() - maxTs.getTimestamp(0).getTime) / 1000.0)
-    }
+      // replication lag: wall clock minus newest commit timestamp in the
+      // batch (ref T12 lag gauge, internal/cdc/pipeline/pipeline.go:247-250)
+      if (batch.columns.contains(graft.ingest.Cdc.TsColumn)) {
+        val maxTs = batch.agg(max(col(graft.ingest.Cdc.TsColumn))).collect()(0)
+        if (!maxTs.isNullAt(0))
+          Metrics.setGauge("cdc", "lag_seconds",
+            (System.currentTimeMillis() - maxTs.getTimestamp(0).getTime) / 1000.0)
+      }
+    } finally batch.unpersist()
   }
 
   /** Rate-limited file-based envelope source: `maxFilesPerTrigger` caps
