@@ -465,6 +465,87 @@ object Lifecycle extends QueryModule {
        |FROM wm, added
        |ORDER BY version""".stripMargin
 
+  // ---- table/namespace DDL (S11): the CREATE path through the real
+  // Spark catalog — namespace + typed table, BOTH idempotent (IF NOT
+  // EXISTS; the second CREATE is the reference's 409-tolerant re-create,
+  // ref internal/iceberg/catalog/rest.go:40-184), CDC current state
+  // inserted through the catalog, read back via spark.table. The oracle
+  // recomputes the same state from the raw envelope: the DDL + insert +
+  // catalog read-back loop must round-trip the data exactly.
+  private def catalogCreateTable(s: SparkSession, d: String): DataFrame = {
+    val base = scratchDir(s, "graft_ddl", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // deterministic re-runs
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat LOCATION '$base/ns'")
+    s.sql("DROP TABLE IF EXISTS graft_cat.user_state")
+    val ddl =
+      s"""CREATE TABLE IF NOT EXISTS graft_cat.user_state
+         |  (user_id BIGINT, event_id BIGINT, value DOUBLE)
+         |  USING parquet LOCATION '$base/user_state'""".stripMargin
+    s.sql(ddl)
+    s.sql(ddl) // idempotent re-create: must be a no-op, not a failure
+    graft.ingest.Cdc.currentState(CdcQueries.envelope(s, d), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .write.insertInto("graft_cat.user_state")
+    s.table("graft_cat.user_state")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(lit("graft_cat.user_state").as("table_name"), col("n_rows"),
+        col("n_users"), col("min_value"), col("max_value"))
+  }
+
+  private val catalogCreateTableSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |st AS (
+       |  SELECT user_id, event_id, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn FROM envelope) t
+       |  WHERE rn = 1 AND _cdc_operation <> 'DELETE')
+       |SELECT 'graft_cat.user_state' AS table_name, count(*) AS n_rows,
+       |  count(DISTINCT user_id) AS n_users,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM st""".stripMargin
+
+  // ---- API cursor pagination: the reference streams query results page
+  // by page behind a nextUri cursor (ref internal/api/services/
+  // query.go:335-426). graft.queries.Paging holds the executed result
+  // iterator engine-side (one partition on the driver at a time); this
+  // query drains a deterministic ordered scan through the REAL cursor and
+  // emits per-page boundaries — the oracle recomputes them with a window,
+  // so page stability and completeness are hash-checked.
+  private val PageSize = 2000
+
+  private def cursorPages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("k"))
+      .orderBy(col("k"))
+    val cur = Paging.cursor(q, PageSize)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var pageNo = 0L
+    while (cur.hasMore) {
+      val p = cur.nextPage()
+      if (p.nonEmpty) {
+        pages += ((pageNo, p.length.toLong, p.head.getLong(0), p.last.getLong(0)))
+        pageNo += 1
+      }
+    }
+    pages.toSeq.toDF("page_no", "n_rows", "first_key", "last_key")
+      .orderBy(col("page_no"))
+  }
+
+  private val cursorPagesSql =
+    s"""SELECT page_no, count(*) AS n_rows,
+       |  min(k) AS first_key, max(k) AS last_key
+       |FROM (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+       |    (row_number() OVER (ORDER BY o_orderkey) - 1) // $PageSize AS page_no
+       |  FROM orders) t
+       |GROUP BY page_no ORDER BY page_no""".stripMargin
+
   // ---- EXPLAIN surface (Q17): the formatted plan of a representative
   // query as data. Plan text embeds paths/stats → rows-only check.
   private def explainPlan(s: SparkSession, d: String): DataFrame = {
@@ -543,6 +624,8 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
+    GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),
+    GraftQuery("api_cursor_pages", cursorPages, Some(cursorPagesSql)),
     GraftQuery("cdc_table_properties", tableProperties, Some(tablePropertiesSql)),
     GraftQuery("cdc_schema_history", schemaHistory, Some(schemaHistorySql)),
     GraftQuery("catalog_describe", catalogDescribe, Some(catalogDescribeSql)),
