@@ -459,7 +459,42 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rn = 1
        |GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ------------------------------------------- cluster-balanced sampling
+
+  /** Diversity-preserving subset selection: a fixed per-cluster quota
+    * drawn from the TRAINED quantizer's cells (the data-curation
+    * counterpart of SemDeDup — instead of dropping near-dups, keep a
+    * balanced cross-section of the embedding space). Selection within a
+    * cluster is a deterministic Knuth-hash order, so it is unbiased w.r.t.
+    * insertion order yet bit-replayable by the oracle. At 100 TB this is
+    * one window over the assignment — no extra shuffle beyond the
+    * cluster key. */
+  private val SamplePerCluster = 5
+
+  private def clusterSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy((col("vec_id") * SampleMult) % SampleMod, col("vec_id"))
+    assigned(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SamplePerCluster)
+      .select(col("cid"), col("vec_id"), col("label"))
+      .orderBy(col("cid"), col("vec_id"))
+  }
+
+  private def clusterSampleSql =
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |$rankedSql,
+       |asg AS (SELECT vec_id, label, cid FROM ranked WHERE rn = 1)
+       |SELECT cid, vec_id, label FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |    ORDER BY (vec_id * $SampleMult) % $SampleMod, vec_id) AS srn
+       |  FROM asg) t
+       |WHERE srn <= $SamplePerCluster
+       |ORDER BY cid, vec_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("sim_cluster_sample", clusterSample, Some(clusterSampleSql)),
     GraftQuery("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     GraftQuery("sim_ivf_recall", ivfRecall, Some(ivfRecallSql)),
