@@ -137,6 +137,25 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 3, s"expected <= 3 exchanges (2 windows + sort), got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("cluster sampling is one keyed window, no extra shuffle (sim_cluster_sample)") {
+    // the per-cluster quota must come from a single window over the
+    // assignment — anything joining the corpus back to itself here would
+    // be a new shuffle the operator does not need
+    val plan = planOf("sim_cluster_sample")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "quota selection must not join")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("truncate-state watermark is broadcast, never a driver collect (cdc_truncate_state)") {
+    // the 1-row TRUNCATE watermark crosses back in via broadcast; the
+    // envelope side must not shuffle for it
+    val plan = planOf("cdc_truncate_state")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("cube expands grouping sets in one pass with partial agg (q41)") {
     val plan = planOf("q41_cube")
     assert(plan.contains("Expand"), plan.take(3000))
