@@ -88,8 +88,48 @@ object PipelineOps extends QueryModule {
        |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- stateful streaming aggregation end-to-end: a tumbling-window
+  // count maintained by Structured Streaming's state store across
+  // micro-batches, drained AvailableNow and materialized per batch
+  // (complete mode — the bounded-cardinality dashboard shape; the
+  // unbounded-state production path, watermark + append, is exercised in
+  // StreamOpsSpec). The oracle recomputes the windows from the raw
+  // events, so any state-store loss or double-count fails the hash.
+  private def streamAgg(s: SparkSession, d: String): DataFrame = {
+    val base = Lifecycle.scratchDir(s, "graft_streamagg", d)
+    rmrf(s, base)
+    val env = CdcQueries.envelope(s, d)
+    env.repartition(4).write.parquet(s"$base/src")
+    val stream = IngestPipeline.fileEnvelopeSource(
+      s, s"$base/src", env.schema, maxFilesPerTrigger = 2)
+    val agg = stream
+      .groupBy(window(col(Cdc.TsColumn), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), max(col(Cdc.LsnColumn)).as("lsn_max"))
+    val q = agg.writeStream
+      .queryName("graft-stream-agg")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/out")
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("w.start").cast("timestamp").as("day_start"),
+        col("n"), col("lsn_max"))
+      .orderBy(col("day_start"))
+  }
+
+  private val streamAggSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT CAST(date_trunc('day', _cdc_timestamp) AS TIMESTAMP) AS day_start,
+       |  count(*) AS n, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY day_start""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
+    GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
   )
 }
