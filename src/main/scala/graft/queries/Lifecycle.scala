@@ -129,6 +129,38 @@ object Lifecycle extends QueryModule {
       .orderBy(col("_cdc_operation"))
   }
 
+  // CSV: the interchange format every export surface ends up speaking.
+  // Written with header + explicit timestamp format, read back through an
+  // EXPLICIT schema (inference would be a second full scan at 100 TB and
+  // would strip the LSN's leading zeros by guessing a number). The
+  // aggregate avoids float columns entirely — count/distinct/min/max over
+  // strings are text-roundtrip-exact by construction.
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir(s, "graft_csv", d)
+    val env = CdcQueries.envelope(s, d)
+    env.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+    s.read.schema(env.schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(dir)
+      .groupBy(col("_cdc_operation"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.TsColumn)).as("ts_min"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("_cdc_operation"))
+  }
+
+  private val csvRoundtripSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT _cdc_operation, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users,
+       |  min(_cdc_timestamp) AS ts_min, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val jsonRoundtripSql =
     s"""WITH envelope AS ($envelopeSql)
        |SELECT _cdc_operation, count(*) AS n,
@@ -617,6 +649,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_retention_roundtrip", retentionRoundtrip, Some(retentionRoundtripSql)),
     GraftQuery("cdc_orc_roundtrip", orcRoundtrip, Some(compactionRoundtripSql)),
     GraftQuery("cdc_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    GraftQuery("cdc_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
