@@ -106,12 +106,12 @@ object Dedup extends QueryModule {
     * survivors, clusters), and by four joins within each — recomputing it
     * per consumer was the dominant dedup cost in the r02 bench. */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), DataFrame]
 
   private def signatures(s: SparkSession, d: String, kind: String,
                          sigFn: String => (Seq[Long], Seq[Long]),
                          bandRows: Int): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), d, kind, bandRows), {
+    sigCache.getOrElseUpdate((graft.SessionKeys(s), d, kind, bandRows), {
       import s.implicits._
       // repartition: the fixture is one parquet file = one input split; the
       // signature kernel is the expensive stage, so spread it across cores
@@ -145,7 +145,7 @@ object Dedup extends QueryModule {
     * survivors, clusters, jaccard-est) — persist the small result once
     * per (session, dir, configuration) like the signatures above. */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   /** Per-call persisted frames (cluster labels) that outlive their query's
     * return but are not keyed caches — retained so [[invalidateCaches]]
@@ -170,7 +170,7 @@ object Dedup extends QueryModule {
                        sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
                        bandRows: Int = 2): DataFrame =
     pairsCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, s"$kind|$threshold|$bandRows"),
+      (graft.SessionKeys(s), d, s"$kind|$threshold|$bandRows"),
       lshPairsUncached(s, d, kind, sigFn, threshold, bandRows).persist())
 
   private def lshPairsUncached(s: SparkSession, d: String, kind: String,
@@ -302,7 +302,7 @@ object Dedup extends QueryModule {
     import s.implicits._
     val nBands = SimBits / SimBandBits
     val sg = sigCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, "simhash32", 0),
+      (graft.SessionKeys(s), d, "simhash32", 0),
       Tables.documents(s, d)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .repartition(s.sparkContext.defaultParallelism)

@@ -1,14 +1,19 @@
 package graft.extensions
 
-import java.util.zip.CRC32
+import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Minimal, real PNG container handling: write and parse the 8-byte
-  * signature + IHDR chunk (PNG spec §5.2/§11.2.2 — public format, pure
-  * byte layout, no codec needed). Used by [[Multimodal]]: the image/png
-  * fixture blobs carry a VALID header, and the decode stage reads
-  * width/height from the container bytes (signature + chunk type + CRC
-  * all verified) instead of faking them — only the wav/mp4 decode
-  * remains stubbed (no codec libraries ship in this container).
+/** Minimal, real PNG handling: write and parse the 8-byte signature +
+  * IHDR chunk, and — for complete image blobs — a full 8-bit RGB
+  * encode/decode (PNG spec §5/§9/§11 — public format, pure byte layout;
+  * zlib via the JDK's Deflater/Inflater, no external codec).
+  *
+  * Used by [[Multimodal]]: the lightweight asset fixtures carry a VALID
+  * header (dims read back out of container bytes, CRC verified); the
+  * pixel-stats fixtures are COMPLETE PNGs — IHDR + Deflater-compressed
+  * IDAT of filtered scanlines (all five standard filter types) + IEND —
+  * and [[decodeRgb]] is a real decoder: chunk walk with CRC checks,
+  * Inflater, per-scanline unfilter. Cross-validated against the JDK's
+  * independent ImageIO PNG reader in MultimodalSpec.
   */
 object Png {
 

@@ -69,7 +69,7 @@ object Pq extends QueryModule {
   }
 
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[PqCentroid]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[PqCentroid]]
 
   def invalidateCaches(): Unit = codebookCache.clear()
 
@@ -102,7 +102,7 @@ object Pq extends QueryModule {
     * sampled id, then [[PqIters]] iterations of ONE distributed
     * aggregation each. Only M × Ks × (SubDim + 1) longs reach the driver. */
   private[extensions] def codebooks(s: SparkSession, d: String): Seq[PqCentroid] =
-    codebookCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    codebookCache.getOrElseUpdate((graft.SessionKeys(s), d), {
       val m = mOf(s, d)
       val sample = subVectors(s, d, m).filter(
         (col("vec_id") * Similarity.SampleMult) % Similarity.SampleMod

@@ -55,11 +55,11 @@ object Similarity extends QueryModule {
   private val KmIters = 3
 
   private val paramCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (Int, Int)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Int, Int)]
 
   /** (K, nprobe) for this corpus — one count job, cached per (session, dir). */
   private[extensions] def ivfParams(s: SparkSession, d: String): (Int, Int) =
-    paramCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    paramCache.getOrElseUpdate((graft.SessionKeys(s), d), {
       val n = scaledVecCached(s, d).count()
       val k = math.max(KMin, math.min(KMax, math.ceil(math.sqrt(n.toDouble)).toInt))
       val np = math.max(NProbeMin, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
@@ -89,10 +89,10 @@ object Similarity extends QueryModule {
   /** One persisted copy per (session, sfDir): every similarity/dedup
     * consumer shares this projection. */
   private val vecCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def scaledVecCached(s: SparkSession, d: String): DataFrame =
-    vecCache.getOrElseUpdate((System.identityHashCode(s), d),
+    vecCache.getOrElseUpdate((graft.SessionKeys(s), d),
       scaledVec(s, d).persist())
 
   /** Release every persisted frame / trained model this module holds (see
@@ -141,10 +141,10 @@ object Similarity extends QueryModule {
     * fixed driver cost this path pays exactly never. At 100 TB: the
     * sample bound caps training cost; assignment stays kernel-only. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[Centroid]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Centroid]]
 
   private[extensions] def centroids(s: SparkSession, d: String): Seq[Centroid] =
-    centroidCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    centroidCache.getOrElseUpdate((graft.SessionKeys(s), d), {
       val nCent = ivfParams(s, d)._1
       val sampleRdd = scaledVecCached(s, d)
         .filter((col("vec_id") * SampleMult) % SampleMod < SampleKeep)

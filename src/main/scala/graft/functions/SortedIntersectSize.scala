@@ -26,15 +26,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull = false is part of the contract: the merge loop calls
+    // getLong on every element, where a null slot would silently read as
+    // garbage and corrupt the count. The signature kernels emit non-null
+    // sorted sets, so a nullable input means a wiring bug — fail analysis.
     def ok(t: DataType) = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> arguments, got " +
+        s"$prettyName requires two array<bigint> arguments with " +
+          s"non-nullable elements, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 

@@ -26,6 +26,29 @@ object PipelineOps extends QueryModule {
     * sleeps would only ever stall a re-measure. */
   private def fastRetry = RetryPolicy(maxAttempts = 2, sleep = _ => ())
 
+  // ---- source fixtures, materialized ONCE per (session, sfDir, shape).
+  // The source side of every streaming query is immutable — only the
+  // lake/checkpoint/DLQ must start clean per run — so re-runs (bench
+  // re-measures) time the PIPELINE, not parquet fixture setup. The file
+  // paths inside a checkpoint stay valid because the cached dir is stable
+  // for the life of the session.
+  private val srcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  private def envelopeSrc(s: SparkSession, d: String, shape: String,
+                          nFiles: Int, tableMod: Int): String =
+    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, shape), {
+      val dir = Lifecycle.scratchDir(s, s"graft_src_$shape", d)
+      rmrf(s, dir)
+      val env =
+        if (tableMod > 0)
+          CdcQueries.envelope(s, d).withColumn("_cdc_table",
+            concat(lit("events_"), (col("user_id") % tableMod).cast("string")))
+        else CdcQueries.envelope(s, d)
+      env.repartition(nFiles).write.parquet(dir)
+      dir
+    })
+
   // ---- DLQ read surface (ref internal/cdc/deadletter/postgres.go:45-352:
   // Read / GetStats). A deterministic poison slice — per-key table names,
   // one of them an invalid identifier — routes through the REAL batch
@@ -46,11 +69,14 @@ object PipelineOps extends QueryModule {
     DeadLetter.stats(s, cfg.dlqDir)
   }
 
+  // HAVING: on a fixture where the poison slice is empty, the DLQ dir is
+  // never created and the Spark side reads the empty DLQ — the oracle must
+  // likewise emit zero rows, not one zero-count row
   private val dlqStatsSql =
     s"""WITH envelope AS (${CdcQueries.envelopeSql})
        |SELECT 'events_cdc' AS source_id, 'events bad' AS table_name,
        |  'validation' AS error_type, count(*) AS n_failed
-       |FROM envelope WHERE user_id % 10 = 0""".stripMargin
+       |FROM envelope WHERE user_id % 10 = 0 HAVING count(*) > 0""".stripMargin
 
   // ---- streaming write path end-to-end (T1/S4-S6): the envelope drained
   // through IngestPipeline.start as an AvailableNow stream — file source
@@ -59,19 +85,17 @@ object PipelineOps extends QueryModule {
   // The oracle computes the same aggregate from the raw events: any loss,
   // duplication or corruption in the streaming path fails the hash.
   private def streamRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "rt", nFiles = 2, tableMod = 2)
     val base = Lifecycle.scratchDir(s, "graft_streamrt", d)
     rmrf(s, base) // append sink + checkpoint: re-runs must start clean
-    val env = CdcQueries.envelope(s, d).withColumn("_cdc_table",
-      concat(lit("events_"), (col("user_id") % 2).cast("string")))
-    env.repartition(2).write.parquet(s"$base/src")
     val cfg = IngestConfig(
       outDir = s"$base/lake", dlqDir = s"$base/dlq",
       checkpointDir = s"$base/ckpt", sourceId = "stream_rt",
       retry = fastRetry)
-    // one AvailableNow batch here — multi-batch admission control (T8) is
-    // covered by IngestPipelineSpec; the oracle checks the data path
+    // one AvailableNow batch here — multi-batch crash-resume is proven on
+    // the gate by cdc_stream_resume; the oracle checks the data path
     val stream = IngestPipeline.fileEnvelopeSource(
-      s, s"$base/src", env.schema, maxFilesPerTrigger = 2)
+      s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 2)
     IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
     s.read.parquet(s"${cfg.outDir}/events_0")
       .unionByName(s.read.parquet(s"${cfg.outDir}/events_1"))
@@ -96,12 +120,11 @@ object PipelineOps extends QueryModule {
   // StreamOpsSpec). The oracle recomputes the windows from the raw
   // events, so any state-store loss or double-count fails the hash.
   private def streamAgg(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "agg", nFiles = 4, tableMod = 0)
     val base = Lifecycle.scratchDir(s, "graft_streamagg", d)
     rmrf(s, base)
-    val env = CdcQueries.envelope(s, d)
-    env.repartition(4).write.parquet(s"$base/src")
     val stream = IngestPipeline.fileEnvelopeSource(
-      s, s"$base/src", env.schema, maxFilesPerTrigger = 2)
+      s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 2)
     val agg = stream
       .groupBy(window(col(Cdc.TsColumn), "1 day").as("w"))
       .agg(count(lit(1)).as("n"), max(col(Cdc.LsnColumn)).as("lsn_max"))
@@ -127,9 +150,61 @@ object PipelineOps extends QueryModule {
        |  count(*) AS n, max(_cdc_lsn) AS lsn_max
        |FROM envelope GROUP BY 1 ORDER BY day_start""".stripMargin
 
+  // ---- crash-resume, multi-batch, on the oracle gate: the reference's
+  // core claim is that a killed pipeline resumes from its checkpoint with
+  // no loss and no duplication (ref internal/cdc/pipeline/pipeline.go:
+  // 279-306 — it re-delivers up to 10 s, at-least-once; the Spark offset
+  // log does strictly better as long as batch replay is whole-batch).
+  // Here: an 8-file source admitted 2 files per micro-batch (4 batches),
+  // a crash INJECTED at the top of batch 2 on the first run — batches 0-1
+  // committed, batch 2's offsets provisional — then a restart from the
+  // same checkpoint re-runs batch 2 whole and drains 3. The read-back
+  // aggregate is hash-compared to the raw events: one lost file, one
+  // double-applied batch, or one corrupted row fails the gate.
+  private def streamResume(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "resume", nFiles = 8, tableMod = 4)
+    val base = Lifecycle.scratchDir(s, "graft_streamresume", d)
+    rmrf(s, base)
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "stream_resume",
+      retry = fastRetry)
+    val schema = s.read.parquet(src).schema
+    def stream = IngestPipeline.fileEnvelopeSource(
+      s, src, schema, maxFilesPerTrigger = 2)
+
+    val crashed = IngestPipeline.start(stream, cfg, availableNow = true,
+      beforeBatch = id => if (id >= 2)
+        throw new IllegalStateException("injected crash: batch " + id))
+    val failure =
+      try { crashed.awaitTermination(); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Some(e) }
+    // the crash must actually have fired — a pass that silently drained
+    // everything in one go would not be a resume proof
+    require(failure.exists(_.getMessage.contains("injected crash")),
+      s"expected the injected crash to fail run 1, got: $failure")
+
+    IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
+    (0 until 4).map(i => s.read.parquet(s"${cfg.outDir}/events_$i"))
+      .reduce(_ unionByName _)
+      .groupBy(col("_cdc_table"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"), max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("_cdc_table"))
+  }
+
+  private val streamResumeSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT 'events_' || CAST(user_id % 4 AS VARCHAR) AS _cdc_table,
+       |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
+    GraftQuery("cdc_stream_resume", streamResume, Some(streamResumeSql)),
   )
 }

@@ -43,7 +43,9 @@ object DeadLetter {
     val failed = batch
       .select(to_json(struct(col("*"))).as("event_data"))
       .withColumn("source_id", lit(sourceId))
-      .withColumn("table_name", lit(tableName))
+      // cast: a null name must land as a typed string null, not NullType
+      // (parquet can't encode a void column)
+      .withColumn("table_name", lit(tableName).cast("string"))
       .withColumn("error_message", lit(String.valueOf(error.getMessage)))
       .withColumn("error_type", lit(classify(error)))
       .withColumn("retry_count", lit(retryCount))
@@ -51,11 +53,31 @@ object DeadLetter {
     failed.write.mode(SaveMode.Append).parquet(dlqDir)
   }
 
-  def read(spark: SparkSession, dlqDir: String): DataFrame =
-    spark.read.parquet(dlqDir)
+  /** The stable DLQ schema ([[append]] writes exactly these columns). */
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_data", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("table_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("error_message", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("error_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("retry_count", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.TimestampType)))
 
-  /** Failure counts by source, table and error type (ref GetStats,
-    * deadletter/postgres.go:300-352: per-source/per-table/per-type). */
+  /** An append-mode DLQ dir only exists once something failed; an absent
+    * dir reads as the empty DLQ (so stats/read agree with an oracle that
+    * derives zero failures), not as a scan error. */
+  def read(spark: SparkSession, dlqDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dlqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dlqDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Failure counts by (source, table, error type). The reference's
+    * GetStats (deadletter/postgres.go:274-352) computes the by-source and
+    * by-error-type MARGINALS; this triple grouping is a refinement from
+    * which both marginals are derivable by summing out the other keys. */
   def stats(spark: SparkSession, dlqDir: String): DataFrame =
     read(spark, dlqDir)
       .groupBy(col("source_id"), col("table_name"), col("error_type"))

@@ -53,14 +53,20 @@ object IngestPipeline {
     // (WAL decode, file scan) is computed once, not T + 2 times
     batch.persist()
     try {
+      // a nullable table column yields a null distinct value; sort via
+      // Option so it can't NPE the ordering, and route it like any other
+      // malformed identifier below
       val tables = batch.select(col(cfg.tableCol)).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .collect().map(_.getString(0)).toSeq.sortBy(Option(_))
       tables.foreach { t =>
-        val slice = batch.filter(col(cfg.tableCol) === t)
+        val slice =
+          if (t == null) batch.filter(col(cfg.tableCol).isNull)
+          else batch.filter(col(cfg.tableCol) === t)
         try {
           // validate BEFORE the retry loop: IllegalArgumentException maps to
-          // the `validation` DLQ class (ref deadletter.go error typing)
-          require(TableNameRe.matches(t), s"invalid table name: '$t'")
+          // the `validation` DLQ class (ref deadletter.go error typing); a
+          // null name is as unroutable as a malformed one
+          require(t != null && TableNameRe.matches(t), s"invalid table name: '$t'")
           Retry.execute(cfg.retry) { () =>
             CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
           }
@@ -98,9 +104,17 @@ object IngestPipeline {
       .parquet(dir)
 
   /** Start the streaming query over an envelope stream (any streaming
-    * DataFrame with `_cdc_*` columns and `cfg.tableCol`). */
+    * DataFrame with `_cdc_*` columns and `cfg.tableCol`).
+    *
+    * `beforeBatch` is a fault-injection seam: it runs at the very top of
+    * each micro-batch, BEFORE any write. A crash thrown there fails the
+    * query with that batch's offsets uncommitted, so a restart from the
+    * same checkpoint re-runs the batch whole — the harness the
+    * crash-resume proofs use (the reference's kill-and-resume claim,
+    * ref internal/cdc/pipeline/pipeline.go:279-306). */
   def start(envelopeStream: DataFrame, cfg: IngestConfig,
-            availableNow: Boolean = false): StreamingQuery = {
+            availableNow: Boolean = false,
+            beforeBatch: Long => Unit = _ => ()): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(cfg.triggerMs)
@@ -108,7 +122,10 @@ object IngestPipeline {
       .queryName(s"graft-ingest-${cfg.sourceId}")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
-      .foreachBatch(processBatch(cfg) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        beforeBatch(batchId)
+        processBatch(cfg)(batch, batchId)
+      }
       .start()
   }
 }

@@ -108,6 +108,33 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(st.getAs[Long]("n_failed") === 1L)
   }
 
+  test("null table names take the validation path, not 'unknown'") {
+    import spark.implicits._
+    val c = cfg(tmp("graft-out"))
+    var sleeps = 0
+    val counting = c.copy(retry = RetryPolicy(maxAttempts = 3, sleep = _ => sleeps += 1))
+    // a nullable table column with an actual null — the router must not
+    // NPE and must classify the slice as validation (unroutable name)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val batch = Seq((1L, 1L, ts, Some("users")), (2L, 2L, ts, None: Option[String]))
+      .toDF("user_id", "event_id", "_cdc_timestamp", "_cdc_table")
+    IngestPipeline.processBatch(counting)(batch, 0L)
+    assert(spark.read.parquet(s"${c.outDir}/users").count() === 1)
+    val dlq = DeadLetter.read(spark, c.dlqDir).collect()
+    assert(dlq.length === 1)
+    assert(dlq.head.getAs[String]("table_name") === null)
+    assert(dlq.head.getAs[String]("error_type") === "validation")
+    assert(dlq.head.getAs[String]("event_data").contains("\"event_id\":2"))
+    assert(sleeps === 0)
+  }
+
+  test("an absent DLQ dir reads as the empty DLQ, not a scan error") {
+    val missing = tmp("graft-dlq-absent") + "/never-created"
+    assert(DeadLetter.read(spark, missing).count() === 0)
+    assert(DeadLetter.stats(spark, missing).count() === 0)
+    assert(DeadLetter.read(spark, missing).schema === DeadLetter.schema)
+  }
+
   test("full reference pipeline: WAL source -> decode -> router -> lake table") {
     // S1→S8 through the REAL source: Debezium JSONL log, DSv2 LSN-offset
     // stream, declarative decode, per-table routing, day-partitioned
