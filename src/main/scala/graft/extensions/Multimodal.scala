@@ -328,6 +328,103 @@ object Multimodal extends QueryModule {
        |FROM decoded
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------------ pixel stats
+
+  /** Dims for the full-pixel PNG fixtures — small (≤ 63 × 47, ~9 KB of
+    * raw RGB) so the complete corpus encodes/decodes in seconds, unlike
+    * the header-only dims of [[pngDims]] which never carry pixel data. */
+  def pixelDims(n: Int): (Int, Int) = (8 + n % 56, 8 + (n * 3) % 40)
+
+  /** Per-image pixel seed derived from the payload length. */
+  def pixelSeed(n: Int): Int = n % 251
+
+  /** The deterministic pixel formula both the encoder and the DuckDB
+    * oracle evaluate: channel c of pixel (x, y). */
+  def pixelValue(x: Int, y: Int, c: Int, seed: Int): Int =
+    (5 * x + 3 * y + 37 * c + seed) % 256
+
+  /** COMPLETE PNGs (IHDR + compressed IDAT + IEND) for every image-mime
+    * doc — real pixels, really deflated, filter types rotating through
+    * all five per scanline. Partition-parallel; nothing but the formula
+    * params derives from the doc, so the oracle replays it all. */
+  private def pixelPngs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val n = text.getBytes("UTF-8").length
+        val (w, h) = pixelDims(n)
+        val seed = pixelSeed(n)
+        (id, Png.encodeRgb(w, h, (x, y, c) => pixelValue(x, y, c, seed)))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** Per-image, per-channel pixel statistics over REAL decoded pixels —
+    * IDAT inflated with the JDK Inflater, scanlines unfiltered, every
+    * byte of every channel aggregated in one partition-parallel pass (the
+    * normalize-stats pass a vision pipeline runs before training). The
+    * oracle recomputes mean/min/max from the pixel formula over an
+    * enumerated (x, y) grid — so a wrong filter reversal, a dropped
+    * scanline, or an off-by-one in the inflate loop shifts a mean and
+    * fails the hash. */
+  private def pixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = pixelPngs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val dec = Png.decodeRgb(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid PNG"))
+        val sums = new Array[Long](3)
+        val mins = Array.fill(3)(255L)
+        val maxs = new Array[Long](3)
+        val px = dec.pixels
+        var i = 0
+        while (i < px.length) {
+          val c = i % 3
+          val v = px(i) & 0xff
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          i += 1
+        }
+        (id, dec.width, dec.height,
+          sums(0), mins(0), maxs(0),
+          sums(1), mins(1), maxs(1),
+          sums(2), mins(2), maxs(2))
+      })
+      .toDF("doc_id", "width", "height",
+        "sum_r", "min_r", "max_r", "sum_g", "min_g", "max_g",
+        "sum_b", "min_b", "max_b")
+    val npx = col("width").cast("double") * col("height")
+    stats.select(
+      col("doc_id"), col("width"), col("height"),
+      round(col("sum_r") / npx, 4).as("mean_r"), col("min_r"), col("max_r"),
+      round(col("sum_g") / npx, 4).as("mean_g"), col("min_g"), col("max_g"),
+      round(col("sum_b") / npx, 4).as("mean_b"), col("min_b"), col("max_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pixelStatsSql =
+    """WITH png AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (
+      |  SELECT doc_id, 8 + n % 56 AS w, 8 + (n * 3) % 40 AS h, n % 251 AS s
+      |  FROM png),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (5 * (i % w) + 3 * (i // w) + s) % 256 AS r,
+      |    (5 * (i % w) + 3 * (i // w) + 37 + s) % 256 AS g,
+      |    (5 * (i % w) + 3 * (i // w) + 74 + s) % 256 AS b
+      |  FROM (SELECT doc_id, w, h, s, unnest(range(0, w * h)) AS i FROM dims))
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  round(avg(r), 4) AS mean_r, CAST(min(r) AS BIGINT) AS min_r, CAST(max(r) AS BIGINT) AS max_r,
+      |  round(avg(g), 4) AS mean_g, CAST(min(g) AS BIGINT) AS min_g, CAST(max(g) AS BIGINT) AS max_g,
+      |  round(avg(b), 4) AS mean_b, CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
@@ -335,5 +432,6 @@ object Multimodal extends QueryModule {
     GraftQuery("mm_video_stats", videoStats, Some(videoStatsSql)),
     GraftQuery("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     GraftQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    GraftQuery("mm_pixel_stats", pixelStats, Some(pixelStatsSql)),
   )
 }

@@ -58,6 +58,75 @@ object CdcWriter {
 
   def read(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
+
+  /** Lake-level MERGE: apply a CDC delta batch as upserts into the STORED
+    * day-partitioned current-state table — the reference writer's upsert
+    * semantics (ref internal/iceberg/writer/writer.go:95-194) applied to
+    * the physical lake, not just a DataFrame view.
+    *
+    * Contract: `deltas` is the stream suffix after the stored snapshot's
+    * watermark (the reference applies its ordered batch last-write-wins,
+    * with no version comparison — same here; [[Cdc.latestVersions]]
+    * collapses the batch to one newest version per key first).
+    *
+    * The 100 TB shape:
+    *  1. Locate affected partitions with a KEY+PARTITION-column-only scan
+    *     (parquet reads two thin columns; Iceberg metadata/blooms would
+    *     shortcut this further) semi-joined against the broadcast delta
+    *     key set — the delta batch is the small side by construction.
+    *  2. Read ONLY those partitions in full, anti-join out the affected
+    *     keys (survivors keep their rows), union the delta upserts.
+    *  3. Rewrite the touched partitions to a temp tree in one job, then
+    *     swap per partition — untouched partitions are never read in
+    *     full, never rewritten, and keep their files byte-for-byte
+    *     (asserted in LakeMergeSpec). A mid-rewrite failure leaves every
+    *     original partition intact (the [[Compaction.compact]] pattern;
+    *     Iceberg's snapshot commit would make the swap atomic for real).
+    *
+    * Returns the swapped partition values (sorted). DELETE deltas drop
+    * the key; a partition emptied of all rows is removed. */
+  def merge(spark: SparkSession, tableDir: String, deltas: DataFrame,
+            keyCols: Seq[String]): Seq[String] = {
+    val pcol = SchemaBuilder.partitionColumn
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaLatest = Cdc.latestVersions(deltas, keyCols)
+    val upserts = withPartitionColumn(
+      deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
+    val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
+    // partition-discovery read: hive layout yields pcol as a column;
+    // normalize to string so day values compare stably
+    val stored = spark.read.parquet(tableDir)
+      .withColumn(pcol, col(pcol).cast("string"))
+    val affectedDays = stored
+      .select(keyCols.map(col) :+ col(pcol): _*)
+      .join(broadcast(deltaKeys), keyCols, "left_semi")
+      .select(col(pcol)).distinct().collect().map(_.getString(0))
+    val newDays = upserts.select(col(pcol)).distinct()
+      .collect().map(_.getString(0))
+    val touched = (affectedDays ++ newDays).distinct.sorted.toSeq
+    if (touched.isEmpty) return Seq.empty
+    val survivors = stored.filter(col(pcol).isin(touched: _*))
+      .join(broadcast(deltaKeys), keyCols, "left_anti")
+    val merged = survivors.unionByName(upserts)
+    val tmpDir = new org.apache.hadoop.fs.Path(root, ".merge_tmp")
+    merged.repartition(col(pcol))
+      .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmpDir.toString)
+    touched.foreach { day =>
+      val partDir = new org.apache.hadoop.fs.Path(root, s"$pcol=$day")
+      val newDir = new org.apache.hadoop.fs.Path(tmpDir, s"$pcol=$day")
+      fs.delete(partDir, true)
+      if (fs.exists(newDir)) { // absent = the merge emptied this partition
+        fs.mkdirs(partDir)
+        fs.listStatus(newDir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)))
+      }
+    }
+    fs.delete(tmpDir, true)
+    touched
+  }
 }
 
 /** Time-travel emulation over the CDC envelope.

@@ -123,6 +123,27 @@ object CdcQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- lake-level MERGE: the physical counterpart of cdc_apply_changes.
+  // The AS-OF snapshot is WRITTEN to a day-partitioned lake table, the
+  // post-watermark deltas are merged INTO THE STORED FILES
+  // ([[graft.ingest.CdcWriter.merge]]: affected-partition probe,
+  // anti-join + union, per-partition swap — only key-affected day
+  // partitions are rewritten), and the result is the read-back of the
+  // final files. The oracle is the FULL recompute over raw events, so a
+  // wrong partition probe, a lost survivor row, or a double-applied
+  // upsert in the physical merge fails the hash.
+  private def cdcLakeMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = Lifecycle.scratchDir(s, "graft_lakemerge", d)
+    val env = envelope(s, d)
+    val base = graft.ingest.TimeTravel.asOfLsn(env, Seq("user_id"), lit(ApplyLsn))
+    graft.ingest.CdcWriter.write(base, dir) // SaveMode.Overwrite: clean per run
+    graft.ingest.CdcWriter.merge(
+      s, dir, env.filter(col(Cdc.LsnColumn) > ApplyLsn), Seq("user_id"))
+    graft.ingest.CdcWriter.read(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- TRUNCATE semantics: a TRUNCATE marker in the stream resets the
   // table — current state must contain only events strictly after the
   // newest marker (ref internal/cdc/source/postgres/reader.go:237-242:
@@ -215,6 +236,7 @@ object CdcQueries extends QueryModule {
     GraftQuery("cdc_envelope", cdcEnvelope, Some(cdcEnvelopeSql)),
     GraftQuery("cdc_source_scan", cdcSourceScan, Some(cdcSourceScanSql)),
     GraftQuery("cdc_apply_changes", cdcApplyChanges, Some(cdcCurrentStateSql)),
+    GraftQuery("cdc_lake_merge", cdcLakeMerge, Some(cdcCurrentStateSql)),
     GraftQuery("cdc_latest_version", cdcLatest, Some(cdcLatestSql)),
     GraftQuery("cdc_current_state", cdcCurrentState, Some(cdcCurrentStateSql)),
     GraftQuery("cdc_op_counts", cdcOpCounts, Some(cdcOpCountsSql)),

@@ -1,0 +1,98 @@
+package graft.ingest
+
+import graft.SparkTestBase
+import graft.model.SchemaBuilder
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[CdcWriter.merge]]: upserts into the stored day-partitioned table.
+  * The registered `cdc_lake_merge` query hash-checks the merged state
+  * against a full recompute; this spec asserts the PHYSICAL property the
+  * hash can't see — partitions without affected keys keep their files
+  * byte-for-byte (the partition-pruned merge that makes the operation
+  * viable at 100 TB), and emptied partitions disappear. */
+class LakeMergeSpec extends SparkTestBase {
+
+  private def env(rows: (Long, Long, Double, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "value", Cdc.OpColumn, "day")
+      .withColumn(Cdc.TsColumn,
+        to_timestamp(concat(col("day"), lit(" 12:00:00"))))
+      .withColumn(Cdc.LsnColumn, lpad(col("event_id").cast("string"), 16, "0"))
+      .drop("day")
+  }
+
+  private def files(dir: String, day: String): Seq[(String, Long)] = {
+    val p = new Path(s"$dir/${SchemaBuilder.partitionColumn}=$day")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).filter(_.isFile).toSeq
+      .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1)
+  }
+
+  test("merge rewrites only key-affected partitions; others keep their files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge").toString + "/t"
+    // stored state: keys 1,2 on day1; 3,4 on day2; 5,6 on day3
+    CdcWriter.write(env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01"),
+      (3L, 3L, 3.0, "INSERT", "2024-01-02"), (4L, 4L, 4.0, "INSERT", "2024-01-02"),
+      (5L, 5L, 5.0, "INSERT", "2024-01-03"), (6L, 6L, 6.0, "INSERT", "2024-01-03")), dir)
+    val before1 = files(dir, "2024-01-01")
+    val before3 = files(dir, "2024-01-03")
+    assert(before1.nonEmpty && before3.nonEmpty)
+
+    // deltas: update key 3 (moves to day4), delete key 4, insert key 7;
+    // two versions of key 3 prove the batch collapses to newest-per-key
+    val touched = CdcWriter.merge(spark, dir, env(
+      (3L, 10L, 30.0, "UPDATE", "2024-01-04"),
+      (3L, 11L, 31.0, "UPDATE", "2024-01-04"),
+      (4L, 12L, 0.0, "DELETE", "2024-01-04"),
+      (7L, 13L, 7.0, "INSERT", "2024-01-04")), Seq("user_id"))
+    assert(touched === Seq("2024-01-02", "2024-01-04"))
+
+    // the 100 TB property: unaffected partitions untouched, byte-for-byte
+    assert(files(dir, "2024-01-01") === before1)
+    assert(files(dir, "2024-01-03") === before3)
+
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq === Seq(
+      (1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 11L, 31.0),
+      (5L, 5L, 5.0), (6L, 6L, 6.0), (7L, 13L, 7.0)))
+    // key 3's new version lives in its event's day partition
+    assert(CdcWriter.read(spark, dir).filter($"user_id" === 3)
+      .select(col(SchemaBuilder.partitionColumn).cast("string"))
+      .as[String].head() === "2024-01-04")
+  }
+
+  test("a partition emptied by deletes is removed, not left as stale files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-del").toString + "/t"
+    CdcWriter.write(env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 2L, 2.0, "INSERT", "2024-01-02"), (3L, 3L, 3.0, "INSERT", "2024-01-02")), dir)
+    val touched = CdcWriter.merge(spark, dir, env(
+      (2L, 10L, 0.0, "DELETE", "2024-01-05"),
+      (3L, 11L, 0.0, "DELETE", "2024-01-05")), Seq("user_id"))
+    // only day2 is affected: DELETEs produce no upsert rows for day5
+    assert(touched === Seq("2024-01-02"))
+    assert(files(dir, "2024-01-02").isEmpty)
+    assert(CdcWriter.read(spark, dir).select($"user_id").as[Long].collect().toSeq
+      === Seq(1L))
+  }
+
+  test("a no-op delta batch (keys absent, no inserts) touches nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-noop").toString + "/t"
+    CdcWriter.write(env((1L, 1L, 1.0, "INSERT", "2024-01-01")), dir)
+    val before = files(dir, "2024-01-01")
+    val touched = CdcWriter.merge(spark, dir, env(
+      (9L, 10L, 0.0, "DELETE", "2024-01-06")), Seq("user_id"))
+    assert(touched === Seq.empty)
+    assert(files(dir, "2024-01-01") === before)
+  }
+}
