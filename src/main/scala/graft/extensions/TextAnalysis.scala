@@ -521,7 +521,53 @@ object TextAnalysis extends QueryModule {
       |    / (count(*) * 2)) AS BIGINT) AS avg_quality_bp
       |FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin
 
+  // ---- sequence packing: bin documents into fixed token-budget training
+  // sequences — the concat-and-chunk packing an LLM pretraining pipeline
+  // runs as its last data-prep stage. Docs are laid end-to-end in
+  // deterministic (doc_id) order and chopped every SeqLen tokens; each
+  // doc is attributed to the sequence its first token lands in. Packing
+  // is PER SOURCE (one window partition per shard — the standard
+  // shard-local packing), so the cumulative sum parallelizes across
+  // sources instead of serializing on a global order: the 100 TB shape,
+  // where a single global ORDER BY window would bottleneck on one task.
+  // SeqLen is a power of two, so the double division in floor() is exact
+  // in both engines (binary-fp division by 2^11 cannot round).
+  private val SeqLen = 2048L
+
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(SeqLen)).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_started"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks)
+       |SELECT source, CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_started,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
     GraftQuery("text_contamination", contamination, Some(contaminationSql)),
     GraftQuery("text_corpus_stats", corpusStats, Some(corpusStatsSql)),
     GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),

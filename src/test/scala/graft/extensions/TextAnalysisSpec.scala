@@ -56,6 +56,24 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing conserves tokens and numbers bins contiguously") {
+    import spark.implicits._
+    val packed = SparkEntry.queries("text_pack_sequences")(spark, sf0001)
+      .select($"source", $"seq_id", $"n_docs", $"n_tokens_started")
+      .as[(String, Long, Long, Long)].collect()
+    // conservation: every document's tokens land in exactly one bin row
+    val totalTokens = graft.Tables.documents(spark, sf0001)
+      .select(TextAnalysis.tokenCount(col("text"))).as[Long].collect().sum
+    assert(packed.map(_._4).sum === totalTokens)
+    assert(packed.forall(_._3 >= 1))
+    // bins are contiguous 0..max within each source (concat-and-chunk
+    // cannot skip a sequence: every token position is covered)
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq, s"source $src: $ids")
+    }
+  }
+
   test("filter funnel reasons partition the corpus exactly") {
     val funnel = SparkEntry.queries("text_filter_funnel")(spark, sf0001).collect()
     val total = funnel.map(_.getLong(1)).sum

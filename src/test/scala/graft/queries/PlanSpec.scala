@@ -161,4 +161,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Expand"), plan.take(3000))
     assert(plan.contains("Partial") || plan.contains("partial_count"), plan.take(3000))
   }
+
+  test("sequence packing is shard-parallel: window by source, no join (text_pack_sequences)") {
+    // the cumulative token sum must be a PER-SOURCE window (shard-local
+    // packing) — a global-order window would funnel the corpus through
+    // one task; and assignment is pure arithmetic, never a join back
+    val plan = planOf("text_pack_sequences")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "bin assignment must not join")
+    // window partition + final agg + presentation sort only
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SinglePartition"),
+      "packing must never collapse to a single partition")
+  }
+
+  test("pixel stats stay partition-local until the presentation sort (mm_pixel_stats)") {
+    // encode → decode → per-image stats are one mapPartitions chain; the
+    // only admissible exchange is the final ORDER BY doc_id
+    val plan = planOf("mm_pixel_stats")
+    assert(!plan.contains("Join"), plan.take(2000))
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <= 1 exchange (sort only), got $exchanges:\n${plan.take(3000)}")
+  }
 }
