@@ -137,6 +137,11 @@ object Png {
     val dims = parseIhdr(bytes) // signature + IHDR + its CRC
     if (dims.isEmpty) return None
     val (w, h) = dims.get
+    // dims are attacker-controlled container bytes: reject anything whose
+    // buffer arithmetic could overflow Int BEFORE allocating (a negative
+    // array size must surface as None, not an exception)
+    if (w <= 0 || h <= 0 ||
+      h.toLong * (1L + w.toLong * Bpp) > Int.MaxValue) return None
     // bitDepth 8, colorType 2 (truecolor), no interlace — the only
     // layout this decoder speaks
     if (bytes(24) != 8 || bytes(25) != 2 || bytes(28) != 0) return None
@@ -163,19 +168,26 @@ object Png {
     val filtered = new Array[Byte](h * (1 + stride))
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
-    var got = 0
-    while (got < filtered.length && !inflater.finished()) {
-      val n = inflater.inflate(filtered, got, filtered.length - got)
-      if (n == 0 && inflater.needsInput()) return None // truncated stream
-      got += n
-    }
-    val complete = got == filtered.length && {
-      // the stream must END here: trailing pixel data would mean the
-      // IHDR dims lie about the payload
-      val probe = new Array[Byte](1)
-      inflater.finished() || inflater.inflate(probe) == 0
-    }
-    inflater.end()
+    val complete =
+      try {
+        var got = 0
+        var truncated = false
+        while (got < filtered.length && !inflater.finished() && !truncated) {
+          val n = inflater.inflate(filtered, got, filtered.length - got)
+          if (n == 0 && inflater.needsInput()) truncated = true
+          got += n
+        }
+        !truncated && got == filtered.length && {
+          // the stream must END here: trailing pixel data would mean the
+          // IHDR dims lie about the payload
+          val probe = new Array[Byte](1)
+          inflater.finished() || inflater.inflate(probe) == 0
+        }
+      } catch {
+        // a malformed-but-CRC-valid deflate stream is still "not a PNG",
+        // not a crash
+        case _: java.util.zip.DataFormatException => false
+      } finally inflater.end()
     if (!complete) return None
     // unfilter in place into the raw pixel array
     val raw = new Array[Byte](h * stride)

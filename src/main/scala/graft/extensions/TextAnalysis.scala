@@ -566,7 +566,57 @@ object TextAnalysis extends QueryModule {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- mixture rebalancing: downsample every source to the SMALLEST
+  // source's token budget — the mixture-weighting stage a pretraining
+  // pipeline runs to stop one giant crawl from drowning the curated
+  // shards. Selection is a deterministic Knuth-hash threshold in EXACT
+  // integer arithmetic (keep iff hash(doc_id) * source_tokens <
+  // min_tokens * M — an exact rational comparison, no doubles), so both
+  // engines pick the identical doc set and the choice is replayable at
+  // any scale. The per-source totals are a tiny aggregate BROADCAST back
+  // against the corpus (plan-pinned): the corpus itself never shuffles
+  // until the final per-source rollup.
+  private val MixMult = 2654435761L
+  private val MixMod = 1000003L
+
+  private def mixRebalance(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    val perSource = toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("tot"))
+    val minTot = perSource.agg(min(col("tot")).as("min_tot"))
+    val keep = (col("doc_id") * MixMult % MixMod) * col("tot") <
+      col("min_tot") * MixMod
+    toks.join(broadcast(perSource), "source")
+      .crossJoin(broadcast(minTot))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(keep, lit(1))).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val mixRebalanceSql =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |per_source AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot
+       |  FROM toks GROUP BY 1),
+       |m AS (SELECT min(tot) AS min_tot FROM per_source)
+       |SELECT t.source, count(*) AS n_docs,
+       |  count(CASE WHEN (t.doc_id * $MixMult) % $MixMod * p.tot
+       |                  < m.min_tot * $MixMod THEN 1 END) AS n_docs_kept,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN (t.doc_id * $MixMult) % $MixMod * p.tot
+       |                     < m.min_tot * $MixMod
+       |                THEN t.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM toks t JOIN per_source p USING (source), m
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     GraftQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
     GraftQuery("text_contamination", contamination, Some(contaminationSql)),
     GraftQuery("text_corpus_stats", corpusStats, Some(corpusStatsSql)),

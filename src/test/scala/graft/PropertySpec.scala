@@ -118,6 +118,35 @@ class PropertySpec extends AnyFunSuite {
     assert(Wav.parseFmt(Wav.header(2, 44100, 100)).contains(Wav.Fmt(2, 44100, 16, 100)))
   }
 
+  test("PNG encode/decode round-trips arbitrary images losslessly") {
+    import graft.extensions.Png
+    val genDim = Gen.choose(1, 40)
+    check(Prop.forAll(genDim, genDim, Gen.choose(0, 255)) { (w, h, seed) =>
+      // pseudo-random but generator-driven pixels: every byte position
+      // gets a distinct mixed value, so any filter-reversal bug in any
+      // of the five filter types (h can exceed 5) corrupts some pixel
+      def v(x: Int, y: Int, c: Int) = (x * 31 + y * 17 + c * 7 + seed) % 256
+      val dec = Png.decodeRgb(Png.encodeRgb(w, h, v))
+      dec.exists { d =>
+        d.width == w && d.height == h &&
+          (0 until w * h * 3).forall { i =>
+            val (p, c) = (i / 3, i % 3)
+            (d.pixels(i) & 0xff) == v(p % w, p / w, c)
+          }
+      }
+    })
+  }
+
+  test("PNG decode is total on garbage: None, never an exception") {
+    import graft.extensions.Png
+    check(Prop.forAll(Gen.containerOf[Array, Byte](
+        Gen.choose(Byte.MinValue, Byte.MaxValue))) { junk =>
+      Png.decodeRgb(junk).forall(_ => true) // must not throw
+      Png.decodeRgb(Png.Signature ++ junk).forall(_ => true)
+      true
+    })
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))

@@ -74,6 +74,26 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("mixture rebalance keeps the smallest source whole and equalizes the rest") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_mix_rebalance")(spark, sf0001)
+      .select($"source", $"n_docs", $"n_docs_kept", $"n_tokens", $"n_tokens_kept")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 2, "fixture should have several sources")
+    val minTok = rows.map(_._4).min
+    // the smallest source's keep threshold is always true — kept whole
+    rows.filter(_._4 == minTok).foreach { r =>
+      assert(r._3 === r._2); assert(r._5 === r._4)
+    }
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._5 <= r._4)
+      // every source's kept tokens land near the smallest source's budget
+      // (hash-uniform selection: loose statistical envelope)
+      assert(r._5 > minTok / 2 && r._5 < minTok * 3 / 2,
+        s"${r._1}: kept ${r._5} vs budget $minTok")
+    }
+  }
+
   test("filter funnel reasons partition the corpus exactly") {
     val funnel = SparkEntry.queries("text_filter_funnel")(spark, sf0001).collect()
     val total = funnel.map(_.getLong(1)).sum

@@ -85,6 +85,29 @@ class LakeMergeSpec extends SparkTestBase {
       === Seq(1L))
   }
 
+  test("two successive merges equal one recompute over the full history") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-seq").toString + "/t"
+    val batch0 = env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01"))
+    val batch1 = env(
+      (1L, 10L, 10.0, "UPDATE", "2024-01-02"), (3L, 11L, 3.0, "INSERT", "2024-01-02"))
+    val batch2 = env(
+      (2L, 20L, 0.0, "DELETE", "2024-01-03"), (1L, 21L, 99.0, "UPDATE", "2024-01-03"))
+    CdcWriter.write(Cdc.currentState(batch0, Seq("user_id")), dir)
+    CdcWriter.merge(spark, dir, batch1, Seq("user_id"))
+    CdcWriter.merge(spark, dir, batch2, Seq("user_id"))
+    val merged = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    val recomputed = Cdc.currentState(
+      batch0.unionByName(batch1).unionByName(batch2), Seq("user_id"))
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(merged.toSeq === recomputed.toSeq)
+    assert(merged.toSeq === Seq((1L, 21L, 99.0), (3L, 11L, 3.0)))
+  }
+
   test("a no-op delta batch (keys absent, no inserts) touches nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-noop").toString + "/t"

@@ -176,6 +176,16 @@ class PlanSpec extends SparkTestBase {
       "packing must never collapse to a single partition")
   }
 
+  test("mixture rebalance broadcasts the per-source totals (text_mix_rebalance)") {
+    // the per-source token totals and the 1-row minimum are tiny
+    // aggregates crossed back in via broadcast; the corpus must never
+    // sort-merge or shuffle for them
+    val plan = planOf("text_mix_rebalance")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the totals")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("pixel stats stay partition-local until the presentation sort (mm_pixel_stats)") {
     // encode → decode → per-image stats are one mapPartitions chain; the
     // only admissible exchange is the final ORDER BY doc_id
