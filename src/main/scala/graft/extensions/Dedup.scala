@@ -211,9 +211,9 @@ object Dedup extends QueryModule {
        |      j -> CAST(unicode(substr(s, j, 1)) AS BIGINT)),
        |      (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})""".stripMargin
 
-  private def lshPairsSql(shingleSql: String, threshold: Double,
-                          bandRows: Int = 2,
-                          hashSql: String = md5HashSql): String = {
+  /** The shi/sig/bands CTE prefix shared by every minhash-LSH oracle. */
+  private def lshCtesSql(shingleSql: String, bandRows: Int,
+                         hashSql: String): String = {
     import Signatures.{MinhashA, MinhashB, MinhashP}
     val mh = (0 until K)
       .map(k => s"list_min(list_transform(sh, x -> (${MinhashA(k)}*x + ${MinhashB(k)}) % $MinhashP))")
@@ -228,7 +228,13 @@ object Dedup extends QueryModule {
        |sig AS (SELECT doc_id, $mh AS mh FROM shi),
        |bands AS (
        |  SELECT doc_id, b, $bandKey AS bk
-       |  FROM sig, unnest($bandIdx) AS t(b)),
+       |  FROM sig, unnest($bandIdx) AS t(b))""".stripMargin
+  }
+
+  private def lshPairsSql(shingleSql: String, threshold: Double,
+                          bandRows: Int = 2,
+                          hashSql: String = md5HashSql): String =
+    s"""${lshCtesSql(shingleSql, bandRows, hashSql)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -241,7 +247,6 @@ object Dedup extends QueryModule {
        |JOIN shi y ON c.doc_b = y.doc_id
        |WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     lshPairs(s, d, "word3", wordSig, 0.5)
@@ -258,6 +263,57 @@ object Dedup extends QueryModule {
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     lshPairs(s, d, s"char$NgramN", charSig, 0.6, NgramBandRows)
+
+  // ---- incremental dedup: the PRODUCTION shape — a NEW batch deduped
+  // against the EXISTING corpus, not the corpus against itself. The
+  // doc_id % 10 = 7 slice stands in for today's crawl; its bands join
+  // only against the complement's bands, so candidate volume is
+  // |new| x collision-rate, never corpus². At 100 TB the corpus-side
+  // signatures are the precomputed index (here the shared sigCache);
+  // only the new batch pays the signature kernel. Output is the dedup
+  // DECISION per new doc: how many corpus near-dups, and the best one.
+  private val IncrementalSlice = 7
+
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d, "word3", wordSig, 2)
+    val isNew = col("doc_id") % 10 === IncrementalSlice
+    val bands = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bk")))
+    val cand = bands.filter(isNew).alias("a")
+      .join(bands.filter(!isNew).alias("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"))
+      .distinct()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    val inter = graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("sh").as("sh_a")), "doc_new")
+      .join(sh.select(col("doc_id").as("doc_corpus"), col("sh").as("sh_b")), "doc_corpus")
+      .select(col("doc_new"), col("doc_corpus"),
+        round(inter * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_new"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+      .orderBy(col("doc_new"))
+  }
+
+  private val incrementalDedupSql =
+    s"""${lshCtesSql(wordShinglesSql, 2, md5HashSql)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+       |  WHERE a.doc_id % 10 = $IncrementalSlice
+       |    AND b.doc_id % 10 <> $IncrementalSlice),
+       |verified AS (
+       |  SELECT c.doc_new,
+       |    round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |  FROM cand c
+       |  JOIN shi x ON c.doc_new = x.doc_id
+       |  JOIN shi y ON c.doc_corpus = y.doc_id
+       |  WHERE jaccard >= 0.5)
+       |SELECT doc_new, count(*) AS n_matches, max(jaccard) AS best_jaccard
+       |FROM verified GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
     * pair (the anti-join is the scale shape: pairs table is tiny relative
@@ -581,6 +637,7 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_exact_summary", exactSummary, Some(exactSummarySql)),
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
     GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),
+    GraftQuery("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     GraftQuery("dedup_ngram_pairs", ngramPairs,
       Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows, polyHashSql))),
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

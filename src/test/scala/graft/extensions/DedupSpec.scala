@@ -72,4 +72,24 @@ class DedupSpec extends SparkTestBase {
     assert(ham(d0, d1) < ham(d0, d2))
     assert(Seq(d0, d1, d2).forall(v => v >= 0 && v < (1L << 32)))
   }
+
+  test("incremental dedup equals the cross-slice restriction of the pair set") {
+    // same bands, same verify threshold — the new-vs-corpus matches must
+    // be EXACTLY the full pair set restricted to pairs spanning the slice
+    import graft.SparkEntry
+    import spark.implicits._
+    val slice = 7L
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val expected = pairs.flatMap { case (a, b) =>
+      (a % 10 == slice, b % 10 == slice) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None
+      }
+    }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val got = SparkEntry.queries("dedup_incremental")(spark, sf0001)
+      .select($"doc_new", $"n_matches").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
 }

@@ -33,7 +33,7 @@ class PlanSpec extends SparkTestBase {
     // every self-join in the dedup/similarity family must be an equi-join
     // on band/bucket keys; a CartesianProduct would mean an all-pairs plan
     for (name <- Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
-        "dedup_embedding_pairs", "sim_knn_ivf")) {
+        "dedup_embedding_pairs", "dedup_incremental", "sim_knn_ivf")) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(2000)}")
     }
