@@ -244,6 +244,73 @@ object Multimodal extends QueryModule {
        |  CAST(max(duration_ticks) AS BIGINT) AS max_ticks
        |FROM parsed""".stripMargin
 
+  // ------------------------------------------------------------ audio levels
+
+  /** Per-asset level statistics over REALLY DECODED 16-bit PCM samples
+    * ([[Wav.decodeSamples]]: chunk walk to the data payload, little-endian
+    * sample reconstruction with sign handling) — the normalize/clipping
+    * profile an audio pipeline computes before featurization. All stats
+    * are exact integers except the final rounded mean, so the oracle
+    * replays them from the payload bytes (the fixture corpus is pure
+    * ASCII, so DuckDB's char codes ARE the bytes). Cross-validated
+    * against the JDK's independent javax.sound WAV reader in
+    * MultimodalSpec. */
+  private val ClipBar = 32000L
+
+  private def audioLevels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fmt = Wav.parseFmt(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid WAV header"))
+        val samples = Wav.decodeSamples(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: undecodable PCM"))
+        var sumAbs = 0L; var peak = 0L; var clipped = 0L
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i)).toLong
+          sumAbs += a
+          if (a > peak) peak = a
+          if (a >= ClipBar) clipped += 1
+          i += 1
+        }
+        (id, fmt.channels, samples.length.toLong, sumAbs, peak, clipped)
+      })
+      .toDF("doc_id", "channels", "n_samples", "sum_abs", "peak", "n_clipped")
+      .select(col("doc_id"), col("channels"), col("n_samples"),
+        when(col("n_samples") === 0, lit(0.0))
+          .otherwise(round(col("sum_abs") * lit(1.0) / col("n_samples"), 4))
+          .as("mean_level"),
+        col("peak"), col("n_clipped"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioLevelsSql =
+    s"""WITH wav AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+       |    1 + octet_length(encode(text)) % 2 AS channels
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |decoded AS (
+       |  SELECT doc_id, channels, n // 2 AS n_samples,
+       |    list_transform(range(0, n // 2), i ->
+       |      CASE WHEN unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) >= 32768
+       |           THEN abs(unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) - 65536)
+       |           ELSE unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) END) AS amps
+       |  FROM wav)
+       |SELECT doc_id, CAST(channels AS INT) AS channels,
+       |  CAST(n_samples AS BIGINT) AS n_samples,
+       |  CASE WHEN n_samples = 0 THEN 0.0
+       |       ELSE round(CAST(list_sum(amps) AS BIGINT) * 1.0 / n_samples, 4)
+       |  END AS mean_level,
+       |  CAST(COALESCE(list_max(amps), 0) AS BIGINT) AS peak,
+       |  CAST(len(list_filter(amps, a -> a >= $ClipBar)) AS BIGINT) AS n_clipped
+       |FROM decoded ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- resize planning
 
   private val FitBox = 224
@@ -433,5 +500,6 @@ object Multimodal extends QueryModule {
     GraftQuery("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     GraftQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
     GraftQuery("mm_pixel_stats", pixelStats, Some(pixelStatsSql)),
+    GraftQuery("mm_audio_levels", audioLevels, Some(audioLevelsSql)),
   )
 }

@@ -54,7 +54,15 @@ object Wav {
     * a RIFF/WAVE signature. Walks chunks (a real reader can't assume
     * `fmt ` is first), so extra chunks before `data` still parse.
     * None = not a (well-formed, PCM) WAV. */
-  def parseFmt(bytes: Array[Byte]): Option[Fmt] = {
+  def parseFmt(bytes: Array[Byte]): Option[Fmt] = walk(bytes, requirePayload = false).map(_._1)
+
+  /** Like [[parseFmt]] but also returns the data chunk's PAYLOAD byte
+    * offset — the entry point for actual sample decode. Unlike the
+    * header parse, the declared payload must actually be present. */
+  def parsePcm(bytes: Array[Byte]): Option[(Fmt, Int)] =
+    walk(bytes, requirePayload = true)
+
+  private def walk(bytes: Array[Byte], requirePayload: Boolean): Option[(Fmt, Int)] = {
     if (bytes.length < HeaderLen) return None
     if (!bytes.slice(0, 4).sameElements(tag("RIFF"))) return None
     if (!bytes.slice(8, 12).sameElements(tag("WAVE"))) return None
@@ -71,7 +79,10 @@ object Wav {
           fmt = Some((readLe16(bytes, off + 10), readLe32(bytes, off + 12),
             readLe16(bytes, off + 22)))
         case "data" =>
-          return fmt.map { case (ch, sr, bits) => Fmt(ch, sr, bits, size) }
+          // for sample decode the declared payload must actually be there
+          if (requirePayload && off.toLong + 8L + size.toLong > bytes.length)
+            return None
+          return fmt.map { case (ch, sr, bits) => (Fmt(ch, sr, bits, size), off + 8) }
         case _ => // skip unknown chunk
       }
       // Long advance: a size near Int.MaxValue must not wrap `off` negative
@@ -82,4 +93,20 @@ object Wav {
     }
     None
   }
+
+  /** Decode the data chunk as 16-bit little-endian PCM: every COMPLETE
+    * sample (an odd trailing byte is ignored), channels interleaved.
+    * Real byte-level decode — the featurization entry point. */
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    parsePcm(bytes).map { case (fmt, off) =>
+      val n = fmt.dataLen / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val u = (bytes(off + 2 * i) & 0xff) | ((bytes(off + 2 * i + 1) & 0xff) << 8)
+        out(i) = if (u >= 32768) u - 65536 else u
+        i += 1
+      }
+      out
+    }
 }
