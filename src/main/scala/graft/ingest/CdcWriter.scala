@@ -95,9 +95,13 @@ object CdcWriter {
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
     // partition-discovery read: hive layout yields pcol as a column;
-    // normalize to string so day values compare stably
-    val stored = spark.read.parquet(tableDir)
-      .withColumn(pcol, col(pcol).cast("string"))
+    // normalize to string so day values compare stably. A table that does
+    // not exist yet reads as empty (bootstrap: the first merged batch
+    // CREATES the table — the streaming-upsert sink's first trigger).
+    val stored =
+      if (fs.exists(root))
+        spark.read.parquet(tableDir).withColumn(pcol, col(pcol).cast("string"))
+      else upserts.filter(lit(false))
     val affectedDays = stored
       .select(keyCols.map(col) :+ col(pcol): _*)
       .join(broadcast(deltaKeys), keyCols, "left_semi")

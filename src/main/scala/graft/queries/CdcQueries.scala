@@ -60,6 +60,10 @@ object CdcQueries extends QueryModule {
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy(col("user_id"))
 
+  /** Shared with PipelineOps: cdc_stream_merge proves the same
+    * incremental ≡ recompute equivalence through the streaming sink. */
+  private[queries] def currentStateSql: String = cdcCurrentStateSql
+
   private val cdcCurrentStateSql =
     s"""WITH envelope AS ($envelopeSql)
        |SELECT user_id, event_id, value FROM (

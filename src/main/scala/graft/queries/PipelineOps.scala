@@ -35,8 +35,13 @@ object PipelineOps extends QueryModule {
   private val srcCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
+  /** `orderedByLsn`: range-partition the files by LSN so file k holds
+    * strictly older events than file k+1 — admission order then delivers
+    * time-ordered micro-batches, the real WAL-tail contract (a
+    * replication stream is ordered; a random file split would not be). */
   private def envelopeSrc(s: SparkSession, d: String, shape: String,
-                          nFiles: Int, tableMod: Int): String =
+                          nFiles: Int, tableMod: Int,
+                          orderedByLsn: Boolean = false): String =
     srcCache.getOrElseUpdate((graft.SessionKeys(s), d, shape), {
       val dir = Lifecycle.scratchDir(s, s"graft_src_$shape", d)
       rmrf(s, dir)
@@ -45,7 +50,25 @@ object PipelineOps extends QueryModule {
           CdcQueries.envelope(s, d).withColumn("_cdc_table",
             concat(lit("events_"), (col("user_id") % tableMod).cast("string")))
         else CdcQueries.envelope(s, d)
-      env.repartition(nFiles).write.parquet(dir)
+      val split =
+        if (orderedByLsn) env.repartitionByRange(nFiles, col(Cdc.LsnColumn))
+        else env.repartition(nFiles)
+      split.write.parquet(dir)
+      if (orderedByLsn) {
+        // the file source admits oldest-mtime first; same-job writes can
+        // share a timestamp, so stamp the range-ordered files with
+        // strictly increasing mtimes to make admission order DETERMINED,
+        // not coincidental (part-file name order == range order)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val parts = fsys.listStatus(p)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        val t0 = parts.map(_.getModificationTime).min
+        parts.zipWithIndex.foreach { case (f, i) =>
+          fsys.setTimes(f.getPath, t0 + i * 60000L, -1)
+        }
+      }
       dir
     })
 
@@ -204,10 +227,42 @@ object PipelineOps extends QueryModule {
        |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- streaming MERGE sink: the reference's Iceberg-upsert write mode
+  // end-to-end (ref internal/iceberg/writer/writer.go:95-194 applies each
+  // buffered batch as upserts into the stored table). Each micro-batch
+  // MERGEs into the day-partitioned current-state table via
+  // [[graft.ingest.CdcWriter.merge]] — affected-partition probe,
+  // anti-join + union, per-partition swap — bootstrapping the table on
+  // the first trigger. The source delivers LSN-ORDERED batches (the
+  // WAL-tail contract: a replication stream is ordered), so every batch
+  // is a stream suffix and the final stored table must hash-equal the
+  // full-recompute current state over all raw events.
+  private def streamMerge(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "ordmerge", nFiles = 4, tableMod = 0,
+      orderedByLsn = true)
+    val base = Lifecycle.scratchDir(s, "graft_streammerge", d)
+    rmrf(s, base)
+    val stream = IngestPipeline.fileEnvelopeSource(
+      s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 2)
+    val q = stream.writeStream
+      .queryName("graft-stream-merge")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ingest.CdcWriter.merge(s, s"$base/t", b, Seq("user_id")): Unit
+      }
+      .start()
+    q.awaitTermination()
+    graft.ingest.CdcWriter.read(s, s"$base/t")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
     GraftQuery("cdc_stream_resume", streamResume, Some(streamResumeSql)),
+    GraftQuery("cdc_stream_merge", streamMerge, Some(CdcQueries.currentStateSql)),
   )
 }
