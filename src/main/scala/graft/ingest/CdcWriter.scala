@@ -90,7 +90,18 @@ object CdcWriter {
     val pcol = SchemaBuilder.partitionColumn
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltaLatest = Cdc.latestVersions(deltas, keyCols)
+    // the collapsed batch feeds four consumers (key probe, new-day scan,
+    // upsert union, anti-join key set) — persist so the delta source and
+    // its latest-per-key window run once, not four times
+    val deltaLatest = Cdc.latestVersions(deltas, keyCols).persist()
+    try merge0(spark, tableDir, deltaLatest, keyCols, pcol, root, fs)
+    finally deltaLatest.unpersist()
+  }
+
+  private def merge0(spark: SparkSession, tableDir: String,
+                     deltaLatest: DataFrame, keyCols: Seq[String],
+                     pcol: String, root: org.apache.hadoop.fs.Path,
+                     fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val upserts = withPartitionColumn(
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()

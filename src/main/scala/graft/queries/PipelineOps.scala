@@ -42,7 +42,10 @@ object PipelineOps extends QueryModule {
   private def envelopeSrc(s: SparkSession, d: String, shape: String,
                           nFiles: Int, tableMod: Int,
                           orderedByLsn: Boolean = false): String =
-    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, shape), {
+    // key carries the full shape config: a second caller reusing a shape
+    // name with different params must never be served the wrong fixture
+    srcCache.getOrElseUpdate(
+      (graft.SessionKeys(s), d, s"$shape|$nFiles|$tableMod|$orderedByLsn"), {
       val dir = Lifecycle.scratchDir(s, s"graft_src_$shape", d)
       rmrf(s, dir)
       val env =

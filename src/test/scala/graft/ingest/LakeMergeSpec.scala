@@ -108,6 +108,32 @@ class LakeMergeSpec extends SparkTestBase {
     assert(merged.toSeq === Seq((1L, 21L, 99.0), (3L, 11L, 3.0)))
   }
 
+  test("re-merging the same batch is idempotent (exactly-once under replay)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-replay").toString + "/t"
+    CdcWriter.write(env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01")), dir)
+    val batch = env(
+      (1L, 10L, 10.0, "UPDATE", "2024-01-02"),
+      (2L, 11L, 0.0, "DELETE", "2024-01-02"),
+      (3L, 12L, 3.0, "INSERT", "2024-01-02"))
+    def state() = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val t1 = CdcWriter.merge(spark, dir, batch, Seq("user_id"))
+    val s1 = state()
+    // the streaming sink's failure mode: the batch replays whole after a
+    // crash — applying it a second time must change nothing
+    val t2 = CdcWriter.merge(spark, dir, batch, Seq("user_id"))
+    assert(state() === s1)
+    // run 1 also rewrote day1 (it held the upserted/deleted keys); on
+    // replay those keys already live in day2, so only day2 is touched —
+    // the replay does strictly less work, and the state is unchanged
+    assert(t1 === Seq("2024-01-01", "2024-01-02"))
+    assert(t2 === Seq("2024-01-02"))
+    assert(s1 === Seq((1L, 10L, 10.0), (3L, 12L, 3.0)))
+  }
+
   test("a no-op delta batch (keys absent, no inserts) touches nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-noop").toString + "/t"
