@@ -261,7 +261,52 @@ object PipelineOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** The Debezium JSONL log, written once per (session, sfDir) — the
+    * WAL stand-in is immutable, like the parquet stream fixtures. */
+  private def debeziumLogOnce(s: SparkSession, d: String): String =
+    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog"), {
+      val dir = Lifecycle.scratchDir(s, "graft_src_dbzlog", d)
+      rmrf(s, dir)
+      CdcQueries.writeDebeziumLog(s, d, dir)
+      dir
+    })
+
+  // ---- the WHOLE reference product in one oracle row: DSv2 WAL source
+  // (LSN offsets, admission control) → Debezium envelope decode → per-
+  // batch MERGE upserts into the stored day-partitioned table → the
+  // materialized current state read back from the final files. Batches
+  // are LSN INTERVALS by construction (CdcLogSource admits by LSN value,
+  // not file order), so every micro-batch is a stream suffix and the
+  // stored table must hash-equal the full recompute over raw events —
+  // S1→S8 plus the upsert write mode, all under one hash.
+  private def e2eState(s: SparkSession, d: String): DataFrame = {
+    val log = debeziumLogOnce(s, d)
+    val base = Lifecycle.scratchDir(s, "graft_e2estate", d)
+    rmrf(s, base)
+    // ~3 admission-bounded batches at every SF (footer-stats count job)
+    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    val raw = s.readStream.format("graft.sources.CdcLogSource")
+      .option("path", log)
+      .option("maxEventsPerBatch", perBatch.toString)
+      .load()
+    val envelope = graft.ingest.EnvelopeDecoder.flattened(
+      graft.ingest.EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
+    val q = envelope.writeStream
+      .queryName("graft-e2e-state")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ingest.CdcWriter.merge(s, s"$base/t", b, Seq("user_id")): Unit
+      }
+      .start()
+    q.awaitTermination()
+    graft.ingest.CdcWriter.read(s, s"$base/t")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("cdc_e2e_state", e2eState, Some(CdcQueries.currentStateSql)),
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),

@@ -16,6 +16,17 @@ class StreamMergeSpec extends SparkTestBase {
     assert(merged.toSeq === recomputed.toSeq)
   }
 
+  test("the full WAL→decode→merge chain materializes the batch current state") {
+    // S1→S8 + upsert sink in one assertion: the DSv2 log source's
+    // LSN-interval batches drive per-batch merges whose final table must
+    // equal the plain batch recompute — including the double `value`
+    // column surviving the JSON encode/decode round-trip bit-exactly
+    val merged = SparkEntry.queries("cdc_e2e_state")(spark, sf0001).collect()
+    val recomputed = SparkEntry.queries("cdc_current_state")(spark, sf0001).collect()
+    assert(merged.length === recomputed.length)
+    assert(merged.toSeq === recomputed.toSeq)
+  }
+
   test("the ordered source files carry strictly increasing mtimes and LSN ranges") {
     // the admission-order contract the merge correctness rests on:
     // file k older (mtime) AND strictly smaller LSNs than file k+1
