@@ -45,10 +45,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ingest.EnvelopeDecoder]] so the decode stays declarative and
   * codegen'd.
   *
-  * Driver-side file scans here are O(log size) per trigger — fine for
-  * the stand-in (a real implementation tails a socket and never
-  * re-reads); the executor-side reader streams lines without
-  * materializing the file.
+  * Driver-side admission works off a cached sorted LSN index (rebuilt
+  * only when the log's file signature changes — see [[CdcLog.lsnIndex]]),
+  * so a trigger costs two binary searches, not a log re-parse; the
+  * executor-side reader streams lines without materializing the file.
   */
 object CdcLog {
 
@@ -62,10 +62,29 @@ object CdcLog {
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
   /** LSN of one log line; -1 for malformed lines (skipped, stderr-noted —
-    * a production source would dead-letter them). */
-  def lineLsn(line: String): Long =
+    * a production source would dead-letter them).
+    *
+    * Fast path: the Debezium envelope's only `"lsn":` key lives in the
+    * `source` struct, so a substring scan reads the number without
+    * building a full JSON tree — the per-line filter runs once per line
+    * per batch, and tree-parsing every line made the source the most
+    * expensive stage of the e2e chain. Any ambiguity (key missing,
+    * non-digit payload) falls back to the real parser. */
+  def lineLsn(line: String): Long = {
+    val k = line.indexOf("\"lsn\":")
+    if (k >= 0) {
+      var i = k + 6
+      while (i < line.length && line.charAt(i) == ' ') i += 1
+      var v = 0L
+      var any = false
+      while (i < line.length && line.charAt(i) >= '0' && line.charAt(i) <= '9') {
+        v = v * 10 + (line.charAt(i) - '0'); any = true; i += 1
+      }
+      if (any && v >= 0) return v
+    }
     try mapper.readTree(line).at("/source/lsn").asLong(-1L)
     catch { case _: Throwable => -1L }
+  }
 
   /** All log files of a path (file, or directory scanned in name order). */
   def logFiles(path: String): Seq[java.nio.file.Path] = {
@@ -94,6 +113,48 @@ object CdcLog {
       if (lsn >= 0) Some(lsn -> line)
       else { System.err.println(s"[cdc-log] skipping malformed line"); None }
     }
+
+  // ---- driver-side LSN index: the replication-slot bookkeeping.
+  // Admission decisions (batch-end LSN, latest offset) only need the
+  // LSNs, not the payloads — re-reading and re-parsing the whole log on
+  // EVERY trigger is O(triggers × log), which no real WAL tailer does
+  // (a slot advances a confirmed position; it never re-reads history).
+  // The index is a sorted LSN array cached per path and invalidated by
+  // the log's (name, size, mtime) signature, so an appended file
+  // rebuilds it while an idle tick costs three stat calls.
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Long])]()
+
+  private def logSignature(path: String): String =
+    logFiles(path).map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.mkString("|")
+
+  /** Sorted LSNs of the log as of now (cached; see above). */
+  def lsnIndex(path: String): Array[Long] = {
+    val sig = logSignature(path)
+    val cached = indexCache.get(path)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val arr = scan(path).map(_._1).toArray
+      java.util.Arrays.sort(arr)
+      indexCache.put(path, (sig, arr))
+      arr
+    }
+  }
+
+  /** First index with value > x (insertion point over duplicates). */
+  def upperBound(arr: Array[Long], x: Long): Int = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 class CdcLogSource extends TableProvider {
@@ -154,8 +215,10 @@ final class CdcLogMicroBatchStream(path: String, maxEvents: Option[Int])
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(CdcLog.scan(path).map(_._1).foldLeft(-1L)(math.max))
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val idx = CdcLog.lsnIndex(path)
+    availableNowTarget = Some(if (idx.isEmpty) -1L else idx(idx.length - 1))
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxEvents.map(ReadLimit.maxRows(_)).getOrElse(ReadLimit.allAvailable())
@@ -166,7 +229,9 @@ final class CdcLogMicroBatchStream(path: String, maxEvents: Option[Int])
   /** Next batch end: the admission limit applied at LSN granularity.
     * Events sharing the boundary LSN are never split across batches
     * (a WAL position is a transaction boundary, ref reader.go LSN
-    * semantics), so a multi-event LSN may round the cap up slightly. */
+    * semantics), so a multi-event LSN may round the cap up slightly.
+    * Works off the cached sorted LSN index — two binary searches per
+    * trigger instead of a full log re-parse. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = lsnOf(start)
     val cap = availableNowTarget.getOrElse(Long.MaxValue)
@@ -174,35 +239,20 @@ final class CdcLogMicroBatchStream(path: String, maxEvents: Option[Int])
       case r: ReadMaxRows => r.maxRows().toInt
       case _ => -1
     }
-    // Bounded scan: O(maxRows) driver memory regardless of log size.
-    // With a row cap, a max-heap retains only the `maxRows` smallest
-    // pending LSNs — its root is the k-th smallest, the batch-end LSN.
-    // Without a cap, only the running max is kept. (Previously this
-    // materialized every pending LSN on the driver per trigger.)
-    val heap =
-      if (maxRows > 0)
-        new java.util.PriorityQueue[java.lang.Long](
-          maxRows, java.util.Comparator.reverseOrder[java.lang.Long]())
-      else null
-    var count = 0L
-    var maxSeen = -1L
-    val it = CdcLog.scan(path).iterator.map(_._1).filter(l => l > s && l <= cap)
-    while (it.hasNext) {
-      val l = it.next()
-      count += 1
-      if (l > maxSeen) maxSeen = l
-      if (heap != null) {
-        if (heap.size < maxRows) heap.add(l)
-        else if (l < heap.peek()) { heap.poll(); heap.add(l) }
-      }
-    }
-    if (count == 0) LsnOffset(s)
-    else if (heap != null && count > maxRows) LsnOffset(heap.peek())
-    else LsnOffset(maxSeen)
+    val idx = CdcLog.lsnIndex(path)
+    val from = CdcLog.upperBound(idx, s) // first pending
+    val upTo = CdcLog.upperBound(idx, cap) // one past the freeze target
+    val pending = upTo - from
+    if (pending <= 0) LsnOffset(s)
+    else if (maxRows > 0 && pending > maxRows)
+      LsnOffset(idx(from + maxRows - 1)) // k-th smallest pending LSN
+    else LsnOffset(idx(upTo - 1))
   }
 
-  override def reportLatestOffset(): Offset =
-    LsnOffset(CdcLog.scan(path).map(_._1).foldLeft(-1L)(math.max))
+  override def reportLatestOffset(): Offset = {
+    val idx = CdcLog.lsnIndex(path)
+    LsnOffset(if (idx.isEmpty) -1L else idx(idx.length - 1))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(CdcLogPartition(path, lsnOf(start), lsnOf(end)))
