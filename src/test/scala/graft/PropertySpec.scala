@@ -147,6 +147,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WAV PCM samples round-trip for arbitrary sample arrays") {
+    import graft.extensions.Wav
+    check(Prop.forAll(Gen.listOf(Gen.choose(-32768, 32767)),
+        Gen.oneOf(1, 2), Gen.oneOf(8000, 44100)) { (samples, ch, rate) =>
+      val data = new Array[Byte](samples.length * 2)
+      for ((v, i) <- samples.zipWithIndex) {
+        data(2 * i) = v.toByte; data(2 * i + 1) = (v >> 8).toByte
+      }
+      val blob = Wav.header(ch, rate, data.length) ++ data
+      Wav.decodeSamples(blob).exists(_.toSeq == samples)
+    })
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
