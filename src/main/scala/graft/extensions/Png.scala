@@ -152,7 +152,9 @@ object Png {
     while (!sawEnd) {
       if (off + 12 > bytes.length) return None
       val len = readBe32(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // compare in Long: a length field near Int.MaxValue would wrap the
+      // Int sum negative and sneak past the bound (then crash crc.update)
+      if (len < 0 || off.toLong + 12L + len > bytes.length) return None
       val chunkType = new String(bytes, off + 4, 4, "US-ASCII")
       val crc = new CRC32
       crc.update(bytes, off + 4, 4 + len)
@@ -174,7 +176,11 @@ object Png {
         var truncated = false
         while (got < filtered.length && !inflater.finished() && !truncated) {
           val n = inflater.inflate(filtered, got, filtered.length - got)
-          if (n == 0 && inflater.needsInput()) truncated = true
+          // any zero-progress iteration that isn't end-of-stream is a
+          // malformed payload (truncated input, or a zlib header asking
+          // for a preset dictionary we'll never supply) — bail rather
+          // than spin forever
+          if (n == 0 && !inflater.finished()) truncated = true
           got += n
         }
         !truncated && got == filtered.length && {

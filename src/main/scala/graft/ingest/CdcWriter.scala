@@ -69,6 +69,13 @@ object CdcWriter {
     * with no version comparison — same here; [[Cdc.latestVersions]]
     * collapses the batch to one newest version per key first).
     *
+    * TRUNCATE markers (no row image, null key — ref internal/cdc/source/
+    * postgres/reader.go:237-242) reset the table up to their LSN: stored
+    * rows AND in-batch rows at LSN ≤ the newest marker are discarded
+    * before the upsert applies — the lake counterpart of
+    * [[Cdc.currentStateWithTruncate]]. Days holding only pre-marker rows
+    * are dropped from disk.
+    *
     * The 100 TB shape:
     *  1. Locate affected partitions with a KEY+PARTITION-column-only scan
     *     (parquet reads two thin columns; Iceberg metadata/blooms would
@@ -79,9 +86,24 @@ object CdcWriter {
     *  3. Rewrite the touched partitions to a temp tree in one job, then
     *     swap per partition — untouched partitions are never read in
     *     full, never rewritten, and keep their files byte-for-byte
-    *     (asserted in LakeMergeSpec). A mid-rewrite failure leaves every
-    *     original partition intact (the [[Compaction.compact]] pattern;
-    *     Iceberg's snapshot commit would make the swap atomic for real).
+    *     (asserted in LakeMergeSpec).
+    *
+    * Crash-safety: a failure during the tmp-tree rewrite leaves every
+    * original partition intact (the [[Compaction.compact]] pattern). The
+    * swap itself renames each original aside (`.old_<day>`, invisible to
+    * parquet readers) BEFORE moving new files in and deletes it last, so
+    * a crash mid-swap leaves that day recoverable from the aside dir
+    * rather than lost; true multi-partition swap atomicity is what
+    * Iceberg's snapshot commit would add.
+    *
+    * Write amplification at scale: this is copy-on-write — every touched
+    * day is rewritten whole. Cost per merge ∝ the DELTA's day-spread, not
+    * the table (LakeMergeSpec pins touched == the delta's distinct days),
+    * which is the right bound when CDC deltas cluster in recent days. A
+    * per-trigger merge of a uniformly-spread delta rewrites the table
+    * O(batches) times — the known COW tradeoff; the scale levers are a
+    * bounded cadence ([[MergeCadence]]: stage n batches, merge once) or
+    * merge-on-read delete files (Iceberg v2, not emulatable here).
     *
     * Returns the swapped partition values (sorted). DELETE deltas drop
     * the key; a partition emptied of all rows is removed. */
@@ -90,16 +112,29 @@ object CdcWriter {
     val pcol = SchemaBuilder.partitionColumn
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the collapsed batch feeds four consumers (key probe, new-day scan,
-    // upsert union, anti-join key set) — persist so the delta source and
-    // its latest-per-key window run once, not four times
-    val deltaLatest = Cdc.latestVersions(deltas, keyCols).persist()
-    try merge0(spark, tableDir, deltaLatest, keyCols, pcol, root, fs)
-    finally deltaLatest.unpersist()
+    // the raw batch feeds the TRUNCATE-watermark probe plus the collapse —
+    // persist so the delta source (file scan, WAL decode) runs once
+    val raw = deltas.persist()
+    try {
+      // newest TRUNCATE marker of the batch: a 1-row aggregate (marker
+      // metadata, not data — same driver-side budget as the day lists)
+      val wmRow = raw.agg(
+        max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0)
+      val truncLsn = if (wmRow.isNullAt(0)) None else Some(wmRow.getString(0))
+      val effective = truncLsn.fold(raw)(t =>
+        raw.filter(col(Cdc.OpColumn) =!= "TRUNCATE" && col(Cdc.LsnColumn) > t))
+      // the collapsed batch feeds four consumers (key probe, new-day scan,
+      // upsert union, anti-join key set) — persist so the latest-per-key
+      // window runs once, not four times
+      val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
+      try merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol, root, fs)
+      finally deltaLatest.unpersist()
+    } finally raw.unpersist()
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
                      deltaLatest: DataFrame, keyCols: Seq[String],
+                     truncLsn: Option[String],
                      pcol: String, root: org.apache.hadoop.fs.Path,
                      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val upserts = withPartitionColumn(
@@ -107,19 +142,29 @@ object CdcWriter {
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
     // partition-discovery read: hive layout yields pcol as a column;
     // normalize to string so day values compare stably. A table that does
-    // not exist yet reads as empty (bootstrap: the first merged batch
-    // CREATES the table — the streaming-upsert sink's first trigger).
-    val stored =
-      if (fs.exists(root))
+    // not exist yet — OR whose root exists but holds no day partitions
+    // (an earlier merge emptied it) — reads as the empty table, not as a
+    // schema-inference error (bootstrap: the first merged batch CREATES
+    // the table — the streaming-upsert sink's first trigger).
+    val hasParts = fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$pcol="))
+    val stored0 =
+      if (hasParts)
         spark.read.parquet(tableDir).withColumn(pcol, col(pcol).cast("string"))
       else upserts.filter(lit(false))
+    // TRUNCATE: stored rows at or before the marker are discarded; every
+    // day holding such rows must be rewritten (or dropped)
+    val wipedDays = truncLsn.toSeq.flatMap(t =>
+      stored0.filter(col(Cdc.LsnColumn) <= t)
+        .select(col(pcol)).distinct().collect().map(_.getString(0)))
+    val stored = truncLsn.fold(stored0)(t => stored0.filter(col(Cdc.LsnColumn) > t))
     val affectedDays = stored
       .select(keyCols.map(col) :+ col(pcol): _*)
       .join(broadcast(deltaKeys), keyCols, "left_semi")
       .select(col(pcol)).distinct().collect().map(_.getString(0))
     val newDays = upserts.select(col(pcol)).distinct()
       .collect().map(_.getString(0))
-    val touched = (affectedDays ++ newDays).distinct.sorted.toSeq
+    val touched = (wipedDays ++ affectedDays ++ newDays).distinct.sorted.toSeq
     if (touched.isEmpty) return Seq.empty
     val survivors = stored.filter(col(pcol).isin(touched: _*))
       .join(broadcast(deltaKeys), keyCols, "left_anti")
@@ -130,7 +175,12 @@ object CdcWriter {
     touched.foreach { day =>
       val partDir = new org.apache.hadoop.fs.Path(root, s"$pcol=$day")
       val newDir = new org.apache.hadoop.fs.Path(tmpDir, s"$pcol=$day")
-      fs.delete(partDir, true)
+      // rename-aside swap: the original is deleted LAST, so a crash at
+      // any point leaves the day either current or recoverable from
+      // `.old_<day>` — never silently gone
+      val oldDir = new org.apache.hadoop.fs.Path(root, s".old_$day")
+      if (fs.exists(oldDir)) fs.delete(oldDir, true) // prior crashed swap
+      val hadOld = fs.exists(partDir) && fs.rename(partDir, oldDir)
       if (fs.exists(newDir)) { // absent = the merge emptied this partition
         fs.mkdirs(partDir)
         fs.listStatus(newDir)
@@ -138,9 +188,38 @@ object CdcWriter {
           .foreach(f => fs.rename(f.getPath,
             new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)))
       }
+      if (hadOld) fs.delete(oldDir, true)
     }
     fs.delete(tmpDir, true)
     touched
+  }
+
+  /** Bounded merge cadence — the COW-amplification lever for streams whose
+    * deltas spread across many days (see [[merge]] scaladoc): micro-batches
+    * are STAGED (cheap day-partitioned appends, no stored-table read) and
+    * the staged backlog merges once every `every` batches, so the stored
+    * table is rewritten O(batches / every) times instead of O(batches).
+    * Correctness is unchanged: staged batches replay in one merge, and
+    * [[Cdc.latestVersions]] collapses them exactly as per-batch merges
+    * would (LakeMergeSpec: cadence ≡ per-batch ≡ recompute). Call
+    * [[flush]] after the stream drains to merge the tail. */
+  final class MergeCadence(spark: SparkSession, tableDir: String,
+                           keyCols: Seq[String], every: Int, stagingDir: String) {
+    require(every >= 1, s"merge cadence must be >= 1, got $every")
+    private var staged = 0
+    def onBatch(batch: DataFrame, batchId: Long): Unit = {
+      write(batch, stagingDir, SaveMode.Append)
+      staged += 1
+      if (staged >= every) flush()
+    }
+    def flush(): Unit = if (staged > 0) {
+      val p = new org.apache.hadoop.fs.Path(stagingDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      merge(spark, tableDir,
+        read(spark, stagingDir).drop(SchemaBuilder.partitionColumn), keyCols)
+      fs.delete(p, true)
+      staged = 0
+    }
   }
 }
 

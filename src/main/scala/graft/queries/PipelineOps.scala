@@ -38,21 +38,42 @@ object PipelineOps extends QueryModule {
   /** `orderedByLsn`: range-partition the files by LSN so file k holds
     * strictly older events than file k+1 — admission order then delivers
     * time-ordered micro-batches, the real WAL-tail contract (a
-    * replication stream is ordered; a random file split would not be). */
+    * replication stream is ordered; a random file split would not be).
+    *
+    * `withTruncateMarker`: union in one TRUNCATE marker row (null key, no
+    * row image — ref internal/cdc/source/postgres/reader.go:237-242) at
+    * LSN = 3/4 of the id range, so with LSN-ordered admission the marker
+    * arrives in a LATER batch than the state it resets — the merge's
+    * stored-side wipe path, not just the in-batch filter. */
   private def envelopeSrc(s: SparkSession, d: String, shape: String,
                           nFiles: Int, tableMod: Int,
-                          orderedByLsn: Boolean = false): String =
+                          orderedByLsn: Boolean = false,
+                          withTruncateMarker: Boolean = false): String =
     // key carries the full shape config: a second caller reusing a shape
     // name with different params must never be served the wrong fixture
     srcCache.getOrElseUpdate(
-      (graft.SessionKeys(s), d, s"$shape|$nFiles|$tableMod|$orderedByLsn"), {
+      (graft.SessionKeys(s), d,
+        s"$shape|$nFiles|$tableMod|$orderedByLsn|$withTruncateMarker"), {
       val dir = Lifecycle.scratchDir(s, s"graft_src_$shape", d)
       rmrf(s, dir)
-      val env =
+      val env0 =
         if (tableMod > 0)
           CdcQueries.envelope(s, d).withColumn("_cdc_table",
             concat(lit("events_"), (col("user_id") % tableMod).cast("string")))
         else CdcQueries.envelope(s, d)
+      val env =
+        if (withTruncateMarker) {
+          // both engines derive the marker LSN from max(event_id), so the
+          // oracle replays the identical reset boundary at every SF
+          val maxId = env0.agg(max(col("event_id"))).collect()(0).getLong(0)
+          env0.unionByName(s.range(1).select(
+            lit(null).cast("long").as("user_id"),
+            lit(null).cast("long").as("event_id"),
+            lit(null).cast("double").as("value"),
+            lit("TRUNCATE").as(Cdc.OpColumn),
+            lit("2024-01-01 00:00:00").cast("timestamp").as(Cdc.TsColumn),
+            lit(f"${maxId * 3 / 4}%016d").as(Cdc.LsnColumn)))
+        } else env0
       val split =
         if (orderedByLsn) env.repartitionByRange(nFiles, col(Cdc.LsnColumn))
         else env.repartition(nFiles)
@@ -240,15 +261,13 @@ object PipelineOps extends QueryModule {
   // WAL-tail contract: a replication stream is ordered), so every batch
   // is a stream suffix and the final stored table must hash-equal the
   // full-recompute current state over all raw events.
-  private def streamMerge(s: SparkSession, d: String): DataFrame = {
-    val src = envelopeSrc(s, d, "ordmerge", nFiles = 4, tableMod = 0,
-      orderedByLsn = true)
-    val base = Lifecycle.scratchDir(s, "graft_streammerge", d)
+  private def mergeDrain(s: SparkSession, src: String, base: String,
+                         name: String): DataFrame = {
     rmrf(s, base)
     val stream = IngestPipeline.fileEnvelopeSource(
       s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 2)
     val q = stream.writeStream
-      .queryName("graft-stream-merge")
+      .queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -260,6 +279,37 @@ object PipelineOps extends QueryModule {
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy(col("user_id"))
   }
+
+  private def streamMerge(s: SparkSession, d: String): DataFrame =
+    mergeDrain(s,
+      envelopeSrc(s, d, "ordmerge", nFiles = 4, tableMod = 0, orderedByLsn = true),
+      Lifecycle.scratchDir(s, "graft_streammerge", d), "graft-stream-merge")
+
+  // ---- TRUNCATE through the streaming MERGE sink: a TRUNCATE marker at
+  // 3/4 of the LSN range arrives in the SECOND micro-batch, after batch 0
+  // has already materialized state into the stored table — the merge must
+  // wipe the stored pre-marker days from disk, drop the in-batch
+  // pre-marker rows, then apply the remainder. The oracle replays the
+  // identical reset (discard ≤ marker, then latest-per-key) from the raw
+  // events, so a marker upserted as a data row, a survived pre-marker
+  // key, or an un-dropped partition all fail the hash.
+  private def streamTruncate(s: SparkSession, d: String): DataFrame =
+    mergeDrain(s,
+      envelopeSrc(s, d, "truncmerge", nFiles = 4, tableMod = 0,
+        orderedByLsn = true, withTruncateMarker = true),
+      Lifecycle.scratchDir(s, "graft_streamtrunc", d), "graft-stream-truncate")
+
+  // `//`: DuckDB's `/` is float division; the marker LSN must be the same
+  // integer arithmetic the Spark fixture computes (maxId * 3 / 4 in Long)
+  private val streamTruncateSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql}),
+       |tw AS (SELECT lpad(CAST(max(event_id) * 3 // 4 AS VARCHAR), 16, '0') AS tl
+       |       FROM events)
+       |SELECT user_id, event_id, value FROM (
+       |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM envelope e, tw WHERE e._cdc_lsn > tw.tl) t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE' ORDER BY user_id""".stripMargin
 
   /** The Debezium JSONL log, written once per (session, sfDir) — the
     * WAL stand-in is immutable, like the parquet stream fixtures. */
@@ -312,5 +362,6 @@ object PipelineOps extends QueryModule {
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
     GraftQuery("cdc_stream_resume", streamResume, Some(streamResumeSql)),
     GraftQuery("cdc_stream_merge", streamMerge, Some(CdcQueries.currentStateSql)),
+    GraftQuery("cdc_stream_truncate", streamTruncate, Some(streamTruncateSql)),
   )
 }

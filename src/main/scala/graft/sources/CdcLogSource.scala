@@ -64,14 +64,18 @@ object CdcLog {
   /** LSN of one log line; -1 for malformed lines (skipped, stderr-noted —
     * a production source would dead-letter them).
     *
-    * Fast path: the Debezium envelope's only `"lsn":` key lives in the
+    * Fast path: the envelope's authoritative `"lsn":` key lives in the
     * `source` struct, so a substring scan reads the number without
     * building a full JSON tree — the per-line filter runs once per line
     * per batch, and tree-parsing every line made the source the most
-    * expensive stage of the e2e chain. Any ambiguity (key missing,
+    * expensive stage of the e2e chain. The scan is ANCHORED past the
+    * last `"source"` key so a captured table with its own `lsn` column
+    * (or a string value containing `"lsn":`) in the before/after images
+    * can't shadow the real offset. Any ambiguity (key missing,
     * non-digit payload) falls back to the real parser. */
   def lineLsn(line: String): Long = {
-    val k = line.indexOf("\"lsn\":")
+    val s = line.lastIndexOf("\"source\"")
+    val k = if (s >= 0) line.indexOf("\"lsn\":", s) else -1
     if (k >= 0) {
       var i = k + 6
       while (i < line.length && line.charAt(i) == ' ') i += 1

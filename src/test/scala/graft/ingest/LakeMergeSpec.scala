@@ -144,4 +144,124 @@ class LakeMergeSpec extends SparkTestBase {
     assert(touched === Seq.empty)
     assert(files(dir, "2024-01-01") === before)
   }
+
+  /** TRUNCATE marker row: no row image, null key, only a position
+    * (ref internal/cdc/source/postgres/reader.go:237-242). */
+  private def truncMarker(eventId: Long, day: String): DataFrame = {
+    import spark.implicits._
+    Seq((eventId, day)).toDF("event_id", "day")
+      .select(
+        lit(null).cast("long").as("user_id"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        lit("TRUNCATE").as(Cdc.OpColumn),
+        to_timestamp(concat(col("day"), lit(" 12:00:00"))).as(Cdc.TsColumn),
+        lpad(col("event_id").cast("string"), 16, "0").as(Cdc.LsnColumn))
+  }
+
+  test("a TRUNCATE marker wipes stored pre-marker days from disk and " +
+    "filters in-batch pre-marker rows before the upsert applies") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-trunc").toString + "/t"
+    // stored state entirely before the marker: both days must be wiped
+    CdcWriter.write(env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01"),
+      (3L, 3L, 3.0, "INSERT", "2024-01-02")), dir)
+    // batch: one pre-marker row (discarded), the marker at LSN 10, and
+    // two post-marker rows (applied) — one of them re-inserting key 1
+    val delta = env(
+      (4L, 9L, 4.0, "INSERT", "2024-01-03"),
+      (1L, 11L, 10.0, "INSERT", "2024-01-03"),
+      (5L, 12L, 5.0, "INSERT", "2024-01-04"))
+      .unionByName(truncMarker(10L, "2024-01-03"))
+    val touched = CdcWriter.merge(spark, dir, delta, Seq("user_id"))
+    // wiped: day1, day2 (all pre-marker); new: day3, day4
+    assert(touched === Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(files(dir, "2024-01-01").isEmpty && files(dir, "2024-01-02").isEmpty)
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(state === Seq((1L, 11L, 10.0), (5L, 12L, 5.0)))
+    // and it equals the DataFrame-layer TRUNCATE semantics over the
+    // concatenated history — lake merge ≡ currentStateWithTruncate
+    val recomputed = Cdc.currentStateWithTruncate(
+      env((1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01"),
+        (3L, 3L, 3.0, "INSERT", "2024-01-02")).unionByName(delta), Seq("user_id"))
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(state === recomputed)
+  }
+
+  test("a TRUNCATE only resets state at or before its LSN; newer stored rows survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-trunc2").toString + "/t"
+    // key 1 stored BEFORE the marker LSN, key 2 stored after it (a
+    // replayed batch can legitimately hold rows newer than the marker)
+    CdcWriter.write(env(
+      (1L, 5L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 15L, 2.0, "INSERT", "2024-01-01")), dir)
+    val touched = CdcWriter.merge(spark, dir,
+      truncMarker(10L, "2024-01-02"), Seq("user_id"))
+    assert(touched === Seq("2024-01-01")) // rewritten, not dropped: key 2 survives
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(state === Seq((2L, 15L)))
+  }
+
+  test("COW write amplification is bounded by the DELTA's day-spread, not the table's") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-cow").toString + "/t"
+    // a 10-day table; the delta's keys all live in ONE day and its events
+    // land in ONE new day — the merge must rewrite exactly those two,
+    // however many days the table holds (the 100 TB bound: cost ∝ delta)
+    CdcWriter.write(env((1L to 20L).map(i =>
+      (i, i, i.toDouble, "INSERT", f"2024-01-${(i - 1) % 10 + 1}%02d")): _*), dir)
+    val touched = CdcWriter.merge(spark, dir, env(
+      (3L, 100L, 30.0, "UPDATE", "2024-02-01"),
+      (13L, 101L, 130.0, "UPDATE", "2024-02-01")), Seq("user_id"))
+    // keys 3 and 13 both live in day 03; delta day is 02-01
+    assert(touched === Seq("2024-01-03", "2024-02-01"))
+    assert(touched.size === 2)
+  }
+
+  test("MergeCadence: staged merges every N batches equal per-batch merges") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakemerge-cadence").toString
+    val batches = Seq(
+      env((1L, 1L, 1.0, "INSERT", "2024-01-01"), (2L, 2L, 2.0, "INSERT", "2024-01-01")),
+      env((1L, 10L, 10.0, "UPDATE", "2024-01-02"), (3L, 11L, 3.0, "INSERT", "2024-01-02")),
+      env((2L, 20L, 0.0, "DELETE", "2024-01-03"), (4L, 21L, 4.0, "INSERT", "2024-01-03")))
+    // per-batch COW: 3 merges
+    batches.foreach(b => CdcWriter.merge(spark, s"$base/perbatch", b, Seq("user_id")))
+    // cadence 2: batches 0-1 staged then merged once, flush() merges the tail
+    val cadence = new CdcWriter.MergeCadence(
+      spark, s"$base/cadence", Seq("user_id"), every = 2, s"$base/staging")
+    batches.zipWithIndex.foreach { case (b, i) => cadence.onBatch(b, i.toLong) }
+    cadence.flush()
+    def state(dir: String) = CdcWriter.read(spark, dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(state(s"$base/cadence") === state(s"$base/perbatch"))
+    assert(state(s"$base/cadence") === Seq(
+      (1L, 10L, 10.0), (3L, 11L, 3.0), (4L, 21L, 4.0)))
+    // the staging dir is cleared after each flush
+    assert(!new Path(s"$base/staging").getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(s"$base/staging")))
+  }
+
+  test("a merge that empties the whole table leaves a root the next merge can bootstrap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-empty").toString + "/t"
+    CdcWriter.write(env((1L, 1L, 1.0, "INSERT", "2024-01-01")), dir)
+    CdcWriter.merge(spark, dir, env(
+      (1L, 10L, 0.0, "DELETE", "2024-01-02")), Seq("user_id"))
+    assert(files(dir, "2024-01-01").isEmpty)
+    // the root still exists but holds no day partitions — the next merge
+    // must treat it as the empty table, not fail schema inference
+    val touched = CdcWriter.merge(spark, dir, env(
+      (2L, 20L, 2.0, "INSERT", "2024-01-03")), Seq("user_id"))
+    assert(touched === Seq("2024-01-03"))
+    assert(CdcWriter.read(spark, dir).select($"user_id").as[Long].collect().toSeq
+      === Seq(2L))
+  }
 }
