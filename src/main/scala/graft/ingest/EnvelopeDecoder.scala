@@ -67,3 +67,47 @@ object EnvelopeDecoder {
         col("_cdc_schema"), col("_cdc_table"), col("_cdc_txid"))
   }
 }
+
+/** Schema-evolving decoder for a live stream: the reference's
+  * BuildFromEvents → MergeSchemas → ensureTable chain (ref internal/
+  * iceberg/schema/schema.go:25-52,149-174, writer/writer.go:197-253)
+  * applied per micro-batch. Each batch's payload schema is INFERRED from
+  * its raw JSON (a distributed `spark.read.json` schema pass — After
+  * wins, Before fills gaps), add-only-merged into the registered schema
+  * ([[graft.model.SchemaBuilder.merge]]: existing fields keep position
+  * and type, new fields append, version bumps), and the batch decodes
+  * with the MERGED schema — so a column that appears mid-stream starts
+  * landing in the lake from its first batch, while files written before
+  * it read back as null under a mergeSchema scan.
+  *
+  * Scale note: the inference pass reads the batch once more. At 100 TB/day
+  * the typed path is to seed from the source catalog's declared columns
+  * ([[graft.model.SchemaBuilder.buildFromColumns]]) so inference only ever
+  * confirms; the seed here plays that role and inference covers drift.
+  * State is one StructType on the driver — O(columns), never data. */
+final class EvolvingDecoder(seed: StructType) {
+  @volatile private var registered: StructType = seed
+  @volatile private var ver: Int = 1
+  def payloadSchema: StructType = registered
+  def version: Int = ver
+
+  /** Decode one micro-batch, evolving the registered schema first. */
+  def decode(raw: DataFrame, jsonCol: String): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val env = spark.read.json(raw.select(col(jsonCol)).as[String]).schema
+    def payloadOf(name: String): Seq[org.apache.spark.sql.types.StructField] =
+      env.find(_.name == name).map(_.dataType) match {
+        case Some(s: StructType) => s.fields.toSeq
+        case _                   => Seq.empty
+      }
+    val after = payloadOf("after")
+    val haveAfter = after.map(_.name).toSet
+    val incoming = StructType(
+      after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name)))
+    val (merged, v) = graft.model.SchemaBuilder.merge(registered, incoming, ver)
+    registered = merged
+    ver = v
+    EnvelopeDecoder.decode(raw, jsonCol, merged)
+  }
+}

@@ -19,55 +19,91 @@ import scala.jdk.CollectionConverters._
   *
   * The registry is queryable as a DataFrame — metrics are data here, not
   * an HTTP endpoint (Prometheus scraping would hang off the same rows).
+  * [[Registry]] is instantiable so a pipeline can carry its OWN registry
+  * (the registered `pipeline_metrics` query does — a process-global one
+  * would mix in whatever else the session is running); [[Metrics.global]]
+  * is the default process-wide instance.
   */
 object Metrics {
-
-  private val counters = new ConcurrentHashMap[String, AtomicLong]()
-  private val gauges = new ConcurrentHashMap[String, DoubleAdder]()
 
   def counterName(subsystem: String, name: String): String =
     s"philotes_${subsystem}_$name"
 
+  /** One metric registry: counters + last-write-wins gauges. */
+  final class Registry {
+    private val counters = new ConcurrentHashMap[String, AtomicLong]()
+    private val gauges = new ConcurrentHashMap[String, DoubleAdder]()
+
+    def inc(subsystem: String, name: String, delta: Long = 1L): Unit =
+      counters.computeIfAbsent(counterName(subsystem, name), _ => new AtomicLong())
+        .addAndGet(delta)
+
+    def setGauge(subsystem: String, name: String, value: Double): Unit = {
+      val adder = gauges.computeIfAbsent(counterName(subsystem, name), _ => new DoubleAdder())
+      adder.reset()
+      adder.add(value)
+    }
+
+    def counter(subsystem: String, name: String): Long = {
+      val v = counters.get(counterName(subsystem, name))
+      if (v == null) 0L else v.get()
+    }
+
+    def snapshot(): Map[String, Double] =
+      counters.asScala.map { case (k, v) => k -> v.get().toDouble }.toMap ++
+        gauges.asScala.map { case (k, v) => k -> v.sum() }
+
+    def reset(): Unit = { counters.clear(); gauges.clear() }
+
+    def toDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      snapshot().toSeq.sortBy(_._1).toDF("metric", "value")
+    }
+  }
+
+  /** The process-wide default registry. */
+  val global: Registry = new Registry
+
   def inc(subsystem: String, name: String, delta: Long = 1L): Unit =
-    counters.computeIfAbsent(counterName(subsystem, name), _ => new AtomicLong())
-      .addAndGet(delta)
-
-  def setGauge(subsystem: String, name: String, value: Double): Unit = {
-    val adder = gauges.computeIfAbsent(counterName(subsystem, name), _ => new DoubleAdder())
-    adder.reset()
-    adder.add(value)
-  }
-
-  def snapshot(): Map[String, Double] =
-    counters.asScala.map { case (k, v) => k -> v.get().toDouble }.toMap ++
-      gauges.asScala.map { case (k, v) => k -> v.sum() }
-
-  def reset(): Unit = { counters.clear(); gauges.clear() }
-
-  def toDf(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    snapshot().toSeq.sortBy(_._1).toDF("metric", "value")
-  }
+    global.inc(subsystem, name, delta)
+  def setGauge(subsystem: String, name: String, value: Double): Unit =
+    global.setGauge(subsystem, name, value)
+  def snapshot(): Map[String, Double] = global.snapshot()
+  def reset(): Unit = global.reset()
+  def toDf(spark: SparkSession): DataFrame = global.toDf(spark)
 
   /** Streaming listener: micro-batch progress → philotes_cdc_* metrics
     * (ref pipeline event-loop stats, internal/cdc/pipeline/pipeline.go:
-    * 227-277, and batch processor counters, buffer/batch.go). */
-  final class Listener extends StreamingQueryListener {
+    * 227-277, and batch processor counters, buffer/batch.go).
+    *
+    * `onlyQueryName`: a session's listener bus carries EVERY streaming
+    * query's events — a scoped registry must see only its own pipeline
+    * (the reference's metrics are per-process; a Spark session hosts many
+    * pipelines, so the filter is the equivalent boundary). */
+  final class Listener(registry: Registry = global,
+                       onlyQueryName: Option[String] = None)
+    extends StreamingQueryListener {
+    private def mine(name: String): Boolean =
+      onlyQueryName.forall(_ == name)
+
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      setGauge("cdc", "pipeline_state", 1.0) // 1 = running (ref state gauge)
+      if (mine(e.name))
+        registry.setGauge("cdc", "pipeline_state", 1.0) // 1 = running (ref state gauge)
 
-    override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      inc("cdc", "events_total", e.progress.numInputRows)
-      inc("buffer", "batches_total")
-      inc("buffer", "events_processed_total", e.progress.numInputRows)
-      setGauge("buffer", "depth", e.progress.numInputRows.toDouble)
-    }
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (mine(e.progress.name)) {
+        registry.inc("cdc", "events_total", e.progress.numInputRows)
+        registry.inc("buffer", "batches_total")
+        registry.inc("buffer", "events_processed_total", e.progress.numInputRows)
+        registry.setGauge("buffer", "depth", e.progress.numInputRows.toDouble)
+      }
 
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-      setGauge("cdc", "pipeline_state",
-        if (e.exception.isDefined) 5.0 /* failed */ else 4.0 /* stopped */)
-      if (e.exception.isDefined) inc("cdc", "errors_total")
-    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (onlyQueryName.isEmpty) { // name is not carried on terminate events
+        registry.setGauge("cdc", "pipeline_state",
+          if (e.exception.isDefined) 5.0 /* failed */ else 4.0 /* stopped */)
+        if (e.exception.isDefined) registry.inc("cdc", "errors_total")
+      }
   }
 
   def attach(spark: SparkSession): Listener = {

@@ -218,6 +218,34 @@ object CdcQueries extends QueryModule {
     debeziumLines(s, d).coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).text(outDir)
 
+  /** Evolved payload schema: [[SourcePayloadSchema]] plus the `score`
+    * column that appears mid-stream (see [[debeziumLinesEvolving]]). */
+  val EvolvedPayloadSchema: org.apache.spark.sql.types.StructType =
+    SourcePayloadSchema.add("score", "long")
+
+  /** Debezium lines whose payload GAINS an integer `score` column for
+    * events with id above `threshold` — the ALTER TABLE ADD COLUMN shape
+    * a live CDC stream delivers mid-flight. Below the threshold the field
+    * is null and `to_json` omits it (ignoreNullFields default), so early
+    * lines carry the original 3-column payload byte-for-byte: a decoder
+    * inferring per batch sees the column APPEAR, not a always-null
+    * column that was always there. */
+  def debeziumLinesEvolving(s: SparkSession, d: String, threshold: Long): DataFrame = {
+    val score = when(col("event_id") > threshold, col("user_id") % 97)
+      .otherwise(lit(null)).cast("long").as("score")
+    val payload = struct(col("user_id"), col("event_id"), col("value"), score)
+    val nullPayload = lit(null).cast(EvolvedPayloadSchema)
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d").otherwise("u")
+    Tables.events(s, d).select(to_json(struct(
+      when(op === "d", payload).otherwise(nullPayload).as("before"),
+      when(op =!= "d", payload).otherwise(nullPayload).as("after"),
+      op.as("op"),
+      unix_millis(col("ts")).as("ts_ms"),
+      struct(lit("public").as("schema"), lit("events").as("table"),
+        col("event_id").as("lsn"), col("event_id").as("txId")).as("source"))).as("value"))
+  }
+
   private def cdcSourceScan(s: SparkSession, d: String): DataFrame = {
     val dir = Lifecycle.scratchDir(s, "graft_cdclog", d)
     writeDebeziumLog(s, d, dir)

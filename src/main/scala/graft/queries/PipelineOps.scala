@@ -125,6 +125,45 @@ object PipelineOps extends QueryModule {
        |  'validation' AS error_type, count(*) AS n_failed
        |FROM envelope WHERE user_id % 10 = 0 HAVING count(*) > 0""".stripMargin
 
+  // ---- DLQ REPLAY (ref internal/cdc/deadletter/postgres.go:199-238:
+  // Read → repair → reprocess → MarkRetried): the same poison ingest as
+  // dlq_stats, then the dead-lettered slice is decoded back to envelope
+  // columns, its table name REPAIRED to the one it should have carried,
+  // routed through the REAL processBatch, and marked retried. The result
+  // reads the whole lake back: replayed ≡ never-failed, so the oracle is
+  // the clean-ingest aggregate over ALL events (same SQL the stream
+  // roundtrip uses). The REQUIREs pin that the DLQ was non-empty before
+  // and fully drained after — a run where nothing dead-lettered (or
+  // nothing replayed) cannot fake the row.
+  private def dlqReplay(s: SparkSession, d: String): DataFrame = {
+    val base = Lifecycle.scratchDir(s, "graft_dlqreplay", d)
+    rmrf(s, base)
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "events_cdc",
+      retry = fastRetry)
+    val batch = CdcQueries.envelope(s, d).withColumn(cfg.tableCol,
+      when(col("user_id") % 10 === 0, lit("events bad"))
+        .otherwise(concat(lit("events_"), (col("user_id") % 2).cast("string"))))
+    IngestPipeline.processBatch(cfg)(batch, 0L)
+    def pendingCount() = DeadLetter.read(s, cfg.dlqDir)
+      .filter(col("retried_at").isNull).count()
+    val before = pendingCount()
+    require(before > 0, "expected the poison slice to dead-letter")
+    val replayed = DeadLetter.replay(s, cfg.dlqDir, batch.schema,
+      repair = b => b.withColumn(cfg.tableCol,
+        concat(lit("events_"), (col("user_id") % 2).cast("string"))),
+      process = b => IngestPipeline.processBatch(cfg)(b, 1L))
+    require(replayed == before && pendingCount() == 0,
+      s"expected $before pending replayed and drained, got $replayed")
+    s.read.parquet(s"${cfg.outDir}/events_0")
+      .unionByName(s.read.parquet(s"${cfg.outDir}/events_1"))
+      .groupBy(col("_cdc_table"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        min(col(Cdc.LsnColumn)).as("lsn_min"), max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("_cdc_table"))
+  }
+
   // ---- streaming write path end-to-end (T1/S4-S6): the envelope drained
   // through IngestPipeline.start as an AvailableNow stream — file source
   // with admission control, per-table router, day-partitioned lake append,
@@ -355,9 +394,138 @@ object PipelineOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- MID-STREAM SCHEMA EVOLUTION on the gate: the payload gains a
+  // `score` column at 1/2 of the id range, i.e. WHILE the pipeline runs
+  // (batch 0 of the 3-batch admission is entirely below it). Each batch
+  // decodes through [[graft.ingest.EvolvingDecoder]] — per-batch inferred
+  // payload schema, add-only merge, decode with the merged schema (the
+  // reference's MergeSchemas + ensureTable chain, schema/schema.go:149-174
+  // + writer/writer.go:197-253) — and lands via the real processBatch.
+  // The read-back is a mergeSchema scan: pre-drift files surface score as
+  // null, post-drift files carry it. The oracle recomputes count/non-null
+  // count/exact-integer sum per operation from the raw events, so a
+  // dropped column, a misaligned schema merge, or a corrupted value all
+  // fail the hash.
+  private def streamEvolve(s: SparkSession, d: String): DataFrame = {
+    val log = evolveLogOnce(s, d)
+    val base = Lifecycle.scratchDir(s, "graft_streamevolve", d)
+    rmrf(s, base)
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "stream_evolve",
+      retry = fastRetry)
+    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    val raw = s.readStream.format("graft.sources.CdcLogSource")
+      .option("path", log)
+      .option("maxEventsPerBatch", perBatch.toString)
+      .load()
+    // seed = the source catalog's declared columns (the typed path);
+    // inference only has to absorb the drift
+    val decoder = new graft.ingest.EvolvingDecoder(CdcQueries.SourcePayloadSchema)
+    val q = raw.writeStream
+      .queryName("graft-stream-evolve")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        IngestPipeline.processBatch(cfg)(
+          graft.ingest.EnvelopeDecoder.flattened(decoder.decode(b, "value")), id)
+      }
+      .start()
+    q.awaitTermination()
+    // the stream must actually have evolved the registered schema
+    require(decoder.version > 1 &&
+      decoder.payloadSchema.fieldNames.contains("score"),
+      s"expected mid-stream evolution, still at v${decoder.version}")
+    s.read.option("mergeSchema", "true").parquet(s"${cfg.outDir}/events")
+      .groupBy(col(Cdc.OpColumn))
+      .agg(count(lit(1)).as("n"), count(col("score")).as("n_scored"),
+        sum(col("score")).cast("long").as("score_sum"))
+      .orderBy(col(Cdc.OpColumn))
+  }
+
+  private def evolveLogOnce(s: SparkSession, d: String): String =
+    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog_evolve"), {
+      val dir = Lifecycle.scratchDir(s, "graft_src_dbzevolve", d)
+      rmrf(s, dir)
+      val threshold = graft.Tables.events(s, d)
+        .agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      CdcQueries.debeziumLinesEvolving(s, d, threshold).coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+      dir
+    })
+
+  // threshold replayed as max(event_id) // 2 (DuckDB `/` is float division)
+  private val streamEvolveSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql}),
+       |th AS (SELECT max(event_id) // 2 AS t FROM events)
+       |SELECT _cdc_operation, count(*) AS n,
+       |  count(CASE WHEN event_id > (SELECT t FROM th) THEN 1 END) AS n_scored,
+       |  CAST(sum(CASE WHEN event_id > (SELECT t FROM th)
+       |                THEN user_id % 97 END) AS BIGINT) AS score_sum
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- OBSERVABILITY AS DATA (ref internal/metrics/metrics.go:39-258):
+  // a deterministic 2-batch drain through the real pipeline with its OWN
+  // metric registry (scoped — the session may be running other pipelines
+  // concurrently) and a name-filtered streaming listener. The counters
+  // the drain must produce are pure functions of the fixture:
+  // events_total / events_processed_total = the envelope row count,
+  // batches_total = ⌈files / maxFilesPerTrigger⌉ = 2, commits_total =
+  // tables × batches = 4. The oracle recomputes them from the raw
+  // events, so a lost batch, a double-counted progress event, or a
+  // missed per-table commit fails the hash. Gauges (lag, depth) are
+  // wall-clock/split-dependent and stay out of the gated row.
+  private def pipelineMetrics(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "rt", nFiles = 2, tableMod = 2)
+    val base = Lifecycle.scratchDir(s, "graft_pipemetrics", d)
+    rmrf(s, base)
+    val registry = new graft.observe.Metrics.Registry
+    val cfg = IngestConfig(
+      outDir = s"$base/lake", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", sourceId = "pipe_metrics",
+      retry = fastRetry, metrics = registry)
+    val listener = new graft.observe.Metrics.Listener(
+      registry, onlyQueryName = Some(s"graft-ingest-${cfg.sourceId}"))
+    s.streams.addListener(listener)
+    try {
+      val stream = IngestPipeline.fileEnvelopeSource(
+        s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 1)
+      IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
+      // listener events post on an async bus — wait until both batches'
+      // progress events have landed (bounded; the drain above guarantees
+      // exactly 2 progress events for this query name)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (registry.counter("buffer", "batches_total") < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally s.streams.removeListener(listener)
+    import s.implicits._
+    Seq(
+      "philotes_buffer_batches_total",
+      "philotes_buffer_events_processed_total",
+      "philotes_cdc_events_total",
+      "philotes_iceberg_commits_total")
+      .map(m => (m, registry.snapshot().getOrElse(m, 0.0).toLong))
+      .toDF("metric", "value")
+      .orderBy(col("metric"))
+  }
+
+  private val pipelineMetricsSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT 'philotes_buffer_batches_total' AS metric,
+       |       CAST(2 AS BIGINT) AS value
+       |UNION ALL SELECT 'philotes_buffer_events_processed_total', count(*)
+       |FROM envelope
+       |UNION ALL SELECT 'philotes_cdc_events_total', count(*) FROM envelope
+       |UNION ALL SELECT 'philotes_iceberg_commits_total',
+       |  CAST(4 AS BIGINT)
+       |ORDER BY metric""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_e2e_state", e2eState, Some(CdcQueries.currentStateSql)),
+    GraftQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsSql)),
+    GraftQuery("cdc_stream_evolve", streamEvolve, Some(streamEvolveSql)),
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
+    GraftQuery("dlq_replay", dlqReplay, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
     GraftQuery("cdc_stream_resume", streamResume, Some(streamResumeSql)),

@@ -50,10 +50,12 @@ object DeadLetter {
       .withColumn("error_type", lit(classify(error)))
       .withColumn("retry_count", lit(retryCount))
       .withColumn("created_at", current_timestamp())
+      .withColumn("retried_at", lit(null).cast("timestamp"))
     failed.write.mode(SaveMode.Append).parquet(dlqDir)
   }
 
-  /** The stable DLQ schema ([[append]] writes exactly these columns). */
+  /** The stable DLQ schema ([[append]] writes exactly these columns;
+    * `retried_at` null = pending, set by [[replay]]'s MarkRetried). */
   val schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_data", org.apache.spark.sql.types.StringType),
@@ -62,16 +64,64 @@ object DeadLetter {
       org.apache.spark.sql.types.StructField("error_message", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("error_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("retry_count", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.TimestampType)))
+      org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("retried_at", org.apache.spark.sql.types.TimestampType)))
 
   /** An append-mode DLQ dir only exists once something failed; an absent
     * dir reads as the empty DLQ (so stats/read agree with an oracle that
-    * derives zero failures), not as a scan error. */
+    * derives zero failures), not as a scan error. DLQ dirs written before
+    * the `retried_at` column existed read it back as null — pending. */
   def read(spark: SparkSession, dlqDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dlqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(dlqDir)
+    if (fs.exists(p)) {
+      val df = spark.read.parquet(dlqDir)
+      if (df.columns.contains("retried_at")) df
+      else df.withColumn("retried_at", lit(null).cast("timestamp"))
+    }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Replay pending dead-letters: Read → repair → reprocess → MarkRetried
+    * (ref internal/cdc/deadletter/postgres.go:199-238 — the operator
+    * loop that fixes the poison and routes it back through the pipeline).
+    *
+    * `event_data` decodes back to the ORIGINAL batch columns via
+    * `batchSchema`, `repair` fixes what made it fail (a table name, a
+    * type), and `process` is the real ingest entry (typically
+    * `IngestPipeline.processBatch(cfg)(_, batchId)`). Rows that fail
+    * AGAIN simply dead-letter again through `process`'s own DLQ path —
+    * replay is safe to re-run. Marking rewrites the DLQ table whole: the
+    * DLQ is failure-sized, not data-sized, so a rewrite is the lake
+    * equivalent of the reference's per-row UPDATE. Returns # replayed. */
+  def replay(spark: SparkSession, dlqDir: String,
+             batchSchema: org.apache.spark.sql.types.StructType,
+             repair: DataFrame => DataFrame,
+             process: DataFrame => Unit): Long = {
+    val dlq = read(spark, dlqDir)
+    val pending = dlq.filter(col("retried_at").isNull)
+    val n = pending.count()
+    if (n == 0) return 0L
+    // cutoff: rows `process` dead-letters AGAIN append with a later
+    // created_at — they must stay pending, not get marked by this pass
+    val cutoff = pending.agg(max(col("created_at"))).collect()(0).getTimestamp(0)
+    process(repair(
+      pending.select(from_json(col("event_data"), batchSchema).as("_e"))
+        .select(col("_e.*"))))
+    // MarkRetried: re-read AFTER process (its re-failures appended files
+    // our first listing never saw), materialize to a tmp dir (the marked
+    // frame reads dlqDir — overwriting in place would clobber our input),
+    // then swap
+    val p = new org.apache.hadoop.fs.Path(dlqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dlqDir + ".marking")
+    read(spark, dlqDir).withColumn("retried_at",
+      when(col("retried_at").isNull && col("created_at") <= cutoff,
+        current_timestamp()).otherwise(col("retried_at")))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    n
   }
 
   /** Failure counts by (source, table, error type). The reference's

@@ -34,7 +34,8 @@ final case class IngestConfig(
     sourceId: String = "stream",
     tableCol: String = "_cdc_table",
     retry: RetryPolicy = RetryPolicy(),
-    triggerMs: Long = 5000L /* ref flush interval: 5 s, config.go:727 */)
+    triggerMs: Long = 5000L, /* ref flush interval: 5 s, config.go:727 */
+    metrics: Metrics.Registry = Metrics.global)
 
 object IngestPipeline {
 
@@ -70,12 +71,12 @@ object IngestPipeline {
           Retry.execute(cfg.retry) { () =>
             CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
           }
-          Metrics.inc("iceberg", "commits_total")
+          cfg.metrics.inc("iceberg", "commits_total")
         } catch {
           case e: Throwable =>
             DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,
               retryCount = cfg.retry.maxAttempts)
-            Metrics.inc("cdc", "dlq_total")
+            cfg.metrics.inc("cdc", "dlq_total")
         }
       }
       // replication lag: wall clock minus newest commit timestamp in the
@@ -83,7 +84,7 @@ object IngestPipeline {
       if (batch.columns.contains(graft.ingest.Cdc.TsColumn)) {
         val maxTs = batch.agg(max(col(graft.ingest.Cdc.TsColumn))).collect()(0)
         if (!maxTs.isNullAt(0))
-          Metrics.setGauge("cdc", "lag_seconds",
+          cfg.metrics.setGauge("cdc", "lag_seconds",
             (System.currentTimeMillis() - maxTs.getTimestamp(0).getTime) / 1000.0)
       }
     } finally batch.unpersist()

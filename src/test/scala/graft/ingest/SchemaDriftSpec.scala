@@ -32,4 +32,43 @@ class SchemaDriftSpec extends SparkTestBase {
       .collect()(0).getDouble(0)
     assert(avg === 0.6)
   }
+
+  test("EvolvingDecoder absorbs a mid-stream column: add-only merge, version bump") {
+    import spark.implicits._
+    val seed = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "double")
+    val dec = new EvolvingDecoder(seed)
+    def line(json: String) = Seq(json).toDF("value")
+
+    // batch 0: the seeded 2-column payload
+    val b0 = dec.decode(line(
+      """{"after":{"id":1,"v":1.5},"op":"c","ts_ms":1000,
+        |"source":{"schema":"public","table":"t","lsn":1,"txId":1}}"""
+        .stripMargin.replace("\n", "")), "value")
+    assert(dec.version === 1)
+    assert(b0.select("after.*").columns.toSeq === Seq("id", "v"))
+
+    // batch 1: `score` appears — schema evolves add-only, version bumps,
+    // and the new column decodes from this batch on
+    val b1 = dec.decode(line(
+      """{"after":{"id":2,"v":2.5,"score":7},"op":"u","ts_ms":2000,
+        |"source":{"schema":"public","table":"t","lsn":2,"txId":2}}"""
+        .stripMargin.replace("\n", "")), "value")
+    assert(dec.version === 2)
+    assert(dec.payloadSchema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(b1.select("after.score").as[Long].head() === 7L)
+    // existing field TYPES survive evolution even when a batch's values
+    // look narrower (v=2.5 could infer double anyway; id stays long)
+    assert(dec.payloadSchema("v").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+
+    // batch 2: an old-shape batch does NOT un-evolve; the missing column
+    // decodes as null
+    val b2 = dec.decode(line(
+      """{"before":{"id":1,"v":1.5},"op":"d","ts_ms":3000,
+        |"source":{"schema":"public","table":"t","lsn":3,"txId":3}}"""
+        .stripMargin.replace("\n", "")), "value")
+    assert(dec.version === 2)
+    assert(b2.select("before.score").as[java.lang.Long].head() === null)
+  }
 }

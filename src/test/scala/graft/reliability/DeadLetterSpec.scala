@@ -1,0 +1,76 @@
+package graft.reliability
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[DeadLetter.replay]]: Read → repair → reprocess → MarkRetried
+  * (ref internal/cdc/deadletter/postgres.go:199-238). The registered
+  * `dlq_replay` query hash-checks replayed ≡ never-failed end-to-end;
+  * this spec pins the bookkeeping the hash can't see — what gets marked,
+  * what stays pending, and idempotence. */
+class DeadLetterSpec extends SparkTestBase {
+
+  private def poisonBatch: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "payload")
+  }
+
+  test("replay decodes, repairs, reprocesses, and marks; a second replay is a no-op") {
+    import spark.implicits._
+    val dlqDir = Files.createTempDirectory("graft-dlq-replay").toString + "/dlq"
+    DeadLetter.append(poisonBatch, dlqDir, "src", "bad name",
+      new IllegalArgumentException("invalid table name"), retryCount = 2)
+
+    var processed: Seq[(Long, String)] = Seq.empty
+    val n = DeadLetter.replay(spark, dlqDir, poisonBatch.schema,
+      repair = b => b.withColumn("payload", upper(col("payload"))),
+      process = b => processed = b.select($"id", $"payload")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1))
+    assert(n === 2)
+    // the processed batch is the decoded ORIGINAL columns, repaired
+    assert(processed === Seq((1L, "X"), (2L, "Y")))
+    // every row is marked retried; nothing pending
+    val dlq = DeadLetter.read(spark, dlqDir)
+    assert(dlq.filter(col("retried_at").isNull).count() === 0)
+    assert(dlq.count() === 2)
+    // idempotence: nothing pending → nothing replayed, nothing re-marked
+    val n2 = DeadLetter.replay(spark, dlqDir, poisonBatch.schema,
+      repair = identity, process = _ => fail("must not process an empty replay"))
+    assert(n2 === 0)
+  }
+
+  test("rows that fail AGAIN during replay stay pending for the next pass") {
+    import spark.implicits._
+    val dlqDir = Files.createTempDirectory("graft-dlq-refail").toString + "/dlq"
+    DeadLetter.append(poisonBatch, dlqDir, "src", "bad name",
+      new IllegalArgumentException("invalid table name"), retryCount = 2)
+    val n = DeadLetter.replay(spark, dlqDir, poisonBatch.schema,
+      repair = identity,
+      process = b => DeadLetter.append(b.filter($"id" === 2L), dlqDir, "src",
+        "still bad", new IllegalArgumentException("still invalid"), retryCount = 2))
+    assert(n === 2)
+    val dlq = DeadLetter.read(spark, dlqDir)
+    // the original 2 are marked; the re-failure is a NEW pending row
+    assert(dlq.count() === 3)
+    assert(dlq.filter(col("retried_at").isNotNull).count() === 2)
+    val stillPending = dlq.filter(col("retried_at").isNull)
+      .select(col("error_message")).as[String].collect().toSeq
+    assert(stillPending === Seq("still invalid"))
+  }
+
+  test("a DLQ dir written without retried_at reads back as all-pending") {
+    import spark.implicits._
+    val dlqDir = Files.createTempDirectory("graft-dlq-old").toString + "/dlq"
+    // simulate a pre-evolution DLQ: same columns minus retried_at
+    Seq(("{}", "src", "t", "boom", "unknown", 2))
+      .toDF("event_data", "source_id", "table_name", "error_message",
+        "error_type", "retry_count")
+      .withColumn("created_at", current_timestamp())
+      .write.parquet(dlqDir)
+    val dlq = DeadLetter.read(spark, dlqDir)
+    assert(dlq.columns.contains("retried_at"))
+    assert(dlq.filter(col("retried_at").isNull).count() === 1)
+  }
+}
