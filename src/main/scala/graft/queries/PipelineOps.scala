@@ -241,17 +241,20 @@ object PipelineOps extends QueryModule {
   // no loss and no duplication (ref internal/cdc/pipeline/pipeline.go:
   // 279-306 — it re-delivers up to 10 s, at-least-once; the Spark offset
   // log does strictly better as long as batch replay is whole-batch).
-  // Here: an 8-file source admitted 2 files per micro-batch (4 batches),
-  // a crash INJECTED at the top of batch 2 on the first run — batches 0-1
-  // committed, batch 2's offsets provisional — then a restart from the
-  // same checkpoint re-runs batch 2 whole and drains 3. The read-back
+  // Here: a 6-file source admitted 2 files per micro-batch (3 batches),
+  // a crash INJECTED at the top of batch 1 on the first run — batch 0
+  // committed, batch 1's offsets provisional — then a restart from the
+  // same checkpoint re-runs batch 1 whole and drains 2. The read-back
   // aggregate is hash-compared to the raw events: one lost file, one
-  // double-applied batch, or one corrupted row fails the gate.
+  // double-applied batch, or one corrupted row fails the gate. (3 batches
+  // is the minimal MULTI-batch shape: a committed batch that must not
+  // replay, a crashed batch that must, and a further batch after the
+  // resume — anything more just re-times Structured Streaming startup.)
   private def streamResume(s: SparkSession, d: String): DataFrame = {
     // 2-way fanout: the resume proof is about BATCHES (commit, crash,
     // replay, continue), not router width — 4 write jobs per batch would
     // only re-prove what cdc_stream_roundtrip already measures
-    val src = envelopeSrc(s, d, "resume", nFiles = 8, tableMod = 2)
+    val src = envelopeSrc(s, d, "resume", nFiles = 6, tableMod = 2)
     val base = Lifecycle.scratchDir(s, "graft_streamresume", d)
     rmrf(s, base)
     val cfg = IngestConfig(
@@ -263,7 +266,7 @@ object PipelineOps extends QueryModule {
       s, src, schema, maxFilesPerTrigger = 2)
 
     val crashed = IngestPipeline.start(stream, cfg, availableNow = true,
-      beforeBatch = id => if (id >= 2)
+      beforeBatch = id => if (id >= 1)
         throw new IllegalStateException("injected crash: batch " + id))
     val failure =
       try { crashed.awaitTermination(); None }

@@ -47,6 +47,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(np === math.max(3, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt)))
   }
 
+  test("quantizer scale-up: K grows as ceil(sqrt(n)), recall@5 and bucket " +
+    "balance hold on a 7x synthesized corpus") {
+    // 7x the sf0.001 corpus via deterministic jitter: rep 0 is the
+    // original (so vec_id < 10 stays the real query set), reps 1-6 add
+    // per-(vector, rep, dim) noise of ±1% — the shape a growing corpus
+    // takes without leaving the embedding manifold. 3500 vectors puts
+    // ceil(sqrt(n)) = 60 INSIDE the [4, 64] clamp, so the assertion
+    // exercises the derivation, not the guard rails.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simscale").toString
+    val base = graft.Tables.embeddings(spark, sf0001)
+    val n0 = base.count()
+    val reps = 7
+    (0 until reps).map { r =>
+      val jittered =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            ((col("vec_id") * 31 + lit(r) * 17 + i * 13) % 11 - 5) * lit(0.002))
+            .cast("float"))
+      base.select((col("vec_id") + lit(r * n0)).as("vec_id"),
+        jittered.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    try {
+      val (k0, _) = Similarity.ivfParams(spark, sf0001)
+      val (k, np) = Similarity.ivfParams(spark, tmp)
+      val n = reps * n0
+      assert(k === math.max(4, math.min(64,
+        math.ceil(math.sqrt(n.toDouble)).toInt)), s"K=$k at n=$n")
+      assert(k > k0, s"K must grow with the corpus: $k0 -> $k")
+      assert(np === math.max(3, math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt)))
+      // recall@5 must not degrade at the larger width (same floor the
+      // base corpus is held to)
+      val recall = graft.SparkEntry.queries("sim_ivf_recall")(spark, tmp)
+        .collect().map(r => r.getDouble(r.fieldIndex("recall")))
+      val mean = recall.sum / recall.length
+      assert(mean >= 0.5, s"mean recall@5 = $mean at 7x — quantizer degraded")
+      // and the bucket-balance invariant holds at the larger K
+      val sizes = graft.SparkEntry.queries("sim_ivf_buckets")(spark, tmp)
+        .collect().map(_.getAs[Long]("n_vecs"))
+      assert(sizes.length >= k / 2, s"only ${sizes.length} non-empty buckets of $k")
+      assert(sizes.max.toDouble / sizes.sum <= 0.20,
+        s"largest bucket holds ${sizes.max.toDouble / sizes.sum} of the 7x corpus")
+    } finally Similarity.invalidateCaches()
+  }
+
   test("IVF recall clears the trained-quantizer floor; brute top-k is exactly k") {
     val brute = graft.SparkEntry.queries("sim_knn_brute")(spark, sf0001)
     val perQuery = brute.groupBy("query_id").count().collect()
