@@ -272,6 +272,76 @@ object TextAnalysis extends QueryModule {
       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- PII redaction: the scrubbing stage every pretraining pipeline
+  // runs before anything else sees the text. The synthetic corpus carries
+  // no PII, so a deterministic email/phone/IPv4 per document (derived
+  // from doc_id, appended IDENTICALLY by both engines) makes the oracle
+  // bite: per-source detection counts, the redacted corpus length, and a
+  // residual-PII self-scan that must come back zero. Pure column
+  // expressions (regexp_count/regexp_replace are codegen'd) — at 100 TB
+  // this is scan + per-row regex + one partial-aggregated groupBy; the
+  // text itself never shuffles. Patterns stay in the Java∩RE2 regex
+  // subset so Spark and DuckDB match the same spans.
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\d{3}-\d{3}-\d{4}"""
+  private val IpRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+      lit(" at 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      ((col("doc_id") * 7) % 256).cast("string"))
+    def scrub(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+        lit(IpRe), lit("[IP]"))
+    Tables.documents(s, d)
+      .select(col("source"), aug.as("a"))
+      .withColumn("r", scrub(col("a")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("a"), lit(EmailRe))).cast("bigint").as("n_emails"),
+        sum(regexp_count(col("a"), lit(PhoneRe))).cast("bigint").as("n_phones"),
+        sum(regexp_count(col("a"), lit(IpRe))).cast("bigint").as("n_ips"),
+        sum(length(col("r"))).cast("bigint").as("redacted_chars"),
+        sum(regexp_count(col("r"), lit(EmailRe)) +
+          regexp_count(col("r"), lit(PhoneRe)) +
+          regexp_count(col("r"), lit(IpRe))).cast("bigint").as("residual_pii"))
+      .orderBy(col("source"))
+  }
+
+  private val piiRedactSql =
+    s"""WITH aug AS (
+       |  SELECT source,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or 555-'
+       |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+       |      || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+       |      || CAST((doc_id * 7) % 256 AS VARCHAR) AS a
+       |  FROM documents),
+       |red AS (
+       |  SELECT source, a,
+       |    regexp_replace(regexp_replace(regexp_replace(a,
+       |      '$EmailRe', '[EMAIL]', 'g'),
+       |      '$PhoneRe', '[PHONE]', 'g'),
+       |      '$IpRe', '[IP]', 'g') AS r
+       |  FROM aug)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(a, '$EmailRe'))) AS BIGINT) AS n_emails,
+       |  CAST(sum(len(regexp_extract_all(a, '$PhoneRe'))) AS BIGINT) AS n_phones,
+       |  CAST(sum(len(regexp_extract_all(a, '$IpRe'))) AS BIGINT) AS n_ips,
+       |  CAST(sum(length(r)) AS BIGINT) AS redacted_chars,
+       |  CAST(sum(len(regexp_extract_all(r, '$EmailRe'))
+       |    + len(regexp_extract_all(r, '$PhoneRe'))
+       |    + len(regexp_extract_all(r, '$IpRe'))) AS BIGINT) AS residual_pii
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   // ---- rolling-hash document fingerprint (order-sensitive; JVM kernel,
   // see Signatures.rollingFingerprint for the determinism contract)
   private def rollingFp(s: SparkSession, d: String): DataFrame = {
@@ -630,6 +700,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
+    GraftQuery("text_pii_redact", piiRedact, Some(piiRedactSql)),
     GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
     GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
     GraftQuery("text_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

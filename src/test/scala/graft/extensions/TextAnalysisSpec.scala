@@ -102,4 +102,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(reasons.subsetOf(
       Set("keep", "too_short", "too_stoppy", "repetitive", "low_quality")))
   }
+
+  test("PII redaction finds every injected email/phone/IP and leaves zero residual") {
+    val rows = SparkEntry.queries("text_pii_redact")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("n_docs")
+      // exactly one synthetic email/phone/IP was injected per document —
+      // the detectors must find each exactly once, no over- or under-match
+      assert(r.getAs[Long]("n_emails") === docs, s"emails in $r")
+      assert(r.getAs[Long]("n_phones") === docs, s"phones in $r")
+      assert(r.getAs[Long]("n_ips") === docs, s"ips in $r")
+      // and the scrubbed corpus must scan clean
+      assert(r.getAs[Long]("residual_pii") === 0L, s"residual in $r")
+    }
+  }
 }
