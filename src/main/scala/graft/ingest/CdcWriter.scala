@@ -90,11 +90,15 @@ object CdcWriter {
     *
     * Crash-safety: a failure during the tmp-tree rewrite leaves every
     * original partition intact (the [[Compaction.compact]] pattern). The
-    * swap itself renames each original aside (`.old_<day>`, invisible to
-    * parquet readers) BEFORE moving new files in and deletes it last, so
-    * a crash mid-swap leaves that day recoverable from the aside dir
-    * rather than lost; true multi-partition swap atomicity is what
-    * Iceberg's snapshot commit would add.
+    * swap itself is two whole-DIRECTORY renames per day — original aside
+    * to `.old_<day>` (invisible to parquet readers), then the complete
+    * new day dir into place — with the aside deleted last, so every
+    * crash window leaves the day either current or recoverable, never
+    * partial. The next merge RESTORES any `.old_<day>` whose live dir is
+    * missing before it reads stored state (and clears stale asides whose
+    * swap completed), so the standard crash response — restart and replay
+    * the batch — heals the table; true multi-partition swap atomicity is
+    * what Iceberg's snapshot commit would add.
     *
     * Write amplification at scale: this is copy-on-write — every touched
     * day is rewritten whole. Cost per merge ∝ the DELTA's day-spread, not
@@ -112,24 +116,21 @@ object CdcWriter {
     val pcol = SchemaBuilder.partitionColumn
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the raw batch feeds the TRUNCATE-watermark probe plus the collapse —
-    // persist so the delta source (file scan, WAL decode) runs once
-    val raw = deltas.persist()
-    try {
-      // newest TRUNCATE marker of the batch: a 1-row aggregate (marker
-      // metadata, not data — same driver-side budget as the day lists)
-      val wmRow = raw.agg(
-        max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0)
-      val truncLsn = if (wmRow.isNullAt(0)) None else Some(wmRow.getString(0))
-      val effective = truncLsn.fold(raw)(t =>
-        raw.filter(col(Cdc.OpColumn) =!= "TRUNCATE" && col(Cdc.LsnColumn) > t))
-      // the collapsed batch feeds four consumers (key probe, new-day scan,
-      // upsert union, anti-join key set) — persist so the latest-per-key
-      // window runs once, not four times
-      val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
-      try merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol, root, fs)
-      finally deltaLatest.unpersist()
-    } finally raw.unpersist()
+    // newest TRUNCATE marker of the batch: a 1-row aggregate over the
+    // (op, lsn) columns only — column pruning reaches the delta source,
+    // so the probe reads two thin columns, not the batch (marker
+    // metadata, not data — same driver-side budget as the day lists)
+    val wmRow = deltas.agg(
+      max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0)
+    val truncLsn = if (wmRow.isNullAt(0)) None else Some(wmRow.getString(0))
+    val effective = truncLsn.fold(deltas)(t =>
+      deltas.filter(col(Cdc.OpColumn) =!= "TRUNCATE" && col(Cdc.LsnColumn) > t))
+    // the collapsed batch feeds four consumers (key probe, new-day scan,
+    // upsert union, anti-join key set) — persist so the delta source and
+    // its latest-per-key window run once, not four times
+    val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
+    try merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol, root, fs)
+    finally deltaLatest.unpersist()
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
@@ -137,6 +138,22 @@ object CdcWriter {
                      truncLsn: Option[String],
                      pcol: String, root: org.apache.hadoop.fs.Path,
                      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    // recover any crashed swap BEFORE reading stored state: an aside dir
+    // with no live partition means the crash hit between rename-aside and
+    // move-in — the aside copy is the day's only data and is restored; an
+    // aside WITH a live partition means the move-in completed and the
+    // aside is stale. Without this pass, the replayed batch would read
+    // the day as empty and the aside would be lost as debris.
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".old_")) {
+        val live = new org.apache.hadoop.fs.Path(root, s"$pcol=${nm.stripPrefix(".old_")}")
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"merge: failed to restore $live from ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+    }
     val upserts = withPartitionColumn(
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
@@ -175,19 +192,18 @@ object CdcWriter {
     touched.foreach { day =>
       val partDir = new org.apache.hadoop.fs.Path(root, s"$pcol=$day")
       val newDir = new org.apache.hadoop.fs.Path(tmpDir, s"$pcol=$day")
-      // rename-aside swap: the original is deleted LAST, so a crash at
-      // any point leaves the day either current or recoverable from
-      // `.old_<day>` — never silently gone
+      // rename-aside swap, whole-directory renames only (no per-file
+      // window where a partition is half old, half new); a false rename
+      // return (HDFS-style) fails the batch loudly — the streaming
+      // replay then heals via the recovery pass above. The aside is
+      // deleted LAST, so every crash window keeps a complete copy.
       val oldDir = new org.apache.hadoop.fs.Path(root, s".old_$day")
-      if (fs.exists(oldDir)) fs.delete(oldDir, true) // prior crashed swap
-      val hadOld = fs.exists(partDir) && fs.rename(partDir, oldDir)
-      if (fs.exists(newDir)) { // absent = the merge emptied this partition
-        fs.mkdirs(partDir)
-        fs.listStatus(newDir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(partDir, f.getPath.getName)))
-      }
+      val hadOld = fs.exists(partDir)
+      if (hadOld && !fs.rename(partDir, oldDir))
+        throw new java.io.IOException(s"merge: failed to move $partDir aside")
+      if (fs.exists(newDir) && // absent = the merge emptied this partition
+        !fs.rename(newDir, partDir))
+        throw new java.io.IOException(s"merge: failed to move $newDir into place")
       if (hadOld) fs.delete(oldDir, true)
     }
     fs.delete(tmpDir, true)

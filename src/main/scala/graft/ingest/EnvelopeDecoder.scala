@@ -105,9 +105,28 @@ final class EvolvingDecoder(seed: StructType) {
     val haveAfter = after.map(_.name).toSet
     val incoming = StructType(
       after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name)))
-    val (merged, v) = graft.model.SchemaBuilder.merge(registered, incoming, ver)
+    val (added, _) = graft.model.SchemaBuilder.merge(registered, incoming, ver)
+    // JSON-inference widening: a column that FIRST appeared with only
+    // integral values infers long; a later batch carrying 10.5 would
+    // decode to null under the frozen type (from_json PERMISSIVE) —
+    // silent corruption. Promote along the numeric lattice instead
+    // (int→long→double, float→double: Iceberg's promotion rules plus
+    // JSON's long→double, which only ever arises from inference, never
+    // from a declared source type). Existing fields otherwise keep
+    // position and type, per the add-only contract.
+    val incomingTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types._
+    val merged = StructType(added.fields.map { f =>
+      (f.dataType, incomingTypes.get(f.name)) match {
+        case (IntegerType, Some(LongType))   => f.copy(dataType = LongType)
+        case (IntegerType, Some(DoubleType)) => f.copy(dataType = DoubleType)
+        case (LongType, Some(DoubleType))    => f.copy(dataType = DoubleType)
+        case (FloatType, Some(DoubleType))   => f.copy(dataType = DoubleType)
+        case _                               => f
+      }
+    })
+    if (merged != registered) ver += 1
     registered = merged
-    ver = v
     EnvelopeDecoder.decode(raw, jsonCol, merged)
   }
 }

@@ -83,12 +83,19 @@ object Metrics {
   final class Listener(registry: Registry = global,
                        onlyQueryName: Option[String] = None)
     extends StreamingQueryListener {
+    // terminate events carry no name — remember the ids whose start we
+    // claimed, so a scoped listener still records ITS pipeline's failure
+    // (a scoped registry that reports a dead pipeline as running would
+    // defeat its purpose)
+    private val myIds = ConcurrentHashMap.newKeySet[java.util.UUID]()
     private def mine(name: String): Boolean =
       onlyQueryName.forall(_ == name)
 
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      if (mine(e.name))
+      if (mine(e.name)) {
+        myIds.add(e.id)
         registry.setGauge("cdc", "pipeline_state", 1.0) // 1 = running (ref state gauge)
+      }
 
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       if (mine(e.progress.name)) {
@@ -99,7 +106,7 @@ object Metrics {
       }
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (onlyQueryName.isEmpty) { // name is not carried on terminate events
+      if (onlyQueryName.isEmpty || myIds.remove(e.id)) {
         registry.setGauge("cdc", "pipeline_state",
           if (e.exception.isDefined) 5.0 /* failed */ else 4.0 /* stopped */)
         if (e.exception.isDefined) registry.inc("cdc", "errors_total")

@@ -491,23 +491,28 @@ object PipelineOps extends QueryModule {
       registry, onlyQueryName = Some(s"graft-ingest-${cfg.sourceId}"))
     s.streams.addListener(listener)
     try {
+      val expectedRows = s.read.parquet(src).count() // parquet footer stats
       val stream = IngestPipeline.fileEnvelopeSource(
         s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 1)
       IngestPipeline.start(stream, cfg, availableNow = true).awaitTermination()
       // listener events post on an async bus — wait until both batches'
-      // progress events have landed (bounded; the drain above guarantees
-      // exactly 2 progress events for this query name)
+      // progress events have FULLY landed (bounded). The poll watches the
+      // LAST counter the handler writes per event (events_processed),
+      // and for the full row count, so a snapshot can never catch the
+      // final event half-applied.
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (registry.counter("buffer", "batches_total") < 2 &&
+      while ((registry.counter("buffer", "events_processed_total") < expectedRows ||
+        registry.counter("buffer", "batches_total") < 2) &&
         System.nanoTime() < deadline) Thread.sleep(50)
     } finally s.streams.removeListener(listener)
     import s.implicits._
+    val snap = registry.snapshot()
     Seq(
       "philotes_buffer_batches_total",
       "philotes_buffer_events_processed_total",
       "philotes_cdc_events_total",
       "philotes_iceberg_commits_total")
-      .map(m => (m, registry.snapshot().getOrElse(m, 0.0).toLong))
+      .map(m => (m, snap.getOrElse(m, 0.0).toLong))
       .toDF("metric", "value")
       .orderBy(col("metric"))
   }

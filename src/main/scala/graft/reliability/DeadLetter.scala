@@ -71,9 +71,24 @@ object DeadLetter {
     * dir reads as the empty DLQ (so stats/read agree with an oracle that
     * derives zero failures), not as a scan error. DLQ dirs written before
     * the `retried_at` column existed read it back as null — pending. */
+  /** Heal a crashed [[replay]] mark-swap: if the live dir is gone, the
+    * `.marking` copy (complete, newest) or the `.replaced` aside (the
+    * pre-mark original) is restored — a crash can delay the MarkRetried
+    * bookkeeping (rows replay once more: at-least-once, the reference's
+    * own guarantee) but never lose the DLQ. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(p)) {
+      val marking = p.suffix(".marking")
+      val replaced = p.suffix(".replaced")
+      if (fs.exists(marking)) { fs.rename(marking, p): Unit }
+      else if (fs.exists(replaced)) { fs.rename(replaced, p): Unit }
+    }
+
   def read(spark: SparkSession, dlqDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dlqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
     if (fs.exists(p)) {
       val df = spark.read.parquet(dlqDir)
       if (df.columns.contains("retried_at")) df
@@ -111,16 +126,25 @@ object DeadLetter {
     // MarkRetried: re-read AFTER process (its re-failures appended files
     // our first listing never saw), materialize to a tmp dir (the marked
     // frame reads dlqDir — overwriting in place would clobber our input),
-    // then swap
+    // then swap via rename-aside so no crash window loses the DLQ: the
+    // original moves to `.replaced`, the marked copy renames in, the
+    // aside is deleted LAST ([[recoverSwap]] heals the in-between states).
     val p = new org.apache.hadoop.fs.Path(dlqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dlqDir + ".marking")
+    val tmp = p.suffix(".marking")
+    val aside = p.suffix(".replaced")
     read(spark, dlqDir).withColumn("retried_at",
       when(col("retried_at").isNull && col("created_at") <= cutoff,
         current_timestamp()).otherwise(col("retried_at")))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(p, aside))
+      throw new java.io.IOException(s"replay: failed to move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(aside, p) // restore; the marked copy stays at .marking
+      throw new java.io.IOException(s"replay: failed to move $tmp into place")
+    }
+    fs.delete(aside, true)
     n
   }
 

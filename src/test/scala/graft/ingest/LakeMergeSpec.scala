@@ -249,6 +249,30 @@ class LakeMergeSpec extends SparkTestBase {
       spark.sparkContext.hadoopConfiguration).exists(new Path(s"$base/staging")))
   }
 
+  test("a crashed swap heals on the next merge: a lone aside is restored, a stale one cleared") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-crash").toString + "/t"
+    CdcWriter.write(env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 2L, 2.0, "INSERT", "2024-01-02")), dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window between rename-aside and move-in: day1's
+    // live dir is GONE, its data sits only in the aside
+    assert(fs.rename(new Path(s"$dir/${SchemaBuilder.partitionColumn}=2024-01-01"),
+      new Path(s"$dir/.old_2024-01-01")))
+    // and a STALE aside whose swap completed (live dir still present)
+    fs.mkdirs(new Path(s"$dir/.old_2024-01-02"))
+    val touched = CdcWriter.merge(spark, dir, env(
+      (3L, 10L, 3.0, "INSERT", "2024-01-03")), Seq("user_id"))
+    assert(touched === Seq("2024-01-03"))
+    // key 1 survived the crash: the aside was restored before stored was read
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id").as[Long].collect().toSeq.sorted
+    assert(state === Seq(1L, 2L, 3L))
+    assert(!fs.exists(new Path(s"$dir/.old_2024-01-01")))
+    assert(!fs.exists(new Path(s"$dir/.old_2024-01-02")))
+  }
+
   test("a merge that empties the whole table leaves a root the next merge can bootstrap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-empty").toString + "/t"

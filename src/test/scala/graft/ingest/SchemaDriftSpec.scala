@@ -70,5 +70,16 @@ class SchemaDriftSpec extends SparkTestBase {
         .stripMargin.replace("\n", "")), "value")
     assert(dec.version === 2)
     assert(b2.select("before.score").as[java.lang.Long].head() === null)
+
+    // batch 3: `score` turns fractional — the inferred-long type PROMOTES
+    // to double (version bump) instead of decoding 7.5 to a silent null
+    val b3 = dec.decode(line(
+      """{"after":{"id":3,"v":3.5,"score":7.5},"op":"u","ts_ms":4000,
+        |"source":{"schema":"public","table":"t","lsn":4,"txId":4}}"""
+        .stripMargin.replace("\n", "")), "value")
+    assert(dec.version === 3)
+    assert(dec.payloadSchema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(b3.select("after.score").as[Double].head() === 7.5)
   }
 }
