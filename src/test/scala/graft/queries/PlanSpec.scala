@@ -194,4 +194,16 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected <= 1 exchange (sort only), got $exchanges:\n${plan.take(3000)}")
   }
+
+  test("PII redaction is scan + partial agg; the text never shuffles (text_pii_redact)") {
+    val plan = planOf("text_pii_redact")
+    // per-row regex work happens scan-side; only partial aggregates cross
+    // the wire (groupBy source), then the presentation sort
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Partial") || plan.contains("partial_count"), plan.take(3000))
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges (agg + sort), got $exchanges:\n${plan.take(3000)}")
+    // column pruning: the scan must not read the unused lang/n_chars cols
+    assert(!plan.contains("n_chars"), "scan should not read unused columns")
+  }
 }
