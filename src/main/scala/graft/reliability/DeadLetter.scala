@@ -157,4 +157,46 @@ object DeadLetter {
       .groupBy(col("source_id"), col("table_name"), col("error_type"))
       .agg(count(lit(1)).as("n_failed"))
       .orderBy(col("source_id"), col("table_name"), col("error_type"))
+
+  /** Filtered read surfaces (ref ReadBySource / ReadByTable,
+    * deadletter/postgres.go:137-171) — predicate pushdown makes these
+    * partition/row-group-pruned scans, not full-DLQ filters. */
+  def readBySource(spark: SparkSession, dlqDir: String, sourceId: String): DataFrame =
+    read(spark, dlqDir).filter(col("source_id") === sourceId)
+
+  def readByTable(spark: SparkSession, dlqDir: String, tableName: String): DataFrame =
+    read(spark, dlqDir).filter(col("table_name") === tableName)
+
+  /** Drop dead-letters whose TTL has lapsed (ref expires_at at insert +
+    * Cleanup, deadletter/deadletter.go:40-68, postgres.go:240-272 —
+    * expires_at = created_at + TTL, delete where expired). `now` is a
+    * parameter so retention is deterministic and testable; the rewrite
+    * swaps via the same rename-aside pattern as [[replay]] (the DLQ is
+    * failure-sized — a rewrite IS the lake-table equivalent of the
+    * reference's DELETE). Returns the number of rows dropped. */
+  def cleanup(spark: SparkSession, dlqDir: String, ttlSeconds: Long,
+              now: java.sql.Timestamp): Long = {
+    val p = new org.apache.hadoop.fs.Path(dlqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
+    if (!fs.exists(p)) return 0L
+    val dlq = read(spark, dlqDir)
+    // expires_at = created_at + TTL; expired ⇔ created_at ≤ now - TTL
+    val expired =
+      col("created_at") <= lit(new java.sql.Timestamp(now.getTime - ttlSeconds * 1000L))
+    val n = dlq.filter(expired).count()
+    if (n == 0) return 0L
+    val tmp = p.suffix(".marking")
+    val aside = p.suffix(".replaced")
+    dlq.filter(!expired).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(p, aside))
+      throw new java.io.IOException(s"cleanup: failed to move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(aside, p)
+      throw new java.io.IOException(s"cleanup: failed to move $tmp into place")
+    }
+    fs.delete(aside, true)
+    n
+  }
 }

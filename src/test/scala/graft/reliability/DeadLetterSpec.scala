@@ -60,6 +60,29 @@ class DeadLetterSpec extends SparkTestBase {
     assert(stillPending === Seq("still invalid"))
   }
 
+  test("cleanup drops only expired rows; filtered reads slice by source and table") {
+    import spark.implicits._
+    val dlqDir = Files.createTempDirectory("graft-dlq-ttl").toString + "/dlq"
+    DeadLetter.append(poisonBatch, dlqDir, "srcA", "t1",
+      new IllegalArgumentException("bad"), retryCount = 2)
+    DeadLetter.append(poisonBatch, dlqDir, "srcB", "t2",
+      new java.io.IOException("flaky"), retryCount = 2)
+    assert(DeadLetter.readBySource(spark, dlqDir, "srcA").count() === 2)
+    assert(DeadLetter.readByTable(spark, dlqDir, "t2").count() === 2)
+    assert(DeadLetter.readBySource(spark, dlqDir, "absent").count() === 0)
+    // nothing is older than an hour: cleanup with a 1h TTL drops nothing
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    assert(DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L, now) === 0L)
+    assert(DeadLetter.read(spark, dlqDir).count() === 4)
+    // everything expires when `now` jumps past created_at + TTL — the
+    // deterministic-now parameter is what makes this testable
+    val later = new java.sql.Timestamp(System.currentTimeMillis() + 7200L * 1000)
+    assert(DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L, later) === 4L)
+    assert(DeadLetter.read(spark, dlqDir).count() === 0)
+    // idempotent on the emptied table
+    assert(DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L, later) === 0L)
+  }
+
   test("a DLQ dir written without retried_at reads back as all-pending") {
     import spark.implicits._
     val dlqDir = Files.createTempDirectory("graft-dlq-old").toString + "/dlq"
