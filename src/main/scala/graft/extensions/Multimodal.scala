@@ -492,8 +492,79 @@ object Multimodal extends QueryModule {
       |  round(avg(b), 4) AS mean_b, CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- real pixel resize
+
+  /** Output edge of the nearest-neighbor thumbnail. */
+  private val ResizeTo = 8
+
+  /** REAL nearest-neighbor resize over decoded pixels — the thumbnail /
+    * normalize-to-model-input stage of a vision pipeline, downstream of
+    * the real decode (mm_resize_plan computes the geometry; this one
+    * moves the bytes). Output pixel (ox, oy) samples source
+    * (ox·w/T, oy·h/T) from the UNFILTERED pixel array; the result row
+    * carries exact-integer channel sums plus a position-weighted
+    * checksum, so a transposed axis, a wrong stride, or an off-by-one in
+    * the sampling lands on different integers and fails the hash. The
+    * oracle replays the synthesis formula at the same sampled
+    * coordinates — it never decodes, so decoder and oracle stay
+    * independent. Partition-parallel mapPartitions kernel, one exchange
+    * (the presentation sort) — at 100 TB the decode+resize cost is
+    * per-row CPU on the scan side. */
+  private def resizePixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pixelPngs(s, d).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val dec = Png.decodeRgb(bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: invalid PNG"))
+        val (w, h) = (dec.width, dec.height)
+        val px = dec.pixels
+        val sums = new Array[Long](3)
+        var wsum = 0L
+        var oy = 0
+        while (oy < ResizeTo) {
+          val sy = oy * h / ResizeTo
+          var ox = 0
+          while (ox < ResizeTo) {
+            val sx = ox * w / ResizeTo
+            var c = 0
+            while (c < 3) {
+              val v = px((sy * w + sx) * 3 + c) & 0xff
+              sums(c) += v
+              wsum += (oy * ResizeTo + ox + 1).toLong * v
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        (id, sums(0), sums(1), sums(2), wsum)
+      })
+      .toDF("doc_id", "sum_r", "sum_g", "sum_b", "wsum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val resizePixelsSql =
+    """WITH png AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (
+      |  SELECT doc_id, 8 + n % 56 AS w, 8 + (n * 3) % 40 AS h, n % 251 AS s
+      |  FROM png),
+      |px AS (
+      |  SELECT d.doc_id, oy.range AS oy, ox.range AS ox, c.range AS c,
+      |    (5 * ((ox.range * d.w) // 8) + 3 * ((oy.range * d.h) // 8)
+      |      + 37 * c.range + d.s) % 256 AS v
+      |  FROM dims d, range(8) oy, range(8) ox, range(3) c)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+      |  CAST(sum((oy * 8 + ox + 1) * v) AS BIGINT) AS wsum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
+    GraftQuery("mm_resize_pixels", resizePixels, Some(resizePixelsSql)),
     GraftQuery("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     GraftQuery("mm_audio_stats", audioStats, Some(audioStatsSql)),
     GraftQuery("mm_video_stats", videoStats, Some(videoStatsSql)),
