@@ -642,8 +642,62 @@ object Lifecycle extends QueryModule {
       |  CASE WHEN value >= 10.0 THEN 'firing' ELSE 'resolved' END AS state FROM m
       |ORDER BY rule, series""".stripMargin
 
+  // ---- scaling decisions as data (C2/C5 DECISION layer; ref internal/
+  // scaling/evaluator.go:84-178, types.go:216-228, idle/detector.go —
+  // actuation against K8s/KEDA stays out of scope per SURVEY §2.3, the
+  // rule logic is product behavior). Metric values come from the
+  // envelope (the reference polls Prometheus; metrics are data here),
+  // the policies are fixed, the clock is pinned — each policy's decision
+  // is a pure function the oracle recomputes with CASE logic: p_up is
+  // live envelope-dependent, p_cool pins the cooldown veto, p_floor pins
+  // the min-replica guard (a scale-down that cannot move executes
+  // nothing), p_zero pins the scale-to-zero path.
+  private def scalingDecision(s: SparkSession, d: String): DataFrame = {
+    import graft.observe.Scaling
+    import graft.observe.Scaling._
+    val metrics = Map(
+      "philotes_cdc_events_total" -> CdcQueries.envelope(s, d).count().toDouble)
+    val now = 1000000L
+    def rule(id: String, op: Op, thr: Double, by: Int) =
+      Rule(id, "philotes_cdc_events_total", op, thr, by)
+    val cases = Seq(
+      ("p_up", Policy("p_up", 1, 10, 0L, scaleToZero = false,
+        Seq(rule("up1", Op.Gt, 1000.0, 2)), Nil), State(3)),
+      ("p_cool", Policy("p_cool", 1, 10, 60000L, scaleToZero = false,
+        Seq(rule("up2", Op.Gt, 0.0, 1)), Nil), State(3, Some(now - 1000))),
+      ("p_floor", Policy("p_floor", 1, 10, 0L, scaleToZero = false,
+        Nil, Seq(rule("dn1", Op.Lt, 1e12, -1))), State(1)),
+      ("p_zero", Policy("p_zero", 1, 10, 0L, scaleToZero = true,
+        Nil, Seq(rule("dn2", Op.Lt, 1e12, -1))), State(1)))
+    import s.implicits._
+    cases.map { case (name, p, st) =>
+      val dec = Scaling.evaluatePolicy(p, st, metrics, now)
+      val action = dec.action match {
+        case Action.ScaleUp   => "scale_up"
+        case Action.ScaleDown => "scale_down"
+        case Action.None      => "none"
+      }
+      (name, action, dec.desiredReplicas.toLong, dec.shouldExecute)
+    }.toDF("policy", "action", "desired_replicas", "should_execute")
+      .orderBy(col("policy"))
+  }
+
+  private val scalingDecisionSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql}),
+       |m AS (SELECT count(*) AS ev FROM envelope)
+       |SELECT 'p_cool' AS policy, 'none' AS action,
+       |  CAST(3 AS BIGINT) AS desired_replicas, false AS should_execute FROM m
+       |UNION ALL SELECT 'p_floor', 'none', CAST(1 AS BIGINT), false FROM m
+       |UNION ALL SELECT 'p_up',
+       |  CASE WHEN ev > 1000 THEN 'scale_up' ELSE 'none' END,
+       |  CAST(CASE WHEN ev > 1000 THEN 5 ELSE 3 END AS BIGINT),
+       |  ev > 1000 FROM m
+       |UNION ALL SELECT 'p_zero', 'scale_down', CAST(0 AS BIGINT), true FROM m
+       |ORDER BY policy""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
+    GraftQuery("scaling_decision", scalingDecision, Some(scalingDecisionSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),
     GraftQuery("cdc_retention_roundtrip", retentionRoundtrip, Some(retentionRoundtripSql)),
