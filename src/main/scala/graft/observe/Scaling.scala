@@ -84,7 +84,19 @@ object Scaling {
     * scale-up rules in order, FIRST rule that is triggered AND past its
     * for-duration wins; then scale-down the same way (guarded so only
     * scale-to-zero policies may go to 0); pending conditions start
-    * their clock on first trigger and clear on first non-trigger. */
+    * their clock on first trigger and clear on first non-trigger.
+    *
+    * Two reference-faithful subtleties, kept deliberately (evaluator.go
+    * behaves identically via its early returns):
+    *  - pending clocks are only maintained for rules the tick actually
+    *    REACHES — a win, or the cooldown veto, leaves later rules'
+    *    pending entries untouched, so a rule whose condition lapsed
+    *    while it was shadowed can fire from its old clock once reached
+    *    again;
+    *  - a triggered scale-up rule that cannot move (already clamped at
+    *    maxReplicas) does not short-circuit the scale-down list — at the
+    *    ceiling with both pressures active, the policy can step down and
+    *    back up across ticks. Operators bound that with the cooldown. */
   def evaluatePolicy(policy: Policy, state: State,
                      metrics: Map[String, Double], nowMs: Long): Decision = {
     if (state.isInCooldown(policy.cooldownMs, nowMs)) {

@@ -124,28 +124,41 @@ object DeadLetter {
       pending.select(from_json(col("event_data"), batchSchema).as("_e"))
         .select(col("_e.*"))))
     // MarkRetried: re-read AFTER process (its re-failures appended files
-    // our first listing never saw), materialize to a tmp dir (the marked
-    // frame reads dlqDir — overwriting in place would clobber our input),
-    // then swap via rename-aside so no crash window loses the DLQ: the
-    // original moves to `.replaced`, the marked copy renames in, the
-    // aside is deleted LAST ([[recoverSwap]] heals the in-between states).
+    // our first listing never saw), then rewrite-and-swap.
     val p = new org.apache.hadoop.fs.Path(dlqDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewriteSwap(fs, p, "replay") {
+      read(spark, dlqDir).withColumn("retried_at",
+        when(col("retried_at").isNull && col("created_at") <= cutoff,
+          current_timestamp()).otherwise(col("retried_at")))
+    }
+    n
+  }
+
+  /** Rewrite the DLQ table via rename-aside: materialize `survivors` to
+    * `.marking` (the frame READS the live dir — overwriting in place
+    * would clobber its own input), move the live dir to `.replaced`,
+    * rename the rewrite in, delete the aside LAST. Every crash window
+    * keeps a complete copy and [[recoverSwap]] heals the in-between
+    * states. `survivors` is evaluated HERE so its file listing is as
+    * fresh as possible; a row appended inside the remaining listing→swap
+    * window would be lost — the DLQ is single-writer in this engine
+    * (appends happen in the batch processor, rewrites are operator
+    * tasks); a transactional table format would close it for real. */
+  private def rewriteSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path, opName: String)(
+                          survivors: => DataFrame): Unit = {
     val tmp = p.suffix(".marking")
     val aside = p.suffix(".replaced")
-    read(spark, dlqDir).withColumn("retried_at",
-      when(col("retried_at").isNull && col("created_at") <= cutoff,
-        current_timestamp()).otherwise(col("retried_at")))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(aside)) fs.delete(aside, true)
     if (!fs.rename(p, aside))
-      throw new java.io.IOException(s"replay: failed to move $p aside")
+      throw new java.io.IOException(s"$opName: failed to move $p aside")
     if (!fs.rename(tmp, p)) {
-      fs.rename(aside, p) // restore; the marked copy stays at .marking
-      throw new java.io.IOException(s"replay: failed to move $tmp into place")
+      fs.rename(aside, p) // restore; the rewrite stays at .marking
+      throw new java.io.IOException(s"$opName: failed to move $tmp into place")
     }
     fs.delete(aside, true)
-    n
   }
 
   /** Failure counts by (source, table, error type). The reference's
@@ -186,17 +199,9 @@ object DeadLetter {
       col("created_at") <= lit(new java.sql.Timestamp(now.getTime - ttlSeconds * 1000L))
     val n = dlq.filter(expired).count()
     if (n == 0) return 0L
-    val tmp = p.suffix(".marking")
-    val aside = p.suffix(".replaced")
-    dlq.filter(!expired).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (!fs.rename(p, aside))
-      throw new java.io.IOException(s"cleanup: failed to move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(aside, p)
-      throw new java.io.IOException(s"cleanup: failed to move $tmp into place")
-    }
-    fs.delete(aside, true)
+    // survivors come from a FRESH read inside the swap, not the counting
+    // snapshot above — rows appended while we counted stay in the table
+    rewriteSwap(fs, p, "cleanup")(read(spark, dlqDir).filter(!expired))
     n
   }
 }
