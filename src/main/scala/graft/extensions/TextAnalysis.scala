@@ -342,6 +342,45 @@ object TextAnalysis extends QueryModule {
        |    + len(regexp_extract_all(r, '$IpRe'))) AS BIGINT) AS residual_pii
        |FROM red GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- overlapping context-window chunking: the complement of
+  // text_pack_sequences — instead of concatenating short docs into fixed
+  // bins, each doc is cut into windows of ChunkW tokens every ChunkStride
+  // (ChunkW - ChunkStride tokens of overlap preserve cross-boundary
+  // context, the standard pretraining/RAG chunking shape). sequence +
+  // explode + slice are pure codegen'd column expressions: chunking is
+  // scan-side row multiplication, no shuffle until the presentation
+  // sort — at 100 TB the chunk stream feeds the next stage partition-
+  // local.
+  private val ChunkW = 40
+  private val ChunkStride = 30
+
+  private def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("bigint").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(ChunkW)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_token"),
+        element_at(col("chunk"), -1).as("last_token"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val chunkOverlapSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        unnest(range(0, len(toks), $ChunkStride)) AS start FROM t),
+       |ch AS (SELECT doc_id, start // $ChunkStride AS chunk_id,
+       |         toks[start + 1 : start + $ChunkW] AS chunk FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |  chunk[1] AS first_token, chunk[len(chunk)] AS last_token
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- rolling-hash document fingerprint (order-sensitive; JVM kernel,
   // see Signatures.rollingFingerprint for the determinism contract)
   private def rollingFp(s: SparkSession, d: String): DataFrame = {
@@ -701,6 +740,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("text_pii_redact", piiRedact, Some(piiRedactSql)),
+    GraftQuery("text_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GraftQuery("text_top_terms", topTerms, Some(topTermsSql)),
     GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
     GraftQuery("text_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

@@ -137,6 +137,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PNG decode survives crafted inputs the generator can't reach: " +
+    "near-MaxValue chunk length, preset-dictionary zlib stream") {
+    import graft.extensions.Png
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val payload = typ.getBytes("US-ASCII") ++ data
+      crc.update(payload)
+      be32(data.length) ++ payload ++ be32(crc.getValue.toInt)
+    }
+    // chunk length near Int.MaxValue: `off + 12 + len` wraps negative if
+    // summed in Int, sneaking past the bounds check into crc.update
+    val overflow = Png.header(8, 8) ++ be32(0x7ffffff0) ++
+      "IDAT".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0)
+    assert(Png.decodeRgb(overflow).isEmpty) // None, not AIOOBE
+    // CRC-VALID IDAT whose zlib header sets FDICT (0x78 0x20 satisfies
+    // the mod-31 check): inflate() returns 0 with needsDictionary()
+    // forever — must bail as malformed, not spin
+    val fdict = Png.header(2, 2) ++
+      chunk("IDAT", Array(0x78.toByte, 0x20.toByte, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.empty)
+    assert(Png.decodeRgb(fdict).isEmpty) // None, not a hang
+  }
+
   test("PNG decode is total on garbage: None, never an exception") {
     import graft.extensions.Png
     check(Prop.forAll(Gen.containerOf[Array, Byte](

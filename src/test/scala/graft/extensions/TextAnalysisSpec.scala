@@ -103,6 +103,30 @@ class TextAnalysisSpec extends SparkTestBase {
       Set("keep", "too_short", "too_stoppy", "repetitive", "low_quality")))
   }
 
+  test("overlap chunking tiles every document: stride-spaced starts, full coverage") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("text_chunk_overlap")(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("tok_sum"),
+        max("n_tokens").as("max_len"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("tok_sum"), r.getAs[Long]("max_len")))
+    val docLens = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.nonEmpty && chunks.length === docLens.size)
+    chunks.foreach { case (id, nChunks, tokSum, maxLen) =>
+      val n = docLens(id)
+      // starts at 0, 30, 60, … while < n → ceil(n / 30) chunks
+      assert(nChunks === (n + 29) / 30, s"doc $id: $nChunks chunks for $n tokens")
+      assert(maxLen <= 40)
+      // full coverage with overlap: all chunks are 40 long except the
+      // tail windows, so the sum is exactly Σ min(40, n - 30k)
+      val expected = (0L until nChunks).map(k => math.min(40L, n - 30 * k)).sum
+      assert(tokSum === expected, s"doc $id")
+    }
+  }
+
   test("PII redaction finds every injected email/phone/IP and leaves zero residual") {
     val rows = SparkEntry.queries("text_pii_redact")(spark, sf0001).collect()
     assert(rows.nonEmpty)
