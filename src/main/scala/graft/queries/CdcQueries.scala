@@ -218,6 +218,23 @@ object CdcQueries extends QueryModule {
     debeziumLines(s, d).coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).text(outDir)
 
+  /** [[debeziumLines]] plus ONE TRUNCATE line (`"op":"t"`, no row image —
+    * ref internal/cdc/source/postgres/reader.go:237-242) at LSN
+    * `max(event_id) * 3 / 4`, the same marker position the parquet-source
+    * truncate fixture uses, so the oracle replays one reset boundary. */
+  def debeziumLinesWithTruncate(s: SparkSession, d: String): DataFrame = {
+    val maxId = Tables.events(s, d).agg(max(col("event_id"))).collect()(0).getLong(0)
+    val markerLsn = maxId * 3 / 4
+    val nullPayload = lit(null).cast(SourcePayloadSchema)
+    val marker = s.range(1).select(to_json(struct(
+      nullPayload.as("before"), nullPayload.as("after"),
+      lit("t").as("op"),
+      lit(0L).as("ts_ms"),
+      struct(lit("public").as("schema"), lit("events").as("table"),
+        lit(markerLsn).as("lsn"), lit(markerLsn).as("txId")).as("source"))).as("value"))
+    debeziumLines(s, d).unionByName(marker)
+  }
+
   /** Evolved payload schema: [[SourcePayloadSchema]] plus the `score`
     * column that appears mid-stream (see [[debeziumLinesEvolving]]). */
   val EvolvedPayloadSchema: org.apache.spark.sql.types.StructType =

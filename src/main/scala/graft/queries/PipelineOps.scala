@@ -528,8 +528,50 @@ object PipelineOps extends QueryModule {
        |  CAST(4 AS BIGINT)
        |ORDER BY metric""".stripMargin
 
+  // ---- TRUNCATE through the FULL DSv2 chain: cdc_stream_truncate proves
+  // the merge's reset semantics over the parquet file source;
+  // cdc_e2e_truncate proves the same reset when the marker arrives as a
+  // real Debezium `"op":"t"` line (no row image) through CdcLogSource's
+  // LSN-interval admission and the envelope decode — the one composition
+  // (wire format × admission × decode × merge wipe) the two proofs above
+  // don't cover together. Marker at 3/4 of the LSN range lands in the
+  // LAST of ~3 admission-bounded batches, wiping two batches of stored
+  // state. Oracle = the same reset replay the parquet-source truncate
+  // uses.
+  private def e2eTruncate(s: SparkSession, d: String): DataFrame = {
+    val log = srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog_trunc"), {
+      val dir = Lifecycle.scratchDir(s, "graft_src_dbztrunc", d)
+      rmrf(s, dir)
+      CdcQueries.debeziumLinesWithTruncate(s, d).coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+      dir
+    })
+    val base = Lifecycle.scratchDir(s, "graft_e2etrunc", d)
+    rmrf(s, base)
+    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    val raw = s.readStream.format("graft.sources.CdcLogSource")
+      .option("path", log)
+      .option("maxEventsPerBatch", perBatch.toString)
+      .load()
+    val envelope = graft.ingest.EnvelopeDecoder.flattened(
+      graft.ingest.EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
+    val q = envelope.writeStream
+      .queryName("graft-e2e-truncate")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ingest.CdcWriter.merge(s, s"$base/t", b, Seq("user_id")): Unit
+      }
+      .start()
+    q.awaitTermination()
+    graft.ingest.CdcWriter.read(s, s"$base/t")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_e2e_state", e2eState, Some(CdcQueries.currentStateSql)),
+    GraftQuery("cdc_e2e_truncate", e2eTruncate, Some(streamTruncateSql)),
     GraftQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsSql)),
     GraftQuery("cdc_stream_evolve", streamEvolve, Some(streamEvolveSql)),
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),

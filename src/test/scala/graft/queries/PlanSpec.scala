@@ -195,6 +195,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"expected <= 1 exchange (sort only), got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("overlap chunking is scan-side row multiplication, no shuffle (text_chunk_overlap)") {
+    val plan = planOf("text_chunk_overlap")
+    assert(plan.contains("Generate"), plan.take(2000)) // explode, not a join
+    assert(!plan.contains("Join"), plan.take(2000))
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <= 1 exchange (sort only), got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("PII redaction is scan + partial agg; the text never shuffles (text_pii_redact)") {
     val plan = planOf("text_pii_redact")
     // per-row regex work happens scan-side; only partial aggregates cross
