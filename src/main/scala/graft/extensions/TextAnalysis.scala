@@ -358,6 +358,9 @@ object TextAnalysis extends QueryModule {
     val toks = tokens(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
+      // degenerate docs (null text → size -1, or a 0-token array) must
+      // DROP like the oracle's empty range(), not crash sequence()
+      .filter(size(col("toks")) > 0)
       .withColumn("start",
         explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))))
       .select(col("doc_id"),

@@ -371,9 +371,12 @@ object PipelineOps extends QueryModule {
   // not file order), so every micro-batch is a stream suffix and the
   // stored table must hash-equal the full recompute over raw events —
   // S1→S8 plus the upsert write mode, all under one hash.
-  private def e2eState(s: SparkSession, d: String): DataFrame = {
-    val log = debeziumLogOnce(s, d)
-    val base = Lifecycle.scratchDir(s, "graft_e2estate", d)
+  /** Drain a Debezium JSONL log through the DSv2 WAL source in ~3
+    * admission-bounded batches, merging each into the stored table, and
+    * read back the materialized state — the shared body of the e2e
+    * proofs (state, truncate). */
+  private def dsvMergeDrain(s: SparkSession, d: String, log: String,
+                            base: String, name: String): DataFrame = {
     rmrf(s, base)
     // ~3 admission-bounded batches at every SF (footer-stats count job)
     val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
@@ -384,7 +387,7 @@ object PipelineOps extends QueryModule {
     val envelope = graft.ingest.EnvelopeDecoder.flattened(
       graft.ingest.EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
     val q = envelope.writeStream
-      .queryName("graft-e2e-state")
+      .queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -396,6 +399,10 @@ object PipelineOps extends QueryModule {
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy(col("user_id"))
   }
+
+  private def e2eState(s: SparkSession, d: String): DataFrame =
+    dsvMergeDrain(s, d, debeziumLogOnce(s, d),
+      Lifecycle.scratchDir(s, "graft_e2estate", d), "graft-e2e-state")
 
   // ---- MID-STREAM SCHEMA EVOLUTION on the gate: the payload gains a
   // `score` column at 1/2 of the id range, i.e. WHILE the pipeline runs
@@ -546,27 +553,8 @@ object PipelineOps extends QueryModule {
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
       dir
     })
-    val base = Lifecycle.scratchDir(s, "graft_e2etrunc", d)
-    rmrf(s, base)
-    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
-    val raw = s.readStream.format("graft.sources.CdcLogSource")
-      .option("path", log)
-      .option("maxEventsPerBatch", perBatch.toString)
-      .load()
-    val envelope = graft.ingest.EnvelopeDecoder.flattened(
-      graft.ingest.EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
-    val q = envelope.writeStream
-      .queryName("graft-e2e-truncate")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        graft.ingest.CdcWriter.merge(s, s"$base/t", b, Seq("user_id")): Unit
-      }
-      .start()
-    q.awaitTermination()
-    graft.ingest.CdcWriter.read(s, s"$base/t")
-      .select(col("user_id"), col("event_id"), col("value"))
-      .orderBy(col("user_id"))
+    dsvMergeDrain(s, d, log,
+      Lifecycle.scratchDir(s, "graft_e2etrunc", d), "graft-e2e-truncate")
   }
 
   override def all: Seq[GraftQuery] = Seq(
