@@ -890,5 +890,36 @@ object Relational extends QueryModule {
     GraftQuery("q42_offset_windows", q42, Some(q42Sql)),
     GraftQuery("q43_range_join", q43, Some(q43Sql)),
     GraftQuery("q44_dist_windows", q44, Some(q44Sql)),
+    GraftQuery("q45_time_range_window", q45, Some(q45Sql)),
   )
+
+  // ---- time-RANGE window frame: "events in the trailing 24 h per user"
+  // — the value-based frame class (RANGE over an order key, peers
+  // included) the ROWS-based q29/q42 don't exercise. Order key is epoch
+  // SECONDS so both engines frame on identical integers; aggregates are
+  // exact integers so tie-peer inclusion hashes identically. Scale: one
+  // hash partition by user + sort — the same single-exchange shape as
+  // every keyed window here.
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-86400, 0)
+    ev.select(col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_24h"),
+      sum(col("event_id")).over(w).as("sum_id_24h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q45Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+      |SELECT user_id, event_id,
+      |  count(*) OVER w AS n_24h,
+      |  CAST(sum(event_id) OVER w AS BIGINT) AS sum_id_24h
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
 }
