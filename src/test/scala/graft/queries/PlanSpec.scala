@@ -195,6 +195,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"expected <= 1 exchange (sort only), got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("time-RANGE window is one keyed exchange + sort (q45_time_range_window)") {
+    val plan = planOf("q45_time_range_window")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    val exchanges = "(?m)^\\s*[+:]- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges (window + sort), got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("overlap chunking is scan-side row multiplication, no shuffle (text_chunk_overlap)") {
     val plan = planOf("text_chunk_overlap")
     assert(plan.contains("Generate"), plan.take(2000)) // explode, not a join
