@@ -56,13 +56,19 @@ object CdcWriter {
     tables
   }
 
+  /** Read a table: snapshot-backed tables (the MERGE sink's layout)
+    * resolve current-manifest → file set; plain day-partitioned dirs
+    * (the append path) read directly. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir)
+    graft.lake.SnapshotLog.readCurrent(spark, tableDir)
+      .getOrElse(spark.read.parquet(tableDir))
 
   /** Lake-level MERGE: apply a CDC delta batch as upserts into the STORED
     * day-partitioned current-state table — the reference writer's upsert
     * semantics (ref internal/iceberg/writer/writer.go:95-194) applied to
-    * the physical lake, not just a DataFrame view.
+    * the physical lake, not just a DataFrame view — committed through the
+    * [[graft.lake.SnapshotLog]] snapshot protocol (ref internal/iceberg/
+    * catalog/rest.go:187-217 CommitSnapshot).
     *
     * Contract: `deltas` is the stream suffix after the stored snapshot's
     * watermark (the reference applies its ordered batch last-write-wins,
@@ -74,31 +80,28 @@ object CdcWriter {
     * rows AND in-batch rows at LSN ≤ the newest marker are discarded
     * before the upsert applies — the lake counterpart of
     * [[Cdc.currentStateWithTruncate]]. Days holding only pre-marker rows
-    * are dropped from disk.
+    * drop out of the manifest.
     *
     * The 100 TB shape:
-    *  1. Locate affected partitions with a KEY+PARTITION-column-only scan
-    *     (parquet reads two thin columns; Iceberg metadata/blooms would
-    *     shortcut this further) semi-joined against the broadcast delta
-    *     key set — the delta batch is the small side by construction.
-    *  2. Read ONLY those partitions in full, anti-join out the affected
-    *     keys (survivors keep their rows), union the delta upserts.
-    *  3. Rewrite the touched partitions to a temp tree in one job, then
-    *     swap per partition — untouched partitions are never read in
-    *     full, never rewritten, and keep their files byte-for-byte
-    *     (asserted in LakeMergeSpec).
+    *  1. TRUNCATE-wiped days resolve from MANIFEST LSN bounds alone (a
+    *     metadata-only probe — the Iceberg file-stats shortcut) when
+    *     every file carries bounds; otherwise a thin two-column scan.
+    *  2. Key-affected partitions resolve with a KEY+PARTITION-column-only
+    *     scan semi-joined against the broadcast delta key set — the
+    *     delta batch is the small side by construction.
+    *  3. ONLY touched-day files are read in full (manifest-pruned file
+    *     list, no directory listing), affected keys anti-joined out,
+    *     the delta upserts unioned in, and the result written as NEW
+    *     immutable files. Untouched days keep their manifest entries —
+    *     their files are never read in full, never rewritten, and keep
+    *     their bytes (asserted in LakeMergeSpec).
     *
-    * Crash-safety: a failure during the tmp-tree rewrite leaves every
-    * original partition intact (the [[Compaction.compact]] pattern). The
-    * swap itself is two whole-DIRECTORY renames per day — original aside
-    * to `.old_<day>` (invisible to parquet readers), then the complete
-    * new day dir into place — with the aside deleted last, so every
-    * crash window leaves the day either current or recoverable, never
-    * partial. The next merge RESTORES any `.old_<day>` whose live dir is
-    * missing before it reads stored state (and clears stale asides whose
-    * swap completed), so the standard crash response — restart and replay
-    * the batch — heals the table; true multi-partition swap atomicity is
-    * what Iceberg's snapshot commit would add.
+    * Crash-safety is structural now: data files are invisible until the
+    * single manifest rename commits them, so a crash at ANY point leaves
+    * the previous snapshot current and complete — no swap windows, no
+    * recovery pass, no aside dirs (the round-8 rename-aside machinery is
+    * retired). Replaying the batch after a crash re-merges idempotently;
+    * orphaned uncommitted files are reclaimed by [[graft.lake.SnapshotLog.expire]].
     *
     * Write amplification at scale: this is copy-on-write — every touched
     * day is rewritten whole. Cost per merge ∝ the DELTA's day-spread, not
@@ -109,13 +112,11 @@ object CdcWriter {
     * bounded cadence ([[MergeCadence]]: stage n batches, merge once) or
     * merge-on-read delete files (Iceberg v2, not emulatable here).
     *
-    * Returns the swapped partition values (sorted). DELETE deltas drop
-    * the key; a partition emptied of all rows is removed. */
+    * Returns the rewritten partition values (sorted). DELETE deltas drop
+    * the key; a partition emptied of all rows leaves the manifest. */
   def merge(spark: SparkSession, tableDir: String, deltas: DataFrame,
             keyCols: Seq[String]): Seq[String] = {
     val pcol = SchemaBuilder.partitionColumn
-    val root = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // newest TRUNCATE marker of the batch: a 1-row aggregate over the
     // (op, lsn) columns only — column pruning reaches the delta source,
     // so the probe reads two thin columns, not the batch (marker
@@ -129,51 +130,41 @@ object CdcWriter {
     // upsert union, anti-join key set) — persist so the delta source and
     // its latest-per-key window run once, not four times
     val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
-    try merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol, root, fs)
-    finally deltaLatest.unpersist()
+    try graft.lake.SnapshotLog.withTableLock(tableDir) {
+      merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol)
+    } finally deltaLatest.unpersist()
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
                      deltaLatest: DataFrame, keyCols: Seq[String],
-                     truncLsn: Option[String],
-                     pcol: String, root: org.apache.hadoop.fs.Path,
-                     fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
-    // recover any crashed swap BEFORE reading stored state: an aside dir
-    // with no live partition means the crash hit between rename-aside and
-    // move-in — the aside copy is the day's only data and is restored; an
-    // aside WITH a live partition means the move-in completed and the
-    // aside is stale. Without this pass, the replayed batch would read
-    // the day as empty and the aside would be lost as debris.
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val nm = st.getPath.getName
-      if (st.isDirectory && nm.startsWith(".old_")) {
-        val live = new org.apache.hadoop.fs.Path(root, s"$pcol=${nm.stripPrefix(".old_")}")
-        if (!fs.exists(live)) {
-          if (!fs.rename(st.getPath, live))
-            throw new java.io.IOException(s"merge: failed to restore $live from ${st.getPath}")
-        } else fs.delete(st.getPath, true)
-      }
-    }
+                     truncLsn: Option[String], pcol: String): Seq[String] = {
+    import graft.lake.SnapshotLog
+    // resolve the stored table: an existing commit log wins; a plain
+    // hive-layout table (written by CdcWriter.write) is ADOPTED as
+    // snapshot 1 by listing — no rewrite (Iceberg's add_files); an
+    // absent/empty dir bootstraps (the first merged batch CREATES the
+    // table — the streaming-upsert sink's first trigger).
+    val cur = SnapshotLog.currentSnapshot(spark, tableDir)
+      .orElse(SnapshotLog.importHive(spark, tableDir, pcol))
     val upserts = withPartitionColumn(
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
-    // partition-discovery read: hive layout yields pcol as a column;
-    // normalize to string so day values compare stably. A table that does
-    // not exist yet — OR whose root exists but holds no day partitions
-    // (an earlier merge emptied it) — reads as the empty table, not as a
-    // schema-inference error (bootstrap: the first merged batch CREATES
-    // the table — the streaming-upsert sink's first trigger).
-    val hasParts = fs.exists(root) && fs.listStatus(root).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith(s"$pcol="))
-    val stored0 =
-      if (hasParts)
-        spark.read.parquet(tableDir).withColumn(pcol, col(pcol).cast("string"))
-      else upserts.filter(lit(false))
+    val stored0 = cur.map(s => SnapshotLog.read(spark, tableDir, s))
+      .getOrElse(upserts.filter(lit(false)))
     // TRUNCATE: stored rows at or before the marker are discarded; every
-    // day holding such rows must be rewritten (or dropped)
-    val wipedDays = truncLsn.toSeq.flatMap(t =>
-      stored0.filter(col(Cdc.LsnColumn) <= t)
-        .select(col(pcol)).distinct().collect().map(_.getString(0)))
+    // day holding such rows must be rewritten (or dropped). With LSN
+    // bounds in the manifest this is metadata-only: a file whose minLsn
+    // ≤ marker holds at least one doomed row, so its day is touched.
+    val wipedDays: Seq[String] = truncLsn match {
+      case None => Seq.empty
+      case Some(t) => cur match {
+        case Some(snap) if snap.files.nonEmpty && snap.files.forall(_.minLsn.isDefined) =>
+          snap.files.filter(_.minLsn.exists(_ <= t)).map(_.partition).distinct
+        case _ =>
+          stored0.filter(col(Cdc.LsnColumn) <= t)
+            .select(col(pcol)).distinct().collect().map(_.getString(0)).toSeq
+      }
+    }
     val stored = truncLsn.fold(stored0)(t => stored0.filter(col(Cdc.LsnColumn) > t))
     val affectedDays = stored
       .select(keyCols.map(col) :+ col(pcol): _*)
@@ -183,30 +174,20 @@ object CdcWriter {
       .collect().map(_.getString(0))
     val touched = (wipedDays ++ affectedDays ++ newDays).distinct.sorted.toSeq
     if (touched.isEmpty) return Seq.empty
-    val survivors = stored.filter(col(pcol).isin(touched: _*))
+    val touchedSet = touched.toSet
+    // survivors: manifest-pruned read of ONLY the touched days
+    val survivors = cur.map(s => SnapshotLog.read(spark, tableDir, s, Some(touched)))
+      .getOrElse(upserts.filter(lit(false)))
+      .transform(df => truncLsn.fold(df)(t => df.filter(col(Cdc.LsnColumn) > t)))
       .join(broadcast(deltaKeys), keyCols, "left_anti")
-    val merged = survivors.unionByName(upserts)
-    val tmpDir = new org.apache.hadoop.fs.Path(root, ".merge_tmp")
-    merged.repartition(col(pcol))
-      .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmpDir.toString)
-    touched.foreach { day =>
-      val partDir = new org.apache.hadoop.fs.Path(root, s"$pcol=$day")
-      val newDir = new org.apache.hadoop.fs.Path(tmpDir, s"$pcol=$day")
-      // rename-aside swap, whole-directory renames only (no per-file
-      // window where a partition is half old, half new); a false rename
-      // return (HDFS-style) fails the batch loudly — the streaming
-      // replay then heals via the recovery pass above. The aside is
-      // deleted LAST, so every crash window keeps a complete copy.
-      val oldDir = new org.apache.hadoop.fs.Path(root, s".old_$day")
-      val hadOld = fs.exists(partDir)
-      if (hadOld && !fs.rename(partDir, oldDir))
-        throw new java.io.IOException(s"merge: failed to move $partDir aside")
-      if (fs.exists(newDir) && // absent = the merge emptied this partition
-        !fs.rename(newDir, partDir))
-        throw new java.io.IOException(s"merge: failed to move $newDir into place")
-      if (hadOld) fs.delete(oldDir, true)
-    }
-    fs.delete(tmpDir, true)
+    // allowMissingColumns: a delta carrying a NEW column (mid-stream
+    // schema evolution) widens the table; survivors surface it as null
+    val merged = survivors.unionByName(upserts, allowMissingColumns = true)
+    val newFiles = SnapshotLog.writeData(spark, tableDir, merged, Some(pcol))
+    val untouched = cur.toSeq.flatMap(_.files.filterNot(f => touchedSet(f.partition)))
+    SnapshotLog.commit(spark, tableDir,
+      if (truncLsn.isDefined) "truncate-merge" else "merge",
+      untouched ++ newFiles, merged.schema, parent = cur)
     touched
   }
 

@@ -1,0 +1,395 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Iceberg-style snapshot commit log over a plain filesystem — the commit
+  * protocol of the reference's Iceberg tables (ref internal/iceberg/
+  * catalog/rest.go:187-217 CommitSnapshot, internal/iceberg/types.go:
+  * 78-153 DataFile/Snapshot/TableMetadata), emulated locally because no
+  * iceberg-spark runtime ships in this container.
+  *
+  * Model:
+  *  - Data files are IMMUTABLE and invisible until referenced. Writers
+  *    drop new parquet files anywhere under the table dir (a fresh
+  *    `data/<uuid>/` tree per commit); nothing reads them until a
+  *    snapshot manifest lists them.
+  *  - A snapshot is ONE json file `metadata/snap-<id>.json` holding the
+  *    complete file manifest (path, partition value, row count, size,
+  *    LSN bounds), the table schema, the parent id and the operation.
+  *    The manifest is written to a temp name and RENAMED into place —
+  *    the rename IS the commit (POSIX rename atomicity), so a reader can
+  *    never observe a partial commit: either the snapshot file exists
+  *    whole or the previous snapshot is current.
+  *  - Resolution: current = highest snapshot id present (Iceberg's
+  *    version-hint fallback — robust to any crash, needs no second
+  *    pointer write). Historical reads resolve any retained id.
+  *  - Uncommitted debris (a crashed writer's data files, an un-renamed
+  *    temp manifest) is INVISIBLE by construction and reclaimed by
+  *    [[expire]].
+  *
+  * Concurrency: commits run under a per-table JVM lock and rebuild their
+  * manifest from the freshly-resolved current snapshot inside the lock —
+  * so an append racing a rewrite (the DLQ case) composes instead of
+  * losing rows. Cross-process writers are out of scope by construction
+  * (the reference's writer is equally single-process per table).
+  *
+  * 100 TB notes: the manifest is metadata — O(files), kilobytes per
+  * thousand files — and lives on the driver only at commit time. Reads
+  * prune at the MANIFEST level (partition value + LSN bounds per file)
+  * before any footer is opened, which is exactly the scan-planning
+  * shortcut Iceberg metadata buys over directory listing. Per-file
+  * row counts and LSN bounds come from parquet footers at commit time
+  * (driver-side metadata reads, O(new files per commit), never a data
+  * scan).
+  */
+object SnapshotLog {
+
+  val MetaDirName = "metadata"
+
+  /** One immutable data file (ref types.go:78-103 DataFile).
+    * `path` is relative to the table dir. `partition` is the partition
+    * value ("" = unpartitioned). `hive=true` marks an imported file whose
+    * partition value is encoded in its directory name and whose physical
+    * schema therefore lacks the partition column ([[importHive]]). */
+  final case class DataFile(path: String, partition: String, hive: Boolean,
+                            rows: Long, sizeBytes: Long,
+                            minLsn: Option[String], maxLsn: Option[String])
+
+  /** One committed table state (ref types.go:105-131 Snapshot). */
+  final case class Snapshot(id: Long, parentId: Option[Long], tsMs: Long,
+                            operation: String, schemaJson: String,
+                            files: Seq[DataFile]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def totalRows: Long = files.map(_.rows).sum
+    def lsnWatermark: Option[String] =
+      if (files.exists(_.maxLsn.isDefined)) Some(files.flatMap(_.maxLsn).max)
+      else None
+  }
+
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  // ---- per-table JVM lock (single-process engine; see scaladoc)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withTableLock[T](tableDir: String)(body: => T): T = {
+    val key = new Path(tableDir).toUri.normalize().toString
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
+  }
+
+  /** Filesystem plus the FULLY-QUALIFIED table root — listStatus returns
+    * qualified paths, so relativization must strip a qualified prefix. */
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def metaDir(root: Path) = new Path(root, MetaDirName)
+  private val SnapRe = "snap-(\\d+)\\.json".r
+
+  // ---- JSON codec (Jackson ships with Spark; the manifest is tiny)
+  private val mapper = new ObjectMapper()
+
+  private def toJson(s: Snapshot): String = {
+    val o = mapper.createObjectNode()
+    o.put("id", s.id)
+    s.parentId.foreach(o.put("parent_id", _))
+    o.put("ts_ms", s.tsMs)
+    o.put("operation", s.operation)
+    o.put("schema", s.schemaJson)
+    val arr = o.putArray("files")
+    s.files.foreach { f =>
+      val fo = arr.addObject()
+      fo.put("path", f.path)
+      fo.put("partition", f.partition)
+      fo.put("hive", f.hive)
+      fo.put("rows", f.rows)
+      fo.put("size_bytes", f.sizeBytes)
+      f.minLsn.foreach(fo.put("min_lsn", _))
+      f.maxLsn.foreach(fo.put("max_lsn", _))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  private def fromJson(text: String): Snapshot = {
+    val n = mapper.readTree(text)
+    def optText(node: JsonNode, field: String): Option[String] =
+      Option(node.get(field)).map(_.asText())
+    val files = n.get("files") match {
+      case arr: ArrayNode =>
+        (0 until arr.size()).map { i =>
+          val f = arr.get(i)
+          DataFile(f.get("path").asText(), f.get("partition").asText(),
+            f.get("hive").asBoolean(), f.get("rows").asLong(),
+            f.get("size_bytes").asLong(),
+            optText(f, "min_lsn"), optText(f, "max_lsn"))
+        }
+      case _ => Seq.empty
+    }
+    Snapshot(n.get("id").asLong(),
+      Option(n.get("parent_id")).map(_.asLong()),
+      n.get("ts_ms").asLong(), n.get("operation").asText(),
+      n.get("schema").asText(), files)
+  }
+
+  // ---- resolution
+
+  /** All committed snapshots, ascending id. Un-renamed temp manifests and
+    * foreign files are ignored — a crashed commit simply never exists. */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[Snapshot] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case SnapRe(_) => Some(st.getPath)
+        case _         => None
+      })
+      .map(p => fromJson(readFully(fs, p)))
+      .sortBy(_.id)
+  }
+
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[Snapshot] =
+    snapshots(spark, tableDir).lastOption
+
+  def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot =
+    snapshots(spark, tableDir).find(_.id == id).getOrElse(
+      throw new NoSuchElementException(s"no snapshot $id in $tableDir"))
+
+  /** True iff the table has a commit log (vs plain-directory layout). */
+  def isSnapshotTable(spark: SparkSession, tableDir: String): Boolean = {
+    val (fs, root) = fsOf(spark, tableDir)
+    fs.exists(metaDir(root))
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // ---- commit
+
+  /** Commit a new snapshot. MUST be called inside [[withTableLock]] —
+    * callers resolve current, build the next manifest, and commit, all
+    * under the one lock, so concurrent commits compose. `parent` is the
+    * snapshot the manifest was built from; a mismatch with the true
+    * current (a commit that slipped in outside the lock discipline)
+    * fails loudly instead of silently dropping its files. */
+  def commit(spark: SparkSession, tableDir: String, operation: String,
+             files: Seq[DataFile], schema: StructType,
+             parent: Option[Snapshot]): Snapshot = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val cur = currentSnapshot(spark, tableDir)
+    if (cur.map(_.id) != parent.map(_.id))
+      throw new ConcurrentCommitException(
+        s"commit to $tableDir based on ${parent.map(_.id)} but current is ${cur.map(_.id)}")
+    val snap = Snapshot(cur.map(_.id).getOrElse(0L) + 1, cur.map(_.id),
+      System.currentTimeMillis(), operation, schema.json, files)
+    val md = metaDir(root)
+    fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-snap-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(toJson(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(md, f"snap-${snap.id}%012d.json")
+    // the rename IS the commit: the snapshot either exists whole or not
+    // at all; an existing dst means a racing writer won — fail loudly
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new ConcurrentCommitException(s"lost commit race for $dst")
+    }
+    snap
+  }
+
+  // ---- data-file production
+
+  /** Per-file parquet footer stats: row count plus min/max of `statsCol`
+    * (driver-side metadata read — never a data scan). */
+  private def footerStats(conf: Configuration, file: Path, statsCol: String)
+  : (Long, Option[String], Option[String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = blocks.flatMap(_.getColumns.asScala)
+        .filter(c => c.getPath.toDotString == statsCol)
+        .map(_.getStatistics)
+      val ok = stats.nonEmpty &&
+        stats.forall(s => s != null && s.hasNonNullValue)
+      val mins = if (ok) stats.map(_.genericGetMin) else Seq.empty
+      def asStr(v: Any): String = v match {
+        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        case o                                   => String.valueOf(o)
+      }
+      if (ok)
+        (rows, Some(mins.map(asStr).min),
+          Some(stats.map(s => asStr(s.genericGetMax)).max))
+      else (rows, None, None)
+    } finally reader.close()
+  }
+
+  /** Write `df` as new immutable data files under `data/<uuid>/` and
+    * return their manifest entries (not yet visible — commit them).
+    *
+    * With `partitionCol` set, the frame keeps the column INLINE (so file
+    * lists read back without basePath tricks) and is ALSO dir-partitioned
+    * by a `_pday` copy, which yields the exact per-file partition value
+    * for manifest pruning. `statsCol` feeds per-file min/max bounds. */
+  def writeData(spark: SparkSession, tableDir: String, df: DataFrame,
+                partitionCol: Option[String],
+                statsCol: String = graft.ingest.Cdc.LsnColumn): Seq[DataFile] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val dest = new Path(root, rel)
+    partitionCol match {
+      case Some(pc) =>
+        df.withColumn("_pday", col(pc))
+          .repartition(col(pc))
+          .write.partitionBy("_pday").parquet(dest.toString)
+      case None =>
+        df.write.parquet(dest.toString)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(dir: Path, partition: String): Seq[DataFile] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith("_pday="))
+          dataFiles(st.getPath, nm.stripPrefix("_pday="))
+        else if (st.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
+          !nm.startsWith(".")) {
+          val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
+          val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
+          Seq(DataFile(relPath, partition, hive = false, rows,
+            st.getLen, lo, hi))
+        } else Seq.empty
+      }
+    dataFiles(dest, "")
+  }
+
+  /** Adopt an existing hive-layout table (`<pcol>=<day>/part-*.parquet`)
+    * as snapshot 1 — a pure LISTING, no rewrite (Iceberg's add_files).
+    * Must run inside [[withTableLock]]. */
+  def importHive(spark: SparkSession, tableDir: String, partitionCol: String,
+                 statsCol: String = graft.ingest.Cdc.LsnColumn): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    if (!fs.exists(root)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dayDirs = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+    if (dayDirs.isEmpty) return None
+    val files = dayDirs.flatMap { d =>
+      val day = d.getPath.getName.stripPrefix(s"$partitionCol=")
+      fs.listStatus(d.getPath).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map { st =>
+          val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
+          DataFile(s"${d.getPath.getName}/${st.getPath.getName}", day,
+            hive = true, rows, st.getLen, lo, hi)
+        }
+    }
+    // schema: physical file schema + the partition column as string
+    val fileSchema = spark.read.parquet(
+      new Path(root, files.head.path).toString).schema
+    val schema =
+      if (fileSchema.fieldNames.contains(partitionCol)) fileSchema
+      else fileSchema.add(partitionCol, "string")
+    Some(commit(spark, tableDir, "import", files, schema, parent = None))
+  }
+
+  // ---- reads
+
+  /** Read a snapshot's file set, optionally pruned to partition values —
+    * manifest-level file skipping, no directory listing. Missing columns
+    * (schema evolution) surface as nulls via the explicit stored schema. */
+  def read(spark: SparkSession, tableDir: String, snap: Snapshot,
+           partitions: Option[Seq[String]] = None): DataFrame = {
+    val schema = snap.schema
+    val wanted = partitions.map(_.toSet)
+    val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val ordered = schema.fieldNames.toSeq
+    val (hiveFiles, inlineFiles) = files.partition(_.hive)
+    val parts = Seq(
+      if (inlineFiles.nonEmpty)
+        // explicit schema: no footer-merge pass; files missing a column
+        // (pre-evolution) surface it as null
+        Some(spark.read.schema(schema)
+          .parquet(inlineFiles.map(f => s"$tableDir/${f.path}"): _*))
+      else None,
+      if (hiveFiles.nonEmpty) {
+        // imported files: partition value lives in the dir name; basePath
+        // restores it as a column, normalized to the stored schema's types
+        val raw = spark.read.option("basePath", tableDir)
+          .parquet(hiveFiles.map(f => s"$tableDir/${f.path}"): _*)
+        val have = raw.columns.toSet
+        Some(raw.select(ordered.map { c =>
+          val f = schema(c)
+          if (have.contains(c)) col(c).cast(f.dataType).as(c)
+          else lit(null).cast(f.dataType).as(c)
+        }: _*))
+      } else None
+    ).flatten
+    parts.map(_.select(ordered.map(col): _*)).reduce(_ unionByName _)
+  }
+
+  /** Read the current table state (empty frame with the last committed
+    * schema if the table committed empty; None if no log exists). */
+  def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentSnapshot(spark, tableDir).map(read(spark, tableDir, _))
+
+  // ---- retention
+
+  /** Expire all but the newest `keepLast` snapshots and delete every
+    * unreferenced file under the table dir (old data files, crashed
+    * writers' debris, un-renamed temp manifests). Returns the number of
+    * data files deleted. Runs under the table lock. */
+  def expire(spark: SparkSession, tableDir: String, keepLast: Int): Int =
+    withTableLock(tableDir) {
+      require(keepLast >= 1, s"must keep at least the current snapshot")
+      val (fs, root) = fsOf(spark, tableDir)
+      val all = snapshots(spark, tableDir)
+      if (all.isEmpty) return 0
+      val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+      val live: Set[String] = keep.flatMap(_.files.map(_.path)).toSet
+      val md = metaDir(root)
+      drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
+      // temp manifests from crashed commits
+      fs.listStatus(md).foreach(st =>
+        if (st.getPath.getName.startsWith(".tmp-snap-")) fs.delete(st.getPath, false))
+      var deleted = 0
+      def sweep(dir: Path): Boolean = { // returns true if dir is now empty
+        var empty = true
+        fs.listStatus(dir).foreach { st =>
+          val rel = st.getPath.toString.stripPrefix(root.toString + "/")
+          if (st.isDirectory) {
+            if (rel == MetaDirName) empty = false
+            else if (sweep(st.getPath)) fs.delete(st.getPath, true)
+            else empty = false
+          } else if (!live.contains(rel)) {
+            fs.delete(st.getPath, false); deleted += 1
+          } else empty = false
+        }
+        empty
+      }
+      sweep(root)
+      deleted
+    }
+}

@@ -1,18 +1,21 @@
 package graft.ingest
 
 import graft.SparkTestBase
+import graft.lake.SnapshotLog
 import graft.model.SchemaBuilder
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** [[CdcWriter.merge]]: upserts into the stored day-partitioned table.
-  * The registered `cdc_lake_merge` query hash-checks the merged state
-  * against a full recompute; this spec asserts the PHYSICAL property the
-  * hash can't see — partitions without affected keys keep their files
-  * byte-for-byte (the partition-pruned merge that makes the operation
-  * viable at 100 TB), and emptied partitions disappear. */
+/** [[CdcWriter.merge]]: upserts into the stored day-partitioned table,
+  * committed through the [[SnapshotLog]] protocol. The registered
+  * `cdc_lake_merge` query hash-checks the merged state against a full
+  * recompute; this spec asserts the PHYSICAL properties the hash can't
+  * see — partitions without affected keys keep their manifest entries
+  * (same files, byte-for-byte: the partition-pruned merge that makes the
+  * operation viable at 100 TB), emptied partitions leave the manifest,
+  * and data files are immutable (a merge never rewrites a live file). */
 class LakeMergeSpec extends SparkTestBase {
 
   private def env(rows: (Long, Long, Double, String, String)*): DataFrame = {
@@ -24,12 +27,24 @@ class LakeMergeSpec extends SparkTestBase {
       .drop("day")
   }
 
-  private def files(dir: String, day: String): Seq[(String, Long)] = {
-    val p = new Path(s"$dir/${SchemaBuilder.partitionColumn}=$day")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).filter(_.isFile).toSeq
-      .map(f => (f.getPath.getName, f.getModificationTime)).sortBy(_._1)
+  /** The day's live file identities: manifest entries (path, size, mtime)
+    * once a commit log exists, hive listing before. Equality across a
+    * merge = the files were neither replaced nor rewritten in place. */
+  private def files(dir: String, day: String): Seq[(String, Long, Long)] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.currentSnapshot(spark, dir) match {
+      case Some(snap) =>
+        snap.files.filter(_.partition == day).sortBy(_.path).map { f =>
+          val st = fs.getFileStatus(new Path(s"$dir/${f.path}"))
+          (f.path, st.getLen, st.getModificationTime)
+        }
+      case None =>
+        val p = new Path(s"$dir/${SchemaBuilder.partitionColumn}=$day")
+        if (!fs.exists(p)) return Seq.empty
+        fs.listStatus(p).filter(_.isFile).toSeq
+          .map(f => (s"${SchemaBuilder.partitionColumn}=$day/${f.getPath.getName}",
+            f.getLen, f.getModificationTime)).sortBy(_._1)
+    }
   }
 
   test("merge rewrites only key-affected partitions; others keep their files") {
@@ -54,6 +69,7 @@ class LakeMergeSpec extends SparkTestBase {
     assert(touched === Seq("2024-01-02", "2024-01-04"))
 
     // the 100 TB property: unaffected partitions untouched, byte-for-byte
+    // (the hive files were ADOPTED into the manifest, never rewritten)
     assert(files(dir, "2024-01-01") === before1)
     assert(files(dir, "2024-01-03") === before3)
 
@@ -69,7 +85,7 @@ class LakeMergeSpec extends SparkTestBase {
       .as[String].head() === "2024-01-04")
   }
 
-  test("a partition emptied by deletes is removed, not left as stale files") {
+  test("a partition emptied by deletes leaves the manifest; expire reclaims its bytes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-del").toString + "/t"
     CdcWriter.write(env(
@@ -81,6 +97,11 @@ class LakeMergeSpec extends SparkTestBase {
     // only day2 is affected: DELETEs produce no upsert rows for day5
     assert(touched === Seq("2024-01-02"))
     assert(files(dir, "2024-01-02").isEmpty)
+    assert(CdcWriter.read(spark, dir).select($"user_id").as[Long].collect().toSeq
+      === Seq(1L))
+    // the emptied day's old file is retained for time travel only;
+    // expiring history reclaims it and the surviving day still reads
+    assert(SnapshotLog.expire(spark, dir, keepLast = 1) > 0)
     assert(CdcWriter.read(spark, dir).select($"user_id").as[Long].collect().toSeq
       === Seq(1L))
   }
@@ -159,7 +180,7 @@ class LakeMergeSpec extends SparkTestBase {
         lpad(col("event_id").cast("string"), 16, "0").as(Cdc.LsnColumn))
   }
 
-  test("a TRUNCATE marker wipes stored pre-marker days from disk and " +
+  test("a TRUNCATE marker wipes stored pre-marker days from the manifest and " +
     "filters in-batch pre-marker rows before the upsert applies") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-trunc").toString + "/t"
@@ -249,39 +270,41 @@ class LakeMergeSpec extends SparkTestBase {
       spark.sparkContext.hadoopConfiguration).exists(new Path(s"$base/staging")))
   }
 
-  test("a crashed swap heals on the next merge: a lone aside is restored, a stale one cleared") {
+  test("a crash before the commit rename is invisible; the replayed merge lands whole") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-crash").toString + "/t"
-    CdcWriter.write(env(
+    CdcWriter.merge(spark, dir, env(
       (1L, 1L, 1.0, "INSERT", "2024-01-01"),
-      (2L, 2L, 2.0, "INSERT", "2024-01-02")), dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate the crash window between rename-aside and move-in: day1's
-    // live dir is GONE, its data sits only in the aside
-    assert(fs.rename(new Path(s"$dir/${SchemaBuilder.partitionColumn}=2024-01-01"),
-      new Path(s"$dir/.old_2024-01-01")))
-    // and a STALE aside whose swap completed (live dir still present)
-    fs.mkdirs(new Path(s"$dir/.old_2024-01-02"))
+      (2L, 2L, 2.0, "INSERT", "2024-01-02")), Seq("user_id"))
+    def state() = CdcWriter.read(spark, dir)
+      .select($"user_id").as[Long].collect().toSeq.sorted
+    // simulate the worst crash window of the old rename-aside design:
+    // batch 2's data files fully written, commit never happened — the
+    // files exist on disk but NO reader resolves them
+    SnapshotLog.writeData(spark, dir,
+      CdcWriter.withPartitionColumn(env((3L, 10L, 3.0, "INSERT", "2024-01-03"))),
+      Some(SchemaBuilder.partitionColumn))
+    assert(state() === Seq(1L, 2L))
+    // the stream replays the batch: the merge commits, state is whole,
+    // and the orphaned first attempt stays invisible until expire
     val touched = CdcWriter.merge(spark, dir, env(
       (3L, 10L, 3.0, "INSERT", "2024-01-03")), Seq("user_id"))
     assert(touched === Seq("2024-01-03"))
-    // key 1 survived the crash: the aside was restored before stored was read
-    val state = CdcWriter.read(spark, dir)
-      .select($"user_id").as[Long].collect().toSeq.sorted
-    assert(state === Seq(1L, 2L, 3L))
-    assert(!fs.exists(new Path(s"$dir/.old_2024-01-01")))
-    assert(!fs.exists(new Path(s"$dir/.old_2024-01-02")))
+    assert(state() === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.expire(spark, dir, keepLast = 1) > 0) // orphan reclaimed
+    assert(state() === Seq(1L, 2L, 3L))
   }
 
-  test("a merge that empties the whole table leaves a root the next merge can bootstrap") {
+  test("a merge that empties the whole table leaves a log the next merge can bootstrap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-empty").toString + "/t"
     CdcWriter.write(env((1L, 1L, 1.0, "INSERT", "2024-01-01")), dir)
     CdcWriter.merge(spark, dir, env(
       (1L, 10L, 0.0, "DELETE", "2024-01-02")), Seq("user_id"))
     assert(files(dir, "2024-01-01").isEmpty)
-    // the root still exists but holds no day partitions — the next merge
-    // must treat it as the empty table, not fail schema inference
+    // the commit log records an empty table — the next merge must treat
+    // it as such (empty frame with the committed schema), not fail
+    assert(CdcWriter.read(spark, dir).count() === 0L)
     val touched = CdcWriter.merge(spark, dir, env(
       (2L, 20L, 2.0, "INSERT", "2024-01-03")), Seq("user_id"))
     assert(touched === Seq("2024-01-03"))

@@ -1,0 +1,195 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The snapshot commit protocol (ref internal/iceberg/catalog/
+  * rest.go:187-217, types.go:78-153): a reader must never observe a
+  * partial commit, at ANY crash point — data files are invisible until
+  * the single manifest rename, and the rename is atomic. This spec
+  * enumerates the crash windows the old rename-aside design had and
+  * proves each one is now structurally impossible, plus the
+  * concurrent-commit composition the DLQ rewrite path relies on. */
+class SnapshotLogSpec extends SparkTestBase {
+
+  private def rows(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, i * 10, f"$i%016d")).toDF("id", "v", graft.ingest.Cdc.LsnColumn)
+  }
+
+  private def idsOf(df: DataFrame): Seq[Long] = {
+    import spark.implicits._
+    df.select(col("id")).as[Long].collect().toSeq.sorted
+  }
+
+  private def commitRows(dir: String, df: DataFrame, op: String,
+                         carry: Boolean = true): SnapshotLog.Snapshot =
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val files = SnapshotLog.writeData(spark, dir, df, partitionCol = None)
+      SnapshotLog.commit(spark, dir, op,
+        (if (carry) cur.toSeq.flatMap(_.files) else Seq.empty) ++ files,
+        df.schema, parent = cur)
+    }
+
+  test("commit → resolve roundtrip; historical snapshots stay readable") {
+    val dir = Files.createTempDirectory("graft-snaplog").toString + "/t"
+    val s1 = commitRows(dir, rows(1, 2), "append")
+    val s2 = commitRows(dir, rows(3), "append")
+    val s3 = commitRows(dir, rows(4, 5), "append")
+    assert(Seq(s1.id, s2.id, s3.id) === Seq(1L, 2L, 3L))
+    assert(s3.parentId === Some(2L))
+    // VERSION AS OF: every retained snapshot resolves its own file set
+    assert(idsOf(SnapshotLog.read(spark, dir, SnapshotLog.snapshotAt(spark, dir, 1)))
+      === Seq(1L, 2L))
+    assert(idsOf(SnapshotLog.read(spark, dir, SnapshotLog.snapshotAt(spark, dir, 2)))
+      === Seq(1L, 2L, 3L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L, 4L, 5L))
+    // manifest row counts are real footer counts, not estimates
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.totalRows === 5L)
+  }
+
+  test("crash window 1 — data files written, no commit: invisible to every reader") {
+    val dir = Files.createTempDirectory("graft-snaplog-c1").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    SnapshotLog.writeData(spark, dir, rows(2, 3), partitionCol = None)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
+  }
+
+  test("crash window 2 — manifest written to temp, never renamed: ignored") {
+    val dir = Files.createTempDirectory("graft-snaplog-c2").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    // a crashed commit's half-state: temp manifest file present
+    val md = new Path(s"$dir/${SnapshotLog.MetaDirName}")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(md, ".tmp-snap-crashed"), false)
+    out.write("{not even json".getBytes); out.close()
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L))
+    // expire clears the debris
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(!fs.exists(new Path(md, ".tmp-snap-crashed")))
+  }
+
+  test("crash window 3 — after the rename: the commit is complete by definition") {
+    val dir = Files.createTempDirectory("graft-snaplog-c3").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    val s2 = commitRows(dir, rows(2), "append")
+    // nothing else to do after the rename — the snapshot IS current
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === s2.id)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L))
+  }
+
+  test("a rewrite composes with a concurrent append: manifest diff keeps both") {
+    // the DLQ race the round-8 design documented as its residual window:
+    // a rewrite based on snapshot k must not clobber files appended at
+    // k+1. The rewrite computes its manifest as a DIFF inside the table
+    // lock — base files out, rewritten files in, everything newer stays.
+    val dir = Files.createTempDirectory("graft-snaplog-cas").toString + "/t"
+    val base = commitRows(dir, rows(1, 2), "append")
+    // rewrite of base begins: new files materialized (e.g. rows marked)
+    val rewritten = SnapshotLog.writeData(spark, dir,
+      rows(1, 2).withColumn("v", col("v") + 1), partitionCol = None)
+    // ...an append lands FIRST (the batch processor dead-letters row 3)
+    commitRows(dir, rows(3), "append")
+    // the rewrite commits as a diff against the TRUE current, not base
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val baseSet = base.files.map(_.path).toSet
+      SnapshotLog.commit(spark, dir, "rewrite",
+        cur.toSeq.flatMap(_.files.filterNot(f => baseSet(f.path))) ++ rewritten,
+        base.schema, parent = cur)
+    }
+    val fin = SnapshotLog.readCurrent(spark, dir).get
+    assert(idsOf(fin) === Seq(1L, 2L, 3L)) // append survived the rewrite
+    import spark.implicits._
+    // rewritten rows carry the new values; the appended row is untouched
+    assert(fin.select(col("id"), col("v")).as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      === Seq((1L, 11L), (2L, 21L), (3L, 30L)))
+  }
+
+  test("a stale-parent commit fails loudly instead of dropping files") {
+    val dir = Files.createTempDirectory("graft-snaplog-stale").toString + "/t"
+    val s1 = commitRows(dir, rows(1), "append")
+    commitRows(dir, rows(2), "append") // current moves to 2
+    val orphan = SnapshotLog.writeData(spark, dir, rows(9), partitionCol = None)
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.commit(spark, dir, "append",
+        s1.files ++ orphan, s1.schema, parent = Some(s1))
+    }
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L))
+  }
+
+  test("expire retains the kept snapshots' files and reclaims everything else") {
+    val dir = Files.createTempDirectory("graft-snaplog-exp").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    commitRows(dir, rows(2), "append")
+    // a full-table REWRITE: snapshot 3 references only new files
+    commitRows(dir, rows(7, 8), "overwrite", carry = false)
+    SnapshotLog.writeData(spark, dir, rows(99), partitionCol = None) // orphan
+    val deleted = SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(deleted > 0)
+    assert(SnapshotLog.snapshots(spark, dir).map(_.id) === Seq(3L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(7L, 8L))
+    // every remaining data file is referenced: re-expiring deletes nothing
+    assert(SnapshotLog.expire(spark, dir, keepLast = 1) === 0)
+  }
+
+  test("importHive adopts existing day-partitioned files without rewriting them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snaplog-imp").toString + "/t"
+    val env = Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+      .toDF("id", "_cdc_date")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lpad(col("id").cast("string"), 16, "0"))
+    env.write.partitionBy("_cdc_date").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes = fs.listStatus(new Path(s"$dir/_cdc_date=2024-01-01"))
+      .filter(_.isFile).map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+    val before = mtimes
+    val snap = SnapshotLog.withTableLock(dir) {
+      SnapshotLog.importHive(spark, dir, "_cdc_date").get
+    }
+    assert(snap.operation === "import")
+    assert(snap.files.forall(_.hive))
+    assert(snap.files.map(_.partition).sorted === Seq("2024-01-01", "2024-01-02"))
+    assert(mtimes === before) // listed, never rewritten
+    // the adopted read restores the partition value as a string column
+    val back = SnapshotLog.read(spark, dir, snap)
+    assert(back.schema("_cdc_date").dataType.typeName === "string")
+    assert(back.select(col("id"), col("_cdc_date")).as[(Long, String)]
+      .collect().toSeq.sorted === Seq((1L, "2024-01-01"), (2L, "2024-01-02")))
+  }
+
+  test("manifest partition pruning reads only the asked-for files") {
+    val dir = Files.createTempDirectory("graft-snaplog-prune").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("id", "_cdc_date")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lpad(col("id").cast("string"), 16, "0"))
+    val snap = SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, df, Some("_cdc_date"))
+      assert(files.map(_.partition).distinct.sorted === Seq("2024-01-01", "2024-01-02"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    val pruned = SnapshotLog.read(spark, dir, snap, Some(Seq("2024-01-02")))
+    assert(idsOf(pruned.select(col("id"))) === Seq(2L, 3L))
+    // file-skipping happened at the manifest, before the plan: the scan's
+    // input file list holds only day-02 files
+    val scanned = pruned.select(input_file_name()).distinct().as[String].collect()
+    val dayOf = snap.files.map(f => s"$dir/${f.path}" -> f.partition).toMap
+    assert(scanned.forall(p => dayOf.exists { case (path, day) =>
+      p.endsWith(path.stripPrefix(dir)) && day == "2024-01-02" }))
+  }
+
+  test("per-file LSN bounds land in the manifest from parquet footers") {
+    val dir = Files.createTempDirectory("graft-snaplog-stats").toString + "/t"
+    val snap = commitRows(dir, rows(3, 7, 5), "append")
+    assert(snap.files.nonEmpty)
+    assert(snap.lsnWatermark === Some(f"${7L}%016d"))
+    assert(snap.files.flatMap(_.minLsn).min === f"${3L}%016d")
+  }
+}
