@@ -241,14 +241,4 @@ object TimeTravel {
     * strings, the total order Postgres provides. */
   def asOfLsn(envelope: DataFrame, keyCols: Seq[String], lsn: Column): DataFrame =
     Cdc.currentState(envelope.filter(col(Cdc.LsnColumn) <= lsn), keyCols)
-
-  /** Snapshot listing: one row per commit day with event count and LSN
-    * watermark (emulates the `$snapshots` metadata table,
-    * ref sample-queries.sql:55-61). */
-  def snapshots(envelope: DataFrame): DataFrame =
-    envelope
-      .groupBy(date_trunc("day", col(Cdc.TsColumn)).as("snapshot_day"))
-      .agg(count(lit(1)).as("n_events"),
-        max(col(Cdc.LsnColumn)).as("lsn_watermark"))
-      .orderBy(col("snapshot_day"))
 }
