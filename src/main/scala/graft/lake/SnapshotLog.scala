@@ -246,6 +246,11 @@ object SnapshotLog {
   /** Write `df` as new immutable data files under `data/<uuid>/` and
     * return their manifest entries (not yet visible — commit them).
     *
+    * Call this INSIDE [[withTableLock]] when any concurrent task may run
+    * [[expire]] on the table: expire reclaims every unreferenced file, so
+    * a mid-flight uncommitted write outside the lock looks like crashed-
+    * writer debris and gets swept before its commit.
+    *
     * With `partitionCol` set, the frame keeps the column INLINE (so file
     * lists read back without basePath tricks) and is ALSO dir-partitioned
     * by a `_pday` copy, which yields the exact per-file partition value
@@ -310,6 +315,26 @@ object SnapshotLog {
       if (fileSchema.fieldNames.contains(partitionCol)) fileSchema
       else fileSchema.add(partitionCol, "string")
     Some(commit(spark, tableDir, "import", files, schema, parent = None))
+  }
+
+  /** Adopt an existing FLAT directory of parquet files (no partition
+    * dirs) as snapshot 1 under an explicit schema — a pure listing, no
+    * rewrite. Files missing columns of `schema` (pre-evolution layouts)
+    * read back as nulls. Must run inside [[withTableLock]]. */
+  def importFlat(spark: SparkSession, tableDir: String, schema: StructType,
+                 statsCol: String = graft.ingest.Cdc.LsnColumn): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    if (!fs.exists(root)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
+        DataFile(st.getPath.getName, "", hive = false, rows, st.getLen, lo, hi)
+      }
+    if (files.isEmpty) None
+    else Some(commit(spark, tableDir, "import", files, schema, parent = None))
   }
 
   // ---- reads

@@ -35,6 +35,19 @@ object PipelineOps extends QueryModule {
   private val srcCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
+  // Two queries sharing a fixture shape (e.g. cdc_stream_roundtrip and
+  // pipeline_metrics both use "rt") can hit the builder CONCURRENTLY
+  // under Verify's pool; TrieMap.getOrElseUpdate may then evaluate the
+  // builder twice against the SAME scratch path — two jobs racing on one
+  // _temporary dir. Serialize builds; the double-check keeps the hot
+  // path lock-free.
+  private val srcBuildLock = new Object
+
+  private def srcOnce(key: (String, String, String))(build: => String): String =
+    srcCache.get(key).getOrElse(srcBuildLock.synchronized {
+      srcCache.getOrElseUpdate(key, build)
+    })
+
   /** `orderedByLsn`: range-partition the files by LSN so file k holds
     * strictly older events than file k+1 — admission order then delivers
     * time-ordered micro-batches, the real WAL-tail contract (a
@@ -51,9 +64,9 @@ object PipelineOps extends QueryModule {
                           withTruncateMarker: Boolean = false): String =
     // key carries the full shape config: a second caller reusing a shape
     // name with different params must never be served the wrong fixture
-    srcCache.getOrElseUpdate(
+    srcOnce(
       (graft.SessionKeys(s), d,
-        s"$shape|$nFiles|$tableMod|$orderedByLsn|$withTruncateMarker"), {
+        s"$shape|$nFiles|$tableMod|$orderedByLsn|$withTruncateMarker")) {
       val dir = Lifecycle.scratchDir(s, s"graft_src_$shape", d)
       rmrf(s, dir)
       val env0 =
@@ -94,7 +107,7 @@ object PipelineOps extends QueryModule {
         }
       }
       dir
-    })
+    }
 
   // ---- DLQ read surface (ref internal/cdc/deadletter/postgres.go:45-352:
   // Read / GetStats). A deterministic poison slice — per-key table names,
@@ -356,12 +369,12 @@ object PipelineOps extends QueryModule {
   /** The Debezium JSONL log, written once per (session, sfDir) — the
     * WAL stand-in is immutable, like the parquet stream fixtures. */
   private def debeziumLogOnce(s: SparkSession, d: String): String =
-    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog"), {
+    srcOnce((graft.SessionKeys(s), d, "dbzlog")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbzlog", d)
       rmrf(s, dir)
       CdcQueries.writeDebeziumLog(s, d, dir)
       dir
-    })
+    }
 
   // ---- the WHOLE reference product in one oracle row: DSv2 WAL source
   // (LSN offsets, admission control) → Debezium envelope decode → per-
@@ -454,7 +467,7 @@ object PipelineOps extends QueryModule {
   }
 
   private def evolveLogOnce(s: SparkSession, d: String): String =
-    srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog_evolve"), {
+    srcOnce((graft.SessionKeys(s), d, "dbzlog_evolve")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbzevolve", d)
       rmrf(s, dir)
       val threshold = graft.Tables.events(s, d)
@@ -462,7 +475,7 @@ object PipelineOps extends QueryModule {
       CdcQueries.debeziumLinesEvolving(s, d, threshold).coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
       dir
-    })
+    }
 
   // threshold replayed as max(event_id) // 2 (DuckDB `/` is float division)
   private val streamEvolveSql =
@@ -546,13 +559,13 @@ object PipelineOps extends QueryModule {
   // state. Oracle = the same reset replay the parquet-source truncate
   // uses.
   private def e2eTruncate(s: SparkSession, d: String): DataFrame = {
-    val log = srcCache.getOrElseUpdate((graft.SessionKeys(s), d, "dbzlog_trunc"), {
+    val log = srcOnce((graft.SessionKeys(s), d, "dbzlog_trunc")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbztrunc", d)
       rmrf(s, dir)
       CdcQueries.debeziumLinesWithTruncate(s, d).coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
       dir
-    })
+    }
     dsvMergeDrain(s, d, log,
       Lifecycle.scratchDir(s, "graft_e2etrunc", d), "graft-e2e-truncate")
   }

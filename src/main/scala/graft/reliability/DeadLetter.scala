@@ -1,6 +1,7 @@
 package graft.reliability
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.lake.SnapshotLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dead-letter queue: failed micro-batches land in an append-only table
@@ -12,6 +13,15 @@ import org.apache.spark.sql.functions._
   * the Postgres storage — the DLQ is itself a lake table, so its contents
   * are queryable with the same engine (`groupBy(error_type).count()` is
   * the reference's GetStats, deadletter/postgres.go:300-352).
+  *
+  * Storage is the [[SnapshotLog]] commit protocol (round 9): appends and
+  * rewrites resolve the current manifest and commit the next one under
+  * the per-table lock, so a replay/cleanup rewrite COMPOSES with a
+  * concurrent batch-processor append instead of silently dropping it
+  * (the old rename-aside swap had a listing→swap window), and a crash at
+  * any point leaves the previous committed DLQ intact — the transactional
+  * guarantee the reference gets from Postgres (deadletter/postgres.go's
+  * per-row UPDATE/DELETE), recovered here from manifest atomicity.
   */
 object DeadLetter {
 
@@ -37,9 +47,14 @@ object DeadLetter {
   /** Append a failed batch to the DLQ dir. Every original column is
     * preserved as one JSON payload column (ref Event⇄FailedEvent JSON
     * round-trip, deadletter.go:100-130) so the DLQ schema is stable no
-    * matter which table the batch belonged to. */
+    * matter which table the batch belonged to. The write runs INSIDE the
+    * table lock: [[cleanup]]'s expire sweeps unreferenced files, so a
+    * mid-flight uncommitted write outside the lock could be swept as
+    * debris before its commit (the DLQ is failure-sized — holding the
+    * lock across the write is cheap). */
   def append(batch: DataFrame, dlqDir: String, sourceId: String,
              tableName: String, error: Throwable, retryCount: Int): Unit = {
+    val spark = batch.sparkSession
     val failed = batch
       .select(to_json(struct(col("*"))).as("event_data"))
       .withColumn("source_id", lit(sourceId))
@@ -51,7 +66,12 @@ object DeadLetter {
       .withColumn("retry_count", lit(retryCount))
       .withColumn("created_at", current_timestamp())
       .withColumn("retried_at", lit(null).cast("timestamp"))
-    failed.write.mode(SaveMode.Append).parquet(dlqDir)
+    SnapshotLog.withTableLock(dlqDir) {
+      val newFiles = SnapshotLog.writeData(spark, dlqDir, failed, None)
+      val cur = adopt(spark, dlqDir)
+      SnapshotLog.commit(spark, dlqDir, "append",
+        cur.toSeq.flatMap(_.files) ++ newFiles, schema, cur): Unit
+    }
   }
 
   /** The stable DLQ schema ([[append]] writes exactly these columns;
@@ -67,35 +87,28 @@ object DeadLetter {
       org.apache.spark.sql.types.StructField("created_at", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("retried_at", org.apache.spark.sql.types.TimestampType)))
 
-  /** An append-mode DLQ dir only exists once something failed; an absent
-    * dir reads as the empty DLQ (so stats/read agree with an oracle that
-    * derives zero failures), not as a scan error. DLQ dirs written before
-    * the `retried_at` column existed read it back as null — pending. */
-  /** Heal a crashed [[replay]] mark-swap: if the live dir is gone, the
-    * `.marking` copy (complete, newest) or the `.replaced` aside (the
-    * pre-mark original) is restored — a crash can delay the MarkRetried
-    * bookkeeping (rows replay once more: at-least-once, the reference's
-    * own guarantee) but never lose the DLQ. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-                          p: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.exists(p)) {
-      val marking = p.suffix(".marking")
-      val replaced = p.suffix(".replaced")
-      if (fs.exists(marking)) { fs.rename(marking, p): Unit }
-      else if (fs.exists(replaced)) { fs.rename(replaced, p): Unit }
-    }
+  /** Resolve the DLQ's current snapshot; a plain-parquet dir written by
+    * an earlier layout is ADOPTED as snapshot 1 by listing (no rewrite),
+    * under [[schema]] so a pre-`retried_at` file reads the column back as
+    * null — pending. Must run inside the table lock. */
+  private def adopt(spark: SparkSession, dlqDir: String): Option[SnapshotLog.Snapshot] =
+    SnapshotLog.currentSnapshot(spark, dlqDir)
+      .orElse(SnapshotLog.importFlat(spark, dlqDir, schema))
 
-  def read(spark: SparkSession, dlqDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dlqDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, p)
-    if (fs.exists(p)) {
-      val df = spark.read.parquet(dlqDir)
-      if (df.columns.contains("retried_at")) df
-      else df.withColumn("retried_at", lit(null).cast("timestamp"))
+  /** A DLQ only exists once something failed; an absent dir reads as the
+    * empty DLQ (so stats/read agree with an oracle that derives zero
+    * failures), not as a scan error. A plain-parquet dir from an earlier
+    * layout reads directly under [[schema]] (pre-`retried_at` files
+    * surface the column as null — pending); reads never commit, so
+    * adoption waits for the first write entry point. */
+  def read(spark: SparkSession, dlqDir: String): DataFrame =
+    SnapshotLog.readCurrent(spark, dlqDir).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(dlqDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.schema(schema).parquet(dlqDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 
   /** Replay pending dead-letters: Read → repair → reprocess → MarkRetried
     * (ref internal/cdc/deadletter/postgres.go:199-238 — the operator
@@ -106,59 +119,45 @@ object DeadLetter {
     * type), and `process` is the real ingest entry (typically
     * `IngestPipeline.processBatch(cfg)(_, batchId)`). Rows that fail
     * AGAIN simply dead-letter again through `process`'s own DLQ path —
-    * replay is safe to re-run. Marking rewrites the DLQ table whole: the
+    * replay is safe to re-run. Marking rewrites the replayed FILES: the
     * DLQ is failure-sized, not data-sized, so a rewrite is the lake
-    * equivalent of the reference's per-row UPDATE. Returns # replayed. */
+    * equivalent of the reference's per-row UPDATE. What gets marked is
+    * decided by FILE IDENTITY, not a timestamp cutoff — exactly the
+    * files of the snapshot this replay decoded are rewritten as retried;
+    * re-failures `process` dead-letters live in files committed AFTER
+    * that snapshot, so they stay pending even if their created_at lands
+    * on the same clock tick. Returns # replayed. */
   def replay(spark: SparkSession, dlqDir: String,
              batchSchema: org.apache.spark.sql.types.StructType,
              repair: DataFrame => DataFrame,
              process: DataFrame => Unit): Long = {
-    val dlq = read(spark, dlqDir)
-    val pending = dlq.filter(col("retried_at").isNull)
+    val snapOpt = SnapshotLog.withTableLock(dlqDir)(adopt(spark, dlqDir))
+    if (snapOpt.isEmpty) return 0L
+    val snap = snapOpt.get
+    val pending = SnapshotLog.read(spark, dlqDir, snap)
+      .filter(col("retried_at").isNull)
     val n = pending.count()
     if (n == 0) return 0L
-    // cutoff: rows `process` dead-letters AGAIN append with a later
-    // created_at — they must stay pending, not get marked by this pass
-    val cutoff = pending.agg(max(col("created_at"))).collect()(0).getTimestamp(0)
     process(repair(
       pending.select(from_json(col("event_data"), batchSchema).as("_e"))
         .select(col("_e.*"))))
-    // MarkRetried: re-read AFTER process (its re-failures appended files
-    // our first listing never saw), then rewrite-and-swap.
-    val p = new org.apache.hadoop.fs.Path(dlqDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rewriteSwap(fs, p, "replay") {
-      read(spark, dlqDir).withColumn("retried_at",
-        when(col("retried_at").isNull && col("created_at") <= cutoff,
-          current_timestamp()).otherwise(col("retried_at")))
+    // MarkRetried: rewrite snap's files with pending rows marked; carry
+    // every file committed since (process's re-failures) untouched. The
+    // commit runs under the table lock, so it composes with concurrent
+    // appends instead of dropping rows a directory listing never saw.
+    SnapshotLog.withTableLock(dlqDir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dlqDir)
+      val marked = SnapshotLog.read(spark, dlqDir, snap)
+        .withColumn("retried_at",
+          when(col("retried_at").isNull, current_timestamp())
+            .otherwise(col("retried_at")))
+      val newFiles = SnapshotLog.writeData(spark, dlqDir, marked, None)
+      val snapPaths = snap.files.map(_.path).toSet
+      val keep = cur.toSeq.flatMap(_.files.filterNot(f => snapPaths(f.path)))
+      SnapshotLog.commit(spark, dlqDir, "replay-mark",
+        keep ++ newFiles, schema, cur): Unit
     }
     n
-  }
-
-  /** Rewrite the DLQ table via rename-aside: materialize `survivors` to
-    * `.marking` (the frame READS the live dir — overwriting in place
-    * would clobber its own input), move the live dir to `.replaced`,
-    * rename the rewrite in, delete the aside LAST. Every crash window
-    * keeps a complete copy and [[recoverSwap]] heals the in-between
-    * states. `survivors` is evaluated HERE so its file listing is as
-    * fresh as possible; a row appended inside the remaining listing→swap
-    * window would be lost — the DLQ is single-writer in this engine
-    * (appends happen in the batch processor, rewrites are operator
-    * tasks); a transactional table format would close it for real. */
-  private def rewriteSwap(fs: org.apache.hadoop.fs.FileSystem,
-                          p: org.apache.hadoop.fs.Path, opName: String)(
-                          survivors: => DataFrame): Unit = {
-    val tmp = p.suffix(".marking")
-    val aside = p.suffix(".replaced")
-    survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (!fs.rename(p, aside))
-      throw new java.io.IOException(s"$opName: failed to move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(aside, p) // restore; the rewrite stays at .marking
-      throw new java.io.IOException(s"$opName: failed to move $tmp into place")
-    }
-    fs.delete(aside, true)
   }
 
   /** Failure counts by (source, table, error type). The reference's
@@ -183,25 +182,32 @@ object DeadLetter {
   /** Drop dead-letters whose TTL has lapsed (ref expires_at at insert +
     * Cleanup, deadletter/deadletter.go:40-68, postgres.go:240-272 —
     * expires_at = created_at + TTL, delete where expired). `now` is a
-    * parameter so retention is deterministic and testable; the rewrite
-    * swaps via the same rename-aside pattern as [[replay]] (the DLQ is
-    * failure-sized — a rewrite IS the lake-table equivalent of the
-    * reference's DELETE). Returns the number of rows dropped. */
+    * parameter so retention is deterministic and testable. The whole
+    * count-filter-commit runs under the table lock (a concurrent append
+    * either commits before the resolution — and is filtered — or after
+    * this commit: never dropped), and space reclamation IS cleanup's
+    * contract, so the rewrite also expires DLQ history and deletes the
+    * unreferenced bytes. Returns the number of rows dropped. */
   def cleanup(spark: SparkSession, dlqDir: String, ttlSeconds: Long,
-              now: java.sql.Timestamp): Long = {
-    val p = new org.apache.hadoop.fs.Path(dlqDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, p)
-    if (!fs.exists(p)) return 0L
-    val dlq = read(spark, dlqDir)
-    // expires_at = created_at + TTL; expired ⇔ created_at ≤ now - TTL
-    val expired =
-      col("created_at") <= lit(new java.sql.Timestamp(now.getTime - ttlSeconds * 1000L))
-    val n = dlq.filter(expired).count()
-    if (n == 0) return 0L
-    // survivors come from a FRESH read inside the swap, not the counting
-    // snapshot above — rows appended while we counted stay in the table
-    rewriteSwap(fs, p, "cleanup")(read(spark, dlqDir).filter(!expired))
-    n
-  }
+              now: java.sql.Timestamp): Long =
+    SnapshotLog.withTableLock(dlqDir) {
+      adopt(spark, dlqDir) match {
+        case None => 0L
+        case Some(cur) =>
+          val dlq = SnapshotLog.read(spark, dlqDir, cur)
+          // expires_at = created_at + TTL; expired ⇔ created_at ≤ now - TTL
+          val expired = col("created_at") <=
+            lit(new java.sql.Timestamp(now.getTime - ttlSeconds * 1000L))
+          val n = dlq.filter(expired).count()
+          if (n == 0) 0L
+          else {
+            val newFiles =
+              SnapshotLog.writeData(spark, dlqDir, dlq.filter(!expired), None)
+            SnapshotLog.commit(spark, dlqDir, "cleanup", newFiles, schema,
+              Some(cur))
+            SnapshotLog.expire(spark, dlqDir, keepLast = 1)
+            n
+          }
+      }
+    }
 }

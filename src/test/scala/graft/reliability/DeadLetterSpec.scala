@@ -83,6 +83,35 @@ class DeadLetterSpec extends SparkTestBase {
     assert(DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L, later) === 0L)
   }
 
+  test("cleanup composes with concurrent appends: no row is ever silently lost") {
+    // the old rename-aside rewrite had a listing→swap window where a row
+    // appended mid-rewrite vanished; the snapshot commit log serializes
+    // resolution+commit under the table lock, so every appended row is
+    // either dropped BY a cleanup (counted) or still present — the
+    // accounting identity holds under any interleaving
+    val dlqDir = Files.createTempDirectory("graft-dlq-race").toString + "/dlq"
+    val appends = 6
+    val everythingExpired = new java.sql.Timestamp(
+      System.currentTimeMillis() + 7200L * 1000)
+    @volatile var dropped = 0L
+    val appender = new Thread(() => (1 to appends).foreach { i =>
+      DeadLetter.append(poisonBatch, dlqDir, "src", s"t$i",
+        new IllegalArgumentException("bad"), retryCount = 1)
+    })
+    appender.start()
+    while (appender.isAlive) {
+      dropped += DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L,
+        everythingExpired)
+      Thread.sleep(100) // intrinsic locks are unfair — give appends a turn
+    }
+    dropped += DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 3600L,
+      everythingExpired)
+    appender.join()
+    val remaining = DeadLetter.read(spark, dlqDir).count()
+    assert(dropped + remaining === appends * 2L)
+    assert(remaining === 0L) // the final cleanup ran after the last append
+  }
+
   test("a DLQ dir written without retried_at reads back as all-pending") {
     import spark.implicits._
     val dlqDir = Files.createTempDirectory("graft-dlq-old").toString + "/dlq"
