@@ -181,14 +181,86 @@ object CdcWriter {
       .transform(df => truncLsn.fold(df)(t => df.filter(col(Cdc.LsnColumn) > t)))
       .join(broadcast(deltaKeys), keyCols, "left_anti")
     // allowMissingColumns: a delta carrying a NEW column (mid-stream
-    // schema evolution) widens the table; survivors surface it as null
+    // schema evolution) widens the table; survivors surface it as null,
+    // and union coercion widens TYPES (long+double → double)
     val merged = survivors.unionByName(upserts, allowMissingColumns = true)
     val newFiles = SnapshotLog.writeData(spark, tableDir, merged, Some(pcol))
     val untouched = cur.toSeq.flatMap(_.files.filterNot(f => touchedSet(f.partition)))
+    // Type promotion (ref schema/schema.go:149-174 + writer/writer.go:
+    // 197-253): when coercion widened a column past what a parquet scan
+    // can upcast (long→double; int→long/int→double/float→double are
+    // metadata-only widening reads — Iceberg's own promotion rule),
+    // carried files holding the narrow physical type are cast-and-
+    // rewritten IN THE SAME COMMIT, so every committed snapshot reads
+    // whole under its own schema — never an unreadable in-between state.
+    // The trigger is a driver-side schema compare; the per-file footer
+    // check only runs on the rare widening merge.
+    val carried =
+      if (untouched.isEmpty ||
+        cur.forall(s => !needsPromotionCheck(s.schema, merged.schema))) untouched
+      else rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol)
     SnapshotLog.commit(spark, tableDir,
       if (truncLsn.isDefined) "truncate-merge" else "merge",
-      untouched ++ newFiles, merged.schema, parent = cur)
+      carried ++ newFiles, merged.schema, parent = cur)
     touched
+  }
+
+  /** A parquet file column written as `ft` is readable under a scan
+    * schema declaring `tt`: Spark 4's widening parquet reads cover
+    * int→long, int→double and float→double; long→double is not covered
+    * and needs a physical rewrite. */
+  private def readableAs(ft: org.apache.spark.sql.types.DataType,
+                         tt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (ft, tt) match {
+      case (a, b) if a == b                     => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType)              => true
+      case _                                    => false
+    }
+  }
+
+  private def needsPromotionCheck(stored: org.apache.spark.sql.types.StructType,
+                                  target: org.apache.spark.sql.types.StructType): Boolean = {
+    val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
+    stored.fields.exists(f => targetTypes.get(f.name).exists(tt =>
+      f.dataType != tt && !readableAs(f.dataType, tt)))
+  }
+
+  /** Cast-and-rewrite carried files whose PHYSICAL column types cannot be
+    * read under `target` (see [[needsPromotionCheck]]); files already
+    * readable (including pre-evolution files missing the column entirely)
+    * keep their manifest entries untouched. Footer schema checks are
+    * driver-side metadata reads, O(carried files), only on widening
+    * merges; the rewrite reads exactly the narrow files, grouped by
+    * physical schema so each group scans under its own types. */
+  private def rewriteNarrow(spark: SparkSession, tableDir: String,
+                            carried: Seq[graft.lake.SnapshotLog.DataFile],
+                            target: org.apache.spark.sql.types.StructType,
+                            pcol: String): Seq[graft.lake.SnapshotLog.DataFile] = {
+    import graft.lake.SnapshotLog
+    import org.apache.spark.sql.types.StructType
+    val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
+    val schemaOf = carried.map { f =>
+      f -> spark.read.parquet(s"$tableDir/${f.path}").schema
+    }.toMap
+    val (narrow, fine) = carried.partition(f => schemaOf(f).fields.exists(ff =>
+      targetTypes.get(ff.name).exists(tt => !readableAs(ff.dataType, tt))))
+    if (narrow.isEmpty) return carried
+    val rewritten = narrow.groupBy(schemaOf).toSeq.flatMap { case (fsch, files) =>
+      // read THESE files under their own physical types (target's field
+      // set, the file's type where the file has the field), then cast up
+      val readSchema = StructType(target.fields.map(tf =>
+        fsch.find(_.name == tf.name).map(ff => tf.copy(dataType = ff.dataType))
+          .getOrElse(tf)))
+      val snapLike = SnapshotLog.Snapshot(0L, None, 0L, "rewrite",
+        readSchema.json, files)
+      val casted = SnapshotLog.read(spark, tableDir, snapLike)
+        .select(target.fields.toSeq.map(tf =>
+          col(tf.name).cast(tf.dataType).as(tf.name)): _*)
+      SnapshotLog.writeData(spark, tableDir, casted, Some(pcol))
+    }
+    fine ++ rewritten
   }
 
   /** Bounded merge cadence — the COW-amplification lever for streams whose

@@ -263,6 +263,40 @@ object CdcQueries extends QueryModule {
         col("event_id").as("lsn"), col("event_id").as("txId")).as("source"))).as("value"))
   }
 
+  /** [[EvolvedPayloadSchema]] with `score` already widened to double. */
+  val PromotedPayloadSchema: org.apache.spark.sql.types.StructType =
+    SourcePayloadSchema.add("score", "double")
+
+  /** Debezium lines whose `score` column WIDENS mid-stream: integral
+    * (JSON numbers without a fraction → inferred long) up to `threshold`,
+    * fractional (+0.5 → double) above it — the numeric drift a live CDC
+    * stream delivers when a source column's type widens. Two typed frames
+    * render the regimes so early lines carry integer literals
+    * byte-for-byte and a per-batch-inferring decoder sees the type
+    * CHANGE, not a column that was always double. */
+  def debeziumLinesPromoting(s: SparkSession, d: String, threshold: Long): DataFrame = {
+    def lines(filter: org.apache.spark.sql.Column,
+              score: org.apache.spark.sql.Column,
+              schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val payload =
+        struct(col("user_id"), col("event_id"), col("value"), score.as("score"))
+      val nullPayload = lit(null).cast(schema)
+      val op = when(col("event_type") === "signup", "c")
+        .when(col("event_type") === "error", "d").otherwise("u")
+      Tables.events(s, d).filter(filter).select(to_json(struct(
+        when(op === "d", payload).otherwise(nullPayload).as("before"),
+        when(op =!= "d", payload).otherwise(nullPayload).as("after"),
+        op.as("op"),
+        unix_millis(col("ts")).as("ts_ms"),
+        struct(lit("public").as("schema"), lit("events").as("table"),
+          col("event_id").as("lsn"), col("event_id").as("txId")).as("source"))).as("value"))
+    }
+    lines(col("event_id") <= threshold,
+      (col("user_id") % 97).cast("long"), EvolvedPayloadSchema)
+      .unionByName(lines(col("event_id") > threshold,
+        (col("user_id") % 97).cast("double") + lit(0.5), PromotedPayloadSchema))
+  }
+
   private def cdcSourceScan(s: SparkSession, d: String): DataFrame = {
     val dir = Lifecycle.scratchDir(s, "graft_cdclog", d)
     writeDebeziumLog(s, d, dir)

@@ -477,6 +477,77 @@ object PipelineOps extends QueryModule {
       dir
     }
 
+  // ---- MID-STREAM TYPE PROMOTION on the gate (ref internal/iceberg/
+  // schema/schema.go:149-174 + writer/writer.go:197-253): `score` is
+  // integral (inferred long) through batch 1 and fractional (double) from
+  // batch 2, so the decoder promotes long→double mid-stream and the
+  // snapshot-backed MERGE sink must cast-and-rewrite the carried batch-1
+  // files in the same commit — without the rewrite the final read
+  // (explicit committed schema over long-typed files) throws
+  // PARQUET_COLUMN_DATA_TYPE_MISMATCH, so a regression cannot fake the
+  // row. Keys are (user_id, event_id): every event is its own key, so
+  // batch 2 touches only its own (later-ts) days and batch-1 days are
+  // CARRIED — a REQUIRE pins that carried days existed, i.e. the
+  // promotion-rewrite path actually ran rather than plain COW covering
+  // everything. Oracle: per-day replay of the same score formula.
+  private def streamPromote(s: SparkSession, d: String): DataFrame = {
+    val log = promoteLogOnce(s, d)
+    val base = Lifecycle.scratchDir(s, "graft_streampromote", d)
+    rmrf(s, base)
+    val n = graft.Tables.events(s, d).count()
+    val perBatch = math.max(1L, (n + 1) / 2)
+    val raw = s.readStream.format("graft.sources.CdcLogSource")
+      .option("path", log)
+      .option("maxEventsPerBatch", perBatch.toString)
+      .load()
+    val decoder = new graft.ingest.EvolvingDecoder(CdcQueries.SourcePayloadSchema)
+    @volatile var lastTouched: Seq[String] = Seq.empty
+    val q = raw.writeStream
+      .queryName("graft-stream-promote")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        lastTouched = graft.ingest.CdcWriter.merge(s, s"$base/t",
+          graft.ingest.EnvelopeDecoder.flattened(decoder.decode(b, "value")),
+          Seq("user_id", "event_id"))
+      }
+      .start()
+    q.awaitTermination()
+    require(decoder.payloadSchema.fields.exists(f => f.name == "score" &&
+      f.dataType == org.apache.spark.sql.types.DoubleType),
+      s"expected mid-stream promotion to double, got ${decoder.payloadSchema.simpleString}")
+    val snap = graft.lake.SnapshotLog.currentSnapshot(s, s"$base/t")
+      .getOrElse(sys.error("promote sink committed nothing"))
+    val allDays = snap.files.map(_.partition).distinct
+    require(lastTouched.nonEmpty && lastTouched.size < allDays.size,
+      s"expected carried days to force the rewrite; last batch touched " +
+        s"${lastTouched.size} of ${allDays.size}")
+    graft.ingest.CdcWriter.read(s, s"$base/t")
+      .groupBy(col(graft.model.SchemaBuilder.partitionColumn).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+      .orderBy(col("day"))
+  }
+
+  private def promoteLogOnce(s: SparkSession, d: String): String =
+    srcOnce((graft.SessionKeys(s), d, "dbzlog_promote")) {
+      val dir = Lifecycle.scratchDir(s, "graft_src_dbzpromote", d)
+      rmrf(s, dir)
+      val threshold = graft.Tables.events(s, d)
+        .agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      CdcQueries.debeziumLinesPromoting(s, d, threshold).coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+      dir
+    }
+
+  private val streamPromoteSql =
+    """WITH th AS (SELECT max(event_id) // 2 AS t FROM events)
+      |SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  count(*) AS n,
+      |  sum(user_id % 97 + CASE WHEN event_id > (SELECT t FROM th)
+      |      THEN CAST(0.5 AS DOUBLE) ELSE 0 END) AS score_sum
+      |FROM events WHERE event_type <> 'error'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // threshold replayed as max(event_id) // 2 (DuckDB `/` is float division)
   private val streamEvolveSql =
     s"""WITH envelope AS (${CdcQueries.envelopeSql}),
@@ -575,6 +646,7 @@ object PipelineOps extends QueryModule {
     GraftQuery("cdc_e2e_truncate", e2eTruncate, Some(streamTruncateSql)),
     GraftQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsSql)),
     GraftQuery("cdc_stream_evolve", streamEvolve, Some(streamEvolveSql)),
+    GraftQuery("cdc_stream_promote", streamPromote, Some(streamPromoteSql)),
     GraftQuery("dlq_stats", dlqStats, Some(dlqStatsSql)),
     GraftQuery("dlq_replay", dlqReplay, Some(streamRoundtripSql)),
     GraftQuery("cdc_stream_roundtrip", streamRoundtrip, Some(streamRoundtripSql)),

@@ -311,4 +311,60 @@ class LakeMergeSpec extends SparkTestBase {
     assert(CdcWriter.read(spark, dir).select($"user_id").as[Long].collect().toSeq
       === Seq(2L))
   }
+
+  /** `env` rows with a typed `score` column appended (the promotion
+    * target of the type-widening tests). */
+  private def envScore(scoreType: String,
+                       rows: (Long, Long, Double, String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "value", Cdc.OpColumn, "day", "score")
+      .withColumn("score", col("score").cast(scoreType))
+      .withColumn(Cdc.TsColumn,
+        to_timestamp(concat(col("day"), lit(" 12:00:00"))))
+      .withColumn(Cdc.LsnColumn, lpad(col("event_id").cast("string"), 16, "0"))
+      .drop("day")
+  }
+
+  test("a long→double widening merge cast-and-rewrites carried narrow files in the same commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-promote").toString + "/t"
+    // batch 1: score is LONG, two days
+    CdcWriter.merge(spark, dir, envScore("long",
+      (1L, 1L, 1.0, "INSERT", "2024-01-01", 7.0),
+      (2L, 2L, 2.0, "INSERT", "2024-01-02", 9.0)), Seq("user_id"))
+    val day1Before = files(dir, "2024-01-01")
+    assert(day1Before.nonEmpty)
+    // batch 2: score widened to DOUBLE, touches only day-2's key — day 1
+    // is carried, and its long-typed file cannot be read under the
+    // widened schema, so the merge must rewrite it in the same commit
+    CdcWriter.merge(spark, dir, envScore("double",
+      (2L, 20L, 2.5, "UPDATE", "2024-01-02", 9.5)), Seq("user_id"))
+    val snap = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(snap.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(files(dir, "2024-01-01") !== day1Before) // physically rewritten
+    // the whole table reads under the committed schema, values intact
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id", $"score").as[(Long, Double)].collect().toSeq.sorted
+    assert(state === Seq((1L, 7.0), (2L, 9.5)))
+  }
+
+  test("int widening stays metadata-only: carried int files are readable, not rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-intwiden").toString + "/t"
+    CdcWriter.merge(spark, dir, envScore("int",
+      (1L, 1L, 1.0, "INSERT", "2024-01-01", 7.0),
+      (2L, 2L, 2.0, "INSERT", "2024-01-02", 9.0)), Seq("user_id"))
+    val day1Before = files(dir, "2024-01-01")
+    CdcWriter.merge(spark, dir, envScore("long",
+      (2L, 20L, 2.5, "UPDATE", "2024-01-02", 9.0)), Seq("user_id"))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // int→long is a widening READ in Spark's parquet scan (Iceberg's own
+    // metadata-only promotion rule): the carried file keeps its bytes
+    assert(files(dir, "2024-01-01") === day1Before)
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id", $"score").as[(Long, Long)].collect().toSeq.sorted
+    assert(state === Seq((1L, 7L), (2L, 9L)))
+  }
 }
