@@ -44,4 +44,61 @@ object Alerts {
     rules.map(evaluate(metrics, seriesCol, valueCol, _))
       .reduce(_.unionAll(_))
       .orderBy(col("rule"), col("series"))
+
+  // ---- for-duration state machine (ref internal/alerting/manager.go:
+  // 201-330 handleFiring/handleNotFiring/fireAlert/checkForResolutions).
+  // Pure clock-injected functions like Scaling.evaluatePolicy — the
+  // per-series instant compare above feeds one [[Eval]] per series, and
+  // [[cycle]] advances pending→firing→resolved across evaluation cycles.
+
+  /** One series' evaluation this cycle; `fingerprint` is the reference's
+    * GenerateFingerprint(rule, labels) — any stable series key. */
+  final case class Eval(fingerprint: String, value: Double,
+                        shouldFire: Boolean, durationMs: Long)
+
+  /** Driver-side machine state: O(series), like the reference's
+    * pendingAlerts map + firing instance set. */
+  final case class MachineState(pendingSinceMs: Map[String, Long],
+                                firing: Set[String])
+  object MachineState { val empty: MachineState = MachineState(Map.empty, Set.empty) }
+
+  final case class Event(fingerprint: String, event: String) // fired | resolved
+
+  /** One evaluation cycle. Mirrors the reference manager EXACTLY,
+    * including three deliberate behaviors its code exhibits (don't "fix"):
+    *  1. a FIRST trigger only records pending and returns — even a
+    *     zero-duration rule fires no earlier than the second cycle
+    *     (manager.go:212-222: the !isPending branch returns nil);
+    *  2. a series that recovers below threshold clears its pending clock
+    *     but never resolves its firing instance — only series ABSENCE
+    *     from the results resolves (handleNotFiring touches only
+    *     pendingAlerts; checkForResolutions keys on seen fingerprints);
+    *  3. absence leaves the pending clock untouched, and the
+    *     existing-instance re-fire path returns before fireAlert's
+    *     pending-delete line, so a firing series' pending clock survives
+    *     and a reappearing series can fire from its old clock at once. */
+  def cycle(state: MachineState, results: Seq[Eval], nowMs: Long)
+  : (MachineState, Seq[Event]) = {
+    var pending = state.pendingSinceMs
+    var firing = state.firing
+    val events = Seq.newBuilder[Event]
+    results.foreach { r =>
+      if (r.shouldFire) {
+        pending.get(r.fingerprint) match {
+          case None => pending += r.fingerprint -> nowMs
+          case Some(since) if nowMs - since >= r.durationMs =>
+            if (!firing(r.fingerprint)) {
+              firing += r.fingerprint
+              pending -= r.fingerprint
+              events += Event(r.fingerprint, "fired")
+            } // existing instance: re-notify only; pending deliberately kept
+          case _ => () // still pending
+        }
+      } else pending -= r.fingerprint // firing instance deliberately untouched
+    }
+    val seen = results.map(_.fingerprint).toSet
+    val resolved = firing.filterNot(seen)
+    resolved.toSeq.sorted.foreach(fp => events += Event(fp, "resolved"))
+    (MachineState(pending, firing -- resolved), events.result())
+  }
 }

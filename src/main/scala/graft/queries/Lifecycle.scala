@@ -721,6 +721,106 @@ object Lifecycle extends QueryModule {
       |  CASE WHEN value >= 10.0 THEN 'firing' ELSE 'resolved' END AS state FROM m
       |ORDER BY rule, series""".stripMargin
 
+  // ---- alert for-duration state machine on the gate (C1 completion,
+  // ref internal/alerting/manager.go:201-330): a deterministic 8-tick
+  // timeline drives [[graft.observe.Alerts.cycle]] and the FULL machine
+  // trace (per tick × series: presence, value, pending clock, firing
+  // instance, fired/resolved events) is the output, hash-checked against
+  // a recursive-CTE replay of the same machine in DuckDB. Data series:
+  // value(t,k) = count(events of type t with event_id % 8 = k), threshold
+  // = the type's per-bucket average (total/8.0 — exact in binary, so the
+  // marginal compares are deterministic cross-engine), present unless
+  // (k + len(t)) % 4 == 0 (absence is the reference's ONLY resolution
+  // path — see the cycle scaladoc). A formula-driven `canary` series
+  // guarantees one fired (tick 4) and one resolved (tick 6) at every SF;
+  // the data series exercise the machine against real aggregates.
+  private def alertTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.observe.Alerts
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("event_id") % 8).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dataTypes = counts.keys.map(_._1).toSeq.distinct
+    val totals = dataTypes.map(t =>
+      t -> (0 until 8).map(k => counts.getOrElse((t, k.toLong), 0L)).sum).toMap
+    val series = (dataTypes :+ "canary").sorted
+    def presentAt(t: String, k: Int): Boolean =
+      if (t == "canary") k != 6 else (k + t.length) % 4 != 0
+    def valueAt(t: String, k: Int): Double =
+      if (t == "canary") { if (k >= 2 && k <= 5) 100.0 else 1.0 }
+      else counts.getOrElse((t, k.toLong), 0L).toDouble
+    def condAt(t: String, k: Int): Boolean =
+      if (t == "canary") valueAt(t, k) > 50.0
+      else valueAt(t, k) > totals(t) / 8.0
+    val step = 1000L
+    val durationMs = 2 * step
+    var st = Alerts.MachineState.empty
+    val rows = (0 until 8).flatMap { k =>
+      val evals = series.filter(presentAt(_, k)).map(t =>
+        Alerts.Eval(t, valueAt(t, k), condAt(t, k), durationMs))
+      val (next, events) = Alerts.cycle(st, evals, k * step)
+      st = next
+      val evMap = events.map(e => e.fingerprint -> e.event).toMap
+      series.map { t =>
+        val present = presentAt(t, k)
+        (k.toLong, t, present,
+          if (present) Some(valueAt(t, k)) else None,
+          st.pendingSinceMs.get(t).map(_ / step),
+          st.firing.contains(t), evMap.get(t))
+      }
+    }
+    rows.toDF("tick", "series", "present", "value", "pending_since",
+      "firing", "event")
+      .orderBy(col("tick"), col("series"))
+  }
+
+  private val alertTransitionsSql =
+    """WITH RECURSIVE
+      |cnt AS (
+      |  SELECT event_type AS t, event_id % 8 AS k, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT t, sum(n) AS total FROM cnt GROUP BY 1),
+      |grid AS (
+      |  SELECT ty.t, gs.k,
+      |    ((gs.k + length(ty.t)) % 4 <> 0) AS present,
+      |    CAST(coalesce(c.n, 0) AS DOUBLE) AS v,
+      |    CAST(coalesce(c.n, 0) AS DOUBLE) > (tot.total / 8.0) AS cond
+      |  FROM (SELECT DISTINCT t FROM cnt) ty
+      |  CROSS JOIN (SELECT unnest(range(8)) AS k) gs
+      |  LEFT JOIN cnt c ON c.t = ty.t AND c.k = gs.k
+      |  JOIN tot ON tot.t = ty.t
+      |  UNION ALL
+      |  SELECT 'canary' AS t, gs.k, gs.k <> 6 AS present,
+      |    CAST(CASE WHEN gs.k BETWEEN 2 AND 5 THEN 100 ELSE 1 END AS DOUBLE) AS v,
+      |    CASE WHEN gs.k BETWEEN 2 AND 5 THEN 100 ELSE 1 END > 50 AS cond
+      |  FROM (SELECT unnest(range(8)) AS k) gs),
+      |sm AS (
+      |  SELECT t, CAST(-1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS pend,
+      |    false AS fir, CAST(NULL AS VARCHAR) AS event,
+      |    false AS present, CAST(NULL AS DOUBLE) AS v
+      |  FROM (SELECT DISTINCT t FROM grid)
+      |  UNION ALL
+      |  SELECT b.t, b.k,
+      |    CASE WHEN NOT b.present THEN s.pend
+      |         WHEN b.cond AND s.pend IS NULL THEN b.k
+      |         WHEN b.cond AND b.k - s.pend >= 2 AND NOT s.fir THEN NULL
+      |         WHEN b.cond THEN s.pend
+      |         ELSE NULL END,
+      |    CASE WHEN NOT b.present THEN false
+      |         WHEN b.cond AND s.pend IS NOT NULL AND b.k - s.pend >= 2 THEN true
+      |         ELSE s.fir END,
+      |    CASE WHEN NOT b.present AND s.fir THEN 'resolved'
+      |         WHEN b.present AND b.cond AND s.pend IS NOT NULL
+      |              AND b.k - s.pend >= 2 AND NOT s.fir THEN 'fired'
+      |         ELSE NULL END,
+      |    b.present,
+      |    CASE WHEN b.present THEN b.v END
+      |  FROM sm s JOIN grid b ON b.t = s.t AND b.k = s.k + 1)
+      |SELECT k AS tick, t AS series, present, v AS value,
+      |  pend AS pending_since, fir AS firing, event
+      |FROM sm WHERE k >= 0 ORDER BY tick, series""".stripMargin
+
   // ---- scaling decisions as data (C2/C5 DECISION layer; ref internal/
   // scaling/evaluator.go:84-178, types.go:216-228, idle/detector.go —
   // actuation against K8s/KEDA stays out of scope per SURVEY §2.3, the
@@ -776,6 +876,7 @@ object Lifecycle extends QueryModule {
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
+    GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
     GraftQuery("scaling_decision", scalingDecision, Some(scalingDecisionSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),

@@ -58,6 +58,49 @@ class ObserveSpec extends SparkTestBase {
     }
   }
 
+  test("alert cycle: pending → fired after duration, resolved only on absence") {
+    import Alerts.{cycle, Eval, MachineState}
+    def ev(fire: Boolean) = Seq(Eval("s", 1.0, fire, durationMs = 2000))
+    // first trigger only records pending — no fire even though dur would
+    // allow it on a long gap (ref manager.go:212-222 early return)
+    val (s1, e1) = cycle(MachineState.empty, ev(true), nowMs = 0)
+    assert(e1.isEmpty && s1.pendingSinceMs === Map("s" -> 0L) && s1.firing.isEmpty)
+    // still pending inside the duration
+    val (s2, e2) = cycle(s1, ev(true), nowMs = 1000)
+    assert(e2.isEmpty && !s2.firing("s"))
+    // fires once the duration elapses; pending cleared on the NEW instance
+    val (s3, e3) = cycle(s2, ev(true), nowMs = 2000)
+    assert(e3 === Seq(Alerts.Event("s", "fired")) && s3.firing("s") &&
+      s3.pendingSinceMs.isEmpty)
+    // recovery below threshold clears pending but does NOT resolve the
+    // firing instance (ref: handleNotFiring touches only pendingAlerts)
+    val (s4, e4) = cycle(s3, ev(false), nowMs = 3000)
+    assert(e4.isEmpty && s4.firing("s"))
+    // absence is the only resolution path (ref checkForResolutions)
+    val (s5, e5) = cycle(s4, Seq.empty, nowMs = 4000)
+    assert(e5 === Seq(Alerts.Event("s", "resolved")) && s5.firing.isEmpty)
+  }
+
+  test("alert cycle: absence keeps the pending clock; a reappearing series fires from it") {
+    import Alerts.{cycle, Eval, MachineState}
+    def ev(fire: Boolean) = Seq(Eval("s", 1.0, fire, durationMs = 2000))
+    val (s1, _) = cycle(MachineState.empty, ev(true), nowMs = 0)
+    // the series disappears for two cycles — pending survives (ref:
+    // only handleNotFiring, present-and-recovered, deletes the clock)
+    val (s2, _) = cycle(s1, Seq.empty, nowMs = 1000)
+    val (s3, _) = cycle(s2, Seq.empty, nowMs = 2000)
+    assert(s3.pendingSinceMs === Map("s" -> 0L))
+    // reappearing still-true: duration already elapsed on the old clock
+    val (s4, e4) = cycle(s3, ev(true), nowMs = 3000)
+    assert(e4 === Seq(Alerts.Event("s", "fired")) && s4.firing("s"))
+    // an existing firing instance re-entering pending keeps its clock
+    // across the re-fire path (ref fireAlert returns before the
+    // pending-delete on the existing-instance branch)
+    val (s5, _) = cycle(s4, ev(true), nowMs = 4000) // pending restarts at 4000
+    val (s6, e6) = cycle(s5, ev(true), nowMs = 6000) // duration met, already firing
+    assert(e6.isEmpty && s6.firing("s") && s6.pendingSinceMs === Map("s" -> 4000L))
+  }
+
   test("metrics registry: counters accumulate, gauges overwrite, df output") {
     Metrics.reset()
     Metrics.inc("cdc", "events_total", 5)
