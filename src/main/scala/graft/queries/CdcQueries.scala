@@ -200,7 +200,11 @@ object CdcQueries extends QueryModule {
       .add("user_id", "long").add("event_id", "long").add("value", "double")
 
   /** Debezium-envelope JSON lines from `events`. */
-  def debeziumLines(s: SparkSession, d: String): DataFrame = {
+  /** `table`: the per-line `source.table` value — constant for the
+    * single-table proofs, a user-derived routing expression for the
+    * multi-table fanout (ref writer/writer.go:114-123). */
+  def debeziumLines(s: SparkSession, d: String,
+                    table: org.apache.spark.sql.Column = lit("events")): DataFrame = {
     val payload = struct(col("user_id"), col("event_id"), col("value"))
     val nullPayload = lit(null).cast(SourcePayloadSchema)
     val op = when(col("event_type") === "signup", "c")
@@ -210,7 +214,7 @@ object CdcQueries extends QueryModule {
       when(op =!= "d", payload).otherwise(nullPayload).as("after"),
       op.as("op"),
       unix_millis(col("ts")).as("ts_ms"),
-      struct(lit("public").as("schema"), lit("events").as("table"),
+      struct(lit("public").as("schema"), table.as("table"),
         col("event_id").as("lsn"), col("event_id").as("txId")).as("source"))).as("value"))
   }
 

@@ -417,6 +417,68 @@ object PipelineOps extends QueryModule {
     dsvMergeDrain(s, d, debeziumLogOnce(s, d),
       Lifecycle.scratchDir(s, "graft_e2estate", d), "graft-e2e-state")
 
+  // ---- MULTI-TABLE e2e (ref writer/writer.go:114-123 groupEventsByTable):
+  // the WAL carries three tables (source.table routes by user), and each
+  // micro-batch fans out through the per-table router into per-table
+  // MERGE targets — the reference writer's exact fanout through the DSv2
+  // chain. Every stored table must hash-equal its per-table recompute;
+  // a row routed to the wrong table, lost in the fanout, or merged into
+  // a neighbor's store fails the hash.
+  private def e2eMultitable(s: SparkSession, d: String): DataFrame = {
+    val log = srcOnce((graft.SessionKeys(s), d, "dbzlog_multi")) {
+      val dir = Lifecycle.scratchDir(s, "graft_src_dbzmulti", d)
+      rmrf(s, dir)
+      CdcQueries.debeziumLines(s, d,
+        concat(lit("events_"), (col("user_id") % 3).cast("string")))
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+      dir
+    }
+    val base = Lifecycle.scratchDir(s, "graft_e2emulti", d)
+    rmrf(s, base)
+    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    val raw = s.readStream.format("graft.sources.CdcLogSource")
+      .option("path", log)
+      .option("maxEventsPerBatch", perBatch.toString)
+      .load()
+    val envelope = graft.ingest.EnvelopeDecoder.flattened(
+      graft.ingest.EnvelopeDecoder.decode(raw, "value", CdcQueries.SourcePayloadSchema))
+    val q = envelope.writeStream
+      .queryName("graft-e2e-multitable")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // per-table fanout: the distinct table list is O(tables), and each
+        // table merges via a filtered fully-distributed job (the same
+        // shape as CdcWriter.routeAndWrite / the reference's writer loop)
+        b.persist()
+        try {
+          val tables = b.select(col("_cdc_table")).distinct()
+            .collect().map(_.getString(0)).sorted
+          tables.foreach { t =>
+            graft.ingest.CdcWriter.merge(s, s"$base/$t",
+              b.filter(col("_cdc_table") === t), Seq("user_id")): Unit
+          }
+        } finally { b.unpersist(): Unit }
+      }
+      .start()
+    q.awaitTermination()
+    (0 until 3).map { i =>
+      val t = s"events_$i"
+      graft.ingest.CdcWriter.read(s, s"$base/$t")
+        .select(lit(t).as("tbl"), col("user_id"), col("event_id"), col("value"))
+    }.reduce(_ unionByName _).orderBy(col("tbl"), col("user_id"))
+  }
+
+  private val e2eMultitableSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql})
+       |SELECT 'events_' || CAST(user_id % 3 AS VARCHAR) AS tbl,
+       |  user_id, event_id, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn FROM envelope) t
+       |WHERE rn = 1 AND _cdc_operation <> 'DELETE'
+       |ORDER BY tbl, user_id""".stripMargin
+
   // ---- MID-STREAM SCHEMA EVOLUTION on the gate: the payload gains a
   // `score` column at 1/2 of the id range, i.e. WHILE the pipeline runs
   // (batch 0 of the 3-batch admission is entirely below it). Each batch
@@ -643,6 +705,7 @@ object PipelineOps extends QueryModule {
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_e2e_state", e2eState, Some(CdcQueries.currentStateSql)),
+    GraftQuery("cdc_e2e_multitable", e2eMultitable, Some(e2eMultitableSql)),
     GraftQuery("cdc_e2e_truncate", e2eTruncate, Some(streamTruncateSql)),
     GraftQuery("pipeline_metrics", pipelineMetrics, Some(pipelineMetricsSql)),
     GraftQuery("cdc_stream_evolve", streamEvolve, Some(streamEvolveSql)),
