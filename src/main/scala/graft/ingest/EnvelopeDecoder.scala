@@ -80,12 +80,21 @@ object EnvelopeDecoder {
   * landing in the lake from its first batch, while files written before
   * it read back as null under a mergeSchema scan.
   *
-  * Scale note: the inference pass reads the batch once more. At 100 TB/day
-  * the typed path is to seed from the source catalog's declared columns
-  * ([[graft.model.SchemaBuilder.buildFromColumns]]) so inference only ever
-  * confirms; the seed here plays that role and inference covers drift.
-  * State is one StructType on the driver — O(columns), never data. */
-final class EvolvingDecoder(seed: StructType) {
+  * Scale note: inference is SAMPLE-BOUNDED. A WAL batch is LSN-ordered
+  * and schema drift is MONOTONE — a column (or a widened type) that
+  * appears at some LSN persists in every later event — so the batch's
+  * max-LSN tail witnesses every column and type the batch carries. The
+  * inference pass is therefore a cheap top-N by a single extracted JSON
+  * field (TakeOrderedAndProject — no full-batch JSON parse) plus schema
+  * inference over `sampleLines` lines, flat however large the batch
+  * grows. The seed covers the base schema ([[graft.model.SchemaBuilder
+  * .buildFromColumns]] is the typed path at 100 TB/day — inference only
+  * ever absorbs drift), the registered schema is add-only so a column
+  * once seen is never dropped, and a hypothetical NON-monotone column
+  * (present mid-batch, absent at the tail) is still caught the moment
+  * any later batch ends while it is live. State is one StructType on
+  * the driver — O(columns), never data. */
+final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
   @volatile private var registered: StructType = seed
   @volatile private var ver: Int = 1
   def payloadSchema: StructType = registered
@@ -95,7 +104,14 @@ final class EvolvingDecoder(seed: StructType) {
   def decode(raw: DataFrame, jsonCol: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val env = spark.read.json(raw.select(col(jsonCol)).as[String]).schema
+    // malformed lines (null lsn) sort last under desc and fall out of
+    // the sample; the decode path skips them the same way
+    val tail = raw
+      .select(col(jsonCol).cast("string").as("line"))
+      .orderBy(get_json_object(col("line"), "$.source.lsn").cast("long").desc)
+      .limit(sampleLines)
+      .as[String]
+    val env = spark.read.json(tail).schema
     def payloadOf(name: String): Seq[org.apache.spark.sql.types.StructField] =
       env.find(_.name == name).map(_.dataType) match {
         case Some(s: StructType) => s.fields.toSeq

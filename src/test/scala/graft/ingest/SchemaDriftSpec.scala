@@ -82,4 +82,33 @@ class SchemaDriftSpec extends SparkTestBase {
       org.apache.spark.sql.types.DoubleType)
     assert(b3.select("after.score").as[Double].head() === 7.5)
   }
+
+  test("inference is sample-bounded and tail-anchored: tail drift caught with a tiny sample") {
+    import spark.implicits._
+    val seed = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "double")
+    // 4-line sample against a 505-line batch: inference must parse only
+    // the max-LSN tail, not the batch — and because WAL drift is
+    // monotone, that tail witnesses the drifted column
+    val dec = new EvolvingDecoder(seed, sampleLines = 4)
+    def l(i: Int, drifted: Boolean) = {
+      val score = if (drifted) ""","score":7""" else ""
+      s"""{"after":{"id":$i,"v":1.5$score},"op":"c","ts_ms":1000,""" +
+        s""""source":{"schema":"public","table":"t","lsn":$i,"txId":$i}}"""
+    }
+    val lines = (1 to 500).map(l(_, drifted = false)) ++
+      (501 to 505).map(l(_, drifted = true))
+    // drifted lines sit physically LAST in a single partition: a naive
+    // head-of-batch limit(4) would deterministically sample only
+    // pre-drift lines and miss the column — the max-LSN sort is what
+    // anchors the sample to where monotone drift must be visible
+    val batch = spark.createDataset(lines).toDF("value")
+    val out = dec.decode(batch, "value")
+    assert(dec.version === 2)
+    assert(dec.payloadSchema.fieldNames.contains("score"))
+    // the whole batch decodes under the evolved schema: drifted rows
+    // carry values, pre-drift rows surface null
+    assert(out.filter(col("after.score").isNotNull).count() === 5)
+    assert(out.filter(col("after.score").isNull).count() === 500)
+  }
 }
