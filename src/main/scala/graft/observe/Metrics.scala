@@ -105,12 +105,17 @@ object Metrics {
         registry.setGauge("buffer", "depth", e.progress.numInputRows.toDouble)
       }
 
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (onlyQueryName.isEmpty || myIds.remove(e.id)) {
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      // remove unconditionally: an unscoped listener that short-circuits
+      // on the name filter would never drop ids and leak one UUID per
+      // streaming query for the life of the session
+      val wasMine = myIds.remove(e.id)
+      if (onlyQueryName.isEmpty || wasMine) {
         registry.setGauge("cdc", "pipeline_state",
           if (e.exception.isDefined) 5.0 /* failed */ else 4.0 /* stopped */)
         if (e.exception.isDefined) registry.inc("cdc", "errors_total")
       }
+    }
   }
 
   def attach(spark: SparkSession): Listener = {

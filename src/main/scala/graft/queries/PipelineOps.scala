@@ -657,6 +657,14 @@ object PipelineOps extends QueryModule {
       while ((registry.counter("buffer", "events_processed_total") < expectedRows ||
         registry.counter("buffer", "batches_total") < 2) &&
         System.nanoTime() < deadline) Thread.sleep(50)
+      // a timeout must fail LOUDLY here: falling through with partial
+      // counters would surface as a confusing nondeterministic
+      // oracle-hash mismatch instead of this message
+      require(registry.counter("buffer", "events_processed_total") >= expectedRows &&
+        registry.counter("buffer", "batches_total") >= 2,
+        s"listener events did not land within 30s: processed " +
+          s"${registry.counter("buffer", "events_processed_total")}/$expectedRows, " +
+          s"batches ${registry.counter("buffer", "batches_total")}/2")
     } finally s.streams.removeListener(listener)
     import s.implicits._
     val snap = registry.snapshot()
