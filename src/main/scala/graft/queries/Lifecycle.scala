@@ -583,6 +583,23 @@ object Lifecycle extends QueryModule {
   // inserted through the catalog, read back via spark.table. The oracle
   // recomputes the same state from the raw envelope: the DDL + insert +
   // catalog read-back loop must round-trip the data exactly.
+  /** Guarded DDL entry point (S11): namespace and table identifiers are
+    * validated BEFORE any SQL is built — the reference rejects
+    * non-identifier names at its query surface to prevent injection
+    * (ref internal/api/services/query.go:18-53); this is the same guard
+    * on the path that interpolates names into DDL. Idempotent (both
+    * statements are IF NOT EXISTS). Returns the qualified name. */
+  def ensureTable(s: SparkSession, namespace: String, table: String,
+                  columnsDdl: String, location: String): String = {
+    val ns = graft.model.Identifiers.validate(namespace, "schema")
+    val t = graft.model.Identifiers.validate(table, "table")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns LOCATION '$location/ns'")
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $ns.$t ($columnsDdl)
+         |  USING parquet LOCATION '$location/$t'""".stripMargin)
+    s"$ns.$t"
+  }
+
   private def catalogCreateTable(s: SparkSession, d: String): DataFrame = {
     val base = scratchDir(s, "graft_ddl", d)
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -591,12 +608,11 @@ object Lifecycle extends QueryModule {
       fs.delete(new org.apache.hadoop.fs.Path(base), true) // deterministic re-runs
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat LOCATION '$base/ns'")
     s.sql("DROP TABLE IF EXISTS graft_cat.user_state")
-    val ddl =
-      s"""CREATE TABLE IF NOT EXISTS graft_cat.user_state
-         |  (user_id BIGINT, event_id BIGINT, value DOUBLE)
-         |  USING parquet LOCATION '$base/user_state'""".stripMargin
-    s.sql(ddl)
-    s.sql(ddl) // idempotent re-create: must be a no-op, not a failure
+    ensureTable(s, "graft_cat", "user_state",
+      "user_id BIGINT, event_id BIGINT, value DOUBLE", base)
+    // idempotent re-create: must be a no-op, not a failure
+    ensureTable(s, "graft_cat", "user_state",
+      "user_id BIGINT, event_id BIGINT, value DOUBLE", base)
     graft.ingest.Cdc.currentState(CdcQueries.envelope(s, d), Seq("user_id"))
       .select(col("user_id"), col("event_id"), col("value"))
       .write.insertInto("graft_cat.user_state")

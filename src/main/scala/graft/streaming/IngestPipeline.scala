@@ -42,8 +42,8 @@ object IngestPipeline {
   /** Lake table names must be plain SQL identifiers — a WAL source can
     * carry arbitrary relation names, and anything else would become a
     * malformed object-store path. Violations are a VALIDATION failure
-    * (dead-lettered, never retried — retrying can't fix a name). */
-  private val TableNameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    * (dead-lettered, never retried — retrying can't fix a name). The
+    * shared guard is [[graft.model.Identifiers]]. */
 
   /** Process one micro-batch: route per table, write each with retry,
     * dead-letter a table's slice if retries exhaust. Public so batch jobs
@@ -67,7 +67,8 @@ object IngestPipeline {
           // validate BEFORE the retry loop: IllegalArgumentException maps to
           // the `validation` DLQ class (ref deadletter.go error typing); a
           // null name is as unroutable as a malformed one
-          require(t != null && TableNameRe.matches(t), s"invalid table name: '$t'")
+          require(t != null && graft.model.Identifiers.isValid(t),
+            s"invalid table name: '$t'")
           Retry.execute(cfg.retry) { () =>
             CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
           }

@@ -36,6 +36,28 @@ class LifecycleSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[String]("operator").toLowerCase.contains("scan")))
   }
 
+  test("DDL entry points reject non-identifier names before building SQL") {
+    // ref internal/api/services/query.go:18-53: ^[a-zA-Z_][a-zA-Z0-9_]*$,
+    // rejected before any SQL exists — injection can't reach the parser
+    val base = java.nio.file.Files.createTempDirectory("graft-ident").toString
+    for (bad <- Seq("events bad", "1abc", "a;drop table x", "a-b", "", "a.b")) {
+      intercept[IllegalArgumentException] {
+        Lifecycle.ensureTable(spark, bad, "t", "id BIGINT", base)
+      }
+      intercept[IllegalArgumentException] {
+        Lifecycle.ensureTable(spark, "graft_ident_ns", bad, "id BIGINT", base)
+      }
+    }
+    // a valid pair passes and is idempotent
+    val fq = Lifecycle.ensureTable(spark, "graft_ident_ns", "t_1",
+      "id BIGINT", base)
+    assert(fq === "graft_ident_ns.t_1")
+    assert(Lifecycle.ensureTable(spark, "graft_ident_ns", "t_1",
+      "id BIGINT", base) === fq)
+    spark.sql("DROP TABLE IF EXISTS graft_ident_ns.t_1")
+    spark.sql("DROP NAMESPACE IF EXISTS graft_ident_ns")
+  }
+
   test("catalog_describe covers every column of every table") {
     val rows = graft.SparkEntry.queries("catalog_describe")(spark, sf0001).collect()
     val expected = graft.Tables.names
