@@ -384,15 +384,19 @@ object PipelineOps extends QueryModule {
   // not file order), so every micro-batch is a stream suffix and the
   // stored table must hash-equal the full recompute over raw events —
   // S1→S8 plus the upsert write mode, all under one hash.
-  /** Drain a Debezium JSONL log through the DSv2 WAL source in ~3
+  /** Drain a Debezium JSONL log through the DSv2 WAL source in 2
     * admission-bounded batches, merging each into the stored table, and
     * read back the materialized state — the shared body of the e2e
-    * proofs (state, truncate). */
+    * proofs (state, truncate). Two batches are the minimal shape that
+    * still proves the composition (batch 1 MERGEs over batch 0's
+    * already-materialized state); a third adds cost, not coverage. */
   private def dsvMergeDrain(s: SparkSession, d: String, log: String,
                             base: String, name: String): DataFrame = {
     rmrf(s, base)
-    // ~3 admission-bounded batches at every SF (footer-stats count job)
-    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    // 2 admission-bounded batches at every SF (footer-stats count job).
+    // +1 covers the truncate log's extra marker line: capacity 2·perBatch
+    // must reach n+1 lines or a 1-line third batch pays a full merge.
+    val perBatch = math.max(1L, graft.Tables.events(s, d).count() / 2 + 1)
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -436,7 +440,7 @@ object PipelineOps extends QueryModule {
     }
     val base = Lifecycle.scratchDir(s, "graft_e2emulti", d)
     rmrf(s, base)
-    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    val perBatch = math.max(1L, graft.Tables.events(s, d).count() / 2 + 1)
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -450,12 +454,18 @@ object PipelineOps extends QueryModule {
       .foreachBatch { (b: DataFrame, _: Long) =>
         // per-table fanout: the distinct table list is O(tables), and each
         // table merges via a filtered fully-distributed job (the same
-        // shape as CdcWriter.routeAndWrite / the reference's writer loop)
+        // shape as CdcWriter.routeAndWrite / the reference's writer loop).
+        // The merges target DISJOINT table dirs (each under its own
+        // SnapshotLog lock), so they submit concurrently — independent
+        // Spark jobs sharing the executor pool, exactly how a real
+        // cluster overlaps per-table commits instead of serializing the
+        // fanout on the driver.
         b.persist()
         try {
+          import scala.collection.parallel.CollectionConverters._
           val tables = b.select(col("_cdc_table")).distinct()
             .collect().map(_.getString(0)).sorted
-          tables.foreach { t =>
+          tables.par.foreach { t =>
             graft.ingest.CdcWriter.merge(s, s"$base/$t",
               b.filter(col("_cdc_table") === t), Seq("user_id")): Unit
           }
@@ -481,7 +491,7 @@ object PipelineOps extends QueryModule {
 
   // ---- MID-STREAM SCHEMA EVOLUTION on the gate: the payload gains a
   // `score` column at 1/2 of the id range, i.e. WHILE the pipeline runs
-  // (batch 0 of the 3-batch admission is entirely below it). Each batch
+  // (batch 0 of the 2-batch admission is entirely below it). Each batch
   // decodes through [[graft.ingest.EvolvingDecoder]] — per-batch inferred
   // payload schema, add-only merge, decode with the merged schema (the
   // reference's MergeSchemas + ensureTable chain, schema/schema.go:149-174
@@ -499,7 +509,16 @@ object PipelineOps extends QueryModule {
       outDir = s"$base/lake", dlqDir = s"$base/dlq",
       checkpointDir = s"$base/ckpt", sourceId = "stream_evolve",
       retry = fastRetry)
-    val perBatch = math.max(1L, (graft.Tables.events(s, d).count() + 2) / 3)
+    // 2 batches, split exactly at the drift threshold: batch 0 is the
+    // entire unscored prefix (the decoder commits v1 state to disk),
+    // batch 1 opens with the first scored row — the minimal shape that
+    // still proves MID-stream evolution rather than first-batch
+    // inference. LSN order == event_id order in the fixture, so the
+    // count-bounded admission lands the boundary on the threshold.
+    val ev = graft.Tables.events(s, d)
+    val threshold = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    val perBatch = math.max(1L,
+      ev.filter(col("event_id") <= threshold).count())
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -696,9 +715,9 @@ object PipelineOps extends QueryModule {
   // LSN-interval admission and the envelope decode — the one composition
   // (wire format × admission × decode × merge wipe) the two proofs above
   // don't cover together. Marker at 3/4 of the LSN range lands in the
-  // LAST of ~3 admission-bounded batches, wiping two batches of stored
-  // state. Oracle = the same reset replay the parquet-source truncate
-  // uses.
+  // SECOND of 2 admission-bounded batches, wiping the state batch 0
+  // already materialized to disk. Oracle = the same reset replay the
+  // parquet-source truncate uses.
   private def e2eTruncate(s: SparkSession, d: String): DataFrame = {
     val log = srcOnce((graft.SessionKeys(s), d, "dbzlog_trunc")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbztrunc", d)
