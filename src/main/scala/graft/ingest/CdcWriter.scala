@@ -32,14 +32,25 @@ object CdcWriter {
     * The pre-write `repartition(partitionCol)` routes each day to one
     * task: without it every write task emits a file into every day dir
     * (tasks × days small files — the same small-file problem the
-    * reference suffers from its 5 s batches, writer/writer.go:141-163). */
+    * reference suffers from its 5 s batches, writer/writer.go:141-163).
+    *
+    * Refuses a snapshot-backed target: once a dir has a commit log,
+    * readers resolve the MANIFEST only — a hive-layout append here would
+    * be invisible to [[read]] and [[merge]] (currentSnapshot wins over
+    * importHive) and swept as unreferenced debris by the next
+    * [[graft.lake.SnapshotLog.expire]]. Silent data loss; fail loudly
+    * instead — snapshot tables take writes through [[merge]]. */
   def write(envelope: DataFrame, tableDir: String,
-            mode: SaveMode = SaveMode.Overwrite): Unit =
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!graft.lake.SnapshotLog.isSnapshotTable(envelope.sparkSession, tableDir),
+      s"$tableDir is snapshot-backed; append through merge, not write " +
+        "(a hive-layout append would be invisible to manifest readers)")
     withPartitionColumn(envelope)
       .repartition(col(SchemaBuilder.partitionColumn))
       .write.mode(mode)
       .partitionBy(SchemaBuilder.partitionColumn)
       .parquet(tableDir)
+  }
 
   /** Per-table fanout (ref groupEventsByTable, writer/writer.go:114-123):
     * the distinct table list of a micro-batch is tiny (it is the number of

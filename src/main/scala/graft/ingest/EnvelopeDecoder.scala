@@ -80,20 +80,38 @@ object EnvelopeDecoder {
   * landing in the lake from its first batch, while files written before
   * it read back as null under a mergeSchema scan.
   *
-  * Scale note: inference is SAMPLE-BOUNDED. A WAL batch is LSN-ordered
-  * and schema drift is MONOTONE — a column (or a widened type) that
-  * appears at some LSN persists in every later event — so the batch's
-  * max-LSN tail witnesses every column and type the batch carries. The
-  * inference pass is therefore a cheap top-N by a single extracted JSON
-  * field (TakeOrderedAndProject — no full-batch JSON parse) plus schema
-  * inference over `sampleLines` lines, flat however large the batch
-  * grows. The seed covers the base schema ([[graft.model.SchemaBuilder
+  * Scale note: TYPE inference is SAMPLE-BOUNDED. A WAL batch is
+  * LSN-ordered and schema drift is MONOTONE — a column (or a widened
+  * type) that appears at some LSN persists in every later event — so
+  * the batch's max-LSN tail witnesses every column and type the batch
+  * carries. The inference pass is therefore a cheap top-N by a single
+  * extracted JSON field (TakeOrderedAndProject — no full-batch JSON
+  * parse) plus schema inference over `sampleLines` lines, flat however
+  * large the batch grows.
+  *
+  * Monotone PRESENCE, however, is not guaranteed by monotone drift:
+  * JSON encoders that omit null-valued fields (Spark's own `to_json`
+  * default, and hand-rolled producers) make field presence
+  * value-dependent — a column live mid-batch whose tail rows happen to
+  * be null would vanish from the sample, and its mid-batch values
+  * would silently decode away. So the sample is VERIFIED against a
+  * full-batch key-presence scan (`json_object_keys` — a thin codegen'd
+  * pass aggregating to O(fields) distinct names, no type inference, no
+  * schema merging): any field present anywhere in the batch that the
+  * tail did not witness falls back to full-batch inference for that
+  * batch — sound for both the field and its type, and rare by the
+  * monotone-drift argument. What remains contractual is value
+  * REPRESENTATION: a widened column whose tail values happen to encode
+  * narrow (a double column emitting `7`, not `7.0`) is indistinguishable
+  * from an unwidened one in any sample; real wire formats (Debezium
+  * with schemas) encode per the declared type, and the promotion path
+  * heals the table when the wide form surfaces.
+  *
+  * The seed covers the base schema ([[graft.model.SchemaBuilder
   * .buildFromColumns]] is the typed path at 100 TB/day — inference only
-  * ever absorbs drift), the registered schema is add-only so a column
-  * once seen is never dropped, and a hypothetical NON-monotone column
-  * (present mid-batch, absent at the tail) is still caught the moment
-  * any later batch ends while it is live. State is one StructType on
-  * the driver — O(columns), never data. */
+  * ever absorbs drift), and the registered schema is add-only so a
+  * column once seen is never dropped. State is one StructType on the
+  * driver — O(columns), never data. */
 final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
   @volatile private var registered: StructType = seed
   @volatile private var ver: Int = 1
@@ -104,23 +122,37 @@ final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
   def decode(raw: DataFrame, jsonCol: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
+    val lines = raw.select(col(jsonCol).cast("string").as("line"))
     // malformed lines (null lsn) sort last under desc and fall out of
     // the sample; the decode path skips them the same way
-    val tail = raw
-      .select(col(jsonCol).cast("string").as("line"))
+    val tail = lines
       .orderBy(get_json_object(col("line"), "$.source.lsn").cast("long").desc)
       .limit(sampleLines)
       .as[String]
-    val env = spark.read.json(tail).schema
-    def payloadOf(name: String): Seq[org.apache.spark.sql.types.StructField] =
-      env.find(_.name == name).map(_.dataType) match {
-        case Some(s: StructType) => s.fields.toSeq
-        case _                   => Seq.empty
-      }
-    val after = payloadOf("after")
-    val haveAfter = after.map(_.name).toSet
-    val incoming = StructType(
-      after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name)))
+    def payloadFields(env: StructType): StructType = {
+      def payloadOf(name: String): Seq[org.apache.spark.sql.types.StructField] =
+        env.find(_.name == name).map(_.dataType) match {
+          case Some(s: StructType) => s.fields.toSeq
+          case _                   => Seq.empty
+        }
+      val after = payloadOf("after")
+      val haveAfter = after.map(_.name).toSet
+      StructType(
+        after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name)))
+    }
+    val sampled = payloadFields(spark.read.json(tail).schema)
+    // presence verification (see scaladoc): every key present ANYWHERE
+    // in the batch must have been witnessed by the tail sample — a
+    // null-omitting encoder can hide a live column from any sample
+    val present = lines.select(explode(array_distinct(concat(
+        coalesce(json_object_keys(get_json_object(col("line"), "$.after")),
+          array()),
+        coalesce(json_object_keys(get_json_object(col("line"), "$.before")),
+          array())))).as("k"))
+      .distinct().as[String].collect().toSet
+    val incoming =
+      if ((present -- sampled.fieldNames).isEmpty) sampled
+      else payloadFields(spark.read.json(lines.as[String]).schema)
     val (added, _) = graft.model.SchemaBuilder.merge(registered, incoming, ver)
     // JSON-inference widening: a column that FIRST appeared with only
     // integral values infers long; a later batch carrying 10.5 would

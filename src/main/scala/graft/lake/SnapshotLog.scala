@@ -155,12 +155,34 @@ object SnapshotLog {
       .sortBy(_.id)
   }
 
-  def currentSnapshot(spark: SparkSession, tableDir: String): Option[Snapshot] =
-    snapshots(spark, tableDir).lastOption
+  /** Current = highest id. Resolution is O(1) manifest reads: the id is
+    * in the FILENAME, so one listing picks the max and exactly one json
+    * file is parsed — a streaming sink resolving before every trigger
+    * must not re-parse the whole history (each manifest carries a full
+    * file list; parsing all of them made per-trigger driver cost grow
+    * linearly with stream age). */
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return None
+    fs.listStatus(md).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case SnapRe(id) => Some(id.toLong -> st.getPath)
+        case _          => None
+      })
+      .maxByOption(_._1)
+      .map { case (_, p) => fromJson(readFully(fs, p)) }
+  }
 
-  def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot =
-    snapshots(spark, tableDir).find(_.id == id).getOrElse(
-      throw new NoSuchElementException(s"no snapshot $id in $tableDir"))
+  /** Resolve one historical snapshot — a single manifest read (the id is
+    * the filename), not a history scan. */
+  def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val p = new Path(metaDir(root), f"snap-$id%012d.json")
+    if (!fs.exists(p))
+      throw new NoSuchElementException(s"no snapshot $id in $tableDir")
+    fromJson(readFully(fs, p))
+  }
 
   /** True iff the table has a commit log (vs plain-directory layout). */
   def isSnapshotTable(spark: SparkSession, tableDir: String): Boolean = {
@@ -308,6 +330,9 @@ object SnapshotLog {
             hive = true, rows, st.getLen, lo, hi)
         }
     }
+    // day dirs holding no data files (crashed/cleaned writers leave
+    // empty or dot-file-only dirs): nothing to adopt — bootstrap instead
+    if (files.isEmpty) return None
     // schema: physical file schema + the partition column as string
     val fileSchema = spark.read.parquet(
       new Path(root, files.head.path).toString).schema

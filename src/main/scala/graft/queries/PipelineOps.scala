@@ -473,8 +473,17 @@ object PipelineOps extends QueryModule {
       }
       .start()
     q.awaitTermination()
-    (0 until 3).map { i =>
-      val t = s"events_$i"
+    // read back the tables the ROUTER created (a residue class of
+    // user_id % 3 empty at some SF creates no dir — the oracle simply
+    // has no rows for it; hardcoding events_0..2 would crash on the
+    // missing path instead of agreeing)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stored = fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("events_")).sorted
+    require(stored.nonEmpty, "multitable drain committed no tables")
+    stored.map { t =>
       graft.ingest.CdcWriter.read(s, s"$base/$t")
         .select(lit(t).as("tbl"), col("user_id"), col("event_id"), col("value"))
     }.reduce(_ unionByName _).orderBy(col("tbl"), col("user_id"))
@@ -575,8 +584,15 @@ object PipelineOps extends QueryModule {
     val log = promoteLogOnce(s, d)
     val base = Lifecycle.scratchDir(s, "graft_streampromote", d)
     rmrf(s, base)
-    val n = graft.Tables.events(s, d).count()
-    val perBatch = math.max(1L, (n + 1) / 2)
+    // split exactly at the promotion threshold (like streamEvolve): a
+    // count-based half only coincides with max(event_id)/2 when ids are
+    // dense from 0 — with gaps, batch 0 would carry fractional scores,
+    // infer double immediately, and the cast-and-rewrite path this gate
+    // exists to pin would silently never run
+    val ev = graft.Tables.events(s, d)
+    val threshold = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    val perBatch = math.max(1L,
+      ev.filter(col("event_id") <= threshold).count())
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -597,6 +613,13 @@ object PipelineOps extends QueryModule {
     require(decoder.payloadSchema.fields.exists(f => f.name == "score" &&
       f.dataType == org.apache.spark.sql.types.DoubleType),
       s"expected mid-stream promotion to double, got ${decoder.payloadSchema.simpleString}")
+    // the FIRST commit must have stored score narrow (long) — the direct
+    // witness that batch 0 really wrote pre-promotion physical files and
+    // the widening merge had something to rewrite
+    val firstSnap = graft.lake.SnapshotLog.snapshotAt(s, s"$base/t", 1L)
+    require(firstSnap.schema.fields.exists(f => f.name == "score" &&
+      f.dataType == org.apache.spark.sql.types.LongType),
+      s"batch 0 should commit score as long, got ${firstSnap.schema.simpleString}")
     val snap = graft.lake.SnapshotLog.currentSnapshot(s, s"$base/t")
       .getOrElse(sys.error("promote sink committed nothing"))
     val allDays = snap.files.map(_.partition).distinct

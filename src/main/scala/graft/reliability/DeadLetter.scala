@@ -126,7 +126,11 @@ object DeadLetter {
     * files of the snapshot this replay decoded are rewritten as retried;
     * re-failures `process` dead-letters live in files committed AFTER
     * that snapshot, so they stay pending even if their created_at lands
-    * on the same clock tick. Returns # replayed. */
+    * on the same clock tick. Concurrent REWRITES (a second replay, a
+    * cleanup) do not compose with the mark — that race is detected under
+    * the lock and fails loudly with the snapshot basis intact; `process`
+    * must therefore be at-least-once (it is: the real entry point merges
+    * or re-dead-letters). Returns # replayed. */
   def replay(spark: SparkSession, dlqDir: String,
              batchSchema: org.apache.spark.sql.types.StructType,
              repair: DataFrame => DataFrame,
@@ -145,8 +149,23 @@ object DeadLetter {
     // every file committed since (process's re-failures) untouched. The
     // commit runs under the table lock, so it composes with concurrent
     // appends instead of dropping rows a directory listing never saw.
+    // Only APPENDS compose: a concurrent rewrite (another replay, a
+    // cleanup) replaces snap's files, and marking against a replaced
+    // basis would either duplicate every replayed row (both rewrites
+    // commit a copy) or crash mid-write on expired paths. Detect the
+    // lost basis and fail loudly: the reprocess already ran, pending
+    // rows are still pending in the winning snapshot — re-running
+    // replay is safe (process is at-least-once by contract).
     SnapshotLog.withTableLock(dlqDir) {
       val cur = SnapshotLog.currentSnapshot(spark, dlqDir)
+      val curPaths = cur.toSeq.flatMap(_.files.map(_.path)).toSet
+      val missing = snap.files.map(_.path).filterNot(curPaths)
+      if (missing.nonEmpty)
+        throw new SnapshotLog.ConcurrentCommitException(
+          s"replay of $dlqDir lost its snapshot basis: ${missing.size} of " +
+            s"${snap.files.size} files were replaced by a concurrent " +
+            "replay/cleanup; rows were reprocessed but not marked — " +
+            "re-run replay against the current snapshot")
       val marked = SnapshotLog.read(spark, dlqDir, snap)
         .withColumn("retried_at",
           when(col("retried_at").isNull, current_timestamp())

@@ -312,6 +312,22 @@ class LakeMergeSpec extends SparkTestBase {
       === Seq(2L))
   }
 
+  test("the append path refuses a snapshot-backed table instead of hiding rows") {
+    val dir = Files.createTempDirectory("graft-lakemerge-mixed").toString + "/t"
+    CdcWriter.write(env((1L, 1L, 1.0, "INSERT", "2024-01-01")), dir)
+    CdcWriter.merge(spark, dir, env(
+      (2L, 2L, 2.0, "INSERT", "2024-01-02")), Seq("user_id"))
+    // the dir now has a commit log: a hive-layout append would be
+    // invisible to manifest readers and swept by the next expire —
+    // write must fail loudly, not lose data silently
+    val e = intercept[IllegalArgumentException] {
+      CdcWriter.write(env((3L, 3L, 3.0, "INSERT", "2024-01-03")), dir,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e.getMessage.contains("snapshot-backed"))
+    assert(CdcWriter.read(spark, dir).count() === 2L) // table unharmed
+  }
+
   /** `env` rows with a typed `score` column appended (the promotion
     * target of the type-widening tests). */
   private def envScore(scoreType: String,

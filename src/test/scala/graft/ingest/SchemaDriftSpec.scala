@@ -111,4 +111,29 @@ class SchemaDriftSpec extends SparkTestBase {
     assert(out.filter(col("after.score").isNotNull).count() === 5)
     assert(out.filter(col("after.score").isNull).count() === 500)
   }
+
+  test("a column null-omitted at the tail still evolves: presence scan forces full inference") {
+    import spark.implicits._
+    val seed = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "double")
+    val dec = new EvolvingDecoder(seed, sampleLines = 4)
+    def l(i: Int, scored: Boolean) = {
+      // null-omitting encoder (to_json's default): a null score is
+      // ABSENT from the line, not "score":null
+      val score = if (scored) ""","score":7""" else ""
+      s"""{"after":{"id":$i,"v":1.5$score},"op":"c","ts_ms":1000,""" +
+        s""""source":{"schema":"public","table":"t","lsn":$i,"txId":$i}}"""
+    }
+    // score is live mid-batch (200..300) but null for every line the
+    // max-LSN tail sample can see — monotone PRESENCE is violated by
+    // the encoder, so the tail alone would drop 101 real values
+    val lines = (1 to 199).map(l(_, scored = false)) ++
+      (200 to 300).map(l(_, scored = true)) ++
+      (301 to 505).map(l(_, scored = false))
+    val out = dec.decode(spark.createDataset(lines).toDF("value"), "value")
+    assert(dec.version === 2)
+    assert(dec.payloadSchema.fieldNames.contains("score"))
+    assert(out.filter(col("after.score").isNotNull).count() === 101)
+    assert(out.filter(col("after.score").isNull).count() === 404)
+  }
 }

@@ -164,6 +164,19 @@ class SnapshotLogSpec extends SparkTestBase {
       .collect().toSeq.sorted === Seq((1L, "2024-01-01"), (2L, "2024-01-02")))
   }
 
+  test("importHive on day dirs holding no data files bootstraps instead of crashing") {
+    val dir = Files.createTempDirectory("graft-snaplog-imp0").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed/cleaned writer's leftovers: a day dir with only dot files
+    fs.mkdirs(new Path(s"$dir/_cdc_date=2024-01-01"))
+    val marker = fs.create(new Path(s"$dir/_cdc_date=2024-01-01/.part.crc"))
+    marker.close()
+    val snap = SnapshotLog.withTableLock(dir) {
+      SnapshotLog.importHive(spark, dir, "_cdc_date")
+    }
+    assert(snap.isEmpty) // nothing to adopt — callers bootstrap
+  }
+
   test("manifest partition pruning reads only the asked-for files") {
     val dir = Files.createTempDirectory("graft-snaplog-prune").toString + "/t"
     import spark.implicits._

@@ -60,6 +60,26 @@ class DeadLetterSpec extends SparkTestBase {
     assert(stillPending === Seq("still invalid"))
   }
 
+  test("a rewrite landing during replay is detected, not composed into duplicates") {
+    val dlqDir = Files.createTempDirectory("graft-dlq-race").toString + "/dlq"
+    DeadLetter.append(poisonBatch, dlqDir, "src", "bad name",
+      new IllegalArgumentException("invalid table name"), retryCount = 2)
+    // a concurrent CLEANUP rewrites the whole DLQ while replay's process
+    // runs (append-vs-rewrite composes; rewrite-vs-rewrite cannot —
+    // marking against the replaced basis would duplicate every row or
+    // crash on expired paths). The mark phase must fail loudly instead.
+    val e = intercept[graft.lake.SnapshotLog.ConcurrentCommitException] {
+      DeadLetter.replay(spark, dlqDir, poisonBatch.schema,
+        repair = identity,
+        process = b => {
+          b.count(): Unit // force the decode before the files vanish
+          DeadLetter.cleanup(spark, dlqDir, ttlSeconds = 0L,
+            now = new java.sql.Timestamp(System.currentTimeMillis() + 3600_000L)): Unit
+        })
+    }
+    assert(e.getMessage.contains("lost its snapshot basis"))
+  }
+
   test("cleanup drops only expired rows; filtered reads slice by source and table") {
     import spark.implicits._
     val dlqDir = Files.createTempDirectory("graft-dlq-ttl").toString + "/dlq"
