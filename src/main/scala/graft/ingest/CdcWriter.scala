@@ -52,6 +52,27 @@ object CdcWriter {
       .parquet(tableDir)
   }
 
+  /** Append a batch through the commit log WITHOUT merging — the
+    * reference writer's flush path (one immutable file per day per
+    * batch, ref writer/writer.go:141-163), which is exactly how a
+    * snapshot table accretes small files between rewrites: a day
+    * receiving k batches holds k files until
+    * [[graft.lake.SnapshotLog.compact]] folds them. Day-partitions the
+    * envelope like [[write]]; new entries join the carried manifest
+    * under an "append" snapshot. */
+  def appendCommit(spark: SparkSession, tableDir: String,
+                   envelope: DataFrame): graft.lake.SnapshotLog.Snapshot = {
+    import graft.lake.SnapshotLog
+    val pcol = SchemaBuilder.partitionColumn
+    val df = withPartitionColumn(envelope)
+    SnapshotLog.withTableLock(tableDir) {
+      val cur = SnapshotLog.currentSnapshot(spark, tableDir)
+      val files = SnapshotLog.writeData(spark, tableDir, df, Some(pcol))
+      SnapshotLog.commit(spark, tableDir, "append",
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur)
+    }
+  }
+
   /** Per-table fanout (ref groupEventsByTable, writer/writer.go:114-123):
     * the distinct table list of a micro-batch is tiny (it is the number of
     * captured tables, not rows), so collecting it on the driver matches

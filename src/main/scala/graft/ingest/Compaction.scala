@@ -50,6 +50,11 @@ object Compaction {
   def compact(spark: SparkSession, tableDir: String,
               maxFiles: Int = 4, targetFiles: Int = 1): Seq[String] = {
     import org.apache.spark.sql.functions._
+    // a directory swap under a snapshot table would leave every manifest
+    // pointing at deleted files — rewrites there go through the commit
+    // log instead (same refuse-mixed-layouts rule as CdcWriter.write)
+    require(!graft.lake.SnapshotLog.isSnapshotTable(spark, tableDir),
+      s"$tableDir is snapshot-backed; rewrite via SnapshotLog.compact")
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oversized = fileCounts(spark, tableDir).filter(_._2 > maxFiles).keys.toSeq.sorted

@@ -405,6 +405,60 @@ object SnapshotLog {
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentSnapshot(spark, tableDir).map(read(spark, tableDir, _))
 
+  // ---- compaction
+
+  /** Rewrite every partition holding more than `maxFiles` files down to
+    * ONE file each and commit the result as a "replace" snapshot that
+    * carries every untouched manifest entry unchanged — Iceberg's
+    * `rewrite_data_files` expressed through the commit log.
+    *
+    * The ingest side accretes exactly this debt: the reference writer
+    * flushes one immutable file per partition per micro-batch (ref
+    * internal/iceberg/writer/writer.go:141-163), so a day receiving k
+    * batches holds k small files until a rewrite folds them.
+    *
+    * Old snapshots keep referencing the small files — time travel across
+    * a compaction is exact, and the replaced bytes are reclaimed by
+    * [[expire]], never by the rewrite itself. ONE distributed job
+    * rewrites all oversized partitions (manifest-pruned read of just
+    * those partitions' files, clustered so each partition lands in one
+    * output file); a crash at any point leaves the pre-compaction
+    * snapshot current and complete. Returns the rewritten partition
+    * values (sorted). */
+  def compact(spark: SparkSession, tableDir: String,
+              partitionCol: Option[String], maxFiles: Int = 4,
+              statsCol: String = graft.ingest.Cdc.LsnColumn): Seq[String] =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(return Seq.empty)
+      val oversized = cur.files.groupBy(_.partition)
+        .collect { case (p, fs) if fs.size > maxFiles => p }.toSeq.sorted
+      if (oversized.isEmpty) return Seq.empty
+      val pruned = read(spark, tableDir, cur, Some(oversized))
+      // an unpartitioned rewrite has no partition column to cluster by —
+      // fold the oversized file set into a single output file; with a
+      // partition column, writeData's repartition(pcol) already yields
+      // one file per partition value
+      val source = if (partitionCol.isDefined) pruned else pruned.repartition(1)
+      // compaction is bandwidth-bound over exactly the tiny files it
+      // removes — pack them into big input splits for this job instead of
+      // paying per-file task-scheduling overhead (same rationale as the
+      // plain-dir Compaction rewrite)
+      val splitKey = "spark.sql.files.maxPartitionBytes"
+      val prevSplit = spark.conf.getOption(splitKey)
+      spark.conf.set(splitKey, (512L * 1024 * 1024).toString)
+      val newFiles =
+        try writeData(spark, tableDir, source, partitionCol, statsCol)
+        finally prevSplit match {
+          case Some(v) => spark.conf.set(splitKey, v)
+          case None    => spark.conf.unset(splitKey)
+        }
+      val oset = oversized.toSet
+      val untouched = cur.files.filterNot(f => oset(f.partition))
+      commit(spark, tableDir, "replace", untouched ++ newFiles, cur.schema,
+        parent = Some(cur))
+      oversized
+    }
+
   // ---- retention
 
   /** Expire all but the newest `keepLast` snapshots and delete every

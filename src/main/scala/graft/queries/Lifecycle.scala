@@ -306,6 +306,88 @@ object Lifecycle extends QueryModule {
        |SELECT snap_id, user_id, event_id, value FROM state
        |ORDER BY snap_id, user_id""".stripMargin
 
+  // ---- compaction through the commit log (Q18 at the snapshot layer):
+  // 3 append commits reproduce the reference writer's per-batch flush
+  // (one file per day per batch, writer/writer.go:141-163) — a day
+  // touched by k of the 3 LSN slices holds exactly k small files — then
+  // SnapshotLog.compact folds every multi-file day into one file under a
+  // "replace" snapshot. The query reads BOTH the pre-compaction snapshot
+  // (3) and the replace snapshot (4): identical per-day state (time
+  // travel across a rewrite is exact — rows never change, only files)
+  // with MEASURED manifest file counts (pre = distinct slices touching
+  // the day, post = 1). A rewrite that loses rows, carries a replaced
+  // file, or breaks the one-file-per-day-per-batch layout contract
+  // fails the hash.
+  private val snapCompactCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val snapCompactBuildLock = new Object
+
+  private def snapCompactDir(s: SparkSession, d: String): String = {
+    val key = (graft.SessionKeys(s), d)
+    snapCompactCache.get(key).getOrElse(snapCompactBuildLock.synchronized {
+      snapCompactCache.getOrElseUpdate(key, {
+        val dir = scratchDir(s, "graft_snapcompact", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val env = CdcQueries.envelope(s, d)
+        val lsn = col(Cdc.LsnColumn)
+        CdcWriter.appendCommit(s, dir, env.filter(lsn <= SnapLsn1))
+        CdcWriter.appendCommit(s, dir,
+          env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2))
+        CdcWriter.appendCommit(s, dir, env.filter(lsn > SnapLsn2))
+        val compacted = graft.lake.SnapshotLog.compact(s, dir,
+          Some(graft.model.SchemaBuilder.partitionColumn), maxFiles = 1)
+        // the slice boundaries land mid-day at every SF, so at least one
+        // day collects 2+ files — if this ever degenerates the rewrite
+        // path silently un-exercises; fail the fixture, not the hash
+        require(compacted.nonEmpty,
+          s"no multi-file day to compact in $dir — fixture degenerate")
+        dir
+      })
+    })
+  }
+
+  private def snapshotCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.lake.SnapshotLog
+    val dir = snapCompactDir(s, d)
+    val pcol = graft.model.SchemaBuilder.partitionColumn
+    def stateOf(id: Long): DataFrame = {
+      val sn = SnapshotLog.snapshotAt(s, dir, id)
+      val fileCounts = sn.files.groupBy(_.partition)
+        .map { case (p, fs) => (p, fs.size.toLong) }.toSeq
+        .toDF("day", "n_files")
+      SnapshotLog.read(s, dir, sn)
+        .groupBy(col(pcol).cast("string").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col(Cdc.LsnColumn)).as("lsn_max"))
+        .join(fileCounts, Seq("day"))
+        .select(lit(id).as("snap_id"), col("day"), col("n_rows"),
+          col("n_users"), col("lsn_max"), col("n_files"))
+    }
+    stateOf(3L).unionByName(stateOf(4L)).orderBy(col("snap_id"), col("day"))
+  }
+
+  private val snapshotCompactSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |sliced AS (SELECT *, strftime(_cdc_timestamp, '%Y-%m-%d') AS day,
+       |  CASE WHEN _cdc_lsn <= '$SnapLsn1' THEN 1
+       |       WHEN _cdc_lsn <= '$SnapLsn2' THEN 2 ELSE 3 END AS slice
+       |  FROM envelope),
+       |by_day AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  max(_cdc_lsn) AS lsn_max,
+       |  CAST(count(DISTINCT slice) AS BIGINT) AS files_pre
+       |  FROM sliced GROUP BY day)
+       |SELECT CAST(3 AS BIGINT) AS snap_id, day, n_rows, n_users, lsn_max,
+       |  files_pre AS n_files FROM by_day
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT) AS snap_id, day, n_rows, n_users, lsn_max,
+       |  CAST(1 AS BIGINT) AS n_files FROM by_day
+       |ORDER BY snap_id, day""".stripMargin
+
   // ---- metadata tables (Q6): $snapshots MEASURED from the commit log —
   // ids, operations, per-snapshot day/row totals and LSN watermarks come
   // from manifest entries (parquet-footer stats summed at commit time),
@@ -903,6 +985,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_as_of_timestamp", asOfTimestamp, Some(asOfTimestampSql)),
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshot_commit", snapshotCommit, Some(snapshotCommitSql)),
+    GraftQuery("cdc_snapshot_compact", snapshotCompact, Some(snapshotCompactSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),

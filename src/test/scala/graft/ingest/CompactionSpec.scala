@@ -34,6 +34,17 @@ class CompactionSpec extends SparkTestBase {
     assert(Compaction.compact(spark, dir, maxFiles = 4) === Seq.empty)
   }
 
+  test("refuses a snapshot-backed table — rewrites go through the commit log") {
+    val dir = Files.createTempDirectory("graft-compact-snap").toString + "/t"
+    CdcWriter.appendCommit(spark, dir,
+      CdcQueries.envelope(spark, sf0001).limit(10))
+    // a directory swap here would leave the manifest pointing at deleted
+    // files — the plain-dir rewrite must refuse, loudly
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, maxFiles = 0)
+    }
+  }
+
   test("registered cdc_compaction_roundtrip leaves one file per day") {
     val dir = graft.queries.Lifecycle.compactionRoundtripSetup(spark, sf0001)
     val counts = Compaction.fileCounts(spark, dir)

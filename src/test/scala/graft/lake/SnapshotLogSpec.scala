@@ -205,4 +205,76 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(snap.lsnWatermark === Some(f"${7L}%016d"))
     assert(snap.files.flatMap(_.minLsn).min === f"${3L}%016d")
   }
+
+  // ---- compaction (rewrite_data_files through the log)
+
+  private def dayRows(d: String, ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, d)).toDF("id", "_cdc_date")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lpad(col("id").cast("string"), 16, "0"))
+  }
+
+  private def appendDays(dir: String, df: DataFrame): SnapshotLog.Snapshot =
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val files = SnapshotLog.writeData(spark, dir, df, Some("_cdc_date"))
+      SnapshotLog.commit(spark, dir, "append",
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur)
+    }
+
+  test("compact folds oversized partitions; untouched entries carried verbatim") {
+    val dir = Files.createTempDirectory("graft-snaplog-cmp").toString + "/t"
+    // per-batch accretion: day-01 receives three appends, day-02 one
+    appendDays(dir, dayRows("2024-01-01", 1).union(dayRows("2024-01-02", 2)))
+    appendDays(dir, dayRows("2024-01-01", 3))
+    appendDays(dir, dayRows("2024-01-01", 4))
+    val pre = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(pre.files.count(_.partition == "2024-01-01") === 3)
+    val d2Entries = pre.files.filter(_.partition == "2024-01-02")
+    val compacted = SnapshotLog.compact(spark, dir, Some("_cdc_date"), maxFiles = 1)
+    assert(compacted === Seq("2024-01-01"))
+    val post = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(post.operation === "replace")
+    assert(post.parentId === Some(pre.id))
+    // the oversized day folded to one file; the untouched day's manifest
+    // entry is carried VERBATIM — same path, same bytes, never rewritten
+    assert(post.files.count(_.partition == "2024-01-01") === 1)
+    assert(post.files.filter(_.partition == "2024-01-02") === d2Entries)
+    assert(idsOf(SnapshotLog.read(spark, dir, post)) === Seq(1L, 2L, 3L, 4L))
+    // time travel across the rewrite is exact: the pre-compaction
+    // snapshot still resolves its own (small-file) file set
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.snapshotAt(spark, dir, pre.id))) === Seq(1L, 2L, 3L, 4L))
+    // the rewrite itself reclaims nothing — expire does: every replaced
+    // small file is swept (plus write-marker debris), every live file kept
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replaced = pre.files.filter(_.partition == "2024-01-01")
+    assert(replaced.forall(f => !fs.exists(new Path(s"$dir/${f.path}"))))
+    assert(post.files.forall(f => fs.exists(new Path(s"$dir/${f.path}"))))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("compact is a no-op below the threshold and on an absent log") {
+    val dir = Files.createTempDirectory("graft-snaplog-cmp0").toString + "/t"
+    assert(SnapshotLog.compact(spark, dir, Some("_cdc_date")) === Seq.empty)
+    appendDays(dir, dayRows("2024-01-01", 1))
+    assert(SnapshotLog.compact(spark, dir, Some("_cdc_date"), maxFiles = 1)
+      === Seq.empty)
+    // no replace snapshot was committed
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
+  }
+
+  test("unpartitioned compact folds the whole file set into one file") {
+    val dir = Files.createTempDirectory("graft-snaplog-cmpu").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    commitRows(dir, rows(2), "append")
+    commitRows(dir, rows(3), "append")
+    assert(SnapshotLog.compact(spark, dir, partitionCol = None, maxFiles = 2)
+      === Seq(""))
+    val post = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(post.operation === "replace")
+    assert(post.files.size === 1)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
+  }
 }
