@@ -266,6 +266,23 @@ object CdcWriter {
     * driver-side metadata reads, O(carried files), only on widening
     * merges; the rewrite reads exactly the narrow files, grouped by
     * physical schema so each group scans under its own types. */
+  /** Physical file schema from the parquet footer — a driver-side
+    * metadata read, not a per-file DataFrame analysis (each
+    * `spark.read.parquet(file).schema` pays listing + analysis; over N
+    * carried files that is N× pure driver overhead on the widening
+    * path). */
+  private def footerSchema(spark: SparkSession, file: org.apache.hadoop.fs.Path)
+  : org.apache.spark.sql.types.StructType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(file, spark.sparkContext.hadoopConfiguration))
+    try new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter()
+      .convert(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
   private def rewriteNarrow(spark: SparkSession, tableDir: String,
                             carried: Seq[graft.lake.SnapshotLog.DataFile],
                             target: org.apache.spark.sql.types.StructType,
@@ -274,7 +291,7 @@ object CdcWriter {
     import org.apache.spark.sql.types.StructType
     val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
     val schemaOf = carried.map { f =>
-      f -> spark.read.parquet(s"$tableDir/${f.path}").schema
+      f -> footerSchema(spark, new org.apache.hadoop.fs.Path(s"$tableDir/${f.path}"))
     }.toMap
     val (narrow, fine) = carried.partition(f => schemaOf(f).fields.exists(ff =>
       targetTypes.get(ff.name).exists(tt => !readableAs(ff.dataType, tt))))

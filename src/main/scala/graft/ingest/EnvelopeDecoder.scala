@@ -84,23 +84,25 @@ object EnvelopeDecoder {
   * LSN-ordered and schema drift is MONOTONE — a column (or a widened
   * type) that appears at some LSN persists in every later event — so
   * the batch's max-LSN tail witnesses every column and type the batch
-  * carries. The inference pass is therefore a cheap top-N by a single
-  * extracted JSON field (TakeOrderedAndProject — no full-batch JSON
-  * parse) plus schema inference over `sampleLines` lines, flat however
-  * large the batch grows.
+  * carries. Type inference therefore runs over just `sampleLines`
+  * lines, flat however large the batch grows.
   *
   * Monotone PRESENCE, however, is not guaranteed by monotone drift:
   * JSON encoders that omit null-valued fields (Spark's own `to_json`
   * default, and hand-rolled producers) make field presence
   * value-dependent — a column live mid-batch whose tail rows happen to
   * be null would vanish from the sample, and its mid-batch values
-  * would silently decode away. So the sample is VERIFIED against a
-  * full-batch key-presence scan (`json_object_keys` — a thin codegen'd
-  * pass aggregating to O(fields) distinct names, no type inference, no
-  * schema merging): any field present anywhere in the batch that the
-  * tail did not witness falls back to full-batch inference for that
-  * batch — sound for both the field and its type, and rare by the
-  * monotone-drift argument. What remains contractual is value
+  * would silently decode away. So the sample is VERIFIED against the
+  * full batch's key-presence set: any field present anywhere in the
+  * batch that the tail did not witness falls back to full-batch
+  * inference for that batch — sound for both the field and its type,
+  * and rare by the monotone-drift argument. Tail selection and the
+  * presence set are computed in ONE fused pass ([[tailAndKeys]]): one
+  * JSON parse per line reducing to O(sampleLines + fields) per
+  * partition, no shuffle — where the unfused shape paid two full-batch
+  * jobs (a TakeOrdered sort on an extracted field, then a
+  * json_object_keys pass with a distinct shuffle), each re-reading the
+  * micro-batch source. What remains contractual is value
   * REPRESENTATION: a widened column whose tail values happen to encode
   * narrow (a double column emitting `7`, not `7.0`) is indistinguishable
   * from an unwidened one in any sample; real wire formats (Debezium
@@ -122,14 +124,8 @@ final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
   def decode(raw: DataFrame, jsonCol: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val lines = raw.select(col(jsonCol).cast("string").as("line"))
-    // malformed lines (null lsn) sort last under desc and fall out of
-    // the sample; the decode path skips them the same way
-    val tail = lines
-      .orderBy(get_json_object(col("line"), "$.source.lsn").cast("long").desc)
-      .limit(sampleLines)
-      .as[String]
-    def payloadFields(env: StructType): StructType = {
+    val lines = raw.select(col(jsonCol).cast("string").as("line")).as[String]
+    def payloadFields(env: StructType): Seq[org.apache.spark.sql.types.StructField] = {
       def payloadOf(name: String): Seq[org.apache.spark.sql.types.StructField] =
         env.find(_.name == name).map(_.dataType) match {
           case Some(s: StructType) => s.fields.toSeq
@@ -137,22 +133,17 @@ final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
         }
       val after = payloadOf("after")
       val haveAfter = after.map(_.name).toSet
-      StructType(
-        after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name)))
+      after ++ payloadOf("before").filterNot(f => haveAfter.contains(f.name))
     }
-    val sampled = payloadFields(spark.read.json(tail).schema)
+    val (tailLines, present) = tailAndKeys(lines, sampleLines)
+    val sampled = StructType(payloadFields(
+      spark.read.json(spark.createDataset(tailLines)).schema))
     // presence verification (see scaladoc): every key present ANYWHERE
     // in the batch must have been witnessed by the tail sample — a
     // null-omitting encoder can hide a live column from any sample
-    val present = lines.select(explode(array_distinct(concat(
-        coalesce(json_object_keys(get_json_object(col("line"), "$.after")),
-          array()),
-        coalesce(json_object_keys(get_json_object(col("line"), "$.before")),
-          array())))).as("k"))
-      .distinct().as[String].collect().toSet
     val incoming =
       if ((present -- sampled.fieldNames).isEmpty) sampled
-      else payloadFields(spark.read.json(lines.as[String]).schema)
+      else StructType(payloadFields(spark.read.json(lines).schema))
     val (added, _) = graft.model.SchemaBuilder.merge(registered, incoming, ver)
     // JSON-inference widening: a column that FIRST appeared with only
     // integral values infers long; a later batch carrying 10.5 would
@@ -176,5 +167,58 @@ final class EvolvingDecoder(seed: StructType, sampleLines: Int = 1024) {
     if (merged != registered) ver += 1
     registered = merged
     EnvelopeDecoder.decode(raw, jsonCol, merged)
+  }
+
+  /** ONE pass over the batch computing both inference inputs: the `k`
+    * max-LSN lines (the type sample) and the distinct payload key set
+    * of the WHOLE batch (presence verification). One JSON parse per
+    * line, reducing to O(k + fields) per partition — a bounded heap of
+    * candidate tail lines plus a key-name set — with no shuffle; the
+    * driver merges P partition results. Malformed lines rank below
+    * every valid LSN (the nulls-last ordering of the sort this
+    * replaces) and contribute no keys. */
+  private def tailAndKeys(lines: org.apache.spark.sql.Dataset[String], k: Int)
+  : (Seq[String], Set[String]) = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val parts = lines.mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // min-heap over LSN: keeps the k largest-LSN lines of the partition
+      val heap = new java.util.PriorityQueue[(Long, String)](
+        math.max(1, k), Ordering.by[(Long, String), Long](_._1))
+      val keys = scala.collection.mutable.HashSet.empty[String]
+      it.foreach { line =>
+        var lsn = Long.MinValue
+        try {
+          val n = mapper.readTree(line)
+          def keysOf(name: String): Unit = {
+            val o = n.get(name)
+            if (o != null && o.isObject) {
+              val names = o.fieldNames()
+              while (names.hasNext) keys += names.next()
+            }
+          }
+          keysOf("after"); keysOf("before")
+          val src = n.get("source")
+          val l = if (src == null) null else src.get("lsn")
+          if (l != null) {
+            if (l.isNumber) lsn = l.asLong()
+            else if (l.isTextual)
+              lsn = try l.asText().trim.toLong
+              catch { case _: NumberFormatException => Long.MinValue }
+          }
+        } catch { case _: Exception => () }
+        heap.add((lsn, line))
+        if (heap.size > k) heap.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = heap.asScala.toArray
+      Iterator.single(
+        (entries.map(_._1), entries.map(_._2), keys.toArray))
+    }.collect()
+    val top = parts.iterator
+      .flatMap(p => p._1.iterator.zip(p._2.iterator))
+      .toSeq.sortBy(-_._1).take(k).map(_._2)
+    (top, parts.iterator.flatMap(_._3).toSet)
   }
 }

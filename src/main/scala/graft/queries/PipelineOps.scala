@@ -48,6 +48,21 @@ object PipelineOps extends QueryModule {
       srcCache.getOrElseUpdate(key, build)
     })
 
+  // The evolve/promote split — drift threshold and prefix row count —
+  // is a pure function of the events table; computing it per measure
+  // costs two jobs. Safe under TrieMap's maybe-twice evaluation: the
+  // builder only reads.
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+  private def evolveSplit(s: SparkSession, d: String): (Long, Long) =
+    splitCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+      val ev = graft.Tables.events(s, d)
+      val threshold = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      val perBatch = math.max(1L,
+        ev.filter(col("event_id") <= threshold).count())
+      (threshold, perBatch)
+    })
+
   /** `orderedByLsn`: range-partition the files by LSN so file k holds
     * strictly older events than file k+1 — admission order then delivers
     * time-ordered micro-batches, the real WAL-tail contract (a
@@ -524,10 +539,7 @@ object PipelineOps extends QueryModule {
     // still proves MID-stream evolution rather than first-batch
     // inference. LSN order == event_id order in the fixture, so the
     // count-bounded admission lands the boundary on the threshold.
-    val ev = graft.Tables.events(s, d)
-    val threshold = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
-    val perBatch = math.max(1L,
-      ev.filter(col("event_id") <= threshold).count())
+    val (_, perBatch) = evolveSplit(s, d)
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -560,8 +572,7 @@ object PipelineOps extends QueryModule {
     srcOnce((graft.SessionKeys(s), d, "dbzlog_evolve")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbzevolve", d)
       rmrf(s, dir)
-      val threshold = graft.Tables.events(s, d)
-        .agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      val (threshold, _) = evolveSplit(s, d)
       CdcQueries.debeziumLinesEvolving(s, d, threshold).coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
       dir
@@ -589,10 +600,7 @@ object PipelineOps extends QueryModule {
     // dense from 0 — with gaps, batch 0 would carry fractional scores,
     // infer double immediately, and the cast-and-rewrite path this gate
     // exists to pin would silently never run
-    val ev = graft.Tables.events(s, d)
-    val threshold = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
-    val perBatch = math.max(1L,
-      ev.filter(col("event_id") <= threshold).count())
+    val (_, perBatch) = evolveSplit(s, d)
     val raw = s.readStream.format("graft.sources.CdcLogSource")
       .option("path", log)
       .option("maxEventsPerBatch", perBatch.toString)
@@ -636,8 +644,7 @@ object PipelineOps extends QueryModule {
     srcOnce((graft.SessionKeys(s), d, "dbzlog_promote")) {
       val dir = Lifecycle.scratchDir(s, "graft_src_dbzpromote", d)
       rmrf(s, dir)
-      val threshold = graft.Tables.events(s, d)
-        .agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      val (threshold, _) = evolveSplit(s, d)
       CdcQueries.debeziumLinesPromoting(s, d, threshold).coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
       dir
