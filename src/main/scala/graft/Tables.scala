@@ -23,16 +23,34 @@ object Tables {
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos long via the legacy
-    * conf (runtime-settable, safe for every other table) and convert to a
-    * proper TimestampType. The fixture's values are all whole microseconds,
-    * so the ns→µs floor division is lossless; DuckDB oracles CAST their
-    * TIMESTAMP_NS to TIMESTAMP (µs) for the identical value. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (older fixtures) and
+    * as TIMESTAMP(MICROS, isAdjustedToUTC=false) (current fixtures), so the
+    * loader adapts to whatever the footer declares instead of assuming one:
+    *
+    *  - NANOS: Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL), so read
+    *    it as a raw nanos long via the legacy conf (runtime-settable, safe
+    *    for every other table) and floor-divide to µs — lossless, the
+    *    fixture's values are whole microseconds.
+    *  - MICROS/NTZ: arrives as TimestampNTZType; cast to TimestampType so
+    *    every downstream consumer (watermarks, windows, lag math) sees one
+    *    type. The cast interprets the wall-clock value in the session
+    *    timezone, which Verify/Bench pin to UTC — value-exact, and the
+    *    DuckDB oracles' CAST(ts AS TIMESTAMP) is a no-op on the same data.
+    *
+    * Either way the query surface sees a single canonical TimestampType
+    * `ts` column. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = raw(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts physical type: $other")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
