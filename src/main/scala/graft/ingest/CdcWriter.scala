@@ -69,7 +69,8 @@ object CdcWriter {
       val cur = SnapshotLog.currentSnapshot(spark, tableDir)
       val files = SnapshotLog.writeData(spark, tableDir, df, Some(pcol))
       SnapshotLog.commit(spark, tableDir, "append",
-        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur)
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur,
+        deletes = cur.toSeq.flatMap(_.deletes))
     }
   }
 
@@ -142,7 +143,8 @@ object CdcWriter {
     * per-trigger merge of a uniformly-spread delta rewrites the table
     * O(batches) times — the known COW tradeoff; the scale levers are a
     * bounded cadence ([[MergeCadence]]: stage n batches, merge once) or
-    * merge-on-read delete files (Iceberg v2, not emulatable here).
+    * merge-on-read delete files ([[morMerge]] — Iceberg v2 equality
+    * deletes through the same commit log).
     *
     * Returns the rewritten partition values (sorted). DELETE deltas drop
     * the key; a partition emptied of all rows leaves the manifest. */
@@ -230,11 +232,86 @@ object CdcWriter {
     val carried =
       if (untouched.isEmpty ||
         cur.forall(s => !needsPromotionCheck(s.schema, merged.schema))) untouched
-      else rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol)
+      else rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol,
+        cur.toSeq.flatMap(_.deletes))
     SnapshotLog.commit(spark, tableDir,
       if (truncLsn.isDefined) "truncate-merge" else "merge",
-      carried ++ newFiles, merged.schema, parent = cur)
+      carried ++ newFiles, merged.schema, parent = cur,
+      // carried (untouched-day) files still need the live delete set;
+      // the rewritten files outrank every carried delete (higher seq)
+      // and were written deletes-applied, so carrying is exact
+      deletes = cur.toSeq.flatMap(_.deletes))
     touched
+  }
+
+  /** Merge-on-READ upsert (Iceberg v2 equality deletes): apply a CDC
+    * delta batch by writing ONLY the batch — new data files for its
+    * upserts plus one equality-delete file naming every key it touched —
+    * and never reading or rewriting the stored table. The heavy lifting
+    * moves to readers ([[graft.lake.SnapshotLog.read]] drops a key's rows
+    * from files the delete outranks) and to the maintenance fold
+    * ([[graft.lake.SnapshotLog.foldDeletes]]).
+    *
+    * This is the write-amplification lever [[merge]]'s scaladoc prices
+    * out: COW rewrites every touched day per merge (cost ∝ delta
+    * day-spread × day size), MOR writes O(|delta|) bytes per merge
+    * regardless of spread — the right choice for high-frequency triggers
+    * or deltas that scatter across old days. The tradeoff is read-side:
+    * one scan group per retained commit plus a broadcast anti-filter,
+    * until a fold resets the table to plain files. Same contract as
+    * [[merge]]: `deltas` is the stream suffix after the stored watermark,
+    * applied last-write-wins after [[Cdc.latestVersions]] collapses the
+    * batch.
+    *
+    * Refused loudly: TRUNCATE markers (a reset is a file-set wipe — COW
+    * [[merge]] handles it as metadata) and widening past what parquet
+    * scans upcast (MOR never rewrites carried files, so a long→double
+    * delta would strand unreadable narrow files — use [[merge]], whose
+    * in-commit promotion rewrite covers it). */
+  def morMerge(spark: SparkSession, tableDir: String, deltas: DataFrame,
+               keyCols: Seq[String]): graft.lake.SnapshotLog.Snapshot = {
+    import graft.lake.SnapshotLog
+    val pcol = SchemaBuilder.partitionColumn
+    val hasTrunc = !deltas.agg(
+      max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0).isNullAt(0)
+    require(!hasTrunc,
+      s"TRUNCATE markers in a MOR delta for $tableDir — route resets through merge()")
+    val deltaLatest = Cdc.latestVersions(deltas, keyCols).persist()
+    try SnapshotLog.withTableLock(tableDir) {
+      val cur = SnapshotLog.currentSnapshot(spark, tableDir)
+        .orElse(SnapshotLog.importHive(spark, tableDir, pcol))
+      val upserts = withPartitionColumn(
+        deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
+      val schema = cur match {
+        case None => upserts.schema
+        case Some(s) =>
+          val storedTypes = s.schema.fields.map(f => f.name -> f.dataType).toMap
+          upserts.schema.fields.foreach(f => storedTypes.get(f.name).foreach(st =>
+            require(st == f.dataType || readableAs(st, f.dataType),
+              s"MOR cannot widen ${f.name}: $st -> ${f.dataType} needs a " +
+                "physical rewrite — use merge()")))
+          // add-only evolution: new delta columns append; stored columns
+          // keep their slot, widened in place when the delta outgrew them
+          val widened = s.schema.fields.map { f =>
+            upserts.schema.fields.find(_.name == f.name)
+              .filter(uf => uf.dataType != f.dataType)
+              .map(uf => f.copy(dataType = uf.dataType)).getOrElse(f)
+          }
+          org.apache.spark.sql.types.StructType(widened ++
+            upserts.schema.fields.filterNot(f => storedTypes.contains(f.name)))
+      }
+      val newFiles = SnapshotLog.writeData(spark, tableDir, upserts, Some(pcol))
+      // every key the batch touched (upserts AND deletes) outranks its
+      // older versions; the batch's own rows sit at this commit's seq and
+      // are untouched. First commit: nothing older exists to delete.
+      val delFiles =
+        if (cur.isEmpty) Nil
+        else SnapshotLog.writeDeletes(spark, tableDir,
+          deltaLatest.select(keyCols.map(col): _*), keyCols)
+      SnapshotLog.commit(spark, tableDir, "mor-merge",
+        cur.toSeq.flatMap(_.files) ++ newFiles, schema, parent = cur,
+        deletes = cur.toSeq.flatMap(_.deletes) ++ delFiles)
+    } finally deltaLatest.unpersist()
   }
 
   /** A parquet file column written as `ft` is readable under a scan
@@ -286,7 +363,9 @@ object CdcWriter {
   private def rewriteNarrow(spark: SparkSession, tableDir: String,
                             carried: Seq[graft.lake.SnapshotLog.DataFile],
                             target: org.apache.spark.sql.types.StructType,
-                            pcol: String): Seq[graft.lake.SnapshotLog.DataFile] = {
+                            pcol: String,
+                            liveDeletes: Seq[graft.lake.SnapshotLog.DeleteFile])
+  : Seq[graft.lake.SnapshotLog.DataFile] = {
     import graft.lake.SnapshotLog
     import org.apache.spark.sql.types.StructType
     val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
@@ -298,12 +377,16 @@ object CdcWriter {
     if (narrow.isEmpty) return carried
     val rewritten = narrow.groupBy(schemaOf).toSeq.flatMap { case (fsch, files) =>
       // read THESE files under their own physical types (target's field
-      // set, the file's type where the file has the field), then cast up
+      // set, the file's type where the file has the field), then cast up.
+      // Live equality deletes apply DURING the rewrite: the rewritten
+      // files get this commit's seq, which outranks every live delete —
+      // rewriting a doomed row without dropping it here would resurrect
+      // it (the carried delete no longer applies to the new file)
       val readSchema = StructType(target.fields.map(tf =>
         fsch.find(_.name == tf.name).map(ff => tf.copy(dataType = ff.dataType))
           .getOrElse(tf)))
       val snapLike = SnapshotLog.Snapshot(0L, None, 0L, "rewrite",
-        readSchema.json, files)
+        readSchema.json, files, liveDeletes)
       val casted = SnapshotLog.read(spark, tableDir, snapLike)
         .select(target.fields.toSeq.map(tf =>
           col(tf.name).cast(tf.dataType).as(tf.name)): _*)

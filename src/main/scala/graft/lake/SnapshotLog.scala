@@ -56,15 +56,31 @@ object SnapshotLog {
     * `path` is relative to the table dir. `partition` is the partition
     * value ("" = unpartitioned). `hive=true` marks an imported file whose
     * partition value is encoded in its directory name and whose physical
-    * schema therefore lacks the partition column ([[importHive]]). */
+    * schema therefore lacks the partition column ([[importHive]]).
+    * `seq` is the id of the snapshot that ADDED the file (Iceberg's
+    * data-sequence-number): equality deletes apply only to files with a
+    * strictly LOWER seq, which is what lets an upsert's new row and its
+    * own delete coexist in one commit. -1 = "added by the commit in
+    * flight" ([[commit]] stamps the real id); 0 = pre-seq legacy, which
+    * every delete outranks. */
   final case class DataFile(path: String, partition: String, hive: Boolean,
                             rows: Long, sizeBytes: Long,
-                            minLsn: Option[String], maxLsn: Option[String])
+                            minLsn: Option[String], maxLsn: Option[String],
+                            seq: Long = 0L)
 
-  /** One committed table state (ref types.go:105-131 Snapshot). */
+  /** One equality-delete file (Iceberg v2 merge-on-read): a parquet file
+    * of key tuples under `eqCols`; at read time a key's rows are dropped
+    * from every data file with `seq` strictly below the delete's. */
+  final case class DeleteFile(path: String, eqCols: Seq[String], rows: Long,
+                              sizeBytes: Long, seq: Long = 0L)
+
+  /** One committed table state (ref types.go:105-131 Snapshot).
+    * `deletes` is the live equality-delete set (empty for copy-on-write
+    * tables); [[read]] applies it transparently. */
   final case class Snapshot(id: Long, parentId: Option[Long], tsMs: Long,
                             operation: String, schemaJson: String,
-                            files: Seq[DataFile]) {
+                            files: Seq[DataFile],
+                            deletes: Seq[DeleteFile] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
     def lsnWatermark: Option[String] =
@@ -113,6 +129,19 @@ object SnapshotLog {
       fo.put("size_bytes", f.sizeBytes)
       f.minLsn.foreach(fo.put("min_lsn", _))
       f.maxLsn.foreach(fo.put("max_lsn", _))
+      fo.put("seq", f.seq)
+    }
+    if (s.deletes.nonEmpty) {
+      val darr = o.putArray("deletes")
+      s.deletes.foreach { d =>
+        val dob = darr.addObject()
+        dob.put("path", d.path)
+        val cols = dob.putArray("eq_cols")
+        d.eqCols.foreach(cols.add)
+        dob.put("rows", d.rows)
+        dob.put("size_bytes", d.sizeBytes)
+        dob.put("seq", d.seq)
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
@@ -128,14 +157,28 @@ object SnapshotLog {
           DataFile(f.get("path").asText(), f.get("partition").asText(),
             f.get("hive").asBoolean(), f.get("rows").asLong(),
             f.get("size_bytes").asLong(),
-            optText(f, "min_lsn"), optText(f, "max_lsn"))
+            optText(f, "min_lsn"), optText(f, "max_lsn"),
+            Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
         }
       case _ => Seq.empty
+    }
+    val deletes = n.get("deletes") match {
+      case arr: ArrayNode =>
+        (0 until arr.size()).map { i =>
+          val d = arr.get(i)
+          val cols = d.get("eq_cols") match {
+            case c: ArrayNode => (0 until c.size()).map(c.get(_).asText())
+            case _            => Seq.empty[String]
+          }
+          DeleteFile(d.get("path").asText(), cols, d.get("rows").asLong(),
+            d.get("size_bytes").asLong(), d.get("seq").asLong())
+        }
+      case _ => Seq.empty[DeleteFile]
     }
     Snapshot(n.get("id").asLong(),
       Option(n.get("parent_id")).map(_.asLong()),
       n.get("ts_ms").asLong(), n.get("operation").asText(),
-      n.get("schema").asText(), files)
+      n.get("schema").asText(), files, deletes)
   }
 
   // ---- resolution
@@ -211,14 +254,20 @@ object SnapshotLog {
     * fails loudly instead of silently dropping its files. */
   def commit(spark: SparkSession, tableDir: String, operation: String,
              files: Seq[DataFile], schema: StructType,
-             parent: Option[Snapshot]): Snapshot = {
+             parent: Option[Snapshot],
+             deletes: Seq[DeleteFile] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, tableDir)
     val cur = currentSnapshot(spark, tableDir)
     if (cur.map(_.id) != parent.map(_.id))
       throw new ConcurrentCommitException(
         s"commit to $tableDir based on ${parent.map(_.id)} but current is ${cur.map(_.id)}")
-    val snap = Snapshot(cur.map(_.id).getOrElse(0L) + 1, cur.map(_.id),
-      System.currentTimeMillis(), operation, schema.json, files)
+    val id = cur.map(_.id).getOrElse(0L) + 1
+    // stamp this commit's sequence number on the entries it adds (seq -1
+    // = fresh from writeData/writeDeletes); carried entries keep theirs
+    val snap = Snapshot(id, cur.map(_.id),
+      System.currentTimeMillis(), operation, schema.json,
+      files.map(f => if (f.seq < 0) f.copy(seq = id) else f),
+      deletes.map(d => if (d.seq < 0) d.copy(seq = id) else d))
     val md = metaDir(root)
     fs.mkdirs(md)
     val tmp = new Path(md, s".tmp-snap-${java.util.UUID.randomUUID()}")
@@ -302,10 +351,40 @@ object SnapshotLog {
           val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
           val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
           Seq(DataFile(relPath, partition, hive = false, rows,
-            st.getLen, lo, hi))
+            st.getLen, lo, hi, seq = -1L))
         } else Seq.empty
       }
     dataFiles(dest, "")
+  }
+
+  /** Write `keys` (distinct tuples under `eqCols`) as ONE immutable
+    * equality-delete file and return its manifest entry (seq stamped at
+    * commit). One file per commit by design: the delete set is
+    * delta-sized (the keys one CDC batch touched), and a single file
+    * keeps the read-side delete union at one entry per retained commit —
+    * the same shape Iceberg's upsert writers produce. Call inside
+    * [[withTableLock]] for the same expire-race reason as [[writeData]]. */
+  def writeDeletes(spark: SparkSession, tableDir: String, keys: DataFrame,
+                   eqCols: Seq[String]): Seq[DeleteFile] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val dest = new Path(root, rel)
+    keys.select(eqCols.map(col): _*).distinct()
+      .repartition(1).write.parquet(dest.toString)
+    fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
+        val rows = {
+          import org.apache.parquet.hadoop.ParquetFileReader
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+            st.getPath, spark.sparkContext.hadoopConfiguration))
+          try reader.getRecordCount finally reader.close()
+        }
+        DeleteFile(relPath, eqCols, rows, st.getLen, seq = -1L)
+      }
   }
 
   /** Adopt an existing hive-layout table (`<pcol>=<day>/part-*.parquet`)
@@ -364,14 +443,10 @@ object SnapshotLog {
 
   // ---- reads
 
-  /** Read a snapshot's file set, optionally pruned to partition values —
-    * manifest-level file skipping, no directory listing. Missing columns
-    * (schema evolution) surface as nulls via the explicit stored schema. */
-  def read(spark: SparkSession, tableDir: String, snap: Snapshot,
-           partitions: Option[Seq[String]] = None): DataFrame = {
-    val schema = snap.schema
-    val wanted = partitions.map(_.toSet)
-    val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
+  /** Read an explicit file subset under the stored schema (no delete
+    * application — the building block for [[read]]). */
+  private def readFiles(spark: SparkSession, tableDir: String,
+                        schema: StructType, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -398,6 +473,49 @@ object SnapshotLog {
       } else None
     ).flatten
     parts.map(_.select(ordered.map(col): _*)).reduce(_ unionByName _)
+  }
+
+  /** Read a snapshot's file set, optionally pruned to partition values —
+    * manifest-level file skipping, no directory listing. Missing columns
+    * (schema evolution) surface as nulls via the explicit stored schema.
+    *
+    * Equality deletes (merge-on-read, Iceberg v2) apply transparently: a
+    * key tuple in a delete file with seq S drops that key's rows from
+    * every data file with seq < S. The deletes-free path is untouched —
+    * one multi-path scan, no extra plan nodes. With deletes, data files
+    * group by seq (one scan per retained commit — bounded by the fold
+    * cadence, see [[foldDeletes]]) and the delete set joins BROADCAST:
+    * deletes are delta-sized by construction, the stored table never
+    * shuffles for delete application. */
+  def read(spark: SparkSession, tableDir: String, snap: Snapshot,
+           partitions: Option[Seq[String]] = None): DataFrame = {
+    val schema = snap.schema
+    val wanted = partitions.map(_.toSet)
+    val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
+    if (snap.deletes.isEmpty)
+      return readFiles(spark, tableDir, schema, files)
+    val eqColSets = snap.deletes.map(_.eqCols).distinct
+    require(eqColSets.size == 1,
+      s"mixed equality-delete key sets in $tableDir: $eqColSets")
+    val eqCols = eqColSets.head
+    val keySchema = StructType(eqCols.map(c => schema(c)))
+    if (files.isEmpty)
+      return readFiles(spark, tableDir, schema, files)
+    val data = files.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+      readFiles(spark, tableDir, schema, fs).withColumn("_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    // one row per deleted key with the NEWEST delete seq: a row survives
+    // iff no delete outranks its file (row.seq >= max delete seq), which
+    // collapses the delete set to a single broadcast aggregate
+    val delMax = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, ds) =>
+      spark.read.schema(keySchema)
+        .parquet(ds.map(d => s"$tableDir/${d.path}"): _*)
+        .withColumn("_del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+      .groupBy(eqCols.map(col): _*).agg(max(col("_del_seq")).as("_del_seq"))
+    data.join(broadcast(delMax), eqCols, "left")
+      .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
+      .select(schema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Read the current table state (empty frame with the last committed
@@ -430,6 +548,11 @@ object SnapshotLog {
               statsCol: String = graft.ingest.Cdc.LsnColumn): Seq[String] =
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(return Seq.empty)
+      // a partial rewrite cannot retire equality deletes (they hit every
+      // partition), and rewritten rows jumping to a higher seq while
+      // their old deletes stay live is correct but wasteful — fold first
+      require(cur.deletes.isEmpty,
+        s"$tableDir carries equality deletes; run foldDeletes before compact")
       val oversized = cur.files.groupBy(_.partition)
         .collect { case (p, fs) if fs.size > maxFiles => p }.toSeq.sorted
       if (oversized.isEmpty) return Seq.empty
@@ -459,6 +582,68 @@ object SnapshotLog {
       oversized
     }
 
+  /** Fold the live equality-delete set into clean data files: materialize
+    * the current state (deletes applied), rewrite it whole, and commit a
+    * "replace" snapshot with ZERO delete files — Iceberg's
+    * rewrite_data_files + rewrite_position_deletes pair expressed through
+    * the commit log. This is the MOR maintenance cadence: merges stay
+    * O(delta) ([[graft.ingest.CdcWriter.morMerge]]), the read-side
+    * per-commit scan count and delete union grow until a fold resets
+    * them, and old snapshots keep exact time travel (their delete files
+    * stay referenced until [[expire]]). No-op (None) without deletes. */
+  def foldDeletes(spark: SparkSession, tableDir: String,
+                  partitionCol: Option[String],
+                  statsCol: String = graft.ingest.Cdc.LsnColumn): Option[Snapshot] =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(return None)
+      if (cur.deletes.isEmpty) return None
+      val state = read(spark, tableDir, cur)
+      val files = writeData(spark, tableDir, state, partitionCol, statsCol)
+      Some(commit(spark, tableDir, "replace", files, cur.schema,
+        parent = Some(cur), deletes = Nil))
+    }
+
+  /** Roll the table back to a historical snapshot by committing a NEW
+    * snapshot that references the target's exact file and delete sets
+    * (Iceberg's rollback_to_snapshot): history stays intact, readers of
+    * old ids are unaffected, and the rolled-back state is reachable as
+    * plain current. Carried entries keep their original seq, so delete
+    * application replays exactly. */
+  def rollback(spark: SparkSession, tableDir: String, toId: Long): Snapshot =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshots in $tableDir"))
+      val target = snapshotAt(spark, tableDir, toId)
+      commit(spark, tableDir, "rollback", target.files, target.schema,
+        parent = Some(cur), deletes = target.deletes)
+    }
+
+  /** Incremental append-scan: the rows ADDED by snapshots in
+    * `(fromId, toId]` — the CDC-consumer surface Iceberg exposes as
+    * incremental reads. Only pure appends are expressible: "append"
+    * snapshots contribute the files they added (seq == snapshot id);
+    * "replace" snapshots (compaction/fold rewrites) change no data and
+    * are skipped; any other operation in the window (merge, truncate,
+    * rollback) rewrites or removes rows and fails loudly — exactly
+    * Iceberg's incremental-scan contract. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"incremental range ($fromId, $toId] is empty")
+    val window = snapshots(spark, tableDir)
+      .filter(s => s.id > fromId && s.id <= toId)
+    val bad = window.filterNot(s =>
+      s.operation == "append" || s.operation == "replace")
+    require(bad.isEmpty,
+      s"incremental read over non-append snapshots " +
+        s"${bad.map(s => s"${s.id}:${s.operation}").mkString(", ")} in $tableDir")
+    val added = window.filter(_.operation == "append")
+      .flatMap(s => s.files.filter(_.seq == s.id))
+    val schema = window.lastOption.map(_.schema).getOrElse(
+      currentSnapshot(spark, tableDir).map(_.schema).getOrElse(
+        throw new NoSuchElementException(s"no snapshots in $tableDir")))
+    readFiles(spark, tableDir, schema, added)
+  }
+
   // ---- retention
 
   /** Expire all but the newest `keepLast` snapshots and delete every
@@ -472,7 +657,8 @@ object SnapshotLog {
       val all = snapshots(spark, tableDir)
       if (all.isEmpty) return 0
       val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-      val live: Set[String] = keep.flatMap(_.files.map(_.path)).toSet
+      val live: Set[String] =
+        keep.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
       val md = metaDir(root)
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
       // temp manifests from crashed commits

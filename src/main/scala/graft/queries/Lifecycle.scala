@@ -388,6 +388,109 @@ object Lifecycle extends QueryModule {
        |  CAST(1 AS BIGINT) AS n_files FROM by_day
        |ORDER BY snap_id, day""".stripMargin
 
+  // ---- merge-on-read (Iceberg v2 equality deletes) through the commit
+  // log: 3 MOR merges write ONLY their deltas (new data files + one
+  // equality-delete file naming the touched keys — never a stored-table
+  // rewrite), then foldDeletes materializes the delete set away (snap 4)
+  // and rollback_to_snapshot re-exposes snap 2's exact file+delete sets
+  // as snap 5. State at EVERY snapshot is hash-checked against the plain
+  // AS-OF-LSN replay — a delete that under- or over-applies (seq ranking
+  // wrong, fold lossy, rollback carrying the wrong sets) fails the hash;
+  // per-snapshot delete-file counts are MEASURED from the manifest.
+  private val morCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val morBuildLock = new Object
+
+  private def morDir(s: SparkSession, d: String): String = {
+    val key = (graft.SessionKeys(s), d)
+    morCache.get(key).getOrElse(morBuildLock.synchronized {
+      morCache.getOrElseUpdate(key, {
+        val dir = scratchDir(s, "graft_morlog", d)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val env = CdcQueries.envelope(s, d)
+        val lsn = col(Cdc.LsnColumn)
+        CdcWriter.morMerge(s, dir, env.filter(lsn <= SnapLsn1), Seq("user_id"))
+        CdcWriter.morMerge(s, dir,
+          env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
+        CdcWriter.morMerge(s, dir, env.filter(lsn > SnapLsn2), Seq("user_id"))
+        graft.lake.SnapshotLog.foldDeletes(s, dir,
+          Some(graft.model.SchemaBuilder.partitionColumn))
+        graft.lake.SnapshotLog.rollback(s, dir, 2L)
+        dir
+      })
+    })
+  }
+
+  private def morMergeQ(s: SparkSession, d: String): DataFrame = {
+    val dir = morDir(s, d)
+    import graft.lake.SnapshotLog
+    (1L to 4L).map { id =>
+      val sn = SnapshotLog.snapshotAt(s, dir, id)
+      SnapshotLog.read(s, dir, sn).select(
+        lit(id).as("snap_id"), lit(sn.deletes.size.toLong).as("n_delete_files"),
+        col("user_id"), col("event_id"), col("value"))
+    }.reduce(_ unionByName _).orderBy(col("snap_id"), col("user_id"))
+  }
+
+  private val morMergeSql =
+    s"""$snapStateSql,
+       |dcounts AS (SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+       |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+       |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+       |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT))) AS t(snap_id, n_delete_files)),
+       |full_state AS (
+       |  SELECT snap_id, user_id, event_id, value FROM state
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), user_id, event_id, value FROM state
+       |  WHERE snap_id = 3)
+       |SELECT f.snap_id, d.n_delete_files, f.user_id, f.event_id, f.value
+       |FROM full_state f JOIN dcounts d USING (snap_id)
+       |ORDER BY snap_id, user_id""".stripMargin
+
+  private def snapshotRollback(s: SparkSession, d: String): DataFrame = {
+    val dir = morDir(s, d)
+    import graft.lake.SnapshotLog
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    SnapshotLog.read(s, dir, cur).select(
+      lit(cur.id).as("snapshot_id"), lit(cur.operation).as("operation"),
+      lit(cur.parentId.getOrElse(-1L)).as("parent_id"),
+      col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val snapshotRollbackSql =
+    s"""$snapStateSql
+       |SELECT CAST(5 AS BIGINT) AS snapshot_id, 'rollback' AS operation,
+       |  CAST(4 AS BIGINT) AS parent_id, user_id, event_id, value
+       |FROM state WHERE snap_id = 2 ORDER BY user_id""".stripMargin
+
+  // ---- incremental append-scan (Iceberg's CDC-consumer read): rows
+  // ADDED between two snapshot ids of the append fixture, resolved from
+  // per-file sequence numbers — and the (1,4] range proves a "replace"
+  // rewrite (compaction) contributes NOTHING: same rows before and after
+  // snapshot 4, because a rewrite moves bytes, not data.
+  private def incrementalRead(s: SparkSession, d: String): DataFrame = {
+    val dir = snapCompactDir(s, d)
+    import graft.lake.SnapshotLog
+    Seq(("s1_s3", 3L), ("s1_s4", 4L)).map { case (label, to) =>
+      SnapshotLog.readIncremental(s, dir, 1L, to).select(
+        lit(label).as("range"), col("user_id"), col("event_id"),
+        col("value"), col(Cdc.LsnColumn))
+    }.reduce(_ unionByName _).orderBy(col("range"), col(Cdc.LsnColumn))
+  }
+
+  private val incrementalReadSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |added AS (SELECT user_id, event_id, value, _cdc_lsn FROM envelope
+       |  WHERE _cdc_lsn > '$SnapLsn1')
+       |SELECT r.range, a.user_id, a.event_id, a.value, a._cdc_lsn
+       |FROM (SELECT 's1_s3' AS range UNION ALL SELECT 's1_s4') r
+       |CROSS JOIN added a
+       |ORDER BY range, _cdc_lsn""".stripMargin
+
   // ---- metadata tables (Q6): $snapshots MEASURED from the commit log —
   // ids, operations, per-snapshot day/row totals and LSN watermarks come
   // from manifest entries (parquet-footer stats summed at commit time),
@@ -986,6 +1089,9 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_as_of_lsn", asOfLsnQ, Some(asOfLsnSql)),
     GraftQuery("cdc_snapshot_commit", snapshotCommit, Some(snapshotCommitSql)),
     GraftQuery("cdc_snapshot_compact", snapshotCompact, Some(snapshotCompactSql)),
+    GraftQuery("cdc_mor_merge", morMergeQ, Some(morMergeSql)),
+    GraftQuery("cdc_snapshot_rollback", snapshotRollback, Some(snapshotRollbackSql)),
+    GraftQuery("cdc_incremental_read", incrementalRead, Some(incrementalReadSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
