@@ -139,6 +139,88 @@ object Scaling {
         state.copy(pendingSinceMs = pending)))
   }
 
+  // ---- C3: query-ENGINE scaling (ref internal/scaling/query/
+  // policy.go:67-231; defaults config.go:921-926). Same decision/
+  // actuation split as C2: the reference polls Trino /v1/cluster for
+  // queue depths (collector.go:55-160 — our counterpart is the
+  // SparkListener-fed [[Metrics.Registry]] plus dynamic allocation for
+  // the actual executor scaling) and evaluates fixed thresholds; the
+  // threshold logic is product behavior and lives here as a pure
+  // function.
+
+  /** ref Policy (policy.go:17-29) with the config defaults
+    * (config.go:921-926): queued ≥ 5, running ≥ 10, p95 ≥ 30 s,
+    * cooldown 300 s, replicas 1..10. */
+  final case class QueryPolicy(id: String, enabled: Boolean = true,
+                               minReplicas: Int = 1, maxReplicas: Int = 10,
+                               cooldownMs: Long = 300000L,
+                               scaleToZero: Boolean = false,
+                               queuedThreshold: Int = 5,
+                               runningThreshold: Int = 10,
+                               latencyThresholdSec: Int = 30)
+
+  /** ref Metrics (collector.go): queue depths from /v1/cluster; p95 is
+    * optional — the collector may have no latency series yet. */
+  final case class QueryMetrics(queued: Int, running: Int, blocked: Int,
+                                p95LatencyMs: Option[Double] = None)
+
+  final case class QueryState(currentReplicas: Int,
+                              lastScaleTimeMs: Option[Long] = None)
+
+  final case class QueryDecision(action: String, desiredReplicas: Int,
+                                 reason: String, triggerValue: Double,
+                                 next: QueryState)
+
+  /** ref Evaluate (policy.go:67-131) + evaluateScaleUp (134-186) +
+    * evaluateScaleDown (188-231), kept faithful:
+    *  - order: disabled → cooldown → missing metrics → scale-up triggers
+    *    (queued, running, p95 — first hit wins, each steps by ONE) →
+    *    scale-down;
+    *  - scale-up is skipped entirely at maxReplicas (falls through to
+    *    the scale-down checks, not to an error);
+    *  - scale-down requires BOTH queue classes below HALF their
+    *    thresholds, with the reference's intentional floor division
+    *    (threshold 5 → down only when queued < 2);
+    *  - scale-to-zero additionally needs queued = running = blocked = 0
+    *    and fires even at minReplicas; a plain scale-down never goes
+    *    below minReplicas. */
+  def evaluateQueryPolicy(policy: QueryPolicy, state: QueryState,
+                          metrics: Option[QueryMetrics],
+                          nowMs: Long): QueryDecision = {
+    val cur = state.currentReplicas
+    def none(reason: String) = QueryDecision("none", cur, reason, 0.0, state)
+    if (!policy.enabled) return none("policy disabled")
+    if (state.lastScaleTimeMs.exists(t => nowMs - t < policy.cooldownMs))
+      return none("in cooldown")
+    val m = metrics.getOrElse(return none("no metrics available"))
+    def move(action: String, desired: Int, reason: String, value: Double) =
+      QueryDecision(action, desired, reason, value,
+        QueryState(desired, Some(nowMs)))
+    if (cur < policy.maxReplicas) {
+      if (m.queued >= policy.queuedThreshold)
+        return move("scale_up", math.min(cur + 1, policy.maxReplicas),
+          s"queued_queries >= ${policy.queuedThreshold}", m.queued.toDouble)
+      if (m.running >= policy.runningThreshold)
+        return move("scale_up", math.min(cur + 1, policy.maxReplicas),
+          s"running_queries >= ${policy.runningThreshold}", m.running.toDouble)
+      for (p95 <- m.p95LatencyMs if policy.latencyThresholdSec > 0)
+        if (p95 >= policy.latencyThresholdSec * 1000.0)
+          return move("scale_up", math.min(cur + 1, policy.maxReplicas),
+            s"p95_latency >= ${policy.latencyThresholdSec * 1000}ms", p95)
+    }
+    if (cur <= policy.minReplicas && !policy.scaleToZero)
+      return none("within thresholds")
+    val queuedBelow = m.queued < policy.queuedThreshold / 2
+    val runningBelow = m.running < policy.runningThreshold / 2
+    if (!queuedBelow || !runningBelow) return none("within thresholds")
+    if (policy.scaleToZero && m.queued == 0 && m.running == 0 && m.blocked == 0)
+      return move("scale_to_zero", 0, "no active queries", 0.0)
+    if (cur > policy.minReplicas)
+      return move("scale_down", math.max(cur - 1, policy.minReplicas),
+        "low query load", m.running.toDouble)
+    none("within thresholds")
+  }
+
   // ---- idle detection / scale-to-zero (C5; ref idle/detector.go:29-46,
   // 205-218, wake path 248-283). Defaults match the reference's Config.
 

@@ -1075,8 +1075,95 @@ object Lifecycle extends QueryModule {
        |UNION ALL SELECT 'p_zero', 'scale_down', CAST(0 AS BIGINT), true FROM m
        |ORDER BY policy""".stripMargin
 
+  // ---- query-ENGINE scaling decisions as data (C3 DECISION layer; ref
+  // internal/scaling/query/policy.go:67-231, defaults config.go:921-926
+  // — Trino-replica actuation stays out of scope per SURVEY §2.3: Spark
+  // executors scale via dynamic allocation; the threshold logic is
+  // product behavior). Queue depths derive from the envelope's operation
+  // counts (queued=INSERTs, running=UPDATEs, blocked=DELETEs, p95=total
+  // as ms) so the oracle recomputes every live branch with the same
+  // CASE logic: q_up_queued walks the trigger-priority chain live,
+  // q_up_latency pins the p95 trigger, q_ceiling pins the maxReplicas
+  // skip-to-scale-down, q_down pins the half-threshold floor division,
+  // q_zero the all-idle path, q_cool/q_off/q_blind the vetoes.
+  private def queryScalingDecision(s: SparkSession, d: String): DataFrame = {
+    import graft.observe.Scaling._
+    val ops = CdcQueries.envelope(s, d).groupBy(col(Cdc.OpColumn)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nIns = ops.getOrElse("INSERT", 0L).toInt
+    val nUpd = ops.getOrElse("UPDATE", 0L).toInt
+    val nDel = ops.getOrElse("DELETE", 0L).toInt
+    val live = QueryMetrics(nIns, nUpd, nDel,
+      Some((nIns + nUpd + nDel).toDouble))
+    val now = 1000000L
+    val cases = Seq(
+      ("q_up_queued", QueryPolicy("q_up_queued"), QueryState(2), Option(live)),
+      ("q_up_latency", QueryPolicy("q_up_latency",
+        queuedThreshold = Int.MaxValue, runningThreshold = Int.MaxValue,
+        latencyThresholdSec = 1), QueryState(2), Option(live)),
+      ("q_ceiling", QueryPolicy("q_ceiling", maxReplicas = 4),
+        QueryState(4), Option(live)),
+      ("q_cool", QueryPolicy("q_cool"),
+        QueryState(3, Some(now - 1000)), Option(live)),
+      ("q_down", QueryPolicy("q_down", queuedThreshold = 2 * nIns + 2,
+        runningThreshold = 2 * nUpd + 2, latencyThresholdSec = 0),
+        QueryState(3), Option(live)),
+      ("q_zero", QueryPolicy("q_zero", scaleToZero = true,
+        queuedThreshold = 2, runningThreshold = 2),
+        QueryState(1), Option(QueryMetrics(0, 0, 0))),
+      ("q_off", QueryPolicy("q_off", enabled = false),
+        QueryState(3), Option(live)),
+      ("q_blind", QueryPolicy("q_blind"), QueryState(3), None))
+    import s.implicits._
+    cases.map { case (name, p, st, m) =>
+      val dec = graft.observe.Scaling.evaluateQueryPolicy(p, st, m, now)
+      (name, dec.action, dec.desiredReplicas.toLong, dec.reason)
+    }.toDF("policy", "action", "desired_replicas", "reason")
+      .orderBy(col("policy"))
+  }
+
+  private val queryScalingDecisionSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql}),
+       |m AS (SELECT
+       |  CAST(sum(CASE WHEN _cdc_operation = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+       |  CAST(sum(CASE WHEN _cdc_operation = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+       |  CAST(count(*) AS BIGINT) AS n_tot FROM envelope)
+       |SELECT 'q_blind' AS policy, 'none' AS action,
+       |  CAST(3 AS BIGINT) AS desired_replicas,
+       |  'no metrics available' AS reason FROM m
+       |UNION ALL SELECT 'q_ceiling',
+       |  CASE WHEN n_ins < 2 AND n_upd < 5 THEN 'scale_down' ELSE 'none' END,
+       |  CAST(CASE WHEN n_ins < 2 AND n_upd < 5 THEN 3 ELSE 4 END AS BIGINT),
+       |  CASE WHEN n_ins < 2 AND n_upd < 5 THEN 'low query load'
+       |       ELSE 'within thresholds' END FROM m
+       |UNION ALL SELECT 'q_cool', 'none', CAST(3 AS BIGINT), 'in cooldown' FROM m
+       |UNION ALL SELECT 'q_down', 'scale_down', CAST(2 AS BIGINT),
+       |  'low query load' FROM m
+       |UNION ALL SELECT 'q_off', 'none', CAST(3 AS BIGINT),
+       |  'policy disabled' FROM m
+       |UNION ALL SELECT 'q_up_latency',
+       |  CASE WHEN n_tot >= 1000 THEN 'scale_up' ELSE 'scale_down' END,
+       |  CAST(CASE WHEN n_tot >= 1000 THEN 3 ELSE 1 END AS BIGINT),
+       |  CASE WHEN n_tot >= 1000 THEN 'p95_latency >= 1000ms'
+       |       ELSE 'low query load' END FROM m
+       |UNION ALL SELECT 'q_up_queued',
+       |  CASE WHEN n_ins >= 5 OR n_upd >= 10 OR n_tot >= 30000 THEN 'scale_up'
+       |       WHEN n_ins < 2 AND n_upd < 5 THEN 'scale_down'
+       |       ELSE 'none' END,
+       |  CAST(CASE WHEN n_ins >= 5 OR n_upd >= 10 OR n_tot >= 30000 THEN 3
+       |       WHEN n_ins < 2 AND n_upd < 5 THEN 1 ELSE 2 END AS BIGINT),
+       |  CASE WHEN n_ins >= 5 THEN 'queued_queries >= 5'
+       |       WHEN n_upd >= 10 THEN 'running_queries >= 10'
+       |       WHEN n_tot >= 30000 THEN 'p95_latency >= 30000ms'
+       |       WHEN n_ins < 2 AND n_upd < 5 THEN 'low query load'
+       |       ELSE 'within thresholds' END FROM m
+       |UNION ALL SELECT 'q_zero', 'scale_to_zero', CAST(0 AS BIGINT),
+       |  'no active queries' FROM m
+       |ORDER BY policy""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
+    GraftQuery("query_scaling_decision", queryScalingDecision, Some(queryScalingDecisionSql)),
     GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
     GraftQuery("scaling_decision", scalingDecision, Some(scalingDecisionSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),

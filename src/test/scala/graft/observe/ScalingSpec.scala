@@ -112,4 +112,80 @@ class ScalingSpec extends AnyFunSuite {
     assert(!shouldWake(isScaledToZero = false, activityArrived = true))
     assert(!shouldWake(isScaledToZero = true, activityArrived = false))
   }
+
+  // ---- C3: query-engine scaling (ref internal/scaling/query/
+  // policy.go:67-231) — every branch of the reference evaluator.
+
+  private val qp = QueryPolicy("q") // config.go defaults: 5/10/30s, 1..10
+  private val busy = QueryMetrics(queued = 7, running = 3, blocked = 0,
+    p95LatencyMs = Some(500.0))
+
+  test("query scaling: trigger priority is queued, then running, then p95") {
+    val d1 = evaluateQueryPolicy(qp, QueryState(2), Some(busy), 0L)
+    assert(d1.action === "scale_up" && d1.desiredReplicas === 3 &&
+      d1.reason === "queued_queries >= 5" && d1.triggerValue === 7.0)
+    val d2 = evaluateQueryPolicy(qp, QueryState(2),
+      Some(QueryMetrics(4, 12, 0, Some(500.0))), 0L)
+    assert(d2.reason === "running_queries >= 10" && d2.triggerValue === 12.0)
+    val d3 = evaluateQueryPolicy(qp, QueryState(2),
+      Some(QueryMetrics(4, 9, 0, Some(31000.0))), 0L)
+    assert(d3.reason === "p95_latency >= 30000ms" && d3.triggerValue === 31000.0)
+    // p95 trigger needs both a latency series and a positive threshold
+    assert(evaluateQueryPolicy(qp, QueryState(2),
+      Some(QueryMetrics(4, 9, 0, None)), 0L).action === "none")
+    assert(evaluateQueryPolicy(qp.copy(latencyThresholdSec = 0), QueryState(2),
+      Some(QueryMetrics(4, 9, 0, Some(31000.0))), 0L).action === "none")
+  }
+
+  test("query scaling: maxReplicas skips scale-up and falls to the down checks") {
+    // at the ceiling with pressure: up skipped, down vetoed (not below halves)
+    val d = evaluateQueryPolicy(qp, QueryState(10), Some(busy), 0L)
+    assert(d.action === "none" && d.reason === "within thresholds")
+    // at the ceiling and idle-ish: steps DOWN (the Go early-return order)
+    val d2 = evaluateQueryPolicy(qp, QueryState(10),
+      Some(QueryMetrics(1, 2, 0, None)), 0L)
+    assert(d2.action === "scale_down" && d2.desiredReplicas === 9)
+  }
+
+  test("query scaling: half-threshold floor division gates scale-down") {
+    // threshold 5 -> down only when queued < 2 (not < 2.5)
+    assert(evaluateQueryPolicy(qp, QueryState(3),
+      Some(QueryMetrics(2, 0, 0, None)), 0L).action === "none")
+    val d = evaluateQueryPolicy(qp, QueryState(3),
+      Some(QueryMetrics(1, 4, 0, None)), 0L)
+    assert(d.action === "scale_down" && d.desiredReplicas === 2 &&
+      d.triggerValue === 4.0)
+    // both classes must be below: running at half blocks the step
+    assert(evaluateQueryPolicy(qp, QueryState(3),
+      Some(QueryMetrics(1, 5, 0, None)), 0L).action === "none")
+  }
+
+  test("query scaling: scale-to-zero needs all-idle and fires at minReplicas") {
+    val z = qp.copy(scaleToZero = true)
+    val d = evaluateQueryPolicy(z, QueryState(1),
+      Some(QueryMetrics(0, 0, 0, None)), 0L)
+    assert(d.action === "scale_to_zero" && d.desiredReplicas === 0 &&
+      d.reason === "no active queries")
+    // a blocked query holds the cluster up
+    assert(evaluateQueryPolicy(z, QueryState(1),
+      Some(QueryMetrics(0, 0, 1, None)), 0L).action === "none")
+    // without scaleToZero, minReplicas is the floor
+    assert(evaluateQueryPolicy(qp, QueryState(1),
+      Some(QueryMetrics(0, 0, 0, None)), 0L).action === "none")
+  }
+
+  test("query scaling: vetoes — disabled, cooldown, missing metrics") {
+    assert(evaluateQueryPolicy(qp.copy(enabled = false), QueryState(3),
+      Some(busy), 0L).reason === "policy disabled")
+    val cooling = evaluateQueryPolicy(qp, QueryState(3, Some(1000L)),
+      Some(busy), 2000L)
+    assert(cooling.reason === "in cooldown")
+    // cooldown expired: acts again, and an action re-stamps the clock
+    val acted = evaluateQueryPolicy(qp, QueryState(3, Some(1000L)),
+      Some(busy), 1000L + qp.cooldownMs)
+    assert(acted.action === "scale_up" &&
+      acted.next.lastScaleTimeMs === Some(1000L + qp.cooldownMs))
+    assert(evaluateQueryPolicy(qp, QueryState(3), None, 0L)
+      .reason === "no metrics available")
+  }
 }
