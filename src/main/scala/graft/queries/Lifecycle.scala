@@ -563,6 +563,32 @@ object Lifecycle extends QueryModule {
        |  max(_cdc_lsn) AS lsn_max, CAST(1 AS BIGINT) AS n_files
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- metadata tables (Q6): $files — the per-file manifest listing
+  // (ref types.go:78-103 DataFile; Trino's "$files") measured ENTIRELY
+  // from the commit log: per-day file counts, footer-summed row counts
+  // and LSN bounds come from manifest entries, no data read. The oracle
+  // recomputes each from the raw events plus the layout contract (one
+  // file per day after a merge's repartition-by-day write), so a stale
+  // manifest entry, a wrong footer stat, or a broken layout contract
+  // fails the hash.
+  private def tableFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = snapCommitDir(s, d)
+    val sn = graft.lake.SnapshotLog.currentSnapshot(s, dir).get
+    sn.files.groupBy(_.partition).toSeq.map { case (day, fs) =>
+      (day, fs.size.toLong, fs.map(_.rows).sum,
+        fs.flatMap(_.minLsn).min, fs.flatMap(_.maxLsn).max)
+    }.toDF("day", "n_files", "n_rows", "lsn_min", "lsn_max")
+      .orderBy(col("day"))
+  }
+
+  private val tableFilesSql =
+    s"""$snapStateSql
+       |SELECT day, CAST(1 AS BIGINT) AS n_files,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max
+       |FROM state WHERE snap_id = 3 GROUP BY day ORDER BY day""".stripMargin
+
   // ---- catalog exploration (Q1): SHOW TABLES parity with live row counts.
   // One unioned job instead of a driver loop of per-table count() actions
   // (10 serial job round-trips was most of this query's bench time; the
@@ -1182,6 +1208,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
+    GraftQuery("cdc_table_files", tableFiles, Some(tableFilesSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

@@ -355,6 +355,39 @@ object PipelineOps extends QueryModule {
       envelopeSrc(s, d, "ordmerge", nFiles = 4, tableMod = 0, orderedByLsn = true),
       Lifecycle.scratchDir(s, "graft_streammerge", d), "graft-stream-merge")
 
+  // ---- streaming MERGE-ON-READ sink: the same LSN-ordered drain as
+  // cdc_stream_merge, but each micro-batch commits through
+  // [[graft.ingest.CdcWriter.morMerge]] — O(|delta|) bytes per trigger
+  // (new data files + one equality-delete file; the stored table is
+  // never read or rewritten), which is the write shape a high-frequency
+  // trigger needs at 100 TB. After the drain a foldDeletes pass (the
+  // maintenance rewrite) materializes the delete set away; the read-back
+  // must STILL hash-equal the full-recompute current state — an over- or
+  // under-applied delete at any trigger, or a lossy fold, fails the
+  // same oracle row the COW sink is checked against.
+  private def streamMorMerge(s: SparkSession, d: String): DataFrame = {
+    val src = envelopeSrc(s, d, "ordmerge", nFiles = 4, tableMod = 0,
+      orderedByLsn = true)
+    val base = Lifecycle.scratchDir(s, "graft_streammor", d)
+    rmrf(s, base)
+    val stream = IngestPipeline.fileEnvelopeSource(
+      s, src, s.read.parquet(src).schema, maxFilesPerTrigger = 2)
+    val q = stream.writeStream
+      .queryName("graft-stream-mor")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ingest.CdcWriter.morMerge(s, s"$base/t", b, Seq("user_id")): Unit
+      }
+      .start()
+    q.awaitTermination()
+    graft.lake.SnapshotLog.foldDeletes(s, s"$base/t",
+      Some(graft.model.SchemaBuilder.partitionColumn))
+    graft.ingest.CdcWriter.read(s, s"$base/t")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- TRUNCATE through the streaming MERGE sink: a TRUNCATE marker at
   // 3/4 of the LSN range arrives in the SECOND micro-batch, after batch 0
   // has already materialized state into the stored table — the merge must
@@ -773,6 +806,7 @@ object PipelineOps extends QueryModule {
     GraftQuery("cdc_stream_agg", streamAgg, Some(streamAggSql)),
     GraftQuery("cdc_stream_resume", streamResume, Some(streamResumeSql)),
     GraftQuery("cdc_stream_merge", streamMerge, Some(CdcQueries.currentStateSql)),
+    GraftQuery("cdc_stream_mor", streamMorMerge, Some(CdcQueries.currentStateSql)),
     GraftQuery("cdc_stream_truncate", streamTruncate, Some(streamTruncateSql)),
   )
 }
