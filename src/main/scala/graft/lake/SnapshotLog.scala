@@ -523,6 +523,33 @@ object SnapshotLog {
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentSnapshot(spark, tableDir).map(read(spark, tableDir, _))
 
+  /** Manifest-level file skipping by LSN range: the files of `snap` that
+    * can hold a row with `lo <= lsn <= hi`, decided from the per-file
+    * footer bounds recorded at commit time — no footer is opened, no
+    * data is read. This is the Iceberg scan-planning shortcut beyond
+    * partition pruning: a predicate on the stats column turns into a
+    * file-list restriction BEFORE the scan is planned, so a query over
+    * an LSN window of a 100 TB table reads only the commits that overlap
+    * it. Files without recorded bounds are kept (never a correctness
+    * shortcut). Callers still apply the row-level filter — bounds
+    * overlap is necessary, not sufficient. */
+  def pruneByLsn(snap: Snapshot, lo: String, hi: String): Seq[DataFile] =
+    snap.files.filter(f => (f.minLsn, f.maxLsn) match {
+      case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+      case _                    => true
+    })
+
+  /** Read exactly the files [[pruneByLsn]] selects under the snapshot's
+    * schema (delete application is the caller's concern — the gated use
+    * is an append-only fixture; compose with [[read]] for MOR tables). */
+  def readLsnRange(spark: SparkSession, tableDir: String, snap: Snapshot,
+                   lo: String, hi: String): DataFrame = {
+    require(snap.deletes.isEmpty,
+      s"readLsnRange on a deletes-bearing snapshot of $tableDir — " +
+        "fold deletes first or use read()")
+    readFiles(spark, tableDir, snap.schema, pruneByLsn(snap, lo, hi))
+  }
+
   // ---- compaction
 
   /** Rewrite every partition holding more than `maxFiles` files down to

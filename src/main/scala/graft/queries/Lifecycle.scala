@@ -563,6 +563,52 @@ object Lifecycle extends QueryModule {
        |  max(_cdc_lsn) AS lsn_max, CAST(1 AS BIGINT) AS n_files
        |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- manifest-level FILE SKIPPING by stats bounds (Iceberg scan
+  // planning): a query over the middle LSN slice of the 3-append fixture
+  // must, from per-file footer bounds alone, restrict the scan to
+  // exactly commit 2's files — slice-1 files end at or below the window,
+  // slice-3 files start above it. Scanned and total file counts are
+  // MEASURED from the manifest and part of the hash (the oracle
+  // recomputes both from the slice/day structure), so a bounds
+  // regression that silently reads everything fails correctness, not
+  // just a perf eyeball. Snapshot 3 is pinned (pre-compaction: the
+  // per-commit file layout is the interesting one).
+  private def fileSkipping(s: SparkSession, d: String): DataFrame = {
+    val dir = snapCompactDir(s, d)
+    import graft.lake.SnapshotLog
+    val sn = SnapshotLog.snapshotAt(s, dir, 3L)
+    // window is (SnapLsn1, SnapLsn2]; pruneByLsn is inclusive, so lo
+    // is the successor LSN (ids are contiguous 16-digit strings)
+    val lo = f"${SnapLsn1.toLong + 1}%016d"
+    val scanned = SnapshotLog.pruneByLsn(sn, lo, SnapLsn2)
+    SnapshotLog.readLsnRange(s, dir, sn, lo, SnapLsn2)
+      .filter(col(Cdc.LsnColumn) > SnapLsn1 && col(Cdc.LsnColumn) <= SnapLsn2)
+      .groupBy(col(graft.model.SchemaBuilder.partitionColumn).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_rows"), min(col(Cdc.LsnColumn)).as("lsn_min"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .select(col("day"), col("n_rows"), col("lsn_min"), col("lsn_max"),
+        lit(scanned.size.toLong).as("n_files_scanned"),
+        lit(sn.files.size.toLong).as("n_files_total"))
+      .orderBy(col("day"))
+  }
+
+  private val fileSkippingSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |sliced AS (SELECT *, strftime(_cdc_timestamp, '%Y-%m-%d') AS day,
+       |  CASE WHEN _cdc_lsn <= '$SnapLsn1' THEN 1
+       |       WHEN _cdc_lsn <= '$SnapLsn2' THEN 2 ELSE 3 END AS slice
+       |  FROM envelope),
+       |counts AS (SELECT
+       |  CAST(count(DISTINCT CASE WHEN slice = 2 THEN day END) AS BIGINT)
+       |    AS n_files_scanned,
+       |  CAST(count(DISTINCT day || '/' || CAST(slice AS VARCHAR)) AS BIGINT)
+       |    AS n_files_total FROM sliced)
+       |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(_cdc_lsn) AS lsn_min, max(_cdc_lsn) AS lsn_max,
+       |  n_files_scanned, n_files_total
+       |FROM sliced, counts WHERE slice = 2
+       |GROUP BY day, n_files_scanned, n_files_total ORDER BY day""".stripMargin
+
   // ---- metadata tables (Q6): $files — the per-file manifest listing
   // (ref types.go:78-103 DataFile; Trino's "$files") measured ENTIRELY
   // from the commit log: per-day file counts, footer-summed row counts
@@ -1209,6 +1255,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
     GraftQuery("cdc_table_files", tableFiles, Some(tableFilesSql)),
+    GraftQuery("cdc_file_skipping", fileSkipping, Some(fileSkippingSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

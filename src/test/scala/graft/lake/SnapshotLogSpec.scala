@@ -265,6 +265,28 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
   }
 
+  test("pruneByLsn skips files from manifest bounds; missing bounds never skip") {
+    val dir = Files.createTempDirectory("graft-snaplog-prune").toString + "/t"
+    // one file per commit (coalesce) so bounds-per-file are deterministic
+    commitRows(dir, rows(1, 2, 3).coalesce(1), "append")    // bounds [..1, ..3]
+    commitRows(dir, rows(10, 11, 12).coalesce(1), "append") // bounds [..10, ..12]
+    commitRows(dir, rows(20, 21).coalesce(1), "append")     // bounds [..20, ..21]
+    val sn = SnapshotLog.currentSnapshot(spark, dir).get
+    def lsn(i: Long) = f"$i%016d"
+    // middle window: only commit 2's file overlaps
+    val mid = SnapshotLog.pruneByLsn(sn, lsn(5), lsn(15))
+    assert(mid.size === 1 && mid.head.minLsn === Some(lsn(10)))
+    assert(idsOf(SnapshotLog.readLsnRange(spark, dir, sn, lsn(5), lsn(15)))
+      === Seq(10L, 11L, 12L))
+    // boundary inclusivity: a window ending exactly at a file's min keeps it
+    assert(SnapshotLog.pruneByLsn(sn, lsn(3), lsn(10)).size === 2)
+    // empty window between commits skips everything
+    assert(SnapshotLog.pruneByLsn(sn, lsn(13), lsn(19)).isEmpty)
+    // a file without recorded bounds is never skipped
+    val blind = sn.copy(files = sn.files.map(_.copy(minLsn = None, maxLsn = None)))
+    assert(SnapshotLog.pruneByLsn(blind, lsn(13), lsn(19)).size === sn.files.size)
+  }
+
   test("unpartitioned compact folds the whole file set into one file") {
     val dir = Files.createTempDirectory("graft-snaplog-cmpu").toString + "/t"
     commitRows(dir, rows(1), "append")
