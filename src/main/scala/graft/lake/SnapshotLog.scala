@@ -217,6 +217,15 @@ object SnapshotLog {
       .map { case (_, p) => fromJson(readFully(fs, p)) }
   }
 
+  /** Resolve the newest snapshot committed at or before `tsMs` —
+    * Iceberg's `FOR TIMESTAMP AS OF` against the commit log (commit
+    * wall-clocks are recorded in each manifest; ids and timestamps are
+    * both monotone, so the newest qualifying id is the right state).
+    * None if the oldest retained snapshot is already newer. */
+  def snapshotAsOfTime(spark: SparkSession, tableDir: String,
+                       tsMs: Long): Option[Snapshot] =
+    snapshots(spark, tableDir).filter(_.tsMs <= tsMs).lastOption
+
   /** Resolve one historical snapshot — a single manifest read (the id is
     * the filename), not a history scan. */
   def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot = {

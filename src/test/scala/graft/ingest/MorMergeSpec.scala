@@ -77,6 +77,20 @@ class MorMergeSpec extends SparkTestBase {
     assert(s2.filter(col("user_id") === 2L).count() === 0L)
   }
 
+  test("MOR read plan: delete application is a broadcast join, data side never shuffles") {
+    val dir = Files.createTempDirectory("graft-morplan").toString + "/t"
+    CdcWriter.morMerge(spark, dir, env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 2L, 2.0, "INSERT", "2024-01-01")), Seq("user_id"))
+    CdcWriter.morMerge(spark, dir, env(
+      (2L, 5L, 0.0, "DELETE", "2024-01-02")), Seq("user_id"))
+    val plan = CdcWriter.read(spark, dir).queryExecution.executedPlan.toString
+    // the delete set is delta-sized and must broadcast; a sort-merge join
+    // here would shuffle the entire stored table per read at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stored table shuffled:\n$plan")
+  }
+
   test("foldDeletes materializes the delete set away; history stays exact; expire reclaims") {
     val dir = Files.createTempDirectory("graft-morfold").toString + "/t"
     CdcWriter.morMerge(spark, dir, env(

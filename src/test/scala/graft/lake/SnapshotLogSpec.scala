@@ -265,6 +265,22 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
   }
 
+  test("snapshotAsOfTime resolves the newest snapshot at or before the clock") {
+    val dir = Files.createTempDirectory("graft-snaplog-asof").toString + "/t"
+    val s1 = commitRows(dir, rows(1), "append")
+    val s2 = commitRows(dir, rows(2), "append")
+    // before the first commit: nothing to resolve
+    assert(SnapshotLog.snapshotAsOfTime(spark, dir, s1.tsMs - 1).isEmpty)
+    // exactly at / between / after commit times (ids and tsMs co-monotone)
+    // at s1's instant: s1 wins unless s2 landed on the same millisecond
+    // (tsMs has ms resolution; the id tiebreak picks the newest)
+    val atS1 = SnapshotLog.snapshotAsOfTime(spark, dir, s1.tsMs).map(_.id)
+    assert(atS1 === Some(if (s2.tsMs == s1.tsMs) s2.id else s1.id))
+    val mid = SnapshotLog.snapshotAsOfTime(spark, dir, s2.tsMs - 1).map(_.id)
+    if (s1.tsMs <= s2.tsMs - 1) assert(mid === Some(s1.id)) else assert(mid.isEmpty)
+    assert(SnapshotLog.snapshotAsOfTime(spark, dir, s2.tsMs + 1000).map(_.id) === Some(s2.id))
+  }
+
   test("pruneByLsn skips files from manifest bounds; missing bounds never skip") {
     val dir = Files.createTempDirectory("graft-snaplog-prune").toString + "/t"
     // one file per commit (coalesce) so bounds-per-file are deterministic
