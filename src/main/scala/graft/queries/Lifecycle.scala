@@ -467,6 +467,42 @@ object Lifecycle extends QueryModule {
        |  CAST(4 AS BIGINT) AS parent_id, user_id, event_id, value
        |FROM state WHERE snap_id = 2 ORDER BY user_id""".stripMargin
 
+  // ---- changelog scan (Iceberg's CDC-out surface) over the MOR
+  // fixture: the NET per-commit changes — each mor-merge's added files
+  // are its latest-per-key upserts, its delete keys minus upserted keys
+  // are net deletions (retraction markers). The oracle replays the same
+  // net-change rule per LSN slice; commit 1 emits no delete rows (no
+  // prior state, morMerge writes no delete file) — a changelog that
+  // invents deletions there, loses one, or mis-classifies an upsert
+  // fails the hash.
+  private def changelogQ(s: SparkSession, d: String): DataFrame = {
+    val dir = morDir(s, d)
+    graft.lake.SnapshotLog.readChangelog(s, dir, 0L, 3L)
+      .select(col("_change_snapshot_id").as("snap_id"),
+        col("_change_type").as("change"),
+        col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("snap_id"), col("user_id"))
+  }
+
+  private val changelogSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |sliced AS (SELECT *,
+       |  CASE WHEN _cdc_lsn <= '$SnapLsn1' THEN 1
+       |       WHEN _cdc_lsn <= '$SnapLsn2' THEN 2 ELSE 3 END AS slice
+       |  FROM envelope),
+       |latest AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY slice, user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn FROM sliced)
+       |  WHERE rn = 1)
+       |SELECT CAST(slice AS BIGINT) AS snap_id,
+       |  CASE WHEN _cdc_operation = 'DELETE' THEN 'delete' ELSE 'upsert' END AS change,
+       |  user_id,
+       |  CASE WHEN _cdc_operation = 'DELETE' THEN NULL ELSE event_id END AS event_id,
+       |  CASE WHEN _cdc_operation = 'DELETE' THEN NULL ELSE value END AS value
+       |FROM latest
+       |WHERE NOT (slice = 1 AND _cdc_operation = 'DELETE')
+       |ORDER BY snap_id, user_id""".stripMargin
+
   // ---- incremental append-scan (Iceberg's CDC-consumer read): rows
   // ADDED between two snapshot ids of the append fixture, resolved from
   // per-file sequence numbers — and the (1,4] range proves a "replace"
@@ -1251,6 +1287,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_mor_merge", morMergeQ, Some(morMergeSql)),
     GraftQuery("cdc_snapshot_rollback", snapshotRollback, Some(snapshotRollbackSql)),
     GraftQuery("cdc_incremental_read", incrementalRead, Some(incrementalReadSql)),
+    GraftQuery("cdc_changelog", changelogQ, Some(changelogSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),

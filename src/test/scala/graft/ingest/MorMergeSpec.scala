@@ -176,6 +176,36 @@ class MorMergeSpec extends SparkTestBase {
     assert(ex.getMessage.contains("non-append"))
   }
 
+  test("changelog: net per-commit upserts and deletes; rewrites refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-morcl").toString + "/t"
+    CdcWriter.morMerge(spark, dir, env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 2L, 2.0, "DELETE", "2024-01-01")), Seq("user_id")) // no prior state: no delete row
+    CdcWriter.morMerge(spark, dir, env(
+      (1L, 5L, 0.0, "DELETE", "2024-01-02"),
+      (3L, 6L, 3.0, "INSERT", "2024-01-02"),
+      (3L, 7L, 4.0, "UPDATE", "2024-01-02")), Seq("user_id"))
+    val cl = SnapshotLog.readChangelog(spark, dir, 0L, 2L)
+      .select($"_change_snapshot_id", $"_change_type", $"user_id",
+        $"event_id", $"value")
+      .as[(Long, String, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(cl === Seq(
+      (1L, "upsert", 1L, Some(1L), Some(1.0)),
+      (2L, "delete", 1L, None, None),
+      (2L, "upsert", 3L, Some(7L), Some(4.0))))
+    // a fold in the window is a no-op; a COW merge is refused
+    SnapshotLog.foldDeletes(spark, dir, Some(SchemaBuilder.partitionColumn))
+    assert(SnapshotLog.readChangelog(spark, dir, 0L, 3L)
+      .count() === 3L)
+    CdcWriter.merge(spark, dir, env(
+      (9L, 9L, 9.0, "INSERT", "2024-01-03")), Seq("user_id"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotLog.readChangelog(spark, dir, 0L, 4L)
+    }.getMessage.contains("non-append"))
+  }
+
   test("refusals: TRUNCATE deltas, unreadable widening, compact-with-deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-morrefuse").toString + "/t"
