@@ -232,8 +232,26 @@ object CdcWriter {
     val carried =
       if (untouched.isEmpty ||
         cur.forall(s => !needsPromotionCheck(s.schema, merged.schema))) untouched
-      else rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol,
-        cur.toSeq.flatMap(_.deletes))
+      else {
+        // equality-delete files store ONLY key columns; rewriteNarrow
+        // rewrites data files, not delete files. A promotion that hits a
+        // delete KEY column would leave delete files at the old physical
+        // type under a schema that can no longer read them — a committed
+        // but unreadable table. Refuse loudly; folding first retires the
+        // delete set and makes the widening merge clean.
+        val targetTypes = merged.schema.fields.map(f => f.name -> f.dataType).toMap
+        val rewriteCols = cur.toSeq.flatMap(_.schema.fields.collect {
+          case f if targetTypes.get(f.name).exists(tt =>
+            f.dataType != tt && !readableAs(f.dataType, tt)) => f.name
+        })
+        val delKeyCols = cur.toSeq.flatMap(_.deletes).flatMap(_.eqCols).distinct
+        val clash = rewriteCols.intersect(delKeyCols)
+        require(clash.isEmpty,
+          s"widening merge would rewrite delete key column(s) ${clash.mkString(", ")} " +
+            s"past their stored physical type in $tableDir — run foldDeletes first")
+        rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol,
+          cur.toSeq.flatMap(_.deletes))
+      }
     SnapshotLog.commit(spark, tableDir,
       if (truncLsn.isDefined) "truncate-merge" else "merge",
       carried ++ newFiles, merged.schema, parent = cur,
@@ -286,16 +304,22 @@ object CdcWriter {
         case None => upserts.schema
         case Some(s) =>
           val storedTypes = s.schema.fields.map(f => f.name -> f.dataType).toMap
-          upserts.schema.fields.foreach(f => storedTypes.get(f.name).foreach(st =>
-            require(st == f.dataType || readableAs(st, f.dataType),
-              s"MOR cannot widen ${f.name}: $st -> ${f.dataType} needs a " +
-                "physical rewrite — use merge()")))
-          // add-only evolution: new delta columns append; stored columns
-          // keep their slot, widened in place when the delta outgrew them
+          // per shared column: widen to the delta's type when stored files
+          // can be read under it; KEEP the stored type when the delta is
+          // merely narrower (its new files read fine under the stored
+          // schema — int files under a long column); refuse only when
+          // neither direction is a supported parquet upcast
           val widened = s.schema.fields.map { f =>
-            upserts.schema.fields.find(_.name == f.name)
-              .filter(uf => uf.dataType != f.dataType)
-              .map(uf => f.copy(dataType = uf.dataType)).getOrElse(f)
+            upserts.schema.fields.find(_.name == f.name) match {
+              case Some(uf) if uf.dataType == f.dataType => f
+              case Some(uf) if readableAs(f.dataType, uf.dataType) =>
+                f.copy(dataType = uf.dataType)
+              case Some(uf) if readableAs(uf.dataType, f.dataType) => f
+              case Some(uf) => throw new IllegalArgumentException(
+                s"MOR cannot reconcile ${f.name}: ${f.dataType} vs ${uf.dataType} " +
+                  "needs a physical rewrite — use merge()")
+              case None => f
+            }
           }
           org.apache.spark.sql.types.StructType(widened ++
             upserts.schema.fields.filterNot(f => storedTypes.contains(f.name)))

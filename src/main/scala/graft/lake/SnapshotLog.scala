@@ -198,6 +198,38 @@ object SnapshotLog {
       .sortBy(_.id)
   }
 
+  /** Retained snapshot ids, ascending — a pure FILENAME listing, no
+    * manifest is parsed. The window/history readers below resolve ids
+    * first and parse only the manifests they need: each manifest carries
+    * a full file list, so parsing all of them makes per-call driver cost
+    * grow with stream age (the same trap [[currentSnapshot]]'s O(1)
+    * resolution already avoids). */
+  def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+      case SnapRe(id) => Some(id.toLong)
+      case _          => None
+    }).sorted
+  }
+
+  /** Resolve the snapshots in `(fromId, toId]`, REQUIRING every id in the
+    * range to still be retained: an expired snapshot inside the window
+    * would make an incremental feed silently lose its changes (Iceberg's
+    * incremental-scan contract errors the same way). */
+  private def resolveWindow(spark: SparkSession, tableDir: String,
+                            fromId: Long, toId: Long): Seq[Snapshot] = {
+    val retained = snapshotIds(spark, tableDir)
+      .filter(id => id > fromId && id <= toId)
+    val missing = ((fromId + 1) to toId).filterNot(retained.contains)
+    require(missing.isEmpty,
+      s"snapshots ${missing.mkString(", ")} in ($fromId, $toId] are expired " +
+        s"or absent from $tableDir — the incremental feed would silently " +
+        "lose their changes")
+    retained.map(id => snapshotAt(spark, tableDir, id))
+  }
+
   /** Current = highest id. Resolution is O(1) manifest reads: the id is
     * in the FILENAME, so one listing picks the max and exactly one json
     * file is parsed — a streaming sink resolving before every trigger
@@ -220,11 +252,22 @@ object SnapshotLog {
   /** Resolve the newest snapshot committed at or before `tsMs` —
     * Iceberg's `FOR TIMESTAMP AS OF` against the commit log (commit
     * wall-clocks are recorded in each manifest; ids and timestamps are
-    * both monotone, so the newest qualifying id is the right state).
-    * None if the oldest retained snapshot is already newer. */
+    * both monotone, so a binary search over the id listing parses
+    * O(log history) manifests, not all of them). None if the oldest
+    * retained snapshot is already newer. */
   def snapshotAsOfTime(spark: SparkSession, tableDir: String,
-                       tsMs: Long): Option[Snapshot] =
-    snapshots(spark, tableDir).filter(_.tsMs <= tsMs).lastOption
+                       tsMs: Long): Option[Snapshot] = {
+    val ids = snapshotIds(spark, tableDir)
+    var lo = 0
+    var hi = ids.size - 1
+    var best: Option[Snapshot] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val s = snapshotAt(spark, tableDir, ids(mid))
+      if (s.tsMs <= tsMs) { best = Some(s); lo = mid + 1 } else hi = mid - 1
+    }
+    best
+  }
 
   /** Resolve one historical snapshot — a single manifest read (the id is
     * the filename), not a history scan. */
@@ -295,6 +338,12 @@ object SnapshotLog {
 
   // ---- data-file production
 
+  /** A committed parquet data file's name (not a _SUCCESS marker, dot
+    * file, or in-flight temp) — the one listing contract every
+    * data/delete-file producer shares. */
+  private def isParquetFile(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
   /** Per-file parquet footer stats: row count plus min/max of `statsCol`
     * (driver-side metadata read — never a data scan). */
   private def footerStats(conf: Configuration, file: Path, statsCol: String)
@@ -355,8 +404,7 @@ object SnapshotLog {
         val nm = st.getPath.getName
         if (st.isDirectory && nm.startsWith("_pday="))
           dataFiles(st.getPath, nm.stripPrefix("_pday="))
-        else if (st.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
-          !nm.startsWith(".")) {
+        else if (st.isFile && isParquetFile(nm)) {
           val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
           val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
           Seq(DataFile(relPath, partition, hive = false, rows,
@@ -380,18 +428,12 @@ object SnapshotLog {
     val dest = new Path(root, rel)
     keys.select(eqCols.map(col): _*).distinct()
       .repartition(1).write.parquet(dest.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .filter(st => st.isFile && isParquetFile(st.getPath.getName))
       .map { st =>
         val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
-        val rows = {
-          import org.apache.parquet.hadoop.ParquetFileReader
-          import org.apache.parquet.hadoop.util.HadoopInputFile
-          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-            st.getPath, spark.sparkContext.hadoopConfiguration))
-          try reader.getRecordCount finally reader.close()
-        }
+        val (rows, _, _) = footerStats(conf, st.getPath, eqCols.head)
         DeleteFile(relPath, eqCols, rows, st.getLen, seq = -1L)
       }
   }
@@ -440,8 +482,7 @@ object SnapshotLog {
     if (!fs.exists(root)) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val files = fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .filter(st => st.isFile && isParquetFile(st.getPath.getName))
       .map { st =>
         val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
         DataFile(st.getPath.getName, "", hive = false, rows, st.getLen, lo, hi)
@@ -665,8 +706,7 @@ object SnapshotLog {
   def readIncremental(spark: SparkSession, tableDir: String,
                       fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"incremental range ($fromId, $toId] is empty")
-    val window = snapshots(spark, tableDir)
-      .filter(s => s.id > fromId && s.id <= toId)
+    val window = resolveWindow(spark, tableDir, fromId, toId)
     val bad = window.filterNot(s =>
       s.operation == "append" || s.operation == "replace")
     require(bad.isEmpty,
@@ -702,8 +742,7 @@ object SnapshotLog {
   def readChangelog(spark: SparkSession, tableDir: String,
                     fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"changelog range ($fromId, $toId] is empty")
-    val window = snapshots(spark, tableDir)
-      .filter(s => s.id > fromId && s.id <= toId)
+    val window = resolveWindow(spark, tableDir, fromId, toId)
     val bad = window.filterNot(s =>
       Set("append", "mor-merge", "replace").contains(s.operation))
     require(bad.isEmpty,
@@ -741,12 +780,11 @@ object SnapshotLog {
     }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField("_change_snapshot_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("_change_type",
-              org.apache.spark.sql.types.StringType))).fields ++ schema.fields))
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("_change_snapshot_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)) ++ schema.fields))
     else parts.reduce(_ unionByName _)
   }
 

@@ -239,38 +239,42 @@ object Lifecycle extends QueryModule {
   private val SnapLsn1 = "0000000000000300"
   private val SnapLsn2 = "0000000000000600"
 
-  private val snapLogCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
-  // The three snapshot queries run CONCURRENTLY under Verify's thread
-  // pool, and this build APPENDS commits (not an idempotent overwrite
-  // like the stream fixtures) — TrieMap.getOrElseUpdate may evaluate the
-  // builder in several threads at once, so the build itself must be
-  // serialized or the log ends up with interleaved duplicate commits.
-  private val snapLogBuildLock = new Object
-
-  private def snapCommitDir(s: SparkSession, d: String): String = {
-    val key = (graft.SessionKeys(s), d)
-    snapLogCache.get(key).getOrElse(snapLogBuildLock.synchronized {
-      snapCommitBuild(s, d, key)
-    })
+  /** Commit-log fixture cache: builds must be MEMOIZED and SERIALIZED —
+    * the snapshot queries run concurrently under Verify's thread pool,
+    * and these builds APPEND commits (not an idempotent overwrite like
+    * the stream fixtures), so a double evaluation would interleave
+    * duplicate commits. One lock per cache keeps unrelated fixtures
+    * building in parallel; the double-checked get keeps warm re-measures
+    * lock-free. */
+  private final class FixtureCache(prefix: String) {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    private val lock = new Object
+    def dir(s: SparkSession, d: String)(build: String => Unit): String = {
+      val key = (graft.SessionKeys(s), d)
+      cache.get(key).getOrElse(lock.synchronized {
+        cache.getOrElseUpdate(key, {
+          val dir = scratchDir(s, prefix, d)
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          build(dir)
+          dir
+        })
+      })
+    }
   }
 
-  private def snapCommitBuild(s: SparkSession, d: String,
-                              key: (String, String)): String =
-    snapLogCache.getOrElseUpdate(key, {
-      val dir = scratchDir(s, "graft_snaplog", d)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+  private val snapLogFixture = new FixtureCache("graft_snaplog")
+
+  private def snapCommitDir(s: SparkSession, d: String): String =
+    snapLogFixture.dir(s, d) { dir =>
       val env = CdcQueries.envelope(s, d)
       val lsn = col(Cdc.LsnColumn)
       CdcWriter.merge(s, dir, env.filter(lsn <= SnapLsn1), Seq("user_id"))
       CdcWriter.merge(s, dir,
         env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
       CdcWriter.merge(s, dir, env.filter(lsn > SnapLsn2), Seq("user_id"))
-      dir
-    })
+    }
 
   /** Shared oracle prefix: per-snapshot state replay at each boundary. */
   private val snapStateSql =
@@ -318,35 +322,24 @@ object Lifecycle extends QueryModule {
   // the day, post = 1). A rewrite that loses rows, carries a replaced
   // file, or breaks the one-file-per-day-per-batch layout contract
   // fails the hash.
-  private val snapCompactCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private val snapCompactBuildLock = new Object
+  private val snapCompactFixture = new FixtureCache("graft_snapcompact")
 
-  private def snapCompactDir(s: SparkSession, d: String): String = {
-    val key = (graft.SessionKeys(s), d)
-    snapCompactCache.get(key).getOrElse(snapCompactBuildLock.synchronized {
-      snapCompactCache.getOrElseUpdate(key, {
-        val dir = scratchDir(s, "graft_snapcompact", d)
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        val env = CdcQueries.envelope(s, d)
-        val lsn = col(Cdc.LsnColumn)
-        CdcWriter.appendCommit(s, dir, env.filter(lsn <= SnapLsn1))
-        CdcWriter.appendCommit(s, dir,
-          env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2))
-        CdcWriter.appendCommit(s, dir, env.filter(lsn > SnapLsn2))
-        val compacted = graft.lake.SnapshotLog.compact(s, dir,
-          Some(graft.model.SchemaBuilder.partitionColumn), maxFiles = 1)
-        // the slice boundaries land mid-day at every SF, so at least one
-        // day collects 2+ files — if this ever degenerates the rewrite
-        // path silently un-exercises; fail the fixture, not the hash
-        require(compacted.nonEmpty,
-          s"no multi-file day to compact in $dir — fixture degenerate")
-        dir
-      })
-    })
-  }
+  private def snapCompactDir(s: SparkSession, d: String): String =
+    snapCompactFixture.dir(s, d) { dir =>
+      val env = CdcQueries.envelope(s, d)
+      val lsn = col(Cdc.LsnColumn)
+      CdcWriter.appendCommit(s, dir, env.filter(lsn <= SnapLsn1))
+      CdcWriter.appendCommit(s, dir,
+        env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2))
+      CdcWriter.appendCommit(s, dir, env.filter(lsn > SnapLsn2))
+      val compacted = graft.lake.SnapshotLog.compact(s, dir,
+        Some(graft.model.SchemaBuilder.partitionColumn), maxFiles = 1)
+      // the slice boundaries land mid-day at every SF, so at least one
+      // day collects 2+ files — if this ever degenerates the rewrite
+      // path silently un-exercises; fail the fixture, not the hash
+      require(compacted.nonEmpty,
+        s"no multi-file day to compact in $dir — fixture degenerate")
+    }
 
   private def snapshotCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -397,31 +390,20 @@ object Lifecycle extends QueryModule {
   // AS-OF-LSN replay — a delete that under- or over-applies (seq ranking
   // wrong, fold lossy, rollback carrying the wrong sets) fails the hash;
   // per-snapshot delete-file counts are MEASURED from the manifest.
-  private val morCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private val morBuildLock = new Object
+  private val morFixture = new FixtureCache("graft_morlog")
 
-  private def morDir(s: SparkSession, d: String): String = {
-    val key = (graft.SessionKeys(s), d)
-    morCache.get(key).getOrElse(morBuildLock.synchronized {
-      morCache.getOrElseUpdate(key, {
-        val dir = scratchDir(s, "graft_morlog", d)
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        val env = CdcQueries.envelope(s, d)
-        val lsn = col(Cdc.LsnColumn)
-        CdcWriter.morMerge(s, dir, env.filter(lsn <= SnapLsn1), Seq("user_id"))
-        CdcWriter.morMerge(s, dir,
-          env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
-        CdcWriter.morMerge(s, dir, env.filter(lsn > SnapLsn2), Seq("user_id"))
-        graft.lake.SnapshotLog.foldDeletes(s, dir,
-          Some(graft.model.SchemaBuilder.partitionColumn))
-        graft.lake.SnapshotLog.rollback(s, dir, 2L)
-        dir
-      })
-    })
-  }
+  private def morDir(s: SparkSession, d: String): String =
+    morFixture.dir(s, d) { dir =>
+      val env = CdcQueries.envelope(s, d)
+      val lsn = col(Cdc.LsnColumn)
+      CdcWriter.morMerge(s, dir, env.filter(lsn <= SnapLsn1), Seq("user_id"))
+      CdcWriter.morMerge(s, dir,
+        env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
+      CdcWriter.morMerge(s, dir, env.filter(lsn > SnapLsn2), Seq("user_id"))
+      graft.lake.SnapshotLog.foldDeletes(s, dir,
+        Some(graft.model.SchemaBuilder.partitionColumn))
+      graft.lake.SnapshotLog.rollback(s, dir, 2L)
+    }
 
   private def morMergeQ(s: SparkSession, d: String): DataFrame = {
     val dir = morDir(s, d)

@@ -206,6 +206,44 @@ class MorMergeSpec extends SparkTestBase {
     }.getMessage.contains("non-append"))
   }
 
+  test("COW widening of a delete KEY column on a MOR table is refused (fold first)") {
+    val dir = Files.createTempDirectory("graft-morwiden").toString + "/t"
+    CdcWriter.morMerge(spark, dir, env(
+      (1L, 1L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 2L, 2.0, "INSERT", "2024-01-02")), Seq("user_id"))
+    CdcWriter.morMerge(spark, dir, env(
+      (2L, 5L, 0.0, "DELETE", "2024-01-03")), Seq("user_id"))
+    // widening user_id long->double would rewrite data files but STRAND
+    // the delete files at int64 under a double key schema — every later
+    // read would crash on a committed table; the merge must refuse
+    val widen = env((9L, 9L, 9.0, "INSERT", "2024-01-05"))
+      .withColumn("user_id", col("user_id").cast("double"))
+    assert(intercept[IllegalArgumentException] {
+      CdcWriter.merge(spark, dir, widen, Seq("user_id"))
+    }.getMessage.contains("foldDeletes"))
+    // after a fold the same widening merge is clean
+    SnapshotLog.foldDeletes(spark, dir, Some(SchemaBuilder.partitionColumn))
+    CdcWriter.merge(spark, dir, widen, Seq("user_id"))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.schema("user_id").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("an expired snapshot inside an incremental window fails loudly, not silently") {
+    val dir = Files.createTempDirectory("graft-morexp").toString + "/t"
+    CdcWriter.appendCommit(spark, dir, env((1L, 1L, 1.0, "INSERT", "2024-01-01")))
+    CdcWriter.appendCommit(spark, dir, env((2L, 2L, 2.0, "INSERT", "2024-01-01")))
+    CdcWriter.appendCommit(spark, dir, env((3L, 3L, 3.0, "INSERT", "2024-01-01")))
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    // a consumer that fell behind must hear "your window is gone", not
+    // receive a feed silently missing snapshot 2's rows
+    assert(intercept[IllegalArgumentException] {
+      SnapshotLog.readIncremental(spark, dir, 1L, 3L)
+    }.getMessage.contains("expired"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotLog.readChangelog(spark, dir, 1L, 3L)
+    }.getMessage.contains("expired"))
+  }
+
   test("refusals: TRUNCATE deltas, unreadable widening, compact-with-deletes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-morrefuse").toString + "/t"
@@ -227,7 +265,16 @@ class MorMergeSpec extends SparkTestBase {
       .withColumn("event_id", col("event_id").cast("double"))
     assert(intercept[IllegalArgumentException] {
       CdcWriter.morMerge(spark, dir, widening, Seq("user_id"))
-    }.getMessage.contains("widen"))
+    }.getMessage.contains("reconcile"))
+
+    // a merely NARROWER delta is fine: its int files read under the
+    // stored long column; the schema keeps the stored (wider) type
+    val narrower = env((3L, 6L, 6.0, "INSERT", "2024-01-03"))
+      .withColumn("event_id", col("event_id").cast("int"))
+    val sn = CdcWriter.morMerge(spark, dir, narrower, Seq("user_id"))
+    assert(sn.schema("event_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(state(dir).contains((3L, 6L, 6.0)))
 
     assert(intercept[IllegalArgumentException] {
       SnapshotLog.compact(spark, dir, Some(SchemaBuilder.partitionColumn), maxFiles = 1)
