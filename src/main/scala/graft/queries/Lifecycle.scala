@@ -449,6 +449,63 @@ object Lifecycle extends QueryModule {
        |  CAST(4 AS BIGINT) AS parent_id, user_id, event_id, value
        |FROM state WHERE snap_id = 2 ORDER BY user_id""".stripMargin
 
+  // ---- checkpointed incremental CONSUMER over the commit log (the
+  // lake as a streaming source — Iceberg's streaming read): polls
+  // advance by snapshot id with the offset committed AFTER the batch
+  // lands, and a crash INJECTED between the two proves the contract —
+  // the replayed window overwrites the same per-window output, so
+  // at-least-once delivery + an idempotent sink reads back exactly-once.
+  // The oracle replays the full envelope: a lost window, a double-applied
+  // replay, or a poll that read uncommitted files fails the hash.
+  private def logConsume(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotConsumer
+    val env = CdcQueries.envelope(s, d)
+    val lsn = col(Cdc.LsnColumn)
+    val base = scratchDir(s, "graft_logconsume", d)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val (src, ckpt, out) = (s"$base/t", s"$base/ckpt", s"$base/out")
+    def sink(b: DataFrame, from: Long, to: Long): Unit =
+      b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/w_${from}_$to")
+    CdcWriter.appendCommit(s, src, env.filter(lsn <= SnapLsn1))
+    // poll 1 crashes AFTER the batch lands, BEFORE the offset commits
+    val crashed = intercept(
+      SnapshotConsumer.pollOnce(s, src, ckpt) { (b, f, t) =>
+        sink(b, f, t); throw new IllegalStateException("injected consumer crash")
+      })
+    require(crashed, "expected the injected crash to abort poll 1")
+    // poll 2 replays the WHOLE window idempotently (same out dir)
+    require(SnapshotConsumer.pollOnce(s, src, ckpt)(sink).contains((0L, 1L)),
+      "replay poll must re-process the crashed window")
+    CdcWriter.appendCommit(s, src, env.filter(lsn > SnapLsn1))
+    require(SnapshotConsumer.pollOnce(s, src, ckpt)(sink).contains((1L, 2L)),
+      "second poll must consume only the new commit")
+    // drained: nothing new to poll
+    require(SnapshotConsumer.pollOnce(s, src, ckpt)((_, _, _) => ()).isEmpty,
+      "a drained consumer must return None")
+    // explicit window dirs, not a glob: FileStreamSink's metadata probe
+    // logs a scary (benign) FileNotFoundException stack for glob paths
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val windows = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(outPath).map(_.getPath.toString).toSeq.sorted
+    s.read.parquet(windows: _*)
+      .groupBy(col("_cdc_date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        max(col(Cdc.LsnColumn)).as("lsn_max"))
+      .orderBy(col("day"))
+  }
+
+  private def intercept(body: => Any): Boolean =
+    try { body; false }
+    catch { case e: IllegalStateException => e.getMessage.contains("injected") }
+
+  private val logConsumeSql =
+    s"""WITH envelope AS ($envelopeSql)
+       |SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
+       |FROM envelope GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- changelog scan (Iceberg's CDC-out surface) over the MOR
   // fixture: the NET per-commit changes — each mor-merge's added files
   // are its latest-per-key upserts, its delete keys minus upserted keys
@@ -1270,6 +1327,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_snapshot_rollback", snapshotRollback, Some(snapshotRollbackSql)),
     GraftQuery("cdc_incremental_read", incrementalRead, Some(incrementalReadSql)),
     GraftQuery("cdc_changelog", changelogQ, Some(changelogSql)),
+    GraftQuery("cdc_log_consume", logConsume, Some(logConsumeSql)),
     GraftQuery("cdc_snapshots", snapshotsQ, Some(snapshotsSql)),
     GraftQuery("cdc_table_history", tableHistory, Some(tableHistorySql)),
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
