@@ -269,6 +269,61 @@ object SnapshotLog {
     best
   }
 
+  // ---- named refs (Iceberg tags): a tag pins a snapshot id under a
+  // name and PROTECTS it from expiry — the retention story for "the
+  // snapshot we trained run X against".
+
+  private val TagRe = "ref-(.+)\\.json".r
+
+  /** Pin `name` to snapshot `id` (must be retained). Re-tagging replaces
+    * the pin atomically; both steps run under the table lock so a
+    * concurrent expire never sees a half-replaced ref. */
+  def tag(spark: SparkSession, tableDir: String, name: String, id: Long): Unit =
+    withTableLock(tableDir) {
+      snapshotAt(spark, tableDir, id) // throws if not retained
+      require(name.matches("[A-Za-z0-9_.-]+"), s"invalid tag name: $name")
+      val (fs, root) = fsOf(spark, tableDir)
+      val md = metaDir(root)
+      fs.mkdirs(md)
+      val tmp = new Path(md, s".tmp-ref-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(s"""{"name":"$name","snapshot_id":$id}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(md, s"ref-$name.json")
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"lost tag race for $dst")
+      }
+    }
+
+  /** All tags: name → pinned snapshot id. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return Map.empty
+    fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+      case TagRe(name) =>
+        val n = mapper.readTree(readFully(fs, st.getPath))
+        Some(name -> n.get("snapshot_id").asLong())
+      case _ => None
+    }).toMap
+  }
+
+  /** Resolve a tag to its pinned snapshot. */
+  def snapshotAtTag(spark: SparkSession, tableDir: String, name: String): Snapshot =
+    tags(spark, tableDir).get(name) match {
+      case Some(id) => snapshotAt(spark, tableDir, id)
+      case None => throw new NoSuchElementException(s"no tag $name in $tableDir")
+    }
+
+  def dropTag(spark: SparkSession, tableDir: String, name: String): Unit =
+    withTableLock(tableDir) {
+      val (fs, root) = fsOf(spark, tableDir)
+      fs.delete(new Path(metaDir(root), s"ref-$name.json"), false)
+    }
+
   /** Resolve one historical snapshot — a single manifest read (the id is
     * the filename), not a history scan. */
   def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot = {
@@ -790,24 +845,27 @@ object SnapshotLog {
 
   // ---- retention
 
-  /** Expire all but the newest `keepLast` snapshots and delete every
+  /** Expire all but the newest `keepLast` snapshots — TAGGED snapshots
+    * are always kept (Iceberg ref retention) — and delete every
     * unreferenced file under the table dir (old data files, crashed
-    * writers' debris, un-renamed temp manifests). Returns the number of
-    * data files deleted. Runs under the table lock. */
+    * writers' debris, un-renamed temp manifests/refs). Returns the
+    * number of data files deleted. Runs under the table lock. */
   def expire(spark: SparkSession, tableDir: String, keepLast: Int): Int =
     withTableLock(tableDir) {
       require(keepLast >= 1, s"must keep at least the current snapshot")
       val (fs, root) = fsOf(spark, tableDir)
       val all = snapshots(spark, tableDir)
       if (all.isEmpty) return 0
-      val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+      val tagged = tags(spark, tableDir).values.toSet
+      val newest = all.takeRight(keepLast).map(_.id).toSet
+      val (keep, drop) = all.partition(s => newest(s.id) || tagged(s.id))
       val live: Set[String] =
         keep.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
       val md = metaDir(root)
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
-      // temp manifests from crashed commits
+      // temp manifests/refs from crashed commits and tag writes
       fs.listStatus(md).foreach(st =>
-        if (st.getPath.getName.startsWith(".tmp-snap-")) fs.delete(st.getPath, false))
+        if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false))
       var deleted = 0
       def sweep(dir: Path): Boolean = { // returns true if dir is now empty
         var empty = true

@@ -403,6 +403,7 @@ object Lifecycle extends QueryModule {
       graft.lake.SnapshotLog.foldDeletes(s, dir,
         Some(graft.model.SchemaBuilder.partitionColumn))
       graft.lake.SnapshotLog.rollback(s, dir, 2L)
+      graft.lake.SnapshotLog.tag(s, dir, "pre-fold", 2L)
     }
 
   private def morMergeQ(s: SparkSession, d: String): DataFrame = {
@@ -431,6 +432,25 @@ object Lifecycle extends QueryModule {
        |SELECT f.snap_id, d.n_delete_files, f.user_id, f.event_id, f.value
        |FROM full_state f JOIN dcounts d USING (snap_id)
        |ORDER BY snap_id, user_id""".stripMargin
+
+  // named ref (Iceberg tag): "pre-fold" pins snapshot 2 — resolution
+  // goes name → pinned id → manifest → file+delete sets, so the state
+  // read through the tag must equal the snapshot-2 replay exactly.
+  private def snapshotTag(s: SparkSession, d: String): DataFrame = {
+    val dir = morDir(s, d)
+    import graft.lake.SnapshotLog
+    val sn = SnapshotLog.snapshotAtTag(s, dir, "pre-fold")
+    SnapshotLog.read(s, dir, sn).select(
+      lit("pre-fold").as("tag"), lit(sn.id).as("snapshot_id"),
+      col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val snapshotTagSql =
+    s"""$snapStateSql
+       |SELECT 'pre-fold' AS tag, CAST(2 AS BIGINT) AS snapshot_id,
+       |  user_id, event_id, value
+       |FROM state WHERE snap_id = 2 ORDER BY user_id""".stripMargin
 
   private def snapshotRollback(s: SparkSession, d: String): DataFrame = {
     val dir = morDir(s, d)
@@ -1325,6 +1345,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_snapshot_compact", snapshotCompact, Some(snapshotCompactSql)),
     GraftQuery("cdc_mor_merge", morMergeQ, Some(morMergeSql)),
     GraftQuery("cdc_snapshot_rollback", snapshotRollback, Some(snapshotRollbackSql)),
+    GraftQuery("cdc_snapshot_tag", snapshotTag, Some(snapshotTagSql)),
     GraftQuery("cdc_incremental_read", incrementalRead, Some(incrementalReadSql)),
     GraftQuery("cdc_changelog", changelogQ, Some(changelogSql)),
     GraftQuery("cdc_log_consume", logConsume, Some(logConsumeSql)),

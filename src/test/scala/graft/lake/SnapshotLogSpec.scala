@@ -265,6 +265,31 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
   }
 
+  test("tags pin snapshots through expiry; drop releases them") {
+    val dir = Files.createTempDirectory("graft-snaplog-tags").toString + "/t"
+    // non-carrying commits: each snapshot references ONLY its own file,
+    // so surviving expiry genuinely requires the tag to protect bytes
+    commitRows(dir, rows(1), "append")
+    commitRows(dir, rows(2), "append", carry = false)
+    commitRows(dir, rows(3), "append", carry = false)
+    SnapshotLog.tag(spark, dir, "run-x", 1L)
+    // expire keeps the newest AND the tagged snapshot, with its files
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 3L))
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.snapshotAtTag(spark, dir, "run-x"))) === Seq(1L))
+    // re-tag moves the pin atomically; dropping releases it to expiry
+    SnapshotLog.tag(spark, dir, "run-x", 3L)
+    assert(SnapshotLog.tags(spark, dir) === Map("run-x" -> 3L))
+    SnapshotLog.dropTag(spark, dir, "run-x")
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(3L))
+    // guard rails: unknown target id, invalid name, unknown tag
+    assertThrows[NoSuchElementException](SnapshotLog.tag(spark, dir, "t", 99L))
+    assertThrows[IllegalArgumentException](SnapshotLog.tag(spark, dir, "a/b", 3L))
+    assertThrows[NoSuchElementException](SnapshotLog.snapshotAtTag(spark, dir, "gone"))
+  }
+
   test("snapshotAsOfTime resolves the newest snapshot at or before the clock") {
     val dir = Files.createTempDirectory("graft-snaplog-asof").toString + "/t"
     val s1 = commitRows(dir, rows(1), "append")
