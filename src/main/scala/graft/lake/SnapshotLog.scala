@@ -62,11 +62,17 @@ object SnapshotLog {
     * strictly LOWER seq, which is what lets an upsert's new row and its
     * own delete coexist in one commit. -1 = "added by the commit in
     * flight" ([[commit]] stamps the real id); 0 = pre-seq legacy, which
-    * every delete outranks. */
+    * every delete outranks.
+    * `statsCol` names the column `minLsn`/`maxLsn` describe (None = the
+    * LSN column, the pre-statsCol manifest default) — a clustered rewrite
+    * ([[clusterBy]]) records bounds of its sort column instead, and
+    * pruning only trusts bounds recorded FOR the queried column. */
   final case class DataFile(path: String, partition: String, hive: Boolean,
                             rows: Long, sizeBytes: Long,
                             minLsn: Option[String], maxLsn: Option[String],
-                            seq: Long = 0L)
+                            seq: Long = 0L, statsCol: Option[String] = None) {
+    def boundsColumn: String = statsCol.getOrElse(graft.ingest.Cdc.LsnColumn)
+  }
 
   /** One equality-delete file (Iceberg v2 merge-on-read): a parquet file
     * of key tuples under `eqCols`; at read time a key's rows are dropped
@@ -83,9 +89,11 @@ object SnapshotLog {
                             deletes: Seq[DeleteFile] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
-    def lsnWatermark: Option[String] =
-      if (files.exists(_.maxLsn.isDefined)) Some(files.flatMap(_.maxLsn).max)
-      else None
+    def lsnWatermark: Option[String] = {
+      val lsnFiles = files.filter(f =>
+        f.boundsColumn == graft.ingest.Cdc.LsnColumn && f.maxLsn.isDefined)
+      if (lsnFiles.nonEmpty) Some(lsnFiles.flatMap(_.maxLsn).max) else None
+    }
   }
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
@@ -130,6 +138,7 @@ object SnapshotLog {
       f.minLsn.foreach(fo.put("min_lsn", _))
       f.maxLsn.foreach(fo.put("max_lsn", _))
       fo.put("seq", f.seq)
+      f.statsCol.foreach(fo.put("stats_col", _))
     }
     if (s.deletes.nonEmpty) {
       val darr = o.putArray("deletes")
@@ -158,7 +167,8 @@ object SnapshotLog {
             f.get("hive").asBoolean(), f.get("rows").asLong(),
             f.get("size_bytes").asLong(),
             optText(f, "min_lsn"), optText(f, "max_lsn"),
-            Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
+            Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
+            optText(f, "stats_col"))
         }
       case _ => Seq.empty
     }
@@ -463,7 +473,7 @@ object SnapshotLog {
           val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
           val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
           Seq(DataFile(relPath, partition, hive = false, rows,
-            st.getLen, lo, hi, seq = -1L))
+            st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol)))
         } else Seq.empty
       }
     dataFiles(dest, "")
@@ -512,7 +522,7 @@ object SnapshotLog {
         .map { st =>
           val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
           DataFile(s"${d.getPath.getName}/${st.getPath.getName}", day,
-            hive = true, rows, st.getLen, lo, hi)
+            hive = true, rows, st.getLen, lo, hi, statsCol = Some(statsCol))
         }
     }
     // day dirs holding no data files (crashed/cleaned writers leave
@@ -540,7 +550,8 @@ object SnapshotLog {
       .filter(st => st.isFile && isParquetFile(st.getPath.getName))
       .map { st =>
         val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
-        DataFile(st.getPath.getName, "", hive = false, rows, st.getLen, lo, hi)
+        DataFile(st.getPath.getName, "", hive = false, rows, st.getLen, lo, hi,
+          statsCol = Some(statsCol))
       }
     if (files.isEmpty) None
     else Some(commit(spark, tableDir, "import", files, schema, parent = None))
@@ -640,9 +651,39 @@ object SnapshotLog {
     * overlap is necessary, not sufficient. */
   def pruneByLsn(snap: Snapshot, lo: String, hi: String): Seq[DataFile] =
     snap.files.filter(f => (f.minLsn, f.maxLsn) match {
-      case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
-      case _                    => true
+      case (Some(mn), Some(mx))
+        if f.boundsColumn == graft.ingest.Cdc.LsnColumn =>
+        mn <= hi && mx >= lo
+      case _ => true // bounds absent or for another column: never skip
     })
+
+  /** Manifest-level file skipping by NUMERIC range on an arbitrary data
+    * column: keeps the files of `snap` whose recorded `[min, max]` for
+    * `column` overlaps the closed `[lo, hi]` — compared as numbers (the
+    * stored bounds are footer stats rendered to strings; LSNs compare
+    * lexically because they are zero-padded, data columns must not).
+    * Files whose bounds describe a DIFFERENT column, or carry no bounds,
+    * are always kept — skipping is an optimization, never a correctness
+    * shortcut. Selective only after [[clusterBy]] makes per-file ranges
+    * disjoint; on ingest-ordered files every range overlaps everything. */
+  def pruneByStats(snap: Snapshot, column: String,
+                   lo: BigDecimal, hi: BigDecimal): Seq[DataFile] =
+    snap.files.filter(f => (f.minLsn, f.maxLsn) match {
+      case (Some(mn), Some(mx)) if f.boundsColumn == column =>
+        BigDecimal(mn) <= hi && BigDecimal(mx) >= lo
+      case _ => true
+    })
+
+  /** Read exactly the files [[pruneByStats]] selects under the snapshot's
+    * schema. Callers still apply the row-level predicate — bounds overlap
+    * is necessary, not sufficient. */
+  def readStatsRange(spark: SparkSession, tableDir: String, snap: Snapshot,
+                     column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    require(snap.deletes.isEmpty,
+      s"readStatsRange on a deletes-bearing snapshot of $tableDir — " +
+        "fold deletes first or use read()")
+    readFiles(spark, tableDir, snap.schema, pruneByStats(snap, column, lo, hi))
+  }
 
   /** Read exactly the files [[pruneByLsn]] selects under the snapshot's
     * schema (delete application is the caller's concern — the gated use
@@ -713,6 +754,58 @@ object SnapshotLog {
         parent = Some(cur))
       oversized
     }
+
+  /** Rewrite the WHOLE table range-clustered by `sortCol` and commit the
+    * result as a "replace" snapshot whose per-file manifest bounds
+    * describe `sortCol` — Iceberg's `rewrite_data_files` with a sort
+    * strategy, the step that turns [[pruneByStats]] from a no-op into
+    * real scan planning: ingest-ordered files each span the full value
+    * range (every range query reads everything), clustered files own
+    * disjoint ranges (a range query reads only the overlapping buckets).
+    *
+    * `splits` are explicit ascending bucket boundaries; row → bucket is
+    * `count(splits <= value)` — a DETERMINISTIC transform, deliberately
+    * not `repartitionByRange` (whose sampled boundaries differ run to
+    * run, making file layouts and prune counts unreproducible). At 100 TB
+    * the splits come from `approxQuantile` on a sample or from the
+    * previous manifest's bounds; the rewrite itself is ONE distributed
+    * job (bucket id is a hidden dir-partition through [[writeData]], so
+    * each bucket lands in its own file), and per-bucket skew is visible
+    * in the manifest as file sizes. Null sort values bucket to 0 and are
+    * never selected by a range predicate, so pruning them away with
+    * bucket 0 is sound. Old snapshots keep exact time travel; replaced
+    * bytes are reclaimed by [[expire]].
+    *
+    * The bucket column is written inline under a reserved name but the
+    * committed schema is unchanged — readers project it away (Iceberg
+    * hidden partitioning: the transform is table layout, not table
+    * schema). */
+  def clusterBy(spark: SparkSession, tableDir: String, sortCol: String,
+                splits: Seq[Double]): Snapshot =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      require(cur.deletes.isEmpty,
+        s"$tableDir carries equality deletes; run foldDeletes before clusterBy")
+      require(splits.nonEmpty && splits == splits.sorted &&
+        splits.distinct.size == splits.size,
+        s"splits must be ascending and distinct: $splits")
+      require(cur.schema.fieldNames.contains(sortCol),
+        s"sort column $sortCol not in schema of $tableDir")
+      val state = read(spark, tableDir, cur)
+      val bucket = splits.foldLeft(lit(0)) { (acc, sp) =>
+        acc + when(col(sortCol) >= lit(sp), 1).otherwise(0)
+      }
+      val tagged = state.withColumn(ClusterBucketCol,
+        format_string("%04d", bucket))
+      val files = writeData(spark, tableDir, tagged, Some(ClusterBucketCol),
+        statsCol = sortCol)
+      commit(spark, tableDir, "replace", files, cur.schema,
+        parent = Some(cur))
+    }
+
+  /** Reserved hidden-partition column name [[clusterBy]] writes under. */
+  val ClusterBucketCol = "_cluster_bucket"
 
   /** Fold the live equality-delete set into clean data files: materialize
     * the current state (deletes applied), rewrite it whole, and commit a

@@ -704,6 +704,88 @@ object Lifecycle extends QueryModule {
        |FROM sliced, counts WHERE slice = 2
        |GROUP BY day, n_files_scanned, n_files_total ORDER BY day""".stripMargin
 
+  // ---- range-clustered rewrite + data-column file skipping (Iceberg
+  // rewrite_data_files with a sort strategy): 3 ingest-ordered appends
+  // (event_id mod 3, so every file spans the full `value` range — stats
+  // exist but prune NOTHING: before_scanned == before_total), then
+  // clusterBy(value) rewrites the table into range-disjoint bucket files.
+  // The same closed range [100, 200] now restricts the scan to exactly
+  // the overlapping buckets — scanned/total counts on BOTH sides of the
+  // rewrite are MEASURED from the manifest and hash-checked (the oracle
+  // recomputes before-counts from per-slice min/max and after-counts from
+  // bucket membership, which coincides with bounds overlap exactly
+  // because the query endpoints are split points). The per-bucket row
+  // content proves the pruned read is still complete.
+  private val clusterFixture = new FixtureCache("graft_cluster")
+  private val ClusterSplits = Seq(50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 400.0)
+
+  private def clusterDir(s: SparkSession, d: String): String =
+    clusterFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      SnapshotLog.withTableLock(dir) {
+        (0 until 3).foreach { k =>
+          val cur = SnapshotLog.currentSnapshot(s, dir)
+          val slice = ev.filter(col("event_id") % 3 === k).repartition(1)
+          val files = SnapshotLog.writeData(s, dir, slice,
+            partitionCol = None, statsCol = "value")
+          SnapshotLog.commit(s, dir, "append",
+            cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
+        }
+      }
+      SnapshotLog.clusterBy(s, dir, "value", ClusterSplits)
+    }
+
+  private def clusterSkipping(s: SparkSession, d: String): DataFrame = {
+    val dir = clusterDir(s, d)
+    import graft.lake.SnapshotLog
+    val (lo, hi) = (BigDecimal(100), BigDecimal(200))
+    val pre = SnapshotLog.snapshotAt(s, dir, 3L)
+    val post = SnapshotLog.currentSnapshot(s, dir).get
+    val beforeScanned = SnapshotLog.pruneByStats(pre, "value", lo, hi).size
+    val afterScanned = SnapshotLog.pruneByStats(post, "value", lo, hi).size
+    val bucket = ClusterSplits.foldLeft(lit(0)) { (acc, sp) =>
+      acc + when(col("value") >= lit(sp), 1).otherwise(0)
+    }
+    SnapshotLog.readStatsRange(s, dir, post, "value", lo, hi)
+      .filter(col("value").between(100, 200))
+      .groupBy(bucket.cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .select(col("bucket"), col("n_rows"), col("value_min"), col("value_max"),
+        lit(beforeScanned.toLong).as("n_before_scanned"),
+        lit(pre.files.size.toLong).as("n_before_total"),
+        lit(afterScanned.toLong).as("n_after_scanned"),
+        lit(post.files.size.toLong).as("n_after_total"))
+      .orderBy(col("bucket"))
+  }
+
+  private val clusterSkippingSql = {
+    val bucketSql = ClusterSplits.map(sp =>
+      s"(CASE WHEN value >= $sp THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+       |bucketed AS (SELECT *, CAST($bucketSql AS BIGINT) AS bucket FROM ev),
+       |slices AS (SELECT event_id % 3 AS slice, min(value) AS mn,
+       |  max(value) AS mx FROM ev GROUP BY 1),
+       |before_counts AS (SELECT
+       |  CAST(count(*) FILTER (WHERE mn <= 200 AND mx >= 100) AS BIGINT)
+       |    AS n_before_scanned,
+       |  CAST(count(*) AS BIGINT) AS n_before_total FROM slices),
+       |after_counts AS (SELECT
+       |  CAST(count(DISTINCT CASE WHEN value BETWEEN 100 AND 200
+       |    THEN bucket END) AS BIGINT) AS n_after_scanned,
+       |  CAST(count(DISTINCT bucket) AS BIGINT) AS n_after_total
+       |  FROM bucketed)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(value) AS value_min, max(value) AS value_max,
+       |  n_before_scanned, n_before_total, n_after_scanned, n_after_total
+       |FROM bucketed, before_counts, after_counts
+       |WHERE value BETWEEN 100 AND 200
+       |GROUP BY bucket, n_before_scanned, n_before_total, n_after_scanned,
+       |  n_after_total
+       |ORDER BY bucket""".stripMargin
+  }
+
   // ---- metadata tables (Q6): $files — the per-file manifest listing
   // (ref types.go:78-103 DataFile; Trino's "$files") measured ENTIRELY
   // from the commit log: per-day file counts, footer-summed row counts
@@ -1354,6 +1436,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_partitions", tablePartitions, Some(tablePartitionsSql)),
     GraftQuery("cdc_table_files", tableFiles, Some(tableFilesSql)),
     GraftQuery("cdc_file_skipping", fileSkipping, Some(fileSkippingSql)),
+    GraftQuery("cdc_cluster_skipping", clusterSkipping, Some(clusterSkippingSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

@@ -290,6 +290,43 @@ class SnapshotLogSpec extends SparkTestBase {
     assertThrows[NoSuchElementException](SnapshotLog.snapshotAtTag(spark, dir, "gone"))
   }
 
+  test("clusterBy makes per-file bounds disjoint; pruneByStats then skips") {
+    val dir = Files.createTempDirectory("graft-snaplog-cluster").toString + "/t"
+    // 3 ingest-ordered commits, each interleaving the full v range
+    // (v = id * 10): every file overlaps every range → zero skipping
+    commitRows(dir, rows(1, 10, 20), "append")
+    commitRows(dir, rows(2, 11, 21), "append")
+    commitRows(dir, rows(3, 12, 22), "append")
+    val pre = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(SnapshotLog.pruneByStats(pre, "v", 100, 150).size === pre.files.size)
+    // cluster on v: buckets [-inf,100) [100,200) [200,inf)
+    val sn = SnapshotLog.clusterBy(spark, dir, "v", Seq(100.0, 200.0))
+    assert(sn.operation === "replace")
+    // one file per non-empty bucket, all bounds tagged v and disjoint
+    assert(sn.files.size === 3)
+    assert(sn.files.forall(_.statsCol === Some("v")))
+    val bounds = sn.files.map(f => (BigDecimal(f.minLsn.get), BigDecimal(f.maxLsn.get)))
+      .sortBy(_._1)
+    assert(bounds.sliding(2).forall { case Seq((_, aMax), (bMin, _)) => aMax < bMin })
+    // range [100,150] now restricts to ONE file, and the read is complete
+    val hit = SnapshotLog.pruneByStats(sn, "v", 100, 150)
+    assert(hit.size === 1)
+    assert(idsOf(SnapshotLog.readStatsRange(spark, dir, sn, "v", 100, 150)
+      .filter(col("v").between(100, 150))) === Seq(10L, 11L, 12L))
+    // content preserved whole; bucket column is layout, not schema
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get)
+      === Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 22L))
+    assert(sn.schema.fieldNames.toSeq === pre.schema.fieldNames.toSeq)
+    // LSN pruning no longer trusts the v bounds (wrong-column guard):
+    // a narrow LSN window keeps every clustered file
+    assert(SnapshotLog.pruneByLsn(sn, f"${1L}%016d", f"${1L}%016d").size === 3)
+    // guard rails
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.clusterBy(spark, dir, "v", Seq(200.0, 100.0)))
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.clusterBy(spark, dir, "missing", Seq(1.0)))
+  }
+
   test("snapshotAsOfTime resolves the newest snapshot at or before the clock") {
     val dir = Files.createTempDirectory("graft-snaplog-asof").toString + "/t"
     val s1 = commitRows(dir, rows(1), "append")
