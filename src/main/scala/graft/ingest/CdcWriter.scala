@@ -70,7 +70,8 @@ object CdcWriter {
       val files = SnapshotLog.writeData(spark, tableDir, df, Some(pcol))
       SnapshotLog.commit(spark, tableDir, "append",
         cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur,
-        deletes = cur.toSeq.flatMap(_.deletes))
+        deletes = cur.toSeq.flatMap(_.deletes),
+        posDeletes = cur.toSeq.flatMap(_.posDeletes))
     }
   }
 
@@ -250,15 +251,19 @@ object CdcWriter {
           s"widening merge would rewrite delete key column(s) ${clash.mkString(", ")} " +
             s"past their stored physical type in $tableDir — run foldDeletes first")
         rewriteNarrow(spark, tableDir, untouched, merged.schema, pcol,
-          cur.toSeq.flatMap(_.deletes))
+          cur.toSeq.flatMap(_.deletes), cur.toSeq.flatMap(_.posDeletes))
       }
     SnapshotLog.commit(spark, tableDir,
       if (truncLsn.isDefined) "truncate-merge" else "merge",
       carried ++ newFiles, merged.schema, parent = cur,
       // carried (untouched-day) files still need the live delete set;
       // the rewritten files outrank every carried delete (higher seq)
-      // and were written deletes-applied, so carrying is exact
-      deletes = cur.toSeq.flatMap(_.deletes))
+      // and were written deletes-applied, so carrying is exact. The
+      // same holds for positional deletes: entries naming untouched
+      // files stay load-bearing, entries naming rewritten-away files
+      // miss the manifest join and are inert until a fold retires them.
+      deletes = cur.toSeq.flatMap(_.deletes),
+      posDeletes = cur.toSeq.flatMap(_.posDeletes))
     touched
   }
 
@@ -334,7 +339,8 @@ object CdcWriter {
           deltaLatest.select(keyCols.map(col): _*), keyCols)
       SnapshotLog.commit(spark, tableDir, "mor-merge",
         cur.toSeq.flatMap(_.files) ++ newFiles, schema, parent = cur,
-        deletes = cur.toSeq.flatMap(_.deletes) ++ delFiles)
+        deletes = cur.toSeq.flatMap(_.deletes) ++ delFiles,
+        posDeletes = cur.toSeq.flatMap(_.posDeletes))
     } finally deltaLatest.unpersist()
   }
 
@@ -388,7 +394,8 @@ object CdcWriter {
                             carried: Seq[graft.lake.SnapshotLog.DataFile],
                             target: org.apache.spark.sql.types.StructType,
                             pcol: String,
-                            liveDeletes: Seq[graft.lake.SnapshotLog.DeleteFile])
+                            liveDeletes: Seq[graft.lake.SnapshotLog.DeleteFile],
+                            livePosDeletes: Seq[graft.lake.SnapshotLog.PosDeleteFile] = Nil)
   : Seq[graft.lake.SnapshotLog.DataFile] = {
     import graft.lake.SnapshotLog
     import org.apache.spark.sql.types.StructType
@@ -402,15 +409,16 @@ object CdcWriter {
     val rewritten = narrow.groupBy(schemaOf).toSeq.flatMap { case (fsch, files) =>
       // read THESE files under their own physical types (target's field
       // set, the file's type where the file has the field), then cast up.
-      // Live equality deletes apply DURING the rewrite: the rewritten
-      // files get this commit's seq, which outranks every live delete —
+      // Live equality AND positional deletes apply DURING the rewrite:
+      // the rewritten files get this commit's seq (outranking every live
+      // eq delete) and fresh paths (missing every positional delete) —
       // rewriting a doomed row without dropping it here would resurrect
       // it (the carried delete no longer applies to the new file)
       val readSchema = StructType(target.fields.map(tf =>
         fsch.find(_.name == tf.name).map(ff => tf.copy(dataType = ff.dataType))
           .getOrElse(tf)))
       val snapLike = SnapshotLog.Snapshot(0L, None, 0L, "rewrite",
-        readSchema.json, files, liveDeletes)
+        readSchema.json, files, liveDeletes, livePosDeletes)
       val casted = SnapshotLog.read(spark, tableDir, snapLike)
         .select(target.fields.toSeq.map(tf =>
           col(tf.name).cast(tf.dataType).as(tf.name)): _*)

@@ -80,13 +80,24 @@ object SnapshotLog {
   final case class DeleteFile(path: String, eqCols: Seq[String], rows: Long,
                               sizeBytes: Long, seq: Long = 0L)
 
+  /** One positional-delete file (Iceberg v2): a parquet file of
+    * `(file: String, pos: Long)` rows naming exact dead row slots —
+    * `file` is a data-file path relative to the table dir, `pos` the row
+    * ordinal within that file. Position deletes target file IDENTITY, so
+    * they apply regardless of seq and become inert when the file is
+    * rewritten out (the rewrite materializes them first). */
+  final case class PosDeleteFile(path: String, rows: Long, sizeBytes: Long,
+                                 seq: Long = 0L)
+
   /** One committed table state (ref types.go:105-131 Snapshot).
-    * `deletes` is the live equality-delete set (empty for copy-on-write
-    * tables); [[read]] applies it transparently. */
+    * `deletes` is the live equality-delete set and `posDeletes` the live
+    * positional-delete set (both empty for copy-on-write tables);
+    * [[read]] applies both transparently. */
   final case class Snapshot(id: Long, parentId: Option[Long], tsMs: Long,
                             operation: String, schemaJson: String,
                             files: Seq[DataFile],
-                            deletes: Seq[DeleteFile] = Nil) {
+                            deletes: Seq[DeleteFile] = Nil,
+                            posDeletes: Seq[PosDeleteFile] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
     def lsnWatermark: Option[String] = {
@@ -152,6 +163,16 @@ object SnapshotLog {
         dob.put("seq", d.seq)
       }
     }
+    if (s.posDeletes.nonEmpty) {
+      val parr = o.putArray("pos_deletes")
+      s.posDeletes.foreach { p =>
+        val pob = parr.addObject()
+        pob.put("path", p.path)
+        pob.put("rows", p.rows)
+        pob.put("size_bytes", p.sizeBytes)
+        pob.put("seq", p.seq)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -185,10 +206,19 @@ object SnapshotLog {
         }
       case _ => Seq.empty[DeleteFile]
     }
+    val posDeletes = n.get("pos_deletes") match {
+      case arr: ArrayNode =>
+        (0 until arr.size()).map { i =>
+          val p = arr.get(i)
+          PosDeleteFile(p.get("path").asText(), p.get("rows").asLong(),
+            p.get("size_bytes").asLong(), p.get("seq").asLong())
+        }
+      case _ => Seq.empty[PosDeleteFile]
+    }
     Snapshot(n.get("id").asLong(),
       Option(n.get("parent_id")).map(_.asLong()),
       n.get("ts_ms").asLong(), n.get("operation").asText(),
-      n.get("schema").asText(), files, deletes)
+      n.get("schema").asText(), files, deletes, posDeletes)
   }
 
   // ---- resolution
@@ -372,7 +402,8 @@ object SnapshotLog {
   def commit(spark: SparkSession, tableDir: String, operation: String,
              files: Seq[DataFile], schema: StructType,
              parent: Option[Snapshot],
-             deletes: Seq[DeleteFile] = Nil): Snapshot = {
+             deletes: Seq[DeleteFile] = Nil,
+             posDeletes: Seq[PosDeleteFile] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, tableDir)
     val cur = currentSnapshot(spark, tableDir)
     if (cur.map(_.id) != parent.map(_.id))
@@ -384,7 +415,8 @@ object SnapshotLog {
     val snap = Snapshot(id, cur.map(_.id),
       System.currentTimeMillis(), operation, schema.json,
       files.map(f => if (f.seq < 0) f.copy(seq = id) else f),
-      deletes.map(d => if (d.seq < 0) d.copy(seq = id) else d))
+      deletes.map(d => if (d.seq < 0) d.copy(seq = id) else d),
+      posDeletes.map(p => if (p.seq < 0) p.copy(seq = id) else p))
     val md = metaDir(root)
     fs.mkdirs(md)
     val tmp = new Path(md, s".tmp-snap-${java.util.UUID.randomUUID()}")
@@ -503,6 +535,55 @@ object SnapshotLog {
       }
   }
 
+  /** DELETE FROM ... WHERE through positional deletes (Iceberg v2's
+    * DELETE path, complementing the CDC writers' equality deletes): scan
+    * the current file set with row lineage, record each matching row's
+    * exact `(data file, row ordinal)` slot in ONE new positional-delete
+    * file, and commit a "delete" snapshot that carries every manifest
+    * entry plus the new delete file. No data file is touched — the
+    * delete is O(matches) bytes, the Iceberg answer to "delete 0.01% of
+    * rows from a 100 TB table without rewriting a single data file".
+    * Returns None (no commit) when nothing matches.
+    *
+    * The predicate is evaluated on the RAW file contents — rows already
+    * dead under existing deletes may match again; the slots dedupe at
+    * read time. Old snapshots keep exact time travel (the rows were live
+    * then). [[foldDeletes]] is the maintenance rewrite that retires the
+    * accumulated delete set. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Option[Snapshot] =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val (fs, root) = fsOf(spark, tableDir)
+      val rootNorm = root.toUri.getPath
+      // lineage scan → matching slots, rebased to table-relative paths
+      // (the manifest's path form — stable if the table dir moves)
+      val hits = readFilesLineage(spark, tableDir, cur.schema, cur.files)
+        .filter(predicate)
+        .select(expr(s"substring(_abs, ${rootNorm.length + 2})").as("file"),
+          col("_pos").as("pos"))
+        .distinct()
+      val rel = s"data/${java.util.UUID.randomUUID()}"
+      val dest = new Path(root, rel)
+      hits.repartition(1).write.parquet(dest.toString)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val entries = fs.listStatus(dest).toSeq
+        .filter(st => st.isFile && isParquetFile(st.getPath.getName))
+        .map { st =>
+          val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
+          val (rows, _, _) = footerStats(conf, st.getPath, "pos")
+          PosDeleteFile(relPath, rows, st.getLen, seq = -1L)
+        }
+      if (entries.forall(_.rows == 0L)) { // nothing matched: no commit
+        fs.delete(dest, true)
+        return None
+      }
+      Some(commit(spark, tableDir, "delete", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes,
+        posDeletes = cur.posDeletes ++ entries))
+    }
+
   /** Adopt an existing hive-layout table (`<pcol>=<day>/part-*.parquet`)
     * as snapshot 1 — a pure LISTING, no rewrite (Iceberg's add_files).
     * Must run inside [[withTableLock]]. */
@@ -591,6 +672,45 @@ object SnapshotLog {
     parts.map(_.select(ordered.map(col): _*)).reduce(_ unionByName _)
   }
 
+  /** [[readFiles]] plus row lineage: `_abs` (the row's data-file path,
+    * scheme-normalized to a bare filesystem path) and `_pos` (the row
+    * ordinal within that file, from the parquet reader's `_metadata.
+    * row_index`) — the join identity positional deletes target. */
+  private def readFilesLineage(spark: SparkSession, tableDir: String,
+                               schema: StructType, files: Seq[DataFile]): DataFrame = {
+    val lineageSchema = StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_abs",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
+    val ordered = schema.fieldNames.toSeq
+    def lineage = Seq(
+      regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/").as("_abs"),
+      col("_metadata.row_index").as("_pos"))
+    val (hiveFiles, inlineFiles) = files.partition(_.hive)
+    val parts = Seq(
+      if (inlineFiles.nonEmpty)
+        Some(spark.read.schema(schema)
+          .parquet(inlineFiles.map(f => s"$tableDir/${f.path}"): _*)
+          .select(ordered.map(col) ++ lineage: _*))
+      else None,
+      if (hiveFiles.nonEmpty) {
+        val raw = spark.read.option("basePath", tableDir)
+          .parquet(hiveFiles.map(f => s"$tableDir/${f.path}"): _*)
+        val have = raw.columns.toSet
+        Some(raw.select(ordered.map { c =>
+          val f = schema(c)
+          if (have.contains(c)) col(c).cast(f.dataType).as(c)
+          else lit(null).cast(f.dataType).as(c)
+        } ++ lineage: _*))
+      } else None
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
   /** Read a snapshot's file set, optionally pruned to partition values —
     * manifest-level file skipping, no directory listing. Missing columns
     * (schema evolution) surface as nulls via the explicit stored schema.
@@ -608,30 +728,53 @@ object SnapshotLog {
     val schema = snap.schema
     val wanted = partitions.map(_.toSet)
     val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
-    if (snap.deletes.isEmpty)
+    if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
       return readFiles(spark, tableDir, schema, files)
-    val eqColSets = snap.deletes.map(_.eqCols).distinct
-    require(eqColSets.size == 1,
-      s"mixed equality-delete key sets in $tableDir: $eqColSets")
-    val eqCols = eqColSets.head
-    val keySchema = StructType(eqCols.map(c => schema(c)))
-    if (files.isEmpty)
-      return readFiles(spark, tableDir, schema, files)
-    val data = files.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-      readFiles(spark, tableDir, schema, fs).withColumn("_seq", lit(seq))
-    }.reduce(_ unionByName _)
-    // one row per deleted key with the NEWEST delete seq: a row survives
-    // iff no delete outranks its file (row.seq >= max delete seq), which
-    // collapses the delete set to a single broadcast aggregate
-    val delMax = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, ds) =>
-      spark.read.schema(keySchema)
-        .parquet(ds.map(d => s"$tableDir/${d.path}"): _*)
-        .withColumn("_del_seq", lit(seq))
-    }.reduce(_ unionByName _)
-      .groupBy(eqCols.map(col): _*).agg(max(col("_del_seq")).as("_del_seq"))
-    data.join(broadcast(delMax), eqCols, "left")
-      .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
-      .select(schema.fieldNames.toSeq.map(col): _*)
+    val havePos = snap.posDeletes.nonEmpty
+    def load(fset: Seq[DataFile]): DataFrame =
+      if (havePos) readFilesLineage(spark, tableDir, schema, fset)
+      else readFiles(spark, tableDir, schema, fset)
+    val base =
+      if (snap.deletes.isEmpty) load(files)
+      else files.groupBy(_.seq).toSeq.map { case (seq, fset) =>
+        load(fset).withColumn("_seq", lit(seq))
+      }.reduce(_ unionByName _)
+    // positional deletes first: row identity (file, pos) is absolute —
+    // independent of seq, dead regardless of which commit added the row.
+    // The delete set is delta-sized, broadcast, deduped across files.
+    val afterPos = if (!havePos) base else {
+      val (_, root) = fsOf(spark, tableDir)
+      val rootNorm = root.toUri.getPath
+      val posSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType)))
+      val dels = spark.read.schema(posSchema)
+        .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
+        .select(concat(lit(s"$rootNorm/"), col("file")).as("_abs"),
+          col("pos").as("_pos")).distinct()
+      base.join(broadcast(dels), Seq("_abs", "_pos"), "left_anti")
+    }
+    val afterEq = if (snap.deletes.isEmpty) afterPos else {
+      val eqColSets = snap.deletes.map(_.eqCols).distinct
+      require(eqColSets.size == 1,
+        s"mixed equality-delete key sets in $tableDir: $eqColSets")
+      val eqCols = eqColSets.head
+      val keySchema = StructType(eqCols.map(c => schema(c)))
+      // one row per deleted key with the NEWEST delete seq: a row survives
+      // iff no delete outranks its file (row.seq >= max delete seq), which
+      // collapses the delete set to a single broadcast aggregate
+      val delMax = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, ds) =>
+        spark.read.schema(keySchema)
+          .parquet(ds.map(d => s"$tableDir/${d.path}"): _*)
+          .withColumn("_del_seq", lit(seq))
+      }.reduce(_ unionByName _)
+        .groupBy(eqCols.map(col): _*).agg(max(col("_del_seq")).as("_del_seq"))
+      afterPos.join(broadcast(delMax), eqCols, "left")
+        .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
+    }
+    afterEq.select(schema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Read the current table state (empty frame with the last committed
@@ -679,7 +822,7 @@ object SnapshotLog {
     * is necessary, not sufficient. */
   def readStatsRange(spark: SparkSession, tableDir: String, snap: Snapshot,
                      column: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
-    require(snap.deletes.isEmpty,
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"readStatsRange on a deletes-bearing snapshot of $tableDir — " +
         "fold deletes first or use read()")
     readFiles(spark, tableDir, snap.schema, pruneByStats(snap, column, lo, hi))
@@ -690,7 +833,7 @@ object SnapshotLog {
     * is an append-only fixture; compose with [[read]] for MOR tables). */
   def readLsnRange(spark: SparkSession, tableDir: String, snap: Snapshot,
                    lo: String, hi: String): DataFrame = {
-    require(snap.deletes.isEmpty,
+    require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"readLsnRange on a deletes-bearing snapshot of $tableDir — " +
         "fold deletes first or use read()")
     readFiles(spark, tableDir, snap.schema, pruneByLsn(snap, lo, hi))
@@ -724,8 +867,11 @@ object SnapshotLog {
       // a partial rewrite cannot retire equality deletes (they hit every
       // partition), and rewritten rows jumping to a higher seq while
       // their old deletes stay live is correct but wasteful — fold first
-      require(cur.deletes.isEmpty,
-        s"$tableDir carries equality deletes; run foldDeletes before compact")
+      // positional deletes equally: carried delete files naming a
+      // rewritten-away file would go inert, ones naming kept files can't
+      // be split per-partition without a rewrite of the delete file
+      require(cur.deletes.isEmpty && cur.posDeletes.isEmpty,
+        s"$tableDir carries live deletes; run foldDeletes before compact")
       val oversized = cur.files.groupBy(_.partition)
         .collect { case (p, fs) if fs.size > maxFiles => p }.toSeq.sorted
       if (oversized.isEmpty) return Seq.empty
@@ -785,8 +931,8 @@ object SnapshotLog {
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
-      require(cur.deletes.isEmpty,
-        s"$tableDir carries equality deletes; run foldDeletes before clusterBy")
+      require(cur.deletes.isEmpty && cur.posDeletes.isEmpty,
+        s"$tableDir carries live deletes; run foldDeletes before clusterBy")
       require(splits.nonEmpty && splits == splits.sorted &&
         splits.distinct.size == splits.size,
         s"splits must be ascending and distinct: $splits")
@@ -821,7 +967,7 @@ object SnapshotLog {
                   statsCol: String = graft.ingest.Cdc.LsnColumn): Option[Snapshot] =
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(return None)
-      if (cur.deletes.isEmpty) return None
+      if (cur.deletes.isEmpty && cur.posDeletes.isEmpty) return None
       val state = read(spark, tableDir, cur)
       val files = writeData(spark, tableDir, state, partitionCol, statsCol)
       Some(commit(spark, tableDir, "replace", files, cur.schema,
@@ -840,7 +986,8 @@ object SnapshotLog {
         throw new NoSuchElementException(s"no snapshots in $tableDir"))
       val target = snapshotAt(spark, tableDir, toId)
       commit(spark, tableDir, "rollback", target.files, target.schema,
-        parent = Some(cur), deletes = target.deletes)
+        parent = Some(cur), deletes = target.deletes,
+        posDeletes = target.posDeletes)
     }
 
   /** Incremental append-scan: the rows ADDED by snapshots in
@@ -953,7 +1100,8 @@ object SnapshotLog {
       val newest = all.takeRight(keepLast).map(_.id).toSet
       val (keep, drop) = all.partition(s => newest(s.id) || tagged(s.id))
       val live: Set[String] =
-        keep.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+        keep.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path) ++
+          s.posDeletes.map(_.path)).toSet
       val md = metaDir(root)
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
       // temp manifests/refs from crashed commits and tag writes

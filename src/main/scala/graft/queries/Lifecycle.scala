@@ -786,6 +786,70 @@ object Lifecycle extends QueryModule {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ---- positional deletes (Iceberg v2 DELETE FROM): two DELETE WHERE
+  // commits over a 2-append table, each recording only the matching
+  // rows' (file, row-ordinal) slots — zero data files rewritten (the
+  // manifest file count is part of the hash). The surviving state is
+  // read back with both delete files applied and hash-checked per
+  // event_id residue; the slot counts measured from the manifest match
+  // the oracle's predicate counts EXACTLY because the second delete
+  // scans raw file contents (dead slots re-match and dedupe at read),
+  // and the pre-delete snapshot's row count proves time travel across
+  // a delete sees the undeleted table.
+  private val posDelFixture = new FixtureCache("graft_posdel")
+
+  private def posDelDir(s: SparkSession, d: String): String =
+    posDelFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      SnapshotLog.withTableLock(dir) {
+        (0 until 2).foreach { k =>
+          val cur = SnapshotLog.currentSnapshot(s, dir)
+          val slice = ev.filter(col("event_id") % 2 === k).repartition(1)
+          val files = SnapshotLog.writeData(s, dir, slice,
+            partitionCol = None, statsCol = "value")
+          SnapshotLog.commit(s, dir, "append",
+            cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
+        }
+      }
+      SnapshotLog.deleteWhere(s, dir, col("value").between(50, 100))
+      SnapshotLog.deleteWhere(s, dir, col("event_id") % 7 === 0)
+    }
+
+  private def posDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = posDelDir(s, d)
+    import graft.lake.SnapshotLog
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    val pre = SnapshotLog.snapshotAt(s, dir, 2L)
+    SnapshotLog.read(s, dir, cur)
+      .groupBy((col("event_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"))
+      .select(col("bucket"), col("n_rows"), col("id_sum"),
+        col("value_min"), col("value_max"),
+        lit(cur.files.size.toLong).as("n_data_files"),
+        lit(cur.posDeletes.size.toLong).as("n_pos_files"),
+        lit(cur.posDeletes.map(_.rows).sum).as("n_del_slots"),
+        lit(pre.totalRows).as("n_pre_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  private val posDeleteSql =
+    s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+       |meta AS (SELECT
+       |  CAST(count(*) FILTER (WHERE value BETWEEN 50 AND 100)
+       |    + count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT)
+       |    AS n_del_slots,
+       |  CAST(count(*) AS BIGINT) AS n_pre_rows FROM ev)
+       |SELECT event_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+       |  min(value) AS value_min, max(value) AS value_max,
+       |  CAST(2 AS BIGINT) AS n_data_files, CAST(2 AS BIGINT) AS n_pos_files,
+       |  n_del_slots, n_pre_rows
+       |FROM ev, meta
+       |WHERE NOT (value BETWEEN 50 AND 100) AND NOT (event_id % 7 = 0)
+       |GROUP BY bucket, n_del_slots, n_pre_rows ORDER BY bucket""".stripMargin
+
   // ---- metadata tables (Q6): $files — the per-file manifest listing
   // (ref types.go:78-103 DataFile; Trino's "$files") measured ENTIRELY
   // from the commit log: per-day file counts, footer-summed row counts
@@ -1437,6 +1501,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_files", tableFiles, Some(tableFilesSql)),
     GraftQuery("cdc_file_skipping", fileSkipping, Some(fileSkippingSql)),
     GraftQuery("cdc_cluster_skipping", clusterSkipping, Some(clusterSkippingSql)),
+    GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

@@ -32,7 +32,9 @@ class SnapshotLogSpec extends SparkTestBase {
       val files = SnapshotLog.writeData(spark, dir, df, partitionCol = None)
       SnapshotLog.commit(spark, dir, op,
         (if (carry) cur.toSeq.flatMap(_.files) else Seq.empty) ++ files,
-        df.schema, parent = cur)
+        df.schema, parent = cur,
+        deletes = if (carry) cur.toSeq.flatMap(_.deletes) else Nil,
+        posDeletes = if (carry) cur.toSeq.flatMap(_.posDeletes) else Nil)
     }
 
   test("commit → resolve roundtrip; historical snapshots stay readable") {
@@ -325,6 +327,62 @@ class SnapshotLogSpec extends SparkTestBase {
       SnapshotLog.clusterBy(spark, dir, "v", Seq(200.0, 100.0)))
     assertThrows[IllegalArgumentException](
       SnapshotLog.clusterBy(spark, dir, "missing", Seq(1.0)))
+  }
+
+  test("deleteWhere removes rows by slot identity without touching data files") {
+    val dir = Files.createTempDirectory("graft-snaplog-posdel").toString + "/t"
+    commitRows(dir, rows(1, 2, 3), "append")
+    commitRows(dir, rows(4, 5), "append")
+    val pre = SnapshotLog.currentSnapshot(spark, dir).get
+    // DELETE FROM t WHERE id IN (2, 4)
+    val sn = SnapshotLog.deleteWhere(spark, dir, col("id").isin(2, 4)).get
+    assert(sn.operation === "delete")
+    assert(sn.files.map(_.path) === pre.files.map(_.path)) // zero rewrite
+    assert(sn.posDeletes.size === 1 && sn.posDeletes.head.rows === 2L)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 3L, 5L))
+    // time travel: the pre-delete snapshot still shows every row
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.snapshotAt(spark, dir, pre.id))) === Seq(1L, 2L, 3L, 4L, 5L))
+    // second delete accumulates; re-matching a dead slot is harmless
+    SnapshotLog.deleteWhere(spark, dir, col("id") >= 4)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 3L))
+    // no match → no commit
+    assert(SnapshotLog.deleteWhere(spark, dir, col("id") === 99).isEmpty)
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === sn.id + 1)
+    // rewrites refuse live deletes; the fold retires them
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.compact(spark, dir, partitionCol = None))
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.clusterBy(spark, dir, "v", Seq(30.0)))
+    val folded = SnapshotLog.foldDeletes(spark, dir, partitionCol = None).get
+    assert(folded.posDeletes.isEmpty)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 3L))
+    // rollback to the pre-delete snapshot resurrects exactly its state
+    SnapshotLog.rollback(spark, dir, pre.id)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("positional deletes survive appends and expiry; compose with eq deletes") {
+    val dir = Files.createTempDirectory("graft-snaplog-posdel2").toString + "/t"
+    commitRows(dir, rows(1, 2), "append")
+    SnapshotLog.deleteWhere(spark, dir, col("id") === 1)
+    // an append carries the pos-delete set: id 1 stays dead
+    commitRows(dir, rows(3), "append")
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(2L, 3L))
+    // expire to the newest snapshot only: the delete file is LIVE
+    // metadata of the kept snapshot and must survive the sweep
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(2L, 3L))
+    // an equality delete on top: both kinds apply in one read
+    val cur = SnapshotLog.currentSnapshot(spark, dir).get
+    SnapshotLog.withTableLock(dir) {
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        rows(2).select(col("id")), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
   test("snapshotAsOfTime resolves the newest snapshot at or before the clock") {
