@@ -364,6 +364,149 @@ object SnapshotLog {
       fs.delete(new Path(metaDir(root), s"ref-$name.json"), false)
     }
 
+  // ---- branches (Iceberg write-audit-publish): stage commits into a
+  // branch namespace invisible to main readers, audit the branch head,
+  // then PUBLISH by fast-forwarding the staged manifests into main.
+  //
+  // Layout: `metadata/branch-<name>/` holds `base.json` (the main
+  // snapshot id the branch forked from) plus staged `snap-<id>.json`
+  // manifests numbered base+1, base+2, … — the exact ids they will own
+  // on main. Staged manifests are self-contained (full file lists), and
+  // their data files live in the shared `data/` namespace, so publish
+  // moves METADATA only: one rename per staged commit, each atomic, each
+  // a complete valid snapshot — a crash mid-publish lands a prefix of
+  // the staged commits, indistinguishable from crashing between two
+  // ordinary commits. A main commit racing the branch takes id base+1
+  // first and publish fails loudly (stale fast-forward, Iceberg's
+  // non-fast-forward error); re-staging is the rebase.
+
+  private def branchDir(root: Path, name: String): Path =
+    new Path(metaDir(root), s"branch-$name")
+
+  private def validRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid ref name: $name")
+
+  /** Fork a branch at the current main head. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String): Long =
+    withTableLock(tableDir) {
+      validRefName(name)
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val (fs, root) = fsOf(spark, tableDir)
+      val bd = branchDir(root, name)
+      require(!fs.exists(bd), s"branch $name already exists in $tableDir")
+      fs.mkdirs(bd)
+      val out = fs.create(new Path(bd, "base.json"), false)
+      try out.write(s"""{"base":${cur.id}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      cur.id
+    }
+
+  /** The main snapshot id branch `name` forked from. */
+  def branchBase(spark: SparkSession, tableDir: String, name: String): Long = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val f = new Path(branchDir(root, name), "base.json")
+    if (!fs.exists(f))
+      throw new NoSuchElementException(s"no branch $name in $tableDir")
+    mapper.readTree(readFully(fs, f)).get("base").asLong()
+  }
+
+  /** Staged snapshots of branch `name`, ascending id (may be empty). */
+  def branchSnapshots(spark: SparkSession, tableDir: String,
+                      name: String): Seq[Snapshot] = {
+    branchBase(spark, tableDir, name) // existence check
+    val (fs, root) = fsOf(spark, tableDir)
+    fs.listStatus(branchDir(root, name)).toSeq
+      .filter(st => st.isFile && SnapRe.pattern.matcher(st.getPath.getName).matches())
+      .sortBy(_.getPath.getName)
+      .map(st => fromJson(readFully(fs, st.getPath)))
+  }
+
+  /** The branch's newest state: its last staged snapshot, or the base
+    * snapshot when nothing is staged yet. */
+  def branchHead(spark: SparkSession, tableDir: String, name: String): Snapshot = {
+    val staged = branchSnapshots(spark, tableDir, name)
+    staged.lastOption.getOrElse(
+      snapshotAt(spark, tableDir, branchBase(spark, tableDir, name)))
+  }
+
+  /** Append `df` to branch `name` — data files land in the shared data
+    * namespace, the manifest lands in the branch namespace, main readers
+    * see NOTHING until [[publish]]. */
+  def appendToBranch(spark: SparkSession, tableDir: String, name: String,
+                     df: DataFrame): Snapshot =
+    withTableLock(tableDir) {
+      val head = branchHead(spark, tableDir, name)
+      val files = writeData(spark, tableDir, df, partitionCol = None)
+      val id = head.id + 1
+      val snap = Snapshot(id, Some(head.id), System.currentTimeMillis(),
+        "append", df.schema.json,
+        head.files ++ files.map(f => if (f.seq < 0) f.copy(seq = id) else f),
+        head.deletes, head.posDeletes)
+      val (fs, root) = fsOf(spark, tableDir)
+      val bd = branchDir(root, name)
+      val tmp = new Path(bd, s".tmp-snap-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(toJson(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(bd, f"snap-$id%012d.json")
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new ConcurrentCommitException(s"lost branch commit race for $dst")
+      }
+      snap
+    }
+
+  /** Fast-forward main to the branch head: rename each staged manifest
+    * into the main namespace (ids were allocated contiguously from the
+    * base, so they slot in exactly), then drop the branch. Fails loudly
+    * if main advanced past the base — the staged ids are taken and the
+    * audit ran against a stale parent; re-stage to rebase. Returns the
+    * published snapshot ids. */
+  def publish(spark: SparkSession, tableDir: String, name: String): Seq[Long] =
+    withTableLock(tableDir) {
+      val staged = branchSnapshots(spark, tableDir, name)
+      val base = branchBase(spark, tableDir, name)
+      val (fs, root) = fsOf(spark, tableDir)
+      if (staged.isEmpty) { fs.delete(branchDir(root, name), true); return Nil }
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      if (cur.id != base)
+        throw new ConcurrentCommitException(
+          s"cannot fast-forward branch $name: main is at ${cur.id}, " +
+            s"branch base is $base — re-stage against the new head")
+      val md = metaDir(root)
+      val bd = branchDir(root, name)
+      staged.foreach { s =>
+        val src = new Path(bd, f"snap-${s.id}%012d.json")
+        val dst = new Path(md, f"snap-${s.id}%012d.json")
+        if (fs.exists(dst) || !fs.rename(src, dst))
+          throw new ConcurrentCommitException(s"lost publish race for $dst")
+      }
+      fs.delete(bd, true)
+      staged.map(_.id)
+    }
+
+  /** Discard a branch and its staged manifests (the staged DATA files
+    * become unreferenced debris for [[expire]] to reclaim). */
+  def dropBranch(spark: SparkSession, tableDir: String, name: String): Unit =
+    withTableLock(tableDir) {
+      val (fs, root) = fsOf(spark, tableDir)
+      fs.delete(branchDir(root, name), true)
+    }
+
+  /** All live branch names. */
+  def branches(spark: SparkSession, tableDir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("branch-") =>
+        st.getPath.getName.stripPrefix("branch-")
+    }.sorted
+  }
+
   /** Resolve one historical snapshot — a single manifest read (the id is
     * the filename), not a history scan. */
   def snapshotAt(spark: SparkSession, tableDir: String, id: Long): Snapshot = {
@@ -1099,14 +1242,22 @@ object SnapshotLog {
       val tagged = tags(spark, tableDir).values.toSet
       val newest = all.takeRight(keepLast).map(_.id).toSet
       val (keep, drop) = all.partition(s => newest(s.id) || tagged(s.id))
+      // staged branch commits reference data files main can't see yet —
+      // they are LIVE (a publish would need them), not crashed debris
+      val branchKeep = branches(spark, tableDir)
+        .flatMap(b => branchSnapshots(spark, tableDir, b))
       val live: Set[String] =
-        keep.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path) ++
-          s.posDeletes.map(_.path)).toSet
+        (keep ++ branchKeep).flatMap(s => s.files.map(_.path) ++
+          s.deletes.map(_.path) ++ s.posDeletes.map(_.path)).toSet
       val md = metaDir(root)
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
-      // temp manifests/refs from crashed commits and tag writes
-      fs.listStatus(md).foreach(st =>
-        if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false))
+      // temp manifests/refs from crashed commits and tag/branch writes
+      def cleanTmp(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) cleanTmp(st.getPath)
+        else if (st.getPath.getName.startsWith(".tmp-"))
+          fs.delete(st.getPath, false)
+      }
+      cleanTmp(md)
       var deleted = 0
       def sweep(dir: Path): Boolean = { // returns true if dir is now empty
         var empty = true

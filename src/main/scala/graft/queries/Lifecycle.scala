@@ -850,6 +850,64 @@ object Lifecycle extends QueryModule {
        |WHERE NOT (value BETWEEN 50 AND 100) AND NOT (event_id % 7 = 0)
        |GROUP BY bucket, n_del_slots, n_pre_rows ORDER BY bucket""".stripMargin
 
+  // ---- write-audit-publish (Iceberg WAP branches): the quality-gate
+  // workflow a training-data pipeline runs per crawl batch — stage the
+  // batch on a branch, audit the branch head, publish by metadata-only
+  // fast-forward. The query performs the WHOLE flow against a fresh
+  // scratch table every run: base append on main, two staged appends on
+  // an "audit" branch, pre-publish isolation MEASURED live (main's row
+  // count with the branch fully staged — the oracle pins it to the base
+  // slice alone, so a staged row leaking onto main fails the hash; the
+  // audit read must already see all three slices), then publish and
+  // hash-check the published state per residue plus the final snapshot
+  // count (base + 2 fast-forwarded ids).
+  private def wapPublish(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val dir = scratchDir(s, "graft_wap", d) + "/t"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    def slice(k: Int) = ev.filter(col("event_id") % 3 === k).repartition(1)
+    SnapshotLog.withTableLock(dir) {
+      val base = slice(0)
+      val files = SnapshotLog.writeData(s, dir, base, partitionCol = None)
+      SnapshotLog.commit(s, dir, "append", files, base.schema, parent = None)
+    }
+    SnapshotLog.createBranch(s, dir, "audit")
+    SnapshotLog.appendToBranch(s, dir, "audit", slice(1))
+    SnapshotLog.appendToBranch(s, dir, "audit", slice(2))
+    val mainPre = SnapshotLog.readCurrent(s, dir).get.count()
+    val audited = SnapshotLog.read(s, dir,
+      SnapshotLog.branchHead(s, dir, "audit")).count()
+    SnapshotLog.publish(s, dir, "audit")
+    val nSnaps = SnapshotLog.snapshotIds(s, dir).size
+    SnapshotLog.readCurrent(s, dir).get
+      .groupBy((col("event_id") % 3).as("residue"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"))
+      .select(col("residue"), col("n_rows"), col("id_sum"),
+        col("value_min"), col("value_max"),
+        lit(mainPre).as("n_main_pre_publish"),
+        lit(audited).as("n_audit_rows"),
+        lit(nSnaps.toLong).as("n_snapshots"))
+      .orderBy(col("residue"))
+  }
+
+  private val wapPublishSql =
+    s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+       |meta AS (SELECT
+       |  CAST(count(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT)
+       |    AS n_main_pre_publish,
+       |  CAST(count(*) AS BIGINT) AS n_audit_rows,
+       |  CAST(3 AS BIGINT) AS n_snapshots FROM ev)
+       |SELECT event_id % 3 AS residue, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+       |  min(value) AS value_min, max(value) AS value_max,
+       |  n_main_pre_publish, n_audit_rows, n_snapshots
+       |FROM ev, meta
+       |GROUP BY residue, n_main_pre_publish, n_audit_rows, n_snapshots
+       |ORDER BY residue""".stripMargin
+
   // ---- metadata tables (Q6): $files — the per-file manifest listing
   // (ref types.go:78-103 DataFile; Trino's "$files") measured ENTIRELY
   // from the commit log: per-day file counts, footer-summed row counts
@@ -1502,6 +1560,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_file_skipping", fileSkipping, Some(fileSkippingSql)),
     GraftQuery("cdc_cluster_skipping", clusterSkipping, Some(clusterSkippingSql)),
     GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
+    GraftQuery("cdc_wap_publish", wapPublish, Some(wapPublishSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

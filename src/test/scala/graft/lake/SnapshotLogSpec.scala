@@ -385,6 +385,54 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
+  test("write-audit-publish: staged commits are invisible until fast-forward") {
+    val dir = Files.createTempDirectory("graft-snaplog-wap").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    SnapshotLog.createBranch(spark, dir, "audit")
+    SnapshotLog.appendToBranch(spark, dir, "audit", rows(2))
+    SnapshotLog.appendToBranch(spark, dir, "audit", rows(3))
+    // isolation: main still at snapshot 1 with only its own rows; the
+    // branch head sees the full staged state (the audit read)
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L))
+    val head = SnapshotLog.branchHead(spark, dir, "audit")
+    assert(head.id === 3L)
+    assert(idsOf(SnapshotLog.read(spark, dir, head)) === Seq(1L, 2L, 3L))
+    // an expire during the audit must NOT reclaim staged data files
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.branchHead(spark, dir, "audit"))) === Seq(1L, 2L, 3L))
+    // publish: metadata-only fast-forward, ids slot in as 2 and 3
+    assert(SnapshotLog.publish(spark, dir, "audit") === Seq(2L, 3L))
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.branches(spark, dir).isEmpty)
+  }
+
+  test("publish fails loudly when main advanced; drop reclaims staged work") {
+    val dir = Files.createTempDirectory("graft-snaplog-wap2").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    SnapshotLog.createBranch(spark, dir, "audit")
+    SnapshotLog.appendToBranch(spark, dir, "audit", rows(2))
+    // main advances past the base: the staged id is taken
+    commitRows(dir, rows(9), "append")
+    assertThrows[SnapshotLog.ConcurrentCommitException](
+      SnapshotLog.publish(spark, dir, "audit"))
+    // the failed audit is dropped; its data files become debris
+    SnapshotLog.dropBranch(spark, dir, "audit")
+    val reclaimed = SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(reclaimed >= 1) // the staged append's file went away
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 9L))
+    // guard rails
+    assertThrows[NoSuchElementException](
+      SnapshotLog.branchHead(spark, dir, "gone"))
+    SnapshotLog.createBranch(spark, dir, "b2")
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.createBranch(spark, dir, "b2"))
+    // empty-branch publish is a no-op that just drops the branch
+    assert(SnapshotLog.publish(spark, dir, "b2") === Seq.empty)
+  }
+
   test("snapshotAsOfTime resolves the newest snapshot at or before the clock") {
     val dir = Files.createTempDirectory("graft-snaplog-asof").toString + "/t"
     val s1 = commitRows(dir, rows(1), "append")
