@@ -688,9 +688,9 @@ object SnapshotLog {
     * rows from a 100 TB table without rewriting a single data file".
     * Returns None (no commit) when nothing matches.
     *
-    * The predicate is evaluated on the RAW file contents — rows already
-    * dead under existing deletes may match again; the slots dedupe at
-    * read time. Old snapshots keep exact time travel (the rows were live
+    * The predicate is evaluated on the LIVE state (existing deletes
+    * applied — SQL DELETE semantics), so slot counts are live-match
+    * counts. Old snapshots keep exact time travel (the rows were live
     * then). [[foldDeletes]] is the maintenance rewrite that retires the
     * accumulated delete set. */
   def deleteWhere(spark: SparkSession, tableDir: String,
@@ -698,34 +698,79 @@ object SnapshotLog {
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
-      val (fs, root) = fsOf(spark, tableDir)
-      val rootNorm = root.toUri.getPath
-      // lineage scan → matching slots, rebased to table-relative paths
-      // (the manifest's path form — stable if the table dir moves)
-      val hits = readFilesLineage(spark, tableDir, cur.schema, cur.files)
+      val hits = readCore(spark, tableDir, cur, None, keepLineage = true)
         .filter(predicate)
-        .select(expr(s"substring(_abs, ${rootNorm.length + 2})").as("file"),
-          col("_pos").as("pos"))
-        .distinct()
-      val rel = s"data/${java.util.UUID.randomUUID()}"
-      val dest = new Path(root, rel)
-      hits.repartition(1).write.parquet(dest.toString)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val entries = fs.listStatus(dest).toSeq
-        .filter(st => st.isFile && isParquetFile(st.getPath.getName))
-        .map { st =>
-          val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
-          val (rows, _, _) = footerStats(conf, st.getPath, "pos")
-          PosDeleteFile(relPath, rows, st.getLen, seq = -1L)
-        }
-      if (entries.forall(_.rows == 0L)) { // nothing matched: no commit
-        fs.delete(dest, true)
-        return None
-      }
+      val entries = writePosFile(spark, tableDir, slotsOf(spark, tableDir, hits))
+      if (entries.isEmpty) return None
       Some(commit(spark, tableDir, "delete", cur.files, cur.schema,
         parent = Some(cur), deletes = cur.deletes,
         posDeletes = cur.posDeletes ++ entries))
     }
+
+  /** UPDATE ... SET ... WHERE through the commit log: ONE snapshot that
+    * pos-deletes every live matching row's slot AND appends the
+    * reassigned replacement rows — Iceberg's merge-on-read UPDATE.
+    * Writes O(matches) bytes, touches zero stored files, and is atomic
+    * at the manifest rename: no reader can see the delete without the
+    * replacement. Assignment expressions see the old row (SQL UPDATE
+    * semantics) and are cast to the column's declared type. Returns None
+    * when nothing matches. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column],
+                  partitionCol: Option[String] = None): Option[Snapshot] =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val schema = cur.schema
+      assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"assignment to unknown column $k in $tableDir"))
+      val matched = readCore(spark, tableDir, cur, None, keepLineage = true)
+        .filter(predicate).persist()
+      try {
+        val slots = writePosFile(spark, tableDir, slotsOf(spark, tableDir, matched))
+        if (slots.isEmpty) return None
+        val replacement = matched.select(schema.fields.toSeq.map(f =>
+          assignments.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(col(f.name)).as(f.name)): _*)
+        val newFiles = writeData(spark, tableDir, replacement, partitionCol)
+        Some(commit(spark, tableDir, "update", cur.files ++ newFiles, schema,
+          parent = Some(cur), deletes = cur.deletes,
+          posDeletes = cur.posDeletes ++ slots))
+      } finally matched.unpersist()
+    }
+
+  /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
+    * path form — stable if the table dir moves). */
+  private def slotsOf(spark: SparkSession, tableDir: String,
+                      lineageRows: DataFrame): DataFrame = {
+    val (_, root) = fsOf(spark, tableDir)
+    val rootNorm = root.toUri.getPath
+    lineageRows
+      .select(expr(s"substring(_abs, ${rootNorm.length + 2})").as("file"),
+        col("_pos").as("pos"))
+      .distinct()
+  }
+
+  /** Write `(file, pos)` slots as ONE positional-delete file; empty
+    * result (no slots) writes nothing and returns Nil. */
+  private def writePosFile(spark: SparkSession, tableDir: String,
+                           slots: DataFrame): Seq[PosDeleteFile] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val dest = new Path(root, rel)
+    slots.repartition(1).write.parquet(dest.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && isParquetFile(st.getPath.getName))
+      .map { st =>
+        val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
+        val (rows, _, _) = footerStats(conf, st.getPath, "pos")
+        PosDeleteFile(relPath, rows, st.getLen, seq = -1L)
+      }
+    if (entries.forall(_.rows == 0L)) { fs.delete(dest, true); Nil }
+    else entries
+  }
 
   /** Adopt an existing hive-layout table (`<pcol>=<day>/part-*.parquet`)
     * as snapshot 1 — a pure LISTING, no rewrite (Iceberg's add_files).
@@ -867,13 +912,25 @@ object SnapshotLog {
     * deletes are delta-sized by construction, the stored table never
     * shuffles for delete application. */
   def read(spark: SparkSession, tableDir: String, snap: Snapshot,
-           partitions: Option[Seq[String]] = None): DataFrame = {
+           partitions: Option[Seq[String]] = None): DataFrame =
+    readCore(spark, tableDir, snap, partitions, keepLineage = false)
+
+  /** [[read]] with `_abs`/`_pos` lineage retained on the LIVE rows —
+    * the scan row-level DML ([[deleteWhere]], [[updateWhere]]) evaluates
+    * predicates on: a row already dead under existing deletes must not
+    * match again (for UPDATE that would resurrect it). */
+  private def readCore(spark: SparkSession, tableDir: String, snap: Snapshot,
+                       partitions: Option[Seq[String]],
+                       keepLineage: Boolean): DataFrame = {
     val schema = snap.schema
     val wanted = partitions.map(_.toSet)
     val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
+    val out = schema.fieldNames.toSeq ++
+      (if (keepLineage) Seq("_abs", "_pos") else Seq.empty)
     if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
-      return readFiles(spark, tableDir, schema, files)
-    val havePos = snap.posDeletes.nonEmpty
+      return if (keepLineage) readFilesLineage(spark, tableDir, schema, files)
+      else readFiles(spark, tableDir, schema, files)
+    val havePos = snap.posDeletes.nonEmpty || keepLineage
     def load(fset: Seq[DataFile]): DataFrame =
       if (havePos) readFilesLineage(spark, tableDir, schema, fset)
       else readFiles(spark, tableDir, schema, fset)
@@ -885,7 +942,7 @@ object SnapshotLog {
     // positional deletes first: row identity (file, pos) is absolute —
     // independent of seq, dead regardless of which commit added the row.
     // The delete set is delta-sized, broadcast, deduped across files.
-    val afterPos = if (!havePos) base else {
+    val afterPos = if (snap.posDeletes.isEmpty) base else {
       val (_, root) = fsOf(spark, tableDir)
       val rootNorm = root.toUri.getPath
       val posSchema = StructType(Seq(
@@ -917,7 +974,7 @@ object SnapshotLog {
       afterPos.join(broadcast(delMax), eqCols, "left")
         .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
     }
-    afterEq.select(schema.fieldNames.toSeq.map(col): _*)
+    afterEq.select(out.map(col): _*)
   }
 
   /** Read the current table state (empty frame with the last committed

@@ -792,26 +792,33 @@ object Lifecycle extends QueryModule {
   // manifest file count is part of the hash). The surviving state is
   // read back with both delete files applied and hash-checked per
   // event_id residue; the slot counts measured from the manifest match
-  // the oracle's predicate counts EXACTLY because the second delete
-  // scans raw file contents (dead slots re-match and dedupe at read),
-  // and the pre-delete snapshot's row count proves time travel across
-  // a delete sees the undeleted table.
+  // the oracle's LIVE-match counts (SQL DELETE semantics: the second
+  // delete sees the first one applied, so already-dead rows contribute
+  // no slots), and the pre-delete snapshot's row count proves time
+  // travel across a delete sees the undeleted table.
   private val posDelFixture = new FixtureCache("graft_posdel")
+
+  /** Two parity-sliced append commits of `(event_id, user_id, value)` —
+    * the base table shape both row-level-DML gates build on. */
+  private def appendEventSlices(s: SparkSession, d: String, dir: String): Unit = {
+    import graft.lake.SnapshotLog
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    SnapshotLog.withTableLock(dir) {
+      (0 until 2).foreach { k =>
+        val cur = SnapshotLog.currentSnapshot(s, dir)
+        val slice = ev.filter(col("event_id") % 2 === k).repartition(1)
+        val files = SnapshotLog.writeData(s, dir, slice,
+          partitionCol = None, statsCol = "value")
+        SnapshotLog.commit(s, dir, "append",
+          cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
+      }
+    }
+  }
 
   private def posDelDir(s: SparkSession, d: String): String =
     posDelFixture.dir(s, d) { dir =>
       import graft.lake.SnapshotLog
-      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
-      SnapshotLog.withTableLock(dir) {
-        (0 until 2).foreach { k =>
-          val cur = SnapshotLog.currentSnapshot(s, dir)
-          val slice = ev.filter(col("event_id") % 2 === k).repartition(1)
-          val files = SnapshotLog.writeData(s, dir, slice,
-            partitionCol = None, statsCol = "value")
-          SnapshotLog.commit(s, dir, "append",
-            cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
-        }
-      }
+      appendEventSlices(s, d, dir)
       SnapshotLog.deleteWhere(s, dir, col("value").between(50, 100))
       SnapshotLog.deleteWhere(s, dir, col("event_id") % 7 === 0)
     }
@@ -838,7 +845,8 @@ object Lifecycle extends QueryModule {
     s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
        |meta AS (SELECT
        |  CAST(count(*) FILTER (WHERE value BETWEEN 50 AND 100)
-       |    + count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT)
+       |    + count(*) FILTER (WHERE event_id % 7 = 0
+       |        AND NOT (value BETWEEN 50 AND 100)) AS BIGINT)
        |    AS n_del_slots,
        |  CAST(count(*) AS BIGINT) AS n_pre_rows FROM ev)
        |SELECT event_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -849,6 +857,69 @@ object Lifecycle extends QueryModule {
        |FROM ev, meta
        |WHERE NOT (value BETWEEN 50 AND 100) AND NOT (event_id % 7 = 0)
        |GROUP BY bucket, n_del_slots, n_pre_rows ORDER BY bucket""".stripMargin
+
+  // ---- UPDATE WHERE (Iceberg merge-on-read UPDATE): three stacked DML
+  // commits — double sub-50 values, delete the %5 residue, then flag
+  // users whose (possibly doubled) value landed in [100, 110] — each
+  // atomic (slot file + replacement rows in ONE snapshot), each
+  // evaluated on LIVE state, so the oracle replays them as sequential
+  // CTE transforms. Slot counts measured from the manifest must equal
+  // the oracle's per-step live-match counts; the final state is
+  // hash-checked per residue including uid_sum (which only moves if
+  // update 3 reassigned exactly the right rows of the post-delete,
+  // post-double state).
+  private val updFixture = new FixtureCache("graft_updwhere")
+
+  private def updDir(s: SparkSession, d: String): String =
+    updFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      appendEventSlices(s, d, dir)
+      SnapshotLog.updateWhere(s, dir, col("value") < 50,
+        Map("value" -> (col("value") * 2)))
+      SnapshotLog.deleteWhere(s, dir, col("event_id") % 5 === 0)
+      SnapshotLog.updateWhere(s, dir, col("value").between(100, 110),
+        Map("user_id" -> (col("user_id") + 1000000)))
+    }
+
+  private def updateWhereQ(s: SparkSession, d: String): DataFrame = {
+    val dir = updDir(s, d)
+    import graft.lake.SnapshotLog
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    SnapshotLog.read(s, dir, cur)
+      .groupBy((col("event_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("uid_sum"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"))
+      .select(col("bucket"), col("n_rows"), col("id_sum"), col("uid_sum"),
+        col("value_min"), col("value_max"),
+        lit(SnapshotLog.snapshotIds(s, dir).size.toLong).as("n_snapshots"),
+        lit(cur.posDeletes.size.toLong).as("n_pos_files"),
+        lit(cur.posDeletes.map(_.rows).sum).as("n_del_slots"))
+      .orderBy(col("bucket"))
+  }
+
+  private val updateWhereSql =
+    s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+       |ev1 AS (SELECT event_id, user_id,
+       |  CASE WHEN value < 50 THEN value * 2 ELSE value END AS value FROM ev),
+       |ev2 AS (SELECT * FROM ev1 WHERE NOT (event_id % 5 = 0)),
+       |ev3 AS (SELECT event_id,
+       |  CASE WHEN value BETWEEN 100 AND 110 THEN user_id + 1000000
+       |       ELSE user_id END AS user_id, value FROM ev2),
+       |meta AS (SELECT CAST(5 AS BIGINT) AS n_snapshots,
+       |  CAST(3 AS BIGINT) AS n_pos_files,
+       |  CAST((SELECT count(*) FROM ev WHERE value < 50)
+       |    + (SELECT count(*) FROM ev1 WHERE event_id % 5 = 0)
+       |    + (SELECT count(*) FROM ev2 WHERE value BETWEEN 100 AND 110)
+       |    AS BIGINT) AS n_del_slots)
+       |SELECT event_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+       |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+       |  min(value) AS value_min, max(value) AS value_max,
+       |  n_snapshots, n_pos_files, n_del_slots
+       |FROM ev3, meta
+       |GROUP BY bucket, n_snapshots, n_pos_files, n_del_slots
+       |ORDER BY bucket""".stripMargin
 
   // ---- write-audit-publish (Iceberg WAP branches): the quality-gate
   // workflow a training-data pipeline runs per crawl batch — stage the
@@ -1561,6 +1632,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_cluster_skipping", clusterSkipping, Some(clusterSkippingSql)),
     GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
     GraftQuery("cdc_wap_publish", wapPublish, Some(wapPublishSql)),
+    GraftQuery("cdc_update_where", updateWhereQ, Some(updateWhereSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

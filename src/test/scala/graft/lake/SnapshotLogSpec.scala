@@ -385,6 +385,45 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
+  test("updateWhere rewrites matching rows atomically by slot + append") {
+    val dir = Files.createTempDirectory("graft-snaplog-upd").toString + "/t"
+    commitRows(dir, rows(1, 2, 3), "append")
+    val pre = SnapshotLog.currentSnapshot(spark, dir).get
+    // UPDATE t SET v = v + 1000 WHERE id >= 2
+    val sn = SnapshotLog.updateWhere(spark, dir, col("id") >= 2,
+      Map("v" -> (col("v") + 1000))).get
+    assert(sn.operation === "update")
+    assert(sn.posDeletes.size === 1 && sn.posDeletes.head.rows === 2L)
+    // every pre-update file carried untouched, replacement file(s) added
+    assert(sn.files.map(_.path).toSet.intersect(pre.files.map(_.path).toSet)
+      === pre.files.map(_.path).toSet)
+    assert(sn.files.size > pre.files.size)
+    import spark.implicits._
+    val state = SnapshotLog.readCurrent(spark, dir).get
+      .select(col("id"), col("v")).as[(Long, Long)].collect().sorted.toSeq
+    assert(state === Seq((1L, 10L), (2L, 1020L), (3L, 1030L)))
+    // time travel shows the pre-update values
+    assert(SnapshotLog.read(spark, dir, SnapshotLog.snapshotAt(spark, dir, pre.id))
+      .filter(col("id") === 2).select(col("v")).as[Long].collect().toSeq === Seq(20L))
+    // updates see LIVE state: a second update over the same predicate
+    // reassigns the replacement rows, not the dead originals
+    SnapshotLog.updateWhere(spark, dir, col("id") >= 2,
+      Map("v" -> (col("v") + 1)))
+    assert(SnapshotLog.readCurrent(spark, dir).get
+      .select(col("v")).as[Long].collect().sorted.toSeq === Seq(10L, 1021L, 1031L))
+    // dead rows never match: deleting then updating touches nothing
+    SnapshotLog.deleteWhere(spark, dir, col("id") === 3)
+    assert(SnapshotLog.updateWhere(spark, dir, col("id") === 3,
+      Map("v" -> lit(0))).isEmpty)
+    // unknown assignment column fails loudly
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.updateWhere(spark, dir, lit(true), Map("nope" -> lit(1))))
+    // fold retires the accumulated slots; state is unchanged
+    SnapshotLog.foldDeletes(spark, dir, partitionCol = None)
+    assert(SnapshotLog.readCurrent(spark, dir).get
+      .select(col("v")).as[Long].collect().sorted.toSeq === Seq(10L, 1021L))
+  }
+
   test("write-audit-publish: staged commits are invisible until fast-forward") {
     val dir = Files.createTempDirectory("graft-snaplog-wap").toString + "/t"
     commitRows(dir, rows(1), "append")
