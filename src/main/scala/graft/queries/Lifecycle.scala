@@ -452,6 +452,42 @@ object Lifecycle extends QueryModule {
        |  user_id, event_id, value
        |FROM state WHERE snap_id = 2 ORDER BY user_id""".stripMargin
 
+  // $refs metadata table (Trino's "table$refs"): every named ref with
+  // its kind and pinned snapshot, plus the live row count each ref
+  // RESOLVES to (name -> id -> manifest -> deletes-applied read). The
+  // mor fixture ends rolled back to snapshot 2 with tag "pre-fold"
+  // pinning 2, so both refs must resolve to the identical snapshot-2
+  // state — a tag resolving to the wrong manifest breaks n_rows.
+  private def tableRefs(s: SparkSession, d: String): DataFrame = {
+    val dir = morDir(s, d)
+    import graft.lake.SnapshotLog
+    import s.implicits._
+    val mainSnap = SnapshotLog.currentSnapshot(s, dir).get
+    val rows =
+      Seq(("main", "BRANCH", mainSnap.id,
+        SnapshotLog.read(s, dir, mainSnap).count())) ++
+        SnapshotLog.tags(s, dir).toSeq.map { case (n, id) =>
+          (n, "TAG", id,
+            SnapshotLog.read(s, dir, SnapshotLog.snapshotAt(s, dir, id)).count())
+        } ++
+        SnapshotLog.branches(s, dir).map { b =>
+          val h = SnapshotLog.branchHead(s, dir, b)
+          (b, "BRANCH", h.id, SnapshotLog.read(s, dir, h).count())
+        }
+    rows.toDF("ref_name", "ref_type", "snapshot_id", "n_rows")
+      .orderBy(col("ref_name"))
+  }
+
+  private val tableRefsSql =
+    s"""$snapStateSql,
+       |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM state
+       |  WHERE snap_id = 2)
+       |SELECT ref_name, ref_type, snapshot_id, n_rows
+       |FROM (VALUES ('main', 'BRANCH', CAST(5 AS BIGINT)),
+       |  ('pre-fold', 'TAG', CAST(2 AS BIGINT))) AS r(ref_name, ref_type, snapshot_id),
+       |  s2
+       |ORDER BY ref_name""".stripMargin
+
   private def snapshotRollback(s: SparkSession, d: String): DataFrame = {
     val dir = morDir(s, d)
     import graft.lake.SnapshotLog
@@ -1621,6 +1657,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_mor_merge", morMergeQ, Some(morMergeSql)),
     GraftQuery("cdc_snapshot_rollback", snapshotRollback, Some(snapshotRollbackSql)),
     GraftQuery("cdc_snapshot_tag", snapshotTag, Some(snapshotTagSql)),
+    GraftQuery("cdc_table_refs", tableRefs, Some(tableRefsSql)),
     GraftQuery("cdc_incremental_read", incrementalRead, Some(incrementalReadSql)),
     GraftQuery("cdc_changelog", changelogQ, Some(changelogSql)),
     GraftQuery("cdc_log_consume", logConsume, Some(logConsumeSql)),
