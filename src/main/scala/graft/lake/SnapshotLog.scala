@@ -66,12 +66,26 @@ object SnapshotLog {
     * `statsCol` names the column `minLsn`/`maxLsn` describe (None = the
     * LSN column, the pre-statsCol manifest default) — a clustered rewrite
     * ([[clusterBy]]) records bounds of its sort column instead, and
-    * pruning only trusts bounds recorded FOR the queried column. */
+    * pruning only trusts bounds recorded FOR the queried column.
+    * `spec` names the partition TRANSFORM the partition value was
+    * produced by (None = identity on the table's partition column;
+    * "month" = the day's yyyy-MM prefix) — Iceberg partition-spec
+    * evolution: a table may hold files under several specs at once, and
+    * pruning evaluates the day predicate PER SPEC instead of assuming
+    * one layout. Unknown specs never prune. */
   final case class DataFile(path: String, partition: String, hive: Boolean,
                             rows: Long, sizeBytes: Long,
                             minLsn: Option[String], maxLsn: Option[String],
-                            seq: Long = 0L, statsCol: Option[String] = None) {
+                            seq: Long = 0L, statsCol: Option[String] = None,
+                            spec: Option[String] = None) {
     def boundsColumn: String = statsCol.getOrElse(graft.ingest.Cdc.LsnColumn)
+
+    /** Does this file's partition possibly hold rows of `day`? */
+    def matchesDay(day: String): Boolean = spec match {
+      case None | Some("identity") => partition == day
+      case Some("month")           => partition == day.take(7)
+      case Some(_)                 => true // unknown transform: never prune
+    }
   }
 
   /** One equality-delete file (Iceberg v2 merge-on-read): a parquet file
@@ -150,6 +164,7 @@ object SnapshotLog {
       f.maxLsn.foreach(fo.put("max_lsn", _))
       fo.put("seq", f.seq)
       f.statsCol.foreach(fo.put("stats_col", _))
+      f.spec.foreach(fo.put("spec", _))
     }
     if (s.deletes.nonEmpty) {
       val darr = o.putArray("deletes")
@@ -189,7 +204,7 @@ object SnapshotLog {
             f.get("size_bytes").asLong(),
             optText(f, "min_lsn"), optText(f, "max_lsn"),
             Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-            optText(f, "stats_col"))
+            optText(f, "stats_col"), optText(f, "spec"))
         }
       case _ => Seq.empty
     }
@@ -626,7 +641,8 @@ object SnapshotLog {
     * for manifest pruning. `statsCol` feeds per-file min/max bounds. */
   def writeData(spark: SparkSession, tableDir: String, df: DataFrame,
                 partitionCol: Option[String],
-                statsCol: String = graft.ingest.Cdc.LsnColumn): Seq[DataFile] = {
+                statsCol: String = graft.ingest.Cdc.LsnColumn,
+                spec: Option[String] = None): Seq[DataFile] = {
     val (fs, root) = fsOf(spark, tableDir)
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val dest = new Path(root, rel)
@@ -648,7 +664,8 @@ object SnapshotLog {
           val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
           val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
           Seq(DataFile(relPath, partition, hive = false, rows,
-            st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol)))
+            st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol),
+            spec = spec))
         } else Seq.empty
       }
     dataFiles(dest, "")
@@ -923,8 +940,14 @@ object SnapshotLog {
                        partitions: Option[Seq[String]],
                        keepLineage: Boolean): DataFrame = {
     val schema = snap.schema
+    // spec-aware pruning: each requested day is evaluated under the
+    // FILE's partition transform (identity: value equality; month: the
+    // day's month prefix) — partition-spec evolution means one snapshot
+    // can mix layouts, and the predicate must follow the file, not the
+    // table (Iceberg evaluates residuals per spec the same way)
     val wanted = partitions.map(_.toSet)
-    val files = snap.files.filter(f => wanted.forall(_.contains(f.partition)))
+    val files = snap.files.filter(f =>
+      wanted.forall(ws => ws.exists(f.matchesDay)))
     val out = schema.fieldNames.toSeq ++
       (if (keepLineage) Seq("_abs", "_pos") else Seq.empty)
     if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
@@ -999,6 +1022,12 @@ object SnapshotLog {
         mn <= hi && mx >= lo
       case _ => true // bounds absent or for another column: never skip
     })
+
+  /** The files of `snap` that can hold rows of any of `days`, evaluated
+    * under each FILE's own partition transform ([[DataFile.matchesDay]])
+    * — the measurement surface for spec-evolution pruning. */
+  def pruneToDays(snap: Snapshot, days: Seq[String]): Seq[DataFile] =
+    snap.files.filter(f => days.exists(f.matchesDay))
 
   /** Manifest-level file skipping by NUMERIC range on an arbitrary data
     * column: keeps the files of `snap` whose recorded `[min, max]` for

@@ -894,6 +894,85 @@ object Lifecycle extends QueryModule {
        |WHERE NOT (value BETWEEN 50 AND 100) AND NOT (event_id % 7 = 0)
        |GROUP BY bucket, n_del_slots, n_pre_rows ORDER BY bucket""".stripMargin
 
+  // ---- partition-spec evolution (Iceberg evolve-spec): the table
+  // starts day-partitioned (two appends), then the spec evolves to
+  // month granularity (two appends under a hidden month transform —
+  // the month value is table LAYOUT, not schema) without rewriting a
+  // single old file. A 3-day window read must prune under EACH file's
+  // own transform: day files by value equality (only window days
+  // survive), month files by month overlap (the coarse file is
+  // scanned whole — the trade-off spec evolution buys). Scanned/total
+  // file counts are measured from the manifest and hash-checked; the
+  // per-day row content proves rows from both layouts land in one
+  // correct read.
+  private val specEvoFixture = new FixtureCache("graft_specevo")
+  private val EvoWindow = Seq("2024-01-10", "2024-01-11", "2024-01-12")
+
+  private def specEvoDir(s: SparkSession, d: String): String =
+    specEvoFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      SnapshotLog.withTableLock(dir) {
+        (0 until 4).foreach { k =>
+          val slice = base.filter(col("event_id") % 4 === k)
+          val cur = SnapshotLog.currentSnapshot(s, dir)
+          val files =
+            if (k < 2)
+              SnapshotLog.writeData(s, dir, slice, Some("day"))
+            else
+              SnapshotLog.writeData(s, dir,
+                slice.withColumn("_pmonth", substring(col("day"), 1, 7)),
+                Some("_pmonth"), spec = Some("month"))
+          SnapshotLog.commit(s, dir, "append",
+            cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
+        }
+      }
+    }
+
+  private def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = specEvoDir(s, d)
+    import graft.lake.SnapshotLog
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    val scanned = SnapshotLog.pruneToDays(cur, EvoWindow).size
+    SnapshotLog.read(s, dir, cur, Some(EvoWindow))
+      .filter(col("day").isin(EvoWindow: _*))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"))
+      .select(col("day"), col("n_rows"), col("id_sum"),
+        col("value_min"), col("value_max"),
+        lit(scanned.toLong).as("n_files_scanned"),
+        lit(cur.files.size.toLong).as("n_files_total"))
+      .orderBy(col("day"))
+  }
+
+  private val partitionEvolutionSql = {
+    val windowIn = EvoWindow.map(w => s"'$w'").mkString(", ")
+    s"""WITH ev AS (SELECT event_id, user_id, value,
+       |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |  event_id % 4 AS slice FROM events),
+       |counts AS (SELECT
+       |  CAST(count(DISTINCT CASE WHEN slice < 2 AND day IN ($windowIn)
+       |      THEN slice || '/' || day END)
+       |    + count(DISTINCT CASE WHEN slice >= 2
+       |        AND substring(day, 1, 7) = '2024-01'
+       |      THEN slice || '/' || substring(day, 1, 7) END) AS BIGINT)
+       |    AS n_files_scanned,
+       |  CAST(count(DISTINCT CASE WHEN slice < 2
+       |      THEN slice || '/' || day END)
+       |    + count(DISTINCT CASE WHEN slice >= 2
+       |      THEN slice || '/' || substring(day, 1, 7) END) AS BIGINT)
+       |    AS n_files_total FROM ev)
+       |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+       |  min(value) AS value_min, max(value) AS value_max,
+       |  n_files_scanned, n_files_total
+       |FROM ev, counts WHERE day IN ($windowIn)
+       |GROUP BY day, n_files_scanned, n_files_total
+       |ORDER BY day""".stripMargin
+  }
+
   // ---- UPDATE WHERE (Iceberg merge-on-read UPDATE): three stacked DML
   // commits — double sub-50 values, delete the %5 residue, then flag
   // users whose (possibly doubled) value landed in [100, 110] — each
@@ -1670,6 +1749,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
     GraftQuery("cdc_wap_publish", wapPublish, Some(wapPublishSql)),
     GraftQuery("cdc_update_where", updateWhereQ, Some(updateWhereSql)),
+    GraftQuery("cdc_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),
     GraftQuery("catalog_create_table", catalogCreateTable, Some(catalogCreateTableSql)),

@@ -385,6 +385,46 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
+  test("partition-spec evolution: pruning follows each file's transform") {
+    val dir = Files.createTempDirectory("graft-snaplog-spec").toString + "/t"
+    import spark.implicits._
+    def days(rows: (Long, String)*): DataFrame =
+      rows.toDF("id", "day")
+    // commit 1: identity (day) spec
+    SnapshotLog.withTableLock(dir) {
+      val df = days(1L -> "2024-01-10", 2L -> "2024-02-20")
+      val files = SnapshotLog.writeData(spark, dir, df, Some("day"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    // commit 2: month spec via a hidden transform column
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val df = days(3L -> "2024-01-15", 4L -> "2024-03-05")
+      val withMonth = df.withColumn("_pmonth", substring(col("day"), 1, 7))
+      val files = SnapshotLog.writeData(spark, dir, withMonth,
+        Some("_pmonth"), spec = Some("month"))
+      SnapshotLog.commit(spark, dir, "append",
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur)
+    }
+    val cur = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(cur.files.size === 4) // 2 day files + 2 month files
+    // a January day keeps its own day file plus the January month file
+    val jan = SnapshotLog.pruneToDays(cur, Seq("2024-01-10"))
+    assert(jan.map(_.partition).sorted === Seq("2024-01", "2024-01-10"))
+    // the read prunes the same way and filters rows correctly
+    assert(idsOf(SnapshotLog.read(spark, dir, cur, Some(Seq("2024-01-10")))
+      .filter(col("day") === "2024-01-10")) === Seq(1L))
+    // the month file yields its mid-month row through a day-window read
+    assert(idsOf(SnapshotLog.read(spark, dir, cur, Some(Seq("2024-01-15")))
+      .filter(col("day") === "2024-01-15")) === Seq(3L))
+    // hidden transform column is layout, not schema
+    assert(SnapshotLog.readCurrent(spark, dir).get.columns.toSeq
+      === Seq("id", "day"))
+    // an unknown spec never prunes
+    val alien = cur.copy(files = cur.files.map(_.copy(spec = Some("hour"))))
+    assert(SnapshotLog.pruneToDays(alien, Seq("1999-01-01")).size === 4)
+  }
+
   test("updateWhere rewrites matching rows atomically by slot + append") {
     val dir = Files.createTempDirectory("graft-snaplog-upd").toString + "/t"
     commitRows(dir, rows(1, 2, 3), "append")
