@@ -1320,6 +1320,20 @@ object SnapshotLog {
     * writers' debris, un-renamed temp manifests/refs). Returns the
     * number of data files deleted. Runs under the table lock. */
   def expire(spark: SparkSession, tableDir: String, keepLast: Int): Int =
+    expireCore(spark, tableDir, keepLast, olderThanMs = Long.MaxValue)
+
+  /** Age-based retention (Iceberg's `expire_snapshots(older_than,
+    * retain_last)`): expire snapshots committed strictly before
+    * `olderThanMs`, always keeping the newest `retainLast` and every
+    * tagged snapshot regardless of age. The production cadence: "keep 7
+    * days of time travel, but never fewer than N snapshots, and never a
+    * pinned training-run snapshot". */
+  def expireOlderThan(spark: SparkSession, tableDir: String,
+                      olderThanMs: Long, retainLast: Int = 1): Int =
+    expireCore(spark, tableDir, retainLast, olderThanMs)
+
+  private def expireCore(spark: SparkSession, tableDir: String,
+                         keepLast: Int, olderThanMs: Long): Int =
     withTableLock(tableDir) {
       require(keepLast >= 1, s"must keep at least the current snapshot")
       val (fs, root) = fsOf(spark, tableDir)
@@ -1327,7 +1341,8 @@ object SnapshotLog {
       if (all.isEmpty) return 0
       val tagged = tags(spark, tableDir).values.toSet
       val newest = all.takeRight(keepLast).map(_.id).toSet
-      val (keep, drop) = all.partition(s => newest(s.id) || tagged(s.id))
+      val (keep, drop) = all.partition(s =>
+        newest(s.id) || tagged(s.id) || s.tsMs >= olderThanMs)
       // staged branch commits reference data files main can't see yet —
       // they are LIVE (a publish would need them), not crashed debris
       val branchKeep = branches(spark, tableDir)

@@ -385,6 +385,28 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
+  test("expireOlderThan keeps young snapshots, the retain floor, and tags") {
+    val dir = Files.createTempDirectory("graft-snaplog-age").toString + "/t"
+    commitRows(dir, rows(1), "append", carry = false)
+    commitRows(dir, rows(2), "append", carry = false)
+    commitRows(dir, rows(3), "append", carry = false)
+    // cutoff 0: everything is young — no snapshot expires (the returned
+    // count may still include swept non-data debris like _SUCCESS marks)
+    SnapshotLog.expireOlderThan(spark, dir, olderThanMs = 0L)
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.snapshotAt(spark, dir, 1L))) === Seq(1L))
+    // cutoff in the future: everything is old, but the retain floor and
+    // the tag both hold their snapshots (and their bytes)
+    SnapshotLog.tag(spark, dir, "pinned", 1L)
+    val future = System.currentTimeMillis() + 3600_000L
+    SnapshotLog.expireOlderThan(spark, dir, olderThanMs = future, retainLast = 1)
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 3L))
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.snapshotAtTag(spark, dir, "pinned"))) === Seq(1L))
+  }
+
   test("partition-spec evolution: pruning follows each file's transform") {
     val dir = Files.createTempDirectory("graft-snaplog-spec").toString + "/t"
     import spark.implicits._
