@@ -181,6 +181,13 @@ object CdcWriter {
     // table — the streaming-upsert sink's first trigger).
     val cur = SnapshotLog.currentSnapshot(spark, tableDir)
       .orElse(SnapshotLog.importHive(spark, tableDir, pcol))
+    // the touched-day machinery treats partition values as exact day
+    // keys; a clusterBy/spec-evolved layout (may-contain pruning) would
+    // pull foreign rows into survivors while untouched keeps their
+    // files — duplication. Normalize first.
+    cur.foreach(s => require(SnapshotLog.allIdentitySpec(s),
+      s"$tableDir holds non-identity partition layouts; " +
+        "run SnapshotLog.normalizeLayout before a COW merge"))
     val upserts = withPartitionColumn(
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
     val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
@@ -193,7 +200,13 @@ object CdcWriter {
     val wipedDays: Seq[String] = truncLsn match {
       case None => Seq.empty
       case Some(t) => cur match {
-        case Some(snap) if snap.files.nonEmpty && snap.files.forall(_.minLsn.isDefined) =>
+        // the metadata shortcut only holds when every file's recorded
+        // bounds ARE LSN bounds — a statsCol rewrite stores some other
+        // column's min/max under the same fields, and comparing those
+        // lexically against a zero-padded LSN would silently skip days
+        // holding doomed rows
+        case Some(snap) if snap.files.nonEmpty && snap.files.forall(f =>
+          f.boundsColumn == Cdc.LsnColumn && f.minLsn.isDefined) =>
           snap.files.filter(_.minLsn.exists(_ <= t)).map(_.partition).distinct
         case _ =>
           stored0.filter(col(Cdc.LsnColumn) <= t)

@@ -335,8 +335,8 @@ object SnapshotLog {
     * concurrent expire never sees a half-replaced ref. */
   def tag(spark: SparkSession, tableDir: String, name: String, id: Long): Unit =
     withTableLock(tableDir) {
+      validRefName(name)
       snapshotAt(spark, tableDir, id) // throws if not retained
-      require(name.matches("[A-Za-z0-9_.-]+"), s"invalid tag name: $name")
       val (fs, root) = fsOf(spark, tableDir)
       val md = metaDir(root)
       fs.mkdirs(md)
@@ -450,10 +450,16 @@ object SnapshotLog {
     * namespace, the manifest lands in the branch namespace, main readers
     * see NOTHING until [[publish]]. */
   def appendToBranch(spark: SparkSession, tableDir: String, name: String,
-                     df: DataFrame): Snapshot =
+                     df: DataFrame,
+                     partitionCol: Option[String] = None): Snapshot =
     withTableLock(tableDir) {
       val head = branchHead(spark, tableDir, name)
-      val files = writeData(spark, tableDir, df, partitionCol = None)
+      // staged rows written unpartitioned into a partitioned table would
+      // publish with partition "" and vanish from day-pruned reads
+      require(partitionCol.isDefined || head.files.forall(_.partition.isEmpty),
+        s"$tableDir is partitioned; pass partitionCol so staged rows " +
+          "keep their partition value")
+      val files = writeData(spark, tableDir, df, partitionCol)
       val id = head.id + 1
       val snap = Snapshot(id, Some(head.id), System.currentTimeMillis(),
         "append", df.schema.json,
@@ -487,10 +493,17 @@ object SnapshotLog {
       if (staged.isEmpty) { fs.delete(branchDir(root, name), true); return Nil }
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
-      if (cur.id != base)
+      // fast-forward is valid iff the REMAINING staged manifests start
+      // exactly at cur.id + 1. Fresh publish: staged starts at base+1
+      // and cur == base. Crash-resume: the renamed prefix already IS
+      // main's head, the suffix continues from it. A foreign main
+      // commit breaks the contiguity (or makes the rename below find
+      // its target id taken) and fails loudly.
+      if (staged.head.id != cur.id + 1)
         throw new ConcurrentCommitException(
           s"cannot fast-forward branch $name: main is at ${cur.id}, " +
-            s"branch base is $base — re-stage against the new head")
+            s"next staged id is ${staged.head.id} (base $base) — " +
+            "re-stage against the new head")
       val md = metaDir(root)
       val bd = branchDir(root, name)
       staged.foreach { s =>
@@ -742,6 +755,11 @@ object SnapshotLog {
       val schema = cur.schema
       assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
         s"assignment to unknown column $k in $tableDir"))
+      // replacement rows written unpartitioned on a partitioned table
+      // would carry partition "" and vanish from partition-pruned reads
+      require(partitionCol.isDefined || cur.files.forall(_.partition.isEmpty),
+        s"$tableDir is partitioned; pass partitionCol so replacement " +
+          "rows keep their partition value")
       val matched = readCore(spark, tableDir, cur, None, keepLineage = true)
         .filter(predicate).persist()
       try {
@@ -763,6 +781,13 @@ object SnapshotLog {
                       lineageRows: DataFrame): DataFrame = {
     val (_, root) = fsOf(spark, tableDir)
     val rootNorm = root.toUri.getPath
+    // `_abs` comes from the (percent-encoded) file URI with only the
+    // scheme stripped; the offset math below is only sound when the
+    // table path needs no encoding — refuse loudly rather than record
+    // misaligned slots that would silently never apply
+    require(new java.net.URI(null, null, rootNorm, null).getRawPath == rootNorm,
+      s"table dir $rootNorm contains URI-escaped characters; " +
+        "row-level DML path mapping would misalign")
     lineageRows
       .select(expr(s"substring(_abs, ${rootNorm.length + 2})").as("file"),
         col("_pos").as("pos"))
@@ -847,11 +872,31 @@ object SnapshotLog {
 
   /** Read an explicit file subset under the stored schema (no delete
     * application — the building block for [[read]]). */
+  /** Read an explicit file subset under the stored schema. With
+    * `lineage`, two extra columns ride along: `_abs` (the row's
+    * data-file path, scheme-normalized to a bare filesystem path) and
+    * `_pos` (the row ordinal within that file, from the parquet
+    * reader's `_metadata.row_index`) — the join identity positional
+    * deletes target. */
   private def readFiles(spark: SparkSession, tableDir: String,
-                        schema: StructType, files: Seq[DataFile]): DataFrame = {
-    if (files.isEmpty)
+                        schema: StructType, files: Seq[DataFile],
+                        lineage: Boolean = false): DataFrame = {
+    val lineageCols =
+      if (!lineage) Seq.empty
+      else Seq(
+        regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/").as("_abs"),
+        col("_metadata.row_index").as("_pos"))
+    if (files.isEmpty) {
+      val outSchema =
+        if (!lineage) schema
+        else StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_abs",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_pos",
+            org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
     val ordered = schema.fieldNames.toSeq
     val (hiveFiles, inlineFiles) = files.partition(_.hive)
     val parts = Seq(
@@ -859,7 +904,8 @@ object SnapshotLog {
         // explicit schema: no footer-merge pass; files missing a column
         // (pre-evolution) surface it as null
         Some(spark.read.schema(schema)
-          .parquet(inlineFiles.map(f => s"$tableDir/${f.path}"): _*))
+          .parquet(inlineFiles.map(f => s"$tableDir/${f.path}"): _*)
+          .select(ordered.map(col) ++ lineageCols: _*))
       else None,
       if (hiveFiles.nonEmpty) {
         // imported files: partition value lives in the dir name; basePath
@@ -871,46 +917,7 @@ object SnapshotLog {
           val f = schema(c)
           if (have.contains(c)) col(c).cast(f.dataType).as(c)
           else lit(null).cast(f.dataType).as(c)
-        }: _*))
-      } else None
-    ).flatten
-    parts.map(_.select(ordered.map(col): _*)).reduce(_ unionByName _)
-  }
-
-  /** [[readFiles]] plus row lineage: `_abs` (the row's data-file path,
-    * scheme-normalized to a bare filesystem path) and `_pos` (the row
-    * ordinal within that file, from the parquet reader's `_metadata.
-    * row_index`) — the join identity positional deletes target. */
-  private def readFilesLineage(spark: SparkSession, tableDir: String,
-                               schema: StructType, files: Seq[DataFile]): DataFrame = {
-    val lineageSchema = StructType(schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_abs",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_pos",
-        org.apache.spark.sql.types.LongType)))
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lineageSchema)
-    val ordered = schema.fieldNames.toSeq
-    def lineage = Seq(
-      regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/").as("_abs"),
-      col("_metadata.row_index").as("_pos"))
-    val (hiveFiles, inlineFiles) = files.partition(_.hive)
-    val parts = Seq(
-      if (inlineFiles.nonEmpty)
-        Some(spark.read.schema(schema)
-          .parquet(inlineFiles.map(f => s"$tableDir/${f.path}"): _*)
-          .select(ordered.map(col) ++ lineage: _*))
-      else None,
-      if (hiveFiles.nonEmpty) {
-        val raw = spark.read.option("basePath", tableDir)
-          .parquet(hiveFiles.map(f => s"$tableDir/${f.path}"): _*)
-        val have = raw.columns.toSet
-        Some(raw.select(ordered.map { c =>
-          val f = schema(c)
-          if (have.contains(c)) col(c).cast(f.dataType).as(c)
-          else lit(null).cast(f.dataType).as(c)
-        } ++ lineage: _*))
+        } ++ lineageCols: _*))
       } else None
     ).flatten
     parts.reduce(_ unionByName _)
@@ -951,12 +958,10 @@ object SnapshotLog {
     val out = schema.fieldNames.toSeq ++
       (if (keepLineage) Seq("_abs", "_pos") else Seq.empty)
     if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
-      return if (keepLineage) readFilesLineage(spark, tableDir, schema, files)
-      else readFiles(spark, tableDir, schema, files)
+      return readFiles(spark, tableDir, schema, files, lineage = keepLineage)
     val havePos = snap.posDeletes.nonEmpty || keepLineage
     def load(fset: Seq[DataFile]): DataFrame =
-      if (havePos) readFilesLineage(spark, tableDir, schema, fset)
-      else readFiles(spark, tableDir, schema, fset)
+      readFiles(spark, tableDir, schema, fset, lineage = havePos)
     val base =
       if (snap.deletes.isEmpty) load(files)
       else files.groupBy(_.seq).toSeq.map { case (seq, fset) =>
@@ -1101,6 +1106,12 @@ object SnapshotLog {
       // be split per-partition without a rewrite of the delete file
       require(cur.deletes.isEmpty && cur.posDeletes.isEmpty,
         s"$tableDir carries live deletes; run foldDeletes before compact")
+      // may-contain pruning (month/cluster specs) would pull foreign
+      // rows into the rewrite while the untouched list keeps their
+      // files — duplication. Per-partition rewrites need exact values.
+      require(allIdentitySpec(cur),
+        s"$tableDir holds non-identity partition layouts; " +
+          "run normalizeLayout before compact")
       val oversized = cur.files.groupBy(_.partition)
         .collect { case (p, fs) if fs.size > maxFiles => p }.toSeq.sorted
       if (oversized.isEmpty) return Seq.empty
@@ -1173,8 +1184,12 @@ object SnapshotLog {
       }
       val tagged = state.withColumn(ClusterBucketCol,
         format_string("%04d", bucket))
+      // spec "cluster": the partition value is a bucket id, NOT a day —
+      // day pruning must never mistake it for an identity value (an
+      // unknown transform is never pruned, so day reads stay correct,
+      // just unpruned — range skipping is this layout's pruning story)
       val files = writeData(spark, tableDir, tagged, Some(ClusterBucketCol),
-        statsCol = sortCol)
+        statsCol = sortCol, spec = Some("cluster"))
       commit(spark, tableDir, "replace", files, cur.schema,
         parent = Some(cur))
     }
@@ -1197,11 +1212,38 @@ object SnapshotLog {
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(return None)
       if (cur.deletes.isEmpty && cur.posDeletes.isEmpty) return None
-      val state = read(spark, tableDir, cur)
-      val files = writeData(spark, tableDir, state, partitionCol, statsCol)
-      Some(commit(spark, tableDir, "replace", files, cur.schema,
-        parent = Some(cur), deletes = Nil))
+      Some(rewriteWhole(spark, tableDir, cur, partitionCol, statsCol))
     }
+
+  /** Rewrite the WHOLE table back to an identity partition layout (and
+    * retire any live deletes along the way) — the normalization step
+    * that makes a spec-evolved or clustered table eligible again for
+    * the per-partition rewrites ([[compact]]) and the CDC writers'
+    * touched-day COW merge, both of which require identity values. */
+  def normalizeLayout(spark: SparkSession, tableDir: String,
+                      partitionCol: Option[String],
+                      statsCol: String = graft.ingest.Cdc.LsnColumn): Option[Snapshot] =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(return None)
+      Some(rewriteWhole(spark, tableDir, cur, partitionCol, statsCol))
+    }
+
+  /** Materialize the full live state (all deletes applied) and commit it
+    * as a clean identity-layout "replace" snapshot. Call under the lock. */
+  private def rewriteWhole(spark: SparkSession, tableDir: String,
+                           cur: Snapshot, partitionCol: Option[String],
+                           statsCol: String): Snapshot = {
+    val state = read(spark, tableDir, cur)
+    val files = writeData(spark, tableDir, state, partitionCol, statsCol)
+    commit(spark, tableDir, "replace", files, cur.schema,
+      parent = Some(cur), deletes = Nil)
+  }
+
+  /** Every file's partition value is an identity value (or the file is
+    * unpartitioned) — the precondition for treating partition values as
+    * exact day keys in per-partition rewrites. */
+  def allIdentitySpec(snap: Snapshot): Boolean =
+    snap.files.forall(f => f.spec.isEmpty || f.spec.contains("identity"))
 
   /** Roll the table back to a historical snapshot by committing a NEW
     * snapshot that references the target's exact file and delete sets
@@ -1344,9 +1386,18 @@ object SnapshotLog {
       val (keep, drop) = all.partition(s =>
         newest(s.id) || tagged(s.id) || s.tsMs >= olderThanMs)
       // staged branch commits reference data files main can't see yet —
-      // they are LIVE (a publish would need them), not crashed debris
-      val branchKeep = branches(spark, tableDir)
-        .flatMap(b => branchSnapshots(spark, tableDir, b))
+      // they are LIVE (a publish would need them), not crashed debris.
+      // A branch dir WITHOUT base.json (createBranch crashed between
+      // mkdir and the base write) IS debris: reclaim it here instead of
+      // failing every future expire on the table.
+      val branchKeep = branches(spark, tableDir).flatMap { b =>
+        try branchSnapshots(spark, tableDir, b)
+        catch {
+          case _: NoSuchElementException =>
+            fs.delete(branchDir(root, b), true)
+            Seq.empty
+        }
+      }
       val live: Set[String] =
         (keep ++ branchKeep).flatMap(s => s.files.map(_.path) ++
           s.deletes.map(_.path) ++ s.posDeletes.map(_.path)).toSet

@@ -229,6 +229,26 @@ class LakeMergeSpec extends SparkTestBase {
     assert(state === Seq((2L, 15L)))
   }
 
+  test("TRUNCATE wipe detection falls back to a scan when file bounds are not LSN bounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lakemerge-trunc3").toString + "/t"
+    CdcWriter.merge(spark, dir, env(
+      (1L, 5L, 1.0, "INSERT", "2024-01-01"),
+      (2L, 6L, 2.0, "INSERT", "2024-01-02")), Seq("user_id"))
+    // a maintenance rewrite that records VALUE bounds under min/max —
+    // the metadata shortcut must not compare them against an LSN
+    graft.lake.SnapshotLog.normalizeLayout(spark, dir,
+      Some(graft.model.SchemaBuilder.partitionColumn), statsCol = "value")
+    val cur = graft.lake.SnapshotLog.currentSnapshot(spark, dir).get
+    assert(cur.files.exists(_.statsCol === Some("value")))
+    // TRUNCATE at LSN 10: both stored days hold pre-marker rows and
+    // must be wiped — a lexical value-vs-LSN compare would miss them
+    CdcWriter.merge(spark, dir, truncMarker(10L, "2024-01-03"), Seq("user_id"))
+    val state = CdcWriter.read(spark, dir)
+      .select($"user_id").as[Long].collect().toSeq
+    assert(state === Seq.empty)
+  }
+
   test("COW write amplification is bounded by the DELTA's day-spread, not the table's") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lakemerge-cow").toString + "/t"

@@ -322,6 +322,19 @@ class SnapshotLogSpec extends SparkTestBase {
     // LSN pruning no longer trusts the v bounds (wrong-column guard):
     // a narrow LSN window keeps every clustered file
     assert(SnapshotLog.pruneByLsn(sn, f"${1L}%016d", f"${1L}%016d").size === 3)
+    // clustered files carry the "cluster" spec: bucket ids are LAYOUT,
+    // never identity partition values — a day-pruned read must keep
+    // them (unknown-to-the-predicate transforms never prune)
+    assert(sn.files.forall(_.spec === Some("cluster")))
+    assert(idsOf(SnapshotLog.read(spark, dir, sn, Some(Seq("2024-01-01")))).size === 9)
+    // per-partition rewrites refuse the non-identity layout loudly;
+    // normalizeLayout rewrites it back to an identity table
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.compact(spark, dir, partitionCol = None))
+    SnapshotLog.normalizeLayout(spark, dir, partitionCol = None)
+    val norm = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(SnapshotLog.allIdentitySpec(norm))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get).size === 9)
     // guard rails
     assertThrows[IllegalArgumentException](
       SnapshotLog.clusterBy(spark, dir, "v", Seq(200.0, 100.0)))
@@ -508,6 +521,54 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
     assert(SnapshotLog.branches(spark, dir).isEmpty)
+  }
+
+  test("publish resumes after a mid-publish crash; half-created branches are debris") {
+    val dir = Files.createTempDirectory("graft-snaplog-wap3").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    SnapshotLog.createBranch(spark, dir, "audit")
+    SnapshotLog.appendToBranch(spark, dir, "audit", rows(2))
+    SnapshotLog.appendToBranch(spark, dir, "audit", rows(3))
+    // emulate a crash after the FIRST staged rename landed on main
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new Path(s"$dir/${SnapshotLog.MetaDirName}")
+    assert(fs.rename(new Path(md, "branch-audit/snap-000000000002.json"),
+      new Path(md, "snap-000000000002.json")))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 2L)
+    // publish resumes the suffix instead of refusing the fast-forward
+    assert(SnapshotLog.publish(spark, dir, "audit") === Seq(3L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
+    // a branch dir with no base.json (createBranch crashed mid-way) is
+    // debris: expire reclaims it instead of failing forever
+    fs.mkdirs(new Path(md, "branch-crashed"))
+    SnapshotLog.expire(spark, dir, keepLast = 3)
+    assert(!fs.exists(new Path(md, "branch-crashed")))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
+  }
+
+  test("row-level DML and branch staging refuse partitioned tables without a partitionCol") {
+    val dir = Files.createTempDirectory("graft-snaplog-dmlpart").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-10"), (2L, "2024-01-11")).toDF("id", "day")
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, df, Some("day"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.updateWhere(spark, dir, col("id") === 1, Map("id" -> lit(9))))
+    SnapshotLog.createBranch(spark, dir, "b")
+    assertThrows[IllegalArgumentException](
+      SnapshotLog.appendToBranch(spark, dir, "b", df))
+    // with the partition column passed, both paths keep day pruning sound
+    SnapshotLog.appendToBranch(spark, dir, "b",
+      Seq((3L, "2024-01-12")).toDF("id", "day"), Some("day"))
+    SnapshotLog.publish(spark, dir, "b")
+    SnapshotLog.updateWhere(spark, dir, col("id") === 1,
+      Map("id" -> lit(9L)), Some("day"))
+    assert(idsOf(SnapshotLog.read(spark, dir,
+      SnapshotLog.currentSnapshot(spark, dir).get, Some(Seq("2024-01-10"))))
+      .contains(9L))
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(2L, 3L, 9L))
   }
 
   test("publish fails loudly when main advanced; drop reclaims staged work") {
