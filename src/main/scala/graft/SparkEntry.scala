@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, Lifecycle, PipelineOps, Relational}
+import graft.queries.{CdcQueries, Lifecycle, PipelineOps, Relational, SqlSurface}
 import graft.extensions.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered engine modules. Order defines no semantics. */
   def modules: Seq[QueryModule] = Seq(
-    Relational, CdcQueries, Lifecycle, PipelineOps, TextAnalysis, Dedup, Similarity, Pq, Multimodal)
+    Relational, CdcQueries, Lifecycle, SqlSurface, PipelineOps, TextAnalysis, Dedup, Similarity, Pq, Multimodal)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.all)
 

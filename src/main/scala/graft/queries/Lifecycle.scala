@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Lifecycle extends QueryModule {
 
   /** Envelope CTE shared with CdcQueries oracles. */
-  private val envelopeSql =
+  private[queries] val envelopeSql =
     """SELECT user_id, event_id, value,
       | CASE event_type WHEN 'signup' THEN 'INSERT'
       |                 WHEN 'error' THEN 'DELETE'
@@ -236,8 +236,8 @@ object Lifecycle extends QueryModule {
   // start at 0); ts is monotone in event_id in the testdata, so
   // incremental merge-at-boundary ≡ recompute-at-boundary and the oracle
   // can replay each snapshot as a plain AS-OF-LSN state.
-  private val SnapLsn1 = "0000000000000300"
-  private val SnapLsn2 = "0000000000000600"
+  private[queries] val SnapLsn1 = "0000000000000300"
+  private[queries] val SnapLsn2 = "0000000000000600"
 
   /** Commit-log fixture cache: builds must be MEMOIZED and SERIALIZED —
     * the snapshot queries run concurrently under Verify's thread pool,
@@ -246,7 +246,7 @@ object Lifecycle extends QueryModule {
     * duplicate commits. One lock per cache keeps unrelated fixtures
     * building in parallel; the double-checked get keeps warm re-measures
     * lock-free. */
-  private final class FixtureCache(prefix: String) {
+  private[queries] final class FixtureCache(prefix: String) {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(String, String), String]
     private val lock = new Object
@@ -277,7 +277,7 @@ object Lifecycle extends QueryModule {
     }
 
   /** Shared oracle prefix: per-snapshot state replay at each boundary. */
-  private val snapStateSql =
+  private[queries] val snapStateSql =
     s"""WITH envelope AS ($envelopeSql),
        |bounds AS (SELECT * FROM (VALUES
        |  (CAST(1 AS BIGINT), '$SnapLsn1'),
@@ -1036,6 +1036,83 @@ object Lifecycle extends QueryModule {
        |GROUP BY bucket, n_snapshots, n_pos_files, n_del_slots
        |ORDER BY bucket""".stripMargin
 
+  // ---- MERGE INTO (the generic Iceberg merge verb, beyond the CDC
+  // writers' fixed upsert shape): target = the 2-commit merged state,
+  // source = the late slice's latest versions, three WHEN clauses with
+  // real first-clause-wins interplay — a matched source DELETE deletes
+  // even when its value would also satisfy the update condition, the
+  // update fires only when the source value EXCEEDS the stored one
+  // (conditional upgrade, not blind upsert), and not-matched inserts
+  // skip source deletes. Row-level output: one misrouted row fails the
+  // hash. Slot counts measured from the manifest must equal the
+  // oracle's matched-actioned count.
+  private val mergeIntoFixture = new FixtureCache("graft_mergeinto")
+
+  private def mergeIntoDir(s: SparkSession, d: String): String =
+    mergeIntoFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val env = CdcQueries.envelope(s, d)
+      val lsn = col(Cdc.LsnColumn)
+      CdcWriter.merge(s, dir, env.filter(lsn <= SnapLsn1), Seq("user_id"))
+      CdcWriter.merge(s, dir,
+        env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
+      val late = CdcWriter.withPartitionColumn(
+        Cdc.latestVersions(env.filter(lsn > SnapLsn2), Seq("user_id")))
+      SnapshotLog.mergeInto(s, dir, late, Seq("user_id"), Seq(
+        SnapshotLog.MatchedDelete(
+          Some(col(s"_src_${Cdc.OpColumn}") === "DELETE")),
+        SnapshotLog.MatchedUpdate(
+          Some(col("_src_value") > col("value")),
+          Map("value" -> col("_src_value"),
+            "event_id" -> col("_src_event_id"))),
+        SnapshotLog.NotMatchedInsert(
+          Some(col(s"_src_${Cdc.OpColumn}") =!= "DELETE"))),
+        Some(graft.model.SchemaBuilder.partitionColumn))
+    }
+
+  private def mergeIntoQ(s: SparkSession, d: String): DataFrame = {
+    val dir = mergeIntoDir(s, d)
+    import graft.lake.SnapshotLog
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    SnapshotLog.read(s, dir, cur)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lit(SnapshotLog.snapshotIds(s, dir).size.toLong).as("n_snapshots"),
+        lit(cur.posDeletes.map(_.rows).sum).as("n_del_slots"))
+      .orderBy(col("user_id"))
+  }
+
+  private val mergeIntoSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM envelope WHERE _cdc_lsn <= '$SnapLsn2'),
+       |target AS (SELECT user_id, event_id, value FROM tr
+       |  WHERE rn = 1 AND _cdc_operation <> 'DELETE'),
+       |sr AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY _cdc_timestamp DESC, _cdc_lsn DESC) AS rn
+       |  FROM envelope WHERE _cdc_lsn > '$SnapLsn2'),
+       |src AS (SELECT user_id, event_id, value, _cdc_operation FROM sr
+       |  WHERE rn = 1),
+       |kept AS (SELECT t.user_id,
+       |    CASE WHEN s.user_id IS NOT NULL AND s._cdc_operation <> 'DELETE'
+       |        AND s.value > t.value THEN s.event_id ELSE t.event_id
+       |      END AS event_id,
+       |    CASE WHEN s.user_id IS NOT NULL AND s._cdc_operation <> 'DELETE'
+       |        AND s.value > t.value THEN s.value ELSE t.value
+       |      END AS value
+       |  FROM target t LEFT JOIN src s USING (user_id)
+       |  WHERE s.user_id IS NULL OR s._cdc_operation <> 'DELETE'),
+       |ins AS (SELECT s.user_id, s.event_id, s.value FROM src s
+       |  WHERE s._cdc_operation <> 'DELETE'
+       |    AND s.user_id NOT IN (SELECT user_id FROM target)),
+       |meta AS (SELECT CAST(3 AS BIGINT) AS n_snapshots,
+       |  CAST((SELECT count(*) FROM target t JOIN src s USING (user_id)
+       |    WHERE s._cdc_operation = 'DELETE' OR s.value > t.value)
+       |    AS BIGINT) AS n_del_slots)
+       |SELECT u.user_id, u.event_id, u.value, m.n_snapshots, m.n_del_slots
+       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) u, meta m
+       |ORDER BY user_id""".stripMargin
+
   // ---- write-audit-publish (Iceberg WAP branches): the quality-gate
   // workflow a training-data pipeline runs per crawl batch — stage the
   // batch on a branch, audit the branch head, publish by metadata-only
@@ -1749,6 +1826,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
     GraftQuery("cdc_wap_publish", wapPublish, Some(wapPublishSql)),
     GraftQuery("cdc_update_where", updateWhereQ, Some(updateWhereSql)),
+    GraftQuery("cdc_merge_into", mergeIntoQ, Some(mergeIntoSql)),
     GraftQuery("cdc_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     GraftQuery("catalog_tables", catalogTables, Some(catalogTablesSql)),
     GraftQuery("catalog_schemas", catalogSchemas, Some(catalogSchemasSql)),

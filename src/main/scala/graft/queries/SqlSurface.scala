@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule}
+import graft.ingest.{Cdc, CdcWriter}
+import graft.lake.{GraftCatalog, SnapshotLog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL surface of the commit log, served by
+  * [[graft.lake.GraftCatalog]] — a DSv2 `TableCatalog` that makes every
+  * snapshot-logged table addressable as `graft.<ns>.<table>` in
+  * `spark.sql`, with Spark's own time-travel syntax (`VERSION AS OF`,
+  * `TIMESTAMP AS OF`) resolving through the manifest, and Iceberg-style
+  * metadata tables as nested identifiers. This is the reference's
+  * documented product surface (ref docs/query/sample-queries.sql:32-61:
+  * plain SELECTs, `FOR VERSION AS OF`, `$snapshots`/`$history`) spoken
+  * through a real catalog plugin instead of emulation helpers.
+  *
+  * Every gate here shares ONE warehouse fixture per (session, sf):
+  * `db/events` — three COW merges at the shared LSN boundaries with
+  * snapshot 2 tagged `audit` — and `db/events_mor` — two MOR merges plus
+  * a positional DELETE — so the oracles replay the exact same states
+  * [[Lifecycle.snapStateSql]] already pins. */
+object SqlSurface extends QueryModule {
+
+  import Lifecycle.{snapStateSql, SnapLsn1, SnapLsn2}
+
+  private val fixture = new Lifecycle.FixtureCache("graft_sqlwh")
+
+  /** Build the warehouse once per (session, sf): a COW merge table with
+    * a tag, and a MOR table carrying both delete kinds. */
+  private def sqlWarehouse(s: SparkSession, d: String): String =
+    fixture.dir(s, d) { wh =>
+      val env = CdcQueries.envelope(s, d)
+      val lsn = col(Cdc.LsnColumn)
+      val cow = s"$wh/db/events"
+      CdcWriter.merge(s, cow, env.filter(lsn <= SnapLsn1), Seq("user_id"))
+      CdcWriter.merge(s, cow,
+        env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
+      CdcWriter.merge(s, cow, env.filter(lsn > SnapLsn2), Seq("user_id"))
+      SnapshotLog.tag(s, cow, "audit", 2L)
+      val mor = s"$wh/db/events_mor"
+      CdcWriter.morMerge(s, mor, env.filter(lsn <= SnapLsn1), Seq("user_id"))
+      CdcWriter.morMerge(s, mor,
+        env.filter(lsn > SnapLsn1 && lsn <= SnapLsn2), Seq("user_id"))
+      SnapshotLog.deleteWhere(s, mor, col("user_id") % 10 === 3)
+    }
+
+  /** Register the catalog and point it at this fixture's warehouse (the
+    * class conf is idempotent; the warehouse conf is re-read per
+    * resolution, so per-SF scratch dirs retarget cleanly). */
+  private def catalog(s: SparkSession, d: String): Unit = {
+    val wh = sqlWarehouse(s, d)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+  }
+
+  // ---- plain SELECT through the catalog: the WHERE lands on the
+  // partition column, so the scan prunes manifest entries to the
+  // matching days before any footer opens (GraftCatalogSpec measures
+  // exactly this via GraftScanStats). The merged state clusters on the
+  // final days of the month (latest versions live late), so the day-30
+  // window is non-empty AND excludes rows at every SF.
+  private def catalogRead(s: SparkSession, d: String): DataFrame = {
+    catalog(s, d)
+    s.sql(
+      """SELECT CAST(_cdc_date AS STRING) AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
+        |FROM graft.db.events
+        |WHERE _cdc_date BETWEEN '2024-01-30' AND '2024-01-31'
+        |GROUP BY _cdc_date ORDER BY day""".stripMargin)
+  }
+
+  private val catalogReadSql =
+    s"""$snapStateSql
+       |SELECT day, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  max(_cdc_lsn) AS lsn_max
+       |FROM state WHERE snap_id = 3
+       |  AND day BETWEEN '2024-01-30' AND '2024-01-31'
+       |GROUP BY day ORDER BY day""".stripMargin
+
+  // ---- SQL time travel: VERSION AS OF each snapshot id, VERSION AS OF
+  // a tag name, TIMESTAMP AS OF a future timestamp (→ current) — five
+  // resolutions of the same table, every one a distinct manifest read.
+  private def timeTravel(s: SparkSession, d: String): DataFrame = {
+    catalog(s, d)
+    val legs = Seq(
+      "v1" -> "VERSION AS OF 1",
+      "v2" -> "VERSION AS OF 2",
+      "v3" -> "VERSION AS OF 3",
+      "tag_audit" -> "VERSION AS OF 'audit'",
+      "ts_future" -> "TIMESTAMP AS OF '2100-01-01 00:00:00'")
+    legs.map { case (label, clause) =>
+      s.sql(s"""SELECT '$label' AS src, user_id, event_id, value
+               |FROM graft.db.events $clause""".stripMargin)
+    }.reduce(_ unionByName _).orderBy(col("src"), col("user_id"))
+  }
+
+  private val timeTravelSql =
+    s"""$snapStateSql,
+       |legs AS (SELECT * FROM (VALUES
+       |  ('v1', CAST(1 AS BIGINT)), ('v2', CAST(2 AS BIGINT)),
+       |  ('v3', CAST(3 AS BIGINT)), ('tag_audit', CAST(2 AS BIGINT)),
+       |  ('ts_future', CAST(3 AS BIGINT))) AS t(src, snap_id))
+       |SELECT l.src, st.user_id, st.event_id, st.value
+       |FROM legs l JOIN state st ON st.snap_id = l.snap_id
+       |ORDER BY src, user_id""".stripMargin
+
+  // ---- SQL over a merge-on-read table: the plain SELECT transparently
+  // applies BOTH v2 delete kinds (equality deletes from the MOR merges,
+  // positional deletes from DELETE WHERE) via the broadcast collapse —
+  // row-level output, so one resurrected or lost row fails the hash.
+  private def morRead(s: SparkSession, d: String): DataFrame = {
+    catalog(s, d)
+    s.sql(
+      """SELECT user_id, event_id, value
+        |FROM graft.db.events_mor ORDER BY user_id""".stripMargin)
+  }
+
+  private val morReadSql =
+    s"""$snapStateSql
+       |SELECT user_id, event_id, value FROM state
+       |WHERE snap_id = 2 AND user_id % 10 <> 3
+       |ORDER BY user_id""".stripMargin
+
+  // ---- metadata tables as nested identifiers, joined in pure SQL:
+  // $snapshots × $history × $refs — ids, lineage, row totals and ref
+  // pins all MEASURED from the manifest, never recomputed from data.
+  private def metadataJoin(s: SparkSession, d: String): DataFrame = {
+    catalog(s, d)
+    s.sql(
+      """SELECT s.snapshot_id, s.operation, s.n_rows, h.is_current,
+        |  coalesce(r.refs, '') AS refs
+        |FROM graft.db.events.snapshots s
+        |JOIN graft.db.events.history h USING (snapshot_id)
+        |LEFT JOIN (
+        |  SELECT snapshot_id,
+        |    array_join(sort_array(collect_list(ref_name)), ',') AS refs
+        |  FROM graft.db.events.refs GROUP BY snapshot_id) r
+        |USING (snapshot_id)
+        |ORDER BY snapshot_id""".stripMargin)
+  }
+
+  private val metadataJoinSql =
+    s"""$snapStateSql
+       |SELECT snap_id AS snapshot_id, 'merge' AS operation,
+       |  CAST(count(*) AS BIGINT) AS n_rows, snap_id = 3 AS is_current,
+       |  CASE snap_id WHEN 3 THEN 'main' WHEN 2 THEN 'audit' ELSE '' END AS refs
+       |FROM state GROUP BY snap_id ORDER BY snapshot_id""".stripMargin
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
+    GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),
+    GraftQuery("sql_mor_read", morRead, Some(morReadSql)),
+    GraftQuery("sql_metadata", metadataJoin, Some(metadataJoinSql)))
+}

@@ -1,0 +1,190 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The DSv2 SQL surface over the commit log: resolution, time travel,
+  * manifest pruning (measured via [[GraftScanStats]] — file counts, not
+  * plans), residual-filter safety, metadata tables, and DDL. The pruning
+  * contract under test: dropping a manifest entry is only ever an
+  * optimization — every SQL result must be identical with pruning active
+  * because Spark re-applies all predicates post-scan. */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private val cat = "gtest"
+
+  private def register(wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+
+  /** One commit of (id, v, lsn, day) rows, day-partitioned, LSN bounds. */
+  private def commitDays(dir: String, rows: Seq[(Long, Long, String, String)],
+                         op: String = "append"): SnapshotLog.Snapshot = {
+    import spark.implicits._
+    val df = rows.toDF("id", "v", graft.ingest.Cdc.LsnColumn, "_cdc_date")
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val files = SnapshotLog.writeData(spark, dir, df, Some("_cdc_date"))
+      SnapshotLog.commit(spark, dir, op,
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur,
+        deletes = cur.toSeq.flatMap(_.deletes),
+        posDeletes = cur.toSeq.flatMap(_.posDeletes))
+    }
+  }
+
+  private def lsn(i: Int): String = f"$i%016d"
+
+  /** 3 days × 2 commits; LSN ranges disjoint per commit. */
+  private def buildTable(): (String, String) = {
+    val wh = Files.createTempDirectory("graft-cat").toString
+    val dir = s"$wh/ns/t"
+    commitDays(dir, Seq(
+      (1L, 10L, lsn(1), "2024-01-01"), (2L, 20L, lsn(2), "2024-01-02")))
+    commitDays(dir, Seq(
+      (3L, 30L, lsn(3), "2024-01-02"), (4L, 40L, lsn(4), "2024-01-03")))
+    register(wh)
+    (wh, dir)
+  }
+
+  private def ids(df: DataFrame): Seq[Long] = {
+    import spark.implicits._
+    df.select(col("id").cast("long")).as[Long].collect().toSeq.sorted
+  }
+
+  test("SQL SELECT resolves the current manifest; partition filter prunes files") {
+    val (_, dir) = buildTable()
+    val out = spark.sql(
+      s"SELECT id, v FROM $cat.ns.t WHERE _cdc_date = '2024-01-02' ORDER BY id")
+    assert(ids(out) === Seq(2L, 3L))
+    // 4 files (one per day per commit); day 01-02 lives in 2 of them
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(total === 4L)
+    assert(kept === 2L)
+  }
+
+  test("stats-bounds filter prunes to the overlapping commit's files") {
+    val (_, dir) = buildTable()
+    val c = graft.ingest.Cdc.LsnColumn
+    val out = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE $c >= '${lsn(3)}' ORDER BY id")
+    assert(ids(out) === Seq(3L, 4L))
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(total === 4L)
+    assert(kept === 2L) // only commit 2's files can hold lsn >= 3
+  }
+
+  test("untranslatable predicates keep every file and stay correct") {
+    val (_, dir) = buildTable()
+    val out = spark.sql(s"SELECT id FROM $cat.ns.t WHERE id % 2 = 0 ORDER BY id")
+    assert(ids(out) === Seq(2L, 4L))
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(kept === total) // modulo never prunes; correctness unharmed
+  }
+
+  test("column pruning and count(*) (empty projection) work through the V1 bridge") {
+    val (_, _) = buildTable()
+    import spark.implicits._
+    assert(spark.sql(s"SELECT v FROM $cat.ns.t ORDER BY v").as[Long].collect()
+      === Array(10L, 20L, 30L, 40L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() === 4L)
+  }
+
+  test("VERSION AS OF id / tag / branch head; TIMESTAMP AS OF; loud unknowns") {
+    val (_, dir) = buildTable()
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 1")) === Seq(1L, 2L))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 2")) === Seq(1L, 2L, 3L, 4L))
+    SnapshotLog.tag(spark, dir, "trainrun", 1L)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'trainrun'")) === Seq(1L, 2L))
+    // a branch head resolves through the same version syntax
+    SnapshotLog.createBranch(spark, dir, "audit")
+    import spark.implicits._
+    SnapshotLog.appendToBranch(spark, dir, "audit",
+      Seq((9L, 90L, lsn(9), "2024-01-09"))
+        .toDF("id", "v", graft.ingest.Cdc.LsnColumn, "_cdc_date"),
+      Some("_cdc_date"))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'audit'"))
+      === Seq(1L, 2L, 3L, 4L, 9L))
+    // main is unchanged by the staged branch commit
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t")) === Seq(1L, 2L, 3L, 4L))
+    // future timestamp → current snapshot
+    assert(ids(spark.sql(
+      s"SELECT id FROM $cat.ns.t TIMESTAMP AS OF '2100-01-01 00:00:00'"))
+      === Seq(1L, 2L, 3L, 4L))
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 'nope'").collect())
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT id FROM $cat.ns.t TIMESTAMP AS OF '1990-01-01 00:00:00'").collect())
+    assert(e2.getMessage.toLowerCase.contains("no snapshot"))
+  }
+
+  test("positional deletes apply transparently to SQL reads") {
+    val (_, dir) = buildTable()
+    SnapshotLog.deleteWhere(spark, dir, col("id") === 2L)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t")) === Seq(1L, 3L, 4L))
+    // and time travel still sees the pre-delete state
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 2"))
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("metadata tables ride nested identifiers, measured from the manifest") {
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, n_rows FROM $cat.ns.t.snapshots ORDER BY snapshot_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(snaps === Seq((1L, 2L), (2L, 4L)))
+    val cur = spark.sql(
+      s"SELECT snapshot_id FROM $cat.ns.t.history WHERE is_current")
+      .as[Long].collect().toSeq
+    assert(cur === Seq(2L))
+    SnapshotLog.tag(spark, dir, "pin", 1L)
+    val refs = spark.sql(
+      s"SELECT ref_name, ref_type, snapshot_id FROM $cat.ns.t.refs ORDER BY ref_name")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refs === Seq(("main", "branch", 2L), ("pin", "tag", 1L)))
+    val files = spark.sql(
+      s"SELECT count(*), sum(n_rows) FROM $cat.ns.t.files")
+      .as[(Long, Long)].head()
+    assert(files === ((4L, 4L)))
+  }
+
+  test("DDL: create/list/drop tables and namespaces, loud on misuse") {
+    val wh = Files.createTempDirectory("graft-cat-ddl").toString
+    register(wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db1")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0))
+      .contains("db1"))
+    spark.sql(s"CREATE TABLE $cat.db1.empty (id BIGINT, v STRING)")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db1").collect()
+      .map(_.getString(1)) === Array("empty"))
+    // an empty created table reads as zero rows under its declared schema
+    val out = spark.sql(s"SELECT * FROM $cat.db1.empty")
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.count() === 0L)
+    // invalid identifiers are rejected before any filesystem touch
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db1.`bad-name` (id BIGINT)"))
+    // non-cascade drop of a non-empty namespace fails loudly
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.db1"))
+    spark.sql(s"DROP TABLE $cat.db1.empty")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db1").collect().isEmpty)
+    spark.sql(s"DROP NAMESPACE $cat.db1")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("db1"))
+  }
+
+  test("a pinned snapshot is immune to commits that land mid-query") {
+    val (_, dir) = buildTable()
+    // resolve the table (pins snapshot 2), then commit snapshot 3
+    val pinned = spark.sql(s"SELECT id FROM $cat.ns.t")
+    commitDays(dir, Seq((7L, 70L, lsn(7), "2024-01-07")))
+    // the already-analyzed plan still reads snapshot 2's file set
+    assert(ids(pinned) === Seq(1L, 2L, 3L, 4L))
+    // a fresh statement sees snapshot 3
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.t")) === Seq(1L, 2L, 3L, 4L, 7L))
+  }
+}
