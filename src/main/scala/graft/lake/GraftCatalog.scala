@@ -8,9 +8,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
@@ -223,21 +224,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** One resolved snapshot served as a DSv2 [[Table]]. The snapshot is
   * pinned at load time — a SQL statement reads ONE consistent manifest
-  * even if writers commit mid-query (Iceberg's read isolation). */
+  * even if writers commit mid-query (Iceberg's read isolation). DML
+  * (INSERT / INSERT OVERWRITE / DELETE FROM) re-resolves the current
+  * snapshot under the table lock at execution, so writes always compose
+  * against the latest committed state. */
 private[lake] final class GraftTable(tableName: String, tableDir: String,
                                      snap: Snapshot)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     Map("location" -> tableDir, "snapshot-id" -> snap.id.toString,
       "format" -> "graft/snapshot-log").asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, snap)
+
+  /** INSERT lands through the V1 bridge: one [[SnapshotLog.sqlInsert]]
+    * commit per statement (append or truncate-replace). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ov: Boolean): Unit =
+              SnapshotLog.sqlInsert(SparkSession.active, tableDir, data,
+                overwrite || ov)
+          }
+      }
+    }
+
+  /** DELETE FROM ... WHERE via positional deletes — the predicate must
+    * translate totally (else the delete is refused at analysis, never
+    * silently partial). An empty filter set is SQL's full-table DELETE:
+    * one "delete" snapshot with an empty live set. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftPruning.translate(f, snap.schema).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      // full truncate: replace the live set with nothing, atomically
+      SnapshotLog.withTableLock(tableDir) {
+        val cur = SnapshotLog.currentSnapshot(spark, tableDir).getOrElse(
+          throw new NoSuchTableException(Seq(tableName)))
+        SnapshotLog.commit(spark, tableDir, "delete", Seq.empty, cur.schema,
+          parent = Some(cur))
+      }
+      return
+    }
+    val cond = filters.toSeq.map(f =>
+      GraftPruning.translate(f, snap.schema).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate delete predicate $f")))
+      .reduce(_ && _)
+    SnapshotLog.deleteWhere(spark, tableDir, cond)
+  }
 }
 
 private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
@@ -329,6 +379,8 @@ private[lake] object GraftPruning {
   def translate(f: Filter, schema: StructType): Option[org.apache.spark.sql.Column] = {
     def has(attr: String) = schema.fieldNames.contains(attr)
     f match {
+      case _: AlwaysTrue                      => Some(lit(true))
+      case _: AlwaysFalse                     => Some(lit(false))
       case EqualTo(a, v) if has(a)            => Some(col(a) === lit(v))
       case EqualNullSafe(a, v) if has(a)      => Some(col(a) <=> lit(v))
       case GreaterThan(a, v) if has(a)        => Some(col(a) > lit(v))
@@ -447,7 +499,7 @@ private[lake] object GraftPruning {
   * manifest (never recomputed from data) — ref sample-queries.sql:55-61. */
 private[lake] object GraftMetaTables {
 
-  val names: Set[String] = Set("snapshots", "history", "files", "refs")
+  val names: Set[String] = Set("snapshots", "history", "files", "refs", "partitions")
 
   def load(spark: SparkSession, tableName: String, tableDir: String,
            meta: String): Table = {
@@ -469,6 +521,14 @@ private[lake] object GraftMetaTables {
           f.seq, f.minLsn, f.maxLsn))
           .toDF("file_path", "partition", "n_rows", "size_bytes",
             "added_snapshot_id", "bounds_min", "bounds_max")
+      case "partitions" =>
+        val cur = snaps.last
+        cur.files.groupBy(f => (f.partition, f.spec.getOrElse("identity")))
+          .toSeq.map { case ((p, spec), fs) =>
+            (p, spec, fs.size.toLong, fs.map(_.rows).sum,
+              fs.map(_.sizeBytes).sum)
+          }
+          .toDF("partition", "spec", "n_files", "n_rows", "size_bytes")
       case "refs" =>
         val tagRows = SnapshotLog.tags(spark, tableDir).toSeq
           .map { case (n, id) => (n, "tag", id) }

@@ -775,6 +775,48 @@ object SnapshotLog {
       } finally matched.unpersist()
     }
 
+  // ---- SQL INSERT (the catalog's write path)
+
+  /** INSERT INTO / INSERT OVERWRITE through the commit log: align the
+    * frame to the stored schema by name, write immutable files, commit
+    * ONE snapshot — append carries every live manifest entry, overwrite
+    * replaces the complete file+delete set (truncate-and-load, Iceberg's
+    * `INSERT OVERWRITE` on an unpartitioned-overwrite table).
+    *
+    * Partitioning follows the engine convention: a table whose schema
+    * carries the partition column stays day-partitioned on insert.
+    * Layout-managed tables (non-identity partition transforms from
+    * [[clusterBy]] / spec evolution) refuse SQL inserts loudly — a
+    * naively-partitioned file would break the layout the manifest's
+    * stats pruning reasons about. */
+  def sqlInsert(spark: SparkSession, tableDir: String, df: DataFrame,
+                overwrite: Boolean): Snapshot =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val schema = cur.schema
+      val have = df.columns.toSet
+      require(schema.fieldNames.forall(have.contains),
+        s"INSERT into $tableDir misses columns " +
+          schema.fieldNames.filterNot(have.contains).mkString(", "))
+      val aligned = df.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      val pcolName = graft.model.SchemaBuilder.partitionColumn
+      require(cur.files.forall(f => f.partition.isEmpty ||
+          f.spec.isEmpty || f.spec.contains("identity")),
+        s"$tableDir has a non-identity partition layout — SQL INSERT " +
+          "would break it; use the engine writers")
+      val pcol =
+        if (schema.fieldNames.contains(pcolName)) Some(pcolName) else None
+      val files = writeData(spark, tableDir, aligned, pcol)
+      commit(spark, tableDir,
+        if (overwrite) "overwrite" else "append",
+        (if (overwrite) Seq.empty else cur.files) ++ files, schema,
+        parent = Some(cur),
+        deletes = if (overwrite) Nil else cur.deletes,
+        posDeletes = if (overwrite) Nil else cur.posDeletes)
+    }
+
   // ---- MERGE INTO (generic row-level merge, Iceberg's MERGE verb)
 
   /** One WHEN-clause of [[mergeInto]]. Conditions and update assignments

@@ -149,9 +149,89 @@ object SqlSurface extends QueryModule {
        |  CASE snap_id WHEN 3 THEN 'main' WHEN 2 THEN 'audit' ELSE '' END AS refs
        |FROM state GROUP BY snap_id ORDER BY snapshot_id""".stripMargin
 
+  /** Fresh per-run scratch table under the shared warehouse (the DML
+    * gates mutate, so they rebuild from CREATE TABLE every run — same
+    * shape as the WAP gate). Returns the table's SQL name. */
+  private def freshDmlTable(s: SparkSession, d: String, name: String,
+                            ddlCols: String): String = {
+    catalog(s, d)
+    val wh = sqlWarehouse(s, d)
+    val p = new org.apache.hadoop.fs.Path(s"$wh/db/$name")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.sql(s"CREATE TABLE graft.db.$name ($ddlCols)")
+    s"graft.db.$name"
+  }
+
+  /** Events projected for the DML gates, as a uniquely-named temp view
+    * (INSERT ... SELECT needs a SQL-addressable source). */
+  private def srcView(s: SparkSession, d: String, name: String): String = {
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .createOrReplaceTempView(name)
+    name
+  }
+
+  // ---- SQL INSERT: two appends then an INSERT OVERWRITE, each ONE
+  // atomic snapshot commit — proven by reading every post-DML version
+  // back through SQL time travel (create=1, append=2, append=3,
+  // overwrite=4; the overwrite must REPLACE, not accumulate).
+  private def sqlInsert(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "ins",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    val v = srcView(s, d, "graft_sql_ins_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_id % 3 = 0")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_id % 3 = 1")
+    s.sql(s"INSERT OVERWRITE $t SELECT * FROM $v WHERE event_id % 3 = 2")
+    Seq(2, 3, 4).map(ver =>
+      s.sql(s"""SELECT $ver AS version, count(*) AS n_rows,
+               |  sum(event_id) AS id_sum, min(value) AS value_min,
+               |  max(value) AS value_max
+               |FROM $t VERSION AS OF $ver""".stripMargin))
+      .reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private val sqlInsertSql =
+    """WITH ev AS (SELECT event_id, user_id, value FROM events),
+      |legs AS (SELECT * FROM (VALUES (2), (3), (4)) AS t(version))
+      |SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  min(value) AS value_min, max(value) AS value_max
+      |FROM legs JOIN ev ON CASE version
+      |    WHEN 2 THEN event_id % 3 = 0
+      |    WHEN 3 THEN event_id % 3 IN (0, 1)
+      |    ELSE event_id % 3 = 2 END
+      |GROUP BY version ORDER BY version""".stripMargin
+
+  // ---- SQL DELETE FROM: the predicate routes through SupportsDelete
+  // into a positional-delete snapshot (O(matches) bytes, zero data files
+  // touched); time travel still sees the pre-delete state.
+  private def sqlDelete(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "del",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    val v = srcView(s, d, "graft_sql_del_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v")
+    s.sql(s"DELETE FROM $t WHERE value < 50")
+    Seq(2 -> "pre_delete", 3 -> "post_delete").map { case (ver, label) =>
+      s.sql(s"""SELECT '$label' AS phase, count(*) AS n_rows,
+               |  sum(event_id) AS id_sum, min(value) AS value_min
+               |FROM $t VERSION AS OF $ver""".stripMargin)
+    }.reduce(_ unionByName _).orderBy(col("phase"))
+  }
+
+  private val sqlDeleteSql =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |pre AS (SELECT 'pre_delete' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum, min(value) AS value_min FROM ev),
+      |post AS (SELECT 'post_delete' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum, min(value) AS value_min
+      |  FROM ev WHERE NOT (value < 50))
+      |SELECT * FROM pre UNION ALL SELECT * FROM post ORDER BY phase""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),
     GraftQuery("sql_mor_read", morRead, Some(morReadSql)),
-    GraftQuery("sql_metadata", metadataJoin, Some(metadataJoinSql)))
+    GraftQuery("sql_metadata", metadataJoin, Some(metadataJoinSql)),
+    GraftQuery("sql_insert", sqlInsert, Some(sqlInsertSql)),
+    GraftQuery("sql_delete", sqlDelete, Some(sqlDeleteSql)))
 }

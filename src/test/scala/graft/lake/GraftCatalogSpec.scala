@@ -150,6 +150,11 @@ class GraftCatalogSpec extends SparkTestBase {
       s"SELECT count(*), sum(n_rows) FROM $cat.ns.t.files")
       .as[(Long, Long)].head()
     assert(files === ((4L, 4L)))
+    val parts = spark.sql(
+      s"SELECT partition, n_files, n_rows FROM $cat.ns.t.partitions ORDER BY partition")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(parts === Seq(("2024-01-01", 1L, 1L), ("2024-01-02", 2L, 2L),
+      ("2024-01-03", 1L, 1L)))
   }
 
   test("DDL: create/list/drop tables and namespaces, loud on misuse") {
@@ -175,6 +180,53 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql(s"DROP NAMESPACE $cat.db1")
     assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
       .map(_.getString(0)).contains("db1"))
+  }
+
+  test("INSERT INTO appends, INSERT OVERWRITE replaces — each one atomic snapshot") {
+    val wh = Files.createTempDirectory("graft-cat-ins").toString
+    register(wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 30)")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.db.t")) === Seq(1L, 2L, 3L))
+    spark.sql(s"INSERT OVERWRITE $cat.db.t VALUES (9, 90)")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.db.t")) === Seq(9L))
+    // the overwrite is a snapshot, not a wipe: version 3 still reads whole
+    assert(ids(spark.sql(s"SELECT id FROM $cat.db.t VERSION AS OF 3"))
+      === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.snapshotIds(spark, s"$wh/db/t") === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("INSERT INTO a day-partitioned table keeps the partition layout prunable") {
+    val (wh, dir) = buildTable()
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+      s"(8, 80, '${lsn(8)}', '2024-01-08'), (9, 90, '${lsn(9)}', '2024-01-01')")
+    val out = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE _cdc_date = '2024-01-08'")
+    assert(ids(out) === Seq(8L))
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(total === 6L) // 4 original + 2 inserted day files
+    assert(kept === 1L)  // the new day prunes to its own file
+  }
+
+  test("DELETE FROM routes through positional deletes; full DELETE truncates") {
+    val wh = Files.createTempDirectory("graft-cat-del").toString
+    register(wh)
+    spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t2 VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"DELETE FROM $cat.t2 WHERE v >= 20")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t2")) === Seq(1L))
+    // the delete wrote slots, not data files
+    val cur = SnapshotLog.currentSnapshot(spark, s"$wh/t2").get
+    assert(cur.posDeletes.map(_.rows).sum === 2L)
+    assert(cur.files.size ===
+      SnapshotLog.snapshotAt(spark, s"$wh/t2", 2).files.size)
+    // DELETE with no predicate = truncate to an empty live set
+    spark.sql(s"DELETE FROM $cat.t2")
+    assert(spark.sql(s"SELECT * FROM $cat.t2").count() === 0L)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.t2 VERSION AS OF 2"))
+      === Seq(1L, 2L, 3L))
   }
 
   test("a pinned snapshot is immune to commits that land mid-query") {
