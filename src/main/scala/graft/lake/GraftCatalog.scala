@@ -449,13 +449,14 @@ private[lake] object GraftPruning {
       f.partition <= dayString(v).take(7)
     case LessThanOrEqual(PartitionCol, v: Any) if monthDay(f) =>
       f.partition <= dayString(v).take(7)
-    // ---- stats-bounds pruning (the file's recorded min/max)
-    case EqualTo(a, v) if boundsFor(f, a)            => overlaps(f, v, v)
-    case GreaterThan(a, v) if boundsFor(f, a)        => overlaps(f, v, null)
-    case GreaterThanOrEqual(a, v) if boundsFor(f, a) => overlaps(f, v, null)
-    case LessThan(a, v) if boundsFor(f, a)           => overlaps(f, null, v)
-    case LessThanOrEqual(a, v) if boundsFor(f, a)    => overlaps(f, null, v)
-    case In(a, vs) if boundsFor(f, a)                => vs.exists(v => overlaps(f, v, v))
+    // ---- stats-bounds pruning (primary stats pair or the grid
+    // rewrite's multi-column extra bounds — DataFile.boundsFor)
+    case EqualTo(a, v) if hasBounds(f, a)            => overlaps(f, a, v, v)
+    case GreaterThan(a, v) if hasBounds(f, a)        => overlaps(f, a, v, null)
+    case GreaterThanOrEqual(a, v) if hasBounds(f, a) => overlaps(f, a, v, null)
+    case LessThan(a, v) if hasBounds(f, a)           => overlaps(f, a, null, v)
+    case LessThanOrEqual(a, v) if hasBounds(f, a)    => overlaps(f, a, null, v)
+    case In(a, vs) if hasBounds(f, a)                => vs.exists(v => overlaps(f, a, v, v))
     case _ => true
   }
 
@@ -469,14 +470,15 @@ private[lake] object GraftPruning {
     * the same ISO form, so both filter shapes prune. */
   private def dayString(v: Any): String = String.valueOf(v)
 
-  private def boundsFor(f: DataFile, attr: String): Boolean =
-    f.minLsn.isDefined && f.maxLsn.isDefined && f.boundsColumn == attr
+  private def hasBounds(f: DataFile, attr: String): Boolean =
+    f.boundsFor(attr).isDefined
 
-  /** Does `[f.min, f.max]` overlap `[lo, hi]` (null = unbounded)? String
-    * values compare lexically (sound for zero-padded LSNs and ISO dates),
-    * numeric values numerically via BigDecimal. */
-  private def overlaps(f: DataFile, lo: Any, hi: Any): Boolean = {
-    val (mn, mx) = (f.minLsn.get, f.maxLsn.get)
+  /** Does the file's recorded `[min, max]` for `attr` overlap `[lo, hi]`
+    * (null = unbounded)? String values compare lexically (sound for
+    * zero-padded LSNs and ISO dates), numeric values numerically via
+    * BigDecimal. */
+  private def overlaps(f: DataFile, attr: String, lo: Any, hi: Any): Boolean = {
+    val (mn, mx) = f.boundsFor(attr).get
     (lo, hi) match {
       case (null, null) => true
       case _ =>

@@ -72,13 +72,26 @@ object SnapshotLog {
     * "month" = the day's yyyy-MM prefix) — Iceberg partition-spec
     * evolution: a table may hold files under several specs at once, and
     * pruning evaluates the day predicate PER SPEC instead of assuming
-    * one layout. Unknown specs never prune. */
+    * one layout. Unknown specs never prune.
+    * `extraBounds` carries min/max for ADDITIONAL columns beyond the
+    * primary stats column — the multi-dimension skipping surface a
+    * grid/z-order rewrite ([[clusterByGrid]]) records so range queries
+    * on EVERY clustered dimension prune at the manifest. */
   final case class DataFile(path: String, partition: String, hive: Boolean,
                             rows: Long, sizeBytes: Long,
                             minLsn: Option[String], maxLsn: Option[String],
                             seq: Long = 0L, statsCol: Option[String] = None,
-                            spec: Option[String] = None) {
+                            spec: Option[String] = None,
+                            extraBounds: Map[String, (String, String)] = Map.empty) {
     def boundsColumn: String = statsCol.getOrElse(graft.ingest.Cdc.LsnColumn)
+
+    /** Recorded [min, max] for `column`, from the primary stats pair or
+      * the extra-bounds map; None = no bounds recorded FOR that column
+      * (pruning must keep the file). */
+    def boundsFor(column: String): Option[(String, String)] =
+      if (boundsColumn == column)
+        for (mn <- minLsn; mx <- maxLsn) yield (mn, mx)
+      else extraBounds.get(column)
 
     /** Does this file's partition possibly hold rows of `day`? */
     def matchesDay(day: String): Boolean = spec match {
@@ -165,6 +178,13 @@ object SnapshotLog {
       fo.put("seq", f.seq)
       f.statsCol.foreach(fo.put("stats_col", _))
       f.spec.foreach(fo.put("spec", _))
+      if (f.extraBounds.nonEmpty) {
+        val barr = fo.putArray("col_bounds")
+        f.extraBounds.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val bo = barr.addObject()
+          bo.put("col", c); bo.put("min", mn); bo.put("max", mx)
+        }
+      }
     }
     if (s.deletes.nonEmpty) {
       val darr = o.putArray("deletes")
@@ -199,12 +219,20 @@ object SnapshotLog {
       case arr: ArrayNode =>
         (0 until arr.size()).map { i =>
           val f = arr.get(i)
+          val extra = f.get("col_bounds") match {
+            case b: ArrayNode => (0 until b.size()).map { j =>
+              val bo = b.get(j)
+              bo.get("col").asText() ->
+                (bo.get("min").asText(), bo.get("max").asText())
+            }.toMap
+            case _ => Map.empty[String, (String, String)]
+          }
           DataFile(f.get("path").asText(), f.get("partition").asText(),
             f.get("hive").asBoolean(), f.get("rows").asLong(),
             f.get("size_bytes").asLong(),
             optText(f, "min_lsn"), optText(f, "max_lsn"),
             Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-            optText(f, "stats_col"), optText(f, "spec"))
+            optText(f, "stats_col"), optText(f, "spec"), extra)
         }
       case _ => Seq.empty
     }
@@ -616,6 +644,19 @@ object SnapshotLog {
     * (driver-side metadata read — never a data scan). */
   private def footerStats(conf: Configuration, file: Path, statsCol: String)
   : (Long, Option[String], Option[String]) = {
+    val (rows, bounds) = footerStatsMulti(conf, file, Seq(statsCol))
+    bounds.get(statsCol) match {
+      case Some((mn, mx)) => (rows, Some(mn), Some(mx))
+      case None           => (rows, None, None)
+    }
+  }
+
+  /** [[footerStats]] for several columns in ONE footer open — the
+    * multi-dimension variant [[clusterByGrid]] records. Columns whose
+    * stats are absent or carry nulls are simply missing from the map. */
+  private def footerStatsMulti(conf: Configuration, file: Path,
+                               cols: Seq[String])
+  : (Long, Map[String, (String, String)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -623,20 +664,22 @@ object SnapshotLog {
       import scala.jdk.CollectionConverters._
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = blocks.flatMap(_.getColumns.asScala)
-        .filter(c => c.getPath.toDotString == statsCol)
-        .map(_.getStatistics)
-      val ok = stats.nonEmpty &&
-        stats.forall(s => s != null && s.hasNonNullValue)
-      val mins = if (ok) stats.map(_.genericGetMin) else Seq.empty
       def asStr(v: Any): String = v match {
         case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
         case o                                   => String.valueOf(o)
       }
-      if (ok)
-        (rows, Some(mins.map(asStr).min),
-          Some(stats.map(s => asStr(s.genericGetMax)).max))
-      else (rows, None, None)
+      val bounds = cols.flatMap { c =>
+        val stats = blocks.flatMap(_.getColumns.asScala)
+          .filter(ch => ch.getPath.toDotString == c)
+          .map(_.getStatistics)
+        val ok = stats.nonEmpty &&
+          stats.forall(s => s != null && s.hasNonNullValue)
+        if (ok)
+          Some(c -> (stats.map(s => asStr(s.genericGetMin)).min,
+            stats.map(s => asStr(s.genericGetMax)).max))
+        else None
+      }.toMap
+      (rows, bounds)
     } finally reader.close()
   }
 
@@ -655,7 +698,8 @@ object SnapshotLog {
   def writeData(spark: SparkSession, tableDir: String, df: DataFrame,
                 partitionCol: Option[String],
                 statsCol: String = graft.ingest.Cdc.LsnColumn,
-                spec: Option[String] = None): Seq[DataFile] = {
+                spec: Option[String] = None,
+                extraStatsCols: Seq[String] = Nil): Seq[DataFile] = {
     val (fs, root) = fsOf(spark, tableDir)
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val dest = new Path(root, rel)
@@ -674,11 +718,15 @@ object SnapshotLog {
         if (st.isDirectory && nm.startsWith("_pday="))
           dataFiles(st.getPath, nm.stripPrefix("_pday="))
         else if (st.isFile && isParquetFile(nm)) {
-          val (rows, lo, hi) = footerStats(conf, st.getPath, statsCol)
+          val (rows, bounds) =
+            footerStatsMulti(conf, st.getPath, statsCol +: extraStatsCols)
+          val (lo, hi) = bounds.get(statsCol)
+            .map { case (mn, mx) => (Some(mn), Some(mx)) }
+            .getOrElse((None, None))
           val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
           Seq(DataFile(relPath, partition, hive = false, rows,
             st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol),
-            spec = spec))
+            spec = spec, extraBounds = bounds - statsCol))
         } else Seq.empty
       }
     dataFiles(dest, "")
@@ -1222,10 +1270,9 @@ object SnapshotLog {
     * disjoint; on ingest-ordered files every range overlaps everything. */
   def pruneByStats(snap: Snapshot, column: String,
                    lo: BigDecimal, hi: BigDecimal): Seq[DataFile] =
-    snap.files.filter(f => (f.minLsn, f.maxLsn) match {
-      case (Some(mn), Some(mx)) if f.boundsColumn == column =>
-        BigDecimal(mn) <= hi && BigDecimal(mx) >= lo
-      case _ => true
+    snap.files.filter(f => f.boundsFor(column) match {
+      case Some((mn, mx)) => BigDecimal(mn) <= hi && BigDecimal(mx) >= lo
+      case None           => true
     })
 
   /** Read exactly the files [[pruneByStats]] selects under the snapshot's
@@ -1373,6 +1420,53 @@ object SnapshotLog {
 
   /** Reserved hidden-partition column name [[clusterBy]] writes under. */
   val ClusterBucketCol = "_cluster_bucket"
+
+  /** Multi-dimension clustered rewrite — the deterministic GRID form of
+    * Iceberg's `rewrite_data_files` z-order strategy. Each dimension
+    * gets explicit ascending splits; a row's cell is the tuple of its
+    * per-dimension bucket indices (`count(splits <= value)` each —
+    * deterministic, like [[clusterBy]], deliberately not sampled), and
+    * each non-empty cell lands in its own file whose manifest entry
+    * records min/max bounds for EVERY dimension. A range predicate on
+    * ANY clustered column then prunes at the manifest — the property
+    * z-order buys; the grid form trades Morton-order file packing for a
+    * reproducible layout (at 100 TB, cells are sized by choosing splits
+    * from quantiles so each cell ≈ one target file; a Morton sort would
+    * pack sparse cells together at the cost of widening per-file bounds
+    * on every dimension). Null values bucket to 0 per dimension — range
+    * predicates never select nulls, so pruning them with bucket 0 stays
+    * sound. Old snapshots keep exact time travel; replaced bytes fall to
+    * [[expire]]. */
+  def clusterByGrid(spark: SparkSession, tableDir: String,
+                    dims: Seq[(String, Seq[Double])]): Snapshot =
+    withTableLock(tableDir) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      require(cur.deletes.isEmpty && cur.posDeletes.isEmpty,
+        s"$tableDir carries live deletes; run foldDeletes before clusterByGrid")
+      require(dims.size >= 2,
+        "clusterByGrid needs >= 2 dimensions; use clusterBy for one")
+      dims.foreach { case (c, splits) =>
+        require(cur.schema.fieldNames.contains(c),
+          s"cluster column $c not in schema of $tableDir")
+        require(splits.nonEmpty && splits == splits.sorted &&
+          splits.distinct.size == splits.size,
+          s"splits for $c must be ascending and distinct: $splits")
+      }
+      val state = read(spark, tableDir, cur)
+      val cell = concat_ws("-", dims.map { case (c, splits) =>
+        val b = splits.foldLeft(lit(0)) { (acc, sp) =>
+          acc + when(col(c) >= lit(sp), 1).otherwise(0)
+        }
+        format_string("%04d", b)
+      }: _*)
+      val tagged = state.withColumn(ClusterBucketCol, cell)
+      val files = writeData(spark, tableDir, tagged, Some(ClusterBucketCol),
+        statsCol = dims.head._1, spec = Some("cluster"),
+        extraStatsCols = dims.tail.map(_._1))
+      commit(spark, tableDir, "replace", files, cur.schema,
+        parent = Some(cur))
+    }
 
   /** Fold the live equality-delete set into clean data files: materialize
     * the current state (deletes applied), rewrite it whole, and commit a

@@ -772,6 +772,107 @@ object Lifecycle extends QueryModule {
       SnapshotLog.clusterBy(s, dir, "value", ClusterSplits)
     }
 
+  // ---- grid/z-order clustered rewrite (multi-dimension skipping): the
+  // 3-append table rewritten into (value, u_mod) cells, each cell ONE
+  // file carrying manifest bounds for BOTH dimensions. Two probes, one
+  // per dimension, each measuring scanned/total files from bounds alone
+  // — after the rewrite a range on EITHER column prunes; before it,
+  // value prunes only as well as ingest order allows and u_mod (no
+  // recorded bounds) must NEVER skip, which the before-counts pin
+  // structurally. Query endpoints sit on split points, so bounds overlap
+  // coincides exactly with cell membership and the oracle recomputes
+  // every count from the data.
+  private val zorderFixture = new FixtureCache("graft_zorder")
+  private val ZValueSplits = Seq(100.0, 200.0, 300.0)
+  private val ZModSplits = Seq(2.0, 5.0, 8.0)
+
+  private def zorderDir(s: SparkSession, d: String): String =
+    zorderFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value"), (col("user_id") % 10).as("u_mod"))
+      SnapshotLog.withTableLock(dir) {
+        (0 until 3).foreach { k =>
+          val cur = SnapshotLog.currentSnapshot(s, dir)
+          val slice = ev.filter(col("event_id") % 3 === k).repartition(1)
+          val files = SnapshotLog.writeData(s, dir, slice,
+            partitionCol = None, statsCol = "value")
+          SnapshotLog.commit(s, dir, "append",
+            cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
+        }
+      }
+      SnapshotLog.clusterByGrid(s, dir,
+        Seq("value" -> ZValueSplits, "u_mod" -> ZModSplits))
+    }
+
+  private def zorderSkipping(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderDir(s, d)
+    import graft.lake.SnapshotLog
+    val pre = SnapshotLog.snapshotAt(s, dir, 3L)
+    val post = SnapshotLog.currentSnapshot(s, dir).get
+    def bucketOf(c: String, splits: Seq[Double]) =
+      splits.foldLeft(lit(0)) { (acc, sp) =>
+        acc + when(col(c) >= lit(sp), 1).otherwise(0)
+      }.cast("bigint")
+    def probe(label: String, c: String, splits: Seq[Double],
+              lo: BigDecimal, hi: BigDecimal): DataFrame =
+      SnapshotLog.readStatsRange(s, dir, post, c, lo, hi)
+        .filter(col(c).between(lo.toDouble, hi.toDouble))
+        .groupBy(bucketOf(c, splits).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+        .select(lit(label).as("probe"), col("bucket"), col("n_rows"),
+          col("id_sum"),
+          lit(SnapshotLog.pruneByStats(post, c, lo, hi).size.toLong)
+            .as("n_scanned"),
+          lit(post.files.size.toLong).as("n_total"),
+          lit(SnapshotLog.pruneByStats(pre, c, lo, hi).size.toLong)
+            .as("n_before_scanned"),
+          lit(pre.files.size.toLong).as("n_before_total"))
+    probe("value", "value", ZValueSplits, BigDecimal(100), BigDecimal(200))
+      .unionByName(
+        probe("u_mod", "u_mod", ZModSplits, BigDecimal(2), BigDecimal(7)))
+      .orderBy(col("probe"), col("bucket"))
+  }
+
+  private val zorderSkippingSql = {
+    def bucketSql(c: String, splits: Seq[Double]) = splits.map(sp =>
+      s"(CASE WHEN $c >= $sp THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ev AS (SELECT event_id, user_id, value, user_id % 10 AS u_mod
+       |  FROM events),
+       |cells AS (SELECT *,
+       |  CAST(${bucketSql("value", ZValueSplits)} AS BIGINT) AS vb,
+       |  CAST(${bucketSql("u_mod", ZModSplits)} AS BIGINT) AS ub FROM ev),
+       |slices AS (SELECT event_id % 3 AS slice, min(value) AS mn,
+       |  max(value) AS mx FROM ev GROUP BY 1),
+       |meta AS (SELECT
+       |  CAST(count(DISTINCT vb || '-' || ub) AS BIGINT) AS n_total,
+       |  CAST(count(DISTINCT CASE WHEN value BETWEEN 100 AND 200
+       |    THEN vb || '-' || ub END) AS BIGINT) AS v_scanned,
+       |  CAST(count(DISTINCT CASE WHEN u_mod BETWEEN 2 AND 7
+       |    THEN vb || '-' || ub END) AS BIGINT) AS m_scanned FROM cells),
+       |pre AS (SELECT
+       |  CAST(count(*) FILTER (WHERE mn <= 200 AND mx >= 100) AS BIGINT)
+       |    AS v_before,
+       |  CAST(count(*) AS BIGINT) AS n_before_total FROM slices),
+       |pa AS (SELECT 'value' AS probe, vb AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(event_id) AS BIGINT) AS id_sum
+       |  FROM cells WHERE value BETWEEN 100 AND 200 GROUP BY vb),
+       |pb AS (SELECT 'u_mod' AS probe, ub AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(event_id) AS BIGINT) AS id_sum
+       |  FROM cells WHERE u_mod BETWEEN 2 AND 7 GROUP BY ub)
+       |SELECT u.probe, u.bucket, u.n_rows, u.id_sum,
+       |  CASE u.probe WHEN 'value' THEN m.v_scanned ELSE m.m_scanned END
+       |    AS n_scanned,
+       |  m.n_total,
+       |  CASE u.probe WHEN 'value' THEN p.v_before ELSE p.n_before_total END
+       |    AS n_before_scanned,
+       |  p.n_before_total
+       |FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) u, meta m, pre p
+       |ORDER BY probe, bucket""".stripMargin
+  }
+
   private def clusterSkipping(s: SparkSession, d: String): DataFrame = {
     val dir = clusterDir(s, d)
     import graft.lake.SnapshotLog
@@ -1823,6 +1924,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("cdc_table_files", tableFiles, Some(tableFilesSql)),
     GraftQuery("cdc_file_skipping", fileSkipping, Some(fileSkippingSql)),
     GraftQuery("cdc_cluster_skipping", clusterSkipping, Some(clusterSkippingSql)),
+    GraftQuery("cdc_zorder_skipping", zorderSkipping, Some(zorderSkippingSql)),
     GraftQuery("cdc_pos_delete", posDelete, Some(posDeleteSql)),
     GraftQuery("cdc_wap_publish", wapPublish, Some(wapPublishSql)),
     GraftQuery("cdc_update_where", updateWhereQ, Some(updateWhereSql)),
