@@ -506,25 +506,28 @@ private[lake] object GraftMetaTables {
   def load(spark: SparkSession, tableName: String, tableDir: String,
            meta: String): Table = {
     import spark.implicits._
-    val snaps = SnapshotLog.snapshots(spark, tableDir)
+    // current-snapshot tables resolve in O(1) manifest parses; only the
+    // genuinely historical tables pay an O(history) walk (the resolution
+    // cost trap SnapshotLog.snapshotIds' scaladoc warns about)
+    def cur: Snapshot = SnapshotLog.currentSnapshot(spark, tableDir).get
     val df: DataFrame = meta match {
       case "snapshots" =>
-        snaps.map(sn => (sn.id, sn.parentId, sn.operation,
-          sn.files.size.toLong, sn.totalRows, sn.tsMs))
+        SnapshotLog.snapshots(spark, tableDir)
+          .map(sn => (sn.id, sn.parentId, sn.operation,
+            sn.files.size.toLong, sn.totalRows, sn.tsMs))
           .toDF("snapshot_id", "parent_id", "operation", "n_files",
             "n_rows", "committed_at_ms")
       case "history" =>
+        val snaps = SnapshotLog.snapshots(spark, tableDir)
         val curId = snaps.last.id
         snaps.map(sn => (sn.id, sn.parentId, sn.totalRows, sn.id == curId))
           .toDF("snapshot_id", "parent_id", "n_rows", "is_current")
       case "files" =>
-        val cur = snaps.last
         cur.files.map(f => (f.path, f.partition, f.rows, f.sizeBytes,
           f.seq, f.minLsn, f.maxLsn))
           .toDF("file_path", "partition", "n_rows", "size_bytes",
             "added_snapshot_id", "bounds_min", "bounds_max")
       case "partitions" =>
-        val cur = snaps.last
         cur.files.groupBy(f => (f.partition, f.spec.getOrElse("identity")))
           .toSeq.map { case ((p, spec), fs) =>
             (p, spec, fs.size.toLong, fs.map(_.rows).sum,
@@ -536,7 +539,7 @@ private[lake] object GraftMetaTables {
           .map { case (n, id) => (n, "tag", id) }
         val branchRows = SnapshotLog.branches(spark, tableDir)
           .map(b => (b, "branch", SnapshotLog.branchHead(spark, tableDir, b).id))
-        val mainRow = Seq(("main", "branch", snaps.last.id))
+        val mainRow = Seq(("main", "branch", cur.id))
         (mainRow ++ tagRows ++ branchRows)
           .toDF("ref_name", "ref_type", "snapshot_id")
       case other =>

@@ -668,6 +668,18 @@ object SnapshotLog {
         case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
         case o                                   => String.valueOf(o)
       }
+      // per-row-group stats fold under the VALUE's own ordering — a
+      // lexical fold over string renderings would invert numeric bounds
+      // across row groups ("100.0" < "99.0" lexically) and make pruning
+      // silently drop matching files
+      def fold(vs: Seq[Any], takeMin: Boolean): Any = vs.reduce { (a, b) =>
+        val aFirst = (a, b) match {
+          case (x: Number, y: Number) =>
+            BigDecimal(x.toString) <= BigDecimal(y.toString)
+          case _ => asStr(a) <= asStr(b)
+        }
+        if (aFirst == takeMin) a else b
+      }
       val bounds = cols.flatMap { c =>
         val stats = blocks.flatMap(_.getColumns.asScala)
           .filter(ch => ch.getPath.toDotString == c)
@@ -675,8 +687,8 @@ object SnapshotLog {
         val ok = stats.nonEmpty &&
           stats.forall(s => s != null && s.hasNonNullValue)
         if (ok)
-          Some(c -> (stats.map(s => asStr(s.genericGetMin)).min,
-            stats.map(s => asStr(s.genericGetMax)).max))
+          Some(c -> (asStr(fold(stats.map(_.genericGetMin), takeMin = true)),
+            asStr(fold(stats.map(_.genericGetMax), takeMin = false))))
         else None
       }.toMap
       (rows, bounds)
@@ -856,7 +868,19 @@ object SnapshotLog {
           "would break it; use the engine writers")
       val pcol =
         if (schema.fieldNames.contains(pcolName)) Some(pcolName) else None
-      val files = writeData(spark, tableDir, aligned, pcol)
+      val written = writeData(spark, tableDir, aligned, pcol)
+      // an empty INSERT must not leave 0-row files in the manifest
+      // forever (every later commit would carry them); an empty
+      // OVERWRITE is a real truncate and commits with no files
+      val files =
+        if (written.exists(_.rows > 0L)) written
+        else {
+          val (fs, root) = fsOf(spark, tableDir)
+          written.map(_.path.split("/").take(2).mkString("/")).distinct
+            .foreach(rel => fs.delete(new Path(root, rel), true))
+          Seq.empty
+        }
+      if (files.isEmpty && !overwrite) return cur
       commit(spark, tableDir,
         if (overwrite) "overwrite" else "append",
         (if (overwrite) Seq.empty else cur.files) ++ files, schema,
@@ -907,6 +931,10 @@ object SnapshotLog {
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val schema = cur.schema
       require(clauses.nonEmpty, "MERGE INTO with no WHEN clauses")
+      // one not-matched clause only: two would each scan the full
+      // unmatched set and insert a row satisfying both conditions twice
+      require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
+        "MERGE INTO supports at most one WHEN NOT MATCHED clause")
       require(partitionCol.isDefined || cur.files.forall(_.partition.isEmpty),
         s"$tableDir is partitioned; pass partitionCol so merged rows " +
           "keep their partition value")

@@ -46,13 +46,18 @@ object SqlSurface extends QueryModule {
       SnapshotLog.deleteWhere(s, mor, col("user_id") % 10 === 3)
     }
 
-  /** Register the catalog and point it at this fixture's warehouse (the
-    * class conf is idempotent; the warehouse conf is re-read per
-    * resolution, so per-SF scratch dirs retarget cleanly). */
-  private def catalog(s: SparkSession, d: String): Unit = {
+  /** Register a PER-DATASET catalog pointed at this fixture's warehouse
+    * and return its name. One catalog name per sf dir: gates for two
+    * datasets running concurrently in one session (Verify's thread pool)
+    * must never race on a shared warehouse conf — each name's conf is
+    * written once with a deterministic value, so re-sets are idempotent
+    * and resolution can never cross datasets. */
+  private def catalog(s: SparkSession, d: String): String = {
     val wh = sqlWarehouse(s, d)
-    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val cat = "graft_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
   }
 
   // ---- plain SELECT through the catalog: the WHERE lands on the
@@ -62,11 +67,11 @@ object SqlSurface extends QueryModule {
   // final days of the month (latest versions live late), so the day-30
   // window is non-empty AND excludes rows at every SF.
   private def catalogRead(s: SparkSession, d: String): DataFrame = {
-    catalog(s, d)
+    val cat = catalog(s, d)
     s.sql(
-      """SELECT CAST(_cdc_date AS STRING) AS day, count(*) AS n,
+      s"""SELECT CAST(_cdc_date AS STRING) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users, max(_cdc_lsn) AS lsn_max
-        |FROM graft.db.events
+        |FROM $cat.db.events
         |WHERE _cdc_date BETWEEN '2024-01-30' AND '2024-01-31'
         |GROUP BY _cdc_date ORDER BY day""".stripMargin)
   }
@@ -84,7 +89,7 @@ object SqlSurface extends QueryModule {
   // a tag name, TIMESTAMP AS OF a future timestamp (→ current) — five
   // resolutions of the same table, every one a distinct manifest read.
   private def timeTravel(s: SparkSession, d: String): DataFrame = {
-    catalog(s, d)
+    val cat = catalog(s, d)
     val legs = Seq(
       "v1" -> "VERSION AS OF 1",
       "v2" -> "VERSION AS OF 2",
@@ -93,7 +98,7 @@ object SqlSurface extends QueryModule {
       "ts_future" -> "TIMESTAMP AS OF '2100-01-01 00:00:00'")
     legs.map { case (label, clause) =>
       s.sql(s"""SELECT '$label' AS src, user_id, event_id, value
-               |FROM graft.db.events $clause""".stripMargin)
+               |FROM $cat.db.events $clause""".stripMargin)
     }.reduce(_ unionByName _).orderBy(col("src"), col("user_id"))
   }
 
@@ -112,10 +117,10 @@ object SqlSurface extends QueryModule {
   // positional deletes from DELETE WHERE) via the broadcast collapse —
   // row-level output, so one resurrected or lost row fails the hash.
   private def morRead(s: SparkSession, d: String): DataFrame = {
-    catalog(s, d)
+    val cat = catalog(s, d)
     s.sql(
-      """SELECT user_id, event_id, value
-        |FROM graft.db.events_mor ORDER BY user_id""".stripMargin)
+      s"""SELECT user_id, event_id, value
+        |FROM $cat.db.events_mor ORDER BY user_id""".stripMargin)
   }
 
   private val morReadSql =
@@ -128,16 +133,16 @@ object SqlSurface extends QueryModule {
   // $snapshots × $history × $refs — ids, lineage, row totals and ref
   // pins all MEASURED from the manifest, never recomputed from data.
   private def metadataJoin(s: SparkSession, d: String): DataFrame = {
-    catalog(s, d)
+    val cat = catalog(s, d)
     s.sql(
-      """SELECT s.snapshot_id, s.operation, s.n_rows, h.is_current,
+      s"""SELECT s.snapshot_id, s.operation, s.n_rows, h.is_current,
         |  coalesce(r.refs, '') AS refs
-        |FROM graft.db.events.snapshots s
-        |JOIN graft.db.events.history h USING (snapshot_id)
+        |FROM $cat.db.events.snapshots s
+        |JOIN $cat.db.events.history h USING (snapshot_id)
         |LEFT JOIN (
         |  SELECT snapshot_id,
         |    array_join(sort_array(collect_list(ref_name)), ',') AS refs
-        |  FROM graft.db.events.refs GROUP BY snapshot_id) r
+        |  FROM $cat.db.events.refs GROUP BY snapshot_id) r
         |USING (snapshot_id)
         |ORDER BY snapshot_id""".stripMargin)
   }
@@ -154,21 +159,22 @@ object SqlSurface extends QueryModule {
     * shape as the WAP gate). Returns the table's SQL name. */
   private def freshDmlTable(s: SparkSession, d: String, name: String,
                             ddlCols: String): String = {
-    catalog(s, d)
+    val cat = catalog(s, d)
     val wh = sqlWarehouse(s, d)
     val p = new org.apache.hadoop.fs.Path(s"$wh/db/$name")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    s.sql(s"CREATE TABLE graft.db.$name ($ddlCols)")
-    s"graft.db.$name"
+    s.sql(s"CREATE TABLE $cat.db.$name ($ddlCols)")
+    s"$cat.db.$name"
   }
 
   /** Events projected for the DML gates, as a uniquely-named temp view
     * (INSERT ... SELECT needs a SQL-addressable source). */
   private def srcView(s: SparkSession, d: String, name: String): String = {
+    val unique = name + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
     graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"))
-      .createOrReplaceTempView(name)
-    name
+      .createOrReplaceTempView(unique)
+    unique
   }
 
   // ---- SQL INSERT: two appends then an INSERT OVERWRITE, each ONE

@@ -190,6 +190,11 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
     spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 30)")
     assert(ids(spark.sql(s"SELECT id FROM $cat.db.t")) === Seq(1L, 2L, 3L))
+    // an empty INSERT is a no-op: no snapshot, no 0-row manifest entries
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, v FROM $cat.db.t WHERE id < 0")
+    assert(SnapshotLog.snapshotIds(spark, s"$wh/db/t") === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.currentSnapshot(spark, s"$wh/db/t").get.files
+      .forall(_.rows > 0L))
     spark.sql(s"INSERT OVERWRITE $cat.db.t VALUES (9, 90)")
     assert(ids(spark.sql(s"SELECT id FROM $cat.db.t")) === Seq(9L))
     // the overwrite is a snapshot, not a wipe: version 3 still reads whole

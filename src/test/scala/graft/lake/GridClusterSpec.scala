@@ -69,6 +69,37 @@ class GridClusterSpec extends SparkTestBase {
     assert(kept === 2L)
   }
 
+  test("multi-row-group numeric bounds fold numerically, never lexically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-grid-rg").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val old = conf.get("parquet.block.size")
+    conf.set("parquet.block.size", "1048576") // force many row groups
+    try {
+      // ascending values 0.0 .. ~1000.0: later row groups carry maxes
+      // like "1000.0" that sort lexically BELOW earlier "262.1" maxes —
+      // a lexical fold would record max < real max and pruning would
+      // silently skip files containing matching rows
+      val df = (0 until 1000000).map(i => (i.toLong, i * 0.001))
+        .toDF("id", "v").repartition(1).sortWithinPartitions("id")
+      SnapshotLog.withTableLock(dir) {
+        val files = SnapshotLog.writeData(spark, dir, df, None, statsCol = "v")
+        SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+      }
+      val f = SnapshotLog.currentSnapshot(spark, dir).get.files.head
+      val (mn, mx) = f.boundsFor("v").get
+      assert(BigDecimal(mn) === BigDecimal(0))
+      assert(BigDecimal(mx) > BigDecimal(999))
+      // and the pruning built on those bounds keeps the file for a
+      // query range near the true max
+      val snap = SnapshotLog.currentSnapshot(spark, dir).get
+      assert(SnapshotLog.pruneByStats(snap, "v", 990, 1000).nonEmpty)
+    } finally {
+      if (old == null) conf.unset("parquet.block.size")
+      else conf.set("parquet.block.size", old)
+    }
+  }
+
   test("refusals: one dimension, bad splits, live deletes") {
     val dir = build()
     intercept[IllegalArgumentException](

@@ -100,6 +100,15 @@ class MergeIntoSpec extends SparkTestBase {
     assert(state(dir) === Map(1L -> 99L, 2L -> 20L))
   }
 
+  test("two not-matched clauses are refused — they would double-insert") {
+    val dir = freshTable(1L -> 10L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.mergeInto(spark, dir, df(5L -> 50L), Seq("id"), Seq(
+        NotMatchedInsert(Some(col("_src_v") > 0)),
+        NotMatchedInsert(None))))
+    assert(e.getMessage.contains("NOT MATCHED"))
+  }
+
   test("assignments to unknown columns are rejected before any write") {
     val dir = freshTable(1L -> 10L)
     val e = intercept[IllegalArgumentException](
