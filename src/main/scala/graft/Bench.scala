@@ -96,6 +96,7 @@ object Bench {
       // filterless COUNT/MIN/MAX answered from parquet footer stats
       // (exact; Spark refuses the pushdown where NaN could lie)
       .config("spark.sql.parquet.aggregatePushDown", "true")
+      .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,7 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -167,7 +167,7 @@ object CdcWriter {
     val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
     try graft.lake.SnapshotLog.withTableLock(tableDir) {
       merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol)
-    } finally deltaLatest.unpersist()
+    } finally deltaLatest.unpersist(blocking = true)
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
@@ -354,7 +354,7 @@ object CdcWriter {
         cur.toSeq.flatMap(_.files) ++ newFiles, schema, parent = cur,
         deletes = cur.toSeq.flatMap(_.deletes) ++ delFiles,
         posDeletes = cur.toSeq.flatMap(_.posDeletes))
-    } finally deltaLatest.unpersist()
+    } finally deltaLatest.unpersist(blocking = true)
   }
 
   /** A parquet file column written as `ft` is readable under a scan

@@ -168,9 +168,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotLog.isSnapshotTable(spark, dir.toString) && fs.delete(dir, true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution runs through the ingest writers (EvolvingDecoder), not ALTER TABLE")
+  /** ALTER TABLE ADD COLUMN — the add-only evolution the reference's
+    * schema merge performs (ref internal/iceberg/schema/schema.go:
+    * 149-174): one metadata-only commit carrying the same file set under
+    * the widened schema; existing rows surface the new column as null
+    * (the explicit-schema read handles pre-evolution files). Every other
+    * change kind (drop/rename/retype) is refused — those need a rewrite
+    * or break time travel. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident.namespace.toSeq :+ ident.name)
+    if (!SnapshotLog.isSnapshotTable(spark, dir))
+      throw new NoSuchTableException(ident)
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).getOrElse(
+        throw new NoSuchTableException(ident))
+      var schema = cur.schema
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "nested column adds are not supported")
+          val colName = add.fieldNames()(0)
+          graft.model.Identifiers.validate(colName, "column")
+          require(!schema.fieldNames.contains(colName),
+            s"column $colName already exists in ${fullName(ident)}")
+          schema = schema.add(org.apache.spark.sql.types.StructField(
+            colName, add.dataType, nullable = true))
+        case other => throw new UnsupportedOperationException(
+          s"only ADD COLUMN is supported; got $other — drops/renames/" +
+            "retypes need a rewrite and would break time travel")
+      }
+      SnapshotLog.commit(spark, dir, "evolve-schema", cur.files, schema,
+        parent = Some(cur), deletes = cur.deletes,
+        posDeletes = cur.posDeletes)
+    }
+    loadTable(ident)
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable is not supported")
@@ -231,6 +263,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[lake] final class GraftTable(tableName: String, tableDir: String,
                                      snap: Snapshot)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** Table root on disk — the handle [[GraftDmlRule]] lowers DML onto. */
+  private[lake] def dir: String = tableDir
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema

@@ -832,7 +832,7 @@ object SnapshotLog {
         Some(commit(spark, tableDir, "update", cur.files ++ newFiles, schema,
           parent = Some(cur), deletes = cur.deletes,
           posDeletes = cur.posDeletes ++ slots))
-      } finally matched.unpersist()
+      } finally matched.unpersist(blocking = true)
     }
 
   // ---- SQL INSERT (the catalog's write path)
@@ -904,7 +904,12 @@ object SnapshotLog {
     extends MergeClause
   final case class MatchedDelete(condition: Option[org.apache.spark.sql.Column])
     extends MergeClause
-  final case class NotMatchedInsert(condition: Option[org.apache.spark.sql.Column])
+  /** `assignments` (target column → expression over `_src_` columns)
+    * override the default project-source-by-name insert — SQL MERGE's
+    * explicit `INSERT (cols) VALUES (exprs)` form. Unassigned columns
+    * fall back to the by-name projection. */
+  final case class NotMatchedInsert(condition: Option[org.apache.spark.sql.Column],
+                                    assignments: Map[String, org.apache.spark.sql.Column] = Map.empty)
     extends MergeClause
 
   /** MERGE INTO the table USING `source` ON equality of `onCols` — ONE
@@ -982,14 +987,15 @@ object SnapshotLog {
         // persisted join — the not-matched set is a broadcast anti-join
         // of two delta-sized frames; the stored table is never rescanned
         val matchedKeys = matched.select(onCols.map(col): _*).distinct()
-        val inserts = clauses.collect { case NotMatchedInsert(condOpt) =>
+        val inserts = clauses.collect { case NotMatchedInsert(condOpt, assign) =>
           val unmatchedKeys =
             src.join(broadcast(matchedKeys), onCols, "left_anti")
           val eligible = condOpt.map(unmatchedKeys.filter).getOrElse(unmatchedKeys)
           val have = eligible.columns.toSet
           eligible.select(schema.fields.toSeq.map { f =>
             val srcName = if (onCols.contains(f.name)) f.name else s"_src_${f.name}"
-            (if (have.contains(srcName)) col(srcName) else lit(null))
+            assign.get(f.name)
+              .getOrElse(if (have.contains(srcName)) col(srcName) else lit(null))
               .cast(f.dataType).as(f.name)
           }: _*)
         }
@@ -1012,7 +1018,7 @@ object SnapshotLog {
         Some(commit(spark, tableDir, "merge-into",
           cur.files ++ newFiles, schema, parent = Some(cur),
           deletes = cur.deletes, posDeletes = cur.posDeletes ++ slots))
-      } finally joined.unpersist()
+      } finally joined.unpersist(blocking = true)
     }
 
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's

@@ -233,11 +233,102 @@ object SqlSurface extends QueryModule {
       |  FROM ev WHERE NOT (value < 50))
       |SELECT * FROM pre UNION ALL SELECT * FROM post ORDER BY phase""".stripMargin
 
+  // ---- SQL UPDATE: lowered by GraftSqlExtensions onto the commit
+  // log's updateWhere — one pos-delete + replacement snapshot,
+  // O(matches) bytes. Both the pre- and post-update states read back
+  // through SQL time travel, so the update's atomic placement in the
+  // version chain is part of the hash.
+  private def sqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "upd",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    val v = srcView(s, d, "graft_sql_upd_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v")
+    s.sql(s"UPDATE $t SET value = value * 2 WHERE value < 50")
+    Seq(2 -> "pre_update", 3 -> "post_update").map { case (ver, label) =>
+      s.sql(s"""SELECT '$label' AS phase, count(*) AS n_rows,
+               |  sum(event_id) AS id_sum, min(value) AS value_min,
+               |  max(value) AS value_max
+               |FROM $t VERSION AS OF $ver""".stripMargin)
+    }.reduce(_ unionByName _).orderBy(col("phase"))
+  }
+
+  private val sqlUpdateSql =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |upd AS (SELECT event_id,
+      |  CASE WHEN value < 50 THEN value * 2 ELSE value END AS value FROM ev),
+      |pre AS (SELECT 'pre_update' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  min(value) AS value_min, max(value) AS value_max FROM ev),
+      |post AS (SELECT 'post_update' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  min(value) AS value_min, max(value) AS value_max FROM upd)
+      |SELECT * FROM post UNION ALL SELECT * FROM pre ORDER BY phase""".stripMargin
+
+  // ---- SQL MERGE INTO: the full three-clause verb through the
+  // extensions — matched DELETE (first-clause-wins over the update),
+  // conditional matched UPDATE, not-matched INSERT * — against a
+  // latest-per-user target with a latest-per-user source, row-level
+  // output.
+  private def sqlMerge(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "mrg",
+      "user_id BIGINT, event_id BIGINT, value DOUBLE")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    def latest(parity: Int, name: String): String = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(col("event_id") % 2 === parity)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").createOrReplaceTempView(name + "_" + tag)
+      name + "_" + tag
+    }
+    val tgtSrc = latest(0, "graft_sql_mrg_tgt")
+    val mrgSrc = latest(1, "graft_sql_mrg_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $tgtSrc")
+    s.sql(
+      s"""MERGE INTO $t AS t USING $mrgSrc AS s ON t.user_id = s.user_id
+         |WHEN MATCHED AND s.value < 10 THEN DELETE
+         |WHEN MATCHED AND s.value > t.value THEN UPDATE
+         |  SET value = s.value, event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT user_id, event_id, value FROM $t
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  private val sqlMergeSql =
+    """WITH ev AS (SELECT user_id, event_id, value FROM events),
+      |tgt AS (SELECT user_id, event_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id DESC) AS rn FROM ev WHERE event_id % 2 = 0)
+      |  WHERE rn = 1),
+      |src AS (SELECT user_id, event_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id DESC) AS rn FROM ev WHERE event_id % 2 = 1)
+      |  WHERE rn = 1),
+      |kept AS (SELECT t.user_id,
+      |    CASE WHEN s.user_id IS NOT NULL AND NOT (s.value < 10)
+      |        AND s.value > t.value THEN s.event_id ELSE t.event_id
+      |      END AS event_id,
+      |    CASE WHEN s.user_id IS NOT NULL AND NOT (s.value < 10)
+      |        AND s.value > t.value THEN s.value ELSE t.value
+      |      END AS value
+      |  FROM tgt t LEFT JOIN src s USING (user_id)
+      |  WHERE s.user_id IS NULL OR NOT (s.value < 10)),
+      |ins AS (SELECT user_id, event_id, value FROM src
+      |  WHERE user_id NOT IN (SELECT user_id FROM tgt))
+      |SELECT user_id, event_id, value
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |ORDER BY user_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),
     GraftQuery("sql_mor_read", morRead, Some(morReadSql)),
     GraftQuery("sql_metadata", metadataJoin, Some(metadataJoinSql)),
     GraftQuery("sql_insert", sqlInsert, Some(sqlInsertSql)),
-    GraftQuery("sql_delete", sqlDelete, Some(sqlDeleteSql)))
+    GraftQuery("sql_delete", sqlDelete, Some(sqlDeleteSql)),
+    GraftQuery("sql_update", sqlUpdate, Some(sqlUpdateSql)),
+    GraftQuery("sql_merge", sqlMerge, Some(sqlMergeSql)))
 }

@@ -16,6 +16,7 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       // static conf — must be set at session build; BucketingSpec creates
       // managed tables and this keeps them out of the repo working tree

@@ -234,6 +234,47 @@ class GraftCatalogSpec extends SparkTestBase {
       === Seq(1L, 2L, 3L))
   }
 
+  test("CREATE TABLE AS SELECT lands as create + one append commit") {
+    val wh = Files.createTempDirectory("graft-cat-ctas").toString
+    register(wh)
+    spark.sql(s"CREATE TABLE $cat.src (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.src VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"CREATE TABLE $cat.derived AS " +
+      s"SELECT id, v * 2 AS v2 FROM $cat.src WHERE id > 1")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.derived")) === Seq(2L, 3L))
+    import spark.implicits._
+    assert(spark.sql(s"SELECT v2 FROM $cat.derived ORDER BY v2")
+      .as[Long].collect().toSeq === Seq(40L, 60L))
+    assert(SnapshotLog.snapshotIds(spark, s"$wh/derived") === Seq(1L, 2L))
+  }
+
+  test("ALTER TABLE ADD COLUMN is add-only, metadata-only evolution") {
+    val wh = Files.createTempDirectory("graft-cat-alter").toString
+    register(wh)
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev VALUES (1, 10)")
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN w BIGINT")
+    // pre-evolution rows surface the new column as null
+    import spark.implicits._
+    assert(spark.sql(s"SELECT w FROM $cat.ev").as[Option[Long]].collect()
+      === Array(None))
+    // post-evolution inserts carry it; the evolve commit moved no bytes
+    spark.sql(s"INSERT INTO $cat.ev VALUES (2, 20, 200)")
+    assert(spark.sql(s"SELECT sum(w) FROM $cat.ev").as[Long].head() === 200L)
+    val dir = s"$wh/ev"
+    val snaps = SnapshotLog.snapshots(spark, dir)
+    assert(snaps.map(_.operation) === Seq("create", "append",
+      "evolve-schema", "append"))
+    assert(snaps(2).files === snaps(1).files)
+    // time travel reads the OLD schema before the evolution
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 2").columns.toSeq
+      === Seq("id", "v"))
+    // drops and renames are refused — they would break time travel
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN v"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN v TO vv"))
+  }
+
   test("a pinned snapshot is immune to commits that land mid-query") {
     val (_, dir) = buildTable()
     // resolve the table (pins snapshot 2), then commit snapshot 3
