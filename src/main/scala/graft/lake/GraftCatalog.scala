@@ -49,7 +49,8 @@ import graft.lake.SnapshotLog.{DataFile, Snapshot}
   * only the surviving files. The catalog holds no state of its own —
   * every query re-resolves the manifest, so readers always see the
   * latest committed snapshot and never a partial commit. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = "graft"
   private var initOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -206,6 +207,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable is not supported")
+
+  // ---- maintenance procedures (CALL <cat>.system.<proc>(...))
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(tbl => dirOf(tbl.split('.').toSeq), ident.name)
+      .getOrElse(throw new NoSuchElementException(
+        s"no procedure ${ident.name}; available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- namespaces: directories under the warehouse that are not tables
 

@@ -322,6 +322,47 @@ object SqlSurface extends QueryModule {
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY user_id""".stripMargin
 
+  // ---- SQL CALL maintenance: the full operational cycle as stored
+  // procedures — compact, tag, rollback, expire-with-tag-protection —
+  // each CALL's MEASURED effect (rewritten partitions, swept files,
+  // resulting snapshot ids) union'd with the post-cycle state. The
+  // swept-file count is structural: after the rollback the compacted
+  // file is the one dead data file, plus one _SUCCESS marker per write
+  // (3 single-file inserts + 1 compaction rewrite).
+  private def sqlCallMaintenance(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "mnt",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    val cat = t.split('.').head
+    val v = srcView(s, d, "graft_sql_mnt_src")
+    (0 until 3).foreach(k => s.sql(
+      s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ * FROM $v WHERE event_id % 3 = $k"))
+    def call(step: String, sql: String): DataFrame =
+      s.sql(sql).toDF("result")
+        .select(lit(step).as("step"), col("result").cast("long"))
+    val calls = Seq(
+      call("rewrite", s"CALL $cat.system.rewrite_data_files(table => 'db.mnt', max_files => 1)"),
+      call("tag", s"CALL $cat.system.create_tag(table => 'db.mnt', tag => 'keep', snapshot_id => 4)"),
+      call("rollback", s"CALL $cat.system.rollback_to_snapshot(table => 'db.mnt', snapshot_id => 4)"),
+      call("expire", s"CALL $cat.system.expire_snapshots(table => 'db.mnt', keep_last => 1)"))
+      .reduce(_ unionByName _)
+    val state = s.sql(s"SELECT event_id, user_id FROM $t")
+      .groupBy(concat(lit("state_"), (col("event_id") % 3).cast("string")).as("step"))
+      .agg(sum(col("event_id")).as("result"))
+    calls.unionByName(state).orderBy(col("step"))
+  }
+
+  private val sqlCallMaintenanceSql =
+    """WITH ev AS (SELECT event_id FROM events),
+      |steps AS (SELECT * FROM (VALUES
+      |  ('rewrite', CAST(1 AS BIGINT)), ('tag', CAST(4 AS BIGINT)),
+      |  ('rollback', CAST(6 AS BIGINT)), ('expire', CAST(5 AS BIGINT)))
+      |  AS t(step, result)),
+      |state AS (SELECT 'state_' || CAST(event_id % 3 AS VARCHAR) AS step,
+      |  CAST(sum(event_id) AS BIGINT) AS result FROM ev GROUP BY 1)
+      |SELECT step, result FROM steps
+      |UNION ALL SELECT step, result FROM state
+      |ORDER BY step""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),
@@ -330,5 +371,6 @@ object SqlSurface extends QueryModule {
     GraftQuery("sql_insert", sqlInsert, Some(sqlInsertSql)),
     GraftQuery("sql_delete", sqlDelete, Some(sqlDeleteSql)),
     GraftQuery("sql_update", sqlUpdate, Some(sqlUpdateSql)),
-    GraftQuery("sql_merge", sqlMerge, Some(sqlMergeSql)))
+    GraftQuery("sql_merge", sqlMerge, Some(sqlMergeSql)),
+    GraftQuery("sql_call_maintenance", sqlCallMaintenance, Some(sqlCallMaintenanceSql)))
 }
