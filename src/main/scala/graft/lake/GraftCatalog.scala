@@ -190,8 +190,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "nested column adds are not supported")
           val colName = add.fieldNames()(0)
           graft.model.Identifiers.validate(colName, "column")
-          require(!schema.fieldNames.contains(colName),
+          // Spark resolution is case-insensitive by default: a column
+          // differing only in case would make every later reference
+          // ambiguous, with no supported ALTER to undo it
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
             s"column $colName already exists in ${fullName(ident)}")
+          // pre-evolution rows HAVE no value for the new column — a NOT
+          // NULL add or a position move would silently diverge from the
+          // committed layout; refuse rather than reinterpret
+          require(add.isNullable,
+            s"ADD COLUMN $colName NOT NULL is not satisfiable: existing " +
+              "rows read the new column as null")
+          require(add.position() == null,
+            "ADD COLUMN ... FIRST/AFTER is not supported: evolved " +
+              "columns append (position is display-only in this engine)")
           schema = schema.add(org.apache.spark.sql.types.StructField(
             colName, add.dataType, nullable = true))
         case other => throw new UnsupportedOperationException(
@@ -213,7 +225,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
-    GraftProcedures.load(tbl => dirOf(tbl.split('.').toSeq), ident.name)
+    // the table argument becomes a filesystem path — every segment must
+    // be a clean identifier or a crafted '../..' name could point a
+    // destructive procedure (expire's sweep) outside the warehouse
+    GraftProcedures.load(tbl => dirOf(tbl.split('.').toSeq
+      .map(graft.model.Identifiers.validate(_, "procedure table segment"))),
+      ident.name)
       .getOrElse(throw new NoSuchElementException(
         s"no procedure ${ident.name}; available: ${GraftProcedures.names.mkString(", ")}"))
   }

@@ -52,9 +52,8 @@ private[lake] object GraftProcedures {
         new StructType().add("rewritten_partitions", LongType),
         in => {
           val dir = resolve(str(in, 0))
-          val pcolName = graft.model.SchemaBuilder.partitionColumn
           val pcol = SnapshotLog.currentSnapshot(spark, dir)
-            .filter(_.schema.fieldNames.contains(pcolName)).map(_ => pcolName)
+            .flatMap(s => SnapshotLog.conventionPartitionCol(s.schema))
           val rewritten = SnapshotLog.compact(spark, dir, pcol, in.getInt(1))
           Seq(row(rewritten.size.toLong))
         }))
@@ -63,9 +62,8 @@ private[lake] object GraftProcedures {
         new StructType().add("snapshot_id", LongType),
         in => {
           val dir = resolve(str(in, 0))
-          val pcolName = graft.model.SchemaBuilder.partitionColumn
           val pcol = SnapshotLog.currentSnapshot(spark, dir)
-            .filter(_.schema.fieldNames.contains(pcolName)).map(_ => pcolName)
+            .flatMap(s => SnapshotLog.conventionPartitionCol(s.schema))
           val folded = SnapshotLog.foldDeletes(spark, dir, pcol)
           Seq(row(folded.map(_.id).getOrElse(-1L)))
         }))

@@ -82,13 +82,8 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
   private def tableDirOf(rel: DataSourceV2Relation): String =
     rel.table.asInstanceOf[GraftTable].dir
 
-  /** The engine's hidden-partition convention (same rule as
-    * [[SnapshotLog.sqlInsert]]): partition iff the schema carries the
-    * standard partition column. */
-  private def pcolOf(rel: DataSourceV2Relation): Option[String] = {
-    val p = graft.model.SchemaBuilder.partitionColumn
-    if (rel.schema.fieldNames.contains(p)) Some(p) else None
-  }
+  private def pcolOf(rel: DataSourceV2Relation): Option[String] =
+    SnapshotLog.conventionPartitionCol(rel.schema)
 
   private def lowerUpdate(u: UpdateTable, rel: DataSourceV2Relation): LogicalPlan = {
     val names = rel.output.map(a => a.exprId -> a.name).toMap

@@ -837,6 +837,14 @@ object SnapshotLog {
 
   // ---- SQL INSERT (the catalog's write path)
 
+  /** The engine's hidden-partition convention, stated once: a table
+    * whose schema carries the standard partition column stays
+    * day-partitioned through SQL writes and maintenance. */
+  def conventionPartitionCol(schema: StructType): Option[String] = {
+    val p = graft.model.SchemaBuilder.partitionColumn
+    if (schema.fieldNames.contains(p)) Some(p) else None
+  }
+
   /** INSERT INTO / INSERT OVERWRITE through the commit log: align the
     * frame to the stored schema by name, write immutable files, commit
     * ONE snapshot — append carries every live manifest entry, overwrite
@@ -861,13 +869,11 @@ object SnapshotLog {
           schema.fieldNames.filterNot(have.contains).mkString(", "))
       val aligned = df.select(schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
-      val pcolName = graft.model.SchemaBuilder.partitionColumn
       require(cur.files.forall(f => f.partition.isEmpty ||
           f.spec.isEmpty || f.spec.contains("identity")),
         s"$tableDir has a non-identity partition layout — SQL INSERT " +
           "would break it; use the engine writers")
-      val pcol =
-        if (schema.fieldNames.contains(pcolName)) Some(pcolName) else None
+      val pcol = conventionPartitionCol(schema)
       val written = writeData(spark, tableDir, aligned, pcol)
       // an empty INSERT must not leave 0-row files in the manifest
       // forever (every later commit would carry them); an empty
@@ -898,6 +904,11 @@ object SnapshotLog {
     * first matched-clause whose condition holds wins the row (SQL MERGE
     * semantics); at most one not-matched clause is consulted for source
     * rows without a live match. */
+  /** Reserved marker column [[mergeInto]] rides on the source join —
+    * deliberately NOT a plausible `_src_<name>` so user columns can't
+    * shadow it (a source column named `matched` must keep its data). */
+  private val MergeMatchedSentinel = "__graft_merge_matched__"
+
   sealed trait MergeClause
   final case class MatchedUpdate(condition: Option[org.apache.spark.sql.Column],
                                  assignments: Map[String, org.apache.spark.sql.Column])
@@ -953,13 +964,22 @@ object SnapshotLog {
       require(dups == 0L,
         s"MERGE INTO $tableDir: source has duplicate rows under " +
           s"(${onCols.mkString(", ")}) — cardinality violation")
+      // prefixed names must stay collision-free: a source column
+      // literally named `_src_<other source col>` (or the sentinel) would
+      // silently shadow data after renaming — refuse instead
+      val prefixed = source.columns.toSeq.map(c =>
+        if (onCols.contains(c)) c else s"_src_$c")
+      require(prefixed.distinct.size == prefixed.size &&
+          !prefixed.contains(MergeMatchedSentinel),
+        s"MERGE INTO $tableDir: source column names collide after " +
+          s"_src_ prefixing: ${prefixed.diff(prefixed.distinct).mkString(", ")}")
       val src = source.select(source.columns.toSeq.map(c =>
         if (onCols.contains(c)) col(c) else col(c).as(s"_src_$c")): _*)
-        .withColumn("_src_matched", lit(true))
+        .withColumn(MergeMatchedSentinel, lit(true))
       val live = readCore(spark, tableDir, cur, None, keepLineage = true)
       val joined = live.join(broadcast(src), onCols, "left").persist()
       try {
-        val matched = joined.filter(col("_src_matched"))
+        val matched = joined.filter(col(MergeMatchedSentinel))
         // first-clause-wins action resolution, encoded as one expression
         val matchedClauses = clauses.filter(!_.isInstanceOf[NotMatchedInsert])
         val action = matchedClauses.zipWithIndex

@@ -188,6 +188,9 @@ object SqlSurface extends QueryModule {
     s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_id % 3 = 0")
     s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_id % 3 = 1")
     s.sql(s"INSERT OVERWRITE $t SELECT * FROM $v WHERE event_id % 3 = 2")
+    require(graft.lake.SnapshotLog.snapshotIds(s,
+      s"${sqlWarehouse(s, d)}/db/ins") == Seq(1L, 2L, 3L, 4L),
+      "sql_insert fixture degenerate: an empty residue slice skipped its commit")
     Seq(2, 3, 4).map(ver =>
       s.sql(s"""SELECT $ver AS version, count(*) AS n_rows,
                |  sum(event_id) AS id_sum, min(value) AS value_min,
@@ -244,6 +247,12 @@ object SqlSurface extends QueryModule {
     val v = srcView(s, d, "graft_sql_upd_src")
     s.sql(s"INSERT INTO $t SELECT * FROM $v")
     s.sql(s"UPDATE $t SET value = value * 2 WHERE value < 50")
+    // the VERSION AS OF reads below assume create+insert+update all
+    // committed — a dataset where the UPDATE matches nothing would
+    // silently shift ids; fail the fixture, not the hash
+    require(graft.lake.SnapshotLog.snapshotIds(s,
+      s"${sqlWarehouse(s, d)}/db/upd") == Seq(1L, 2L, 3L),
+      "sql_update fixture degenerate: expected exactly 3 snapshots")
     Seq(2 -> "pre_update", 3 -> "post_update").map { case (ver, label) =>
       s.sql(s"""SELECT '$label' AS phase, count(*) AS n_rows,
                |  sum(event_id) AS id_sum, min(value) AS value_min,
@@ -336,6 +345,13 @@ object SqlSurface extends QueryModule {
     val v = srcView(s, d, "graft_sql_mnt_src")
     (0 until 3).foreach(k => s.sql(
       s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ * FROM $v WHERE event_id % 3 = $k"))
+    // the CALL sequence pins snapshot ids (tag/rollback target 4): an
+    // empty residue slice would skip its commit and shift every id —
+    // fail the fixture loudly instead of hash-mismatching
+    require(graft.lake.SnapshotLog.snapshotIds(s,
+      s"${sqlWarehouse(s, d)}/db/mnt") == Seq(1L, 2L, 3L, 4L),
+      "sql_call_maintenance fixture degenerate: expected 4 snapshots " +
+        "(create + 3 non-empty inserts)")
     def call(step: String, sql: String): DataFrame =
       s.sql(sql).toDF("result")
         .select(lit(step).as("step"), col("result").cast("long"))

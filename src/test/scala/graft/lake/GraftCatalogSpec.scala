@@ -273,6 +273,11 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN v"))
     intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN v TO vv"))
+    // a case-insensitive duplicate would make every later reference
+    // ambiguous; NOT NULL is unsatisfiable for pre-evolution rows
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN V BIGINT"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN z BIGINT NOT NULL"))
   }
 
   test("a pinned snapshot is immune to commits that land mid-query") {

@@ -75,5 +75,12 @@ class GraftProceduresSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("nope"))
     intercept[Exception](
       spark.sql(s"CALL $cat.other.expire_snapshots(table => 'db.t')").collect())
+    // a path-traversal table argument must never resolve to a dir
+    // outside the warehouse
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.expire_snapshots(table => '../other', keep_last => 1)")
+      .collect())
+    assert(e2.getMessage.toLowerCase.contains("identifier") ||
+      e2.getMessage.contains("segment"))
   }
 }

@@ -109,6 +109,35 @@ class MergeIntoSpec extends SparkTestBase {
     assert(e.getMessage.contains("NOT MATCHED"))
   }
 
+  test("a source column named 'matched' keeps its data (sentinel is reserved)") {
+    import spark.implicits._
+    val dir = freshTable(1L -> 10L, 2L -> 20L)
+    val src = Seq((1L, true), (2L, false)).toDF("id", "matched")
+    SnapshotLog.mergeInto(spark, dir, src, Seq("id"), Seq(
+      MatchedDelete(Some(col("_src_matched") === true))))
+    // only id 1 (source matched=true) deleted; false must NOT read as
+    // the internal join marker
+    assert(state(dir) === Map(2L -> 20L))
+  }
+
+  test("source columns colliding after _src_ prefixing are refused") {
+    import spark.implicits._
+    // a join column literally named `_src_x` collides with the prefixed
+    // form of a source payload column `x` — the one shape the injective
+    // prefix map cannot keep apart
+    val dir = Files.createTempDirectory("graft-mi-col").toString + "/t"
+    val base = Seq((1L, 10L)).toDF("_src_x", "v")
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, base, partitionCol = None)
+      SnapshotLog.commit(spark, dir, "append", files, base.schema, parent = None)
+    }
+    val src = Seq((1L, 5L, 6L)).toDF("_src_x", "x", "v")
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.mergeInto(spark, dir, src, Seq("_src_x"), Seq(
+        MatchedUpdate(None, Map("v" -> col("_src_v"))))))
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("assignments to unknown columns are rejected before any write") {
     val dir = freshTable(1L -> 10L)
     val e = intercept[IllegalArgumentException](
