@@ -35,7 +35,8 @@ private[lake] object GraftProcedures {
   private type Resolve = String => String
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
-    "fold_deletes", "rollback_to_snapshot", "create_tag", "drop_tag")
+    "fold_deletes", "rollback_to_snapshot", "create_tag", "drop_tag",
+    "create_branch", "fast_forward", "drop_branch")
 
   def load(resolve: Resolve, name: String): Option[UnboundProcedure] = {
     def spark = SparkSession.active
@@ -86,6 +87,26 @@ private[lake] object GraftProcedures {
         new StructType().add("dropped", LongType),
         in => {
           SnapshotLog.dropTag(spark, resolve(str(in, 0)), str(in, 1))
+          Seq(row(1L))
+        }))
+      // write-audit-publish as procedures: stage on a branch (the
+      // engine writers append to it), audit via VERSION AS OF
+      // '<branch>', publish by metadata-only fast-forward
+      case "create_branch" => Some(proc(name,
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("base_snapshot_id", LongType),
+        in => Seq(row(SnapshotLog.createBranch(
+          spark, resolve(str(in, 0)), str(in, 1))))))
+      case "fast_forward" => Some(proc(name,
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("published_snapshots", LongType),
+        in => Seq(row(SnapshotLog.publish(
+          spark, resolve(str(in, 0)), str(in, 1)).size.toLong))))
+      case "drop_branch" => Some(proc(name,
+        Seq("table" -> StringType, "branch" -> StringType),
+        new StructType().add("dropped", LongType),
+        in => {
+          SnapshotLog.dropBranch(spark, resolve(str(in, 0)), str(in, 1))
           Seq(row(1L))
         }))
       case _ => None

@@ -67,6 +67,24 @@ class GraftProceduresSpec extends SparkTestBase {
     assert(ids(s"SELECT id FROM $cat.db.t") === Seq(1L, 2L, 3L))
   }
 
+  test("write-audit-publish flows through branch procedures") {
+    val (wh, dir) = fresh()
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10)")
+    assert(call(s"CALL $cat.system.create_branch(" +
+      s"table => 'db.t', branch => 'audit')") === 2L)
+    import spark.implicits._
+    SnapshotLog.appendToBranch(spark, dir, "audit",
+      Seq((2L, 20L)).toDF("id", "v"))
+    // staged rows: visible on the branch, invisible on main
+    assert(ids(s"SELECT id FROM $cat.db.t VERSION AS OF 'audit'") === Seq(1L, 2L))
+    assert(ids(s"SELECT id FROM $cat.db.t") === Seq(1L))
+    assert(call(s"CALL $cat.system.fast_forward(" +
+      s"table => 'db.t', branch => 'audit')") === 1L)
+    assert(ids(s"SELECT id FROM $cat.db.t") === Seq(1L, 2L))
+    assert(call(s"CALL $cat.system.drop_branch(" +
+      s"table => 'db.t', branch => 'audit')") === 1L)
+  }
+
   test("unknown procedures and namespaces fail loudly") {
     fresh()
     val e = intercept[Exception](
