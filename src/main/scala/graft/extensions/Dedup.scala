@@ -315,6 +315,127 @@ object Dedup extends QueryModule {
        |SELECT doc_new, count(*) AS n_matches, max(jaccard) AS best_jaccard
        |FROM verified GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- commit-log-backed incremental dedup: the CRAWL-CADENCE shape —
+  // the signature corpus is a SnapshotLog TABLE, not a session cache.
+  // Batch 0 seeds it; each later batch LSH-joins against the STORED
+  // corpus state (arrays read back from parquet — lossless storage is
+  // part of what the hash checks), and only the survivors' signatures
+  // append as one atomic commit. At 100 TB this is the production
+  // loop: the corpus index persists across jobs, each daily crawl pays
+  // signatures for itself only, candidate volume is |new| × collision
+  // rate, the corpus table time-travels (the state any past training
+  // run deduped against is a snapshot id), and expire + compaction
+  // maintain it like any other table.
+  private val logDedupFixture =
+    new graft.queries.Lifecycle.FixtureCache("graft_deduplog")
+
+  /** Verified near-dup matches of `newSig` docs against `corpus`
+    * (both in signature-table shape): (doc_new, jaccard ≥ 0.5). */
+  private def logDedupMatches(newSig: DataFrame, corpus: DataFrame): DataFrame = {
+    val nb = newSig.select(col("doc_id").as("doc_new"),
+      posexplode(col("bands")).as(Seq("b", "bk")))
+    val cb = corpus.select(col("doc_id").as("doc_corpus"),
+      posexplode(col("bands")).as(Seq("b", "bk")))
+    val cand = nb.join(cb, Seq("b", "bk"))
+      .select(col("doc_new"), col("doc_corpus")).distinct()
+    val inter = graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b"))
+    // the parquet round-trip re-reads array elements as nullable; the
+    // sorted-merge kernel requires non-null elements — normalize (order
+    // preserved, values are never null by construction)
+    def nn(c: org.apache.spark.sql.Column) =
+      transform(c, x => coalesce(x, lit(0L)))
+    cand
+      .join(newSig.select(col("doc_id").as("doc_new"),
+        nn(col("sh")).as("sh_a")), "doc_new")
+      .join(corpus.select(col("doc_id").as("doc_corpus"),
+        nn(col("sh")).as("sh_b")), "doc_corpus")
+      .select(col("doc_new"),
+        round(inter * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private def logDedupBatch(s: SparkSession, d: String, k: Int): DataFrame =
+    signatures(s, d, "word3", wordSig, 2).filter(col("doc_id") % 3 === k)
+
+  private def logDedupDir(s: SparkSession, d: String): String =
+    logDedupFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      SnapshotLog.withTableLock(dir) {
+        val b0 = logDedupBatch(s, d, 0)
+        val files = SnapshotLog.writeData(s, dir, b0, None, statsCol = "doc_id")
+        SnapshotLog.commit(s, dir, "append", files, b0.schema, parent = None)
+      }
+      (1 to 2).foreach { k =>
+        val corpus = SnapshotLog.readCurrent(s, dir).get
+        val dups = logDedupMatches(logDedupBatch(s, d, k), corpus)
+          .select(col("doc_new").as("doc_id")).distinct()
+        val survivors = logDedupBatch(s, d, k).join(dups, Seq("doc_id"), "left_anti")
+        SnapshotLog.withTableLock(dir) {
+          val cur = SnapshotLog.currentSnapshot(s, dir).get
+          val files = SnapshotLog.writeData(s, dir, survivors, None,
+            statsCol = "doc_id")
+          SnapshotLog.commit(s, dir, "append", cur.files ++ files, cur.schema,
+            parent = Some(cur))
+        }
+      }
+    }
+
+  /** Per-round dedup decisions recomputed against the LOGGED corpus
+    * snapshots (so every run re-measures the real stored-corpus joins),
+    * with corpus sizes from the manifest. */
+  private def logIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val dir = logDedupDir(s, d)
+    (1 to 2).map { k =>
+      val before = SnapshotLog.snapshotAt(s, dir, k)
+      val after = SnapshotLog.snapshotAt(s, dir, k + 1)
+      val corpus = SnapshotLog.read(s, dir, before)
+      val dupIds = logDedupMatches(logDedupBatch(s, d, k), corpus)
+        .select(col("doc_new")).distinct()
+      logDedupBatch(s, d, k).agg(count(lit(1)).as("n_new"))
+        .crossJoin(dupIds.agg(count(lit(1)).as("n_dups")))
+        .select(lit(k).as("round"), col("n_new"), col("n_dups"),
+          (col("n_new") - col("n_dups")).as("n_survivors"),
+          lit(after.totalRows).as("corpus_rows"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  private val logIncrementalSql =
+    s"""${lshCtesSql(wordShinglesSql, 2, md5HashSql)},
+       |cand1 AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+       |  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 0),
+       |dup1 AS (SELECT DISTINCT c.dn FROM cand1 c
+       |  JOIN shi x ON c.dn = x.doc_id JOIN shi y ON c.dc = y.doc_id
+       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+       |surv1 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 1
+       |  AND doc_id NOT IN (SELECT dn FROM dup1)),
+       |corpus2 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id FROM surv1),
+       |cand2 AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dc
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+       |  WHERE a.doc_id % 3 = 2
+       |    AND b.doc_id IN (SELECT doc_id FROM corpus2)),
+       |dup2 AS (SELECT DISTINCT c.dn FROM cand2 c
+       |  JOIN shi x ON c.dn = x.doc_id JOIN shi y ON c.dc = y.doc_id
+       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+       |n AS (SELECT
+       |  (SELECT count(*) FROM sig WHERE doc_id % 3 = 0) AS c0,
+       |  (SELECT count(*) FROM sig WHERE doc_id % 3 = 1) AS n1,
+       |  (SELECT count(*) FROM dup1) AS d1,
+       |  (SELECT count(*) FROM sig WHERE doc_id % 3 = 2) AS n2,
+       |  (SELECT count(*) FROM dup2) AS d2)
+       |SELECT CAST(1 AS INT) AS round, CAST(n1 AS BIGINT) AS n_new,
+       |  CAST(d1 AS BIGINT) AS n_dups, CAST(n1 - d1 AS BIGINT) AS n_survivors,
+       |  CAST(c0 + n1 - d1 AS BIGINT) AS corpus_rows FROM n
+       |UNION ALL
+       |SELECT CAST(2 AS INT), CAST(n2 AS BIGINT), CAST(d2 AS BIGINT),
+       |  CAST(n2 - d2 AS BIGINT), CAST(c0 + n1 - d1 + n2 - d2 AS BIGINT) FROM n
+       |ORDER BY round""".stripMargin
+
   /** Deduplicated corpus: drop the higher-id doc of every verified near-dup
     * pair (the anti-join is the scale shape: pairs table is tiny relative
     * to the corpus, so Catalyst broadcasts it). */
@@ -638,6 +759,7 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
     GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),
     GraftQuery("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
+    GraftQuery("dedup_log_incremental", logIncremental, Some(logIncrementalSql)),
     GraftQuery("dedup_ngram_pairs", ngramPairs,
       Some(lshPairsSql(charNgramsSql(NgramN), 0.6, NgramBandRows, polyHashSql))),
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

@@ -246,7 +246,7 @@ object Lifecycle extends QueryModule {
     * duplicate commits. One lock per cache keeps unrelated fixtures
     * building in parallel; the double-checked get keeps warm re-measures
     * lock-free. */
-  private[queries] final class FixtureCache(prefix: String) {
+  private[graft] final class FixtureCache(prefix: String) {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(String, String), String]
     private val lock = new Object
