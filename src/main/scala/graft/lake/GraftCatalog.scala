@@ -385,9 +385,32 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
 
 private[lake] final class GraftScan(tableDir: String, snap: Snapshot,
                                     required: StructType, filters: Array[Filter])
-  extends V1Scan {
+  extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-measured statistics for the PRUNED file set — footer row
+    * counts and byte sizes recorded at commit time, zero I/O here.
+    * Deletes make the numbers upper bounds — the safe direction for
+    * broadcast decisions (never under-reports). NOTE: Spark's
+    * V1ScanWrapper does not currently forward this interface to the
+    * static optimizer, so plan-time stats stay conservative on the V1
+    * bridge; AQE's runtime re-plan covers the broadcast decision from
+    * TRUE sizes (spec-pinned), and the estimate is ready for the day
+    * the wrapper (or a native Batch implementation) surfaces it. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val keep = GraftPruning.filePredicate(filters, snap)
+    val kept = snap.files.filter(keep)
+    val rows = kept.map(_.rows).sum
+    val bytes = kept.map(_.sizeBytes).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val kept = snap.files.count(GraftPruning.filePredicate(filters, snap))

@@ -280,6 +280,31 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN z BIGINT NOT NULL"))
   }
 
+  test("manifest statistics are reported; joins broadcast at runtime") {
+    val (_, dir) = buildTable()
+    // the scan's estimate is the manifest-measured size (footer sums,
+    // zero I/O) — Spark's V1ScanWrapper does not yet surface it to the
+    // static optimizer, so the assertion targets the scan directly and
+    // the join outcome is pinned through AQE's runtime re-plan
+    val snap = SnapshotLog.currentSnapshot(spark, dir).get
+    val scan = new GraftScan(dir, snap, snap.schema, Array.empty)
+    val est = scan.estimateStatistics()
+    assert(est.sizeInBytes.getAsLong === snap.files.map(_.sizeBytes).sum)
+    assert(est.numRows.getAsLong === 4L)
+    // pruning narrows the estimate with the file set
+    val pruned = new GraftScan(dir, snap, snap.schema,
+      Array(org.apache.spark.sql.sources.EqualTo("_cdc_date", "2024-01-01")))
+    assert(pruned.estimateStatistics().numRows.getAsLong === 1L)
+    // a join against a big frame ends as a broadcast join at runtime
+    spark.range(200000).toDF("id").createOrReplaceTempView("gcat_big")
+    val df = spark.sql(
+      s"SELECT count(*) FROM gcat_big b JOIN $cat.ns.t t ON b.id = t.id")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected runtime broadcast join, got:\n$finalPlan")
+  }
+
   test("a pinned snapshot is immune to commits that land mid-query") {
     val (_, dir) = buildTable()
     // resolve the table (pins snapshot 2), then commit snapshot 3
