@@ -493,7 +493,95 @@ object Similarity extends QueryModule {
        |WHERE srn <= $SamplePerCluster
        |ORDER BY cid, vec_id""".stripMargin
 
+  // --------------------------------------------------- lake-served IVF
+
+  // The VECTOR-SEARCH-OVER-THE-LAKE shape: the embedding corpus lives in
+  // a SnapshotLog table partitioned by IVF bucket (one immutable file
+  // per inverted list), so a query's probe set turns into MANIFEST
+  // pruning — only the probed lists' FILES are ever opened. At 100 TB
+  // this is the difference between "ANN over a table" and "ANN that
+  // scans the table": probe width ⌈√K⌉ of K lists means the scan reads
+  // ~√K/K of the corpus bytes, decided from the manifest alone, and the
+  // index table compacts/expires/time-travels like any other table.
+  private val lakeKnnFixture =
+    new graft.queries.Lifecycle.FixtureCache("graft_simlake")
+
+  private def lakeKnnDir(s: SparkSession, d: String): String =
+    lakeKnnFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val rows = assigned(s, d)
+        .withColumn("bucket", format_string("%04d", col("cid")))
+      SnapshotLog.withTableLock(dir) {
+        val files = SnapshotLog.writeData(s, dir, rows, Some("bucket"),
+          statsCol = "vec_id")
+        SnapshotLog.commit(s, dir, "append", files, rows.schema, parent = None)
+      }
+    }
+
+  private def lakeKnn(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val dir = lakeKnnDir(s, d)
+    val snap = SnapshotLog.currentSnapshot(s, dir).get
+    val probes = multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    // probe bucket set: |queries| × np entries — metadata-sized collect
+    val probeBuckets = probes
+      .select(format_string("%04d", col("cid")).as("b")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val scanned = snap.files.count(f => probeBuckets.contains(f.partition))
+    val corpus = SnapshotLog.readPruned(s, dir, snap,
+      f => probeBuckets.contains(f.partition))
+    // parquet re-reads array elements nullable; the dot-product kernel
+    // needs non-null elements (values never null by construction)
+    val nnv = transform(col("v"), x => coalesce(x, lit(0L)))
+    val scored = broadcast(probes)
+      .join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("qnrm"), nnv, col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+        col("neighbor_id"), col("cos"),
+        lit(scanned.toLong).as("n_files_scanned"),
+        lit(snap.files.size.toLong).as("n_files_total"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private def lakeKnnSql =
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |$rankedSql,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid, v AS qv, nrm AS qnrm
+       |  FROM ranked WHERE rn <= (SELECT np FROM kparam) AND vec_id < $NQueryVecs),
+       |corpus AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1),
+       |counts AS (SELECT
+       |  (SELECT count(*) FROM
+       |    (SELECT DISTINCT p.cid FROM probes p
+       |     JOIN (SELECT DISTINCT cid FROM corpus) c ON p.cid = c.cid))
+       |    AS n_files_scanned,
+       |  (SELECT count(DISTINCT cid) FROM corpus) AS n_files_total),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i] * a.v[i]))
+       |      / sqrt(CAST(p.qnrm AS DOUBLE) * a.nrm), 4) AS cos
+       |  FROM probes p JOIN corpus a
+       |    ON p.cid = a.cid AND p.query_id <> a.vec_id),
+       |topk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+       |SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, t.neighbor_id, t.cos,
+       |  CAST(n.n_files_scanned AS BIGINT) AS n_files_scanned,
+       |  CAST(n.n_files_total AS BIGINT) AS n_files_total
+       |FROM topk t, counts n WHERE t.rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("sim_lake_knn", lakeKnn, Some(lakeKnnSql)),
     GraftQuery("sim_cluster_sample", clusterSample, Some(clusterSampleSql)),
     GraftQuery("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
