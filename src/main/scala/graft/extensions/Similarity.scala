@@ -341,17 +341,24 @@ object Similarity extends QueryModule {
     scaledVecCached(s, d)
       .withColumn("cid", explode(probeCids(centroids(s, d), np)))
 
-  private def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val probes = multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
+  /** Query-side probe frame: each query expanded to its np nearest
+    * centroid ids. */
+  private def queryProbes(s: SparkSession, d: String): DataFrame =
+    multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("cid"),
         col("v").as("qv"), col("nrm").as("qnrm"))
-    // candidates: centroid-id equi-join — each query scans ~⌈√K⌉ of the
-    // K inverted lists, never the whole corpus
+
+  /** The IVF probe-join + exact rescoring + top-k rank, shared by the
+    * session-cached ([[knnIvf]]) and lake-served ([[lakeKnn]]) paths —
+    * candidates come from a centroid-id equi-join, so each query scans
+    * ~⌈√K⌉ of the K inverted lists, never the whole corpus. */
+  private def scoreTopK(probes: DataFrame, corpus: DataFrame,
+                        corpusVec: Column): DataFrame = {
     val scored = broadcast(probes)
-      .join(assigned(s, d), Seq("cid"))
+      .join(corpus, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("qnrm"), col("v"), col("nrm")).as("cos"))
+        cosine(col("qv"), col("qnrm"), corpusVec, col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -361,23 +368,30 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  private def knnIvfSql =
-    s"""WITH v AS ($scaledVecSql),
-       |$centroidsSqlCtes,
-       |$rankedSql,
-       |probes AS (
+  private def knnIvf(s: SparkSession, d: String): DataFrame =
+    scoreTopK(queryProbes(s, d), assigned(s, d), col("v"))
+
+  /** Shared probes/scored/topk CTE block over a corpus source
+    * (sub-select or CTE name) — the SQL mirror of [[scoreTopK]]. */
+  private def scoredTopkCtes(corpusSrc: String): String =
+    s"""probes AS (
        |  SELECT vec_id AS query_id, cid, v AS qv, nrm AS qnrm
        |  FROM ranked WHERE rn <= (SELECT np FROM kparam) AND vec_id < $NQueryVecs),
        |scored AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i] * a.v[i]))
        |      / sqrt(CAST(p.qnrm AS DOUBLE) * a.nrm), 4) AS cos
-       |  FROM probes p
-       |  JOIN (SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1) a
+       |  FROM probes p JOIN $corpusSrc a
        |    ON p.cid = a.cid AND p.query_id <> a.vec_id),
        |topk AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+       |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)""".stripMargin
+
+  private def knnIvfSql =
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |$rankedSql,
+       |${scoredTopkCtes("(SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1)")}
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cos
        |FROM topk WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
@@ -522,9 +536,7 @@ object Similarity extends QueryModule {
     import graft.lake.SnapshotLog
     val dir = lakeKnnDir(s, d)
     val snap = SnapshotLog.currentSnapshot(s, dir).get
-    val probes = multiAssigned(s, d).filter(col("vec_id") < NQueryVecs)
-      .select(col("vec_id").as("query_id"), col("cid"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = queryProbes(s, d)
     // probe bucket set: |queries| × np entries — metadata-sized collect
     val probeBuckets = probes
       .select(format_string("%04d", col("cid")).as("b")).distinct()
@@ -535,45 +547,24 @@ object Similarity extends QueryModule {
     // parquet re-reads array elements nullable; the dot-product kernel
     // needs non-null elements (values never null by construction)
     val nnv = transform(col("v"), x => coalesce(x, lit(0L)))
-    val scored = broadcast(probes)
-      .join(corpus, Seq("cid"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("qnrm"), nnv, col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk").cast("bigint").as("rk"),
-        col("neighbor_id"), col("cos"),
+    scoreTopK(probes, corpus, nnv)
+      .select(col("*"),
         lit(scanned.toLong).as("n_files_scanned"),
         lit(snap.files.size.toLong).as("n_files_total"))
-      .orderBy(col("query_id"), col("rk"))
   }
 
   private def lakeKnnSql =
     s"""WITH v AS ($scaledVecSql),
        |$centroidsSqlCtes,
        |$rankedSql,
-       |probes AS (
-       |  SELECT vec_id AS query_id, cid, v AS qv, nrm AS qnrm
-       |  FROM ranked WHERE rn <= (SELECT np FROM kparam) AND vec_id < $NQueryVecs),
        |corpus AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1),
+       |${scoredTopkCtes("corpus")},
        |counts AS (SELECT
        |  (SELECT count(*) FROM
        |    (SELECT DISTINCT p.cid FROM probes p
        |     JOIN (SELECT DISTINCT cid FROM corpus) c ON p.cid = c.cid))
        |    AS n_files_scanned,
-       |  (SELECT count(DISTINCT cid) FROM corpus) AS n_files_total),
-       |scored AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    round(list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i] * a.v[i]))
-       |      / sqrt(CAST(p.qnrm AS DOUBLE) * a.nrm), 4) AS cos
-       |  FROM probes p JOIN corpus a
-       |    ON p.cid = a.cid AND p.query_id <> a.vec_id),
-       |topk AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+       |  (SELECT count(DISTINCT cid) FROM corpus) AS n_files_total)
        |SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, t.neighbor_id, t.cos,
        |  CAST(n.n_files_scanned AS BIGINT) AS n_files_scanned,
        |  CAST(n.n_files_total AS BIGINT) AS n_files_total

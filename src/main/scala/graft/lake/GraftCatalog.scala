@@ -228,9 +228,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the table argument becomes a filesystem path — every segment must
     // be a clean identifier or a crafted '../..' name could point a
     // destructive procedure (expire's sweep) outside the warehouse
-    GraftProcedures.load(tbl => dirOf(tbl.split('.').toSeq
-      .map(graft.model.Identifiers.validate(_, "procedure table segment"))),
-      ident.name)
+    GraftProcedures.load(tbl => {
+      // split with limit -1: plain split DROPS empty segments, so "..",
+      // "." or "db.t." would silently validate nothing and resolve to
+      // the warehouse root (or a normalized name) instead of failing
+      val segs = tbl.split("\\.", -1).toSeq
+      require(segs.nonEmpty && segs.forall(_.nonEmpty),
+        s"malformed procedure table name '$tbl'")
+      dirOf(segs.map(graft.model.Identifiers.validate(_, "procedure table segment")))
+    }, ident.name)
       .getOrElse(throw new NoSuchElementException(
         s"no procedure ${ident.name}; available: ${GraftProcedures.names.mkString(", ")}"))
   }

@@ -403,6 +403,7 @@ object SnapshotLog {
 
   def dropTag(spark: SparkSession, tableDir: String, name: String): Unit =
     withTableLock(tableDir) {
+      validRefName(name) // a crafted name must never escape metadata/
       val (fs, root) = fsOf(spark, tableDir)
       fs.delete(new Path(metaDir(root), s"ref-$name.json"), false)
     }
@@ -548,6 +549,9 @@ object SnapshotLog {
     * become unreferenced debris for [[expire]] to reclaim). */
   def dropBranch(spark: SparkSession, tableDir: String, name: String): Unit =
     withTableLock(tableDir) {
+      // validate BEFORE the recursive delete: "x/../.." would resolve
+      // branchDir to the table root and destroy the table
+      validRefName(name)
       val (fs, root) = fsOf(spark, tableDir)
       fs.delete(branchDir(root, name), true)
     }
@@ -908,6 +912,7 @@ object SnapshotLog {
     * deliberately NOT a plausible `_src_<name>` so user columns can't
     * shadow it (a source column named `matched` must keep its data). */
   private val MergeMatchedSentinel = "__graft_merge_matched__"
+  private val MergeActionCol = "__graft_merge_action__"
 
   sealed trait MergeClause
   final case class MatchedUpdate(condition: Option[org.apache.spark.sql.Column],
@@ -969,10 +974,11 @@ object SnapshotLog {
       // silently shadow data after renaming — refuse instead
       val prefixed = source.columns.toSeq.map(c =>
         if (onCols.contains(c)) c else s"_src_$c")
-      require(prefixed.distinct.size == prefixed.size &&
-          !prefixed.contains(MergeMatchedSentinel),
+      require(prefixed.distinct.size == prefixed.size,
         s"MERGE INTO $tableDir: source column names collide after " +
           s"_src_ prefixing: ${prefixed.diff(prefixed.distinct).mkString(", ")}")
+      require(!prefixed.contains(MergeMatchedSentinel),
+        s"MERGE INTO $tableDir: $MergeMatchedSentinel is a reserved name")
       val src = source.select(source.columns.toSeq.map(c =>
         if (onCols.contains(c)) col(c) else col(c).as(s"_src_$c")): _*)
         .withColumn(MergeMatchedSentinel, lit(true))
@@ -992,13 +998,18 @@ object SnapshotLog {
             // earlier clauses take precedence: keep acc when already set
             when(acc.isNotNull, acc).otherwise(when(cond, lit(i)))
           }
-        val actioned = matched.withColumn("_action", action)
-          .filter(col("_action").isNotNull)
+        // reserved internal name: a target column named `_action` must
+        // survive the merge unharmed
+        require(!schema.fieldNames.contains(MergeActionCol) &&
+            !source.columns.contains(MergeActionCol),
+          s"$MergeActionCol is a reserved name")
+        val actioned = matched.withColumn(MergeActionCol, action)
+          .filter(col(MergeActionCol).isNotNull)
         val slots = writePosFile(spark, tableDir,
           slotsOf(spark, tableDir, actioned))
         val updates = matchedClauses.zipWithIndex.collect {
           case (MatchedUpdate(_, assign), i) =>
-            actioned.filter(col("_action") === i)
+            actioned.filter(col(MergeActionCol) === i)
               .select(schema.fields.toSeq.map(f =>
                 assign.get(f.name).map(_.cast(f.dataType))
                   .getOrElse(col(f.name)).as(f.name)): _*)

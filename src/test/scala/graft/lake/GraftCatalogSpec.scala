@@ -305,6 +305,44 @@ class GraftCatalogSpec extends SparkTestBase {
       s"expected runtime broadcast join, got:\n$finalPlan")
   }
 
+  test("mixed partition specs prune per-file: identity exact, month conservative") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-cat-spec").toString
+    val dir = s"$wh/ns/t"
+    // commit 1: identity-partitioned days; commit 2: month-spec files
+    // (partition-spec evolution mid-table)
+    val idRows = Seq((1L, lsn(1), "2024-01-05"), (2L, lsn(2), "2024-02-05"))
+      .toDF("id", graft.ingest.Cdc.LsnColumn, "_cdc_date")
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, idRows, Some("_cdc_date"))
+      SnapshotLog.commit(spark, dir, "append", files, idRows.schema, parent = None)
+    }
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val moRows = Seq((3L, lsn(3), "2024-01-20"), (4L, lsn(4), "2024-02-20"))
+        .toDF("id", graft.ingest.Cdc.LsnColumn, "_cdc_date")
+        .withColumn("_month", substring(col("_cdc_date"), 1, 7))
+      val files = SnapshotLog.writeData(spark, dir,
+        moRows, Some("_month"), spec = Some("month"))
+      SnapshotLog.commit(spark, dir, "append",
+        cur.files ++ files, cur.schema, parent = Some(cur))
+    }
+    register(wh)
+    // equality on a January day: keeps the identity 01-05 file and the
+    // January month file; prunes the February files of BOTH specs
+    val out = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE _cdc_date = '2024-01-05'")
+    assert(ids(out) === Seq(1L))
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(total === 4L)
+    assert(kept === 2L)
+    // a February range: identity 02-05 + February month file
+    val out2 = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE _cdc_date >= '2024-02-01'")
+    assert(ids(out2) === Seq(2L, 4L))
+    assert(GraftScanStats.lastScan(dir).get._1 === 2L)
+  }
+
   test("a pinned snapshot is immune to commits that land mid-query") {
     val (_, dir) = buildTable()
     // resolve the table (pins snapshot 2), then commit snapshot 3

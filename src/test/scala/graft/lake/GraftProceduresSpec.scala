@@ -98,7 +98,14 @@ class GraftProceduresSpec extends SparkTestBase {
     val e2 = intercept[Exception](spark.sql(
       s"CALL $cat.system.expire_snapshots(table => '../other', keep_last => 1)")
       .collect())
-    assert(e2.getMessage.toLowerCase.contains("identifier") ||
+    assert(e2.getMessage.contains("malformed") ||
+      e2.getMessage.toLowerCase.contains("identifier") ||
       e2.getMessage.contains("segment"))
+    // dot-only names split to zero validatable segments — refused, not
+    // silently resolved to the warehouse root
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.expire_snapshots(table => '..', keep_last => 1)")
+      .collect())
+    assert(e3.getMessage.contains("malformed"))
   }
 }
