@@ -442,6 +442,9 @@ private[lake] final class GraftRelation(ctx: SQLContext, tableDir: String,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
+  /** Rendered into EXPLAIN's `Scan <relation>` line. */
+  override def toString: String = s"GraftSnapshot(snapshot=${snap.id})"
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val keep = GraftPruning.filePredicate(filters, snap)

@@ -35,7 +35,8 @@ private[lake] object GraftProcedures {
   private type Resolve = String => String
 
   val names: Seq[String] = Seq("expire_snapshots", "rewrite_data_files",
-    "fold_deletes", "rollback_to_snapshot", "create_tag", "drop_tag",
+    "cluster_by", "fold_deletes", "rollback_to_snapshot",
+    "create_tag", "drop_tag",
     "create_branch", "fast_forward", "drop_branch")
 
   def load(resolve: Resolve, name: String): Option[UnboundProcedure] = {
@@ -88,6 +89,20 @@ private[lake] object GraftProcedures {
         in => {
           SnapshotLog.dropTag(spark, resolve(str(in, 0)), str(in, 1))
           Seq(row(1L))
+        }))
+      // rewrite_data_files with a SORT strategy: range-cluster the
+      // table on a column so stats pruning gets disjoint per-file
+      // ranges (splits as a comma-joined ascending list — explicit and
+      // reproducible, like the programmatic clusterBy)
+      case "cluster_by" => Some(proc(name,
+        Seq("table" -> StringType, "column" -> StringType,
+          "splits" -> StringType),
+        new StructType().add("snapshot_id", LongType),
+        in => {
+          val splits = str(in, 2).split(',').toSeq.map(_.trim.toDouble)
+          val snap = SnapshotLog.clusterBy(spark, resolve(str(in, 0)),
+            str(in, 1), splits)
+          Seq(row(snap.id))
         }))
       // write-audit-publish as procedures: stage on a branch (the
       // engine writers append to it), audit via VERSION AS OF

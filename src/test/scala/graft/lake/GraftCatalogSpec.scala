@@ -76,6 +76,16 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(kept === 2L) // only commit 2's files can hold lsn >= 3
   }
 
+  test("EXPLAIN shows pushed filters and the pruned read schema") {
+    buildTable()
+    val plan = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE v > 15").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("GraftSnapshot(snapshot="))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,15)"))
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"))
+  }
+
   test("untranslatable predicates keep every file and stay correct") {
     val (_, dir) = buildTable()
     val out = spark.sql(s"SELECT id FROM $cat.ns.t WHERE id % 2 = 0 ORDER BY id")

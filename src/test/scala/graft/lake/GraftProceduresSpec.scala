@@ -67,6 +67,19 @@ class GraftProceduresSpec extends SparkTestBase {
     assert(ids(s"SELECT id FROM $cat.db.t") === Seq(1L, 2L, 3L))
   }
 
+  test("cluster_by rewrites into range buckets with recorded bounds") {
+    val (_, dir) = fresh()
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 5), (2, 15), (3, 25), (4, 35)")
+    val snapId = call(s"CALL $cat.system.cluster_by(" +
+      s"table => 'db.t', column => 'v', splits => '10, 20, 30')")
+    assert(snapId === 3L)
+    val snap = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(snap.files.size === 4) // one file per non-empty bucket
+    assert(snap.files.forall(_.boundsFor("v").isDefined))
+    // range pruning works from the clustered bounds
+    assert(SnapshotLog.pruneByStats(snap, "v", 12, 18).size === 1)
+  }
+
   test("write-audit-publish flows through branch procedures") {
     val (wh, dir) = fresh()
     spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10)")
