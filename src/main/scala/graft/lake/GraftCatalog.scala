@@ -107,8 +107,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!SnapshotLog.isSnapshotTable(spark, dir))
       throw new NoSuchTableException(ident)
     val snap =
-      if (version.forall(_.isDigit) && version.nonEmpty)
+      // a retained snapshot id wins; an all-digit string naming NO
+      // retained snapshot falls through to ref resolution, so a tag or
+      // branch that happens to be digit-only stays reachable
+      if (version.forall(_.isDigit) && version.nonEmpty &&
+          SnapshotLog.snapshotIds(spark, dir).contains(version.toLong))
         SnapshotLog.snapshotAt(spark, dir, version.toLong)
+      else if (version == "main") // the implicit main branch (reserved)
+        SnapshotLog.currentSnapshot(spark, dir).getOrElse(
+          throw new NoSuchElementException(s"no snapshots in $dir"))
       else if (SnapshotLog.tags(spark, dir).contains(version))
         SnapshotLog.snapshotAtTag(spark, dir, version)
       else if (SnapshotLog.branches(spark, dir).contains(version))

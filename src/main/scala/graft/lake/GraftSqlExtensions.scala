@@ -107,6 +107,11 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
     val tr0 = new DmlTranslator(Map.empty, Map.empty)
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
+    // unsupported forms fail at analysis, never silently degrade: a
+    // WITH SCHEMA EVOLUTION merge executed without evolving would drop
+    // the new source columns without a word
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
     val targetNames = rel.output.map(a => a.exprId -> a.name).toMap
     val sourceNames = m.sourceTable.output.map(a => a.exprId -> a.name).toMap
     // the merge condition must be a conjunction of target-col =

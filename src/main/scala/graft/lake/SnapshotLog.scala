@@ -364,6 +364,8 @@ object SnapshotLog {
   def tag(spark: SparkSession, tableDir: String, name: String, id: Long): Unit =
     withTableLock(tableDir) {
       validRefName(name)
+      require(name != "main",
+        "'main' is reserved for the implicit main branch (Iceberg reserves it)")
       snapshotAt(spark, tableDir, id) // throws if not retained
       val (fs, root) = fsOf(spark, tableDir)
       val md = metaDir(root)
@@ -434,6 +436,8 @@ object SnapshotLog {
   def createBranch(spark: SparkSession, tableDir: String, name: String): Long =
     withTableLock(tableDir) {
       validRefName(name)
+      require(name != "main",
+        "'main' is reserved for the implicit main branch (Iceberg reserves it)")
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val (fs, root) = fsOf(spark, tableDir)
@@ -748,6 +752,22 @@ object SnapshotLog {
     dataFiles(dest, "")
   }
 
+  /** Drop the 0-row entries of a fresh [[writeData]] result: delete each
+    * empty part file individually and return only the row-bearing
+    * entries — a SELECTIVE write keeps its real files while empty-task
+    * part files never reach the manifest (where every later snapshot
+    * would carry them forever). Emptied `data/<uuid>` dirs fall to
+    * [[expire]]'s empty-dir sweep. */
+  private def dropEmptyFiles(spark: SparkSession, tableDir: String,
+                             written: Seq[DataFile]): Seq[DataFile] = {
+    val (empty, kept) = written.partition(_.rows == 0L)
+    if (empty.nonEmpty) {
+      val (fs, root) = fsOf(spark, tableDir)
+      empty.foreach(f => fs.delete(new Path(root, f.path), false))
+    }
+    kept
+  }
+
   /** Write `keys` (distinct tuples under `eqCols`) as ONE immutable
     * equality-delete file and return its manifest entry (seq stamped at
     * commit). One file per commit by design: the delete set is
@@ -878,18 +898,12 @@ object SnapshotLog {
         s"$tableDir has a non-identity partition layout — SQL INSERT " +
           "would break it; use the engine writers")
       val pcol = conventionPartitionCol(schema)
-      val written = writeData(spark, tableDir, aligned, pcol)
-      // an empty INSERT must not leave 0-row files in the manifest
-      // forever (every later commit would carry them); an empty
-      // OVERWRITE is a real truncate and commits with no files
-      val files =
-        if (written.exists(_.rows > 0L)) written
-        else {
-          val (fs, root) = fsOf(spark, tableDir)
-          written.map(_.path.split("/").take(2).mkString("/")).distinct
-            .foreach(rel => fs.delete(new Path(root, rel), true))
-          Seq.empty
-        }
+      // 0-row part files (non-partitioned writes emit one per empty
+      // task) must not enter the manifest — every later commit would
+      // carry them forever; an all-empty OVERWRITE is a real truncate
+      // and commits with no files
+      val files = dropEmptyFiles(spark, tableDir,
+        writeData(spark, tableDir, aligned, pcol))
       if (files.isEmpty && !overwrite) return cur
       commit(spark, tableDir,
         if (overwrite) "overwrite" else "append",
@@ -962,13 +976,6 @@ object SnapshotLog {
       clauses.collect { case u: MatchedUpdate => u }.foreach(_.assignments.keys
         .foreach(k => require(schema.fieldNames.contains(k),
           s"MERGE assignment to unknown column $k in $tableDir")))
-      // SQL MERGE cardinality rule: one source row per key, or the merge
-      // is nondeterministic — refuse loudly (delta-sized aggregation)
-      val dups = source.groupBy(onCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dups == 0L,
-        s"MERGE INTO $tableDir: source has duplicate rows under " +
-          s"(${onCols.mkString(", ")}) — cardinality violation")
       // prefixed names must stay collision-free: a source column
       // literally named `_src_<other source col>` (or the sentinel) would
       // silently shadow data after renaming — refuse instead
@@ -979,9 +986,23 @@ object SnapshotLog {
           s"_src_ prefixing: ${prefixed.diff(prefixed.distinct).mkString(", ")}")
       require(!prefixed.contains(MergeMatchedSentinel),
         s"MERGE INTO $tableDir: $MergeMatchedSentinel is a reserved name")
+      // the source is evaluated ONCE (persisted for the whole merge): a
+      // nondeterministic source re-evaluated per leg could pass the
+      // cardinality check yet join duplicates, and an expensive one
+      // would be recomputed for the insert leg
       val src = source.select(source.columns.toSeq.map(c =>
         if (onCols.contains(c)) col(c) else col(c).as(s"_src_$c")): _*)
         .withColumn(MergeMatchedSentinel, lit(true))
+        .persist()
+      try {
+        // SQL MERGE cardinality rule: one source row per key, or the
+        // merge is nondeterministic — refuse loudly (delta-sized agg,
+        // and it materializes the persisted source for the legs below)
+        val dups = src.groupBy(onCols.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dups == 0L,
+          s"MERGE INTO $tableDir: source has duplicate rows under " +
+            s"(${onCols.mkString(", ")}) — cardinality violation")
       val live = readCore(spark, tableDir, cur, None, keepLineage = true)
       val joined = live.join(broadcast(src), onCols, "left").persist()
       try {
@@ -1035,21 +1056,16 @@ object SnapshotLog {
           case Some(rows) => writeData(spark, tableDir, rows, partitionCol)
           case None       => Seq.empty
         }
-        // an all-empty write means no clause produced a row — remove the
-        // empty files (else a no-op merge would commit a junk snapshot)
-        val newFiles =
-          if (written.isEmpty || written.exists(_.rows > 0L)) written
-          else {
-            val (fs, root) = fsOf(spark, tableDir)
-            written.map(_.path.split("/").take(2).mkString("/")).distinct
-              .foreach(rel => fs.delete(new Path(root, rel), true))
-            Seq.empty
-          }
+        // 0-row part files never enter the manifest (a no-op merge must
+        // not commit a junk snapshot, and a selective one must not carry
+        // empty-task debris forever)
+        val newFiles = dropEmptyFiles(spark, tableDir, written)
         if (slots.isEmpty && newFiles.isEmpty) return None
         Some(commit(spark, tableDir, "merge-into",
           cur.files ++ newFiles, schema, parent = Some(cur),
           deletes = cur.deletes, posDeletes = cur.posDeletes ++ slots))
       } finally joined.unpersist(blocking = true)
+      } finally src.unpersist(blocking = true)
     }
 
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
