@@ -20,12 +20,18 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    `data/<uuid>/` tree per commit); nothing reads them until a
   *    snapshot manifest lists them.
   *  - A snapshot is ONE json file `metadata/snap-<id>.json` holding the
-  *    complete file manifest (path, partition value, row count, size,
-  *    LSN bounds), the table schema, the parent id and the operation.
-  *    The manifest is written to a temp name and RENAMED into place —
-  *    the rename IS the commit (POSIX rename atomicity), so a reader can
-  *    never observe a partial commit: either the snapshot file exists
-  *    whole or the previous snapshot is current.
+  *    table schema, the parent id, the operation, and the list of
+  *    immutable manifest SEGMENTS (`metadata/seg-<uuid>.json`) that
+  *    together carry the complete file manifest (path, partition value,
+  *    row count, size, LSN bounds per entry) — Iceberg's manifest-list
+  *    two-level layout. A commit reuses every parent segment whose
+  *    entries survive and writes one segment for the delta, so append
+  *    commits cost O(new files) manifest bytes regardless of table age.
+  *    The snapshot file is written to a temp name and RENAMED into
+  *    place — the rename IS the commit (POSIX rename atomicity), so a
+  *    reader can never observe a partial commit: segments are invisible
+  *    until a renamed snapshot references them, and either the snapshot
+  *    file exists whole or the previous snapshot is current.
   *  - Resolution: current = highest snapshot id present (Iceberg's
   *    version-hint fallback — robust to any crash, needs no second
   *    pointer write). Historical reads resolve any retained id.
@@ -155,18 +161,22 @@ object SnapshotLog {
   private def metaDir(root: Path) = new Path(root, MetaDirName)
   private val SnapRe = "snap-(\\d+)\\.json".r
 
-  // ---- JSON codec (Jackson ships with Spark; the manifest is tiny)
+  // ---- JSON codec (Jackson ships with Spark; all metadata is tiny)
+
+  /** The manifest entries one segment file carries — the unit of
+    * manifest REUSE across commits (see [[planSegments]]). */
+  private[lake] final case class SegContent(files: Seq[DataFile],
+                                            deletes: Seq[DeleteFile],
+                                            posDeletes: Seq[PosDeleteFile]) {
+    def entryCount: Int = files.size + deletes.size + posDeletes.size
+    def isEmpty: Boolean = entryCount == 0
+  }
+
   private val mapper = new ObjectMapper()
 
-  private def toJson(s: Snapshot): String = {
-    val o = mapper.createObjectNode()
-    o.put("id", s.id)
-    s.parentId.foreach(o.put("parent_id", _))
-    o.put("ts_ms", s.tsMs)
-    o.put("operation", s.operation)
-    o.put("schema", s.schemaJson)
+  private def entriesToNode(o: ObjectNode, c: SegContent): Unit = {
     val arr = o.putArray("files")
-    s.files.foreach { f =>
+    c.files.foreach { f =>
       val fo = arr.addObject()
       fo.put("path", f.path)
       fo.put("partition", f.partition)
@@ -180,15 +190,15 @@ object SnapshotLog {
       f.spec.foreach(fo.put("spec", _))
       if (f.extraBounds.nonEmpty) {
         val barr = fo.putArray("col_bounds")
-        f.extraBounds.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        f.extraBounds.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
           val bo = barr.addObject()
-          bo.put("col", c); bo.put("min", mn); bo.put("max", mx)
+          bo.put("col", col); bo.put("min", mn); bo.put("max", mx)
         }
       }
     }
-    if (s.deletes.nonEmpty) {
+    if (c.deletes.nonEmpty) {
       val darr = o.putArray("deletes")
-      s.deletes.foreach { d =>
+      c.deletes.foreach { d =>
         val dob = darr.addObject()
         dob.put("path", d.path)
         val cols = dob.putArray("eq_cols")
@@ -198,9 +208,9 @@ object SnapshotLog {
         dob.put("seq", d.seq)
       }
     }
-    if (s.posDeletes.nonEmpty) {
+    if (c.posDeletes.nonEmpty) {
       val parr = o.putArray("pos_deletes")
-      s.posDeletes.foreach { p =>
+      c.posDeletes.foreach { p =>
         val pob = parr.addObject()
         pob.put("path", p.path)
         pob.put("rows", p.rows)
@@ -208,11 +218,9 @@ object SnapshotLog {
         pob.put("seq", p.seq)
       }
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  private def fromJson(text: String): Snapshot = {
-    val n = mapper.readTree(text)
+  private def entriesFromNode(n: JsonNode): SegContent = {
     def optText(node: JsonNode, field: String): Option[String] =
       Option(node.get(field)).map(_.asText())
     val files = n.get("files") match {
@@ -234,7 +242,7 @@ object SnapshotLog {
             Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
             optText(f, "stats_col"), optText(f, "spec"), extra)
         }
-      case _ => Seq.empty
+      case _ => Seq.empty[DataFile]
     }
     val deletes = n.get("deletes") match {
       case arr: ArrayNode =>
@@ -258,10 +266,170 @@ object SnapshotLog {
         }
       case _ => Seq.empty[PosDeleteFile]
     }
+    SegContent(files, deletes, posDeletes)
+  }
+
+  // ---- manifest segments (Iceberg's manifest-list layer)
+  //
+  // A committed snapshot file holds the header (id, parent, ts,
+  // operation, schema) plus a LIST of immutable segment file names
+  // (`metadata/seg-<uuid>.json`), each carrying a slice of the manifest
+  // entries. A commit REUSES every parent segment whose entries all
+  // survive and writes ONE new segment for the rest — append commits
+  // therefore write O(new files) manifest bytes, not O(total files),
+  // which is the property that keeps a long-lived 100 TB table's commit
+  // cost flat as history grows. Segment files are invisible until a
+  // snapshot rename references them, so the crash story is unchanged:
+  // an orphaned segment is debris for [[expire]].
+  //
+  // Pre-segment manifests (inline entry arrays) stay readable — fixture
+  // caches and long-lived tables migrate lazily: their first new commit
+  // writes the full state as fresh segments.
+
+  /** Resolution-read bound: a commit that would reference more segments
+    * than this first folds the smallest ones into one (log-structured
+    * merge) — amortized O(new + log) manifest bytes per commit, and
+    * snapshot resolution opens at most this many segment files. */
+  val MaxSegments = 32
+
+  /** Immutable-segment cache: segments never change once referenced, so
+    * a (qualified path → content) cache is sound and makes repeated
+    * resolution (streaming sinks, history scans) metadata-cheap. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SegContent]()
+  private val SegCacheMax = 8192
+
+  private def loadSegment(fs: FileSystem, md: Path, name: String): SegContent = {
+    val key = fs.makeQualified(new Path(md, name)).toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val content = entriesFromNode(mapper.readTree(readFully(fs, new Path(md, name))))
+    if (segCache.size() >= SegCacheMax) segCache.clear()
+    segCache.put(key, content)
+    content
+  }
+
+  /** Write `content` as a new immutable segment file and return its
+    * name. The file is unreferenced (invisible) until a snapshot rename
+    * points at it, so a plain create is crash-safe. */
+  private def writeSegment(fs: FileSystem, md: Path, content: SegContent): String = {
+    val name = s"seg-${java.util.UUID.randomUUID()}.json"
+    val o = mapper.createObjectNode()
+    entriesToNode(o, content)
+    val out = fs.create(new Path(md, name), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val key = fs.makeQualified(new Path(md, name)).toString
+    if (segCache.size() >= SegCacheMax) segCache.clear()
+    segCache.put(key, content)
+    name
+  }
+
+  /** Segment names a manifest file references (empty for pre-segment
+    * inline manifests) — the raw read [[expireCore]] uses for liveness. */
+  private def segmentNamesOf(fs: FileSystem, manifest: Path): Seq[String] = {
+    val n = mapper.readTree(readFully(fs, manifest))
+    n.get("segments") match {
+      case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())
+      case _              => Seq.empty
+    }
+  }
+
+  /** Plan the segment list for a snapshot whose complete entry set is
+    * `content`: reuse each candidate segment (from the manifests at
+    * `reuseFrom`, typically the parent) whose entries ALL survive into
+    * `content` and overlap nothing already covered, write the residue as
+    * one new segment, then fold the smallest segments when the list
+    * exceeds [[MaxSegments]]. Returns the ordered segment names plus
+    * every segment file this call CREATED (for cleanup if the commit
+    * rename loses). */
+  private def planSegments(fs: FileSystem, md: Path, reuseFrom: Seq[Path],
+                           content: SegContent): (Seq[String], Seq[String]) = {
+    val candidates: Seq[(String, SegContent)] = reuseFrom
+      .filter(fs.exists(_))
+      .flatMap(p => segmentNamesOf(fs, p))
+      .distinct
+      .map(name => name -> loadSegment(fs, md, name))
+    val fset = content.files.toSet
+    val dset = content.deletes.toSet
+    val pset = content.posDeletes.toSet
+    // greedy selection with an overlap guard: reuse candidates from
+    // different lineages (parent + a rollback target) may share entries,
+    // and a doubly-covered file would be read twice
+    var coveredF = Set.empty[DataFile]
+    var coveredD = Set.empty[DeleteFile]
+    var coveredP = Set.empty[PosDeleteFile]
+    val reused = candidates.filter { case (_, c) =>
+      val fits = c.files.forall(fset) && c.deletes.forall(dset) &&
+        c.posDeletes.forall(pset) && !c.isEmpty
+      val disjoint = !c.files.exists(coveredF) && !c.deletes.exists(coveredD) &&
+        !c.posDeletes.exists(coveredP)
+      if (fits && disjoint) {
+        coveredF ++= c.files; coveredD ++= c.deletes; coveredP ++= c.posDeletes
+        true
+      } else false
+    }
+    val residue = SegContent(
+      content.files.filterNot(coveredF),
+      content.deletes.filterNot(coveredD),
+      content.posDeletes.filterNot(coveredP))
+    var created = Seq.empty[String]
+    var segs: Seq[(String, SegContent)] = reused
+    if (!residue.isEmpty) {
+      val name = writeSegment(fs, md, residue)
+      created :+= name
+      segs :+= name -> residue
+    }
+    if (segs.size > MaxSegments) {
+      // fold the smallest segments into one until half the bound —
+      // the classic log-structured amortization: every entry is
+      // rewritten O(log total) times across a table's life
+      val keepCount = MaxSegments / 2
+      val (small, big) = segs.sortBy(_._2.entryCount)
+        .splitAt(segs.size - keepCount + 1)
+      val foldedContent = SegContent(
+        small.flatMap(_._2.files),
+        small.flatMap(_._2.deletes),
+        small.flatMap(_._2.posDeletes))
+      val name = writeSegment(fs, md, foldedContent)
+      created :+= name
+      segs = big :+ (name -> foldedContent)
+    }
+    (segs.map(_._1), created)
+  }
+
+  /** Header + segment list of a committed snapshot file. */
+  private def manifestJson(s: Snapshot, segNames: Seq[String]): String = {
+    val o = mapper.createObjectNode()
+    o.put("id", s.id)
+    s.parentId.foreach(o.put("parent_id", _))
+    o.put("ts_ms", s.tsMs)
+    o.put("operation", s.operation)
+    o.put("schema", s.schemaJson)
+    val arr = o.putArray("segments")
+    segNames.foreach(arr.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** Parse a manifest file: segment form resolves its segments (cached),
+    * pre-segment form reads the inline entry arrays. `md` is the
+    * metadata dir segments live in — always the MAIN metadata dir, also
+    * for branch-staged manifests (the shared namespace is what lets
+    * publish move metadata only). */
+  private def readManifest(fs: FileSystem, md: Path, p: Path): Snapshot = {
+    val n = mapper.readTree(readFully(fs, p))
+    val c = n.get("segments") match {
+      case arr: ArrayNode =>
+        val parts = (0 until arr.size()).map(i => loadSegment(fs, md, arr.get(i).asText()))
+        SegContent(parts.flatMap(_.files), parts.flatMap(_.deletes),
+          parts.flatMap(_.posDeletes))
+      case _ => entriesFromNode(n)
+    }
     Snapshot(n.get("id").asLong(),
       Option(n.get("parent_id")).map(_.asLong()),
       n.get("ts_ms").asLong(), n.get("operation").asText(),
-      n.get("schema").asText(), files, deletes, posDeletes)
+      n.get("schema").asText(), c.files, c.deletes, c.posDeletes)
   }
 
   // ---- resolution
@@ -277,7 +445,7 @@ object SnapshotLog {
         case SnapRe(_) => Some(st.getPath)
         case _         => None
       })
-      .map(p => fromJson(readFully(fs, p)))
+      .map(p => readManifest(fs, metaDir(root), p))
       .sortBy(_.id)
   }
 
@@ -329,7 +497,7 @@ object SnapshotLog {
         case _          => None
       })
       .maxByOption(_._1)
-      .map { case (_, p) => fromJson(readFully(fs, p)) }
+      .map { case (_, p) => readManifest(fs, metaDir(root), p) }
   }
 
   /** Resolve the newest snapshot committed at or before `tsMs` —
@@ -468,7 +636,7 @@ object SnapshotLog {
     fs.listStatus(branchDir(root, name)).toSeq
       .filter(st => st.isFile && SnapRe.pattern.matcher(st.getPath.getName).matches())
       .sortBy(_.getPath.getName)
-      .map(st => fromJson(readFully(fs, st.getPath)))
+      .map(st => readManifest(fs, metaDir(root), st.getPath))
   }
 
   /** The branch's newest state: its last staged snapshot, or the base
@@ -500,15 +668,13 @@ object SnapshotLog {
         head.deletes, head.posDeletes)
       val (fs, root) = fsOf(spark, tableDir)
       val bd = branchDir(root, name)
-      val tmp = new Path(bd, s".tmp-snap-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(toJson(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dst = new Path(bd, f"snap-$id%012d.json")
-      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-        fs.delete(tmp, false)
-        throw new ConcurrentCommitException(s"lost branch commit race for $dst")
-      }
+      val md = metaDir(root)
+      // reuse from the branch head's manifest — staged (branch dir) or
+      // the fork base (main dir); segments live in the SHARED main
+      // namespace either way, which is what keeps publish metadata-only
+      val headPaths = Seq(new Path(bd, f"snap-${head.id}%012d.json"),
+        new Path(md, f"snap-${head.id}%012d.json"))
+      writeManifestFile(fs, md, snap, headPaths, bd)
       snap
     }
 
@@ -578,7 +744,37 @@ object SnapshotLog {
     val p = new Path(metaDir(root), f"snap-$id%012d.json")
     if (!fs.exists(p))
       throw new NoSuchElementException(s"no snapshot $id in $tableDir")
-    fromJson(readFully(fs, p))
+    readManifest(fs, metaDir(root), p)
+  }
+
+  /** Measurement surface for the metadata-scaling gates: the segment
+    * count a snapshot's manifest references (0 for a pre-segment inline
+    * manifest — resolution is then one read regardless). */
+  def segmentCount(spark: SparkSession, tableDir: String, id: Long): Int = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val p = new Path(metaDir(root), f"snap-$id%012d.json")
+    if (!fs.exists(p))
+      throw new NoSuchElementException(s"no snapshot $id in $tableDir")
+    segmentNamesOf(fs, p).size
+  }
+
+  /** Total manifest entries across every segment file PRESENT under the
+    * table's metadata dir (orphans included) — the cumulative
+    * manifest-write cost proxy the scaling gates compare against the
+    * live file count: O(new)-cost commits keep this within a small
+    * multiple of the current manifest size; inline manifests would make
+    * it quadratic in commit count. */
+  def totalSegmentEntries(spark: SparkSession, tableDir: String): Long = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return 0L
+    fs.listStatus(md).toSeq.filter { st =>
+      val nm = st.getPath.getName
+      st.isFile && nm.startsWith("seg-") && nm.endsWith(".json")
+    }.map { st =>
+      val c = loadSegment(fs, md, st.getPath.getName)
+      c.entryCount.toLong
+    }.sum
   }
 
   /** True iff the table has a commit log (vs plain-directory layout). */
@@ -610,7 +806,8 @@ object SnapshotLog {
              files: Seq[DataFile], schema: StructType,
              parent: Option[Snapshot],
              deletes: Seq[DeleteFile] = Nil,
-             posDeletes: Seq[PosDeleteFile] = Nil): Snapshot = {
+             posDeletes: Seq[PosDeleteFile] = Nil,
+             reuseFrom: Seq[Long] = Nil): Snapshot = {
     val (fs, root) = fsOf(spark, tableDir)
     val cur = currentSnapshot(spark, tableDir)
     if (cur.map(_.id) != parent.map(_.id))
@@ -626,18 +823,40 @@ object SnapshotLog {
       posDeletes.map(p => if (p.seq < 0) p.copy(seq = id) else p))
     val md = metaDir(root)
     fs.mkdirs(md)
-    val tmp = new Path(md, s".tmp-snap-${java.util.UUID.randomUUID()}")
+    // segment reuse candidates: the parent manifest (carried entries),
+    // plus callers' hints — rollback passes its target so the restored
+    // file set reuses the target's own segments instead of rewriting it
+    val reusePaths = (cur.map(_.id).toSeq ++ reuseFrom).distinct
+      .map(i => new Path(md, f"snap-$i%012d.json"))
+    writeManifestFile(fs, md, snap, reusePaths, md)
+    snap
+  }
+
+  /** Plan segments for `snap`, write the new segment file(s), and rename
+    * the manifest into `dstDir` — the shared commit tail of [[commit]]
+    * and [[appendToBranch]] (segments always land in the MAIN metadata
+    * dir `md`; only the manifest location differs). A lost rename race
+    * cleans up this call's segment files and fails loudly. */
+  private def writeManifestFile(fs: FileSystem, md: Path, snap: Snapshot,
+                                reusePaths: Seq[Path], dstDir: Path): Unit = {
+    val (segNames, created) = planSegments(fs, md, reusePaths,
+      SegContent(snap.files, snap.deletes, snap.posDeletes))
+    val tmp = new Path(dstDir, s".tmp-snap-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(toJson(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(manifestJson(snap, segNames)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dst = new Path(md, f"snap-${snap.id}%012d.json")
+    val dst = new Path(dstDir, f"snap-${snap.id}%012d.json")
     // the rename IS the commit: the snapshot either exists whole or not
     // at all; an existing dst means a racing writer won — fail loudly
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
+      created.foreach { name =>
+        fs.delete(new Path(md, name), false)
+        segCache.remove(fs.makeQualified(new Path(md, name)).toString)
+      }
       throw new ConcurrentCommitException(s"lost commit race for $dst")
     }
-    snap
   }
 
   // ---- data-file production
@@ -1610,7 +1829,8 @@ object SnapshotLog {
       val target = snapshotAt(spark, tableDir, toId)
       commit(spark, tableDir, "rollback", target.files, target.schema,
         parent = Some(cur), deletes = target.deletes,
-        posDeletes = target.posDeletes)
+        posDeletes = target.posDeletes,
+        reuseFrom = Seq(toId)) // restore the target's own segments
     }
 
   /** Incremental append-scan: the rows ADDED by snapshots in
@@ -1755,6 +1975,29 @@ object SnapshotLog {
           s.deletes.map(_.path) ++ s.posDeletes.map(_.path)).toSet
       val md = metaDir(root)
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
+      // segment liveness: a segment file survives iff SOME retained
+      // manifest (main or branch-staged) still references it; orphans —
+      // expired history's exclusive segments, crashed commits' debris —
+      // are reclaimed like data files
+      val liveSegs: Set[String] = {
+        val mainManifests = keep.map(s => new Path(md, f"snap-${s.id}%012d.json"))
+        val branchManifests = branches(spark, tableDir).flatMap { b =>
+          val bd = branchDir(root, b)
+          if (!fs.exists(bd)) Seq.empty
+          else fs.listStatus(bd).toSeq.filter(st => st.isFile &&
+            SnapRe.pattern.matcher(st.getPath.getName).matches()).map(_.getPath)
+        }
+        (mainManifests ++ branchManifests).filter(fs.exists(_))
+          .flatMap(segmentNamesOf(fs, _)).toSet
+      }
+      fs.listStatus(md).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isFile && nm.startsWith("seg-") && nm.endsWith(".json") &&
+            !liveSegs.contains(nm)) {
+          fs.delete(st.getPath, false)
+          segCache.remove(fs.makeQualified(st.getPath).toString)
+        }
+      }
       // temp manifests/refs from crashed commits and tag/branch writes
       def cleanTmp(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) cleanTmp(st.getPath)

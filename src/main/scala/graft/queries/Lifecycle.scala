@@ -1896,7 +1896,58 @@ object Lifecycle extends QueryModule {
        |  'no active queries' FROM m
        |ORDER BY policy""".stripMargin
 
+  // ---- manifest-list scaling (the 100-TB commit-cost property): 40
+  // append commits through the sharded metadata layer, then hash-check
+  // BOTH the data (state at checkpoints 10/20/30/40 replays as a plain
+  // modulo slice) AND the scaling invariants measured from the metadata
+  // dir — every snapshot resolves ≤ MaxSegments segment reads, and the
+  // total manifest entries ever written stay within a small multiple of
+  // the live manifest (an inline O(total)-per-commit layout writes ~20×
+  // here and fails the hash).
+  private val manifestScaleFixture = new FixtureCache("graft_mscale")
+  private val MScaleCap = 960
+  private val MScaleSlices = 40
+
+  private def manifestScaleDir(s: SparkSession, d: String): String =
+    manifestScaleFixture.dir(s, d) { dir =>
+      val env = CdcQueries.envelope(s, d).filter(col("event_id") < MScaleCap)
+      (0 until MScaleSlices).foreach { i =>
+        CdcWriter.appendCommit(s, dir,
+          env.filter(col("event_id") % MScaleSlices === i))
+      }
+    }
+
+  private def manifestScaling(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val dir = manifestScaleDir(s, d)
+    val cur = SnapshotLog.currentSnapshot(s, dir).get
+    val segBounded = (1 to MScaleSlices).forall(i =>
+      SnapshotLog.segmentCount(s, dir, i.toLong) <= SnapshotLog.MaxSegments)
+    val written = SnapshotLog.totalSegmentEntries(s, dir)
+    val subQuadratic = written < 8L * math.max(cur.files.size.toLong, 1L)
+    Seq(10, 20, 30, 40).map { k =>
+      SnapshotLog.read(s, dir, SnapshotLog.snapshotAt(s, dir, k.toLong))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(k.toLong).as("snap_id"), col("n_rows"),
+          lit(if (segBounded) 1L else 0L).as("seg_bounded"),
+          lit(if (subQuadratic) 1L else 0L).as("sub_quadratic"))
+    }.reduce(_ unionByName _).orderBy(col("snap_id"))
+  }
+
+  private val manifestScalingSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |capped AS (SELECT * FROM envelope WHERE event_id < $MScaleCap),
+       |ks AS (SELECT * FROM (VALUES (CAST(10 AS BIGINT)), (CAST(20 AS BIGINT)),
+       |  (CAST(30 AS BIGINT)), (CAST(40 AS BIGINT))) AS t(snap_id))
+       |SELECT k.snap_id,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM capped c
+       |     WHERE c.event_id % $MScaleSlices < k.snap_id) AS n_rows,
+       |  CAST(1 AS BIGINT) AS seg_bounded,
+       |  CAST(1 AS BIGINT) AS sub_quadratic
+       |FROM ks k ORDER BY snap_id""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("cdc_manifest_scaling", manifestScaling, Some(manifestScalingSql)),
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("query_scaling_decision", queryScalingDecision, Some(queryScalingDecisionSql)),
     GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
