@@ -68,10 +68,10 @@ object CdcWriter {
     SnapshotLog.withTableLock(tableDir) {
       val cur = SnapshotLog.currentSnapshot(spark, tableDir)
       val files = SnapshotLog.writeData(spark, tableDir, df, Some(pcol))
-      SnapshotLog.commit(spark, tableDir, "append",
-        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur,
-        deletes = cur.toSeq.flatMap(_.deletes),
-        posDeletes = cur.toSeq.flatMap(_.posDeletes))
+      // optimistic append: a cross-process writer racing this commit
+      // triggers a rebase (manifest-only retry), never a lost batch
+      SnapshotLog.appendFiles(spark, tableDir, files, df.schema,
+        expectedParent = cur)
     }
   }
 

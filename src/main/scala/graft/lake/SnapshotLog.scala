@@ -832,6 +832,55 @@ object SnapshotLog {
     snap
   }
 
+  /** Append already-written data files with OPTIMISTIC concurrency —
+    * Iceberg's commit contract (ref internal/iceberg/catalog/rest.go:
+    * 187-217: CommitSnapshot is a conditional PUT on the expected
+    * metadata location): attempt the commit against `expectedParent`,
+    * and when a foreign writer moved the head first, REBASE instead of
+    * failing — re-resolve current, re-derive the manifest as
+    * current ∪ the new files, re-commit. No data file is rewritten: an
+    * append commutes with every committed operation because the rebase
+    * rebuilds from the winner's state (a concurrent truncate serializes
+    * BEFORE the append, a concurrent delete outranks nothing the append
+    * adds — the new files take a later seq).
+    *
+    * The snapshot schema rebases too: if the head evolved while we
+    * raced, the committed schema is the add-only merge of the evolved
+    * schema and ours (our files read whole under any superset).
+    *
+    * This is the cross-process safety net ON TOP of the per-table JVM
+    * lock: in-process writers never race (the lock serializes them);
+    * a second process' interleaved commits land here as stale-parent
+    * attempts and compose instead of erroring. Bounded retries — a
+    * pathological commit storm still fails loudly rather than looping. */
+  def appendFiles(spark: SparkSession, tableDir: String,
+                  files: Seq[DataFile], schema: StructType,
+                  expectedParent: Option[Snapshot],
+                  maxRetries: Int = 5): Snapshot = {
+    var parent = expectedParent
+    var mergedSchema = schema
+    var attempt = 0
+    while (true) {
+      try {
+        return commit(spark, tableDir, "append",
+          parent.map(_.files).getOrElse(Seq.empty) ++ files, mergedSchema,
+          parent,
+          deletes = parent.map(_.deletes).getOrElse(Nil),
+          posDeletes = parent.map(_.posDeletes).getOrElse(Nil))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          parent = currentSnapshot(spark, tableDir) // rebase
+          mergedSchema = parent match {
+            case Some(p) => graft.model.SchemaBuilder.merge(p.schema, schema, 0)._1
+            case None    => schema
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Plan segments for `snap`, write the new segment file(s), and rename
     * the manifest into `dstDir` — the shared commit tail of [[commit]]
     * and [[appendToBranch]] (segments always land in the MAIN metadata
@@ -1223,7 +1272,16 @@ object SnapshotLog {
           s"MERGE INTO $tableDir: source has duplicate rows under " +
             s"(${onCols.mkString(", ")}) — cardinality violation")
       val live = readCore(spark, tableDir, cur, None, keepLineage = true)
-      val joined = live.join(broadcast(src), onCols, "left").persist()
+      // size-gated: the dup check above materialized the persisted
+      // source, so the cached relation's stats are REAL bytes — a
+      // delta-sized source broadcasts, a bulk-load source shuffle-hash-
+      // joins on the keys (the stored table hashes, never sorts)
+      val srcBytes = {
+        val b = src.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (b.isValidLong) b.toLong else Long.MaxValue
+      }
+      val joined = live.join(sizeGated(spark, src, srcBytes), onCols, "left")
+        .persist()
       try {
         val matched = joined.filter(col(MergeMatchedSentinel))
         // first-clause-wins action resolution, encoded as one expression
@@ -1254,13 +1312,13 @@ object SnapshotLog {
                 assign.get(f.name).map(_.cast(f.dataType))
                   .getOrElse(col(f.name)).as(f.name)): _*)
         }
-        // matched keys are delta-sized (⊆ source keys) and already in the
-        // persisted join — the not-matched set is a broadcast anti-join
-        // of two delta-sized frames; the stored table is never rescanned
+        // matched keys are bounded by the source keys and already in the
+        // persisted join — the not-matched set is a size-gated anti-join
+        // of two source-sized frames; the stored table is never rescanned
         val matchedKeys = matched.select(onCols.map(col): _*).distinct()
         val inserts = clauses.collect { case NotMatchedInsert(condOpt, assign) =>
           val unmatchedKeys =
-            src.join(broadcast(matchedKeys), onCols, "left_anti")
+            src.join(sizeGated(spark, matchedKeys, srcBytes), onCols, "left_anti")
           val eligible = condOpt.map(unmatchedKeys.filter).getOrElse(unmatchedKeys)
           val have = eligible.columns.toSet
           eligible.select(schema.fields.toSeq.map { f =>
@@ -1287,6 +1345,30 @@ object SnapshotLog {
       } finally src.unpersist(blocking = true)
     }
 
+  /** Size-gated small-side join shaping: broadcast `small` when its
+    * estimated in-memory bytes clear the session broadcast threshold,
+    * else hint a SHUFFLE HASH join built on the small(er) side — the
+    * stored table must never SORT for delete application or a merge,
+    * and a huge delete set / merge source must never OOM the driver
+    * through a forced broadcast. `estBytes < 0` (unknown) defers to the
+    * planner unhinted. */
+  private def sizeGated(spark: SparkSession, small: DataFrame,
+                        estBytes: Long): DataFrame = {
+    if (estBytes < 0) return small
+    val raw = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .getOrElse("10MB").trim
+    val threshold =
+      if (raw.startsWith("-")) -1L // broadcast disabled
+      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => 10L * 1024 * 1024 }
+    if (threshold > 0 && estBytes <= threshold) broadcast(small)
+    else small.hint("shuffle_hash")
+  }
+
+  /** Conservative parquet→in-memory expansion for manifest-recorded
+    * delete-file sizes (dictionary/RLE decode, JVM object headers). */
+  private def estInMemory(parquetBytes: Long): Long = parquetBytes * 8
+
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
     * path form — stable if the table dir moves). */
   private def slotsOf(spark: SparkSession, tableDir: String,
@@ -1306,14 +1388,22 @@ object SnapshotLog {
       .distinct()
   }
 
-  /** Write `(file, pos)` slots as ONE positional-delete file; empty
-    * result (no slots) writes nothing and returns Nil. */
+  /** Write `(file, pos)` slots as positional-delete file(s); empty
+    * result (no slots) writes nothing and returns Nil.
+    *
+    * The write is DISTRIBUTED: slots arrive hash-partitioned from the
+    * upstream distinct's shuffle, and AQE coalesces the small case to a
+    * single file while a mass delete (the "delete 3 months of a 100 TB
+    * table's rows" shape) fans out across the executor pool — the
+    * manifest holds a SET of delete files precisely so this write never
+    * serializes through one task. 0-row part files (empty-task debris)
+    * are dropped individually, like data writes. */
   private def writePosFile(spark: SparkSession, tableDir: String,
                            slots: DataFrame): Seq[PosDeleteFile] = {
     val (fs, root) = fsOf(spark, tableDir)
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val dest = new Path(root, rel)
-    slots.repartition(1).write.parquet(dest.toString)
+    slots.write.parquet(dest.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = fs.listStatus(dest).toSeq
       .filter(st => st.isFile && isParquetFile(st.getPath.getName))
@@ -1323,7 +1413,11 @@ object SnapshotLog {
         PosDeleteFile(relPath, rows, st.getLen, seq = -1L)
       }
     if (entries.forall(_.rows == 0L)) { fs.delete(dest, true); Nil }
-    else entries
+    else {
+      val (empty, kept) = entries.partition(_.rows == 0L)
+      empty.foreach(e => fs.delete(new Path(root, e.path), false))
+      kept
+    }
   }
 
   /** Adopt an existing hive-layout table (`<pcol>=<day>/part-*.parquet`)
@@ -1444,9 +1538,11 @@ object SnapshotLog {
     * every data file with seq < S. The deletes-free path is untouched —
     * one multi-path scan, no extra plan nodes. With deletes, data files
     * group by seq (one scan per retained commit — bounded by the fold
-    * cadence, see [[foldDeletes]]) and the delete set joins BROADCAST:
-    * deletes are delta-sized by construction, the stored table never
-    * shuffles for delete application. */
+    * cadence, see [[foldDeletes]]) and the delete set joins SIZE-GATED
+    * from the manifest's recorded bytes: delta-sized delete sets
+    * broadcast (the common CDC shape — the stored table never shuffles
+    * for delete application), a mass-delete's accumulated set
+    * shuffle-hash-joins instead of OOMing the driver. */
   def read(spark: SparkSession, tableDir: String, snap: Snapshot,
            partitions: Option[Seq[String]] = None): DataFrame =
     readCore(spark, tableDir, snap, partitions, keepLineage = false)
@@ -1494,7 +1590,13 @@ object SnapshotLog {
         .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
         .select(concat(lit(s"$rootNorm/"), col("file")).as("_abs"),
           col("pos").as("_pos")).distinct()
-      base.join(broadcast(dels), Seq("_abs", "_pos"), "left_anti")
+      // size-gated from the manifest's recorded bytes: a delta-sized
+      // delete set broadcasts, a mass-delete's slots shuffle-hash-join
+      // (the stored table hashes on lineage — never sorts, never
+      // builds a driver-sized table)
+      base.join(sizeGated(spark, dels,
+        estInMemory(snap.posDeletes.map(_.sizeBytes).sum)),
+        Seq("_abs", "_pos"), "left_anti")
     }
     val afterEq = if (snap.deletes.isEmpty) afterPos else {
       val eqColSets = snap.deletes.map(_.eqCols).distinct
@@ -1511,7 +1613,8 @@ object SnapshotLog {
           .withColumn("_del_seq", lit(seq))
       }.reduce(_ unionByName _)
         .groupBy(eqCols.map(col): _*).agg(max(col("_del_seq")).as("_del_seq"))
-      afterPos.join(broadcast(delMax), eqCols, "left")
+      afterPos.join(sizeGated(spark, delMax,
+        estInMemory(snap.deletes.map(_.sizeBytes).sum)), eqCols, "left")
         .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
     }
     afterEq.select(out.map(col): _*)

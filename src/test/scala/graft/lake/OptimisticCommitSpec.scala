@@ -1,0 +1,115 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Optimistic cross-process commit concurrency (ref internal/iceberg/
+  * catalog/rest.go:187-217 — CommitSnapshot is conditional on the
+  * expected metadata state): a stale-parent APPEND rebases onto the
+  * winner instead of failing, no batch is lost, no batch is doubled,
+  * and non-append operations still fail loudly on a stale parent. */
+class OptimisticCommitSpec extends SparkTestBase {
+
+  import SnapshotLog.Snapshot
+
+  private def rows(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, f"$i%016d")).toDF("id", graft.ingest.Cdc.LsnColumn)
+  }
+
+  private def append(dir: String, df: DataFrame): Snapshot =
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val files = SnapshotLog.writeData(spark, dir, df, None)
+      SnapshotLog.appendFiles(spark, dir, files, df.schema, cur)
+    }
+
+  private def idsOf(dir: String): Seq[Long] = {
+    import spark.implicits._
+    SnapshotLog.readCurrent(spark, dir).get
+      .select(col("id")).as[Long].collect().toSeq.sorted
+  }
+
+  test("two interleaved writers: the stale one rebases, both batches land") {
+    val dir = Files.createTempDirectory("graft-occ").toString + "/t"
+    val base = append(dir, rows(1))
+    // writer A resolves the head and writes its data files...
+    val filesA = SnapshotLog.writeData(spark, dir, rows(2, 3), None)
+    // ...writer B commits first (a second process: the JVM lock can't
+    // serialize it, so A's expected parent goes stale)
+    val b = append(dir, rows(4))
+    assert(b.id === base.id + 1)
+    // A's append REBASES: same data files, manifest re-derived from B's
+    val a = SnapshotLog.appendFiles(spark, dir, filesA, rows(2, 3).schema,
+      expectedParent = Some(base))
+    assert(a.id === b.id + 1)
+    assert(a.parentId === Some(b.id))
+    assert(idsOf(dir) === Seq(1L, 2L, 3L, 4L))
+    // nothing doubled: A's files appear exactly once
+    val paths = SnapshotLog.currentSnapshot(spark, dir).get.files.map(_.path)
+    assert(paths.distinct.size === paths.size)
+    // rebased entries carry A's REAL commit id as their seq
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.files
+      .filter(f => filesA.map(_.path).contains(f.path)).forall(_.seq === a.id))
+  }
+
+  test("rebase across a concurrent schema evolution keeps the evolved schema") {
+    val dir = Files.createTempDirectory("graft-occ-ev").toString + "/t"
+    val base = append(dir, rows(1))
+    val filesA = SnapshotLog.writeData(spark, dir, rows(2), None)
+    // foreign writer widens the schema before A commits
+    import spark.implicits._
+    val widened = Seq((10L, f"${10}%016d", "x"))
+      .toDF("id", graft.ingest.Cdc.LsnColumn, "extra")
+    append(dir, widened)
+    val a = SnapshotLog.appendFiles(spark, dir, filesA, rows(2).schema,
+      expectedParent = Some(base))
+    // the committed schema is the add-only merge: evolution not reverted
+    assert(a.schema.fieldNames.contains("extra"))
+    val state = SnapshotLog.readCurrent(spark, dir).get
+    assert(state.count() === 3L)
+    // A's rows read whole under the superset schema (extra = null)
+    assert(state.filter(col("id") === 2L && col("extra").isNull).count() === 1L)
+  }
+
+  test("a rebase onto a concurrent TRUNCATE serializes the append after it") {
+    val dir = Files.createTempDirectory("graft-occ-tr").toString + "/t"
+    val base = append(dir, rows(1, 2))
+    val filesA = SnapshotLog.writeData(spark, dir, rows(3), None)
+    // foreign overwrite empties the table
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      SnapshotLog.commit(spark, dir, "overwrite", Seq.empty,
+        base.schema, parent = cur)
+    }
+    SnapshotLog.appendFiles(spark, dir, filesA, rows(3).schema,
+      expectedParent = Some(base))
+    assert(idsOf(dir) === Seq(3L)) // truncate then append — serialized
+  }
+
+  test("non-append commits still fail loudly on a stale parent") {
+    val dir = Files.createTempDirectory("graft-occ-st").toString + "/t"
+    val base = append(dir, rows(1))
+    append(dir, rows(2))
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.commit(spark, dir, "replace", base.files, base.schema,
+        parent = Some(base))
+    }
+  }
+
+  test("retries are bounded: a commit storm surfaces the failure") {
+    val dir = Files.createTempDirectory("graft-occ-rt").toString + "/t"
+    val base = append(dir, rows(1))
+    append(dir, rows(2))
+    val filesA = SnapshotLog.writeData(spark, dir, rows(3), None)
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      // maxRetries = 0: the stale first attempt must surface
+      SnapshotLog.appendFiles(spark, dir, filesA, rows(3).schema,
+        expectedParent = Some(base), maxRetries = 0)
+    }
+    // and the table is uncorrupted: the failed append landed nothing
+    assert(idsOf(dir) === Seq(1L, 2L))
+  }
+}

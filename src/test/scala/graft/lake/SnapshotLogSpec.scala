@@ -342,6 +342,39 @@ class SnapshotLogSpec extends SparkTestBase {
       SnapshotLog.clusterBy(spark, dir, "missing", Seq(1.0)))
   }
 
+  test("mass deleteWhere writes its slots in parallel (>1 pos-delete file)") {
+    val dir = Files.createTempDirectory("graft-snaplog-massdel").toString + "/t"
+    import spark.implicits._
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("day", concat(lit("2024-01-"),
+        lpad((col("id") % 9 + 1).cast("string"), 2, "0")))
+      .withColumn(graft.ingest.Cdc.LsnColumn,
+        lpad(col("id").cast("string"), 16, "0"))
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, df, Some("day"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    // force small shuffle partitions so the parallel write is OBSERVABLE
+    // at test scale (at 100 TB the slot volume does this by itself)
+    val knobs = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = knobs.map(k => k -> spark.conf.getOption(k))
+    knobs.foreach(spark.conf.set(_, "8kb"))
+    try {
+      // delete most days' rows — a multi-day mass delete
+      val sn = SnapshotLog.deleteWhere(spark, dir, col("day") <= "2024-01-07").get
+      assert(sn.posDeletes.size > 1,
+        s"mass delete serialized into ${sn.posDeletes.size} file(s)")
+      assert(sn.posDeletes.map(_.rows).sum > 15000L)
+      assert(sn.posDeletes.forall(_.rows > 0L)) // no empty-task debris
+      assert(SnapshotLog.readCurrent(spark, dir).get.count()
+        === df.filter(col("day") > "2024-01-07").count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("deleteWhere removes rows by slot identity without touching data files") {
     val dir = Files.createTempDirectory("graft-snaplog-posdel").toString + "/t"
     commitRows(dir, rows(1, 2, 3), "append")
