@@ -105,8 +105,6 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
 
   private def lowerMerge(m: MergeIntoTable, rel: DataSourceV2Relation): LogicalPlan = {
     val tr0 = new DmlTranslator(Map.empty, Map.empty)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported on graft tables")
     // unsupported forms fail at analysis, never silently degrade: a
     // WITH SCHEMA EVOLUTION merge executed without evolving would drop
     // the new source columns without a word
@@ -170,9 +168,20 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
         SnapshotLog.NotMatchedInsert(cond.map(tr.toColumn), assignsOf(as))
       case other => throw tr.unsupported(s"not-matched action $other")
     }
+    // WHEN NOT MATCHED BY SOURCE (the full-sync clauses): conditions and
+    // assignments reference target columns only — the analyzer already
+    // enforces that, so the shared translator simply never sees a
+    // source attribute here
+    val notMatchedBySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        SnapshotLog.NotMatchedBySourceUpdate(cond.map(tr.toColumn), assignsOf(as))
+      case DeleteAction(cond) =>
+        SnapshotLog.NotMatchedBySourceDelete(cond.map(tr.toColumn))
+      case other => throw tr.unsupported(s"not-matched-by-source action $other")
+    }
     val dir = tableDirOf(rel)
     val pcol = pcolOf(rel)
-    val clauses = matched ++ notMatched
+    val clauses = matched ++ notMatched ++ notMatchedBySource
     GraftDmlCommand(s"GraftMerge $dir",
       () => { SnapshotLog.mergeInto(spark, dir, src, onCols, clauses, pcol); () })
   }

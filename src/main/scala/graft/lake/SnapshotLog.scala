@@ -1189,7 +1189,10 @@ object SnapshotLog {
     * they are equal by construction). Clauses apply in list order: the
     * first matched-clause whose condition holds wins the row (SQL MERGE
     * semantics); at most one not-matched clause is consulted for source
-    * rows without a live match. */
+    * rows without a live match; not-matched-BY-SOURCE clauses apply
+    * first-wins to target rows without a source match (their conditions
+    * and assignments see target columns only — `_src_` columns are null
+    * there by construction). */
   /** Reserved marker column [[mergeInto]] rides on the source join —
     * deliberately NOT a plausible `_src_<name>` so user columns can't
     * shadow it (a source column named `matched` must keep its data). */
@@ -1208,6 +1211,17 @@ object SnapshotLog {
     * fall back to the by-name projection. */
   final case class NotMatchedInsert(condition: Option[org.apache.spark.sql.Column],
                                     assignments: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE THEN UPDATE` — acts on TARGET rows with
+    * no source match (the full-sync form: "source is the truth, demote
+    * everything it no longer mentions"). Conditions and assignments see
+    * target columns only (`_src_` columns are null by construction). */
+  final case class NotMatchedBySourceUpdate(condition: Option[org.apache.spark.sql.Column],
+                                            assignments: Map[String, org.apache.spark.sql.Column])
+    extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE` — drops target rows the
+    * source no longer mentions. */
+  final case class NotMatchedBySourceDelete(condition: Option[org.apache.spark.sql.Column])
     extends MergeClause
 
   /** MERGE INTO the table USING `source` ON equality of `onCols` — ONE
@@ -1241,8 +1255,9 @@ object SnapshotLog {
       require(partitionCol.isDefined || cur.files.forall(_.partition.isEmpty),
         s"$tableDir is partitioned; pass partitionCol so merged rows " +
           "keep their partition value")
-      clauses.collect { case u: MatchedUpdate => u }.foreach(_.assignments.keys
-        .foreach(k => require(schema.fieldNames.contains(k),
+      (clauses.collect { case u: MatchedUpdate => u.assignments } ++
+        clauses.collect { case u: NotMatchedBySourceUpdate => u.assignments })
+        .foreach(_.keys.foreach(k => require(schema.fieldNames.contains(k),
           s"MERGE assignment to unknown column $k in $tableDir")))
       // prefixed names must stay collision-free: a source column
       // literally named `_src_<other source col>` (or the sentinel) would
@@ -1285,13 +1300,18 @@ object SnapshotLog {
       try {
         val matched = joined.filter(col(MergeMatchedSentinel))
         // first-clause-wins action resolution, encoded as one expression
-        val matchedClauses = clauses.filter(!_.isInstanceOf[NotMatchedInsert])
-        val action = matchedClauses.zipWithIndex
-          .foldLeft(lit(null).cast("int")) { case (acc, (cl, i)) =>
+        // (per clause FAMILY: matched rows and not-matched-by-source rows
+        // are disjoint sets, each consulting only its own clauses)
+        val matchedClauses = clauses.filter(c =>
+          c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete])
+        def firstWins(cls: Seq[MergeClause]): org.apache.spark.sql.Column =
+          cls.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (cl, i)) =>
             val cond = cl match {
-              case MatchedUpdate(c, _) => c.getOrElse(lit(true))
-              case MatchedDelete(c)    => c.getOrElse(lit(true))
-              case _: NotMatchedInsert => lit(false)
+              case MatchedUpdate(c, _)            => c.getOrElse(lit(true))
+              case MatchedDelete(c)               => c.getOrElse(lit(true))
+              case NotMatchedBySourceUpdate(c, _) => c.getOrElse(lit(true))
+              case NotMatchedBySourceDelete(c)    => c.getOrElse(lit(true))
+              case _: NotMatchedInsert            => lit(false)
             }
             // earlier clauses take precedence: keep acc when already set
             when(acc.isNotNull, acc).otherwise(when(cond, lit(i)))
@@ -1301,13 +1321,36 @@ object SnapshotLog {
         require(!schema.fieldNames.contains(MergeActionCol) &&
             !source.columns.contains(MergeActionCol),
           s"$MergeActionCol is a reserved name")
-        val actioned = matched.withColumn(MergeActionCol, action)
+        val actioned = matched.withColumn(MergeActionCol, firstWins(matchedClauses))
           .filter(col(MergeActionCol).isNotNull)
+        // WHEN NOT MATCHED BY SOURCE: target rows the left join found no
+        // source for (the sentinel never rides a real row). This clause
+        // family intrinsically touches every unmatched target row — the
+        // full-sync semantics — but still writes only O(actioned) bytes:
+        // slots for the demoted rows, replacements for the updates.
+        val bySourceClauses = clauses.filter(c =>
+          c.isInstanceOf[NotMatchedBySourceUpdate] ||
+            c.isInstanceOf[NotMatchedBySourceDelete])
+        val bsActioned =
+          if (bySourceClauses.isEmpty) None
+          else Some(joined.filter(col(MergeMatchedSentinel).isNull)
+            .withColumn(MergeActionCol, firstWins(bySourceClauses))
+            .filter(col(MergeActionCol).isNotNull))
+        val allSlotRows = bsActioned
+          .map(bs => actioned.select(col("_abs"), col("_pos"))
+            .unionByName(bs.select(col("_abs"), col("_pos"))))
+          .getOrElse(actioned)
         val slots = writePosFile(spark, tableDir,
-          slotsOf(spark, tableDir, actioned))
+          slotsOf(spark, tableDir, allSlotRows))
         val updates = matchedClauses.zipWithIndex.collect {
           case (MatchedUpdate(_, assign), i) =>
             actioned.filter(col(MergeActionCol) === i)
+              .select(schema.fields.toSeq.map(f =>
+                assign.get(f.name).map(_.cast(f.dataType))
+                  .getOrElse(col(f.name)).as(f.name)): _*)
+        } ++ bySourceClauses.zipWithIndex.collect {
+          case (NotMatchedBySourceUpdate(_, assign), i) =>
+            bsActioned.get.filter(col(MergeActionCol) === i)
               .select(schema.fields.toSeq.map(f =>
                 assign.get(f.name).map(_.cast(f.dataType))
                   .getOrElse(col(f.name)).as(f.name)): _*)

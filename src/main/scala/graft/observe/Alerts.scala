@@ -101,4 +101,82 @@ object Alerts {
     resolved.toSeq.sorted.foreach(fp => events += Event(fp, "resolved"))
     (MachineState(pending, firing -- resolved), events.result())
   }
+
+  // ---- notification delivery as data (ref internal/alerting/
+  // notifier.go:82-193 Notify/shouldNotify/updateLastNotified,
+  // manager.go:280-369 fireAlert's existing-instance re-notify and
+  // resolveAlert's ClearLastNotified-then-notify). The reference fans
+  // each alert event out to the rule's enabled channel routes, gated per
+  // (fingerprint, channel) by the route's repeat interval; here the
+  // fan-out is a pure clock-injected function and the notifications ARE
+  // the output table.
+
+  /** One rule→channel route (ref AlertRoute: ChannelID,
+    * RepeatIntervalSeconds, enabled). */
+  final case class Route(rule: String, channel: String, enabled: Boolean,
+                         repeatIntervalMs: Long)
+
+  /** One delivered notification (ref Notification + the
+    * notification_sent history row recordNotificationEvent writes). */
+  final case class Notification(fingerprint: String, rule: String,
+                                channel: String, event: String, atMs: Long)
+
+  /** Notifier tracking state: (fingerprint, channel) → last successful
+    * send (ref Notifier.lastNotified). */
+  final case class NotifierState(lastNotifiedMs: Map[(String, String), Long])
+  object NotifierState { val empty: NotifierState = NotifierState(Map.empty) }
+
+  /** One evaluation cycle WITH notification fan-out — [[cycle]] plus the
+    * notifier, mirroring the reference's delivery semantics exactly:
+    *  - a NEW fire and every existing-instance RE-FIRE (firing entering
+    *    the tick, pending clock past duration — fireAlert's existing
+    *    branch) notify each enabled route, gated by shouldNotify:
+    *    elapsed-since-last-send >= the route's repeat interval;
+    *  - resolution CLEARS the fingerprint's tracking, then notifies
+    *    every enabled route unconditionally (shouldNotify short-circuits
+    *    resolved events) — and the successful send UPDATES the tracking
+    *    again, so an immediate re-fire within the repeat interval is
+    *    deliberately suppressed on slow channels (updateLastNotified
+    *    runs for every event type in the reference);
+    *  - disabled routes never notify, and a rule with no routes
+    *    delivers nothing (Notify's early return). */
+  def notifyCycle(machine: MachineState, notifier: NotifierState,
+                  results: Seq[Eval], ruleOf: String => String,
+                  routes: Seq[Route], nowMs: Long)
+  : (MachineState, NotifierState, Seq[Notification]) = {
+    val (nextMachine, events) = cycle(machine, results, nowMs)
+    val fired = events.collect { case Event(fp, "fired") => fp }.toSet
+    // existing-instance re-fires: firing AND pending past duration
+    // entering the tick (manager.go:289-294 — UpdateInstance + Notify)
+    val refires = results.collect {
+      case r if r.shouldFire && machine.firing(r.fingerprint) &&
+        machine.pendingSinceMs.get(r.fingerprint)
+          .exists(since => nowMs - since >= r.durationMs) => r.fingerprint
+    }
+    var last = notifier.lastNotifiedMs
+    val notes = Seq.newBuilder[Notification]
+    def send(fp: String, event: String): Unit = {
+      val rule = ruleOf(fp)
+      routes.filter(rt => rt.rule == rule && rt.enabled).foreach { rt =>
+        val key = (fp, rt.channel)
+        val due = event == "resolved" ||
+          last.get(key).forall(t => nowMs - t >= rt.repeatIntervalMs)
+        if (due) {
+          notes += Notification(fp, rule, rt.channel, event, nowMs)
+          last += key -> nowMs
+        }
+      }
+    }
+    // evaluation order first (fires and re-fires), then resolutions —
+    // the manager's processEvaluation loop before checkForResolutions
+    results.foreach { r =>
+      if (fired(r.fingerprint) || refires.contains(r.fingerprint))
+        send(r.fingerprint, "fired")
+    }
+    events.collect { case Event(fp, "resolved") => fp }.foreach { fp =>
+      last = last.filterNot(_._1._1 == fp) // ClearLastNotified
+      send(fp, "resolved")
+    }
+    (nextMachine, NotifierState(last), notes.result())
+  }
 }

@@ -1757,6 +1757,115 @@ object Lifecycle extends QueryModule {
       |  pend AS pending_since, fir AS firing, event
       |FROM sm WHERE k >= 0 ORDER BY tick, series""".stripMargin
 
+  // ---- notification delivery as data (C1 completion, ref internal/
+  // alerting/notifier.go:82-193, manager.go:280-369): the transitions
+  // timeline plus a formula-driven `steady` series (fires at tick 3,
+  // re-fires at 6 and 7) drives [[graft.observe.Alerts.notifyCycle]]
+  // against three routes — c1 (repeat 0: every event), c2 (repeat 3
+  // ticks: the tick-7 re-fire is suppressed), c3 (disabled: never
+  // delivers) — and the NOTIFICATIONS TABLE is the output, hash-checked
+  // against a recursive-CTE replay of machine + notifier in DuckDB.
+  // Pinned reference subtleties: resolution clears the tracking then
+  // the resolved send re-stamps it (so a re-fire within the repeat
+  // interval of a resolution is suppressed on slow channels), and
+  // re-fires only resume once the re-armed pending clock passes the
+  // duration again.
+  private def alertNotifications(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.observe.Alerts
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("event_id") % 8).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dataTypes = counts.keys.map(_._1).toSeq.distinct
+    val totals = dataTypes.map(t =>
+      t -> (0 until 8).map(k => counts.getOrElse((t, k.toLong), 0L)).sum).toMap
+    val series = (dataTypes ++ Seq("canary", "steady")).sorted
+    def presentAt(t: String, k: Int): Boolean = t match {
+      case "canary" => k != 6
+      case "steady" => true
+      case _        => (k + t.length) % 4 != 0
+    }
+    def condAt(t: String, k: Int): Boolean = t match {
+      case "canary" => k >= 2 && k <= 5
+      case "steady" => k >= 1
+      case _ => counts.getOrElse((t, k.toLong), 0L).toDouble > totals(t) / 8.0
+    }
+    val step = 1000L
+    val routes = Seq(
+      Alerts.Route("avg_rule", "c1", enabled = true, repeatIntervalMs = 0L),
+      Alerts.Route("avg_rule", "c2", enabled = true, repeatIntervalMs = 3 * step),
+      Alerts.Route("avg_rule", "c3", enabled = false, repeatIntervalMs = 0L))
+    var machine = Alerts.MachineState.empty
+    var notifier = Alerts.NotifierState.empty
+    val rows = (0 until 8).flatMap { k =>
+      val evals = series.filter(presentAt(_, k)).map(t =>
+        Alerts.Eval(t, if (condAt(t, k)) 100.0 else 1.0, condAt(t, k), 2 * step))
+      val (m2, n2, notes) = Alerts.notifyCycle(machine, notifier, evals,
+        _ => "avg_rule", routes, k * step)
+      machine = m2
+      notifier = n2
+      notes.map(n => (n.atMs / step, n.fingerprint, n.rule, n.channel, n.event))
+    }
+    rows.toDF("tick", "series", "rule", "channel", "event")
+      .orderBy(col("tick"), col("series"), col("channel"), col("event"))
+  }
+
+  private val alertNotificationsSql =
+    """WITH RECURSIVE
+      |cnt AS (
+      |  SELECT event_type AS t, event_id % 8 AS k, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT t, sum(n) AS total FROM cnt GROUP BY 1),
+      |grid AS (
+      |  SELECT ty.t, gs.k,
+      |    ((gs.k + length(ty.t)) % 4 <> 0) AS present,
+      |    CAST(coalesce(c.n, 0) AS DOUBLE) > (tot.total / 8.0) AS cond
+      |  FROM (SELECT DISTINCT t FROM cnt) ty
+      |  CROSS JOIN (SELECT unnest(range(8)) AS k) gs
+      |  LEFT JOIN cnt c ON c.t = ty.t AND c.k = gs.k
+      |  JOIN tot ON tot.t = ty.t
+      |  UNION ALL
+      |  SELECT 'canary' AS t, gs.k, gs.k <> 6 AS present,
+      |    gs.k BETWEEN 2 AND 5 AS cond
+      |  FROM (SELECT unnest(range(8)) AS k) gs
+      |  UNION ALL
+      |  SELECT 'steady' AS t, gs.k, true AS present, gs.k >= 1 AS cond
+      |  FROM (SELECT unnest(range(8)) AS k) gs),
+      |sm AS (
+      |  SELECT t, CAST(-1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS pend,
+      |    false AS fir, false AS firenote, false AS c2note,
+      |    false AS resnote, CAST(NULL AS BIGINT) AS last2
+      |  FROM (SELECT DISTINCT t FROM grid)
+      |  UNION ALL
+      |  SELECT b.t, b.k,
+      |    CASE WHEN NOT b.present THEN s.pend
+      |         WHEN b.cond AND s.pend IS NULL THEN b.k
+      |         WHEN b.cond AND b.k - s.pend >= 2 AND NOT s.fir THEN NULL
+      |         WHEN b.cond THEN s.pend
+      |         ELSE NULL END,
+      |    CASE WHEN NOT b.present THEN false
+      |         WHEN b.cond AND s.pend IS NOT NULL AND b.k - s.pend >= 2 THEN true
+      |         ELSE s.fir END,
+      |    b.present AND b.cond AND s.pend IS NOT NULL AND b.k - s.pend >= 2,
+      |    (b.present AND b.cond AND s.pend IS NOT NULL AND b.k - s.pend >= 2)
+      |      AND (s.last2 IS NULL OR b.k - s.last2 >= 3),
+      |    NOT b.present AND s.fir,
+      |    CASE WHEN (b.present AND b.cond AND s.pend IS NOT NULL
+      |            AND b.k - s.pend >= 2)
+      |            AND (s.last2 IS NULL OR b.k - s.last2 >= 3) THEN b.k
+      |         WHEN NOT b.present AND s.fir THEN b.k
+      |         ELSE s.last2 END
+      |  FROM sm s JOIN grid b ON b.t = s.t AND b.k = s.k + 1),
+      |notif AS (
+      |  SELECT k AS tick, t AS series, 'c1' AS channel, 'fired' AS event
+      |    FROM sm WHERE firenote
+      |  UNION ALL SELECT k, t, 'c2', 'fired' FROM sm WHERE c2note
+      |  UNION ALL SELECT k, t, 'c1', 'resolved' FROM sm WHERE resnote
+      |  UNION ALL SELECT k, t, 'c2', 'resolved' FROM sm WHERE resnote)
+      |SELECT tick, series, 'avg_rule' AS rule, channel, event FROM notif
+      |ORDER BY tick, series, channel, event""".stripMargin
+
   // ---- scaling decisions as data (C2/C5 DECISION layer; ref internal/
   // scaling/evaluator.go:84-178, types.go:216-228, idle/detector.go —
   // actuation against K8s/KEDA stays out of scope per SURVEY §2.3, the
@@ -1951,6 +2060,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("query_scaling_decision", queryScalingDecision, Some(queryScalingDecisionSql)),
     GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
+    GraftQuery("alert_notifications", alertNotifications, Some(alertNotificationsSql)),
     GraftQuery("scaling_decision", scalingDecision, Some(scalingDecisionSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),

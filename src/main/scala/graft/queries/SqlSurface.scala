@@ -331,6 +331,63 @@ object SqlSurface extends QueryModule {
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY user_id""".stripMargin
 
+  // ---- SQL MERGE with WHEN NOT MATCHED BY SOURCE: the full-sync form
+  // ("the source is the truth") — matched rows take the source values,
+  // unmatched source rows insert, and target rows the source no longer
+  // mentions are DEMOTED: deleted when hot (value > 50), tombstoned to
+  // -1 otherwise, with by-source first-clause-wins ordering on the
+  // hash. One snapshot, O(actioned) bytes, zero stored files touched.
+  private def sqlMergeFullSync(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "mrgfs",
+      "user_id BIGINT, event_id BIGINT, value DOUBLE")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    def latest(parity: Int, name: String): String = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev.filter(col("event_id") % 2 === parity)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").createOrReplaceTempView(name + "_" + tag)
+      name + "_" + tag
+    }
+    val tgtSrc = latest(0, "graft_sql_mrgfs_tgt")
+    val mrgSrc = latest(1, "graft_sql_mrgfs_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $tgtSrc")
+    s.sql(
+      s"""MERGE INTO $t AS t USING $mrgSrc AS s ON t.user_id = s.user_id
+         |WHEN MATCHED THEN UPDATE SET value = s.value, event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.value > 50 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = -1""".stripMargin)
+    s.sql(
+      s"""SELECT user_id, event_id, value FROM $t
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  private val sqlMergeFullSyncSql =
+    """WITH ev AS (SELECT user_id, event_id, value FROM events),
+      |tgt AS (SELECT user_id, event_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id DESC) AS rn FROM ev WHERE event_id % 2 = 0)
+      |  WHERE rn = 1),
+      |src AS (SELECT user_id, event_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id DESC) AS rn FROM ev WHERE event_id % 2 = 1)
+      |  WHERE rn = 1),
+      |kept AS (SELECT t.user_id,
+      |    CASE WHEN s.user_id IS NOT NULL THEN s.event_id
+      |      ELSE t.event_id END AS event_id,
+      |    CASE WHEN s.user_id IS NOT NULL THEN s.value
+      |      ELSE CAST(-1 AS DOUBLE) END AS value
+      |  FROM tgt t LEFT JOIN src s USING (user_id)
+      |  WHERE s.user_id IS NOT NULL OR NOT (t.value > 50)),
+      |ins AS (SELECT user_id, event_id, value FROM src
+      |  WHERE user_id NOT IN (SELECT user_id FROM tgt))
+      |SELECT user_id, event_id, value
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |ORDER BY user_id""".stripMargin
+
   // ---- SQL CALL maintenance: the full operational cycle as stored
   // procedures — compact, tag, rollback, expire-with-tag-protection —
   // each CALL's MEASURED effect (rewritten partitions, swept files,
@@ -388,5 +445,6 @@ object SqlSurface extends QueryModule {
     GraftQuery("sql_delete", sqlDelete, Some(sqlDeleteSql)),
     GraftQuery("sql_update", sqlUpdate, Some(sqlUpdateSql)),
     GraftQuery("sql_merge", sqlMerge, Some(sqlMergeSql)),
+    GraftQuery("sql_merge_full_sync", sqlMergeFullSync, Some(sqlMergeFullSyncSql)),
     GraftQuery("sql_call_maintenance", sqlCallMaintenance, Some(sqlCallMaintenanceSql)))
 }

@@ -68,6 +68,22 @@ class GraftSqlDmlSpec extends SparkTestBase {
     assert(SnapshotLog.currentSnapshot(spark, dir).get.operation === "merge-into")
   }
 
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: delete + tombstone full sync") {
+    val (_, dir) = fresh(1L -> 10L, 2L -> 60L, 3L -> 30L)
+    import spark.implicits._
+    Seq(1L -> 11L, 4L -> 40L).toDF("id", "v")
+      .createOrReplaceTempView("dml_fs_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING dml_fs_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.v > 50 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""".stripMargin)
+    // 1 updated, 2 deleted (60 > 50), 3 tombstoned, 4 inserted
+    assert(state(dir) === Map(1L -> 11L, 3L -> -1L, 4L -> 40L))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.operation === "merge-into")
+  }
+
   test("SQL MERGE with explicit INSERT columns and expressions") {
     val (_, dir) = fresh(1L -> 10L)
     import spark.implicits._

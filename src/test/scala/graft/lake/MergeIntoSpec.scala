@@ -5,7 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-import SnapshotLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+import SnapshotLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert,
+  NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
 
 /** Generic MERGE INTO semantics through the commit log: first-clause-
   * wins ordering, conditional clauses, cardinality enforcement, and
@@ -52,6 +53,35 @@ class MergeIntoSpec extends SparkTestBase {
     assert(SnapshotLog.read(spark, dir, SnapshotLog.snapshotAt(spark, dir, 1))
       .select(col("id").cast("long")).as[Long].collect().sorted.toSeq
       === Seq(1L, 2L, 3L))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: full sync demotes unmentioned target rows") {
+    val dir = freshTable(1L -> 10L, 2L -> 60L, 3L -> 30L, 4L -> 70L)
+    // source mentions 1 (update) and 5 (insert); 2/3/4 are unmentioned:
+    // hot rows (v > 50) delete, the rest tombstone to -1 — by-source
+    // clauses apply first-wins, independent of the matched family
+    val snap = SnapshotLog.mergeInto(spark, dir, df(1L -> 11L, 5L -> 50L),
+      Seq("id"), Seq(
+        MatchedUpdate(None, Map("v" -> col("_src_v"))),
+        NotMatchedInsert(None),
+        NotMatchedBySourceDelete(Some(col("v") > 50)),
+        NotMatchedBySourceUpdate(None, Map("v" -> lit(-1L))))).get
+    assert(state(dir) === Map(1L -> 11L, 3L -> -1L, 5L -> 50L))
+    // one snapshot; slots cover matched-update 1 + deleted 2,4 + demoted 3
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L))
+    assert(snap.posDeletes.map(_.rows).sum === 4L)
+    // time travel: the pre-sync state is intact
+    import spark.implicits._
+    assert(SnapshotLog.read(spark, dir, SnapshotLog.snapshotAt(spark, dir, 1))
+      .select(col("id").cast("long")).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("by-source-only merge works without matched or insert clauses") {
+    val dir = freshTable(1L -> 10L, 2L -> 20L)
+    SnapshotLog.mergeInto(spark, dir, df(1L -> 0L), Seq("id"), Seq(
+      NotMatchedBySourceDelete(None)))
+    assert(state(dir) === Map(1L -> 10L)) // row 2 unmentioned → deleted
   }
 
   test("first matching clause wins: a delete listed first beats a later update") {

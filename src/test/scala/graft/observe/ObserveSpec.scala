@@ -101,6 +101,64 @@ class ObserveSpec extends SparkTestBase {
     assert(e6.isEmpty && s6.firing("s") && s6.pendingSinceMs === Map("s" -> 4000L))
   }
 
+  test("notifier: routes fan out, repeat interval gates re-fires, " +
+    "resolution clears then re-stamps tracking") {
+    import Alerts.{notifyCycle, Eval, MachineState, NotifierState, Route,
+      Notification}
+    val routes = Seq(
+      Route("r", "fast", enabled = true, repeatIntervalMs = 0L),
+      Route("r", "slow", enabled = true, repeatIntervalMs = 3000L),
+      Route("r", "off", enabled = false, repeatIntervalMs = 0L))
+    def ev(fire: Boolean) = Seq(Eval("s", 1.0, fire, durationMs = 2000))
+    def step(m: Alerts.MachineState, n: NotifierState, fire: Boolean,
+             now: Long) = notifyCycle(m, n, if (fire) ev(true) else Seq.empty,
+      _ => "r", routes, now)
+    // t0 pending, t1 pending, t2 fired → both enabled channels, never off
+    val (m0, n0, x0) = step(MachineState.empty, NotifierState.empty, fire = true, 0)
+    val (m1, n1, x1) = step(m0, n0, fire = true, 1000)
+    val (m2, n2, x2) = step(m1, n1, fire = true, 2000)
+    assert(x0.isEmpty && x1.isEmpty)
+    assert(x2.toSet === Set(Notification("s", "r", "fast", "fired", 2000),
+      Notification("s", "r", "slow", "fired", 2000)))
+    // t3 re-pends (pending was cleared on the new instance), t4 pending,
+    // t5 re-fire: fast notifies (repeat 0), slow does too (3s elapsed)
+    val (m3, n3, x3) = step(m2, n2, fire = true, 3000)
+    val (m4, n4, x4) = step(m3, n3, fire = true, 4000)
+    val (m5, n5, x5) = step(m4, n4, fire = true, 5000)
+    assert(x3.isEmpty && x4.isEmpty)
+    assert(x5.toSet === Set(Notification("s", "r", "fast", "fired", 5000),
+      Notification("s", "r", "slow", "fired", 5000)))
+    // t6: pending kept on the existing instance → immediate re-fire, but
+    // slow is inside its repeat interval — suppressed
+    val (m6, n6, x6) = step(m5, n5, fire = true, 6000)
+    assert(x6 === Seq(Notification("s", "r", "fast", "fired", 6000)))
+    // t7 absent → resolved: both channels ALWAYS notify; tracking is
+    // cleared then re-stamped by the resolved send (ref resolveAlert →
+    // ClearLastNotified → Notify, and updateLastNotified on every send)
+    val (m7, n7, x7) = step(m6, n6, fire = false, 7000)
+    assert(x7.toSet === Set(Notification("s", "r", "fast", "resolved", 7000),
+      Notification("s", "r", "slow", "resolved", 7000)))
+    assert(n7.lastNotifiedMs === Map(("s", "fast") -> 7000L, ("s", "slow") -> 7000L))
+    // a NEW fire right after resolution (the surviving pending clock —
+    // absence never clears it — makes t8 fire immediately): slow is
+    // still inside the repeat interval stamped by the resolved send —
+    // deliberately suppressed; fast delivers
+    val (m8, n8, x8) = step(m7, n7, fire = true, 8000)
+    assert(x8 === Seq(Notification("s", "r", "fast", "fired", 8000)))
+    // the new instance cleared pending, so t9 only re-arms the clock
+    val (_, _, x9) = step(m8, n8, fire = true, 9000)
+    assert(x9.isEmpty)
+  }
+
+  test("notifier: a rule with no routes delivers nothing") {
+    import Alerts.{notifyCycle, Eval, MachineState, NotifierState}
+    def ev = Seq(Eval("s", 1.0, shouldFire = true, durationMs = 0))
+    val (m1, n1, _) = notifyCycle(MachineState.empty, NotifierState.empty,
+      ev, _ => "r", Nil, 0)
+    val (_, _, notes) = notifyCycle(m1, n1, ev, _ => "r", Nil, 1000)
+    assert(notes.isEmpty)
+  }
+
   test("metrics registry: counters accumulate, gauges overwrite, df output") {
     Metrics.reset()
     Metrics.inc("cdc", "events_total", 5)
