@@ -187,6 +187,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident.namespace.toSeq :+ ident.name)
     if (!SnapshotLog.isSnapshotTable(spark, dir))
       throw new NoSuchTableException(ident)
+    // rename/drop are field-id evolution commits of their own (metadata
+    // only — the id machinery in SnapshotLog keeps old files readable);
+    // they don't compose with other changes in one ALTER
+    changes.toSeq match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames.length == 1,
+          "nested column renames are not supported")
+        SnapshotLog.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+        return loadTable(ident)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames.length == 1,
+          "nested column drops are not supported")
+        SnapshotLog.dropColumn(spark, dir, d.fieldNames()(0))
+        return loadTable(ident)
+      case _ => ()
+    }
     SnapshotLog.withTableLock(dir) {
       val cur = SnapshotLog.currentSnapshot(spark, dir).getOrElse(
         throw new NoSuchTableException(ident))
@@ -214,8 +230,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = schema.add(org.apache.spark.sql.types.StructField(
             colName, add.dataType, nullable = true))
         case other => throw new UnsupportedOperationException(
-          s"only ADD COLUMN is supported; got $other — drops/renames/" +
-            "retypes need a rewrite and would break time travel")
+          s"unsupported ALTER change $other — ADD COLUMN composes; " +
+            "RENAME/DROP COLUMN must be the only change in the statement")
       }
       SnapshotLog.commit(spark, dir, "evolve-schema", cur.files, schema,
         parent = Some(cur), deletes = cur.deletes,

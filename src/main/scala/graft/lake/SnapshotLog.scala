@@ -88,7 +88,8 @@ object SnapshotLog {
                             minLsn: Option[String], maxLsn: Option[String],
                             seq: Long = 0L, statsCol: Option[String] = None,
                             spec: Option[String] = None,
-                            extraBounds: Map[String, (String, String)] = Map.empty) {
+                            extraBounds: Map[String, (String, String)] = Map.empty,
+                            schemaId: Int = 0) {
     def boundsColumn: String = statsCol.getOrElse(graft.ingest.Cdc.LsnColumn)
 
     /** Recorded [min, max] for `column`, from the primary stats pair or
@@ -126,11 +127,20 @@ object SnapshotLog {
     * `deletes` is the live equality-delete set and `posDeletes` the live
     * positional-delete set (both empty for copy-on-write tables);
     * [[read]] applies both transparently. */
+  /** `schemaId`/`lastColumnId`/`schemasById` are the field-id evolution
+    * surface (Iceberg's schema-id + last-column-id + schema list):
+    * `schemasById` maps every schema id still referenced by a live data
+    * file (plus the current one) to its json, so a file written under a
+    * RENAMED-away name resolves its columns BY FIELD ID regardless of
+    * how old it is — including after its write-era snapshot expired.
+    * `schemaId`/file.schemaId 0 = pre-field-id legacy: read by name. */
   final case class Snapshot(id: Long, parentId: Option[Long], tsMs: Long,
                             operation: String, schemaJson: String,
                             files: Seq[DataFile],
                             deletes: Seq[DeleteFile] = Nil,
-                            posDeletes: Seq[PosDeleteFile] = Nil) {
+                            posDeletes: Seq[PosDeleteFile] = Nil,
+                            schemaId: Int = 0, lastColumnId: Int = 0,
+                            schemasById: Map[Int, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
     def lsnWatermark: Option[String] = {
@@ -188,6 +198,7 @@ object SnapshotLog {
       fo.put("seq", f.seq)
       f.statsCol.foreach(fo.put("stats_col", _))
       f.spec.foreach(fo.put("spec", _))
+      if (f.schemaId != 0) fo.put("schema_id", f.schemaId)
       if (f.extraBounds.nonEmpty) {
         val barr = fo.putArray("col_bounds")
         f.extraBounds.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
@@ -240,7 +251,8 @@ object SnapshotLog {
             f.get("size_bytes").asLong(),
             optText(f, "min_lsn"), optText(f, "max_lsn"),
             Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-            optText(f, "stats_col"), optText(f, "spec"), extra)
+            optText(f, "stats_col"), optText(f, "spec"), extra,
+            Option(f.get("schema_id")).map(_.asInt()).getOrElse(0))
         }
       case _ => Seq.empty[DataFile]
     }
@@ -407,6 +419,14 @@ object SnapshotLog {
     o.put("ts_ms", s.tsMs)
     o.put("operation", s.operation)
     o.put("schema", s.schemaJson)
+    if (s.schemaId != 0) o.put("schema_id", s.schemaId)
+    if (s.lastColumnId != 0) o.put("last_column_id", s.lastColumnId)
+    if (s.schemasById.nonEmpty) {
+      val so = o.putObject("schemas")
+      s.schemasById.toSeq.sortBy(_._1).foreach { case (id, json) =>
+        so.put(id.toString, json)
+      }
+    }
     val arr = o.putArray("segments")
     segNames.foreach(arr.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
@@ -426,10 +446,21 @@ object SnapshotLog {
           parts.flatMap(_.posDeletes))
       case _ => entriesFromNode(n)
     }
+    val schemas = n.get("schemas") match {
+      case o: ObjectNode =>
+        val it = o.fields()
+        val b = Map.newBuilder[Int, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey.toInt -> e.getValue.asText() }
+        b.result()
+      case _ => Map.empty[Int, String]
+    }
     Snapshot(n.get("id").asLong(),
       Option(n.get("parent_id")).map(_.asLong()),
       n.get("ts_ms").asLong(), n.get("operation").asText(),
-      n.get("schema").asText(), c.files, c.deletes, c.posDeletes)
+      n.get("schema").asText(), c.files, c.deletes, c.posDeletes,
+      Option(n.get("schema_id")).map(_.asInt()).getOrElse(0),
+      Option(n.get("last_column_id")).map(_.asInt()).getOrElse(0),
+      schemas)
   }
 
   // ---- resolution
@@ -662,10 +693,9 @@ object SnapshotLog {
           "keep their partition value")
       val files = writeData(spark, tableDir, df, partitionCol)
       val id = head.id + 1
-      val snap = Snapshot(id, Some(head.id), System.currentTimeMillis(),
-        "append", df.schema.json,
-        head.files ++ files.map(f => if (f.seq < 0) f.copy(seq = id) else f),
-        head.deletes, head.posDeletes)
+      val snap = buildSnapshot(Some(head), id, "append",
+        head.files ++ files, df.schema, head.deletes, head.posDeletes,
+        preReconciled = false)
       val (fs, root) = fsOf(spark, tableDir)
       val bd = branchDir(root, name)
       val md = metaDir(root)
@@ -807,20 +837,17 @@ object SnapshotLog {
              parent: Option[Snapshot],
              deletes: Seq[DeleteFile] = Nil,
              posDeletes: Seq[PosDeleteFile] = Nil,
-             reuseFrom: Seq[Long] = Nil): Snapshot = {
+             reuseFrom: Seq[Long] = Nil,
+             preReconciled: Boolean = false,
+             carrySchemas: Map[Int, String] = Map.empty): Snapshot = {
     val (fs, root) = fsOf(spark, tableDir)
     val cur = currentSnapshot(spark, tableDir)
     if (cur.map(_.id) != parent.map(_.id))
       throw new ConcurrentCommitException(
         s"commit to $tableDir based on ${parent.map(_.id)} but current is ${cur.map(_.id)}")
     val id = cur.map(_.id).getOrElse(0L) + 1
-    // stamp this commit's sequence number on the entries it adds (seq -1
-    // = fresh from writeData/writeDeletes); carried entries keep theirs
-    val snap = Snapshot(id, cur.map(_.id),
-      System.currentTimeMillis(), operation, schema.json,
-      files.map(f => if (f.seq < 0) f.copy(seq = id) else f),
-      deletes.map(d => if (d.seq < 0) d.copy(seq = id) else d),
-      posDeletes.map(p => if (p.seq < 0) p.copy(seq = id) else p))
+    val snap = buildSnapshot(cur, id, operation, files, schema,
+      deletes, posDeletes, preReconciled, carrySchemas)
     val md = metaDir(root)
     fs.mkdirs(md)
     // segment reuse candidates: the parent manifest (carried entries),
@@ -879,6 +906,72 @@ object SnapshotLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Build the next snapshot: stamp seq (and schema id) on fresh
+    * entries, reconcile field ids against the parent schema, and carry
+    * forward exactly the historical schemas still referenced by a live
+    * file — the shared construction of [[commit]] and
+    * [[appendToBranch]].
+    *
+    * Field-id rules (Iceberg's): fields matching a parent field by name
+    * inherit its id; new fields take ids above the table's
+    * last-column-id high-water mark (NEVER reused after a drop, so a
+    * re-added name cannot resurrect a dropped column's bytes). A
+    * pre-field-id parent is stamped ordinally first — its already-
+    * committed files keep schemaId 0 (read-by-name legacy). `schemaId`
+    * advances only when the reconciled schema actually changed. */
+  private def buildSnapshot(cur: Option[Snapshot], id: Long, operation: String,
+                            files: Seq[DataFile], schema: StructType,
+                            deletes: Seq[DeleteFile],
+                            posDeletes: Seq[PosDeleteFile],
+                            preReconciled: Boolean,
+                            carrySchemas: Map[Int, String] = Map.empty): Snapshot = {
+    import graft.model.FieldIds
+    def maxIdIn(s: StructType): Int =
+      s.fields.flatMap(FieldIds.idOf).foldLeft(0)(math.max)
+    val (parentSchema, parentLast) = cur match {
+      case Some(c) =>
+        val base = c.schema
+        if (FieldIds.hasIds(base))
+          (Some(base), math.max(c.lastColumnId, maxIdIn(base)))
+        else {
+          val (stamped, n) = FieldIds.stamp(base)
+          (Some(stamped), math.max(c.lastColumnId, n))
+        }
+      case None => (None, 0)
+    }
+    val (newSchema, newLast) =
+      if (preReconciled) (schema, math.max(parentLast, maxIdIn(schema)))
+      else parentSchema match {
+        case Some(ps) => FieldIds.reconcile(ps, parentLast, schema)
+        case None     => FieldIds.stamp(schema)
+      }
+    val parentSchemas = cur.map(_.schemasById).getOrElse(Map.empty)
+    val parentSchemaId = cur.map(_.schemaId).getOrElse(0)
+    val unchanged = parentSchemaId != 0 &&
+      cur.exists(_.schemasById.get(parentSchemaId).contains(newSchema.json))
+    val newSchemaId =
+      if (unchanged) parentSchemaId
+      else (parentSchemas.keySet + parentSchemaId + 0).max + 1
+    val stampedFiles = files.map(f =>
+      if (f.seq < 0) f.copy(seq = id, schemaId = newSchemaId) else f)
+    // carry only the schemas a live file (or the head) still references;
+    // `carrySchemas` covers files restored from OUTSIDE the parent
+    // lineage (rollback), whose write schemas the head may have pruned
+    val referenced = stampedFiles.map(_.schemaId).toSet + newSchemaId - 0
+    val schemas = (carrySchemas ++ parentSchemas + (newSchemaId -> newSchema.json))
+      .filter { case (k, _) => referenced.contains(k) }
+    val unresolved = referenced -- schemas.keySet
+    require(unresolved.isEmpty,
+      s"commit carries files written under schema id(s) " +
+        s"${unresolved.mkString(", ")} that no retained schema resolves — " +
+        "pass carrySchemas from the files' source snapshot")
+    Snapshot(id, cur.map(_.id), System.currentTimeMillis(), operation,
+      newSchema.json, stampedFiles,
+      deletes.map(d => if (d.seq < 0) d.copy(seq = id) else d),
+      posDeletes.map(p => if (p.seq < 0) p.copy(seq = id) else p),
+      newSchemaId, newLast, schemas)
   }
 
   /** Plan segments for `snap`, write the new segment file(s), and rename
@@ -1519,6 +1612,13 @@ object SnapshotLog {
 
   // ---- reads
 
+  /** The snapshot's schema-id map parsed to StructTypes — the write-era
+    * resolution table [[readFiles]] projects old files through. */
+  private def parsedSchemas(snap: Snapshot): Map[Int, StructType] =
+    snap.schemasById.map { case (k, j) =>
+      k -> DataType.fromJson(j).asInstanceOf[StructType]
+    }
+
   /** Read an explicit file subset under the stored schema (no delete
     * application — the building block for [[read]]). */
   /** Read an explicit file subset under the stored schema. With
@@ -1529,7 +1629,9 @@ object SnapshotLog {
     * deletes target. */
   private def readFiles(spark: SparkSession, tableDir: String,
                         schema: StructType, files: Seq[DataFile],
-                        lineage: Boolean = false): DataFrame = {
+                        lineage: Boolean = false,
+                        schemasById: Map[Int, StructType] = Map.empty): DataFrame = {
+    import graft.model.FieldIds
     val lineageCols =
       if (!lineage) Seq.empty
       else Seq(
@@ -1547,8 +1649,29 @@ object SnapshotLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
     val ordered = schema.fieldNames.toSeq
-    val (hiveFiles, inlineFiles) = files.partition(_.hive)
-    val parts = Seq(
+    val (hiveFiles, allInline) = files.partition(_.hive)
+    // field-id resolution (rename/drop evolution): files whose write-era
+    // schema maps some shared field id to a DIFFERENT name cannot read
+    // by name — each such era reads under its own physical schema and
+    // projects onto the target BY ID (renamed columns follow the id,
+    // dropped-then-re-added names stay null). Files whose era agrees on
+    // every shared name — the overwhelming steady state — keep the
+    // single by-name scan.
+    val (renamed, inlineFiles) = allInline.partition(f =>
+      f.schemaId != 0 && schemasById.get(f.schemaId)
+        .exists(ws => !FieldIds.byNameSafe(ws, schema)))
+    val renamedParts = renamed.groupBy(_.schemaId).toSeq.map { case (sid, fset) =>
+      val ws = schemasById(sid)
+      spark.read.schema(ws)
+        .parquet(fset.map(f => s"$tableDir/${f.path}"): _*)
+        .select(schema.fields.toSeq.map { tf =>
+          FieldIds.idOf(tf).flatMap(FieldIds.fieldById(ws, _)) match {
+            case Some(wf) => col(wf.name).cast(tf.dataType).as(tf.name)
+            case None     => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        } ++ lineageCols: _*)
+    }
+    val parts = renamedParts ++ Seq(
       if (inlineFiles.nonEmpty)
         // explicit schema: no footer-merge pass; files missing a column
         // (pre-evolution) surface it as null
@@ -1568,7 +1691,7 @@ object SnapshotLog {
           else lit(null).cast(f.dataType).as(c)
         } ++ lineageCols: _*))
       } else None
-    ).flatten
+    ).flatten[DataFrame]
     parts.reduce(_ unionByName _)
   }
 
@@ -1609,10 +1732,12 @@ object SnapshotLog {
     val out = schema.fieldNames.toSeq ++
       (if (keepLineage) Seq("_abs", "_pos") else Seq.empty)
     if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
-      return readFiles(spark, tableDir, schema, files, lineage = keepLineage)
+      return readFiles(spark, tableDir, schema, files, lineage = keepLineage,
+        schemasById = parsedSchemas(snap))
     val havePos = snap.posDeletes.nonEmpty || keepLineage
     def load(fset: Seq[DataFile]): DataFrame =
-      readFiles(spark, tableDir, schema, fset, lineage = havePos)
+      readFiles(spark, tableDir, schema, fset, lineage = havePos,
+        schemasById = parsedSchemas(snap))
     val base =
       if (snap.deletes.isEmpty) load(files)
       else files.groupBy(_.seq).toSeq.map { case (seq, fset) =>
@@ -1729,7 +1854,8 @@ object SnapshotLog {
     require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"readStatsRange on a deletes-bearing snapshot of $tableDir — " +
         "fold deletes first or use read()")
-    readFiles(spark, tableDir, snap.schema, pruneByStats(snap, column, lo, hi))
+    readFiles(spark, tableDir, snap.schema, pruneByStats(snap, column, lo, hi),
+      schemasById = parsedSchemas(snap))
   }
 
   /** Read exactly the files [[pruneByLsn]] selects under the snapshot's
@@ -1740,7 +1866,8 @@ object SnapshotLog {
     require(snap.deletes.isEmpty && snap.posDeletes.isEmpty,
       s"readLsnRange on a deletes-bearing snapshot of $tableDir — " +
         "fold deletes first or use read()")
-    readFiles(spark, tableDir, snap.schema, pruneByLsn(snap, lo, hi))
+    readFiles(spark, tableDir, snap.schema, pruneByLsn(snap, lo, hi),
+      schemasById = parsedSchemas(snap))
   }
 
   // ---- compaction
@@ -1962,6 +2089,79 @@ object SnapshotLog {
   def allIdentitySpec(snap: Snapshot): Boolean =
     snap.files.forall(f => f.spec.isEmpty || f.spec.contains("identity"))
 
+  /** RENAME COLUMN — metadata only (Iceberg's rename): the field keeps
+    * its id under a new name, zero files are touched, and every old file
+    * resolves the column BY ID through the carried write-era schemas.
+    * Refused while any live file predates field ids (schemaId 0 reads by
+    * name and would silently null out — rewrite first) or while live
+    * equality deletes key on the column (their files store the old
+    * physical name). The hidden partition column is layout, not schema —
+    * renaming it would orphan the partition values. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Snapshot =
+    withTableLock(tableDir) {
+      import graft.model.FieldIds
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val schema0 = cur.schema
+      require(schema0.fieldNames.contains(from),
+        s"no column $from in $tableDir")
+      require(!schema0.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists in $tableDir")
+      graft.model.Identifiers.validate(to, "column")
+      evolutionGuards(cur, from, "rename")
+      val (stamped, _) =
+        if (FieldIds.hasIds(schema0)) (schema0, 0) else FieldIds.stamp(schema0)
+      val schema = StructType(stamped.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      commit(spark, tableDir, "evolve-schema", cur.files, schema,
+        parent = Some(cur), deletes = cur.deletes,
+        posDeletes = cur.posDeletes, preReconciled = true)
+    }
+
+  /** DROP COLUMN — projection-masked (Iceberg's drop): the schema loses
+    * the field, files keep their bytes, old snapshots still read the
+    * column via time travel. The field's id is RETIRED: a later re-add
+    * of the same name takes a fresh id (last-column-id never decreases),
+    * so the dropped bytes can never leak into the new column. Guards as
+    * [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, tableDir: String,
+                 name: String): Snapshot =
+    withTableLock(tableDir) {
+      import graft.model.FieldIds
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      val schema0 = cur.schema
+      require(schema0.fieldNames.contains(name),
+        s"no column $name in $tableDir")
+      require(schema0.fields.length > 1,
+        s"cannot drop the last column of $tableDir")
+      evolutionGuards(cur, name, "drop")
+      val (stamped, _) =
+        if (FieldIds.hasIds(schema0)) (schema0, 0) else FieldIds.stamp(schema0)
+      val schema = StructType(stamped.fields.filterNot(_.name == name))
+      commit(spark, tableDir, "evolve-schema", cur.files, schema,
+        parent = Some(cur), deletes = cur.deletes,
+        posDeletes = cur.posDeletes, preReconciled = true)
+    }
+
+  /** The structural refusals rename/drop share: pre-field-id files,
+    * live equality-delete keys, and the partition column. */
+  private def evolutionGuards(cur: Snapshot, column: String, what: String): Unit = {
+    val legacy = cur.files.filter(f => !f.hive && f.schemaId == 0)
+    require(legacy.isEmpty,
+      s"cannot $what $column: ${legacy.size} live file(s) predate field " +
+        "ids and read by name — rewrite first (compact/normalizeLayout)")
+    require(!cur.files.exists(_.hive),
+      s"cannot $what $column: imported hive files read by name")
+    require(!cur.deletes.exists(_.eqCols.contains(column)),
+      s"cannot $what $column: live equality deletes key on it — " +
+        "run foldDeletes first")
+    require(!cur.files.exists(f => f.partition.nonEmpty) ||
+        column != graft.model.SchemaBuilder.partitionColumn,
+      s"cannot $what the partition column $column of a partitioned table")
+  }
+
   /** Roll the table back to a historical snapshot by committing a NEW
     * snapshot that references the target's exact file and delete sets
     * (Iceberg's rollback_to_snapshot): history stays intact, readers of
@@ -1976,7 +2176,8 @@ object SnapshotLog {
       commit(spark, tableDir, "rollback", target.files, target.schema,
         parent = Some(cur), deletes = target.deletes,
         posDeletes = target.posDeletes,
-        reuseFrom = Seq(toId)) // restore the target's own segments
+        reuseFrom = Seq(toId), // restore the target's own segments
+        carrySchemas = target.schemasById)
     }
 
   /** Incremental append-scan: the rows ADDED by snapshots in
@@ -2001,7 +2202,9 @@ object SnapshotLog {
     val schema = window.lastOption.map(_.schema).getOrElse(
       currentSnapshot(spark, tableDir).map(_.schema).getOrElse(
         throw new NoSuchElementException(s"no snapshots in $tableDir")))
-    readFiles(spark, tableDir, schema, added)
+    readFiles(spark, tableDir, schema, added,
+      schemasById = window.lastOption.map(parsedSchemas)
+        .getOrElse(Map.empty))
   }
 
   /** Changelog scan (Iceberg's CDC-out surface): the NET row changes each
@@ -2038,7 +2241,8 @@ object SnapshotLog {
     val ordered = schema.fieldNames.toSeq
     val parts = window.filter(_.operation != "replace").flatMap { s =>
       val added = s.files.filter(_.seq == s.id)
-      val upserts = readFiles(spark, tableDir, s.schema, added)
+      val upserts = readFiles(spark, tableDir, s.schema, added,
+        schemasById = parsedSchemas(s))
       val up = upserts.select(
         lit(s.id).as("_change_snapshot_id") +: lit("upsert").as("_change_type") +:
           ordered.map(c => (if (upserts.columns.contains(c)) col(c)

@@ -388,6 +388,61 @@ object SqlSurface extends QueryModule {
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY user_id""".stripMargin
 
+  // ---- SQL schema evolution with field ids: RENAME COLUMN is
+  // metadata-only (pre-rename files resolve the column BY FIELD ID
+  // under its new name), DROP COLUMN is projection-masked, and every
+  // historical version reads under its OWN schema through time travel.
+  // The per-phase column count is measured from the versioned schema —
+  // a rename that nulls old files, a drop that survives, or a version
+  // serving the wrong-era schema all fail the hash.
+  private def sqlSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val t = freshDmlTable(s, d, "evo",
+      "event_id BIGINT, value DOUBLE, tag STRING")
+    val v = srcView(s, d, "graft_sql_evo_src")
+    s.sql(s"INSERT INTO $t SELECT event_id, value, 'a' FROM $v WHERE event_id < 300")
+    s.sql(s"ALTER TABLE $t RENAME COLUMN value TO score")
+    s.sql(s"""INSERT INTO $t SELECT event_id, value, 'b' FROM $v
+             |WHERE event_id >= 300 AND event_id < 600""".stripMargin)
+    s.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    s.sql(s"""INSERT INTO $t SELECT event_id, value FROM $v
+             |WHERE event_id >= 600 AND event_id < 900""".stripMargin)
+    // create=1, insertA=2, rename=3, insertB=4, drop=5, insertC=6
+    def phase(label: String, ver: Int, valueCol: String): DataFrame = {
+      val versioned = s.sql(s"SELECT * FROM $t VERSION AS OF $ver")
+      versioned.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"))
+        .select(lit(label).as("phase"),
+          lit(versioned.columns.length.toLong).as("n_cols"),
+          col("n_rows"), col("id_sum"), col("v_min"), col("v_max"))
+    }
+    Seq(phase("1_pre_rename", 2, "value"),
+      phase("2_post_rename", 4, "score"),
+      phase("3_post_drop", 5, "score"),
+      phase("4_final", 6, "score"))
+      .reduce(_ unionByName _).orderBy(col("phase"))
+  }
+
+  private val sqlSchemaEvolutionSql =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |a AS (SELECT * FROM ev WHERE event_id < 300),
+      |ab AS (SELECT * FROM ev WHERE event_id < 600),
+      |abc AS (SELECT * FROM ev WHERE event_id < 900),
+      |p1 AS (SELECT '1_pre_rename' AS phase, CAST(3 AS BIGINT) AS n_cols,
+      |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  min(value) AS v_min, max(value) AS v_max FROM a),
+      |p2 AS (SELECT '2_post_rename', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(event_id) AS BIGINT), min(value), max(value) FROM ab),
+      |p3 AS (SELECT '3_post_drop', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(event_id) AS BIGINT), min(value), max(value) FROM ab),
+      |p4 AS (SELECT '4_final', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(event_id) AS BIGINT), min(value), max(value) FROM abc)
+      |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+      |ORDER BY phase""".stripMargin
+
   // ---- SQL CALL maintenance: the full operational cycle as stored
   // procedures — compact, tag, rollback, expire-with-tag-protection —
   // each CALL's MEASURED effect (rewritten partitions, swept files,
@@ -446,5 +501,6 @@ object SqlSurface extends QueryModule {
     GraftQuery("sql_update", sqlUpdate, Some(sqlUpdateSql)),
     GraftQuery("sql_merge", sqlMerge, Some(sqlMergeSql)),
     GraftQuery("sql_merge_full_sync", sqlMergeFullSync, Some(sqlMergeFullSyncSql)),
+    GraftQuery("sql_schema_evolution", sqlSchemaEvolution, Some(sqlSchemaEvolutionSql)),
     GraftQuery("sql_call_maintenance", sqlCallMaintenance, Some(sqlCallMaintenanceSql)))
 }

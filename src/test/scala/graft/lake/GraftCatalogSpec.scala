@@ -279,10 +279,11 @@ class GraftCatalogSpec extends SparkTestBase {
     // time travel reads the OLD schema before the evolution
     assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 2").columns.toSeq
       === Seq("id", "v"))
-    // drops and renames are refused — they would break time travel
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN v"))
-    intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN v TO vv"))
+    // drops and renames are field-id evolution commits (metadata-only;
+    // old files resolve by id) — full semantics in SchemaEvolutionSpec
+    spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN v TO vv")
+    assert(spark.sql(s"SELECT sum(vv) FROM $cat.ev").as[Long].head() === 30L)
+    spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN vv TO v")
     // a case-insensitive duplicate would make every later reference
     // ambiguous; NOT NULL is unsatisfiable for pre-evolution rows
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN V BIGINT"))
