@@ -571,8 +571,102 @@ object Similarity extends QueryModule {
        |FROM topk t, counts n WHERE t.rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ------------------------------------- lake IVF: incremental maintenance
+
+  // Index MAINTENANCE without a rebuild (the 100-TB operational shape:
+  // an embedding corpus grows by millions of vectors a day; retraining
+  // and rewriting the whole index per batch is a non-starter): new
+  // vectors are assigned to the EXISTING centroids and appended to the
+  // bucket partitions through the commit log — one O(delta) append
+  // commit, the base files untouched. The gate's top-k must equal the
+  // FULL-REBUILD answer exactly (assignment is deterministic under a
+  // fixed quantizer, so incremental-extend ≡ rebuild here), probe
+  // pruning must keep skipping at the manifest, and the measured
+  // file-count columns pin the per-bucket incremental layout (base file
+  // + delta file, never a rewrite).
+  private val lakeKnnIncFixture =
+    new graft.queries.Lifecycle.FixtureCache("graft_simlakeinc")
+  private val IncSliceMod = 5 // vec_id % 5 == 4 arrives "later"
+
+  private def lakeKnnIncDir(s: SparkSession, d: String): String =
+    lakeKnnIncFixture.dir(s, d) { dir =>
+      import graft.lake.SnapshotLog
+      val all = assigned(s, d)
+        .withColumn("bucket", format_string("%04d", col("cid")))
+      val base = all.filter(col("vec_id") % IncSliceMod =!= (IncSliceMod - 1))
+      val delta = all.filter(col("vec_id") % IncSliceMod === (IncSliceMod - 1))
+      SnapshotLog.withTableLock(dir) {
+        val files = SnapshotLog.writeData(s, dir, base, Some("bucket"),
+          statsCol = "vec_id")
+        SnapshotLog.commit(s, dir, "append", files, base.schema, parent = None)
+      }
+      // the maintenance step: assign-to-existing-centroids + append —
+      // optimistic commit, zero base files touched
+      SnapshotLog.withTableLock(dir) {
+        val cur = SnapshotLog.currentSnapshot(s, dir)
+        val files = SnapshotLog.writeData(s, dir, delta, Some("bucket"),
+          statsCol = "vec_id")
+        SnapshotLog.appendFiles(s, dir, files, delta.schema, cur)
+      }
+    }
+
+  private def lakeKnnIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val dir = lakeKnnIncDir(s, d)
+    val snap = SnapshotLog.currentSnapshot(s, dir).get
+    val probes = queryProbes(s, d)
+    val probeBuckets = probes
+      .select(format_string("%04d", col("cid")).as("b")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val scanned = snap.files.count(f => probeBuckets.contains(f.partition))
+    // incremental-layout proof, measured from the log: exactly two
+    // append commits, delta files stamped with commit 2, at most one
+    // file per (bucket, commit) — an accidental rewrite fails this
+    val snaps = SnapshotLog.snapshots(s, dir)
+    val incOk = snaps.map(_.operation) == Seq("append", "append") &&
+      snap.files.groupBy(f => (f.partition, f.seq)).forall(_._2.size == 1) &&
+      snaps.head.files.forall(f => snap.files.exists(g =>
+        g.path == f.path && g.seq == 1L))
+    val corpus = SnapshotLog.readPruned(s, dir, snap,
+      f => probeBuckets.contains(f.partition))
+    val nnv = transform(col("v"), x => coalesce(x, lit(0L)))
+    scoreTopK(probes, corpus, nnv)
+      .select(col("*"),
+        lit(scanned.toLong).as("n_files_scanned"),
+        lit(snap.files.size.toLong).as("n_files_total"),
+        lit(if (incOk) 1L else 0L).as("inc_ok"))
+  }
+
+  private def lakeKnnIncrementalSql =
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |$rankedSql,
+       |corpus AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1),
+       |${scoredTopkCtes("corpus")},
+       |counts AS (SELECT
+       |  (SELECT count(*) FROM (SELECT DISTINCT p.cid FROM probes p
+       |     JOIN (SELECT DISTINCT cid FROM corpus
+       |           WHERE vec_id % $IncSliceMod <> ${IncSliceMod - 1}) b
+       |     ON p.cid = b.cid))
+       |  + (SELECT count(*) FROM (SELECT DISTINCT p.cid FROM probes p
+       |     JOIN (SELECT DISTINCT cid FROM corpus
+       |           WHERE vec_id % $IncSliceMod = ${IncSliceMod - 1}) i
+       |     ON p.cid = i.cid)) AS n_files_scanned,
+       |  (SELECT count(DISTINCT cid) FROM corpus
+       |     WHERE vec_id % $IncSliceMod <> ${IncSliceMod - 1})
+       |  + (SELECT count(DISTINCT cid) FROM corpus
+       |     WHERE vec_id % $IncSliceMod = ${IncSliceMod - 1}) AS n_files_total)
+       |SELECT t.query_id, CAST(t.rk AS BIGINT) AS rk, t.neighbor_id, t.cos,
+       |  CAST(n.n_files_scanned AS BIGINT) AS n_files_scanned,
+       |  CAST(n.n_files_total AS BIGINT) AS n_files_total,
+       |  CAST(1 AS BIGINT) AS inc_ok
+       |FROM topk t, counts n WHERE t.rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("sim_lake_knn", lakeKnn, Some(lakeKnnSql)),
+    GraftQuery("sim_lake_knn_incremental", lakeKnnIncremental,
+      Some(lakeKnnIncrementalSql)),
     GraftQuery("sim_cluster_sample", clusterSample, Some(clusterSampleSql)),
     GraftQuery("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
