@@ -110,10 +110,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // a retained snapshot id wins; an all-digit string naming NO
       // retained snapshot falls through to ref resolution, so a tag or
       // branch that happens to be digit-only stays reachable
-      if (version.forall(_.isDigit) && version.nonEmpty &&
+      // length-guarded: a 20+-digit DIGIT-ONLY TAG name must fall
+      // through to ref resolution, not overflow Long
+      if (version.nonEmpty && version.length <= 18 &&
+          version.forall(_.isDigit) &&
           SnapshotLog.snapshotIds(spark, dir).contains(version.toLong))
         SnapshotLog.snapshotAt(spark, dir, version.toLong)
-      else if (version == "main") // the implicit main branch (reserved)
+      // the implicit main branch (reserved for NEW refs) — a
+      // pre-reservation tag named 'main' keeps its pinned meaning
+      else if (version == "main" &&
+          !SnapshotLog.tags(spark, dir).contains("main"))
         SnapshotLog.currentSnapshot(spark, dir).getOrElse(
           throw new NoSuchElementException(s"no snapshots in $dir"))
       else if (SnapshotLog.tags(spark, dir).contains(version))

@@ -309,15 +309,32 @@ object SnapshotLog {
     * resolution (streaming sinks, history scans) metadata-cheap. */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, SegContent]()
-  private val SegCacheMax = 8192
+  // budget in ENTRIES (the byte driver — a folded mega-segment carries
+  // the near-full manifest), not file count: bounds driver heap to
+  // ~entries × ~200 B across every open table
+  private val SegCacheEntryBudget = 2L * 1000 * 1000
+  private val segCacheEntries = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def segCachePut(key: String, content: SegContent): Unit = {
+    if (segCacheEntries.get() + content.entryCount > SegCacheEntryBudget) {
+      segCache.clear()
+      segCacheEntries.set(0L)
+    }
+    if (segCache.put(key, content) == null)
+      segCacheEntries.addAndGet(content.entryCount.toLong)
+  }
+
+  private def segCacheDrop(key: String): Unit = {
+    val prev = segCache.remove(key)
+    if (prev != null) segCacheEntries.addAndGet(-prev.entryCount.toLong)
+  }
 
   private def loadSegment(fs: FileSystem, md: Path, name: String): SegContent = {
     val key = fs.makeQualified(new Path(md, name)).toString
     val hit = segCache.get(key)
     if (hit != null) return hit
     val content = entriesFromNode(mapper.readTree(readFully(fs, new Path(md, name))))
-    if (segCache.size() >= SegCacheMax) segCache.clear()
-    segCache.put(key, content)
+    segCachePut(key, content)
     content
   }
 
@@ -333,8 +350,7 @@ object SnapshotLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val key = fs.makeQualified(new Path(md, name)).toString
-    if (segCache.size() >= SegCacheMax) segCache.clear()
-    segCache.put(key, content)
+    segCachePut(key, content)
     name
   }
 
@@ -386,29 +402,30 @@ object SnapshotLog {
       content.files.filterNot(coveredF),
       content.deletes.filterNot(coveredD),
       content.posDeletes.filterNot(coveredP))
+    // fold decision BEFORE any write, so a folding commit writes its
+    // residue once inside the folded segment instead of creating an
+    // instantly-orphaned residue file (double bytes, debris)
     var created = Seq.empty[String]
-    var segs: Seq[(String, SegContent)] = reused
-    if (!residue.isEmpty) {
-      val name = writeSegment(fs, md, residue)
-      created :+= name
-      segs :+= name -> residue
-    }
-    if (segs.size > MaxSegments) {
-      // fold the smallest segments into one until half the bound —
-      // the classic log-structured amortization: every entry is
-      // rewritten O(log total) times across a table's life
+    val wouldBe = reused.size + (if (residue.isEmpty) 0 else 1)
+    if (wouldBe > MaxSegments) {
+      // fold the smallest segments (residue riding along) down to half
+      // the bound — the classic log-structured amortization: every
+      // entry is rewritten O(log total) times across a table's life
       val keepCount = MaxSegments / 2
-      val (small, big) = segs.sortBy(_._2.entryCount)
-        .splitAt(segs.size - keepCount + 1)
+      val (small, big) = reused.sortBy(_._2.entryCount)
+        .splitAt(reused.size - keepCount + 1)
       val foldedContent = SegContent(
-        small.flatMap(_._2.files),
-        small.flatMap(_._2.deletes),
-        small.flatMap(_._2.posDeletes))
+        small.flatMap(_._2.files) ++ residue.files,
+        small.flatMap(_._2.deletes) ++ residue.deletes,
+        small.flatMap(_._2.posDeletes) ++ residue.posDeletes)
       val name = writeSegment(fs, md, foldedContent)
       created :+= name
-      segs = big :+ (name -> foldedContent)
-    }
-    (segs.map(_._1), created)
+      ((big.map(_._1) :+ name), created)
+    } else if (!residue.isEmpty) {
+      val name = writeSegment(fs, md, residue)
+      created :+= name
+      (reused.map(_._1) :+ name, created)
+    } else (reused.map(_._1), created)
   }
 
   /** Header + segment list of a committed snapshot file. */
@@ -802,8 +819,10 @@ object SnapshotLog {
       val nm = st.getPath.getName
       st.isFile && nm.startsWith("seg-") && nm.endsWith(".json")
     }.map { st =>
-      val c = loadSegment(fs, md, st.getPath.getName)
-      c.entryCount.toLong
+      // a crashed writer's truncated orphan must stay inert debris for
+      // expire, not fail the measurement surface
+      try loadSegment(fs, md, st.getPath.getName).entryCount.toLong
+      catch { case _: Exception => 0L }
     }.sum
   }
 
@@ -885,8 +904,23 @@ object SnapshotLog {
                   expectedParent: Option[Snapshot],
                   maxRetries: Int = 5): Snapshot = {
     var parent = expectedParent
-    var mergedSchema = schema
     var attempt = 0
+    // the add-only merge applies on EVERY attempt, not just rebases: an
+    // append whose batch predates an ALTER ADD COLUMN must not shrink
+    // the head schema depending on whether it happened to race. Matched
+    // fields take the INCOMING type (a promoted batch's wide type must
+    // win — the wide schema reads both file generations; the narrow one
+    // cannot read the new files), new incoming fields append, parent
+    // extras survive.
+    def mergedSchema: StructType = parent match {
+      case Some(p) =>
+        val incoming = schema.fields.map(f => f.name -> f).toMap
+        val parentNames = p.schema.fieldNames.toSet
+        StructType(
+          p.schema.fields.map(f => incoming.getOrElse(f.name, f)) ++
+            schema.fields.filterNot(f => parentNames.contains(f.name)))
+      case None => schema
+    }
     while (true) {
       try {
         return commit(spark, tableDir, "append",
@@ -899,10 +933,6 @@ object SnapshotLog {
           attempt += 1
           if (attempt > maxRetries) throw e
           parent = currentSnapshot(spark, tableDir) // rebase
-          mergedSchema = parent match {
-            case Some(p) => graft.model.SchemaBuilder.merge(p.schema, schema, 0)._1
-            case None    => schema
-          }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -995,7 +1025,7 @@ object SnapshotLog {
       fs.delete(tmp, false)
       created.foreach { name =>
         fs.delete(new Path(md, name), false)
-        segCache.remove(fs.makeQualified(new Path(md, name)).toString)
+        segCacheDrop(fs.makeQualified(new Path(md, name)).toString)
       }
       throw new ConcurrentCommitException(s"lost commit race for $dst")
     }
@@ -1539,7 +1569,12 @@ object SnapshotLog {
     val (fs, root) = fsOf(spark, tableDir)
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val dest = new Path(root, rel)
-    slots.write.parquet(dest.toString)
+    // the fan-out relies on AQE coalescing the delta case down to one
+    // file; without AQE a 10-slot delete would land one tiny file per
+    // shuffle partition — fall back to the serialized single file there
+    val aqeOn = spark.conf.getOption("spark.sql.adaptive.enabled")
+      .forall(_.toBoolean)
+    (if (aqeOn) slots else slots.repartition(1)).write.parquet(dest.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = fs.listStatus(dest).toSeq
       .filter(st => st.isFile && isParquetFile(st.getPath.getName))
@@ -2283,8 +2318,22 @@ object SnapshotLog {
     * unreferenced file under the table dir (old data files, crashed
     * writers' debris, un-renamed temp manifests/refs). Returns the
     * number of data files deleted. Runs under the table lock. */
-  def expire(spark: SparkSession, tableDir: String, keepLast: Int): Int =
-    expireCore(spark, tableDir, keepLast, olderThanMs = Long.MaxValue)
+  /** `debrisGraceMs` shields NEVER-REFERENCED files (a mid-flight
+    * writer's data/segment files, un-renamed temp manifests) younger
+    * than the grace from the sweep — the Iceberg orphan-cleanup rule.
+    * 0 (the default) keeps strict single-process semantics: with all
+    * writers inside this JVM's table lock, a mid-flight write cannot
+    * overlap an expire. Deployments with CROSS-PROCESS writers (the
+    * [[appendFiles]] rebase flow) must pass a grace comfortably above
+    * their longest write+commit, or expire can sweep a racing writer's
+    * just-written segment between its creation and its manifest
+    * rename. Previously-referenced files of expired snapshots are
+    * reclaimed regardless — they were visible, so no in-flight commit
+    * can be about to reference them. */
+  def expire(spark: SparkSession, tableDir: String, keepLast: Int,
+             debrisGraceMs: Long = 0L): Int =
+    expireCore(spark, tableDir, keepLast, olderThanMs = Long.MaxValue,
+      debrisGraceMs)
 
   /** Age-based retention (Iceberg's `expire_snapshots(older_than,
     * retain_last)`): expire snapshots committed strictly before
@@ -2293,13 +2342,16 @@ object SnapshotLog {
     * days of time travel, but never fewer than N snapshots, and never a
     * pinned training-run snapshot". */
   def expireOlderThan(spark: SparkSession, tableDir: String,
-                      olderThanMs: Long, retainLast: Int = 1): Int =
-    expireCore(spark, tableDir, retainLast, olderThanMs)
+                      olderThanMs: Long, retainLast: Int = 1,
+                      debrisGraceMs: Long = 0L): Int =
+    expireCore(spark, tableDir, retainLast, olderThanMs, debrisGraceMs)
 
   private def expireCore(spark: SparkSession, tableDir: String,
-                         keepLast: Int, olderThanMs: Long): Int =
+                         keepLast: Int, olderThanMs: Long,
+                         debrisGraceMs: Long = 0L): Int =
     withTableLock(tableDir) {
       require(keepLast >= 1, s"must keep at least the current snapshot")
+      val debrisCutoffMs = System.currentTimeMillis() - debrisGraceMs
       val (fs, root) = fsOf(spark, tableDir)
       val all = snapshots(spark, tableDir)
       if (all.isEmpty) return 0
@@ -2324,6 +2376,18 @@ object SnapshotLog {
         (keep ++ branchKeep).flatMap(s => s.files.map(_.path) ++
           s.deletes.map(_.path) ++ s.posDeletes.map(_.path)).toSet
       val md = metaDir(root)
+      // previously-REFERENCED paths (expired snapshots' files and
+      // segments): visible history, safe to reclaim immediately — no
+      // in-flight commit can be about to reference them. Everything
+      // else unreferenced is potential mid-flight debris and honors
+      // the grace window. Dropped manifests' segment names are read
+      // BEFORE their manifests are deleted.
+      val droppedSegs: Set[String] = drop
+        .map(s => new Path(md, f"snap-${s.id}%012d.json"))
+        .filter(fs.exists(_)).flatMap(segmentNamesOf(fs, _)).toSet
+      val wasReferenced: Set[String] = drop.flatMap(s =>
+        s.files.map(_.path) ++ s.deletes.map(_.path) ++
+          s.posDeletes.map(_.path)).toSet
       drop.foreach(s => fs.delete(new Path(md, f"snap-${s.id}%012d.json"), false))
       // segment liveness: a segment file survives iff SOME retained
       // manifest (main or branch-staged) still references it; orphans —
@@ -2343,15 +2407,18 @@ object SnapshotLog {
       fs.listStatus(md).foreach { st =>
         val nm = st.getPath.getName
         if (st.isFile && nm.startsWith("seg-") && nm.endsWith(".json") &&
-            !liveSegs.contains(nm)) {
+            !liveSegs.contains(nm) &&
+            (droppedSegs.contains(nm) ||
+              st.getModificationTime < debrisCutoffMs)) {
           fs.delete(st.getPath, false)
-          segCache.remove(fs.makeQualified(st.getPath).toString)
+          segCacheDrop(fs.makeQualified(st.getPath).toString)
         }
       }
       // temp manifests/refs from crashed commits and tag/branch writes
       def cleanTmp(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) cleanTmp(st.getPath)
-        else if (st.getPath.getName.startsWith(".tmp-"))
+        else if (st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < debrisCutoffMs)
           fs.delete(st.getPath, false)
       }
       cleanTmp(md)
@@ -2365,7 +2432,9 @@ object SnapshotLog {
             else if (sweep(st.getPath)) fs.delete(st.getPath, true)
             else empty = false
           } else if (!live.contains(rel)) {
-            fs.delete(st.getPath, false); deleted += 1
+            if (wasReferenced(rel) || st.getModificationTime < debrisCutoffMs) {
+              fs.delete(st.getPath, false); deleted += 1
+            } else empty = false
           } else empty = false
         }
         empty

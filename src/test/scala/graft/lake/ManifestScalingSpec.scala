@@ -99,8 +99,24 @@ class ManifestScalingSpec extends SparkTestBase {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     assert(SnapshotLog.currentSnapshot(spark, dir).get.files.size === 3)
+    // a truncated orphan (crashed mid-write) is equally inert: reads and
+    // the measurement surface must not throw on it
+    val truncated = new Path(md, "seg-truncated-debris.json")
+    val out2 = fs.create(truncated, false)
+    out2.write("""{"files":[{"pa""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out2.close()
+    assert(SnapshotLog.totalSegmentEntries(spark, dir) >= 3L)
+    // the debris grace shields a FRESH unreferenced segment — the
+    // cross-process window where a racing writer wrote it but has not
+    // renamed its manifest yet (Iceberg's orphan-cleanup age rule)
+    SnapshotLog.expire(spark, dir, keepLast = 3,
+      debrisGraceMs = 10 * 60 * 1000L)
+    assert(fs.exists(orphan), "grace window did not shield fresh debris")
+    // grace 0 = strict single-process semantics: reclaim immediately
     SnapshotLog.expire(spark, dir, keepLast = 3)
     assert(!fs.exists(orphan), "orphan segment survived expire")
+    assert(!fs.exists(truncated), "truncated orphan survived expire")
     assert(SnapshotLog.currentSnapshot(spark, dir).get.files.size === 3)
   }
 

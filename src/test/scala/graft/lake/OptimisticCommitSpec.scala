@@ -74,6 +74,21 @@ class OptimisticCommitSpec extends SparkTestBase {
     assert(state.filter(col("id") === 2L && col("extra").isNull).count() === 1L)
   }
 
+  test("a NON-racing narrow append keeps the evolved head schema") {
+    val dir = Files.createTempDirectory("graft-occ-nw").toString + "/t"
+    import spark.implicits._
+    val widened = Seq((1L, f"${1}%016d", "x"))
+      .toDF("id", graft.ingest.Cdc.LsnColumn, "extra")
+    append(dir, widened)
+    // a batch predating the evolution, committed with a CORRECT parent:
+    // the head schema must not shrink (add-only merge on every attempt,
+    // not only on the rebase path)
+    val a = append(dir, rows(2))
+    assert(a.schema.fieldNames.contains("extra"))
+    assert(SnapshotLog.readCurrent(spark, dir).get
+      .filter(col("id") === 1L && col("extra") === "x").count() === 1L)
+  }
+
   test("a rebase onto a concurrent TRUNCATE serializes the append after it") {
     val dir = Files.createTempDirectory("graft-occ-tr").toString + "/t"
     val base = append(dir, rows(1, 2))

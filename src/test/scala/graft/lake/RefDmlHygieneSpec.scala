@@ -34,6 +34,29 @@ class RefDmlHygieneSpec extends SparkTestBase {
     SnapshotLog.tag(spark, dir, "3", 2L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF '3'")
       .as[Long].head() === 2L)
+    // a digit-only name too long for Long must fall through to the tag,
+    // not overflow
+    SnapshotLog.tag(spark, dir, "99999999999999999999", 2L)
+    assert(spark.sql(
+      s"SELECT id FROM $cat.t VERSION AS OF '99999999999999999999'")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("a pre-reservation tag named 'main' keeps its pinned meaning") {
+    val (_, dir) = fresh(1L -> 10L)
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 20)")
+    // simulate a tag created before 'main' was reserved (tag() now
+    // refuses the name): write the ref file directly
+    val md = new org.apache.hadoop.fs.Path(dir, SnapshotLog.MetaDirName)
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(md, "ref-main.json"), false)
+    out.write("""{"name":"main","snapshot_id":2}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    import spark.implicits._
+    // the stranded tag resolves (snapshot 2 = 1 row), NOT the head (2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'main'")
+      .as[Long].head() === 1L)
   }
 
   test("'main' is reserved: neither a tag nor a branch may take it") {

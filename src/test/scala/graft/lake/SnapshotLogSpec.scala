@@ -375,6 +375,23 @@ class SnapshotLogSpec extends SparkTestBase {
     }
   }
 
+  test("without AQE, a small delete falls back to the single pos-delete file") {
+    val dir = Files.createTempDirectory("graft-snaplog-noaqe").toString + "/t"
+    commitRows(dir, rows(1, 2, 3, 4, 5), "append")
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val sn = SnapshotLog.deleteWhere(spark, dir, col("id").isin(2, 4)).get
+      assert(sn.posDeletes.size === 1, // not one tiny file per partition
+        s"AQE-off delete fanned out into ${sn.posDeletes.size} files")
+      assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 3L, 5L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("deleteWhere removes rows by slot identity without touching data files") {
     val dir = Files.createTempDirectory("graft-snaplog-posdel").toString + "/t"
     commitRows(dir, rows(1, 2, 3), "append")
