@@ -465,9 +465,9 @@ object SnapshotLog {
     }
     val schemas = n.get("schemas") match {
       case o: ObjectNode =>
-        val it = o.fields()
+        val it = o.fieldNames()
         val b = Map.newBuilder[Int, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey.toInt -> e.getValue.asText() }
+        while (it.hasNext) { val k = it.next(); b += k.toInt -> o.get(k).asText() }
         b.result()
       case _ => Map.empty[Int, String]
     }
@@ -1316,10 +1316,6 @@ object SnapshotLog {
     * first-wins to target rows without a source match (their conditions
     * and assignments see target columns only — `_src_` columns are null
     * there by construction). */
-  /** Reserved marker column [[mergeInto]] rides on the source join —
-    * deliberately NOT a plausible `_src_<name>` so user columns can't
-    * shadow it (a source column named `matched` must keep its data). */
-  private val MergeMatchedSentinel = "__graft_merge_matched__"
   private val MergeActionCol = "__graft_merge_action__"
 
   sealed trait MergeClause
@@ -1353,10 +1349,12 @@ object SnapshotLog {
     * the reference's product surface reaches this verb through its query
     * engines over Iceberg tables). Atomic at the manifest rename: no
     * reader sees a delete without its replacement. Writes O(|source| +
-    * |matches|) bytes and touches zero stored files — the only scan of
-    * the stored table is the live-state read the predicates are
-    * evaluated on (SQL MERGE semantics: a row already dead under
-    * existing deletes can neither update nor delete again).
+    * |matches|) bytes and touches zero stored files — the stored table
+    * is scanned once for the matched family (and once more for the
+    * by-source family when those clauses exist), never cached whole,
+    * and predicates evaluate on the LIVE state (SQL MERGE semantics: a
+    * row already dead under existing deletes can neither update nor
+    * delete again).
     *
     * `source` must be unique under `onCols` — SQL MERGE's cardinality
     * rule, enforced loudly here because a duplicate source row would
@@ -1383,22 +1381,19 @@ object SnapshotLog {
         .foreach(_.keys.foreach(k => require(schema.fieldNames.contains(k),
           s"MERGE assignment to unknown column $k in $tableDir")))
       // prefixed names must stay collision-free: a source column
-      // literally named `_src_<other source col>` (or the sentinel) would
-      // silently shadow data after renaming — refuse instead
+      // literally named `_src_<other source col>` would silently shadow
+      // data after renaming — refuse instead
       val prefixed = source.columns.toSeq.map(c =>
         if (onCols.contains(c)) c else s"_src_$c")
       require(prefixed.distinct.size == prefixed.size,
         s"MERGE INTO $tableDir: source column names collide after " +
           s"_src_ prefixing: ${prefixed.diff(prefixed.distinct).mkString(", ")}")
-      require(!prefixed.contains(MergeMatchedSentinel),
-        s"MERGE INTO $tableDir: $MergeMatchedSentinel is a reserved name")
       // the source is evaluated ONCE (persisted for the whole merge): a
       // nondeterministic source re-evaluated per leg could pass the
       // cardinality check yet join duplicates, and an expensive one
       // would be recomputed for the insert leg
       val src = source.select(source.columns.toSeq.map(c =>
         if (onCols.contains(c)) col(c) else col(c).as(s"_src_$c")): _*)
-        .withColumn(MergeMatchedSentinel, lit(true))
         .persist()
       try {
         // SQL MERGE cardinality rule: one source row per key, or the
@@ -1418,10 +1413,16 @@ object SnapshotLog {
         val b = src.queryExecution.optimizedPlan.stats.sizeInBytes
         if (b.isValidLong) b.toLong else Long.MaxValue
       }
-      val joined = live.join(sizeGated(spark, src, srcBytes), onCols, "left")
+      // the MATCHED family is an INNER join — delta-sized by the
+      // cardinality rule (each live row meets at most one source row),
+      // so the persist below caches O(|source| + |matches|), never the
+      // stored table. The old shape (persist the whole LEFT join) cached
+      // an entire 100 TB table to save the by-source anti-join's second
+      // scan — a scan is cheap, a table-sized cache is a cluster-killer.
+      val matched = live.join(sizeGated(spark, src, srcBytes), onCols, "inner")
         .persist()
+      var bsPersisted: Option[DataFrame] = None
       try {
-        val matched = joined.filter(col(MergeMatchedSentinel))
         // first-clause-wins action resolution, encoded as one expression
         // (per clause FAMILY: matched rows and not-matched-by-source rows
         // are disjoint sets, each consulting only its own clauses)
@@ -1454,11 +1455,23 @@ object SnapshotLog {
         val bySourceClauses = clauses.filter(c =>
           c.isInstanceOf[NotMatchedBySourceUpdate] ||
             c.isInstanceOf[NotMatchedBySourceDelete])
+        // unmatched target rows come from a SEPARATE anti-join scan of
+        // the live state against the (size-gated) source keys: one more
+        // scan only when by-source clauses exist, and the persisted set
+        // is the ACTIONED rows — the merge's intrinsic write set — not
+        // the table. Conditions here see target columns only, loudly.
         val bsActioned =
           if (bySourceClauses.isEmpty) None
-          else Some(joined.filter(col(MergeMatchedSentinel).isNull)
-            .withColumn(MergeActionCol, firstWins(bySourceClauses))
-            .filter(col(MergeActionCol).isNotNull))
+          else {
+            val srcKeys = src.select(onCols.map(col): _*)
+            val bs = live.join(sizeGated(spark, srcKeys, srcBytes),
+              onCols, "left_anti")
+              .withColumn(MergeActionCol, firstWins(bySourceClauses))
+              .filter(col(MergeActionCol).isNotNull)
+              .persist()
+            bsPersisted = Some(bs)
+            Some(bs)
+          }
         val allSlotRows = bsActioned
           .map(bs => actioned.select(col("_abs"), col("_pos"))
             .unionByName(bs.select(col("_abs"), col("_pos"))))
@@ -1507,7 +1520,10 @@ object SnapshotLog {
         Some(commit(spark, tableDir, "merge-into",
           cur.files ++ newFiles, schema, parent = Some(cur),
           deletes = cur.deletes, posDeletes = cur.posDeletes ++ slots))
-      } finally joined.unpersist(blocking = true)
+      } finally {
+        matched.unpersist(blocking = true)
+        bsPersisted.foreach(_.unpersist(blocking = true))
+      }
       } finally src.unpersist(blocking = true)
     }
 

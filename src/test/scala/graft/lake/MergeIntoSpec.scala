@@ -77,6 +77,18 @@ class MergeIntoSpec extends SparkTestBase {
       === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("by-source conditions referencing source columns fail loudly") {
+    val dir = freshTable(1L -> 10L, 2L -> 20L)
+    // SQL forbids source references in NOT MATCHED BY SOURCE clauses;
+    // the engine surfaces that as an analysis error (the unmatched rows
+    // come from an anti-join that carries no _src_ columns), never as
+    // silently-null conditions
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SnapshotLog.mergeInto(spark, dir, df(1L -> 0L), Seq("id"), Seq(
+        NotMatchedBySourceDelete(Some(col("_src_v") > 0))))
+    }
+  }
+
   test("by-source-only merge works without matched or insert clauses") {
     val dir = freshTable(1L -> 10L, 2L -> 20L)
     SnapshotLog.mergeInto(spark, dir, df(1L -> 0L), Seq("id"), Seq(
