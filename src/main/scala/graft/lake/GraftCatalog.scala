@@ -389,7 +389,10 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
         throw new UnsupportedOperationException(
           s"cannot translate delete predicate $f")))
       .reduce(_ && _)
-    SnapshotLog.deleteWhere(spark, tableDir, cond)
+    // the same conjuncts prune at the MANIFEST: a day-targeted DELETE
+    // scans only that day's files before the row predicate applies
+    SnapshotLog.deleteWhere(spark, tableDir, cond,
+      keep = GraftPruning.filePredicate(filters, snap.schema))
   }
 }
 
@@ -534,9 +537,11 @@ private[lake] object GraftPruning {
   /** Conjunctive manifest pruning: a file survives iff every top-level
     * conjunct admits it. Only top-level Ands split — Or/Not conjuncts
     * never prune (conservative). */
-  def filePredicate(filters: Array[Filter], snap: Snapshot): DataFile => Boolean = {
+  def filePredicate(filters: Array[Filter], snap: Snapshot): DataFile => Boolean =
+    filePredicate(filters, snap.schema)
+
+  def filePredicate(filters: Array[Filter], schema: StructType): DataFile => Boolean = {
     val conjuncts = filters.toSeq.flatMap(splitAnd)
-    val schema = snap.schema
     f => conjuncts.forall(c => admits(c, f, schema))
   }
 

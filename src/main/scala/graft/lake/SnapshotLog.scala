@@ -1199,11 +1199,19 @@ object SnapshotLog {
     * then). [[foldDeletes]] is the maintenance rewrite that retires the
     * accumulated delete set. */
   def deleteWhere(spark: SparkSession, tableDir: String,
-                  predicate: org.apache.spark.sql.Column): Option[Snapshot] =
+                  predicate: org.apache.spark.sql.Column,
+                  keep: DataFile => Boolean = _ => true): Option[Snapshot] =
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
-      val hits = readCore(spark, tableDir, cur, None, keepLineage = true)
+      // manifest pruning for DML: callers derive `keep` from the
+      // predicate's prunable conjuncts (partition value, stats bounds)
+      // so a day-targeted delete on a 100 TB table scans only that
+      // day's files. Pruning is conservative-by-contract: `keep` must
+      // admit every file that COULD hold a matching row — the row
+      // predicate still applies to everything scanned.
+      val hits = readCore(spark, tableDir,
+        cur.copy(files = cur.files.filter(keep)), None, keepLineage = true)
         .filter(predicate)
       val entries = writePosFile(spark, tableDir, slotsOf(spark, tableDir, hits))
       if (entries.isEmpty) return None
@@ -1223,7 +1231,8 @@ object SnapshotLog {
   def updateWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column,
                   assignments: Map[String, org.apache.spark.sql.Column],
-                  partitionCol: Option[String] = None): Option[Snapshot] =
+                  partitionCol: Option[String] = None,
+                  keep: DataFile => Boolean = _ => true): Option[Snapshot] =
     withTableLock(tableDir) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
@@ -1235,7 +1244,9 @@ object SnapshotLog {
       require(partitionCol.isDefined || cur.files.forall(_.partition.isEmpty),
         s"$tableDir is partitioned; pass partitionCol so replacement " +
           "rows keep their partition value")
-      val matched = readCore(spark, tableDir, cur, None, keepLineage = true)
+      // same manifest-pruning contract as [[deleteWhere]]
+      val matched = readCore(spark, tableDir,
+        cur.copy(files = cur.files.filter(keep)), None, keepLineage = true)
         .filter(predicate).persist()
       try {
         val slots = writePosFile(spark, tableDir, slotsOf(spark, tableDir, matched))

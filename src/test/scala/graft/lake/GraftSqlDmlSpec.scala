@@ -43,6 +43,18 @@ class GraftSqlDmlSpec extends SparkTestBase {
       .as[Long].collect().toSeq === Seq(10L, 20L, 30L))
   }
 
+  test("SQL UPDATE/DELETE with range predicates stay exact under pruning") {
+    val (_, dir) = fresh((1L to 40L).map(i => i -> i * 10): _*)
+    // id carries no manifest bounds here — pruning must keep every file
+    // (conservative) and results must be identical to the unpruned path
+    spark.sql(s"UPDATE $cat.t SET v = 0 WHERE id > 10 AND id <= 20")
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (1, 2, 3)")
+    val m = state(dir)
+    assert(m.size === 37)
+    assert((11L to 20L).forall(m(_) == 0L))
+    assert(m(21L) === 210L && !m.contains(2L))
+  }
+
   test("SQL UPDATE with CASE and arithmetic translates; no-match is a no-op") {
     val (_, dir) = fresh(1L -> 10L, 2L -> 20L)
     spark.sql(s"UPDATE $cat.t SET v = CASE WHEN v < 15 THEN v + 1 ELSE v - 1 END")

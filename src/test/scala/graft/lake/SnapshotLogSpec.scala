@@ -375,6 +375,40 @@ class SnapshotLogSpec extends SparkTestBase {
     }
   }
 
+  test("DML manifest pruning: keep gates the scan; predicates stay exact") {
+    val dir = Files.createTempDirectory("graft-snaplog-dmlprune").toString + "/t"
+    import spark.implicits._
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("day", concat(lit("2024-01-0"),
+        (col("id") % 3 + 1).cast("string")))
+      .withColumn(graft.ingest.Cdc.LsnColumn,
+        lpad(col("id").cast("string"), 16, "0"))
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, df, Some("day"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    // the keep predicate is LOAD-BEARING: count which files the scan
+    // admits — a day-targeted delete must open only that day's files
+    var admitted = 0
+    SnapshotLog.deleteWhere(spark, dir, col("day") === "2024-01-02",
+      keep = f => { val k = f.matchesDay("2024-01-02"); if (k) admitted += 1; k })
+    assert(admitted === 1, s"pruned delete admitted $admitted files")
+    assert(SnapshotLog.readCurrent(spark, dir).get.count() === 200L)
+    assert(SnapshotLog.readCurrent(spark, dir).get
+      .filter(col("day") === "2024-01-02").count() === 0L)
+    // updateWhere prunes the same way and the untouched days survive
+    var admitted2 = 0
+    SnapshotLog.updateWhere(spark, dir, col("day") === "2024-01-03",
+      Map("id" -> (col("id") + 1000L)), partitionCol = Some("day"),
+      keep = f => { val k = f.matchesDay("2024-01-03"); if (k) admitted2 += 1; k })
+    assert(admitted2 >= 1 && admitted2 <= 2) // day-3 base (+ nothing else)
+    val state = SnapshotLog.readCurrent(spark, dir).get
+    assert(state.filter(col("day") === "2024-01-03" && col("id") < 1000L)
+      .count() === 0L)
+    assert(state.filter(col("day") === "2024-01-01" && col("id") < 1000L)
+      .count() === 100L)
+  }
+
   test("without AQE, a small delete falls back to the single pos-delete file") {
     val dir = Files.createTempDirectory("graft-snaplog-noaqe").toString + "/t"
     commitRows(dir, rows(1, 2, 3, 4, 5), "append")
