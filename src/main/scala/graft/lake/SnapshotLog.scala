@@ -556,16 +556,21 @@ object SnapshotLog {
     * retained snapshot is already newer. */
   def snapshotAsOfTime(spark: SparkSession, tableDir: String,
                        tsMs: Long): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
     val ids = snapshotIds(spark, tableDir)
     var lo = 0
     var hi = ids.size - 1
-    var best: Option[Snapshot] = None
+    var best: Option[Long] = None
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val s = snapshotAt(spark, tableDir, ids(mid))
-      if (s.tsMs <= tsMs) { best = Some(s); lo = mid + 1 } else hi = mid - 1
+      // header-only probe: the search needs ts_ms, not the file list —
+      // segment resolution happens once, for the winner
+      val t = mapper.readTree(readFully(fs,
+        new Path(md, f"snap-${ids(mid)}%012d.json"))).get("ts_ms").asLong()
+      if (t <= tsMs) { best = Some(ids(mid)); lo = mid + 1 } else hi = mid - 1
     }
-    best
+    best.map(snapshotAt(spark, tableDir, _))
   }
 
   // ---- named refs (Iceberg tags): a tag pins a snapshot id under a
@@ -1307,12 +1312,13 @@ object SnapshotLog {
       val files = dropEmptyFiles(spark, tableDir,
         writeData(spark, tableDir, aligned, pcol))
       if (files.isEmpty && !overwrite) return cur
-      commit(spark, tableDir,
-        if (overwrite) "overwrite" else "append",
-        (if (overwrite) Seq.empty else cur.files) ++ files, schema,
-        parent = Some(cur),
-        deletes = if (overwrite) Nil else cur.deletes,
-        posDeletes = if (overwrite) Nil else cur.posDeletes)
+      if (overwrite)
+        commit(spark, tableDir, "overwrite", files, schema,
+          parent = Some(cur))
+      else
+        // optimistic append: a cross-process writer racing this INSERT
+        // triggers a manifest-only rebase, never a lost statement
+        appendFiles(spark, tableDir, files, schema, expectedParent = Some(cur))
     }
 
   // ---- MERGE INTO (generic row-level merge, Iceberg's MERGE verb)

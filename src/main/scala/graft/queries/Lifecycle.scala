@@ -2005,6 +2005,60 @@ object Lifecycle extends QueryModule {
        |  'no active queries' FROM m
        |ORDER BY policy""".stripMargin
 
+  // ---- DML manifest pruning: a day-targeted DELETE opens only that
+  // day's files (the keep predicate gates the scan before the row
+  // predicate applies). files_scanned is MEASURED from the manifest
+  // with the same per-file test the keep closure uses; the oracle pins
+  // it to exactly one file (the fixture writes one file per day) and
+  // replays the surviving rows — an unpruned scan cannot fail this
+  // gate's hash, but a WRONGLY-pruned one (missed matches, lost
+  // survivors) fails the row counts.
+  private val dmlPruneFixture = new FixtureCache("graft_dmlprune")
+
+  private def dmlPruneDir(s: SparkSession, d: String): (String, String) = {
+    val dir = dmlPruneFixture.dir(s, d) { dir =>
+      CdcWriter.appendCommit(s, dir, CdcQueries.envelope(s, d))
+      val pcol = graft.model.SchemaBuilder.partitionColumn
+      val minDay = graft.lake.SnapshotLog.currentSnapshot(s, dir).get
+        .files.map(_.partition).filter(_.nonEmpty).min
+      graft.lake.SnapshotLog.deleteWhere(s, dir, col(pcol) === minDay,
+        keep = _.matchesDay(minDay))
+    }
+    val minDay = graft.lake.SnapshotLog.snapshotAt(s, dir, 1L)
+      .files.map(_.partition).filter(_.nonEmpty).min
+    (dir, minDay)
+  }
+
+  private def dmlPrunedDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.SnapshotLog
+    val (dir, minDay) = dmlPruneDir(s, d)
+    val base = SnapshotLog.snapshotAt(s, dir, 1L)
+    val scanned = base.files.count(_.matchesDay(minDay)).toLong
+    val total = base.files.size.toLong
+    Seq(1L, 2L).map { id =>
+      SnapshotLog.read(s, dir, SnapshotLog.snapshotAt(s, dir, id))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(id).as("snap_id"), col("n_rows"),
+          lit(scanned).as("files_scanned"), lit(total).as("files_total"))
+    }.reduce(_ unionByName _).orderBy(col("snap_id"))
+  }
+
+  private val dmlPrunedDeleteSql =
+    s"""WITH envelope AS ($envelopeSql),
+       |days AS (SELECT strftime(_cdc_timestamp, '%Y-%m-%d') AS day
+       |  FROM envelope),
+       |m AS (SELECT min(day) AS minday FROM days),
+       |tot AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS files_total
+       |  FROM days)
+       |SELECT CAST(1 AS BIGINT) AS snap_id,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM days) AS n_rows,
+       |  CAST(1 AS BIGINT) AS files_scanned, tot.files_total FROM tot
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM days, m WHERE day <> m.minday),
+       |  CAST(1 AS BIGINT), tot.files_total FROM tot
+       |ORDER BY snap_id""".stripMargin
+
   // ---- manifest-list scaling (the 100-TB commit-cost property): 40
   // append commits through the sharded metadata layer, then hash-check
   // BOTH the data (state at checkpoints 10/20/30/40 replays as a plain
@@ -2057,6 +2111,7 @@ object Lifecycle extends QueryModule {
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("cdc_manifest_scaling", manifestScaling, Some(manifestScalingSql)),
+    GraftQuery("cdc_dml_pruned_delete", dmlPrunedDelete, Some(dmlPrunedDeleteSql)),
     GraftQuery("alert_eval", alertEval, Some(alertEvalSql)),
     GraftQuery("query_scaling_decision", queryScalingDecision, Some(queryScalingDecisionSql)),
     GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
