@@ -86,43 +86,18 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
     SnapshotLog.conventionPartitionCol(rel.schema)
 
   /** Prunable v1 conjuncts of a resolved DML condition: top-level ANDs
-    * split; each comparison of a target attribute against a literal
-    * maps to its v1 Filter; every other shape contributes NOTHING —
-    * pruning may only narrow when a conjunct PROVES a file can't match,
-    * and [[GraftPruning.filePredicate]] keeps files it can't judge. */
-  private def pruneFilters(e: Expression,
-                           target: Map[ExprId, String]): Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.{sources => v1}
-    def value(x: Expression): Option[Any] = x match {
-      case l: Literal => Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
-      case _          => None
-    }
-    def attr(x: Expression): Option[String] = x match {
-      case a: AttributeReference => target.get(a.exprId)
-      case _                     => None
-    }
-    def cmp(l: Expression, r: Expression,
-            fwd: (String, Any) => v1.Filter,
-            rev: (String, Any) => v1.Filter): Seq[v1.Filter] =
-      (attr(l), value(r), attr(r), value(l)) match {
-        case (Some(n), Some(w), _, _) => Seq(fwd(n, w))
-        case (_, _, Some(n), Some(w)) => Seq(rev(n, w))
-        case _                        => Nil
-      }
-    def conj(x: Expression): Seq[v1.Filter] = x match {
+    * split, each conjunct handed to Spark's own catalyst→v1 translation
+    * (the exact code the scan pushdown path uses). Untranslatable
+    * conjuncts contribute NOTHING — pruning may only narrow when a
+    * conjunct PROVES a file can't match, and
+    * [[GraftPruning.filePredicate]] keeps files it can't judge. */
+  private def pruneFilters(e: Expression): Array[org.apache.spark.sql.sources.Filter] = {
+    def conj(x: Expression): Seq[Expression] = x match {
       case And(l, r) => conj(l) ++ conj(r)
-      case EqualTo(l, r) => cmp(l, r, v1.EqualTo, v1.EqualTo)
-      case GreaterThan(l, r) => cmp(l, r, v1.GreaterThan, v1.LessThan)
-      case GreaterThanOrEqual(l, r) =>
-        cmp(l, r, v1.GreaterThanOrEqual, v1.LessThanOrEqual)
-      case LessThan(l, r) => cmp(l, r, v1.LessThan, v1.GreaterThan)
-      case LessThanOrEqual(l, r) =>
-        cmp(l, r, v1.LessThanOrEqual, v1.GreaterThanOrEqual)
-      case In(a, vs) if attr(a).isDefined && vs.forall(value(_).isDefined) =>
-        Seq(v1.In(attr(a).get, vs.flatMap(value).toArray))
-      case _ => Nil
+      case other     => Seq(other)
     }
-    conj(e).toArray
+    conj(e).flatMap(
+      org.apache.spark.sql.GraftBridge.translateFilter).toArray
   }
 
   private def lowerUpdate(u: UpdateTable, rel: DataSourceV2Relation): LogicalPlan = {
@@ -142,7 +117,7 @@ private[lake] final class GraftDmlRule(spark: SparkSession)
     // manifest pruning: the condition's prunable conjuncts gate the
     // scan (partition value + stats bounds), same as SQL DELETE
     val keep = GraftPruning.filePredicate(
-      u.condition.map(pruneFilters(_, names)).getOrElse(Array.empty),
+      u.condition.map(pruneFilters).getOrElse(Array.empty),
       rel.schema)
     GraftDmlCommand(s"GraftUpdate $dir",
       () => { SnapshotLog.updateWhere(spark, dir, cond, assigns, pcol,

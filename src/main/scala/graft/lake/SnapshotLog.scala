@@ -904,30 +904,68 @@ object SnapshotLog {
     * a second process' interleaved commits land here as stale-parent
     * attempts and compose instead of erroring. Bounded retries — a
     * pathological commit storm still fails loudly rather than looping. */
+  /** Can a parquet column written as `from` be READ as `to` by Spark's
+    * widening reads (no rewrite)? The lattice Spark 4 supports without
+    * a rewrite: byte→short→int→long, int→double, float→double. The
+    * long→double promotion needs a file rewrite and is deliberately
+    * absent (the merge writers rewrite in-commit for that crossing). */
+  private def widensTo(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    if (from == to) return true
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case _                                                           => false
+    }
+  }
+
   def appendFiles(spark: SparkSession, tableDir: String,
                   files: Seq[DataFile], schema: StructType,
                   expectedParent: Option[Snapshot],
-                  maxRetries: Int = 5): Snapshot = {
+                  maxRetries: Int = 5,
+                  revalidate: Snapshot => Unit = _ => ()): Snapshot = {
     var parent = expectedParent
     var attempt = 0
     // the add-only merge applies on EVERY attempt, not just rebases: an
     // append whose batch predates an ALTER ADD COLUMN must not shrink
     // the head schema depending on whether it happened to race. Matched
-    // fields take the INCOMING type (a promoted batch's wide type must
-    // win — the wide schema reads both file generations; the narrow one
-    // cannot read the new files), new incoming fields append, parent
-    // extras survive.
+    // fields take the WIDER of the two types — the head schema must
+    // read BOTH file generations: a promoted batch's wide type wins
+    // over a narrow parent (appendCommit mid-promotion), a stale
+    // batch's narrow type loses to an already-promoted parent (a SQL
+    // INSERT rebasing over a concurrent promotion must not regress the
+    // head). Types neither of which widens to the other refuse the
+    // commit loudly — the old pre-rebase behavior, never a head schema
+    // that cannot read some live file.
     def mergedSchema: StructType = parent match {
       case Some(p) =>
         val incoming = schema.fields.map(f => f.name -> f).toMap
         val parentNames = p.schema.fieldNames.toSet
         StructType(
-          p.schema.fields.map(f => incoming.getOrElse(f.name, f)) ++
-            schema.fields.filterNot(f => parentNames.contains(f.name)))
+          p.schema.fields.map { pf =>
+            incoming.get(pf.name) match {
+              case Some(inf) if widensTo(inf.dataType, pf.dataType) => pf
+              case Some(inf) if widensTo(pf.dataType, inf.dataType) => inf
+              case Some(inf) =>
+                // NOT the retryable kind: retrying cannot change it
+                throw new IllegalStateException(
+                  s"append to $tableDir cannot reconcile column " +
+                    s"${pf.name}: table has ${pf.dataType.simpleString}, " +
+                    s"batch has ${inf.dataType.simpleString} — neither " +
+                    "reads the other's files without a rewrite")
+              case None => pf
+            }
+          } ++ schema.fields.filterNot(f => parentNames.contains(f.name)))
       case None => schema
     }
     while (true) {
       try {
+        // statement-time guards re-check against the REBASE parent: a
+        // foreign commit may have changed what made the append legal
+        // (e.g. a cluster_by switching the table to a managed layout)
+        parent.foreach(revalidate)
         return commit(spark, tableDir, "append",
           parent.map(_.files).getOrElse(Seq.empty) ++ files, mergedSchema,
           parent,
@@ -1300,10 +1338,12 @@ object SnapshotLog {
           schema.fieldNames.filterNot(have.contains).mkString(", "))
       val aligned = df.select(schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
-      require(cur.files.forall(f => f.partition.isEmpty ||
-          f.spec.isEmpty || f.spec.contains("identity")),
-        s"$tableDir has a non-identity partition layout — SQL INSERT " +
-          "would break it; use the engine writers")
+      def layoutGuard(sn: Snapshot): Unit =
+        require(sn.files.forall(f => f.partition.isEmpty ||
+            f.spec.isEmpty || f.spec.contains("identity")),
+          s"$tableDir has a non-identity partition layout — SQL INSERT " +
+            "would break it; use the engine writers")
+      layoutGuard(cur)
       val pcol = conventionPartitionCol(schema)
       // 0-row part files (non-partitioned writes emit one per empty
       // task) must not enter the manifest — every later commit would
@@ -1317,8 +1357,11 @@ object SnapshotLog {
           parent = Some(cur))
       else
         // optimistic append: a cross-process writer racing this INSERT
-        // triggers a manifest-only rebase, never a lost statement
-        appendFiles(spark, tableDir, files, schema, expectedParent = Some(cur))
+        // triggers a manifest-only rebase, never a lost statement; the
+        // layout guard re-checks against each rebase parent (a racing
+        // cluster_by must fail the INSERT loudly, not get broken)
+        appendFiles(spark, tableDir, files, schema, expectedParent = Some(cur),
+          revalidate = layoutGuard)
     }
 
   // ---- MERGE INTO (generic row-level merge, Iceberg's MERGE verb)
@@ -1331,8 +1374,9 @@ object SnapshotLog {
     * semantics); at most one not-matched clause is consulted for source
     * rows without a live match; not-matched-BY-SOURCE clauses apply
     * first-wins to target rows without a source match (their conditions
-    * and assignments see target columns only — `_src_` columns are null
-    * there by construction). */
+    * and assignments see target columns ONLY — referencing a `_src_`
+    * column there fails at analysis: the unmatched rows come from an
+    * anti-join that carries none). */
   private val MergeActionCol = "__graft_merge_action__"
 
   sealed trait MergeClause
@@ -1351,7 +1395,7 @@ object SnapshotLog {
   /** `WHEN NOT MATCHED BY SOURCE THEN UPDATE` — acts on TARGET rows with
     * no source match (the full-sync form: "source is the truth, demote
     * everything it no longer mentions"). Conditions and assignments see
-    * target columns only (`_src_` columns are null by construction). */
+    * target columns only (a `_src_` reference fails at analysis). */
   final case class NotMatchedBySourceUpdate(condition: Option[org.apache.spark.sql.Column],
                                             assignments: Map[String, org.apache.spark.sql.Column])
     extends MergeClause
@@ -1464,11 +1508,11 @@ object SnapshotLog {
           s"$MergeActionCol is a reserved name")
         val actioned = matched.withColumn(MergeActionCol, firstWins(matchedClauses))
           .filter(col(MergeActionCol).isNotNull)
-        // WHEN NOT MATCHED BY SOURCE: target rows the left join found no
-        // source for (the sentinel never rides a real row). This clause
-        // family intrinsically touches every unmatched target row — the
-        // full-sync semantics — but still writes only O(actioned) bytes:
-        // slots for the demoted rows, replacements for the updates.
+        // WHEN NOT MATCHED BY SOURCE: target rows with no source match.
+        // This clause family intrinsically touches every unmatched
+        // target row — the full-sync semantics — but still writes only
+        // O(actioned) bytes: slots for the demoted rows, replacements
+        // for the updates.
         val bySourceClauses = clauses.filter(c =>
           c.isInstanceOf[NotMatchedBySourceUpdate] ||
             c.isInstanceOf[NotMatchedBySourceDelete])
@@ -1481,7 +1525,13 @@ object SnapshotLog {
           if (bySourceClauses.isEmpty) None
           else {
             val srcKeys = src.select(onCols.map(col): _*)
-            val bs = live.join(sizeGated(spark, srcKeys, srcBytes),
+            // the anti-join carries the KEYS only — gate on a width-
+            // proportional estimate, not the full wide source's bytes,
+            // or a wide source forfeits the broadcast exactly where the
+            // stored table is biggest
+            val keyBytes =
+              math.max(1L, srcBytes * onCols.size / math.max(src.columns.length, 1))
+            val bs = live.join(sizeGated(spark, srcKeys, keyBytes),
               onCols, "left_anti")
               .withColumn(MergeActionCol, firstWins(bySourceClauses))
               .filter(col(MergeActionCol).isNotNull)

@@ -14,6 +14,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Catalyst conjunct → v1 Filter, via the SAME translation the scan
+    * pushdown path uses (`DataSourceStrategy.translateFilter` is
+    * protected[sql]) — graft's DML manifest pruning must never invent a
+    * second, subtly-different translation. */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
   /** Register a function triple on a live session's registry (the
     * post-build equivalent of SparkSessionExtensions.injectFunction). */
   def registerFunction(

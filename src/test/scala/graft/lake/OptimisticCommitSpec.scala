@@ -89,6 +89,37 @@ class OptimisticCommitSpec extends SparkTestBase {
       .filter(col("id") === 1L && col("extra") === "x").count() === 1L)
   }
 
+  test("type reconciliation takes the WIDER side; unreadable conflicts refuse") {
+    val dir = Files.createTempDirectory("graft-occ-ty").toString + "/t"
+    import spark.implicits._
+    // head: v long (as if a concurrent writer already promoted)
+    append(dir, Seq((1L, 10L, f"${1}%016d"))
+      .toDF("id", "v", graft.ingest.Cdc.LsnColumn))
+    // a stale INT batch must not regress the head back to int — the
+    // long head reads the int files via Spark's widening
+    val narrow = Seq((2, 20, f"${2}%016d")).toDF("id", "v", graft.ingest.Cdc.LsnColumn)
+      .select(col("id").cast("int").as("id"), col("v").cast("int").as("v"),
+        col(graft.ingest.Cdc.LsnColumn))
+    val a = SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      val files = SnapshotLog.writeData(spark, dir, narrow, None)
+      SnapshotLog.appendFiles(spark, dir, files, narrow.schema, cur)
+    }
+    assert(a.schema("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(SnapshotLog.readCurrent(spark, dir).get
+      .select(sum(col("v"))).as[Long].head() === 30L)
+    // long vs double: neither side reads the other without a rewrite —
+    // the append refuses loudly instead of committing an unreadable head
+    val dbl = Seq((3L, 30.5, f"${3}%016d")).toDF("id", "v", graft.ingest.Cdc.LsnColumn)
+    intercept[IllegalStateException] {
+      SnapshotLog.withTableLock(dir) {
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        val files = SnapshotLog.writeData(spark, dir, dbl, None)
+        SnapshotLog.appendFiles(spark, dir, files, dbl.schema, cur)
+      }
+    }
+  }
+
   test("a rebase onto a concurrent TRUNCATE serializes the append after it") {
     val dir = Files.createTempDirectory("graft-occ-tr").toString + "/t"
     val base = append(dir, rows(1, 2))
