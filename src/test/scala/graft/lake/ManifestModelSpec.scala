@@ -1,0 +1,141 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+import scala.util.Random
+
+/** MODEL-BASED check of the segment planner: a long random sequence of
+  * appends, partial removals, full replaces, rollbacks and expires runs
+  * against the real SnapshotLog (fabricated metadata-only entries) and
+  * a trivial in-memory model (a Map of path → entry per snapshot).
+  * After every operation the log must resolve EXACTLY the model's file
+  * set — no double-covered entry (a reused segment overlapping the
+  * residue), no lost entry (an over-eager fold), no stale seq — and the
+  * structural invariants (bounded segment count, sub-quadratic entry
+  * writes) must hold at the end. A fixed RNG seed keeps failures
+  * replayable. */
+class ManifestModelSpec extends SparkTestBase {
+
+  import SnapshotLog.DataFile
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def entry(i: Int): DataFile =
+    DataFile(f"data/m/f$i%06d.parquet", "", hive = false, rows = 1L,
+      sizeBytes = 10L, minLsn = Some(f"$i%016d"), maxLsn = Some(f"$i%016d"),
+      seq = -1L, statsCol = Some(graft.ingest.Cdc.LsnColumn))
+
+  test("random op sequences: log resolution equals the model at every step") {
+    val rng = new Random(20260814L)
+    val dir = Files.createTempDirectory("graft-model").toString + "/t"
+    var model = Map.empty[String, Long] // path -> seq it was added by
+    var nextFile = 0
+    var history = Vector.empty[(Long, Map[String, Long])]
+
+    def commitOp(op: String, files: Seq[DataFile]): Unit = {
+      val sn = SnapshotLog.withTableLock(dir) {
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        SnapshotLog.commit(spark, dir, op, files, schema, parent = cur)
+      }
+      model = sn.files.map(f => f.path -> f.seq).toMap
+      history :+= (sn.id, model)
+    }
+
+    def carried: Seq[DataFile] =
+      SnapshotLog.currentSnapshot(spark, dir).toSeq.flatMap(_.files)
+
+    for (step <- 1 to 120) {
+      rng.nextInt(10) match {
+        case n if n <= 5 => // append 1-4 fresh files
+          val fresh = (1 to 1 + rng.nextInt(4)).map { _ =>
+            nextFile += 1; entry(nextFile)
+          }
+          commitOp("append", carried ++ fresh)
+        case 6 | 7 => // remove a random subset (partial rewrite shape)
+          val cur = carried
+          if (cur.nonEmpty) {
+            val keep = cur.filter(_ => rng.nextBoolean())
+            commitOp("replace", keep)
+          }
+        case 8 => // rollback to a random retained snapshot
+          val ids = SnapshotLog.snapshotIds(spark, dir)
+          if (ids.nonEmpty) {
+            val target = ids(rng.nextInt(ids.size))
+            SnapshotLog.withTableLock(dir) {
+              SnapshotLog.rollback(spark, dir, target)
+            }
+            val sn = SnapshotLog.currentSnapshot(spark, dir).get
+            model = sn.files.map(f => f.path -> f.seq).toMap
+            history :+= (sn.id, model)
+          }
+        case _ => // expire most history (keeps segments honest)
+          if (SnapshotLog.snapshotIds(spark, dir).nonEmpty) {
+            SnapshotLog.expire(spark, dir, keepLast = 1 + rng.nextInt(3))
+            val ids = SnapshotLog.snapshotIds(spark, dir).toSet
+            history = history.filter(h => ids.contains(h._1))
+          }
+      }
+      // the log's CURRENT resolution must equal the model exactly
+      val got = SnapshotLog.currentSnapshot(spark, dir).toSeq
+        .flatMap(_.files).map(f => f.path -> f.seq)
+      assert(got.size === got.toMap.size, s"step $step: duplicate entries")
+      assert(got.toMap === model, s"step $step: resolution diverged")
+      // every RETAINED historical snapshot replays its recorded state
+      if (step % 20 == 0) history.foreach { case (id, m) =>
+        val h = SnapshotLog.snapshotAt(spark, dir, id)
+        assert(h.files.map(f => f.path -> f.seq).toMap === m,
+          s"step $step: history $id diverged")
+      }
+    }
+    // structural invariants after the full walk
+    val ids = SnapshotLog.snapshotIds(spark, dir)
+    ids.foreach(id => assert(
+      SnapshotLog.segmentCount(spark, dir, id) <= SnapshotLog.MaxSegments))
+    // no unreferenced junk beyond what expire's grace rules allow: a
+    // final expire reclaims everything dead, and what remains resolves
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new Path(dir, SnapshotLog.MetaDirName)
+    val entriesOnDisk = SnapshotLog.totalSegmentEntries(spark, dir)
+    assert(entriesOnDisk >= model.size.toLong)
+    assert(SnapshotLog.currentSnapshot(spark, dir).get
+      .files.map(f => f.path -> f.seq).toMap === model)
+    assert(fs.exists(md))
+  }
+
+  test("lock-free concurrent appenders all land (cross-process emulation)") {
+    // two appenders deliberately BYPASS withTableLock — the in-JVM
+    // emulation of two processes: every collision must rebase, every
+    // batch must land exactly once, ids must stay gapless
+    val dir = Files.createTempDirectory("graft-model-conc").toString + "/t"
+    SnapshotLog.withTableLock(dir) {
+      SnapshotLog.commit(spark, dir, "append", Seq(entry(0)), schema, None)
+    }
+    val perWriter = 12
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def writer(base: Int) = scala.concurrent.Future {
+      (1 to perWriter).foreach { k =>
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        SnapshotLog.appendFiles(spark, dir, Seq(entry(base + k)), schema,
+          expectedParent = cur, maxRetries = 50)
+      }
+    }
+    val done = scala.concurrent.Future.sequence(Seq(writer(1000), writer(2000)))
+    scala.concurrent.Await.result(done, scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    val cur = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(cur.id === (1 + 2 * perWriter).toLong) // gapless ids
+    val paths = cur.files.map(_.path)
+    assert(paths.distinct.size === paths.size)
+    assert(paths.size === 1 + 2 * perWriter) // every batch exactly once
+    (1 to perWriter).foreach { k =>
+      assert(paths.contains(entry(1000 + k).path))
+      assert(paths.contains(entry(2000 + k).path))
+    }
+  }
+}
