@@ -2310,8 +2310,11 @@ object SnapshotLog {
                       fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"incremental range ($fromId, $toId] is empty")
     val window = resolveWindow(spark, tableDir, fromId, toId)
+    // "replace" (compaction/fold) and "evolve-schema" (rename/drop/add
+    // metadata commits) change no rows — skipped, like Iceberg's
+    // incremental scan over rewrites; anything else fails loudly
     val bad = window.filterNot(s =>
-      s.operation == "append" || s.operation == "replace")
+      Set("append", "replace", "evolve-schema").contains(s.operation))
     require(bad.isEmpty,
       s"incremental read over non-append snapshots " +
         s"${bad.map(s => s"${s.id}:${s.operation}").mkString(", ")} in $tableDir")
@@ -2349,7 +2352,8 @@ object SnapshotLog {
     require(fromId <= toId, s"changelog range ($fromId, $toId] is empty")
     val window = resolveWindow(spark, tableDir, fromId, toId)
     val bad = window.filterNot(s =>
-      Set("append", "mor-merge", "replace").contains(s.operation))
+      Set("append", "mor-merge", "replace", "evolve-schema")
+        .contains(s.operation))
     require(bad.isEmpty,
       s"changelog over non-append/mor snapshots " +
         s"${bad.map(s => s"${s.id}:${s.operation}").mkString(", ")} in $tableDir")
@@ -2357,7 +2361,8 @@ object SnapshotLog {
       currentSnapshot(spark, tableDir).map(_.schema).getOrElse(
         throw new NoSuchElementException(s"no snapshots in $tableDir")))
     val ordered = schema.fieldNames.toSeq
-    val parts = window.filter(_.operation != "replace").flatMap { s =>
+    val parts = window.filterNot(s =>
+      s.operation == "replace" || s.operation == "evolve-schema").flatMap { s =>
       val added = s.files.filter(_.seq == s.id)
       val upserts = readFiles(spark, tableDir, s.schema, added,
         schemasById = parsedSchemas(s))

@@ -114,6 +114,24 @@ class SchemaEvolutionSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap === Map(1L -> 10L, 3L -> 33L))
   }
 
+  test("incremental and changelog scans skip evolve-schema commits, " +
+    "resolving old eras by id under the final schema") {
+    val dir = fresh(1L -> 10L)                         // snapshot 1
+    SnapshotLog.renameColumn(spark, dir, "v", "score") // snapshot 2
+    import spark.implicits._
+    append(dir, Seq((2L, 20L)).toDF("id", "score")     // snapshot 3
+      .withColumn(graft.ingest.Cdc.LsnColumn, lit(lsn(2))))
+    // the window spans the rename: no refusal, no rows from it, and
+    // snapshot 1's file (written under 'v') surfaces as 'score'
+    val inc = SnapshotLog.readIncremental(spark, dir, 0L, 3L)
+    assert(inc.columns.contains("score"))
+    assert(inc.select(col("id").cast("long"), col("score").cast("long"))
+      .as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+    val ch = SnapshotLog.readChangelog(spark, dir, 0L, 3L)
+    assert(ch.filter(col("_change_type") === "upsert").count() === 2L)
+    assert(ch.filter(col("_change_snapshot_id") === 2L).count() === 0L)
+  }
+
   test("SQL ALTER RENAME/DROP COLUMN flow through the catalog") {
     val cat = "gevo"
     val wh = Files.createTempDirectory("graft-evo-sql").toString
