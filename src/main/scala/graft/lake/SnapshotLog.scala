@@ -2323,9 +2323,12 @@ object SnapshotLog {
     val schema = window.lastOption.map(_.schema).getOrElse(
       currentSnapshot(spark, tableDir).map(_.schema).getOrElse(
         throw new NoSuchElementException(s"no snapshots in $tableDir")))
+    // era schemas union across the WINDOW: an added file replaced away
+    // by a later window snapshot may be pruned from the last snapshot's
+    // schema map, but its own snapshot still carries its era
     readFiles(spark, tableDir, schema, added,
-      schemasById = window.lastOption.map(parsedSchemas)
-        .getOrElse(Map.empty))
+      schemasById = window.map(parsedSchemas)
+        .foldLeft(Map.empty[Int, StructType])(_ ++ _))
   }
 
   /** Changelog scan (Iceberg's CDC-out surface): the NET row changes each
