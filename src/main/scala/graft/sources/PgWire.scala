@@ -1,0 +1,368 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal PostgreSQL v3 wire-protocol client for LOGICAL REPLICATION —
+  * pure JVM sockets, zero driver dependencies. This is the REAL
+  * `START_REPLICATION` tail the reference performs through pglogrepl
+  * (ref internal/cdc/source/postgres/reader.go:60-170: connect with
+  * `replication=database`, create a pgoutput slot, stream XLogData,
+  * acknowledge with Standby Status Updates), re-implemented against the
+  * public protocol documentation because no Postgres driver jar ships
+  * in this environment.
+  *
+  * Scope: trust-auth connections (the reference's local/dev posture —
+  * SASL/SCRAM is deliberately out: secrets handling belongs to the
+  * control plane SURVEY §3.3 scopes out), pgoutput protocol version 1,
+  * text-format tuples. The decoded changes are emitted as DEBEZIUM-
+  * format JSON envelopes — the exact wire shape
+  * [[graft.ingest.EnvelopeDecoder]] consumes — so the entire existing
+  * pipeline (decode → route → merge → lake) runs unchanged on a live
+  * Postgres stream.
+  *
+  * Delivery contract: [[drain]] returns the available changes plus the
+  * end LSN but confirms NOTHING; the caller persists the batch first
+  * and then calls [[confirm]], which advances the slot via a Standby
+  * Status Update. A crash between the two replays the batch on the
+  * next drain — at-least-once into the lake's idempotent merge =
+  * effectively exactly-once (the same contract the checkpointed
+  * stand-in source proves, now against the real WAL).
+  *
+  * 100 TB note: one WAL is intrinsically a single ordered stream (the
+  * reference reads it serially too); the client's job is to hand dense
+  * batches to the DISTRIBUTED pipeline, which fans out per table and
+  * per partition from there.
+  */
+final class PgWire(host: String, port: Int, user: String, db: String)
+  extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), 5000)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  override def close(): Unit = {
+    try { send('X', Array.empty) } catch { case _: Exception => () }
+    socket.close()
+  }
+
+  // ---- framing
+
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  private def send(typ: Char, payload: Array[Byte]): Unit = {
+    out.writeByte(typ.toByte)
+    out.writeInt(payload.length + 4)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** One backend message: (type, payload). */
+  private def read(): (Char, Array[Byte]) = {
+    val typ = in.readByte().toChar
+    val len = in.readInt() - 4
+    val buf = new Array[Byte](len)
+    in.readFully(buf)
+    (typ, buf)
+  }
+
+  private def err(payload: Array[Byte]): Nothing = {
+    // ErrorResponse: (code byte, cstring)* terminated by a zero byte
+    var i = 0
+    var msg = "postgres error"
+    while (i < payload.length && payload(i) != 0) {
+      val code = payload(i).toChar
+      val end = payload.indexOf(0.toByte, i + 1)
+      val field = new String(payload, i + 1, end - i - 1, UTF_8)
+      if (code == 'M') msg = field
+      i = end + 1
+    }
+    throw new java.io.IOException(s"postgres: $msg")
+  }
+
+  // ---- startup (trust auth)
+
+  /** Connect as a logical-replication client (`replication=database`
+    * lets the walsender accept replication commands for this db). */
+  def connectReplication(): Unit = {
+    val params = Array("user", user, "database", db, "replication", "database",
+      "application_name", "graft")
+      .map(cstr).reduce(_ ++ _) :+ 0.toByte
+    val body = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeInt(params.length + 8)
+    d.writeInt(196608) // protocol 3.0
+    d.write(params)
+    out.write(body.toByteArray)
+    out.flush()
+    var ready = false
+    while (!ready) read() match {
+      case ('R', p) =>
+        val code = java.nio.ByteBuffer.wrap(p).getInt
+        require(code == 0, s"unsupported auth method $code (trust only)")
+      case ('Z', _) => ready = true
+      case ('E', p) => err(p)
+      case _        => () // ParameterStatus / BackendKeyData / notices
+    }
+  }
+
+  // ---- simple query (replication commands)
+
+  /** Run one simple-protocol command, returning DataRows as strings.
+    * On ErrorResponse the stream is consumed through ReadyForQuery
+    * BEFORE throwing, so the connection stays usable (the slot-exists
+    * probe relies on it). */
+  def command(sql: String): Seq[Seq[String]] = {
+    send('Q', cstr(sql))
+    val rows = Seq.newBuilder[Seq[String]]
+    var done = false
+    var failed: Option[Array[Byte]] = None
+    while (!done) read() match {
+      case ('D', p) =>
+        val bb = java.nio.ByteBuffer.wrap(p)
+        val n = bb.getShort.toInt
+        rows += (0 until n).map { _ =>
+          val len = bb.getInt
+          if (len < 0) null
+          else { val b = new Array[Byte](len); bb.get(b); new String(b, UTF_8) }
+        }
+      case ('Z', _) => done = true
+      case ('E', p) => failed = Some(p)
+      case _        => () // RowDescription / CommandComplete / notices
+    }
+    failed.foreach(err)
+    rows.result()
+  }
+
+  /** Create the pgoutput slot if absent; returns its confirmed LSN. */
+  def ensureSlot(slot: String): Long = {
+    val existing = try {
+      command(s"""CREATE_REPLICATION_SLOT "$slot" LOGICAL pgoutput""")
+        .headOption.map(r => parseLsn(r(1)))
+    } catch {
+      case e: java.io.IOException if e.getMessage.contains("already exists") =>
+        None // ErrorResponse consumed through ReadyForQuery by `command`
+    }
+    existing.getOrElse(0L)
+  }
+
+  private def parseLsn(s: String): Long = {
+    val Array(hi, lo) = s.split("/")
+    (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+  }
+
+  private def lsnStr(lsn: Long): String =
+    f"${(lsn >>> 32).toHexString.toUpperCase}%s/${(lsn & 0xffffffffL).toHexString.toUpperCase}%s"
+
+  // ---- replication stream
+
+  private var streaming = false
+  // per-CONNECTION pgoutput state: the server announces each relation
+  // ONCE per session, so the cache must outlive individual drains
+  private val decoder = new PgOutputDecoder
+
+  /** Enter CopyBoth streaming from the slot's confirmed position
+    * (startLsn 0 = wherever the slot stands — the replay-safe default). */
+  def startReplication(slot: String, publication: String,
+                       startLsn: Long = 0L): Unit = {
+    send('Q', cstr(
+      s"""START_REPLICATION SLOT "$slot" LOGICAL ${lsnStr(startLsn)} """ +
+        s"""(proto_version '1', publication_names '"$publication"')"""))
+    var ok = false
+    while (!ok) read() match {
+      case ('W', _) => ok = true // CopyBothResponse
+      case ('E', p) => err(p)
+      case _        => ()
+    }
+    streaming = true
+  }
+
+  /** Micros since the PG epoch (2000-01-01) for status messages. */
+  private def pgClockMicros(): Long =
+    (System.currentTimeMillis() - 946684800000L) * 1000L
+
+  /** Standby Status Update acknowledging everything through `lsn`. */
+  def confirm(lsn: Long): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 * 4 + 1)
+    bb.put('r'.toByte)
+    bb.putLong(lsn); bb.putLong(lsn); bb.putLong(lsn)
+    bb.putLong(pgClockMicros())
+    bb.put(0.toByte)
+    send('d', bb.array())
+  }
+
+  /** Drain everything currently in the WAL: decode pgoutput messages to
+    * Debezium-JSON envelopes until the stream goes quiet for `quietMs`.
+    * Returns (envelopes, endLsn) — call [[confirm]](endLsn) AFTER
+    * persisting. Keepalives are answered (without moving the flush
+    * position) so the server never drops a slow consumer mid-drain. */
+  def drain(quietMs: Int = 400): (Seq[String], Long) = {
+    require(streaming, "startReplication first")
+    val outMsgs = Seq.newBuilder[String]
+    var endLsn = 0L
+    socket.setSoTimeout(quietMs)
+    var quiet = false
+    while (!quiet) {
+      val msg =
+        try Some(read())
+        catch { case _: SocketTimeoutException => None }
+      msg match {
+        case None => quiet = true
+        case Some(('d', p)) =>
+          p(0).toChar match {
+            case 'w' =>
+              val bb = java.nio.ByteBuffer.wrap(p, 1, p.length - 1)
+              val walStart = bb.getLong
+              bb.getLong // walEnd of this message
+              bb.getLong // server clock
+              val body = new Array[Byte](bb.remaining())
+              bb.get(body)
+              endLsn = math.max(endLsn, walStart)
+              outMsgs ++= decoder.decode(walStart, body)
+            case 'k' =>
+              val bb = java.nio.ByteBuffer.wrap(p, 1, p.length - 1)
+              val walEnd = bb.getLong
+              bb.getLong
+              val reply = bb.get()
+              endLsn = math.max(endLsn, walEnd)
+              if (reply == 1) confirm(0L) // answer, confirm nothing yet
+            case _ => ()
+          }
+        case Some(('E', p)) => err(p)
+        case _              => ()
+      }
+    }
+    (outMsgs.result(), endLsn)
+  }
+}
+
+/** pgoutput protocol-version-1 message decoder → Debezium-format JSON
+  * envelopes (ref reader.go:172-242 convertEvent — the same mapping:
+  * I/U/D/T → c/u/d/t, old image → before, new image → after). Relation
+  * metadata ('R' messages) arrives in-stream before first use and is
+  * cached per relation id; numeric/boolean type oids render as bare
+  * JSON values so [[graft.ingest.EnvelopeDecoder]]'s typed from_json
+  * sees real numbers, everything else JSON-escapes as a string. */
+private[sources] final case class PgRel(namespace: String, name: String,
+                                         cols: Seq[(String, Int)]) // name, typoid
+
+private[sources] final class PgOutputDecoder {
+
+  private type Rel = PgRel
+  private val Rel = PgRel
+  private val rels = scala.collection.mutable.Map.empty[Int, Rel]
+  private var xid = 0L
+  private var commitTsMs = 0L
+
+  private def str(bb: java.nio.ByteBuffer): String = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    var b = bb.get()
+    while (b != 0) { bytes.write(b.toInt); b = bb.get() }
+    new String(bytes.toByteArray, UTF_8)
+  }
+
+  /** Tuple data → per-column Option[text]. */
+  private def tuple(bb: java.nio.ByteBuffer): Seq[Option[String]] = {
+    val n = bb.getShort.toInt
+    (0 until n).map { _ =>
+      bb.get().toChar match {
+        case 'n' | 'u' => None
+        case 't' =>
+          val len = bb.getInt
+          val b = new Array[Byte](len)
+          bb.get(b)
+          Some(new String(b, UTF_8))
+        case other => throw new IllegalStateException(s"tuple kind $other")
+      }
+    }
+  }
+
+  private val NumericOids =
+    Set(16, 20, 21, 23, 26, 700, 701, 1700) // bool, int8/2/4, oid, float4/8, numeric
+
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def image(rel: Rel, values: Seq[Option[String]]): String =
+    rel.cols.zip(values).map { case ((name, oid), v) =>
+      val jv = v match {
+        case None => "null"
+        case Some(s) if NumericOids.contains(oid) =>
+          if (oid == 16) (if (s == "t") "true" else "false") else s
+        case Some(s) => jsonEscape(s)
+      }
+      s"${jsonEscape(name)}:$jv"
+    }.mkString("{", ",", "}")
+
+  private def envelope(lsn: Long, rel: Rel, op: String,
+                       before: Option[String], after: Option[String]): String =
+    s"""{"before":${before.getOrElse("null")},"after":${after.getOrElse("null")},""" +
+      s""""op":"$op","ts_ms":$commitTsMs,"source":{"schema":${jsonEscape(rel.namespace)},""" +
+      s""""table":${jsonEscape(rel.name)},"lsn":$lsn,"txId":$xid}}"""
+
+  /** One pgoutput message → zero or more envelopes. */
+  def decode(lsn: Long, body: Array[Byte]): Seq[String] = {
+    val bb = java.nio.ByteBuffer.wrap(body)
+    bb.get().toChar match {
+      case 'B' => // begin: finalLsn, commit ts (pg micros), xid
+        bb.getLong
+        commitTsMs = bb.getLong / 1000L + 946684800000L
+        xid = bb.getInt.toLong
+        Nil
+      case 'C' => Nil // commit
+      case 'R' =>
+        val relId = bb.getInt
+        val ns = str(bb)
+        val name = str(bb)
+        bb.get() // replica identity
+        val ncols = bb.getShort.toInt
+        val cols = (0 until ncols).map { _ =>
+          bb.get() // flags
+          val cname = str(bb)
+          val oid = bb.getInt
+          bb.getInt // typmod
+          (cname, oid)
+        }
+        rels(relId) = Rel(ns, name, cols)
+        Nil
+      case 'I' =>
+        val rel = rels(bb.getInt)
+        require(bb.get().toChar == 'N')
+        Seq(envelope(lsn, rel, "c", None, Some(image(rel, tuple(bb)))))
+      case 'U' =>
+        val rel = rels(bb.getInt)
+        var before: Option[String] = None
+        var kind = bb.get().toChar
+        if (kind == 'K' || kind == 'O') {
+          before = Some(image(rel, tuple(bb)))
+          kind = bb.get().toChar
+        }
+        require(kind == 'N', s"update tuple kind $kind")
+        Seq(envelope(lsn, rel, "u", before, Some(image(rel, tuple(bb)))))
+      case 'D' =>
+        val rel = rels(bb.getInt)
+        val kind = bb.get().toChar
+        require(kind == 'K' || kind == 'O', s"delete tuple kind $kind")
+        Seq(envelope(lsn, rel, "d", Some(image(rel, tuple(bb))), None))
+      case 'T' =>
+        val n = bb.getInt
+        bb.get() // flags
+        (0 until n).map { _ =>
+          val rel = rels(bb.getInt)
+          envelope(lsn, rel, "t", None, None)
+        }
+      case _ => Nil // origin/message/type — not produced by this setup
+    }
+  }
+}

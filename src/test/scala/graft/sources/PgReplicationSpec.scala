@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.sys.process._
+
+/** LIVE Postgres logical replication through the pure-JVM wire client:
+  * a real postgres server (initdb'd into /tmp, wal_level=logical), real
+  * DML through psql, a real pgoutput slot tailed over a socket — and
+  * the stream runs UNCHANGED through the existing pipeline (Debezium
+  * envelope → EnvelopeDecoder → current-state / lake merge). Cancels
+  * (does not fail) when no postgres installation is present — the
+  * environment-bound path of SURVEY S1, exercised for real when the
+  * environment provides it. */
+class PgReplicationSpec extends SparkTestBase
+  with org.scalatest.BeforeAndAfterAll {
+
+  private val Port = 54331
+  private val DataDir = "/tmp/graft_pgspec"
+  private val PgBin = "/usr/lib/postgresql/15/bin"
+
+  private def sh(cmd: Seq[String]): (Int, String) = {
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(s => out.append(s).append('\n'),
+      s => out.append(s).append('\n')))
+    (code, out.toString)
+  }
+
+  private def psql(sql: String): String = {
+    val (code, out) = sh(Seq("psql", "-h", "127.0.0.1", "-p", Port.toString,
+      "-U", "graft", "-d", "postgres", "-X", "-tAc", sql))
+    assert(code == 0, s"psql failed: $out")
+    out.trim
+  }
+
+  /** Start a throwaway server; None when the environment lacks one. */
+  private lazy val serverUp: Boolean = {
+    val havePg = new java.io.File(s"$PgBin/initdb").canExecute &&
+      sh(Seq("id", "-u", "postgres"))._1 == 0
+    havePg && {
+      sh(Seq("su", "postgres", "-c",
+        s"$PgBin/pg_ctl -D $DataDir stop -m immediate")) // stale instance
+      sh(Seq("rm", "-rf", DataDir))
+      sh(Seq("mkdir", "-p", DataDir))
+      sh(Seq("chown", "postgres", DataDir))
+      val (c1, o1) = sh(Seq("su", "postgres", "-c",
+        s"$PgBin/initdb -D $DataDir -U graft --auth=trust -E UTF8"))
+      assert(c1 == 0, s"initdb: $o1")
+      val conf = new java.io.FileWriter(s"$DataDir/postgresql.conf", true)
+      conf.write("\nwal_level=logical\nmax_replication_slots=4\n" +
+        "listen_addresses='127.0.0.1'\n")
+      conf.close()
+      val (c2, o2) = sh(Seq("su", "postgres", "-c",
+        s"$PgBin/pg_ctl -D $DataDir -o '-p $Port' -l $DataDir/server.log start"))
+      assert(c2 == 0, s"pg_ctl: $o2")
+      Thread.sleep(800)
+      psql("SELECT 1") == "1"
+    }
+  }
+
+  override def afterAll(): Unit = {
+    try sh(Seq("su", "postgres", "-c",
+      s"$PgBin/pg_ctl -D $DataDir stop -m immediate"))
+    finally super.afterAll()
+  }
+
+  private val payloadSchema = new StructType()
+    .add("id", "long").add("name", "string").add("value", "double")
+
+  private def decodeToState(envelopes: Seq[String]): Map[Long, (String, Double)] = {
+    import spark.implicits._
+    val raw = spark.createDataset(envelopes).toDF("json")
+    val env = graft.ingest.EnvelopeDecoder.flattened(
+      graft.ingest.EnvelopeDecoder.decode(raw, "json", payloadSchema))
+    graft.ingest.Cdc.currentStateWithTruncate(env, Seq("id"))
+      .select(col("id").cast("long"), col("name"), col("value").cast("double"))
+      .as[(Long, String, Double)].collect()
+      .map { case (i, n, v) => i -> (n, v) }.toMap
+  }
+
+  private def pgState(): Map[Long, (String, Double)] =
+    psql("SELECT id, name, value FROM users ORDER BY id").split('\n')
+      .filter(_.nonEmpty).map { line =>
+        val Array(i, n, v) = line.split('|')
+        i.toLong -> (n, v.toDouble)
+      }.toMap
+
+  test("live WAL tail: insert/update/delete stream through the whole pipeline") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    psql("""CREATE TABLE users (
+           |  id bigint primary key, name text, value double precision)""".stripMargin)
+    psql("ALTER TABLE users REPLICA IDENTITY FULL")
+    psql("CREATE PUBLICATION graft_pub FOR TABLE users")
+    val wire = new PgWire("127.0.0.1", Port, "graft", "postgres")
+    try {
+      wire.connectReplication()
+      wire.ensureSlot("graft_slot")
+      // DML lands AFTER the slot exists, so the stream owns it whole
+      psql("INSERT INTO users VALUES (1,'alice',10.5),(2,'bob',20.0),(3,'carol',30.25)")
+      psql("UPDATE users SET value = 99.5, name = 'ALICE' WHERE id = 1")
+      psql("DELETE FROM users WHERE id = 2")
+      wire.startReplication("graft_slot", "graft_pub")
+      val (envelopes, endLsn) = wire.drain()
+      assert(envelopes.size === 5, s"expected 5 changes, got:\n${envelopes.mkString("\n")}")
+      // the stream replays to EXACTLY the live table state, through the
+      // standard decoder + current-state operators
+      assert(decodeToState(envelopes) === pgState())
+      assert(decodeToState(envelopes) ===
+        Map(1L -> ("ALICE", 99.5), 3L -> ("carol", 30.25)))
+      // envelope fidelity: ops, source metadata, numeric json values
+      assert(envelopes.count(_.contains("\"op\":\"c\"")) === 3)
+      assert(envelopes.count(_.contains("\"op\":\"u\"")) === 1)
+      assert(envelopes.count(_.contains("\"op\":\"d\"")) === 1)
+      assert(envelopes.forall(_.contains("\"table\":\"users\"")))
+      assert(endLsn > 0L)
+      wire.confirm(endLsn)
+    } finally wire.close()
+  }
+
+  test("delivery contract: confirm advances the slot; unconfirmed batches replay") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    psql("INSERT INTO users VALUES (4,'dave',40.0)")
+    // drain WITHOUT confirming, reconnect: the batch replays
+    val w1 = new PgWire("127.0.0.1", Port, "graft", "postgres")
+    val first = try {
+      w1.connectReplication()
+      w1.startReplication("graft_slot", "graft_pub")
+      w1.drain()._1
+    } finally w1.close()
+    assert(first.exists(_.contains("\"name\":\"dave\"")))
+    val w2 = new PgWire("127.0.0.1", Port, "graft", "postgres")
+    try {
+      w2.connectReplication()
+      w2.startReplication("graft_slot", "graft_pub")
+      val (replayed, lsn2) = w2.drain()
+      assert(replayed.exists(_.contains("\"name\":\"dave\"")),
+        "unconfirmed batch did not replay")
+      // persist-then-confirm: after the ack, only NEW changes arrive
+      w2.confirm(lsn2)
+      psql("INSERT INTO users VALUES (5,'erin',50.0)")
+      val (fresh, _) = w2.drain()
+      assert(fresh.exists(_.contains("\"name\":\"erin\"")))
+      assert(!fresh.exists(_.contains("\"name\":\"dave\"")),
+        "confirmed batch was re-delivered")
+    } finally w2.close()
+  }
+
+  test("TRUNCATE flows as the truncate marker the pipeline understands") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    val wire = new PgWire("127.0.0.1", Port, "graft", "postgres")
+    try {
+      wire.connectReplication()
+      wire.startReplication("graft_slot", "graft_pub")
+      wire.drain() match { case (_, l) => if (l > 0) wire.confirm(l) }
+      psql("TRUNCATE users")
+      psql("INSERT INTO users VALUES (9,'zoe',90.0)")
+      val (envelopes, _) = wire.drain()
+      assert(envelopes.exists(_.contains("\"op\":\"t\"")))
+      // truncate wipes state; the later insert survives — the SAME
+      // semantics the stand-in e2e gates prove, now from a live WAL
+      assert(decodeToState(envelopes.filter(e =>
+        e.contains("\"op\":\"t\"") || e.contains("\"op\":\"c\"")))
+        === Map(9L -> ("zoe", 90.0)))
+    } finally wire.close()
+  }
+}
