@@ -2325,10 +2325,14 @@ object SnapshotLog {
         throw new NoSuchElementException(s"no snapshots in $tableDir")))
     // era schemas union across the WINDOW: an added file replaced away
     // by a later window snapshot may be pruned from the last snapshot's
-    // schema map, but its own snapshot still carries its era
+    // schema map, but its own snapshot still carries its era. Union the
+    // RAW maps first (schemas are immutable per id), parse each id once.
+    val eraJson = window.map(_.schemasById)
+      .foldLeft(Map.empty[Int, String])(_ ++ _)
     readFiles(spark, tableDir, schema, added,
-      schemasById = window.map(parsedSchemas)
-        .foldLeft(Map.empty[Int, StructType])(_ ++ _))
+      schemasById = eraJson.map { case (k, j) =>
+        k -> DataType.fromJson(j).asInstanceOf[StructType]
+      })
   }
 
   /** Changelog scan (Iceberg's CDC-out surface): the NET row changes each

@@ -25,16 +25,26 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Delivery contract: [[drain]] returns the available changes plus the
   * end LSN but confirms NOTHING; the caller persists the batch first
   * and then calls [[confirm]], which advances the slot via a Standby
-  * Status Update. A crash between the two replays the batch on the
-  * next drain — at-least-once into the lake's idempotent merge =
-  * effectively exactly-once (the same contract the checkpointed
-  * stand-in source proves, now against the real WAL).
+  * Status Update. The overall guarantee is AT-LEAST-ONCE into the
+  * lake's idempotent merge (= effectively exactly-once): a crash
+  * between persist and confirm replays the batch, and a confirm
+  * written into a connection the server already dropped (a persist
+  * longer than wal_sender_timeout with nobody answering keepalives)
+  * is LOST without error — surfaced only on the connection's next
+  * use — and that batch replays too. Keep persists short relative to
+  * wal_sender_timeout, or reconnect-and-confirm.
   *
   * 100 TB note: one WAL is intrinsically a single ordered stream (the
   * reference reads it serially too); the client's job is to hand dense
   * batches to the DISTRIBUTED pipeline, which fans out per table and
   * per partition from there.
   */
+object PgWire {
+  /** Postgres ErrorResponse with its stable SQLSTATE code. */
+  final class PgError(val sqlState: String, msg: String)
+    extends java.io.IOException(s"postgres [$sqlState]: $msg")
+}
+
 final class PgWire(host: String, port: Int, user: String, db: String)
   extends AutoCloseable {
 
@@ -73,14 +83,16 @@ final class PgWire(host: String, port: Int, user: String, db: String)
     // ErrorResponse: (code byte, cstring)* terminated by a zero byte
     var i = 0
     var msg = "postgres error"
+    var sqlState = ""
     while (i < payload.length && payload(i) != 0) {
       val code = payload(i).toChar
       val end = payload.indexOf(0.toByte, i + 1)
       val field = new String(payload, i + 1, end - i - 1, UTF_8)
       if (code == 'M') msg = field
+      if (code == 'C') sqlState = field // stable, locale-independent
       i = end + 1
     }
-    throw new java.io.IOException(s"postgres: $msg")
+    throw new PgWire.PgError(sqlState, msg)
   }
 
   // ---- startup (trust auth)
@@ -143,7 +155,8 @@ final class PgWire(host: String, port: Int, user: String, db: String)
       command(s"""CREATE_REPLICATION_SLOT "$slot" LOGICAL pgoutput""")
         .headOption.map(r => parseLsn(r(1)))
     } catch {
-      case e: java.io.IOException if e.getMessage.contains("already exists") =>
+      // 42710 duplicate_object — SQLSTATE, never the localized message
+      case e: PgWire.PgError if e.sqlState == "42710" =>
         None // ErrorResponse consumed through ReadyForQuery by `command`
     }
     existing.getOrElse(0L)
@@ -194,21 +207,42 @@ final class PgWire(host: String, port: Int, user: String, db: String)
     send('d', bb.array())
   }
 
-  /** Drain everything currently in the WAL: decode pgoutput messages to
-    * Debezium-JSON envelopes until the stream goes quiet for `quietMs`.
-    * Returns (envelopes, endLsn) — call [[confirm]](endLsn) AFTER
-    * persisting. Keepalives are answered (without moving the flush
-    * position) so the server never drops a slow consumer mid-drain. */
-  def drain(quietMs: Int = 400): (Seq[String], Long) = {
+  /** Drain one BATCH of WAL: decode pgoutput messages to Debezium-JSON
+    * envelopes until the stream goes quiet for `quietMs`, OR the batch
+    * bounds hit (`maxMessages` envelopes / `maxWaitMs` wall clock) — a
+    * busy OLTP upstream never goes quiet, and an unbounded drain would
+    * accumulate until OOM without ever reaching persist+confirm. Call
+    * again after confirming for the next batch. Returns (envelopes,
+    * endLsn) — call [[confirm]](endLsn) AFTER persisting. Keepalives
+    * are answered (without moving the flush position) so the server
+    * never drops a slow consumer mid-drain.
+    *
+    * Timeout discipline: the quiet window applies ONLY between
+    * messages (waiting for a type byte). Once a message starts, the
+    * remainder reads under a generous fixed timeout — a mid-message
+    * quiet-timeout would leave the stream desynced mid-frame, which is
+    * unrecoverable. A stall past that bound is a REAL failure and
+    * throws. */
+  def drain(quietMs: Int = 400, maxMessages: Int = 100000,
+            maxWaitMs: Long = 30000L): (Seq[String], Long) = {
     require(streaming, "startReplication first")
     val outMsgs = Seq.newBuilder[String]
+    var nMsgs = 0
     var endLsn = 0L
-    socket.setSoTimeout(quietMs)
+    val deadline = System.currentTimeMillis() + maxWaitMs
     var quiet = false
-    while (!quiet) {
+    while (!quiet && nMsgs < maxMessages &&
+      System.currentTimeMillis() < deadline) {
       val msg =
-        try Some(read())
-        catch { case _: SocketTimeoutException => None }
+        try {
+          socket.setSoTimeout(quietMs)
+          val typ = in.readByte().toChar // quiet window: ONLY this read
+          socket.setSoTimeout(15000)     // mid-frame stall = hard error
+          val len = in.readInt() - 4
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          Some((typ, buf))
+        } catch { case _: SocketTimeoutException => None }
       msg match {
         case None => quiet = true
         case Some(('d', p)) =>
@@ -221,7 +255,9 @@ final class PgWire(host: String, port: Int, user: String, db: String)
               val body = new Array[Byte](bb.remaining())
               bb.get(body)
               endLsn = math.max(endLsn, walStart)
-              outMsgs ++= decoder.decode(walStart, body)
+              val decoded = decoder.decode(walStart, body)
+              outMsgs ++= decoded
+              nMsgs += decoded.size
             case 'k' =>
               val bb = java.nio.ByteBuffer.wrap(p, 1, p.length - 1)
               val walEnd = bb.getLong
@@ -249,11 +285,14 @@ final class PgWire(host: String, port: Int, user: String, db: String)
 private[sources] final case class PgRel(namespace: String, name: String,
                                          cols: Seq[(String, Int)]) // name, typoid
 
+private[sources] sealed trait PgCell
+private[sources] case object PgCellNull extends PgCell
+private[sources] case object PgCellUnchanged extends PgCell // 'u': un-sent TOAST
+private[sources] final case class PgCellText(s: String) extends PgCell
+
 private[sources] final class PgOutputDecoder {
 
-  private type Rel = PgRel
-  private val Rel = PgRel
-  private val rels = scala.collection.mutable.Map.empty[Int, Rel]
+  private val rels = scala.collection.mutable.Map.empty[Int, PgRel]
   private var xid = 0L
   private var commitTsMs = 0L
 
@@ -264,17 +303,23 @@ private[sources] final class PgOutputDecoder {
     new String(bytes.toByteArray, UTF_8)
   }
 
-  /** Tuple data → per-column Option[text]. */
-  private def tuple(bb: java.nio.ByteBuffer): Seq[Option[String]] = {
+  private type Cell = PgCell
+
+  /** Tuple data → per-column cells. 'u' (unchanged toasted value, NOT
+    * transmitted) is DISTINCT from 'n' (null) — conflating them would
+    * silently null out large column values on every UPDATE that does
+    * not touch them. */
+  private def tuple(bb: java.nio.ByteBuffer): Seq[Cell] = {
     val n = bb.getShort.toInt
     (0 until n).map { _ =>
       bb.get().toChar match {
-        case 'n' | 'u' => None
+        case 'n' => PgCellNull
+        case 'u' => PgCellUnchanged
         case 't' =>
           val len = bb.getInt
           val b = new Array[Byte](len)
           bb.get(b)
-          Some(new String(b, UTF_8))
+          PgCellText(new String(b, UTF_8))
         case other => throw new IllegalStateException(s"tuple kind $other")
       }
     }
@@ -294,18 +339,41 @@ private[sources] final class PgOutputDecoder {
     sb.append('"').toString
   }
 
-  private def image(rel: Rel, values: Seq[Option[String]]): String =
-    rel.cols.zip(values).map { case ((name, oid), v) =>
+  /** A numeric text that is safe to emit as a bare JSON token; special
+    * values (NaN, Infinity — Postgres produces them for float/numeric)
+    * go out QUOTED, which Spark's JSON parser maps back onto double
+    * fields, while a bare token would corrupt the whole envelope. */
+  private val SafeNumber = "-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
+  /** Render one row image. `fallback` supplies values for UNCHANGED
+    * cells (the old tuple under REPLICA IDENTITY FULL); an unresolvable
+    * unchanged cell refuses loudly — emitting null would corrupt. */
+  private def image(rel: PgRel, values: Seq[Cell],
+                    fallback: Option[Seq[Cell]] = None): String =
+    rel.cols.zip(values).zipWithIndex.map { case (((name, oid), v0), i) =>
+      val v = v0 match {
+        case PgCellUnchanged =>
+          fallback.map(_(i)) match {
+            case Some(c @ (PgCellNull | PgCellText(_))) => c
+            case _ => throw new IllegalStateException(
+              s"unchanged-TOAST value for ${rel.name}.$name with no old " +
+                "image — set REPLICA IDENTITY FULL on replicated tables")
+          }
+        case c => c
+      }
       val jv = v match {
-        case None => "null"
-        case Some(s) if NumericOids.contains(oid) =>
-          if (oid == 16) (if (s == "t") "true" else "false") else s
-        case Some(s) => jsonEscape(s)
+        case PgCellNull => "null"
+        case PgCellText(t) if NumericOids.contains(oid) =>
+          if (oid == 16) (if (t == "t") "true" else "false")
+          else if (SafeNumber.matches(t)) t
+          else jsonEscape(t) // NaN / Infinity / -Infinity
+        case PgCellText(t) => jsonEscape(t)
+        case PgCellUnchanged => throw new IllegalStateException("unreachable")
       }
       s"${jsonEscape(name)}:$jv"
     }.mkString("{", ",", "}")
 
-  private def envelope(lsn: Long, rel: Rel, op: String,
+  private def envelope(lsn: Long, rel: PgRel, op: String,
                        before: Option[String], after: Option[String]): String =
     s"""{"before":${before.getOrElse("null")},"after":${after.getOrElse("null")},""" +
       s""""op":"$op","ts_ms":$commitTsMs,"source":{"schema":${jsonEscape(rel.namespace)},""" +
@@ -334,7 +402,7 @@ private[sources] final class PgOutputDecoder {
           bb.getInt // typmod
           (cname, oid)
         }
-        rels(relId) = Rel(ns, name, cols)
+        rels(relId) = PgRel(ns, name, cols)
         Nil
       case 'I' =>
         val rel = rels(bb.getInt)
@@ -342,14 +410,16 @@ private[sources] final class PgOutputDecoder {
         Seq(envelope(lsn, rel, "c", None, Some(image(rel, tuple(bb)))))
       case 'U' =>
         val rel = rels(bb.getInt)
-        var before: Option[String] = None
+        var oldCells: Option[Seq[Cell]] = None
         var kind = bb.get().toChar
         if (kind == 'K' || kind == 'O') {
-          before = Some(image(rel, tuple(bb)))
+          oldCells = Some(tuple(bb))
           kind = bb.get().toChar
         }
         require(kind == 'N', s"update tuple kind $kind")
-        Seq(envelope(lsn, rel, "u", before, Some(image(rel, tuple(bb)))))
+        val before = oldCells.map(image(rel, _))
+        Seq(envelope(lsn, rel, "u", before,
+          Some(image(rel, tuple(bb), fallback = oldCells))))
       case 'D' =>
         val rel = rels(bb.getInt)
         val kind = bb.get().toChar

@@ -146,6 +146,31 @@ class PgReplicationSpec extends SparkTestBase
     } finally w2.close()
   }
 
+  test("TOASTed values survive unrelated updates; special floats stay typed") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    val wire = new PgWire("127.0.0.1", Port, "graft", "postgres")
+    try {
+      wire.connectReplication()
+      wire.startReplication("graft_slot", "graft_pub")
+      wire.drain() match { case (_, l) => if (l > 0) wire.confirm(l) }
+      // a 4 KB value gets TOASTed; updating ONLY `value` ships the new
+      // tuple with an unchanged-toast marker for `name` — the decoder
+      // must backfill it from the old image, never null it out
+      val big = "x" * 4096
+      psql(s"INSERT INTO users VALUES (7, repeat('x', 4096), 7.0)")
+      psql("UPDATE users SET value = 77.5 WHERE id = 7")
+      // Postgres produces NaN/Infinity for float columns — they must
+      // round-trip as typed doubles, not corrupt the envelope
+      psql("INSERT INTO users VALUES (8, 'nan', 'NaN'::float8)")
+      val (envelopes, _) = wire.drain()
+      val st = decodeToState(envelopes)
+      assert(st(7L)._1 === big, "toasted value lost through update")
+      assert(st(7L)._2 === 77.5)
+      assert(st(8L)._2.isNaN, s"NaN corrupted: ${st.get(8L)}")
+      assert(st(8L)._1 === "nan")
+    } finally wire.close()
+  }
+
   test("TRUNCATE flows as the truncate marker the pipeline understands") {
     assume(serverUp, "no usable postgres installation in this environment")
     val wire = new PgWire("127.0.0.1", Port, "graft", "postgres")
