@@ -760,7 +760,7 @@ object SnapshotLog {
       staged.foreach { s =>
         val src = new Path(bd, f"snap-${s.id}%012d.json")
         val dst = new Path(md, f"snap-${s.id}%012d.json")
-        if (fs.exists(dst) || !fs.rename(src, dst))
+        if (!publishExclusive(fs, src, dst))
           throw new ConcurrentCommitException(s"lost publish race for $dst")
       }
       fs.delete(bd, true)
@@ -1062,9 +1062,9 @@ object SnapshotLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(dstDir, f"snap-${snap.id}%012d.json")
-    // the rename IS the commit: the snapshot either exists whole or not
-    // at all; an existing dst means a racing writer won — fail loudly
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    // the exclusive publish IS the commit: the snapshot either exists
+    // whole or not at all, and exactly one racing writer can win
+    if (!publishExclusive(fs, tmp, dst)) {
       fs.delete(tmp, false)
       created.foreach { name =>
         fs.delete(new Path(md, name), false)
@@ -1073,6 +1073,34 @@ object SnapshotLog {
       throw new ConcurrentCommitException(s"lost commit race for $dst")
     }
   }
+
+  /** ATOMIC-EXCLUSIVE manifest publish: move `src` to `dst` such that
+    * exactly ONE of two concurrent publishers can ever succeed. On the
+    * local filesystem an exists-check + rename is NOT that — POSIX
+    * rename silently OVERWRITES an existing destination, so two
+    * lock-free committers (the cross-process appendFiles flow) could
+    * both "win" while one manifest is destroyed (caught by
+    * ManifestModelSpec's concurrent-appender stress under load). A
+    * hard LINK is create-exclusive by contract, so local publishes
+    * link-then-unlink; filesystems whose rename refuses an existing
+    * destination (HDFS) keep the rename. Object stores need a
+    * conditional-put catalog — out of scope here, like Iceberg's. */
+  private def publishExclusive(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        fs.delete(src, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(dst) && fs.rename(src, dst)
+  }
+
+
 
   // ---- data-file production
 

@@ -114,28 +114,30 @@ class ManifestModelSpec extends SparkTestBase {
     SnapshotLog.withTableLock(dir) {
       SnapshotLog.commit(spark, dir, "append", Seq(entry(0)), schema, None)
     }
-    val perWriter = 12
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // three writers, enough rounds that the rename-overwrite race this
+    // test CAUGHT (POSIX rename silently overwrites — two "winners",
+    // one destroyed manifest) reproduces reliably without the fix
+    val perWriter = 15
+    val bases = Seq(1000, 2000, 3000)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bases.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     def writer(base: Int) = scala.concurrent.Future {
       (1 to perWriter).foreach { k =>
         val cur = SnapshotLog.currentSnapshot(spark, dir)
         SnapshotLog.appendFiles(spark, dir, Seq(entry(base + k)), schema,
-          expectedParent = cur, maxRetries = 50)
+          expectedParent = cur, maxRetries = 200)
       }
     }
-    val done = scala.concurrent.Future.sequence(Seq(writer(1000), writer(2000)))
-    scala.concurrent.Await.result(done, scala.concurrent.duration.Duration(120, "s"))
+    val done = scala.concurrent.Future.sequence(bases.map(writer))
+    scala.concurrent.Await.result(done, scala.concurrent.duration.Duration(180, "s"))
     pool.shutdown()
     val cur = SnapshotLog.currentSnapshot(spark, dir).get
-    assert(cur.id === (1 + 2 * perWriter).toLong) // gapless ids
+    assert(cur.id === (1 + bases.size * perWriter).toLong) // gapless ids
     val paths = cur.files.map(_.path)
     assert(paths.distinct.size === paths.size)
-    assert(paths.size === 1 + 2 * perWriter) // every batch exactly once
-    (1 to perWriter).foreach { k =>
-      assert(paths.contains(entry(1000 + k).path))
-      assert(paths.contains(entry(2000 + k).path))
-    }
+    assert(paths.size === 1 + bases.size * perWriter) // each batch exactly once
+    for (b <- bases; k <- 1 to perWriter)
+      assert(paths.contains(entry(b + k).path))
   }
 }
