@@ -42,13 +42,20 @@ private[lake] object GraftProcedures {
   def load(resolve: Resolve, name: String): Option[UnboundProcedure] = {
     def spark = SparkSession.active
     name match {
+      // debris_grace_ms defaults to SnapshotLog's conservative orphan-
+      // cleanup grace; single-process deployments pass 0 for an
+      // immediate sweep of never-referenced debris
       case "expire_snapshots" => Some(proc(name,
-        Seq("table" -> StringType, "keep_last" -> IntegerType),
+        Seq("table" -> StringType, "keep_last" -> IntegerType,
+          "debris_grace_ms" -> LongType),
         new StructType().add("removed_files", LongType),
         in => {
-          val removed = SnapshotLog.expire(spark, resolve(str(in, 0)), in.getInt(1))
+          val removed = SnapshotLog.expire(spark, resolve(str(in, 0)),
+            in.getInt(1), debrisGraceMs = in.getLong(2))
           Seq(row(removed.toLong))
-        }))
+        },
+        defaults = Map(
+          "debris_grace_ms" -> SnapshotLog.DefaultDebrisGraceMs.toString)))
       case "rewrite_data_files" => Some(proc(name,
         Seq("table" -> StringType, "max_files" -> IntegerType),
         new StructType().add("rewritten_partitions", LongType),
@@ -139,7 +146,8 @@ private[lake] object GraftProcedures {
 
   private def proc(procName: String, params: Seq[(String, DataType)],
                    out: StructType,
-                   body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+                   body: InternalRow => Seq[InternalRow],
+                   defaults: Map[String, String] = Map.empty): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft maintenance: $procName"
@@ -148,7 +156,11 @@ private[lake] object GraftProcedures {
           override def name(): String = procName
           override def description(): String = s"graft maintenance: $procName"
           override def parameters(): Array[ProcedureParameter] =
-            params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+            params.map { case (n, t) =>
+              val b = ProcedureParameter.in(n, t)
+              defaults.get(n).foreach(b.defaultValue)
+              b.build()
+            }.toArray
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): JIterator[Scan] = {
             val resultRows = body(input).toArray

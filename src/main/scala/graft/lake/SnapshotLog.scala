@@ -943,6 +943,32 @@ object SnapshotLog {
       case Some(p) =>
         val incoming = schema.fields.map(f => f.name -> f).toMap
         val parentNames = p.schema.fieldNames.toSet
+        // a batch column ABSENT from the parent by name is either a
+        // genuine add (fresh id) or a stale writer still holding a
+        // pre-RENAME schema — and the add-only merge must not let the
+        // latter silently re-create the renamed-away name as a
+        // permanently-null new column. Detectable exactly when the old
+        // name survives in a retained historical schema whose field id
+        // now lives under another name in the head; a DROPPED name
+        // (id gone from the head) stays a legal re-add by design.
+        locally {
+          val pSchema = p.schema
+          if (graft.model.FieldIds.hasIds(pSchema)) {
+            val historical = p.schemasById.values.map(j =>
+              DataType.fromJson(j).asInstanceOf[StructType])
+            for {
+              nf  <- schema.fields if !parentNames.contains(nf.name)
+              hs  <- historical
+              hf  <- hs.fields.find(_.name == nf.name)
+              hid <- graft.model.FieldIds.idOf(hf)
+              cf  <- graft.model.FieldIds.fieldById(pSchema, hid)
+              if cf.name != nf.name
+            } throw new IllegalStateException( // not retryable: the writer's schema is stale
+              s"append to $tableDir writes column ${nf.name}, which was " +
+                s"renamed to ${cf.name} — refresh the table schema and " +
+                "write under the current name")
+          }
+        }
         StructType(
           p.schema.fields.map { pf =>
             incoming.get(pf.name) match {
@@ -1557,8 +1583,8 @@ object SnapshotLog {
             // proportional estimate, not the full wide source's bytes,
             // or a wide source forfeits the broadcast exactly where the
             // stored table is biggest
-            val keyBytes =
-              math.max(1L, srcBytes * onCols.size / math.max(src.columns.length, 1))
+            val keyBytes = keyWidthEstimate(srcBytes, src.columns.length,
+              onCols.size)
             val bs = live.join(sizeGated(spark, srcKeys, keyBytes),
               onCols, "left_anti")
               .withColumn(MergeActionCol, firstWins(bySourceClauses))
@@ -1645,6 +1671,17 @@ object SnapshotLog {
   /** Conservative parquet→in-memory expansion for manifest-recorded
     * delete-file sizes (dictionary/RLE decode, JVM object headers). */
   private def estInMemory(parquetBytes: Long): Long = parquetBytes * 8
+
+  /** Scale a source-size estimate down to the width of its key columns
+    * (the bytes a keys-only projection of it would carry). Divides
+    * BEFORE multiplying, and passes the Long.MaxValue unknown-size
+    * sentinel through untouched: `MaxValue * nKeys` wraps negative, and
+    * a max(1, …) clamp on the wrapped product would force-broadcast the
+    * one source the size gate exists to keep off the driver. */
+  private[lake] def keyWidthEstimate(srcBytes: Long, nSrcCols: Int,
+                                     nKeyCols: Int): Long =
+    if (srcBytes == Long.MaxValue) Long.MaxValue
+    else math.max(1L, srcBytes / math.max(nSrcCols, 1) * nKeyCols)
 
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
     * path form — stable if the table dir moves). */
@@ -2444,17 +2481,20 @@ object SnapshotLog {
   /** `debrisGraceMs` shields NEVER-REFERENCED files (a mid-flight
     * writer's data/segment files, un-renamed temp manifests) younger
     * than the grace from the sweep — the Iceberg orphan-cleanup rule.
-    * 0 (the default) keeps strict single-process semantics: with all
-    * writers inside this JVM's table lock, a mid-flight write cannot
-    * overlap an expire. Deployments with CROSS-PROCESS writers (the
-    * [[appendFiles]] rebase flow) must pass a grace comfortably above
-    * their longest write+commit, or expire can sweep a racing writer's
-    * just-written segment between its creation and its manifest
-    * rename. Previously-referenced files of expired snapshots are
-    * reclaimed regardless — they were visible, so no in-flight commit
-    * can be about to reference them. */
+    * The DEFAULT is a conservative 5 minutes: [[appendFiles]]' optimistic
+    * rebase flow makes cross-process writers a supported deployment
+    * shape, and a 0 default would let expire sweep a racing writer's
+    * just-written segment between its creation and its manifest rename.
+    * Strict single-process callers (all writers inside this JVM's table
+    * lock, where a mid-flight write cannot overlap an expire) may pass 0
+    * explicitly for an immediate debris sweep. Previously-referenced
+    * files of expired snapshots are reclaimed regardless of the grace —
+    * they were visible, so no in-flight commit can be about to
+    * reference them. */
+  val DefaultDebrisGraceMs: Long = 5 * 60 * 1000L
+
   def expire(spark: SparkSession, tableDir: String, keepLast: Int,
-             debrisGraceMs: Long = 0L): Int =
+             debrisGraceMs: Long = DefaultDebrisGraceMs): Int =
     expireCore(spark, tableDir, keepLast, olderThanMs = Long.MaxValue,
       debrisGraceMs)
 
@@ -2466,7 +2506,7 @@ object SnapshotLog {
     * pinned training-run snapshot". */
   def expireOlderThan(spark: SparkSession, tableDir: String,
                       olderThanMs: Long, retainLast: Int = 1,
-                      debrisGraceMs: Long = 0L): Int =
+                      debrisGraceMs: Long = DefaultDebrisGraceMs): Int =
     expireCore(spark, tableDir, retainLast, olderThanMs, debrisGraceMs)
 
   private def expireCore(spark: SparkSession, tableDir: String,

@@ -471,7 +471,9 @@ object SqlSurface extends QueryModule {
       call("rewrite", s"CALL $cat.system.rewrite_data_files(table => 'db.mnt', max_files => 1)"),
       call("tag", s"CALL $cat.system.create_tag(table => 'db.mnt', tag => 'keep', snapshot_id => 4)"),
       call("rollback", s"CALL $cat.system.rollback_to_snapshot(table => 'db.mnt', snapshot_id => 4)"),
-      call("expire", s"CALL $cat.system.expire_snapshots(table => 'db.mnt', keep_last => 1)"))
+      // grace 0: the structural swept-file count below includes the
+      // cycle's own fresh _SUCCESS debris
+      call("expire", s"CALL $cat.system.expire_snapshots(table => 'db.mnt', keep_last => 1, debris_grace_ms => 0)"))
       .reduce(_ unionByName _)
     val state = s.sql(s"SELECT event_id, user_id FROM $t")
       .groupBy(concat(lit("state_"), (col("event_id") % 3).cast("string")).as("step"))

@@ -411,15 +411,23 @@ private[sources] final class PgOutputDecoder {
       case 'U' =>
         val rel = rels(bb.getInt)
         var oldCells: Option[Seq[Cell]] = None
+        var oldKind = ' '
         var kind = bb.get().toChar
         if (kind == 'K' || kind == 'O') {
+          oldKind = kind
           oldCells = Some(tuple(bb))
           kind = bb.get().toChar
         }
         require(kind == 'N', s"update tuple kind $kind")
         val before = oldCells.map(image(rel, _))
+        // unchanged-TOAST backfill is only sound from a FULL old image
+        // ('O'). A 'K' tuple (key-changing UPDATE under default REPLICA
+        // IDENTITY) carries 'n' for every non-key column, so using it
+        // as fallback would silently null large values — exactly what
+        // the loud-refusal guard in image() exists to prevent.
         Seq(envelope(lsn, rel, "u", before,
-          Some(image(rel, tuple(bb), fallback = oldCells))))
+          Some(image(rel, tuple(bb),
+            fallback = if (oldKind == 'O') oldCells else None))))
       case 'D' =>
         val rel = rels(bb.getInt)
         val kind = bb.get().toChar

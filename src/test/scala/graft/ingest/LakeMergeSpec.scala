@@ -311,7 +311,8 @@ class LakeMergeSpec extends SparkTestBase {
       (3L, 10L, 3.0, "INSERT", "2024-01-03")), Seq("user_id"))
     assert(touched === Seq("2024-01-03"))
     assert(state() === Seq(1L, 2L, 3L))
-    assert(SnapshotLog.expire(spark, dir, keepLast = 1) > 0) // orphan reclaimed
+    assert(SnapshotLog.expire(spark, dir, keepLast = 1,
+      debrisGraceMs = 0L) > 0) // fresh orphan reclaimed under grace 0
     assert(state() === Seq(1L, 2L, 3L))
   }
 

@@ -40,9 +40,14 @@ class GraftProceduresSpec extends SparkTestBase {
     assert(call(s"CALL $cat.system.create_tag(" +
       s"table => 'db.t', tag => 'pre', snapshot_id => 4)") === 4L)
     // the tag protects every data file snapshot 4 references — the only
-    // sweepables are the 4 _SUCCESS markers the 4 writes left behind
+    // sweepables are the 4 _SUCCESS markers the 4 writes left behind.
+    // Those markers are FRESH never-referenced debris: the procedure's
+    // default orphan-cleanup grace shields them…
     assert(call(s"CALL $cat.system.expire_snapshots(" +
-      s"table => 'db.t', keep_last => 1)") === 4L)
+      s"table => 'db.t', keep_last => 1)") === 0L)
+    // …and an explicit grace 0 sweeps them now
+    assert(call(s"CALL $cat.system.expire_snapshots(" +
+      s"table => 'db.t', keep_last => 1, debris_grace_ms => 0)") === 4L)
     assert(ids(s"SELECT id FROM $cat.db.t VERSION AS OF 'pre'") === Seq(1L, 2L, 3L))
     // untag → the replaced small files become reclaimable
     assert(call(s"CALL $cat.system.drop_tag(table => 'db.t', tag => 'pre')") === 1L)

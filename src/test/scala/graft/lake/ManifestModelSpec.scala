@@ -96,7 +96,7 @@ class ManifestModelSpec extends SparkTestBase {
       SnapshotLog.segmentCount(spark, dir, id) <= SnapshotLog.MaxSegments))
     // no unreferenced junk beyond what expire's grace rules allow: a
     // final expire reclaims everything dead, and what remains resolves
-    SnapshotLog.expire(spark, dir, keepLast = 1)
+    SnapshotLog.expire(spark, dir, keepLast = 1, debrisGraceMs = 0L)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = new Path(dir, SnapshotLog.MetaDirName)
     val entriesOnDisk = SnapshotLog.totalSegmentEntries(spark, dir)

@@ -114,7 +114,7 @@ class ManifestScalingSpec extends SparkTestBase {
       debrisGraceMs = 10 * 60 * 1000L)
     assert(fs.exists(orphan), "grace window did not shield fresh debris")
     // grace 0 = strict single-process semantics: reclaim immediately
-    SnapshotLog.expire(spark, dir, keepLast = 3)
+    SnapshotLog.expire(spark, dir, keepLast = 3, debrisGraceMs = 0L)
     assert(!fs.exists(orphan), "orphan segment survived expire")
     assert(!fs.exists(truncated), "truncated orphan survived expire")
     assert(SnapshotLog.currentSnapshot(spark, dir).get.files.size === 3)

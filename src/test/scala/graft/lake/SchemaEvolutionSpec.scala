@@ -168,4 +168,33 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       SnapshotLog.dropColumn(spark, dir, "id"))
   }
+
+  test("a stale pre-rename writer cannot silently re-add the renamed-away name") {
+    val dir = fresh(1L -> 10L, 2L -> 20L)
+    SnapshotLog.renameColumn(spark, dir, "v", "score")
+    import spark.implicits._
+    // a writer still holding the pre-rename schema: 'v' is absent from
+    // the head by name but lives in a retained historical schema whose
+    // field id now answers to 'score' — the add-only merge must refuse,
+    // not mint a permanently-null legacy-named column
+    val stale = Seq((3L, 30L)).toDF("id", "v")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lit(lsn(3)))
+    val e = intercept[IllegalStateException](append(dir, stale))
+    assert(e.getMessage.contains("renamed to score"))
+    // head schema unpolluted; a refreshed writer proceeds
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.schema.fieldNames.toSeq
+      === Seq("id", "score", graft.ingest.Cdc.LsnColumn))
+    append(dir, Seq((3L, 30L)).toDF("id", "score")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lit(lsn(3))))
+    assert(SnapshotLog.readCurrent(spark, dir).get.count() === 3L)
+    // a DROPPED name stays a legal re-add (fresh id) — the guard is
+    // rename-specific, not a ban on resurrecting any historical name
+    SnapshotLog.dropColumn(spark, dir, "score")
+    append(dir, Seq((4L, 999L)).toDF("id", "score")
+      .withColumn(graft.ingest.Cdc.LsnColumn, lit(lsn(4))))
+    val readded = SnapshotLog.readCurrent(spark, dir).get
+    assert(readded.filter(col("id") === 4L)
+      .select(col("score").cast("long")).as[Long].head() === 999L)
+  }
+
 }

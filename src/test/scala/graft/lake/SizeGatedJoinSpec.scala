@@ -96,4 +96,15 @@ class SizeGatedJoinSpec extends SparkTestBase {
     assert(small(55L) === 5500L) // inserted
     assert(small.size === 60)
   }
+
+  test("keyWidthEstimate: the unknown-size sentinel passes through instead of wrapping") {
+    // Long.MaxValue means "stats unavailable — never broadcast"; the old
+    // srcBytes * nKeys product wrapped negative and clamped to 1, which
+    // force-broadcast exactly the pathological source
+    assert(SnapshotLog.keyWidthEstimate(Long.MaxValue, 5, 2) === Long.MaxValue)
+    assert(SnapshotLog.keyWidthEstimate(1000L, 5, 2) === 400L)
+    assert(SnapshotLog.keyWidthEstimate(3L, 5, 2) === 1L) // floor
+    assert(SnapshotLog.keyWidthEstimate(1000L, 0, 1) === 1000L) // no div-by-0
+  }
+
 }

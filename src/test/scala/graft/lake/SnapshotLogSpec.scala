@@ -72,8 +72,8 @@ class SnapshotLogSpec extends SparkTestBase {
     out.write("{not even json".getBytes); out.close()
     assert(SnapshotLog.currentSnapshot(spark, dir).get.id === 1L)
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L))
-    // expire clears the debris
-    SnapshotLog.expire(spark, dir, keepLast = 1)
+    // expire clears the debris (grace 0: fresh tmp files sweep now)
+    SnapshotLog.expire(spark, dir, keepLast = 1, debrisGraceMs = 0L)
     assert(!fs.exists(new Path(md, ".tmp-snap-crashed")))
   }
 
@@ -133,7 +133,8 @@ class SnapshotLogSpec extends SparkTestBase {
     // a full-table REWRITE: snapshot 3 references only new files
     commitRows(dir, rows(7, 8), "overwrite", carry = false)
     SnapshotLog.writeData(spark, dir, rows(99), partitionCol = None) // orphan
-    val deleted = SnapshotLog.expire(spark, dir, keepLast = 1)
+    val deleted = SnapshotLog.expire(spark, dir, keepLast = 1,
+      debrisGraceMs = 0L) // grace 0: the fresh orphan sweeps too
     assert(deleted > 0)
     assert(SnapshotLog.snapshots(spark, dir).map(_.id) === Seq(3L))
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(7L, 8L))
@@ -666,7 +667,8 @@ class SnapshotLogSpec extends SparkTestBase {
       SnapshotLog.publish(spark, dir, "audit"))
     // the failed audit is dropped; its data files become debris
     SnapshotLog.dropBranch(spark, dir, "audit")
-    val reclaimed = SnapshotLog.expire(spark, dir, keepLast = 1)
+    // grace 0: the dropped branch's staged file is fresh never-referenced debris
+    val reclaimed = SnapshotLog.expire(spark, dir, keepLast = 1, debrisGraceMs = 0L)
     assert(reclaimed >= 1) // the staged append's file went away
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 9L))
     // guard rails
@@ -729,4 +731,20 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(post.files.size === 1)
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(1L, 2L, 3L))
   }
+
+  test("expire's DEFAULT debris grace shields fresh never-referenced files") {
+    val dir = Files.createTempDirectory("graft-snaplog-grace").toString + "/t"
+    commitRows(dir, rows(1), "append")
+    // a cross-process writer mid-commit: data written, manifest not yet
+    // renamed — the default grace must shield it from a concurrent expire
+    val orphan = SnapshotLog.writeData(spark, dir, rows(9), partitionCol = None)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def orphanExists = orphan.forall(f => fs.exists(new Path(s"$dir/${f.path}")))
+    SnapshotLog.expire(spark, dir, keepLast = 1)
+    assert(orphanExists, "default grace swept a fresh unreferenced file")
+    // explicit 0 = strict single-process semantics: sweep now
+    assert(SnapshotLog.expire(spark, dir, keepLast = 1, debrisGraceMs = 0L) > 0)
+    assert(!orphanExists)
+  }
+
 }
