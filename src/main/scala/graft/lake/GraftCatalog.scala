@@ -9,8 +9,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -398,10 +399,11 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
 
 private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = snap.schema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   /** Every filter is returned as residual — Spark re-evaluates all
     * predicates post-scan, so manifest pruning stays a pure optimization
@@ -418,7 +420,78 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(tableDir, snap, required, filters)
+  /** Metadata-only aggregation (Iceberg's aggregate pushdown): COUNT(*),
+    * MIN/MAX over columns with recorded per-file bounds, and
+    * partition-grouped COUNT(*) are answered from the MANIFEST — exact
+    * footer row counts and commit-time bounds — without opening a single
+    * data file. At 100 TB that turns `SELECT count(*)` from a
+    * 800k-file scan into a driver-side fold over manifest entries.
+    *
+    * Complete pushdown is claimed only when the manifest answer is
+    * EXACT, and every other shape falls back to the ordinary scan:
+    *   - no live deletes (MOR rows make manifest counts upper bounds);
+    *   - no residual filters (Spark already skips aggregate pushdown
+    *     when post-scan filters remain — checked again here);
+    *   - MIN/MAX only on numeric columns where EVERY file records
+    *     bounds for that column (a post-cluster INSERT without bounds
+    *     disables the path rather than corrupting it);
+    *   - GROUP BY only on the identity day-partition column with every
+    *     file identity-partitioned (spec evolution to month transforms
+    *     disables the path). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  private def fieldName(e: VExpression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def numericBounds(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | LongType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+    case _ => false
+  }
+
+  private def canPushAgg(agg: Aggregation): Boolean = {
+    if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty) return false
+    if (filters.nonEmpty) return false
+    val groupOk = agg.groupByExpressions match {
+      case Array() => true
+      case Array(g) => fieldName(g).exists { n =>
+        SnapshotLog.conventionPartitionCol(snap.schema).contains(n) &&
+          snap.schema(n).dataType == StringType &&
+          snap.files.forall(f => f.partition.nonEmpty &&
+            (f.spec.isEmpty || f.spec.contains("identity")))
+      }
+      case _ => false
+    }
+    groupOk && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => boundsAnswerable(m.column())
+      case m: Max => boundsAnswerable(m.column())
+      case _ => false
+    }
+  }
+
+  private def boundsAnswerable(column: VExpression): Boolean =
+    fieldName(column).exists { n =>
+      snap.schema.fieldNames.contains(n) &&
+        numericBounds(snap.schema(n).dataType) &&
+        snap.files.forall(_.boundsFor(n).isDefined)
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => GraftAggScan.build(tableDir, snap, agg)
+    case None      => new GraftScan(tableDir, snap, required, filters)
+  }
 }
 
 private[lake] final class GraftScan(tableDir: String, snap: Snapshot,
@@ -488,6 +561,108 @@ private[lake] final class GraftRelation(ctx: SQLContext, tableDir: String,
     val filtered = cond.map(base.filter).getOrElse(base)
     filtered.select(required.fieldNames.toSeq.map(col): _*).rdd
   }
+}
+
+/** The metadata-only aggregate scan: a [[LocalScan]] whose rows are
+  * computed on the driver from manifest entries alone (exact footer row
+  * counts + commit-time column bounds). Planned as a LocalTableScanExec
+  * — EXPLAIN shows no file scan at all. Row layout follows Spark's
+  * aggregate-pushdown contract: group-by columns first, then one value
+  * per aggregate expression, positionally. */
+private[lake] object GraftAggScan {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def build(tableDir: String, snap: Snapshot, agg: Aggregation): Scan = {
+    val groupCol = agg.groupByExpressions.headOption.map(refName)
+    val aggFns = agg.aggregateExpressions.toSeq
+    val outFields =
+      groupCol.map(n => StructField(n, StringType, nullable = false)).toSeq ++
+        aggFns.zipWithIndex.map {
+          case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+          case (m: Min, i) =>
+            StructField(s"min_$i", snap.schema(refName(m.column())).dataType)
+          case (m: Max, i) =>
+            StructField(s"max_$i", snap.schema(refName(m.column())).dataType)
+          case (other, _) => throw new IllegalStateException(
+            s"unpushable aggregate reached build: $other")
+        }
+    val groups: Seq[(Option[String], Seq[DataFile])] = groupCol match {
+      case Some(_) => snap.files.groupBy(_.partition).toSeq.sortBy(_._1)
+        .map { case (p, fs) => (Some(p), fs) }
+      case None => Seq((None, snap.files))
+    }
+    val outRows = groups.map { case (pv, files) =>
+      val vals: Seq[Any] = pv.map(UTF8String.fromString(_): Any).toSeq ++
+        aggFns.map {
+          case _: CountStar => files.map(_.rows).sum
+          case m: Min => boundValue(files, refName(m.column()),
+            snap.schema(refName(m.column())).dataType, isMin = true)
+          case m: Max => boundValue(files, refName(m.column()),
+            snap.schema(refName(m.column())).dataType, isMin = false)
+          case other => throw new IllegalStateException(s"unpushable: $other")
+        }
+      new GenericInternalRow(vals.toArray)
+    }
+    GraftAggStats.record(tableDir, snap.files.size, outRows.size)
+    new LocalScan {
+      override def rows(): Array[InternalRow] = outRows.toArray
+      override def readSchema(): StructType = StructType(outFields)
+      override def description(): String =
+        s"GraftManifestAggScan $tableDir snapshot=${snap.id} " +
+          s"metadata-only aggregates=[${aggFns.mkString(", ")}] " +
+          groupCol.map(g => s"groupBy=$g ").getOrElse("") +
+          s"files=${snap.files.size} rows=${outRows.size}"
+    }
+  }
+
+  private def refName(e: VExpression): String = e match {
+    case nr: NamedReference => nr.fieldNames().mkString(".")
+    case other => throw new IllegalStateException(s"not a column ref: $other")
+  }
+
+  /** Fold the per-file bounds into the column's min or max, converted to
+    * the column's internal type. Bounds strings are decimal-parsable by
+    * the manifest contract ([[SnapshotLog.pruneByStats]] relies on the
+    * same property). Empty file set → SQL's null aggregate. */
+  private def boundValue(files: Seq[DataFile], column: String,
+                         dt: DataType, isMin: Boolean): Any = {
+    if (files.isEmpty) return null
+    val bounds = files.map { f =>
+      val (mn, mx) = f.boundsFor(column).getOrElse(throw new IllegalStateException(
+        s"file ${f.path} lost its $column bounds between canPush and build"))
+      BigDecimal(if (isMin) mn else mx)
+    }
+    val v = if (isMin) bounds.min else bounds.max
+    dt match {
+      case ByteType    => v.toByte
+      case ShortType   => v.toShort
+      case IntegerType => v.toInt
+      case LongType    => v.toLong
+      case FloatType   => v.toFloat
+      case DoubleType  => v.toDouble
+      case other => throw new IllegalStateException(
+        s"unpushable bound type $other reached build")
+    }
+  }
+}
+
+/** Last metadata-only aggregation per table dir — the measurement
+  * surface the `sql_agg_pushdown` gate asserts on (counts only). */
+object GraftAggStats {
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private[lake] def record(dir: String, manifestFiles: Long, rows: Long): Unit =
+    last.put(dir, (manifestFiles, rows))
+  /** (manifest entries folded, result rows) of the most recent
+    * metadata-answered aggregate; None = no aggregate was ever answered
+    * from metadata for this dir. */
+  def lastAgg(dir: String): Option[(Long, Long)] = Option(last.get(dir))
+  /** Reset before a measured query (gates + specs). */
+  def clear(dir: String): Unit = last.remove(dir)
 }
 
 /** Last pruning decision per table dir — the measurement surface

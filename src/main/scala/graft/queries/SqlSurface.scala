@@ -493,7 +493,94 @@ object SqlSurface extends QueryModule {
       |UNION ALL SELECT step, result FROM state
       |ORDER BY step""".stripMargin
 
+  // ---- metadata-only aggregate pushdown: COUNT(*), day-grouped
+  // COUNT(*), and MIN/MAX over clustered bounds answered from the
+  // MANIFEST — the plan is a LocalTableScan over driver-folded manifest
+  // entries (AggPushdownSpec pins the plan shape; this gate pins the
+  // VALUES plus the measured metadata flags, including every fallback
+  // leg). At 100 TB this is the difference between a `count(*)` that
+  // opens 800k footers and one that folds the manifest it already
+  // resolved.
+  private def aggPushdown(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftAggStats
+    val cat = catalog(s, d)
+    val wh = sqlWarehouse(s, d)
+    val evDir = s"$wh/db/events"
+
+    def measured(dir: String, sql: String): (Seq[org.apache.spark.sql.Row], Long) = {
+      GraftAggStats.clear(dir)
+      val rows = s.sql(sql).collect().toSeq // metadata-sized results only
+      (rows, if (GraftAggStats.lastAgg(dir).isDefined) 1L else 0L)
+    }
+
+    // the day-partitioned COW state table: global + per-day counts
+    val (c1, m1) = measured(evDir, s"SELECT count(*) FROM $cat.db.events")
+    val (c2, m2) = measured(evDir,
+      s"SELECT _cdc_date, count(*) FROM $cat.db.events GROUP BY _cdc_date")
+    // a clustered DML table: every file records event_id bounds
+    val t = freshDmlTable(s, d, "aggp",
+      "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    val v = srcView(s, d, "graft_sql_aggp_src")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v")
+    s.sql(s"CALL $cat.system.cluster_by(table => 'db.aggp', " +
+      "column => 'event_id', splits => '250,500,750')")
+    val aggpDir = s"$wh/db/aggp"
+    val (c3, m3) = measured(aggpDir,
+      s"SELECT min(event_id), max(event_id), count(*) FROM $t")
+    // user_id has no recorded bounds → real scan, same-shape answer
+    val (c4, m4) = measured(aggpDir,
+      s"SELECT min(user_id), max(user_id) FROM $t")
+    // a live positional delete makes manifest counts upper bounds → real scan
+    s.sql(s"DELETE FROM $t WHERE event_id = ${c3.head.getLong(0)}")
+    val (c5, m5) = measured(aggpDir, s"SELECT count(*) FROM $t")
+
+    import s.implicits._
+    (Seq(("count_all", c1.head.getLong(0), m1)) ++
+      c2.map(r => (s"day_${r.getString(0)}", r.getLong(1), m2)) ++
+      Seq(
+        ("min_event_id", c3.head.getLong(0), m3),
+        ("max_event_id", c3.head.getLong(1), m3),
+        ("count_clustered", c3.head.getLong(2), m3),
+        ("min_user_id", c4.head.getLong(0), m4),
+        ("max_user_id", c4.head.getLong(1), m4),
+        ("count_after_delete", c5.head.getLong(0), m5)))
+      .toDF("step", "result", "metadata_answered")
+      .orderBy(col("step"))
+  }
+
+  private val aggPushdownSql =
+    s"""$snapStateSql,
+       |ev AS (SELECT event_id, user_id FROM events),
+       |days AS (SELECT 'day_' || day AS step,
+       |  CAST(count(*) AS BIGINT) AS result,
+       |  CAST(1 AS BIGINT) AS metadata_answered
+       |  FROM state WHERE snap_id = 3 GROUP BY day),
+       |scalars AS (SELECT * FROM (VALUES
+       |  ('count_all',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM state WHERE snap_id = 3),
+       |    CAST(1 AS BIGINT)),
+       |  ('min_event_id', (SELECT CAST(min(event_id) AS BIGINT) FROM ev),
+       |    CAST(1 AS BIGINT)),
+       |  ('max_event_id', (SELECT CAST(max(event_id) AS BIGINT) FROM ev),
+       |    CAST(1 AS BIGINT)),
+       |  ('count_clustered', (SELECT CAST(count(*) AS BIGINT) FROM ev),
+       |    CAST(1 AS BIGINT)),
+       |  ('min_user_id', (SELECT CAST(min(user_id) AS BIGINT) FROM ev),
+       |    CAST(0 AS BIGINT)),
+       |  ('max_user_id', (SELECT CAST(max(user_id) AS BIGINT) FROM ev),
+       |    CAST(0 AS BIGINT)),
+       |  ('count_after_delete',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ev) -
+       |      (SELECT CAST(count(*) AS BIGINT) FROM ev
+       |       WHERE event_id = (SELECT min(event_id) FROM ev)),
+       |    CAST(0 AS BIGINT)))
+       |  AS t(step, result, metadata_answered))
+       |SELECT step, result, metadata_answered FROM days
+       |UNION ALL SELECT step, result, metadata_answered FROM scalars
+       |ORDER BY step""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("sql_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),
     GraftQuery("sql_mor_read", morRead, Some(morReadSql)),
