@@ -1,0 +1,257 @@
+package graft.api
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+
+import graft.model.Identifiers
+import graft.queries.Paging
+
+/** The HTTP API service layer over the engine (ref internal/api/
+  * server.go:137-405 route registration, handlers/query.go:31-182 the
+  * /query route group, services/query.go:45-335 the service semantics):
+  * the reference serves catalog exploration and SQL over its Trino
+  * layer; this serves the SAME surface over the Spark SQL catalog via
+  * the JDK's built-in [[HttpServer]] — zero added dependencies, bound
+  * to loopback, ephemeral port.
+  *
+  * Routes (the reference's /query group):
+  *   - `GET /query/health` → `{"status":"healthy"}` (handlers/query.go:70)
+  *   - `GET /query/catalogs` → registered catalogs (query.go:121-146)
+  *   - `GET /query/catalogs/{c}/schemas` → SHOW NAMESPACES (query.go:148)
+  *   - `GET /query/catalogs/{c}/schemas/{s}/tables` → SHOW TABLES (query.go:182)
+  *   - `GET /query/catalogs/{c}/schemas/{s}/tables/{t}` → DESCRIBE (query.go:222)
+  *   - `POST /query/sql` `{"sql": "...", "page_size": n}` → first page +
+  *     `next_uri` cursor, the Trino `/v1/statement` paging model the
+  *     reference's executeQuery consumes (query.go:335-426)
+  *   - `GET /query/results/{id}` → next page; the cursor dies with its
+  *     last page, an unknown id is 404 (Trino's expired nextUri)
+  *
+  * Every path identifier passes [[Identifiers.validate]] BEFORE any SQL
+  * string is built (query.go:45-53's regex, same rule) → 400 on
+  * violation; SQL analysis errors → 400; unknown routes → 404.
+  *
+  * Scale shape: pagination is [[Paging.QueryCursor]] — the executed
+  * query's `toLocalIterator`, one partition in driver memory at a time,
+  * so a 100 TB result streams through page by page exactly like the
+  * reference's Trino cursor. Open cursors are capped; the cap returns
+  * 429 instead of accumulating driver state without bound. */
+final class ApiServer(spark: SparkSession,
+                      defaultPageSize: Int = 100,
+                      maxCursors: Int = 64) extends AutoCloseable {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+  private val pool = Executors.newFixedThreadPool(4)
+  private val cursors = new ConcurrentHashMap[String, CursorState]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private final case class CursorState(cursor: Paging.QueryCursor,
+                                       columns: Seq[String])
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(pool)
+  server.start()
+
+  /** The bound ephemeral port. */
+  def port: Int = server.getAddress.getPort
+  def baseUri: String = s"http://127.0.0.1:$port"
+
+  override def close(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    cursors.clear()
+  }
+
+  // ---- routing -----------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, segs) match {
+        case ("GET", Seq("query", "health")) =>
+          respond(ex, 200, JObject("status" -> JString("healthy")))
+        case ("GET", Seq("query", "catalogs")) => listCatalogs(ex)
+        case ("GET", Seq("query", "catalogs", c, "schemas")) =>
+          validated(ex, c -> "catalog") { listSchemas(ex, c) }
+        case ("GET", Seq("query", "catalogs", c, "schemas", s, "tables")) =>
+          validated(ex, c -> "catalog", s -> "schema") { listTables(ex, c, s) }
+        case ("GET", Seq("query", "catalogs", c, "schemas", s, "tables", t)) =>
+          validated(ex, c -> "catalog", s -> "schema", t -> "table") {
+            tableInfo(ex, c, s, t)
+          }
+        case ("POST", Seq("query", "sql"))         => runSql(ex)
+        case ("GET", Seq("query", "results", id))  => nextPage(ex, id)
+        case ("GET" | "POST", _) =>
+          respond(ex, 404, JObject("error" -> JString("not found")))
+        case (m, _) =>
+          respond(ex, 405, JObject("error" -> JString(s"method $m not allowed")))
+      }
+    } catch {
+      case e: IllegalArgumentException => // Identifiers.validate
+        respond(ex, 400, JObject("error" -> JString(e.getMessage)))
+      case e: AnalysisException =>
+        respond(ex, 400, JObject("error" -> JString(e.getMessage)))
+      case NonFatal(e) =>
+        respond(ex, 500, JObject("error" -> JString(String.valueOf(e.getMessage))))
+    } finally ex.close()
+  }
+
+  private def validated(ex: HttpExchange, names: (String, String)*)(body: => Unit): Unit = {
+    names.foreach { case (n, kind) => Identifiers.validate(n, kind) }
+    body
+  }
+
+  // ---- catalog exploration (services/query.go:121-266) -------------
+
+  private def listCatalogs(ex: HttpExchange): Unit = {
+    // SHOW CATALOGS lists only catalogs the session has already
+    // touched; the REGISTERED set (what the reference reports) is the
+    // conf's spark.sql.catalog.<name> plugin keys, plus the builtin
+    val CatKey = "^spark\\.sql\\.catalog\\.([A-Za-z0-9_]+)$".r
+    val registered = spark.conf.getAll.keys.collect {
+      case CatKey(n) => n
+    }.toSet
+    val shown = spark.sql("SHOW CATALOGS").collect().toSeq.map(_.getString(0))
+    val names = (registered ++ shown + "spark_catalog").toSeq.sorted
+    respond(ex, 200, JObject(
+      "catalogs" -> JArray(names.toList.map(n => JObject("name" -> JString(n)))),
+      "total" -> JInt(names.size)))
+  }
+
+  private def listSchemas(ex: HttpExchange, c: String): Unit = {
+    val names = spark.sql(s"SHOW NAMESPACES IN $c").collect().toSeq
+      .map(_.getString(0)).sorted
+    respond(ex, 200, JObject(
+      "schemas" -> JArray(names.toList.map(n =>
+        JObject("name" -> JString(n), "catalog" -> JString(c)))),
+      "catalog" -> JString(c),
+      "total" -> JInt(names.size)))
+  }
+
+  private def listTables(ex: HttpExchange, c: String, s: String): Unit = {
+    val names = spark.sql(s"SHOW TABLES IN $c.$s").collect().toSeq
+      .map(_.getAs[String]("tableName")).sorted
+    respond(ex, 200, JObject(
+      "tables" -> JArray(names.toList.map(n => JObject(
+        "name" -> JString(n), "schema" -> JString(s),
+        "catalog" -> JString(c), "type" -> JString("TABLE")))),
+      "catalog" -> JString(c), "schema" -> JString(s),
+      "total" -> JInt(names.size)))
+  }
+
+  private def tableInfo(ex: HttpExchange, c: String, s: String, t: String): Unit = {
+    // DESCRIBE emits section markers ('# ...') and blank separators
+    // after the column list — the reference keeps only (name, type)
+    // column rows (query.go:246-258)
+    val cols = spark.sql(s"DESCRIBE $c.$s.$t").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (n, _) => n.nonEmpty && !n.startsWith("#") }
+    respond(ex, 200, JObject(
+      "name" -> JString(t), "schema" -> JString(s), "catalog" -> JString(c),
+      "type" -> JString("TABLE"),
+      "columns" -> JArray(cols.toList.map { case (n, ty) =>
+        JObject("name" -> JString(n), "type" -> JString(ty)) })))
+  }
+
+  // ---- SQL with cursor pagination (services/query.go:335-426) ------
+
+  private def runSql(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val parsed = try JsonMethods.parse(body) catch {
+      case NonFatal(_) =>
+        respond(ex, 400, JObject("error" -> JString("request body is not JSON")))
+        return
+    }
+    val sql = parsed \ "sql" match {
+      case JString(q) if q.trim.nonEmpty => q
+      case _ =>
+        respond(ex, 400, JObject("error" -> JString("missing 'sql' field")))
+        return
+    }
+    val pageSize = parsed \ "page_size" match {
+      case JInt(n) if n > 0 && n <= 10000 => n.toInt
+      case JNothing                       => defaultPageSize
+      case _ =>
+        respond(ex, 400,
+          JObject("error" -> JString("page_size must be in [1, 10000]")))
+        return
+    }
+    if (cursors.size >= maxCursors) {
+      respond(ex, 429, JObject("error" ->
+        JString(s"too many open cursors (max $maxCursors) — drain or abandon some")))
+      return
+    }
+    val df = spark.sql(sql) // AnalysisException → 400 via handle()
+    val st = CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)
+    val id = java.util.UUID.randomUUID().toString.take(8) + "-" + ids.incrementAndGet()
+    cursors.put(id, st)
+    respond(ex, 200, pageJson(id, st))
+  }
+
+  private def nextPage(ex: HttpExchange, id: String): Unit = {
+    val st = cursors.get(id)
+    if (st == null)
+      respond(ex, 404, JObject("error" -> JString(s"unknown or expired cursor $id")))
+    else respond(ex, 200, pageJson(id, st))
+  }
+
+  /** One page; removing the cursor exactly when no further page exists
+    * (`next_uri` absent ⇔ cursor dead — Trino's contract). Cursor
+    * advancement is serialized per cursor: two clients racing the same
+    * next_uri each get a distinct, non-overlapping page. */
+  private def pageJson(id: String, st: CursorState): JObject = {
+    val rows = st.cursor.synchronized(st.cursor.nextPage())
+    val more = st.cursor.synchronized(st.cursor.hasMore)
+    if (!more) cursors.remove(id)
+    JObject(
+      "id" -> JString(id),
+      "columns" -> JArray(st.columns.toList.map(JString(_))),
+      "rows" -> JArray(rows.toList.map(rowJson)),
+      ("next_uri" -> (if (more) JString(s"/query/results/$id") else JNothing)))
+  }
+
+  private def rowJson(r: Row): JValue =
+    JArray(r.toSeq.toList.map(valueJson))
+
+  private def valueJson(v: Any): JValue = v match {
+    case null                  => JNull
+    case s: String             => JString(s)
+    case b: Boolean            => JBool(b)
+    case b: Byte               => JInt(BigInt(b.toInt))
+    case s: Short              => JInt(BigInt(s.toInt))
+    case i: Int                => JInt(BigInt(i))
+    case l: Long               => JInt(BigInt(l))
+    case f: Float              => doubleJson(f.toDouble)
+    case d: Double             => doubleJson(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal         => JDecimal(d)
+    case b: Array[Byte]        => JString(java.util.Base64.getEncoder.encodeToString(b))
+    case seq: scala.collection.Seq[_] => JArray(seq.toList.map(valueJson))
+    case m: scala.collection.Map[_, _] =>
+      JObject(m.toList.map { case (k, mv) => String.valueOf(k) -> valueJson(mv) })
+    case r: Row                => rowJson(r)
+    case other                 => JString(other.toString) // dates, timestamps, …
+  }
+
+  /** Specials must go out QUOTED — bare NaN corrupts the whole JSON
+    * document (same rule the pgoutput encoder enforces). */
+  private def doubleJson(d: Double): JValue =
+    if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
+
+  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(body)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

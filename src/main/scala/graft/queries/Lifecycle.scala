@@ -1770,8 +1770,12 @@ object Lifecycle extends QueryModule {
   // interval of a resolution is suppressed on slow channels), and
   // re-fires only resume once the re-armed pending clock passes the
   // duration again.
-  private def alertNotifications(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The 8-tick notifier replay (machine cycle + channel routing over
+    * the events-derived series) shared by `alert_notifications` — the
+    * decision output as data — and `alert_webhook_delivery` — the SAME
+    * notifications pushed through REAL loopback HTTP. */
+  private def alertTimelineNotes(s: SparkSession, d: String)
+      : Seq[graft.observe.Alerts.Notification] = {
     import graft.observe.Alerts
     val counts = Tables.events(s, d)
       .groupBy(col("event_type"), (col("event_id") % 8).as("k"))
@@ -1798,15 +1802,73 @@ object Lifecycle extends QueryModule {
       Alerts.Route("avg_rule", "c3", enabled = false, repeatIntervalMs = 0L))
     var machine = Alerts.MachineState.empty
     var notifier = Alerts.NotifierState.empty
-    val rows = (0 until 8).flatMap { k =>
+    (0 until 8).flatMap { k =>
       val evals = series.filter(presentAt(_, k)).map(t =>
         Alerts.Eval(t, if (condAt(t, k)) 100.0 else 1.0, condAt(t, k), 2 * step))
       val (m2, n2, notes) = Alerts.notifyCycle(machine, notifier, evals,
         _ => "avg_rule", routes, k * step)
       machine = m2
       notifier = n2
-      notes.map(n => (n.atMs / step, n.fingerprint, n.rule, n.channel, n.event))
+      notes
     }
+  }
+
+  private val AlertStep = 1000L
+
+  private def alertNotifications(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    alertTimelineNotes(s, d)
+      .map(n => (n.atMs / AlertStep, n.fingerprint, n.rule, n.channel, n.event))
+      .toDF("tick", "series", "rule", "channel", "event")
+      .orderBy(col("tick"), col("series"), col("channel"), col("event"))
+  }
+
+  // ---- webhook DELIVERY of the same timeline (ref internal/alerting/
+  // channels/webhook.go:16-151): every notification POSTs its JSON
+  // payload to a per-channel URL on a real loopback receiver, and the
+  // gate's OUTPUT is rebuilt purely from what the receiver captured —
+  // a dropped POST, a mangled payload field, or a channel routed to the
+  // wrong URL each break the hash against the alert_notifications
+  // oracle. The receiver path carries the channel id; the payload must
+  // agree with it.
+  private def alertWebhookDelivery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.net.{InetAddress, InetSocketAddress}
+    import java.nio.charset.StandardCharsets.UTF_8
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val notes = alertTimelineNotes(s, d)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val srv = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/", (ex: HttpExchange) => {
+      val ch = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).last
+      received.add((ch, new String(ex.getRequestBody.readAllBytes(), UTF_8)))
+      ex.sendResponseHeaders(200, -1L)
+      ex.close()
+    })
+    srv.start()
+    val rows = try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val out = graft.observe.Webhooks.deliver(notes,
+        c => Some(s"$base/hook/$c"))
+      require(out.forall(_.delivered),
+        s"webhook deliveries failed: ${out.filterNot(_.delivered).mkString(", ")}")
+      received.toArray.toSeq.map { case (pathCh: String, body: String) =>
+        val j = JsonMethods.parse(body)
+        def str(v: JValue): String = v.asInstanceOf[JString].s
+        val ch = str(j \ "channel" \ "id")
+        require(ch == pathCh,
+          s"payload channel $ch delivered to the $pathCh endpoint")
+        val tick = (j \ "timestamp") match {
+          case JInt(n) => n.toLong / AlertStep
+          case other   => sys.error(s"bad webhook timestamp: $other")
+        }
+        (tick, str(j \ "alert" \ "fingerprint"), str(j \ "rule" \ "name"),
+          ch, str(j \ "event"))
+      }
+    } finally srv.stop(0)
     rows.toDF("tick", "series", "rule", "channel", "event")
       .orderBy(col("tick"), col("series"), col("channel"), col("event"))
   }
@@ -2116,6 +2178,7 @@ object Lifecycle extends QueryModule {
     GraftQuery("query_scaling_decision", queryScalingDecision, Some(queryScalingDecisionSql)),
     GraftQuery("alert_transitions", alertTransitions, Some(alertTransitionsSql)),
     GraftQuery("alert_notifications", alertNotifications, Some(alertNotificationsSql)),
+    GraftQuery("alert_webhook_delivery", alertWebhookDelivery, Some(alertNotificationsSql)),
     GraftQuery("scaling_decision", scalingDecision, Some(scalingDecisionSql)),
     GraftQuery("cdc_write_roundtrip", writeRoundtrip, Some(writeRoundtripSql)),
     GraftQuery("cdc_compaction_roundtrip", compactionRoundtrip, Some(compactionRoundtripSql)),

@@ -579,7 +579,105 @@ object SqlSurface extends QueryModule {
        |UNION ALL SELECT step, result, metadata_answered FROM scalars
        |ORDER BY step""".stripMargin
 
+  // ---- the HTTP API service layer end-to-end (ref internal/api/
+  // handlers/query.go:31-182): a real ApiServer over THIS dataset's
+  // catalog, driven over real loopback sockets — health, catalog/
+  // schema/table exploration, DESCRIBE, Trino-style paginated SQL
+  // (every page fetched via its next_uri until exhaustion), and the
+  // error statuses (identifier validation → 400 BEFORE SQL, analysis
+  // error → 400, unknown route → 404). The paginated legs drain the
+  // whole ordered result through HTTP — the row count, page count, and
+  // key sum must match the merged state replayed in DuckDB.
+  private def apiHttpExplore(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val cat = catalog(s, d)
+    val srv = new graft.api.ApiServer(s, defaultPageSize = 100)
+    val rows = try {
+      val base = srv.baseUri
+      val http = HttpClient.newHttpClient()
+      def getJ(path: String): (Int, JValue) = {
+        val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = http.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def strs(v: JValue): Seq[String] =
+        (v \\ classOf[JString])
+      val (hs, hb) = getJ("/query/health")
+      val (_, cb) = getJ("/query/catalogs")
+      val (_, sb) = getJ(s"/query/catalogs/$cat/schemas")
+      val (_, tb) = getJ(s"/query/catalogs/$cat/schemas/db/tables")
+      val (_, db) = getJ(s"/query/catalogs/$cat/schemas/db/tables/events")
+      val describedCols = (db \ "columns" \ "name" \\ classOf[JString]).toSet
+      val coreCols = Set("user_id", "event_id", "value",
+        graft.ingest.Cdc.LsnColumn, graft.model.SchemaBuilder.partitionColumn)
+      // paginated SQL: follow next_uri to exhaustion
+      var (ps, page) = postJ("/query/sql",
+        s"""{"sql": "SELECT user_id FROM $cat.db.events ORDER BY user_id", "page_size": 100}""")
+      require(ps == 200, s"POST /query/sql failed: $page")
+      var nRows = 0L
+      var nPages = 0L
+      var keySum = 0L
+      var continue = true
+      while (continue) {
+        val ids = (page \ "rows").asInstanceOf[JArray].arr.map(r =>
+          r.asInstanceOf[JArray].arr.head.asInstanceOf[JInt].num.toLong)
+        if (ids.nonEmpty) { nPages += 1; nRows += ids.size; keySum += ids.sum }
+        page \ "next_uri" match {
+          case JString(uri) => page = getJ(uri)._2
+          case _            => continue = false
+        }
+      }
+      val (bi, _) = getJ(s"/query/catalogs/$cat/schemas/1bad/tables")
+      val (bq, _) = postJ("/query/sql", """{"sql": "SELECT * FROM no_such_table_xyz"}""")
+      val (nr, _) = getJ("/query/nope")
+      Seq(
+        ("health_ok", flag(hs == 200 &&
+          (hb \ "status") == JString("healthy"))),
+        ("catalogs_has_ours", flag(strs(cb \ "catalogs").contains(cat))),
+        ("schemas_n", (sb \ "total").asInstanceOf[JInt].num.toLong),
+        ("tables_has_state_tables", flag(
+          strs(tb \ "tables").contains("events") &&
+            strs(tb \ "tables").contains("events_mor"))),
+        ("describe_core_cols", flag(coreCols.subsetOf(describedCols))),
+        ("sql_rows", nRows), ("sql_pages", nPages), ("sql_user_sum", keySum),
+        ("bad_identifier_400", flag(bi == 400)),
+        ("bad_sql_400", flag(bq == 400)),
+        ("unknown_route_404", flag(nr == 404)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiHttpExploreSql =
+    s"""$snapStateSql,
+       |s3 AS (SELECT user_id FROM state WHERE snap_id = 3),
+       |vals AS (SELECT * FROM (VALUES
+       |  ('health_ok', CAST(1 AS BIGINT)),
+       |  ('catalogs_has_ours', CAST(1 AS BIGINT)),
+       |  ('schemas_n', CAST(1 AS BIGINT)),
+       |  ('tables_has_state_tables', CAST(1 AS BIGINT)),
+       |  ('describe_core_cols', CAST(1 AS BIGINT)),
+       |  ('sql_rows', (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+       |  ('sql_pages', (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) FROM s3)),
+       |  ('sql_user_sum', (SELECT CAST(sum(user_id) AS BIGINT) FROM s3)),
+       |  ('bad_identifier_400', CAST(1 AS BIGINT)),
+       |  ('bad_sql_400', CAST(1 AS BIGINT)),
+       |  ('unknown_route_404', CAST(1 AS BIGINT)))
+       |  AS t(step, result))
+       |SELECT step, result FROM vals ORDER BY step""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("sql_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),

@@ -1,0 +1,147 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkTestBase
+import graft.lake.{GraftCatalog, SnapshotLog}
+
+/** The HTTP service layer end-to-end over real sockets: route shapes,
+  * identifier validation before SQL, Trino-style cursor pagination
+  * (next_uri dies with the last page), and error statuses. */
+class ApiServerSpec extends SparkTestBase {
+
+  private val cat = "gapitest"
+
+  private def buildCatalog(): Unit = {
+    val wh = Files.createTempDirectory("graft-api").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = s"$wh/ns/t"
+    val df = (1L to 25L).map(i => (i, i * 10, f"$i%016d")).toDF("id", "v",
+      graft.ingest.Cdc.LsnColumn)
+    SnapshotLog.withTableLock(dir) {
+      val files = SnapshotLog.writeData(spark, dir, df, None)
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+
+  private val http = HttpClient.newHttpClient()
+
+  private def get(base: String, path: String): (Int, JValue) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), JsonMethods.parse(r.body()))
+  }
+
+  private def post(base: String, path: String, body: String): (Int, JValue) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), JsonMethods.parse(r.body()))
+  }
+
+  private def withServer(f: String => Unit): Unit = {
+    buildCatalog()
+    val srv = new ApiServer(spark, defaultPageSize = 10)
+    try f(srv.baseUri) finally srv.close()
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other      => fail(s"expected string, got $other")
+  }
+
+  test("health, catalogs, schemas, tables, describe — the /query group") {
+    withServer { base =>
+      val (hs, hb) = get(base, "/query/health")
+      assert(hs === 200 && str(hb \ "status") === "healthy")
+
+      val (cs, cb) = get(base, "/query/catalogs")
+      assert(cs === 200)
+      val catNames = (cb \ "catalogs" \\ classOf[JString])
+      assert(catNames.contains(cat), s"catalog list $catNames misses $cat")
+
+      val (ss, sb) = get(base, s"/query/catalogs/$cat/schemas")
+      assert(ss === 200)
+      assert((sb \\ classOf[JString]).contains("ns"))
+      assert(str(sb \ "catalog") === cat)
+
+      val (ts, tb) = get(base, s"/query/catalogs/$cat/schemas/ns/tables")
+      assert(ts === 200)
+      assert((tb \ "tables" \\ classOf[JString]).contains("t"))
+
+      val (ds, db) = get(base, s"/query/catalogs/$cat/schemas/ns/tables/t")
+      assert(ds === 200)
+      val colNames = (db \ "columns" \ "name" \\ classOf[JString])
+      assert(colNames === List("id", "v", graft.ingest.Cdc.LsnColumn))
+      assert(str(db \ "type") === "TABLE")
+    }
+  }
+
+  test("SQL pagination: pages drain the full ordered result, cursor dies at the end") {
+    withServer { base =>
+      val (s1, b1) = post(base, "/query/sql",
+        s"""{"sql": "SELECT id FROM $cat.ns.t ORDER BY id", "page_size": 10}""")
+      assert(s1 === 200)
+      assert((b1 \ "columns") === JArray(List(JString("id"))))
+      def ids(b: JValue): Seq[Long] =
+        (b \ "rows").asInstanceOf[JArray].arr.map(r =>
+          r.asInstanceOf[JArray].arr.head.asInstanceOf[JInt].num.toLong)
+      assert(ids(b1) === (1L to 10L))
+      val (s2, b2) = get(base, str(b1 \ "next_uri"))
+      assert(s2 === 200 && ids(b2) === (11L to 20L))
+      val (s3, b3) = get(base, str(b2 \ "next_uri"))
+      assert(s3 === 200 && ids(b3) === (21L to 25L))
+      // exhausted: no next_uri, and the cursor id is gone (Trino expiry)
+      assert((b3 \ "next_uri") === JNothing)
+      val (s4, _) = get(base, "/query/results/" + str(b3 \ "id"))
+      assert(s4 === 404)
+    }
+  }
+
+  test("identifier validation rejects before SQL; analysis errors and bad routes map to statuses") {
+    withServer { base =>
+      // injection-shaped identifier → 400 from the validator, not SQL
+      val (is, ib) = get(base, s"/query/catalogs/$cat/schemas/x%3Bdrop/tables")
+      assert(is === 400)
+      assert(str(ib \ "error").contains("invalid schema name"))
+      // bad SQL → 400 with the analysis message
+      val (qs, _) = post(base, "/query/sql",
+        """{"sql": "SELECT * FROM nonexistent_table_xyz"}""")
+      assert(qs === 400)
+      // non-JSON body → 400
+      val (js, _) = post(base, "/query/sql", "not json at all")
+      assert(js === 400)
+      // missing sql field → 400
+      val (ms, _) = post(base, "/query/sql", """{"limit": 5}""")
+      assert(ms === 400)
+      // unknown route → 404
+      val (ns, _) = get(base, "/query/nope")
+      assert(ns === 404)
+      // page_size out of range → 400
+      val (ps, _) = post(base, "/query/sql",
+        s"""{"sql": "SELECT 1", "page_size": 0}""")
+      assert(ps === 400)
+    }
+  }
+
+  test("open-cursor cap returns 429 instead of unbounded driver state") {
+    buildCatalog()
+    val srv = new ApiServer(spark, defaultPageSize = 1, maxCursors = 2)
+    try {
+      val base = srv.baseUri
+      val q = s"""{"sql": "SELECT id FROM $cat.ns.t ORDER BY id", "page_size": 1}"""
+      assert(post(base, "/query/sql", q)._1 === 200)
+      assert(post(base, "/query/sql", q)._1 === 200)
+      assert(post(base, "/query/sql", q)._1 === 429)
+    } finally srv.close()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.observe
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Webhook delivery against a REAL loopback HTTP receiver: payload
+  * shape, 2xx acceptance, non-2xx and transport failures reported (not
+  * swallowed), unrouted channels loud. */
+class WebhookSpec extends AnyFunSuite {
+
+  private def note(fp: String, event: String, ch: String = "c1") =
+    Alerts.Notification(fp, "avg_rule", ch, event, 7000L)
+
+  private def withReceiver(status: Int)(f: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val received = new ConcurrentLinkedQueue[String]()
+    val srv = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/", (ex: HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+      ex.sendResponseHeaders(status, -1L)
+      ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}/hook", received)
+    finally srv.stop(0)
+  }
+
+  test("payload carries the reference WebhookPayload fields; 2xx delivers") {
+    withReceiver(200) { (url, received) =>
+      val out = Webhooks.deliver(
+        Seq(note("pipeline_lag", "fired"), note("pipeline_lag", "resolved")),
+        _ => Some(url))
+      assert(out.forall(_.delivered))
+      assert(out.map(_.status) === Seq(200, 200))
+      val bodies = received.toArray.toSeq.map(b =>
+        JsonMethods.parse(b.asInstanceOf[String]))
+      assert(bodies.size === 2)
+      val events = bodies.map(b => (b \ "event").asInstanceOf[JString].s).sorted
+      assert(events === Seq("fired", "resolved"))
+      bodies.foreach { b =>
+        assert((b \ "version") === JString("1.0"))
+        assert((b \ "alert" \ "fingerprint") === JString("pipeline_lag"))
+        assert((b \ "rule" \ "name") === JString("avg_rule"))
+        assert((b \ "channel" \ "type") === JString("webhook"))
+        assert((b \ "timestamp") === JInt(BigInt(7000)))
+      }
+      // fired → firing status, resolved → resolved (webhook.go's status)
+      val statusByEvent = bodies.map(b =>
+        (b \ "event").asInstanceOf[JString].s ->
+          (b \ "alert" \ "status").asInstanceOf[JString].s).toMap
+      assert(statusByEvent === Map("fired" -> "firing", "resolved" -> "resolved"))
+    }
+  }
+
+  test("non-2xx and transport failures are failed deliveries, not silent drops") {
+    withReceiver(503) { (url, received) =>
+      val out = Webhooks.deliver(Seq(note("x", "fired")), _ => Some(url))
+      assert(out.size === 1 && !out.head.delivered)
+      assert(out.head.status === 503)
+      assert(out.head.error.exists(_.contains("non-success status 503")))
+      assert(received.size === 1) // the POST did happen
+    }
+    // nothing listening → transport error, status 0
+    val dead = Webhooks.deliver(Seq(note("x", "fired")),
+      _ => Some("http://127.0.0.1:1/hook"))
+    assert(dead.size === 1 && !dead.head.delivered && dead.head.status === 0)
+  }
+
+  test("a channel with no webhook url fails loudly per delivery") {
+    val out = Webhooks.deliver(Seq(note("x", "fired", ch = "ghost")), _ => None)
+    assert(out.size === 1 && !out.head.delivered)
+    assert(out.head.error.exists(_.contains("ghost has no webhook url")))
+  }
+}
