@@ -46,7 +46,8 @@ import graft.queries.Paging
   * 429 instead of accumulating driver state without bound. */
 final class ApiServer(spark: SparkSession,
                       defaultPageSize: Int = 100,
-                      maxCursors: Int = 64) extends AutoCloseable {
+                      maxCursors: Int = 64,
+                      cursorTtlMs: Long = 10 * 60 * 1000L) extends AutoCloseable {
 
   private val server =
     HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
@@ -54,8 +55,10 @@ final class ApiServer(spark: SparkSession,
   private val cursors = new ConcurrentHashMap[String, CursorState]()
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private final case class CursorState(cursor: Paging.QueryCursor,
-                                       columns: Seq[String])
+  private final class CursorState(val cursor: Paging.QueryCursor,
+                                  val columns: Seq[String]) {
+    @volatile var lastTouchedMs: Long = System.currentTimeMillis()
+  }
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(pool)
@@ -88,9 +91,14 @@ final class ApiServer(spark: SparkSession,
           validated(ex, c -> "catalog", s -> "schema", t -> "table") {
             tableInfo(ex, c, s, t)
           }
-        case ("POST", Seq("query", "sql"))         => runSql(ex)
-        case ("GET", Seq("query", "results", id))  => nextPage(ex, id)
-        case ("GET" | "POST", _) =>
+        case ("POST", Seq("query", "sql"))          => runSql(ex)
+        case ("GET", Seq("query", "results", id))   => nextPage(ex, id)
+        case ("DELETE", Seq("query", "results", id)) =>
+          // explicit cursor close (the reference client's DELETE nextUri)
+          val gone = cursors.remove(id)
+          respond(ex, if (gone != null) 200 else 404,
+            JObject("closed" -> JBool(gone != null)))
+        case ("GET" | "POST" | "DELETE", _) =>
           respond(ex, 404, JObject("error" -> JString("not found")))
         case (m, _) =>
           respond(ex, 405, JObject("error" -> JString(s"method $m not allowed")))
@@ -185,15 +193,30 @@ final class ApiServer(spark: SparkSession,
           JObject("error" -> JString("page_size must be in [1, 10000]")))
         return
     }
-    if (cursors.size >= maxCursors) {
+    val df = spark.sql(sql) // AnalysisException → 400 via handle()
+    val st = new CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)
+    val id = java.util.UUID.randomUUID().toString.take(8) + "-" + ids.incrementAndGet()
+    // admission + registration are one atomic step so the cap cannot be
+    // raced past; an abandoned cursor (client stopped paging — the
+    // normal Trino-client behavior on abort) is evicted once idle past
+    // the TTL, so the cap bounds LIVE cursors instead of permanently
+    // bricking the endpoint after maxCursors abandons
+    val admitted = cursors.synchronized {
+      if (cursors.size >= maxCursors) {
+        val cutoff = System.currentTimeMillis() - cursorTtlMs
+        val it = cursors.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getValue.lastTouchedMs < cutoff) it.remove()
+        }
+      }
+      if (cursors.size < maxCursors) { cursors.put(id, st); true } else false
+    }
+    if (!admitted) {
       respond(ex, 429, JObject("error" ->
-        JString(s"too many open cursors (max $maxCursors) — drain or abandon some")))
+        JString(s"too many open cursors (max $maxCursors) — page them to " +
+          "exhaustion, DELETE /query/results/{id}, or wait out the idle TTL")))
       return
     }
-    val df = spark.sql(sql) // AnalysisException → 400 via handle()
-    val st = CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)
-    val id = java.util.UUID.randomUUID().toString.take(8) + "-" + ids.incrementAndGet()
-    cursors.put(id, st)
     respond(ex, 200, pageJson(id, st))
   }
 
@@ -205,12 +228,21 @@ final class ApiServer(spark: SparkSession,
   }
 
   /** One page; removing the cursor exactly when no further page exists
-    * (`next_uri` absent ⇔ cursor dead — Trino's contract). Cursor
-    * advancement is serialized per cursor: two clients racing the same
-    * next_uri each get a distinct, non-overlapping page. */
+    * (`next_uri` absent ⇔ cursor dead — Trino's contract). The page
+    * fetch and the has-more probe happen under ONE lock: two clients
+    * racing the same next_uri (a timeout retry) each get a distinct,
+    * non-overlapping page, and neither can observe the other's
+    * in-between state and wrongly drop next_uri on a non-final page.
+    * A failing fetch (executor death mid-stream) frees the slot rather
+    * than pinning it until the TTL. */
   private def pageJson(id: String, st: CursorState): JObject = {
-    val rows = st.cursor.synchronized(st.cursor.nextPage())
-    val more = st.cursor.synchronized(st.cursor.hasMore)
+    val (rows, more) = st.cursor.synchronized {
+      st.lastTouchedMs = System.currentTimeMillis()
+      val page = try st.cursor.nextPage() catch {
+        case NonFatal(e) => cursors.remove(id); throw e
+      }
+      (page, st.cursor.hasMore)
+    }
     if (!more) cursors.remove(id)
     JObject(
       "id" -> JString(id),

@@ -469,6 +469,12 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
         SnapshotLog.conventionPartitionCol(snap.schema).contains(n) &&
           snap.schema(n).dataType == StringType &&
           snap.files.forall(f => f.partition.nonEmpty &&
+            // a NULL day writes under Spark's default-partition sentinel
+            // directory; its manifest partition value is that literal
+            // string, not NULL — the real scan returns a NULL group, so
+            // the metadata path must refuse rather than answer with the
+            // sentinel text
+            f.partition != "__HIVE_DEFAULT_PARTITION__" &&
             (f.spec.isEmpty || f.spec.contains("identity")))
       }
       case _ => false

@@ -953,11 +953,16 @@ object SnapshotLog {
         // (id gone from the head) stays a legal re-add by design.
         locally {
           val pSchema = p.schema
-          if (graft.model.FieldIds.hasIds(pSchema)) {
+          val newNames = schema.fields.filterNot(f => parentNames.contains(f.name))
+          // the historical-schema parse is gated on a genuinely new name
+          // being present: the common append (batch schema == head) must
+          // not JSON-parse every retained schema — and mergedSchema
+          // re-runs on every optimistic-rebase retry
+          if (newNames.nonEmpty && graft.model.FieldIds.hasIds(pSchema)) {
             val historical = p.schemasById.values.map(j =>
               DataType.fromJson(j).asInstanceOf[StructType])
             for {
-              nf  <- schema.fields if !parentNames.contains(nf.name)
+              nf  <- newNames
               hs  <- historical
               hf  <- hs.fields.find(_.name == nf.name)
               hid <- graft.model.FieldIds.idOf(hf)

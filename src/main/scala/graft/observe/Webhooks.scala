@@ -72,18 +72,31 @@ object Webhooks {
   /** Deliver a cycle's notifications through their channels' webhook
     * URLs. A channel with no configured URL is a config error surfaced
     * as a failed delivery (the reference's channel factory fails
-    * channel construction loudly, manager.go:40-55). Ordering is the
-    * notifyCycle emission order — per-channel ordering is preserved. */
+    * channel construction loudly, manager.go:40-55).
+    *
+    * Channels deliver CONCURRENTLY; within one channel the notifyCycle
+    * emission order is preserved (the only ordering that matters — a
+    * resolve must not overtake its fire on the same channel). A hung
+    * endpoint therefore stalls only its own channel instead of turning
+    * a 30 s timeout into a serial outage amplifier for every channel
+    * behind it. The returned Seq keeps the input order. */
   def deliver(notes: Seq[Alerts.Notification],
-              urlOf: String => Option[String]): Seq[Delivery] =
-    notes.map { n =>
-      urlOf(n.channel) match {
-        case None =>
-          Delivery(n, "", 0, delivered = false,
-            Some(s"channel ${n.channel} has no webhook url"))
-        case Some(url) =>
-          val (status, err) = post(url, payloadJson(n))
-          Delivery(n, url, status, delivered = err.isEmpty, err)
-      }
+              urlOf: String => Option[String]): Seq[Delivery] = {
+    def send(n: Alerts.Notification): Delivery = urlOf(n.channel) match {
+      case None =>
+        Delivery(n, "", 0, delivered = false,
+          Some(s"channel ${n.channel} has no webhook url"))
+      case Some(url) =>
+        val (status, err) = post(url, payloadJson(n))
+        Delivery(n, url, status, delivered = err.isEmpty, err)
     }
+    val indexed = notes.zipWithIndex
+    val byChannel = indexed.groupBy(_._1.channel).values.toSeq
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = byChannel.map(ch => Future(ch.map { case (n, i) => (send(n), i) }))
+    Await.result(Future.sequence(futures), Duration.Inf)
+      .flatten.sortBy(_._2).map(_._1)
+  }
 }

@@ -1795,7 +1795,7 @@ object Lifecycle extends QueryModule {
       case "steady" => k >= 1
       case _ => counts.getOrElse((t, k.toLong), 0L).toDouble > totals(t) / 8.0
     }
-    val step = 1000L
+    val step = AlertStep // ONE tick unit: built here, decoded by both gates
     val routes = Seq(
       Alerts.Route("avg_rule", "c1", enabled = true, repeatIntervalMs = 0L),
       Alerts.Route("avg_rule", "c2", enabled = true, repeatIntervalMs = 3 * step),

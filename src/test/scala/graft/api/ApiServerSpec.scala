@@ -133,15 +133,37 @@ class ApiServerSpec extends SparkTestBase {
     }
   }
 
-  test("open-cursor cap returns 429 instead of unbounded driver state") {
+  test("open-cursor cap returns 429; DELETE frees a slot") {
     buildCatalog()
     val srv = new ApiServer(spark, defaultPageSize = 1, maxCursors = 2)
     try {
       val base = srv.baseUri
       val q = s"""{"sql": "SELECT id FROM $cat.ns.t ORDER BY id", "page_size": 1}"""
-      assert(post(base, "/query/sql", q)._1 === 200)
+      val (s1, b1) = post(base, "/query/sql", q)
+      assert(s1 === 200)
       assert(post(base, "/query/sql", q)._1 === 200)
       assert(post(base, "/query/sql", q)._1 === 429)
+      // explicit close releases the slot — an abandoning client has a
+      // way out besides draining
+      val del = http.send(HttpRequest.newBuilder(
+        URI.create(base + "/query/results/" + str(b1 \ "id")))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() === 200)
+      assert(post(base, "/query/sql", q)._1 === 200)
+    } finally srv.close()
+  }
+
+  test("idle cursors are evicted at the cap: abandonment cannot brick the endpoint") {
+    buildCatalog()
+    // TTL 0: every idle cursor is evictable the moment the cap is hit
+    val srv = new ApiServer(spark, defaultPageSize = 1, maxCursors = 2,
+      cursorTtlMs = 0L)
+    try {
+      val base = srv.baseUri
+      val q = s"""{"sql": "SELECT id FROM $cat.ns.t ORDER BY id", "page_size": 1}"""
+      (1 to 5).foreach { i =>
+        assert(post(base, "/query/sql", q)._1 === 200, s"POST $i was rejected")
+      }
     } finally srv.close()
   }
 }

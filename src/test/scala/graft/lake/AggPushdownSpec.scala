@@ -110,6 +110,28 @@ class AggPushdownSpec extends SparkTestBase {
     assert(!m3, "count over live deletes must not claim metadata")
   }
 
+  test("a NULL day partition disables grouped pushdown instead of leaking the sentinel") {
+    val wh = Files.createTempDirectory("graft-aggpush-null").toString
+    register(wh)
+    spark.sql(s"CREATE TABLE $cat.ns.npart (id BIGINT, _cdc_date STRING)")
+    spark.sql(s"INSERT INTO $cat.ns.npart VALUES (1, '2024-01-01'), (2, NULL)")
+    val dir = s"$wh/ns/npart"
+    // the real scan returns a NULL group; the manifest records the
+    // __HIVE_DEFAULT_PARTITION__ sentinel STRING — claiming the
+    // metadata answer would silently replace NULL with the sentinel
+    val (rows, meta) = metadataAnswered(dir)(spark.sql(
+      s"SELECT _cdc_date AS day, count(*) AS n FROM $cat.ns.npart " +
+        "GROUP BY _cdc_date ORDER BY day"))
+    assert(rows.map(r => (Option(r.getString(0)), r.getLong(1))) ===
+      Seq((None, 1L), (Some("2024-01-01"), 1L)))
+    assert(!meta, "grouped count over a null-day partition claimed metadata")
+    // the GLOBAL count is partition-value-independent: still metadata
+    val (r2, m2) = metadataAnswered(dir)(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.ns.npart"))
+    assert(r2.map(_.getLong(0)) === Seq(2L))
+    assert(m2)
+  }
+
   test("an empty created table answers count 0 and null min from metadata") {
     val wh = Files.createTempDirectory("graft-aggpush-empty").toString
     register(wh)

@@ -72,6 +72,39 @@ class WebhookSpec extends AnyFunSuite {
     assert(dead.size === 1 && !dead.head.delivered && dead.head.status === 0)
   }
 
+  test("a slow channel does not serialize other channels' deliveries") {
+    val arrivals = new ConcurrentLinkedQueue[(String, Long)]()
+    val srv = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/", (ex: HttpExchange) => {
+      val ch = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).last
+      if (ch == "slow") Thread.sleep(1000L)
+      arrivals.add((ch, System.nanoTime()))
+      ex.sendResponseHeaders(200, -1L)
+      ex.close()
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      // emission order interleaves the channels: serial delivery would
+      // make 'fast' wait ~1 s behind each 'slow' POST
+      val notes = Seq(note("a", "fired", ch = "slow"),
+        note("b", "fired", ch = "fast"),
+        note("c", "fired", ch = "slow"),
+        note("d", "fired", ch = "fast"))
+      val out = Webhooks.deliver(notes, c => Some(s"$base/hook/$c"))
+      assert(out.forall(_.delivered))
+      assert(out.map(_.note.fingerprint) === Seq("a", "b", "c", "d")) // input order kept
+      val byCh = arrivals.toArray.toSeq
+        .map(_.asInstanceOf[(String, Long)]).groupBy(_._1)
+      // both fast deliveries land before the SECOND slow one (which is
+      // >= 2 s in on its own channel) — impossible under serial delivery
+      assert(byCh("fast").map(_._2).max < byCh("slow").map(_._2).max,
+        "fast channel was serialized behind the slow one")
+    } finally srv.stop(0)
+  }
+
   test("a channel with no webhook url fails loudly per delivery") {
     val out = Webhooks.deliver(Seq(note("x", "fired", ch = "ghost")), _ => None)
     assert(out.size === 1 && !out.head.delivered)
