@@ -494,9 +494,123 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
         snap.files.forall(_.boundsFor(n).isDefined)
     }
 
+  /** The native DSv2 Batch path applies when a plain multi-file parquet
+    * scan IS the correct read: no live deletes (MOR application needs
+    * the join in [[SnapshotLog.read]]), no hive-adopted files (their
+    * partition value lives in the directory name, not the file), and
+    * every file's write-era schema readable BY NAME under the current
+    * schema (rename/drop evolution needs the per-era by-id projection).
+    * Everything else falls back to the V1 bridge, which builds the full
+    * DataFrame read. The batch path is what unlocks plan-time
+    * statistics (V1ScanWrapper drops SupportsReportStatistics) and
+    * runtime (DPP) filtering — both are file-list decisions the
+    * manifest answers. */
+  private def batchEligible: Boolean =
+    snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
+      snap.files.forall(!_.hive) && {
+        val eras = SnapshotLog.parsedSchemas(snap)
+        snap.files.forall(f => f.schemaId == 0 ||
+          eras.get(f.schemaId).forall(ws =>
+            graft.model.FieldIds.byNameSafe(ws, snap.schema)))
+      }
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) => GraftAggScan.build(tableDir, snap, agg)
-    case None      => new GraftScan(tableDir, snap, required, filters)
+    case None if batchEligible =>
+      new GraftBatchScan(SparkSession.active, tableDir, snap, required, filters)
+    case None => new GraftScan(tableDir, snap, required, filters)
+  }
+}
+
+/** The native DSv2 batch scan over a snapshot's pruned file set —
+  * planned as a BatchScanExec (columnar parquet readers, whole-stage
+  * codegen), no V1 bridge. Two capabilities the bridge cannot offer:
+  *
+  *  - `SupportsReportStatistics` actually reaches the optimizer
+  *    (V1ScanWrapper drops it), so broadcast decisions see manifest-
+  *    measured sizes at PLAN time, before AQE;
+  *  - `SupportsRuntimeFiltering`: a join against a filtered dimension
+  *    hands the scan its runtime join-key filters (Spark's dynamic
+  *    partition pruning for DSv2) — [[GraftPruning]] turns them into
+  *    manifest file skipping, so the probe side of a star join reads
+  *    only the files that can hold matching days/key ranges. At 100 TB
+  *    this is the difference between scanning the full fact table and
+  *    scanning the two days the dimension selected.
+  *
+  * Filters (static + runtime) also flow into the parquet reader factory
+  * for row-group pruning; Spark re-evaluates every predicate above the
+  * scan, so both levels stay advisory. */
+private[lake] final class GraftBatchScan(spark: SparkSession,
+                                         tableDir: String, snap: Snapshot,
+                                         required: StructType,
+                                         filters: Array[Filter])
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
+
+  private def keptFiles: Seq[DataFile] =
+    snap.files.filter(GraftPruning.filePredicate(allFilters, snap))
+
+  /** Runtime filters are useful exactly where the manifest can act on
+    * them: the partition column and every column with recorded bounds —
+    * RESTRICTED to the scan's own output: Spark resolves these against
+    * the scan relation and fails the whole query on an unknown name, so
+    * a stats column pruned out of the projection must not be offered. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statCols = snap.files
+      .flatMap(f => f.statsCol.toSeq ++ f.extraBounds.keys).distinct
+    val pcol = SnapshotLog.conventionPartitionCol(snap.schema).toSeq
+    (pcol ++ statCols).distinct
+      .filter(required.fieldNames.contains)
+      .map(n => org.apache.spark.sql.connector.expressions.Expressions.column(n))
+      .toArray
+  }
+
+  override def filter(fs: Array[Filter]): Unit = runtimeFilters = fs
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = keptFiles
+    GraftScanStats.record(tableDir, kept.size, snap.files.size)
+    org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
+      kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
+      snap.schema, required, allFilters)
+
+  /** Manifest-measured stats of the (statically + runtime) pruned file
+    * set — visible at plan time, re-estimated by AQE after runtime
+    * filters land. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val kept = keptFiles
+    val rows = kept.map(_.rows).sum
+    val bytes = kept.map(_.sizeBytes).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def description(): String = {
+    val pushed = filters.filter(f =>
+      GraftPruning.translate(f, snap.schema).isDefined)
+    s"GraftBatchScan $tableDir snapshot=${snap.id} " +
+      s"files=${keptFiles.size}/${snap.files.size} " +
+      s"columns=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters=[${pushed.mkString(", ")}] " +
+      s"RuntimeFilterAttrs=[${filterAttributes().mkString(", ")}]"
   }
 }
 

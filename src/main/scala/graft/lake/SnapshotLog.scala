@@ -1802,7 +1802,7 @@ object SnapshotLog {
 
   /** The snapshot's schema-id map parsed to StructTypes — the write-era
     * resolution table [[readFiles]] projects old files through. */
-  private def parsedSchemas(snap: Snapshot): Map[Int, StructType] =
+  private[lake] def parsedSchemas(snap: Snapshot): Map[Int, StructType] =
     snap.schemasById.map { case (k, j) =>
       k -> DataType.fromJson(j).asInstanceOf[StructType]
     }

@@ -676,8 +676,65 @@ object SqlSurface extends QueryModule {
        |  AS t(step, result))
        |SELECT step, result FROM vals ORDER BY step""".stripMargin
 
+  // ---- runtime (DPP) filtering on the native batch scan: a star join
+  // against a selectively-filtered parquet dimension hands the lake
+  // scan its join-key days at RUNTIME, and the manifest skips every
+  // other day's files before a footer opens. The gate measures the
+  // pruning on a PRIVATE day-partitioned copy of the state (a shared
+  // table's scan stats could be overwritten by a concurrent gate) and
+  // hash-checks the joined aggregates against the DuckDB state replay.
+  private def runtimeFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.GraftScanStats
+    val cat = catalog(s, d)
+    val wh = sqlWarehouse(s, d)
+    val t = freshDmlTable(s, d, "rf",
+      "user_id BIGINT, event_id BIGINT, value DOUBLE, _cdc_date STRING")
+    s.sql(s"INSERT INTO $t SELECT user_id, event_id, value, " +
+      s"CAST(_cdc_date AS STRING) FROM $cat.db.events")
+    val dimPath = s"$wh/rf_dim"
+    s.sql(s"""SELECT CAST(_cdc_date AS STRING) AS day,
+             |  CASE WHEN _cdc_date >= '2024-01-30' THEN 'keep' ELSE 'drop' END AS tag
+             |FROM $cat.db.events GROUP BY _cdc_date""".stripMargin)
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = "graft_sql_rf_dim_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.read.parquet(dimPath).createOrReplaceTempView(dim)
+    // tiny-SF fixture note: the stats-based DPP benefit heuristic is
+    // tuned for real table sizes — disable it for the measured query
+    // (semantics-neutral: DPP is an optimization) and restore after
+    val useStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = s.conf.get(useStats)
+    val (n, su, kept, total) = try {
+      s.conf.set(useStats, "false")
+      val rfDir = s"${sqlWarehouse(s, d)}/db/rf"
+      val row = s.sql(
+        s"""SELECT count(*) AS n, sum(t.user_id) AS su
+           |FROM $t t JOIN $dim d ON t._cdc_date = d.day
+           |WHERE d.tag = 'keep'""".stripMargin).collect().head
+      val (k, tot) = GraftScanStats.lastScan(rfDir).get
+      (row.getLong(0), row.getLong(1), k, tot)
+    } finally s.conf.set(useStats, prev)
+    import s.implicits._
+    Seq(
+      ("rf_rows", n),
+      ("rf_user_sum", su),
+      ("rf_files_pruned", if (kept < total) 1L else 0L))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val runtimeFilterSql =
+    s"""$snapStateSql,
+       |s3 AS (SELECT user_id, day FROM state WHERE snap_id = 3),
+       |win AS (SELECT * FROM s3 WHERE day >= '2024-01-30'),
+       |vals AS (SELECT * FROM (VALUES
+       |  ('rf_rows', (SELECT CAST(count(*) AS BIGINT) FROM win)),
+       |  ('rf_user_sum', (SELECT CAST(sum(user_id) AS BIGINT) FROM win)),
+       |  ('rf_files_pruned', CAST(1 AS BIGINT)))
+       |  AS t(step, result))
+       |SELECT step, result FROM vals ORDER BY step""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
+    GraftQuery("sql_runtime_filter", runtimeFilter, Some(runtimeFilterSql)),
     GraftQuery("sql_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),
     GraftQuery("sql_time_travel", timeTravel, Some(timeTravelSql)),

@@ -1,0 +1,92 @@
+package org.apache.spark.sql
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** In-package access to Spark's OWN DSv2 parquet execution machinery for
+  * graft's native batch scan ([[graft.lake.GraftCatalog]]): the reader
+  * factory, file-partition model, and split planning are all
+  * `private[sql]` — re-exported here instead of re-implemented, the same
+  * convention as [[GraftBridge]]. Using Spark's factory (not a bespoke
+  * reader) keeps every parquet behavior identical to a builtin scan:
+  * vectorized/columnar reads, missing-column → null schema evolution,
+  * widening type reads, timestamp rebase modes, row-group filter
+  * pushdown. */
+object GraftScanSupport {
+
+  /** Spark's parquet [[PartitionReaderFactory]] over the CURRENT session
+    * conf, with the SAME hadoop-conf preparation ParquetScan's
+    * createReaderFactory performs (read-support class, requested-schema
+    * json, timezone, parquet type flags) — the reader NPEs without it.
+    * `filters` prune row groups inside each file (advisory — Spark
+    * still re-evaluates every predicate above the scan). */
+  def parquetReaderFactory(spark: SparkSession,
+                           dataSchema: StructType,
+                           readDataSchema: StructType,
+                           filters: Array[Filter]): PartitionReaderFactory = {
+    import org.apache.parquet.hadoop.ParquetInputFormat
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val readDataSchemaAsJson = readDataSchema.json
+    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    ParquetPartitionReaderFactory(
+      sqlConf,
+      spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf)),
+      dataSchema,
+      readDataSchema,
+      new StructType(), // partition values live IN the files (never hive here)
+      filters,
+      aggregation = None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  /** Spark's own split sizing: files split at `maxSplitBytes` ranges
+    * (parquet readers align ranges to row groups), then bin-packed by
+    * [[FilePartition.getFilePartitions]] with the session's open-cost
+    * accounting — the identical partition layout a builtin file scan
+    * would plan. `files` are (absolute path, size) pairs. */
+  def planFilePartitions(spark: SparkSession,
+                         files: Seq[(String, Long)]): Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val defaultMax = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitions = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / math.max(minPartitions, 1)
+    val maxSplit = math.min(defaultMax, math.max(openCost, bytesPerCore))
+    val pfs = files.flatMap { case (path, len) =>
+      (0L until math.max(len, 1L) by maxSplit).map { start =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+          start, math.min(maxSplit, len - start))
+      }
+    }
+    FilePartition.getFilePartitions(spark, pfs, maxSplit)
+      .toArray[InputPartition]
+  }
+}
