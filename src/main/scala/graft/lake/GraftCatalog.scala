@@ -537,9 +537,15 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   *    this is the difference between scanning the full fact table and
   *    scanning the two days the dimension selected.
   *
-  * Filters (static + runtime) also flow into the parquet reader factory
-  * for row-group pruning; Spark re-evaluates every predicate above the
-  * scan, so both levels stay advisory. */
+  * Static filters also flow into the parquet reader factory for
+  * row-group pruning (runtime filters do NOT reach it — BatchScanExec
+  * forces its reader factory at planning time, before filter() is
+  * invoked; their value here is the manifest file skipping). Spark
+  * re-evaluates every predicate above the scan, so both levels stay
+  * advisory. Pruning is cached per filter state: the optimizer's stats
+  * visitor and plan renderers call estimateStatistics/description
+  * repeatedly, and an 800k-entry manifest must not be re-folded on
+  * every EXPLAIN line. */
 private[lake] final class GraftBatchScan(spark: SparkSession,
                                          tableDir: String, snap: Snapshot,
                                          required: StructType,
@@ -551,31 +557,48 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var keptCache: Seq[DataFile] = null
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
-  private def allFilters: Array[Filter] = filters ++ runtimeFilters
-
-  private def keptFiles: Seq[DataFile] =
-    snap.files.filter(GraftPruning.filePredicate(allFilters, snap))
-
-  /** Runtime filters are useful exactly where the manifest can act on
-    * them: the partition column and every column with recorded bounds —
-    * RESTRICTED to the scan's own output: Spark resolves these against
-    * the scan relation and fails the whole query on an unknown name, so
-    * a stats column pruned out of the projection must not be offered. */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val statCols = snap.files
-      .flatMap(f => f.statsCol.toSeq ++ f.extraBounds.keys).distinct
-    val pcol = SnapshotLog.conventionPartitionCol(snap.schema).toSeq
-    (pcol ++ statCols).distinct
-      .filter(required.fieldNames.contains)
-      .map(n => org.apache.spark.sql.connector.expressions.Expressions.column(n))
-      .toArray
+  private def keptFiles: Seq[DataFile] = {
+    var k = keptCache
+    if (k == null) {
+      k = snap.files.filter(
+        GraftPruning.filePredicate(filters ++ runtimeFilters, snap))
+      keptCache = k
+    }
+    k
   }
 
-  override def filter(fs: Array[Filter]): Unit = runtimeFilters = fs
+  /** Runtime filters are useful exactly where the manifest can act on
+    * them: the partition column and every column with recorded bounds
+    * (including the legacy default bounds column of pre-statsCol
+    * manifest entries) — RESTRICTED to the scan's own output: Spark
+    * resolves these against the scan relation and fails the whole query
+    * on an unknown name, so a stats column pruned out of the projection
+    * must not be offered. */
+  private lazy val filterAttrNames: Seq[String] = {
+    val statCols = snap.files.flatMap { f =>
+      val primary =
+        if (f.minLsn.isDefined && f.maxLsn.isDefined) Seq(f.boundsColumn)
+        else Nil
+      primary ++ f.extraBounds.keys
+    }.distinct
+    val pcol = SnapshotLog.conventionPartitionCol(snap.schema).toSeq
+    (pcol ++ statCols).distinct.filter(required.fieldNames.contains)
+  }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    filterAttrNames
+      .map(n => org.apache.spark.sql.connector.expressions.Expressions.column(n))
+      .toArray
+
+  override def filter(fs: Array[Filter]): Unit = {
+    runtimeFilters = fs
+    keptCache = null // re-prune under the runtime filters
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = keptFiles
@@ -586,7 +609,7 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
 
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-      snap.schema, required, allFilters)
+      snap.schema, required, filters)
 
   /** Manifest-measured stats of the (statically + runtime) pruned file
     * set — visible at plan time, re-estimated by AQE after runtime
@@ -603,15 +626,16 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
     }
   }
 
-  override def description(): String = {
-    val pushed = filters.filter(f =>
-      GraftPruning.translate(f, snap.schema).isDefined)
+  private lazy val pushedRendered: String = filters
+    .filter(f => GraftPruning.translate(f, snap.schema).isDefined)
+    .mkString(", ")
+
+  override def description(): String =
     s"GraftBatchScan $tableDir snapshot=${snap.id} " +
       s"files=${keptFiles.size}/${snap.files.size} " +
       s"columns=${required.fieldNames.mkString(",")} " +
-      s"PushedFilters=[${pushed.mkString(", ")}] " +
-      s"RuntimeFilterAttrs=[${filterAttributes().mkString(", ")}]"
-  }
+      s"PushedFilters=[$pushedRendered] " +
+      s"RuntimeFilterAttrs=[${filterAttrNames.mkString(", ")}]"
 }
 
 private[lake] final class GraftScan(tableDir: String, snap: Snapshot,

@@ -27,6 +27,10 @@ object SqlSurface extends QueryModule {
 
   private val fixture = new Lifecycle.FixtureCache("graft_sqlwh")
 
+  /** Serializes session-conf toggles in measured gates (set/measure/
+    * restore) against Verify's concurrent per-dataset execution. */
+  private[queries] val DppConfLock = new Object
+
   /** Build the warehouse once per (session, sf): a COW merge table with
     * a tag, and a MOR table carrying both delete kinds. */
   private def sqlWarehouse(s: SparkSession, d: String): String =
@@ -691,7 +695,11 @@ object SqlSurface extends QueryModule {
       "user_id BIGINT, event_id BIGINT, value DOUBLE, _cdc_date STRING")
     s.sql(s"INSERT INTO $t SELECT user_id, event_id, value, " +
       s"CAST(_cdc_date AS STRING) FROM $cat.db.events")
-    val dimPath = s"$wh/rf_dim"
+    // the dim lives OUTSIDE the warehouse: a directory at the warehouse
+    // root would surface as a phantom namespace in SHOW NAMESPACES (and
+    // break api_http_explore's schema count)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_rf_dim")
+      .toString + "/dim"
     s.sql(s"""SELECT CAST(_cdc_date AS STRING) AS day,
              |  CASE WHEN _cdc_date >= '2024-01-30' THEN 'keep' ELSE 'drop' END AS tag
              |FROM $cat.db.events GROUP BY _cdc_date""".stripMargin)
@@ -701,18 +709,24 @@ object SqlSurface extends QueryModule {
     // tiny-SF fixture note: the stats-based DPP benefit heuristic is
     // tuned for real table sizes — disable it for the measured query
     // (semantics-neutral: DPP is an optimization) and restore after
+    // the measured query runs under useStats=false; the toggle is a
+    // SESSION-wide conf and Verify runs two datasets' gates concurrently
+    // in one session, so set/measure/restore serializes on a JVM lock —
+    // without it, interleaved restores can leave the session flipped
     val useStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
-    val prev = s.conf.get(useStats)
-    val (n, su, kept, total) = try {
-      s.conf.set(useStats, "false")
-      val rfDir = s"${sqlWarehouse(s, d)}/db/rf"
-      val row = s.sql(
-        s"""SELECT count(*) AS n, sum(t.user_id) AS su
-           |FROM $t t JOIN $dim d ON t._cdc_date = d.day
-           |WHERE d.tag = 'keep'""".stripMargin).collect().head
-      val (k, tot) = GraftScanStats.lastScan(rfDir).get
-      (row.getLong(0), row.getLong(1), k, tot)
-    } finally s.conf.set(useStats, prev)
+    val (n, su, kept, total) = SqlSurface.DppConfLock.synchronized {
+      val prev = s.conf.get(useStats)
+      try {
+        s.conf.set(useStats, "false")
+        val rfDir = s"${sqlWarehouse(s, d)}/db/rf"
+        val row = s.sql(
+          s"""SELECT count(*) AS n, sum(t.user_id) AS su
+             |FROM $t t JOIN $dim d ON t._cdc_date = d.day
+             |WHERE d.tag = 'keep'""".stripMargin).collect().head
+        val (k, tot) = GraftScanStats.lastScan(rfDir).get
+        (row.getLong(0), row.getLong(1), k, tot)
+      } finally s.conf.set(useStats, prev)
+    }
     import s.implicits._
     Seq(
       ("rf_rows", n),

@@ -65,23 +65,22 @@ object GraftScanSupport {
       new ParquetOptions(Map.empty[String, String], sqlConf))
   }
 
-  /** Spark's own split sizing: files split at `maxSplitBytes` ranges
-    * (parquet readers align ranges to row groups), then bin-packed by
-    * [[FilePartition.getFilePartitions]] with the session's open-cost
-    * accounting — the identical partition layout a builtin file scan
-    * would plan. `files` are (absolute path, size) pairs. */
+  /** Spark's own split sizing: [[FilePartition.maxSplitBytes]] picks the
+    * range size (parquet readers align ranges to row groups), files are
+    * sorted LARGEST-FIRST (the order Spark's planner feeds the packer —
+    * unsorted input makes the greedy packer close bins early), and
+    * [[FilePartition.getFilePartitions]] bin-packs with the session's
+    * open-cost accounting — the identical partition layout a builtin
+    * file scan would plan. Zero-length entries plan no splits, exactly
+    * like Spark's `(0L until file.length)`. `files` are
+    * (absolute path, size) pairs. */
   def planFilePartitions(spark: SparkSession,
                          files: Seq[(String, Long)]): Array[InputPartition] = {
-    val conf = spark.sessionState.conf
-    val defaultMax = conf.filesMaxPartitionBytes
-    val openCost = conf.filesOpenCostInBytes
-    val minPartitions = conf.filesMinPartitionNum
-      .getOrElse(spark.sparkContext.defaultParallelism)
-    val totalBytes = files.map(_._2 + openCost).sum
-    val bytesPerCore = totalBytes / math.max(minPartitions, 1)
-    val maxSplit = math.min(defaultMax, math.max(openCost, bytesPerCore))
-    val pfs = files.flatMap { case (path, len) =>
-      (0L until math.max(len, 1L) by maxSplit).map { start =>
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      files.map(_._2 + openCost).sum)
+    val pfs = files.sortBy(-_._2).flatMap { case (path, len) =>
+      (0L until len by maxSplit).map { start =>
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
           start, math.min(maxSplit, len - start))
       }
