@@ -399,11 +399,27 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
 
 private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = snap.schema
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown as manifest FILE-LIST truncation: an unordered
+    * LIMIT n needs only enough files to cover n rows (footer counts are
+    * exact), so `SELECT * FROM t LIMIT 10` on an 800k-file table plans
+    * ONE file. Always PARTIAL — Spark re-applies the limit above the
+    * scan, so the truncation is safe exactly like every other manifest
+    * pruning decision. Only taken on the batch-eligible path: the MOR
+    * read applies deletes, where per-file row counts are upper bounds
+    * and a truncated file set could under-produce. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Every filter is returned as residual — Spark re-evaluates all
     * predicates post-scan, so manifest pruning stays a pure optimization
@@ -517,7 +533,8 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   override def build(): Scan = pushedAgg match {
     case Some(agg) => GraftAggScan.build(tableDir, snap, agg)
     case None if batchEligible =>
-      new GraftBatchScan(SparkSession.active, tableDir, snap, required, filters)
+      new GraftBatchScan(SparkSession.active, tableDir, snap, required,
+        filters, limit)
     case None => new GraftScan(tableDir, snap, required, filters)
   }
 }
@@ -549,7 +566,8 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
 private[lake] final class GraftBatchScan(spark: SparkSession,
                                          tableDir: String, snap: Snapshot,
                                          required: StructType,
-                                         filters: Array[Filter])
+                                         filters: Array[Filter],
+                                         limit: Option[Int] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -601,7 +619,20 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = keptFiles
+    val pruned = keptFiles
+    // LIMIT truncation: keep files until their exact footer row counts
+    // cover the limit (rows are manifest-recorded, no deletes on this
+    // path, so the prefix provably holds >= n rows whenever the table
+    // does). Spark re-applies the limit above the scan.
+    // guard: Spark only pushes LIMIT when it sits DIRECTLY above the
+    // scan (our residual filters block it), but never truncate under
+    // any filter anyway — n raw rows do not guarantee n MATCHING rows
+    val kept = limit match {
+      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty =>
+        var acc = 0L
+        pruned.takeWhile { f => val need = acc < n; acc += f.rows; need }
+      case _ => pruned
+    }
     GraftScanStats.record(tableDir, kept.size, snap.files.size)
     org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
       kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
@@ -635,6 +666,7 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
       s"files=${keptFiles.size}/${snap.files.size} " +
       s"columns=${required.fieldNames.mkString(",")} " +
       s"PushedFilters=[$pushedRendered] " +
+      limit.map(n => s"PushedLimit=$n ").getOrElse("") +
       s"RuntimeFilterAttrs=[${filterAttrNames.mkString(", ")}]"
 }
 

@@ -129,6 +129,22 @@ class GraftBatchScanSpec extends SparkTestBase {
     } finally spark.conf.set(useStats, prev)
   }
 
+  test("a bare LIMIT plans only enough files to cover it") {
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    val df = spark.sql(s"SELECT id FROM $cat.ns.t LIMIT 2")
+    assert(df.as[Long].collect().length === 2)
+    val (kept, total) = GraftScanStats.lastScan(dir).get
+    assert(total === 4L)
+    assert(kept === 1L, s"LIMIT 2 should read one 3-row file, read $kept")
+    // a FILTERED limit must NOT truncate: n raw rows are not n matching
+    // rows (Spark blocks the pushdown here; the scan guards it too)
+    val df2 = spark.sql(s"SELECT id FROM $cat.ns.t WHERE v > 401 LIMIT 2")
+    assert(df2.as[Long].collect().toSeq.sorted === Seq(42L, 43L))
+    val (kept2, _) = GraftScanStats.lastScan(dir).get
+    assert(kept2 === 4L, s"filtered limit truncated the scan (kept=$kept2)")
+  }
+
   test("plan-time statistics come from the manifest (no V1 wrapper loss)") {
     val (_, dir) = buildTable()
     val df = spark.sql(s"SELECT id FROM $cat.ns.t WHERE _cdc_date = '2024-01-04'")
