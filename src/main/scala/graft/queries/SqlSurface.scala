@@ -695,11 +695,14 @@ object SqlSurface extends QueryModule {
       "user_id BIGINT, event_id BIGINT, value DOUBLE, _cdc_date STRING")
     s.sql(s"INSERT INTO $t SELECT user_id, event_id, value, " +
       s"CAST(_cdc_date AS STRING) FROM $cat.db.events")
-    // the dim lives OUTSIDE the warehouse: a directory at the warehouse
-    // root would surface as a phantom namespace in SHOW NAMESPACES (and
-    // break api_http_explore's schema count)
-    val dimPath = java.nio.file.Files.createTempDirectory("graft_rf_dim")
-      .toString + "/dim"
+    // the dim lives OUTSIDE the warehouse (a directory at the warehouse
+    // root would surface as a phantom namespace in SHOW NAMESPACES and
+    // break api_http_explore's schema count), at a FIXED sibling path
+    // with the delete-first idiom — a per-run temp dir would litter /tmp
+    // on every verify/bench pass
+    val dimPath = s"${wh}_rf_dim"
+    val dp = new org.apache.hadoop.fs.Path(dimPath)
+    dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
     s.sql(s"""SELECT CAST(_cdc_date AS STRING) AS day,
              |  CASE WHEN _cdc_date >= '2024-01-30' THEN 'keep' ELSE 'drop' END AS tag
              |FROM $cat.db.events GROUP BY _cdc_date""".stripMargin)
@@ -718,7 +721,7 @@ object SqlSurface extends QueryModule {
       val prev = s.conf.get(useStats)
       try {
         s.conf.set(useStats, "false")
-        val rfDir = s"${sqlWarehouse(s, d)}/db/rf"
+        val rfDir = s"$wh/db/rf"
         val row = s.sql(
           s"""SELECT count(*) AS n, sum(t.user_id) AS su
              |FROM $t t JOIN $dim d ON t._cdc_date = d.day

@@ -66,9 +66,10 @@ object GraftScanSupport {
   }
 
   /** Spark's own split sizing: [[FilePartition.maxSplitBytes]] picks the
-    * range size (parquet readers align ranges to row groups), files are
-    * sorted LARGEST-FIRST (the order Spark's planner feeds the packer —
-    * unsorted input makes the greedy packer close bins early), and
+    * range size (parquet readers align ranges to row groups), the
+    * SPLITS are sorted largest-first (FileScan.partitions' order — a
+    * multi-split file's small tail chunk must not jump ahead of whole
+    * files and close bins early), and
     * [[FilePartition.getFilePartitions]] bin-packs with the session's
     * open-cost accounting — the identical partition layout a builtin
     * file scan would plan. Zero-length entries plan no splits, exactly
@@ -79,12 +80,12 @@ object GraftScanSupport {
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(spark,
       files.map(_._2 + openCost).sum)
-    val pfs = files.sortBy(-_._2).flatMap { case (path, len) =>
+    val pfs = files.flatMap { case (path, len) =>
       (0L until len by maxSplit).map { start =>
         PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
           start, math.min(maxSplit, len - start))
       }
-    }
+    }.sortBy(-_.length)
     FilePartition.getFilePartitions(spark, pfs, maxSplit)
       .toArray[InputPartition]
   }
