@@ -160,6 +160,31 @@ object SnapshotLog {
     lock.synchronized(body)
   }
 
+  /** Bounded optimistic retry for row-level DML (the cross-process
+    * counterpart of [[appendFiles]]' rebase): a stale-parent commit —
+    * a FOREIGN process committed between this operation's snapshot
+    * resolution and its manifest rename — re-derives the WHOLE
+    * operation against the new current snapshot. Re-derivation is
+    * strictly stronger than Iceberg's validate-or-fail: the retried
+    * statement is semantically the statement executing AFTER the
+    * concurrent commit (serializable last-writer order), so there is
+    * no conflict class to refuse. A failed attempt's written files
+    * (pos-delete + replacement data) are never-referenced debris,
+    * shielded by expire's grace window and then reclaimed. Bounded —
+    * a pathological commit storm still fails loudly. */
+  private def retryOnConflict[T](maxRetries: Int = 5)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Filesystem plus the FULLY-QUALIFIED table root — listStatus returns
     * qualified paths, so relativization must strip a qualified prefix. */
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
@@ -1303,7 +1328,7 @@ object SnapshotLog {
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column,
                   keep: DataFile => Boolean = _ => true): Option[Snapshot] =
-    withTableLock(tableDir) {
+    withTableLock(tableDir) { retryOnConflict() {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       // manifest pruning for DML: callers derive `keep` from the
@@ -1320,7 +1345,7 @@ object SnapshotLog {
       Some(commit(spark, tableDir, "delete", cur.files, cur.schema,
         parent = Some(cur), deletes = cur.deletes,
         posDeletes = cur.posDeletes ++ entries))
-    }
+    } }
 
   /** UPDATE ... SET ... WHERE through the commit log: ONE snapshot that
     * pos-deletes every live matching row's slot AND appends the
@@ -1335,7 +1360,7 @@ object SnapshotLog {
                   assignments: Map[String, org.apache.spark.sql.Column],
                   partitionCol: Option[String] = None,
                   keep: DataFile => Boolean = _ => true): Option[Snapshot] =
-    withTableLock(tableDir) {
+    withTableLock(tableDir) { retryOnConflict() {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val schema = cur.schema
@@ -1361,7 +1386,7 @@ object SnapshotLog {
           parent = Some(cur), deletes = cur.deletes,
           posDeletes = cur.posDeletes ++ slots))
       } finally matched.unpersist(blocking = true)
-    }
+    } }
 
   // ---- SQL INSERT (the catalog's write path)
 
@@ -1484,7 +1509,7 @@ object SnapshotLog {
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
                 onCols: Seq[String], clauses: Seq[MergeClause],
                 partitionCol: Option[String] = None): Option[Snapshot] =
-    withTableLock(tableDir) {
+    withTableLock(tableDir) { retryOnConflict() {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val schema = cur.schema
@@ -1651,7 +1676,7 @@ object SnapshotLog {
         bsPersisted.foreach(_.unpersist(blocking = true))
       }
       } finally src.unpersist(blocking = true)
-    }
+    } }
 
   /** Size-gated small-side join shaping: broadcast `small` when its
     * estimated in-memory bytes clear the session broadcast threshold,

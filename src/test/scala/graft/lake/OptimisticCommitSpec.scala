@@ -9,7 +9,9 @@ import java.nio.file.Files
   * catalog/rest.go:187-217 — CommitSnapshot is conditional on the
   * expected metadata state): a stale-parent APPEND rebases onto the
   * winner instead of failing, no batch is lost, no batch is doubled,
-  * and non-append operations still fail loudly on a stale parent. */
+  * row-level DML (deleteWhere / updateWhere / mergeInto) RE-DERIVES
+  * against the winner (serializable last-writer order), and raw
+  * non-append commits still fail loudly on a stale parent. */
 class OptimisticCommitSpec extends SparkTestBase {
 
   import SnapshotLog.Snapshot
@@ -158,4 +160,43 @@ class OptimisticCommitSpec extends SparkTestBase {
     // and the table is uncorrupted: the failed append landed nothing
     assert(idsOf(dir) === Seq(1L, 2L))
   }
+
+  /** Lands a "foreign" append between an operation's snapshot
+    * resolution and its commit rename (same-thread reentrant lock =
+    * cross-process emulation); fires once. */
+  private def foreignAppendOnce(dir: String, df: DataFrame): SnapshotLog.DataFile => Boolean = {
+    var injected = false
+    _ => {
+      if (!injected) { injected = true; append(dir, df) }
+      true
+    }
+  }
+
+  test("a stale-parent deleteWhere re-derives and commits after the winner") {
+    val dir = Files.createTempDirectory("graft-occ-del").toString + "/t"
+    append(dir, rows(1, 2, 3))
+    val out = SnapshotLog.deleteWhere(spark, dir, col("id") === 2L,
+      keep = foreignAppendOnce(dir, rows(9)))
+    assert(out.isDefined)
+    // the delete applied AND the foreign row survived — serial order:
+    // initial append, foreign append, delete
+    assert(idsOf(dir) === Seq(1L, 3L, 9L))
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.operation === "delete")
+  }
+
+  test("a stale-parent updateWhere re-derives; the foreign row is visible to the retry") {
+    val dir = Files.createTempDirectory("graft-occ-upd").toString + "/t"
+    append(dir, rows(1, 2))
+    // the foreign append lands row 9; the retried UPDATE's predicate
+    // re-evaluates on the NEW live state, so row 9 is updated too —
+    // exactly what running the statement after the winner would do
+    val out = SnapshotLog.updateWhere(spark, dir, col("id") >= 2L,
+      Map("id" -> (col("id") + 100L)),
+      keep = foreignAppendOnce(dir, rows(9)))
+    assert(out.isDefined)
+    assert(idsOf(dir) === Seq(1L, 102L, 109L))
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+  }
+
 }
