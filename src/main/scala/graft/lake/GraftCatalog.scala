@@ -376,13 +376,9 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
-      // full truncate: replace the live set with nothing, atomically
-      SnapshotLog.withTableLock(tableDir) {
-        val cur = SnapshotLog.currentSnapshot(spark, tableDir).getOrElse(
-          throw new NoSuchTableException(Seq(tableName)))
-        SnapshotLog.commit(spark, tableDir, "delete", Seq.empty, cur.schema,
-          parent = Some(cur))
-      }
+      // full truncate: replace the live set with nothing, atomically —
+      // and with the same cross-process retry as the predicate form
+      SnapshotLog.truncateAll(spark, tableDir)
       return
     }
     val cond = filters.toSeq.map(f =>

@@ -172,7 +172,8 @@ object SnapshotLog {
     * (pos-delete + replacement data) are never-referenced debris,
     * shielded by expire's grace window and then reclaimed. Bounded —
     * a pathological commit storm still fails loudly. */
-  private def retryOnConflict[T](maxRetries: Int = 5)(body: => T): T = {
+  private def retryOnConflict[T](maxRetries: Int = 5,
+                                 onConflict: () => Unit = () => ())(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
@@ -180,10 +181,18 @@ object SnapshotLog {
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          onConflict()
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Deterministic cross-process race injection for SPECS: invoked at
+    * the top of [[commit]] with the operation name, before the parent
+    * check — a test lands a foreign commit here (the per-table lock is
+    * reentrant) to make the enclosing operation's parent stale at a
+    * precise point. A no-op in production. */
+  private[lake] var commitTestHook: (String, String) => Unit = (_, _) => ()
 
   /** Filesystem plus the FULLY-QUALIFIED table root — listStatus returns
     * qualified paths, so relativization must strip a qualified prefix. */
@@ -889,6 +898,7 @@ object SnapshotLog {
              reuseFrom: Seq[Long] = Nil,
              preReconciled: Boolean = false,
              carrySchemas: Map[Int, String] = Map.empty): Snapshot = {
+    commitTestHook(tableDir, operation)
     val (fs, root) = fsOf(spark, tableDir)
     val cur = currentSnapshot(spark, tableDir)
     if (cur.map(_.id) != parent.map(_.id))
@@ -952,7 +962,6 @@ object SnapshotLog {
                   maxRetries: Int = 5,
                   revalidate: Snapshot => Unit = _ => ()): Snapshot = {
     var parent = expectedParent
-    var attempt = 0
     // the add-only merge applies on EVERY attempt, not just rebases: an
     // append whose batch predates an ALTER ADD COLUMN must not shrink
     // the head schema depending on whether it happened to race. Matched
@@ -1016,25 +1025,18 @@ object SnapshotLog {
           } ++ schema.fields.filterNot(f => parentNames.contains(f.name)))
       case None => schema
     }
-    while (true) {
-      try {
-        // statement-time guards re-check against the REBASE parent: a
-        // foreign commit may have changed what made the append legal
-        // (e.g. a cluster_by switching the table to a managed layout)
-        parent.foreach(revalidate)
-        return commit(spark, tableDir, "append",
-          parent.map(_.files).getOrElse(Seq.empty) ++ files, mergedSchema,
-          parent,
-          deletes = parent.map(_.deletes).getOrElse(Nil),
-          posDeletes = parent.map(_.posDeletes).getOrElse(Nil))
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          parent = currentSnapshot(spark, tableDir) // rebase
-      }
+    retryOnConflict(maxRetries,
+      onConflict = () => parent = currentSnapshot(spark, tableDir)) { // rebase
+      // statement-time guards re-check against the REBASE parent: a
+      // foreign commit may have changed what made the append legal
+      // (e.g. a cluster_by switching the table to a managed layout)
+      parent.foreach(revalidate)
+      commit(spark, tableDir, "append",
+        parent.map(_.files).getOrElse(Seq.empty) ++ files, mergedSchema,
+        parent,
+        deletes = parent.map(_.deletes).getOrElse(Nil),
+        posDeletes = parent.map(_.posDeletes).getOrElse(Nil))
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Build the next snapshot: stamp seq (and schema id) on fresh
@@ -1327,8 +1329,9 @@ object SnapshotLog {
     * accumulated delete set. */
   def deleteWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column,
-                  keep: DataFile => Boolean = _ => true): Option[Snapshot] =
-    withTableLock(tableDir) { retryOnConflict() {
+                  keep: DataFile => Boolean = _ => true,
+                  maxRetries: Int = 5): Option[Snapshot] =
+    withTableLock(tableDir) { retryOnConflict(maxRetries) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       // manifest pruning for DML: callers derive `keep` from the
@@ -1347,6 +1350,19 @@ object SnapshotLog {
         posDeletes = cur.posDeletes ++ entries))
     } }
 
+  /** Full truncate (SQL `DELETE FROM t` with no WHERE): one "delete"
+    * snapshot with an empty live set, retried like every other
+    * statement-level write — re-derivation against a foreign winner is
+    * the same empty commit with a fresh parent. */
+  def truncateAll(spark: SparkSession, tableDir: String,
+                  maxRetries: Int = 5): Snapshot =
+    withTableLock(tableDir) { retryOnConflict(maxRetries) {
+      val cur = currentSnapshot(spark, tableDir).getOrElse(
+        throw new NoSuchElementException(s"no snapshot log at $tableDir"))
+      commit(spark, tableDir, "delete", Seq.empty, cur.schema,
+        parent = Some(cur))
+    } }
+
   /** UPDATE ... SET ... WHERE through the commit log: ONE snapshot that
     * pos-deletes every live matching row's slot AND appends the
     * reassigned replacement rows — Iceberg's merge-on-read UPDATE.
@@ -1359,8 +1375,9 @@ object SnapshotLog {
                   predicate: org.apache.spark.sql.Column,
                   assignments: Map[String, org.apache.spark.sql.Column],
                   partitionCol: Option[String] = None,
-                  keep: DataFile => Boolean = _ => true): Option[Snapshot] =
-    withTableLock(tableDir) { retryOnConflict() {
+                  keep: DataFile => Boolean = _ => true,
+                  maxRetries: Int = 5): Option[Snapshot] =
+    withTableLock(tableDir) { retryOnConflict(maxRetries) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val schema = cur.schema
@@ -1437,8 +1454,14 @@ object SnapshotLog {
         writeData(spark, tableDir, aligned, pcol))
       if (files.isEmpty && !overwrite) return cur
       if (overwrite)
-        commit(spark, tableDir, "overwrite", files, schema,
-          parent = Some(cur))
+        // overwrite re-derivation is trivially safe under last-writer
+        // order: truncate-and-load is state-independent apart from the
+        // layout guard, which re-checks against each new parent
+        retryOnConflict() {
+          val p = currentSnapshot(spark, tableDir)
+          p.foreach(layoutGuard)
+          commit(spark, tableDir, "overwrite", files, schema, parent = p)
+        }
       else
         // optimistic append: a cross-process writer racing this INSERT
         // triggers a manifest-only rebase, never a lost statement; the
@@ -1508,8 +1531,9 @@ object SnapshotLog {
     * declared type). Returns None when no clause actions any row. */
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
                 onCols: Seq[String], clauses: Seq[MergeClause],
-                partitionCol: Option[String] = None): Option[Snapshot] =
-    withTableLock(tableDir) { retryOnConflict() {
+                partitionCol: Option[String] = None,
+                maxRetries: Int = 5): Option[Snapshot] =
+    withTableLock(tableDir) { retryOnConflict(maxRetries) {
       val cur = currentSnapshot(spark, tableDir).getOrElse(
         throw new NoSuchElementException(s"no snapshot log at $tableDir"))
       val schema = cur.schema

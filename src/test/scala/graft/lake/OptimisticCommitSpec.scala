@@ -199,4 +199,67 @@ class OptimisticCommitSpec extends SparkTestBase {
     assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
   }
 
+  /** Arms the commit test hook: the FIRST commit of `onOp` against
+    * `dir` lands a foreign append first (self-disarming before the
+    * nested commit, dir-scoped so parallel suites never cross-fire). */
+  private def armForeignCommit(dir: String, df: DataFrame, onOp: String): Unit = {
+    var fired = false
+    SnapshotLog.commitTestHook = (d, op) => {
+      if (!fired && d == dir && op == onOp) { fired = true; append(dir, df) }
+    }
+  }
+
+  private def disarm(): Unit =
+    SnapshotLog.commitTestHook = (_, _) => ()
+
+  test("a stale-parent MERGE INTO re-derives against the new current") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-occ-mrg").toString + "/t"
+    append(dir, rows(1, 2, 9))
+    val src = Seq(2L, 9L).toDF("id")
+    try {
+      // the foreign append lands row 5 between the merge's resolution
+      // and its rename; the retried merge still deletes 2 and 9, and
+      // row 5 survives — serial last-writer order
+      armForeignCommit(dir, rows(5), onOp = "merge-into")
+      val out = SnapshotLog.mergeInto(spark, dir, src, Seq("id"),
+        Seq(SnapshotLog.MatchedDelete(None)))
+      assert(out.isDefined)
+    } finally disarm()
+    assert(idsOf(dir) === Seq(1L, 5L))
+    // serial order: initial append, foreign append, merge
+    assert(SnapshotLog.snapshotIds(spark, dir) === Seq(1L, 2L, 3L))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.operation === "merge-into")
+  }
+
+  test("a stale-parent INSERT OVERWRITE and truncateAll re-derive too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-occ-ow").toString + "/t"
+    append(dir, rows(1, 2))
+    try {
+      armForeignCommit(dir, rows(5), onOp = "overwrite")
+      SnapshotLog.sqlInsert(spark, dir,
+        rows(7).toDF("id", graft.ingest.Cdc.LsnColumn), overwrite = true)
+    } finally disarm()
+    // last-writer: the overwrite replaces the foreign row too
+    assert(idsOf(dir) === Seq(7L))
+    try {
+      armForeignCommit(dir, rows(5), onOp = "delete")
+      SnapshotLog.truncateAll(spark, dir)
+    } finally disarm()
+    assert(idsOf(dir) === Seq.empty[Long])
+  }
+
+  test("DML retries are bounded: a persistent conflict surfaces after maxRetries") {
+    val dir = Files.createTempDirectory("graft-occ-dstorm").toString + "/t"
+    append(dir, rows(1, 2))
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.deleteWhere(spark, dir, col("id") === 1L,
+        keep = foreignAppendOnce(dir, rows(9)), maxRetries = 0)
+    }
+    // nothing landed from the failed delete; the foreign append did
+    assert(idsOf(dir) === Seq(1L, 2L, 9L))
+    assert(SnapshotLog.currentSnapshot(spark, dir).get.operation === "append")
+  }
+
 }
