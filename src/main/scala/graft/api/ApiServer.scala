@@ -82,6 +82,7 @@ final class ApiServer(spark: SparkSession,
       (ex.getRequestMethod, segs) match {
         case ("GET", Seq("query", "health")) =>
           respond(ex, 200, JObject("status" -> JString("healthy")))
+        case ("GET", Seq("query", "status")) => status(ex)
         case ("GET", Seq("query", "catalogs")) => listCatalogs(ex)
         case ("GET", Seq("query", "catalogs", c, "schemas")) =>
           validated(ex, c -> "catalog") { listSchemas(ex, c) }
@@ -116,6 +117,28 @@ final class ApiServer(spark: SparkSession,
   private def validated(ex: HttpExchange, names: (String, String)*)(body: => Unit): Unit = {
     names.foreach { case (n, kind) => Identifiers.validate(n, kind) }
     body
+  }
+
+  /** QueryLayerStatus (services/query.go:56-94, models/query.go:11-24)
+    * with the Spark engine standing where Trino stood: availability,
+    * engine version, uptime, running-query and executor counts — each
+    * read live off the SparkContext/status tracker. */
+  private def status(ex: HttpExchange): Unit = {
+    val sc = spark.sparkContext
+    val uptimeMs = System.currentTimeMillis() - sc.startTime
+    val running = spark.sparkContext.statusTracker.getActiveJobIds().length
+    // local[n] = n executor threads; a cluster reports real executors
+    val workers = math.max(sc.statusTracker.getExecutorInfos.length - 1,
+      sc.defaultParallelism)
+    respond(ex, 200, JObject(
+      "available" -> JBool(!sc.isStopped),
+      "engine" -> JString("spark"),
+      "engine_version" -> JString(sc.version),
+      "uptime" -> JString(s"${uptimeMs / 1000}s"),
+      "node_count" -> JInt(workers + 1), // workers + driver/coordinator
+      "running_queries" -> JInt(running),
+      "active_workers" -> JInt(workers),
+      "checked_at" -> JInt(BigInt(System.currentTimeMillis()))))
   }
 
   // ---- catalog exploration (services/query.go:121-266) -------------

@@ -64,6 +64,13 @@ class ApiServerSpec extends SparkTestBase {
       val (hs, hb) = get(base, "/query/health")
       assert(hs === 200 && str(hb \ "status") === "healthy")
 
+      val (sts, stb) = get(base, "/query/status")
+      assert(sts === 200)
+      assert((stb \ "available") === JBool(true))
+      assert(str(stb \ "engine_version").startsWith("4."))
+      assert((stb \ "active_workers").isInstanceOf[JInt])
+      assert((stb \ "node_count").asInstanceOf[JInt].num.toInt >= 2)
+
       val (cs, cb) = get(base, "/query/catalogs")
       assert(cs === 200)
       val catNames = (cb \ "catalogs" \\ classOf[JString])
