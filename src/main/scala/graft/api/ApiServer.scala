@@ -127,9 +127,11 @@ final class ApiServer(spark: SparkSession,
     val sc = spark.sparkContext
     val uptimeMs = System.currentTimeMillis() - sc.startTime
     val running = spark.sparkContext.statusTracker.getActiveJobIds().length
-    // local[n] = n executor threads; a cluster reports real executors
-    val workers = math.max(sc.statusTracker.getExecutorInfos.length - 1,
-      sc.defaultParallelism)
+    // a cluster reports its REAL executor count (the driver is one of
+    // the infos); local mode has no separate executors, so thread count
+    // stands in for workers
+    val execs = sc.statusTracker.getExecutorInfos.length - 1
+    val workers = if (execs >= 1) execs else sc.defaultParallelism
     respond(ex, 200, JObject(
       "available" -> JBool(!sc.isStopped),
       "engine" -> JString("spark"),
@@ -215,6 +217,25 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 400,
           JObject("error" -> JString("page_size must be in [1, 10000]")))
         return
+    }
+    // shed load BEFORE the expensive analysis: a 429 must be nearly
+    // free, so run eviction + a cheap pre-check first (the atomic
+    // admission below still decides)
+    val preAdmit = cursors.synchronized {
+      if (cursors.size >= maxCursors) {
+        val cutoff = System.currentTimeMillis() - cursorTtlMs
+        val it = cursors.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getValue.lastTouchedMs < cutoff) it.remove()
+        }
+      }
+      cursors.size < maxCursors
+    }
+    if (!preAdmit) {
+      respond(ex, 429, JObject("error" ->
+        JString(s"too many open cursors (max $maxCursors) — page them to " +
+          "exhaustion, DELETE /query/results/{id}, or wait out the idle TTL")))
+      return
     }
     val df = spark.sql(sql) // AnalysisException → 400 via handle()
     val st = new CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)

@@ -378,7 +378,11 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
       // full truncate: replace the live set with nothing, atomically —
       // and with the same cross-process retry as the predicate form
-      SnapshotLog.truncateAll(spark, tableDir)
+      try SnapshotLog.truncateAll(spark, tableDir)
+      catch { // keep the SQL surface's table-not-found classification
+        case _: NoSuchElementException =>
+          throw new NoSuchTableException(Seq(tableName))
+      }
       return
     }
     val cond = filters.toSeq.map(f =>
@@ -503,7 +507,14 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
     fieldName(column).exists { n =>
       snap.schema.fieldNames.contains(n) &&
         numericBounds(snap.schema(n).dataType) &&
-        snap.files.forall(_.boundsFor(n).isDefined)
+        snap.files.forall(_.boundsFor(n).exists { case (mn, mx) =>
+          // bounds must PARSE: float columns can record "Infinity"/"NaN"
+          // strings, which the metadata fold cannot represent — fall
+          // back to the real scan (GraftPruning.overlaps has the same
+          // defensive posture for these strings)
+          try { BigDecimal(mn); BigDecimal(mx); true }
+          catch { case _: NumberFormatException => false }
+        })
     }
 
   /** The native DSv2 Batch path applies when a plain multi-file parquet

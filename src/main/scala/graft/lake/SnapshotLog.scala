@@ -1454,12 +1454,22 @@ object SnapshotLog {
         writeData(spark, tableDir, aligned, pcol))
       if (files.isEmpty && !overwrite) return cur
       if (overwrite)
-        // overwrite re-derivation is trivially safe under last-writer
-        // order: truncate-and-load is state-independent apart from the
-        // layout guard, which re-checks against each new parent
+        // overwrite re-derivation is safe under last-writer order ONLY
+        // while the schema is unchanged: serial execution would have
+        // re-analyzed the statement against a foreign evolution's new
+        // schema (and failed on a missing column), so a schema change
+        // refuses loudly instead of silently committing a head that
+        // drops the foreign column. The layout guard re-checks per
+        // attempt.
         retryOnConflict() {
           val p = currentSnapshot(spark, tableDir)
-          p.foreach(layoutGuard)
+          p.foreach { par =>
+            if (par.schema != schema)
+              throw new IllegalStateException( // not retryable
+                s"INSERT OVERWRITE into $tableDir raced a schema " +
+                  "evolution — rerun the statement against the new schema")
+            layoutGuard(par)
+          }
           commit(spark, tableDir, "overwrite", files, schema, parent = p)
         }
       else
@@ -1671,8 +1681,12 @@ object SnapshotLog {
         // of two source-sized frames; the stored table is never rescanned
         val matchedKeys = matched.select(onCols.map(col): _*).distinct()
         val inserts = clauses.collect { case NotMatchedInsert(condOpt, assign) =>
+          // keys-only frame: gate on key width, not the wide source's
+          // bytes (same rule as the by-source leg)
           val unmatchedKeys =
-            src.join(sizeGated(spark, matchedKeys, srcBytes), onCols, "left_anti")
+            src.join(sizeGated(spark, matchedKeys,
+              keyWidthEstimate(srcBytes, src.columns.length, onCols.size)),
+              onCols, "left_anti")
           val eligible = condOpt.map(unmatchedKeys.filter).getOrElse(unmatchedKeys)
           val have = eligible.columns.toSet
           eligible.select(schema.fields.toSeq.map { f =>

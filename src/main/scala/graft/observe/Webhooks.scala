@@ -95,7 +95,11 @@ object Webhooks {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = byChannel.map(ch => Future(ch.map { case (n, i) => (send(n), i) }))
+    // blocking{}: the POSTs hold pool threads for up to the timeout —
+    // without it, channels beyond global's parallelism queue behind a
+    // hung endpoint, re-creating the serial stall this design prevents
+    val futures = byChannel.map(ch => Future(
+      scala.concurrent.blocking { ch.map { case (n, i) => (send(n), i) } }))
     Await.result(Future.sequence(futures), Duration.Inf)
       .flatten.sortBy(_._2).map(_._1)
   }
