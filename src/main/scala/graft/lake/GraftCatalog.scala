@@ -336,6 +336,10 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
   /** Table root on disk — the handle [[GraftDmlRule]] lowers DML onto. */
   private[lake] def dir: String = tableDir
 
+  /** The pinned snapshot — [[GraftMorScanRule]] reads its delete sets to
+    * decide (and build) the columnar MOR rewrite. */
+  private[lake] def snapshot: Snapshot = snap
+
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -397,12 +401,15 @@ private[lake] final class GraftTable(tableName: String, tableDir: String,
   }
 }
 
-private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
+private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
+                                           morData: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
-  private var required: StructType = snap.schema
+  private var required: StructType =
+    if (morData) GraftMorScan.dataSchemaWithLineage(snap.schema)
+    else snap.schema
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var limit: Option[Int] = None
@@ -416,6 +423,10 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
     * read applies deletes, where per-file row counts are upper bounds
     * and a truncated file set could under-produce. */
   override def pushLimit(n: Int): Boolean = {
+    // never truncate the MOR data relation: per-file row counts are
+    // upper bounds once the joins above apply deletes — n raw rows do
+    // not guarantee n LIVE rows
+    if (morData) return false
     limit = Some(n)
     true
   }
@@ -477,6 +488,9 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
   }
 
   private def canPushAgg(agg: Aggregation): Boolean = {
+    // the MOR data relation serves raw pre-delete rows — a manifest
+    // aggregate over it would count dead rows
+    if (morData) return false
     if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty) return false
     if (filters.nonEmpty) return false
     val groupOk = agg.groupByExpressions match {
@@ -529,7 +543,7 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
     * runtime (DPP) filtering — both are file-list decisions the
     * manifest answers. */
   private def batchEligible: Boolean =
-    snap.deletes.isEmpty && snap.posDeletes.isEmpty &&
+    (morData || (snap.deletes.isEmpty && snap.posDeletes.isEmpty)) &&
       snap.files.forall(!_.hive) && {
         val eras = SnapshotLog.parsedSchemas(snap)
         snap.files.forall(f => f.schemaId == 0 ||
@@ -541,8 +555,14 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot)
     case Some(agg) => GraftAggScan.build(tableDir, snap, agg)
     case None if batchEligible =>
       new GraftBatchScan(SparkSession.active, tableDir, snap, required,
-        filters, limit)
-    case None => new GraftScan(tableDir, snap, required, filters)
+        filters, limit, morData)
+    case None =>
+      // the MOR data relation has no V1 shape (its lineage columns only
+      // exist on the batch path); GraftMorScanRule pre-checks
+      // eligibility, so this is unreachable unless that check drifts
+      require(!morData,
+        s"MOR data relation for $tableDir lost batch eligibility")
+      new GraftScan(tableDir, snap, required, filters)
   }
 }
 
@@ -574,17 +594,44 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
                                          tableDir: String, snap: Snapshot,
                                          required: StructType,
                                          filters: Array[Filter],
-                                         limit: Option[Int] = None)
+                                         limit: Option[Int] = None,
+                                         morData: Boolean = false)
   extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import GraftMorScan.{AbsCol, PosCol, SeqCol}
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
   @volatile private var keptCache: Seq[DataFile] = null
 
-  override def readSchema(): StructType = required
+  /** MOR lineage columns the scan serves without touching a data byte:
+    * `_abs`/`_seq` ride Spark's partition-value channel (one constant
+    * vector per file) and `_pos` the parquet readers' row-index column —
+    * `readSchema` reorders to the reader's physical layout (data
+    * columns, then the in-file `_pos`, then the appended constants). */
+  private lazy val constSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(AbsCol, StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(SeqCol, LongType, nullable = false))
+    .filter(f => required.fieldNames.contains(f.name)))
+
+  private lazy val outSchema: StructType =
+    if (!morData) required
+    else {
+      val data = required.fields.filterNot(f =>
+        GraftMorScan.LineageCols.contains(f.name))
+      val pos = required.fields.filter(_.name == PosCol)
+      StructType(data ++ pos ++ constSchema.fields)
+    }
+
+  private lazy val rootNorm: String = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri.getPath
+  }
+
+  override def readSchema(): StructType = outSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
   private def keptFiles: Seq[DataFile] = {
@@ -641,13 +688,48 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
       case _ => pruned
     }
     GraftScanStats.record(tableDir, kept.size, snap.files.size)
-    org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
-      kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
+    if (!morData)
+      org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
+        kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
+    else
+      org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
+        spark, kept.map { f =>
+          val consts = constSchema.fieldNames.map[Any] {
+            case AbsCol =>
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(s"$rootNorm/${f.path}")
+            case SeqCol => f.seq
+          }
+          (s"$tableDir/${f.path}", f.sizeBytes,
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(consts.toArray))
+        })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-      snap.schema, required, filters)
+    if (!morData)
+      org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
+        snap.schema, required, filters)
+    else {
+      val dataFields = outSchema.fields.filterNot(f =>
+        GraftMorScan.LineageCols.contains(f.name))
+      // _pos is served by the parquet readers' row-index mechanism: a
+      // LongType field of the reserved temporary name in the REQUESTED
+      // schema; binding above the scan is positional, so the scan's
+      // output keeps the _pos name
+      // the row-index field must be NULLABLE: the vectorized reader
+      // routes nullable-and-absent columns to its row-index generator,
+      // but treats a non-null absent column as a missing REQUIRED
+      // parquet column and fails the read
+      val readData = StructType(dataFields.toSeq ++
+        (if (required.fieldNames.contains(PosCol))
+          Seq(org.apache.spark.sql.types.StructField(
+            org.apache.spark.sql.GraftScanSupport.rowIndexColumn,
+            LongType, nullable = true))
+        else Nil))
+      org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
+        snap.schema, readData, filters, constSchema)
+    }
 
   /** Manifest-measured stats of the (statically + runtime) pruned file
     * set — visible at plan time, re-estimated by AQE after runtime
@@ -670,6 +752,7 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
 
   override def description(): String =
     s"GraftBatchScan $tableDir snapshot=${snap.id} " +
+      (if (morData) "morData=true " else "") +
       s"files=${keptFiles.size}/${snap.files.size} " +
       s"columns=${required.fieldNames.mkString(",")} " +
       s"PushedFilters=[$pushedRendered] " +

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions.{col, lit}
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new GraftDmlRule(spark))
+    // post-hoc (after resolution, before the optimizer's scan pushdown):
+    // read-position MOR relations become columnar batch scans with
+    // delete-application joins above ([[GraftMorScanRule]])
+    ext.injectPostHocResolutionRule(spark => new GraftMorScanRule(spark))
     ext.injectPlannerStrategy(_ => GraftDmlStrategy)
   }
 }

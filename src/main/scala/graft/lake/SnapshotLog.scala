@@ -1723,8 +1723,8 @@ object SnapshotLog {
     * and a huge delete set / merge source must never OOM the driver
     * through a forced broadcast. `estBytes < 0` (unknown) defers to the
     * planner unhinted. */
-  private def sizeGated(spark: SparkSession, small: DataFrame,
-                        estBytes: Long): DataFrame = {
+  private[lake] def sizeGated(spark: SparkSession, small: DataFrame,
+                              estBytes: Long): DataFrame = {
     if (estBytes < 0) return small
     val raw = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       .getOrElse("10MB").trim
@@ -1738,7 +1738,7 @@ object SnapshotLog {
 
   /** Conservative parquet→in-memory expansion for manifest-recorded
     * delete-file sizes (dictionary/RLE decode, JVM object headers). */
-  private def estInMemory(parquetBytes: Long): Long = parquetBytes * 8
+  private[lake] def estInMemory(parquetBytes: Long): Long = parquetBytes * 8
 
   /** Scale a source-size estimate down to the width of its key columns
     * (the bytes a keys-only projection of it would carry). Divides
@@ -1985,21 +1985,34 @@ object SnapshotLog {
     if ((snap.deletes.isEmpty && snap.posDeletes.isEmpty) || files.isEmpty)
       return readFiles(spark, tableDir, schema, files, lineage = keepLineage,
         schemasById = parsedSchemas(snap))
-    val havePos = snap.posDeletes.nonEmpty || keepLineage
+    // equality deletes need each row's data-sequence-number, derived from
+    // the row's FILE — lineage rides along whenever either delete kind
+    // (or the caller) needs row identity
+    val haveLineage = snap.posDeletes.nonEmpty || keepLineage ||
+      snap.deletes.nonEmpty
+    val (_, root) = fsOf(spark, tableDir)
+    val rootNorm = root.toUri.getPath
     def load(fset: Seq[DataFile]): DataFrame =
-      readFiles(spark, tableDir, schema, fset, lineage = havePos,
+      readFiles(spark, tableDir, schema, fset, lineage = haveLineage,
         schemasById = parsedSchemas(snap))
     val base =
       if (snap.deletes.isEmpty) load(files)
-      else files.groupBy(_.seq).toSeq.map { case (seq, fset) =>
-        load(fset).withColumn("_seq", lit(seq))
-      }.reduce(_ unionByName _)
+      else {
+        // ONE multi-path scan for ALL data files: each row's seq joins in
+        // from a broadcast manifest-derived (path → seq) map instead of
+        // one union leg per distinct seq — plan width stays O(1) however
+        // many un-folded commits the snapshot carries (at 100 TB a CDC
+        // table between foldDeletes runs holds hundreds)
+        import spark.implicits._
+        val seqMap = broadcast(
+          files.map(f => (s"$rootNorm/${f.path}", f.seq))
+            .toDF("_abs", "_seq"))
+        load(files).join(seqMap, Seq("_abs"), "inner")
+      }
     // positional deletes first: row identity (file, pos) is absolute —
     // independent of seq, dead regardless of which commit added the row.
     // The delete set is delta-sized, broadcast, deduped across files.
     val afterPos = if (snap.posDeletes.isEmpty) base else {
-      val (_, root) = fsOf(spark, tableDir)
-      val rootNorm = root.toUri.getPath
       val posSchema = StructType(Seq(
         org.apache.spark.sql.types.StructField("file",
           org.apache.spark.sql.types.StringType),
@@ -2025,13 +2038,21 @@ object SnapshotLog {
       val keySchema = StructType(eqCols.map(c => schema(c)))
       // one row per deleted key with the NEWEST delete seq: a row survives
       // iff no delete outranks its file (row.seq >= max delete seq), which
-      // collapses the delete set to a single broadcast aggregate
-      val delMax = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, ds) =>
+      // collapses the delete set to a single broadcast aggregate. ONE
+      // multi-path scan of all delete files — each key's seq joins in
+      // from the manifest map, same O(1)-plan-width shape as the data side
+      val delMax = {
+        import spark.implicits._
+        val seqOfDelete = broadcast(
+          snap.deletes.map(d => (s"$rootNorm/${d.path}", d.seq))
+            .toDF("_dabs", "_dseq"))
         spark.read.schema(keySchema)
-          .parquet(ds.map(d => s"$tableDir/${d.path}"): _*)
-          .withColumn("_del_seq", lit(seq))
-      }.reduce(_ unionByName _)
-        .groupBy(eqCols.map(col): _*).agg(max(col("_del_seq")).as("_del_seq"))
+          .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
+          .withColumn("_dabs",
+            regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
+          .join(seqOfDelete, Seq("_dabs"), "inner")
+          .groupBy(eqCols.map(col): _*).agg(max(col("_dseq")).as("_del_seq"))
+      }
       afterPos.join(sizeGated(spark, delMax,
         estInMemory(snap.deletes.map(_.sizeBytes).sum)), eqCols, "left")
         .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))

@@ -21,16 +21,39 @@ import org.apache.spark.util.SerializableConfiguration
   * pushdown. */
 object GraftScanSupport {
 
+  /** The reserved column name Spark's parquet readers (vectorized and
+    * parquet-mr alike) fill with each row's ordinal within its file when
+    * the REQUESTED schema contains a LongType field of this name — the
+    * same mechanism `_metadata.row_index` rides on. Graft's MOR batch
+    * scan requests it to give every row the (file, pos) identity
+    * positional deletes target, with zero reader changes. */
+  def rowIndexColumn: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  def parquetReaderFactory(spark: SparkSession,
+                           dataSchema: StructType,
+                           readDataSchema: StructType,
+                           filters: Array[Filter]): PartitionReaderFactory =
+    parquetReaderFactory(spark, dataSchema, readDataSchema, filters,
+      new StructType())
+
   /** Spark's parquet [[PartitionReaderFactory]] over the CURRENT session
     * conf, with the SAME hadoop-conf preparation ParquetScan's
     * createReaderFactory performs (read-support class, requested-schema
     * json, timezone, parquet type flags) — the reader NPEs without it.
     * `filters` prune row groups inside each file (advisory — Spark
-    * still re-evaluates every predicate above the scan). */
+    * still re-evaluates every predicate above the scan).
+    * `partitionSchema` columns are served as CONSTANT vectors appended
+    * after the data columns, valued from each [[PartitionedFile]]'s
+    * `partitionValues` — the zero-cost per-file-constant channel the MOR
+    * batch scan uses for `_abs`/`_seq` (Spark's own partition-column
+    * mechanism, fully columnar and codegen-friendly). */
   def parquetReaderFactory(spark: SparkSession,
                            dataSchema: StructType,
                            readDataSchema: StructType,
-                           filters: Array[Filter]): PartitionReaderFactory = {
+                           filters: Array[Filter],
+                           partitionSchema: StructType): PartitionReaderFactory = {
     import org.apache.parquet.hadoop.ParquetInputFormat
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
@@ -59,7 +82,7 @@ object GraftScanSupport {
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf)),
       dataSchema,
       readDataSchema,
-      new StructType(), // partition values live IN the files (never hive here)
+      partitionSchema,
       filters,
       aggregation = None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
@@ -76,13 +99,21 @@ object GraftScanSupport {
     * like Spark's `(0L until file.length)`. `files` are
     * (absolute path, size) pairs. */
   def planFilePartitions(spark: SparkSession,
-                         files: Seq[(String, Long)]): Array[InputPartition] = {
+                         files: Seq[(String, Long)]): Array[InputPartition] =
+    planFilePartitionsWithValues(spark,
+      files.map { case (p, len) => (p, len, InternalRow.empty) })
+
+  /** [[planFilePartitions]] with per-file `partitionValues` rows — each
+    * split of a file carries that file's constants (must match the
+    * factory's `partitionSchema` positionally). */
+  def planFilePartitionsWithValues(spark: SparkSession,
+      files: Seq[(String, Long, InternalRow)]): Array[InputPartition] = {
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(spark,
       files.map(_._2 + openCost).sum)
-    val pfs = files.flatMap { case (path, len) =>
+    val pfs = files.flatMap { case (path, len, pvals) =>
       (0L until len by maxSplit).map { start =>
-        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+        PartitionedFile(pvals, SparkPath.fromPathString(path),
           start, math.min(maxSplit, len - start))
       }
     }.sortBy(-_.length)

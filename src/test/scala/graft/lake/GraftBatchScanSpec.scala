@@ -75,15 +75,47 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(p.contains("ColumnarToRow"), s"vectorized read not planned:\n$p")
   }
 
-  test("MOR snapshots and renamed eras fall back to the V1 bridge") {
-    val (_, dir) = buildTable()
+  test("live POS-deletes keep the columnar batch path (anti-join above the scan)") {
+    buildTable()
     spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 21")
     val df = spark.sql(s"SELECT id FROM $cat.ns.t")
     val p = plan(df)
-    assert(!p.contains("BatchScan"), s"MOR read must not take the batch path:\n$p")
+    assert(p.contains("BatchScan"), s"MOR read lost the batch path:\n$p")
+    assert(p.contains("morData=true"), s"expected the MOR data scan:\n$p")
+    assert(p.contains("ColumnarToRow"), s"vectorized read not planned:\n$p")
+    assert(!p.contains("GraftSnapshot("), s"V1 bridge in plan:\n$p")
     import spark.implicits._
-    assert(df.as[Long].collect().length === 11)
-    // a rename makes old eras by-id: fallback too
+    val ids = df.as[Long].collect().toSeq.sorted
+    assert(ids.length === 11 && !ids.contains(21L), s"wrong survivors: $ids")
+  }
+
+  test("live EQ-deletes rank by data-sequence-number on the batch path") {
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    // snapshot 2: an equality delete of id=21 (outranks snapshot 1 files)
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(21L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    // snapshot 3: id=21 re-appended with a HIGHER seq — the delete must
+    // not outrank it (the seq comparison runs inside the rewrite's join)
+    commitDays(dir, Seq((21L, 999L, lsn(99), "2024-01-02")))
+    val df = spark.sql(s"SELECT id, v FROM $cat.ns.t")
+    val p = plan(df)
+    assert(p.contains("BatchScan") && p.contains("morData=true"),
+      s"EQ-delete read lost the batch path:\n$p")
+    assert(p.contains("ColumnarToRow"), s"vectorized read not planned:\n$p")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.count(_._1 == 21L) === 1, s"seq ranking wrong: $rows")
+    assert(rows.contains((21L, 999L)) && !rows.contains((21L, 201L)))
+    assert(rows.length === 12)
+  }
+
+  test("renamed eras fall back to the V1 bridge") {
     val (_, dir2) = buildTable()
     SnapshotLog.renameColumn(spark, dir2, "v", "score")
     val df2 = spark.sql(s"SELECT id, score FROM $cat.ns.t")
@@ -91,6 +123,48 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(!p2.contains("BatchScan"),
       s"renamed-era read must not take the batch path:\n$p2")
     assert(df2.count() === 12L)
+  }
+
+  test("spark.graft.morBatchScan.enabled=false restores the V1 MOR read") {
+    buildTable()
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 21")
+    spark.conf.set("spark.graft.morBatchScan.enabled", "false")
+    try {
+      val df = spark.sql(s"SELECT id FROM $cat.ns.t")
+      val p = plan(df)
+      assert(!p.contains("BatchScan"), s"kill switch ignored:\n$p")
+      import spark.implicits._
+      assert(df.as[Long].collect().length === 11)
+    } finally spark.conf.unset("spark.graft.morBatchScan.enabled")
+  }
+
+  test("runtime (DPP) filters prune manifest files on a MOR table") {
+    val (wh, dir) = buildTable()
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 21")
+    import spark.implicits._
+    Seq(("2024-01-02", "keep"), ("2024-01-03", "keep"),
+      ("2024-09-09", "drop"))
+      .toDF("day", "tag").write.mode("overwrite").parquet(s"$wh/dim")
+    spark.read.parquet(s"$wh/dim").createOrReplaceTempView("graft_batch_mor_dim")
+    val useStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = spark.conf.get(useStats)
+    spark.conf.set(useStats, "false")
+    try {
+      val df = spark.sql(
+        s"""SELECT t._cdc_date, sum(t.v) AS sv
+           |FROM $cat.ns.t t
+           |JOIN graft_batch_mor_dim d ON t._cdc_date = d.day
+           |WHERE d.tag = 'keep'
+           |GROUP BY t._cdc_date ORDER BY t._cdc_date""".stripMargin)
+      val out = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out === Seq(
+        ("2024-01-02", 405L),  // 202+203 (201's row pos-deleted)
+        ("2024-01-03", 906L))) // 301+302+303
+      val (kept, total) = GraftScanStats.lastScan(dir).get
+      assert(total === 4L)
+      assert(kept === 2L,
+        s"runtime filters did not prune the MOR data scan (kept=$kept)")
+    } finally spark.conf.set(useStats, prev)
   }
 
   test("runtime (DPP) filters from a joined dimension prune manifest files") {

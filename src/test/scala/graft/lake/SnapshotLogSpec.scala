@@ -483,6 +483,41 @@ class SnapshotLogSpec extends SparkTestBase {
     assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
   }
 
+  test("MOR read plans O(1) scan legs however many un-folded commits exist") {
+    val dir = Files.createTempDirectory("graft-snaplog-planw").toString + "/t"
+    // 10 MOR commits: commit i adds a data file (ids i, i+100) AND an
+    // equality-delete file killing the PREVIOUS commit's id — 10
+    // distinct data seqs, 10 distinct delete seqs, 9 deletes that apply
+    (1 to 10).foreach { i =>
+      SnapshotLog.withTableLock(dir) {
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        val files = SnapshotLog.writeData(spark, dir, rows(i.toLong, i + 100L),
+          partitionCol = None)
+        val dels = SnapshotLog.writeDeletes(spark, dir,
+          rows(i.toLong - 1).select(col("id")), Seq("id"))
+        SnapshotLog.commit(spark, dir, "mor-merge",
+          cur.toSeq.flatMap(_.files) ++ files, rows(1).schema, parent = cur,
+          deletes = cur.toSeq.flatMap(_.deletes) ++ dels,
+          posDeletes = cur.toSeq.flatMap(_.posDeletes))
+      }
+    }
+    val df = SnapshotLog.readCurrent(spark, dir).get
+    // correctness first: commit i's delete (seq i) outranks id i-1's
+    // file (seq i-1) — ids 1..9 die, id 10 and every id+100 survive
+    val got = idsOf(df)
+    assert(got === (Seq(10L) ++ (1 to 10).map(_ + 100L)).sorted,
+      s"MOR survivors wrong: $got")
+    // the plan shape: ONE multi-path data scan + ONE multi-path delete
+    // scan, regardless of the 10 distinct seqs on each side — the seq
+    // ranking joins in from broadcast manifest maps instead of widening
+    // the plan per commit
+    val legs = "FileScan parquet|Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(legs === 2,
+      s"expected 2 parquet scan legs (data + deletes), got $legs:\n" +
+        df.queryExecution.executedPlan.toString.take(4000))
+  }
+
   test("expireOlderThan keeps young snapshots, the retain floor, and tags") {
     val dir = Files.createTempDirectory("graft-snaplog-age").toString + "/t"
     commitRows(dir, rows(1), "append", carry = false)
