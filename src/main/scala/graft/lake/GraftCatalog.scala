@@ -432,13 +432,61 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
   }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Every filter is returned as residual — Spark re-evaluates all
-    * predicates post-scan, so manifest pruning stays a pure optimization
-    * and a translation gap can never drop rows. `pushedFilters` reports
-    * the subset the scan actually uses (for EXPLAIN). */
+  /** Filters the scan CONSUMES (not re-evaluated by Spark post-scan).
+    * Empty unless every file makes identity-day pruning exact. */
+  private var claimed: Array[Filter] = Array.empty
+
+  /** Residuals returned to Spark from the last [[pushFilters]]. */
+  private def residual: Array[Filter] = filters.filterNot(claimed.contains)
+
+  private val PartitionSentinel = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Identity-day partition pruning is EXACT row filtering when every
+    * live file is identity-spec on the convention day column (the
+    * writer's partitionBy invariant: a file's rows all carry exactly its
+    * manifest partition value) and no NULL-day sentinel file exists (a
+    * sentinel file's rows have a null day, which no claimed comparison
+    * may match). Hive-adopted files are excluded out of caution — their
+    * value lives in the directory name. */
+  private def claimableTable: Boolean =
+    SnapshotLog.conventionPartitionCol(snap.schema).exists { n =>
+      snap.schema(n).dataType == StringType &&
+        snap.files.forall(f => !f.hive && f.partition.nonEmpty &&
+          f.partition != PartitionSentinel &&
+          (f.spec.isEmpty || f.spec.contains("identity")))
+    }
+
+  /** The conjunct shapes [[GraftPruning.admits]] enforces EXACTLY on
+    * identity-day files — claiming anything admits() cannot prune would
+    * leak rows. IsNotNull is vacuous here: with no sentinel file, every
+    * row's day is non-null. */
+  private def exactDayConjunct(f: Filter): Boolean = {
+    val pcol = graft.model.SchemaBuilder.partitionColumn
+    f match {
+      case IsNotNull(`pcol`)                          => true
+      case EqualTo(`pcol`, _: String)                 => true
+      case In(`pcol`, vs)                             => vs.forall(_.isInstanceOf[String])
+      case GreaterThan(`pcol`, _: String)             => true
+      case GreaterThanOrEqual(`pcol`, _: String)      => true
+      case LessThan(`pcol`, _: String)                => true
+      case LessThanOrEqual(`pcol`, _: String)         => true
+      case And(l, r)                                  => exactDayConjunct(l) && exactDayConjunct(r)
+      case _                                          => false
+    }
+  }
+
+  /** Exact identity-day conjuncts are CONSUMED (manifest pruning IS the
+    * filter — what unlocks aggregate pushdown under the reference's
+    * day-windowed monitoring shapes, since Spark skips pushAggregation
+    * whenever post-scan residuals remain); everything else returns as
+    * residual for Spark's re-evaluation, so a translation gap can never
+    * drop rows. `pushedFilters` reports the subset the scan actually
+    * uses (for EXPLAIN). */
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    fs
+    if (!claimableTable) return fs
+    claimed = fs.filter(exactDayConjunct)
+    residual
   }
 
   override def pushedFilters(): Array[Filter] =
@@ -492,7 +540,10 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
     // aggregate over it would count dead rows
     if (morData) return false
     if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty) return false
-    if (filters.nonEmpty) return false
+    // CLAIMED day conjuncts are fine — the metadata fold runs over the
+    // exactly-pruned file set; any residual disables the path (Spark
+    // already refuses pushAggregation under post-scan filters)
+    if (residual.nonEmpty) return false
     val groupOk = agg.groupByExpressions match {
       case Array() => true
       case Array(g) => fieldName(g).exists { n =>
@@ -552,10 +603,16 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
       }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => GraftAggScan.build(tableDir, snap, agg)
+    case Some(agg) =>
+      // fold only the files the claimed day conjuncts keep — identity
+      // pruning is exact, so the metadata answer equals the real scan's
+      GraftAggScan.build(tableDir,
+        snap.copy(files = snap.files.filter(
+          GraftPruning.filePredicate(claimed, snap))), agg)
     case None if batchEligible =>
       new GraftBatchScan(SparkSession.active, tableDir, snap, required,
-        filters, limit, morData)
+        filters, limit, morData,
+        filtersExact = filters.nonEmpty && residual.isEmpty)
     case None =>
       // the MOR data relation has no V1 shape (its lineage columns only
       // exist on the batch path); GraftMorScanRule pre-checks
@@ -595,7 +652,8 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
                                          required: StructType,
                                          filters: Array[Filter],
                                          limit: Option[Int] = None,
-                                         morData: Boolean = false)
+                                         morData: Boolean = false,
+                                         filtersExact: Boolean = false)
   extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -679,10 +737,13 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
     // path, so the prefix provably holds >= n rows whenever the table
     // does). Spark re-applies the limit above the scan.
     // guard: Spark only pushes LIMIT when it sits DIRECTLY above the
-    // scan (our residual filters block it), but never truncate under
-    // any filter anyway — n raw rows do not guarantee n MATCHING rows
+    // scan (residual filters block it); truncation is safe only when
+    // NO filter remains or every filter is a CLAIMED exact day conjunct
+    // (then every row of every kept file matches) — never under runtime
+    // filters, whose pruning is advisory
     val kept = limit match {
-      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty =>
+      case Some(n) if (filters.isEmpty || filtersExact) &&
+          runtimeFilters.isEmpty =>
         var acc = 0L
         pruned.takeWhile { f => val need = acc < n; acc += f.rows; need }
       case _ => pruned
@@ -706,10 +767,19 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
         })
   }
 
+  /** Filters safe to hand the parquet reader for row-group/page pruning:
+    * only those whose columns survive in the READ schema. A CLAIMED day
+    * conjunct can reference a column Spark pruned out of the projection
+    * — parquet's column-index filtering evaluates predicates on
+    * unprojected columns as all-null and would drop every row. Such
+    * conjuncts are already enforced exactly by manifest file pruning. */
+  private def readerFilters(readFields: Array[String]): Array[Filter] =
+    filters.filter(_.references.forall(readFields.contains))
+
   override def createReaderFactory(): PartitionReaderFactory =
     if (!morData)
       org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-        snap.schema, required, filters)
+        snap.schema, required, readerFilters(required.fieldNames))
     else {
       val dataFields = outSchema.fields.filterNot(f =>
         GraftMorScan.LineageCols.contains(f.name))
@@ -728,7 +798,8 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
             LongType, nullable = true))
         else Nil))
       org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-        snap.schema, readData, filters, constSchema)
+        snap.schema, readData, readerFilters(dataFields.map(_.name)),
+        constSchema)
     }
 
   /** Manifest-measured stats of the (statically + runtime) pruned file

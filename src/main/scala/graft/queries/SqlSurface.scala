@@ -538,6 +538,46 @@ object SqlSurface extends QueryModule {
     s.sql(s"DELETE FROM $t WHERE event_id = ${c3.head.getLong(0)}")
     val (c5, m5) = measured(aggpDir, s"SELECT count(*) FROM $t")
 
+    // day-windowed COUNTs — the reference's most common monitoring shape
+    // (ref docs/query/sample-queries.sql:69-74): the identity-day
+    // conjuncts are CLAIMED by the scan (exact manifest pruning), so the
+    // aggregate still answers from metadata, folded over the pruned set
+    val (c6, m6) = measured(evDir,
+      s"SELECT count(*) FROM $cat.db.events WHERE _cdc_date = '2024-01-30'")
+    val (c7, m7) = measured(evDir,
+      s"""SELECT count(*) FROM $cat.db.events
+         |WHERE _cdc_date BETWEEN '2024-01-30' AND '2024-01-31'""".stripMargin)
+    // fallback: one month-spec era makes day pruning inexact → the
+    // claimed conjuncts stay residual and the COUNT takes the real scan.
+    // Synthesized rows (not SF-derived): the fixture must carry BOTH
+    // eras at every scale factor or the fallback leg degenerates
+    val pcol = graft.model.SchemaBuilder.partitionColumn
+    val pmDir = s"$wh/db/aggpm"
+    val pmPath = new org.apache.hadoop.fs.Path(pmDir)
+    pmPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(pmPath, true)
+    locally {
+      import s.implicits._
+      SnapshotLog.withTableLock(pmDir) {
+        val idn = (Seq.tabulate(3)(i => (i.toLong, "2024-01-01")) ++
+          Seq.tabulate(2)(i => (10L + i, "2024-01-02"))).toDF("id", pcol)
+        val files = SnapshotLog.writeData(s, pmDir, idn, Some(pcol))
+        SnapshotLog.commit(s, pmDir, "append", files, idn.schema, parent = None)
+      }
+      SnapshotLog.withTableLock(pmDir) {
+        val cur = SnapshotLog.currentSnapshot(s, pmDir)
+        val late = Seq.tabulate(4)(i => (20L + i, "2024-01-15"))
+          .toDF("id", pcol)
+          .withColumn("_pmonth", substring(col(pcol), 1, 7))
+        val files = SnapshotLog.writeData(s, pmDir, late, Some("_pmonth"),
+          spec = Some("month"))
+        SnapshotLog.commit(s, pmDir, "append",
+          cur.toSeq.flatMap(_.files) ++ files,
+          cur.get.schema, parent = cur)
+      }
+    }
+    val (c8, m8) = measured(pmDir,
+      s"SELECT count(*) FROM $cat.db.aggpm WHERE $pcol = '2024-01-01'")
+
     import s.implicits._
     (Seq(("count_all", c1.head.getLong(0), m1)) ++
       c2.map(r => (s"day_${r.getString(0)}", r.getLong(1), m2)) ++
@@ -547,7 +587,10 @@ object SqlSurface extends QueryModule {
         ("count_clustered", c3.head.getLong(2), m3),
         ("min_user_id", c4.head.getLong(0), m4),
         ("max_user_id", c4.head.getLong(1), m4),
-        ("count_after_delete", c5.head.getLong(0), m5)))
+        ("count_after_delete", c5.head.getLong(0), m5),
+        ("count_day_filtered", c6.head.getLong(0), m6),
+        ("count_day_window", c7.head.getLong(0), m7),
+        ("count_monthspec_fallback", c8.head.getLong(0), m8)))
       .toDF("step", "result", "metadata_answered")
       .orderBy(col("step"))
   }
@@ -577,7 +620,16 @@ object SqlSurface extends QueryModule {
        |    (SELECT CAST(count(*) AS BIGINT) FROM ev) -
        |      (SELECT CAST(count(*) AS BIGINT) FROM ev
        |       WHERE event_id = (SELECT min(event_id) FROM ev)),
-       |    CAST(0 AS BIGINT)))
+       |    CAST(0 AS BIGINT)),
+       |  ('count_day_filtered',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM state
+       |     WHERE snap_id = 3 AND day = '2024-01-30'),
+       |    CAST(1 AS BIGINT)),
+       |  ('count_day_window',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM state
+       |     WHERE snap_id = 3 AND day BETWEEN '2024-01-30' AND '2024-01-31'),
+       |    CAST(1 AS BIGINT)),
+       |  ('count_monthspec_fallback', CAST(3 AS BIGINT), CAST(0 AS BIGINT)))
        |  AS t(step, result, metadata_answered))
        |SELECT step, result, metadata_answered FROM days
        |UNION ALL SELECT step, result, metadata_answered FROM scalars

@@ -110,6 +110,61 @@ class AggPushdownSpec extends SparkTestBase {
     assert(!m3, "count over live deletes must not claim metadata")
   }
 
+  test("day-filtered COUNTs are claimed exact and answered from the pruned manifest") {
+    val (_, dir) = buildTable()
+    // equality window: the IsNotNull + EqualTo conjuncts are CLAIMED
+    // (identity pruning is exact), so the aggregate pushes down and the
+    // fold runs over the pruned file set only
+    val (r1, m1) = metadataAnswered(dir)(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.ns.t WHERE _cdc_date = '2024-01-02'"))
+    assert(r1.map(_.getLong(0)) === Seq(2L))
+    assert(m1, "day-filtered count was not answered from metadata")
+    // range window
+    val (r2, m2) = metadataAnswered(dir)(spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.ns.t
+         |WHERE _cdc_date BETWEEN '2024-01-02' AND '2024-01-03'""".stripMargin))
+    assert(r2.map(_.getLong(0)) === Seq(3L))
+    assert(m2, "day-window count was not answered from metadata")
+    // filtered AND grouped: only the window's groups come back
+    val (r3, m3) = metadataAnswered(dir)(spark.sql(
+      s"""SELECT _cdc_date AS day, count(*) AS n FROM $cat.ns.t
+         |WHERE _cdc_date >= '2024-01-02'
+         |GROUP BY _cdc_date ORDER BY day""".stripMargin))
+    assert(r3.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("2024-01-02", 2L), ("2024-01-03", 1L)))
+    assert(m3, "filtered grouped count was not answered from metadata")
+    // the claimed conjuncts stay exact on the ROW path too — Spark does
+    // not re-evaluate them, the manifest pruning IS the filter
+    import spark.implicits._
+    val ids = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE _cdc_date = '2024-01-02'")
+      .as[Long].collect().toSeq.sorted
+    assert(ids === Seq(2L, 3L))
+  }
+
+  test("a month-spec era disables claiming: day-filtered count takes the real scan") {
+    val (_, dir) = buildTable()
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      import spark.implicits._
+      val df = Seq((9L, 90L, lsn(9), "2024-01-31"))
+        .toDF("id", "v", graft.ingest.Cdc.LsnColumn, "_cdc_date")
+      val withMonth = df.withColumn("_pmonth",
+        substring(col("_cdc_date"), 1, 7))
+      val files = SnapshotLog.writeData(spark, dir, withMonth,
+        Some("_pmonth"), spec = Some("month"))
+      SnapshotLog.commit(spark, dir, "append",
+        cur.toSeq.flatMap(_.files) ++ files, df.schema, parent = cur)
+    }
+    // a month-partitioned file can hold ANY January day: day pruning is
+    // no longer exact row filtering, so nothing is claimed, the filter
+    // stays residual, and the count takes the real scan — still correct
+    val (r, m) = metadataAnswered(dir)(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.ns.t WHERE _cdc_date = '2024-01-02'"))
+    assert(r.map(_.getLong(0)) === Seq(2L))
+    assert(!m, "month-spec day-filtered count must not claim metadata")
+  }
+
   test("a NULL day partition disables grouped pushdown instead of leaking the sentinel") {
     val wh = Files.createTempDirectory("graft-aggpush-null").toString
     register(wh)

@@ -217,6 +217,14 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(df2.as[Long].collect().toSeq.sorted === Seq(42L, 43L))
     val (kept2, _) = GraftScanStats.lastScan(dir).get
     assert(kept2 === 4L, s"filtered limit truncated the scan (kept=$kept2)")
+    // a CLAIMED-exact day filter is different: every kept file's rows
+    // match, so the limit truncates over the pruned set (here to the
+    // day's single 3-row file)
+    val df3 = spark.sql(
+      s"SELECT id FROM $cat.ns.t WHERE _cdc_date = '2024-01-02' LIMIT 2")
+    assert(df3.as[Long].collect().length === 2)
+    val (kept3, _) = GraftScanStats.lastScan(dir).get
+    assert(kept3 === 1L, s"claimed-day limit read $kept3 files, wanted 1")
   }
 
   test("plan-time statistics come from the manifest (no V1 wrapper loss)") {
