@@ -453,7 +453,8 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
       snap.schema(n).dataType == StringType &&
         snap.files.forall(f => !f.hive && f.partition.nonEmpty &&
           f.partition != PartitionSentinel &&
-          (f.spec.isEmpty || f.spec.contains("identity")))
+          (f.spec.isEmpty || f.spec.contains("identity") ||
+            f.spec.contains("day")))
     }
 
   /** The conjunct shapes [[GraftPruning.admits]] enforces EXACTLY on
@@ -556,7 +557,8 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
             // the metadata path must refuse rather than answer with the
             // sentinel text
             f.partition != "__HIVE_DEFAULT_PARTITION__" &&
-            (f.spec.isEmpty || f.spec.contains("identity")))
+            (f.spec.isEmpty || f.spec.contains("identity") ||
+              f.spec.contains("day")))
       }
       case _ => false
     }
@@ -1084,9 +1086,9 @@ private[lake] object GraftPruning {
       f.partition < dayString(v)
     case LessThanOrEqual(PartitionCol, v: Any) if identityDay(f) =>
       f.partition <= dayString(v)
-    // day ranges against month-spec files: compare the month prefix —
-    // a file for month M can hold day D only if M is within D's range's
-    // month span
+    // day ranges against coarser specs (month/year): compare the
+    // matching prefix — a file for month M (year Y) can hold day D only
+    // if M (Y) is within D's range's span
     case GreaterThan(PartitionCol, v: Any) if monthDay(f) =>
       f.partition >= dayString(v).take(7)
     case GreaterThanOrEqual(PartitionCol, v: Any) if monthDay(f) =>
@@ -1095,6 +1097,24 @@ private[lake] object GraftPruning {
       f.partition <= dayString(v).take(7)
     case LessThanOrEqual(PartitionCol, v: Any) if monthDay(f) =>
       f.partition <= dayString(v).take(7)
+    case GreaterThan(PartitionCol, v: Any) if yearDay(f) =>
+      f.partition >= dayString(v).take(4)
+    case GreaterThanOrEqual(PartitionCol, v: Any) if yearDay(f) =>
+      f.partition >= dayString(v).take(4)
+    case LessThan(PartitionCol, v: Any) if yearDay(f) =>
+      f.partition <= dayString(v).take(4)
+    case LessThanOrEqual(PartitionCol, v: Any) if yearDay(f) =>
+      f.partition <= dayString(v).take(4)
+    // day ranges against FINER (hour) specs: the file's day is its
+    // partition's day prefix — exact comparisons, same as identity
+    case GreaterThan(PartitionCol, v: Any) if hourDay(f) =>
+      f.partition.take(10) > dayString(v)
+    case GreaterThanOrEqual(PartitionCol, v: Any) if hourDay(f) =>
+      f.partition.take(10) >= dayString(v)
+    case LessThan(PartitionCol, v: Any) if hourDay(f) =>
+      f.partition.take(10) < dayString(v)
+    case LessThanOrEqual(PartitionCol, v: Any) if hourDay(f) =>
+      f.partition.take(10) <= dayString(v)
     // ---- stats-bounds pruning (primary stats pair or the grid
     // rewrite's multi-column extra bounds — DataFile.boundsFor)
     case EqualTo(a, v) if hasBounds(f, a)            => overlaps(f, a, v, v)
@@ -1108,9 +1128,14 @@ private[lake] object GraftPruning {
 
   private def partitioned(f: DataFile): Boolean = f.partition.nonEmpty
   private def identityDay(f: DataFile): Boolean =
-    partitioned(f) && (f.spec.isEmpty || f.spec.contains("identity"))
+    partitioned(f) && (f.spec.isEmpty || f.spec.contains("identity") ||
+      f.spec.contains("day"))
   private def monthDay(f: DataFile): Boolean =
     partitioned(f) && f.spec.contains("month")
+  private def yearDay(f: DataFile): Boolean =
+    partitioned(f) && f.spec.contains("year")
+  private def hourDay(f: DataFile): Boolean =
+    partitioned(f) && f.spec.contains("hour")
 
   /** Partition values are day strings; a date-typed literal renders to
     * the same ISO form, so both filter shapes prune. */

@@ -100,10 +100,16 @@ object SnapshotLog {
         for (mn <- minLsn; mx <- maxLsn) yield (mn, mx)
       else extraBounds.get(column)
 
-    /** Does this file's partition possibly hold rows of `day`? */
+    /** Does this file's partition possibly hold rows of `day`? The full
+      * reference transform family (ref internal/iceberg/types.go:54-75:
+      * identity/year/month/day/hour) evaluates against the day string's
+      * prefix — hour values are `yyyy-MM-dd HH`, finer than a day, so an
+      * hour file prunes EXACTLY for day predicates. */
     def matchesDay(day: String): Boolean = spec match {
-      case None | Some("identity") => partition == day
+      case None | Some("identity") | Some("day") => partition == day
       case Some("month")           => partition == day.take(7)
+      case Some("year")            => partition == day.take(4)
+      case Some("hour")            => partition.take(10) == day
       case Some(_)                 => true // unknown transform: never prune
     }
   }

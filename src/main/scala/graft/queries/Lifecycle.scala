@@ -996,16 +996,19 @@ object Lifecycle extends QueryModule {
        |GROUP BY bucket, n_del_slots, n_pre_rows ORDER BY bucket""".stripMargin
 
   // ---- partition-spec evolution (Iceberg evolve-spec): the table
-  // starts day-partitioned (two appends), then the spec evolves to
-  // month granularity (two appends under a hidden month transform —
-  // the month value is table LAYOUT, not schema) without rewriting a
+  // starts day-partitioned (two appends), evolves to month granularity
+  // (one append under a hidden month transform — the month value is
+  // table LAYOUT, not schema), then to HOUR granularity (one append
+  // under yyyy-MM-dd HH values, ref internal/iceberg/types.go:54-75's
+  // full identity/year/month/day/hour family), without rewriting a
   // single old file. A 3-day window read must prune under EACH file's
   // own transform: day files by value equality (only window days
-  // survive), month files by month overlap (the coarse file is
-  // scanned whole — the trade-off spec evolution buys). Scanned/total
-  // file counts are measured from the manifest and hash-checked; the
-  // per-day row content proves rows from both layouts land in one
-  // correct read.
+  // survive), month files by month overlap (the coarse file is scanned
+  // whole — the trade-off spec evolution buys), hour files by their
+  // day PREFIX (finer than the predicate → file-exact again). Scanned/
+  // total file counts are measured from the manifest and hash-checked;
+  // the per-day row content proves rows from all three layouts land in
+  // one correct read.
   private val specEvoFixture = new FixtureCache("graft_specevo")
   private val EvoWindow = Seq("2024-01-10", "2024-01-11", "2024-01-12")
 
@@ -1021,10 +1024,18 @@ object Lifecycle extends QueryModule {
           val files =
             if (k < 2)
               SnapshotLog.writeData(s, dir, slice, Some("day"))
-            else
+            else if (k == 2)
               SnapshotLog.writeData(s, dir,
                 slice.withColumn("_pmonth", substring(col("day"), 1, 7)),
                 Some("_pmonth"), spec = Some("month"))
+            else
+              // hour values derived deterministically (event_id % 24):
+              // the transform contract under test is the LAYOUT prefix
+              // relation, not wall-clock fidelity
+              SnapshotLog.writeData(s, dir,
+                slice.withColumn("_phour", concat(col("day"), lit(" "),
+                  lpad((col("event_id") % 24).cast("string"), 2, "0"))),
+                Some("_phour"), spec = Some("hour"))
           SnapshotLog.commit(s, dir, "append",
             cur.toSeq.flatMap(_.files) ++ files, slice.schema, parent = cur)
         }
@@ -1053,18 +1064,18 @@ object Lifecycle extends QueryModule {
     s"""WITH ev AS (SELECT event_id, user_id, value,
        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
        |  event_id % 4 AS slice FROM events),
+       |keyed AS (SELECT *, CASE
+       |    WHEN slice < 2 THEN day
+       |    WHEN slice = 2 THEN substring(day, 1, 7)
+       |    ELSE day || ' ' || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0')
+       |  END AS pval FROM ev),
        |counts AS (SELECT
-       |  CAST(count(DISTINCT CASE WHEN slice < 2 AND day IN ($windowIn)
-       |      THEN slice || '/' || day END)
-       |    + count(DISTINCT CASE WHEN slice >= 2
-       |        AND substring(day, 1, 7) = '2024-01'
-       |      THEN slice || '/' || substring(day, 1, 7) END) AS BIGINT)
-       |    AS n_files_scanned,
-       |  CAST(count(DISTINCT CASE WHEN slice < 2
-       |      THEN slice || '/' || day END)
-       |    + count(DISTINCT CASE WHEN slice >= 2
-       |      THEN slice || '/' || substring(day, 1, 7) END) AS BIGINT)
-       |    AS n_files_total FROM ev)
+       |  CAST(count(DISTINCT CASE WHEN (slice < 2 AND day IN ($windowIn))
+       |      OR (slice = 2 AND substring(day, 1, 7) = '2024-01')
+       |      OR (slice = 3 AND day IN ($windowIn))
+       |      THEN slice || '/' || pval END) AS BIGINT) AS n_files_scanned,
+       |  CAST(count(DISTINCT slice || '/' || pval) AS BIGINT)
+       |    AS n_files_total FROM keyed)
        |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
        |  min(value) AS value_min, max(value) AS value_max,

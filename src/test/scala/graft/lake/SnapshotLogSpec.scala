@@ -575,8 +575,42 @@ class SnapshotLogSpec extends SparkTestBase {
     // hidden transform column is layout, not schema
     assert(SnapshotLog.readCurrent(spark, dir).get.columns.toSeq
       === Seq("id", "day"))
+    // commit 3: YEAR spec; commit 4: HOUR spec (the full reference
+    // transform family — ref internal/iceberg/types.go:54-75)
+    SnapshotLog.withTableLock(dir) {
+      val c = SnapshotLog.currentSnapshot(spark, dir)
+      val df = days(5L -> "2024-04-01", 6L -> "2025-06-15")
+      val withYear = df.withColumn("_pyear", substring(col("day"), 1, 4))
+      val files = SnapshotLog.writeData(spark, dir, withYear,
+        Some("_pyear"), spec = Some("year"))
+      SnapshotLog.commit(spark, dir, "append",
+        c.toSeq.flatMap(_.files) ++ files, df.schema, parent = c)
+    }
+    SnapshotLog.withTableLock(dir) {
+      val c = SnapshotLog.currentSnapshot(spark, dir)
+      val df = days(7L -> "2024-01-10", 8L -> "2024-01-20")
+      val withHour = df.withColumn("_phour", concat(col("day"), lit(" 07")))
+      val files = SnapshotLog.writeData(spark, dir, withHour,
+        Some("_phour"), spec = Some("hour"))
+      SnapshotLog.commit(spark, dir, "append",
+        c.toSeq.flatMap(_.files) ++ files, df.schema, parent = c)
+    }
+    val cur2 = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(cur2.files.size === 8) // 2 day + 2 month + 2 year + 2 hour
+    // a January-2024 day keeps: its day file, the Jan month file, the
+    // 2024 year file (coarse), and ITS OWN hour file only (hour is
+    // finer than the day predicate — file-exact pruning again)
+    val jan10 = SnapshotLog.pruneToDays(cur2, Seq("2024-01-10"))
+    assert(jan10.map(_.partition).sorted ===
+      Seq("2024", "2024-01", "2024-01-10", "2024-01-10 07"))
+    // the read composes all four layouts and filters rows exactly
+    assert(idsOf(SnapshotLog.read(spark, dir, cur2, Some(Seq("2024-01-10")))
+      .filter(col("day") === "2024-01-10")) === Seq(1L, 7L))
+    // a 2025 day prunes everything but the 2025 year file
+    assert(SnapshotLog.pruneToDays(cur2, Seq("2025-06-15"))
+      .map(_.partition) === Seq("2025"))
     // an unknown spec never prunes
-    val alien = cur.copy(files = cur.files.map(_.copy(spec = Some("hour"))))
+    val alien = cur.copy(files = cur.files.map(_.copy(spec = Some("bucket"))))
     assert(SnapshotLog.pruneToDays(alien, Seq("1999-01-01")).size === 4)
   }
 
