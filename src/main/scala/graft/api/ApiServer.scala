@@ -43,11 +43,25 @@ import graft.queries.Paging
   * query's `toLocalIterator`, one partition in driver memory at a time,
   * so a 100 TB result streams through page by page exactly like the
   * reference's Trino cursor. Open cursors are capped; the cap returns
-  * 429 instead of accumulating driver state without bound. */
+  * 429 instead of accumulating driver state without bound.
+  *
+  * `authToken`: when set, every route except `GET /query/health` and
+  * `GET /metrics` (probe + scrape endpoints, conventionally
+  * unauthenticated) requires `Authorization: Bearer <token>` → 401
+  * otherwise (the reference's API sits behind its auth middleware,
+  * internal/api/server.go; token compare is constant-time).
+  *
+  * `GET /metrics` serves the Prometheus text exposition of `registry`
+  * — the same `philotes_<subsystem>_<name>` series the reference
+  * exports through promhttp (ref internal/api/server.go:258, names
+  * internal/metrics/metrics.go:39-258). */
 final class ApiServer(spark: SparkSession,
                       defaultPageSize: Int = 100,
                       maxCursors: Int = 64,
-                      cursorTtlMs: Long = 10 * 60 * 1000L) extends AutoCloseable {
+                      cursorTtlMs: Long = 10 * 60 * 1000L,
+                      registry: graft.observe.Metrics.Registry =
+                        graft.observe.Metrics.global,
+                      authToken: Option[String] = None) extends AutoCloseable {
 
   private val server =
     HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
@@ -55,10 +69,30 @@ final class ApiServer(spark: SparkSession,
   private val cursors = new ConcurrentHashMap[String, CursorState]()
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `cursor == null` marks a RESERVATION: the slot is held while the
+    * statement analyzes/executes, before the real state replaces it.
+    * Reserved ids are never published, so lookups can treat them as
+    * absent. */
   private final class CursorState(val cursor: Paging.QueryCursor,
                                   val columns: Seq[String]) {
     @volatile var lastTouchedMs: Long = System.currentTimeMillis()
+    /** Number of pages fully served (== the next page number). */
+    var pagesServed: Long = 0L
+    /** Last served (pageNo, rendered page) — the idempotent-retry cache:
+      * a client re-fetching the SAME next_uri after a lost response gets
+      * the identical page instead of silently skipping one. */
+    var lastPage: (Long, JObject) = null
   }
+
+  /** Final pages of exhausted cursors, LRU-bounded: the terminal
+    * next_uri-less response stays re-fetchable (idempotent) without an
+    * exhausted cursor pinning a live slot. */
+  private val finished = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, JObject)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, JObject)]): Boolean =
+        size() > maxCursors
+    })
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(pool)
@@ -72,16 +106,25 @@ final class ApiServer(spark: SparkSession,
     server.stop(0)
     pool.shutdownNow()
     cursors.clear()
+    finished.clear()
   }
 
   // ---- routing -----------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toSeq
+      val path = ex.getRequestURI.getPath
+      if (authToken.isDefined && path != "/query/health" && path != "/metrics"
+          && !authorized(ex)) {
+        respond(ex, 401,
+          JObject("error" -> JString("missing or invalid bearer token")))
+        return
+      }
+      val segs = path.split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, segs) match {
         case ("GET", Seq("query", "health")) =>
           respond(ex, 200, JObject("status" -> JString("healthy")))
+        case ("GET", Seq("metrics")) => metricsText(ex)
         case ("GET", Seq("query", "status")) => status(ex)
         case ("GET", Seq("query", "catalogs")) => listCatalogs(ex)
         case ("GET", Seq("query", "catalogs", c, "schemas")) =>
@@ -93,10 +136,17 @@ final class ApiServer(spark: SparkSession,
             tableInfo(ex, c, s, t)
           }
         case ("POST", Seq("query", "sql"))          => runSql(ex)
-        case ("GET", Seq("query", "results", id))   => nextPage(ex, id)
+        case ("GET", Seq("query", "results", id))   => nextPage(ex, id, None)
+        case ("GET", Seq("query", "results", id, n)) =>
+          n.toLongOption match {
+            case Some(pageNo) => nextPage(ex, id, Some(pageNo))
+            case None => respond(ex, 404,
+              JObject("error" -> JString(s"malformed page number $n")))
+          }
         case ("DELETE", Seq("query", "results", id)) =>
           // explicit cursor close (the reference client's DELETE nextUri)
           val gone = cursors.remove(id)
+          finished.remove(id)
           respond(ex, if (gone != null) 200 else 404,
             JObject("closed" -> JBool(gone != null)))
         case ("GET" | "POST" | "DELETE", _) =>
@@ -117,6 +167,35 @@ final class ApiServer(spark: SparkSession,
   private def validated(ex: HttpExchange, names: (String, String)*)(body: => Unit): Unit = {
     names.foreach { case (n, kind) => Identifiers.validate(n, kind) }
     body
+  }
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    val got = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val want = s"Bearer ${authToken.get}"
+    java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
+  }
+
+  /** Prometheus text exposition (format 0.0.4) of the registry —
+    * counters then gauges, each with its `# TYPE` line, names already in
+    * the reference's `philotes_<subsystem>_<name>` form. */
+  private def metricsText(ex: HttpExchange): Unit = {
+    val sb = new StringBuilder
+    registry.countersSnapshot().toSeq.sortBy(_._1).foreach { case (n, v) =>
+      sb.append("# TYPE ").append(n).append(" counter\n")
+        .append(n).append(' ').append(v).append('\n')
+    }
+    registry.gaugesSnapshot().toSeq.sortBy(_._1).foreach { case (n, v) =>
+      sb.append("# TYPE ").append(n).append(" gauge\n")
+        .append(n).append(' ')
+        .append(if (v == v.toLong.toDouble) v.toLong.toString else v.toString)
+        .append('\n')
+    }
+    val bytes = sb.toString.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
   }
 
   /** QueryLayerStatus (services/query.go:56-94, models/query.go:11-24)
@@ -218,34 +297,15 @@ final class ApiServer(spark: SparkSession,
           JObject("error" -> JString("page_size must be in [1, 10000]")))
         return
     }
-    // shed load BEFORE the expensive analysis: a 429 must be nearly
-    // free, so run eviction + a cheap pre-check first (the atomic
-    // admission below still decides)
-    val preAdmit = cursors.synchronized {
-      if (cursors.size >= maxCursors) {
-        val cutoff = System.currentTimeMillis() - cursorTtlMs
-        val it = cursors.entrySet().iterator()
-        while (it.hasNext) {
-          if (it.next().getValue.lastTouchedMs < cutoff) it.remove()
-        }
-      }
-      cursors.size < maxCursors
-    }
-    if (!preAdmit) {
-      respond(ex, 429, JObject("error" ->
-        JString(s"too many open cursors (max $maxCursors) — page them to " +
-          "exhaustion, DELETE /query/results/{id}, or wait out the idle TTL")))
-      return
-    }
-    val df = spark.sql(sql) // AnalysisException → 400 via handle()
-    val st = new CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)
+    // admission is ONE atomic reservation BEFORE the expensive analysis:
+    // a 429 stays nearly free, the cap cannot be raced past, and a build
+    // failure (or a lost race) never constructs — let alone leaks — an
+    // unregistered cursor. Abandoned cursors (client stopped paging —
+    // the normal Trino-client behavior on abort) are evicted once idle
+    // past the TTL, so the cap bounds LIVE cursors instead of
+    // permanently bricking the endpoint after maxCursors abandons.
     val id = java.util.UUID.randomUUID().toString.take(8) + "-" + ids.incrementAndGet()
-    // admission + registration are one atomic step so the cap cannot be
-    // raced past; an abandoned cursor (client stopped paging — the
-    // normal Trino-client behavior on abort) is evicted once idle past
-    // the TTL, so the cap bounds LIVE cursors instead of permanently
-    // bricking the endpoint after maxCursors abandons
-    val admitted = cursors.synchronized {
+    val reserved = cursors.synchronized {
       if (cursors.size >= maxCursors) {
         val cutoff = System.currentTimeMillis() - cursorTtlMs
         val it = cursors.entrySet().iterator()
@@ -253,46 +313,88 @@ final class ApiServer(spark: SparkSession,
           if (it.next().getValue.lastTouchedMs < cutoff) it.remove()
         }
       }
-      if (cursors.size < maxCursors) { cursors.put(id, st); true } else false
+      if (cursors.size < maxCursors) {
+        cursors.put(id, new CursorState(null, Nil)) // reservation
+        true
+      } else false
     }
-    if (!admitted) {
+    if (!reserved) {
       respond(ex, 429, JObject("error" ->
         JString(s"too many open cursors (max $maxCursors) — page them to " +
           "exhaustion, DELETE /query/results/{id}, or wait out the idle TTL")))
       return
     }
-    respond(ex, 200, pageJson(id, st))
+    try {
+      val df = spark.sql(sql) // AnalysisException → 400 via handle()
+      val st = new CursorState(Paging.cursor(df, pageSize), df.columns.toSeq)
+      cursors.put(id, st)
+      servePage(ex, id, st, requested = None)
+    } catch {
+      case NonFatal(e) => cursors.remove(id); throw e
+    }
   }
 
-  private def nextPage(ex: HttpExchange, id: String): Unit = {
+  private def nextPage(ex: HttpExchange, id: String, requested: Option[Long]): Unit = {
     val st = cursors.get(id)
-    if (st == null)
-      respond(ex, 404, JObject("error" -> JString(s"unknown or expired cursor $id")))
-    else respond(ex, 200, pageJson(id, st))
+    if (st == null || st.cursor == null) {
+      // exhausted cursors keep their FINAL page re-fetchable (tombstone
+      // cache): the terminal response can be lost in transit like any
+      // other, and its NUMBERED retry must not 404 into "result
+      // truncated?". A bare-id GET ("next page") after exhaustion stays
+      // 404 — Trino's expired-nextUri contract.
+      val tomb = finished.get(id)
+      if (tomb != null && requested.contains(tomb._1))
+        respond(ex, 200, tomb._2)
+      else
+        respond(ex, 404, JObject("error" -> JString(s"unknown or expired cursor $id")))
+    } else servePage(ex, id, st, requested)
   }
 
   /** One page; removing the cursor exactly when no further page exists
-    * (`next_uri` absent ⇔ cursor dead — Trino's contract). The page
-    * fetch and the has-more probe happen under ONE lock: two clients
-    * racing the same next_uri (a timeout retry) each get a distinct,
-    * non-overlapping page, and neither can observe the other's
-    * in-between state and wrongly drop next_uri on a non-final page.
-    * A failing fetch (executor death mid-stream) frees the slot rather
-    * than pinning it until the TTL. */
-  private def pageJson(id: String, st: CursorState): JObject = {
-    val (rows, more) = st.cursor.synchronized {
+    * (`next_uri` absent ⇔ cursor dead — Trino's contract, with the final
+    * page parked in [[finished]]). Pages are NUMBERED and each next_uri
+    * names the page it leads to, so retries are idempotent:
+    * re-requesting the last served number replays the cached page,
+    * requesting the next number advances, anything else is 410 (the
+    * page was consumed and evicted — unlike a silent skip, the client
+    * KNOWS its window broke). The fetch, the has-more probe, and the
+    * cache update happen under ONE lock, so two clients racing the same
+    * next_uri resolve to one fetch + one replay. A failing fetch
+    * (executor death mid-stream) frees the slot rather than pinning it
+    * until the TTL. */
+  private def servePage(ex: HttpExchange, id: String, st: CursorState,
+                        requested: Option[Long]): Unit = {
+    val (code, body) = st.cursor.synchronized {
       st.lastTouchedMs = System.currentTimeMillis()
-      val page = try st.cursor.nextPage() catch {
-        case NonFatal(e) => cursors.remove(id); throw e
+      val nextNo = st.pagesServed
+      requested match {
+        case Some(n) if st.lastPage != null && n == st.lastPage._1 =>
+          (200, st.lastPage._2) // idempotent retry of the last page
+        case Some(n) if n != nextNo =>
+          (410, JObject("error" -> JString(
+            s"page $n of cursor $id is gone (next available is $nextNo)")))
+        case _ =>
+          val page = try st.cursor.nextPage() catch {
+            case NonFatal(e) => cursors.remove(id); throw e
+          }
+          val more = st.cursor.hasMore
+          val json = JObject(
+            "id" -> JString(id),
+            "page" -> JInt(BigInt(nextNo)),
+            "columns" -> JArray(st.columns.toList.map(JString(_))),
+            "rows" -> JArray(page.toList.map(rowJson)),
+            ("next_uri" -> (if (more) JString(s"/query/results/$id/${nextNo + 1}")
+            else JNothing)))
+          st.lastPage = (nextNo, json)
+          st.pagesServed = nextNo + 1
+          if (!more) {
+            cursors.remove(id)
+            finished.put(id, (nextNo, json))
+          }
+          (200, json)
       }
-      (page, st.cursor.hasMore)
     }
-    if (!more) cursors.remove(id)
-    JObject(
-      "id" -> JString(id),
-      "columns" -> JArray(st.columns.toList.map(JString(_))),
-      "rows" -> JArray(rows.toList.map(rowJson)),
-      ("next_uri" -> (if (more) JString(s"/query/results/$id") else JNothing)))
+    respond(ex, code, body)
   }
 
   private def rowJson(r: Row): JValue =

@@ -53,6 +53,13 @@ object Metrics {
       counters.asScala.map { case (k, v) => k -> v.get().toDouble }.toMap ++
         gauges.asScala.map { case (k, v) => k -> v.sum() }
 
+    /** Typed views for Prometheus exposition (`# TYPE` lines need the
+      * metric kind, which the merged [[snapshot]] erases). */
+    def countersSnapshot(): Map[String, Long] =
+      counters.asScala.map { case (k, v) => k -> v.get() }.toMap
+    def gaugesSnapshot(): Map[String, Double] =
+      gauges.asScala.map { case (k, v) => k -> v.sum() }.toMap
+
     def reset(): Unit = { counters.clear(); gauges.clear() }
 
     def toDf(spark: SparkSession): DataFrame = {

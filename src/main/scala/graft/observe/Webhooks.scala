@@ -79,9 +79,18 @@ object Webhooks {
     * resolve must not overtake its fire on the same channel). A hung
     * endpoint therefore stalls only its own channel instead of turning
     * a 30 s timeout into a serial outage amplifier for every channel
-    * behind it. The returned Seq keeps the input order. */
+    * behind it. The returned Seq keeps the input order.
+    *
+    * `maxWaitMs` bounds the WHOLE cycle: a channel with many
+    * notifications against a slow-but-not-timing-out endpoint must not
+    * hold the alert loop hostage (per-POST timeouts alone bound one
+    * send, not N in sequence). Sends still in flight at the deadline
+    * are reported as failed deliveries ("deadline exceeded"), so the
+    * caller's at-least-once retry picks them up next cycle — delivery
+    * remains at-least-once, never silently dropped. */
   def deliver(notes: Seq[Alerts.Notification],
-              urlOf: String => Option[String]): Seq[Delivery] = {
+              urlOf: String => Option[String],
+              maxWaitMs: Long = 120000L): Seq[Delivery] = {
     def send(n: Alerts.Notification): Delivery = urlOf(n.channel) match {
       case None =>
         Delivery(n, "", 0, delivered = false,
@@ -93,14 +102,28 @@ object Webhooks {
     val indexed = notes.zipWithIndex
     val byChannel = indexed.groupBy(_._1.channel).values.toSeq
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    import scala.util.{Failure, Success}
     implicit val ec: ExecutionContext = ExecutionContext.global
     // blocking{}: the POSTs hold pool threads for up to the timeout —
     // without it, channels beyond global's parallelism queue behind a
     // hung endpoint, re-creating the serial stall this design prevents
-    val futures = byChannel.map(ch => Future(
+    val futures = byChannel.map(ch => ch -> Future(
       scala.concurrent.blocking { ch.map { case (n, i) => (send(n), i) } }))
-    Await.result(Future.sequence(futures), Duration.Inf)
-      .flatten.sortBy(_._2).map(_._1)
+    try Await.ready(Future.sequence(futures.map(_._2)), maxWaitMs.millis)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+    futures.flatMap { case (ch, f) =>
+      f.value match {
+        case Some(Success(res)) => res
+        case Some(Failure(e)) => ch.map { case (n, i) =>
+          (Delivery(n, "", 0, delivered = false,
+            Some(s"delivery task failed: ${String.valueOf(e.getMessage)}")), i)
+        }
+        case None => ch.map { case (n, i) =>
+          (Delivery(n, "", 0, delivered = false,
+            Some(s"delivery deadline exceeded (${maxWaitMs} ms)")), i)
+        }
+      }
+    }.sortBy(_._2).map(_._1)
   }
 }

@@ -114,6 +114,89 @@ class ApiServerSpec extends SparkTestBase {
     }
   }
 
+  test("numbered next_uri retries are idempotent; stale pages are 410; final page survives exhaustion") {
+    withServer { base =>
+      val (s1, b1) = post(base, "/query/sql",
+        s"""{"sql": "SELECT id FROM $cat.ns.t ORDER BY id", "page_size": 10}""")
+      assert(s1 === 200 && (b1 \ "page") === JInt(0))
+      def ids(b: JValue): Seq[Long] =
+        (b \ "rows").asInstanceOf[JArray].arr.map(r =>
+          r.asInstanceOf[JArray].arr.head.asInstanceOf[JInt].num.toLong)
+      val uri1 = str(b1 \ "next_uri")
+      val (s2, b2) = get(base, uri1)
+      assert(s2 === 200 && ids(b2) === (11L to 20L))
+      // a lost-response RETRY of the same next_uri replays the SAME page
+      val (s2r, b2r) = get(base, uri1)
+      assert(s2r === 200 && ids(b2r) === (11L to 20L), "retry skipped a page")
+      // a page consumed and evicted from the retry cache is 410 on the
+      // LIVE cursor — never a silent skip
+      val (sg, _) = get(base, "/query/results/" + str(b1 \ "id") + "/0")
+      assert(sg === 410)
+      // ...and the window still advances correctly afterwards
+      val (s3, b3) = get(base, str(b2r \ "next_uri"))
+      assert(s3 === 200 && ids(b3) === (21L to 25L))
+      assert((b3 \ "next_uri") === JNothing)
+      // the FINAL page's numbered uri stays re-fetchable (its response
+      // can be lost like any other)...
+      val finalUri = str(b2 \ "next_uri")
+      val (sf, bf) = get(base, finalUri)
+      assert(sf === 200 && ids(bf) === (21L to 25L))
+      // ...but a bare-id "next" after exhaustion is Trino's expired
+      // 404, and so is any OTHER page number of the dead cursor
+      assert(get(base, "/query/results/" + str(b3 \ "id"))._1 === 404)
+      assert(get(base, "/query/results/" + str(b3 \ "id") + "/0")._1 === 404)
+    }
+  }
+
+  test("bearer-token auth: 401 without or with a wrong token; probe and scrape stay open") {
+    buildCatalog()
+    val srv = new ApiServer(spark, defaultPageSize = 10,
+      authToken = Some("s3cr3t-tok"))
+    try {
+      val base = srv.baseUri
+      assert(get(base, "/query/catalogs")._1 === 401)
+      val wrong = http.send(HttpRequest.newBuilder(
+        URI.create(base + "/query/catalogs"))
+        .header("Authorization", "Bearer nope").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrong.statusCode() === 401)
+      val right = http.send(HttpRequest.newBuilder(
+        URI.create(base + "/query/catalogs"))
+        .header("Authorization", "Bearer s3cr3t-tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(right.statusCode() === 200)
+      // health and metrics are probe/scrape surfaces: unauthenticated
+      assert(get(base, "/query/health")._1 === 200)
+      val m = http.send(HttpRequest.newBuilder(URI.create(base + "/metrics"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(m.statusCode() === 200)
+    } finally srv.close()
+  }
+
+  test("GET /metrics serves the registry as Prometheus text exposition") {
+    buildCatalog()
+    val reg = new graft.observe.Metrics.Registry
+    reg.inc("cdc", "events_total", 42L)
+    reg.inc("buffer", "dlq_total", 3L)
+    reg.setGauge("cdc", "lag_seconds", 1.5)
+    val srv = new ApiServer(spark, registry = reg)
+    try {
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(srv.baseUri + "/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+      val body = r.body()
+      assert(body.contains("# TYPE philotes_cdc_events_total counter"))
+      assert(body.contains("philotes_cdc_events_total 42"))
+      assert(body.contains("# TYPE philotes_buffer_dlq_total counter"))
+      assert(body.contains("philotes_buffer_dlq_total 3"))
+      assert(body.contains("# TYPE philotes_cdc_lag_seconds gauge"))
+      assert(body.contains("philotes_cdc_lag_seconds 1.5"))
+    } finally srv.close()
+  }
+
   test("identifier validation rejects before SQL; analysis errors and bad routes map to statuses") {
     withServer { base =>
       // injection-shaped identifier → 400 from the validator, not SQL

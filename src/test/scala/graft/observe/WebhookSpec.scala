@@ -110,4 +110,33 @@ class WebhookSpec extends AnyFunSuite {
     assert(out.size === 1 && !out.head.delivered)
     assert(out.head.error.exists(_.contains("ghost has no webhook url")))
   }
+
+  test("the cycle deadline bounds a hung channel; in-flight sends fail, fast ones deliver") {
+    val srv = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/", (ex: HttpExchange) => {
+      val ch = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).last
+      // slow-but-not-timing-out endpoint: each POST answers eventually,
+      // so only a WHOLE-CYCLE deadline can bound the loop
+      if (ch == "hung") Thread.sleep(5000L)
+      ex.sendResponseHeaders(200, -1L)
+      ex.close()
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val notes = Seq(note("a", "fired", ch = "hung"),
+        note("b", "fired", ch = "fast"))
+      val t0 = System.nanoTime()
+      val out = Webhooks.deliver(notes, c => Some(s"$base/hook/$c"),
+        maxWaitMs = 1000L)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs < 4000L, s"deadline did not bound the cycle: ${elapsedMs}ms")
+      assert(out.map(_.note.fingerprint) === Seq("a", "b")) // input order kept
+      assert(!out.head.delivered &&
+        out.head.error.exists(_.contains("deadline exceeded")))
+      assert(out(1).delivered, "the fast channel should have delivered in time")
+    } finally srv.stop(0)
+  }
 }
