@@ -451,10 +451,13 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
   private def claimableTable: Boolean =
     SnapshotLog.conventionPartitionCol(snap.schema).exists { n =>
       snap.schema(n).dataType == StringType &&
-        snap.files.forall(f => !f.hive && f.partition.nonEmpty &&
-          f.partition != PartitionSentinel &&
-          (f.spec.isEmpty || f.spec.contains("identity") ||
-            f.spec.contains("day")))
+        snap.planMemoized("claimableIdentityDay") {
+          GraftFoldStats.record()
+          snap.files.forall(f => !f.hive && f.partition.nonEmpty &&
+            f.partition != PartitionSentinel &&
+            (f.spec.isEmpty || f.spec.contains("identity") ||
+              f.spec.contains("day")))
+        }
     }
 
   /** The conjunct shapes [[GraftPruning.admits]] enforces EXACTLY on
@@ -550,15 +553,18 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
       case Array(g) => fieldName(g).exists { n =>
         SnapshotLog.conventionPartitionCol(snap.schema).contains(n) &&
           snap.schema(n).dataType == StringType &&
-          snap.files.forall(f => f.partition.nonEmpty &&
-            // a NULL day writes under Spark's default-partition sentinel
-            // directory; its manifest partition value is that literal
-            // string, not NULL — the real scan returns a NULL group, so
-            // the metadata path must refuse rather than answer with the
-            // sentinel text
-            f.partition != "__HIVE_DEFAULT_PARTITION__" &&
-            (f.spec.isEmpty || f.spec.contains("identity") ||
-              f.spec.contains("day")))
+          snap.planMemoized("aggGroupIdentityDay") {
+            GraftFoldStats.record()
+            snap.files.forall(f => f.partition.nonEmpty &&
+              // a NULL day writes under Spark's default-partition
+              // sentinel directory; its manifest partition value is
+              // that literal string, not NULL — the real scan returns a
+              // NULL group, so the metadata path must refuse rather
+              // than answer with the sentinel text
+              f.partition != "__HIVE_DEFAULT_PARTITION__" &&
+              (f.spec.isEmpty || f.spec.contains("identity") ||
+                f.spec.contains("day")))
+          }
       }
       case _ => false
     }
@@ -574,14 +580,17 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
     fieldName(column).exists { n =>
       snap.schema.fieldNames.contains(n) &&
         numericBounds(snap.schema(n).dataType) &&
-        snap.files.forall(_.boundsFor(n).exists { case (mn, mx) =>
-          // bounds must PARSE: float columns can record "Infinity"/"NaN"
-          // strings, which the metadata fold cannot represent — fall
-          // back to the real scan (GraftPruning.overlaps has the same
-          // defensive posture for these strings)
-          try { BigDecimal(mn); BigDecimal(mx); true }
-          catch { case _: NumberFormatException => false }
-        })
+        snap.planMemoized(s"boundsAnswerable:$n") {
+          GraftFoldStats.record()
+          snap.files.forall(_.boundsFor(n).exists { case (mn, mx) =>
+            // bounds must PARSE: float columns can record "Infinity"/
+            // "NaN" strings, which the metadata fold cannot represent —
+            // fall back to the real scan (GraftPruning.overlaps has the
+            // same defensive posture for these strings)
+            try { BigDecimal(mn); BigDecimal(mx); true }
+            catch { case _: NumberFormatException => false }
+          })
+        }
     }
 
   /** The native DSv2 Batch path applies when a plain multi-file parquet
@@ -597,11 +606,14 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
     * manifest answers. */
   private def batchEligible: Boolean =
     (morData || (snap.deletes.isEmpty && snap.posDeletes.isEmpty)) &&
-      snap.files.forall(!_.hive) && {
-        val eras = SnapshotLog.parsedSchemas(snap)
-        snap.files.forall(f => f.schemaId == 0 ||
-          eras.get(f.schemaId).forall(ws =>
-            graft.model.FieldIds.byNameSafe(ws, snap.schema)))
+      snap.planMemoized("batchEraByName") {
+        GraftFoldStats.record()
+        snap.files.forall(!_.hive) && {
+          val eras = SnapshotLog.parsedSchemas(snap)
+          snap.files.forall(f => f.schemaId == 0 ||
+            eras.get(f.schemaId).forall(ws =>
+              graft.model.FieldIds.byNameSafe(ws, snap.schema)))
+        }
       }
 
   override def build(): Scan = pushedAgg match {
@@ -1002,6 +1014,17 @@ object GraftAggStats {
   def lastAgg(dir: String): Option[(Long, Long)] = Option(last.get(dir))
   /** Reset before a measured query (gates + specs). */
   def clear(dir: String): Unit = last.remove(dir)
+}
+
+/** Count of O(files) plan-time manifest folds actually EXECUTED (cache
+  * misses) — the measurement surface for the per-snapshot memoization:
+  * one plan must fold each aspect once, however many times the
+  * optimizer asks. */
+object GraftFoldStats {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[lake] def record(): Unit = n.incrementAndGet()
+  def count: Long = n.get()
+  def reset(): Unit = n.set(0L)
 }
 
 /** Last pruning decision per table dir — the measurement surface

@@ -149,6 +149,21 @@ object SnapshotLog {
                             schemasById: Map[Int, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
+
+    /** Per-resolution memo for plan-time fold decisions: the optimizer
+      * asks the scan builder the same O(files) questions several times
+      * per plan (supportCompletePushDown, pushAggregation, build — each
+      * re-parsing every file's BigDecimal bounds or era schema), and
+      * they all hold THIS resolved instance. Memoizing on the instance
+      * makes each fold run once per plan with zero cross-snapshot
+      * staleness risk (a re-resolved snapshot is a new instance). */
+    @transient private lazy val planMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    private[lake] def planMemoized(aspect: String)(compute: => Boolean): Boolean = {
+      val hit = planMemo.get(aspect)
+      if (hit != null) hit.booleanValue()
+      else { val v = compute; planMemo.put(aspect, java.lang.Boolean.valueOf(v)); v }
+    }
     def lsnWatermark: Option[String] = {
       val lsnFiles = files.filter(f =>
         f.boundsColumn == graft.ingest.Cdc.LsnColumn && f.maxLsn.isDefined)

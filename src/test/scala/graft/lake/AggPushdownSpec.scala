@@ -187,6 +187,25 @@ class AggPushdownSpec extends SparkTestBase {
     assert(m2)
   }
 
+  test("plan-time manifest folds run once per plan, not once per optimizer probe") {
+    val (_, dir) = buildTable()
+    SnapshotLog.clusterBy(spark, dir, "v", Seq(25.0))
+    GraftFoldStats.reset()
+    // one grouped MIN/MAX/COUNT plan: the optimizer asks the builder
+    // supportCompletePushDown AND pushAggregation (each folding the
+    // group shape + both bounds columns without the memo), then build
+    // re-checks — the per-snapshot memo collapses all of it to one fold
+    // per aspect
+    val df = spark.sql(
+      s"""SELECT _cdc_date AS day, min(v) AS mn, max(v) AS mx, count(*) AS n
+         |FROM $cat.ns.t GROUP BY _cdc_date""".stripMargin)
+    df.collect()
+    val folds = GraftFoldStats.count
+    // aspects folded: aggGroupIdentityDay + boundsAnswerable:v (the
+    // era/claimable aspects don't run on the metadata path) — each ONCE
+    assert(folds <= 2L, s"expected <= 2 manifest folds for one plan, got $folds")
+  }
+
   test("an empty created table answers count 0 and null min from metadata") {
     val wh = Files.createTempDirectory("graft-aggpush-empty").toString
     register(wh)
