@@ -310,7 +310,11 @@ final class ApiServer(spark: SparkSession,
         val cutoff = System.currentTimeMillis() - cursorTtlMs
         val it = cursors.entrySet().iterator()
         while (it.hasNext) {
-          if (it.next().getValue.lastTouchedMs < cutoff) it.remove()
+          val st = it.next().getValue
+          // never evict a RESERVATION (cursor == null): its statement is
+          // still analyzing, and evicting it would let the later
+          // unconditional registration land one cursor over the cap
+          if (st.cursor != null && st.lastTouchedMs < cutoff) it.remove()
         }
       }
       if (cursors.size < maxCursors) {

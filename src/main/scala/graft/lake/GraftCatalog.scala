@@ -697,10 +697,9 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
       StructType(data ++ pos ++ constSchema.fields)
     }
 
-  private lazy val rootNorm: String = {
+  private lazy val qualRoot: Path = {
     val p = new Path(tableDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.makeQualified(p).toUri.getPath
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
   }
 
   override def readSchema(): StructType = outSchema
@@ -769,10 +768,14 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
     else
       org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
         spark, kept.map { f =>
+          // the `_abs` lineage FORM (SnapshotLog.absKey), never the raw
+          // manifest path — URI-escaped partition values (hour specs'
+          // space) and filesystem authorities diverge between the two,
+          // and the delete joins above key on the lineage form
           val consts = constSchema.fieldNames.map[Any] {
             case AbsCol =>
               org.apache.spark.unsafe.types.UTF8String
-                .fromString(s"$rootNorm/${f.path}")
+                .fromString(SnapshotLog.absKey(qualRoot, f.path))
             case SeqCol => f.seq
           }
           (s"$tableDir/${f.path}", f.sizeBytes,

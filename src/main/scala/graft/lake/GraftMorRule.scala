@@ -89,12 +89,6 @@ private[lake] final class GraftMorScanRule(spark: SparkSession)
     val table = rel.table.asInstanceOf[GraftTable]
     val snap = table.snapshot
     val dir = table.dir
-    val schema = snap.schema
-    val rootNorm = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.makeQualified(p).toUri.getPath
-    }
     val absAttr = AttributeReference(AbsCol, StringType, nullable = false)()
     val posAttr = AttributeReference(PosCol, LongType, nullable = false)()
     val seqAttr = AttributeReference(SeqCol, LongType, nullable = false)()
@@ -102,19 +96,13 @@ private[lake] final class GraftMorScanRule(spark: SparkSession)
       table = new GraftMorDataTable(s"${table.name()}#data", dir, snap),
       output = rel.output ++ Seq(absAttr, posAttr, seqAttr))
 
-    // positional deletes: row identity (file, pos) is absolute — a
-    // distinct slot set anti-joined above the scan (same semantics as
-    // SnapshotLog.readCore, same size gate)
+    // positional deletes: row identity (file, pos) is absolute — the
+    // SHARED distinct slot frame ([[SnapshotLog.posDeleteSlotsFrame]];
+    // the V1 MOR read uses the same builder so the paths cannot drift)
+    // anti-joined above the columnar scan
     val afterPos: LogicalPlan = if (snap.posDeletes.isEmpty) dataRel else {
-      val posSchema = StructType(Seq(
-        StructField("file", StringType), StructField("pos", LongType)))
-      val slots = spark.read.schema(posSchema)
-        .parquet(snap.posDeletes.map(p => s"$dir/${p.path}"): _*)
-        .select(concat(lit(s"$rootNorm/"), col("file")).as("_g_pabs"),
-          col("pos").as("_g_ppos")).distinct()
-      val gated = SnapshotLog.sizeGated(spark, slots,
-        SnapshotLog.estInMemory(snap.posDeletes.map(_.sizeBytes).sum))
-      val plan = dfPlan(gated)
+      val plan = dfPlan(SnapshotLog.posDeleteSlotsFrame(spark, dir, snap,
+        "_g_pabs", "_g_ppos"))
       val pabs = attrOf(plan, "_g_pabs")
       val ppos = attrOf(plan, "_g_ppos")
       Join(dataRel, plan, LeftAnti,
@@ -122,29 +110,13 @@ private[lake] final class GraftMorScanRule(spark: SparkSession)
         JoinHint.NONE)
     }
 
-    // equality deletes: one row per deleted key with the NEWEST delete
-    // seq; a row survives iff no delete outranks its file
+    // equality deletes: the SHARED (key → newest delete seq) frame
+    // ([[SnapshotLog.eqDeleteMaxFrame]]); a row survives iff no delete
+    // outranks its file
     val out: LogicalPlan = if (snap.deletes.isEmpty) afterPos else {
       val eqCols = snap.deletes.head.eqCols
-      val keySchema = StructType(eqCols.map(c => schema(c)))
-      // ONE multi-path scan of all delete files; each key's seq joins in
-      // from the broadcast manifest map (plan width O(1) in commit count)
-      val delMax = {
-        import spark.implicits._
-        val seqOfDelete = broadcast(
-          snap.deletes.map(d => (s"$rootNorm/${d.path}", d.seq))
-            .toDF("_g_dabs", "_g_dseq"))
-        spark.read.schema(keySchema)
-          .parquet(snap.deletes.map(d => s"$dir/${d.path}"): _*)
-          .withColumn("_g_dabs",
-            regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
-          .join(seqOfDelete, Seq("_g_dabs"), "inner")
-          .groupBy(eqCols.map(col): _*)
-          .agg(max(col("_g_dseq")).as("_g_del_seq"))
-      }
-      val gated = SnapshotLog.sizeGated(spark, delMax,
-        SnapshotLog.estInMemory(snap.deletes.map(_.sizeBytes).sum))
-      val plan = dfPlan(gated)
+      val plan = dfPlan(SnapshotLog.eqDeleteMaxFrame(spark, dir, snap,
+        "_g_del_seq"))
       val delSeq = attrOf(plan, "_g_del_seq")
       val cond = eqCols.map { c =>
         CEqualTo(attrOf(dataRel, c), attrOf(plan, c)): org.apache.spark.sql.catalyst.expressions.Expression

@@ -1772,12 +1772,75 @@ object SnapshotLog {
     if (srcBytes == Long.MaxValue) Long.MaxValue
     else math.max(1L, srcBytes / math.max(nSrcCols, 1) * nKeyCols)
 
+  /** The `_abs` lineage form of the qualified table root: the root's
+    * full URI with only the scheme prefix collapsed to `/` — keeps the
+    * authority (s3a bucket, hdfs nameservice) AND the percent-encoding,
+    * exactly like the regexp-normalized `_metadata.file_path` the
+    * lineage column is derived from. Every path-identity join in the
+    * engine must key on THIS form: a raw manifest path differs from it
+    * precisely where it matters (URI-escaped partition values such as
+    * hour specs' space, authority-bearing filesystems). */
+  private[lake] def absRoot(root: Path): String =
+    root.toUri.toASCIIString.replaceFirst("^[a-z0-9]+:/+", "/")
+
+  /** The `_abs` form of a manifest-relative path under `root`. */
+  private[lake] def absKey(root: Path, rel: String): String =
+    new Path(root, rel).toUri.toASCIIString.replaceFirst("^[a-z0-9]+:/+", "/")
+
+  /** Distinct dead `(abs, pos)` slots from ALL of `snap`'s positional-
+    * delete files — ONE multi-path scan, size-gated from manifest bytes
+    * for the anti-join above the stored side. Shared by the V1 MOR read
+    * and the columnar MOR rewrite so the two paths cannot drift. */
+  private[lake] def posDeleteSlotsFrame(spark: SparkSession, tableDir: String,
+                                        snap: Snapshot, absCol: String,
+                                        posCol: String): DataFrame = {
+    val (_, root) = fsOf(spark, tableDir)
+    val posSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+    val dels = spark.read.schema(posSchema)
+      .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
+      .select(concat(lit(s"${absRoot(root)}/"), col("file")).as(absCol),
+        col("pos").as(posCol)).distinct()
+    sizeGated(spark, dels, estInMemory(snap.posDeletes.map(_.sizeBytes).sum))
+  }
+
+  /** One row per equality-deleted key with the NEWEST delete seq — a
+    * row survives iff no delete outranks its file. ONE multi-path scan
+    * of all delete files; each key's seq joins in from a broadcast
+    * manifest-derived (path → seq) map, so plan width stays O(1) in
+    * un-folded commit count. Size-gated; shared by both MOR paths. */
+  private[lake] def eqDeleteMaxFrame(spark: SparkSession, tableDir: String,
+                                     snap: Snapshot,
+                                     seqCol: String): DataFrame = {
+    val schema = snap.schema
+    val eqColSets = snap.deletes.map(_.eqCols).distinct
+    require(eqColSets.size == 1,
+      s"mixed equality-delete key sets in $tableDir: $eqColSets")
+    val eqCols = eqColSets.head
+    val keySchema = StructType(eqCols.map(c => schema(c)))
+    val (_, root) = fsOf(spark, tableDir)
+    import spark.implicits._
+    val seqOfDelete = broadcast(
+      snap.deletes.map(d => (absKey(root, d.path), d.seq))
+        .toDF("_dabs", "_dseq"))
+    val delMax = spark.read.schema(keySchema)
+      .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
+      .withColumn("_dabs",
+        regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
+      .join(seqOfDelete, Seq("_dabs"), "inner")
+      .groupBy(eqCols.map(col): _*).agg(max(col("_dseq")).as(seqCol))
+    sizeGated(spark, delMax, estInMemory(snap.deletes.map(_.sizeBytes).sum))
+  }
+
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
     * path form — stable if the table dir moves). */
   private def slotsOf(spark: SparkSession, tableDir: String,
                       lineageRows: DataFrame): DataFrame = {
     val (_, root) = fsOf(spark, tableDir)
-    val rootNorm = root.toUri.getPath
+    val rootNorm = absRoot(root)
     // `_abs` comes from the (percent-encoded) file URI with only the
     // scheme stripped; the offset math below is only sound when the
     // table path needs no encoding — refuse loudly rather than record
@@ -2012,7 +2075,6 @@ object SnapshotLog {
     val haveLineage = snap.posDeletes.nonEmpty || keepLineage ||
       snap.deletes.nonEmpty
     val (_, root) = fsOf(spark, tableDir)
-    val rootNorm = root.toUri.getPath
     def load(fset: Seq[DataFile]): DataFrame =
       readFiles(spark, tableDir, schema, fset, lineage = haveLineage,
         schemasById = parsedSchemas(snap))
@@ -2023,59 +2085,29 @@ object SnapshotLog {
         // from a broadcast manifest-derived (path → seq) map instead of
         // one union leg per distinct seq — plan width stays O(1) however
         // many un-folded commits the snapshot carries (at 100 TB a CDC
-        // table between foldDeletes runs holds hundreds)
+        // table between foldDeletes runs holds hundreds). Keys MUST be
+        // the `_abs` form ([[absKey]]) — a raw manifest path diverges on
+        // URI-escaped partition values and the join would drop rows.
         import spark.implicits._
         val seqMap = broadcast(
-          files.map(f => (s"$rootNorm/${f.path}", f.seq))
+          files.map(f => (absKey(root, f.path), f.seq))
             .toDF("_abs", "_seq"))
         load(files).join(seqMap, Seq("_abs"), "inner")
       }
     // positional deletes first: row identity (file, pos) is absolute —
     // independent of seq, dead regardless of which commit added the row.
-    // The delete set is delta-sized, broadcast, deduped across files.
-    val afterPos = if (snap.posDeletes.isEmpty) base else {
-      val posSchema = StructType(Seq(
-        org.apache.spark.sql.types.StructField("file",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("pos",
-          org.apache.spark.sql.types.LongType)))
-      val dels = spark.read.schema(posSchema)
-        .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
-        .select(concat(lit(s"$rootNorm/"), col("file")).as("_abs"),
-          col("pos").as("_pos")).distinct()
-      // size-gated from the manifest's recorded bytes: a delta-sized
-      // delete set broadcasts, a mass-delete's slots shuffle-hash-join
-      // (the stored table hashes on lineage — never sorts, never
-      // builds a driver-sized table)
-      base.join(sizeGated(spark, dels,
-        estInMemory(snap.posDeletes.map(_.sizeBytes).sum)),
+    // Size-gated from manifest bytes: a delta-sized slot set broadcasts,
+    // a mass-delete's shuffle-hash-joins (the stored table hashes on
+    // lineage — never sorts, never builds a driver-sized table).
+    val afterPos =
+      if (snap.posDeletes.isEmpty) base
+      else base.join(
+        posDeleteSlotsFrame(spark, tableDir, snap, "_abs", "_pos"),
         Seq("_abs", "_pos"), "left_anti")
-    }
     val afterEq = if (snap.deletes.isEmpty) afterPos else {
-      val eqColSets = snap.deletes.map(_.eqCols).distinct
-      require(eqColSets.size == 1,
-        s"mixed equality-delete key sets in $tableDir: $eqColSets")
-      val eqCols = eqColSets.head
-      val keySchema = StructType(eqCols.map(c => schema(c)))
-      // one row per deleted key with the NEWEST delete seq: a row survives
-      // iff no delete outranks its file (row.seq >= max delete seq), which
-      // collapses the delete set to a single broadcast aggregate. ONE
-      // multi-path scan of all delete files — each key's seq joins in
-      // from the manifest map, same O(1)-plan-width shape as the data side
-      val delMax = {
-        import spark.implicits._
-        val seqOfDelete = broadcast(
-          snap.deletes.map(d => (s"$rootNorm/${d.path}", d.seq))
-            .toDF("_dabs", "_dseq"))
-        spark.read.schema(keySchema)
-          .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
-          .withColumn("_dabs",
-            regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
-          .join(seqOfDelete, Seq("_dabs"), "inner")
-          .groupBy(eqCols.map(col): _*).agg(max(col("_dseq")).as("_del_seq"))
-      }
-      afterPos.join(sizeGated(spark, delMax,
-        estInMemory(snap.deletes.map(_.sizeBytes).sum)), eqCols, "left")
+      val eqCols = snap.deletes.head.eqCols
+      afterPos.join(eqDeleteMaxFrame(spark, tableDir, snap, "_del_seq"),
+        eqCols, "left")
         .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
     }
     afterEq.select(out.map(col): _*)

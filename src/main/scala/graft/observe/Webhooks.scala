@@ -110,8 +110,15 @@ object Webhooks {
     // hung endpoint, re-creating the serial stall this design prevents
     val futures = byChannel.map(ch => ch -> Future(
       scala.concurrent.blocking { ch.map { case (n, i) => (send(n), i) } }))
-    try Await.ready(Future.sequence(futures.map(_._2)), maxWaitMs.millis)
-    catch { case _: java.util.concurrent.TimeoutException => () }
+    // await each channel against the SHARED deadline — Future.sequence
+    // would fail fast on one failed channel and misreport every other
+    // in-flight channel as deadline-exceeded long before the deadline
+    val deadlineNanos = System.nanoTime() + maxWaitMs * 1000000L
+    futures.foreach { case (_, f) =>
+      val remainMs = math.max(0L, (deadlineNanos - System.nanoTime()) / 1000000L)
+      try Await.ready(f, remainMs.millis)
+      catch { case _: java.util.concurrent.TimeoutException => () }
+    }
     futures.flatMap { case (ch, f) =>
       f.value match {
         case Some(Success(res)) => res

@@ -138,6 +138,38 @@ class GraftBatchScanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.morBatchScan.enabled")
   }
 
+  test("URI-escaped partition values survive the columnar MOR path") {
+    val wh = Files.createTempDirectory("graft-batch-esc").toString
+    val dir = s"$wh/ns/esc"
+    import spark.implicits._
+    // hour-spec layout (directory names carry a space): the batch
+    // scan's _abs constants and the delete frames' keys must all use
+    // the percent-encoded lineage form or the joins drop/resurrect rows
+    val df = Seq((1L, "2024-01-10"), (2L, "2024-01-10"), (3L, "2024-01-11"))
+      .toDF("id", "day")
+    SnapshotLog.withTableLock(dir) {
+      val withHour = df.withColumn("_phour", concat(col("day"), lit(" 07")))
+      val files = SnapshotLog.writeData(spark, dir, withHour,
+        Some("_phour"), spec = Some("hour"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(1L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    register(wh)
+    spark.sql(s"DELETE FROM $cat.ns.esc WHERE id = 2")
+    val q = spark.sql(s"SELECT id FROM $cat.ns.esc")
+    val p = plan(q)
+    assert(p.contains("BatchScan") && p.contains("morData=true"),
+      s"escaped-partition MOR read lost the batch path:\n$p")
+    assert(q.as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("runtime (DPP) filters prune manifest files on a MOR table") {
     val (wh, dir) = buildTable()
     spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 21")

@@ -518,6 +518,36 @@ class SnapshotLogSpec extends SparkTestBase {
         df.queryExecution.executedPlan.toString.take(4000))
   }
 
+  test("URI-escaped partition values keep row identity: deletes apply under hour specs") {
+    val dir = Files.createTempDirectory("graft-snaplog-esc").toString + "/t"
+    import spark.implicits._
+    // hour-spec layout: the partition DIRECTORY name contains a space,
+    // so the raw manifest path and the percent-encoded lineage `_abs`
+    // form diverge — every path-identity join (pos-delete slots, the
+    // eq-delete seq maps) must key on the lineage form or silently
+    // drop/resurrect rows
+    val df = Seq(1L -> "2024-01-10", 2L -> "2024-01-10", 3L -> "2024-01-11")
+      .toDF("id", "day")
+    SnapshotLog.withTableLock(dir) {
+      val withHour = df.withColumn("_phour", concat(col("day"), lit(" 07")))
+      val files = SnapshotLog.writeData(spark, dir, withHour,
+        Some("_phour"), spec = Some("hour"))
+      SnapshotLog.commit(spark, dir, "append", files, df.schema, parent = None)
+    }
+    // equality delete of id=1 (seq 2 outranks the hour files' seq 1)
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(1L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    // positional delete of id=2 (slots target the ENCODED file identity)
+    SnapshotLog.deleteWhere(spark, dir, col("id") === 2L)
+    assert(idsOf(SnapshotLog.readCurrent(spark, dir).get) === Seq(3L))
+  }
+
   test("expireOlderThan keeps young snapshots, the retain floor, and tags") {
     val dir = Files.createTempDirectory("graft-snaplog-age").toString + "/t"
     commitRows(dir, rows(1), "append", carry = false)
