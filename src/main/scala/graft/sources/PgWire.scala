@@ -13,9 +13,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * public protocol documentation because no Postgres driver jar ships
   * in this environment.
   *
-  * Scope: trust-auth connections (the reference's local/dev posture —
-  * SASL/SCRAM is deliberately out: secrets handling belongs to the
-  * control plane SURVEY §3.3 scopes out), pgoutput protocol version 1,
+  * Auth: trust, cleartext password, and SASL SCRAM-SHA-256 (RFC 5802 /
+  * RFC 7677 — the reference authenticates through pgstream's SCRAM
+  * support, internal/cdc/source/postgres/reader.go:56-69; production
+  * Postgres defaults to scram-sha-256 since v14, so trust-only would
+  * leave the live client dev-only). The server's signature is VERIFIED
+  * (mutual auth): a man-in-the-middle that doesn't hold the stored
+  * credential fails the handshake. pgoutput protocol version 1,
   * text-format tuples. The decoded changes are emitted as DEBEZIUM-
   * format JSON envelopes — the exact wire shape
   * [[graft.ingest.EnvelopeDecoder]] consumes — so the entire existing
@@ -45,7 +49,8 @@ object PgWire {
     extends java.io.IOException(s"postgres [$sqlState]: $msg")
 }
 
-final class PgWire(host: String, port: Int, user: String, db: String)
+final class PgWire(host: String, port: Int, user: String, db: String,
+                   password: Option[String] = None)
   extends AutoCloseable {
 
   private val socket = new Socket()
@@ -95,7 +100,11 @@ final class PgWire(host: String, port: Int, user: String, db: String)
     throw new PgWire.PgError(sqlState, msg)
   }
 
-  // ---- startup (trust auth)
+  // ---- startup (trust / cleartext / SCRAM-SHA-256)
+
+  private def needPassword(method: String): String =
+    password.getOrElse(throw new IllegalStateException(
+      s"server requires $method authentication but no password was given"))
 
   /** Connect as a logical-replication client (`replication=database`
     * lets the walsender accept replication commands for this db). */
@@ -110,11 +119,40 @@ final class PgWire(host: String, port: Int, user: String, db: String)
     d.write(params)
     out.write(body.toByteArray)
     out.flush()
+    var scram: PgScram = null
     var ready = false
     while (!ready) read() match {
       case ('R', p) =>
-        val code = java.nio.ByteBuffer.wrap(p).getInt
-        require(code == 0, s"unsupported auth method $code (trust only)")
+        val bb = java.nio.ByteBuffer.wrap(p)
+        bb.getInt match {
+          case 0 => () // AuthenticationOk
+          case 3 => // AuthenticationCleartextPassword
+            send('p', cstr(needPassword("cleartext-password")))
+          case 10 => // AuthenticationSASL: NUL-separated mechanism cstrings
+            val mechs = new String(p, 4, p.length - 4, UTF_8)
+              .split('\u0000').filter(_.nonEmpty).toSet
+            require(mechs.contains("SCRAM-SHA-256"),
+              s"no mutually supported SASL mechanism in $mechs " +
+                "(SCRAM-SHA-256 only; channel binding needs TLS)")
+            scram = new PgScram(needPassword("SCRAM-SHA-256"))
+            val first = scram.clientFirstMessage.getBytes(UTF_8)
+            val msg = new java.io.ByteArrayOutputStream()
+            val md = new DataOutputStream(msg)
+            md.write(cstr("SCRAM-SHA-256"))
+            md.writeInt(first.length)
+            md.write(first)
+            send('p', msg.toByteArray)
+          case 11 => // AuthenticationSASLContinue: server-first-message
+            require(scram != null, "SASLContinue before SASL start")
+            send('p', scram.clientFinal(
+              new String(p, 4, p.length - 4, UTF_8)).getBytes(UTF_8))
+          case 12 => // AuthenticationSASLFinal: v=<server signature>
+            require(scram != null, "SASLFinal before SASL start")
+            scram.verifyServerFinal(new String(p, 4, p.length - 4, UTF_8))
+          case code => throw new IllegalStateException(
+            s"unsupported auth method $code (trust, cleartext, " +
+              "SCRAM-SHA-256 supported)")
+        }
       case ('Z', _) => ready = true
       case ('E', p) => err(p)
       case _        => () // ParameterStatus / BackendKeyData / notices
@@ -442,5 +480,83 @@ private[sources] final class PgOutputDecoder {
         }
       case _ => Nil // origin/message/type — not produced by this setup
     }
+  }
+}
+
+/** SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677
+  * parameters — both public IETF specifications; Postgres wraps the
+  * exchange in its AuthenticationSASL* messages). Channel binding is
+  * not offered (`n,,` GS2 header) because the socket is plaintext;
+  * the server's final signature is still verified, so authentication
+  * is mutual with respect to the stored credential. */
+private[sources] final class PgScram(password: String) {
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.util.Base64
+
+  private val nonce: String = {
+    val b = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(b)
+    Base64.getEncoder.encodeToString(b)
+  }
+
+  private val clientFirstBare = s"n=,r=$nonce" // PG takes the user from startup
+  def clientFirstMessage: String = s"n,,$clientFirstBare"
+
+  private var saltedPassword: Array[Byte] = _
+  private var authMessage: String = _
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** RFC 5802 Hi() IS PBKDF2-HMAC-SHA-256 with dkLen = hash length. */
+  private def hi(pw: String, salt: Array[Byte], iters: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      pw.toCharArray, salt, iters, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def attrs(msg: String): Map[Char, String] =
+    msg.split(",").filter(_.length >= 2).map(a => a.charAt(0) -> a.substring(2)).toMap
+
+  /** server-first-message → client-final-message (with proof). */
+  def clientFinal(serverFirst: String): String = {
+    val a = attrs(serverFirst)
+    val serverNonce = a.getOrElse('r', sys.error("SCRAM server-first lacks r="))
+    // the server's nonce MUST extend ours — a replayed or spliced
+    // exchange fails here, before any secret-derived material is sent
+    require(serverNonce.startsWith(nonce) && serverNonce.length > nonce.length,
+      "SCRAM server nonce does not extend the client nonce")
+    val salt = Base64.getDecoder.decode(a.getOrElse('s', sys.error("no s=")))
+    val iters = a.getOrElse('i', sys.error("no i=")).toInt
+    require(iters >= 1, s"non-positive SCRAM iteration count $iters")
+    saltedPassword = hi(password, salt, iters)
+    val clientKey = hmac(saltedPassword, "Client Key")
+    val storedKey = sha256(clientKey)
+    val withoutProof = s"c=biws,r=$serverNonce" // biws = base64("n,,")
+    authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val clientSig = hmac(storedKey, authMessage)
+    val proof = clientKey.zip(clientSig).map { case (x, y) => (x ^ y).toByte }
+    s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
+  }
+
+  /** Verify the server's signature — proves the peer HOLDS the stored
+    * credential (mutual authentication), not merely that it accepted
+    * ours. */
+  def verifyServerFinal(serverFinal: String): Unit = {
+    val v = attrs(serverFinal).getOrElse('v',
+      sys.error(s"SCRAM server-final lacks v=: $serverFinal"))
+    require(authMessage != null, "server-final before client-final")
+    val serverKey = hmac(saltedPassword, "Server Key")
+    val expected = Base64.getEncoder.encodeToString(hmac(serverKey, authMessage))
+    require(java.security.MessageDigest.isEqual(
+      v.getBytes(UTF_8), expected.getBytes(UTF_8)),
+      "SCRAM server signature mismatch — peer does not hold the credential")
   }
 }

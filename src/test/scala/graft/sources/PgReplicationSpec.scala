@@ -189,4 +189,41 @@ class PgReplicationSpec extends SparkTestBase
         === Map(9L -> ("zoe", 90.0)))
     } finally wire.close()
   }
+
+  test("SCRAM-SHA-256: the wire client authenticates a scram-only replication user") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    // PG 15 stores passwords scram-sha-256 by default; an hba rule
+    // PREPENDED for this user forces the SASL exchange (everything else
+    // keeps the suite's trust auth)
+    psql("CREATE ROLE scram_rep LOGIN REPLICATION PASSWORD 'graft-scram-pw'")
+    val hba = s"$DataDir/pg_hba.conf"
+    val existing = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hba)), "UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(hba),
+      (s"host all scram_rep 127.0.0.1/32 scram-sha-256\n" + existing)
+        .getBytes("UTF-8"))
+    psql("SELECT pg_reload_conf()")
+    Thread.sleep(300)
+    // wrong password: the exchange fails with Postgres' own 28P01
+    val bad = new PgWire("127.0.0.1", Port, "scram_rep", "postgres",
+      password = Some("wrong"))
+    try {
+      val e = intercept[PgWire.PgError](bad.connectReplication())
+      assert(e.sqlState == "28P01", s"expected auth failure, got $e")
+    } finally bad.close()
+    // no password at all: refused loudly client-side, before any send
+    val none = new PgWire("127.0.0.1", Port, "scram_rep", "postgres")
+    try intercept[IllegalStateException](none.connectReplication())
+    finally none.close()
+    // right password: the full SASL round-trip (including the server-
+    // signature verification) completes and the session can run real
+    // replication commands
+    val wire = new PgWire("127.0.0.1", Port, "scram_rep", "postgres",
+      password = Some("graft-scram-pw"))
+    try {
+      wire.connectReplication()
+      val sys = wire.command("IDENTIFY_SYSTEM")
+      assert(sys.nonEmpty && sys.head.size >= 4, s"IDENTIFY_SYSTEM: $sys")
+    } finally wire.close()
+  }
 }
