@@ -61,7 +61,9 @@ final class ApiServer(spark: SparkSession,
                       cursorTtlMs: Long = 10 * 60 * 1000L,
                       registry: graft.observe.Metrics.Registry =
                         graft.observe.Metrics.global,
-                      authToken: Option[String] = None) extends AutoCloseable {
+                      authToken: Option[String] = None,
+                      controlPlane: Option[ControlPlane] = None)
+  extends AutoCloseable {
 
   private val server =
     HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
@@ -135,6 +137,8 @@ final class ApiServer(spark: SparkSession,
           validated(ex, c -> "catalog", s -> "schema", t -> "table") {
             tableInfo(ex, c, s, t)
           }
+        case (method, "api" +: "v1" +: rest) if controlPlane.isDefined =>
+          controlRoutes(ex, method, rest, controlPlane.get)
         case ("POST", Seq("query", "sql"))          => runSql(ex)
         case ("GET", Seq("query", "results", id))   => nextPage(ex, id, None)
         case ("GET", Seq("query", "results", id, n)) =>
@@ -155,6 +159,12 @@ final class ApiServer(spark: SparkSession,
           respond(ex, 405, JObject("error" -> JString(s"method $m not allowed")))
       }
     } catch {
+      case e: ControlPlane.NotFound =>
+        respond(ex, 404, JObject("error" -> JString(e.getMessage)))
+      case e: ControlPlane.Conflict =>
+        respond(ex, 409, JObject("error" -> JString(e.getMessage)))
+      case e: ControlPlane.Invalid =>
+        respond(ex, 400, JObject("error" -> JString(e.getMessage)))
       case e: IllegalArgumentException => // Identifiers.validate
         respond(ex, 400, JObject("error" -> JString(e.getMessage)))
       case e: AnalysisException =>
@@ -163,6 +173,105 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 500, JObject("error" -> JString(String.valueOf(e.getMessage))))
     } finally ex.close()
   }
+
+  // ---- control plane: /api/v1/sources + /api/v1/pipelines -----------
+  // (ref internal/api/handlers/pipelines.go:25-253, sources.go — the
+  // same route group, served from [[ControlPlane]]'s file-backed store)
+
+  private def jsonBody(ex: HttpExchange): JValue = {
+    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (raw.trim.isEmpty) JObject()
+    else try JsonMethods.parse(raw) catch {
+      case NonFatal(_) => throw ControlPlane.Invalid("request body is not JSON")
+    }
+  }
+
+  private def jstr(v: JValue, default: String = ""): String =
+    v match { case JString(s) => s; case _ => default }
+  private def jint(v: JValue, default: Int): Int =
+    v match { case JInt(n) => n.toInt; case _ => default }
+
+  private def controlRoutes(ex: HttpExchange, method: String,
+                            rest: Seq[String], cp: ControlPlane): Unit =
+    (method, rest) match {
+      case ("POST", Seq("sources")) =>
+        val b = jsonBody(ex)
+        val s = cp.createSource(jstr(b \ "name"), jstr(b \ "type"),
+          jstr(b \ "host"), jint(b \ "port", 0), jstr(b \ "database_name"),
+          jstr(b \ "username"), jstr(b \ "ssl_mode", "prefer"),
+          jstr(b \ "slot_name"), jstr(b \ "publication_name"))
+        respond(ex, 201, cp.sourceJson(s))
+      case ("GET", Seq("sources")) =>
+        val all = cp.listSources()
+        respond(ex, 200, JObject(
+          "sources" -> JArray(all.toList.map(cp.sourceJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("sources", id)) =>
+        respond(ex, 200, cp.sourceJson(cp.getSource(id)))
+      case ("DELETE", Seq("sources", id)) =>
+        cp.deleteSource(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("POST", Seq("sources", id, "test-connection")) =>
+        cp.testConnection(id) match {
+          case Right(ms) => respond(ex, 200, JObject(
+            "success" -> JBool(true), "latency_ms" -> JInt(BigInt(ms))))
+          case Left(errMsg) => respond(ex, 200, JObject(
+            "success" -> JBool(false), "error" -> JString(errMsg)))
+        }
+      case ("GET", Seq("sources", id, "tables")) =>
+        val schema = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split('&').collectFirst {
+            case q if q.startsWith("schema=") => q.substring(7)
+          })
+        ControlPlane.wireDiscoverTables(cp.getSource(id), schema) match {
+          case Right(tables) => respond(ex, 200, JObject(
+            "tables" -> JArray(tables.toList.map { case (sc, t) =>
+              JObject("schema" -> JString(sc), "table" -> JString(t)) }),
+            "total" -> JInt(tables.size)))
+          case Left(errMsg) =>
+            respond(ex, 502, JObject("error" -> JString(errMsg)))
+        }
+      case ("POST", Seq("pipelines")) =>
+        val b = jsonBody(ex)
+        val tables = b \ "tables" match {
+          case JArray(ts) => ts.map(t => (jstr(t \ "schema"),
+            jstr(t \ "table"), (t \ "enabled") != JBool(false)))
+          case _ => Nil
+        }
+        val p = cp.createPipeline(jstr(b \ "name"), jstr(b \ "source_id"), tables)
+        respond(ex, 201, cp.pipelineJson(p))
+      case ("GET", Seq("pipelines")) =>
+        val all = cp.listPipelines()
+        respond(ex, 200, JObject(
+          "pipelines" -> JArray(all.toList.map(cp.pipelineJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("pipelines", id)) =>
+        respond(ex, 200, cp.pipelineJson(cp.getPipeline(id)))
+      case ("PUT", Seq("pipelines", id)) =>
+        val b = jsonBody(ex)
+        respond(ex, 200, cp.pipelineJson(cp.updatePipeline(id, jstr(b \ "name"))))
+      case ("DELETE", Seq("pipelines", id)) =>
+        cp.deletePipeline(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("POST", Seq("pipelines", id, "start")) =>
+        respond(ex, 200, cp.pipelineJson(cp.startPipeline(id)))
+      case ("POST", Seq("pipelines", id, "stop")) =>
+        respond(ex, 200, cp.pipelineJson(cp.stopPipeline(id)))
+      case ("GET", Seq("pipelines", id, "status")) =>
+        val p = cp.getPipeline(id)
+        respond(ex, 200, JObject(
+          "id" -> JString(p.id), "status" -> JString(p.status),
+          "error_message" -> JString(p.errorMessage)))
+      case ("POST", Seq("pipelines", id, "tables")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201, cp.pipelineJson(cp.addTableMapping(id,
+          jstr(b \ "schema"), jstr(b \ "table"),
+          (b \ "enabled") != JBool(false))))
+      case ("DELETE", Seq("pipelines", id, "tables", mid)) =>
+        respond(ex, 200, cp.pipelineJson(cp.removeTableMapping(id, mid)))
+      case _ =>
+        respond(ex, 404, JObject("error" -> JString("not found")))
+    }
 
   private def validated(ex: HttpExchange, names: (String, String)*)(body: => Unit): Unit = {
     names.foreach { case (n, kind) => Identifiers.validate(n, kind) }

@@ -1,0 +1,367 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The control-plane entity layer: Source / Pipeline / TableMapping CRUD
+  * with the reference's exact service semantics (ref
+  * internal/api/services/pipeline.go:38-216, source.go:34-120,
+  * models/pipeline.go:11-66, models/source.go:23-50):
+  *
+  *   - names are unique per entity kind (conflict = 409);
+  *   - a pipeline references an EXISTING source (404 otherwise) and a
+  *     source with pipelines attached refuses deletion (409);
+  *   - update/delete are refused while the pipeline is running or
+  *     starting (409);
+  *   - start/stop walk the status machine stopped → starting → running
+  *     → stopping → stopped, stamping started_at/stopped_at; a start on
+  *     a running pipeline (or stop on a stopped one) conflicts;
+  *   - duplicate table mappings (same schema.table) conflict.
+  *
+  * Persistence is the engine's own durability idiom instead of the
+  * reference's Postgres control tables: each entity kind serializes to
+  * one JSON file under `metaDir`, written temp-then-atomic-rename, so a
+  * crash never leaves a torn store and a restarted control plane reads
+  * the last committed state (control-plane metadata is KB-sized — one
+  * file per kind is the scale-correct shape; the 100 TB data plane
+  * never flows through here).
+  *
+  * Where the reference's Start/Stop are explicit TODO stubs that only
+  * flip the status column (pipeline.go:177-181, 208-212), this layer
+  * takes a [[ControlPlane.Runner]]: the default mirrors the reference
+  * (decision layer only), and a real runner can launch/stop an actual
+  * [[graft.streaming.IngestPipeline]] — a runner failure lands the
+  * pipeline in status `error` with the message recorded, never a
+  * silent "running" lie. */
+object ControlPlane {
+
+  final case class NotFound(resource: String, id: String)
+    extends RuntimeException(s"$resource $id not found")
+  final case class Conflict(message: String) extends RuntimeException(message)
+  final case class Invalid(message: String) extends RuntimeException(message)
+
+  final case class Source(id: String, name: String, typ: String,
+                          host: String, port: Int, databaseName: String,
+                          username: String, sslMode: String,
+                          slotName: String, publicationName: String,
+                          createdAtMs: Long, updatedAtMs: Long)
+
+  final case class TableMapping(id: String, sourceSchema: String,
+                                sourceTable: String, enabled: Boolean)
+
+  final case class Pipeline(id: String, name: String, sourceId: String,
+                            status: String, errorMessage: String,
+                            tables: Seq[TableMapping],
+                            createdAtMs: Long, updatedAtMs: Long,
+                            startedAtMs: Option[Long],
+                            stoppedAtMs: Option[Long])
+
+  /** Pipeline actuation hook. [[Noop]] is the reference's posture
+    * (status-only); a real runner performs the lifecycle. `start` throws
+    * to signal failure — the store records status `error`. */
+  trait Runner {
+    def start(p: Pipeline, src: Source): Unit
+    def stop(p: Pipeline): Unit
+  }
+  object Noop extends Runner {
+    override def start(p: Pipeline, src: Source): Unit = ()
+    override def stop(p: Pipeline): Unit = ()
+  }
+
+  /** Probe a source's connectivity: Right(latencyMs) or Left(error).
+    * The default opens a REAL wire connection ([[graft.sources.PgWire]])
+    * — the reference's TestConnection does the same through pgx
+    * (source.go:122-180). */
+  def wireConnTest(src: Source): Either[String, Long] = {
+    val t0 = System.nanoTime()
+    try {
+      val wire = new graft.sources.PgWire(src.host, src.port, src.username,
+        src.databaseName)
+      try { wire.connect(); wire.command("SELECT 1") }
+      finally wire.close()
+      Right((System.nanoTime() - t0) / 1000000L)
+    } catch {
+      case e: Exception => Left(String.valueOf(e.getMessage))
+    }
+  }
+
+  /** List replicable tables of a source's database over the wire (the
+    * reference's DiscoverTables, source.go:227-268): (schema, table)
+    * pairs outside the system schemas. */
+  def wireDiscoverTables(src: Source,
+                         schema: Option[String]): Either[String, Seq[(String, String)]] =
+    try {
+      val wire = new graft.sources.PgWire(src.host, src.port, src.username,
+        src.databaseName)
+      try {
+        wire.connect()
+        val filter = schema.map(s => s" AND schemaname = '${s.replace("'", "''")}'")
+          .getOrElse("")
+        val rows = wire.command(
+          "SELECT schemaname, tablename FROM pg_tables WHERE schemaname " +
+            s"NOT IN ('pg_catalog', 'information_schema')$filter " +
+            "ORDER BY schemaname, tablename")
+        Right(rows.map(r => (r(0), r(1))))
+      } finally wire.close()
+    } catch {
+      case e: Exception => Left(String.valueOf(e.getMessage))
+    }
+}
+
+final class ControlPlane(metaDir: String,
+                         runner: ControlPlane.Runner = ControlPlane.Noop,
+                         connTest: ControlPlane.Source => Either[String, Long] =
+                           ControlPlane.wireConnTest,
+                         clock: () => Long = () => System.currentTimeMillis()) {
+
+  import ControlPlane._
+
+  private val dir: Path = Paths.get(metaDir)
+  Files.createDirectories(dir)
+
+  private val lock = new Object
+  private var sources: Vector[Source] = loadSources()
+  private var pipelines: Vector[Pipeline] = loadPipelines()
+
+  private def newId(): String = java.util.UUID.randomUUID().toString
+
+  // ---- persistence: one JSON file per kind, temp + atomic rename
+
+  private def writeFile(name: String, json: JValue): Unit = {
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp,
+      JsonMethods.compact(JsonMethods.render(json)).getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readFile(name: String): Option[JValue] = {
+    val p = dir.resolve(name)
+    if (!Files.exists(p)) None
+    else Some(JsonMethods.parse(new String(Files.readAllBytes(p), UTF_8)))
+  }
+
+  private def str(v: JValue): String =
+    v match { case JString(s) => s; case _ => "" }
+  private def num(v: JValue): Long = v match {
+    case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+  }
+
+  private def persistSources(): Unit =
+    writeFile("sources.json", JArray(sources.toList.map(sourceJson)))
+  private def persistPipelines(): Unit =
+    writeFile("pipelines.json", JArray(pipelines.toList.map(pipelineJson)))
+
+  private[api] def sourceJson(s: Source): JObject = JObject(
+    "id" -> JString(s.id), "name" -> JString(s.name),
+    "type" -> JString(s.typ), "host" -> JString(s.host),
+    "port" -> JInt(BigInt(s.port)),
+    "database_name" -> JString(s.databaseName),
+    "username" -> JString(s.username), "ssl_mode" -> JString(s.sslMode),
+    "slot_name" -> JString(s.slotName),
+    "publication_name" -> JString(s.publicationName),
+    "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(s.updatedAtMs)))
+
+  private[api] def pipelineJson(p: Pipeline): JObject = JObject(
+    "id" -> JString(p.id), "name" -> JString(p.name),
+    "source_id" -> JString(p.sourceId), "status" -> JString(p.status),
+    "error_message" -> JString(p.errorMessage),
+    "tables" -> JArray(p.tables.toList.map(m => JObject(
+      "id" -> JString(m.id), "source_schema" -> JString(m.sourceSchema),
+      "source_table" -> JString(m.sourceTable),
+      "enabled" -> JBool(m.enabled)))),
+    "created_at_ms" -> JInt(BigInt(p.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(p.updatedAtMs)),
+    "started_at_ms" -> p.startedAtMs.map(t => JInt(BigInt(t)): JValue)
+      .getOrElse(JNull),
+    "stopped_at_ms" -> p.stoppedAtMs.map(t => JInt(BigInt(t)): JValue)
+      .getOrElse(JNull))
+
+  private def loadSources(): Vector[Source] =
+    readFile("sources.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        Source(str(o \ "id"), str(o \ "name"), str(o \ "type"),
+          str(o \ "host"), num(o \ "port").toInt, str(o \ "database_name"),
+          str(o \ "username"), str(o \ "ssl_mode"), str(o \ "slot_name"),
+          str(o \ "publication_name"), num(o \ "created_at_ms"),
+          num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def loadPipelines(): Vector[Pipeline] =
+    readFile("pipelines.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        val tables = o \ "tables" match {
+          case JArray(ts) => ts.map(t => TableMapping(str(t \ "id"),
+            str(t \ "source_schema"), str(t \ "source_table"),
+            (t \ "enabled") == JBool(true)))
+          case _ => Nil
+        }
+        // a pipeline recorded running/starting by a PREVIOUS process is
+        // not running in THIS one — surface the truth, never a stale lie
+        val status0 = str(o \ "status")
+        val status = if (status0 == "running" || status0 == "starting" ||
+          status0 == "stopping") "stopped" else status0
+        Pipeline(str(o \ "id"), str(o \ "name"), str(o \ "source_id"),
+          status, str(o \ "error_message"), tables,
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"),
+          o \ "started_at_ms" match {
+            case JNull | JNothing => None; case v => Some(num(v)) },
+          o \ "stopped_at_ms" match {
+            case JNull | JNothing => None; case v => Some(num(v)) })
+      }
+      case _ => Vector.empty
+    }
+
+  private def validName(name: String): Unit = {
+    if (name.isEmpty || name.length > 255)
+      throw Invalid("name must be 1..255 characters")
+  }
+
+  // ---- sources ------------------------------------------------------
+
+  def createSource(name: String, typ: String, host: String, port: Int,
+                   databaseName: String, username: String,
+                   sslMode: String = "prefer", slotName: String = "",
+                   publicationName: String = ""): Source = lock.synchronized {
+    validName(name)
+    if (host.isEmpty || databaseName.isEmpty || username.isEmpty)
+      throw Invalid("host, database_name and username are required")
+    if (sources.exists(_.name == name))
+      throw Conflict("source with this name already exists")
+    val now = clock()
+    val s = Source(newId(), name, if (typ.isEmpty) "postgres" else typ,
+      host, if (port == 0) 5432 else port, databaseName, username, sslMode,
+      slotName, publicationName, now, now)
+    sources :+= s
+    persistSources()
+    s
+  }
+
+  def listSources(): Seq[Source] = lock.synchronized(sources)
+
+  def getSource(id: String): Source = lock.synchronized(
+    sources.find(_.id == id).getOrElse(throw NotFound("source", id)))
+
+  def deleteSource(id: String): Unit = lock.synchronized {
+    val s = getSource(id)
+    if (pipelines.exists(_.sourceId == id))
+      throw Conflict("cannot delete source with associated pipelines")
+    sources = sources.filterNot(_.id == s.id)
+    persistSources()
+  }
+
+  /** Real connectivity probe (pluggable for tests). */
+  def testConnection(id: String): Either[String, Long] =
+    connTest(getSource(id))
+
+  // ---- pipelines ----------------------------------------------------
+
+  def createPipeline(name: String, sourceId: String,
+                     tables: Seq[(String, String, Boolean)]): Pipeline =
+    lock.synchronized {
+      validName(name)
+      getSource(sourceId) // 404 when absent — same order as the reference
+      if (pipelines.exists(_.name == name))
+        throw Conflict("pipeline with this name already exists")
+      val keys = tables.map(t => (t._1, t._2))
+      if (keys.distinct.size != keys.size)
+        throw Conflict("duplicate table mapping in request")
+      if (tables.exists(_._2.isEmpty))
+        throw Invalid("table mapping requires a table name")
+      val now = clock()
+      val p = Pipeline(newId(), name, sourceId, "stopped", "",
+        tables.map(t => TableMapping(newId(), t._1, t._2, t._3)),
+        now, now, None, None)
+      pipelines :+= p
+      persistPipelines()
+      p
+    }
+
+  def listPipelines(): Seq[Pipeline] = lock.synchronized(pipelines)
+
+  def getPipeline(id: String): Pipeline = lock.synchronized(
+    pipelines.find(_.id == id).getOrElse(throw NotFound("pipeline", id)))
+
+  private def put(p: Pipeline): Pipeline = {
+    pipelines = pipelines.map(x => if (x.id == p.id) p else x)
+    persistPipelines()
+    p
+  }
+
+  private def requireStopped(p: Pipeline, action: String): Unit =
+    if (p.status == "running" || p.status == "starting")
+      throw Conflict(s"cannot $action a running pipeline")
+
+  def updatePipeline(id: String, name: String): Pipeline = lock.synchronized {
+    validName(name)
+    val p = getPipeline(id)
+    requireStopped(p, "update")
+    if (pipelines.exists(x => x.name == name && x.id != id))
+      throw Conflict("pipeline with this name already exists")
+    put(p.copy(name = name, updatedAtMs = clock()))
+  }
+
+  def deletePipeline(id: String): Unit = lock.synchronized {
+    val p = getPipeline(id)
+    requireStopped(p, "delete")
+    pipelines = pipelines.filterNot(_.id == p.id)
+    persistPipelines()
+  }
+
+  def addTableMapping(id: String, schema: String, table: String,
+                      enabled: Boolean): Pipeline = lock.synchronized {
+    val p = getPipeline(id)
+    if (table.isEmpty) throw Invalid("table mapping requires a table name")
+    if (p.tables.exists(m => m.sourceSchema == schema && m.sourceTable == table))
+      throw Conflict("table mapping already exists")
+    put(p.copy(tables = p.tables :+ TableMapping(newId(), schema, table, enabled),
+      updatedAtMs = clock()))
+  }
+
+  def removeTableMapping(id: String, mappingId: String): Pipeline =
+    lock.synchronized {
+      val p = getPipeline(id)
+      if (!p.tables.exists(_.id == mappingId))
+        throw NotFound("table_mapping", mappingId)
+      put(p.copy(tables = p.tables.filterNot(_.id == mappingId),
+        updatedAtMs = clock()))
+    }
+
+  /** stopped → starting → running (or → error when the runner refuses).
+    * The runner executes OUTSIDE any intermediate persisted "running"
+    * claim — status never says running unless start() returned. */
+  def startPipeline(id: String): Pipeline = lock.synchronized {
+    val p = getPipeline(id)
+    if (p.status == "running" || p.status == "starting")
+      throw Conflict("pipeline is already running")
+    val src = getSource(p.sourceId)
+    put(p.copy(status = "starting", updatedAtMs = clock()))
+    try {
+      runner.start(p, src)
+      put(getPipeline(id).copy(status = "running", errorMessage = "",
+        startedAtMs = Some(clock()), updatedAtMs = clock()))
+    } catch {
+      case e: Exception =>
+        put(getPipeline(id).copy(status = "error",
+          errorMessage = String.valueOf(e.getMessage), updatedAtMs = clock()))
+        throw Conflict(s"pipeline failed to start: ${e.getMessage}")
+    }
+  }
+
+  /** running/error → stopping → stopped. */
+  def stopPipeline(id: String): Pipeline = lock.synchronized {
+    val p = getPipeline(id)
+    if (p.status == "stopped" || p.status == "stopping")
+      throw Conflict("pipeline is already stopped")
+    put(p.copy(status = "stopping", updatedAtMs = clock()))
+    try runner.stop(p) catch { case _: Exception => () } // best-effort
+    put(getPipeline(id).copy(status = "stopped",
+      stoppedAtMs = Some(clock()), updatedAtMs = clock()))
+  }
+}

@@ -732,6 +732,135 @@ object SqlSurface extends QueryModule {
        |  AS t(step, result))
        |SELECT step, result FROM vals ORDER BY step""".stripMargin
 
+  // ---- the control-plane CRUD API end-to-end (ref internal/api/
+  // handlers/pipelines.go:25-253, sources.go; services/pipeline.go:
+  // 38-216): a real ApiServer + file-backed ControlPlane driven over
+  // loopback HTTP — source/pipeline CRUD with the reference's
+  // uniqueness/referential/lifecycle conflicts, the status machine
+  // actuated through a recording runner (the reference's Start/Stop are
+  // status-only TODO stubs; here actuation is a real hook), table
+  // mappings, and restart durability (the store reopens from its
+  // atomically-renamed JSON files with running-status truth).
+  private def apiPipelineCrud(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_ctrlplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val runner = new ControlPlane.Runner {
+      val starts = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stops = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def start(p: ControlPlane.Pipeline, src: ControlPlane.Source): Unit =
+        starts.incrementAndGet()
+      override def stop(p: ControlPlane.Pipeline): Unit = stops.incrementAndGet()
+    }
+    val cp = new ControlPlane(meta, runner, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      val srcBody = """{"name":"pg-main","host":"db","database_name":"app","username":"rep"}"""
+      val (c1, b1) = call("POST", "/api/v1/sources", srcBody)
+      val srcId = s_(b1 \ "id")
+      val (c2, _) = call("POST", "/api/v1/sources", srcBody)
+      val (c3, b3) = call("POST", "/api/v1/pipelines",
+        s"""{"name":"p1","source_id":"$srcId","tables":[
+           |{"schema":"public","table":"users"},
+           |{"schema":"public","table":"orders"}]}""".stripMargin)
+      val pid = s_(b3 \ "id")
+      val (c4, _) = call("POST", "/api/v1/pipelines",
+        s"""{"name":"p2","source_id":"$srcId","tables":[
+           |{"schema":"public","table":"users"},
+           |{"schema":"public","table":"users"}]}""".stripMargin)
+      val (c5, _) = call("POST", "/api/v1/pipelines",
+        """{"name":"p3","source_id":"ghost"}""")
+      val (_, lb) = call("GET", "/api/v1/pipelines")
+      val (_, tc) = call("POST", s"/api/v1/sources/$srcId/test-connection")
+      val (_, sb) = call("POST", s"/api/v1/pipelines/$pid/start")
+      val (c9, _) = call("POST", s"/api/v1/pipelines/$pid/start")
+      val (c10, _) = call("PUT", s"/api/v1/pipelines/$pid",
+        """{"name":"p1b"}""")
+      val (c11, _) = call("DELETE", s"/api/v1/pipelines/$pid")
+      val (c12, _) = call("DELETE", s"/api/v1/sources/$srcId")
+      val (_, stb) = call("POST", s"/api/v1/pipelines/$pid/stop")
+      val (_, ab) = call("POST", s"/api/v1/pipelines/$pid/tables",
+        """{"schema":"public","table":"events"}""")
+      val mapIds = (ab \ "tables" \ "id" \\ classOf[JString])
+      val (_, rb) = call("DELETE",
+        s"/api/v1/pipelines/$pid/tables/${mapIds.last}")
+      // restart durability: a fresh store on the same files sees the
+      // entities, with running-status truth (this one is stopped anyway)
+      val reopened = new ControlPlane(meta, connTest = _ => Right(1L))
+      val (c17, _) = call("DELETE", s"/api/v1/pipelines/$pid")
+      val (c18, _) = call("GET", s"/api/v1/pipelines/$pid")
+      val (c19, _) = call("DELETE", s"/api/v1/sources/$srcId")
+      Seq(
+        ("src_created", flag(c1 == 201)),
+        ("src_dup_409", flag(c2 == 409)),
+        ("pipe_created", flag(c3 == 201)),
+        ("pipe_dup_mapping_409", flag(c4 == 409)),
+        ("pipe_unknown_source_404", flag(c5 == 404)),
+        ("pipe_total", (lb \ "total").asInstanceOf[JInt].num.toLong),
+        ("conn_test_ok", flag((tc \ "success") == JBool(true))),
+        ("start_running", flag(s_(sb \ "status") == "running")),
+        ("start_again_409", flag(c9 == 409)),
+        ("update_running_409", flag(c10 == 409)),
+        ("delete_running_409", flag(c11 == 409)),
+        ("src_delete_with_pipelines_409", flag(c12 == 409)),
+        ("stop_stopped", flag(s_(stb \ "status") == "stopped")),
+        ("runner_calls", runner.starts.get() * 10L + runner.stops.get()),
+        ("mappings_after_add", mapIds.size.toLong),
+        ("mappings_after_remove",
+          (rb \ "tables" \ "id" \\ classOf[JString]).size.toLong),
+        ("reopened_counts", reopened.listPipelines().size * 10L +
+          reopened.listSources().size),
+        ("pipe_deleted", flag(c17 == 200)),
+        ("pipe_gone_404", flag(c18 == 404)),
+        ("src_deleted", flag(c19 == 200)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiPipelineCrudSql =
+    """SELECT step, result FROM (VALUES
+      |  ('src_created', CAST(1 AS BIGINT)),
+      |  ('src_dup_409', CAST(1 AS BIGINT)),
+      |  ('pipe_created', CAST(1 AS BIGINT)),
+      |  ('pipe_dup_mapping_409', CAST(1 AS BIGINT)),
+      |  ('pipe_unknown_source_404', CAST(1 AS BIGINT)),
+      |  ('pipe_total', CAST(1 AS BIGINT)),
+      |  ('conn_test_ok', CAST(1 AS BIGINT)),
+      |  ('start_running', CAST(1 AS BIGINT)),
+      |  ('start_again_409', CAST(1 AS BIGINT)),
+      |  ('update_running_409', CAST(1 AS BIGINT)),
+      |  ('delete_running_409', CAST(1 AS BIGINT)),
+      |  ('src_delete_with_pipelines_409', CAST(1 AS BIGINT)),
+      |  ('stop_stopped', CAST(1 AS BIGINT)),
+      |  ('runner_calls', CAST(11 AS BIGINT)),
+      |  ('mappings_after_add', CAST(3 AS BIGINT)),
+      |  ('mappings_after_remove', CAST(2 AS BIGINT)),
+      |  ('reopened_counts', CAST(11 AS BIGINT)),
+      |  ('pipe_deleted', CAST(1 AS BIGINT)),
+      |  ('pipe_gone_404', CAST(1 AS BIGINT)),
+      |  ('src_deleted', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   // ---- runtime (DPP) filtering on the native batch scan: a star join
   // against a selectively-filtered parquet dimension hands the lake
   // scan its join-key days at RUNTIME, and the manifest skips every
@@ -803,6 +932,7 @@ object SqlSurface extends QueryModule {
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
+    GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
     GraftQuery("sql_runtime_filter", runtimeFilter, Some(runtimeFilterSql)),
     GraftQuery("sql_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),

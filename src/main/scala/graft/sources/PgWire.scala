@@ -108,9 +108,16 @@ final class PgWire(host: String, port: Int, user: String, db: String,
 
   /** Connect as a logical-replication client (`replication=database`
     * lets the walsender accept replication commands for this db). */
-  def connectReplication(): Unit = {
-    val params = Array("user", user, "database", db, "replication", "database",
-      "application_name", "graft")
+  def connectReplication(): Unit = startup(replication = true)
+
+  /** Plain (non-replication) session — the control plane's connection
+    * probe and table discovery run ordinary SQL through [[command]]. */
+  def connect(): Unit = startup(replication = false)
+
+  private def startup(replication: Boolean): Unit = {
+    val params = (Array("user", user, "database", db,
+      "application_name", "graft") ++
+      (if (replication) Array("replication", "database") else Array.empty[String]))
       .map(cstr).reduce(_ ++ _) :+ 0.toByte
     val body = new java.io.ByteArrayOutputStream()
     val d = new DataOutputStream(body)

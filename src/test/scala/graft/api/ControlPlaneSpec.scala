@@ -1,0 +1,160 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Control-plane CRUD + lifecycle semantics (ref internal/api/services/
+  * pipeline.go:38-216, source.go:34-120): uniqueness conflicts,
+  * referential checks, the status machine, runner actuation (where the
+  * reference's Start/Stop are TODO stubs), and crash-safe persistence
+  * with restart truth (a pipeline recorded running by a dead process
+  * loads as stopped). */
+class ControlPlaneSpec extends SparkTestBase {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-ctrl").toString
+
+  private final class RecordingRunner(failStart: Boolean = false)
+    extends ControlPlane.Runner {
+    var starts = 0
+    var stops = 0
+    override def start(p: ControlPlane.Pipeline, s: ControlPlane.Source): Unit = {
+      starts += 1
+      if (failStart) throw new IllegalStateException("runner refused")
+    }
+    override def stop(p: ControlPlane.Pipeline): Unit = stops += 1
+  }
+
+  private def plane(dir: String, runner: ControlPlane.Runner = ControlPlane.Noop) =
+    new ControlPlane(dir, runner, connTest = _ => Right(1L))
+
+  test("source + pipeline CRUD: uniqueness, referential checks, validation") {
+    val cp = plane(freshDir())
+    val src = cp.createSource("pg-main", "", "db.example", 0, "appdb", "rep")
+    assert(src.typ === "postgres" && src.port === 5432) // defaults applied
+    intercept[ControlPlane.Conflict](
+      cp.createSource("pg-main", "", "other", 5432, "x", "y"))
+    intercept[ControlPlane.Invalid](
+      cp.createSource("", "", "h", 5432, "d", "u"))
+    intercept[ControlPlane.Invalid](
+      cp.createSource("no-host", "", "", 5432, "d", "u"))
+    // pipeline requires an existing source; duplicate mappings conflict
+    intercept[ControlPlane.NotFound](
+      cp.createPipeline("p1", "nope", Seq(("public", "users", true))))
+    intercept[ControlPlane.Conflict](cp.createPipeline("p1", src.id,
+      Seq(("public", "users", true), ("public", "users", false))))
+    val p = cp.createPipeline("p1", src.id,
+      Seq(("public", "users", true), ("public", "orders", true)))
+    assert(p.status === "stopped" && p.tables.size === 2)
+    intercept[ControlPlane.Conflict](cp.createPipeline("p1", src.id, Nil))
+    // a source with pipelines refuses deletion; after pipeline delete it goes
+    intercept[ControlPlane.Conflict](cp.deleteSource(src.id))
+    // mappings: add (dup conflicts), remove (unknown 404s)
+    val p2 = cp.addTableMapping(p.id, "public", "events", enabled = true)
+    assert(p2.tables.size === 3)
+    intercept[ControlPlane.Conflict](
+      cp.addTableMapping(p.id, "public", "events", enabled = true))
+    intercept[ControlPlane.NotFound](cp.removeTableMapping(p.id, "ghost"))
+    assert(cp.removeTableMapping(p.id, p2.tables.last.id).tables.size === 2)
+    cp.deletePipeline(p.id)
+    intercept[ControlPlane.NotFound](cp.getPipeline(p.id))
+    cp.deleteSource(src.id)
+    assert(cp.listSources().isEmpty)
+  }
+
+  test("status machine with runner actuation; failure lands in error, not a running lie") {
+    val dir = freshDir()
+    val runner = new RecordingRunner()
+    val cp = plane(dir, runner)
+    val src = cp.createSource("s", "", "h", 5432, "d", "u")
+    val p = cp.createPipeline("p", src.id, Seq(("public", "t", true)))
+    assert(cp.startPipeline(p.id).status === "running")
+    assert(runner.starts === 1)
+    intercept[ControlPlane.Conflict](cp.startPipeline(p.id))
+    intercept[ControlPlane.Conflict](cp.updatePipeline(p.id, "renamed"))
+    intercept[ControlPlane.Conflict](cp.deletePipeline(p.id))
+    val stopped = cp.stopPipeline(p.id)
+    assert(stopped.status === "stopped" && runner.stops === 1)
+    assert(stopped.startedAtMs.isDefined && stopped.stoppedAtMs.isDefined)
+    intercept[ControlPlane.Conflict](cp.stopPipeline(p.id))
+    // a refusing runner: status error + error_message, start reports 409
+    val failing = plane(freshDir(), new RecordingRunner(failStart = true))
+    val fsrc = failing.createSource("s", "", "h", 5432, "d", "u")
+    val fp = failing.createPipeline("p", fsrc.id, Nil)
+    intercept[ControlPlane.Conflict](failing.startPipeline(fp.id))
+    val after = failing.getPipeline(fp.id)
+    assert(after.status === "error" &&
+      after.errorMessage.contains("runner refused"))
+    // an errored pipeline can be stopped back to rest
+    assert(failing.stopPipeline(fp.id).status === "stopped")
+  }
+
+  test("persistence: atomic files survive reopen; stale running status loads stopped") {
+    val dir = freshDir()
+    val cp = plane(dir)
+    val src = cp.createSource("s", "", "h", 5432, "d", "u")
+    val p = cp.createPipeline("p", src.id, Seq(("public", "t", true)))
+    cp.startPipeline(p.id) // leaves persisted status "running"
+    val reopened = plane(dir)
+    assert(reopened.listSources().map(_.name) === Seq("s"))
+    val rp = reopened.getPipeline(p.id)
+    assert(rp.tables.map(_.sourceTable) === Seq("t"))
+    // THIS process is not running that pipeline: restart truth
+    assert(rp.status === "stopped")
+  }
+
+  test("the /api/v1 HTTP route group serves the store with reference statuses") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val cp = plane(freshDir())
+    val srv = new ApiServer(spark, controlPlane = Some(cp))
+    val http = HttpClient.newHttpClient()
+    def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+      val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+      val req = method match {
+        case "GET"    => b.GET()
+        case "DELETE" => b.DELETE()
+        case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+      }
+      val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), JsonMethods.parse(r.body()))
+    }
+    try {
+      val (cs, cb) = call("POST", "/api/v1/sources",
+        """{"name":"pg","host":"h","database_name":"d","username":"u"}""")
+      assert(cs === 201)
+      val srcId = (cb \ "id").asInstanceOf[JString].s
+      assert(call("POST", "/api/v1/sources",
+        """{"name":"pg","host":"h","database_name":"d","username":"u"}""")._1 === 409)
+      assert(call("POST", "/api/v1/sources",
+        """{"name":"bad"}""")._1 === 400)
+      val (ps, pb) = call("POST", "/api/v1/pipelines",
+        s"""{"name":"p1","source_id":"$srcId","tables":[{"schema":"public","table":"users"}]}""")
+      assert(ps === 201)
+      val pid = (pb \ "id").asInstanceOf[JString].s
+      assert(call("GET", s"/api/v1/pipelines/$pid")._1 === 200)
+      assert(call("GET", "/api/v1/pipelines/nope")._1 === 404)
+      assert(call("POST", s"/api/v1/pipelines/$pid/start")._1 === 200)
+      assert(call("POST", s"/api/v1/pipelines/$pid/start")._1 === 409)
+      val (_, st) = call("GET", s"/api/v1/pipelines/$pid/status")
+      assert((st \ "status") === JString("running"))
+      assert(call("DELETE", s"/api/v1/sources/$srcId")._1 === 409)
+      assert(call("POST", s"/api/v1/pipelines/$pid/stop")._1 === 200)
+      val (ts, tb) = call("POST", s"/api/v1/pipelines/$pid/tables",
+        """{"schema":"public","table":"orders"}""")
+      assert(ts === 201)
+      val mapIds = (tb \ "tables" \ "id" \\ classOf[JString])
+      assert(mapIds.size === 2)
+      assert(call("DELETE",
+        s"/api/v1/pipelines/$pid/tables/${mapIds.last}")._1 === 200)
+      assert(call("PUT", s"/api/v1/pipelines/$pid",
+        """{"name":"p1-renamed"}""")._1 === 200)
+      assert(call("DELETE", s"/api/v1/pipelines/$pid")._1 === 200)
+      assert(call("DELETE", s"/api/v1/sources/$srcId")._1 === 200)
+      assert(call("GET", "/api/v1/nope")._1 === 404)
+    } finally srv.close()
+  }
+}
