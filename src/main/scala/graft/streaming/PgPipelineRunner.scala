@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.api.ControlPlane
+import graft.ingest.{EnvelopeDecoder, EvolvingDecoder}
+import graft.sources.PgWire
+
+/** The REAL pipeline actuation the reference leaves as a TODO stub
+  * (ref internal/api/services/pipeline.go:177-181 — Start only flips a
+  * status column; "this will integrate with the CDC pipeline
+  * orchestrator"): a [[ControlPlane.Runner]] that tails the source's
+  * WAL over the pure-JVM wire client and lands every drained batch in
+  * the lake through the SAME batch processor the streaming pipeline
+  * uses (decode → per-table route → merge, retry → DLQ).
+  *
+  * Lifecycle per pipeline:
+  *  - `start` performs the fallible steps ON THE CALLER's thread —
+  *    connect, SCRAM if configured, slot creation, stream entry — so a
+  *    bad source fails the start call (the control plane records status
+  *    `error`), never a daemon that dies silently behind a "running"
+  *    status. Only then does the drain loop move to a daemon thread.
+  *  - the loop drains a batch, decodes it through a per-pipeline
+  *    [[EvolvingDecoder]] (mid-stream schema drift lands from its first
+  *    batch), filters to the pipeline's ENABLED table mappings, routes
+  *    it through [[IngestPipeline.processBatch]], and only AFTER the
+  *    lake commit confirms the slot — the wire client's at-least-once
+  *    contract composed with the idempotent merge.
+  *  - `stop` flags the loop, waits for it to finish its in-flight
+  *    batch, and closes the socket.
+  *
+  * One WAL is one ordered stream (the reference reads it serially too);
+  * the DISTRIBUTED work — decode, routing, per-table merges — happens
+  * in Spark from processBatch down, so at 100 TB/day the thread here
+  * only shepherds batch boundaries and slot confirmations. */
+final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
+                             passwordOf: ControlPlane.Source => Option[String] =
+                               _ => None,
+                             quietMs: Int = 300,
+                             maxWaitMs: Long = 2000L)
+  extends ControlPlane.Runner {
+
+  private final case class Live(stopFlag: AtomicBoolean, thread: Thread,
+                                wire: PgWire)
+  private val live = new ConcurrentHashMap[String, Live]()
+
+  /** Last loop error per pipeline id (surface for status probes). */
+  private val lastError = new ConcurrentHashMap[String, String]()
+  def errorOf(pipelineId: String): Option[String] =
+    Option(lastError.get(pipelineId))
+
+  private def slotNameFor(p: ControlPlane.Pipeline,
+                          src: ControlPlane.Source): String =
+    if (src.slotName.nonEmpty) src.slotName
+    else "graft_" + p.name.toLowerCase.replaceAll("[^a-z0-9_]", "_").take(48)
+
+  override def start(p: ControlPlane.Pipeline,
+                     src: ControlPlane.Source): Unit = {
+    require(!live.containsKey(p.id), s"pipeline ${p.id} is already live")
+    val publication =
+      if (src.publicationName.nonEmpty) src.publicationName
+      else sys.error("source has no publication_name configured")
+    // fallible pre-flight on the caller: a refused connection or slot
+    // fails the START, with the control plane recording status error
+    val wire = new PgWire(src.host, src.port, src.username, src.databaseName,
+      passwordOf(src))
+    try {
+      wire.connectReplication()
+      val slot = slotNameFor(p, src)
+      wire.ensureSlot(slot)
+      wire.startReplication(slot, publication)
+    } catch { case NonFatal(e) => wire.close(); throw e }
+
+    val stopFlag = new AtomicBoolean(false)
+    val cfg = IngestConfig(
+      outDir = s"$lakeRoot/${p.id}/tables",
+      dlqDir = s"$lakeRoot/${p.id}/dlq",
+      checkpointDir = s"$lakeRoot/${p.id}/checkpoint",
+      sourceId = p.name)
+    val decoder = new EvolvingDecoder(new org.apache.spark.sql.types.StructType())
+    val enabled = p.tables.filter(_.enabled).map(_.sourceTable).distinct
+    val thread = new Thread(() => {
+      var batchId = 0L
+      try {
+        while (!stopFlag.get()) {
+          val (envs, endLsn) = wire.drain(quietMs, maxWaitMs = maxWaitMs)
+          if (envs.nonEmpty) {
+            import spark.implicits._
+            val raw = spark.createDataset(envs).toDF("json")
+            val env = EnvelopeDecoder.flattened(decoder.decode(raw, "json"))
+            // table mappings gate what lands; an EMPTY mapping set means
+            // "everything the publication carries" (the reference's
+            // publication is the outer filter already)
+            val routed =
+              if (enabled.isEmpty) env
+              else env.filter(col("_cdc_table").isin(enabled: _*))
+            IngestPipeline.processBatch(cfg)(routed, batchId)
+            batchId += 1
+          }
+          // confirm only AFTER the lake holds the batch (at-least-once;
+          // the merge is idempotent on replay)
+          if (endLsn > 0L) wire.confirm(endLsn)
+        }
+      } catch {
+        case NonFatal(e) if !stopFlag.get() =>
+          lastError.put(p.id, String.valueOf(e.getMessage))
+        case _: Throwable => () // socket close during stop()
+      } finally wire.close()
+    })
+    thread.setDaemon(true)
+    thread.setName(s"graft-pg-runner-${p.id}")
+    live.put(p.id, Live(stopFlag, thread, wire))
+    thread.start()
+  }
+
+  override def stop(p: ControlPlane.Pipeline): Unit = {
+    val l = live.remove(p.id)
+    if (l != null) {
+      l.stopFlag.set(true)
+      l.thread.join(30000L)
+      if (l.thread.isAlive) l.wire.close() // unblock a stuck read
+    }
+  }
+}
