@@ -198,7 +198,8 @@ final class ApiServer(spark: SparkSession,
         val b = jsonBody(ex)
         val s = cp.createSource(jstr(b \ "name"), jstr(b \ "type"),
           jstr(b \ "host"), jint(b \ "port", 0), jstr(b \ "database_name"),
-          jstr(b \ "username"), jstr(b \ "ssl_mode", "prefer"),
+          jstr(b \ "username"), jstr(b \ "password"),
+          jstr(b \ "ssl_mode", "prefer"),
           jstr(b \ "slot_name"), jstr(b \ "publication_name"))
         respond(ex, 201, cp.sourceJson(s))
       case ("GET", Seq("sources")) =>
@@ -258,7 +259,10 @@ final class ApiServer(spark: SparkSession,
       case ("POST", Seq("pipelines", id, "stop")) =>
         respond(ex, 200, cp.pipelineJson(cp.stopPipeline(id)))
       case ("GET", Seq("pipelines", id, "status")) =>
-        val p = cp.getPipeline(id)
+        // refresh consults the RUNNER: a drain loop that died after a
+        // successful start must surface as error here, never a stale
+        // "running" read off the store alone
+        val p = cp.refreshStatus(id)
         respond(ex, 200, JObject(
           "id" -> JString(p.id), "status" -> JString(p.status),
           "error_message" -> JString(p.errorMessage)))
@@ -443,7 +447,10 @@ final class ApiServer(spark: SparkSession,
       cursors.put(id, st)
       servePage(ex, id, st, requested = None)
     } catch {
-      case NonFatal(e) => cursors.remove(id); throw e
+      // Throwable, not NonFatal: reservations are exempt from TTL
+      // eviction, so a fatal error (OOM, stack overflow) escaping this
+      // cleanup would leak the slot permanently
+      case e: Throwable => cursors.remove(id); throw e
     }
   }
 

@@ -43,9 +43,14 @@ object ControlPlane {
   final case class Conflict(message: String) extends RuntimeException(message)
   final case class Invalid(message: String) extends RuntimeException(message)
 
+  /** `password` is stored with the source (the reference keeps it in
+    * its control DB the same way, models/source.go CreateSourceRequest)
+    * and REDACTED from every HTTP response — only the wire probes and
+    * the runner read it. */
   final case class Source(id: String, name: String, typ: String,
                           host: String, port: Int, databaseName: String,
-                          username: String, sslMode: String,
+                          username: String, password: String,
+                          sslMode: String,
                           slotName: String, publicationName: String,
                           createdAtMs: Long, updatedAtMs: Long)
 
@@ -65,6 +70,11 @@ object ControlPlane {
   trait Runner {
     def start(p: Pipeline, src: Source): Unit
     def stop(p: Pipeline): Unit
+    /** Post-start health: Some(error) when a pipeline this runner
+      * started has since DIED (drain loop exited, socket broke) — the
+      * store's status refresh turns it into status `error` instead of
+      * letting a stale "running" stand. None = healthy or unknown. */
+    def health(p: Pipeline): Option[String] = None
   }
   object Noop extends Runner {
     override def start(p: Pipeline, src: Source): Unit = ()
@@ -75,11 +85,15 @@ object ControlPlane {
     * The default opens a REAL wire connection ([[graft.sources.PgWire]])
     * — the reference's TestConnection does the same through pgx
     * (source.go:122-180). */
+  private def wireOf(src: Source): graft.sources.PgWire =
+    new graft.sources.PgWire(src.host, src.port, src.username,
+      src.databaseName,
+      password = if (src.password.isEmpty) None else Some(src.password))
+
   def wireConnTest(src: Source): Either[String, Long] = {
     val t0 = System.nanoTime()
     try {
-      val wire = new graft.sources.PgWire(src.host, src.port, src.username,
-        src.databaseName)
+      val wire = wireOf(src)
       try { wire.connect(); wire.command("SELECT 1") }
       finally wire.close()
       Right((System.nanoTime() - t0) / 1000000L)
@@ -94,8 +108,7 @@ object ControlPlane {
   def wireDiscoverTables(src: Source,
                          schema: Option[String]): Either[String, Seq[(String, String)]] =
     try {
-      val wire = new graft.sources.PgWire(src.host, src.port, src.username,
-        src.databaseName)
+      val wire = wireOf(src)
       try {
         wire.connect()
         val filter = schema.map(s => s" AND schemaname = '${s.replace("'", "''")}'")
@@ -151,10 +164,11 @@ final class ControlPlane(metaDir: String,
   }
 
   private def persistSources(): Unit =
-    writeFile("sources.json", JArray(sources.toList.map(sourceJson)))
+    writeFile("sources.json", JArray(sources.toList.map(sourceStoreJson)))
   private def persistPipelines(): Unit =
     writeFile("pipelines.json", JArray(pipelines.toList.map(pipelineJson)))
 
+  /** API response shape: the password NEVER renders here. */
   private[api] def sourceJson(s: Source): JObject = JObject(
     "id" -> JString(s.id), "name" -> JString(s.name),
     "type" -> JString(s.typ), "host" -> JString(s.host),
@@ -165,6 +179,11 @@ final class ControlPlane(metaDir: String,
     "publication_name" -> JString(s.publicationName),
     "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
     "updated_at_ms" -> JInt(BigInt(s.updatedAtMs)))
+
+  /** Persistence shape: the credential rides with the entity, exactly
+    * like the reference's control DB row. */
+  private def sourceStoreJson(s: Source): JObject =
+    JObject(sourceJson(s).obj :+ ("password" -> (JString(s.password): JValue)))
 
   private[api] def pipelineJson(p: Pipeline): JObject = JObject(
     "id" -> JString(p.id), "name" -> JString(p.name),
@@ -186,9 +205,9 @@ final class ControlPlane(metaDir: String,
       case Some(JArray(items)) => items.toVector.map { o =>
         Source(str(o \ "id"), str(o \ "name"), str(o \ "type"),
           str(o \ "host"), num(o \ "port").toInt, str(o \ "database_name"),
-          str(o \ "username"), str(o \ "ssl_mode"), str(o \ "slot_name"),
-          str(o \ "publication_name"), num(o \ "created_at_ms"),
-          num(o \ "updated_at_ms"))
+          str(o \ "username"), str(o \ "password"), str(o \ "ssl_mode"),
+          str(o \ "slot_name"), str(o \ "publication_name"),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
       }
       case _ => Vector.empty
     }
@@ -227,7 +246,8 @@ final class ControlPlane(metaDir: String,
 
   def createSource(name: String, typ: String, host: String, port: Int,
                    databaseName: String, username: String,
-                   sslMode: String = "prefer", slotName: String = "",
+                   password: String = "", sslMode: String = "prefer",
+                   slotName: String = "",
                    publicationName: String = ""): Source = lock.synchronized {
     validName(name)
     if (host.isEmpty || databaseName.isEmpty || username.isEmpty)
@@ -236,8 +256,8 @@ final class ControlPlane(metaDir: String,
       throw Conflict("source with this name already exists")
     val now = clock()
     val s = Source(newId(), name, if (typ.isEmpty) "postgres" else typ,
-      host, if (port == 0) 5432 else port, databaseName, username, sslMode,
-      slotName, publicationName, now, now)
+      host, if (port == 0) 5432 else port, databaseName, username, password,
+      sslMode, slotName, publicationName, now, now)
     sources :+= s
     persistSources()
     s
@@ -334,34 +354,64 @@ final class ControlPlane(metaDir: String,
     }
 
   /** stopped → starting → running (or → error when the runner refuses).
-    * The runner executes OUTSIDE any intermediate persisted "running"
-    * claim — status never says running unless start() returned. */
-  def startPipeline(id: String): Pipeline = lock.synchronized {
-    val p = getPipeline(id)
-    if (p.status == "running" || p.status == "starting")
-      throw Conflict("pipeline is already running")
-    val src = getSource(p.sourceId)
-    put(p.copy(status = "starting", updatedAtMs = clock()))
+    * The runner executes OUTSIDE the store lock — it performs real
+    * network I/O (connect, slot setup) and must not freeze every other
+    * control-plane route while it does; the "starting" status persisted
+    * under the lock is what serializes concurrent starts. Status never
+    * says running unless start() returned. */
+  def startPipeline(id: String): Pipeline = {
+    val (p, src) = lock.synchronized {
+      val p = getPipeline(id)
+      if (p.status == "running" || p.status == "starting")
+        throw Conflict("pipeline is already running")
+      val src = getSource(p.sourceId)
+      put(p.copy(status = "starting", updatedAtMs = clock()))
+      (p, src)
+    }
     try {
       runner.start(p, src)
-      put(getPipeline(id).copy(status = "running", errorMessage = "",
-        startedAtMs = Some(clock()), updatedAtMs = clock()))
+      lock.synchronized(put(getPipeline(id).copy(status = "running",
+        errorMessage = "", startedAtMs = Some(clock()),
+        updatedAtMs = clock())))
     } catch {
       case e: Exception =>
-        put(getPipeline(id).copy(status = "error",
-          errorMessage = String.valueOf(e.getMessage), updatedAtMs = clock()))
+        lock.synchronized(put(getPipeline(id).copy(status = "error",
+          errorMessage = String.valueOf(e.getMessage),
+          updatedAtMs = clock())))
         throw Conflict(s"pipeline failed to start: ${e.getMessage}")
     }
   }
 
-  /** running/error → stopping → stopped. */
-  def stopPipeline(id: String): Pipeline = lock.synchronized {
-    val p = getPipeline(id)
-    if (p.status == "stopped" || p.status == "stopping")
-      throw Conflict("pipeline is already stopped")
-    put(p.copy(status = "stopping", updatedAtMs = clock()))
+  /** running/error → stopping → stopped. The runner's stop (which may
+    * wait out an in-flight batch) runs OUTSIDE the lock; "stopping"
+    * serializes concurrent stops, and a stop during "starting" is
+    * refused rather than interleaving with the start in flight. */
+  def stopPipeline(id: String): Pipeline = {
+    val p = lock.synchronized {
+      val p = getPipeline(id)
+      if (p.status == "stopped" || p.status == "stopping")
+        throw Conflict("pipeline is already stopped")
+      if (p.status == "starting")
+        throw Conflict("pipeline is starting — retry once it settles")
+      put(p.copy(status = "stopping", updatedAtMs = clock()))
+      p
+    }
     try runner.stop(p) catch { case _: Exception => () } // best-effort
-    put(getPipeline(id).copy(status = "stopped",
-      stoppedAtMs = Some(clock()), updatedAtMs = clock()))
+    lock.synchronized(put(getPipeline(id).copy(status = "stopped",
+      stoppedAtMs = Some(clock()), updatedAtMs = clock())))
+  }
+
+  /** The status surface's read: consult the RUNNER for a pipeline the
+    * store believes running — a drain loop that died after a clean
+    * start becomes status `error` here instead of a stale "running". */
+  def refreshStatus(id: String): Pipeline = {
+    val p = getPipeline(id)
+    if (p.status != "running") p
+    else runner.health(p) match {
+      case None => p
+      case Some(errMsg) => lock.synchronized(
+        put(getPipeline(id).copy(status = "error", errorMessage = errMsg,
+          updatedAtMs = clock())))
+    }
   }
 }

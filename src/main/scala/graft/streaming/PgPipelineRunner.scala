@@ -41,7 +41,8 @@ import graft.sources.PgWire
   * only shepherds batch boundaries and slot confirmations. */
 final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
                              passwordOf: ControlPlane.Source => Option[String] =
-                               _ => None,
+                               s => if (s.password.isEmpty) None
+                                    else Some(s.password),
                              quietMs: Int = 300,
                              maxWaitMs: Long = 2000L)
   extends ControlPlane.Runner {
@@ -55,10 +56,15 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
   def errorOf(pipelineId: String): Option[String] =
     Option(lastError.get(pipelineId))
 
+  /** Slot identity derives from the IMMUTABLE pipeline id (unless the
+    * source pins a slot name): a rename must not abandon the slot that
+    * retains the pipeline's un-consumed WAL (a silent data gap plus a
+    * server-side WAL-retention leak), and two pipelines must never
+    * collide on one slot through name sanitization. */
   private def slotNameFor(p: ControlPlane.Pipeline,
                           src: ControlPlane.Source): String =
     if (src.slotName.nonEmpty) src.slotName
-    else "graft_" + p.name.toLowerCase.replaceAll("[^a-z0-9_]", "_").take(48)
+    else "graft_" + p.id.toLowerCase.replaceAll("[^a-z0-9_]", "")
 
   override def start(p: ControlPlane.Pipeline,
                      src: ControlPlane.Source): Unit = {
@@ -84,7 +90,11 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
       checkpointDir = s"$lakeRoot/${p.id}/checkpoint",
       sourceId = p.name)
     val decoder = new EvolvingDecoder(new org.apache.spark.sql.types.StructType())
-    val enabled = p.tables.filter(_.enabled).map(_.sourceTable).distinct
+    // (schema, table) pairs — matching on table name alone would admit a
+    // same-named table from an UNMAPPED schema into the mapped table's
+    // lake dir. An empty mapping schema matches any source schema.
+    val enabled = p.tables.filter(_.enabled)
+      .map(m => (m.sourceSchema, m.sourceTable)).distinct
     val thread = new Thread(() => {
       var batchId = 0L
       try {
@@ -94,12 +104,17 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
             import spark.implicits._
             val raw = spark.createDataset(envs).toDF("json")
             val env = EnvelopeDecoder.flattened(decoder.decode(raw, "json"))
-            // table mappings gate what lands; an EMPTY mapping set means
-            // "everything the publication carries" (the reference's
-            // publication is the outer filter already)
+            // mappings gate what lands. NO mappings configured =
+            // "everything the publication carries" (the publication is
+            // the reference's outer filter); mappings configured but all
+            // DISABLED = nothing — never "everything"
             val routed =
-              if (enabled.isEmpty) env
-              else env.filter(col("_cdc_table").isin(enabled: _*))
+              if (p.tables.isEmpty) env
+              else if (enabled.isEmpty) env.filter(org.apache.spark.sql.functions.lit(false))
+              else env.filter(enabled.map { case (sc, t) =>
+                val tMatch = col("_cdc_table") === t
+                if (sc.isEmpty) tMatch else tMatch && col("_cdc_schema") === sc
+              }.reduce(_ || _))
             IngestPipeline.processBatch(cfg)(routed, batchId)
             batchId += 1
           }
@@ -126,5 +141,17 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
       l.thread.join(30000L)
       if (l.thread.isAlive) l.wire.close() // unblock a stuck read
     }
+  }
+
+  /** A drain loop that DIED (error recorded, or thread gone without a
+    * stop) surfaces here — the control plane's status refresh turns it
+    * into status `error` instead of a stale "running". */
+  override def health(p: ControlPlane.Pipeline): Option[String] = {
+    val recorded = Option(lastError.get(p.id))
+    val l = live.get(p.id)
+    if (recorded.isDefined) recorded
+    else if (l != null && !l.thread.isAlive)
+      Some("drain loop exited unexpectedly")
+    else None
   }
 }

@@ -90,6 +90,52 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(failing.stopPipeline(fp.id).status === "stopped")
   }
 
+  test("a dead drain loop surfaces as error through refreshStatus, never a stale running") {
+    val runner = new ControlPlane.Runner {
+      @volatile var dead = false
+      override def start(p: ControlPlane.Pipeline, s: ControlPlane.Source): Unit = ()
+      override def stop(p: ControlPlane.Pipeline): Unit = ()
+      override def health(p: ControlPlane.Pipeline): Option[String] =
+        if (dead) Some("drain loop died: socket reset") else None
+    }
+    val cp = plane(freshDir(), runner)
+    val src = cp.createSource("s", "", "h", 5432, "d", "u")
+    val p = cp.createPipeline("p", src.id, Nil)
+    cp.startPipeline(p.id)
+    assert(cp.refreshStatus(p.id).status === "running")
+    runner.dead = true
+    val refreshed = cp.refreshStatus(p.id)
+    assert(refreshed.status === "error" &&
+      refreshed.errorMessage.contains("socket reset"))
+    // an errored pipeline can be stopped and restarted
+    assert(cp.stopPipeline(p.id).status === "stopped")
+  }
+
+  test("source passwords persist with the store but never render in API responses") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = freshDir()
+    val cp = plane(dir)
+    val srv = new ApiServer(spark, controlPlane = Some(cp))
+    try {
+      val http = HttpClient.newHttpClient()
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(srv.baseUri + "/api/v1/sources"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"name":"pg","host":"h","database_name":"d","username":"u","password":"sekrit"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 201)
+      assert(!r.body().contains("sekrit"), s"credential leaked: ${r.body()}")
+      val listed = http.send(HttpRequest.newBuilder(
+        URI.create(srv.baseUri + "/api/v1/sources")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(!listed.body().contains("sekrit"))
+      // ...but a reopened store (and so the runner/probes) still holds it
+      val reopened = plane(dir)
+      assert(reopened.listSources().head.password === "sekrit")
+    } finally srv.close()
+  }
+
   test("persistence: atomic files survive reopen; stale running status loads stopped") {
     val dir = freshDir()
     val cp = plane(dir)
