@@ -612,7 +612,8 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
           val eras = SnapshotLog.parsedSchemas(snap)
           snap.files.forall(f => f.schemaId == 0 ||
             eras.get(f.schemaId).forall(ws =>
-              graft.model.FieldIds.byNameSafe(ws, snap.schema)))
+              graft.model.FieldIds.byNameSafe(ws, snap.schema) ||
+                GraftEras.projectable(ws, snap.schema)))
         }
       }
 
@@ -762,62 +763,92 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
       case _ => pruned
     }
     GraftScanStats.record(tableDir, kept.size, snap.files.size)
-    if (!morData)
-      org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
-        kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
-    else
-      org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
-        spark, kept.map { f =>
-          // the `_abs` lineage FORM (SnapshotLog.absKey), never the raw
-          // manifest path — URI-escaped partition values (hour specs'
-          // space) and filesystem authorities diverge between the two,
-          // and the delete joins above key on the lineage form
-          val consts = constSchema.fieldNames.map[Any] {
-            case AbsCol =>
-              org.apache.spark.unsafe.types.UTF8String
-                .fromString(SnapshotLog.absKey(qualRoot, f.path))
-            case SeqCol => f.seq
-          }
-          (s"$tableDir/${f.path}", f.sizeBytes,
-            new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(consts.toArray))
-        })
+    def partitionsOf(fset: Seq[DataFile]): Array[InputPartition] =
+      if (!morData)
+        org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
+          fset.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
+      else
+        org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
+          spark, fset.map { f =>
+            // the `_abs` lineage FORM (SnapshotLog.absKey), never the
+            // raw manifest path — URI-escaped partition values (hour
+            // specs' space) and filesystem authorities diverge between
+            // the two, and the delete joins above key on the lineage form
+            val consts = constSchema.fieldNames.map[Any] {
+              case AbsCol =>
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(SnapshotLog.absKey(qualRoot, f.path))
+              case SeqCol => f.seq
+            }
+            (s"$tableDir/${f.path}", f.sizeBytes,
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(consts.toArray))
+          })
+    // files are planned PER ERA: bin-packing must never mix files whose
+    // reader factories request different physical schemas
+    if (eraIds.size <= 1) partitionsOf(kept)
+    else kept.groupBy(eraOf).toSeq.sortBy(_._1).flatMap { case (sid, fs) =>
+      partitionsOf(fs).map(p => EraInputPartition(sid, p): InputPartition)
+    }.toArray
   }
 
-  /** Filters safe to hand the parquet reader for row-group/page pruning:
-    * only those whose columns survive in the READ schema. A CLAIMED day
-    * conjunct can reference a column Spark pruned out of the projection
-    * — parquet's column-index filtering evaluates predicates on
-    * unprojected columns as all-null and would drop every row. Such
-    * conjuncts are already enforced exactly by manifest file pruning. */
-  private def readerFilters(readFields: Array[String]): Array[Filter] =
-    filters.filter(_.references.forall(readFields.contains))
+  /** Era key per file: 0 = readable under the CURRENT schema's names;
+    * otherwise the file's write-era schema id, served by its own reader
+    * factory requesting the era's PHYSICAL names by field id. */
+  private lazy val eraSchemas: Map[Int, StructType] =
+    SnapshotLog.parsedSchemas(snap)
+  private def eraOf(f: DataFile): Int =
+    if (f.schemaId == 0) 0
+    else eraSchemas.get(f.schemaId) match {
+      case Some(ws) if !graft.model.FieldIds.byNameSafe(ws, snap.schema) =>
+        f.schemaId
+      case _ => 0
+    }
+  private lazy val eraIds: Seq[Int] = snap.files.map(eraOf).distinct.sorted
+
+  /** One parquet reader factory per era. The requested data schema uses
+    * the era's physical names at the TARGET's positions (binding above
+    * a DSv2 scan is positional; widening reads serve the promotion
+    * lattice). Pushed filters are restricted to columns that are (a) in
+    * the requested schema — parquet's column-index filtering evaluates
+    * predicates on unprojected columns as all-null and would drop every
+    * row — and (b) name-STABLE in the era: a filter under a name that
+    * means a different field there would prune row groups on the wrong
+    * column's statistics. Manifest pruning already enforced the claimed
+    * conjuncts; everything else Spark re-evaluates. */
+  private def factoryFor(era: Int): PartitionReaderFactory = {
+    val dataFields = outSchema.fields
+      .filterNot(f => GraftMorScan.LineageCols.contains(f.name)).toSeq
+    val (reqData, pushNames, fileSchema) =
+      if (era == 0) (dataFields, dataFields.map(_.name).toSet, snap.schema)
+      else {
+        val ws = eraSchemas(era)
+        val req = dataFields.map(tf => GraftEras.eraField(ws, tf))
+        (req,
+          GraftEras.stableNames(ws, snap.schema)
+            .intersect(req.map(_.name).toSet),
+          ws)
+      }
+    // _pos rides the parquet readers' row-index mechanism: a LongType
+    // field of the reserved temporary name in the REQUESTED schema; it
+    // must be NULLABLE or the vectorized reader treats it as a missing
+    // REQUIRED parquet column and fails the read
+    val readData = StructType(reqData ++
+      (if (morData && required.fieldNames.contains(PosCol))
+        Seq(org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.GraftScanSupport.rowIndexColumn,
+          LongType, nullable = true))
+      else Nil))
+    org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
+      fileSchema, readData,
+      filters.filter(_.references.forall(pushNames.contains)),
+      if (morData) constSchema else new StructType())
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (!morData)
-      org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-        snap.schema, required, readerFilters(required.fieldNames))
-    else {
-      val dataFields = outSchema.fields.filterNot(f =>
-        GraftMorScan.LineageCols.contains(f.name))
-      // _pos is served by the parquet readers' row-index mechanism: a
-      // LongType field of the reserved temporary name in the REQUESTED
-      // schema; binding above the scan is positional, so the scan's
-      // output keeps the _pos name
-      // the row-index field must be NULLABLE: the vectorized reader
-      // routes nullable-and-absent columns to its row-index generator,
-      // but treats a non-null absent column as a missing REQUIRED
-      // parquet column and fails the read
-      val readData = StructType(dataFields.toSeq ++
-        (if (required.fieldNames.contains(PosCol))
-          Seq(org.apache.spark.sql.types.StructField(
-            org.apache.spark.sql.GraftScanSupport.rowIndexColumn,
-            LongType, nullable = true))
-        else Nil))
-      org.apache.spark.sql.GraftScanSupport.parquetReaderFactory(spark,
-        snap.schema, readData, readerFilters(dataFields.map(_.name)),
-        constSchema)
-    }
+    if (eraIds.size <= 1) factoryFor(eraIds.headOption.getOrElse(0))
+    else new EraDispatchReaderFactory(
+      eraIds.map(e => e -> factoryFor(e)).toMap)
 
   /** Manifest-measured stats of the (statically + runtime) pruned file
     * set — visible at plan time, re-estimated by AQE after runtime
@@ -1017,6 +1048,100 @@ object GraftAggStats {
   def lastAgg(dir: String): Option[(Long, Long)] = Option(last.get(dir))
   /** Reset before a measured query (gates + specs). */
   def clear(dir: String): Unit = last.remove(dir)
+}
+
+/** A planned file partition tagged with its files' write-era — the
+  * dispatching factory routes it to that era's reader. Planning never
+  * bin-packs files from different eras into one partition. */
+private[lake] final case class EraInputPartition(era: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Routes each partition to its era's parquet reader factory. Columnar
+  * support is uniform (every inner factory is the stock parquet
+  * factory over the same session conf), so BatchScanExec's
+  * no-mixed-partitions requirement holds. */
+private[lake] final class EraDispatchReaderFactory(
+    factories: Map[Int, org.apache.spark.sql.connector.read.PartitionReaderFactory])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.InputPartition
+  private def route(p: InputPartition)
+  : (org.apache.spark.sql.connector.read.PartitionReaderFactory, InputPartition) =
+    p match {
+      case EraInputPartition(e, inner) => (factories(e), inner)
+      case other                       => (factories(0), other)
+    }
+  override def createReader(p: InputPartition)
+  : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (f, i) = route(p); f.createReader(i)
+  }
+  override def createColumnarReader(p: InputPartition)
+  : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, i) = route(p); f.createColumnarReader(i)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, i) = route(p); f.supportColumnarReads(i)
+  }
+}
+
+/** Era (rename/drop evolution) projection onto the columnar batch path:
+  * a file written under a RENAMED-away schema can still read through
+  * the stock parquet factory by requesting the era's PHYSICAL column
+  * names (resolved BY FIELD ID) at the target's positions — binding
+  * above a DSv2 scan is positional, so no per-row projection node is
+  * needed. Types must be equal or on the widening lattice the
+  * vectorized reader serves (int→long/double, long→double,
+  * float→double — the same promotions the engine's schema evolution
+  * produces); anything else keeps the V1 bridge's cast-based read. */
+private[lake] object GraftEras {
+
+  import org.apache.spark.sql.types._
+
+  private def widenOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b                => true
+    case (IntegerType, LongType)         => true
+    case (IntegerType, DoubleType)       => true
+    case (LongType, DoubleType)          => true
+    case (FloatType, DoubleType)         => true
+    case _                               => false
+  }
+
+  /** Every target field either resolves in the era BY ID with a
+    * readable type, or is absent there (reads as null). A target field
+    * whose NAME exists in the era under a DIFFERENT id would still be
+    * fine for reading (we request by the id-resolved name), but filters
+    * must then never push under that name — [[stableNames]] handles it. */
+  def projectable(ws: StructType, target: StructType): Boolean =
+    target.fields.forall { tf =>
+      graft.model.FieldIds.idOf(tf) match {
+        case None => !ws.fieldNames.contains(tf.name) // legacy: only safe if absent
+        case Some(id) => graft.model.FieldIds.fieldById(ws, id) match {
+          case None     => true // dropped-era / pre-add file: null column
+          case Some(wf) => widenOk(wf.dataType, tf.dataType)
+        }
+      }
+    }
+
+  /** The era's physical request field for target field `tf`: the
+    * id-resolved era name with the TARGET type (widening reads handle
+    * the promotion), or the target name when the era never had the
+    * field (absent → null). */
+  def eraField(ws: StructType, tf: StructField): StructField = {
+    val physical = graft.model.FieldIds.idOf(tf)
+      .flatMap(graft.model.FieldIds.fieldById(ws, _))
+      .map(_.name).getOrElse(tf.name)
+    StructField(physical, tf.dataType, nullable = true)
+  }
+
+  /** Column names whose era mapping is the IDENTITY (same name, same
+    * field) — the only names parquet row-group filters may push for
+    * this era: a filter under a name that means a DIFFERENT field in
+    * the era file would prune row groups on the wrong column's stats. */
+  def stableNames(ws: StructType, target: StructType): Set[String] =
+    target.fields.filter(tf => eraField(ws, tf).name == tf.name &&
+      ws.fieldNames.contains(tf.name)).map(_.name).toSet
 }
 
 /** Count of O(files) plan-time manifest folds actually EXECUTED (cache

@@ -115,14 +115,41 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(rows.length === 12)
   }
 
-  test("renamed eras fall back to the V1 bridge") {
+  test("renamed eras keep the batch path: per-era readers request physical names by id") {
     val (_, dir2) = buildTable()
     SnapshotLog.renameColumn(spark, dir2, "v", "score")
-    val df2 = spark.sql(s"SELECT id, score FROM $cat.ns.t")
+    // pre-rename files store the column as 'v'; their era factory
+    // requests 'v' at score's position, so old files serve real values
+    val df2 = spark.sql(s"SELECT id, score FROM $cat.ns.t ORDER BY id")
     val p2 = plan(df2)
-    assert(!p2.contains("BatchScan"),
-      s"renamed-era read must not take the batch path:\n$p2")
-    assert(df2.count() === 12L)
+    assert(p2.contains("BatchScan"), s"renamed-era read lost the batch path:\n$p2")
+    assert(p2.contains("ColumnarToRow"), s"vectorized read not planned:\n$p2")
+    val rows = df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size === 12 && rows.contains((21L, 201L)), s"wrong rows: $rows")
+    // post-rename append (under the CURRENT schema): a MIXED-era
+    // snapshot reads both layouts in one scan (partitions planned per
+    // era, never cross-packed)
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+      s"(51, 501, '${lsn(51)}', '2024-01-05')")
+    val df3 = spark.sql(s"SELECT id, score FROM $cat.ns.t ORDER BY id")
+    assert(plan(df3).contains("BatchScan"))
+    val rows3 = df3.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows3.size === 13 && rows3.contains((51L, 501L)))
+    // a filter on the RENAMED column stays correct: it cannot push under
+    // the era's physical name (the manifest and Spark's residual handle
+    // it), and rows still come back exact
+    import spark.implicits._
+    val ids = spark.sql(s"SELECT id FROM $cat.ns.t WHERE score > 400")
+      .as[Long].collect().toSeq.sorted
+    assert(ids === Seq(41L, 42L, 43L, 51L), s"filtered renamed read wrong: $ids")
+    // renamed era + live deletes: the MOR rewrite composes with per-era
+    // batch reading
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 51")
+    val df4 = spark.sql(s"SELECT id, score FROM $cat.ns.t")
+    val p4 = plan(df4)
+    assert(p4.contains("BatchScan") && p4.contains("morData=true"),
+      s"renamed-era MOR read lost the batch path:\n$p4")
+    assert(df4.count() === 12L)
   }
 
   test("spark.graft.morBatchScan.enabled=false restores the V1 MOR read") {
