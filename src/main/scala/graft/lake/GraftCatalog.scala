@@ -612,8 +612,7 @@ private[lake] final class GraftScanBuilder(tableDir: String, snap: Snapshot,
           val eras = SnapshotLog.parsedSchemas(snap)
           snap.files.forall(f => f.schemaId == 0 ||
             eras.get(f.schemaId).forall(ws =>
-              graft.model.FieldIds.byNameSafe(ws, snap.schema) ||
-                GraftEras.projectable(ws, snap.schema)))
+              GraftEras.readable(ws, snap.schema)))
         }
       }
 
@@ -763,27 +762,32 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
       case _ => pruned
     }
     GraftScanStats.record(tableDir, kept.size, snap.files.size)
+    // split size decided ONCE over the whole kept set: per-era planning
+    // of subsets must produce the same task sizing a single combined
+    // plan would, not tiny splits for small era groups
+    val maxSplit = org.apache.spark.sql.GraftScanSupport.splitBytesFor(
+      spark, kept.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
     def partitionsOf(fset: Seq[DataFile]): Array[InputPartition] =
-      if (!morData)
-        org.apache.spark.sql.GraftScanSupport.planFilePartitions(spark,
-          fset.map(f => (s"$tableDir/${f.path}", f.sizeBytes)))
-      else
-        org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
-          spark, fset.map { f =>
-            // the `_abs` lineage FORM (SnapshotLog.absKey), never the
-            // raw manifest path — URI-escaped partition values (hour
-            // specs' space) and filesystem authorities diverge between
-            // the two, and the delete joins above key on the lineage form
-            val consts = constSchema.fieldNames.map[Any] {
+      org.apache.spark.sql.GraftScanSupport.planFilePartitionsWithValues(
+        spark, fset.map { f =>
+          // morData constants use the `_abs` lineage FORM
+          // (SnapshotLog.absKey), never the raw manifest path —
+          // URI-escaped partition values (hour specs' space) and
+          // filesystem authorities diverge between the two, and the
+          // delete joins above key on the lineage form
+          val consts =
+            if (!morData) Array.empty[Any]
+            else constSchema.fieldNames.map[Any] {
               case AbsCol =>
                 org.apache.spark.unsafe.types.UTF8String
                   .fromString(SnapshotLog.absKey(qualRoot, f.path))
               case SeqCol => f.seq
-            }
-            (s"$tableDir/${f.path}", f.sizeBytes,
-              new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(consts.toArray))
-          })
+            }.toArray
+          (s"$tableDir/${f.path}", f.sizeBytes,
+            if (consts.isEmpty) org.apache.spark.sql.catalyst.InternalRow.empty
+            else new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(consts))
+        }, maxSplitOverride = Some(maxSplit))
     // files are planned PER ERA: bin-packing must never mix files whose
     // reader factories request different physical schemas
     if (eraIds.size <= 1) partitionsOf(kept)
@@ -794,17 +798,20 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
 
   /** Era key per file: 0 = readable under the CURRENT schema's names;
     * otherwise the file's write-era schema id, served by its own reader
-    * factory requesting the era's PHYSICAL names by field id. */
+    * factory requesting the era's PHYSICAL names by field id. Memoized
+    * per DISTINCT schema id — the per-file fold at an 800k-file
+    * manifest must not re-run byNameSafe per file. */
   private lazy val eraSchemas: Map[Int, StructType] =
     SnapshotLog.parsedSchemas(snap)
-  private def eraOf(f: DataFile): Int =
-    if (f.schemaId == 0) 0
-    else eraSchemas.get(f.schemaId) match {
-      case Some(ws) if !graft.model.FieldIds.byNameSafe(ws, snap.schema) =>
-        f.schemaId
-      case _ => 0
-    }
-  private lazy val eraIds: Seq[Int] = snap.files.map(eraOf).distinct.sorted
+  private lazy val eraKeyOf: Map[Int, Int] =
+    (0 +: snap.files.map(_.schemaId)).distinct.map { sid =>
+      sid -> (if (sid == 0) 0 else eraSchemas.get(sid) match {
+        case Some(ws) if !graft.model.FieldIds.byNameSafe(ws, snap.schema) => sid
+        case _ => 0
+      })
+    }.toMap
+  private def eraOf(f: DataFile): Int = eraKeyOf(f.schemaId)
+  private lazy val eraIds: Seq[Int] = eraKeyOf.values.toSeq.distinct.sorted
 
   /** One parquet reader factory per era. The requested data schema uses
     * the era's physical names at the TARGET's positions (binding above
@@ -817,8 +824,13 @@ private[lake] final class GraftBatchScan(spark: SparkSession,
     * column's statistics. Manifest pruning already enforced the claimed
     * conjuncts; everything else Spark re-evaluates. */
   private def factoryFor(era: Int): PartitionReaderFactory = {
-    val dataFields = outSchema.fields
-      .filterNot(f => GraftMorScan.LineageCols.contains(f.name)).toSeq
+    // lineage columns are plan-served ONLY in morData mode; a plain
+    // table may legally carry user columns named _abs/_pos/_seq and
+    // they must read from the files like any other
+    val dataFields =
+      if (!morData) outSchema.fields.toSeq
+      else outSchema.fields
+        .filterNot(f => GraftMorScan.LineageCols.contains(f.name)).toSeq
     val (reqData, pushNames, fileSchema) =
       if (era == 0) (dataFields, dataFields.map(_.name).toSet, snap.schema)
       else {
@@ -1099,49 +1111,68 @@ private[lake] object GraftEras {
 
   import org.apache.spark.sql.types._
 
+  /** What the VECTORIZED parquet reader's updaters can widen (Spark
+    * 4.1: IntegerToLong/IntegerToDouble/FloatToDouble — notably NO
+    * long→double). Deliberately NOT [[SnapshotLog]]'s logical promotion
+    * lattice: that one gates what a CAST-based read can heal; this one
+    * gates what the columnar reader can serve natively, and claiming
+    * more fails the read at execution instead of falling back. */
   private def widenOk(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b                => true
     case (IntegerType, LongType)         => true
     case (IntegerType, DoubleType)       => true
-    case (LongType, DoubleType)          => true
     case (FloatType, DoubleType)         => true
     case _                               => false
   }
 
+  /** Era eligibility for the batch path: by-name readable, or
+    * projectable by id. ONE definition — [[GraftScanBuilder]]'s
+    * batchEligible and [[GraftMorScan.eligible]] must never drift
+    * (build() hard-fails a MOR relation the builder won't serve). */
+  def readable(ws: StructType, target: StructType): Boolean =
+    graft.model.FieldIds.byNameSafe(ws, target) || projectable(ws, target)
+
   /** Every target field either resolves in the era BY ID with a
-    * readable type, or is absent there (reads as null). A target field
-    * whose NAME exists in the era under a DIFFERENT id would still be
-    * fine for reading (we request by the id-resolved name), but filters
-    * must then never push under that name — [[stableNames]] handles it. */
+    * reader-servable type, or has no era counterpart — in which case it
+    * reads as NULL via an absent-name request ([[eraField]]), exactly
+    * like the V1 bridge's by-id projection. */
   def projectable(ws: StructType, target: StructType): Boolean =
     target.fields.forall { tf =>
-      graft.model.FieldIds.idOf(tf) match {
-        case None => !ws.fieldNames.contains(tf.name) // legacy: only safe if absent
-        case Some(id) => graft.model.FieldIds.fieldById(ws, id) match {
-          case None     => true // dropped-era / pre-add file: null column
-          case Some(wf) => widenOk(wf.dataType, tf.dataType)
-        }
+      graft.model.FieldIds.idOf(tf)
+        .flatMap(graft.model.FieldIds.fieldById(ws, _)) match {
+        case None     => true // no era counterpart: absent-name null read
+        case Some(wf) => widenOk(wf.dataType, tf.dataType)
       }
     }
 
   /** The era's physical request field for target field `tf`: the
     * id-resolved era name with the TARGET type (widening reads handle
-    * the promotion), or the target name when the era never had the
-    * field (absent → null). */
+    * the promotion). A field with NO era counterpart — dropped-then-
+    * re-added names included — requests a name PROVABLY ABSENT from the
+    * era file, so it reads null: requesting the target NAME would
+    * resurrect a retired field's bytes whenever the era file happens to
+    * store that name (the dropped-column leak the by-id contract
+    * forbids). */
   def eraField(ws: StructType, tf: StructField): StructField = {
     val physical = graft.model.FieldIds.idOf(tf)
       .flatMap(graft.model.FieldIds.fieldById(ws, _))
-      .map(_.name).getOrElse(tf.name)
+      .map(_.name).getOrElse {
+        var n = s"_graft_absent_${tf.name}"
+        while (ws.fieldNames.contains(n)) n += "_"
+        n
+      }
     StructField(physical, tf.dataType, nullable = true)
   }
 
-  /** Column names whose era mapping is the IDENTITY (same name, same
-    * field) — the only names parquet row-group filters may push for
-    * this era: a filter under a name that means a DIFFERENT field in
-    * the era file would prune row groups on the wrong column's stats. */
+  /** Column names whose era mapping is the IDENTITY (the id-resolved
+    * physical name equals the target name) — the only names parquet
+    * row-group filters may push for this era: a filter under a name
+    * that means a DIFFERENT field in the era file would prune row
+    * groups on the wrong column's statistics. Absent-name requests
+    * never qualify (synthetic names never equal the target's). */
   def stableNames(ws: StructType, target: StructType): Set[String] =
-    target.fields.filter(tf => eraField(ws, tf).name == tf.name &&
-      ws.fieldNames.contains(tf.name)).map(_.name).toSet
+    target.fields.filter(tf => eraField(ws, tf).name == tf.name)
+      .map(_.name).toSet
 }
 
 /** Count of O(files) plan-time manifest folds actually EXECUTED (cache

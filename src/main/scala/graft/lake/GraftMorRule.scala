@@ -175,8 +175,7 @@ private[lake] object GraftMorScan {
         val eras = SnapshotLog.parsedSchemas(snap)
         snap.files.forall(f => f.schemaId == 0 ||
           eras.get(f.schemaId).forall(ws =>
-            graft.model.FieldIds.byNameSafe(ws, schema) ||
-              GraftEras.projectable(ws, schema)))
+            GraftEras.readable(ws, schema)))
       }
   }
 }

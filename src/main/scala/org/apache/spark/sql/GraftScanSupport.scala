@@ -103,14 +103,24 @@ object GraftScanSupport {
     planFilePartitionsWithValues(spark,
       files.map { case (p, len) => (p, len, InternalRow.empty) })
 
+  /** Spark's own split-size decision for a file set (open-cost
+    * accounting included) — exposed so a caller planning SUBSETS of one
+    * scan (per-era groups) can size splits from the WHOLE set, exactly
+    * as one combined plan would. */
+  def splitBytesFor(spark: SparkSession, files: Seq[(String, Long)]): Long = {
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    FilePartition.maxSplitBytes(spark, files.map(_._2 + openCost).sum)
+  }
+
   /** [[planFilePartitions]] with per-file `partitionValues` rows — each
     * split of a file carries that file's constants (must match the
-    * factory's `partitionSchema` positionally). */
+    * factory's `partitionSchema` positionally). `maxSplitOverride`
+    * carries a whole-scan split size when this call plans one subset. */
   def planFilePartitionsWithValues(spark: SparkSession,
-      files: Seq[(String, Long, InternalRow)]): Array[InputPartition] = {
-    val openCost = spark.sessionState.conf.filesOpenCostInBytes
-    val maxSplit = FilePartition.maxSplitBytes(spark,
-      files.map(_._2 + openCost).sum)
+      files: Seq[(String, Long, InternalRow)],
+      maxSplitOverride: Option[Long] = None): Array[InputPartition] = {
+    val maxSplit = maxSplitOverride.getOrElse(
+      splitBytesFor(spark, files.map(f => (f._1, f._2))))
     val pfs = files.flatMap { case (path, len, pvals) =>
       (0L until len by maxSplit).map { start =>
         PartitionedFile(pvals, SparkPath.fromPathString(path),

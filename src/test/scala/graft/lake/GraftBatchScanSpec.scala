@@ -152,6 +152,25 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(df4.count() === 12L)
   }
 
+  test("a dropped-then-re-added column reads NULL from old files on the batch path") {
+    val (_, dir) = buildTable()
+    SnapshotLog.dropColumn(spark, dir, "v")
+    spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN v BIGINT")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES " +
+      s"(51, '${lsn(51)}', '2024-01-05', 777)")
+    val df = spark.sql(s"SELECT id, v FROM $cat.ns.t ORDER BY id")
+    val p = plan(df)
+    assert(p.contains("BatchScan"),
+      s"dropped/re-added era read lost the batch path:\n$p")
+    // the old files PHYSICALLY store a 'v' column — its retired bytes
+    // must NOT resurrect into the re-added field (fresh id, null reads)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows.size === 13)
+    assert(rows.count(_._2 >= 0L) === 1 && rows.contains((51L, 777L)),
+      s"dropped column bytes leaked: $rows")
+  }
+
   test("spark.graft.morBatchScan.enabled=false restores the V1 MOR read") {
     buildTable()
     spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 21")
