@@ -1,0 +1,461 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.model.FieldIds
+
+/** The Iceberg REST catalog CLIENT — the same operation surface the
+  * reference's catalog client exposes (ref internal/iceberg/catalog/
+  * catalog.go:11-33: CreateNamespace / NamespaceExists / CreateTable /
+  * TableExists / LoadTable / CommitSnapshot / Close; wire shapes
+  * rest.go:40-217), over the JDK's [[HttpClient]] — zero added
+  * dependencies.
+  *
+  * `commitAppend` is the Iceberg conditional-commit contract: data
+  * files are written to storage FIRST, then registered through the
+  * catalog in one atomic request whose `assert-ref-snapshot-id`
+  * requirement makes it a compare-and-swap on the branch head — a 409
+  * ([[RestCatalogClient.CommitConflict]]) means another writer moved
+  * the head, and the caller re-loads and retries. Passing
+  * `require = None` asserts nothing (the reference's CommitSnapshot
+  * sends an empty requirements list — append-only commits commute). */
+final class RestCatalogClient(baseUri: String, prefix: String,
+                              token: Option[String] = None,
+                              timeout: Duration = Duration.ofSeconds(30))
+  extends AutoCloseable {
+
+  import RestCatalogClient._
+  import RestWire.NsSep
+
+  private val http = HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  private def url(path: String): String =
+    s"$baseUri/catalog/v1/$prefix$path"
+
+  private def request(method: String, path: String,
+                      body: Option[JValue] = None): (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(url(path))).timeout(timeout)
+      .header("Content-Type", "application/json")
+      .header("Accept", "application/json")
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = body match {
+      case Some(j) => b.method(method, HttpRequest.BodyPublishers.ofString(
+        JsonMethods.compact(JsonMethods.render(j)), UTF_8)).build()
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody()).build()
+    }
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    val parsed =
+      if (resp.body() == null || resp.body().isEmpty) JNothing
+      else try JsonMethods.parse(resp.body()) catch { case _: Throwable => JNothing }
+    (resp.statusCode(), parsed)
+  }
+
+  private def errMessage(j: JValue): String =
+    j \ "error" \ "message" match {
+      case JString(m) => m
+      case _          => "unknown error"
+    }
+
+  private def fail(code: Int, j: JValue): Nothing = code match {
+    case 401 | 403 => throw new NotAuthorized(errMessage(j))
+    case 404       => throw new NotFound(errMessage(j))
+    case 409       => throw new CommitConflict(errMessage(j))
+    case _ => throw new RestCatalogError(s"catalog error (status $code): " +
+      errMessage(j))
+  }
+
+  private def nsSeg(ns: Seq[String]): String = ns.mkString(NsSep.toString)
+
+  // ---- the reference Catalog interface -----------------------------
+
+  /** Create-if-absent (ref rest.go:39-76: existence probe, then POST,
+    * 409 tolerated). */
+  def createNamespace(ns: Seq[String]): Unit = {
+    if (namespaceExists(ns)) return
+    val (code, body) = request("POST", "/namespaces", Some(JObject(
+      "namespace" -> JArray(ns.toList.map(JString(_))),
+      "properties" -> JObject())))
+    if (code != 200 && code != 201 && code != 409) fail(code, body)
+  }
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    request("GET", s"/namespaces/${nsSeg(ns)}") match {
+      case (200, _)   => true
+      case (404, _)   => false
+      case (code, b)  => fail(code, b)
+    }
+
+  def listNamespaces(): Seq[Seq[String]] =
+    request("GET", "/namespaces") match {
+      case (200, body) => body \ "namespaces" match {
+        case JArray(nss) => nss.map {
+          case JArray(parts) => parts.collect { case JString(p) => p }
+          case _             => Nil
+        }
+        case _ => Nil
+      }
+      case (code, b) => fail(code, b)
+    }
+
+  /** Create-if-absent with ensured namespace (ref rest.go:100-142).
+    * `partitionSpec`: optional (sourceField, transform) — identity /
+    * year / month / day / hour, the reference's transform family. */
+  def createTable(ns: Seq[String], table: String, schema: StructType,
+                  partitionSpec: Option[(String, String)] = None): Unit = {
+    createNamespace(ns)
+    if (tableExists(ns, table)) return
+    val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
+    val specJson = partitionSpec match {
+      case Some((src, transform)) =>
+        val sid = stamped.fields.find(_.name == src).flatMap(FieldIds.idOf)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition source '$src' is not a schema field"))
+        JObject("spec-id" -> JInt(0), "fields" -> JArray(List(JObject(
+          "source-id" -> JInt(sid), "field-id" -> JInt(1000),
+          "name" -> JString(src), "transform" -> JString(transform)))))
+      case None => JObject("spec-id" -> JInt(0), "fields" -> JArray(Nil))
+    }
+    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables",
+      Some(JObject(
+        "name" -> JString(table),
+        "schema" -> RestWire.schemaJson(stamped, 0),
+        "partition-spec" -> specJson,
+        "stage-create" -> JBool(false),
+        "properties" -> JObject())))
+    if (code != 200 && code != 201 && code != 409) fail(code, body)
+  }
+
+  def tableExists(ns: Seq[String], table: String): Boolean =
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+      case (200, _)  => true
+      case (404, _)  => false
+      case (code, b) => fail(code, b)
+    }
+
+  def listTables(ns: Seq[String]): Seq[String] =
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables") match {
+      case (200, body) => body \ "identifiers" match {
+        case JArray(ids) => ids.flatMap(i => i \ "name" match {
+          case JString(n) => Some(n)
+          case _          => None
+        })
+        case _ => Nil
+      }
+      case (code, b) => fail(code, b)
+    }
+
+  def loadTable(ns: Seq[String], table: String): RestTable =
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+      case (200, body) => parseTable(body)
+      case (code, b)   => fail(code, b)
+    }
+
+  /** Register already-written data files as one conditional append
+    * commit (ref rest.go:187-217's CommitSnapshot). Returns the
+    * committed table state; throws [[CommitConflict]] when a
+    * requirement fails. */
+  def commitAppend(ns: Seq[String], table: String, files: Seq[RestDataFile],
+                   require: Option[Long] = None): RestTable = {
+    val reqs = require match {
+      case Some(sid) => List(JObject(
+        "type" -> JString("assert-ref-snapshot-id"),
+        "ref" -> JString("main"),
+        "snapshot-id" -> JInt(BigInt(sid))))
+      case None => Nil
+    }
+    val update = JObject(
+      "action" -> JString("append"),
+      "append" -> JObject("data-files" -> JArray(files.toList.map { f =>
+        JObject(
+          "file-path" -> JString(f.path),
+          "file-format" -> JString("parquet"),
+          "record-count" -> JInt(BigInt(f.rows)),
+          "file-size-in-bytes" -> JInt(BigInt(f.sizeBytes)),
+          ("partition" -> f.partition.map { case (k, v) =>
+            JObject(k -> JString(v)) }.getOrElse(JObject())))
+      })))
+    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/$table",
+      Some(JObject("requirements" -> JArray(reqs), "updates" -> JArray(List(update)))))
+    if (code == 200 || code == 201) parseTable(body) else fail(code, body)
+  }
+
+  def dropTable(ns: Seq[String], table: String): Boolean =
+    request("DELETE", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+      case (204 | 200, _) => true
+      case (404, _)       => false
+      case (code, b)      => fail(code, b)
+    }
+
+  def dropNamespace(ns: Seq[String]): Boolean =
+    request("DELETE", s"/namespaces/${nsSeg(ns)}") match {
+      case (204 | 200, _) => true
+      case (404, _)       => false
+      case (code, b)      => fail(code, b)
+    }
+
+  override def close(): Unit = () // HttpClient holds no closable state
+
+  private def parseTable(body: JValue): RestTable = {
+    val md = body \ "metadata"
+    def str(j: JValue): String = j match { case JString(s) => s; case _ => "" }
+    def lng(j: JValue): Long = j match { case JInt(n) => n.toLong; case _ => -1L }
+    val refs = md \ "refs" match {
+      case JObject(fields) => fields.flatMap { case (name, v) =>
+        v \ "snapshot-id" match {
+          case JInt(id) => Some(name -> RestRef(id.toLong, str(v \ "type")))
+          case _        => None
+        }
+      }.toMap
+      case _ => Map.empty[String, RestRef]
+    }
+    val snapshots = md \ "snapshots" match {
+      case JArray(ss) => ss.map(s => RestSnapshot(
+        lng(s \ "snapshot-id"),
+        s \ "parent-snapshot-id" match {
+          case JInt(p) => Some(p.toLong)
+          case _       => None
+        },
+        lng(s \ "timestamp-ms"),
+        str(s \ "summary" \ "operation")))
+      case _ => Nil
+    }
+    val schemas = md \ "schemas" match {
+      case JArray(ss) => ss.map(s =>
+        lng(s \ "schema-id").toInt -> RestWire.schemaFromJson(s)).toMap
+      case _ => Map.empty[Int, StructType]
+    }
+    RestTable(
+      metadataLocation = str(body \ "metadata-location"),
+      uuid = str(md \ "table-uuid"),
+      location = str(md \ "location"),
+      lastUpdatedMs = lng(md \ "last-updated-ms"),
+      lastColumnId = lng(md \ "last-column-id").toInt,
+      currentSchemaId = lng(md \ "current-schema-id").toInt,
+      schemas = schemas,
+      currentSnapshotId = lng(md \ "current-snapshot-id"),
+      snapshots = snapshots,
+      refs = refs)
+  }
+}
+
+object RestCatalogClient {
+  /** Loaded table metadata — the decoded surface of loadTableResponse
+    * (ref rest.go:302-319) plus the standard snapshots/refs sections. */
+  final case class RestTable(metadataLocation: String, uuid: String,
+                             location: String, lastUpdatedMs: Long,
+                             lastColumnId: Int, currentSchemaId: Int,
+                             schemas: Map[Int, StructType],
+                             currentSnapshotId: Long,
+                             snapshots: Seq[RestSnapshot],
+                             refs: Map[String, RestRef]) {
+    def currentSchema: Option[StructType] = schemas.get(currentSchemaId)
+  }
+  final case class RestSnapshot(id: Long, parentId: Option[Long],
+                                timestampMs: Long, operation: String)
+  final case class RestRef(snapshotId: Long, refType: String)
+
+  /** One data file to register (ref rest.go:338-345 restDataFile):
+    * `path` relative to the table location (or absolute inside it),
+    * `partition` the optional (declared-field → value) entry. */
+  final case class RestDataFile(path: String, rows: Long, sizeBytes: Long,
+                                partition: Option[(String, String)] = None)
+
+  class RestCatalogError(msg: String) extends RuntimeException(msg)
+  final class NotFound(msg: String) extends RestCatalogError(msg)
+  final class NotAuthorized(msg: String) extends RestCatalogError(msg)
+  final class CommitConflict(msg: String) extends RestCatalogError(msg)
+}
+
+/** A Spark DSv2 [[TableCatalog]] whose METADATA plane is an Iceberg
+  * REST catalog — the architecture the reference deploys against
+  * (a Lakekeeper-style catalog service coordinating commits, ref
+  * internal/iceberg/catalog/rest.go), spoken natively from Spark:
+  *
+  * {{{
+  *   spark.sql.catalog.rc           = graft.lake.GraftRestCatalog
+  *   spark.sql.catalog.rc.uri       = http://host:port
+  *   spark.sql.catalog.rc.prefix    = graft
+  *   spark.sql.catalog.rc.token     = <bearer>   (optional)
+  * }}}
+  *
+  * `loadTable` resolves the table's LOCATION and current snapshot id
+  * over REST, then pins that snapshot from the manifest on shared
+  * storage — the catalog call is O(1) metadata, the file listing never
+  * crosses HTTP, and the scan that follows is the same columnar
+  * [[GraftTable]] path the directory catalog serves (manifest pruning,
+  * pushdown, DPP, MOR). Time travel (`VERSION AS OF` id / tag /
+  * branch) resolves through the REST metadata's `refs`/`snapshots`
+  * sections, so a ref created by ANY catalog client is addressable.
+  *
+  * DDL (create/drop table, namespaces) goes through the REST catalog;
+  * table WRITES follow the Iceberg client contract instead of this
+  * plugin: write files, then [[RestCatalogClient.commitAppend]] — the
+  * same split the reference's writer uses. */
+class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "graft_rest"
+  private var initOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    initOpts = options
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def opt(key: String): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catName.$key")
+      .orElse(Option(initOpts.get(key)))
+
+  /** A fresh lightweight client per operation, configured off the live
+    * session conf — the same re-read-on-resolution rule
+    * [[GraftCatalog.warehouse]] applies, so tests can retarget the
+    * catalog after Spark caches the plugin instance. */
+  private def client: RestCatalogClient = {
+    val uri = opt("uri").getOrElse(throw new IllegalStateException(
+      s"spark.sql.catalog.$catName.uri is not set"))
+    new RestCatalogClient(uri, opt("prefix").getOrElse("graft"), opt("token"))
+  }
+
+  private def graftTable(ident: Identifier, snapId: Option[Long] = None): Table = {
+    val c = client
+    val t =
+      try c.loadTable(ident.namespace.toSeq, ident.name)
+      catch { case _: RestCatalogClient.NotFound => throw new NoSuchTableException(ident) }
+    val snap = snapId match {
+      case Some(id) => SnapshotLog.snapshotAt(spark, t.location, id)
+      case None     => SnapshotLog.snapshotAt(spark, t.location, t.currentSnapshotId)
+    }
+    new GraftTable(s"$catName.${(ident.namespace :+ ident.name).mkString(".")}",
+      t.location, snap)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    client.tableExists(ident.namespace.toSeq, ident.name)
+
+  override def loadTable(ident: Identifier): Table = graftTable(ident)
+
+  /** `VERSION AS OF` — a retained snapshot id, else a ref (tag or
+    * branch) from the REST metadata, the same resolution order
+    * [[GraftCatalog.loadTable]] applies. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val c = client
+    val t =
+      try c.loadTable(ident.namespace.toSeq, ident.name)
+      catch { case _: RestCatalogClient.NotFound => throw new NoSuchTableException(ident) }
+    val byId =
+      if (version.nonEmpty && version.length <= 18 && version.forall(_.isDigit))
+        t.snapshots.find(_.id == version.toLong).map(_.id)
+      else None
+    val id = byId.orElse(t.refs.get(version).map(_.snapshotId)).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(s"$catName.${(ident.namespace :+ ident.name).mkString(".")}",
+      t.location, SnapshotLog.snapshotAt(spark, t.location, id))
+  }
+
+  /** `TIMESTAMP AS OF` — resolved over the REST metadata's snapshot
+    * timeline (micros, Spark's contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val c = client
+    val t =
+      try c.loadTable(ident.namespace.toSeq, ident.name)
+      catch { case _: RestCatalogClient.NotFound => throw new NoSuchTableException(ident) }
+    val tsMs = timestampMicros / 1000L
+    val id = t.snapshots.filter(_.timestampMs <= tsMs) match {
+      case Nil => throw new NoSuchTableException(ident)
+      case ss  => ss.maxBy(_.timestampMs).id
+    }
+    new GraftTable(s"$catName.${(ident.namespace :+ ident.name).mkString(".")}",
+      t.location, SnapshotLog.snapshotAt(spark, t.location, id))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val c = client
+    if (!c.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    c.listTables(namespace.toSeq).sorted
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "REST catalog tables declare partitioning through the REST client " +
+        "(hidden partitioning) — CREATE TABLE takes no PARTITIONED BY")
+    val c = client
+    if (c.tableExists(ident.namespace.toSeq, ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catName) ++ ident.namespace.toSeq :+ ident.name)
+    c.createTable(ident.namespace.toSeq, ident.name, schema)
+    graftTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE through the REST catalog is not supported — evolve " +
+        "through the warehouse catalog")
+
+  override def dropTable(ident: Identifier): Boolean =
+    client.dropTable(ident.namespace.toSeq, ident.name)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable is not supported")
+
+  // ---- namespaces --------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    client.listNamespaces().map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    client.namespaceExists(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    client.createNamespace(namespace.toSeq)
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (cascade)
+      throw new UnsupportedOperationException("CASCADE drop is not supported")
+    try client.dropNamespace(namespace.toSeq)
+    catch {
+      case _: RestCatalogClient.CommitConflict =>
+        // 409 = non-empty, surfaced as the analysis error Spark expects
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
+    }
+  }
+}

@@ -1,0 +1,684 @@
+package graft.lake
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.fs.Path
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.model.{FieldIds, Identifiers}
+
+/** Wire model of the Iceberg REST catalog protocol (the public Apache
+  * Iceberg REST OpenAPI specification, the storage contract the
+  * reference speaks as a client — ref internal/iceberg/catalog/
+  * rest.go:40-217, Lakekeeper-compatible route shapes): JSON ↔ Spark
+  * conversions shared by [[RestCatalogServer]] and
+  * [[RestCatalogClient]].
+  *
+  * Type names are the Iceberg primitive vocabulary (ref internal/
+  * iceberg/types.go:13-23). Nested Spark types are out of the wire
+  * schema's scope on purpose: the reference's client models field types
+  * as plain strings, and every CDC-sourced table is primitive-typed
+  * (internal/iceberg/schema maps PG scalars only). */
+object RestWire {
+
+  def sparkToIceberg(dt: DataType): String = dt match {
+    case BooleanType         => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType            => "long"
+    case FloatType           => "float"
+    case DoubleType          => "double"
+    case DateType            => "date"
+    case TimestampType       => "timestamptz"
+    case TimestampNTZType    => "timestamp"
+    case StringType          => "string"
+    case BinaryType          => "binary"
+    case d: DecimalType      => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"type ${other.simpleString} has no Iceberg REST primitive form")
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  def icebergToSpark(t: String): DataType = t match {
+    case "boolean"              => BooleanType
+    case "int"                  => IntegerType
+    case "long"                 => LongType
+    case "float"                => FloatType
+    case "double"               => DoubleType
+    case "date"                 => DateType
+    case "timestamp"            => TimestampNTZType
+    case "timestamptz"          => TimestampType
+    case "string" | "uuid"      => StringType
+    case "binary" | "fixed"     => BinaryType
+    // the reference's `time` is microseconds-since-midnight (ref
+    // internal/iceberg/schema/types.go) — a long on the Spark side,
+    // the same mapping graft.model.TypeMapping applies
+    case "time"                 => LongType
+    case DecimalRe(p, s)        => DecimalType(p.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg type '$other'")
+  }
+
+  /** A Spark schema (field ids riding [[FieldIds.Key]] metadata) as the
+    * REST `schema` object. Unstamped schemas are emitted with ordinal
+    * ids — the same stamping [[SnapshotLog]] applies on first commit. */
+  def schemaJson(schema: StructType, schemaId: Int): JObject = {
+    val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
+    JObject(
+      "type" -> JString("struct"),
+      "schema-id" -> JInt(schemaId),
+      "fields" -> JArray(stamped.fields.toList.map { f =>
+        JObject(
+          "id" -> JInt(BigInt(FieldIds.idOf(f).getOrElse(0))),
+          "name" -> JString(f.name),
+          "type" -> JString(sparkToIceberg(f.dataType)),
+          "required" -> JBool(!f.nullable))
+      }))
+  }
+
+  /** The REST `schema` object as a Spark schema with field-id metadata. */
+  def schemaFromJson(j: JValue): StructType = {
+    val fields = j \ "fields" match {
+      case JArray(fs) => fs
+      case _ => throw new IllegalArgumentException("schema has no fields array")
+    }
+    StructType(fields.map { f =>
+      val name = f \ "name" match {
+        case JString(n) if n.nonEmpty => n
+        case _ => throw new IllegalArgumentException("schema field missing name")
+      }
+      val tpe = f \ "type" match {
+        case JString(t) => icebergToSpark(t)
+        case _ => throw new IllegalArgumentException(
+          s"schema field $name: only primitive type strings are supported")
+      }
+      val required = (f \ "required") == JBool(true)
+      val id = f \ "id" match {
+        case JInt(n) => n.toInt
+        case _       => 0
+      }
+      val base = StructField(name, tpe, nullable = !required)
+      if (id > 0) FieldIds.withId(base, id) else base
+    })
+  }
+
+  /** Iceberg REST error envelope. */
+  def errorBody(message: String, errType: String, code: Int): JObject =
+    JObject("error" -> JObject(
+      "message" -> JString(message),
+      "type" -> JString(errType),
+      "code" -> JInt(code)))
+
+  /** Stable table UUID — a function of the table path, so every load of
+    * the same table reports the same identity without a sidecar. */
+  def tableUuid(tableDir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("graft-rest:" + tableDir).getBytes(UTF_8)).toString
+
+  /** Multi-level namespaces travel as one path segment joined by the
+    * unit separator (the REST spec's `%1F` convention). */
+  val NsSep = '\u001F'
+}
+
+/** An Iceberg REST catalog SERVER over a [[SnapshotLog]] warehouse —
+  * the counterpart of the reference's REST client (ref internal/
+  * iceberg/catalog/rest.go:40-217; route shapes per the public Apache
+  * Iceberg REST OpenAPI spec, Lakekeeper-compatible `/catalog/v1/
+  * {prefix}` prefixing): namespaces and tables CRUD, metadata loads,
+  * and CONDITIONAL commits — the catalog is the commit coordinator,
+  * while manifests and data stay on shared storage.
+  *
+  * That split is the design that scales: `loadTable` returns a
+  * metadata POINTER (location + current snapshot id + schemas + refs),
+  * never file lists — a 100 TB table's manifest (thousands of entries,
+  * segment-sharded on storage) is read by executors from the
+  * filesystem, not shipped through the catalog on every query. The
+  * only state the server owns is the warehouse directory itself.
+  *
+  * Commits run under the table lock: requirements
+  * (`assert-ref-snapshot-id`, `assert-table-uuid`, `assert-create`)
+  * are re-checked against the CURRENT head inside the lock, then the
+  * append commits — one atomic conditional operation, 409
+  * `CommitFailedException` on any mismatch (the Iceberg optimistic-
+  * concurrency contract the reference's CommitSnapshot retries on).
+  * Unknown requirement or update kinds are refused 400 — a condition
+  * the server cannot enforce must never be silently accepted.
+  *
+  * Data-file paths in commits must resolve INSIDE the table location;
+  * anything else is 400 (a manifest must never reference foreign
+  * files — and a client must not be able to probe the server's
+  * filesystem). Files may carry a partition value under a declared
+  * transform; files committed without one ride the explicit
+  * `unpartitioned` spec marker, which no day predicate ever prunes. */
+final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
+                              prefix: String = "graft",
+                              authToken: Option[String] = None)
+  extends AutoCloseable {
+
+  import RestWire._
+
+  private val server =
+    HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+  private val pool = Executors.newFixedThreadPool(4)
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(pool)
+  server.start()
+
+  def port: Int = server.getAddress.getPort
+  def baseUri: String = s"http://127.0.0.1:$port"
+
+  override def close(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
+  private def fs = new Path(warehouseDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsParts(seg: String): Seq[String] = seg.split(NsSep).toSeq
+  private def dirOf(parts: Seq[String]): String =
+    (warehouseDir +: parts).mkString("/")
+
+  import RestCatalogServer.Halt
+
+  private def halt(code: Int, message: String, errType: String): Nothing =
+    throw new Halt(code, errorBody(message, errType, code))
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      if (authToken.isDefined && !authorized(ex))
+        throw new Halt(401, errorBody("missing or invalid bearer token",
+          "NotAuthorizedException", 401))
+      val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, segs) match {
+        case ("GET", Seq("catalog", "v1", "config")) =>
+          respond(ex, 200, JObject(
+            "defaults" -> JObject(),
+            "overrides" -> JObject("prefix" -> JString(prefix))))
+        case (m, "catalog" +: "v1" +: p +: rest) if p == prefix =>
+          route(ex, m, rest)
+        case (_, "catalog" +: "v1" +: p +: _) =>
+          halt(404, s"unknown warehouse prefix '$p'", "NoSuchNamespaceException")
+        case _ =>
+          halt(404, "not found", "NotFoundException")
+      }
+    } catch {
+      case h: Halt => respond(ex, h.code, h.body)
+      case e: IllegalArgumentException =>
+        respond(ex, 400, errorBody(String.valueOf(e.getMessage),
+          "BadRequestException", 400))
+      case NonFatal(e) =>
+        respond(ex, 500, errorBody(String.valueOf(e.getMessage),
+          "InternalServerError", 500))
+    } finally ex.close()
+  }
+
+  private def route(ex: HttpExchange, method: String, rest: Seq[String]): Unit =
+    (method, rest) match {
+      case ("GET", Seq("namespaces"))            => listNamespaces(ex)
+      case ("POST", Seq("namespaces"))           => createNamespace(ex)
+      case ("GET" | "HEAD", Seq("namespaces", ns))   => getNamespace(ex, nsParts(ns))
+      case ("DELETE", Seq("namespaces", ns))     => dropNamespace(ex, nsParts(ns))
+      case ("GET", Seq("namespaces", ns, "tables")) => listTables(ex, nsParts(ns))
+      case ("POST", Seq("namespaces", ns, "tables")) => createTable(ex, nsParts(ns))
+      case ("GET" | "HEAD", Seq("namespaces", ns, "tables", t)) =>
+        loadTable(ex, nsParts(ns), t)
+      case ("POST", Seq("namespaces", ns, "tables", t)) =>
+        commitTable(ex, nsParts(ns), t)
+      case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+        dropTable(ex, nsParts(ns), t)
+      case _ => halt(404, "not found", "NotFoundException")
+    }
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    val got = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val want = s"Bearer ${authToken.get}"
+    java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
+  }
+
+  private def jsonBody(ex: HttpExchange): JValue = {
+    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (raw.trim.isEmpty) JObject()
+    else try JsonMethods.parse(raw) catch {
+      case NonFatal(_) => halt(400, "request body is not JSON", "BadRequestException")
+    }
+  }
+
+  // ---- namespaces --------------------------------------------------
+
+  private def namespaceExists(parts: Seq[String]): Boolean = {
+    val p = new Path(dirOf(parts))
+    fs.exists(p) && !SnapshotLog.isSnapshotTable(spark, p.toString)
+  }
+
+  private def listNamespaces(ex: HttpExchange): Unit = {
+    val root = new Path(warehouseDir)
+    val names =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          !SnapshotLog.isSnapshotTable(spark, st.getPath.toString))
+        .map(_.getPath.getName).sorted
+    respond(ex, 200, JObject("namespaces" -> JArray(
+      names.toList.map(n => JArray(List(JString(n)))))))
+  }
+
+  private def createNamespace(ex: HttpExchange): Unit = {
+    val body = jsonBody(ex)
+    val parts = body \ "namespace" match {
+      case JArray(ps) if ps.nonEmpty => ps.map {
+        case JString(s) => s
+        case _ => halt(400, "namespace levels must be strings", "BadRequestException")
+      }
+      case _ => halt(400, "missing namespace array", "BadRequestException")
+    }
+    parts.foreach(Identifiers.validate(_, "namespace"))
+    if (namespaceExists(parts))
+      halt(409, s"namespace ${parts.mkString(".")} already exists",
+        "AlreadyExistsException")
+    fs.mkdirs(new Path(dirOf(parts)))
+    respond(ex, 200, JObject(
+      "namespace" -> JArray(parts.toList.map(JString(_))),
+      "properties" -> JObject()))
+  }
+
+  private def getNamespace(ex: HttpExchange, parts: Seq[String]): Unit = {
+    if (!namespaceExists(parts))
+      halt(404, s"namespace ${parts.mkString(".")} not found",
+        "NoSuchNamespaceException")
+    respond(ex, 200, JObject(
+      "namespace" -> JArray(parts.toList.map(JString(_))),
+      "properties" -> JObject(
+        "location" -> JString(dirOf(parts)))))
+  }
+
+  private def dropNamespace(ex: HttpExchange, parts: Seq[String]): Unit = {
+    if (!namespaceExists(parts))
+      halt(404, s"namespace ${parts.mkString(".")} not found",
+        "NoSuchNamespaceException")
+    val p = new Path(dirOf(parts))
+    if (fs.listStatus(p).nonEmpty)
+      halt(409, s"namespace ${parts.mkString(".")} is not empty",
+        "NamespaceNotEmptyException")
+    fs.delete(p, true)
+    respondEmpty(ex, 204)
+  }
+
+  // ---- tables ------------------------------------------------------
+
+  private def tableDir(ns: Seq[String], t: String): String = dirOf(ns :+ t)
+
+  private def requireTable(ns: Seq[String], t: String): String = {
+    val dir = tableDir(ns, t)
+    if (!SnapshotLog.isSnapshotTable(spark, dir))
+      halt(404, s"table ${(ns :+ t).mkString(".")} not found",
+        "NoSuchTableException")
+    dir
+  }
+
+  private def listTables(ex: HttpExchange, ns: Seq[String]): Unit = {
+    if (!namespaceExists(ns))
+      halt(404, s"namespace ${ns.mkString(".")} not found",
+        "NoSuchNamespaceException")
+    val names = fs.listStatus(new Path(dirOf(ns))).toSeq
+      .filter(st => st.isDirectory &&
+        SnapshotLog.isSnapshotTable(spark, st.getPath.toString))
+      .map(_.getPath.getName).sorted
+    respond(ex, 200, JObject("identifiers" -> JArray(names.toList.map(n =>
+      JObject("namespace" -> JArray(ns.toList.map(JString(_))),
+        "name" -> JString(n))))))
+  }
+
+  /** The declared partition spec rides a metadata sidecar — the server
+    * must map commit-time partition maps (field name → value) onto the
+    * manifest's per-file transform vocabulary, and the declaration is
+    * catalog-level state the manifest itself does not carry. */
+  private def specSidecar(dir: String): Path =
+    new Path(dir, SnapshotLog.MetaDirName + "/rest-spec.json")
+
+  private case class DeclaredSpec(fieldName: String, sourceName: String,
+                                  transform: String)
+
+  private val Transforms = Set("identity", "year", "month", "day", "hour")
+
+  private def readSpec(dir: String): Option[DeclaredSpec] = {
+    val p = specSidecar(dir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    val j = JsonMethods.parse(raw)
+    for {
+      JString(fn) <- Option(j \ "name")
+      JString(sn) <- Option(j \ "source-name")
+      JString(tr) <- Option(j \ "transform")
+    } yield DeclaredSpec(fn, sn, tr)
+  }
+
+  private def createTable(ex: HttpExchange, ns: Seq[String]): Unit = {
+    if (!namespaceExists(ns))
+      halt(404, s"namespace ${ns.mkString(".")} not found",
+        "NoSuchNamespaceException")
+    val body = jsonBody(ex)
+    val name = body \ "name" match {
+      case JString(n) if n.nonEmpty => n
+      case _ => halt(400, "missing table name", "BadRequestException")
+    }
+    Identifiers.validate(name, "table")
+    val schema = schemaFromJson(body \ "schema")
+    val dir = tableDir(ns, name)
+    if (SnapshotLog.isSnapshotTable(spark, dir))
+      halt(409, s"table ${(ns :+ name).mkString(".")} already exists",
+        "AlreadyExistsException")
+    // the declared spec: at most one partition field, transform from the
+    // reference family — richer specs have no manifest counterpart and
+    // are refused loudly rather than silently dropped
+    val declared = body \ "partition-spec" \ "fields" match {
+      case JArray(Nil) | JNothing => None
+      case JArray(List(f)) =>
+        val tr = f \ "transform" match {
+          case JString(t) if Transforms.contains(t) => t
+          case JString(t) => halt(400, s"unsupported partition transform '$t'",
+            "BadRequestException")
+          case _ => halt(400, "partition field missing transform", "BadRequestException")
+        }
+        val srcId = f \ "source-id" match {
+          case JInt(i) => i.toInt
+          case _       => -1
+        }
+        val src = FieldIds.fieldById(schema, srcId).map(_.name)
+          .getOrElse(halt(400, s"partition source-id $srcId names no schema field",
+            "BadRequestException"))
+        val fn = f \ "name" match {
+          case JString(n) if n.nonEmpty => n
+          case _                        => src
+        }
+        Some(DeclaredSpec(fn, src, tr))
+      case JArray(_) => halt(400,
+        "at most one partition field is supported", "BadRequestException")
+      case _ => None
+    }
+    val snap = SnapshotLog.withTableLock(dir) {
+      if (SnapshotLog.isSnapshotTable(spark, dir))
+        halt(409, s"table ${(ns :+ name).mkString(".")} already exists",
+          "AlreadyExistsException")
+      // preReconciled: the client's field ids are authoritative — the
+      // Iceberg catalog contract is to honor the declared schema ids
+      SnapshotLog.commit(spark, dir, "create", Nil, schema, parent = None,
+        preReconciled = FieldIds.hasIds(schema))
+    }
+    declared.foreach { d =>
+      val out = fs.create(specSidecar(dir), true)
+      try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+        "name" -> JString(d.fieldName),
+        "source-name" -> JString(d.sourceName),
+        "transform" -> JString(d.transform)))).getBytes(UTF_8))
+      finally out.close()
+    }
+    respond(ex, 200, loadTableBody(dir, ns, name, snap))
+  }
+
+  private def loadTable(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
+    val dir = requireTable(ns, t)
+    val snap = SnapshotLog.currentSnapshot(spark, dir).getOrElse(
+      halt(404, s"table ${(ns :+ t).mkString(".")} has no snapshot",
+        "NoSuchTableException"))
+    respond(ex, 200, loadTableBody(dir, ns, t, snap))
+  }
+
+  private def dropTable(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
+    val dir = requireTable(ns, t)
+    fs.delete(new Path(dir), true)
+    respondEmpty(ex, 204)
+  }
+
+  /** The loadTableResponse: the reference's decoded subset (format-
+    * version .. current-snapshot-id, rest.go:302-319) plus the standard
+    * spec's `snapshots` and `refs` sections — a SUPERSET the Go client's
+    * decoder skips and richer clients (our Spark plugin) use for time
+    * travel. Never file lists: manifests stay on storage. */
+  private def loadTableBody(dir: String, ns: Seq[String], t: String,
+                            snap: SnapshotLog.Snapshot): JObject = {
+    val schema = snap.schema
+    val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
+    val declared = readSpec(dir)
+    val specFields = declared match {
+      case Some(d) =>
+        val sid = stamped.fields.find(_.name == d.sourceName)
+          .flatMap(FieldIds.idOf).getOrElse(0)
+        List(JObject(
+          "source-id" -> JInt(sid),
+          "field-id" -> JInt(1000),
+          "name" -> JString(d.fieldName),
+          "transform" -> JString(d.transform)))
+      case None => Nil
+    }
+    // historical schemas still referenced by live files, then current
+    val historic = snap.schemasById.toList.sortBy(_._1)
+      .filterNot(_._1 == snap.schemaId)
+      .map { case (id, json) =>
+        schemaJson(DataType.fromJson(json).asInstanceOf[StructType], id)
+      }
+    val allSnaps = SnapshotLog.snapshots(spark, dir)
+    val tags = SnapshotLog.tags(spark, dir)
+    val branches = SnapshotLog.branches(spark, dir)
+      .map(b => b -> SnapshotLog.branchHead(spark, dir, b).id)
+    val refs =
+      (("main" -> (snap.id, "branch")) +:
+        (tags.toSeq.map { case (n, id) => n -> (id, "tag") } ++
+          branches.map { case (n, id) => n -> (id, "branch") }))
+        .map { case (n, (id, kind)) => n -> JObject(
+          "snapshot-id" -> JInt(BigInt(id)), "type" -> JString(kind)) }
+    val metadata = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(tableUuid(dir)),
+      "location" -> JString(dir),
+      "last-updated-ms" -> JInt(BigInt(snap.tsMs)),
+      "last-column-id" -> JInt(snap.lastColumnId),
+      "schemas" -> JArray(historic :+ schemaJson(stamped, snap.schemaId)),
+      "current-schema-id" -> JInt(snap.schemaId),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> JArray(specFields)))),
+      "default-spec-id" -> JInt(0),
+      "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else 1000),
+      "properties" -> JObject(),
+      "current-snapshot-id" -> JInt(BigInt(snap.id)),
+      "snapshots" -> JArray(allSnaps.toList.map(s => JObject(
+        "snapshot-id" -> JInt(BigInt(s.id)),
+        ("parent-snapshot-id" ->
+          s.parentId.map(p => JInt(BigInt(p))).getOrElse(JNothing)),
+        "timestamp-ms" -> JInt(BigInt(s.tsMs)),
+        "summary" -> JObject("operation" -> JString(s.operation)),
+        "schema-id" -> JInt(s.schemaId)))),
+      "refs" -> JObject(refs.toList))
+    JObject(
+      "metadata-location" ->
+        JString(s"$dir/${SnapshotLog.MetaDirName}/snap-${snap.id}"),
+      "metadata" -> metadata)
+  }
+
+  // ---- commit ------------------------------------------------------
+
+  private def commitTable(ex: HttpExchange, ns: Seq[String], t: String): Unit = {
+    val dir = requireTable(ns, t)
+    val body = jsonBody(ex)
+
+    // parse requirements STRICTLY: one the server cannot enforce must
+    // refuse the commit, never silently pass
+    sealed trait Req
+    case class AssertRef(ref: String, snapshotId: Option[Long]) extends Req
+    case class AssertUuid(uuid: String) extends Req
+    case object AssertCreate extends Req
+    val reqs: Seq[Req] = body \ "requirements" match {
+      case JArray(rs) => rs.map { r =>
+        r \ "type" match {
+          case JString("assert-ref-snapshot-id") =>
+            val ref = r \ "ref" match {
+              case JString(n) => n
+              case _          => "main"
+            }
+            val sid = r \ "snapshot-id" match {
+              case JInt(i) => Some(i.toLong)
+              case _       => None
+            }
+            AssertRef(ref, sid)
+          case JString("assert-table-uuid") => r \ "uuid" match {
+            case JString(u) => AssertUuid(u)
+            case _ => halt(400, "assert-table-uuid missing uuid", "BadRequestException")
+          }
+          case JString("assert-create") => AssertCreate
+          case JString(other) =>
+            halt(400, s"unsupported requirement '$other'", "BadRequestException")
+          case _ => halt(400, "requirement missing type", "BadRequestException")
+        }
+      }
+      case JNothing => Nil
+      case _ => halt(400, "requirements must be an array", "BadRequestException")
+    }
+
+    // updates: the reference's `append` action (rest.go:329-336) — the
+    // only update kind with a manifest counterpart here
+    val dataFiles: Seq[JValue] = body \ "updates" match {
+      case JArray(us) => us.flatMap { u =>
+        u \ "action" match {
+          case JString("append") => u \ "append" \ "data-files" match {
+            case JArray(fs) => fs
+            case _ => halt(400, "append update missing data-files",
+              "BadRequestException")
+          }
+          case JString(other) =>
+            halt(400, s"unsupported update action '$other'", "BadRequestException")
+          case _ => halt(400, "update missing action", "BadRequestException")
+        }
+      }
+      case JNothing => Nil
+      case _ => halt(400, "updates must be an array", "BadRequestException")
+    }
+
+    val declared = readSpec(dir)
+    val tableRoot = new Path(dir).toUri.normalize()
+
+    def toDataFile(j: JValue): SnapshotLog.DataFile = {
+      val path = j \ "file-path" match {
+        case JString(p) if p.nonEmpty => p
+        case _ => halt(400, "data file missing file-path", "BadRequestException")
+      }
+      j \ "file-format" match {
+        case JString(f) if !f.equalsIgnoreCase("parquet") =>
+          halt(400, s"unsupported file format '$f'", "BadRequestException")
+        case _ => ()
+      }
+      val rows = j \ "record-count" match {
+        case JInt(n) if n >= 0 => n.toLong
+        case _ => halt(400, s"data file $path missing record-count",
+          "BadRequestException")
+      }
+      val size = j \ "file-size-in-bytes" match {
+        case JInt(n) if n >= 0 => n.toLong
+        case _                 => 0L
+      }
+      // resolve INSIDE the table location only — never a foreign path
+      val rel =
+        if (path.startsWith("/") || path.contains("://")) {
+          val abs = new Path(path).toUri.normalize()
+          val root = tableRoot.getPath.stripSuffix("/") + "/"
+          if (abs.getPath == null || !abs.getPath.startsWith(root))
+            halt(400, s"data file $path is outside the table location",
+              "BadRequestException")
+          abs.getPath.substring(root.length)
+        } else if (path.split('/').contains(".."))
+          halt(400, s"data file $path escapes the table location",
+            "BadRequestException")
+        else path
+      val (partition, spec) = j \ "partition" match {
+        case JObject(Nil) | JNothing => ("", Some("unpartitioned"))
+        case JObject(fields) =>
+          val d = declared.getOrElse(halt(400,
+            "data file carries a partition but the table declares no spec",
+            "BadRequestException"))
+          val v = fields.collectFirst {
+            case (n, JString(value)) if n == d.fieldName => value
+          }.getOrElse(halt(400,
+            s"partition map misses declared field '${d.fieldName}'",
+            "BadRequestException"))
+          (v, Some(d.transform))
+        case _ => halt(400, "partition must be an object", "BadRequestException")
+      }
+      SnapshotLog.DataFile(rel, partition, hive = false, rows, size,
+        minLsn = None, maxLsn = None, seq = -1L, spec = spec)
+    }
+    val files = dataFiles.map(toDataFile)
+
+    // ONE atomic conditional commit: requirements re-checked against the
+    // head INSIDE the lock, then append — the server IS the coordinator,
+    // so no optimistic retry loop runs here; a failed requirement is the
+    // client's retry signal (409, Iceberg's CommitFailedException)
+    val snap = SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir)
+      reqs.foreach {
+        case AssertCreate =>
+          halt(409, s"table ${(ns :+ t).mkString(".")} already exists",
+            "CommitFailedException")
+        case AssertUuid(u) =>
+          if (u != tableUuid(dir))
+            halt(409, s"table uuid mismatch: expected $u", "CommitFailedException")
+        case AssertRef("main", sid) =>
+          if (sid != cur.map(_.id))
+            halt(409, s"requirement failed: main is at " +
+              s"${cur.map(_.id).getOrElse("absent")}, expected " +
+              sid.map(_.toString).getOrElse("absent"), "CommitFailedException")
+        case AssertRef(ref, sid) =>
+          val tags = SnapshotLog.tags(spark, dir)
+          val branches = SnapshotLog.branches(spark, dir)
+          val at: Option[Long] =
+            if (branches.contains(ref)) Some(SnapshotLog.branchHead(spark, dir, ref).id)
+            else tags.get(ref)
+          if (at != sid)
+            halt(409, s"requirement failed: ref $ref is at " +
+              s"${at.getOrElse("absent")}, expected " +
+              sid.map(_.toString).getOrElse("absent"), "CommitFailedException")
+      }
+      cur match {
+        case Some(c) =>
+          SnapshotLog.commit(spark, dir, "append", c.files ++ files, c.schema,
+            parent = Some(c), deletes = c.deletes, posDeletes = c.posDeletes)
+        case None =>
+          halt(409, s"table ${(ns :+ t).mkString(".")} has no current snapshot",
+            "CommitFailedException")
+      }
+    }
+    respond(ex, 200, loadTableBody(dir, ns, t, snap))
+  }
+
+  // ---- plumbing ----------------------------------------------------
+
+  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(body)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (ex.getRequestMethod == "HEAD") {
+      ex.sendResponseHeaders(status, -1)
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+
+  private def respondEmpty(ex: HttpExchange, status: Int): Unit =
+    ex.sendResponseHeaders(status, -1)
+}
+
+object RestCatalogServer {
+  /** Control-flow carrier for an HTTP error response. */
+  private final class Halt(val code: Int, val body: JObject)
+    extends RuntimeException(JsonMethods.compact(JsonMethods.render(body)))
+}

@@ -861,6 +861,111 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- the Iceberg REST catalog end-to-end (ref internal/iceberg/
+  // catalog/rest.go:40-217 — the reference's storage contract, spoken
+  // per the public Apache Iceberg REST OpenAPI spec): a live
+  // RestCatalogServer over a sibling warehouse, the client driving the
+  // reference's exact operation surface (namespace/table create,
+  // conditional append commit, loadTable), and Spark reading the
+  // REST-coordinated table through GraftRestCatalog — metadata over
+  // HTTP, manifests + data from storage, CAS conflict and auth proven.
+  private def restCatalogRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{GraftRestCatalog, RestCatalogClient, RestCatalogServer}
+    import RestCatalogClient._
+    import org.apache.hadoop.fs.Path
+    val cat = catalog(s, d)
+    val wh = s"${sqlWarehouse(s, d)}_restwh"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val wp = new Path(wh)
+    wp.getFileSystem(hconf).delete(wp, true)
+    val srv = new RestCatalogServer(s, wh, prefix = "lake",
+      authToken = Some("graft-rest-token"))
+    val cli = new RestCatalogClient(srv.baseUri, "lake",
+      token = Some("graft-rest-token"))
+    val rows = try {
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      cli.createNamespace(Seq("db"))
+      val nsOk = cli.namespaceExists(Seq("db"))
+      // the current merged state (snap 3), columns pinned
+      val state = s.sql(
+        s"""SELECT user_id, event_id, value,
+           |  CAST(_cdc_date AS STRING) AS _cdc_date
+           |FROM $cat.db.events""".stripMargin)
+      cli.createTable(Seq("db"), "state", state.schema)
+      val loaded0 = cli.loadTable(Seq("db"), "state")
+      // the Iceberg writer contract: data files to STORAGE first, then
+      // the catalog registers them in ONE conditional commit
+      val stage = s"$wh/stage"
+      state.repartition(4).write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(hconf)
+      val counts = s.read.parquet(stage)
+        .groupBy(input_file_name().as("f")).count().collect()
+        .map(r => (new Path(r.getString(0)).getName, r.getLong(1))).toMap
+      val dataDir = new Path(s"$wh/db/state/data")
+      fs.mkdirs(dataDir)
+      val files = fs.listStatus(new Path(stage)).toSeq
+        .filter(st => st.getPath.getName.endsWith(".parquet") &&
+          counts.getOrElse(st.getPath.getName, 0L) > 0L)
+        .map { st =>
+          val dest = new Path(dataDir, st.getPath.getName)
+          fs.rename(st.getPath, dest)
+          RestDataFile(s"data/${st.getPath.getName}",
+            counts(st.getPath.getName), st.getLen)
+        }
+      // the emptied stage must not linger as a phantom REST namespace
+      fs.delete(new Path(stage), true)
+      // a stale CAS must refuse (head untouched); the fresh CAS commits
+      val conflict =
+        try { cli.commitAppend(Seq("db"), "state", files, require = Some(999L)); false }
+        catch { case _: CommitConflict => true }
+      val committed = cli.commitAppend(Seq("db"), "state", files,
+        require = Some(loaded0.currentSnapshotId))
+      // Spark reads through the REST catalog plugin
+      val rc = "graft_rest_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$rc", classOf[GraftRestCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$rc.uri", srv.baseUri)
+      s.conf.set(s"spark.sql.catalog.$rc.prefix", "lake")
+      s.conf.set(s"spark.sql.catalog.$rc.token", "graft-rest-token")
+      val agg = s.sql(
+        s"""SELECT count(*) AS n, sum(user_id) AS su,
+           |  count(DISTINCT _cdc_date) AS nd
+           |FROM $rc.db.state""".stripMargin).collect().head
+      // unauthorized access refused before any route logic
+      val anon = new RestCatalogClient(srv.baseUri, "lake", token = None)
+      val auth401 =
+        try { anon.listNamespaces(); false }
+        catch { case _: NotAuthorized => true }
+      Seq(
+        ("auth_401", flag(auth401)),
+        ("cas_conflict_409", flag(conflict)),
+        ("committed_snapshot", committed.currentSnapshotId),
+        ("files_committed_4", flag(files.size == 4)),
+        ("ns_created", flag(nsOk)),
+        ("read_days", agg.getLong(2)),
+        ("read_rows", agg.getLong(0)),
+        ("read_user_sum", agg.getLong(1)),
+        ("table_created", flag(loaded0.currentSnapshotId == 1L)))
+    } finally { cli.close(); srv.close() }
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val restCatalogRoundtripSql =
+    s"""$snapStateSql,
+       |s3 AS (SELECT * FROM state WHERE snap_id = 3),
+       |vals AS (SELECT * FROM (VALUES
+       |  ('auth_401', CAST(1 AS BIGINT)),
+       |  ('cas_conflict_409', CAST(1 AS BIGINT)),
+       |  ('committed_snapshot', CAST(2 AS BIGINT)),
+       |  ('files_committed_4', CAST(1 AS BIGINT)),
+       |  ('ns_created', CAST(1 AS BIGINT)),
+       |  ('read_days', (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM s3)),
+       |  ('read_rows', (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+       |  ('read_user_sum', (SELECT CAST(sum(user_id) AS BIGINT) FROM s3)),
+       |  ('table_created', CAST(1 AS BIGINT)))
+       |  AS t(step, result))
+       |SELECT step, result FROM vals ORDER BY step""".stripMargin
+
   // ---- runtime (DPP) filtering on the native batch scan: a star join
   // against a selectively-filtered parquet dimension hands the lake
   // scan its join-key days at RUNTIME, and the manifest skips every
@@ -933,6 +1038,8 @@ object SqlSurface extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
+    GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,
+      Some(restCatalogRoundtripSql)),
     GraftQuery("sql_runtime_filter", runtimeFilter, Some(runtimeFilterSql)),
     GraftQuery("sql_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     GraftQuery("sql_catalog_read", catalogRead, Some(catalogReadSql)),

@@ -1,0 +1,268 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.model.FieldIds
+import RestCatalogClient._
+
+/** The Iceberg REST catalog layer end-to-end: server over a
+  * [[SnapshotLog]] warehouse, client speaking the reference's wire
+  * shapes (ref internal/iceberg/catalog/rest.go), and the
+  * [[GraftRestCatalog]] Spark plugin reading REST-coordinated tables
+  * through the same manifest scan path as the directory catalog —
+  * metadata over HTTP, manifests and data from storage. */
+class RestCatalogSpec extends SparkTestBase {
+
+  private val Day = graft.model.SchemaBuilder.partitionColumn
+
+  private def fixture(): (RestCatalogServer, RestCatalogClient, String) = {
+    val wh = Files.createTempDirectory("graft-rest").toString
+    val srv = new RestCatalogServer(spark, wh, prefix = "lake",
+      authToken = Some("s3cr3t"))
+    val cli = new RestCatalogClient(srv.baseUri, "lake", token = Some("s3cr3t"))
+    (srv, cli, wh)
+  }
+
+  private val schema = StructType(Seq(
+    FieldIds.withId(StructField("id", LongType, nullable = false), 1),
+    FieldIds.withId(StructField("v", DoubleType), 2),
+    FieldIds.withId(StructField(Day, StringType), 3)))
+
+  /** Write one parquet data file of (id, v, day) rows under the table
+    * location and return its registration entry. */
+  private def writeFile(tableDir: String, name: String,
+                        rows: Seq[(Long, Double, String)]): RestDataFile = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-rest-stage").toString
+    rows.toDF("id", "v", Day).coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(stage))
+      .filter(st => st.getPath.getName.endsWith(".parquet")).head
+    val dest = new Path(tableDir, s"data/$name")
+    fs.mkdirs(dest.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, dest, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage), true)
+    val size = fs.getFileStatus(dest).getLen
+    val days = rows.map(_._3).distinct
+    RestDataFile(s"data/$name", rows.size.toLong, size,
+      partition = if (days.size == 1) Some(Day -> days.head) else None)
+  }
+
+  test("namespace lifecycle: create, exists, list, 404s, non-empty drop refused") {
+    val (srv, cli, _) = fixture()
+    try {
+      assert(!cli.namespaceExists(Seq("db")))
+      cli.createNamespace(Seq("db"))
+      assert(cli.namespaceExists(Seq("db")))
+      cli.createNamespace(Seq("db")) // idempotent (409 tolerated, ref rest.go:64)
+      assert(cli.listNamespaces() === Seq(Seq("db")))
+      assert(!cli.tableExists(Seq("db"), "ghost"))
+      intercept[NotFound] { cli.loadTable(Seq("db"), "ghost") }
+      cli.createTable(Seq("db"), "t", schema)
+      intercept[CommitConflict] { cli.dropNamespace(Seq("db")) } // non-empty → 409
+      assert(cli.dropTable(Seq("db"), "t"))
+      assert(cli.dropNamespace(Seq("db")))
+      assert(!cli.namespaceExists(Seq("db")))
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("create table honors client field ids and declared day spec; loadTable round-trips") {
+    val (srv, cli, wh) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      cli.createTable(Seq("db"), "t", schema) // idempotent
+      assert(cli.listTables(Seq("db")) === Seq("t"))
+      val t = cli.loadTable(Seq("db"), "t")
+      assert(t.location === s"$wh/db/t")
+      assert(t.currentSnapshotId === 1L)
+      assert(t.uuid === RestWire.tableUuid(s"$wh/db/t"))
+      assert(t.uuid === cli.loadTable(Seq("db"), "t").uuid) // stable identity
+      val cur = t.currentSchema.get
+      assert(cur.fieldNames.toSeq === Seq("id", "v", Day))
+      assert(FieldIds.idOf(cur("id")) === Some(1))
+      assert(FieldIds.idOf(cur(Day)) === Some(3))
+      assert(cur("id").nullable === false) // required round-trips
+      // the declared schema's ids are authoritative on the stored manifest
+      val snap = SnapshotLog.currentSnapshot(spark, t.location).get
+      assert(FieldIds.idOf(snap.schema("id")) === Some(1))
+      assert(t.refs("main").snapshotId === 1L)
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("conditional append commit: files land, requirement CAS, 409 on stale head") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val f1 = writeFile(loc, "d1.parquet",
+        Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01")))
+      val f2 = writeFile(loc, "d2.parquet", Seq((3L, 3.0, "2024-01-02")))
+      val committed = cli.commitAppend(Seq("db"), "t", Seq(f1, f2),
+        require = Some(1L))
+      assert(committed.currentSnapshotId === 2L)
+      // stale CAS → 409, head unmoved
+      val f3 = writeFile(loc, "d3.parquet", Seq((4L, 4.0, "2024-01-03")))
+      intercept[CommitConflict] {
+        cli.commitAppend(Seq("db"), "t", Seq(f3), require = Some(1L))
+      }
+      assert(cli.loadTable(Seq("db"), "t").currentSnapshotId === 2L)
+      // fresh CAS commits; unconditional append also commits (ref sends
+      // empty requirements — appends commute)
+      assert(cli.commitAppend(Seq("db"), "t", Seq(f3),
+        require = Some(2L)).currentSnapshotId === 3L)
+      val f4 = writeFile(loc, "d4.parquet", Seq((5L, 5.0, "2024-01-03")))
+      assert(cli.commitAppend(Seq("db"), "t", Seq(f4))
+        .currentSnapshotId === 4L)
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.map(_.path).toSet ===
+        Set("data/d1.parquet", "data/d2.parquet", "data/d3.parquet", "data/d4.parquet"))
+      assert(snap.totalRows === 5L)
+      // partition values landed under the declared identity spec
+      assert(snap.files.forall(_.spec.contains("identity")))
+      assert(snap.files.find(_.path == "data/d2.parquet").get.partition === "2024-01-02")
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("Spark reads a REST table through GraftRestCatalog: pruning, time travel, refs") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val f1 = writeFile(loc, "d1.parquet",
+        Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01")))
+      val f2 = writeFile(loc, "d2.parquet", Seq((3L, 3.0, "2024-01-02")))
+      cli.commitAppend(Seq("db"), "t", Seq(f1), require = Some(1L))
+      cli.commitAppend(Seq("db"), "t", Seq(f2), require = Some(2L))
+      SnapshotLog.tag(spark, loc, "audit", 2L)
+
+      val cat = "rtest"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.db.t").collect().head.getLong(0) === 6L)
+      // the day filter prunes manifest entries before any footer opens
+      assert(spark.sql(
+        s"SELECT id FROM $cat.db.t WHERE $Day = '2024-01-02'")
+        .collect().map(_.getLong(0)).toSeq === Seq(3L))
+      val (kept, total) = GraftScanStats.lastScan(loc).get
+      assert(total === 2L && kept === 1L)
+      // time travel: snapshot id, tag (ANY catalog client's ref), future ts
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 2")
+        .collect().head.getLong(0) === 2L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 'audit'")
+        .collect().head.getLong(0) === 2L)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.t TIMESTAMP AS OF '2100-01-01 00:00:00'")
+        .collect().head.getLong(0) === 3L)
+      // catalog exploration through the plugin
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0))
+        .toSeq === Seq("db"))
+      assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+        .map(_.getAs[String]("tableName")).toSeq === Seq("t"))
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("unpartitioned files ride the explicit marker — day filters never wrongly prune") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "u", schema) // no declared spec
+      val loc = cli.loadTable(Seq("db"), "u").location
+      // a file spanning two days registers with NO partition value
+      val f = writeFile(loc, "mix.parquet",
+        Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-02"))).copy(partition = None)
+      cli.commitAppend(Seq("db"), "u", Seq(f), require = Some(1L))
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.head.spec.contains("unpartitioned"))
+      val cat = "rtest2"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      // the day predicate must NOT prune the mixed file away
+      assert(spark.sql(
+        s"SELECT id FROM $cat.db.u WHERE $Day = '2024-01-02'")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("commit safety: foreign paths, escapes, unknown requirement/update kinds refused") {
+    val (srv, cli, wh) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema)
+      // a data file OUTSIDE the table location is refused
+      intercept[RestCatalogError] {
+        cli.commitAppend(Seq("db"), "t",
+          Seq(RestDataFile("/etc/passwd", 1L, 1L)))
+      }
+      intercept[RestCatalogError] {
+        cli.commitAppend(Seq("db"), "t",
+          Seq(RestDataFile("data/../../../other/f.parquet", 1L, 1L)))
+      }
+      // raw requests: unknown requirement and update kinds are 400 —
+      // fail closed, never silently accepted
+      val http = HttpClient.newHttpClient()
+      def post(body: String): Int = {
+        val req = HttpRequest.newBuilder(
+          URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/t"))
+          .header("Authorization", "Bearer s3cr3t")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        http.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(post("""{"requirements":[{"type":"assert-last-assigned-field-id","last-assigned-field-id":3}],"updates":[]}""") === 400)
+      assert(post("""{"requirements":[],"updates":[{"action":"set-properties","updates":{"k":"v"}}]}""") === 400)
+      // auth: wrong/missing token → 401 before any route logic
+      val anon = new RestCatalogClient(srv.baseUri, "lake", token = None)
+      intercept[NotAuthorized] { anon.namespaceExists(Seq("db")) }
+      // unknown warehouse prefix → 404
+      val wrong = new RestCatalogClient(srv.baseUri, "other", token = Some("s3cr3t"))
+      intercept[NotFound] { wrong.loadTable(Seq("db"), "t") }
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("config endpoint advertises the prefix; wire shapes match the reference client") {
+    val (srv, cli, _) = fixture()
+    try {
+      val http = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/config"))
+        .header("Authorization", "Bearer s3cr3t").GET().build()
+      val body = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains(""""prefix":"lake""""))
+      // the reference's exact createTable request body (rest.go:115-123)
+      // is accepted verbatim
+      cli.createNamespace(Seq("db"))
+      val create = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables"))
+        .header("Authorization", "Bearer s3cr3t")
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"wire","schema":{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"id","type":"long","required":true},
+            |{"id":2,"name":"payload","type":"string","required":false},
+            |{"id":3,"name":"ts","type":"timestamp","required":false}]},
+            |"partition-spec":{"spec-id":0,"fields":[
+            |{"source-id":3,"field-id":1000,"name":"ts_day","transform":"day"}]},
+            |"write-order":null,"stage-create":false,"properties":{}}""".stripMargin))
+        .build()
+      val resp = http.send(create, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      // and the response decodes through the client's parser
+      val t = cli.loadTable(Seq("db"), "wire")
+      assert(t.currentSchema.get("ts").dataType === TimestampNTZType)
+      assert(t.currentSchema.get("id").nullable === false)
+    } finally { srv.close(); cli.close() }
+  }
+}
