@@ -80,7 +80,12 @@ final class RestCatalogClient(baseUri: String, prefix: String,
       errMessage(j))
   }
 
-  private def nsSeg(ns: Seq[String]): String = ns.mkString(NsSep.toString)
+  /** Multi-level namespaces join with the PERCENT-ENCODED unit
+    * separator — the raw control character is illegal in a URI path
+    * ([[java.net.URI.create]] throws), `%1F` is the spec's convention,
+    * and the server's decoded path splits it back out. Level names
+    * themselves are identifier-charset (no reserved URI characters). */
+  private def nsSeg(ns: Seq[String]): String = ns.mkString("%1F")
 
   // ---- the reference Catalog interface -----------------------------
 
@@ -325,14 +330,26 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     spark.conf.getOption(s"spark.sql.catalog.$catName.$key")
       .orElse(Option(initOpts.get(key)))
 
-  /** A fresh lightweight client per operation, configured off the live
-    * session conf — the same re-read-on-resolution rule
-    * [[GraftCatalog.warehouse]] applies, so tests can retarget the
-    * catalog after Spark caches the plugin instance. */
+  /** One client per resolved (uri, prefix, token), memoized: the conf
+    * is re-read on every resolution (the same retargeting rule
+    * [[GraftCatalog.warehouse]] follows) but the underlying JDK
+    * HttpClient — a selector thread + connection pool — is only rebuilt
+    * when the conf actually changed, so a metadata-heavy plan reuses
+    * one client and its connections instead of leaking one per call. */
+  @volatile private var memo: (String, String, Option[String], RestCatalogClient) = null
+
   private def client: RestCatalogClient = {
     val uri = opt("uri").getOrElse(throw new IllegalStateException(
       s"spark.sql.catalog.$catName.uri is not set"))
-    new RestCatalogClient(uri, opt("prefix").getOrElse("graft"), opt("token"))
+    val prefix = opt("prefix").getOrElse("graft")
+    val token = opt("token")
+    val m = memo
+    if (m != null && m._1 == uri && m._2 == prefix && m._3 == token) m._4
+    else {
+      val c = new RestCatalogClient(uri, prefix, token)
+      memo = (uri, prefix, token, c)
+      c
+    }
   }
 
   private def graftTable(ident: Identifier, snapId: Option[Long] = None): Table = {
@@ -379,9 +396,12 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
       try c.loadTable(ident.namespace.toSeq, ident.name)
       catch { case _: RestCatalogClient.NotFound => throw new NoSuchTableException(ident) }
     val tsMs = timestampMicros / 1000L
+    // tie-break on id: same-millisecond commits must resolve to the
+    // NEWEST snapshot, matching SnapshotLog.snapshotAsOfTime's binary
+    // search (which keeps the last id at a given wall-clock)
     val id = t.snapshots.filter(_.timestampMs <= tsMs) match {
       case Nil => throw new NoSuchTableException(ident)
-      case ss  => ss.maxBy(_.timestampMs).id
+      case ss  => ss.maxBy(s => (s.timestampMs, s.id)).id
     }
     new GraftTable(s"$catName.${(ident.namespace :+ ident.name).mkString(".")}",
       t.location, SnapshotLog.snapshotAt(spark, t.location, id))

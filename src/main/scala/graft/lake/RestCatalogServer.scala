@@ -223,20 +223,31 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     } finally ex.close()
   }
 
+  /** EVERY path identifier validates before any filesystem resolution
+    * (the same pre-SQL rule [[graft.api.ApiServer]] applies): the
+    * identifier charset admits no `.`, `/`, or scheme separators, so a
+    * traversal like `namespaces/..` or a scheme-qualified segment can
+    * never reach `dirOf` — 400, not a probe of the server's disk. */
+  private def checkedNs(seg: String): Seq[String] = {
+    val parts = nsParts(seg)
+    parts.foreach(Identifiers.validate(_, "namespace"))
+    parts
+  }
+
   private def route(ex: HttpExchange, method: String, rest: Seq[String]): Unit =
     (method, rest) match {
       case ("GET", Seq("namespaces"))            => listNamespaces(ex)
       case ("POST", Seq("namespaces"))           => createNamespace(ex)
-      case ("GET" | "HEAD", Seq("namespaces", ns))   => getNamespace(ex, nsParts(ns))
-      case ("DELETE", Seq("namespaces", ns))     => dropNamespace(ex, nsParts(ns))
-      case ("GET", Seq("namespaces", ns, "tables")) => listTables(ex, nsParts(ns))
-      case ("POST", Seq("namespaces", ns, "tables")) => createTable(ex, nsParts(ns))
+      case ("GET" | "HEAD", Seq("namespaces", ns))   => getNamespace(ex, checkedNs(ns))
+      case ("DELETE", Seq("namespaces", ns))     => dropNamespace(ex, checkedNs(ns))
+      case ("GET", Seq("namespaces", ns, "tables")) => listTables(ex, checkedNs(ns))
+      case ("POST", Seq("namespaces", ns, "tables")) => createTable(ex, checkedNs(ns))
       case ("GET" | "HEAD", Seq("namespaces", ns, "tables", t)) =>
-        loadTable(ex, nsParts(ns), t)
+        loadTable(ex, checkedNs(ns), Identifiers.validate(t, "table"))
       case ("POST", Seq("namespaces", ns, "tables", t)) =>
-        commitTable(ex, nsParts(ns), t)
+        commitTable(ex, checkedNs(ns), Identifiers.validate(t, "table"))
       case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
-        dropTable(ex, nsParts(ns), t)
+        dropTable(ex, checkedNs(ns), Identifiers.validate(t, "table"))
       case _ => halt(404, "not found", "NotFoundException")
     }
 
@@ -468,14 +479,20 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       .map { case (id, json) =>
         schemaJson(DataType.fromJson(json).asInstanceOf[StructType], id)
       }
-    val allSnaps = SnapshotLog.snapshots(spark, dir)
+    // headers + filename-listed branch heads only: a metadata request
+    // must stay O(history) SMALL reads, never O(history × files)
+    // manifest resolution (segments resolve once, for the pinned snap)
+    val allSnaps = SnapshotLog.snapshotHeaders(spark, dir)
     val tags = SnapshotLog.tags(spark, dir)
     val branches = SnapshotLog.branches(spark, dir)
-      .map(b => b -> SnapshotLog.branchHead(spark, dir, b).id)
+      .map(b => b -> SnapshotLog.branchHeadId(spark, dir, b))
+    // a Map keeps ref names unique in the rendered JSON — the implicit
+    // main branch wins over any user ref that took the reserved name
     val refs =
-      (("main" -> (snap.id, "branch")) +:
-        (tags.toSeq.map { case (n, id) => n -> (id, "tag") } ++
-          branches.map { case (n, id) => n -> (id, "branch") }))
+      ((tags.toSeq.map { case (n, id) => n -> (id, "tag") } ++
+        branches.map { case (n, id) => n -> (id, "branch") }).toMap +
+        ("main" -> (snap.id, "branch")))
+        .toSeq.sortBy(_._1)
         .map { case (n, (id, kind)) => n -> JObject(
           "snapshot-id" -> JInt(BigInt(id)), "type" -> JString(kind)) }
     val metadata = JObject(
@@ -502,7 +519,7 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       "refs" -> JObject(refs.toList))
     JObject(
       "metadata-location" ->
-        JString(s"$dir/${SnapshotLog.MetaDirName}/snap-${snap.id}"),
+        JString(f"$dir/${SnapshotLog.MetaDirName}/snap-${snap.id}%012d.json"),
       "metadata" -> metadata)
   }
 
@@ -586,9 +603,11 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         case JInt(n) if n >= 0 => n.toLong
         case _                 => 0L
       }
-      // resolve INSIDE the table location only — never a foreign path
+      // resolve INSIDE the table location only — never a foreign path.
+      // ANY scheme marks the path absolute (`file:/x` carries no `://`
+      // yet Hadoop's child-with-scheme resolution would still escape)
       val rel =
-        if (path.startsWith("/") || path.contains("://")) {
+        if (path.startsWith("/") || new Path(path).toUri.getScheme != null) {
           val abs = new Path(path).toUri.normalize()
           val root = tableRoot.getPath.stripSuffix("/") + "/"
           if (abs.getPath == null || !abs.getPath.startsWith(root))
@@ -605,8 +624,21 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           val d = declared.getOrElse(halt(400,
             "data file carries a partition but the table declares no spec",
             "BadRequestException"))
+          // values arrive as whatever JSON scalar the writer chose
+          // (year/hour transform values are canonically integers) —
+          // canonicalize to the manifest's string vocabulary
           val v = fields.collectFirst {
-            case (n, JString(value)) if n == d.fieldName => value
+            case (n, value) if n == d.fieldName => value match {
+              case JString(s)  => s
+              case JInt(i)     => i.toString
+              case JLong(l)    => l.toString
+              case JDouble(x)  => x.toString
+              case JDecimal(x) => x.toString
+              case JBool(b)    => b.toString
+              case other => halt(400,
+                s"unsupported partition value $other for '${d.fieldName}'",
+                "BadRequestException")
+            }
           }.getOrElse(halt(400,
             s"partition map misses declared field '${d.fieldName}'",
             "BadRequestException"))
@@ -649,8 +681,17 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       }
       cur match {
         case Some(c) =>
-          SnapshotLog.commit(spark, dir, "append", c.files ++ files, c.schema,
-            parent = Some(c), deletes = c.deletes, posDeletes = c.posDeletes)
+          // withTableLock is JVM-local: a FOREIGN-process writer landing
+          // between the head read and the manifest publish surfaces as
+          // ConcurrentCommitException — that is the client's 409 retry
+          // signal (Iceberg's CommitFailedException), never a 500
+          try SnapshotLog.commit(spark, dir, "append", c.files ++ files,
+            c.schema, parent = Some(c), deletes = c.deletes,
+            posDeletes = c.posDeletes)
+          catch {
+            case e: SnapshotLog.ConcurrentCommitException =>
+              halt(409, String.valueOf(e.getMessage), "CommitFailedException")
+          }
         case None =>
           halt(409, s"table ${(ns :+ t).mkString(".")} has no current snapshot",
             "CommitFailedException")

@@ -552,6 +552,50 @@ object SnapshotLog {
       .sortBy(_.id)
   }
 
+  /** Header view of one committed snapshot — the catalog-surface
+    * fields, resolvable without touching segments or file lists. */
+  final case class SnapshotHeader(id: Long, parentId: Option[Long],
+                                  tsMs: Long, operation: String,
+                                  schemaId: Int)
+
+  /** All snapshot HEADERS, ascending id: one small-JSON parse per
+    * retained manifest, segments never resolved — the metadata-serving
+    * path ([[RestCatalogServer]]) must not pay O(history × files) per
+    * request the way [[snapshots]] does. */
+  def snapshotHeaders(spark: SparkSession,
+                      tableDir: String): Seq[SnapshotHeader] = {
+    val (fs, root) = fsOf(spark, tableDir)
+    val md = metaDir(root)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case SnapRe(_) => Some(st.getPath)
+        case _         => None
+      })
+      .map { p =>
+        val n = mapper.readTree(readFully(fs, p))
+        SnapshotHeader(n.get("id").asLong(),
+          Option(n.get("parent_id")).map(_.asLong()),
+          n.get("ts_ms").asLong(), n.get("operation").asText(),
+          Option(n.get("schema_id")).map(_.asInt()).getOrElse(0))
+      }
+      .sortBy(_.id)
+  }
+
+  /** The branch's head snapshot ID from the filename listing alone —
+    * the newest staged manifest, or the base when nothing is staged. */
+  def branchHeadId(spark: SparkSession, tableDir: String,
+                   name: String): Long = {
+    val base = branchBase(spark, tableDir, name) // existence check
+    val (fs, root) = fsOf(spark, tableDir)
+    fs.listStatus(branchDir(root, name)).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case SnapRe(id) if st.isFile => Some(id.toLong)
+        case _                       => None
+      })
+      .maxOption.getOrElse(base)
+  }
+
   /** Retained snapshot ids, ascending — a pure FILENAME listing, no
     * manifest is parsed. The window/history readers below resolve ids
     * first and parse only the manifests they need: each manifest carries

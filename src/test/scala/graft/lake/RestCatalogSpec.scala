@@ -232,6 +232,126 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("multi-level namespaces round-trip percent-encoded") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createNamespace(Seq("tier", "bronze"))
+      assert(cli.namespaceExists(Seq("tier", "bronze")))
+      assert(!cli.namespaceExists(Seq("tier", "silver")))
+      cli.createTable(Seq("tier", "bronze"), "t", schema)
+      assert(cli.listTables(Seq("tier", "bronze")) === Seq("t"))
+      assert(cli.loadTable(Seq("tier", "bronze"), "t").currentSnapshotId === 1L)
+      assert(cli.dropTable(Seq("tier", "bronze"), "t"))
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("path traversal in URL identifiers is refused before any filesystem touch") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema)
+      val http = HttpClient.newHttpClient()
+      def status(method: String, path: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+          .header("Authorization", "Bearer s3cr3t")
+        val req = (method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString("{}"))
+        }).build()
+        http.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(status("GET", "/catalog/v1/lake/namespaces/..") === 400)
+      assert(status("GET", "/catalog/v1/lake/namespaces/..%1F../tables") === 400)
+      assert(status("DELETE", "/catalog/v1/lake/namespaces/db/tables/..") === 400)
+      assert(status("POST", "/catalog/v1/lake/namespaces/db/tables/has.dot") === 400)
+      // scheme-qualified data-file path without '://' must not pass as
+      // relative (Hadoop child-with-scheme resolution would escape)
+      intercept[RestCatalogError] {
+        cli.commitAppend(Seq("db"), "t",
+          Seq(RestDataFile("file:/etc/passwd", 1L, 1L)))
+      }
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("foreign-process commit race surfaces as 409, not 500") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val f = writeFile(loc, "d1.parquet", Seq((1L, 1.0, "2024-01-01")))
+      // inject a foreign commit between the server's head read and its
+      // manifest publish (the hook fires inside SnapshotLog.commit;
+      // the flag stops the injected commit from recursing)
+      @volatile var injected = false
+      SnapshotLog.commitTestHook = (dir, _) => {
+        if (dir == loc && !injected) {
+          injected = true
+          val c = SnapshotLog.currentSnapshot(spark, loc).get
+          SnapshotLog.commit(spark, loc, "append", c.files, c.schema, Some(c))
+        }
+      }
+      try {
+        intercept[CommitConflict] {
+          cli.commitAppend(Seq("db"), "t", Seq(f))
+        }
+      } finally SnapshotLog.commitTestHook = (_, _) => ()
+      assert(injected)
+      // the client's contract: reload and retry lands the commit
+      val head = cli.loadTable(Seq("db"), "t").currentSnapshotId
+      assert(cli.commitAppend(Seq("db"), "t", Seq(f), require = Some(head))
+        .currentSnapshotId === head + 1)
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("metadata-location names the real manifest; refs keys stay unique; numeric partition values canonicalize") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      // the reserved name is refused at the ref layer itself, so the
+      // refs object can never carry a duplicate 'main' key; the Map
+      // construction in loadTableBody is defense in depth
+      intercept[IllegalArgumentException] {
+        SnapshotLog.tag(spark, loc, "main", 1L)
+      }
+      SnapshotLog.tag(spark, loc, "audit", 1L)
+      val http = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/t"))
+        .header("Authorization", "Bearer s3cr3t").GET().build()
+      val body = http.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      val parsed = org.json4s.jackson.JsonMethods.parse(body)
+      val mloc = (parsed \ "metadata-location") match {
+        case org.json4s.JString(p) => p
+        case other                 => fail(s"no metadata-location: $other")
+      }
+      val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new Path(mloc)), s"metadata-location $mloc does not exist")
+      (parsed \ "metadata" \ "refs") match {
+        case org.json4s.JObject(fields) =>
+          assert(fields.map(_._1).count(_ == "main") === 1)
+          assert(fields.map(_._1).distinct.size === fields.size)
+        case other => fail(s"refs not an object: $other")
+      }
+      // a numeric partition value is accepted and canonicalized
+      val f = writeFile(loc, "d1.parquet", Seq((1L, 1.0, "20240102")))
+      val commit = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/t"))
+        .header("Authorization", "Bearer s3cr3t")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[],"updates":[{"action":"append","append":
+             |{"data-files":[{"file-path":"${f.path}","file-format":"parquet",
+             |"record-count":1,"file-size-in-bytes":${f.sizeBytes},
+             |"partition":{"$Day":20240102}}]}}]}""".stripMargin)).build()
+      assert(http.send(commit, HttpResponse.BodyHandlers.ofString())
+        .statusCode() === 200)
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.head.partition === "20240102")
+    } finally { srv.close(); cli.close() }
+  }
+
   test("config endpoint advertises the prefix; wire shapes match the reference client") {
     val (srv, cli, _) = fixture()
     try {
