@@ -1835,6 +1835,68 @@ object SnapshotLog {
     * delete files — ONE multi-path scan, size-gated from manifest bytes
     * for the anti-join above the stored side. Shared by the V1 MOR read
     * and the columnar MOR rewrite so the two paths cannot drift. */
+  // ---- content-addressed delete-frame cache -------------------------
+  // Delete files are immutable once committed, so the MATERIALIZED
+  // small-side frames (distinct pos-delete slots, per-key newest
+  // eq-delete seq) are pure functions of (table lineage root, delete
+  // file paths + seqs [, key schema]). Repeated reads of the same MOR
+  // snapshot — the steady state between foldDeletes runs — pay the
+  // delete-side listing + parquet scan ONCE; afterwards the frame
+  // rebuilds as a LocalRelation from cached rows: no driver listing,
+  // no executor re-read, fresh attribute ids per use (self-joins stay
+  // sound — nothing plan-shaped is ever shared across queries).
+  // Only broadcast-sized sets materialize (the same gate [[sizeGated]]
+  // applies): a huge delete set must never collect to the driver.
+
+  private val deleteFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  private val deleteFrameRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val DeleteFrameRowBudget = 2L * 1000 * 1000
+  /** Builds actually executed (cache misses) — observability for specs. */
+  private[lake] val deleteFrameBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def deleteCacheEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.deleteFrameCache.enabled")
+      .forall(_ == "true")
+
+  /** Broadcast-threshold bytes the size gate uses (-1 = disabled). */
+  private def broadcastThresholdBytes(spark: SparkSession): Long = {
+    val raw = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .getOrElse("10MB").trim
+    if (raw.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    catch { case _: Exception => 10L * 1024 * 1024 }
+  }
+
+  /** Serve `build`'s rows from the content cache when the estimate is
+    * broadcast-sized; rebuilds a fresh LocalRelation per use under the
+    * caller's schema (column names are caller-chosen, rows are not). */
+  private def deleteFrameCached(spark: SparkSession, key: String,
+                                outSchema: StructType, estBytes: Long)
+                               (build: => DataFrame): DataFrame = {
+    val threshold = broadcastThresholdBytes(spark)
+    if (!deleteCacheEnabled(spark) || threshold <= 0 ||
+        estBytes < 0 || estBytes > threshold) {
+      deleteFrameBuilds.incrementAndGet()
+      return build
+    }
+    val hit = deleteFrameCache.get(key)
+    val rows =
+      if (hit != null) hit
+      else {
+        deleteFrameBuilds.incrementAndGet()
+        val collected = build.collect()
+        if (deleteFrameRows.get() + collected.length > DeleteFrameRowBudget) {
+          deleteFrameCache.clear()
+          deleteFrameRows.set(0L)
+        }
+        if (deleteFrameCache.put(key, collected) == null)
+          deleteFrameRows.addAndGet(collected.length.toLong)
+        collected
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
   private[lake] def posDeleteSlotsFrame(spark: SparkSession, tableDir: String,
                                         snap: Snapshot, absCol: String,
                                         posCol: String): DataFrame = {
@@ -1844,11 +1906,21 @@ object SnapshotLog {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("pos",
         org.apache.spark.sql.types.LongType)))
-    val dels = spark.read.schema(posSchema)
-      .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
-      .select(concat(lit(s"${absRoot(root)}/"), col("file")).as(absCol),
-        col("pos").as(posCol)).distinct()
-    sizeGated(spark, dels, estInMemory(snap.posDeletes.map(_.sizeBytes).sum))
+    val est = estInMemory(snap.posDeletes.map(_.sizeBytes).sum)
+    val key = s"pos|${absRoot(root)}|" + snap.posDeletes
+      .map(p => s"${p.path}@${p.seq}#${p.sizeBytes}").sorted.mkString(",")
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(absCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(posCol,
+        org.apache.spark.sql.types.LongType)))
+    val dels = deleteFrameCached(spark, key, outSchema, est) {
+      spark.read.schema(posSchema)
+        .parquet(snap.posDeletes.map(p => s"$tableDir/${p.path}"): _*)
+        .select(concat(lit(s"${absRoot(root)}/"), col("file")).as(absCol),
+          col("pos").as(posCol)).distinct()
+    }
+    sizeGated(spark, dels, est)
   }
 
   /** One row per equality-deleted key with the NEWEST delete seq — a
@@ -1866,17 +1938,27 @@ object SnapshotLog {
     val eqCols = eqColSets.head
     val keySchema = StructType(eqCols.map(c => schema(c)))
     val (_, root) = fsOf(spark, tableDir)
-    import spark.implicits._
-    val seqOfDelete = broadcast(
-      snap.deletes.map(d => (absKey(root, d.path), d.seq))
-        .toDF("_dabs", "_dseq"))
-    val delMax = spark.read.schema(keySchema)
-      .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
-      .withColumn("_dabs",
-        regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
-      .join(seqOfDelete, Seq("_dabs"), "inner")
-      .groupBy(eqCols.map(col): _*).agg(max(col("_dseq")).as(seqCol))
-    sizeGated(spark, delMax, estInMemory(snap.deletes.map(_.sizeBytes).sum))
+    val est = estInMemory(snap.deletes.map(_.sizeBytes).sum)
+    // key carries the key-column schema: a type-evolving era must not
+    // serve rows collected under the old key types
+    val key = s"eq|${absRoot(root)}|${keySchema.json}|" + snap.deletes
+      .map(d => s"${d.path}@${d.seq}#${d.sizeBytes}").sorted.mkString(",")
+    val outSchema = StructType(keySchema.fields.map(_.copy(nullable = true)) :+
+      org.apache.spark.sql.types.StructField(seqCol,
+        org.apache.spark.sql.types.LongType))
+    val delMax = deleteFrameCached(spark, key, outSchema, est) {
+      import spark.implicits._
+      val seqOfDelete = broadcast(
+        snap.deletes.map(d => (absKey(root, d.path), d.seq))
+          .toDF("_dabs", "_dseq"))
+      spark.read.schema(keySchema)
+        .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
+        .withColumn("_dabs",
+          regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
+        .join(seqOfDelete, Seq("_dabs"), "inner")
+        .groupBy(eqCols.map(col): _*).agg(max(col("_dseq")).as(seqCol))
+    }
+    sizeGated(spark, delMax, est)
   }
 
   /** Lineage rows → table-relative `(file, pos)` slots (the manifest's
