@@ -1847,6 +1847,15 @@ object SnapshotLog {
   // sound — nothing plan-shaped is ever shared across queries).
   // Only broadcast-sized sets materialize (the same gate [[sizeGated]]
   // applies): a huge delete set must never collect to the driver.
+  //
+  // Known cost, accepted: broadcasting a LocalRelation runs one small
+  // parallelize job first (BroadcastExchangeExec materializes via
+  // executeCollectIterator, which LocalTableScanExec does not override
+  // with a driver-local path), so each task of that job carries its
+  // slice of the cached rows — Spark may warn about >1 MiB tasks on
+  // multi-MB sets. Total bytes moved equal ONE broadcast's worth
+  // (threshold-bounded), strictly less than the uncached path's
+  // per-query delete-file scan + aggregate + identical broadcast.
 
   private val deleteFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
