@@ -1791,12 +1791,7 @@ object SnapshotLog {
   private[lake] def sizeGated(spark: SparkSession, small: DataFrame,
                               estBytes: Long): DataFrame = {
     if (estBytes < 0) return small
-    val raw = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .getOrElse("10MB").trim
-    val threshold =
-      if (raw.startsWith("-")) -1L // broadcast disabled
-      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      catch { case _: Exception => 10L * 1024 * 1024 }
+    val threshold = broadcastThresholdBytes(spark)
     if (threshold > 0 && estBytes <= threshold) broadcast(small)
     else small.hint("shuffle_hash")
   }
@@ -1857,18 +1852,36 @@ object SnapshotLog {
   // (threshold-bounded), strictly less than the uncached path's
   // per-query delete-file scan + aggregate + identical broadcast.
 
+  /** (key → catalyst rows), LRU in ACCESS order, guarded by its own
+    * monitor; `deleteFrameRowsHeld` (same monitor) tracks the row
+    * budget so eviction trims least-recently-used entries — superseded
+    * delete-era keys age out individually, never a whole-cache clear. */
   private val deleteFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
-  private val deleteFrameRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.catalyst.InternalRow]](
+      16, 0.75f, true)
+  private var deleteFrameRowsHeld = 0L
   private val DeleteFrameRowBudget = 2L * 1000 * 1000
-  /** Builds actually executed (cache misses) — observability for specs. */
+  /** A key never enters the cache on FIRST sighting — plan-time frame
+    * construction (EXPLAIN, the MOR rewrite inside analysis) must not
+    * run collect jobs for one-off plans. A repeated key is a proven
+    * re-read; only that pays the one collect that fills the cache.
+    * Bounded LRU so the sighting record itself cannot grow unbounded. */
+  private val deleteFrameSeen = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 4096
+    })
+  /** Frame builds actually planned (cache misses) — spec observability. */
   private[lake] val deleteFrameBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def deleteCacheEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.deleteFrameCache.enabled")
       .forall(_ == "true")
 
-  /** Broadcast-threshold bytes the size gate uses (-1 = disabled). */
+  /** Broadcast-threshold bytes the size gate uses (-1 = disabled) —
+    * the ONE parse shared with [[sizeGated]], so "only broadcast-sized
+    * sets materialize" and "broadcast it" can never disagree. */
   private def broadcastThresholdBytes(spark: SparkSession): Long = {
     val raw = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       .getOrElse("10MB").trim
@@ -1877,9 +1890,23 @@ object SnapshotLog {
     catch { case _: Exception => 10L * 1024 * 1024 }
   }
 
+  /** The cached rows as a fresh LocalRelation under the caller's
+    * schema: attribute ids are minted per use (self-joins stay sound)
+    * while the row payload — already catalyst-converted — is shared,
+    * so a cache hit is O(1) driver work. */
+  private def localFrame(spark: SparkSession, outSchema: StructType,
+                         rows: Array[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(outSchema)
+    org.apache.spark.sql.classic.GraftShim.ofRows(castToImpl(spark),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        attrs, rows.toSeq, isStreaming = false))
+  }
+
   /** Serve `build`'s rows from the content cache when the estimate is
-    * broadcast-sized; rebuilds a fresh LocalRelation per use under the
-    * caller's schema (column names are caller-chosen, rows are not). */
+    * broadcast-sized. First sighting of a key stays LAZY (the built
+    * frame is returned unexecuted); a repeated key collects once and
+    * every later use rebuilds a [[localFrame]] from the cached rows. */
   private def deleteFrameCached(spark: SparkSession, key: String,
                                 outSchema: StructType, estBytes: Long)
                                (build: => DataFrame): DataFrame = {
@@ -1889,21 +1916,31 @@ object SnapshotLog {
       deleteFrameBuilds.incrementAndGet()
       return build
     }
-    val hit = deleteFrameCache.get(key)
-    val rows =
-      if (hit != null) hit
-      else {
-        deleteFrameBuilds.incrementAndGet()
-        val collected = build.collect()
-        if (deleteFrameRows.get() + collected.length > DeleteFrameRowBudget) {
-          deleteFrameCache.clear()
-          deleteFrameRows.set(0L)
+    val hit = deleteFrameCache.synchronized { deleteFrameCache.get(key) }
+    if (hit != null) return localFrame(spark, outSchema, hit)
+    deleteFrameBuilds.incrementAndGet()
+    val df = build
+    val seenBefore = deleteFrameSeen.put(key, java.lang.Boolean.TRUE) != null
+    if (!seenBefore) return df
+    // executeCollect returns freshly-deserialized rows — safe to retain
+    val rows = df.queryExecution.executedPlan.executeCollect()
+    // an entry that alone dwarfs the budget is served once, not cached:
+    // admitting it would evict everything else for one pathological set
+    if (rows.length <= DeleteFrameRowBudget / 4) deleteFrameCache.synchronized {
+      if (!deleteFrameCache.containsKey(key)) {
+        deleteFrameCache.put(key, rows)
+        deleteFrameRowsHeld += rows.length
+        val it = deleteFrameCache.entrySet().iterator()
+        while (deleteFrameRowsHeld > DeleteFrameRowBudget && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            deleteFrameRowsHeld -= e.getValue.length
+            it.remove()
+          }
         }
-        if (deleteFrameCache.put(key, collected) == null)
-          deleteFrameRows.addAndGet(collected.length.toLong)
-        collected
       }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    }
+    localFrame(spark, outSchema, rows)
   }
 
   private[lake] def posDeleteSlotsFrame(spark: SparkSession, tableDir: String,

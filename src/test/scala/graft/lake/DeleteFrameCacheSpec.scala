@@ -44,19 +44,22 @@ class DeleteFrameCacheSpec extends SparkTestBase {
     def readIds(): Set[Long] = SnapshotLog.readCurrent(spark, dir).get
       .select("id").collect().map(_.getLong(0)).toSet
 
+    // read 1: first sighting stays LAZY (no plan-time collect jobs);
+    // read 2: the repeated key collects once and fills the cache;
+    // reads 3+: pure hits — zero frame builds
     assert(readIds() === (4L to 10L).toSet)
-    val afterFirst = SnapshotLog.deleteFrameBuilds.get()
-    // an identical re-read is a pure cache hit — zero frame builds
     assert(readIds() === (4L to 10L).toSet)
-    assert(SnapshotLog.deleteFrameBuilds.get() === afterFirst)
+    val afterFill = SnapshotLog.deleteFrameBuilds.get()
     assert(readIds() === (4L to 10L).toSet)
-    assert(SnapshotLog.deleteFrameBuilds.get() === afterFirst)
+    assert(SnapshotLog.deleteFrameBuilds.get() === afterFill)
+    assert(readIds() === (4L to 10L).toSet)
+    assert(SnapshotLog.deleteFrameBuilds.get() === afterFill)
 
     // the uncached path agrees exactly
     spark.conf.set("spark.graft.deleteFrameCache.enabled", "false")
     try {
       assert(readIds() === (4L to 10L).toSet)
-      assert(SnapshotLog.deleteFrameBuilds.get() > afterFirst)
+      assert(SnapshotLog.deleteFrameBuilds.get() > afterFill)
     } finally spark.conf.set("spark.graft.deleteFrameCache.enabled", "true")
 
     // a NEW delete commit changes the content key → rebuild, new answer
@@ -64,7 +67,8 @@ class DeleteFrameCacheSpec extends SparkTestBase {
     val beforeNew = SnapshotLog.deleteFrameBuilds.get()
     assert(readIds() === (5L to 10L).toSet)
     assert(SnapshotLog.deleteFrameBuilds.get() > beforeNew)
-    // ... and the new content is itself cached
+    // ... and the new content is itself cached after its repeat
+    assert(readIds() === (5L to 10L).toSet)
     val afterNew = SnapshotLog.deleteFrameBuilds.get()
     assert(readIds() === (5L to 10L).toSet)
     assert(SnapshotLog.deleteFrameBuilds.get() === afterNew)
@@ -78,9 +82,10 @@ class DeleteFrameCacheSpec extends SparkTestBase {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     def sqlIds(): Set[Long] = spark.sql(s"SELECT id FROM $cat.db.t")
       .collect().map(_.getLong(0)).toSet
-    assert(sqlIds() === (4L to 10L).toSet)
+    assert(sqlIds() === (4L to 10L).toSet) // first sighting: lazy
+    assert(sqlIds() === (4L to 10L).toSet) // repeat: fills the cache
     val after = SnapshotLog.deleteFrameBuilds.get()
-    assert(sqlIds() === (4L to 10L).toSet)
+    assert(sqlIds() === (4L to 10L).toSet) // hit
     assert(SnapshotLog.deleteFrameBuilds.get() === after)
   }
 }
