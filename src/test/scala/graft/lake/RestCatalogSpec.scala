@@ -232,6 +232,37 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("SQL writes through the plugin compose with REST commits") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val cat = "rtestw"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      // an engine co-located with storage writes THROUGH the commit
+      // log (the optimistic cross-process protocol); the REST catalog
+      // observes the new head — the mixed-writer deployment Lakekeeper
+      // supports
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 1.0, '2024-01-01')")
+      assert(cli.loadTable(Seq("db"), "t").currentSnapshotId === 2L)
+      // and a REST-side append composes right back
+      val f = writeFile(loc, "d2.parquet", Seq((2L, 2.0, "2024-01-02")))
+      cli.commitAppend(Seq("db"), "t", Seq(f), require = Some(2L))
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.db.t")
+        .collect().head.getLong(0) === 3L)
+      // DDL through the plugin round-trips over REST
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+      spark.sql(s"CREATE TABLE $cat.ddl.made (id BIGINT, name STRING)")
+      assert(cli.tableExists(Seq("ddl"), "made"))
+      spark.sql(s"DROP TABLE $cat.ddl.made")
+      assert(!cli.tableExists(Seq("ddl"), "made"))
+    } finally { srv.close(); cli.close() }
+  }
+
   test("multi-level namespaces round-trip percent-encoded") {
     val (srv, cli, _) = fixture()
     try {
