@@ -62,11 +62,13 @@ final class ApiServer(spark: SparkSession,
                       registry: graft.observe.Metrics.Registry =
                         graft.observe.Metrics.global,
                       authToken: Option[String] = None,
-                      controlPlane: Option[ControlPlane] = None)
+                      controlPlane: Option[ControlPlane] = None,
+                      bindPort: Int = 0)
   extends AutoCloseable {
 
   private val server =
-    HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, bindPort), 0)
   private val pool = Executors.newFixedThreadPool(4)
   private val cursors = new ConcurrentHashMap[String, CursorState]()
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)

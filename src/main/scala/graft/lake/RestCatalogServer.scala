@@ -161,13 +161,15 @@ object RestWire {
   * `unpartitioned` spec marker, which no day predicate ever prunes. */
 final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
                               prefix: String = "graft",
-                              authToken: Option[String] = None)
+                              authToken: Option[String] = None,
+                              bindPort: Int = 0)
   extends AutoCloseable {
 
   import RestWire._
 
   private val server =
-    HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, bindPort), 0)
   private val pool = Executors.newFixedThreadPool(4)
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
