@@ -120,11 +120,11 @@ object Cli {
       case "sources" :: _ =>
         val (c, b) = call("GET", "/api/v1/sources")
         if (c != 200) return fail(c, b)
-        out(f"${"ID"}%-38s ${"NAME"}%-20s ${"HOST"}%-20s STATUS")
+        out(f"${"ID"}%-38s ${"NAME"}%-20s ${"HOST"}%-20s DATABASE")
         b \ "sources" match {
           case JArray(ss) => ss.foreach { s =>
             out(f"${str(s \ "id")}%-38s ${str(s \ "name")}%-20s " +
-              f"${str(s \ "host")}%-20s ${str(s \ "status")}")
+              f"${str(s \ "host")}%-20s ${str(s \ "database_name")}")
           }
           case _ => ()
         }
@@ -156,30 +156,39 @@ object Cli {
           out("Usage: graft pipelines [start|stop <id>]"); 1
       }
 
-      case "sql" :: query :: Nil =>
+      case "sql" :: Nil =>
+        out("Usage: graft sql \"<query>\" (quote the whole statement)"); 1
+
+      case "sql" :: rest =>
+        // an unquoted statement arrives shell-split — rejoin it
+        val query = rest.mkString(" ")
         val (c, first) = call("POST", "/query/sql",
           Some(JsonMethods.compact(JsonMethods.render(
             JObject("sql" -> JString(query))))))
         if (c != 200) return fail(c, first)
-        def printPage(page: JValue): Unit = page \ "rows" match {
-          case JArray(rows) => rows.foreach {
-            case JArray(cells) => out(cells.map(str).mkString("\t"))
-            case other         => out(str(other))
-          }
-          case _ => ()
+        // total pattern matches throughout: a proxy answering 200 with
+        // a non-JSON body must produce a clean error, never a CCE
+        def pageRows(page: JValue): List[JValue] = page \ "rows" match {
+          case JArray(rows) => rows
+          case _            => Nil
+        }
+        def printPage(page: JValue): Unit = pageRows(page).foreach {
+          case JArray(cells) => out(cells.map(str).mkString("\t"))
+          case other         => out(str(other))
         }
         first \ "columns" match {
           case JArray(cols) => out(cols.map(str).mkString("\t"))
-          case _            => ()
+          case _ =>
+            out(s"Error: response is not a query result page"); return 1
         }
         printPage(first)
         var next = first \ "next_uri"
-        var total = (first \ "rows").asInstanceOf[JArray].arr.size
+        var total = pageRows(first).size
         while (next != JNothing && next != JNull) {
           val (pc, page) = call("GET", str(next))
           if (pc != 200) return fail(pc, page)
           printPage(page)
-          total += (page \ "rows").asInstanceOf[JArray].arr.size
+          total += pageRows(page).size
           next = page \ "next_uri"
         }
         out(s"($total rows)")

@@ -44,12 +44,28 @@ object Serve {
                      val rest: RestCatalogServer,
                      val controlPlane: ControlPlane) extends AutoCloseable {
     override def close(): Unit = {
-      // stop running pipelines first: their drain loops hold PG sockets
-      // and write to the lake — the servers go down after the writers
-      controlPlane.listPipelines().filter(_.status == "running").foreach {
-        p => try controlPlane.stopPipeline(p.id) catch { case _: Throwable => () }
-      }
+      // the API goes down FIRST so no new actuation can race the sweep
+      // (a start accepted after the pipeline snapshot would leave its
+      // drain loop alive past Spark's stop); then every live pipeline
+      // drains — a 'starting' one is retried briefly until it settles
+      // into a stoppable state
       api.close()
+      var waited = 0
+      while ({
+        val live = controlPlane.listPipelines()
+          .filter(p => p.status == "running" || p.status == "starting")
+        live.foreach { p =>
+          try controlPlane.stopPipeline(p.id)
+          catch { case _: Throwable => () } // 'starting' → retry below
+        }
+        waited += 1
+        live.nonEmpty && waited < 20 && {
+          val settling = controlPlane.listPipelines()
+            .exists(p => p.status == "running" || p.status == "starting")
+          if (settling) Thread.sleep(250)
+          settling
+        }
+      }) ()
       rest.close()
     }
   }
@@ -63,9 +79,11 @@ object Serve {
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
     // control-plane state lives BESIDE the warehouse, not inside it —
     // a foreign directory under the warehouse root would surface as a
-    // phantom namespace in SHOW NAMESPACES and the REST listing
+    // phantom namespace in SHOW NAMESPACES and the REST listing (every
+    // trailing slash strips, or "wh//" would nest _control back inside)
     val runner = new PgPipelineRunner(spark, warehouse)
-    val cp = new ControlPlane(s"${warehouse.stripSuffix("/")}_control", runner)
+    val cp = new ControlPlane(
+      s"${warehouse.replaceAll("/+$", "")}_control", runner)
     val api = new ApiServer(spark, authToken = token,
       controlPlane = Some(cp), bindPort = apiPort)
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
@@ -78,27 +96,47 @@ object Serve {
     val warehouse = env.get("GRAFT_WAREHOUSE").orElse(args.headOption)
       .getOrElse(throw new IllegalArgumentException(
         "GRAFT_WAREHOUSE (or the first argument) must name the warehouse directory"))
-    def port(key: String): Int = env.get(key).map(_.toInt).getOrElse(0)
-    val spark = SparkSession.builder()
-      .master(env.getOrElse("GRAFT_MASTER", "local[*]"))
+    def port(key: String): Int = env.get(key).map { v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$key must be a port number, got '$v'"))
+    }.getOrElse(0)
+    val builder = SparkSession.builder()
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions",
         env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // application-code .master() has the HIGHEST precedence — setting
+    // it unconditionally would silently turn `spark-submit --master
+    // yarn` into local[*]. Only an explicit GRAFT_MASTER overrides; a
+    // bare JVM launch (no spark.master anywhere) defaults to local[*]
+    env.get("GRAFT_MASTER")
+      .orElse(if (sys.props.contains("spark.master")) None else Some("local[*]"))
+      .foreach(builder.master)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val handle = start(spark, warehouse,
       token = env.get("GRAFT_TOKEN"),
       prefix = env.getOrElse("GRAFT_PREFIX", "graft"),
       apiPort = port("GRAFT_API_PORT"), restPort = port("GRAFT_REST_PORT"))
     val done = new java.util.concurrent.CountDownLatch(1)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      handle.close()
-      spark.stop()
-      done.countDown()
-    }))
-    println(s"""{"api":"${handle.api.baseUri}","catalog":"${handle.rest.baseUri}/catalog/v1","warehouse":"$warehouse"}""")
+    // register ABOVE Spark's own SparkContext-stop hook (Hadoop's
+    // manager runs by descending priority; Spark's hook sits at ~40) so
+    // the pipeline drain still has a live SparkContext to flush through
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = {
+          handle.close()
+          spark.stop()
+          done.countDown()
+        }
+      }, 100)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    println(JsonMethods.compact(JsonMethods.render(JObject(
+      "api" -> JString(handle.api.baseUri),
+      "catalog" -> JString(s"${handle.rest.baseUri}/catalog/v1"),
+      "warehouse" -> JString(warehouse)))))
     done.await()
   }
 }

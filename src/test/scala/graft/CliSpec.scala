@@ -78,6 +78,13 @@ class CliSpec extends SparkTestBase {
       // a broken query is a clean non-zero with the analysis message
       val (bc, bout) = runCli(srv, "sql", "SELECT FROM nowhere")
       assert(bc === 1 && bout.head.startsWith("Error (HTTP 400)"))
+      // a shell-split unquoted statement rejoins instead of baffling
+      // the user with 'Unknown command'
+      val (uc, uout) = runCli(srv, "sql", "SELECT", "1", "AS", "one")
+      assert(uc === 0 && uout.head === "one" && uout.contains("1"))
+      // bare `sql` prints its own usage, non-zero
+      val (nc, nout) = runCli(srv, "sql")
+      assert(nc === 1 && nout.head.contains("Usage: graft sql"))
     } finally srv.close()
   }
 }
