@@ -184,6 +184,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RestWire schema JSON round-trip preserves names, ids, nullability; normalization is idempotent") {
+    import graft.lake.RestWire
+    import graft.model.FieldIds
+    val genType = Gen.oneOf[DataType](BooleanType, ByteType, ShortType,
+      IntegerType, LongType, FloatType, DoubleType, DateType, TimestampType,
+      TimestampNTZType, StringType, BinaryType, DecimalType(12, 3))
+    val genField = for {
+      n   <- Gen.identifier.map(s => "c_" + s.take(10))
+      t   <- genType
+      nul <- Gen.oneOf(true, false)
+    } yield StructField(n, t, nul)
+    val genSchema = Gen.nonEmptyListOf(genField)
+      .map(fs => StructType(fs.distinctBy(_.name)))
+    check(Prop.forAll(genSchema) { raw =>
+      val stamped = FieldIds.stamp(raw)._1
+      def roundTrip(s: StructType): StructType =
+        RestWire.schemaFromJson(RestWire.schemaJson(s, 0))
+      val once = roundTrip(stamped)
+      // byte/short normalize to the Iceberg int; everything else is
+      // identity — names, order, nullability, and field ids all survive
+      once.fieldNames.toSeq == stamped.fieldNames.toSeq &&
+        once.fields.zip(stamped.fields).forall { case (a, b) =>
+          a.nullable == b.nullable &&
+            FieldIds.idOf(a) == FieldIds.idOf(b) &&
+            (a.dataType == b.dataType ||
+              (a.dataType == IntegerType &&
+                (b.dataType == ByteType || b.dataType == ShortType)))
+        } &&
+        roundTrip(once) == once // idempotent after first normalization
+    })
+  }
+
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {
     // identical inputs agree on all hashes; disjoint inputs agree on ~none
     val a = Signatures.wordShingles((1 to 50).map(i => s"tok$i").mkString(" "))
