@@ -43,6 +43,12 @@ object ControlPlane {
   final case class Conflict(message: String) extends RuntimeException(message)
   final case class Invalid(message: String) extends RuntimeException(message)
 
+  /** The deployment's credential key (`GRAFT_ENCRYPTION_KEY`, base64
+    * 32 bytes) — None means credentials persist in plaintext, the
+    * reference's behavior when its optional EncryptionKey is unset. */
+  def envCredentialKey(): Option[Array[Byte]] =
+    sys.env.get("GRAFT_ENCRYPTION_KEY").map(CredentialCrypto.keyFromBase64)
+
   /** `password` is stored with the source (the reference keeps it in
     * its control DB the same way, models/source.go CreateSourceRequest)
     * and REDACTED from every HTTP response — only the wire probes and
@@ -128,7 +134,9 @@ final class ControlPlane(metaDir: String,
                          runner: ControlPlane.Runner = ControlPlane.Noop,
                          connTest: ControlPlane.Source => Either[String, Long] =
                            ControlPlane.wireConnTest,
-                         clock: () => Long = () => System.currentTimeMillis()) {
+                         clock: () => Long = () => System.currentTimeMillis(),
+                         credentialKey: Option[Array[Byte]] =
+                           ControlPlane.envCredentialKey()) {
 
   import ControlPlane._
 
@@ -181,9 +189,29 @@ final class ControlPlane(metaDir: String,
     "updated_at_ms" -> JInt(BigInt(s.updatedAtMs)))
 
   /** Persistence shape: the credential rides with the entity, exactly
-    * like the reference's control DB row. */
-  private def sourceStoreJson(s: Source): JObject =
-    JObject(sourceJson(s).obj :+ ("password" -> (JString(s.password): JValue)))
+    * like the reference's control DB row — encrypted at rest when a
+    * key is configured ([[CredentialCrypto]], the reference's
+    * internal/crypto construction). Legacy plaintext stores are
+    * self-identifying and re-encrypt on the next persist. */
+  private def sourceStoreJson(s: Source): JObject = {
+    val stored = credentialKey match {
+      case Some(k) if s.password.nonEmpty => CredentialCrypto.encrypt(k, s.password)
+      case _                              => s.password
+    }
+    JObject(sourceJson(s).obj :+ ("password" -> (JString(stored): JValue)))
+  }
+
+  /** Resolve a stored credential: decrypt with the configured key;
+    * an encrypted value with NO key refuses loudly (serving the
+    * ciphertext as a password would fail opaque and late). */
+  private def storedPassword(stored: String): String =
+    if (!CredentialCrypto.isEncrypted(stored)) stored
+    else credentialKey match {
+      case Some(k) => CredentialCrypto.decrypt(k, stored)
+      case None => throw new IllegalStateException(
+        s"the source store at $metaDir holds encrypted credentials — " +
+          "set GRAFT_ENCRYPTION_KEY")
+    }
 
   private[api] def pipelineJson(p: Pipeline): JObject = JObject(
     "id" -> JString(p.id), "name" -> JString(p.name),
@@ -205,7 +233,8 @@ final class ControlPlane(metaDir: String,
       case Some(JArray(items)) => items.toVector.map { o =>
         Source(str(o \ "id"), str(o \ "name"), str(o \ "type"),
           str(o \ "host"), num(o \ "port").toInt, str(o \ "database_name"),
-          str(o \ "username"), str(o \ "password"), str(o \ "ssl_mode"),
+          str(o \ "username"), storedPassword(str(o \ "password")),
+          str(o \ "ssl_mode"),
           str(o \ "slot_name"), str(o \ "publication_name"),
           num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
       }

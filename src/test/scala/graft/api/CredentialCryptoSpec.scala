@@ -1,0 +1,91 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Credentials at rest: the AES-256-GCM kernel and the control-plane
+  * store behavior (encrypt when keyed, legacy plaintext migration,
+  * loud refusal on a missing or wrong key). */
+class CredentialCryptoSpec extends AnyFunSuite {
+
+  private val key = CredentialCrypto.keyFromBase64(
+    CredentialCrypto.generateKeyBase64())
+
+  test("encrypt/decrypt round-trips; nonces are fresh per value") {
+    val a = CredentialCrypto.encrypt(key, "s3cret")
+    val b = CredentialCrypto.encrypt(key, "s3cret")
+    assert(a !== b) // fresh nonce every time — GCM forbids reuse
+    assert(a.startsWith(CredentialCrypto.Prefix))
+    assert(CredentialCrypto.decrypt(key, a) === "s3cret")
+    assert(CredentialCrypto.decrypt(key, b) === "s3cret")
+    assert(CredentialCrypto.decrypt(key, "") === "")
+    // legacy plaintext passes through untouched
+    assert(CredentialCrypto.decrypt(key, "plain-old-pw") === "plain-old-pw")
+  }
+
+  test("wrong key and tampering fail loudly, never return garbage") {
+    val stored = CredentialCrypto.encrypt(key, "s3cret")
+    val other = CredentialCrypto.keyFromBase64(
+      CredentialCrypto.generateKeyBase64())
+    intercept[IllegalStateException] { CredentialCrypto.decrypt(other, stored) }
+    val tampered = stored.dropRight(8) +
+      (if (stored.endsWith("A")) "BBBBBBBB" else "AAAAAAAA")
+    intercept[IllegalStateException] { CredentialCrypto.decrypt(key, tampered) }
+    intercept[IllegalArgumentException] {
+      CredentialCrypto.keyFromBase64("dG9vLXNob3J0") // 9 bytes
+    }
+    intercept[IllegalArgumentException] {
+      CredentialCrypto.keyFromBase64("%%% not base64 %%%")
+    }
+  }
+
+  test("keyed store encrypts at rest; reopen round-trips; keyless reopen refuses") {
+    val meta = Files.createTempDirectory("graft-cred").toString
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    val src = cp.createSource("pg", "postgresql", "db", 5432, "app",
+      "rep", "pw-super-secret", "prefer", "", "")
+    val raw = new String(
+      Files.readAllBytes(Paths.get(meta, "sources.json")), UTF_8)
+    assert(!raw.contains("pw-super-secret"), "password leaked to disk")
+    assert(raw.contains(CredentialCrypto.Prefix))
+    // reopen with the key: the credential round-trips for the runner
+    val reopened = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    assert(reopened.getSource(src.id).password === "pw-super-secret")
+    // reopen WITHOUT the key: loud refusal, never ciphertext-as-password
+    val e = intercept[IllegalStateException] {
+      new ControlPlane(meta, connTest = _ => Right(1L), credentialKey = None)
+    }
+    assert(e.getMessage.contains("GRAFT_ENCRYPTION_KEY"))
+    // reopen with a WRONG key: loud
+    val wrong = CredentialCrypto.keyFromBase64(
+      CredentialCrypto.generateKeyBase64())
+    intercept[IllegalStateException] {
+      new ControlPlane(meta, connTest = _ => Right(1L),
+        credentialKey = Some(wrong))
+    }
+  }
+
+  test("a legacy plaintext store migrates to encrypted on the next persist") {
+    val meta = Files.createTempDirectory("graft-cred-legacy").toString
+    val legacy = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = None)
+    legacy.createSource("pg", "postgresql", "db", 5432, "app",
+      "rep", "pw-legacy", "prefer", "", "")
+    assert(new String(Files.readAllBytes(Paths.get(meta, "sources.json")),
+      UTF_8).contains("pw-legacy")) // plaintext era
+    // enabling the key: old entries still readable...
+    val keyed = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    assert(keyed.listSources().head.password === "pw-legacy")
+    // ...and the next persist re-encrypts the WHOLE store
+    keyed.createSource("pg2", "postgresql", "db2", 5432, "app",
+      "rep", "pw-second", "prefer", "", "")
+    val raw = new String(
+      Files.readAllBytes(Paths.get(meta, "sources.json")), UTF_8)
+    assert(!raw.contains("pw-legacy") && !raw.contains("pw-second"))
+  }
+}
