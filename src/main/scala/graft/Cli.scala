@@ -45,9 +45,10 @@ object Cli {
       |  pipelines start <id>       Start a pipeline (live WAL tail)
       |  pipelines stop <id>        Stop a pipeline
       |  sql <query>                Run SQL, print all result pages
+      |  keygen                     Mint a GRAFT_ENCRYPTION_KEY (local, no API)
       |  help                       This message
       |
-      |Environment: GRAFT_API_URL (required), GRAFT_TOKEN (optional)""".stripMargin
+      |Environment: GRAFT_API_URL (required except keygen), GRAFT_TOKEN (optional)""".stripMargin
 
   /** Testable core: returns the exit code, emits lines through `out`. */
   def run(base: String, token: Option[String], args: Seq[String],
@@ -94,6 +95,11 @@ object Cli {
 
       case ("version" | "-v" | "--version") :: _ =>
         out(s"graft version $Version"); 0
+
+      case "keygen" :: _ =>
+        // a fresh AES-256 key for credential encryption at rest —
+        // purely local, no API round trip
+        out(graft.api.CredentialCrypto.generateKeyBase64()); 0
 
       case "status" :: _ =>
         val (hc, hb) = call("GET", "/query/health")
@@ -202,10 +208,20 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val base = sys.env.getOrElse("GRAFT_API_URL", {
-      System.err.println("GRAFT_API_URL must point at a running graft API")
-      sys.exit(1)
-    })
+    // purely-local commands never require an API endpoint
+    val needsApi = args.headOption match {
+      case None => false
+      case Some("keygen" | "version" | "-v" | "--version" |
+                "help" | "-h" | "--help") => false
+      case Some(_) => true
+    }
+    val base = sys.env.get("GRAFT_API_URL") match {
+      case Some(u)             => u
+      case None if !needsApi   => ""
+      case None =>
+        System.err.println("GRAFT_API_URL must point at a running graft API")
+        sys.exit(1)
+    }
     sys.exit(run(base, sys.env.get("GRAFT_TOKEN"), args.toSeq, println))
   }
 }

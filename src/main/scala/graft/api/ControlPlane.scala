@@ -49,6 +49,10 @@ object ControlPlane {
   def envCredentialKey(): Option[Array[Byte]] =
     sys.env.get("GRAFT_ENCRYPTION_KEY").map(CredentialCrypto.keyFromBase64)
 
+  /** Escape marker for keyless plaintext that collides with a stored
+    * format marker. */
+  private[api] val PlainMarker = "plain:"
+
   /** `password` is stored with the source (the reference keeps it in
     * its control DB the same way, models/source.go CreateSourceRequest)
     * and REDACTED from every HTTP response — only the wire probes and
@@ -193,9 +197,17 @@ final class ControlPlane(metaDir: String,
     * key is configured ([[CredentialCrypto]], the reference's
     * internal/crypto construction). Legacy plaintext stores are
     * self-identifying and re-encrypt on the next persist. */
+  /** Keyless values that COLLIDE with a format marker escape behind
+    * `plain:` — otherwise a real password beginning with the literal
+    * `enc:v1:` would be misclassified as ciphertext on reload and
+    * brick the store (in-band signaling needs an escape hatch). */
+  private def markerCollision(pw: String): Boolean =
+    CredentialCrypto.isEncrypted(pw) || pw.startsWith(ControlPlane.PlainMarker)
+
   private def sourceStoreJson(s: Source): JObject = {
     val stored = credentialKey match {
       case Some(k) if s.password.nonEmpty => CredentialCrypto.encrypt(k, s.password)
+      case _ if markerCollision(s.password) => ControlPlane.PlainMarker + s.password
       case _                              => s.password
     }
     JObject(sourceJson(s).obj :+ ("password" -> (JString(stored): JValue)))
@@ -205,7 +217,9 @@ final class ControlPlane(metaDir: String,
     * an encrypted value with NO key refuses loudly (serving the
     * ciphertext as a password would fail opaque and late). */
   private def storedPassword(stored: String): String =
-    if (!CredentialCrypto.isEncrypted(stored)) stored
+    if (stored.startsWith(ControlPlane.PlainMarker))
+      stored.substring(ControlPlane.PlainMarker.length)
+    else if (!CredentialCrypto.isEncrypted(stored)) stored
     else credentialKey match {
       case Some(k) => CredentialCrypto.decrypt(k, stored)
       case None => throw new IllegalStateException(

@@ -66,8 +66,11 @@ object CredentialCrypto {
       case _: IllegalArgumentException => throw new IllegalStateException(
         "stored credential is corrupted (not base64)")
     }
-    if (raw.length <= NonceBytes) throw new IllegalStateException(
-      "stored credential is corrupted (too short)")
+    // a well-formed value carries nonce + AT LEAST the 16-byte tag:
+    // anything shorter is truncation (partial-write corruption), which
+    // must never masquerade as "wrong key"
+    if (raw.length < NonceBytes + TagBits / 8) throw new IllegalStateException(
+      "stored credential is corrupted (truncated)")
     val cipher = Cipher.getInstance("AES/GCM/NoPadding")
     cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
       new GCMParameterSpec(TagBits, raw, 0, NonceBytes))
@@ -77,6 +80,11 @@ object CredentialCrypto {
       case _: javax.crypto.AEADBadTagException => throw new IllegalStateException(
         "credential decryption failed — wrong GRAFT_ENCRYPTION_KEY or " +
           "tampered store")
+      case e: java.security.GeneralSecurityException =>
+        // non-SunJCE providers may signal differently — still loud,
+        // still never garbage
+        throw new IllegalStateException(
+          s"credential decryption failed: ${e.getMessage}")
     }
   }
 }

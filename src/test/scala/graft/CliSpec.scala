@@ -35,6 +35,10 @@ class CliSpec extends SparkTestBase {
       assert(c1 === 0 && out1.contains("spark_catalog"))
       val (c2, out2) = runCli(srv, "version")
       assert(c2 === 0 && out2.head.contains(Cli.Version))
+      // keygen mints a valid 32-byte base64 key, locally
+      val (kc, kout) = runCli(srv, "keygen")
+      assert(kc === 0)
+      assert(graft.api.CredentialCrypto.keyFromBase64(kout.head).length === 32)
       assert(runCli(srv, "help")._1 === 0)
       val (c4, out4) = runCli(srv, "frobnicate")
       assert(c4 === 1 && out4.head.contains("Unknown command"))

@@ -69,6 +69,33 @@ class CredentialCryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("a keyless password colliding with a format marker round-trips (escaped)") {
+    val meta = Files.createTempDirectory("graft-cred-collide").toString
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = None)
+    val s1 = cp.createSource("pg", "postgresql", "db", 5432, "app",
+      "rep", "enc:v1:not-actually-encrypted", "prefer", "", "")
+    val s2 = cp.createSource("pg2", "postgresql", "db", 5432, "app",
+      "rep", "plain:also-a-real-password", "prefer", "", "")
+    // reopen KEYLESS: neither value misclassifies as ciphertext
+    val reopened = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = None)
+    assert(reopened.getSource(s1.id).password === "enc:v1:not-actually-encrypted")
+    assert(reopened.getSource(s2.id).password === "plain:also-a-real-password")
+  }
+
+  test("a truncated ciphertext reports corruption, never 'wrong key'") {
+    import java.util.Base64
+    // nonce intact, tag partially lost: 20 raw bytes (12 < 20 < 28)
+    val truncated = CredentialCrypto.Prefix +
+      Base64.getEncoder.encodeToString(Array.fill[Byte](20)(7))
+    val e = intercept[IllegalStateException] {
+      CredentialCrypto.decrypt(key, truncated)
+    }
+    assert(e.getMessage.contains("truncated"))
+    assert(!e.getMessage.contains("wrong"))
+  }
+
   test("a legacy plaintext store migrates to encrypted on the next persist") {
     val meta = Files.createTempDirectory("graft-cred-legacy").toString
     val legacy = new ControlPlane(meta, connTest = _ => Right(1L),
