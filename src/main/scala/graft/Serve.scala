@@ -28,6 +28,8 @@ import graft.streaming.PgPipelineRunner
   * required), `GRAFT_API_PORT` / `GRAFT_REST_PORT` (default ephemeral),
   * `GRAFT_TOKEN` (bearer auth on both servers when set),
   * `GRAFT_PREFIX` (REST warehouse prefix, default `graft`),
+  * `GRAFT_ENCRYPTION_KEY` (base64 32 bytes, `graft.Cli keygen` mints
+  * one — control-plane credentials encrypt at rest when set),
   * `GRAFT_MASTER` (default `local[*]` — on a cluster, submit with the
   * real master and this is ignored by spark-submit's precedence).
   * Both servers bind loopback; production fronting (TLS, external
