@@ -76,16 +76,30 @@ object Serve {
   def start(spark: SparkSession, warehouse: String,
             token: Option[String] = None, prefix: String = "graft",
             apiPort: Int = 0, restPort: Int = 0,
-            catalogName: String = "graft"): Handle = {
+            catalogName: String = "graft",
+            controlDir: Option[String] = None): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
-    // control-plane state lives BESIDE the warehouse, not inside it —
-    // a foreign directory under the warehouse root would surface as a
-    // phantom namespace in SHOW NAMESPACES and the REST listing (every
-    // trailing slash strips, or "wh//" would nest _control back inside)
+    // control-plane state is a LOCAL directory (ControlPlane persists
+    // via java.nio): deriving it from an object-store warehouse URI
+    // would silently create a bogus local dir named "s3a:..." under
+    // the CWD — refuse loudly and demand an explicit location instead
+    val meta = controlDir.getOrElse {
+      // Hadoop Path parses paths URI.create would reject (spaces)
+      val scheme = Option(
+        new org.apache.hadoop.fs.Path(warehouse).toUri.getScheme)
+      if (scheme.exists(_ != "file"))
+        throw new IllegalArgumentException(
+          s"warehouse '$warehouse' is not a local path — set " +
+            "GRAFT_CONTROL_DIR to a local directory for control-plane state")
+      // beside the warehouse, never inside it — a foreign directory
+      // under the warehouse root would surface as a phantom namespace
+      // in SHOW NAMESPACES and the REST listing (every trailing slash
+      // strips, or "wh//" would nest _control back inside)
+      s"${warehouse.replaceAll("/+$", "")}_control"
+    }
     val runner = new PgPipelineRunner(spark, warehouse)
-    val cp = new ControlPlane(
-      s"${warehouse.replaceAll("/+$", "")}_control", runner)
+    val cp = new ControlPlane(meta, runner)
     val api = new ApiServer(spark, authToken = token,
       controlPlane = Some(cp), bindPort = apiPort)
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
@@ -120,7 +134,8 @@ object Serve {
     val handle = start(spark, warehouse,
       token = env.get("GRAFT_TOKEN"),
       prefix = env.getOrElse("GRAFT_PREFIX", "graft"),
-      apiPort = port("GRAFT_API_PORT"), restPort = port("GRAFT_REST_PORT"))
+      apiPort = port("GRAFT_API_PORT"), restPort = port("GRAFT_REST_PORT"),
+      controlDir = env.get("GRAFT_CONTROL_DIR"))
     val done = new java.util.concurrent.CountDownLatch(1)
     // register ABOVE Spark's own SparkContext-stop hook (Hadoop's
     // manager runs by descending priority; Spark's hook sits at ~40) so

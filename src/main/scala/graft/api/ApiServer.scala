@@ -180,13 +180,9 @@ final class ApiServer(spark: SparkSession,
   // (ref internal/api/handlers/pipelines.go:25-253, sources.go — the
   // same route group, served from [[ControlPlane]]'s file-backed store)
 
-  private def jsonBody(ex: HttpExchange): JValue = {
-    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    if (raw.trim.isEmpty) JObject()
-    else try JsonMethods.parse(raw) catch {
-      case NonFatal(_) => throw ControlPlane.Invalid("request body is not JSON")
-    }
-  }
+  private def jsonBody(ex: HttpExchange): JValue =
+    HttpUtil.readJsonBody(ex).getOrElse(
+      throw ControlPlane.Invalid("request body is not JSON"))
 
   private def jstr(v: JValue, default: String = ""): String =
     v match { case JString(s) => s; case _ => default }
@@ -284,11 +280,8 @@ final class ApiServer(spark: SparkSession,
     body
   }
 
-  private def authorized(ex: HttpExchange): Boolean = {
-    val got = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    val want = s"Bearer ${authToken.get}"
-    java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
-  }
+  private def authorized(ex: HttpExchange): Boolean =
+    HttpUtil.bearerOk(ex, authToken.get)
 
   /** Prometheus text exposition (format 0.0.4) of the registry —
     * counters then gauges, each with its `# TYPE` line, names already in
@@ -547,11 +540,6 @@ final class ApiServer(spark: SparkSession,
   private def doubleJson(d: Double): JValue =
     if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
 
-  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit = {
-    val bytes = JsonMethods.compact(JsonMethods.render(body)).getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
-  }
+  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit =
+    HttpUtil.respondJson(ex, status, body)
 }

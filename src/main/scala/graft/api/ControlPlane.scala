@@ -50,8 +50,11 @@ object ControlPlane {
     sys.env.get("GRAFT_ENCRYPTION_KEY").map(CredentialCrypto.keyFromBase64)
 
   /** Escape marker for keyless plaintext that collides with a stored
-    * format marker. */
-  private[api] val PlainMarker = "plain:"
+    * format marker. Deliberately implausible as a real password
+    * prefix — any in-band marker can in principle collide with a
+    * pre-marker plaintext store, so the marker is chosen to make that
+    * astronomically unlikely rather than merely uncommon. */
+  private[api] val PlainMarker = "!graft-stored-plain:v1!"
 
   /** `password` is stored with the source (the reference keeps it in
     * its control DB the same way, models/source.go CreateSourceRequest)

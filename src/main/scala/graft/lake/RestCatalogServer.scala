@@ -253,19 +253,12 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       case _ => halt(404, "not found", "NotFoundException")
     }
 
-  private def authorized(ex: HttpExchange): Boolean = {
-    val got = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    val want = s"Bearer ${authToken.get}"
-    java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
-  }
+  private def authorized(ex: HttpExchange): Boolean =
+    graft.api.HttpUtil.bearerOk(ex, authToken.get)
 
-  private def jsonBody(ex: HttpExchange): JValue = {
-    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    if (raw.trim.isEmpty) JObject()
-    else try JsonMethods.parse(raw) catch {
-      case NonFatal(_) => halt(400, "request body is not JSON", "BadRequestException")
-    }
-  }
+  private def jsonBody(ex: HttpExchange): JValue =
+    graft.api.HttpUtil.readJsonBody(ex).getOrElse(
+      halt(400, "request body is not JSON", "BadRequestException"))
 
   // ---- namespaces --------------------------------------------------
 
@@ -296,9 +289,12 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       case _ => halt(400, "missing namespace array", "BadRequestException")
     }
     parts.foreach(Identifiers.validate(_, "namespace"))
-    if (namespaceExists(parts))
-      halt(409, s"namespace ${parts.mkString(".")} already exists",
-        "AlreadyExistsException")
+    // ANY existing directory is a conflict — a snapshot TABLE at this
+    // path must not silently become an invisible "namespace" (it would
+    // never list, and creates under it would 404)
+    if (fs.exists(new Path(dirOf(parts))))
+      halt(409, s"namespace ${parts.mkString(".")} collides with an " +
+        "existing table or namespace", "AlreadyExistsException")
     fs.mkdirs(new Path(dirOf(parts)))
     respond(ex, 200, JObject(
       "namespace" -> JArray(parts.toList.map(JString(_))),
@@ -362,6 +358,21 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
   private case class DeclaredSpec(fieldName: String, sourceName: String,
                                   transform: String)
 
+  /** Iceberg's canonical INTEGER partition values are epoch ordinals
+    * (years/months/days/hours since 1970-01-01) — render them in the
+    * manifest's calendar vocabulary. An identity transform keeps the
+    * raw number: it IS the column value. */
+  private def ordinalValue(transform: String, v: Long): String = transform match {
+    case "year"  => (1970L + v).toString
+    case "month" =>
+      f"${1970 + Math.floorDiv(v, 12)}%04d-${Math.floorMod(v, 12) + 1}%02d"
+    case "day"   => java.time.LocalDate.ofEpochDay(v).toString
+    case "hour"  => java.time.LocalDateTime
+      .ofEpochSecond(v * 3600L, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH"))
+    case _       => v.toString
+  }
+
   private val Transforms = Set("identity", "year", "month", "day", "hour")
 
   private def readSpec(dir: String): Option[DeclaredSpec] = {
@@ -420,22 +431,29 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         "at most one partition field is supported", "BadRequestException")
       case _ => None
     }
+    // commit AND sidecar under ONE table lock: a racing same-process
+    // commit must never observe the created table before its declared
+    // spec lands (commitTable reads the sidecar under the same lock).
+    // Order stays commit-then-sidecar — the sidecar lives inside the
+    // metadata dir, and creating that dir first would make the table
+    // "exist" with no snapshot for every concurrent existence probe
     val snap = SnapshotLog.withTableLock(dir) {
       if (SnapshotLog.isSnapshotTable(spark, dir))
         halt(409, s"table ${(ns :+ name).mkString(".")} already exists",
           "AlreadyExistsException")
       // preReconciled: the client's field ids are authoritative — the
       // Iceberg catalog contract is to honor the declared schema ids
-      SnapshotLog.commit(spark, dir, "create", Nil, schema, parent = None,
+      val s = SnapshotLog.commit(spark, dir, "create", Nil, schema, parent = None,
         preReconciled = FieldIds.hasIds(schema))
-    }
-    declared.foreach { d =>
-      val out = fs.create(specSidecar(dir), true)
-      try out.write(JsonMethods.compact(JsonMethods.render(JObject(
-        "name" -> JString(d.fieldName),
-        "source-name" -> JString(d.sourceName),
-        "transform" -> JString(d.transform)))).getBytes(UTF_8))
-      finally out.close()
+      declared.foreach { d =>
+        val out = fs.create(specSidecar(dir), true)
+        try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+          "name" -> JString(d.fieldName),
+          "source-name" -> JString(d.sourceName),
+          "transform" -> JString(d.transform)))).getBytes(UTF_8))
+        finally out.close()
+      }
+      s
     }
     respond(ex, 200, loadTableBody(dir, ns, name, snap))
   }
@@ -583,10 +601,9 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       case _ => halt(400, "updates must be an array", "BadRequestException")
     }
 
-    val declared = readSpec(dir)
     val tableRoot = new Path(dir).toUri.normalize()
 
-    def toDataFile(j: JValue): SnapshotLog.DataFile = {
+    def toDataFile(declared: Option[DeclaredSpec])(j: JValue): SnapshotLog.DataFile = {
       val path = j \ "file-path" match {
         case JString(p) if p.nonEmpty => p
         case _ => halt(400, "data file missing file-path", "BadRequestException")
@@ -626,14 +643,16 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           val d = declared.getOrElse(halt(400,
             "data file carries a partition but the table declares no spec",
             "BadRequestException"))
-          // values arrive as whatever JSON scalar the writer chose
-          // (year/hour transform values are canonically integers) —
-          // canonicalize to the manifest's string vocabulary
           val v = fields.collectFirst {
             case (n, value) if n == d.fieldName => value match {
               case JString(s)  => s
-              case JInt(i)     => i.toString
-              case JLong(l)    => l.toString
+              // Iceberg's canonical integer partition values are
+              // EPOCH ORDINALS (years/months/days/hours since 1970) —
+              // convert to the manifest's calendar vocabulary, never
+              // store the raw ordinal (it would silently prune against
+              // yyyy[-MM[-dd[ HH]]] comparisons)
+              case JInt(i)     => ordinalValue(d.transform, i.toLong)
+              case JLong(l)    => ordinalValue(d.transform, l)
               case JDouble(x)  => x.toString
               case JDecimal(x) => x.toString
               case JBool(b)    => b.toString
@@ -644,19 +663,31 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           }.getOrElse(halt(400,
             s"partition map misses declared field '${d.fieldName}'",
             "BadRequestException"))
-          (v, Some(d.transform))
+          // the manifest's day-pruning vocabulary reasons about the
+          // CONVENTION partition column; a spec on any other source
+          // column records a QUALIFIED transform name — an unknown
+          // transform to the pruner, so those files are never pruned
+          // (correct, just unprunable) instead of being compared
+          // against the wrong column's values
+          val prunable =
+            d.sourceName == graft.model.SchemaBuilder.partitionColumn
+          val specName =
+            if (prunable) d.transform else s"${d.transform}:${d.sourceName}"
+          (v, Some(specName))
         case _ => halt(400, "partition must be an object", "BadRequestException")
       }
       SnapshotLog.DataFile(rel, partition, hive = false, rows, size,
         minLsn = None, maxLsn = None, seq = -1L, spec = spec)
     }
-    val files = dataFiles.map(toDataFile)
 
-    // ONE atomic conditional commit: requirements re-checked against the
-    // head INSIDE the lock, then append — the server IS the coordinator,
-    // so no optimistic retry loop runs here; a failed requirement is the
+    // ONE atomic conditional commit: the declared spec, the
+    // requirements, and the head are all read INSIDE the lock (a
+    // concurrent createTable publishes its sidecar under the same
+    // lock), then append — the server IS the coordinator, so no
+    // optimistic retry loop runs here; a failed requirement is the
     // client's retry signal (409, Iceberg's CommitFailedException)
     val snap = SnapshotLog.withTableLock(dir) {
+      val files = dataFiles.map(toDataFile(readSpec(dir)))
       val cur = SnapshotLog.currentSnapshot(spark, dir)
       reqs.foreach {
         case AssertCreate =>
@@ -673,8 +704,11 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         case AssertRef(ref, sid) =>
           val tags = SnapshotLog.tags(spark, dir)
           val branches = SnapshotLog.branches(spark, dir)
+          // branchHeadId: filename-listed — never resolve a full
+          // branch snapshot (O(files)) under the commit lock for an id
           val at: Option[Long] =
-            if (branches.contains(ref)) Some(SnapshotLog.branchHead(spark, dir, ref).id)
+            if (branches.contains(ref))
+              Some(SnapshotLog.branchHeadId(spark, dir, ref))
             else tags.get(ref)
           if (at != sid)
             halt(409, s"requirement failed: ref $ref is at " +
@@ -704,17 +738,8 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
 
   // ---- plumbing ----------------------------------------------------
 
-  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit = {
-    val bytes = JsonMethods.compact(JsonMethods.render(body)).getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    if (ex.getRequestMethod == "HEAD") {
-      ex.sendResponseHeaders(status, -1)
-    } else {
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-    }
-  }
+  private def respond(ex: HttpExchange, status: Int, body: JObject): Unit =
+    graft.api.HttpUtil.respondJson(ex, status, body)
 
   private def respondEmpty(ex: HttpExchange, status: Int): Unit =
     ex.sendResponseHeaders(status, -1)

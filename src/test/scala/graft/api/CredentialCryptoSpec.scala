@@ -76,12 +76,13 @@ class CredentialCryptoSpec extends AnyFunSuite {
     val s1 = cp.createSource("pg", "postgresql", "db", 5432, "app",
       "rep", "enc:v1:not-actually-encrypted", "prefer", "", "")
     val s2 = cp.createSource("pg2", "postgresql", "db", 5432, "app",
-      "rep", "plain:also-a-real-password", "prefer", "", "")
+      "rep", ControlPlane.PlainMarker + "also-a-real-password", "prefer", "", "")
     // reopen KEYLESS: neither value misclassifies as ciphertext
     val reopened = new ControlPlane(meta, connTest = _ => Right(1L),
       credentialKey = None)
     assert(reopened.getSource(s1.id).password === "enc:v1:not-actually-encrypted")
-    assert(reopened.getSource(s2.id).password === "plain:also-a-real-password")
+    assert(reopened.getSource(s2.id).password ===
+      ControlPlane.PlainMarker + "also-a-real-password")
   }
 
   test("a truncated ciphertext reports corruption, never 'wrong key'") {

@@ -383,6 +383,72 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("non-convention partition sources never mis-prune; epoch ordinals render as calendar values") {
+    val (srv, cli, _) = fixture()
+    try {
+      import graft.model.FieldIds
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      // identity spec on a NON-convention column: partition values are
+      // region strings, which must never be compared against day
+      // predicates (the qualified spec name makes the file unprunable)
+      val sch = StructType(Seq(
+        FieldIds.withId(StructField("id", LongType, nullable = false), 1),
+        FieldIds.withId(StructField("region", StringType), 2),
+        FieldIds.withId(StructField(Day, StringType), 3)))
+      cli.createTable(Seq("db"), "r", sch,
+        partitionSpec = Some("region" -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "r").location
+      val stage = java.nio.file.Files.createTempDirectory("graft-rest-r").toString
+      import spark.implicits._
+      Seq((1L, "emea", "2024-01-01")).toDF("id", "region", Day)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(stage))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      fs.mkdirs(new Path(loc, "data"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new Path(loc, "data/r1.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+      cli.commitAppend(Seq("db"), "r", Seq(RestDataFile("data/r1.parquet",
+        1L, fs.getFileStatus(new Path(loc, "data/r1.parquet")).getLen,
+        partition = Some("region" -> "emea"))), require = Some(1L))
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.head.spec === Some("identity:region"))
+      assert(snap.files.head.partition === "emea")
+      val cat = "rtest3"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      // the day filter must KEEP the region-partitioned file
+      assert(spark.sql(
+        s"SELECT id FROM $cat.db.r WHERE $Day = '2024-01-01'")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+      // Iceberg canonical INTEGER partition values are epoch ordinals:
+      // a day-transform commit with an integer renders yyyy-MM-dd
+      cli.createTable(Seq("db"), "d", schema,
+        partitionSpec = Some(Day -> "day"))
+      val dloc = cli.loadTable(Seq("db"), "d").location
+      val df = writeFile(dloc, "d1.parquet", Seq((1L, 1.0, "2024-01-02")))
+      val epochDay = java.time.LocalDate.parse("2024-01-02").toEpochDay
+      val http = HttpClient.newHttpClient()
+      val commit = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/d"))
+        .header("Authorization", "Bearer s3cr3t")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"requirements":[],"updates":[{"action":"append","append":
+             |{"data-files":[{"file-path":"${df.path}","file-format":"parquet",
+             |"record-count":1,"file-size-in-bytes":${df.sizeBytes},
+             |"partition":{"$Day":$epochDay}}]}}]}""".stripMargin)).build()
+      assert(http.send(commit, HttpResponse.BodyHandlers.ofString())
+        .statusCode() === 200)
+      val dsnap = SnapshotLog.currentSnapshot(spark, dloc).get
+      assert(dsnap.files.head.partition === "2024-01-02")
+      assert(dsnap.files.head.spec === Some("day"))
+    } finally { srv.close(); cli.close() }
+  }
+
   test("config endpoint advertises the prefix; wire shapes match the reference client") {
     val (srv, cli, _) = fixture()
     try {
