@@ -200,6 +200,29 @@ final class RestCatalogClient(baseUri: String, prefix: String,
     if (code == 200 || code == 201) parseTable(body) else fail(code, body)
   }
 
+  /** Evolve the table schema through the catalog (the standard spec's
+    * `add-schema` + `set-current-schema-id` update pair) — add-only,
+    * one conditional commit like [[commitAppend]]. */
+  def evolveSchema(ns: Seq[String], table: String, schema: StructType,
+                   require: Option[Long] = None): RestTable = {
+    val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
+    val reqs = require match {
+      case Some(sid) => List(JObject(
+        "type" -> JString("assert-ref-snapshot-id"),
+        "ref" -> JString("main"),
+        "snapshot-id" -> JInt(BigInt(sid))))
+      case None => Nil
+    }
+    val updates = List(
+      JObject("action" -> JString("add-schema"),
+        "schema" -> RestWire.schemaJson(stamped, 0)),
+      JObject("action" -> JString("set-current-schema-id"),
+        "schema-id" -> JInt(-1)))
+    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/$table",
+      Some(JObject("requirements" -> JArray(reqs), "updates" -> JArray(updates))))
+    if (code == 200 || code == 201) parseTable(body) else fail(code, body)
+  }
+
   def dropTable(ns: Seq[String], table: String): Boolean =
     request("DELETE", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
       case (204 | 200, _) => true
@@ -429,10 +452,53 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     graftTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the REST catalog is not supported — evolve " +
-        "through the warehouse catalog")
+  /** ALTER TABLE ADD COLUMN through the REST catalog: the widened
+    * schema commits via the standard `add-schema` update pair, CAS'd
+    * on the head and retried on a lost race — the same add-only
+    * contract (nullable, appended, no case-collisions) the directory
+    * catalog enforces. Other change kinds need a rewrite or field-id
+    * surgery the protocol does not carry here. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER change $other through the REST catalog — " +
+          "only ADD COLUMN is supported")
+    }
+    val c = client
+    var attempts = 0
+    while (true) {
+      val t =
+        try c.loadTable(ident.namespace.toSeq, ident.name)
+        catch { case _: RestCatalogClient.NotFound => throw new NoSuchTableException(ident) }
+      var schema = t.currentSchema.getOrElse(
+        throw new IllegalStateException(s"table ${ident.name} reports no schema"))
+      adds.foreach { add =>
+        require(add.fieldNames.length == 1,
+          "nested column adds are not supported")
+        val colName = add.fieldNames()(0)
+        graft.model.Identifiers.validate(colName, "column")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"column $colName already exists")
+        require(add.isNullable,
+          s"ADD COLUMN $colName NOT NULL is not satisfiable: existing " +
+            "rows read the new column as null")
+        require(add.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          colName, add.dataType, nullable = true))
+      }
+      try {
+        c.evolveSchema(ident.namespace.toSeq, ident.name, schema,
+          require = Some(t.currentSnapshotId))
+        return graftTable(ident)
+      } catch {
+        case _: RestCatalogClient.CommitConflict if attempts < 4 =>
+          attempts += 1 // a foreign commit moved the head — re-derive
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     client.dropTable(ident.namespace.toSeq, ident.name)

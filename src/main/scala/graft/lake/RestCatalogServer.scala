@@ -582,22 +582,39 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       case _ => halt(400, "requirements must be an array", "BadRequestException")
     }
 
-    // updates: the reference's `append` action (rest.go:329-336) — the
-    // only update kind with a manifest counterpart here
-    val dataFiles: Seq[JValue] = body \ "updates" match {
-      case JArray(us) => us.flatMap { u =>
+    // updates: the reference's `append` action (rest.go:329-336) plus
+    // the standard spec's schema-evolution pair (`add-schema` +
+    // `set-current-schema-id`) — everything else has no manifest
+    // counterpart and is refused loudly
+    var dataFiles: Seq[JValue] = Nil
+    var addedSchema: Option[StructType] = None
+    body \ "updates" match {
+      case JArray(us) => us.foreach { u =>
         u \ "action" match {
           case JString("append") => u \ "append" \ "data-files" match {
-            case JArray(fs) => fs
+            case JArray(fs) => dataFiles = dataFiles ++ fs
             case _ => halt(400, "append update missing data-files",
               "BadRequestException")
           }
+          case JString("add-schema") =>
+            if (addedSchema.isDefined)
+              halt(400, "at most one add-schema per commit", "BadRequestException")
+            addedSchema = Some(schemaFromJson(u \ "schema"))
+          case JString("set-current-schema-id") =>
+            // Iceberg's -1 sentinel = "the schema added in this commit";
+            // the engine's current schema IS the head snapshot's, so the
+            // action is acknowledged rather than separately stored
+            u \ "schema-id" match {
+              case JInt(_) | JNothing => ()
+              case _ => halt(400, "set-current-schema-id needs schema-id",
+                "BadRequestException")
+            }
           case JString(other) =>
             halt(400, s"unsupported update action '$other'", "BadRequestException")
           case _ => halt(400, "update missing action", "BadRequestException")
         }
       }
-      case JNothing => Nil
+      case JNothing => ()
       case _ => halt(400, "updates must be an array", "BadRequestException")
     }
 
@@ -717,12 +734,37 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       }
       cur match {
         case Some(c) =>
+          // a declared schema evolves ADD-ONLY (the engine's evolution
+          // contract: every committed file must read whole under the
+          // head schema) — one commit carries the new schema AND any
+          // appended files atomically, Iceberg-transaction style
+          val schema = addedSchema match {
+            case None => c.schema
+            case Some(next) =>
+              c.schema.fields.foreach { f =>
+                val kept = next.fields.find(_.name == f.name)
+                if (!kept.exists(_.dataType == f.dataType))
+                  halt(400, s"add-schema must be add-only: column " +
+                    s"${f.name} is ${kept.map(_.dataType.simpleString)
+                      .getOrElse("absent")}, table has ${f.dataType.simpleString}",
+                    "BadRequestException")
+              }
+              next.fields.filterNot(f => c.schema.fieldNames.contains(f.name))
+                .foreach { f =>
+                  if (!f.nullable)
+                    halt(400, s"added column ${f.name} must be nullable: " +
+                      "existing rows read it as null", "BadRequestException")
+                }
+              next
+          }
+          val op = if (files.isEmpty && addedSchema.isDefined) "evolve-schema"
+                   else "append"
           // withTableLock is JVM-local: a FOREIGN-process writer landing
           // between the head read and the manifest publish surfaces as
           // ConcurrentCommitException — that is the client's 409 retry
           // signal (Iceberg's CommitFailedException), never a 500
-          try SnapshotLog.commit(spark, dir, "append", c.files ++ files,
-            c.schema, parent = Some(c), deletes = c.deletes,
+          try SnapshotLog.commit(spark, dir, op, c.files ++ files,
+            schema, parent = Some(c), deletes = c.deletes,
             posDeletes = c.posDeletes)
           catch {
             case e: SnapshotLog.ConcurrentCommitException =>

@@ -449,6 +449,53 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("ALTER TABLE ADD COLUMN evolves through the REST protocol, add-only enforced") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val f1 = writeFile(loc, "d1.parquet", Seq((1L, 1.0, "2024-01-01")))
+      cli.commitAppend(Seq("db"), "t", Seq(f1), require = Some(1L))
+      val cat = "rtest4"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN note STRING")
+      // the evolved schema serves over REST; pre-evolution rows read null
+      val t = cli.loadTable(Seq("db"), "t")
+      assert(t.currentSchema.get.fieldNames.toSeq ===
+        Seq("id", "v", Day, "note"))
+      val row = spark.sql(s"SELECT id, note FROM $cat.db.t").collect().head
+      assert(row.getLong(0) === 1L && row.isNullAt(1))
+      // ... and SQL writes land values into the new column
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (2, 2.0, '2024-01-02', 'hi')")
+      assert(spark.sql(
+        s"SELECT note FROM $cat.db.t WHERE id = 2").collect().head.getString(0)
+        === "hi")
+      // add-only is enforced at the protocol: a retype is 400
+      val http = HttpClient.newHttpClient()
+      val retype = HttpRequest.newBuilder(
+        URI.create(s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/t"))
+        .header("Authorization", "Bearer s3cr3t")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"requirements":[],"updates":[{"action":"add-schema","schema":
+            |{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"id","type":"string","required":false}]}},
+            |{"action":"set-current-schema-id","schema-id":-1}]}""".stripMargin))
+        .build()
+      assert(http.send(retype, HttpResponse.BodyHandlers.ofString())
+        .statusCode() === 400)
+      // a NOT NULL add is refused the same way
+      intercept[RestCatalogError] {
+        cli.evolveSchema(Seq("db"), "t", t.currentSchema.get.add(
+          org.apache.spark.sql.types.StructField("strict",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      }
+    } finally { srv.close(); cli.close() }
+  }
+
   test("config endpoint advertises the prefix; wire shapes match the reference client") {
     val (srv, cli, _) = fixture()
     try {
