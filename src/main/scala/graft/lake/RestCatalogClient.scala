@@ -202,7 +202,12 @@ final class RestCatalogClient(baseUri: String, prefix: String,
 
   /** Evolve the table schema through the catalog (the standard spec's
     * `add-schema` + `set-current-schema-id` update pair) — add-only,
-    * one conditional commit like [[commitAppend]]. */
+    * one conditional commit like [[commitAppend]]. Field ids on the
+    * wire are advisory for THIS call: the server reconciles the
+    * evolved schema against the parent BY NAME, so matched columns
+    * keep their committed ids and added columns take fresh ones —
+    * a partially-stamped widened schema (loaded fields + a new id-less
+    * column) cannot corrupt the table's id space. */
   def evolveSchema(ns: Seq[String], table: String, schema: StructType,
                    require: Option[Long] = None): RestTable = {
     val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
