@@ -704,7 +704,30 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     // optimistic retry loop runs here; a failed requirement is the
     // client's retry signal (409, Iceberg's CommitFailedException)
     val snap = SnapshotLog.withTableLock(dir) {
-      val files = dataFiles.map(toDataFile(readSpec(dir)))
+      val declared = dataFiles.map(toDataFile(readSpec(dir)))
+      // VERIFY every registered file against its own parquet footer —
+      // the manifest's row counts feed metadata-answered aggregates, so
+      // a client-declared count is never trusted: a ghost path, a
+      // non-parquet file, or a lying record-count is 400, and the same
+      // footer open records LSN bounds when the table carries the
+      // engine's stats column, so REST-ingested commits file-skip like
+      // the engine's own writers (O(new files) footer reads — the
+      // Iceberg writer cost model)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val files = declared.map { f =>
+        val p = new Path(dir, f.path)
+        val (rows, mn, mx) =
+          try SnapshotLog.footerStats(hconf, p, graft.ingest.Cdc.LsnColumn)
+          catch {
+            case NonFatal(_) => halt(400,
+              s"data file ${f.path} is missing or not readable parquet",
+              "BadRequestException")
+          }
+        if (rows != f.rows)
+          halt(400, s"data file ${f.path} declares ${f.rows} rows but its " +
+            s"footer records $rows", "BadRequestException")
+        f.copy(minLsn = mn, maxLsn = mx)
+      }
       val cur = SnapshotLog.currentSnapshot(spark, dir)
       reqs.foreach {
         case AssertCreate =>

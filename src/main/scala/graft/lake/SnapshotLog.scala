@@ -1235,7 +1235,7 @@ object SnapshotLog {
 
   /** Per-file parquet footer stats: row count plus min/max of `statsCol`
     * (driver-side metadata read — never a data scan). */
-  private def footerStats(conf: Configuration, file: Path, statsCol: String)
+  private[lake] def footerStats(conf: Configuration, file: Path, statsCol: String)
   : (Long, Option[String], Option[String]) = {
     val (rows, bounds) = footerStatsMulti(conf, file, Seq(statsCol))
     bounds.get(statsCol) match {

@@ -496,6 +496,53 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("commits verify footers: ghost paths and lying record-counts are 400; LSN bounds recorded") {
+    val (srv, cli, _) = fixture()
+    try {
+      import graft.model.FieldIds
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val sch = StructType(Seq(
+        FieldIds.withId(StructField("id", LongType, nullable = false), 1),
+        FieldIds.withId(StructField(graft.ingest.Cdc.LsnColumn, StringType), 2),
+        FieldIds.withId(StructField(Day, StringType), 3)))
+      cli.createTable(Seq("db"), "t", sch, partitionSpec = Some(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      // a path that exists nowhere is refused before any manifest write
+      intercept[RestCatalogError] {
+        cli.commitAppend(Seq("db"), "t",
+          Seq(RestDataFile("data/ghost.parquet", 1L, 1L)))
+      }
+      // a real file with a LYING record-count is refused — manifest rows
+      // feed metadata-answered COUNTs, so the footer is authoritative
+      import spark.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-rest-fs").toString
+      Seq((1L, "00000003", "2024-01-01"), (2L, "00000007", "2024-01-01"))
+        .toDF("id", graft.ingest.Cdc.LsnColumn, Day)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(stage))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      fs.mkdirs(new Path(loc, "data"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new Path(loc, "data/f1.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+      val size = fs.getFileStatus(new Path(loc, "data/f1.parquet")).getLen
+      intercept[RestCatalogError] { // declares 5 rows, footer says 2
+        cli.commitAppend(Seq("db"), "t", Seq(RestDataFile(
+          "data/f1.parquet", 5L, size, Some(Day -> "2024-01-01"))))
+      }
+      // the honest commit lands WITH footer-derived LSN bounds — REST-
+      // ingested files skip by LSN window like the engine's own writes
+      cli.commitAppend(Seq("db"), "t", Seq(RestDataFile(
+        "data/f1.parquet", 2L, size, Some(Day -> "2024-01-01"))))
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.head.minLsn === Some("00000003"))
+      assert(snap.files.head.maxLsn === Some("00000007"))
+      assert(SnapshotLog.pruneByLsn(snap, "00000009", "00000010").isEmpty)
+      assert(SnapshotLog.pruneByLsn(snap, "00000001", "00000005").size === 1)
+    } finally { srv.close(); cli.close() }
+  }
+
   test("config endpoint advertises the prefix; wire shapes match the reference client") {
     val (srv, cli, _) = fixture()
     try {
