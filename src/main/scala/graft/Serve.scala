@@ -27,6 +27,9 @@ import graft.streaming.PgPipelineRunner
   * `config.Load` (ref internal/config): `GRAFT_WAREHOUSE` (or arg 1,
   * required), `GRAFT_API_PORT` / `GRAFT_REST_PORT` (default ephemeral),
   * `GRAFT_TOKEN` (bearer auth on both servers when set),
+  * `GRAFT_OPEN_METRICS` / `GRAFT_METRICS_TOKEN` (scrape auth: opt the
+  * `/metrics` endpoint out of bearer auth, or give the scraper its
+  * own token),
   * `GRAFT_PREFIX` (REST warehouse prefix, default `graft`),
   * `GRAFT_ENCRYPTION_KEY` (base64 32 bytes, `graft.Cli keygen` mints
   * one — control-plane credentials encrypt at rest when set),
@@ -77,7 +80,9 @@ object Serve {
             token: Option[String] = None, prefix: String = "graft",
             apiPort: Int = 0, restPort: Int = 0,
             catalogName: String = "graft",
-            controlDir: Option[String] = None): Handle = {
+            controlDir: Option[String] = None,
+            openMetrics: Boolean = false,
+            metricsToken: Option[String] = None): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
     // control-plane state is a LOCAL directory (ControlPlane persists
@@ -101,7 +106,8 @@ object Serve {
     val runner = new PgPipelineRunner(spark, warehouse)
     val cp = new ControlPlane(meta, runner)
     val api = new ApiServer(spark, authToken = token,
-      controlPlane = Some(cp), bindPort = apiPort)
+      controlPlane = Some(cp), bindPort = apiPort,
+      openMetrics = openMetrics, metricsToken = metricsToken)
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
       authToken = token, bindPort = restPort)
     new Handle(spark, api, rest, cp)
@@ -135,7 +141,12 @@ object Serve {
       token = env.get("GRAFT_TOKEN"),
       prefix = env.getOrElse("GRAFT_PREFIX", "graft"),
       apiPort = port("GRAFT_API_PORT"), restPort = port("GRAFT_REST_PORT"),
-      controlDir = env.get("GRAFT_CONTROL_DIR"))
+      controlDir = env.get("GRAFT_CONTROL_DIR"),
+      // scrape auth: GRAFT_OPEN_METRICS=true opts into the promhttp
+      // unauthenticated convention; GRAFT_METRICS_TOKEN scopes a
+      // dedicated scraper credential instead
+      openMetrics = env.get("GRAFT_OPEN_METRICS").exists(_.toBoolean),
+      metricsToken = env.get("GRAFT_METRICS_TOKEN"))
     val done = new java.util.concurrent.CountDownLatch(1)
     // register ABOVE Spark's own SparkContext-stop hook (Hadoop's
     // manager runs by descending priority; Spark's hook sits at ~40) so

@@ -45,16 +45,20 @@ import graft.queries.Paging
   * reference's Trino cursor. Open cursors are capped; the cap returns
   * 429 instead of accumulating driver state without bound.
   *
-  * `authToken`: when set, every route except `GET /query/health` and
-  * `GET /metrics` (probe + scrape endpoints, conventionally
-  * unauthenticated) requires `Authorization: Bearer <token>` → 401
-  * otherwise (the reference's API sits behind its auth middleware,
-  * internal/api/server.go; token compare is constant-time).
+  * `authToken`: when set, every route except `GET /query/health` (the
+  * liveness probe, conventionally unauthenticated) requires
+  * `Authorization: Bearer <token>` → 401 otherwise (the reference's
+  * API sits behind its auth middleware, internal/api/server.go; token
+  * compare is constant-time).
   *
   * `GET /metrics` serves the Prometheus text exposition of `registry`
   * — the same `philotes_<subsystem>_<name>` series the reference
   * exports through promhttp (ref internal/api/server.go:258, names
-  * internal/metrics/metrics.go:39-258). */
+  * internal/metrics/metrics.go:39-258). With `authToken` set the
+  * scrape authenticates like every other route — metric names and
+  * values are operational intelligence — unless `openMetrics` opts
+  * the endpoint out (the promhttp-style unauthenticated scrape) or
+  * `metricsToken` grants the scraper its own credential. */
 final class ApiServer(spark: SparkSession,
                       defaultPageSize: Int = 100,
                       maxCursors: Int = 64,
@@ -63,7 +67,9 @@ final class ApiServer(spark: SparkSession,
                         graft.observe.Metrics.global,
                       authToken: Option[String] = None,
                       controlPlane: Option[ControlPlane] = None,
-                      bindPort: Int = 0)
+                      bindPort: Int = 0,
+                      openMetrics: Boolean = false,
+                      metricsToken: Option[String] = None)
   extends AutoCloseable {
 
   private val server =
@@ -118,8 +124,10 @@ final class ApiServer(spark: SparkSession,
   private def handle(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath
-      if (authToken.isDefined && path != "/query/health" && path != "/metrics"
-          && !authorized(ex)) {
+      val exempt = path == "/query/health" ||
+        (path == "/metrics" &&
+          (openMetrics || metricsToken.exists(t => HttpUtil.bearerOk(ex, t))))
+      if (authToken.isDefined && !exempt && !authorized(ex)) {
         respond(ex, 401,
           JObject("error" -> JString("missing or invalid bearer token")))
         return

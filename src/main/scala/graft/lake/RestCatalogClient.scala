@@ -106,8 +106,12 @@ final class RestCatalogClient(baseUri: String, prefix: String,
       case (code, b)  => fail(code, b)
     }
 
-  def listNamespaces(): Seq[Seq[String]] =
-    request("GET", "/namespaces") match {
+  /** One level of namespaces: top level, or — with `parent` — the
+    * direct children of that namespace (the REST spec's `parent=`
+    * query parameter, levels joined by the encoded unit separator). */
+  def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]] =
+    request("GET", "/namespaces" +
+      (if (parent.isEmpty) "" else s"?parent=${nsSeg(parent)}")) match {
       case (200, body) => body \ "namespaces" match {
         case JArray(nss) => nss.map {
           case JArray(parts) => parts.collect { case JString(p) => p }
@@ -119,23 +123,25 @@ final class RestCatalogClient(baseUri: String, prefix: String,
     }
 
   /** Create-if-absent with ensured namespace (ref rest.go:100-142).
-    * `partitionSpec`: optional (sourceField, transform) — identity /
-    * year / month / day / hour, the reference's transform family. */
+    * `partitionSpec`: (sourceField, transform) pairs — identity /
+    * year / month / day / hour, the reference's transform family
+    * (internal/iceberg/types.go:54-75 models the spec as a field
+    * LIST); the server admits identity fields plus at most one
+    * calendar field. */
   def createTable(ns: Seq[String], table: String, schema: StructType,
-                  partitionSpec: Option[(String, String)] = None): Unit = {
+                  partitionSpec: Seq[(String, String)] = Nil): Unit = {
     createNamespace(ns)
     if (tableExists(ns, table)) return
     val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
-    val specJson = partitionSpec match {
-      case Some((src, transform)) =>
+    val specJson = JObject("spec-id" -> JInt(0), "fields" -> JArray(
+      partitionSpec.zipWithIndex.toList.map { case ((src, transform), i) =>
         val sid = stamped.fields.find(_.name == src).flatMap(FieldIds.idOf)
           .getOrElse(throw new IllegalArgumentException(
             s"partition source '$src' is not a schema field"))
-        JObject("spec-id" -> JInt(0), "fields" -> JArray(List(JObject(
-          "source-id" -> JInt(sid), "field-id" -> JInt(1000),
-          "name" -> JString(src), "transform" -> JString(transform)))))
-      case None => JObject("spec-id" -> JInt(0), "fields" -> JArray(Nil))
-    }
+        JObject(
+          "source-id" -> JInt(sid), "field-id" -> JInt(1000 + i),
+          "name" -> JString(src), "transform" -> JString(transform))
+      }))
     val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables",
       Some(JObject(
         "name" -> JString(table),
@@ -192,8 +198,8 @@ final class RestCatalogClient(baseUri: String, prefix: String,
           "file-format" -> JString("parquet"),
           "record-count" -> JInt(BigInt(f.rows)),
           "file-size-in-bytes" -> JInt(BigInt(f.sizeBytes)),
-          ("partition" -> f.partition.map { case (k, v) =>
-            JObject(k -> JString(v)) }.getOrElse(JObject())))
+          ("partition" -> JObject(f.partition.toList.map { case (k, v) =>
+            k -> (JString(v): JValue) })))
       })))
     val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/$table",
       Some(JObject("requirements" -> JArray(reqs), "updates" -> JArray(List(update)))))
@@ -305,9 +311,10 @@ object RestCatalogClient {
 
   /** One data file to register (ref rest.go:338-345 restDataFile):
     * `path` relative to the table location (or absolute inside it),
-    * `partition` the optional (declared-field → value) entry. */
+    * `partition` the (declared-field → value) entries — one per
+    * declared spec field for a partitioned file, empty otherwise. */
   final case class RestDataFile(path: String, rows: Long, sizeBytes: Long,
-                                partition: Option[(String, String)] = None)
+                                partition: Seq[(String, String)] = Nil)
 
   class RestCatalogError(msg: String) extends RuntimeException(msg)
   final class NotFound(msg: String) extends RestCatalogError(msg)

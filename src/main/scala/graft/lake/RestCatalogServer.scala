@@ -267,8 +267,21 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     fs.exists(p) && !SnapshotLog.isSnapshotTable(spark, p.toString)
   }
 
+  /** Lists ONE level of namespaces: the warehouse's top level, or —
+    * with the REST spec's `parent=` query parameter (levels joined by
+    * `%1F`) — the direct children of that namespace, each returned as
+    * its full multi-part identifier. */
   private def listNamespaces(ex: HttpExchange): Unit = {
-    val root = new Path(warehouseDir)
+    val parent: Seq[String] =
+      Option(ex.getRequestURI.getQuery).toSeq
+        .flatMap(_.split('&').toSeq)
+        .collectFirst { case kv if kv.startsWith("parent=") =>
+          java.net.URLDecoder.decode(kv.substring("parent=".length), UTF_8) }
+        .map(checkedNs).getOrElse(Nil)
+    if (parent.nonEmpty && !namespaceExists(parent))
+      halt(404, s"namespace ${parent.mkString(".")} not found",
+        "NoSuchNamespaceException")
+    val root = new Path(dirOf(parent))
     val names =
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq
@@ -276,7 +289,8 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           !SnapshotLog.isSnapshotTable(spark, st.getPath.toString))
         .map(_.getPath.getName).sorted
     respond(ex, 200, JObject("namespaces" -> JArray(
-      names.toList.map(n => JArray(List(JString(n)))))))
+      names.toList.map(n =>
+        JArray((parent :+ n).toList.map(JString(_)))))))
   }
 
   private def createNamespace(ex: HttpExchange): Unit = {
@@ -356,7 +370,14 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     new Path(dir, SnapshotLog.MetaDirName + "/rest-spec.json")
 
   private case class DeclaredSpec(fieldName: String, sourceName: String,
-                                  transform: String)
+                                  transform: String,
+                                  sourceType: Option[DataType] = None) {
+    def calendar: Boolean = DeclaredSpec.CalendarTransforms.contains(transform)
+  }
+
+  private object DeclaredSpec {
+    val CalendarTransforms = Set("year", "month", "day", "hour")
+  }
 
   /** Iceberg's canonical INTEGER partition values are epoch ordinals
     * (years/months/days/hours since 1970-01-01) — render them in the
@@ -375,17 +396,112 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
 
   private val Transforms = Set("identity", "year", "month", "day", "hour")
 
-  private def readSpec(dir: String): Option[DeclaredSpec] = {
+  /** A declared calendar partition value must PARSE in its transform's
+    * calendar form (yyyy / yyyy-MM / yyyy-MM-dd / yyyy-MM-dd HH) — the
+    * manifest compares these by string prefix, so a malformed value
+    * would silently mis-prune instead of erroring anywhere. */
+  private def checkCalendarForm(transform: String, field: String,
+                                v: String): Unit = {
+    val ok = try transform match {
+      case "year"  => v.matches("""\d{4}""")
+      case "month" => java.time.YearMonth.parse(v); v.matches("""\d{4}-\d{2}""")
+      case "day"   => java.time.LocalDate.parse(v); true
+      case "hour"  =>
+        v.matches("""\d{4}-\d{2}-\d{2} \d{2}""") && {
+          java.time.LocalDate.parse(v.take(10)); v.substring(11).toInt < 24
+        }
+      case _ => true
+    } catch { case _: RuntimeException => false }
+    if (!ok) halt(400, s"partition value '$v' for '$field' does not match " +
+      s"the $transform transform's calendar form", "BadRequestException")
+  }
+
+  /** Footer cross-checks only run where the parquet statistics render
+    * in the same vocabulary the declared value uses: strings and plain
+    * integral/floating columns. Date/timestamp/decimal stats render as
+    * raw physical values (epoch ordinals, unscaled bytes) — comparing
+    * those against calendar strings would refuse every correct commit. */
+  private def crossCheckable(d: DeclaredSpec): Boolean = d.sourceType match {
+    case Some(StringType) => true
+    case Some(ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType) => true
+    case _ => false
+  }
+
+  private def valuesEqual(declared: String, bound: String,
+                          dt: DataType): Boolean = dt match {
+    case StringType => declared == bound
+    case _ =>
+      try BigDecimal(declared) == BigDecimal(bound)
+      catch { case _: NumberFormatException => false }
+  }
+
+  /** One declared partition value against the file's own footer stats
+    * for its source column (absent stats = unverifiable, accepted but
+    * never recorded as pruning bounds):
+    *  - identity: the column must be CONSTANT at the declared value —
+    *    footer min and max must both equal it;
+    *  - calendar on the convention column (ISO date strings): the
+    *    recorded min/max prefixes must equal the declared value. */
+  private def checkAgainstFooter(path: String, d: DeclaredSpec, v: String,
+                                 stats: Option[(String, String)]): Unit =
+    stats match {
+      case Some((mn, mx)) if !d.calendar && crossCheckable(d) =>
+        val dt = d.sourceType.get
+        if (!valuesEqual(v, mn, dt) || !valuesEqual(v, mx, dt))
+          halt(400, s"data file $path declares identity partition " +
+            s"${d.fieldName}=$v but its footer records " +
+            s"[$mn, $mx] for ${d.sourceName}", "BadRequestException")
+      case Some((mn, mx))
+        if d.calendar &&
+          d.sourceName == graft.model.SchemaBuilder.partitionColumn &&
+          d.sourceType.contains(StringType) =>
+        // string-typed convention column only: DATE/TIMESTAMP parquet
+        // stats render as epoch ordinals, which must never be string-
+        // compared against calendar forms (it would refuse correct
+        // commits)
+        val len = d.transform match {
+          case "year" => 4
+          case "month" => 7
+          case "day" => 10
+          case "hour" => 13
+        }
+        // the convention column holds day-granularity ISO strings; a
+        // finer transform (hour) cannot be checked against them
+        if (mn.length >= len && mx.length >= len &&
+            (mn.take(len) != v || mx.take(len) != v))
+          halt(400, s"data file $path declares ${d.transform} partition " +
+            s"${d.fieldName}=$v but its footer records " +
+            s"[$mn, $mx] for ${d.sourceName}", "BadRequestException")
+      case _ => ()
+    }
+
+  /** Test hook: runs once per commit just before footer verification —
+    * a concurrency spec parks one commit here to prove verification
+    * does not hold the table's commit lock. */
+  @volatile private[lake] var onVerifyHook: () => Unit = () => ()
+
+  /** The sidecar's current form is `{"fields": [...]}`; the original
+    * single-object form (one field, no source-type) still reads — a
+    * table created before the multi-field era keeps committing. */
+  private def readSpec(dir: String): Seq[DeclaredSpec] = {
     val p = specSidecar(dir)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val raw = try new String(in.readAllBytes(), UTF_8) finally in.close()
     val j = JsonMethods.parse(raw)
-    for {
-      JString(fn) <- Option(j \ "name")
-      JString(sn) <- Option(j \ "source-name")
-      JString(tr) <- Option(j \ "transform")
-    } yield DeclaredSpec(fn, sn, tr)
+    def one(f: JValue): Option[DeclaredSpec] = for {
+      JString(fn) <- Option(f \ "name")
+      JString(sn) <- Option(f \ "source-name")
+      JString(tr) <- Option(f \ "transform")
+    } yield DeclaredSpec(fn, sn, tr, f \ "source-type" match {
+      case JString(t) => Some(icebergToSpark(t))
+      case _          => None
+    })
+    j \ "fields" match {
+      case JArray(fs) => fs.flatMap(one)
+      case _          => one(j).toSeq
+    }
   }
 
   private def createTable(ex: HttpExchange, ns: Seq[String]): Unit = {
@@ -403,33 +519,47 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     if (SnapshotLog.isSnapshotTable(spark, dir))
       halt(409, s"table ${(ns :+ name).mkString(".")} already exists",
         "AlreadyExistsException")
-    // the declared spec: at most one partition field, transform from the
-    // reference family — richer specs have no manifest counterpart and
-    // are refused loudly rather than silently dropped
-    val declared = body \ "partition-spec" \ "fields" match {
-      case JArray(Nil) | JNothing => None
-      case JArray(List(f)) =>
-        val tr = f \ "transform" match {
-          case JString(t) if Transforms.contains(t) => t
-          case JString(t) => halt(400, s"unsupported partition transform '$t'",
-            "BadRequestException")
-          case _ => halt(400, "partition field missing transform", "BadRequestException")
+    // the declared spec: transforms from the reference family (ref
+    // internal/iceberg/types.go:54-75, a LIST of fields), with AT MOST
+    // ONE calendar-family field — the manifest's primary partition slot
+    // holds one calendar value per file, while every ADDITIONAL field
+    // must be an identity (it rides the manifest's per-file min/max
+    // bounds: an identity-partitioned file's source column is constant,
+    // so [v, v] bounds ARE the partition value). Richer combinations
+    // have no manifest counterpart and are refused loudly rather than
+    // silently dropped
+    val declared: Seq[DeclaredSpec] = body \ "partition-spec" \ "fields" match {
+      case JArray(Nil) | JNothing => Nil
+      case JArray(fields) =>
+        val specs = fields.map { f =>
+          val tr = f \ "transform" match {
+            case JString(t) if Transforms.contains(t) => t
+            case JString(t) => halt(400, s"unsupported partition transform '$t'",
+              "BadRequestException")
+            case _ => halt(400, "partition field missing transform", "BadRequestException")
+          }
+          val srcId = f \ "source-id" match {
+            case JInt(i) => i.toInt
+            case _       => -1
+          }
+          val srcField = FieldIds.fieldById(schema, srcId)
+            .getOrElse(halt(400, s"partition source-id $srcId names no schema field",
+              "BadRequestException"))
+          val fn = f \ "name" match {
+            case JString(n) if n.nonEmpty => n
+            case _                        => srcField.name
+          }
+          DeclaredSpec(fn, srcField.name, tr, Some(srcField.dataType))
         }
-        val srcId = f \ "source-id" match {
-          case JInt(i) => i.toInt
-          case _       => -1
-        }
-        val src = FieldIds.fieldById(schema, srcId).map(_.name)
-          .getOrElse(halt(400, s"partition source-id $srcId names no schema field",
-            "BadRequestException"))
-        val fn = f \ "name" match {
-          case JString(n) if n.nonEmpty => n
-          case _                        => src
-        }
-        Some(DeclaredSpec(fn, src, tr))
-      case JArray(_) => halt(400,
-        "at most one partition field is supported", "BadRequestException")
-      case _ => None
+        if (specs.count(_.calendar) > 1)
+          halt(400, "at most one calendar-transform partition field " +
+            "(year/month/day/hour) is supported", "BadRequestException")
+        if (specs.map(_.fieldName).distinct.size != specs.size)
+          halt(400, "partition field names must be distinct", "BadRequestException")
+        if (specs.map(_.sourceName).distinct.size != specs.size)
+          halt(400, "partition source columns must be distinct", "BadRequestException")
+        specs
+      case _ => Nil
     }
     // commit AND sidecar under ONE table lock: a racing same-process
     // commit must never observe the created table before its declared
@@ -445,12 +575,16 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       // Iceberg catalog contract is to honor the declared schema ids
       val s = SnapshotLog.commit(spark, dir, "create", Nil, schema, parent = None,
         preReconciled = FieldIds.hasIds(schema))
-      declared.foreach { d =>
+      if (declared.nonEmpty) {
         val out = fs.create(specSidecar(dir), true)
         try out.write(JsonMethods.compact(JsonMethods.render(JObject(
-          "name" -> JString(d.fieldName),
-          "source-name" -> JString(d.sourceName),
-          "transform" -> JString(d.transform)))).getBytes(UTF_8))
+          "fields" -> JArray(declared.toList.map(d => JObject(
+            "name" -> JString(d.fieldName),
+            "source-name" -> JString(d.sourceName),
+            "transform" -> JString(d.transform),
+            "source-type" ->
+              d.sourceType.map(t => JString(sparkToIceberg(t)))
+                .getOrElse(JNothing))))))).getBytes(UTF_8))
         finally out.close()
       }
       s
@@ -482,16 +616,14 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     val schema = snap.schema
     val stamped = if (FieldIds.hasIds(schema)) schema else FieldIds.stamp(schema)._1
     val declared = readSpec(dir)
-    val specFields = declared match {
-      case Some(d) =>
-        val sid = stamped.fields.find(_.name == d.sourceName)
-          .flatMap(FieldIds.idOf).getOrElse(0)
-        List(JObject(
-          "source-id" -> JInt(sid),
-          "field-id" -> JInt(1000),
-          "name" -> JString(d.fieldName),
-          "transform" -> JString(d.transform)))
-      case None => Nil
+    val specFields = declared.zipWithIndex.toList.map { case (d, i) =>
+      val sid = stamped.fields.find(_.name == d.sourceName)
+        .flatMap(FieldIds.idOf).getOrElse(0)
+      JObject(
+        "source-id" -> JInt(sid),
+        "field-id" -> JInt(1000 + i),
+        "name" -> JString(d.fieldName),
+        "transform" -> JString(d.transform))
     }
     // historical schemas still referenced by live files, then current
     val historic = snap.schemasById.toList.sortBy(_._1)
@@ -526,7 +658,7 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> JArray(specFields)))),
       "default-spec-id" -> JInt(0),
-      "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else 1000),
+      "last-partition-id" -> JInt(999 + specFields.size),
       "properties" -> JObject(),
       "current-snapshot-id" -> JInt(BigInt(snap.id)),
       "snapshots" -> JArray(allSnaps.toList.map(s => JObject(
@@ -620,7 +752,12 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
 
     val tableRoot = new Path(dir).toUri.normalize()
 
-    def toDataFile(declared: Option[DeclaredSpec])(j: JValue): SnapshotLog.DataFile = {
+    // a parsed-but-unverified file: the manifest entry plus every
+    // declared (field, value) pair, carried to the footer verifier
+    case class PendingFile(df: SnapshotLog.DataFile,
+                           declaredVals: Seq[(DeclaredSpec, String)])
+
+    def toDataFile(specs: Seq[DeclaredSpec])(j: JValue): PendingFile = {
       val path = j \ "file-path" match {
         case JString(p) if p.nonEmpty => p
         case _ => halt(400, "data file missing file-path", "BadRequestException")
@@ -654,13 +791,14 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           halt(400, s"data file $path escapes the table location",
             "BadRequestException")
         else path
-      val (partition, spec) = j \ "partition" match {
-        case JObject(Nil) | JNothing => ("", Some("unpartitioned"))
+      val (partition, spec, declaredVals) = j \ "partition" match {
+        case JObject(Nil) | JNothing =>
+          ("", Some("unpartitioned"), Nil: Seq[(DeclaredSpec, String)])
         case JObject(fields) =>
-          val d = declared.getOrElse(halt(400,
+          if (specs.isEmpty) halt(400,
             "data file carries a partition but the table declares no spec",
-            "BadRequestException"))
-          val v = fields.collectFirst {
+            "BadRequestException")
+          def valueOf(d: DeclaredSpec): String = fields.collectFirst {
             case (n, value) if n == d.fieldName => value match {
               case JString(s)  => s
               // Iceberg's canonical integer partition values are
@@ -680,6 +818,19 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           }.getOrElse(halt(400,
             s"partition map misses declared field '${d.fieldName}'",
             "BadRequestException"))
+          val vals = specs.map(d => d -> valueOf(d))
+          // a calendar value either parses in its transform's calendar
+          // form or the commit refuses — a malformed string would feed
+          // the manifest's prefix-compared pruning vocabulary and
+          // silently include/exclude the file for every day predicate
+          vals.foreach { case (d, v) =>
+            if (d.calendar) checkCalendarForm(d.transform, d.fieldName, v)
+          }
+          // the primary manifest slot holds the calendar field (the
+          // day-pruning vocabulary), or the sole/first identity field;
+          // every OTHER field is an identity whose verified [v, v]
+          // footer bounds ride extraBounds (range/equality pruning)
+          val primary = specs.find(_.calendar).getOrElse(specs.head)
           // the manifest's day-pruning vocabulary reasons about the
           // CONVENTION partition column; a spec on any other source
           // column records a QUALIFIED transform name — an unknown
@@ -687,47 +838,81 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
           // (correct, just unprunable) instead of being compared
           // against the wrong column's values
           val prunable =
-            d.sourceName == graft.model.SchemaBuilder.partitionColumn
+            primary.sourceName == graft.model.SchemaBuilder.partitionColumn
           val specName =
-            if (prunable) d.transform else s"${d.transform}:${d.sourceName}"
-          (v, Some(specName))
+            if (prunable) primary.transform
+            else s"${primary.transform}:${primary.sourceName}"
+          (valueOf(primary), Some(specName), vals)
         case _ => halt(400, "partition must be an object", "BadRequestException")
       }
-      SnapshotLog.DataFile(rel, partition, hive = false, rows, size,
-        minLsn = None, maxLsn = None, seq = -1L, spec = spec)
+      PendingFile(SnapshotLog.DataFile(rel, partition, hive = false, rows, size,
+        minLsn = None, maxLsn = None, seq = -1L, spec = spec), declaredVals)
     }
 
-    // ONE atomic conditional commit: the declared spec, the
-    // requirements, and the head are all read INSIDE the lock (a
-    // concurrent createTable publishes its sidecar under the same
-    // lock), then append — the server IS the coordinator, so no
-    // optimistic retry loop runs here; a failed requirement is the
-    // client's retry signal (409, Iceberg's CommitFailedException)
-    val snap = SnapshotLog.withTableLock(dir) {
-      val declared = dataFiles.map(toDataFile(readSpec(dir)))
-      // VERIFY every registered file against its own parquet footer —
-      // the manifest's row counts feed metadata-answered aggregates, so
-      // a client-declared count is never trusted: a ghost path, a
-      // non-parquet file, or a lying record-count is 400, and the same
-      // footer open records LSN bounds when the table carries the
-      // engine's stats column, so REST-ingested commits file-skip like
-      // the engine's own writers (O(new files) footer reads — the
-      // Iceberg writer cost model)
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val files = declared.map { f =>
-        val p = new Path(dir, f.path)
-        val (rows, mn, mx) =
-          try SnapshotLog.footerStats(hconf, p, graft.ingest.Cdc.LsnColumn)
-          catch {
-            case NonFatal(_) => halt(400,
-              s"data file ${f.path} is missing or not readable parquet",
-              "BadRequestException")
-          }
-        if (rows != f.rows)
-          halt(400, s"data file ${f.path} declares ${f.rows} rows but its " +
-            s"footer records $rows", "BadRequestException")
-        f.copy(minLsn = mn, maxLsn = mx)
+    // the declared spec reads under a BRIEF lock only because
+    // createTable publishes commit-then-sidecar under the table lock —
+    // a table observed to exist may still be mid-create until that
+    // lock releases; once read, the spec is immutable catalog state
+    val tableSpec = SnapshotLog.withTableLock(dir)(readSpec(dir))
+    val pending = dataFiles.map(toDataFile(tableSpec))
+
+    // VERIFY every registered file against its own parquet footer,
+    // OUTSIDE the table lock — the files are immutable, so verification
+    // is order-independent, and the O(new files) footer reads (network
+    // round trips on object storage) must never serialize every other
+    // commit to the table behind one large commit. The manifest's row
+    // counts feed metadata-answered aggregates, so a client-declared
+    // count is never trusted: a ghost path, a non-parquet file, or a
+    // lying record-count is 400. The same footer open records LSN
+    // bounds (REST-ingested commits file-skip like the engine's own
+    // writers) and cross-checks every declared partition value the
+    // footer can see: an identity value must equal the source column's
+    // min AND max (identity means constant), and a calendar value on
+    // the convention column must equal the recorded date prefix —
+    // a wrong declared value would silently corrupt pruning and
+    // metadata-answered aggregates, so it is 400, never accepted
+    onVerifyHook()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = pending.map { pf =>
+      val f = pf.df
+      val p = new Path(dir, f.path)
+      val wantCols = (graft.ingest.Cdc.LsnColumn +:
+        pf.declaredVals.map(_._1.sourceName)).distinct
+      val (rows, bounds) =
+        try SnapshotLog.footerStatsMulti(hconf, p, wantCols)
+        catch {
+          case NonFatal(_) => halt(400,
+            s"data file ${f.path} is missing or not readable parquet",
+            "BadRequestException")
+        }
+      if (rows != f.rows)
+        halt(400, s"data file ${f.path} declares ${f.rows} rows but its " +
+          s"footer records $rows", "BadRequestException")
+      pf.declaredVals.foreach { case (d, v) =>
+        checkAgainstFooter(f.path, d, v, bounds.get(d.sourceName))
       }
+      // verified identity values become [v, v] manifest bounds on their
+      // source column — the equality/range pruning surface; recorded
+      // only when the footer actually confirmed them
+      val extra = pf.declaredVals.collect {
+        case (d, v) if !d.calendar && crossCheckable(d) &&
+          bounds.contains(d.sourceName) &&
+          d.sourceName != graft.ingest.Cdc.LsnColumn =>
+          d.sourceName -> (v, v)
+      }.toMap
+      val (mn, mx) = bounds.get(graft.ingest.Cdc.LsnColumn) match {
+        case Some((lo, hi)) => (Some(lo), Some(hi))
+        case None           => (None, None)
+      }
+      f.copy(minLsn = mn, maxLsn = mx, extraBounds = extra)
+    }
+
+    // ONE atomic conditional commit: the requirements and the head are
+    // read INSIDE the lock, then append — the server IS the
+    // coordinator, so no optimistic retry loop runs here; a failed
+    // requirement is the client's retry signal (409, Iceberg's
+    // CommitFailedException)
+    val snap = SnapshotLog.withTableLock(dir) {
       val cur = SnapshotLog.currentSnapshot(spark, dir)
       reqs.foreach {
         case AssertCreate =>

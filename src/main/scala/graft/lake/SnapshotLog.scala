@@ -1245,9 +1245,12 @@ object SnapshotLog {
   }
 
   /** [[footerStats]] for several columns in ONE footer open — the
-    * multi-dimension variant [[clusterByGrid]] records. Columns whose
-    * stats are absent or carry nulls are simply missing from the map. */
-  private def footerStatsMulti(conf: Configuration, file: Path,
+    * multi-dimension variant [[clusterByGrid]] records, and the REST
+    * commit verifier reads (declared counts and identity partition
+    * values are checked against the file's own footer in one open).
+    * Columns whose stats are absent or carry nulls are simply missing
+    * from the map. */
+  private[lake] def footerStatsMulti(conf: Configuration, file: Path,
                                cols: Seq[String])
   : (Long, Map[String, (String, String)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader

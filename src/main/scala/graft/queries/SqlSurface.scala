@@ -930,6 +930,60 @@ object SqlSurface extends QueryModule {
         s"""SELECT count(*) AS n, sum(user_id) AS su,
            |  count(DISTINCT _cdc_date) AS nd
            |FROM $rc.db.state""".stripMargin).collect().head
+      // a TWO-FIELD partition spec (identity bucket + day) through the
+      // REST protocol: per-(bucket, day) files commit with both values,
+      // the server verifies each against the file's own footer, and a
+      // conjunctive filter on both fields prunes file-exact at the
+      // manifest — the identity value rides verified [v, v] bounds
+      val day = graft.model.SchemaBuilder.partitionColumn
+      // the state is one-row-per-user at its LATEST day, so the max day
+      // is the densely-populated one — both parity buckets exist there
+      val d1 = s.sql(s"SELECT max(CAST(_cdc_date AS STRING)) FROM $cat.db.events")
+        .collect().head.getString(0)
+      val twoDays = s.sql(
+        s"""SELECT user_id,
+           |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS bucket,
+           |  CAST(_cdc_date AS STRING) AS $day
+           |FROM $cat.db.events
+           |WHERE CAST(_cdc_date AS DATE) >= date_sub(DATE'$d1', 1)""".stripMargin)
+      val p2schema = twoDays.schema
+      cli.createTable(Seq("db"), "p2", p2schema,
+        partitionSpec = Seq("bucket" -> "identity", day -> "day"))
+      val p2loc = cli.loadTable(Seq("db"), "p2").location
+      val stage2 = s"$wh/stage2"
+      twoDays.withColumn("_pb", col("bucket")).withColumn("_pd", col(day))
+        .coalesce(1).write.partitionBy("_pb", "_pd").parquet(stage2)
+      val leafFiles = s.read.parquet(stage2)
+        .groupBy(input_file_name().as("f"), col("bucket"), col(day))
+        .count().collect()
+      val p2data = new Path(s"$p2loc/data")
+      fs.mkdirs(p2data)
+      val p2files = leafFiles.toSeq.map { r =>
+        val src = new Path(new java.net.URI(r.getString(0)))
+        val dest = new Path(p2data, s"${r.getString(1)}-${r.getString(2)}.parquet")
+        fs.rename(src, dest)
+        RestDataFile(s"data/${dest.getName}", r.getLong(3),
+          fs.getFileStatus(dest).getLen,
+          partition = Seq("bucket" -> r.getString(1), day -> r.getString(2)))
+      }
+      fs.delete(new Path(stage2), true)
+      // a contradicted identity value must refuse BEFORE any commit
+      val badFile = p2files.head
+      val badValue = if (badFile.partition.head._2 == "even") "odd" else "even"
+      val p2bad400 =
+        try {
+          cli.commitAppend(Seq("db"), "p2",
+            Seq(badFile.copy(partition =
+              ("bucket" -> badValue) +: badFile.partition.tail)))
+          false
+        } catch { case _: RestCatalogError => true }
+      cli.commitAppend(Seq("db"), "p2", p2files)
+      val p2agg = s.sql(
+        s"""SELECT count(*) AS n, coalesce(sum(user_id), 0) AS su
+           |FROM $rc.db.p2
+           |WHERE bucket = 'even' AND $day = '$d1'""".stripMargin).collect().head
+      val (p2kept, p2total) = graft.lake.GraftScanStats.lastScan(p2loc)
+        .getOrElse((-1L, -1L))
       // unauthorized access refused before any route logic
       val anon = new RestCatalogClient(srv.baseUri, "lake", token = None)
       val auth401 =
@@ -941,6 +995,10 @@ object SqlSurface extends QueryModule {
         ("committed_snapshot", committed.currentSnapshotId),
         ("files_committed_4", flag(files.size == 4)),
         ("ns_created", flag(nsOk)),
+        ("p2_bad_value_400", flag(p2bad400)),
+        ("p2_pruned_exact", flag(p2kept <= 1L && p2total > 1L)),
+        ("p2_rows", p2agg.getLong(0)),
+        ("p2_user_sum", p2agg.getLong(1)),
         ("read_days", agg.getLong(2)),
         ("read_rows", agg.getLong(0)),
         ("read_user_sum", agg.getLong(1)),
@@ -959,6 +1017,13 @@ object SqlSurface extends QueryModule {
        |  ('committed_snapshot', CAST(2 AS BIGINT)),
        |  ('files_committed_4', CAST(1 AS BIGINT)),
        |  ('ns_created', CAST(1 AS BIGINT)),
+       |  ('p2_bad_value_400', CAST(1 AS BIGINT)),
+       |  ('p2_pruned_exact', CAST(1 AS BIGINT)),
+       |  ('p2_rows', (SELECT CAST(count(*) AS BIGINT) FROM s3
+       |     WHERE user_id % 2 = 0 AND day = (SELECT max(day) FROM s3))),
+       |  ('p2_user_sum', (SELECT CAST(coalesce(sum(user_id), 0) AS BIGINT)
+       |     FROM s3
+       |     WHERE user_id % 2 = 0 AND day = (SELECT max(day) FROM s3))),
        |  ('read_days', (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM s3)),
        |  ('read_rows', (SELECT CAST(count(*) AS BIGINT) FROM s3)),
        |  ('read_user_sum', (SELECT CAST(sum(user_id) AS BIGINT) FROM s3)),

@@ -50,7 +50,8 @@ object PgWire {
 }
 
 final class PgWire(host: String, port: Int, user: String, db: String,
-                   password: Option[String] = None)
+                   password: Option[String] = None,
+                   allowCleartextPassword: Boolean = false)
   extends AutoCloseable {
 
   private val socket = new Socket()
@@ -134,6 +135,15 @@ final class PgWire(host: String, port: Int, user: String, db: String,
         bb.getInt match {
           case 0 => () // AuthenticationOk
           case 3 => // AuthenticationCleartextPassword
+            // the socket is plaintext (no TLS layer here), so honoring
+            // this request mails the raw credential to whoever asked —
+            // including a MITM downgrading from SCRAM. Refused unless
+            // the caller explicitly opted in; trust and SCRAM-SHA-256
+            // are the supported methods on plaintext sockets.
+            if (!allowCleartextPassword) throw new IllegalStateException(
+              "server requested cleartext password authentication on a " +
+                "plaintext socket; refused (set allowCleartextPassword " +
+                "to opt in — SCRAM-SHA-256 is the supported password method)")
             send('p', cstr(needPassword("cleartext-password")))
           case 10 => // AuthenticationSASL: NUL-separated mechanism cstrings
             val mechs = new String(p, 4, p.length - 4, UTF_8)

@@ -68,7 +68,15 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
 
   override def start(p: ControlPlane.Pipeline,
                      src: ControlPlane.Source): Unit = {
+    // a DEAD drain loop (crashed, error recorded) is not "live" — a
+    // restart replaces it instead of refusing forever
+    val prev = live.get(p.id)
+    if (prev != null && !prev.thread.isAlive) live.remove(p.id, prev)
     require(!live.containsKey(p.id), s"pipeline ${p.id} is already live")
+    // errors belong to a RUN, not the pipeline: health() must report
+    // only the current run's failure, or a cleanly restarted pipeline
+    // would read as status `error` forever
+    lastError.remove(p.id)
     val publication =
       if (src.publicationName.nonEmpty) src.publicationName
       else sys.error("source has no publication_name configured")
@@ -141,6 +149,7 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
       l.thread.join(30000L)
       if (l.thread.isAlive) l.wire.close() // unblock a stuck read
     }
+    lastError.remove(p.id) // a stopped pipeline carries no run error
   }
 
   /** A drain loop that DIED (error recorded, or thread gone without a

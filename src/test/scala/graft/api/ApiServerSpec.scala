@@ -165,12 +165,38 @@ class ApiServerSpec extends SparkTestBase {
         .header("Authorization", "Bearer s3cr3t-tok").GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(right.statusCode() === 200)
-      // health and metrics are probe/scrape surfaces: unauthenticated
+      // health is the probe surface: unauthenticated
       assert(get(base, "/query/health")._1 === 200)
+      // /metrics is NOT exempt by default — names and values are
+      // operational intelligence
       val m = http.send(HttpRequest.newBuilder(URI.create(base + "/metrics"))
         .GET().build(), HttpResponse.BodyHandlers.ofString())
-      assert(m.statusCode() === 200)
+      assert(m.statusCode() === 401)
+      val mAuth = http.send(HttpRequest.newBuilder(
+        URI.create(base + "/metrics"))
+        .header("Authorization", "Bearer s3cr3t-tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mAuth.statusCode() === 200)
     } finally srv.close()
+    // opt-in unauthenticated scrape (promhttp convention)
+    val open = new ApiServer(spark, authToken = Some("s3cr3t-tok"),
+      openMetrics = true)
+    try assert(http.send(HttpRequest.newBuilder(
+      URI.create(open.baseUri + "/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+    finally open.close()
+    // or a dedicated scrape credential that opens NOTHING else
+    val scoped = new ApiServer(spark, authToken = Some("s3cr3t-tok"),
+      metricsToken = Some("scrape-tok"))
+    try {
+      def withTok(path: String, tok: String): Int = http.send(
+        HttpRequest.newBuilder(URI.create(scoped.baseUri + path))
+          .header("Authorization", s"Bearer $tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(withTok("/metrics", "scrape-tok") === 200)
+      assert(withTok("/metrics", "wrong") === 401)
+      assert(withTok("/query/catalogs", "scrape-tok") === 401)
+    } finally scoped.close()
   }
 
   test("GET /metrics serves the registry as Prometheus text exposition") {

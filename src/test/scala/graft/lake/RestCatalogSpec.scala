@@ -53,7 +53,7 @@ class RestCatalogSpec extends SparkTestBase {
     val size = fs.getFileStatus(dest).getLen
     val days = rows.map(_._3).distinct
     RestDataFile(s"data/$name", rows.size.toLong, size,
-      partition = if (days.size == 1) Some(Day -> days.head) else None)
+      partition = if (days.size == 1) Seq(Day -> days.head) else Nil)
   }
 
   test("namespace lifecycle: create, exists, list, 404s, non-empty drop refused") {
@@ -78,7 +78,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, wh) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       cli.createTable(Seq("db"), "t", schema) // idempotent
       assert(cli.listTables(Seq("db")) === Seq("t"))
       val t = cli.loadTable(Seq("db"), "t")
@@ -102,7 +102,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       val f1 = writeFile(loc, "d1.parquet",
         Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01")))
@@ -137,7 +137,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       val f1 = writeFile(loc, "d1.parquet",
         Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-01")))
@@ -182,7 +182,7 @@ class RestCatalogSpec extends SparkTestBase {
       val loc = cli.loadTable(Seq("db"), "u").location
       // a file spanning two days registers with NO partition value
       val f = writeFile(loc, "mix.parquet",
-        Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-02"))).copy(partition = None)
+        Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-02"))).copy(partition = Nil)
       cli.commitAppend(Seq("db"), "u", Seq(f), require = Some(1L))
       val snap = SnapshotLog.currentSnapshot(spark, loc).get
       assert(snap.files.head.spec.contains("unpartitioned"))
@@ -236,7 +236,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       val cat = "rtestw"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
@@ -308,7 +308,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       val f = writeFile(loc, "d1.parquet", Seq((1L, 1.0, "2024-01-01")))
       // inject a foreign commit between the server's head read and its
@@ -339,7 +339,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       // the reserved name is refused at the ref layer itself, so the
       // refs object can never carry a duplicate 'main' key; the Map
@@ -396,7 +396,7 @@ class RestCatalogSpec extends SparkTestBase {
         FieldIds.withId(StructField("region", StringType), 2),
         FieldIds.withId(StructField(Day, StringType), 3)))
       cli.createTable(Seq("db"), "r", sch,
-        partitionSpec = Some("region" -> "identity"))
+        partitionSpec = Seq("region" -> "identity"))
       val loc = cli.loadTable(Seq("db"), "r").location
       val stage = java.nio.file.Files.createTempDirectory("graft-rest-r").toString
       import spark.implicits._
@@ -411,7 +411,7 @@ class RestCatalogSpec extends SparkTestBase {
         spark.sparkContext.hadoopConfiguration)
       cli.commitAppend(Seq("db"), "r", Seq(RestDataFile("data/r1.parquet",
         1L, fs.getFileStatus(new Path(loc, "data/r1.parquet")).getLen,
-        partition = Some("region" -> "emea"))), require = Some(1L))
+        partition = Seq("region" -> "emea"))), require = Some(1L))
       val snap = SnapshotLog.currentSnapshot(spark, loc).get
       assert(snap.files.head.spec === Some("identity:region"))
       assert(snap.files.head.partition === "emea")
@@ -428,7 +428,7 @@ class RestCatalogSpec extends SparkTestBase {
       // Iceberg canonical INTEGER partition values are epoch ordinals:
       // a day-transform commit with an integer renders yyyy-MM-dd
       cli.createTable(Seq("db"), "d", schema,
-        partitionSpec = Some(Day -> "day"))
+        partitionSpec = Seq(Day -> "day"))
       val dloc = cli.loadTable(Seq("db"), "d").location
       val df = writeFile(dloc, "d1.parquet", Seq((1L, 1.0, "2024-01-02")))
       val epochDay = java.time.LocalDate.parse("2024-01-02").toEpochDay
@@ -453,7 +453,7 @@ class RestCatalogSpec extends SparkTestBase {
     val (srv, cli, _) = fixture()
     try {
       cli.createTable(Seq("db"), "t", schema,
-        partitionSpec = Some(Day -> "identity"))
+        partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       val f1 = writeFile(loc, "d1.parquet", Seq((1L, 1.0, "2024-01-01")))
       cli.commitAppend(Seq("db"), "t", Seq(f1), require = Some(1L))
@@ -505,7 +505,7 @@ class RestCatalogSpec extends SparkTestBase {
         FieldIds.withId(StructField("id", LongType, nullable = false), 1),
         FieldIds.withId(StructField(graft.ingest.Cdc.LsnColumn, StringType), 2),
         FieldIds.withId(StructField(Day, StringType), 3)))
-      cli.createTable(Seq("db"), "t", sch, partitionSpec = Some(Day -> "identity"))
+      cli.createTable(Seq("db"), "t", sch, partitionSpec = Seq(Day -> "identity"))
       val loc = cli.loadTable(Seq("db"), "t").location
       // a path that exists nowhere is refused before any manifest write
       intercept[RestCatalogError] {
@@ -529,12 +529,12 @@ class RestCatalogSpec extends SparkTestBase {
       val size = fs.getFileStatus(new Path(loc, "data/f1.parquet")).getLen
       intercept[RestCatalogError] { // declares 5 rows, footer says 2
         cli.commitAppend(Seq("db"), "t", Seq(RestDataFile(
-          "data/f1.parquet", 5L, size, Some(Day -> "2024-01-01"))))
+          "data/f1.parquet", 5L, size, Seq(Day -> "2024-01-01"))))
       }
       // the honest commit lands WITH footer-derived LSN bounds — REST-
       // ingested files skip by LSN window like the engine's own writes
       cli.commitAppend(Seq("db"), "t", Seq(RestDataFile(
-        "data/f1.parquet", 2L, size, Some(Day -> "2024-01-01"))))
+        "data/f1.parquet", 2L, size, Seq(Day -> "2024-01-01"))))
       val snap = SnapshotLog.currentSnapshot(spark, loc).get
       assert(snap.files.head.minLsn === Some("00000003"))
       assert(snap.files.head.maxLsn === Some("00000007"))
@@ -574,6 +574,182 @@ class RestCatalogSpec extends SparkTestBase {
       val t = cli.loadTable(Seq("db"), "wire")
       assert(t.currentSchema.get("ts").dataType === TimestampNTZType)
       assert(t.currentSchema.get("id").nullable === false)
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("footer verification runs OUTSIDE the table lock: a slow-verifying commit never blocks a concurrent commit") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Seq(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val slow = writeFile(loc, "slow.parquet", Seq((1L, 1.0, "2024-01-01")))
+      val fast = writeFile(loc, "fast.parquet", Seq((2L, 2.0, "2024-01-02")))
+      val entered = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      srv.onVerifyHook = () =>
+        if (first.getAndSet(false)) { entered.countDown(); release.await() }
+      try {
+        // commit A parks INSIDE its verification phase...
+        val a = new Thread(() => cli.commitAppend(Seq("db"), "t", Seq(slow)))
+        a.start()
+        assert(entered.await(30, TimeUnit.SECONDS))
+        // ...while commit B (same table!) runs start-to-finish — were
+        // verification under the table lock, B would wait forever here
+        val bDone = new CountDownLatch(1)
+        val b = new Thread(() => {
+          cli.commitAppend(Seq("db"), "t", Seq(fast)); bDone.countDown()
+        })
+        b.start()
+        assert(bDone.await(30, TimeUnit.SECONDS),
+          "a concurrent commit must not queue behind footer verification")
+        release.countDown()
+        a.join(30000); b.join(30000)
+      } finally { release.countDown(); srv.onVerifyHook = () => () }
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      assert(snap.files.map(_.path).toSet ===
+        Set("data/slow.parquet", "data/fast.parquet"))
+      assert(snap.id === 3L) // create + two sequential appends
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("two-field partition spec (identity + day): verified commits, file-exact pruning, metadata rendering") {
+    val (srv, cli, _) = fixture()
+    try {
+      val sch = StructType(Seq(
+        FieldIds.withId(StructField("id", LongType, nullable = false), 1),
+        FieldIds.withId(StructField("region", StringType), 2),
+        FieldIds.withId(StructField(Day, StringType), 3)))
+      cli.createTable(Seq("db"), "p2", sch,
+        partitionSpec = Seq("region" -> "identity", Day -> "day"))
+      val loc = cli.loadTable(Seq("db"), "p2").location
+      import spark.implicits._
+      def file(name: String, id: Long, region: String, day: String): RestDataFile = {
+        val stage = Files.createTempDirectory("graft-rest-p2").toString
+        Seq((id, region, day)).toDF("id", "region", Day)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val fs = new Path(stage).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new Path(stage))
+          .filter(_.getPath.getName.endsWith(".parquet")).head
+        fs.mkdirs(new Path(loc, "data"))
+        val dest = new Path(loc, s"data/$name")
+        org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, dest, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(stage), true)
+        RestDataFile(s"data/$name", 1L, fs.getFileStatus(dest).getLen,
+          partition = Seq("region" -> region, Day -> day))
+      }
+      cli.commitAppend(Seq("db"), "p2", Seq(
+        file("e1.parquet", 1L, "emea", "2024-01-01"),
+        file("e2.parquet", 2L, "emea", "2024-01-02"),
+        file("a1.parquet", 3L, "apac", "2024-01-01"),
+        file("a2.parquet", 4L, "apac", "2024-01-02")))
+      val snap = SnapshotLog.currentSnapshot(spark, loc).get
+      // the calendar field holds the manifest's primary (prunable) slot;
+      // the identity field rides footer-verified [v, v] bounds
+      assert(snap.files.forall(_.spec === Some("day")))
+      val e1 = snap.files.find(_.path == "data/e1.parquet").get
+      assert(e1.partition === "2024-01-01")
+      assert(e1.boundsFor("region") === Some(("emea", "emea")))
+      // a conjunctive filter on BOTH spec fields keeps exactly one file
+      val cat = "rtest_p2"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      assert(spark.sql(s"""SELECT id FROM $cat.db.p2
+        WHERE region = 'emea' AND $Day = '2024-01-02'""")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+      assert(GraftScanStats.lastScan(loc) === Some((1L, 4L)))
+      // loadTable renders BOTH spec fields with sequential field-ids
+      val http = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(
+        s"${srv.baseUri}/catalog/v1/lake/namespaces/db/tables/p2"))
+        .header("Authorization", "Bearer s3cr3t").GET().build()
+      val body = org.json4s.jackson.JsonMethods.parse(
+        http.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      import org.json4s._
+      val fields = body \ "metadata" \ "partition-specs" match {
+        case JArray(List(spec0)) => spec0 \ "fields" match {
+          case JArray(fs) => fs.map(f =>
+            ((f \ "name"), (f \ "transform"), (f \ "field-id")))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      assert(fields === List(
+        (JString("region"), JString("identity"), JInt(1000)),
+        (JString(Day), JString("day"), JInt(1001))))
+      // unknown combinations stay refused loudly: two calendar fields
+      intercept[RestCatalogError] {
+        cli.createTable(Seq("db"), "bad2", sch,
+          partitionSpec = Seq(Day -> "day", Day -> "month"))
+      }
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("declared partition values are validated: malformed calendar forms and footer-contradicted values are 400") {
+    val (srv, cli, _) = fixture()
+    try {
+      val sch = StructType(Seq(
+        FieldIds.withId(StructField("id", LongType, nullable = false), 1),
+        FieldIds.withId(StructField("region", StringType), 2),
+        FieldIds.withId(StructField(Day, StringType), 3)))
+      cli.createTable(Seq("db"), "v", sch,
+        partitionSpec = Seq("region" -> "identity", Day -> "day"))
+      val loc = cli.loadTable(Seq("db"), "v").location
+      import spark.implicits._
+      val stage = Files.createTempDirectory("graft-rest-v").toString
+      Seq((1L, "emea", "2024-01-01")).toDF("id", "region", Day)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(stage))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      fs.mkdirs(new Path(loc, "data"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs,
+        new Path(loc, "data/v1.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+      val size = fs.getFileStatus(new Path(loc, "data/v1.parquet")).getLen
+      def attempt(region: String, day: String): Unit =
+        cli.commitAppend(Seq("db"), "v", Seq(RestDataFile(
+          "data/v1.parquet", 1L, size,
+          partition = Seq("region" -> region, Day -> day))))
+      // malformed calendar form (not yyyy-MM-dd)
+      val e1 = intercept[RestCatalogError] { attempt("emea", "2024-1-1") }
+      assert(e1.getMessage.contains("calendar form"))
+      // impossible calendar date
+      val e2 = intercept[RestCatalogError] { attempt("emea", "2024-13-41") }
+      assert(e2.getMessage.contains("calendar form"))
+      // identity value contradicting the footer (file is all-emea)
+      val e3 = intercept[RestCatalogError] { attempt("apac", "2024-01-01") }
+      assert(e3.getMessage.contains("footer records"))
+      // day value contradicting the footer's convention-column stats
+      val e4 = intercept[RestCatalogError] { attempt("emea", "2024-01-02") }
+      assert(e4.getMessage.contains("footer records"))
+      // nothing landed: the table is still at its create snapshot
+      assert(SnapshotLog.currentSnapshot(spark, loc).get.files.isEmpty)
+      // and the truthful declaration commits
+      attempt("emea", "2024-01-01")
+      assert(SnapshotLog.currentSnapshot(spark, loc).get.files.size === 1)
+    } finally { srv.close(); cli.close() }
+  }
+
+  test("listNamespaces with parent= lists one nested level as full identifiers") {
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createNamespace(Seq("a"))
+      cli.createNamespace(Seq("a", "b"))
+      cli.createNamespace(Seq("a", "c"))
+      cli.createNamespace(Seq("top"))
+      assert(cli.listNamespaces() === Seq(Seq("a"), Seq("top")))
+      assert(cli.listNamespaces(parent = Seq("a")) ===
+        Seq(Seq("a", "b"), Seq("a", "c")))
+      assert(cli.listNamespaces(parent = Seq("a", "b")) === Nil)
+      intercept[NotFound] { cli.listNamespaces(parent = Seq("ghost")) }
     } finally { srv.close(); cli.close() }
   }
 }

@@ -286,4 +286,87 @@ class PgReplicationSpec extends SparkTestBase
       assert(sys.nonEmpty && sys.head.size >= 4, s"IDENTIFY_SYSTEM: $sys")
     } finally wire.close()
   }
+
+  test("cleartext password auth is refused by default; explicit opt-in honors it") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    psql("CREATE ROLE clear_rep LOGIN REPLICATION PASSWORD 'clear-pw'")
+    val hba = s"$DataDir/pg_hba.conf"
+    val existing = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(hba)), "UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(hba),
+      (s"host all clear_rep 127.0.0.1/32 password\n" + existing)
+        .getBytes("UTF-8"))
+    psql("SELECT pg_reload_conf()")
+    Thread.sleep(300)
+    // default: the client refuses to mail the raw credential over a
+    // plaintext socket — a MITM downgrading from SCRAM gets nothing
+    val refused = new PgWire("127.0.0.1", Port, "clear_rep", "postgres",
+      password = Some("clear-pw"))
+    try {
+      val e = intercept[IllegalStateException](refused.connectReplication())
+      assert(e.getMessage.contains("cleartext"), e.getMessage)
+    } finally refused.close()
+    // explicit opt-in: the exchange completes and the session works
+    val optIn = new PgWire("127.0.0.1", Port, "clear_rep", "postgres",
+      password = Some("clear-pw"), allowCleartextPassword = true)
+    try {
+      optIn.connectReplication()
+      assert(optIn.command("IDENTIFY_SYSTEM").nonEmpty)
+    } finally optIn.close()
+    // opt-in with a wrong password still fails with Postgres' own error
+    val bad = new PgWire("127.0.0.1", Port, "clear_rep", "postgres",
+      password = Some("wrong"), allowCleartextPassword = true)
+    try {
+      val e = intercept[PgWire.PgError](bad.connectReplication())
+      assert(e.sqlState == "28P01", s"expected auth failure, got $e")
+    } finally bad.close()
+  }
+
+  test("a crashed drain loop reads as status error; a clean restart clears it") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    import graft.api.ControlPlane
+    import graft.streaming.PgPipelineRunner
+    psql("""CREATE TABLE rst_users (
+           |  id bigint primary key, name text)""".stripMargin)
+    psql("ALTER TABLE rst_users REPLICA IDENTITY FULL")
+    psql("CREATE PUBLICATION rst_pub FOR TABLE rst_users")
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-rst-lake").toString
+    val meta = java.nio.file.Files.createTempDirectory("graft-rst-meta").toString
+    val runner = new PgPipelineRunner(spark, lakeRoot,
+      quietMs = 200, maxWaitMs = 1500L)
+    val cp = new ControlPlane(meta, runner)
+    val src = cp.createSource("rst-pg", "", "127.0.0.1", Port, "postgres",
+      "graft", publicationName = "rst_pub")
+    val p = cp.createPipeline("rst-p1", src.id, Seq(("public", "rst_users", true)))
+    assert(cp.startPipeline(p.id).status === "running")
+    // kill the walsender serving our slot: the drain loop dies with a
+    // server error, which must surface as status `error` on refresh
+    val slot = "graft_" + p.id.toLowerCase.replaceAll("[^a-z0-9_]", "")
+    psql("SELECT pg_terminate_backend(active_pid) FROM pg_replication_slots " +
+      s"WHERE slot_name = '$slot' AND active_pid IS NOT NULL")
+    val deadline = System.currentTimeMillis() + 30000L
+    while (runner.errorOf(p.id).isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250L)
+    assert(runner.errorOf(p.id).isDefined, "drain-loop crash never recorded")
+    assert(cp.refreshStatus(p.id).status === "error")
+    // restart: the run error belongs to the DEAD run — a clean restart
+    // must come back healthy, not flip to error on the next refresh
+    assert(cp.startPipeline(p.id).status === "running")
+    assert(runner.errorOf(p.id).isEmpty,
+      s"stale run error survived restart: ${runner.errorOf(p.id)}")
+    assert(cp.refreshStatus(p.id).status === "running")
+    // and the restarted loop actually lands data
+    psql("INSERT INTO rst_users VALUES (5, 'eve')")
+    val tableDir = s"$lakeRoot/${p.id}/tables/rst_users"
+    def landed(): Boolean =
+      try spark.read.parquet(tableDir)
+        .filter(col("id").cast("long") === 5L).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false }
+    val d2 = System.currentTimeMillis() + 60000L
+    while (!landed() && System.currentTimeMillis() < d2) Thread.sleep(500L)
+    assert(landed(), s"restarted pipeline never landed data " +
+      s"(runner error: ${runner.errorOf(p.id)})")
+    assert(cp.stopPipeline(p.id).status === "stopped")
+    assert(runner.errorOf(p.id).isEmpty)
+  }
 }
