@@ -107,6 +107,34 @@ object Bench {
     // and no measured query gets a private head start.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // Structured Streaming machinery (micro-batch executor, state
+    // store, file-source listing, foreachBatch sink) JIT-compiles on
+    // its first run and costs multiple seconds nobody's query owns —
+    // without this SHARED warmup the bill lands on whichever streaming
+    // query happens to run first (and on every query in a focused
+    // `runMain graft.Bench <name>` measure). One tiny non-measured
+    // stateful AvailableNow pass absorbs it for everyone equally.
+    try {
+      import org.apache.spark.sql.functions._
+      val wbase = s"/tmp/graft-bench-warm-${java.util.UUID.randomUUID()}"
+      spark.range(64)
+        .select(current_timestamp().as("ts"), col("id"))
+        .write.parquet(s"$wbase/src")
+      val sch = spark.read.parquet(s"$wbase/src").schema
+      spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(s"$wbase/src")
+        .groupBy(window(col("ts"), "1 day")).count()
+        .writeStream
+        .option("checkpointLocation", s"$wbase/ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(s"$wbase/out")
+        }
+        .start().awaitTermination()
+      val wp = new org.apache.hadoop.fs.Path(wbase)
+      wp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wp, true)
+    } catch { case e: Throwable => System.err.println(s"[bench] stream warmup: $e") }
 
     // noop sink: fully materializes every row (honest timing for the
     // ORDER-BY-heavy queries, whose sorts a bare count() would let the
@@ -140,6 +168,7 @@ object Bench {
     }
 
     val base = baseline(sfDir)
+    val totalBest = (base - "_cal").values.sum
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val preCal = calibrate()
     var times = measure(allNames)
@@ -153,7 +182,6 @@ object Bench {
 
     if (base.nonEmpty) {
       // Per-query defense: re-measure whatever exceeds its known best.
-      val totalBest = (base - "_cal").values.sum
       var round = 0
       while (round < 2 &&
         allNames.exists(n => base.get(n).exists(b => suspect(times(n), b, totalBest)))) {
@@ -208,13 +236,34 @@ object Bench {
     // Full per-query map for local inspection (stderr + file) …
     System.err.println(s"[bench] full: ${jmap(results)}")
     writeTimes(java.nio.file.Paths.get("target/bench_full.json"), times)
+    // Calibration-relative defense REPORTING: CPU steal inflates every
+    // measured second by roughly cal / committed-cal (the fixed
+    // arithmetic loop scales linearly with steal), so a per-query "weak"
+    // verdict computed from RAW ratios manufactures regressions on a
+    // stolen machine and can drown a real one on a clean machine whose
+    // committed bests were themselves recorded under steal. The line
+    // carries both: the raw ratio vs the committed bests, the
+    // steal-corrected ratio (raw / steal), and the weak set — queries
+    // STILL >2x their best after correction and defensive re-measures,
+    // with absolute slack so sub-second jitter never flags.
+    val committedCal = base.getOrElse("_cal", cal)
+    val steal = math.max(1.0, if (committedCal > 0) cal / committedCal else 1.0)
+    val ratioRaw = if (totalBest > 0) total / totalBest else 0.0
+    val ratioCorrected = ratioRaw / steal
+    val weak = allNames.filter { n =>
+      !errored(n) && base.get(n).exists { b =>
+        val corrected = times(n) / steal
+        corrected > 2 * b && corrected - b > 0.5
+      }
+    }
+    val weakJson = weak.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     // … but the stdout contract line must survive the driver's 2000-char
     // output-tail window (sbt appends a ~75-char "[success]" line after
     // us). r02's line carried all 68 queries, ran ~2.3 KB, and the tail
     // truncated its head — the driver parsed nothing. Report the slowest
-    // 20 queries (the informative ones) and keep the line under ~1 KB.
-    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    // 18 queries (the informative ones) and keep the line well under 2 KB.
+    val slowest = results.sortBy(-_._2).take(18).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"cal_committed":${fmt(committedCal)},"steal":${fmt(steal)},"ratio_raw":${fmt(ratioRaw)},"ratio_corrected":${fmt(ratioCorrected)},"weak_n":${weak.size},"weak":$weakJson,"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
