@@ -279,9 +279,51 @@ final class ApiServer(spark: SparkSession,
           (b \ "enabled") != JBool(false))))
       case ("DELETE", Seq("pipelines", id, "tables", mid)) =>
         respond(ex, 200, cp.pipelineJson(cp.removeTableMapping(id, mid)))
+      // ---- alert rules (ref handlers/alerts.go:28-32 — the
+      // /alerts/rules CRUD group, rules persisted in the control store
+      // and consumed by the evaluator through the same store)
+      case ("POST", Seq("alerts", "rules")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201, cp.alertRuleJson(cp.createAlertRule(
+          jstr(b \ "name"), jstr(b \ "metric_name"), jstr(b \ "operator"),
+          jdouble(b \ "threshold"), jint(b \ "duration_seconds", 0).toLong,
+          jstr(b \ "description"), jstr(b \ "severity", "warning"),
+          (b \ "enabled") != JBool(false), alertRoutesOf(b))))
+      case ("GET", Seq("alerts", "rules")) =>
+        val all = cp.listAlertRules()
+        respond(ex, 200, JObject(
+          "rules" -> JArray(all.toList.map(cp.alertRuleJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("alerts", "rules", id)) =>
+        respond(ex, 200, cp.alertRuleJson(cp.getAlertRule(id)))
+      case ("PUT", Seq("alerts", "rules", id)) =>
+        val b = jsonBody(ex)
+        respond(ex, 200, cp.alertRuleJson(cp.updateAlertRule(id,
+          jstr(b \ "name"), jstr(b \ "metric_name"), jstr(b \ "operator"),
+          jdouble(b \ "threshold"), jint(b \ "duration_seconds", 0).toLong,
+          jstr(b \ "description"), jstr(b \ "severity", "warning"),
+          (b \ "enabled") != JBool(false), alertRoutesOf(b))))
+      case ("DELETE", Seq("alerts", "rules", id)) =>
+        cp.deleteAlertRule(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
       case _ =>
         respond(ex, 404, JObject("error" -> JString("not found")))
     }
+
+  private def alertRoutesOf(b: JValue): Seq[(String, Boolean, Long)] =
+    b \ "routes" match {
+      case JArray(rs) => rs.map(rt => (jstr(rt \ "channel_id"),
+        (rt \ "enabled") != JBool(false),
+        jint(rt \ "repeat_interval_seconds", 0).toLong))
+      case _ => Nil
+    }
+
+  private def jdouble(v: JValue): Double = v match {
+    case JDouble(x)  => x
+    case JInt(n)     => n.toDouble
+    case JDecimal(x) => x.toDouble
+    case _           => 0.0
+  }
 
   private def validated(ex: HttpExchange, names: (String, String)*)(body: => Unit): Unit = {
     names.foreach { case (n, kind) => Identifiers.validate(n, kind) }

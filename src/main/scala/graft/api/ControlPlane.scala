@@ -77,6 +77,25 @@ object ControlPlane {
                             startedAtMs: Option[Long],
                             stoppedAtMs: Option[Long])
 
+  /** One rule→channel delivery route (ref internal/alerting/types.go:
+    * 266-276 AlertRoute — channel id, repeat interval, enabled; the
+    * group-wait/group-interval fields are notifier batching knobs the
+    * evaluator here does not model). */
+  final case class AlertRoute(id: String, channel: String, enabled: Boolean,
+                              repeatIntervalSeconds: Long)
+
+  /** One managed alert rule (ref internal/alerting/types.go:153-167
+    * AlertRule; persisted and served over HTTP like the reference's
+    * alert_repository.go rules table). `metricName` names the series
+    * source the deployment evaluates the rule against; `op` is the
+    * reference's operator vocabulary (gt/gte/lt/lte/eq —
+    * [[graft.observe.Alerts.compare]]). */
+  final case class AlertRule(id: String, name: String, description: String,
+                             metricName: String, op: String, threshold: Double,
+                             durationSeconds: Long, severity: String,
+                             enabled: Boolean, routes: Seq[AlertRoute],
+                             createdAtMs: Long, updatedAtMs: Long)
+
   /** Pipeline actuation hook. [[Noop]] is the reference's posture
     * (status-only); a real runner performs the lifecycle. `start` throws
     * to signal failure — the store records status `error`. */
@@ -153,6 +172,7 @@ final class ControlPlane(metaDir: String,
   private val lock = new Object
   private var sources: Vector[Source] = loadSources()
   private var pipelines: Vector[Pipeline] = loadPipelines()
+  private var alertRules: Vector[AlertRule] = loadAlertRules()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
 
@@ -286,6 +306,137 @@ final class ControlPlane(metaDir: String,
   private def validName(name: String): Unit = {
     if (name.isEmpty || name.length > 255)
       throw Invalid("name must be 1..255 characters")
+  }
+
+  // ---- alert rules (ref internal/api/handlers/alerts.go:28-32 +
+  // alert_repository.go — the reference persists rules and serves them
+  // over /alerts/rules; evaluation reads the SAME store) --------------
+
+  private[api] def alertRuleJson(r: AlertRule): JObject = JObject(
+    "id" -> JString(r.id), "name" -> JString(r.name),
+    "description" -> JString(r.description),
+    "metric_name" -> JString(r.metricName),
+    "operator" -> JString(r.op),
+    "threshold" -> JDouble(r.threshold),
+    "duration_seconds" -> JInt(BigInt(r.durationSeconds)),
+    "severity" -> JString(r.severity),
+    "enabled" -> JBool(r.enabled),
+    "routes" -> JArray(r.routes.toList.map(rt => JObject(
+      "id" -> JString(rt.id), "channel_id" -> JString(rt.channel),
+      "enabled" -> JBool(rt.enabled),
+      "repeat_interval_seconds" -> JInt(BigInt(rt.repeatIntervalSeconds))))),
+    "created_at_ms" -> JInt(BigInt(r.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(r.updatedAtMs)))
+
+  private def persistAlertRules(): Unit =
+    writeFile("alerts.json", JArray(alertRules.toList.map(alertRuleJson)))
+
+  private def loadAlertRules(): Vector[AlertRule] =
+    readFile("alerts.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        val routes = o \ "routes" match {
+          case JArray(rs) => rs.map(rt => AlertRoute(str(rt \ "id"),
+            str(rt \ "channel_id"), (rt \ "enabled") == JBool(true),
+            num(rt \ "repeat_interval_seconds")))
+          case _ => Nil
+        }
+        AlertRule(str(o \ "id"), str(o \ "name"), str(o \ "description"),
+          str(o \ "metric_name"), str(o \ "operator"),
+          o \ "threshold" match {
+            case JDouble(x) => x; case JInt(n) => n.toDouble
+            case JDecimal(x) => x.toDouble; case _ => 0.0
+          },
+          num(o \ "duration_seconds"), str(o \ "severity"),
+          (o \ "enabled") == JBool(true), routes,
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private val AlertOps = Set("gt", "gte", "lt", "lte", "eq")
+
+  private def validAlertFields(op: String, durationSeconds: Long,
+                               routes: Seq[(String, Boolean, Long)]): Unit = {
+    if (!AlertOps.contains(op))
+      throw Invalid(s"operator must be one of ${AlertOps.toSeq.sorted.mkString("/")}")
+    if (durationSeconds < 0) throw Invalid("duration_seconds must be >= 0")
+    if (routes.exists(_._1.isEmpty))
+      throw Invalid("route requires a channel_id")
+    if (routes.exists(_._3 < 0))
+      throw Invalid("repeat_interval_seconds must be >= 0")
+  }
+
+  def createAlertRule(name: String, metricName: String, op: String,
+                      threshold: Double, durationSeconds: Long = 0L,
+                      description: String = "", severity: String = "warning",
+                      enabled: Boolean = true,
+                      routes: Seq[(String, Boolean, Long)] = Nil): AlertRule =
+    lock.synchronized {
+      validName(name)
+      validAlertFields(op, durationSeconds, routes)
+      if (metricName.isEmpty) throw Invalid("metric_name is required")
+      if (alertRules.exists(_.name == name))
+        throw Conflict("alert rule with this name already exists")
+      val now = clock()
+      val r = AlertRule(newId(), name, description, metricName, op, threshold,
+        durationSeconds, severity, enabled,
+        routes.map(rt => AlertRoute(newId(), rt._1, rt._2, rt._3)), now, now)
+      alertRules :+= r
+      persistAlertRules()
+      r
+    }
+
+  def listAlertRules(): Seq[AlertRule] = lock.synchronized(alertRules)
+
+  def getAlertRule(id: String): AlertRule = lock.synchronized(
+    alertRules.find(_.id == id).getOrElse(throw NotFound("alert_rule", id)))
+
+  /** Full update, the reference's PUT semantics: every field replaces.
+    * Routes keep their ids when (channel, interval) survive unchanged —
+    * a stable id is what notifier state and history key on. */
+  def updateAlertRule(id: String, name: String, metricName: String,
+                      op: String, threshold: Double, durationSeconds: Long,
+                      description: String, severity: String, enabled: Boolean,
+                      routes: Seq[(String, Boolean, Long)]): AlertRule =
+    lock.synchronized {
+      validName(name)
+      validAlertFields(op, durationSeconds, routes)
+      if (metricName.isEmpty) throw Invalid("metric_name is required")
+      val r = getAlertRule(id)
+      if (alertRules.exists(x => x.name == name && x.id != id))
+        throw Conflict("alert rule with this name already exists")
+      val nextRoutes = routes.map { rt =>
+        r.routes.find(x => x.channel == rt._1 &&
+          x.repeatIntervalSeconds == rt._3) match {
+          case Some(existing) => existing.copy(enabled = rt._2)
+          case None => AlertRoute(newId(), rt._1, rt._2, rt._3)
+        }
+      }
+      val next = r.copy(name = name, description = description,
+        metricName = metricName, op = op, threshold = threshold,
+        durationSeconds = durationSeconds, severity = severity,
+        enabled = enabled, routes = nextRoutes, updatedAtMs = clock())
+      alertRules = alertRules.map(x => if (x.id == id) next else x)
+      persistAlertRules()
+      next
+    }
+
+  def deleteAlertRule(id: String): Unit = lock.synchronized {
+    val r = getAlertRule(id)
+    alertRules = alertRules.filterNot(_.id == r.id)
+    persistAlertRules()
+  }
+
+  /** The evaluator wiring: the store's ENABLED rules in
+    * [[graft.observe.Alerts]] vocabulary — instant-compare rules plus
+    * their delivery routes — the way the reference's manager loads its
+    * rule set from the repository each cycle. */
+  def evaluatorRules(): (Seq[graft.observe.Alerts.Rule],
+                         Seq[graft.observe.Alerts.Route]) = lock.synchronized {
+    val enabled = alertRules.filter(_.enabled)
+    (enabled.map(r => graft.observe.Alerts.Rule(r.name, r.op, r.threshold)),
+      enabled.flatMap(r => r.routes.map(rt => graft.observe.Alerts.Route(
+        r.name, rt.channel, rt.enabled, rt.repeatIntervalSeconds * 1000L))))
   }
 
   // ---- sources ------------------------------------------------------

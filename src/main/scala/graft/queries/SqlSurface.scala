@@ -861,6 +861,123 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- alert-rule management on the control plane (ref internal/api/
+  // handlers/alerts.go:28-32 /alerts/rules CRUD + alert_repository.go):
+  // rules persist in the file-backed store, serve over HTTP with the
+  // reference's conflict/validation semantics, survive a store reopen,
+  // and the EVALUATOR reads the same store — the firing counts below are
+  // computed from rules that round-tripped through the API, then
+  // hash-checked against the oracle's replay of those thresholds.
+  private def alertRulesCrud(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_alertplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      val (c1, b1) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"avg_value_high","metric_name":"avg_value","operator":"gt",
+          |"threshold":50.0,"duration_seconds":60,"severity":"critical",
+          |"routes":[{"channel_id":"email-ops","repeat_interval_seconds":300}]}"""
+          .stripMargin)
+      val highId = s_(b1 \ "id")
+      val (c2, _) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"avg_value_floor","metric_name":"avg_value","operator":"gte",
+          |"threshold":10.0}""".stripMargin)
+      // duplicate name → 409; unknown operator → 400 (never silently kept)
+      val (c3, _) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"avg_value_high","metric_name":"avg_value","operator":"gt","threshold":1}""")
+      val (c4, _) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"bad-op","metric_name":"avg_value","operator":"contains","threshold":1}""")
+      val (c5, b5) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"noise","metric_name":"avg_value","operator":"eq","threshold":-1}""")
+      val noiseId = s_(b5 \ "id")
+      // full PUT: noise disables (the evaluator must skip it)
+      val (c6, b6) = call("PUT", s"/api/v1/alerts/rules/$noiseId",
+        """{"name":"noise","metric_name":"avg_value","operator":"eq",
+          |"threshold":-2,"enabled":false}""".stripMargin)
+      val (c7, b7) = call("POST", "/api/v1/alerts/rules",
+        """{"name":"tmp","metric_name":"avg_value","operator":"lt","threshold":0}""")
+      val (c8, _) = call("DELETE", s"/api/v1/alerts/rules/${s_(b7 \ "id")}")
+      val (c9, _) = call("GET", s"/api/v1/alerts/rules/${s_(b7 \ "id")}")
+      val (_, lb) = call("GET", "/api/v1/alerts/rules")
+      val routeIds = b1 \ "routes" \ "id" \\ classOf[JString]
+      // restart durability: a FRESH store on the same files feeds the
+      // evaluator — rules flow store → API → disk → store → evaluation
+      val reopened = new ControlPlane(meta, connTest = _ => Right(1L))
+      val (rules, routes) = reopened.evaluatorRules()
+      val metrics = graft.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("avg_value"))
+      val eval = graft.observe.Alerts
+        .evaluateAll(metrics, "event_type", "avg_value", rules)
+        .collect()
+      val firingHigh = eval.count(r =>
+        r.getString(2) == "avg_value_high" && r.getString(3) == "firing").toLong
+      val firingFloor = eval.count(r =>
+        r.getString(2) == "avg_value_floor" && r.getString(3) == "firing").toLong
+      Seq(
+        ("rule_created", flag(c1 == 201 && c2 == 201 && c5 == 201 && c7 == 201)),
+        ("rule_dup_409", flag(c3 == 409)),
+        ("rule_bad_op_400", flag(c4 == 400)),
+        ("rule_updated", flag(c6 == 200 && (b6 \ "enabled") == JBool(false) &&
+          (b6 \ "threshold") == JDouble(-2.0))),
+        ("rule_deleted", flag(c8 == 200)),
+        ("rule_gone_404", flag(c9 == 404)),
+        ("rules_total", (lb \ "total").asInstanceOf[JInt].num.toLong),
+        ("route_persisted", flag(routeIds.size == 1 &&
+          reopened.getAlertRule(highId).routes.head.channel == "email-ops")),
+        ("eval_enabled_rules", rules.size.toLong),
+        ("eval_routes", routes.size.toLong),
+        ("eval_rows", eval.length.toLong),
+        ("eval_firing_floor", firingFloor),
+        ("eval_firing_high", firingHigh))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val alertRulesCrudSql =
+    """WITH m AS (
+      |  SELECT event_type, round(avg(value), 4) AS avg_value
+      |  FROM events GROUP BY 1)
+      |SELECT step, result FROM (VALUES
+      |  ('rule_created', CAST(1 AS BIGINT)),
+      |  ('rule_dup_409', CAST(1 AS BIGINT)),
+      |  ('rule_bad_op_400', CAST(1 AS BIGINT)),
+      |  ('rule_updated', CAST(1 AS BIGINT)),
+      |  ('rule_deleted', CAST(1 AS BIGINT)),
+      |  ('rule_gone_404', CAST(1 AS BIGINT)),
+      |  ('rules_total', CAST(3 AS BIGINT)),
+      |  ('route_persisted', CAST(1 AS BIGINT)),
+      |  ('eval_enabled_rules', CAST(2 AS BIGINT)),
+      |  ('eval_routes', CAST(1 AS BIGINT)),
+      |  ('eval_rows', (SELECT CAST(2 * count(*) AS BIGINT) FROM m)),
+      |  ('eval_firing_floor',
+      |    (SELECT CAST(count(CASE WHEN avg_value >= 10.0 THEN 1 END) AS BIGINT) FROM m)),
+      |  ('eval_firing_high',
+      |    (SELECT CAST(count(CASE WHEN avg_value > 50.0 THEN 1 END) AS BIGINT) FROM m))
+      |  ) AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   // ---- the Iceberg REST catalog end-to-end (ref internal/iceberg/
   // catalog/rest.go:40-217 — the reference's storage contract, spoken
   // per the public Apache Iceberg REST OpenAPI spec): a live
@@ -1103,6 +1220,7 @@ object SqlSurface extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
+    GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,
       Some(restCatalogRoundtripSql)),
     GraftQuery("sql_runtime_filter", runtimeFilter, Some(runtimeFilterSql)),

@@ -203,4 +203,58 @@ class ControlPlaneSpec extends SparkTestBase {
       assert(call("GET", "/api/v1/nope")._1 === 404)
     } finally srv.close()
   }
+
+  test("alert-rule CRUD: validation, uniqueness, route identity, persistence, evaluator wiring") {
+    val dir = freshDir()
+    val cp = plane(dir)
+    // operator vocabulary is closed; metric and name are required
+    intercept[ControlPlane.Invalid] {
+      cp.createAlertRule("r", "m", "contains", 1.0)
+    }
+    intercept[ControlPlane.Invalid] { cp.createAlertRule("r", "", "gt", 1.0) }
+    intercept[ControlPlane.Invalid] {
+      cp.createAlertRule("r", "m", "gt", 1.0, durationSeconds = -1L)
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createAlertRule("r", "m", "gt", 1.0, routes = Seq(("", true, 0L)))
+    }
+    val high = cp.createAlertRule("high", "avg_value", "gt", 50.0,
+      durationSeconds = 60L, severity = "critical",
+      routes = Seq(("email-ops", true, 300L), ("slack", false, 60L)))
+    cp.createAlertRule("floor", "avg_value", "gte", 10.0)
+    intercept[ControlPlane.Conflict] {
+      cp.createAlertRule("high", "avg_value", "gt", 1.0)
+    }
+    intercept[ControlPlane.NotFound] { cp.getAlertRule("ghost") }
+    // full PUT keeps route ids for surviving (channel, interval) pairs —
+    // notifier state and history key on them
+    val routeId = high.routes.head.id
+    val updated = cp.updateAlertRule(high.id, "high", "avg_value", "gt",
+      75.0, 120L, "desc", "critical", enabled = true,
+      routes = Seq(("email-ops", false, 300L), ("pager", true, 30L)))
+    assert(updated.threshold === 75.0)
+    assert(updated.routes.find(_.channel == "email-ops").get.id === routeId)
+    assert(!updated.routes.find(_.channel == "email-ops").get.enabled)
+    assert(updated.routes.find(_.channel == "pager").get.id !== routeId)
+    // disabled rules drop out of the evaluator's set; route intervals
+    // convert to millis
+    cp.createAlertRule("noise", "avg_value", "eq", -1.0, enabled = false)
+    val (rules, routes) = cp.evaluatorRules()
+    assert(rules.map(_.name).sorted === Seq("floor", "high"))
+    assert(rules.find(_.name == "high").get.threshold === 75.0)
+    assert(routes.map(r => (r.rule, r.channel, r.enabled, r.repeatIntervalMs))
+      .toSet === Set(("high", "email-ops", false, 300000L),
+        ("high", "pager", true, 30000L)))
+    // persistence: a reopened store sees identical rules
+    val cp2 = plane(dir)
+    assert(cp2.listAlertRules().map(r =>
+      (r.name, r.op, r.threshold, r.enabled)).toSet ===
+      Set(("high", "gt", 75.0, true), ("floor", "gte", 10.0, true),
+        ("noise", "eq", -1.0, false)))
+    assert(cp2.getAlertRule(high.id).routes.map(_.channel).toSet ===
+      Set("email-ops", "pager"))
+    cp2.deleteAlertRule(high.id)
+    assert(plane(dir).listAlertRules().map(_.name).sorted ===
+      Seq("floor", "noise"))
+  }
 }
