@@ -49,7 +49,9 @@ import graft.queries.Paging
   * liveness probe, conventionally unauthenticated) requires
   * `Authorization: Bearer <token>` → 401 otherwise (the reference's
   * API sits behind its auth middleware, internal/api/server.go; token
-  * compare is constant-time).
+  * compare is constant-time). With a control plane attached, a managed
+  * API key (issued via `/api/v1/api-keys`, hashed at rest, revocable —
+  * ref internal/api/services/api_key.go) authenticates equally.
   *
   * `GET /metrics` serves the Prometheus text exposition of `registry`
   * — the same `philotes_<subsystem>_<name>` series the reference
@@ -306,6 +308,30 @@ final class ApiServer(spark: SparkSession,
       case ("DELETE", Seq("alerts", "rules", id)) =>
         cp.deleteAlertRule(id)
         respond(ex, 200, JObject("deleted" -> JBool(true)))
+      // ---- managed API keys (ref internal/api/services/api_key.go):
+      // the plaintext appears ONLY in the create response; the list
+      // serves prefixes and status, never hashes
+      case ("POST", Seq("api-keys")) =>
+        val b = jsonBody(ex)
+        val expires = b \ "expires_at_ms" match {
+          case JInt(n) => Some(n.toLong)
+          case _       => None
+        }
+        val (k, plaintext) = cp.createApiKey(jstr(b \ "name"), expires)
+        respond(ex, 201, JObject(cp.apiKeyJson(k).obj :+
+          ("key" -> (JString(plaintext): JValue))))
+      case ("GET", Seq("api-keys")) =>
+        val all = cp.listApiKeys()
+        respond(ex, 200, JObject(
+          "api_keys" -> JArray(all.toList.map(cp.apiKeyJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("api-keys", id)) =>
+        respond(ex, 200, cp.apiKeyJson(cp.getApiKey(id)))
+      case ("POST", Seq("api-keys", id, "revoke")) =>
+        respond(ex, 200, cp.apiKeyJson(cp.revokeApiKey(id)))
+      case ("DELETE", Seq("api-keys", id)) =>
+        cp.deleteApiKey(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
       case _ =>
         respond(ex, 404, JObject("error" -> JString("not found")))
     }
@@ -330,8 +356,14 @@ final class ApiServer(spark: SparkSession,
     body
   }
 
+  /** The static deployment token OR a live managed API key (issued
+    * through the control plane, hashed at rest, revocable) — the
+    * reference's auth middleware accepts both its configured secrets
+    * and api_key.go-validated keys. Both paths compare constant-time. */
   private def authorized(ex: HttpExchange): Boolean =
-    HttpUtil.bearerOk(ex, authToken.get)
+    HttpUtil.bearerOk(ex, authToken.get) ||
+      controlPlane.exists(cp =>
+        HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined))
 
   /** Prometheus text exposition (format 0.0.4) of the registry —
     * counters then gauges, each with its `# TYPE` line, names already in

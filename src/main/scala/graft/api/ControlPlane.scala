@@ -96,6 +96,21 @@ object ControlPlane {
                              enabled: Boolean, routes: Seq[AlertRoute],
                              createdAtMs: Long, updatedAtMs: Long)
 
+  /** One managed API key (ref internal/api/services/api_key.go:
+    * 54-262): the plaintext `<prefix>live_<random>` is returned ONCE
+    * at creation; the store keeps only its SHA-256 and a display
+    * prefix. Revocation is soft (the row survives for audit), deletion
+    * hard; validation is hash lookup + not-revoked + not-expired. */
+  final case class ApiKey(id: String, name: String, prefix: String,
+                          hash: String, expiresAtMs: Option[Long],
+                          revokedAtMs: Option[Long],
+                          createdAtMs: Long, updatedAtMs: Long)
+
+  private[api] def hashApiKey(plaintext: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(plaintext.getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** Pipeline actuation hook. [[Noop]] is the reference's posture
     * (status-only); a real runner performs the lifecycle. `start` throws
     * to signal failure — the store records status `error`. */
@@ -173,6 +188,8 @@ final class ControlPlane(metaDir: String,
   private var sources: Vector[Source] = loadSources()
   private var pipelines: Vector[Pipeline] = loadPipelines()
   private var alertRules: Vector[AlertRule] = loadAlertRules()
+  private var apiKeys: Vector[ApiKey] = loadApiKeys()
+  private val secureRandom = new java.security.SecureRandom()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
 
@@ -437,6 +454,96 @@ final class ControlPlane(metaDir: String,
     (enabled.map(r => graft.observe.Alerts.Rule(r.name, r.op, r.threshold)),
       enabled.flatMap(r => r.routes.map(rt => graft.observe.Alerts.Route(
         r.name, rt.channel, rt.enabled, rt.repeatIntervalSeconds * 1000L))))
+  }
+
+  // ---- API keys (ref internal/api/services/api_key.go) --------------
+
+  /** Response shape: hash never renders; the plaintext exists only in
+    * the create call's return value. */
+  private[api] def apiKeyJson(k: ApiKey): JObject = JObject(
+    "id" -> JString(k.id), "name" -> JString(k.name),
+    "key_prefix" -> JString(k.prefix),
+    "expires_at_ms" -> k.expiresAtMs.map(t => JInt(BigInt(t)): JValue)
+      .getOrElse(JNull),
+    "revoked" -> JBool(k.revokedAtMs.isDefined),
+    "revoked_at_ms" -> k.revokedAtMs.map(t => JInt(BigInt(t)): JValue)
+      .getOrElse(JNull),
+    "created_at_ms" -> JInt(BigInt(k.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(k.updatedAtMs)))
+
+  private def persistApiKeys(): Unit =
+    writeFile("api_keys.json", JArray(apiKeys.toList.map(k =>
+      JObject(apiKeyJson(k).obj :+ ("key_hash" -> (JString(k.hash): JValue))))))
+
+  private def loadApiKeys(): Vector[ApiKey] =
+    readFile("api_keys.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        ApiKey(str(o \ "id"), str(o \ "name"), str(o \ "key_prefix"),
+          str(o \ "key_hash"),
+          o \ "expires_at_ms" match {
+            case JNull | JNothing => None; case v => Some(num(v)) },
+          o \ "revoked_at_ms" match {
+            case JNull | JNothing => None; case v => Some(num(v)) },
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  /** Mint a key: `graft_live_<256 random bits, base64url>` (the
+    * reference's `<prefix>live_<random>` form, generateAPIKey). Returns
+    * the stored row AND the plaintext — the ONLY time it exists. */
+  def createApiKey(name: String,
+                   expiresAtMs: Option[Long] = None): (ApiKey, String) =
+    lock.synchronized {
+      validName(name)
+      if (expiresAtMs.exists(_ <= clock()))
+        throw Invalid("expires_at_ms must be in the future")
+      val raw = new Array[Byte](32)
+      secureRandom.nextBytes(raw)
+      val plaintext = "graft_live_" +
+        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+      val now = clock()
+      val k = ApiKey(newId(), name, plaintext.take(10), hashApiKey(plaintext),
+        expiresAtMs, None, now, now)
+      apiKeys :+= k
+      persistApiKeys()
+      (k, plaintext)
+    }
+
+  def listApiKeys(): Seq[ApiKey] = lock.synchronized(apiKeys)
+
+  def getApiKey(id: String): ApiKey = lock.synchronized(
+    apiKeys.find(_.id == id).getOrElse(throw NotFound("api_key", id)))
+
+  /** Soft revoke: the key stops authenticating, the row stays for
+    * audit (the reference's Revoke vs Delete split). Idempotent. */
+  def revokeApiKey(id: String): ApiKey = lock.synchronized {
+    val k = getApiKey(id)
+    val next =
+      if (k.revokedAtMs.isDefined) k
+      else k.copy(revokedAtMs = Some(clock()), updatedAtMs = clock())
+    apiKeys = apiKeys.map(x => if (x.id == id) next else x)
+    persistApiKeys()
+    next
+  }
+
+  def deleteApiKey(id: String): Unit = lock.synchronized {
+    val k = getApiKey(id)
+    apiKeys = apiKeys.filterNot(_.id == k.id)
+    persistApiKeys()
+  }
+
+  /** Authenticate a presented plaintext: digest it, then compare the
+    * digest against every live key's stored hash with a constant-time
+    * comparison (hashing first means timing can leak nothing about
+    * the plaintext; the store is O(keys) small). Revoked or expired
+    * keys never validate. */
+  def validateApiKey(plaintext: String): Option[ApiKey] = lock.synchronized {
+    val digest = hashApiKey(plaintext).getBytes(UTF_8)
+    val now = clock()
+    apiKeys.find(k =>
+      java.security.MessageDigest.isEqual(digest, k.hash.getBytes(UTF_8)) &&
+        k.revokedAtMs.isEmpty && k.expiresAtMs.forall(_ > now))
   }
 
   // ---- sources ------------------------------------------------------

@@ -22,6 +22,14 @@ object HttpUtil {
     java.security.MessageDigest.isEqual(got.getBytes(UTF_8), want.getBytes(UTF_8))
   }
 
+  /** The presented bearer credential, verbatim (for hash-keyed lookups
+    * like API-key validation — the comparison happens over digests,
+    * never over the raw value). */
+  def bearerToken(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.substring("Bearer ".length))
+
   /** Request body as JSON: empty body → `Some(JObject())`, malformed
     * JSON → None (the caller maps it onto its own 400 shape). */
   def readJsonBody(ex: HttpExchange): Option[JValue] = {

@@ -199,6 +199,68 @@ class ApiServerSpec extends SparkTestBase {
     } finally scoped.close()
   }
 
+  test("managed API keys: issue once-plaintext, authenticate, revoke, expire, persist") {
+    buildCatalog()
+    val meta = Files.createTempDirectory("graft-apikeys").toString
+    @volatile var now = 1000L
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L), clock = () => now)
+    val srv = new ApiServer(spark, authToken = Some("master-tok"),
+      controlPlane = Some(cp))
+    try {
+      val base = srv.baseUri
+      def withTok(method: String, path: String, tok: String,
+                  body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+          .header("Authorization", s"Bearer $tok")
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // issuing requires auth (bootstrap via the master token)
+      assert(post(base, "/api/v1/api-keys", """{"name":"ci"}""")._1 === 401)
+      val (cs, cb) = withTok("POST", "/api/v1/api-keys", "master-tok",
+        """{"name":"ci"}""")
+      assert(cs === 201)
+      val key = str(cb \ "key")
+      val keyId = str(cb \ "id")
+      assert(key.startsWith("graft_live_") && key.length > 40)
+      assert(str(cb \ "key_prefix") === key.take(10))
+      // the key authenticates like the master token
+      assert(withTok("GET", "/query/catalogs", key)._1 === 200)
+      assert(withTok("GET", "/query/catalogs", key.dropRight(1) + "X")._1 === 401)
+      // the list never serves the secret or its hash
+      val (_, lb) = withTok("GET", "/api/v1/api-keys", "master-tok")
+      assert((lb \ "total") === JInt(1))
+      val rendered = JsonMethods.compact(JsonMethods.render(lb))
+      assert(!rendered.contains(key) && !rendered.contains("key_hash"))
+      // a reopened store validates the same key (hash persisted)
+      val cp2 = new ControlPlane(meta, connTest = _ => Right(1L), clock = () => now)
+      assert(cp2.validateApiKey(key).isDefined)
+      // expiry: a key minted with a deadline stops at the deadline
+      val (ek, eplain) = cp.createApiKey("short", expiresAtMs = Some(2000L))
+      assert(cp.validateApiKey(eplain).exists(_.id == ek.id))
+      now = 2001L
+      assert(cp.validateApiKey(eplain).isEmpty)
+      intercept[ControlPlane.Invalid] {
+        cp.createApiKey("past", expiresAtMs = Some(now - 1))
+      }
+      // revoke: soft — stops authenticating, row stays; idempotent
+      val (rs, rb) = withTok("POST", s"/api/v1/api-keys/$keyId/revoke", "master-tok")
+      assert(rs === 200 && (rb \ "revoked") === JBool(true))
+      assert(withTok("GET", "/query/catalogs", key)._1 === 401)
+      assert(withTok("POST", s"/api/v1/api-keys/$keyId/revoke",
+        "master-tok")._1 === 200)
+      assert(withTok("GET", s"/api/v1/api-keys/$keyId", "master-tok")._1 === 200)
+      // delete: hard
+      assert(withTok("DELETE", s"/api/v1/api-keys/$keyId", "master-tok")._1 === 200)
+      assert(withTok("GET", s"/api/v1/api-keys/$keyId", "master-tok")._1 === 404)
+    } finally srv.close()
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry
