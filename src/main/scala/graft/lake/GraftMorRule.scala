@@ -110,19 +110,25 @@ private[lake] final class GraftMorScanRule(spark: SparkSession)
         JoinHint.NONE)
     }
 
-    // equality deletes: the SHARED (key → newest delete seq) frame
-    // ([[SnapshotLog.eqDeleteMaxFrame]]); a row survives iff no delete
-    // outranks its file
+    // equality deletes: the SHARED (key → newest delete seq) frames
+    // ([[SnapshotLog.eqDeleteMaxFrame]]), ONE PER KEY-SET ERA (merge
+    // keys may change between folds). A row survives iff no era's
+    // matching delete outranks its file — the eras stack as
+    // independent size-gated join+filter legs above the scan, each
+    // with fresh exprIds, so two eras deleting on different key
+    // columns compose without shadowing
     val out: LogicalPlan = if (snap.deletes.isEmpty) afterPos else {
-      val eqCols = snap.deletes.head.eqCols
-      val plan = dfPlan(SnapshotLog.eqDeleteMaxFrame(spark, dir, snap,
-        "_g_del_seq"))
-      val delSeq = attrOf(plan, "_g_del_seq")
-      val cond = eqCols.map { c =>
-        CEqualTo(attrOf(dataRel, c), attrOf(plan, c)): org.apache.spark.sql.catalyst.expressions.Expression
-      }.reduce(CAnd(_, _))
-      Filter(COr(CIsNull(delSeq), CGte(seqAttr, delSeq)),
-        Join(afterPos, plan, LeftOuter, Some(cond), JoinHint.NONE))
+      snap.deletes.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(afterPos) { case (acc, (eqCols, dels)) =>
+          val plan = dfPlan(SnapshotLog.eqDeleteMaxFrame(spark, dir, snap,
+            "_g_del_seq", dels))
+          val delSeq = attrOf(plan, "_g_del_seq")
+          val cond = eqCols.map { c =>
+            CEqualTo(attrOf(dataRel, c), attrOf(plan, c)): org.apache.spark.sql.catalyst.expressions.Expression
+          }.reduce(CAnd(_, _))
+          Filter(COr(CIsNull(delSeq), CGte(seqAttr, delSeq)),
+            Join(acc, plan, LeftOuter, Some(cond), JoinHint.NONE))
+        }
     }
 
     Project(rel.output, out)
@@ -161,17 +167,17 @@ private[lake] object GraftMorScan {
 
   /** Fires only where the rewrite is provably exact: live deletes over
     * a file set the native batch scan can serve (no hive-adopted files,
-    * no renamed-era by-id reads), one homogeneous eq-key set whose
-    * columns all still exist, and no user column shadowing a lineage
-    * name. Anything else keeps the V1 bridge (correct, just slower). */
+    * no renamed-era by-id reads), every delete era's key columns still
+    * existing (mixed key-set eras stack one frame each), and no user
+    * column shadowing a lineage name. Anything else keeps the V1
+    * bridge (correct, just slower). */
   def eligible(snap: Snapshot): Boolean = {
     val schema = snap.schema
     (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty) &&
       snap.files.nonEmpty &&
       snap.files.forall(!_.hive) &&
       !schema.fieldNames.exists(n => LineageCols.exists(_.equalsIgnoreCase(n))) &&
-      snap.deletes.map(_.eqCols).distinct.size <= 1 &&
-      snap.deletes.headOption.forall(_.eqCols.forall(schema.fieldNames.contains)) && {
+      snap.deletes.forall(_.eqCols.forall(schema.fieldNames.contains)) && {
         val eras = SnapshotLog.parsedSchemas(snap)
         snap.files.forall(f => f.schemaId == 0 ||
           eras.get(f.schemaId).forall(ws =>

@@ -34,6 +34,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // delete-application joins above ([[GraftMorScanRule]])
     ext.injectPostHocResolutionRule(spark => new GraftMorScanRule(spark))
     ext.injectPlannerStrategy(_ => GraftDmlStrategy)
+    // physical (AQE stage-prep): broadcasts of content-cached delete
+    // frames reuse ONE Broadcast handle per (frame, key shape) across
+    // queries instead of re-broadcasting per query
+    ext.injectQueryStagePrepRule(spark =>
+      org.apache.spark.sql.execution.exchange.GraftBroadcastReuseRule(spark))
   }
 }
 

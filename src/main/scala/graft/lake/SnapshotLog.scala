@@ -1920,7 +1920,12 @@ object SnapshotLog {
       return build
     }
     val hit = deleteFrameCache.synchronized { deleteFrameCache.get(key) }
-    if (hit != null) return localFrame(spark, outSchema, hit)
+    if (hit != null) {
+      // (re)announce the rows→key identity so the physical broadcast-
+      // reuse rule can recognize this frame's LocalTableScan
+      if (hit.nonEmpty) GraftBroadcastCache.registerFrame(hit(0), key)
+      return localFrame(spark, outSchema, hit)
+    }
     deleteFrameBuilds.incrementAndGet()
     val df = build
     val seenBefore = deleteFrameSeen.put(key, java.lang.Boolean.TRUE) != null
@@ -1929,19 +1934,24 @@ object SnapshotLog {
     val rows = df.queryExecution.executedPlan.executeCollect()
     // an entry that alone dwarfs the budget is served once, not cached:
     // admitting it would evict everything else for one pathological set
-    if (rows.length <= DeleteFrameRowBudget / 4) deleteFrameCache.synchronized {
-      if (!deleteFrameCache.containsKey(key)) {
-        deleteFrameCache.put(key, rows)
-        deleteFrameRowsHeld += rows.length
-        val it = deleteFrameCache.entrySet().iterator()
-        while (deleteFrameRowsHeld > DeleteFrameRowBudget && it.hasNext) {
-          val e = it.next()
-          if (e.getKey != key) {
-            deleteFrameRowsHeld -= e.getValue.length
-            it.remove()
+    if (rows.length <= DeleteFrameRowBudget / 4) {
+      deleteFrameCache.synchronized {
+        if (!deleteFrameCache.containsKey(key)) {
+          deleteFrameCache.put(key, rows)
+          deleteFrameRowsHeld += rows.length
+          val it = deleteFrameCache.entrySet().iterator()
+          while (deleteFrameRowsHeld > DeleteFrameRowBudget && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) {
+              deleteFrameRowsHeld -= e.getValue.length
+              it.remove()
+              // rows gone → their broadcasts go too
+              GraftBroadcastCache.dropFrame(e.getKey)
+            }
           }
         }
       }
+      if (rows.nonEmpty) GraftBroadcastCache.registerFrame(rows(0), key)
     }
     localFrame(spark, outSchema, rows)
   }
@@ -1976,21 +1986,25 @@ object SnapshotLog {
     * row survives iff no delete outranks its file. ONE multi-path scan
     * of all delete files; each key's seq joins in from a broadcast
     * manifest-derived (path → seq) map, so plan width stays O(1) in
-    * un-folded commit count. Size-gated; shared by both MOR paths. */
+    * un-folded commit count. Size-gated; shared by both MOR paths.
+    *
+    * `deletes` must share ONE key-column set — a snapshot whose delete
+    * files span key-set ERAS (the merge keys changed between folds)
+    * applies one frame per era, stacked by the callers. */
   private[lake] def eqDeleteMaxFrame(spark: SparkSession, tableDir: String,
-                                     snap: Snapshot,
-                                     seqCol: String): DataFrame = {
+                                     snap: Snapshot, seqCol: String,
+                                     deletes: Seq[DeleteFile]): DataFrame = {
     val schema = snap.schema
-    val eqColSets = snap.deletes.map(_.eqCols).distinct
+    val eqColSets = deletes.map(_.eqCols).distinct
     require(eqColSets.size == 1,
-      s"mixed equality-delete key sets in $tableDir: $eqColSets")
+      s"mixed equality-delete key sets in one frame for $tableDir: $eqColSets")
     val eqCols = eqColSets.head
     val keySchema = StructType(eqCols.map(c => schema(c)))
     val (_, root) = fsOf(spark, tableDir)
-    val est = estInMemory(snap.deletes.map(_.sizeBytes).sum)
+    val est = estInMemory(deletes.map(_.sizeBytes).sum)
     // key carries the key-column schema: a type-evolving era must not
     // serve rows collected under the old key types
-    val key = s"eq|${absRoot(root)}|${keySchema.json}|" + snap.deletes
+    val key = s"eq|${absRoot(root)}|${keySchema.json}|" + deletes
       .map(d => s"${d.path}@${d.seq}#${d.sizeBytes}").sorted.mkString(",")
     val outSchema = StructType(keySchema.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField(seqCol,
@@ -1998,10 +2012,10 @@ object SnapshotLog {
     val delMax = deleteFrameCached(spark, key, outSchema, est) {
       import spark.implicits._
       val seqOfDelete = broadcast(
-        snap.deletes.map(d => (absKey(root, d.path), d.seq))
+        deletes.map(d => (absKey(root, d.path), d.seq))
           .toDF("_dabs", "_dseq"))
       spark.read.schema(keySchema)
-        .parquet(snap.deletes.map(d => s"$tableDir/${d.path}"): _*)
+        .parquet(deletes.map(d => s"$tableDir/${d.path}"): _*)
         .withColumn("_dabs",
           regexp_replace(col("_metadata.file_path"), "^[a-z0-9]+:/+", "/"))
         .join(seqOfDelete, Seq("_dabs"), "inner")
@@ -2279,11 +2293,17 @@ object SnapshotLog {
       else base.join(
         posDeleteSlotsFrame(spark, tableDir, snap, "_abs", "_pos"),
         Seq("_abs", "_pos"), "left_anti")
+    // one frame per key-set ERA (merge keys may change between folds):
+    // a row dies when ANY era's newest matching delete outranks its
+    // file, so the eras stack as independent join+filter legs
     val afterEq = if (snap.deletes.isEmpty) afterPos else {
-      val eqCols = snap.deletes.head.eqCols
-      afterPos.join(eqDeleteMaxFrame(spark, tableDir, snap, "_del_seq"),
-        eqCols, "left")
-        .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
+      snap.deletes.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(afterPos) { case (acc, (eqCols, dels)) =>
+          acc.join(eqDeleteMaxFrame(spark, tableDir, snap, "_del_seq", dels),
+            eqCols, "left")
+            .filter(col("_del_seq").isNull || col("_seq") >= col("_del_seq"))
+            .drop("_del_seq")
+        }
     }
     afterEq.select(out.map(col): _*)
   }

@@ -115,6 +115,88 @@ class GraftBatchScanSpec extends SparkTestBase {
     assert(rows.length === 12)
   }
 
+  test("cached delete frames reuse ONE broadcast handle across queries") {
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(21L, 32L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    GraftBroadcastCache.reset()
+    def q(): Long = spark.sql(s"SELECT sum(v) AS s FROM $cat.ns.t")
+      .collect().head.getLong(0)
+    // 1st read: first frame sighting stays LAZY (no row cache) — the
+    // broadcast is a plain per-query exchange over the live aggregation
+    val r1 = q()
+    // 2nd read: the frame's rows enter the content cache and register;
+    // the physical rule swaps in the reusing exchange → ONE compute
+    val r2 = q()
+    // 3rd read: same frame, same canonical key shape → a cache HIT,
+    // no new broadcast job
+    val df3 = spark.sql(s"SELECT sum(v) AS s FROM $cat.ns.t")
+    val r3 = df3.collect().head.getLong(0)
+    val p3 = df3.queryExecution.executedPlan.toString
+    assert(p3.contains("GraftReusedBroadcastExchange"),
+      s"reusing exchange not planned:\n$p3")
+    assert(r1 === r2 && r2 === r3)
+    assert(GraftBroadcastCache.computes.get() === 1L,
+      s"expected one broadcast compute, got ${GraftBroadcastCache.computes.get()}")
+    assert(GraftBroadcastCache.hits.get() >= 1L)
+    // the kill switch restores the plain per-query exchange, same rows
+    spark.conf.set("spark.graft.broadcastReuse.enabled", "false")
+    try assert(q() === r1)
+    finally spark.conf.set("spark.graft.broadcastReuse.enabled", "true")
+  }
+
+  test("mixed eq-key ERAS stack one delete frame each; batch path kept, V1 agrees") {
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    // era 1: equality delete keyed on id (id=21 dies)
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(21L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    // era 2: the merge keys changed — a delete keyed on v (v=302 dies);
+    // both eras' deletes are LIVE in the head snapshot simultaneously
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(302L).toDF("v"), Seq("v"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    val snap = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(snap.deletes.map(_.eqCols).distinct.size === 2)
+    assert(GraftMorScan.eligible(snap), "mixed eras must stay batch-eligible")
+    val df = spark.sql(s"SELECT id, v FROM $cat.ns.t")
+    val p = plan(df)
+    assert(p.contains("BatchScan") && p.contains("morData=true"),
+      s"mixed-era MOR read lost the batch path:\n$p")
+    assert(!p.contains("GraftSnapshot("), s"V1 bridge in plan:\n$p")
+    val batch = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!batch.exists(_._1 == 21L), s"id-era delete not applied: $batch")
+    assert(!batch.exists(_._2 == 302L), s"v-era delete not applied: $batch")
+    assert(batch.size === 10)
+    // the V1 bridge stacks the same per-era frames — identical state
+    spark.conf.set("spark.graft.morBatchScan.enabled", "false")
+    try {
+      val v1df = spark.sql(s"SELECT id, v FROM $cat.ns.t")
+      val v1p = plan(v1df)
+      assert(v1p.contains("GraftSnapshot("), s"expected V1 bridge:\n$v1p")
+      assert(v1df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === batch)
+    } finally spark.conf.set("spark.graft.morBatchScan.enabled", "true")
+  }
+
   test("renamed eras keep the batch path: per-era readers request physical names by id") {
     val (_, dir2) = buildTable()
     SnapshotLog.renameColumn(spark, dir2, "v", "score")
