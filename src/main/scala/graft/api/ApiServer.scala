@@ -308,6 +308,78 @@ final class ApiServer(spark: SparkSession,
       case ("DELETE", Seq("alerts", "rules", id)) =>
         cp.deleteAlertRule(id)
         respond(ex, 200, JObject("deleted" -> JBool(true)))
+      // ---- alert instances / history / silences (ref handlers/
+      // alerts.go:35-44) — the machine's transitions served over HTTP.
+      // Literal segments ("summary", "silences") route BEFORE the
+      // {id} patterns below them.
+      case ("GET", Seq("alerts", "summary")) =>
+        val sum = cp.alertSummary()
+        respond(ex, 200, JObject(
+          "firing" -> JInt(BigInt(sum.getOrElse("firing", 0L))),
+          "resolved" -> JInt(BigInt(sum.getOrElse("resolved", 0L))),
+          "total" -> JInt(BigInt(sum.values.sum))))
+      case ("POST", Seq("alerts", "silences")) =>
+        val b = jsonBody(ex)
+        val matchers = b \ "matchers" match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        respond(ex, 201, cp.silenceJson(cp.createSilence(matchers,
+          jlong(b \ "starts_at_ms"), jlong(b \ "ends_at_ms"),
+          jstr(b \ "created_by"), jstr(b \ "comment"))))
+      case ("GET", Seq("alerts", "silences")) =>
+        val all = cp.listSilences()
+        respond(ex, 200, JObject(
+          "silences" -> JArray(all.toList.map(cp.silenceJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("alerts", "silences", id)) =>
+        respond(ex, 200, cp.silenceJson(cp.getSilence(id)))
+      case ("DELETE", Seq("alerts", "silences", id)) =>
+        cp.deleteSilence(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("GET", Seq("alerts")) =>
+        val status = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split('&').collectFirst {
+            case q if q.startsWith("status=") => q.substring(7)
+          })
+        val all = cp.listAlertInstances(status)
+        respond(ex, 200, JObject(
+          "alerts" -> JArray(all.toList.map(cp.alertInstanceJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("alerts", id)) =>
+        respond(ex, 200, cp.alertInstanceJson(cp.getAlertInstance(id)))
+      case ("POST", Seq("alerts", id, "acknowledge")) =>
+        val b = jsonBody(ex)
+        respond(ex, 200, cp.alertInstanceJson(
+          cp.acknowledgeAlert(id, jstr(b \ "acknowledged_by"))))
+      case ("GET", Seq("alerts", id, "history")) =>
+        val hist = cp.listAlertHistory(id)
+        respond(ex, 200, JObject(
+          "history" -> JArray(hist.toList.map(cp.alertHistoryJson)),
+          "total" -> JInt(hist.size)))
+      // ---- notification channels (ref handlers/alerts.go:48-52)
+      case ("POST", Seq("notifications", "channels")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201, cp.channelJson(cp.createChannel(
+          jstr(b \ "name"), jstr(b \ "type"),
+          (b \ "enabled") != JBool(false), configOf(b))))
+      case ("GET", Seq("notifications", "channels")) =>
+        val all = cp.listChannels()
+        respond(ex, 200, JObject(
+          "channels" -> JArray(all.toList.map(cp.channelJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("notifications", "channels", id)) =>
+        respond(ex, 200, cp.channelJson(cp.getChannel(id)))
+      case ("PUT", Seq("notifications", "channels", id)) =>
+        val b = jsonBody(ex)
+        respond(ex, 200, cp.channelJson(cp.updateChannel(id,
+          jstr(b \ "name"), jstr(b \ "type"),
+          (b \ "enabled") != JBool(false), configOf(b))))
+      case ("DELETE", Seq("notifications", "channels", id)) =>
+        cp.deleteChannel(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
       // ---- managed API keys (ref internal/api/services/api_key.go):
       // the plaintext appears ONLY in the create response; the list
       // serves prefixes and status, never hashes
@@ -343,6 +415,20 @@ final class ApiServer(spark: SparkSession,
         jint(rt \ "repeat_interval_seconds", 0).toLong))
       case _ => Nil
     }
+
+  private def configOf(b: JValue): Map[String, String] =
+    b \ "config" match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+
+  private def jlong(v: JValue): Long = v match {
+    case JInt(n)  => n.toLong
+    case JLong(n) => n
+    case _        => 0L
+  }
 
   private def jdouble(v: JValue): Double = v match {
     case JDouble(x)  => x

@@ -96,6 +96,47 @@ object ControlPlane {
                              enabled: Boolean, routes: Seq[AlertRoute],
                              createdAtMs: Long, updatedAtMs: Long)
 
+  /** One notification channel (ref internal/alerting/types.go:256-264
+    * NotificationChannel): a named delivery target alert routes
+    * reference by id — the FK the reference's schema enforces. */
+  final case class Channel(id: String, name: String, typ: String,
+                           enabled: Boolean, config: Map[String, String],
+                           createdAtMs: Long, updatedAtMs: Long)
+
+  /** One alert instance (ref types.go:169-187 AlertInstance): the
+    * LIVE state of a (rule, fingerprint) pair — firing or resolved,
+    * optionally acknowledged. The evaluator's machine decides the
+    * transitions; the store records them. */
+  final case class AlertInstance(id: String, ruleId: String,
+                                 fingerprint: String, status: String,
+                                 currentValue: Option[Double],
+                                 firedAtMs: Long,
+                                 resolvedAtMs: Option[Long],
+                                 acknowledgedAtMs: Option[Long],
+                                 acknowledgedBy: String,
+                                 createdAtMs: Long, updatedAtMs: Long)
+
+  /** One audit-trail row (ref types.go:214-223 AlertHistory):
+    * fired / resolved / acknowledged / notification_sent. */
+  final case class AlertHistoryEntry(id: String, alertId: String,
+                                     ruleId: String, eventType: String,
+                                     message: String,
+                                     value: Option[Double],
+                                     createdAtMs: Long)
+
+  /** One temporary suppression (ref types.go:227-253 AlertSilence):
+    * matchers are exact label equalities; a notification whose labels
+    * carry every matcher pair is suppressed while the window is open. */
+  final case class AlertSilence(id: String, matchers: Map[String, String],
+                                startsAtMs: Long, endsAtMs: Long,
+                                createdBy: String, comment: String,
+                                createdAtMs: Long, updatedAtMs: Long) {
+    def activeAt(nowMs: Long): Boolean =
+      nowMs > startsAtMs && nowMs < endsAtMs
+    def matches(labels: Map[String, String]): Boolean =
+      matchers.forall { case (k, v) => labels.get(k).contains(v) }
+  }
+
   /** One managed API key (ref internal/api/services/api_key.go:
     * 54-262): the plaintext `<prefix>live_<random>` is returned ONCE
     * at creation; the store keeps only its SHA-256 and a display
@@ -189,6 +230,10 @@ final class ControlPlane(metaDir: String,
   private var pipelines: Vector[Pipeline] = loadPipelines()
   private var alertRules: Vector[AlertRule] = loadAlertRules()
   private var apiKeys: Vector[ApiKey] = loadApiKeys()
+  private var channels: Vector[Channel] = loadChannels()
+  private var alertInstances: Vector[AlertInstance] = loadAlertInstances()
+  private var alertHistory: Vector[AlertHistoryEntry] = loadAlertHistory()
+  private var alertSilences: Vector[AlertSilence] = loadAlertSilences()
   private val secureRandom = new java.security.SecureRandom()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
@@ -381,6 +426,10 @@ final class ControlPlane(metaDir: String,
       throw Invalid("route requires a channel_id")
     if (routes.exists(_._3 < 0))
       throw Invalid("repeat_interval_seconds must be >= 0")
+    // the reference's FK: routes reference REGISTERED channels
+    routes.map(_._1).distinct.foreach { ch =>
+      if (!channels.exists(_.id == ch)) throw NotFound("channel", ch)
+    }
   }
 
   def createAlertRule(name: String, metricName: String, op: String,
@@ -455,6 +504,300 @@ final class ControlPlane(metaDir: String,
       enabled.flatMap(r => r.routes.map(rt => graft.observe.Alerts.Route(
         r.name, rt.channel, rt.enabled, rt.repeatIntervalSeconds * 1000L))))
   }
+
+  // ---- notification channels (ref internal/api/handlers/alerts.go:
+  // 48-52 /notifications/channels; types.go NotificationChannel) ------
+
+  private val ChannelTypes = Set("email", "slack", "webhook", "pagerduty")
+
+  private[api] def channelJson(c: Channel): JObject = JObject(
+    "id" -> JString(c.id), "name" -> JString(c.name),
+    "type" -> JString(c.typ), "enabled" -> JBool(c.enabled),
+    "config" -> JObject(c.config.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "created_at_ms" -> JInt(BigInt(c.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(c.updatedAtMs)))
+
+  private def persistChannels(): Unit =
+    writeFile("channels.json", JArray(channels.toList.map(channelJson)))
+
+  private def loadChannels(): Vector[Channel] =
+    readFile("channels.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        val config = o \ "config" match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Channel(str(o \ "id"), str(o \ "name"), str(o \ "type"),
+          (o \ "enabled") == JBool(true), config,
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  def createChannel(name: String, typ: String, enabled: Boolean = true,
+                    config: Map[String, String] = Map.empty): Channel =
+    lock.synchronized {
+      validName(name)
+      if (!ChannelTypes.contains(typ))
+        throw Invalid(s"channel type must be one of " +
+          ChannelTypes.toSeq.sorted.mkString("/"))
+      if (channels.exists(_.name == name))
+        throw Conflict("channel with this name already exists")
+      val now = clock()
+      val c = Channel(newId(), name, typ, enabled, config, now, now)
+      channels :+= c
+      persistChannels()
+      c
+    }
+
+  def listChannels(): Seq[Channel] = lock.synchronized(channels)
+
+  def getChannel(id: String): Channel = lock.synchronized(
+    channels.find(_.id == id).getOrElse(throw NotFound("channel", id)))
+
+  def updateChannel(id: String, name: String, typ: String,
+                    enabled: Boolean, config: Map[String, String]): Channel =
+    lock.synchronized {
+      validName(name)
+      if (!ChannelTypes.contains(typ))
+        throw Invalid(s"channel type must be one of " +
+          ChannelTypes.toSeq.sorted.mkString("/"))
+      val c = getChannel(id)
+      if (channels.exists(x => x.name == name && x.id != id))
+        throw Conflict("channel with this name already exists")
+      val next = c.copy(name = name, typ = typ, enabled = enabled,
+        config = config, updatedAtMs = clock())
+      channels = channels.map(x => if (x.id == id) next else x)
+      persistChannels()
+      next
+    }
+
+  /** The reference's FK: a channel a rule still routes to cannot go. */
+  def deleteChannel(id: String): Unit = lock.synchronized {
+    val c = getChannel(id)
+    if (alertRules.exists(_.routes.exists(_.channel == c.id)))
+      throw Conflict("cannot delete a channel referenced by alert routes")
+    channels = channels.filterNot(_.id == c.id)
+    persistChannels()
+  }
+
+  // ---- alert instances / history / silences (ref handlers/alerts.go:
+  // 35-44; types.go AlertInstance/AlertHistory/AlertSilence) ----------
+
+  private def optD(v: Option[Double]): JValue =
+    v.map(JDouble(_): JValue).getOrElse(JNull)
+  private def optL(v: Option[Long]): JValue =
+    v.map(t => JInt(BigInt(t)): JValue).getOrElse(JNull)
+  private def loadOptL(v: JValue): Option[Long] = v match {
+    case JNull | JNothing => None; case x => Some(num(x))
+  }
+  private def loadOptD(v: JValue): Option[Double] = v match {
+    case JDouble(x) => Some(x); case JInt(n) => Some(n.toDouble)
+    case JDecimal(x) => Some(x.toDouble); case _ => None
+  }
+
+  private[api] def alertInstanceJson(a: AlertInstance): JObject = JObject(
+    "id" -> JString(a.id), "rule_id" -> JString(a.ruleId),
+    "fingerprint" -> JString(a.fingerprint),
+    "status" -> JString(a.status),
+    "current_value" -> optD(a.currentValue),
+    "fired_at_ms" -> JInt(BigInt(a.firedAtMs)),
+    "resolved_at_ms" -> optL(a.resolvedAtMs),
+    "acknowledged_at_ms" -> optL(a.acknowledgedAtMs),
+    "acknowledged_by" -> JString(a.acknowledgedBy),
+    "created_at_ms" -> JInt(BigInt(a.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(a.updatedAtMs)))
+
+  private[api] def alertHistoryJson(h: AlertHistoryEntry): JObject = JObject(
+    "id" -> JString(h.id), "alert_id" -> JString(h.alertId),
+    "rule_id" -> JString(h.ruleId), "event_type" -> JString(h.eventType),
+    "message" -> JString(h.message), "value" -> optD(h.value),
+    "created_at_ms" -> JInt(BigInt(h.createdAtMs)))
+
+  private[api] def silenceJson(s: AlertSilence): JObject = JObject(
+    "id" -> JString(s.id),
+    "matchers" -> JObject(s.matchers.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "starts_at_ms" -> JInt(BigInt(s.startsAtMs)),
+    "ends_at_ms" -> JInt(BigInt(s.endsAtMs)),
+    "created_by" -> JString(s.createdBy), "comment" -> JString(s.comment),
+    "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(s.updatedAtMs)))
+
+  private def persistAlertInstances(): Unit =
+    writeFile("alert_instances.json",
+      JArray(alertInstances.toList.map(alertInstanceJson)))
+  private def persistAlertHistory(): Unit =
+    writeFile("alert_history.json",
+      JArray(alertHistory.toList.map(alertHistoryJson)))
+  private def persistAlertSilences(): Unit =
+    writeFile("alert_silences.json",
+      JArray(alertSilences.toList.map(silenceJson)))
+
+  private def loadAlertInstances(): Vector[AlertInstance] =
+    readFile("alert_instances.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        AlertInstance(str(o \ "id"), str(o \ "rule_id"),
+          str(o \ "fingerprint"), str(o \ "status"),
+          loadOptD(o \ "current_value"), num(o \ "fired_at_ms"),
+          loadOptL(o \ "resolved_at_ms"), loadOptL(o \ "acknowledged_at_ms"),
+          str(o \ "acknowledged_by"),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def loadAlertHistory(): Vector[AlertHistoryEntry] =
+    readFile("alert_history.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        AlertHistoryEntry(str(o \ "id"), str(o \ "alert_id"),
+          str(o \ "rule_id"), str(o \ "event_type"), str(o \ "message"),
+          loadOptD(o \ "value"), num(o \ "created_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def loadAlertSilences(): Vector[AlertSilence] =
+    readFile("alert_silences.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        val matchers = o \ "matchers" match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        AlertSilence(str(o \ "id"), matchers, num(o \ "starts_at_ms"),
+          num(o \ "ends_at_ms"), str(o \ "created_by"), str(o \ "comment"),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def appendHistory(alertId: String, ruleId: String, event: String,
+                            message: String, value: Option[Double],
+                            atMs: Long): Unit = {
+    alertHistory :+= AlertHistoryEntry(newId(), alertId, ruleId, event,
+      message, value, atMs)
+    persistAlertHistory()
+  }
+
+  /** A fire transition from the evaluator's machine: creates the
+    * instance or re-fires an existing one (the reference's fireAlert
+    * creates-or-updates; a resolved instance re-firing becomes a fresh
+    * firing row under the same fingerprint — status history stays in
+    * the audit trail). */
+  def recordAlertFired(ruleId: String, fingerprint: String,
+                       value: Option[Double], atMs: Long): AlertInstance =
+    lock.synchronized {
+      getAlertRule(ruleId) // 404 for an unknown rule
+      val next = alertInstances.find(a =>
+        a.fingerprint == fingerprint && a.status == "firing") match {
+        case Some(a) =>
+          val u = a.copy(currentValue = value, updatedAtMs = atMs)
+          alertInstances = alertInstances.map(x => if (x.id == a.id) u else x)
+          u
+        case None =>
+          val a = AlertInstance(newId(), ruleId, fingerprint, "firing",
+            value, atMs, None, None, "", atMs, atMs)
+          alertInstances :+= a
+          a
+      }
+      persistAlertInstances()
+      appendHistory(next.id, ruleId, "fired", s"alert fired", value, atMs)
+      next
+    }
+
+  /** A resolution (series absence) — the machine's only resolve path. */
+  def recordAlertResolved(fingerprint: String, atMs: Long): Option[AlertInstance] =
+    lock.synchronized {
+      alertInstances.find(a =>
+        a.fingerprint == fingerprint && a.status == "firing").map { a =>
+        val u = a.copy(status = "resolved", resolvedAtMs = Some(atMs),
+          updatedAtMs = atMs)
+        alertInstances = alertInstances.map(x => if (x.id == a.id) u else x)
+        persistAlertInstances()
+        appendHistory(u.id, u.ruleId, "resolved", "alert resolved", None, atMs)
+        u
+      }
+    }
+
+  /** A delivered notification, recorded on the instance's audit trail
+    * (the reference's recordNotificationEvent). */
+  def recordAlertNotification(fingerprint: String, channelId: String,
+                              event: String, atMs: Long): Unit =
+    lock.synchronized {
+      alertInstances.filter(_.fingerprint == fingerprint)
+        .sortBy(-_.updatedAtMs).headOption.foreach { a =>
+          appendHistory(a.id, a.ruleId, "notification_sent",
+            s"$event notification to channel $channelId", None, atMs)
+        }
+    }
+
+  def acknowledgeAlert(id: String, by: String): AlertInstance =
+    lock.synchronized {
+      val a = alertInstances.find(_.id == id)
+        .getOrElse(throw NotFound("alert", id))
+      if (a.status != "firing")
+        throw Conflict("only a firing alert can be acknowledged")
+      val now = clock()
+      val u = a.copy(acknowledgedAtMs = Some(now), acknowledgedBy = by,
+        updatedAtMs = now)
+      alertInstances = alertInstances.map(x => if (x.id == id) u else x)
+      persistAlertInstances()
+      appendHistory(u.id, u.ruleId, "acknowledged",
+        s"acknowledged by $by", None, now)
+      u
+    }
+
+  def listAlertInstances(status: Option[String] = None): Seq[AlertInstance] =
+    lock.synchronized(
+      status.fold(alertInstances)(st => alertInstances.filter(_.status == st)))
+
+  def getAlertInstance(id: String): AlertInstance = lock.synchronized(
+    alertInstances.find(_.id == id).getOrElse(throw NotFound("alert", id)))
+
+  /** Counts by status (the reference's GET /alerts/summary). */
+  def alertSummary(): Map[String, Long] = lock.synchronized(
+    alertInstances.groupBy(_.status).map { case (k, v) => k -> v.size.toLong })
+
+  def listAlertHistory(alertId: String): Seq[AlertHistoryEntry] =
+    lock.synchronized {
+      getAlertInstance(alertId)
+      alertHistory.filter(_.alertId == alertId)
+    }
+
+  def createSilence(matchers: Map[String, String], startsAtMs: Long,
+                    endsAtMs: Long, createdBy: String,
+                    comment: String = ""): AlertSilence = lock.synchronized {
+    if (matchers.isEmpty) throw Invalid("silence requires matchers")
+    if (endsAtMs <= startsAtMs)
+      throw Invalid("silence must end after it starts")
+    val now = clock()
+    val s = AlertSilence(newId(), matchers, startsAtMs, endsAtMs,
+      createdBy, comment, now, now)
+    alertSilences :+= s
+    persistAlertSilences()
+    s
+  }
+
+  def listSilences(): Seq[AlertSilence] = lock.synchronized(alertSilences)
+
+  def getSilence(id: String): AlertSilence = lock.synchronized(
+    alertSilences.find(_.id == id).getOrElse(throw NotFound("silence", id)))
+
+  def deleteSilence(id: String): Unit = lock.synchronized {
+    val s = getSilence(id)
+    alertSilences = alertSilences.filterNot(_.id == s.id)
+    persistAlertSilences()
+  }
+
+  /** Is a notification with these labels suppressed right now? */
+  def silenced(labels: Map[String, String], nowMs: Long): Boolean =
+    lock.synchronized(
+      alertSilences.exists(s => s.activeAt(nowMs) && s.matches(labels)))
 
   // ---- API keys (ref internal/api/services/api_key.go) --------------
 

@@ -893,10 +893,18 @@ object SqlSurface extends QueryModule {
       }
       def flag(b: Boolean): Long = if (b) 1L else 0L
       def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      // routes reference REGISTERED channels (the reference's FK) —
+      // the channel comes first, and an unknown channel id is refused
+      val (cc, cb) = call("POST", "/api/v1/notifications/channels",
+        """{"name":"email-ops","type":"email","config":{"to":"ops@x"}}""")
+      val chId = s_(cb \ "id")
+      val (cBad, _) = call("POST", "/api/v1/alerts/rules",
+        s"""{"name":"ghost-route","metric_name":"avg_value","operator":"gt",
+           |"threshold":1,"routes":[{"channel_id":"ghost"}]}""".stripMargin)
       val (c1, b1) = call("POST", "/api/v1/alerts/rules",
-        """{"name":"avg_value_high","metric_name":"avg_value","operator":"gt",
-          |"threshold":50.0,"duration_seconds":60,"severity":"critical",
-          |"routes":[{"channel_id":"email-ops","repeat_interval_seconds":300}]}"""
+        s"""{"name":"avg_value_high","metric_name":"avg_value","operator":"gt",
+           |"threshold":50.0,"duration_seconds":60,"severity":"critical",
+           |"routes":[{"channel_id":"$chId","repeat_interval_seconds":300}]}"""
           .stripMargin)
       val highId = s_(b1 \ "id")
       val (c2, _) = call("POST", "/api/v1/alerts/rules",
@@ -935,6 +943,8 @@ object SqlSurface extends QueryModule {
       val firingFloor = eval.count(r =>
         r.getString(2) == "avg_value_floor" && r.getString(3) == "firing").toLong
       Seq(
+        ("channel_created", flag(cc == 201)),
+        ("route_unknown_channel_404", flag(cBad == 404)),
         ("rule_created", flag(c1 == 201 && c2 == 201 && c5 == 201 && c7 == 201)),
         ("rule_dup_409", flag(c3 == 409)),
         ("rule_bad_op_400", flag(c4 == 400)),
@@ -944,7 +954,7 @@ object SqlSurface extends QueryModule {
         ("rule_gone_404", flag(c9 == 404)),
         ("rules_total", (lb \ "total").asInstanceOf[JInt].num.toLong),
         ("route_persisted", flag(routeIds.size == 1 &&
-          reopened.getAlertRule(highId).routes.head.channel == "email-ops")),
+          reopened.getAlertRule(highId).routes.head.channel == chId)),
         ("eval_enabled_rules", rules.size.toLong),
         ("eval_routes", routes.size.toLong),
         ("eval_rows", eval.length.toLong),
@@ -960,6 +970,8 @@ object SqlSurface extends QueryModule {
       |  SELECT event_type, round(avg(value), 4) AS avg_value
       |  FROM events GROUP BY 1)
       |SELECT step, result FROM (VALUES
+      |  ('channel_created', CAST(1 AS BIGINT)),
+      |  ('route_unknown_channel_404', CAST(1 AS BIGINT)),
       |  ('rule_created', CAST(1 AS BIGINT)),
       |  ('rule_dup_409', CAST(1 AS BIGINT)),
       |  ('rule_bad_op_400', CAST(1 AS BIGINT)),
@@ -977,6 +989,171 @@ object SqlSurface extends QueryModule {
       |    (SELECT CAST(count(CASE WHEN avg_value > 50.0 THEN 1 END) AS BIGINT) FROM m))
       |  ) AS t(step, result)
       |ORDER BY step""".stripMargin
+
+  // ---- alert instances, audit history, acknowledgement, silences
+  // (ref internal/api/handlers/alerts.go:35-44 + types.go AlertInstance/
+  // AlertHistory/AlertSilence): the evaluator's for-duration machine
+  // drives REAL store transitions over four deterministic ticks —
+  // instances fire/refire/resolve, an acknowledgement lands with its
+  // actor, a silence suppresses one series' refire notification, and
+  // every count is replayed by the oracle from the same avg_value
+  // series the rules compare against.
+  private def alertInstancesGate(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    import graft.observe.Alerts
+    val meta = s"${sqlWarehouse(s, d)}_alertinst"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      def n_(v: JValue): Long = v match { case JInt(x) => x.toLong; case _ => -1L }
+      val (cc, cb) = call("POST", "/api/v1/notifications/channels",
+        """{"name":"ops","type":"webhook","config":{"url":"http://x"}}""")
+      val chId = s_(cb \ "id")
+      val (_, rb) = call("POST", "/api/v1/alerts/rules",
+        s"""{"name":"high","metric_name":"avg_value","operator":"gt",
+           |"threshold":50.0,"routes":[{"channel_id":"$chId"}]}""".stripMargin)
+      val ruleId = s_(rb \ "id")
+      // the series: per-event-type averages (the alert_eval metric)
+      val series = graft.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("avg_value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+        .sortBy(_._1)
+      val firing = series.filter(_._2 > 50.0).map(_._1)
+      val valueOf = series.toMap
+      val fp = (name: String) => s"high|$name"
+      val labels = (name: String) => Map("rule" -> "high", "series" -> name)
+      val (rules, routes) = cp.evaluatorRules()
+      def evals(names: Seq[String]): Seq[Alerts.Eval] = names.map(nm =>
+        Alerts.Eval(fp(nm), valueOf(nm), valueOf(nm) > 50.0, 0L))
+      val all = series.map(_._1)
+      val resolveName = firing.lastOption // drops out at t3, stays out
+      // tick 1 (t=1000): first trigger only records pending
+      var machine = Alerts.MachineState.empty
+      var notifier = Alerts.NotifierState.empty
+      val (m1, n1, notes1) =
+        Alerts.notifyCycle(machine, notifier, evals(all), _ => "high", routes, 1000L)
+      machine = m1; notifier = n1
+      // tick 2 (t=2000): fires + notifications → recorded in the store
+      val (m2, n2, notes2) =
+        Alerts.notifyCycle(machine, notifier, evals(all), _ => "high", routes, 2000L)
+      machine = m2; notifier = n2
+      val fired2 = notes2.filter(_.event == "fired")
+      fired2.map(_.fingerprint).distinct.foreach { f =>
+        cp.recordAlertFired(ruleId, f,
+          Some(valueOf(f.stripPrefix("high|"))), 2000L)
+      }
+      fired2.foreach(nt =>
+        cp.recordAlertNotification(nt.fingerprint, nt.channel, nt.event, 2000L))
+      // tick 3 (t=3000): the last firing series goes ABSENT → resolution
+      val present3 = all.filterNot(resolveName.contains)
+      val (m3, n3, notes3) =
+        Alerts.notifyCycle(machine, notifier, evals(present3), _ => "high", routes, 3000L)
+      machine = m3; notifier = n3
+      notes3.filter(_.event == "resolved").foreach { nt =>
+        cp.recordAlertResolved(nt.fingerprint, 3000L)
+        cp.recordAlertNotification(nt.fingerprint, nt.channel, nt.event, 3000L)
+      }
+      // acknowledge the FIRST still-firing instance over HTTP
+      val ackTarget = cp.listAlertInstances(Some("firing"))
+        .sortBy(_.fingerprint).headOption
+      val ackOk = ackTarget match {
+        case Some(inst) =>
+          val (as, ab) = call("POST", s"/api/v1/alerts/${inst.id}/acknowledge",
+            """{"acknowledged_by":"oncall@graft"}""")
+          as == 200 && s_(ab \ "acknowledged_by") == "oncall@graft"
+        case None => true // nothing firing at this SF — vacuously fine
+      }
+      // silence the first firing series for the next tick's refire
+      val (ss, sb) = firing.headOption match {
+        case Some(first) => call("POST", "/api/v1/alerts/silences",
+          s"""{"matchers":{"rule":"high","series":"$first"},
+             |"starts_at_ms":3500,"ends_at_ms":100000,
+             |"created_by":"oncall@graft","comment":"deploy window"}"""
+            .stripMargin)
+        case None => (201, JNothing)
+      }
+      // tick 4 (t=4000): refires re-notify — minus what the silence eats
+      val (m4, n4, notes4) =
+        Alerts.notifyCycle(machine, notifier, evals(present3), _ => "high", routes, 4000L)
+      machine = m4; notifier = n4
+      val refires4 = notes4.filter(_.event == "fired")
+      refires4.map(_.fingerprint).distinct.foreach { f =>
+        cp.recordAlertFired(ruleId, f,
+          Some(valueOf(f.stripPrefix("high|"))), 4000L)
+      }
+      val (suppressed, delivered) = refires4.partition(nt =>
+        cp.silenced(labels(nt.fingerprint.stripPrefix("high|")), 4000L))
+      delivered.foreach(nt =>
+        cp.recordAlertNotification(nt.fingerprint, nt.channel, nt.event, 4000L))
+      // surfaces: list + summary + history over HTTP; reopen from disk
+      val (_, fl) = call("GET", "/api/v1/alerts?status=firing")
+      val (_, sm) = call("GET", "/api/v1/alerts/summary")
+      val histAll = cp.listAlertInstances().flatMap(a => cp.listAlertHistory(a.id))
+      def histN(ev: String): Long = histAll.count(_.eventType == ev).toLong
+      val reopened = new ControlPlane(meta, connTest = _ => Right(1L))
+      Seq(
+        ("ack_recorded", flag(ackOk)),
+        ("channel_created", flag(cc == 201)),
+        ("fired_t2", fired2.map(_.fingerprint).distinct.size.toLong),
+        ("firing_after", n_(fl \ "total")),
+        ("hist_acknowledged", histN("acknowledged")),
+        ("hist_fired", histN("fired")),
+        ("hist_notifications", histN("notification_sent")),
+        ("hist_resolved", histN("resolved")),
+        ("reopen_total", reopened.listAlertInstances().size.toLong),
+        ("silence_created", flag(ss == 201)),
+        ("summary_total", n_(sm \ "total")),
+        ("suppressed_t4", suppressed.size.toLong),
+        ("ticks_quiet", (notes1.size + notes3.count(_.event != "resolved")).toLong))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val alertInstancesSql =
+    """WITH m AS (
+      |  SELECT event_type, round(avg(value), 4) AS avg_value
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT CAST(count(CASE WHEN avg_value > 50.0 THEN 1 END) AS BIGINT) AS n FROM m)
+      |SELECT step, result FROM (
+      |SELECT 'ack_recorded' AS step, CAST(1 AS BIGINT) AS result
+      |UNION ALL SELECT 'channel_created', 1
+      |UNION ALL SELECT 'fired_t2', n FROM f
+      |UNION ALL SELECT 'firing_after', n - LEAST(n, 1) FROM f
+      |UNION ALL SELECT 'hist_acknowledged',
+      |  CASE WHEN n >= 2 THEN 1 ELSE 0 END FROM f
+      |UNION ALL SELECT 'hist_fired',
+      |  CASE WHEN n >= 1 THEN 2 * n - 1 ELSE 0 END FROM f
+      |UNION ALL SELECT 'hist_notifications',
+      |  n + LEAST(n, 1) + (CASE WHEN n >= 2 THEN n - 2 ELSE 0 END) FROM f
+      |UNION ALL SELECT 'hist_resolved', LEAST(n, 1) FROM f
+      |UNION ALL SELECT 'reopen_total', n FROM f
+      |UNION ALL SELECT 'silence_created', 1
+      |UNION ALL SELECT 'summary_total', n FROM f
+      |UNION ALL SELECT 'suppressed_t4',
+      |  CASE WHEN n >= 2 THEN 1 ELSE 0 END FROM f
+      |UNION ALL SELECT 'ticks_quiet', 0
+      |) ORDER BY step""".stripMargin
 
   // ---- the Iceberg REST catalog end-to-end (ref internal/iceberg/
   // catalog/rest.go:40-217 — the reference's storage contract, spoken
@@ -1221,6 +1398,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
+    GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),
     GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,
       Some(restCatalogRoundtripSql)),
     GraftQuery("sql_runtime_filter", runtimeFilter, Some(runtimeFilterSql)),

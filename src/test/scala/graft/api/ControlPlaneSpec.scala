@@ -218,9 +218,21 @@ class ControlPlaneSpec extends SparkTestBase {
     intercept[ControlPlane.Invalid] {
       cp.createAlertRule("r", "m", "gt", 1.0, routes = Seq(("", true, 0L)))
     }
+    // routes reference registered channels (the reference's FK)
+    intercept[ControlPlane.NotFound] {
+      cp.createAlertRule("r", "m", "gt", 1.0, routes = Seq(("ghost", true, 0L)))
+    }
+    val email = cp.createChannel("email-ops", "email",
+      config = Map("to" -> "ops@example.com"))
+    val slack = cp.createChannel("slack-ops", "slack")
+    val pager = cp.createChannel("pager-ops", "pagerduty")
+    intercept[ControlPlane.Invalid] { cp.createChannel("x", "carrier-pigeon") }
+    intercept[ControlPlane.Conflict] { cp.createChannel("email-ops", "email") }
     val high = cp.createAlertRule("high", "avg_value", "gt", 50.0,
       durationSeconds = 60L, severity = "critical",
-      routes = Seq(("email-ops", true, 300L), ("slack", false, 60L)))
+      routes = Seq((email.id, true, 300L), (slack.id, false, 60L)))
+    // a routed channel cannot be deleted; an unrouted one can
+    intercept[ControlPlane.Conflict] { cp.deleteChannel(email.id) }
     cp.createAlertRule("floor", "avg_value", "gte", 10.0)
     intercept[ControlPlane.Conflict] {
       cp.createAlertRule("high", "avg_value", "gt", 1.0)
@@ -231,11 +243,11 @@ class ControlPlaneSpec extends SparkTestBase {
     val routeId = high.routes.head.id
     val updated = cp.updateAlertRule(high.id, "high", "avg_value", "gt",
       75.0, 120L, "desc", "critical", enabled = true,
-      routes = Seq(("email-ops", false, 300L), ("pager", true, 30L)))
+      routes = Seq((email.id, false, 300L), (pager.id, true, 30L)))
     assert(updated.threshold === 75.0)
-    assert(updated.routes.find(_.channel == "email-ops").get.id === routeId)
-    assert(!updated.routes.find(_.channel == "email-ops").get.enabled)
-    assert(updated.routes.find(_.channel == "pager").get.id !== routeId)
+    assert(updated.routes.find(_.channel == email.id).get.id === routeId)
+    assert(!updated.routes.find(_.channel == email.id).get.enabled)
+    assert(updated.routes.find(_.channel == pager.id).get.id !== routeId)
     // disabled rules drop out of the evaluator's set; route intervals
     // convert to millis
     cp.createAlertRule("noise", "avg_value", "eq", -1.0, enabled = false)
@@ -243,8 +255,8 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(rules.map(_.name).sorted === Seq("floor", "high"))
     assert(rules.find(_.name == "high").get.threshold === 75.0)
     assert(routes.map(r => (r.rule, r.channel, r.enabled, r.repeatIntervalMs))
-      .toSet === Set(("high", "email-ops", false, 300000L),
-        ("high", "pager", true, 30000L)))
+      .toSet === Set(("high", email.id, false, 300000L),
+        ("high", pager.id, true, 30000L)))
     // persistence: a reopened store sees identical rules
     val cp2 = plane(dir)
     assert(cp2.listAlertRules().map(r =>
@@ -252,9 +264,64 @@ class ControlPlaneSpec extends SparkTestBase {
       Set(("high", "gt", 75.0, true), ("floor", "gte", 10.0, true),
         ("noise", "eq", -1.0, false)))
     assert(cp2.getAlertRule(high.id).routes.map(_.channel).toSet ===
-      Set("email-ops", "pager"))
+      Set(email.id, pager.id))
     cp2.deleteAlertRule(high.id)
     assert(plane(dir).listAlertRules().map(_.name).sorted ===
       Seq("floor", "noise"))
+  }
+
+  test("alert instances, audit history, acknowledgement, silences — machine transitions recorded") {
+    val dir = freshDir()
+    @volatile var now = 10000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val rule = cp.createAlertRule("high", "avg_value", "gt", 50.0)
+    // fire: creates the instance + a fired history row
+    val a = cp.recordAlertFired(rule.id, "high|s1", Some(61.5), now)
+    assert(a.status === "firing" && a.currentValue === Some(61.5))
+    intercept[ControlPlane.NotFound] {
+      cp.recordAlertFired("ghost", "x|y", None, now)
+    }
+    // a re-fire updates the SAME instance, appends history
+    now += 1000
+    val a2 = cp.recordAlertFired(rule.id, "high|s1", Some(70.0), now)
+    assert(a2.id === a.id && a2.currentValue === Some(70.0))
+    cp.recordAlertNotification("high|s1", "ch-1", "fired", now)
+    // acknowledge: only firing instances, recorded with actor
+    val ack = cp.acknowledgeAlert(a.id, "oncall@x")
+    assert(ack.acknowledgedBy === "oncall@x" && ack.acknowledgedAtMs.isDefined)
+    // resolve by absence; a resolved instance refuses acknowledgement
+    now += 1000
+    assert(cp.recordAlertResolved("high|s1", now).exists(_.status == "resolved"))
+    assert(cp.recordAlertResolved("high|s1", now).isEmpty) // idempotent
+    intercept[ControlPlane.Conflict] { cp.acknowledgeAlert(a.id, "x") }
+    // a NEW fire under the same fingerprint is a fresh instance
+    val b = cp.recordAlertFired(rule.id, "high|s1", Some(90.0), now)
+    assert(b.id !== a.id)
+    assert(b.status === "firing")
+    assert(cp.alertSummary() === Map("firing" -> 1L, "resolved" -> 1L))
+    assert(cp.listAlertInstances(Some("firing")).map(_.id) === Seq(b.id))
+    // the audit trail holds every transition in order
+    assert(cp.listAlertHistory(a.id).map(_.eventType) ===
+      Seq("fired", "fired", "notification_sent", "acknowledged", "resolved"))
+    intercept[ControlPlane.NotFound] { cp.listAlertHistory("ghost") }
+    // silences: window + matcher semantics, validation
+    intercept[ControlPlane.Invalid] {
+      cp.createSilence(Map.empty, now, now + 10, "x")
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createSilence(Map("rule" -> "high"), now + 10, now, "x")
+    }
+    val sil = cp.createSilence(Map("rule" -> "high", "series" -> "s1"),
+      now - 1, now + 60000, "oncall@x", "deploy window")
+    assert(cp.silenced(Map("rule" -> "high", "series" -> "s1"), now))
+    assert(!cp.silenced(Map("rule" -> "high", "series" -> "s2"), now))
+    assert(!cp.silenced(Map("rule" -> "high", "series" -> "s1"), now + 70000))
+    // persistence: instances, history, and silences all reopen
+    val cp2 = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    assert(cp2.alertSummary() === Map("firing" -> 1L, "resolved" -> 1L))
+    assert(cp2.listAlertHistory(a.id).size === 5)
+    assert(cp2.getSilence(sil.id).comment === "deploy window")
+    cp2.deleteSilence(sil.id)
+    intercept[ControlPlane.NotFound] { cp2.getSilence(sil.id) }
   }
 }
