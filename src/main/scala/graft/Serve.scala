@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.api.{ApiServer, ControlPlane}
+import graft.api.{AlertManager, ApiServer, ControlPlane}
 import graft.lake.{GraftCatalog, RestCatalogServer}
 import graft.streaming.PgPipelineRunner
 
@@ -47,8 +47,11 @@ object Serve {
   /** Everything [[main]] starts, closable for tests. */
   final class Handle(val spark: SparkSession, val api: ApiServer,
                      val rest: RestCatalogServer,
-                     val controlPlane: ControlPlane) extends AutoCloseable {
+                     val controlPlane: ControlPlane,
+                     val alerts: Option[AlertManager] = None)
+    extends AutoCloseable {
     override def close(): Unit = {
+      alerts.foreach(_.close()) // stop evaluating before teardown
       // the API goes down FIRST so no new actuation can race the sweep
       // (a start accepted after the pipeline snapshot would leave its
       // drain loop alive past Spark's stop); then every live pipeline
@@ -82,7 +85,8 @@ object Serve {
             catalogName: String = "graft",
             controlDir: Option[String] = None,
             openMetrics: Boolean = false,
-            metricsToken: Option[String] = None): Handle = {
+            metricsToken: Option[String] = None,
+            alertIntervalMs: Long = 15000L): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
     // control-plane state is a LOCAL directory (ControlPlane persists
@@ -110,7 +114,17 @@ object Serve {
       openMetrics = openMetrics, metricsToken = metricsToken)
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
       authToken = token, bindPort = restPort)
-    new Handle(spark, api, rest, cp)
+    // the alerting manager loop (ref internal/alerting/manager.go):
+    // store-backed rules evaluated against the process registry on the
+    // reference's 15 s default cadence; 0 disables
+    val alerts =
+      if (alertIntervalMs <= 0L) None
+      else {
+        val mgr = new AlertManager(cp, intervalMs = alertIntervalMs)
+        mgr.start()
+        Some(mgr)
+      }
+    new Handle(spark, api, rest, cp, alerts)
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,7 +160,11 @@ object Serve {
       // unauthenticated convention; GRAFT_METRICS_TOKEN scopes a
       // dedicated scraper credential instead
       openMetrics = env.get("GRAFT_OPEN_METRICS").exists(_.toBoolean),
-      metricsToken = env.get("GRAFT_METRICS_TOKEN"))
+      metricsToken = env.get("GRAFT_METRICS_TOKEN"),
+      // GRAFT_ALERT_INTERVAL_SECONDS: evaluation cadence (0 disables;
+      // the reference's default is 15 s)
+      alertIntervalMs = env.get("GRAFT_ALERT_INTERVAL_SECONDS")
+        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(15000L))
     val done = new java.util.concurrent.CountDownLatch(1)
     // register ABOVE Spark's own SparkContext-stop hook (Hadoop's
     // manager runs by descending priority; Spark's hook sits at ~40) so

@@ -27,6 +27,18 @@ object Alerts {
     case other => throw new IllegalArgumentException(s"unknown operator: $other")
   }
 
+  /** [[compare]] for a driver-side scalar (the manager loop's instant
+    * compare over polled metric values — same operator table). */
+  def compareScalar(value: Double, op: String, threshold: Double): Boolean =
+    op match {
+      case "gt"  => value > threshold
+      case "gte" => value >= threshold
+      case "lt"  => value < threshold
+      case "lte" => value <= threshold
+      case "eq"  => value == threshold
+      case other => throw new IllegalArgumentException(s"unknown operator: $other")
+    }
+
   /** Evaluate one rule against every series row of `metrics`
     * (seriesCol, valueCol). Output: series, value, rule, state. */
   def evaluate(metrics: DataFrame, seriesCol: String, valueCol: String,
@@ -144,6 +156,20 @@ object Alerts {
                   results: Seq[Eval], ruleOf: String => String,
                   routes: Seq[Route], nowMs: Long)
   : (MachineState, NotifierState, Seq[Notification]) = {
+    val (m, n, _, _, notes) =
+      notifyCycleFull(machine, notifier, results, ruleOf, routes, nowMs)
+    (m, n, notes)
+  }
+
+  /** [[notifyCycle]] exposing the machine's raw transitions alongside
+    * the notifications: `events` are the fires/resolves (route-
+    * independent — an unrouted rule still transitions) and `refires`
+    * the existing-instance re-fires. The manager loop records
+    * instances from the events and deliveries from the notes. */
+  def notifyCycleFull(machine: MachineState, notifier: NotifierState,
+                      results: Seq[Eval], ruleOf: String => String,
+                      routes: Seq[Route], nowMs: Long)
+  : (MachineState, NotifierState, Seq[Event], Seq[String], Seq[Notification]) = {
     val (nextMachine, events) = cycle(machine, results, nowMs)
     val fired = events.collect { case Event(fp, "fired") => fp }.toSet
     // existing-instance re-fires: firing AND pending past duration
@@ -177,6 +203,6 @@ object Alerts {
       last = last.filterNot(_._1._1 == fp) // ClearLastNotified
       send(fp, "resolved")
     }
-    (nextMachine, NotifierState(last), notes.result())
+    (nextMachine, NotifierState(last), events, refires, notes.result())
   }
 }
