@@ -250,9 +250,21 @@ object Bench {
     val steal = math.max(1.0, if (committedCal > 0) cal / committedCal else 1.0)
     val ratioRaw = if (totalBest > 0) total / totalBest else 0.0
     val ratioCorrected = ratioRaw / steal
+    // the arithmetic calibration sees CPU steal but not the run's
+    // per-query FIXED overhead (scheduler/IO/page-cache state adds a
+    // near-constant few hundred ms to every query on a bad day, which
+    // multiplies sub-second queries into false 3-5x "regressions").
+    // The MEDIAN steal-corrected excess over ~190 queries estimates
+    // that floor robustly (a handful of true regressions cannot move
+    // a median), and the weak test subtracts it.
+    val excesses = allNames.flatMap(n =>
+      base.get(n).filter(_ => !errored(n)).map(b => times(n) / steal - b))
+      .sorted
+    val floorSec = math.max(0.0,
+      if (excesses.isEmpty) 0.0 else excesses(excesses.size / 2))
     val weak = allNames.filter { n =>
       !errored(n) && base.get(n).exists { b =>
-        val corrected = times(n) / steal
+        val corrected = times(n) / steal - floorSec
         corrected > 2 * b && corrected - b > 0.5
       }
     }
@@ -263,7 +275,7 @@ object Bench {
     // truncated its head — the driver parsed nothing. Report the slowest
     // 18 queries (the informative ones) and keep the line well under 2 KB.
     val slowest = results.sortBy(-_._2).take(18).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"cal_committed":${fmt(committedCal)},"steal":${fmt(steal)},"ratio_raw":${fmt(ratioRaw)},"ratio_corrected":${fmt(ratioCorrected)},"weak_n":${weak.size},"weak":$weakJson,"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"cal_committed":${fmt(committedCal)},"steal":${fmt(steal)},"floor_sec":${fmt(floorSec)},"ratio_raw":${fmt(ratioRaw)},"ratio_corrected":${fmt(ratioCorrected)},"weak_n":${weak.size},"weak":$weakJson,"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
