@@ -526,7 +526,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Array.empty
+    // the REST spec's parent= listing: one nested level, full parts
+    client.listNamespaces(parent = namespace.toSeq).map(_.toArray).toArray
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =

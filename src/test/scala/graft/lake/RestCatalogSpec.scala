@@ -750,6 +750,14 @@ class RestCatalogSpec extends SparkTestBase {
         Seq(Seq("a", "b"), Seq("a", "c")))
       assert(cli.listNamespaces(parent = Seq("a", "b")) === Nil)
       intercept[NotFound] { cli.listNamespaces(parent = Seq("ghost")) }
+      // ...and Spark's SHOW NAMESPACES IN sees them through the plugin
+      val cat = "rtest_parent"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.prefix", "lake")
+      spark.conf.set(s"spark.sql.catalog.$cat.token", "s3cr3t")
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat.a")
+        .collect().map(_.getString(0)).sorted.toSeq === Seq("a.b", "a.c"))
     } finally { srv.close(); cli.close() }
   }
 }
