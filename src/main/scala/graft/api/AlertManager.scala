@@ -83,13 +83,18 @@ final class AlertManager(cp: ControlPlane,
       ruleIdOf.get(labelsOf(fp)("rule")).foreach(rid =>
         cp.recordAlertFired(rid, fp, valueOfFp.get(fp), nowMs))
     }
-    // notifications: silences eat theirs; the rest deliver — webhook
-    // channels POST, other channel types are recorded as delivered
-    // (their transports live outside this process)
-    val (muted, live) = notes.partition(n =>
+    // notifications: silences and DISABLED channels eat theirs (both
+    // audited as suppressed); the rest deliver — webhook channels
+    // POST, other channel types are recorded as delivered (their
+    // transports live outside this process)
+    val channels = cp.listChannels()
+    val channelEnabled: String => Boolean = ch =>
+      channels.find(_.id == ch).forall(_.enabled)
+    val (muted, unmuted) = notes.partition(n =>
       cp.silenced(labelsOf(n.fingerprint), nowMs))
+    val (live, disabled) = unmuted.partition(n => channelEnabled(n.channel))
     val urlOf: String => Option[String] = ch =>
-      cp.listChannels().find(c => c.id == ch && c.typ == "webhook")
+      channels.find(c => c.id == ch && c.typ == "webhook")
         .flatMap(_.config.get("url"))
     val deliveries: Map[Int, Webhooks.Delivery] =
       if (!deliverWebhooks) Map.empty
@@ -108,8 +113,16 @@ final class AlertManager(cp: ControlPlane,
           cp.recordAlertNotification(n.fingerprint, n.channel, n.event, nowMs)
           Outcome(n, silenced = false, delivered = true, None)
       }
-    } ++ muted.map(n =>
-      Outcome(n, silenced = true, delivered = false, None))
+    } ++ muted.map { n =>
+      cp.recordAlertSuppressed(n.fingerprint, n.channel, n.event,
+        "silenced", nowMs)
+      Outcome(n, silenced = true, delivered = false, None)
+    } ++ disabled.map { n =>
+      cp.recordAlertSuppressed(n.fingerprint, n.channel, n.event,
+        "channel disabled", nowMs)
+      Outcome(n, silenced = false, delivered = false,
+        Some("channel disabled"))
+    }
     outcomes
   }
 

@@ -417,6 +417,13 @@ final class ControlPlane(metaDir: String,
 
   private val AlertOps = Set("gt", "gte", "lt", "lte", "eq")
 
+  /** The manager's instance fingerprints are `name|series` — a '|' in
+    * a rule name would make the fingerprint unsplittable, so the rule
+    * would fire without ever recording instances or notifications. */
+  private def validAlertRuleName(name: String): Unit =
+    if (name.contains('|'))
+      throw Invalid("alert rule name must not contain '|'")
+
   private def validAlertFields(op: String, durationSeconds: Long,
                                routes: Seq[(String, Boolean, Long)]): Unit = {
     if (!AlertOps.contains(op))
@@ -439,6 +446,7 @@ final class ControlPlane(metaDir: String,
                       routes: Seq[(String, Boolean, Long)] = Nil): AlertRule =
     lock.synchronized {
       validName(name)
+      validAlertRuleName(name)
       validAlertFields(op, durationSeconds, routes)
       if (metricName.isEmpty) throw Invalid("metric_name is required")
       if (alertRules.exists(_.name == name))
@@ -466,16 +474,21 @@ final class ControlPlane(metaDir: String,
                       routes: Seq[(String, Boolean, Long)]): AlertRule =
     lock.synchronized {
       validName(name)
+      validAlertRuleName(name)
       validAlertFields(op, durationSeconds, routes)
       if (metricName.isEmpty) throw Invalid("metric_name is required")
       val r = getAlertRule(id)
       if (alertRules.exists(x => x.name == name && x.id != id))
         throw Conflict("alert rule with this name already exists")
+      // each surviving route id is consumed at most once — a PUT
+      // carrying two routes with the same (channel, interval) gets one
+      // re-keyed id and one fresh one, never the same id twice
+      val remaining = scala.collection.mutable.ArrayBuffer.from(r.routes)
       val nextRoutes = routes.map { rt =>
-        r.routes.find(x => x.channel == rt._1 &&
+        remaining.indexWhere(x => x.channel == rt._1 &&
           x.repeatIntervalSeconds == rt._3) match {
-          case Some(existing) => existing.copy(enabled = rt._2)
-          case None => AlertRoute(newId(), rt._1, rt._2, rt._3)
+          case -1 => AlertRoute(newId(), rt._1, rt._2, rt._3)
+          case i  => remaining.remove(i).copy(enabled = rt._2)
         }
       }
       val next = r.copy(name = name, description = description,
@@ -733,6 +746,21 @@ final class ControlPlane(metaDir: String,
         .sortBy(-_.updatedAtMs).headOption.foreach { a =>
           appendHistory(a.id, a.ruleId, "notification_sent",
             s"$event notification to channel $channelId", None, atMs)
+        }
+    }
+
+  /** A SUPPRESSED notification (active silence, disabled channel) —
+    * audited so the durable trail records that a route matched and why
+    * nothing was sent; without this, suppression exists only in the
+    * manager's transient cycle outcomes. */
+  def recordAlertSuppressed(fingerprint: String, channelId: String,
+                            event: String, reason: String, atMs: Long): Unit =
+    lock.synchronized {
+      alertInstances.filter(_.fingerprint == fingerprint)
+        .sortBy(-_.updatedAtMs).headOption.foreach { a =>
+          appendHistory(a.id, a.ruleId, "notification_suppressed",
+            s"$event notification to channel $channelId suppressed: $reason",
+            None, atMs)
         }
     }
 

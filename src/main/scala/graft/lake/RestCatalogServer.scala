@@ -913,6 +913,15 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     // requirement is the client's retry signal (409, Iceberg's
     // CommitFailedException)
     val snap = SnapshotLog.withTableLock(dir) {
+      // the declared values were validated against the spec read in
+      // phase 1 — if the table was dropped and re-created with a
+      // DIFFERENT spec in the verify gap, those validations no longer
+      // cover the spec the commit would land under, and the manifest's
+      // pruning vocabulary would be poisoned; the sidecar is one small
+      // file, so the re-read is cheap under the lock
+      if (readSpec(dir) != tableSpec)
+        halt(409, s"table ${(ns :+ t).mkString(".")} partition spec " +
+          "changed during commit", "CommitFailedException")
       val cur = SnapshotLog.currentSnapshot(spark, dir)
       reqs.foreach {
         case AssertCreate =>

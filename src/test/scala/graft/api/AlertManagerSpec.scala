@@ -111,4 +111,53 @@ class AlertManagerSpec extends SparkTestBase {
       mgr.close()
     } finally hook.stop(0)
   }
+
+  test("a disabled channel suppresses delivery; silences and disabled channels audit as suppressed") {
+    val dir = Files.createTempDirectory("graft-alertmgr2").toString
+    @volatile var now = 1000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val reg = new Metrics.Registry
+    val received = new ConcurrentLinkedQueue[String]()
+    val hook = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    hook.createContext("/", ex => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    hook.start()
+    try {
+      val ch = cp.createChannel("ops-hook", "webhook",
+        config = Map("url" -> s"http://127.0.0.1:${hook.getAddress.getPort}/a"))
+      cp.createAlertRule("lag_high", "philotes_cdc_lag_seconds", "gt", 10.0,
+        routes = Seq((ch.id, true, 0L)))
+      val mgr = new AlertManager(cp,
+        metricSource = AlertManager.registryMetricSource(reg),
+        clock = () => now)
+      reg.setGauge("cdc", "lag_seconds", 42.0)
+      mgr.tick() // pending
+      // the user disables the CHANNEL (per-route enabled still true):
+      // the fire cycle must neither POST nor record notification_sent
+      cp.updateChannel(ch.id, ch.name, ch.typ, enabled = false, ch.config)
+      now = 2000L
+      val out = mgr.tick()
+      assert(out.size === 1 && !out.head.delivered && !out.head.silenced &&
+        out.head.error === Some("channel disabled"))
+      assert(received.isEmpty, "a disabled channel must not receive POSTs")
+      val inst = cp.listAlertInstances(Some("firing")).head
+      assert(cp.listAlertHistory(inst.id).map(_.eventType) ===
+        Seq("fired", "notification_suppressed"))
+      // re-enabled + silenced: suppression still audits, with its reason
+      cp.updateChannel(ch.id, ch.name, ch.typ, enabled = true, ch.config)
+      cp.createSilence(Map("rule" -> "lag_high"), 2500L, 60000L, "oncall@x")
+      now = 3000L
+      mgr.tick() // pending re-arms after the fire; no notification yet
+      now = 4000L
+      val out3 = mgr.tick() // the refire, eaten by the silence
+      assert(out3.size === 1 && out3.head.silenced)
+      val hist = cp.listAlertHistory(inst.id)
+      assert(hist.count(_.eventType == "notification_suppressed") === 2)
+      assert(hist.last.message.contains("silenced"))
+      assert(received.isEmpty)
+      mgr.close()
+    } finally hook.stop(0)
+  }
 }

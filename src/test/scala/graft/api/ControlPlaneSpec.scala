@@ -222,6 +222,9 @@ class ControlPlaneSpec extends SparkTestBase {
     intercept[ControlPlane.NotFound] {
       cp.createAlertRule("r", "m", "gt", 1.0, routes = Seq(("ghost", true, 0L)))
     }
+    // '|' is the fingerprint separator — a name carrying it would fire
+    // without ever recording instances or notifications
+    intercept[ControlPlane.Invalid] { cp.createAlertRule("a|b", "m", "gt", 1.0) }
     val email = cp.createChannel("email-ops", "email",
       config = Map("to" -> "ops@example.com"))
     val slack = cp.createChannel("slack-ops", "slack")
@@ -248,6 +251,22 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(updated.routes.find(_.channel == email.id).get.id === routeId)
     assert(!updated.routes.find(_.channel == email.id).get.enabled)
     assert(updated.routes.find(_.channel == pager.id).get.id !== routeId)
+    intercept[ControlPlane.Invalid] {
+      cp.updateAlertRule(high.id, "a|b", "avg_value", "gt", 75.0, 120L,
+        "desc", "critical", enabled = true, routes = Nil)
+    }
+    // a PUT carrying two routes with the SAME (channel, interval) must
+    // produce two distinct route ids — the surviving id is consumed once
+    val dup = cp.updateAlertRule(high.id, "high", "avg_value", "gt",
+      75.0, 120L, "desc", "critical", enabled = true,
+      routes = Seq((email.id, true, 300L), (email.id, false, 300L)))
+    assert(dup.routes.size === 2 &&
+      dup.routes.map(_.id).distinct.size === 2)
+    assert(dup.routes.map(_.id).contains(routeId))
+    // restore the shape the following assertions pin
+    cp.updateAlertRule(high.id, "high", "avg_value", "gt",
+      75.0, 120L, "desc", "critical", enabled = true,
+      routes = Seq((email.id, false, 300L), (pager.id, true, 30L)))
     // disabled rules drop out of the evaluator's set; route intervals
     // convert to millis
     cp.createAlertRule("noise", "avg_value", "eq", -1.0, enabled = false)

@@ -615,6 +615,48 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("dropTable+createTable with a different spec during footer verification is 409, never a poisoned commit") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+    val (srv, cli, _) = fixture()
+    try {
+      cli.createTable(Seq("db"), "t", schema,
+        partitionSpec = Seq(Day -> "identity"))
+      val loc = cli.loadTable(Seq("db"), "t").location
+      val rows = Seq((1L, 1.0, "2024-01-01"))
+      val f = writeFile(loc, "d1.parquet", rows)
+      val entered = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val first = new AtomicBoolean(true)
+      srv.onVerifyHook = () =>
+        if (first.getAndSet(false)) { entered.countDown(); release.await() }
+      try {
+        val failure = new AtomicReference[Throwable]()
+        val a = new Thread(() => {
+          try { cli.commitAppend(Seq("db"), "t", Seq(f)); () }
+          catch { case t: Throwable => failure.set(t) }
+        })
+        a.start()
+        assert(entered.await(30, TimeUnit.SECONDS))
+        // the table is dropped and re-created with a DIFFERENT spec
+        // while the commit verifies footers: its declared values were
+        // validated against a spec that no longer exists — landing them
+        // would poison the new spec's pruning metadata
+        cli.dropTable(Seq("db"), "t")
+        cli.createTable(Seq("db"), "t", schema,
+          partitionSpec = Seq("id" -> "identity"))
+        val loc2 = cli.loadTable(Seq("db"), "t").location
+        writeFile(loc2, "d1.parquet", rows) // the drop removed the file
+        release.countDown()
+        a.join(30000)
+        assert(failure.get().isInstanceOf[CommitConflict],
+          s"expected CommitConflict, got ${failure.get()}")
+      } finally { release.countDown(); srv.onVerifyHook = () => () }
+      // the re-created table's head is untouched by the refused commit
+      assert(cli.loadTable(Seq("db"), "t").currentSnapshotId === 1L)
+    } finally { srv.close(); cli.close() }
+  }
+
   test("two-field partition spec (identity + day): verified commits, file-exact pruning, metadata rendering") {
     val (srv, cli, _) = fixture()
     try {
