@@ -39,6 +39,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // queries instead of re-broadcasting per query
     ext.injectQueryStagePrepRule(spark =>
       org.apache.spark.sql.execution.exchange.GraftBroadcastReuseRule(spark))
+    // the same swap for AQE-LESS plans (stateful streaming disables
+    // AQE; stage-prep rules never run there): columnar rules run in
+    // preparations after EnsureRequirements on every plan
+    ext.injectColumnar(spark =>
+      org.apache.spark.sql.execution.exchange.GraftBroadcastReuseColumnarRule(spark))
   }
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.physical.BroadcastMode
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{ColumnarRule, LocalTableScanExec, SparkPlan}
 
 /** In-package shim (like [[org.apache.spark.sql.GraftScanSupport]]):
   * cross-query broadcast reuse for the engine's cached delete frames.
@@ -118,4 +118,20 @@ case class GraftBroadcastReuseRule(spark: SparkSession)
   private def enabled: Boolean =
     spark.sessionState.conf
       .getConfString("spark.graft.broadcastReuse.enabled", "true") == "true"
+}
+
+/** Non-AQE coverage for the same swap. Query-stage-prep rules run only
+  * under AQE — and stateful streaming DISABLES AQE, so the hottest
+  * recurring read at ingest scale (a MOR table consulted every
+  * micro-batch trigger) re-collected and re-torrented its delete
+  * frames once per trigger. Columnar rules run inside
+  * `QueryExecution.preparations` right after `EnsureRequirements` for
+  * EVERY physical plan, adaptive or not, so applying the identical
+  * swap as a pre-columnar-transition covers the AQE-less plans; under
+  * AQE the stage-prep rule has usually swapped first and the
+  * `isInstanceOf` guard makes the second application a no-op. */
+case class GraftBroadcastReuseColumnarRule(spark: SparkSession)
+  extends ColumnarRule {
+  override def preColumnarTransitions: Rule[SparkPlan] =
+    GraftBroadcastReuseRule(spark)
 }

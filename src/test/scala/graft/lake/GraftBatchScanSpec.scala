@@ -152,6 +152,66 @@ class GraftBatchScanSpec extends SparkTestBase {
     finally spark.conf.set("spark.graft.broadcastReuse.enabled", "true")
   }
 
+  test("AQE-less plans reuse the broadcast: ONE compute across N streaming triggers") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val (_, dir) = buildTable()
+    import spark.implicits._
+    SnapshotLog.withTableLock(dir) {
+      val cur = SnapshotLog.currentSnapshot(spark, dir).get
+      val dels = SnapshotLog.writeDeletes(spark, dir,
+        Seq(21L, 32L).toDF("id"), Seq("id"))
+      SnapshotLog.commit(spark, dir, "mor-merge", cur.files, cur.schema,
+        parent = Some(cur), deletes = cur.deletes ++ dels,
+        posDeletes = cur.posDeletes)
+    }
+    GraftBroadcastCache.reset()
+    // stateful streaming disables AQE, so stage-prep rules never run on
+    // its triggers — model that by turning AQE off session-wide: only
+    // the columnar-rule application can swap the exchange here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val stage = Files.createTempDirectory("graft-brstream-stage").toString
+      Seq((1L, 1L)).toDF("a", "b").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val fs = new Path(stage).getFileSystem(hconf)
+      val part = fs.listStatus(new Path(stage))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val srcDir = Files.createTempDirectory("graft-brstream-src").toString
+      (1 to 3).foreach(i => FileUtil.copy(fs, part, fs,
+        new Path(srcDir, s"f$i.parquet"), false, hconf))
+      val srcSchema = spark.read.parquet(srcDir).schema
+      val sums = new scala.collection.mutable.ArrayBuffer[Long]()
+      val plans = new scala.collection.mutable.ArrayBuffer[String]()
+      val ckpt = Files.createTempDirectory("graft-brstream-ckpt").toString
+      // every trigger consults the MOR table the way a per-batch
+      // enrichment read would — a fresh plan each time, AQE off
+      val q = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          val df = spark.sql(s"SELECT sum(v) AS s FROM $cat.ns.t")
+          sums += df.collect().head.getLong(0)
+          plans += df.queryExecution.executedPlan.toString
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(sums.size === 3 && sums.distinct.size === 1, sums.toString)
+      // trigger 1 is the frame's LAZY first sighting (plain exchange);
+      // triggers 2..3 swap in the reusing exchange with no AQE around
+      assert(!plans.last.contains("AdaptiveSparkPlan"), plans.last)
+      assert(plans.last.contains("GraftReusedBroadcastExchange"),
+        s"columnar-rule swap missing without AQE:\n${plans.last}")
+      assert(GraftBroadcastCache.computes.get() === 1L,
+        s"expected one broadcast compute across triggers, " +
+          s"got ${GraftBroadcastCache.computes.get()}")
+      assert(GraftBroadcastCache.hits.get() >= 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mixed eq-key ERAS stack one delete frame each; batch path kept, V1 agrees") {
     val (_, dir) = buildTable()
     import spark.implicits._
