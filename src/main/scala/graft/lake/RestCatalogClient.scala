@@ -106,21 +106,62 @@ final class RestCatalogClient(baseUri: String, prefix: String,
       case (code, b)  => fail(code, b)
     }
 
+  private def listQuery(params: Seq[(String, String)]): String =
+    if (params.isEmpty) ""
+    else params.map { case (k, v) => s"$k=$v" }.mkString("?", "&", "")
+
+  private def nextTokenOf(body: JValue): Option[String] =
+    body \ "next-page-token" match {
+      case JString(t) => Some(t)
+      case _          => None
+    }
+
   /** One level of namespaces: top level, or — with `parent` — the
     * direct children of that namespace (the REST spec's `parent=`
-    * query parameter, levels joined by the encoded unit separator). */
-  def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]] =
-    request("GET", "/namespaces" +
-      (if (parent.isEmpty) "" else s"?parent=${nsSeg(parent)}")) match {
-      case (200, body) => body \ "namespaces" match {
-        case JArray(nss) => nss.map {
-          case JArray(parts) => parts.collect { case JString(p) => p }
-          case _             => Nil
+    * query parameter, levels joined by the encoded unit separator).
+    * With `pageSize` set, pages through the spec's `pageToken` /
+    * `next-page-token` protocol until the listing is exhausted — the
+    * shape real clients use against warehouse-scale catalogs. */
+  def listNamespaces(parent: Seq[String] = Nil,
+                     pageSize: Option[Int] = None): Seq[Seq[String]] =
+    pageSize match {
+      case None => listNamespacesPage(parent, None, None)._1
+      case Some(n) =>
+        val out = Seq.newBuilder[Seq[String]]
+        var token: Option[String] = None
+        var more = true
+        while (more) {
+          val (page, next) = listNamespacesPage(parent, Some(n), token)
+          out ++= page
+          token = next
+          more = next.isDefined
         }
-        case _ => Nil
-      }
+        out.result()
+    }
+
+  /** One PAGE of namespaces plus the opaque next-page token (absent on
+    * the last page). */
+  def listNamespacesPage(parent: Seq[String] = Nil,
+                         pageSize: Option[Int] = None,
+                         pageToken: Option[String] = None)
+  : (Seq[Seq[String]], Option[String]) = {
+    val params =
+      (if (parent.isEmpty) Nil else Seq("parent" -> nsSeg(parent))) ++
+        pageSize.map(n => "pageSize" -> n.toString) ++
+        pageToken.map(t => "pageToken" -> t)
+    request("GET", "/namespaces" + listQuery(params)) match {
+      case (200, body) =>
+        val nss = body \ "namespaces" match {
+          case JArray(xs) => xs.map {
+            case JArray(parts) => parts.collect { case JString(p) => p }
+            case _             => Nil
+          }
+          case _ => Nil
+        }
+        (nss, nextTokenOf(body))
       case (code, b) => fail(code, b)
     }
+  }
 
   /** Create-if-absent with ensured namespace (ref rest.go:100-142).
     * `partitionSpec`: (sourceField, transform) pairs — identity /
@@ -159,17 +200,44 @@ final class RestCatalogClient(baseUri: String, prefix: String,
       case (code, b) => fail(code, b)
     }
 
-  def listTables(ns: Seq[String]): Seq[String] =
-    request("GET", s"/namespaces/${nsSeg(ns)}/tables") match {
-      case (200, body) => body \ "identifiers" match {
-        case JArray(ids) => ids.flatMap(i => i \ "name" match {
-          case JString(n) => Some(n)
-          case _          => None
-        })
-        case _ => Nil
-      }
+  /** Table names in a namespace; with `pageSize` set, pages through
+    * the listing like [[listNamespaces]]. */
+  def listTables(ns: Seq[String],
+                 pageSize: Option[Int] = None): Seq[String] =
+    pageSize match {
+      case None => listTablesPage(ns, None, None)._1
+      case Some(n) =>
+        val out = Seq.newBuilder[String]
+        var token: Option[String] = None
+        var more = true
+        while (more) {
+          val (page, next) = listTablesPage(ns, Some(n), token)
+          out ++= page
+          token = next
+          more = next.isDefined
+        }
+        out.result()
+    }
+
+  /** One PAGE of table names plus the opaque next-page token. */
+  def listTablesPage(ns: Seq[String], pageSize: Option[Int] = None,
+                     pageToken: Option[String] = None)
+  : (Seq[String], Option[String]) = {
+    val params = pageSize.map(n => "pageSize" -> n.toString).toSeq ++
+      pageToken.map(t => "pageToken" -> t)
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables" + listQuery(params)) match {
+      case (200, body) =>
+        val names = body \ "identifiers" match {
+          case JArray(ids) => ids.flatMap(i => i \ "name" match {
+            case JString(n) => Some(n)
+            case _          => None
+          })
+          case _ => Nil
+        }
+        (names, nextTokenOf(body))
       case (code, b) => fail(code, b)
     }
+  }
 
   def loadTable(ns: Seq[String], table: String): RestTable =
     request("GET", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
@@ -373,6 +441,10 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     * one client and its connections instead of leaking one per call. */
   @volatile private var memo: (String, String, Option[String], RestCatalogClient) = null
 
+  /** Listings page in bounded responses (the REST spec's pageSize);
+    * a thousands-of-tables namespace never arrives as one body. */
+  private val ListPageSize = 1000
+
   private def client: RestCatalogClient = {
     val uri = opt("uri").getOrElse(throw new IllegalStateException(
       s"spark.sql.catalog.$catName.uri is not set"))
@@ -446,7 +518,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     val c = client
     if (!c.namespaceExists(namespace.toSeq))
       throw new NoSuchNamespaceException(namespace)
-    c.listTables(namespace.toSeq).sorted
+    // paged: a warehouse-scale namespace streams in bounded responses
+    c.listTables(namespace.toSeq, pageSize = Some(ListPageSize)).sorted
       .map(n => Identifier.of(namespace, n)).toArray
   }
 
@@ -521,13 +594,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces --------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    client.listNamespaces().map(_.toArray).toArray
+    client.listNamespaces(pageSize = Some(ListPageSize)).map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     // the REST spec's parent= listing: one nested level, full parts
-    client.listNamespaces(parent = namespace.toSeq).map(_.toArray).toArray
+    client.listNamespaces(parent = namespace.toSeq,
+      pageSize = Some(ListPageSize)).map(_.toArray).toArray
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =

@@ -267,17 +267,59 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     fs.exists(p) && !SnapshotLog.isSnapshotTable(spark, p.toString)
   }
 
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .collectFirst { case kv if kv.startsWith(s"$name=") =>
+        java.net.URLDecoder.decode(kv.substring(name.length + 1), UTF_8) }
+
+  /** The Iceberg REST spec's listing pagination (`pageToken` /
+    * `pageSize` in, `next-page-token` out). The token is an opaque
+    * cursor — base64 of the LAST NAME served — so the next page is
+    * every name strictly greater: stable under concurrent creates and
+    * drops (an entry added behind the cursor is simply not seen by an
+    * in-flight listing, same as every cursor-paged catalog). A request
+    * without `pageSize` returns the full listing and no token — at
+    * warehouse scale (thousands of tables) real clients page. */
+  private def pageOf(ex: HttpExchange, names: Seq[String])
+  : (Seq[String], Option[String]) = {
+    val after = queryParam(ex, "pageToken").map { t =>
+      try new String(java.util.Base64.getUrlDecoder.decode(t), UTF_8)
+      catch { case _: IllegalArgumentException =>
+        halt(400, "malformed pageToken", "BadRequestException") }
+    }
+    val size = queryParam(ex, "pageSize").map { s =>
+      try s.toInt catch { case _: NumberFormatException =>
+        halt(400, "pageSize must be an integer", "BadRequestException") }
+    }.filter(_ > 0)
+    val remaining = after match {
+      case Some(a) => names.filter(_ > a)
+      case None    => names
+    }
+    size match {
+      case None => (remaining, None)
+      case Some(n) =>
+        val page = remaining.take(n)
+        val next =
+          if (remaining.lengthCompare(n) > 0 && page.nonEmpty)
+            Some(java.util.Base64.getUrlEncoder.withoutPadding
+              .encodeToString(page.last.getBytes(UTF_8)))
+          else None
+        (page, next)
+    }
+  }
+
+  private def withNextToken(body: JObject, next: Option[String]): JObject =
+    next.fold(body)(t => JObject(body.obj :+
+      ("next-page-token" -> (JString(t): JValue))))
+
   /** Lists ONE level of namespaces: the warehouse's top level, or —
     * with the REST spec's `parent=` query parameter (levels joined by
     * `%1F`) — the direct children of that namespace, each returned as
-    * its full multi-part identifier. */
+    * its full multi-part identifier. Paginates per [[pageOf]]. */
   private def listNamespaces(ex: HttpExchange): Unit = {
     val parent: Seq[String] =
-      Option(ex.getRequestURI.getQuery).toSeq
-        .flatMap(_.split('&').toSeq)
-        .collectFirst { case kv if kv.startsWith("parent=") =>
-          java.net.URLDecoder.decode(kv.substring("parent=".length), UTF_8) }
-        .map(checkedNs).getOrElse(Nil)
+      queryParam(ex, "parent").map(checkedNs).getOrElse(Nil)
     if (parent.nonEmpty && !namespaceExists(parent))
       halt(404, s"namespace ${parent.mkString(".")} not found",
         "NoSuchNamespaceException")
@@ -288,9 +330,10 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         .filter(st => st.isDirectory &&
           !SnapshotLog.isSnapshotTable(spark, st.getPath.toString))
         .map(_.getPath.getName).sorted
-    respond(ex, 200, JObject("namespaces" -> JArray(
-      names.toList.map(n =>
-        JArray((parent :+ n).toList.map(JString(_)))))))
+    val (page, next) = pageOf(ex, names)
+    respond(ex, 200, withNextToken(JObject("namespaces" -> JArray(
+      page.toList.map(n =>
+        JArray((parent :+ n).toList.map(JString(_)))))), next))
   }
 
   private def createNamespace(ex: HttpExchange): Unit = {
@@ -357,9 +400,11 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       .filter(st => st.isDirectory &&
         SnapshotLog.isSnapshotTable(spark, st.getPath.toString))
       .map(_.getPath.getName).sorted
-    respond(ex, 200, JObject("identifiers" -> JArray(names.toList.map(n =>
-      JObject("namespace" -> JArray(ns.toList.map(JString(_))),
-        "name" -> JString(n))))))
+    val (page, next) = pageOf(ex, names)
+    respond(ex, 200, withNextToken(
+      JObject("identifiers" -> JArray(page.toList.map(n =>
+        JObject("namespace" -> JArray(ns.toList.map(JString(_))),
+          "name" -> JString(n))))), next))
   }
 
   /** The declared partition spec rides a metadata sidecar — the server

@@ -780,6 +780,38 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
+  test("listings paginate: pageSize/pageToken round-trip, stable totals, malformed token 400") {
+    val (srv, cli, _) = fixture()
+    try {
+      val nss = Seq("a1", "a2", "a3", "a4", "a5")
+      nss.foreach(n => cli.createNamespace(Seq(n)))
+      nss.foreach(n => cli.createTable(Seq("a1"), s"t_$n", schema))
+      // server-side paging: 2 + 2 + 1 with opaque tokens
+      val (p1, t1) = cli.listNamespacesPage(pageSize = Some(2))
+      assert(p1.map(_.head) === Seq("a1", "a2") && t1.isDefined)
+      val (p2, t2) = cli.listNamespacesPage(pageSize = Some(2), pageToken = t1)
+      assert(p2.map(_.head) === Seq("a3", "a4") && t2.isDefined)
+      val (p3, t3) = cli.listNamespacesPage(pageSize = Some(2), pageToken = t2)
+      assert(p3.map(_.head) === Seq("a5") && t3.isEmpty)
+      // the paging bulk client sees exactly the unpaged listing
+      assert(cli.listNamespaces(pageSize = Some(2)) === cli.listNamespaces())
+      // table listings page the same way
+      val (tp1, tt1) = cli.listTablesPage(Seq("a1"), Some(3))
+      assert(tp1 === Seq("t_a1", "t_a2", "t_a3") && tt1.isDefined)
+      val (tp2, tt2) = cli.listTablesPage(Seq("a1"), Some(3), tt1)
+      assert(tp2 === Seq("t_a4", "t_a5") && tt2.isEmpty)
+      assert(cli.listTables(Seq("a1"), pageSize = Some(2)) ===
+        cli.listTables(Seq("a1")))
+      // no pageSize: the whole listing, no token (existing clients)
+      val (all, tok) = cli.listNamespacesPage()
+      assert(all.size === 5 && tok.isEmpty)
+      // a malformed token refuses before any listing work
+      intercept[RestCatalogError] {
+        cli.listNamespacesPage(pageSize = Some(2), pageToken = Some("a!b"))
+      }
+    } finally { srv.close(); cli.close() }
+  }
+
   test("listNamespaces with parent= lists one nested level as full identifiers") {
     val (srv, cli, _) = fixture()
     try {
