@@ -31,6 +31,9 @@ import graft.streaming.PgPipelineRunner
   * `/metrics` endpoint out of bearer auth, or give the scraper its
   * own token),
   * `GRAFT_PREFIX` (REST warehouse prefix, default `graft`),
+  * `GRAFT_OIDC_ISSUER` / `GRAFT_OIDC_AUDIENCE` (set together: the API
+  * also accepts RS256 JWTs from this issuer for this audience,
+  * JWKS-verified — [[graft.api.OidcValidator]]),
   * `GRAFT_ENCRYPTION_KEY` (base64 32 bytes, `graft.Cli keygen` mints
   * one — control-plane credentials encrypt at rest when set),
   * `GRAFT_MASTER` (default `local[*]` — on a cluster, submit with the
@@ -86,7 +89,9 @@ object Serve {
             controlDir: Option[String] = None,
             openMetrics: Boolean = false,
             metricsToken: Option[String] = None,
-            alertIntervalMs: Long = 15000L): Handle = {
+            alertIntervalMs: Long = 15000L,
+            oidcIssuer: Option[String] = None,
+            oidcAudience: Option[String] = None): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$catalogName.warehouse", warehouse)
     // control-plane state is a LOCAL directory (ControlPlane persists
@@ -109,9 +114,19 @@ object Serve {
     }
     val runner = new PgPipelineRunner(spark, warehouse)
     val cp = new ControlPlane(meta, runner)
+    // OIDC bearer validation needs BOTH the issuer and the expected
+    // audience — one without the other is a misconfiguration, never a
+    // silently-open or silently-closed API
+    val oidc = (oidcIssuer, oidcAudience) match {
+      case (Some(iss), Some(aud)) => Some(new graft.api.OidcValidator(iss, aud))
+      case (None, None)           => None
+      case _ => throw new IllegalArgumentException(
+        "GRAFT_OIDC_ISSUER and GRAFT_OIDC_AUDIENCE must be set together")
+    }
     val api = new ApiServer(spark, authToken = token,
       controlPlane = Some(cp), bindPort = apiPort,
-      openMetrics = openMetrics, metricsToken = metricsToken)
+      openMetrics = openMetrics, metricsToken = metricsToken,
+      oidc = oidc)
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
       authToken = token, bindPort = restPort)
     // the alerting manager loop (ref internal/alerting/manager.go):
@@ -164,7 +179,12 @@ object Serve {
       // GRAFT_ALERT_INTERVAL_SECONDS: evaluation cadence (0 disables;
       // the reference's default is 15 s)
       alertIntervalMs = env.get("GRAFT_ALERT_INTERVAL_SECONDS")
-        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(15000L))
+        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(15000L),
+      // GRAFT_OIDC_ISSUER + GRAFT_OIDC_AUDIENCE: accept JWTs minted by
+      // this issuer for this audience as API credentials (RS256,
+      // JWKS-verified — ref internal/oidc/client.go)
+      oidcIssuer = env.get("GRAFT_OIDC_ISSUER"),
+      oidcAudience = env.get("GRAFT_OIDC_AUDIENCE"))
     val done = new java.util.concurrent.CountDownLatch(1)
     // register ABOVE Spark's own SparkContext-stop hook (Hadoop's
     // manager runs by descending priority; Spark's hook sits at ~40) so

@@ -71,7 +71,8 @@ final class ApiServer(spark: SparkSession,
                       controlPlane: Option[ControlPlane] = None,
                       bindPort: Int = 0,
                       openMetrics: Boolean = false,
-                      metricsToken: Option[String] = None)
+                      metricsToken: Option[String] = None,
+                      oidc: Option[OidcValidator] = None)
   extends AutoCloseable {
 
   private val server =
@@ -442,14 +443,18 @@ final class ApiServer(spark: SparkSession,
     body
   }
 
-  /** The static deployment token OR a live managed API key (issued
-    * through the control plane, hashed at rest, revocable) — the
-    * reference's auth middleware accepts both its configured secrets
-    * and api_key.go-validated keys. Both paths compare constant-time. */
+  /** The static deployment token, a live managed API key (issued
+    * through the control plane, hashed at rest, revocable), OR an
+    * OIDC-issued JWT validated against the configured issuer's JWKS —
+    * the reference's auth middleware accepts its configured secrets,
+    * api_key.go-validated keys, and oidc.go-validated tokens. Secret
+    * compares are constant-time; the JWT path is signature-verified. */
   private def authorized(ex: HttpExchange): Boolean =
     HttpUtil.bearerOk(ex, authToken.get) ||
       controlPlane.exists(cp =>
-        HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined))
+        HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined)) ||
+      oidc.exists(v =>
+        HttpUtil.bearerToken(ex).exists(t => v.validate(t).isRight))
 
   /** Prometheus text exposition (format 0.0.4) of the registry —
     * counters then gauges, each with its `# TYPE` line, names already in

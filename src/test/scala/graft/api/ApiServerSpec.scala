@@ -261,6 +261,91 @@ class ApiServerSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("OIDC bearer JWTs: JWKS-verified RS256 accepted; expired, wrong-audience, alg-confusion refused") {
+    import java.net.InetSocketAddress
+    import java.security.{KeyPairGenerator, Signature}
+    import java.util.Base64
+    import com.sun.net.httpserver.HttpServer
+    buildCatalog()
+    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+    def uBig(b: java.math.BigInteger): String = {
+      val a = b.toByteArray
+      b64(if (a(0) == 0) a.drop(1) else a)
+    }
+    // a REAL local issuer: discovery document + JWKS over HTTP, the
+    // way the reference's client discovers its provider
+    val issuerSrv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val issuerBase = s"http://127.0.0.1:${issuerSrv.getAddress.getPort}"
+    issuerSrv.createContext("/", ex => {
+      val body = ex.getRequestURI.getPath match {
+        case "/.well-known/openid-configuration" =>
+          s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}"""
+        case "/jwks" =>
+          s"""{"keys":[{"kty":"RSA","kid":"k1","use":"sig","alg":"RS256",
+             |"n":"${uBig(pub.getModulus)}",
+             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
+        case _ => "{}"
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    issuerSrv.start()
+    def jwt(payload: String, alg: String = "RS256", kid: String = "k1"): String = {
+      val h = b64(s"""{"alg":"$alg","kid":"$kid"}""".getBytes("UTF-8"))
+      val p = b64(payload.getBytes("UTF-8"))
+      val sig = Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
+      s"$h.$p.${b64(sig.sign())}"
+    }
+    val now = System.currentTimeMillis() / 1000
+    def claims(aud: String = "graft-api", exp: Long = now + 600,
+               iss: String = issuerBase): String =
+      s"""{"iss":"$iss","aud":"$aud","sub":"alice","exp":$exp,"iat":$now}"""
+    val validator = new OidcValidator(issuerBase, "graft-api")
+    val srv = new ApiServer(spark, authToken = Some("master-tok"),
+      oidc = Some(validator))
+    try {
+      val base = srv.baseUri
+      def withTok(tok: String): Int = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/query/catalogs"))
+          .header("Authorization", s"Bearer $tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      // a valid issuer-signed token authenticates like the static token
+      assert(withTok(jwt(claims())) === 200)
+      assert(withTok("master-tok") === 200)
+      // the refusal family, each with its precise reason
+      assert(validator.validate(jwt(claims())).isRight)
+      assert(validator.validate(jwt(claims(exp = now - 600))) ===
+        Left("expired"))
+      assert(validator.validate(jwt(claims(aud = "someone-else")))
+        .left.exists(_.contains("audience")))
+      assert(validator.validate(jwt(claims(iss = "https://evil.example")))
+        .left.exists(_.contains("issuer")))
+      assert(validator.validate(jwt(claims(), alg = "none")) ===
+        Left("refused alg none"))
+      assert(validator.validate(jwt(claims(), kid = "ghost"))
+        .left.exists(_.contains("unknown kid")))
+      // a token signed by a DIFFERENT key under the advertised kid
+      val kp2 = { val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
+      val forged = {
+        val h = b64("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
+        val p = b64(claims().getBytes("UTF-8"))
+        val sig = Signature.getInstance("SHA256withRSA")
+        sig.initSign(kp2.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
+        s"$h.$p.${b64(sig.sign())}"
+      }
+      assert(validator.validate(forged) === Left("bad signature"))
+      assert(withTok(forged) === 401)
+      assert(withTok(jwt(claims(exp = now - 600))) === 401)
+      assert(withTok("garbage") === 401)
+    } finally { srv.close(); issuerSrv.stop(0) }
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry
