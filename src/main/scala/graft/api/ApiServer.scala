@@ -51,7 +51,10 @@ import graft.queries.Paging
   * API sits behind its auth middleware, internal/api/server.go; token
   * compare is constant-time). With a control plane attached, a managed
   * API key (issued via `/api/v1/api-keys`, hashed at rest, revocable —
-  * ref internal/api/services/api_key.go) authenticates equally.
+  * ref internal/api/services/api_key.go) authenticates equally, and an
+  * `oidc` validator accepts issuer-signed JWTs. Configuring ANY of the
+  * credential mechanisms (static token or OIDC) closes the API — an
+  * OIDC-only deployment must never run unauthenticated.
   *
   * `GET /metrics` serves the Prometheus text exposition of `registry`
   * — the same `philotes_<subsystem>_<name>` series the reference
@@ -130,7 +133,7 @@ final class ApiServer(spark: SparkSession,
       val exempt = path == "/query/health" ||
         (path == "/metrics" &&
           (openMetrics || metricsToken.exists(t => HttpUtil.bearerOk(ex, t))))
-      if (authToken.isDefined && !exempt && !authorized(ex)) {
+      if ((authToken.isDefined || oidc.isDefined) && !exempt && !authorized(ex)) {
         respond(ex, 401,
           JObject("error" -> JString("missing or invalid bearer token")))
         return
@@ -450,7 +453,7 @@ final class ApiServer(spark: SparkSession,
     * api_key.go-validated keys, and oidc.go-validated tokens. Secret
     * compares are constant-time; the JWT path is signature-verified. */
   private def authorized(ex: HttpExchange): Boolean =
-    HttpUtil.bearerOk(ex, authToken.get) ||
+    authToken.exists(t => HttpUtil.bearerOk(ex, t)) ||
       controlPlane.exists(cp =>
         HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined)) ||
       oidc.exists(v =>

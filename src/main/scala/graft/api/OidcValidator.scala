@@ -100,16 +100,24 @@ final class OidcValidator(issuerUrl: String, audience: String,
     }.toMap
   }
 
-  private def keyFor(kid: String): Option[RSAPublicKey] = synchronized {
-    keys.get(kid).orElse {
-      val now = clock()
-      if (fetchedAtMs.forall(t => now - t >= refreshMinIntervalMs)) {
-        keys = fetchKeys()
-        fetchedAtMs = Some(now)
+  /** Cached kids resolve off the volatile map WITHOUT the monitor —
+    * an in-flight fetch for an unknown kid must never stall requests
+    * whose key is already at hand. The fetch itself runs single-flight
+    * under the monitor, and the attempt time is recorded BEFORE the
+    * fetch so a failing/unreachable issuer is rate-limited exactly
+    * like a succeeding one (otherwise a garbage-kid spray during an
+    * issuer outage becomes a request amplifier). */
+  private def keyFor(kid: String): Option[RSAPublicKey] =
+    keys.get(kid).orElse(synchronized {
+      keys.get(kid).orElse {
+        val now = clock()
+        if (fetchedAtMs.forall(t => now - t >= refreshMinIntervalMs)) {
+          fetchedAtMs = Some(now)
+          keys = fetchKeys()
+        }
+        keys.get(kid)
       }
-      keys.get(kid)
-    }
-  }
+    })
 
   /** Validate a compact JWS; `Left` carries the refusal reason (logged
     * by callers, never echoed into responses beyond a 401). */

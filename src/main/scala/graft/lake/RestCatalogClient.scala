@@ -110,10 +110,13 @@ final class RestCatalogClient(baseUri: String, prefix: String,
     if (params.isEmpty) ""
     else params.map { case (k, v) => s"$k=$v" }.mkString("?", "&", "")
 
+  // an EMPTY next-page-token means "no more pages" on some servers
+  // (instead of omitting the field) — treating it as a live cursor
+  // would loop the paging bulk methods forever against such a catalog
   private def nextTokenOf(body: JValue): Option[String] =
     body \ "next-page-token" match {
-      case JString(t) => Some(t)
-      case _          => None
+      case JString(t) if t.nonEmpty => Some(t)
+      case _                        => None
     }
 
   /** One level of namespaces: top level, or — with `parent` — the

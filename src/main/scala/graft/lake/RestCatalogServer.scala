@@ -289,9 +289,14 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         halt(400, "malformed pageToken", "BadRequestException") }
     }
     val size = queryParam(ex, "pageSize").map { s =>
-      try s.toInt catch { case _: NumberFormatException =>
+      val n = try s.toInt catch { case _: NumberFormatException =>
         halt(400, "pageSize must be an integer", "BadRequestException") }
-    }.filter(_ > 0)
+      // a 0/negative pageSize silently returning the UNBOUNDED listing
+      // would defeat the reason pagination exists; the spec's minimum
+      // is 1, so refuse like the non-integer case
+      if (n <= 0) halt(400, "pageSize must be positive", "BadRequestException")
+      n
+    }
     val remaining = after match {
       case Some(a) => names.filter(_ > a)
       case None    => names
@@ -526,9 +531,24 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     * does not hold the table's commit lock. */
   @volatile private[lake] var onVerifyHook: () => Unit = () => ()
 
-  /** The sidecar's current form is `{"fields": [...]}`; the original
-    * single-object form (one field, no source-type) still reads — a
-    * table created before the multi-field era keeps committing. */
+  /** The sidecar's incarnation id, when present (tables created before
+    * the incarnation era have none — two None reads compare equal, the
+    * pre-existing behavior for legacy warehouses). */
+  private def readIncarnation(dir: String): Option[String] = {
+    val p = specSidecar(dir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    JsonMethods.parse(raw) \ "incarnation" match {
+      case JString(i) => Some(i)
+      case _          => None
+    }
+  }
+
+  /** The sidecar's current form is `{"incarnation": ..., "fields":
+    * [...]}`; the original single-object form (one field, no
+    * source-type) still reads — a table created before the multi-field
+    * era keeps committing. */
   private def readSpec(dir: String): Seq[DeclaredSpec] = {
     val p = specSidecar(dir)
     if (!fs.exists(p)) return Nil
@@ -620,9 +640,16 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
       // Iceberg catalog contract is to honor the declared schema ids
       val s = SnapshotLog.commit(spark, dir, "create", Nil, schema, parent = None,
         preReconciled = FieldIds.hasIds(schema))
-      if (declared.nonEmpty) {
+      // the sidecar ALWAYS lands (empty field list for unpartitioned
+      // tables) and carries an incarnation id: the table's PATH is
+      // stable across drop+recreate, so path-derived identity cannot
+      // distinguish incarnations — commitAppend's verify-then-CAS
+      // compares this id to refuse commits whose out-of-lock footer
+      // verification ran against a different incarnation's files
+      locally {
         val out = fs.create(specSidecar(dir), true)
         try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+          "incarnation" -> JString(java.util.UUID.randomUUID().toString),
           "fields" -> JArray(declared.toList.map(d => JObject(
             "name" -> JString(d.fieldName),
             "source-name" -> JString(d.sourceName),
@@ -894,11 +921,13 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
         minLsn = None, maxLsn = None, seq = -1L, spec = spec), declaredVals)
     }
 
-    // the declared spec reads under a BRIEF lock only because
-    // createTable publishes commit-then-sidecar under the table lock —
-    // a table observed to exist may still be mid-create until that
-    // lock releases; once read, the spec is immutable catalog state
-    val tableSpec = SnapshotLog.withTableLock(dir)(readSpec(dir))
+    // the declared spec + incarnation read under a BRIEF lock only
+    // because createTable publishes commit-then-sidecar under the
+    // table lock — a table observed to exist may still be mid-create
+    // until that lock releases; once read, both are immutable catalog
+    // state FOR THIS INCARNATION (a drop+recreate mints a new id)
+    val (tableSpec, tableIncarnation) =
+      SnapshotLog.withTableLock(dir)((readSpec(dir), readIncarnation(dir)))
     val pending = dataFiles.map(toDataFile(tableSpec))
 
     // VERIFY every registered file against its own parquet footer,
@@ -958,12 +987,17 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     // requirement is the client's retry signal (409, Iceberg's
     // CommitFailedException)
     val snap = SnapshotLog.withTableLock(dir) {
-      // the declared values were validated against the spec read in
-      // phase 1 — if the table was dropped and re-created with a
-      // DIFFERENT spec in the verify gap, those validations no longer
-      // cover the spec the commit would land under, and the manifest's
-      // pruning vocabulary would be poisoned; the sidecar is one small
-      // file, so the re-read is cheap under the lock
+      // the declared values AND footer stats were gathered against the
+      // incarnation read in phase 1 — a drop+recreate in the verify
+      // gap (even with an identical spec: the verified bytes belonged
+      // to the OLD incarnation's files) would land a commit whose
+      // manifest stats poison pruning and metadata-answered
+      // aggregates, so any identity or spec difference is the client's
+      // 409 retry signal; the sidecar is one small file, so the
+      // re-read is cheap under the lock
+      if (readIncarnation(dir) != tableIncarnation)
+        halt(409, s"table ${(ns :+ t).mkString(".")} was dropped and " +
+          "re-created during commit", "CommitFailedException")
       if (readSpec(dir) != tableSpec)
         halt(409, s"table ${(ns :+ t).mkString(".")} partition spec " +
           "changed during commit", "CommitFailedException")

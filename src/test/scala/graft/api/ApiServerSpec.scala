@@ -343,6 +343,33 @@ class ApiServerSpec extends SparkTestBase {
       assert(withTok(forged) === 401)
       assert(withTok(jwt(claims(exp = now - 600))) === 401)
       assert(withTok("garbage") === 401)
+      // an OIDC-ONLY deployment (no static token) must still be
+      // CLOSED: anonymous 401, issuer-signed JWT 200
+      val only = new ApiServer(spark,
+        oidc = Some(new OidcValidator(issuerBase, "graft-api")))
+      try {
+        assert(get(only.baseUri, "/query/catalogs")._1 === 401)
+        assert(http.send(HttpRequest.newBuilder(
+          URI.create(only.baseUri + "/query/catalogs"))
+          .header("Authorization", s"Bearer ${jwt(claims())}").GET().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+      } finally only.close()
+      // a FAILING issuer is fetch-rate-limited: a second unknown-kid
+      // validation inside the refresh interval attempts no new fetch
+      val hits = new java.util.concurrent.atomic.AtomicInteger()
+      val dead = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      dead.createContext("/", ex => {
+        hits.incrementAndGet(); ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      dead.start()
+      try {
+        val v2 = new OidcValidator(
+          s"http://127.0.0.1:${dead.getAddress.getPort}", "graft-api")
+        assert(v2.validate(jwt(claims())).left.exists(_.startsWith("jwks fetch failed")))
+        assert(v2.validate(jwt(claims())).left.exists(_.contains("unknown kid")))
+        assert(hits.get === 1,
+          s"a failing issuer must be fetch-rate-limited, saw ${hits.get} fetches")
+      } finally dead.stop(0)
     } finally { srv.close(); issuerSrv.stop(0) }
   }
 

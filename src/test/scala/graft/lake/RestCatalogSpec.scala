@@ -615,7 +615,7 @@ class RestCatalogSpec extends SparkTestBase {
     } finally { srv.close(); cli.close() }
   }
 
-  test("dropTable+createTable with a different spec during footer verification is 409, never a poisoned commit") {
+  test("dropTable+createTable during footer verification is 409 even with an IDENTICAL spec, never a poisoned commit") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
     val (srv, cli, _) = fixture()
@@ -638,13 +638,14 @@ class RestCatalogSpec extends SparkTestBase {
         })
         a.start()
         assert(entered.await(30, TimeUnit.SECONDS))
-        // the table is dropped and re-created with a DIFFERENT spec
-        // while the commit verifies footers: its declared values were
-        // validated against a spec that no longer exists — landing them
-        // would poison the new spec's pruning metadata
+        // the table is dropped and re-created while the commit
+        // verifies footers — with the SAME spec, so only the sidecar's
+        // incarnation id distinguishes the new table: the verified
+        // footer stats belonged to the OLD incarnation's bytes, and
+        // landing them would poison the new table's pruning metadata
         cli.dropTable(Seq("db"), "t")
         cli.createTable(Seq("db"), "t", schema,
-          partitionSpec = Seq("id" -> "identity"))
+          partitionSpec = Seq(Day -> "identity"))
         val loc2 = cli.loadTable(Seq("db"), "t").location
         writeFile(loc2, "d1.parquet", rows) // the drop removed the file
         release.countDown()
@@ -808,6 +809,10 @@ class RestCatalogSpec extends SparkTestBase {
       // a malformed token refuses before any listing work
       intercept[RestCatalogError] {
         cli.listNamespacesPage(pageSize = Some(2), pageToken = Some("a!b"))
+      }
+      // pageSize=0 must not silently return the unbounded listing
+      intercept[RestCatalogError] {
+        cli.listNamespacesPage(pageSize = Some(0))
       }
     } finally { srv.close(); cli.close() }
   }
