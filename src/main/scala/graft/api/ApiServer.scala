@@ -130,10 +130,16 @@ final class ApiServer(spark: SparkSession,
   private def handle(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath
+      // the enabled-provider listing is the LOGIN page's discovery
+      // surface — it must answer before any credential exists (the
+      // reference registers its /auth/oidc group without requireAuth);
+      // it leaks only names/types, by design
       val exempt = path == "/query/health" ||
+        (path == "/api/v1/auth/oidc/providers" &&
+          ex.getRequestMethod == "GET") ||
         (path == "/metrics" &&
           (openMetrics || metricsToken.exists(t => HttpUtil.bearerOk(ex, t))))
-      if ((authToken.isDefined || oidc.isDefined) && !exempt && !authorized(ex)) {
+      if (authRequired && !exempt && !authorized(ex)) {
         respond(ex, 401,
           JObject("error" -> JString("missing or invalid bearer token")))
         return
@@ -202,6 +208,10 @@ final class ApiServer(spark: SparkSession,
     v match { case JString(s) => s; case _ => default }
   private def jint(v: JValue, default: Int): Int =
     v match { case JInt(n) => n.toInt; case _ => default }
+  private def jstrs(v: JValue): Seq[String] = v match {
+    case JArray(xs) => xs.collect { case JString(s) => s }
+    case _          => Nil
+  }
 
   private def controlRoutes(ex: HttpExchange, method: String,
                             rest: Seq[String], cp: ControlPlane): Unit =
@@ -387,6 +397,59 @@ final class ApiServer(spark: SparkSession,
       // ---- managed API keys (ref internal/api/services/api_key.go):
       // the plaintext appears ONLY in the create response; the list
       // serves prefixes and status, never hashes
+      // ---- OIDC providers (ref internal/api/handlers/oidc.go — the
+      // pre-login /auth/oidc/providers listing and the
+      // /settings/oidc/providers admin CRUD; the interactive
+      // authorize/callback dance is login-UI plumbing out of engine
+      // scope — its PRODUCT, issuer-signed JWTs, is what the API's
+      // auth path accepts)
+      case ("GET", Seq("auth", "oidc", "providers")) =>
+        val enabled = cp.listOidcProviders().filter(_.enabled)
+        respond(ex, 200, JObject(
+          "providers" -> JArray(enabled.toList.map(cp.oidcProviderSummaryJson)),
+          "total_count" -> JInt(enabled.size)))
+      case ("POST", Seq("settings", "oidc", "providers")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201, cp.oidcProviderJson(cp.createOidcProvider(
+          jstr(b \ "name"), jstr(b \ "display_name"),
+          jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
+          jstr(b \ "client_id"), jstr(b \ "client_secret"),
+          jstrs(b \ "scopes"), jstr(b \ "groups_claim"),
+          (b \ "enabled") != JBool(false),
+          (b \ "auto_create_users") != JBool(false))))
+      case ("GET", Seq("settings", "oidc", "providers")) =>
+        val all = cp.listOidcProviders()
+        respond(ex, 200, JObject(
+          "providers" -> JArray(all.toList.map(cp.oidcProviderJson)),
+          "total_count" -> JInt(all.size)))
+      case ("GET", Seq("settings", "oidc", "providers", id)) =>
+        respond(ex, 200, cp.oidcProviderJson(cp.getOidcProvider(id)))
+      case ("PUT", Seq("settings", "oidc", "providers", id)) =>
+        val b = jsonBody(ex)
+        // an ABSENT client_secret keeps the stored one (write-only)
+        val secret = b \ "client_secret" match {
+          case JString(s) => Some(s)
+          case _          => None
+        }
+        respond(ex, 200, cp.oidcProviderJson(cp.updateOidcProvider(id,
+          jstr(b \ "name"), jstr(b \ "display_name"),
+          jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
+          jstr(b \ "client_id"), secret, jstrs(b \ "scopes"),
+          jstr(b \ "groups_claim"), (b \ "enabled") != JBool(false),
+          (b \ "auto_create_users") != JBool(false))))
+      case ("DELETE", Seq("settings", "oidc", "providers", id)) =>
+        cp.deleteOidcProvider(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("POST", Seq("settings", "oidc", "providers", id, "test")) =>
+        // the reference's TestProvider: run discovery against the
+        // configured issuer, success/error like test-connection
+        val p = cp.getOidcProvider(id)
+        OidcValidator.discover(p.issuerUrl) match {
+          case Right(jwks) => respond(ex, 200, JObject(
+            "success" -> JBool(true), "jwks_uri" -> JString(jwks)))
+          case Left(err) => respond(ex, 200, JObject(
+            "success" -> JBool(false), "error" -> JString(err)))
+        }
       case ("POST", Seq("api-keys")) =>
         val b = jsonBody(ex)
         val expires = b \ "expires_at_ms" match {
@@ -456,8 +519,35 @@ final class ApiServer(spark: SparkSession,
     authToken.exists(t => HttpUtil.bearerOk(ex, t)) ||
       controlPlane.exists(cp =>
         HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined)) ||
-      oidc.exists(v =>
-        HttpUtil.bearerToken(ex).exists(t => v.validate(t).isRight))
+      HttpUtil.bearerToken(ex).exists(t =>
+        (oidc.toSeq ++ storeValidators()).exists(_.validate(t).isRight))
+
+  /** Configuring ANY credential mechanism closes the API: the static
+    * token, the env-configured OIDC issuer, or an ENABLED store-managed
+    * provider. */
+  private def authRequired: Boolean =
+    authToken.isDefined || oidc.isDefined ||
+      controlPlane.exists(_.listOidcProviders().exists(_.enabled))
+
+  // enabled store-managed providers become validators (audience =
+  // client id), rebuilt when the provider rows change — each validator
+  // keeps its own JWKS cache across requests
+  @volatile private var providerValidators
+  : (Seq[(String, String, Long)], Seq[OidcValidator]) = (Nil, Nil)
+
+  private def storeValidators(): Seq[OidcValidator] = controlPlane match {
+    case None => Nil
+    case Some(cp) =>
+      val enabled = cp.listOidcProviders().filter(_.enabled)
+      val key = enabled.map(p => (p.issuerUrl, p.clientId, p.updatedAtMs))
+      val cached = providerValidators
+      if (cached._1 == key) cached._2
+      else {
+        val vs = enabled.map(p => new OidcValidator(p.issuerUrl, p.clientId))
+        providerValidators = (key, vs)
+        vs
+      }
+  }
 
   /** Prometheus text exposition (format 0.0.4) of the registry —
     * counters then gauges, each with its `# TYPE` line, names already in

@@ -103,6 +103,21 @@ object ControlPlane {
                            enabled: Boolean, config: Map[String, String],
                            createdAtMs: Long, updatedAtMs: Long)
 
+  /** One OIDC identity provider (ref internal/api/models/oidc.go:38-54
+    * OIDCProvider): a configured issuer whose RS256-signed tokens the
+    * API accepts, with audience = client_id. `clientSecret` persists
+    * with the provider (encrypted at rest like source passwords —
+    * the reference stores ClientSecretEncrypted) and NEVER renders;
+    * token validation needs only issuer + client id, the secret exists
+    * for the reference's interactive code-exchange flow. */
+  final case class OidcProvider(id: String, name: String,
+                                displayName: String, providerType: String,
+                                issuerUrl: String, clientId: String,
+                                clientSecret: String, scopes: Seq[String],
+                                groupsClaim: String, enabled: Boolean,
+                                autoCreateUsers: Boolean,
+                                createdAtMs: Long, updatedAtMs: Long)
+
   /** One alert instance (ref types.go:169-187 AlertInstance): the
     * LIVE state of a (rule, fingerprint) pair — firing or resolved,
     * optionally acknowledged. The evaluator's machine decides the
@@ -234,6 +249,7 @@ final class ControlPlane(metaDir: String,
   private var alertInstances: Vector[AlertInstance] = loadAlertInstances()
   private var alertHistory: Vector[AlertHistoryEntry] = loadAlertHistory()
   private var alertSilences: Vector[AlertSilence] = loadAlertSilences()
+  private var oidcProviders: Vector[OidcProvider] = loadOidcProviders()
   private val secureRandom = new java.security.SecureRandom()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
@@ -595,6 +611,153 @@ final class ControlPlane(metaDir: String,
       throw Conflict("cannot delete a channel referenced by alert routes")
     channels = channels.filterNot(_.id == c.id)
     persistChannels()
+  }
+
+  // ---- OIDC providers (ref internal/api/handlers/oidc.go:160-360 —
+  // the /settings/oidc/providers CRUD + the pre-login enabled listing;
+  // services/oidc.go:290-409 provider admin; the interactive
+  // authorize/callback dance is login-UI plumbing out of engine scope,
+  // its product — issuer-signed JWTs — is what [[OidcValidator]]
+  // accepts on the API) ----------------------------------------------
+
+  private val OidcProviderTypes =
+    Set("google", "azure", "okta", "auth0", "generic")
+
+  /** Response shape: the client secret NEVER renders (the reference's
+    * `json:"-"` on ClientSecretEncrypted). */
+  private[api] def oidcProviderJson(p: OidcProvider): JObject = JObject(
+    "id" -> JString(p.id), "name" -> JString(p.name),
+    "display_name" -> JString(p.displayName),
+    "provider_type" -> JString(p.providerType),
+    "issuer_url" -> JString(p.issuerUrl),
+    "client_id" -> JString(p.clientId),
+    "scopes" -> JArray(p.scopes.toList.map(JString(_))),
+    "groups_claim" -> JString(p.groupsClaim),
+    "enabled" -> JBool(p.enabled),
+    "auto_create_users" -> JBool(p.autoCreateUsers),
+    "created_at_ms" -> JInt(BigInt(p.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(p.updatedAtMs)))
+
+  /** The login page's PRE-AUTH listing (ref ListEnabledProviders →
+    * OIDCProviderSummary): identity and display fields only. */
+  private[api] def oidcProviderSummaryJson(p: OidcProvider): JObject = JObject(
+    "id" -> JString(p.id), "name" -> JString(p.name),
+    "display_name" -> JString(p.displayName),
+    "provider_type" -> JString(p.providerType))
+
+  private def oidcProviderStoreJson(p: OidcProvider): JObject = {
+    val stored = credentialKey match {
+      case Some(k) if p.clientSecret.nonEmpty =>
+        CredentialCrypto.encrypt(k, p.clientSecret)
+      case _ if markerCollision(p.clientSecret) =>
+        ControlPlane.PlainMarker + p.clientSecret
+      case _ => p.clientSecret
+    }
+    JObject(oidcProviderJson(p).obj :+
+      ("client_secret" -> (JString(stored): JValue)))
+  }
+
+  private def persistOidcProviders(): Unit =
+    writeFile("oidc_providers.json",
+      JArray(oidcProviders.toList.map(oidcProviderStoreJson)))
+
+  private def loadOidcProviders(): Vector[OidcProvider] =
+    readFile("oidc_providers.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        OidcProvider(str(o \ "id"), str(o \ "name"),
+          str(o \ "display_name"), str(o \ "provider_type"),
+          str(o \ "issuer_url"), str(o \ "client_id"),
+          storedPassword(str(o \ "client_secret")),
+          o \ "scopes" match {
+            case JArray(ss) => ss.collect { case JString(x) => x }
+            case _          => Nil
+          },
+          str(o \ "groups_claim"), (o \ "enabled") == JBool(true),
+          (o \ "auto_create_users") == JBool(true),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def validOidcFields(providerType: String, issuerUrl: String,
+                              clientId: String): Unit = {
+    if (!OidcProviderTypes.contains(providerType))
+      throw Invalid(s"provider_type must be one of " +
+        OidcProviderTypes.toSeq.sorted.mkString("/"))
+    val scheme =
+      try Option(new java.net.URI(issuerUrl).getScheme)
+      catch { case _: java.net.URISyntaxException => None }
+    if (!scheme.exists(s => s == "http" || s == "https"))
+      throw Invalid("issuer_url must be an http(s) URL")
+    if (clientId.isEmpty) throw Invalid("client_id is required")
+  }
+
+  def createOidcProvider(name: String, displayName: String,
+                         providerType: String, issuerUrl: String,
+                         clientId: String, clientSecret: String = "",
+                         scopes: Seq[String] = Nil, groupsClaim: String = "",
+                         enabled: Boolean = true,
+                         autoCreateUsers: Boolean = true): OidcProvider =
+    lock.synchronized {
+      validName(name)
+      validOidcFields(providerType, issuerUrl, clientId)
+      if (oidcProviders.exists(_.name == name))
+        throw Conflict("OIDC provider with this name already exists")
+      val now = clock()
+      // the registry's defaults (ref internal/oidc/providers/
+      // registry.go ApplyDefaults): the standard OIDC scopes when none
+      // declared, the conventional groups claim
+      val p = OidcProvider(newId(), name,
+        if (displayName.isEmpty) name else displayName, providerType,
+        issuerUrl.stripSuffix("/"), clientId, clientSecret,
+        if (scopes.isEmpty) Seq("openid", "profile", "email") else scopes,
+        if (groupsClaim.isEmpty) "groups" else groupsClaim,
+        enabled, autoCreateUsers, now, now)
+      oidcProviders :+= p
+      persistOidcProviders()
+      p
+    }
+
+  def listOidcProviders(): Seq[OidcProvider] =
+    lock.synchronized(oidcProviders)
+
+  def getOidcProvider(id: String): OidcProvider = lock.synchronized(
+    oidcProviders.find(_.id == id)
+      .getOrElse(throw NotFound("oidc_provider", id)))
+
+  /** Full update (the reference's PUT); an ABSENT client_secret keeps
+    * the stored one — secrets round-trip write-only. */
+  def updateOidcProvider(id: String, name: String, displayName: String,
+                         providerType: String, issuerUrl: String,
+                         clientId: String, clientSecret: Option[String],
+                         scopes: Seq[String], groupsClaim: String,
+                         enabled: Boolean,
+                         autoCreateUsers: Boolean): OidcProvider =
+    lock.synchronized {
+      validName(name)
+      validOidcFields(providerType, issuerUrl, clientId)
+      val p = getOidcProvider(id)
+      if (oidcProviders.exists(x => x.name == name && x.id != id))
+        throw Conflict("OIDC provider with this name already exists")
+      val next = p.copy(name = name,
+        displayName = if (displayName.isEmpty) name else displayName,
+        providerType = providerType,
+        issuerUrl = issuerUrl.stripSuffix("/"), clientId = clientId,
+        clientSecret = clientSecret.getOrElse(p.clientSecret),
+        scopes =
+          if (scopes.isEmpty) Seq("openid", "profile", "email") else scopes,
+        groupsClaim = if (groupsClaim.isEmpty) "groups" else groupsClaim,
+        enabled = enabled, autoCreateUsers = autoCreateUsers,
+        updatedAtMs = clock())
+      oidcProviders = oidcProviders.map(x => if (x.id == id) next else x)
+      persistOidcProviders()
+      next
+    }
+
+  def deleteOidcProvider(id: String): Unit = lock.synchronized {
+    val p = getOidcProvider(id)
+    oidcProviders = oidcProviders.filterNot(_.id == p.id)
+    persistOidcProviders()
   }
 
   // ---- alert instances / history / silences (ref handlers/alerts.go:

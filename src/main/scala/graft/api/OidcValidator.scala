@@ -195,3 +195,28 @@ final class OidcValidator(issuerUrl: String, audience: String,
 
   override def close(): Unit = ()
 }
+
+object OidcValidator {
+  /** Reachability probe for a provider configuration (the reference's
+    * TestProvider → client.Discover): fetch the discovery document
+    * and confirm it names a jwks_uri. Returns the jwks_uri or the
+    * failure reason. */
+  def discover(issuerUrl: String): Either[String, String] = {
+    val http = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(5)).build()
+    try {
+      val res = http.send(HttpRequest.newBuilder(URI.create(
+        issuerUrl.stripSuffix("/") + "/.well-known/openid-configuration"))
+        .GET().timeout(Duration.ofSeconds(5)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (res.statusCode() != 200) Left(s"discovery HTTP ${res.statusCode()}")
+      else JsonMethods.parse(res.body()) \ "jwks_uri" match {
+        case JString(u) => Right(u)
+        case _          => Left("discovery document has no jwks_uri")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(String.valueOf(e.getMessage))
+    }
+  }
+}

@@ -1394,9 +1394,159 @@ object SqlSurface extends QueryModule {
        |  AS t(step, result))
        |SELECT step, result FROM vals ORDER BY step""".stripMargin
 
+  // ---- the reference's OIDC provider surface end-to-end (ref
+  // internal/api/handlers/oidc.go, services/oidc.go:290-409): admin
+  // CRUD over /api/v1/settings/oidc/providers with secret redaction,
+  // the pre-login enabled listing, TestProvider discovery against a
+  // REAL local issuer, and the part that matters to the engine — a
+  // provider-issued RS256 JWT authenticating API requests, dying with
+  // the provider's enabled flag.
+  private def apiOidcProviders(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.{InetSocketAddress, URI}
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.security.{KeyPairGenerator, Signature}
+    import java.util.Base64
+    import com.sun.net.httpserver.HttpServer
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_oidcplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+    def uBig(b: java.math.BigInteger): String = {
+      val a = b.toByteArray
+      b64(if (a(0) == 0) a.drop(1) else a)
+    }
+    val issuer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val issuerBase = s"http://127.0.0.1:${issuer.getAddress.getPort}"
+    issuer.createContext("/", ex => {
+      val body = ex.getRequestURI.getPath match {
+        case "/.well-known/openid-configuration" =>
+          s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}"""
+        case "/jwks" =>
+          s"""{"keys":[{"kty":"RSA","kid":"g1","use":"sig","alg":"RS256",
+             |"n":"${uBig(pub.getModulus)}",
+             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
+        case _ => "{}"
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    issuer.start()
+    def jwt(aud: String): String = {
+      val now = System.currentTimeMillis() / 1000
+      val h = b64("""{"alg":"RS256","kid":"g1"}""".getBytes("UTF-8"))
+      val p = b64(
+        s"""{"iss":"$issuerBase","aud":"$aud","sub":"gate","exp":${now + 600}}"""
+          .getBytes("UTF-8"))
+      val sig = Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
+      s"$h.$p.${b64(sig.sign())}"
+    }
+    val srv = new ApiServer(s, authToken = Some("gate-tok"),
+      controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = "",
+               tok: Option[String] = Some("gate-tok")): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      val (c1, b1) = call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"corp","display_name":"Corp SSO",
+           |"provider_type":"generic","issuer_url":"$issuerBase",
+           |"client_id":"graft-api","client_secret":"gate-cs"}""".stripMargin)
+      val pid = s_(b1 \ "id")
+      val (c2, _) = call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"x","provider_type":"carrier-pigeon",
+           |"issuer_url":"$issuerBase","client_id":"a"}""".stripMargin)
+      val (c3, _) = call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"corp","provider_type":"generic",
+           |"issuer_url":"$issuerBase","client_id":"a"}""".stripMargin)
+      val (_, bl) = call("GET", "/api/v1/auth/oidc/providers", tok = None)
+      val (c5, _) = call("GET", "/api/v1/settings/oidc/providers", tok = None)
+      val (c6, _) = call("GET", "/query/catalogs", tok = Some(jwt("graft-api")))
+      val (c7, _) = call("GET", "/query/catalogs", tok = Some(jwt("not-us")))
+      val (_, bt) = call("POST",
+        s"/api/v1/settings/oidc/providers/$pid/test")
+      val (c9, _) = call("PUT", s"/api/v1/settings/oidc/providers/$pid",
+        s"""{"name":"corp","display_name":"Corp SSO",
+           |"provider_type":"generic","issuer_url":"$issuerBase",
+           |"client_id":"graft-api","enabled":false}""".stripMargin)
+      val secretKept = cp.listOidcProviders().headOption
+        .exists(_.clientSecret == "gate-cs")
+      val (c10, _) = call("GET", "/query/catalogs", tok = Some(jwt("graft-api")))
+      val (_, bl2) = call("GET", "/api/v1/auth/oidc/providers", tok = None)
+      val reopened = new ControlPlane(meta, connTest = _ => Right(1L))
+        .listOidcProviders().size
+      val (c12, _) = call("DELETE", s"/api/v1/settings/oidc/providers/$pid")
+      val (c13, _) = call("GET", s"/api/v1/settings/oidc/providers/$pid")
+      Seq(
+        ("create_201", flag(c1 == 201)),
+        ("secret_redacted", flag(
+          !JsonMethods.compact(JsonMethods.render(b1)).contains("gate-cs"))),
+        ("bad_type_400", flag(c2 == 400)),
+        ("dup_name_409", flag(c3 == 409)),
+        ("prelogin_enabled_count",
+          (bl \ "total_count").asInstanceOf[JInt].num.toLong),
+        ("settings_unauth_401", flag(c5 == 401)),
+        ("provider_jwt_accepted", flag(c6 == 200)),
+        ("wrong_audience_401", flag(c7 == 401)),
+        ("test_discovery_ok", flag((bt \ "success") == JBool(true))),
+        ("disable_200", flag(c9 == 200)),
+        ("secret_kept_on_put", flag(secretKept)),
+        ("disabled_jwt_401", flag(c10 == 401)),
+        ("prelogin_after_disable",
+          (bl2 \ "total_count").asInstanceOf[JInt].num.toLong),
+        ("reopened_count", reopened.toLong),
+        ("deleted_200", flag(c12 == 200)),
+        ("gone_404", flag(c13 == 404)))
+    } finally { srv.close(); issuer.stop(0) }
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiOidcProvidersSql =
+    """SELECT step, result FROM (VALUES
+      |  ('create_201', CAST(1 AS BIGINT)),
+      |  ('secret_redacted', CAST(1 AS BIGINT)),
+      |  ('bad_type_400', CAST(1 AS BIGINT)),
+      |  ('dup_name_409', CAST(1 AS BIGINT)),
+      |  ('prelogin_enabled_count', CAST(1 AS BIGINT)),
+      |  ('settings_unauth_401', CAST(1 AS BIGINT)),
+      |  ('provider_jwt_accepted', CAST(1 AS BIGINT)),
+      |  ('wrong_audience_401', CAST(1 AS BIGINT)),
+      |  ('test_discovery_ok', CAST(1 AS BIGINT)),
+      |  ('disable_200', CAST(1 AS BIGINT)),
+      |  ('secret_kept_on_put', CAST(1 AS BIGINT)),
+      |  ('disabled_jwt_401', CAST(1 AS BIGINT)),
+      |  ('prelogin_after_disable', CAST(0 AS BIGINT)),
+      |  ('reopened_count', CAST(1 AS BIGINT)),
+      |  ('deleted_200', CAST(1 AS BIGINT)),
+      |  ('gone_404', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
+    GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),
     GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,

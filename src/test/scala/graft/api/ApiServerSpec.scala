@@ -373,6 +373,129 @@ class ApiServerSpec extends SparkTestBase {
     } finally { srv.close(); issuerSrv.stop(0) }
   }
 
+  test("OIDC provider management: CRUD, secret redaction, pre-auth listing, store-driven JWT auth") {
+    import java.net.InetSocketAddress
+    import java.security.{KeyPairGenerator, Signature}
+    import java.util.Base64
+    import com.sun.net.httpserver.HttpServer
+    buildCatalog()
+    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+    def uBig(b: java.math.BigInteger): String = {
+      val a = b.toByteArray
+      b64(if (a(0) == 0) a.drop(1) else a)
+    }
+    val issuerSrv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val issuerBase = s"http://127.0.0.1:${issuerSrv.getAddress.getPort}"
+    issuerSrv.createContext("/", ex => {
+      val body = ex.getRequestURI.getPath match {
+        case "/.well-known/openid-configuration" =>
+          s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}"""
+        case "/jwks" =>
+          s"""{"keys":[{"kty":"RSA","kid":"k1","use":"sig","alg":"RS256",
+             |"n":"${uBig(pub.getModulus)}",
+             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
+        case _ => "{}"
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    issuerSrv.start()
+    def jwt(aud: String): String = {
+      val now = System.currentTimeMillis() / 1000
+      val h = b64("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
+      val p = b64(
+        s"""{"iss":"$issuerBase","aud":"$aud","sub":"bob","exp":${now + 600}}"""
+          .getBytes("UTF-8"))
+      val sig = Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
+      s"$h.$p.${b64(sig.sign())}"
+    }
+    val dir = Files.createTempDirectory("graft-oidc-cp").toString
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L))
+    val srv = new ApiServer(spark, authToken = Some("master-tok"),
+      controlPlane = Some(cp))
+    try {
+      val base = srv.baseUri
+      def call(method: String, path: String, body: String = "",
+               tok: Option[String] = Some("master-tok")): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+        tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // create: registry defaults applied, the secret never renders
+      val (c1, b1) = call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"corp","display_name":"Corp SSO",
+           |"provider_type":"generic","issuer_url":"$issuerBase",
+           |"client_id":"graft-api","client_secret":"s3cr3t-cs"}"""
+          .stripMargin)
+      assert(c1 === 201)
+      val pid = str(b1 \ "id")
+      assert(b1 \ "scopes" === JArray(List(
+        JString("openid"), JString("profile"), JString("email"))))
+      assert(b1 \ "groups_claim" === JString("groups"))
+      assert(!JsonMethods.compact(JsonMethods.render(b1)).contains("s3cr3t-cs"))
+      // validation family
+      assert(call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"x1","provider_type":"carrier-pigeon",
+           |"issuer_url":"$issuerBase","client_id":"a"}""".stripMargin)._1 === 400)
+      assert(call("POST", "/api/v1/settings/oidc/providers",
+        """{"name":"x2","provider_type":"generic",
+          |"issuer_url":"not a url","client_id":"a"}""".stripMargin)._1 === 400)
+      assert(call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"corp","provider_type":"generic",
+           |"issuer_url":"$issuerBase","client_id":"a"}""".stripMargin)._1 === 409)
+      // the PRE-AUTH listing answers with no credential, summary only
+      val (cl, bl) = call("GET", "/api/v1/auth/oidc/providers", tok = None)
+      assert(cl === 200 && bl \ "total_count" === JInt(1))
+      val summaries = bl \ "providers" match {
+        case JArray(xs) => xs; case _ => Nil
+      }
+      assert(summaries.size === 1 &&
+        summaries.head \ "provider_type" === JString("generic") &&
+        summaries.head \ "client_id" === JNothing)
+      // the settings group stays authenticated
+      assert(call("GET", "/api/v1/settings/oidc/providers", tok = None)._1 === 401)
+      // a JWT from the STORE-configured issuer authenticates; one for
+      // a different audience does not
+      assert(call("GET", "/query/catalogs", tok = Some(jwt("graft-api")))._1 === 200)
+      assert(call("GET", "/query/catalogs", tok = Some(jwt("not-us")))._1 === 401)
+      // the test endpoint runs real discovery
+      val (ct, bt) = call("POST", s"/api/v1/settings/oidc/providers/$pid/test")
+      assert(ct === 200 && bt \ "success" === JBool(true) &&
+        bt \ "jwks_uri" === JString(s"$issuerBase/jwks"))
+      // disable via PUT WITHOUT client_secret: secret kept, JWT refused,
+      // pre-auth listing empties
+      val (cu, _) = call("PUT", s"/api/v1/settings/oidc/providers/$pid",
+        s"""{"name":"corp","display_name":"Corp SSO",
+           |"provider_type":"generic","issuer_url":"$issuerBase",
+           |"client_id":"graft-api","enabled":false}""".stripMargin)
+      assert(cu === 200)
+      assert(cp.listOidcProviders().head.clientSecret === "s3cr3t-cs")
+      assert(call("GET", "/query/catalogs", tok = Some(jwt("graft-api")))._1 === 401)
+      assert(call("GET", "/api/v1/auth/oidc/providers", tok = None)
+        ._2 \ "total_count" === JInt(0))
+      // persistence: a reopened store sees the provider and its secret
+      val cp2 = new ControlPlane(dir, connTest = _ => Right(1L))
+      assert(cp2.listOidcProviders().map(p =>
+        (p.name, p.clientId, p.clientSecret, p.enabled)) ===
+        Seq(("corp", "graft-api", "s3cr3t-cs", false)))
+      // delete
+      assert(call("DELETE", s"/api/v1/settings/oidc/providers/$pid")._1 === 200)
+      assert(call("GET", s"/api/v1/settings/oidc/providers/$pid")._1 === 404)
+    } finally { srv.close(); issuerSrv.stop(0) }
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry
