@@ -130,21 +130,25 @@ final class ApiServer(spark: SparkSession,
   private def handle(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath
+      // exemption decisions run on the SAME normalized segments the
+      // router matches on — a trailing slash or doubled separator must
+      // not flip an exempt route to 401 while still reaching its
+      // handler
+      val segs = path.split('/').filter(_.nonEmpty).toSeq
       // the enabled-provider listing is the LOGIN page's discovery
       // surface — it must answer before any credential exists (the
       // reference registers its /auth/oidc group without requireAuth);
       // it leaks only names/types, by design
-      val exempt = path == "/query/health" ||
-        (path == "/api/v1/auth/oidc/providers" &&
+      val exempt = segs == Seq("query", "health") ||
+        (segs == Seq("api", "v1", "auth", "oidc", "providers") &&
           ex.getRequestMethod == "GET") ||
-        (path == "/metrics" &&
+        (segs == Seq("metrics") &&
           (openMetrics || metricsToken.exists(t => HttpUtil.bearerOk(ex, t))))
       if (authRequired && !exempt && !authorized(ex)) {
         respond(ex, 401,
           JObject("error" -> JString("missing or invalid bearer token")))
         return
       }
-      val segs = path.split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, segs) match {
         case ("GET", Seq("query", "health")) =>
           respond(ex, 200, JObject("status" -> JString("healthy")))
@@ -212,6 +216,17 @@ final class ApiServer(spark: SparkSession,
     case JArray(xs) => xs.collect { case JString(s) => s }
     case _          => Nil
   }
+  /** Boolean field with an explicit default for ABSENT; any present
+    * non-boolean (e.g. the string "false") is refused rather than
+    * coerced — silent coercion on a security-relevant flag is how a
+    * disabled issuer gets re-enabled by accident. */
+  private def jboolStrict(v: JValue, name: String, default: Boolean): Boolean =
+    v match {
+      case JBool(b)           => b
+      case JNothing | JNull   => default
+      case other => throw ControlPlane.Invalid(
+        s"$name must be a boolean, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
 
   private def controlRoutes(ex: HttpExchange, method: String,
                             rest: Seq[String], cp: ControlPlane): Unit =
@@ -415,8 +430,9 @@ final class ApiServer(spark: SparkSession,
           jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
           jstr(b \ "client_id"), jstr(b \ "client_secret"),
           jstrs(b \ "scopes"), jstr(b \ "groups_claim"),
-          (b \ "enabled") != JBool(false),
-          (b \ "auto_create_users") != JBool(false))))
+          jboolStrict(b \ "enabled", "enabled", default = true),
+          jboolStrict(b \ "auto_create_users", "auto_create_users",
+            default = true))))
       case ("GET", Seq("settings", "oidc", "providers")) =>
         val all = cp.listOidcProviders()
         respond(ex, 200, JObject(
@@ -426,17 +442,25 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, cp.oidcProviderJson(cp.getOidcProvider(id)))
       case ("PUT", Seq("settings", "oidc", "providers", id)) =>
         val b = jsonBody(ex)
-        // an ABSENT client_secret keeps the stored one (write-only)
+        // an ABSENT or EMPTY client_secret keeps the stored one — the
+        // secret is write-only, and form round-trips render it as an
+        // empty field; a PUT without it must never wipe the credential
         val secret = b \ "client_secret" match {
-          case JString(s) => Some(s)
-          case _          => None
+          case JString(s) if s.nonEmpty => Some(s)
+          case _                        => None
         }
+        val prev = cp.getOidcProvider(id)
         respond(ex, 200, cp.oidcProviderJson(cp.updateOidcProvider(id,
           jstr(b \ "name"), jstr(b \ "display_name"),
           jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
           jstr(b \ "client_id"), secret, jstrs(b \ "scopes"),
-          jstr(b \ "groups_claim"), (b \ "enabled") != JBool(false),
-          (b \ "auto_create_users") != JBool(false))))
+          jstr(b \ "groups_claim"),
+          // the enabled flag gates a CREDENTIAL: an absent field keeps
+          // the stored value (a partial-body PUT must not silently
+          // re-enable a disabled issuer), a non-boolean is refused
+          jboolStrict(b \ "enabled", "enabled", prev.enabled),
+          jboolStrict(b \ "auto_create_users", "auto_create_users",
+            prev.autoCreateUsers))))
       case ("DELETE", Seq("settings", "oidc", "providers", id)) =>
         cp.deleteOidcProvider(id)
         respond(ex, 200, JObject("deleted" -> JBool(true)))
@@ -522,12 +546,17 @@ final class ApiServer(spark: SparkSession,
       HttpUtil.bearerToken(ex).exists(t =>
         (oidc.toSeq ++ storeValidators()).exists(_.validate(t).isRight))
 
-  /** Configuring ANY credential mechanism closes the API: the static
-    * token, the env-configured OIDC issuer, or an ENABLED store-managed
-    * provider. */
+  /** The DEPLOYMENT configuration decides whether the API is closed:
+    * the static token or the env-configured OIDC issuer. Store-managed
+    * providers only ever EXTEND the credential set of an
+    * already-closed API — were they part of this decision, an open
+    * deployment could be taken over by an unauthenticated POST of an
+    * attacker-issuer provider (auth suddenly required, their JWTs the
+    * only working credential, persisted across restarts), and
+    * disabling the last provider would silently REOPEN every route
+    * (fail-open). Mutable store rows must not gate authentication. */
   private def authRequired: Boolean =
-    authToken.isDefined || oidc.isDefined ||
-      controlPlane.exists(_.listOidcProviders().exists(_.enabled))
+    authToken.isDefined || oidc.isDefined
 
   // enabled store-managed providers become validators (audience =
   // client id), rebuilt when the provider rows change — each validator

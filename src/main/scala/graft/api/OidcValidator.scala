@@ -74,11 +74,11 @@ final class OidcValidator(issuerUrl: String, audience: String,
 
   /** Discovery → JWKS fetch; RSA signing keys only, keyed by kid. */
   private def fetchKeys(): Map[String, RSAPublicKey] = {
-    val disc = getJson(s"$issuer/.well-known/openid-configuration")
-    val jwksUri = disc \ "jwks_uri" match {
-      case JString(u) => u
-      case _ => throw new IllegalStateException(
-        s"OIDC discovery at $issuer has no jwks_uri")
+    // the ONE discovery implementation (shared with the /test probe)
+    val jwksUri = OidcValidator.discover(issuer, http) match {
+      case Right(u)  => u
+      case Left(err) => throw new IllegalStateException(
+        s"OIDC discovery at $issuer failed: $err")
     }
     val kf = KeyFactory.getInstance("RSA")
     def sigUse(k: JValue): Boolean = k \ "use" match {
@@ -200,10 +200,15 @@ object OidcValidator {
   /** Reachability probe for a provider configuration (the reference's
     * TestProvider → client.Discover): fetch the discovery document
     * and confirm it names a jwks_uri. Returns the jwks_uri or the
-    * failure reason. */
-  def discover(issuerUrl: String): Either[String, String] = {
-    val http = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofSeconds(5)).build()
+    * failure reason. The SAME implementation backs the validator's
+    * own JWKS resolution, so the probe and the live path cannot
+    * drift. */
+  def discover(issuerUrl: String): Either[String, String] =
+    discover(issuerUrl, HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(5)).build())
+
+  private[api] def discover(issuerUrl: String,
+                            http: HttpClient): Either[String, String] =
     try {
       val res = http.send(HttpRequest.newBuilder(URI.create(
         issuerUrl.stripSuffix("/") + "/.well-known/openid-configuration"))
@@ -218,5 +223,4 @@ object OidcValidator {
       case scala.util.control.NonFatal(e) =>
         Left(String.valueOf(e.getMessage))
     }
-  }
 }

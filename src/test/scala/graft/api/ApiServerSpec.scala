@@ -261,47 +261,64 @@ class ApiServerSpec extends SparkTestBase {
     } finally srv.close()
   }
 
-  test("OIDC bearer JWTs: JWKS-verified RS256 accepted; expired, wrong-audience, alg-confusion refused") {
-    import java.net.InetSocketAddress
-    import java.security.{KeyPairGenerator, Signature}
-    import java.util.Base64
-    import com.sun.net.httpserver.HttpServer
-    buildCatalog()
-    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
-    val kp = kpg.generateKeyPair()
-    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
-    def b64(bytes: Array[Byte]): String =
-      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
-    def uBig(b: java.math.BigInteger): String = {
-      val a = b.toByteArray
-      b64(if (a(0) == 0) a.drop(1) else a)
-    }
-    // a REAL local issuer: discovery document + JWKS over HTTP, the
-    // way the reference's client discovers its provider
-    val issuerSrv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val issuerBase = s"http://127.0.0.1:${issuerSrv.getAddress.getPort}"
-    issuerSrv.createContext("/", ex => {
+  // ---- shared fake-issuer scaffolding for the OIDC tests: ONE
+  // implementation of the security-sensitive JWKS/JWT encoding --------
+
+  private def b64url(bytes: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+
+  private def b64urlBig(b: java.math.BigInteger): String = {
+    val a = b.toByteArray
+    b64url(if (a(0) == 0) a.drop(1) else a)
+  }
+
+  /** A REAL local OIDC issuer — discovery document + JWKS over HTTP
+    * (kid `k1`), the way the reference's client discovers its
+    * provider — plus an RS256 signer over its private key. */
+  private final class FakeIssuer {
+    private val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    private val kp = kpg.generateKeyPair()
+    private val pub =
+      kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    private val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    srv.createContext("/", ex => {
       val body = ex.getRequestURI.getPath match {
         case "/.well-known/openid-configuration" =>
-          s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}"""
+          s"""{"issuer":"$base","jwks_uri":"$base/jwks"}"""
         case "/jwks" =>
           s"""{"keys":[{"kty":"RSA","kid":"k1","use":"sig","alg":"RS256",
-             |"n":"${uBig(pub.getModulus)}",
-             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
+             |"n":"${b64urlBig(pub.getModulus)}",
+             |"e":"${b64urlBig(pub.getPublicExponent)}"}]}""".stripMargin
         case _ => "{}"
       }
       val bytes = body.getBytes("UTF-8")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes); ex.close()
     })
-    issuerSrv.start()
-    def jwt(payload: String, alg: String = "RS256", kid: String = "k1"): String = {
-      val h = b64(s"""{"alg":"$alg","kid":"$kid"}""".getBytes("UTF-8"))
-      val p = b64(payload.getBytes("UTF-8"))
-      val sig = Signature.getInstance("SHA256withRSA")
+    srv.start()
+    def jwt(payload: String, alg: String = "RS256",
+            kid: String = "k1"): String = {
+      val h = b64url(s"""{"alg":"$alg","kid":"$kid"}""".getBytes("UTF-8"))
+      val p = b64url(payload.getBytes("UTF-8"))
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
       sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-      s"$h.$p.${b64(sig.sign())}"
+      s"$h.$p.${b64url(sig.sign())}"
     }
+    def stop(): Unit = srv.stop(0)
+  }
+
+  test("OIDC bearer JWTs: JWKS-verified RS256 accepted; expired, wrong-audience, alg-confusion refused") {
+    import java.net.InetSocketAddress
+    import java.security.{KeyPairGenerator, Signature}
+    import com.sun.net.httpserver.HttpServer
+    buildCatalog()
+    val issuer = new FakeIssuer
+    val issuerBase = issuer.base
+    def jwt(payload: String, alg: String = "RS256",
+            kid: String = "k1"): String = issuer.jwt(payload, alg, kid)
     val now = System.currentTimeMillis() / 1000
     def claims(aud: String = "graft-api", exp: Long = now + 600,
                iss: String = issuerBase): String =
@@ -333,11 +350,11 @@ class ApiServerSpec extends SparkTestBase {
       // a token signed by a DIFFERENT key under the advertised kid
       val kp2 = { val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
       val forged = {
-        val h = b64("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
-        val p = b64(claims().getBytes("UTF-8"))
+        val h = b64url("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
+        val p = b64url(claims().getBytes("UTF-8"))
         val sig = Signature.getInstance("SHA256withRSA")
         sig.initSign(kp2.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-        s"$h.$p.${b64(sig.sign())}"
+        s"$h.$p.${b64url(sig.sign())}"
       }
       assert(validator.validate(forged) === Left("bad signature"))
       assert(withTok(forged) === 401)
@@ -370,50 +387,17 @@ class ApiServerSpec extends SparkTestBase {
         assert(hits.get === 1,
           s"a failing issuer must be fetch-rate-limited, saw ${hits.get} fetches")
       } finally dead.stop(0)
-    } finally { srv.close(); issuerSrv.stop(0) }
+    } finally { srv.close(); issuer.stop() }
   }
 
   test("OIDC provider management: CRUD, secret redaction, pre-auth listing, store-driven JWT auth") {
-    import java.net.InetSocketAddress
-    import java.security.{KeyPairGenerator, Signature}
-    import java.util.Base64
-    import com.sun.net.httpserver.HttpServer
     buildCatalog()
-    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
-    val kp = kpg.generateKeyPair()
-    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
-    def b64(bytes: Array[Byte]): String =
-      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
-    def uBig(b: java.math.BigInteger): String = {
-      val a = b.toByteArray
-      b64(if (a(0) == 0) a.drop(1) else a)
-    }
-    val issuerSrv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val issuerBase = s"http://127.0.0.1:${issuerSrv.getAddress.getPort}"
-    issuerSrv.createContext("/", ex => {
-      val body = ex.getRequestURI.getPath match {
-        case "/.well-known/openid-configuration" =>
-          s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks"}"""
-        case "/jwks" =>
-          s"""{"keys":[{"kty":"RSA","kid":"k1","use":"sig","alg":"RS256",
-             |"n":"${uBig(pub.getModulus)}",
-             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
-        case _ => "{}"
-      }
-      val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(200, bytes.length)
-      ex.getResponseBody.write(bytes); ex.close()
-    })
-    issuerSrv.start()
+    val issuer = new FakeIssuer
+    val issuerBase = issuer.base
     def jwt(aud: String): String = {
       val now = System.currentTimeMillis() / 1000
-      val h = b64("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
-      val p = b64(
-        s"""{"iss":"$issuerBase","aud":"$aud","sub":"bob","exp":${now + 600}}"""
-          .getBytes("UTF-8"))
-      val sig = Signature.getInstance("SHA256withRSA")
-      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-      s"$h.$p.${b64(sig.sign())}"
+      issuer.jwt(
+        s"""{"iss":"$issuerBase","aud":"$aud","sub":"bob","exp":${now + 600}}""")
     }
     val dir = Files.createTempDirectory("graft-oidc-cp").toString
     val cp = new ControlPlane(dir, connTest = _ => Right(1L))
@@ -493,7 +477,37 @@ class ApiServerSpec extends SparkTestBase {
       // delete
       assert(call("DELETE", s"/api/v1/settings/oidc/providers/$pid")._1 === 200)
       assert(call("GET", s"/api/v1/settings/oidc/providers/$pid")._1 === 404)
-    } finally { srv.close(); issuerSrv.stop(0) }
+      // PUT semantics: an ABSENT enabled keeps the stored value, an
+      // EMPTY client_secret keeps the secret, a string "false" is 400
+      val p2 = cp.createOidcProvider("corp2", "Corp2", "generic",
+        issuerBase, "graft-api", clientSecret = "cs2", enabled = false)
+      val (cPut, bPut) = call("PUT",
+        s"/api/v1/settings/oidc/providers/${p2.id}",
+        s"""{"name":"corp2","provider_type":"generic",
+           |"issuer_url":"$issuerBase","client_id":"graft-api",
+           |"client_secret":""}""".stripMargin)
+      assert(cPut === 200 && bPut \ "enabled" === JBool(false))
+      assert(cp.getOidcProvider(p2.id).clientSecret === "cs2")
+      assert(call("PUT", s"/api/v1/settings/oidc/providers/${p2.id}",
+        s"""{"name":"corp2","provider_type":"generic",
+           |"issuer_url":"$issuerBase","client_id":"graft-api",
+           |"enabled":"false"}""".stripMargin)._1 === 400)
+      // a trailing slash must not flip the pre-auth listing to 401:
+      // exemption runs on the router's normalized segments
+      assert(call("GET", "/api/v1/auth/oidc/providers/", tok = None)._1 === 200)
+      // an OPEN deployment (no static token, no env OIDC) stays open
+      // even with an ENABLED store provider: mutable store rows never
+      // decide whether auth is required — they would otherwise be an
+      // unauthenticated takeover path (attacker-issuer provider locks
+      // the operator out) and a fail-open path (disabling the last
+      // provider reopens everything)
+      cp.updateOidcProvider(p2.id, "corp2", "Corp2", "generic",
+        issuerBase, "graft-api", None, Nil, "", enabled = true,
+        autoCreateUsers = true)
+      val open = new ApiServer(spark, controlPlane = Some(cp))
+      try assert(get(open.baseUri, "/query/catalogs")._1 === 200)
+      finally open.close()
+    } finally { srv.close(); issuer.stop() }
   }
 
   test("GET /metrics serves the registry as Prometheus text exposition") {
