@@ -412,6 +412,29 @@ final class ApiServer(spark: SparkSession,
       // ---- managed API keys (ref internal/api/services/api_key.go):
       // the plaintext appears ONLY in the create response; the list
       // serves prefixes and status, never hashes
+      // ---- deployment info (ref internal/api/handlers/version.go
+      // GetVersion, config.go GetConfig — the SAFE subset only: the
+      // reference's own security note forbids secrets, credentials,
+      // and internal endpoints here)
+      case ("GET", Seq("version")) =>
+        respond(ex, 200, JObject(
+          "version" -> JString(graft.Cli.Version),
+          "api_version" -> JString("v1"),
+          "engine" -> JString("spark"),
+          "engine_version" -> JString(spark.sparkContext.version),
+          "scala_version" -> JString(scala.util.Properties.versionNumberString)))
+      case ("GET", Seq("config")) =>
+        respond(ex, 200, JObject(
+          "environment" -> JString(
+            sys.env.getOrElse("GRAFT_ENVIRONMENT", "development")),
+          "query" -> JObject(
+            "shuffle_partitions" -> JInt(BigInt(
+              spark.conf.get("spark.sql.shuffle.partitions", "200"))),
+            "default_page_size" -> JInt(defaultPageSize),
+            "max_cursors" -> JInt(maxCursors)),
+          "metrics" -> JObject(
+            "enabled" -> JBool(true),
+            "open" -> JBool(openMetrics))))
       // ---- OIDC providers (ref internal/api/handlers/oidc.go — the
       // pre-login /auth/oidc/providers listing and the
       // /settings/oidc/providers admin CRUD; the interactive

@@ -417,12 +417,22 @@ object TextAnalysis extends QueryModule {
   }
 
   private def bigramFreq(s: SparkSession, d: String): DataFrame = {
-    val bg = Tables.documents(s, d)
+    // pre-aggregate per (doc, bigram) BEFORE the corpus-frequency
+    // join: the join and both shuffles then carry DISTINCT pairs, not
+    // the full occurrence stream (freq_sum = Σ k·n and n_bigrams = Σ k
+    // over pairs are identities of the per-occurrence sums). At corpus
+    // scale this is the difference between shuffling every token
+    // position twice and shuffling the much smaller pair set — and the
+    // map-side partial aggregation compresses the explode's output
+    // before it ever hits the wire.
+    val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
-    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
-    bg.join(counts, "bg")
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val counts = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("n"))
+    perDoc.join(counts, "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("n")).as("freq_sum"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("n")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
         round(col("freq_sum").cast("double") / col("n_bigrams"), 4).as("avg_freq"))
       .orderBy(col("doc_id"))

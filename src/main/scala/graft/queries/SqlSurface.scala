@@ -1497,7 +1497,18 @@ object SqlSurface extends QueryModule {
         .listOidcProviders().size
       val (c12, _) = call("DELETE", s"/api/v1/settings/oidc/providers/$pid")
       val (c13, _) = call("GET", s"/api/v1/settings/oidc/providers/$pid")
+      // deployment info (ref handlers/version.go, config.go): version
+      // identity plus the SAFE config subset — secret-shaped content
+      // in the body is a failure, not a leak to ship
+      val (cv, bv) = call("GET", "/api/v1/version")
+      val (cc, bc) = call("GET", "/api/v1/config")
+      val cfgBody = JsonMethods.compact(JsonMethods.render(bc))
       Seq(
+        ("version_ok", flag(cv == 200 && s_(bv \ "api_version") == "v1" &&
+          s_(bv \ "engine") == "spark")),
+        ("config_safe", flag(cc == 200 &&
+          !cfgBody.contains("password") && !cfgBody.contains("secret") &&
+          !cfgBody.contains("token"))),
         ("create_201", flag(c1 == 201)),
         ("secret_redacted", flag(
           !JsonMethods.compact(JsonMethods.render(b1)).contains("gate-cs"))),
@@ -1524,6 +1535,8 @@ object SqlSurface extends QueryModule {
 
   private val apiOidcProvidersSql =
     """SELECT step, result FROM (VALUES
+      |  ('version_ok', CAST(1 AS BIGINT)),
+      |  ('config_safe', CAST(1 AS BIGINT)),
       |  ('create_201', CAST(1 AS BIGINT)),
       |  ('secret_redacted', CAST(1 AS BIGINT)),
       |  ('bad_type_400', CAST(1 AS BIGINT)),

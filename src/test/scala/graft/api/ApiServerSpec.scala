@@ -510,6 +510,29 @@ class ApiServerSpec extends SparkTestBase {
     } finally { srv.close(); issuer.stop() }
   }
 
+  test("GET /api/v1/version and /api/v1/config serve the safe deployment subset") {
+    buildCatalog()
+    val dir = Files.createTempDirectory("graft-vercfg").toString
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L))
+    val srv = new ApiServer(spark, controlPlane = Some(cp),
+      defaultPageSize = 25)
+    try {
+      val (vc, vb) = get(srv.baseUri, "/api/v1/version")
+      assert(vc === 200 && vb \ "api_version" === JString("v1"))
+      assert(vb \ "version" === JString(graft.Cli.Version))
+      assert(str(vb \ "engine_version").startsWith("4."))
+      val (cc, cb) = get(srv.baseUri, "/api/v1/config")
+      assert(cc === 200)
+      assert(cb \ "query" \ "default_page_size" === JInt(25))
+      assert((cb \ "query" \ "shuffle_partitions").isInstanceOf[JInt])
+      // the reference's security note: the config surface must carry
+      // nothing secret-shaped
+      val body = JsonMethods.compact(JsonMethods.render(cb))
+      assert(!body.contains("password") && !body.contains("secret") &&
+        !body.contains("token"))
+    } finally srv.close()
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry
