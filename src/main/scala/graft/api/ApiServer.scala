@@ -163,6 +163,35 @@ final class ApiServer(spark: SparkSession,
           validated(ex, c -> "catalog", s -> "schema", t -> "table") {
             tableInfo(ex, c, s, t)
           }
+        // deployment info (ref internal/api/handlers/version.go
+        // GetVersion, config.go GetConfig — the SAFE subset only: the
+        // reference's own security note forbids secrets, credentials,
+        // and internal endpoints here). These read nothing from the
+        // control plane, so they serve on EVERY deployment shape —
+        // including the pure /query server with no store attached
+        case ("GET", Seq("api", "v1", "version")) =>
+          respond(ex, 200, JObject(
+            "version" -> JString(graft.Cli.Version),
+            "api_version" -> JString("v1"),
+            "engine" -> JString("spark"),
+            "engine_version" -> JString(spark.sparkContext.version),
+            "scala_version" -> JString(scala.util.Properties.versionNumberString)))
+        case ("GET", Seq("api", "v1", "config")) =>
+          // a non-numeric shuffle setting (some runtimes use "auto")
+          // reports as its raw string rather than 500ing the endpoint
+          val shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+          respond(ex, 200, JObject(
+            "environment" -> JString(
+              sys.env.getOrElse("GRAFT_ENVIRONMENT", "development")),
+            "query" -> JObject(
+              "shuffle_partitions" -> shuffle.toLongOption
+                .map(n => JInt(BigInt(n)): JValue)
+                .getOrElse(JString(shuffle)),
+              "default_page_size" -> JInt(defaultPageSize),
+              "max_cursors" -> JInt(maxCursors)),
+            "metrics" -> JObject(
+              "enabled" -> JBool(true),
+              "open" -> JBool(openMetrics))))
         case (method, "api" +: "v1" +: rest) if controlPlane.isDefined =>
           controlRoutes(ex, method, rest, controlPlane.get)
         case ("POST", Seq("query", "sql"))          => runSql(ex)
@@ -412,29 +441,6 @@ final class ApiServer(spark: SparkSession,
       // ---- managed API keys (ref internal/api/services/api_key.go):
       // the plaintext appears ONLY in the create response; the list
       // serves prefixes and status, never hashes
-      // ---- deployment info (ref internal/api/handlers/version.go
-      // GetVersion, config.go GetConfig — the SAFE subset only: the
-      // reference's own security note forbids secrets, credentials,
-      // and internal endpoints here)
-      case ("GET", Seq("version")) =>
-        respond(ex, 200, JObject(
-          "version" -> JString(graft.Cli.Version),
-          "api_version" -> JString("v1"),
-          "engine" -> JString("spark"),
-          "engine_version" -> JString(spark.sparkContext.version),
-          "scala_version" -> JString(scala.util.Properties.versionNumberString)))
-      case ("GET", Seq("config")) =>
-        respond(ex, 200, JObject(
-          "environment" -> JString(
-            sys.env.getOrElse("GRAFT_ENVIRONMENT", "development")),
-          "query" -> JObject(
-            "shuffle_partitions" -> JInt(BigInt(
-              spark.conf.get("spark.sql.shuffle.partitions", "200"))),
-            "default_page_size" -> JInt(defaultPageSize),
-            "max_cursors" -> JInt(maxCursors)),
-          "metrics" -> JObject(
-            "enabled" -> JBool(true),
-            "open" -> JBool(openMetrics))))
       // ---- OIDC providers (ref internal/api/handlers/oidc.go — the
       // pre-login /auth/oidc/providers listing and the
       // /settings/oidc/providers admin CRUD; the interactive

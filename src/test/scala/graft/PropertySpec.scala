@@ -217,44 +217,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("OIDC validator: issuer-signed tokens verify; any payload tamper or wrong claim refuses") {
-    import java.net.InetSocketAddress
-    import java.security.{KeyPairGenerator, Signature}
-    import java.util.Base64
-    import com.sun.net.httpserver.HttpServer
-    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
-    val kp = kpg.generateKeyPair()
-    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
-    def b64(bytes: Array[Byte]): String =
-      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
-    def uBig(b: java.math.BigInteger): String = {
-      val a = b.toByteArray; b64(if (a(0) == 0) a.drop(1) else a)
-    }
-    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
-    srv.createContext("/", ex => {
-      val body = ex.getRequestURI.getPath match {
-        case "/.well-known/openid-configuration" =>
-          s"""{"issuer":"$base","jwks_uri":"$base/jwks"}"""
-        case "/jwks" =>
-          s"""{"keys":[{"kty":"RSA","kid":"p1","use":"sig",
-             |"n":"${uBig(pub.getModulus)}",
-             |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin
-        case _ => "{}"
-      }
-      val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(200, bytes.length)
-      ex.getResponseBody.write(bytes); ex.close()
-    })
-    srv.start()
+    val issuer = new FakeOidcIssuer("p1")
+    val base = issuer.base
     try {
       val v = new graft.api.OidcValidator(base, "aud-1")
-      def sign(payload: String): String = {
-        val h = b64("""{"alg":"RS256","kid":"p1"}""".getBytes("UTF-8"))
-        val p = b64(payload.getBytes("UTF-8"))
-        val sig = Signature.getInstance("SHA256withRSA")
-        sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-        s"$h.$p.${b64(sig.sign())}"
-      }
+      def sign(payload: String): String = issuer.jwt(payload)
       def now: Long = System.currentTimeMillis() / 1000
       val genSub = Gen.identifier.map(_.take(12)).suchThat(_.nonEmpty)
       // any subject at any future expiry verifies, and the verified
@@ -264,9 +231,10 @@ class PropertySpec extends AnyFunSuite {
           s"""{"iss":"$base","aud":"aud-1","sub":"$sub","exp":${now + ttl}}""")
         v.validate(tok).toOption.exists(_.subject == sub)
       })
-      // flipping ANY non-final character of the payload segment
-      // refuses — either the signature breaks or the segment stops
-      // decoding; never a quiet acceptance of altered claims
+      // flipping ANY character of the payload segment except the LAST
+      // (whose low bits may be base64 padding slack) refuses — either
+      // the signature breaks or the segment stops decoding; never a
+      // quiet acceptance of altered claims
       val alphabet =
         ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_").toVector
       check(Prop.forAll(genSub, Gen.choose(0, 10000)) { (sub, posSeed) =>
@@ -274,7 +242,7 @@ class PropertySpec extends AnyFunSuite {
           s"""{"iss":"$base","aud":"aud-1","sub":"$sub","exp":${now + 600}}""")
         val parts = tok.split('.')
         val p = parts(1)
-        val pos = posSeed % (p.length - 2) // non-final: all 6 bits land
+        val pos = posSeed % (p.length - 1) // every non-final position
         val repl = alphabet.find(_ != p(pos)).get
         val tampered = s"${parts(0)}.${p.updated(pos, repl)}.${parts(2)}"
         v.validate(tampered).isLeft
@@ -288,7 +256,7 @@ class PropertySpec extends AnyFunSuite {
         v.validate(wrongAud).left.exists(_.contains("audience")) &&
           v.validate(expired) == Left("expired")
       })
-    } finally srv.stop(0)
+    } finally issuer.stop()
   }
 
   test("minhash agreement rises with jaccard (LSH premise, statistical)") {

@@ -261,61 +261,14 @@ class ApiServerSpec extends SparkTestBase {
     } finally srv.close()
   }
 
-  // ---- shared fake-issuer scaffolding for the OIDC tests: ONE
-  // implementation of the security-sensitive JWKS/JWT encoding --------
-
-  private def b64url(bytes: Array[Byte]): String =
-    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
-
-  private def b64urlBig(b: java.math.BigInteger): String = {
-    val a = b.toByteArray
-    b64url(if (a(0) == 0) a.drop(1) else a)
-  }
-
-  /** A REAL local OIDC issuer — discovery document + JWKS over HTTP
-    * (kid `k1`), the way the reference's client discovers its
-    * provider — plus an RS256 signer over its private key. */
-  private final class FakeIssuer {
-    private val kpg = java.security.KeyPairGenerator.getInstance("RSA")
-    kpg.initialize(2048)
-    private val kp = kpg.generateKeyPair()
-    private val pub =
-      kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
-    private val srv = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
-    srv.createContext("/", ex => {
-      val body = ex.getRequestURI.getPath match {
-        case "/.well-known/openid-configuration" =>
-          s"""{"issuer":"$base","jwks_uri":"$base/jwks"}"""
-        case "/jwks" =>
-          s"""{"keys":[{"kty":"RSA","kid":"k1","use":"sig","alg":"RS256",
-             |"n":"${b64urlBig(pub.getModulus)}",
-             |"e":"${b64urlBig(pub.getPublicExponent)}"}]}""".stripMargin
-        case _ => "{}"
-      }
-      val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(200, bytes.length)
-      ex.getResponseBody.write(bytes); ex.close()
-    })
-    srv.start()
-    def jwt(payload: String, alg: String = "RS256",
-            kid: String = "k1"): String = {
-      val h = b64url(s"""{"alg":"$alg","kid":"$kid"}""".getBytes("UTF-8"))
-      val p = b64url(payload.getBytes("UTF-8"))
-      val sig = java.security.Signature.getInstance("SHA256withRSA")
-      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-      s"$h.$p.${b64url(sig.sign())}"
-    }
-    def stop(): Unit = srv.stop(0)
-  }
-
   test("OIDC bearer JWTs: JWKS-verified RS256 accepted; expired, wrong-audience, alg-confusion refused") {
     import java.net.InetSocketAddress
     import java.security.{KeyPairGenerator, Signature}
     import com.sun.net.httpserver.HttpServer
     buildCatalog()
-    val issuer = new FakeIssuer
+    // graft.FakeOidcIssuer is THE shared issuer scaffolding — one
+    // implementation of the JWKS/JWT encoding across suites
+    val issuer = new graft.FakeOidcIssuer
     val issuerBase = issuer.base
     def jwt(payload: String, alg: String = "RS256",
             kid: String = "k1"): String = issuer.jwt(payload, alg, kid)
@@ -350,11 +303,11 @@ class ApiServerSpec extends SparkTestBase {
       // a token signed by a DIFFERENT key under the advertised kid
       val kp2 = { val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048); g.generateKeyPair() }
       val forged = {
-        val h = b64url("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
-        val p = b64url(claims().getBytes("UTF-8"))
+        val h = graft.FakeOidcIssuer.b64url("""{"alg":"RS256","kid":"k1"}""".getBytes("UTF-8"))
+        val p = graft.FakeOidcIssuer.b64url(claims().getBytes("UTF-8"))
         val sig = Signature.getInstance("SHA256withRSA")
         sig.initSign(kp2.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
-        s"$h.$p.${b64url(sig.sign())}"
+        s"$h.$p.${graft.FakeOidcIssuer.b64url(sig.sign())}"
       }
       assert(validator.validate(forged) === Left("bad signature"))
       assert(withTok(forged) === 401)
@@ -392,7 +345,7 @@ class ApiServerSpec extends SparkTestBase {
 
   test("OIDC provider management: CRUD, secret redaction, pre-auth listing, store-driven JWT auth") {
     buildCatalog()
-    val issuer = new FakeIssuer
+    val issuer = new graft.FakeOidcIssuer
     val issuerBase = issuer.base
     def jwt(aud: String): String = {
       val now = System.currentTimeMillis() / 1000
@@ -531,6 +484,13 @@ class ApiServerSpec extends SparkTestBase {
       assert(!body.contains("password") && !body.contains("secret") &&
         !body.contains("token"))
     } finally srv.close()
+    // the routes read nothing from the control plane: a pure /query
+    // deployment (no store attached) serves them too
+    val bare = new ApiServer(spark)
+    try {
+      assert(get(bare.baseUri, "/api/v1/version")._1 === 200)
+      assert(get(bare.baseUri, "/api/v1/config")._1 === 200)
+    } finally bare.close()
   }
 
   test("GET /metrics serves the registry as Prometheus text exposition") {
