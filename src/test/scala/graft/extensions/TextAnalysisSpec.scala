@@ -11,6 +11,24 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(text).toDF("text").select(expr).collect()(0).get(0)
   }
 
+  test("bigram-frequency plan computes the per-doc aggregate ONCE: explode never duplicated across join sides") {
+    val df = SparkEntry.queries("text_bigram_freq")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // the EXECUTED (final AQE) plan — the toString also prints the
+    // pre-adaptive Initial Plan section, which legitimately shows the
+    // duplicated subtree the runtime then deduplicates
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus-frequency join's two inputs both derive from the
+    // (doc, bigram) aggregate; its shuffle must be REUSED so the
+    // explode + first aggregation run once, not once per join side —
+    // at corpus scale a duplicated explode doubles the heaviest scan
+    val nExplodes = "Generate explode".r.findAllMatchIn(plan).length
+    assert(nExplodes == 1, s"explode appears $nExplodes times:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"per-doc aggregate shuffle not reused:\n$plan")
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
