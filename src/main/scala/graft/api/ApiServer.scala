@@ -245,6 +245,16 @@ final class ApiServer(spark: SparkSession,
     case JArray(xs) => xs.collect { case JString(s) => s }
     case _          => Nil
   }
+  /** Scaling rule tuples off the wire: (metric, operator, threshold,
+    * duration_seconds, scale_by). */
+  private def scalingRulesOf(v: JValue): Seq[(String, String, Double, Long, Int)] =
+    v match {
+      case JArray(rs) => rs.map(r => (jstr(r \ "metric"),
+        jstr(r \ "operator"), jdouble(r \ "threshold"),
+        jint(r \ "duration_seconds", 0).toLong, jint(r \ "scale_by", 0)))
+      case _ => Nil
+    }
+
   /** Boolean field with an explicit default for ABSENT; any present
     * non-boolean (e.g. the string "false") is refused rather than
     * coerced — silent coercion on a security-relevant flag is how a
@@ -441,6 +451,94 @@ final class ApiServer(spark: SparkSession,
       // ---- managed API keys (ref internal/api/services/api_key.go):
       // the plaintext appears ONLY in the create response; the list
       // serves prefixes and status, never hashes
+      // ---- scaling policies (ref internal/api/handlers/scaling.go:
+      // 27-42 — CRUD, enable/disable, evaluate, state, history; the
+      // DECISION layer only, wired to graft.observe.Scaling — K8s
+      // actuation, schedules, and cost caps stay out of engine scope)
+      case ("POST", Seq("scaling", "policies")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201, cp.scalingPolicyJson(cp.createScalingPolicy(
+          jstr(b \ "name"), jstr(b \ "target_type"),
+          jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
+          jint(b \ "cooldown_seconds", 300).toLong,
+          (b \ "scale_to_zero") == JBool(true),
+          jboolStrict(b \ "enabled", "enabled", default = true),
+          scalingRulesOf(b \ "scale_up_rules"),
+          scalingRulesOf(b \ "scale_down_rules"))))
+      case ("GET", Seq("scaling", "policies")) =>
+        val enabledOnly = Option(ex.getRequestURI.getQuery)
+          .exists(_.split('&').contains("enabled=true"))
+        val all = cp.listScalingPolicies(enabledOnly)
+        respond(ex, 200, JObject(
+          "policies" -> JArray(all.toList.map(cp.scalingPolicyJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("scaling", "history")) =>
+        val all = cp.listScalingHistory()
+        respond(ex, 200, JObject(
+          "history" -> JArray(all.toList.map(cp.scalingEventJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("scaling", "policies", id)) =>
+        respond(ex, 200, cp.scalingPolicyJson(cp.getScalingPolicy(id)))
+      case ("PUT", Seq("scaling", "policies", id)) =>
+        val b = jsonBody(ex)
+        val prev = cp.getScalingPolicy(id)
+        respond(ex, 200, cp.scalingPolicyJson(cp.updateScalingPolicy(id,
+          jstr(b \ "name"), jstr(b \ "target_type"),
+          jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
+          jint(b \ "cooldown_seconds", 300).toLong,
+          (b \ "scale_to_zero") == JBool(true),
+          jboolStrict(b \ "enabled", "enabled", prev.enabled),
+          scalingRulesOf(b \ "scale_up_rules"),
+          scalingRulesOf(b \ "scale_down_rules"))))
+      case ("DELETE", Seq("scaling", "policies", id)) =>
+        cp.deleteScalingPolicy(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("POST", Seq("scaling", "policies", id, "enable")) =>
+        respond(ex, 200,
+          cp.scalingPolicyJson(cp.setScalingPolicyEnabled(id, enabled = true)))
+      case ("POST", Seq("scaling", "policies", id, "disable")) =>
+        respond(ex, 200,
+          cp.scalingPolicyJson(cp.setScalingPolicyEnabled(id, enabled = false)))
+      case ("POST", Seq("scaling", "policies", id, "evaluate")) =>
+        // evaluate against the PROCESS registry (the reference polls
+        // its metrics backend); an explicit body {"metrics": {...}}
+        // overrides — how operators dry-run a policy against values
+        val overrides = HttpUtil.readJsonBody(ex)
+          .map(_ \ "metrics").getOrElse(JNothing) match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v))  => k -> v
+            case (k, JInt(n))     => k -> n.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        val metrics =
+          graft.observe.Metrics.global.snapshot() ++ overrides
+        val d = cp.evaluateScalingPolicy(id, metrics)
+        respond(ex, 200, JObject(
+          "action" -> JString(d.action match {
+            case graft.observe.Scaling.Action.ScaleUp   => "scale-up"
+            case graft.observe.Scaling.Action.ScaleDown => "scale-down"
+            case graft.observe.Scaling.Action.None      => "none"
+          }),
+          "desired_replicas" -> JInt(d.desiredReplicas),
+          "should_execute" -> JBool(d.shouldExecute),
+          "reason" -> JString(d.reason),
+          "triggered_by" -> d.triggeredBy.map(t => JString(t): JValue)
+            .getOrElse(JNull)))
+      case ("GET", Seq("scaling", "policies", id, "state")) =>
+        val st = cp.getScalingPolicyState(id)
+        respond(ex, 200, JObject(
+          "policy_id" -> JString(id),
+          "current_replicas" -> JInt(st.currentReplicas),
+          "last_scale_at_ms" -> st.lastScaleAtMs
+            .map(t => JInt(BigInt(t)): JValue).getOrElse(JNull),
+          "pending_rules" -> JInt(st.pendingSince.size)))
+      case ("GET", Seq("scaling", "policies", id, "history")) =>
+        val all = cp.listScalingHistory(Some(id))
+        respond(ex, 200, JObject(
+          "history" -> JArray(all.toList.map(cp.scalingEventJson)),
+          "total" -> JInt(all.size)))
       // ---- OIDC providers (ref internal/api/handlers/oidc.go — the
       // pre-login /auth/oidc/providers listing and the
       // /settings/oidc/providers admin CRUD; the interactive

@@ -118,6 +118,43 @@ object ControlPlane {
                                 autoCreateUsers: Boolean,
                                 createdAtMs: Long, updatedAtMs: Long)
 
+  /** One scaling rule (ref internal/api/models/scaling.go:14-20
+    * ScalingRuleRequest / internal/scaling/types.go:229-263): fire
+    * when `metric <op> threshold` has held for `duration_seconds`;
+    * `scaleBy` is the API's positive step — the evaluator receives it
+    * signed by which list the rule sits in. */
+  final case class ScalingRule(id: String, metric: String, op: String,
+                               threshold: Double, durationSeconds: Long,
+                               scaleBy: Int)
+
+  /** One scaling policy (ref models/scaling.go:30-44
+    * CreateScalingPolicyRequest, scaling/types.go:180-228): bounds +
+    * cooldown + ordered rule lists over a scaling target. Schedules
+    * and cost caps are K8s-actuation knobs the SURVEY scopes out with
+    * the rest of the actuation layer. */
+  final case class ScalingPolicy(id: String, name: String,
+                                 targetType: String,
+                                 minReplicas: Int, maxReplicas: Int,
+                                 cooldownSeconds: Long,
+                                 scaleToZero: Boolean, enabled: Boolean,
+                                 scaleUpRules: Seq[ScalingRule],
+                                 scaleDownRules: Seq[ScalingRule],
+                                 createdAtMs: Long, updatedAtMs: Long)
+
+  /** Per-policy evaluation state (ref scaling/types.go:300-332):
+    * current width, cooldown clock, and each rule's for-duration
+    * pending clock — persisted so cooldowns survive a restart. */
+  final case class ScalingPolicyState(currentReplicas: Int,
+                                      lastScaleAtMs: Option[Long],
+                                      pendingSince: Map[String, Long])
+
+  /** One executed scaling decision (the reference's scaling history
+    * rows served over /scaling/history). */
+  final case class ScalingEvent(id: String, policyId: String,
+                                action: String, fromReplicas: Int,
+                                toReplicas: Int, reason: String,
+                                triggeredBy: String, atMs: Long)
+
   /** One alert instance (ref types.go:169-187 AlertInstance): the
     * LIVE state of a (rule, fingerprint) pair — firing or resolved,
     * optionally acknowledged. The evaluator's machine decides the
@@ -250,6 +287,9 @@ final class ControlPlane(metaDir: String,
   private var alertHistory: Vector[AlertHistoryEntry] = loadAlertHistory()
   private var alertSilences: Vector[AlertSilence] = loadAlertSilences()
   private var oidcProviders: Vector[OidcProvider] = loadOidcProviders()
+  private var scalingPolicies: Vector[ScalingPolicy] = loadScalingPolicies()
+  private var scalingStates: Map[String, ScalingPolicyState] = loadScalingStates()
+  private var scalingHistory: Vector[ScalingEvent] = loadScalingHistory()
   private val secureRandom = new java.security.SecureRandom()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
@@ -759,6 +799,294 @@ final class ControlPlane(metaDir: String,
     oidcProviders = oidcProviders.filterNot(_.id == p.id)
     persistOidcProviders()
   }
+
+  // ---- scaling policies (ref internal/api/handlers/scaling.go:27-42
+  // — the /scaling/policies CRUD + enable/disable/evaluate/state and
+  // the /scaling/history rows; services evaluate through the SAME
+  // decision machinery the engine exposes in
+  // [[graft.observe.Scaling]]; K8s actuation, schedules, and cost
+  // caps stay out of engine scope per the SURVEY) ---------------------
+
+  private val ScalingTargetTypes =
+    Set("cdc-worker", "trino", "risingwave", "nodes")
+
+  private def scalingRuleJson(r: ScalingRule): JObject = JObject(
+    "id" -> JString(r.id), "metric" -> JString(r.metric),
+    "operator" -> JString(r.op), "threshold" -> JDouble(r.threshold),
+    "duration_seconds" -> JInt(BigInt(r.durationSeconds)),
+    "scale_by" -> JInt(r.scaleBy))
+
+  private[api] def scalingPolicyJson(p: ScalingPolicy): JObject = JObject(
+    "id" -> JString(p.id), "name" -> JString(p.name),
+    "target_type" -> JString(p.targetType),
+    "min_replicas" -> JInt(p.minReplicas),
+    "max_replicas" -> JInt(p.maxReplicas),
+    "cooldown_seconds" -> JInt(BigInt(p.cooldownSeconds)),
+    "scale_to_zero" -> JBool(p.scaleToZero),
+    "enabled" -> JBool(p.enabled),
+    "scale_up_rules" -> JArray(p.scaleUpRules.toList.map(scalingRuleJson)),
+    "scale_down_rules" -> JArray(p.scaleDownRules.toList.map(scalingRuleJson)),
+    "created_at_ms" -> JInt(BigInt(p.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(p.updatedAtMs)))
+
+  private[api] def scalingEventJson(e: ScalingEvent): JObject = JObject(
+    "id" -> JString(e.id), "policy_id" -> JString(e.policyId),
+    "action" -> JString(e.action),
+    "from_replicas" -> JInt(e.fromReplicas),
+    "to_replicas" -> JInt(e.toReplicas),
+    "reason" -> JString(e.reason),
+    "triggered_by" -> JString(e.triggeredBy),
+    "at_ms" -> JInt(BigInt(e.atMs)))
+
+  private def persistScalingPolicies(): Unit =
+    writeFile("scaling_policies.json",
+      JArray(scalingPolicies.toList.map(scalingPolicyJson)))
+
+  private def persistScalingStates(): Unit =
+    writeFile("scaling_state.json", JObject(scalingStates.toList.map {
+      case (id, st) => id -> (JObject(
+        "current_replicas" -> JInt(st.currentReplicas),
+        "last_scale_at_ms" -> st.lastScaleAtMs
+          .map(t => JInt(BigInt(t)): JValue).getOrElse(JNull),
+        "pending_since" -> JObject(st.pendingSince.toList.map {
+          case (k, v) => k -> (JInt(BigInt(v)): JValue)
+        })): JValue)
+    }))
+
+  private def persistScalingHistory(): Unit =
+    writeFile("scaling_history.json",
+      JArray(scalingHistory.toList.map(scalingEventJson)))
+
+  private def loadScalingRule(v: JValue): ScalingRule =
+    ScalingRule(str(v \ "id"), str(v \ "metric"), str(v \ "operator"),
+      v \ "threshold" match {
+        case JDouble(x) => x; case JInt(n) => n.toDouble
+        case JDecimal(x) => x.toDouble; case _ => 0.0
+      },
+      num(v \ "duration_seconds"),
+      (v \ "scale_by") match { case JInt(n) => n.toInt; case _ => 0 })
+
+  private def loadScalingPolicies(): Vector[ScalingPolicy] =
+    readFile("scaling_policies.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        def rules(k: String): Seq[ScalingRule] = o \ k match {
+          case JArray(rs) => rs.map(loadScalingRule)
+          case _          => Nil
+        }
+        ScalingPolicy(str(o \ "id"), str(o \ "name"),
+          str(o \ "target_type"),
+          num(o \ "min_replicas").toInt, num(o \ "max_replicas").toInt,
+          num(o \ "cooldown_seconds"),
+          (o \ "scale_to_zero") == JBool(true),
+          (o \ "enabled") == JBool(true),
+          rules("scale_up_rules"), rules("scale_down_rules"),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def loadScalingStates(): Map[String, ScalingPolicyState] =
+    readFile("scaling_state.json") match {
+      case Some(JObject(fields)) => fields.map { case (id, v) =>
+        id -> ScalingPolicyState(
+          num(v \ "current_replicas").toInt,
+          loadOptL(v \ "last_scale_at_ms"),
+          v \ "pending_since" match {
+            case JObject(ps) => ps.collect {
+              case (k, JInt(n)) => k -> n.toLong
+            }.toMap
+            case _ => Map.empty
+          })
+      }.toMap
+      case _ => Map.empty
+    }
+
+  private def loadScalingHistory(): Vector[ScalingEvent] =
+    readFile("scaling_history.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        ScalingEvent(str(o \ "id"), str(o \ "policy_id"),
+          str(o \ "action"), num(o \ "from_replicas").toInt,
+          num(o \ "to_replicas").toInt, str(o \ "reason"),
+          str(o \ "triggered_by"), num(o \ "at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def validScalingFields(targetType: String, minReplicas: Int,
+                                 maxReplicas: Int, cooldownSeconds: Long,
+                                 up: Seq[(String, String, Double, Long, Int)],
+                                 down: Seq[(String, String, Double, Long, Int)])
+  : Unit = {
+    if (!ScalingTargetTypes.contains(targetType))
+      throw Invalid(s"target_type must be one of " +
+        ScalingTargetTypes.toSeq.sorted.mkString("/"))
+    if (minReplicas < 0) throw Invalid("min_replicas must be >= 0")
+    if (maxReplicas < 1) throw Invalid("max_replicas must be >= 1")
+    if (minReplicas > maxReplicas)
+      throw Invalid("min_replicas cannot be greater than max_replicas")
+    if (cooldownSeconds < 0) throw Invalid("cooldown_seconds must be >= 0")
+    (up ++ down).foreach { case (metric, op, _, dur, scaleBy) =>
+      if (metric.isEmpty) throw Invalid("scaling rule requires a metric")
+      if (!AlertOps.contains(op))
+        throw Invalid(s"scaling rule operator must be one of " +
+          AlertOps.toSeq.sorted.mkString("/"))
+      if (dur < 0) throw Invalid("duration_seconds must be >= 0")
+      // the API takes POSITIVE steps in both lists (ref validator:
+      // ScaleBy <= 0 is a field error); the evaluator receives the
+      // sign from which list the rule sits in
+      if (scaleBy <= 0) throw Invalid("scale_by must be > 0")
+    }
+  }
+
+  /** Rule tuples: (metric, operator, threshold, durationSeconds,
+    * scaleBy) — the API shape. */
+  def createScalingPolicy(name: String, targetType: String,
+                          minReplicas: Int, maxReplicas: Int,
+                          cooldownSeconds: Long = 300L,
+                          scaleToZero: Boolean = false,
+                          enabled: Boolean = true,
+                          scaleUpRules: Seq[(String, String, Double, Long, Int)] = Nil,
+                          scaleDownRules: Seq[(String, String, Double, Long, Int)] = Nil)
+  : ScalingPolicy = lock.synchronized {
+    validName(name)
+    validScalingFields(targetType, minReplicas, maxReplicas,
+      cooldownSeconds, scaleUpRules, scaleDownRules)
+    if (scalingPolicies.exists(_.name == name))
+      throw Conflict("scaling policy with this name already exists")
+    val now = clock()
+    def mk(rs: Seq[(String, String, Double, Long, Int)]): Seq[ScalingRule] =
+      rs.map(r => ScalingRule(newId(), r._1, r._2, r._3, r._4, r._5))
+    val p = ScalingPolicy(newId(), name, targetType, minReplicas,
+      maxReplicas, cooldownSeconds, scaleToZero, enabled,
+      mk(scaleUpRules), mk(scaleDownRules), now, now)
+    scalingPolicies :+= p
+    // initial width: something runs before the first decision — the
+    // policy floor, but at least one replica even for scale-to-zero
+    // policies (zero is a DECISION, never the starting assumption)
+    scalingStates += p.id ->
+      ScalingPolicyState(math.max(minReplicas, 1), None, Map.empty)
+    persistScalingPolicies(); persistScalingStates()
+    p
+  }
+
+  def listScalingPolicies(enabledOnly: Boolean = false): Seq[ScalingPolicy] =
+    lock.synchronized(
+      if (enabledOnly) scalingPolicies.filter(_.enabled) else scalingPolicies)
+
+  def getScalingPolicy(id: String): ScalingPolicy = lock.synchronized(
+    scalingPolicies.find(_.id == id)
+      .getOrElse(throw NotFound("scaling_policy", id)))
+
+  /** Full update; rule ids survive for unchanged (metric, op,
+    * threshold, duration, scaleBy) tuples, each consumed at most once
+    * — pending for-duration clocks key on rule ids. */
+  def updateScalingPolicy(id: String, name: String, targetType: String,
+                          minReplicas: Int, maxReplicas: Int,
+                          cooldownSeconds: Long, scaleToZero: Boolean,
+                          enabled: Boolean,
+                          scaleUpRules: Seq[(String, String, Double, Long, Int)],
+                          scaleDownRules: Seq[(String, String, Double, Long, Int)])
+  : ScalingPolicy = lock.synchronized {
+    validName(name)
+    validScalingFields(targetType, minReplicas, maxReplicas,
+      cooldownSeconds, scaleUpRules, scaleDownRules)
+    val p = getScalingPolicy(id)
+    if (scalingPolicies.exists(x => x.name == name && x.id != id))
+      throw Conflict("scaling policy with this name already exists")
+    def rekey(existing: Seq[ScalingRule],
+              rs: Seq[(String, String, Double, Long, Int)]): Seq[ScalingRule] = {
+      val remaining = scala.collection.mutable.ArrayBuffer.from(existing)
+      rs.map { r =>
+        remaining.indexWhere(x => x.metric == r._1 && x.op == r._2 &&
+          x.threshold == r._3 && x.durationSeconds == r._4 &&
+          x.scaleBy == r._5) match {
+          case -1 => ScalingRule(newId(), r._1, r._2, r._3, r._4, r._5)
+          case i  => remaining.remove(i)
+        }
+      }
+    }
+    val next = p.copy(name = name, targetType = targetType,
+      minReplicas = minReplicas, maxReplicas = maxReplicas,
+      cooldownSeconds = cooldownSeconds, scaleToZero = scaleToZero,
+      enabled = enabled,
+      scaleUpRules = rekey(p.scaleUpRules, scaleUpRules),
+      scaleDownRules = rekey(p.scaleDownRules, scaleDownRules),
+      updatedAtMs = clock())
+    scalingPolicies = scalingPolicies.map(x => if (x.id == id) next else x)
+    persistScalingPolicies()
+    next
+  }
+
+  def deleteScalingPolicy(id: String): Unit = lock.synchronized {
+    val p = getScalingPolicy(id)
+    scalingPolicies = scalingPolicies.filterNot(_.id == p.id)
+    scalingStates -= p.id
+    persistScalingPolicies(); persistScalingStates()
+  }
+
+  def setScalingPolicyEnabled(id: String, enabled: Boolean): ScalingPolicy =
+    lock.synchronized {
+      val p = getScalingPolicy(id)
+      val next = p.copy(enabled = enabled, updatedAtMs = clock())
+      scalingPolicies = scalingPolicies.map(x => if (x.id == id) next else x)
+      persistScalingPolicies()
+      next
+    }
+
+  def getScalingPolicyState(id: String): ScalingPolicyState =
+    lock.synchronized {
+      getScalingPolicy(id)
+      scalingStates.getOrElse(id, ScalingPolicyState(1, None, Map.empty))
+    }
+
+  /** One evaluation tick (the reference's POST .../evaluate → the
+    * evaluator.go loop): run [[graft.observe.Scaling.evaluatePolicy]]
+    * over the CALLER-supplied metric values, carry the next state
+    * (cooldown + pending clocks persisted), and record executed
+    * decisions as history rows. The decision layer ends here —
+    * actuation belongs to the deployment (`spark.dynamicAllocation`
+    * on the engine side, K8s on the reference's). */
+  def evaluateScalingPolicy(id: String, metrics: Map[String, Double])
+  : graft.observe.Scaling.Decision = lock.synchronized {
+    import graft.observe.Scaling
+    val p = getScalingPolicy(id)
+    if (!p.enabled) throw Conflict("scaling policy is disabled")
+    def toRule(r: ScalingRule, up: Boolean): Scaling.Rule =
+      Scaling.Rule(r.id, r.metric, Scaling.Op.parse(r.op), r.threshold,
+        if (up) r.scaleBy else -r.scaleBy, r.durationSeconds * 1000L)
+    val pol = Scaling.Policy(p.id, p.minReplicas, p.maxReplicas,
+      p.cooldownSeconds * 1000L, p.scaleToZero,
+      p.scaleUpRules.map(toRule(_, up = true)),
+      p.scaleDownRules.map(toRule(_, up = false)))
+    val st = scalingStates.getOrElse(p.id,
+      ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+    val now = clock()
+    val d = Scaling.evaluatePolicy(pol,
+      Scaling.State(st.currentReplicas, st.lastScaleAtMs, st.pendingSince),
+      metrics, now)
+    scalingStates += p.id -> ScalingPolicyState(d.next.currentReplicas,
+      d.next.lastScaleTimeMs, d.next.pendingSinceMs)
+    persistScalingStates()
+    if (d.shouldExecute) {
+      val action = d.action match {
+        case Scaling.Action.ScaleUp   => "scale-up"
+        case Scaling.Action.ScaleDown => "scale-down"
+        case Scaling.Action.None      => "none"
+      }
+      scalingHistory :+= ScalingEvent(newId(), p.id, action,
+        st.currentReplicas, d.desiredReplicas, d.reason,
+        d.triggeredBy.getOrElse(""), now)
+      persistScalingHistory()
+    }
+    d
+  }
+
+  def listScalingHistory(policyId: Option[String] = None): Seq[ScalingEvent] =
+    lock.synchronized {
+      policyId.foreach(getScalingPolicy) // 404 for an unknown policy
+      policyId.fold(scalingHistory)(id =>
+        scalingHistory.filter(_.policyId == id))
+    }
 
   // ---- alert instances / history / silences (ref handlers/alerts.go:
   // 35-44; types.go AlertInstance/AlertHistory/AlertSilence) ----------

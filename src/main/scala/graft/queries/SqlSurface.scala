@@ -1533,6 +1533,111 @@ object SqlSurface extends QueryModule {
     rows.toDF("step", "result").orderBy(col("step"))
   }
 
+  // ---- the reference's scaling-policy surface end-to-end (ref
+  // internal/api/handlers/scaling.go:27-42, services through
+  // evaluator.go): policy CRUD with the reference's validation, an
+  // evaluation tick wired to graft.observe.Scaling (dry-run metrics
+  // in the request body), per-policy state, and the history rows only
+  // EXECUTED decisions produce. Durations/cooldown are zero here so
+  // the steps are wall-clock-deterministic; the for-duration and
+  // cooldown arms are spec-pinned with an injected clock in
+  // ControlPlaneSpec.
+  private def apiScalingPolicies(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_scalplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      def n_(v: JValue): Long = v match { case JInt(n) => n.toLong; case _ => -1L }
+      val body =
+        """{"name":"workers","target_type":"cdc-worker",
+          |"min_replicas":1,"max_replicas":4,"cooldown_seconds":0,
+          |"scale_up_rules":[{"metric":"graft_gate_lag","operator":"gt",
+          |  "threshold":10.0,"duration_seconds":0,"scale_by":2}],
+          |"scale_down_rules":[{"metric":"graft_gate_lag","operator":"lt",
+          |  "threshold":1.0,"duration_seconds":0,"scale_by":1}]}""".stripMargin
+      val (c1, b1) = call("POST", "/api/v1/scaling/policies", body)
+      val pid = s_(b1 \ "id")
+      val (c2, _) = call("POST", "/api/v1/scaling/policies",
+        """{"name":"x","target_type":"warp-drive","min_replicas":1,"max_replicas":4}""")
+      val (c3, _) = call("POST", "/api/v1/scaling/policies", body)
+      def eval(lag: Double): JValue = call("POST",
+        s"/api/v1/scaling/policies/$pid/evaluate",
+        s"""{"metrics":{"graft_gate_lag":$lag}}""")._2
+      val e1 = eval(42.0) // 1 -> 3
+      val e2 = eval(42.0) // 3 -> 4 (clamped at max)
+      val e3 = eval(0.5)  // 4 -> 3
+      val (_, st) = call("GET", s"/api/v1/scaling/policies/$pid/state")
+      val (_, hist) = call("GET", s"/api/v1/scaling/policies/$pid/history")
+      val actions = hist \ "history" \ "action" \\ classOf[JString]
+      val (c7, _) = call("POST", s"/api/v1/scaling/policies/$pid/disable")
+      val (c8, _) = call("POST", s"/api/v1/scaling/policies/$pid/evaluate",
+        """{"metrics":{}}""")
+      val (_, _) = call("POST", s"/api/v1/scaling/policies/$pid/enable")
+      val (c10, b10) = call("PUT", s"/api/v1/scaling/policies/$pid",
+        """{"name":"workers","target_type":"cdc-worker",
+          |"min_replicas":1,"max_replicas":8,"cooldown_seconds":0}""".stripMargin)
+      val (c11, _) = call("DELETE", s"/api/v1/scaling/policies/$pid")
+      val (c12, _) = call("GET", s"/api/v1/scaling/policies/$pid")
+      Seq(
+        ("create_201", flag(c1 == 201)),
+        ("bad_target_400", flag(c2 == 400)),
+        ("dup_409", flag(c3 == 409)),
+        ("eval_up_desired", n_(e1 \ "desired_replicas")),
+        ("eval_up_clamped", n_(e2 \ "desired_replicas")),
+        ("eval_down_desired", n_(e3 \ "desired_replicas")),
+        ("state_replicas", n_(st \ "current_replicas")),
+        ("history_executed", n_(hist \ "total")),
+        ("history_shape", flag(actions ==
+          List("scale-up", "scale-up", "scale-down"))),
+        ("disable_200", flag(c7 == 200)),
+        ("disabled_eval_409", flag(c8 == 409)),
+        ("update_max", flag(c10 == 200 && n_(b10 \ "max_replicas") == 8L)),
+        ("deleted_200", flag(c11 == 200)),
+        ("gone_404", flag(c12 == 404)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiScalingPoliciesSql =
+    """SELECT step, result FROM (VALUES
+      |  ('create_201', CAST(1 AS BIGINT)),
+      |  ('bad_target_400', CAST(1 AS BIGINT)),
+      |  ('dup_409', CAST(1 AS BIGINT)),
+      |  ('eval_up_desired', CAST(3 AS BIGINT)),
+      |  ('eval_up_clamped', CAST(4 AS BIGINT)),
+      |  ('eval_down_desired', CAST(3 AS BIGINT)),
+      |  ('state_replicas', CAST(3 AS BIGINT)),
+      |  ('history_executed', CAST(3 AS BIGINT)),
+      |  ('history_shape', CAST(1 AS BIGINT)),
+      |  ('disable_200', CAST(1 AS BIGINT)),
+      |  ('disabled_eval_409', CAST(1 AS BIGINT)),
+      |  ('update_max', CAST(1 AS BIGINT)),
+      |  ('deleted_200', CAST(1 AS BIGINT)),
+      |  ('gone_404', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   private val apiOidcProvidersSql =
     """SELECT step, result FROM (VALUES
       |  ('version_ok', CAST(1 AS BIGINT)),
@@ -1560,6 +1665,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
+    GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),
     GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,

@@ -343,4 +343,77 @@ class ControlPlaneSpec extends SparkTestBase {
     cp2.deleteSilence(sil.id)
     intercept[ControlPlane.NotFound] { cp2.getSilence(sil.id) }
   }
+
+  test("scaling policies: CRUD, for-duration evaluation, cooldown, history, persistent state") {
+    val dir = freshDir()
+    @volatile var now = 100000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    // validation family (the reference's field errors)
+    intercept[ControlPlane.Invalid] {
+      cp.createScalingPolicy("p", "warp-drive", 1, 4)
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createScalingPolicy("p", "cdc-worker", 5, 4)
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createScalingPolicy("p", "cdc-worker", 0, 0)
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createScalingPolicy("p", "cdc-worker", 1, 4,
+        scaleUpRules = Seq(("lag", "gt", 10.0, 0L, 0)))
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.createScalingPolicy("p", "cdc-worker", 1, 4,
+        scaleUpRules = Seq(("lag", "contains", 10.0, 0L, 1)))
+    }
+    val p = cp.createScalingPolicy("workers", "cdc-worker", 1, 4,
+      cooldownSeconds = 60L,
+      scaleUpRules = Seq(("philotes_cdc_lag_seconds", "gt", 10.0, 30L, 2)),
+      scaleDownRules = Seq(("philotes_cdc_lag_seconds", "lt", 1.0, 0L, 1)))
+    intercept[ControlPlane.Conflict] {
+      cp.createScalingPolicy("workers", "cdc-worker", 1, 4)
+    }
+    assert(cp.getScalingPolicyState(p.id).currentReplicas === 1)
+    // for-duration: the first over-threshold tick ARMS, never fires
+    val lag = "philotes_cdc_lag_seconds"
+    val d1 = cp.evaluateScalingPolicy(p.id, Map(lag -> 42.0))
+    assert(!d1.shouldExecute)
+    now += 30000L
+    val d2 = cp.evaluateScalingPolicy(p.id, Map(lag -> 42.0))
+    assert(d2.shouldExecute && d2.desiredReplicas === 3) // 1 + scale_by 2
+    assert(cp.getScalingPolicyState(p.id).currentReplicas === 3)
+    // cooldown vetoes the very next over-threshold tick
+    now += 1000L
+    val d3 = cp.evaluateScalingPolicy(p.id, Map(lag -> 42.0))
+    assert(!d3.shouldExecute && d3.reason.contains("cooldown"))
+    // past cooldown, low lag steps DOWN by one
+    now += 60000L
+    val d4 = cp.evaluateScalingPolicy(p.id, Map(lag -> 0.5))
+    assert(d4.shouldExecute && d4.desiredReplicas === 2)
+    // only EXECUTED decisions reach history
+    assert(cp.listScalingHistory(Some(p.id))
+      .map(e => (e.action, e.fromReplicas, e.toReplicas)) ===
+      Seq(("scale-up", 1, 3), ("scale-down", 3, 2)))
+    // disabled policies refuse evaluation; enable restores it
+    cp.setScalingPolicyEnabled(p.id, enabled = false)
+    intercept[ControlPlane.Conflict] {
+      cp.evaluateScalingPolicy(p.id, Map.empty)
+    }
+    cp.setScalingPolicyEnabled(p.id, enabled = true)
+    // full PUT keeps the surviving rule's id (pending clocks key on it)
+    val upId = p.scaleUpRules.head.id
+    val upd = cp.updateScalingPolicy(p.id, "workers", "cdc-worker", 1, 8,
+      60L, scaleToZero = false, enabled = true,
+      Seq((lag, "gt", 10.0, 30L, 2)), Nil)
+    assert(upd.scaleUpRules.head.id === upId &&
+      upd.scaleDownRules.isEmpty && upd.maxReplicas === 8)
+    // state + history survive a reopen (cooldowns outlive restarts)
+    val cp2 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    assert(cp2.getScalingPolicyState(p.id).currentReplicas === 2)
+    assert(cp2.listScalingHistory().size === 2)
+    cp2.deleteScalingPolicy(p.id)
+    assert(new ControlPlane(dir, connTest = _ => Right(1L))
+      .listScalingPolicies().isEmpty)
+  }
 }
