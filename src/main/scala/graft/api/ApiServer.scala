@@ -251,8 +251,22 @@ final class ApiServer(spark: SparkSession,
     v match {
       case JArray(rs) => rs.map(r => (jstr(r \ "metric"),
         jstr(r \ "operator"), jdouble(r \ "threshold"),
-        jint(r \ "duration_seconds", 0).toLong, jint(r \ "scale_by", 0)))
+        jlongStrict(r \ "duration_seconds", "duration_seconds", 0L),
+        jint(r \ "scale_by", 0)))
       case _ => Nil
+    }
+
+  /** Long field with a default for ABSENT; out-of-Long-range values
+    * refuse instead of silently wrapping (a 2^32 cooldown truncating
+    * to 0 would remove the cooldown the client asked for). */
+  private def jlongStrict(v: JValue, name: String, default: Long): Long =
+    v match {
+      case JInt(n) =>
+        if (n.isValidLong) n.toLong
+        else throw ControlPlane.Invalid(s"$name is out of range")
+      case JNothing | JNull => default
+      case other => throw ControlPlane.Invalid(
+        s"$name must be an integer, got ${JsonMethods.compact(JsonMethods.render(other))}")
     }
 
   /** Boolean field with an explicit default for ABSENT; any present
@@ -460,8 +474,8 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 201, cp.scalingPolicyJson(cp.createScalingPolicy(
           jstr(b \ "name"), jstr(b \ "target_type"),
           jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
-          jint(b \ "cooldown_seconds", 300).toLong,
-          (b \ "scale_to_zero") == JBool(true),
+          jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
+          jboolStrict(b \ "scale_to_zero", "scale_to_zero", default = false),
           jboolStrict(b \ "enabled", "enabled", default = true),
           scalingRulesOf(b \ "scale_up_rules"),
           scalingRulesOf(b \ "scale_down_rules"))))
@@ -485,8 +499,9 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, cp.scalingPolicyJson(cp.updateScalingPolicy(id,
           jstr(b \ "name"), jstr(b \ "target_type"),
           jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
-          jint(b \ "cooldown_seconds", 300).toLong,
-          (b \ "scale_to_zero") == JBool(true),
+          jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
+          jboolStrict(b \ "scale_to_zero", "scale_to_zero",
+            prev.scaleToZero),
           jboolStrict(b \ "enabled", "enabled", prev.enabled),
           scalingRulesOf(b \ "scale_up_rules"),
           scalingRulesOf(b \ "scale_down_rules"))))
@@ -500,20 +515,22 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200,
           cp.scalingPolicyJson(cp.setScalingPolicyEnabled(id, enabled = false)))
       case ("POST", Seq("scaling", "policies", id, "evaluate")) =>
-        // evaluate against the PROCESS registry (the reference polls
-        // its metrics backend); an explicit body {"metrics": {...}}
-        // overrides — how operators dry-run a policy against values
-        val overrides = HttpUtil.readJsonBody(ex)
-          .map(_ \ "metrics").getOrElse(JNothing) match {
+        // evaluate against THIS server's registry (the reference polls
+        // its metrics backend); a body carrying {"metrics": {...}}
+        // REPLACES the registry view — a dry-run must never fire on
+        // live values the operator did not supply. A malformed body is
+        // 400 like every other route: silently evaluating live state
+        // (mutating cooldown + history) on a typo'd dry-run is not an
+        // acceptable degradation
+        val b = jsonBody(ex)
+        val metrics = b \ "metrics" match {
           case JObject(fs) => fs.collect {
             case (k, JDouble(v))  => k -> v
             case (k, JInt(n))     => k -> n.toDouble
             case (k, JDecimal(v)) => k -> v.toDouble
           }.toMap
-          case _ => Map.empty[String, Double]
+          case _ => registry.snapshot()
         }
-        val metrics =
-          graft.observe.Metrics.global.snapshot() ++ overrides
         val d = cp.evaluateScalingPolicy(id, metrics)
         respond(ex, 200, JObject(
           "action" -> JString(d.action match {

@@ -1013,7 +1013,21 @@ final class ControlPlane(metaDir: String,
       scaleDownRules = rekey(p.scaleDownRules, scaleDownRules),
       updatedAtMs = clock())
     scalingPolicies = scalingPolicies.map(x => if (x.id == id) next else x)
-    persistScalingPolicies()
+    // reconcile persisted state with the NEW policy: clamp the width
+    // into the new bounds (a lowered ceiling must not leave the policy
+    // permanently above its own declared maximum — no rule can move it
+    // back inside) and drop pending clocks for rule ids that no longer
+    // exist (the evaluator only clears clocks for rules it reaches, so
+    // orphans would otherwise persist forever)
+    val liveRuleIds =
+      (next.scaleUpRules ++ next.scaleDownRules).map(_.id).toSet
+    val st = scalingStates.getOrElse(id, defaultScalingState(next))
+    val lo = if (next.scaleToZero) 0 else next.minReplicas
+    scalingStates += id -> st.copy(
+      currentReplicas =
+        math.max(lo, math.min(next.maxReplicas, st.currentReplicas)),
+      pendingSince = st.pendingSince.filter(kv => liveRuleIds(kv._1)))
+    persistScalingPolicies(); persistScalingStates()
     next
   }
 
@@ -1033,10 +1047,15 @@ final class ControlPlane(metaDir: String,
       next
     }
 
+  /** The ONE missing-state fallback — the state endpoint and the
+    * evaluator must never disagree about a policy's width. */
+  private def defaultScalingState(p: ScalingPolicy): ScalingPolicyState =
+    ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty)
+
   def getScalingPolicyState(id: String): ScalingPolicyState =
     lock.synchronized {
-      getScalingPolicy(id)
-      scalingStates.getOrElse(id, ScalingPolicyState(1, None, Map.empty))
+      val p = getScalingPolicy(id)
+      scalingStates.getOrElse(id, defaultScalingState(p))
     }
 
   /** One evaluation tick (the reference's POST .../evaluate → the
@@ -1058,8 +1077,7 @@ final class ControlPlane(metaDir: String,
       p.cooldownSeconds * 1000L, p.scaleToZero,
       p.scaleUpRules.map(toRule(_, up = true)),
       p.scaleDownRules.map(toRule(_, up = false)))
-    val st = scalingStates.getOrElse(p.id,
-      ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+    val st = scalingStates.getOrElse(p.id, defaultScalingState(p))
     val now = clock()
     val d = Scaling.evaluatePolicy(pol,
       Scaling.State(st.currentReplicas, st.lastScaleAtMs, st.pendingSince),
@@ -1081,12 +1099,14 @@ final class ControlPlane(metaDir: String,
     d
   }
 
+  /** History is deliberately retained past policy deletion (it is the
+    * audit trail) — the per-policy view filters WITHOUT an existence
+    * check, so a deleted policy's rows stay fetchable both here and in
+    * the global listing; the two views never disagree. */
   def listScalingHistory(policyId: Option[String] = None): Seq[ScalingEvent] =
-    lock.synchronized {
-      policyId.foreach(getScalingPolicy) // 404 for an unknown policy
+    lock.synchronized(
       policyId.fold(scalingHistory)(id =>
-        scalingHistory.filter(_.policyId == id))
-    }
+        scalingHistory.filter(_.policyId == id)))
 
   // ---- alert instances / history / silences (ref handlers/alerts.go:
   // 35-44; types.go AlertInstance/AlertHistory/AlertSilence) ----------

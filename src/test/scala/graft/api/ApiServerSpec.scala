@@ -493,6 +493,56 @@ class ApiServerSpec extends SparkTestBase {
     } finally bare.close()
   }
 
+  test("scaling evaluate: dry-run metrics REPLACE the registry; malformed body 400; strict fields") {
+    buildCatalog()
+    val dir = Files.createTempDirectory("graft-scal-api").toString
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L))
+    val reg = new graft.observe.Metrics.Registry
+    val srv = new ApiServer(spark, controlPlane = Some(cp), registry = reg)
+    try {
+      val base = srv.baseUri
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+        val req = method match {
+          case "GET" => b.GET()
+          case m     => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      val (c1, b1) = call("POST", "/api/v1/scaling/policies",
+        """{"name":"w","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4,"cooldown_seconds":0,
+          |"scale_up_rules":[{"metric":"philotes_cdc_lag_seconds",
+          |  "operator":"gt","threshold":10.0,"scale_by":2}]}""".stripMargin)
+      assert(c1 === 201)
+      val pid = str(b1 \ "id")
+      val ev = s"/api/v1/scaling/policies/$pid/evaluate"
+      // the live registry WOULD fire — but a dry-run body REPLACES the
+      // registry view, so empty dry-run metrics trigger nothing
+      reg.setGauge("cdc", "lag_seconds", 42.0)
+      val (ce, be) = call("POST", ev, """{"metrics":{}}""")
+      assert(ce === 200 && be \ "should_execute" === JBool(false))
+      // no metrics section: the INJECTED registry (not the process
+      // global) drives the evaluation
+      val (ce2, be2) = call("POST", ev, "{}")
+      assert(ce2 === 200 && be2 \ "should_execute" === JBool(true) &&
+        be2 \ "desired_replicas" === JInt(3))
+      // a malformed body is 400 — never a silent live evaluation that
+      // ticks cooldown/history while ignoring the supplied metrics
+      assert(call("POST", ev, """{"metrics":{,}}""")._1 === 400)
+      // strict field parsing: a string boolean and an out-of-range
+      // cooldown refuse instead of silently coercing
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"x","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4,"scale_to_zero":"true"}""".stripMargin)._1 === 400)
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"y","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4,
+          |"cooldown_seconds":4294967296000000000000}""".stripMargin)._1 === 400)
+    } finally srv.close()
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry

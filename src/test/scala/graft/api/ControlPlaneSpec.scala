@@ -412,7 +412,20 @@ class ControlPlaneSpec extends SparkTestBase {
       clock = () => now)
     assert(cp2.getScalingPolicyState(p.id).currentReplicas === 2)
     assert(cp2.listScalingHistory().size === 2)
+    // arm a pending clock, then PUT dropping the rule with a LOWERED
+    // ceiling: the orphaned clock is pruned and the persisted width
+    // clamps into the new bounds (no rule could move it back inside)
+    now += 120000L
+    cp2.evaluateScalingPolicy(p.id, Map(lag -> 42.0)) // arms the 30s rule
+    assert(cp2.getScalingPolicyState(p.id).pendingSince.size === 1)
+    cp2.updateScalingPolicy(p.id, "workers", "cdc-worker", 1, 1, 60L,
+      scaleToZero = false, enabled = true, Nil, Nil)
+    val stAfter = cp2.getScalingPolicyState(p.id)
+    assert(stAfter.pendingSince.isEmpty && stAfter.currentReplicas === 1)
     cp2.deleteScalingPolicy(p.id)
+    // the audit trail survives deletion in BOTH history views
+    assert(cp2.listScalingHistory(Some(p.id)).size === 2)
+    assert(cp2.listScalingHistory().size === 2)
     assert(new ControlPlane(dir, connTest = _ => Right(1L))
       .listScalingPolicies().isEmpty)
   }
