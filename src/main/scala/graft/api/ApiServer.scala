@@ -256,6 +256,19 @@ final class ApiServer(spark: SparkSession,
       case _ => Nil
     }
 
+  /** Current query-engine pressure off the SparkContext status tracker
+    * — the counterpart of the reference polling Trino /v1/cluster
+    * (collector.go:55-160). Local mode has no admission queue, so
+    * not-yet-running active stages stand in for queueing pressure. */
+  private def queryEngineMetrics(): graft.observe.Scaling.QueryMetrics = {
+    val tracker = spark.sparkContext.statusTracker
+    val running = tracker.getActiveJobIds().length
+    val stages = tracker.getActiveStageIds().length
+    graft.observe.Scaling.QueryMetrics(
+      queued = math.max(stages - running, 0),
+      running = running, blocked = 0)
+  }
+
   /** Long field with a default for ABSENT; out-of-Long-range values
     * refuse instead of silently wrapping (a 2^32 cooldown truncating
     * to 0 would remove the cooldown the client asked for). */
@@ -553,6 +566,99 @@ final class ApiServer(spark: SparkSession,
           "pending_rules" -> JInt(st.pendingSince.size)))
       case ("GET", Seq("scaling", "policies", id, "history")) =>
         val all = cp.listScalingHistory(Some(id))
+        respond(ex, 200, JObject(
+          "history" -> JArray(all.toList.map(cp.scalingEventJson)),
+          "total" -> JInt(all.size)))
+      // ---- query-engine scaling (ref internal/api/handlers/
+      // queryscaling.go:35-45 — policy CRUD, current queue metrics,
+      // history; evaluation through the fixed-threshold model, driven
+      // here by an explicit tick the reference's background loop
+      // performs on a timer)
+      case ("POST", Seq("queryscaling", "policies")) =>
+        val b = jsonBody(ex)
+        respond(ex, 201,
+          cp.queryScalingPolicyJson(cp.createQueryScalingPolicy(
+            jstr(b \ "name"), jstr(b \ "query_engine"),
+            jint(b \ "min_replicas", 1), jint(b \ "max_replicas", 10),
+            jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
+            jboolStrict(b \ "scale_to_zero", "scale_to_zero",
+              default = false),
+            jboolStrict(b \ "enabled", "enabled", default = true),
+            jint(b \ "queued_queries_threshold", 5),
+            jint(b \ "running_queries_threshold", 10),
+            jint(b \ "latency_threshold_seconds", 30))))
+      case ("GET", Seq("queryscaling", "policies")) =>
+        val all = cp.listQueryScalingPolicies()
+        respond(ex, 200, JObject(
+          "policies" -> JArray(all.toList.map(cp.queryScalingPolicyJson)),
+          "total_count" -> JInt(all.size)))
+      case ("GET", Seq("queryscaling", "policies", id)) =>
+        respond(ex, 200,
+          cp.queryScalingPolicyJson(cp.getQueryScalingPolicy(id)))
+      case ("PUT", Seq("queryscaling", "policies", id)) =>
+        val b = jsonBody(ex)
+        val prev = cp.getQueryScalingPolicy(id)
+        respond(ex, 200,
+          cp.queryScalingPolicyJson(cp.updateQueryScalingPolicy(id,
+            jstr(b \ "name"), jstr(b \ "query_engine"),
+            jint(b \ "min_replicas", prev.minReplicas),
+            jint(b \ "max_replicas", prev.maxReplicas),
+            jlongStrict(b \ "cooldown_seconds", "cooldown_seconds",
+              prev.cooldownSeconds),
+            jboolStrict(b \ "scale_to_zero", "scale_to_zero",
+              prev.scaleToZero),
+            jboolStrict(b \ "enabled", "enabled", prev.enabled),
+            jint(b \ "queued_queries_threshold", prev.queuedThreshold),
+            jint(b \ "running_queries_threshold", prev.runningThreshold),
+            jint(b \ "latency_threshold_seconds",
+              prev.latencyThresholdSeconds))))
+      case ("DELETE", Seq("queryscaling", "policies", id)) =>
+        cp.deleteQueryScalingPolicy(id)
+        respond(ex, 200, JObject("deleted" -> JBool(true)))
+      case ("GET", Seq("queryscaling", "metrics")) =>
+        val m = queryEngineMetrics()
+        respond(ex, 200, JObject(
+          "queued_queries" -> JInt(m.queued),
+          "running_queries" -> JInt(m.running),
+          "blocked_queries" -> JInt(m.blocked),
+          "p95_latency_ms" -> m.p95LatencyMs
+            .map(v => JDouble(v): JValue).getOrElse(JNull)))
+      case ("GET", Seq("queryscaling", "history")) =>
+        val all = cp.listQueryScalingHistory()
+        respond(ex, 200, JObject(
+          "history" -> JArray(all.toList.map(cp.scalingEventJson)),
+          "total" -> JInt(all.size)))
+      case ("GET", Seq("queryscaling", "policies", id, "state")) =>
+        val st = cp.getQueryScalingState(id)
+        respond(ex, 200, JObject(
+          "policy_id" -> JString(id),
+          "current_replicas" -> JInt(st.currentReplicas),
+          "last_scale_at_ms" -> st.lastScaleAtMs
+            .map(t => JInt(BigInt(t)): JValue).getOrElse(JNull)))
+      case ("POST", Seq("queryscaling", "policies", id, "evaluate")) =>
+        // dry-run metrics REPLACE the live view, same contract as the
+        // generic scaling evaluate
+        val b = jsonBody(ex)
+        val metrics = b \ "metrics" match {
+          case o: JObject => Some(graft.observe.Scaling.QueryMetrics(
+            jint(o \ "queued", 0), jint(o \ "running", 0),
+            jint(o \ "blocked", 0),
+            o \ "p95_latency_ms" match {
+              case JDouble(v)  => Some(v)
+              case JInt(n)     => Some(n.toDouble)
+              case JDecimal(v) => Some(v.toDouble)
+              case _           => None
+            }))
+          case _ => Some(queryEngineMetrics())
+        }
+        val d = cp.evaluateQueryScalingPolicy(id, metrics)
+        respond(ex, 200, JObject(
+          "action" -> JString(d.action),
+          "desired_replicas" -> JInt(d.desiredReplicas),
+          "reason" -> JString(d.reason),
+          "trigger_value" -> JDouble(d.triggerValue)))
+      case ("GET", Seq("queryscaling", "policies", id, "history")) =>
+        val all = cp.listQueryScalingHistory(Some(id))
         respond(ex, 200, JObject(
           "history" -> JArray(all.toList.map(cp.scalingEventJson)),
           "total" -> JInt(all.size)))

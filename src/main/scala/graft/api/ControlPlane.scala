@@ -155,6 +155,23 @@ object ControlPlane {
                                 toReplicas: Int, reason: String,
                                 triggeredBy: String, atMs: Long)
 
+  /** One query-ENGINE scaling policy (ref internal/api/models/
+    * queryscaling.go:21-40 QueryScalingPolicy): the fixed-threshold
+    * model [[graft.observe.Scaling.QueryPolicy]] evaluates — queue
+    * depth, running count, p95 latency, each stepping by ONE replica.
+    * Business-hours schedule fields stay with the actuation layer the
+    * SURVEY scopes out. */
+  final case class QueryScalingPolicy(id: String, name: String,
+                                      queryEngine: String,
+                                      enabled: Boolean,
+                                      minReplicas: Int, maxReplicas: Int,
+                                      cooldownSeconds: Long,
+                                      scaleToZero: Boolean,
+                                      queuedThreshold: Int,
+                                      runningThreshold: Int,
+                                      latencyThresholdSeconds: Int,
+                                      createdAtMs: Long, updatedAtMs: Long)
+
   /** One alert instance (ref types.go:169-187 AlertInstance): the
     * LIVE state of a (rule, fingerprint) pair — firing or resolved,
     * optionally acknowledged. The evaluator's machine decides the
@@ -290,6 +307,12 @@ final class ControlPlane(metaDir: String,
   private var scalingPolicies: Vector[ScalingPolicy] = loadScalingPolicies()
   private var scalingStates: Map[String, ScalingPolicyState] = loadScalingStates()
   private var scalingHistory: Vector[ScalingEvent] = loadScalingHistory()
+  private var queryScalingPolicies: Vector[QueryScalingPolicy] =
+    loadQueryScalingPolicies()
+  private var queryScalingStates: Map[String, ScalingPolicyState] =
+    loadQueryScalingStates()
+  private var queryScalingHistory: Vector[ScalingEvent] =
+    loadQueryScalingHistory()
   private val secureRandom = new java.security.SecureRandom()
 
   private def newId(): String = java.util.UUID.randomUUID().toString
@@ -1107,6 +1130,215 @@ final class ControlPlane(metaDir: String,
     lock.synchronized(
       policyId.fold(scalingHistory)(id =>
         scalingHistory.filter(_.policyId == id)))
+
+  // ---- query-engine scaling policies (ref internal/api/handlers/
+  // queryscaling.go:35-220 — the /queryscaling/policies CRUD, current
+  // metrics, and history; evaluation runs the fixed-threshold model in
+  // [[graft.observe.Scaling.evaluateQueryPolicy]]; the reference's
+  // background evaluator loop drives the same service methods) -------
+
+  private val QueryEngines = Set("trino", "risingwave")
+
+  private[api] def queryScalingPolicyJson(p: QueryScalingPolicy): JObject =
+    JObject(
+      "id" -> JString(p.id), "name" -> JString(p.name),
+      "query_engine" -> JString(p.queryEngine),
+      "enabled" -> JBool(p.enabled),
+      "min_replicas" -> JInt(p.minReplicas),
+      "max_replicas" -> JInt(p.maxReplicas),
+      "cooldown_seconds" -> JInt(BigInt(p.cooldownSeconds)),
+      "scale_to_zero" -> JBool(p.scaleToZero),
+      "queued_queries_threshold" -> JInt(p.queuedThreshold),
+      "running_queries_threshold" -> JInt(p.runningThreshold),
+      "latency_threshold_seconds" -> JInt(p.latencyThresholdSeconds),
+      "created_at_ms" -> JInt(BigInt(p.createdAtMs)),
+      "updated_at_ms" -> JInt(BigInt(p.updatedAtMs)))
+
+  private def persistQueryScalingPolicies(): Unit =
+    writeFile("query_scaling_policies.json",
+      JArray(queryScalingPolicies.toList.map(queryScalingPolicyJson)))
+
+  private def persistQueryScalingStates(): Unit =
+    writeFile("query_scaling_state.json",
+      JObject(queryScalingStates.toList.map { case (id, st) =>
+        id -> (JObject(
+          "current_replicas" -> JInt(st.currentReplicas),
+          "last_scale_at_ms" -> st.lastScaleAtMs
+            .map(t => JInt(BigInt(t)): JValue).getOrElse(JNull)): JValue)
+      }))
+
+  private def persistQueryScalingHistory(): Unit =
+    writeFile("query_scaling_history.json",
+      JArray(queryScalingHistory.toList.map(scalingEventJson)))
+
+  private def loadQueryScalingPolicies(): Vector[QueryScalingPolicy] =
+    readFile("query_scaling_policies.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        QueryScalingPolicy(str(o \ "id"), str(o \ "name"),
+          str(o \ "query_engine"), (o \ "enabled") == JBool(true),
+          num(o \ "min_replicas").toInt, num(o \ "max_replicas").toInt,
+          num(o \ "cooldown_seconds"),
+          (o \ "scale_to_zero") == JBool(true),
+          num(o \ "queued_queries_threshold").toInt,
+          num(o \ "running_queries_threshold").toInt,
+          num(o \ "latency_threshold_seconds").toInt,
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def loadQueryScalingStates(): Map[String, ScalingPolicyState] =
+    readFile("query_scaling_state.json") match {
+      case Some(JObject(fields)) => fields.map { case (id, v) =>
+        id -> ScalingPolicyState(num(v \ "current_replicas").toInt,
+          loadOptL(v \ "last_scale_at_ms"), Map.empty)
+      }.toMap
+      case _ => Map.empty
+    }
+
+  private def loadQueryScalingHistory(): Vector[ScalingEvent] =
+    readFile("query_scaling_history.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        ScalingEvent(str(o \ "id"), str(o \ "policy_id"),
+          str(o \ "action"), num(o \ "from_replicas").toInt,
+          num(o \ "to_replicas").toInt, str(o \ "reason"),
+          str(o \ "triggered_by"), num(o \ "at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def validQueryScalingFields(queryEngine: String, minReplicas: Int,
+                                      maxReplicas: Int, cooldownSeconds: Long,
+                                      queued: Int, running: Int,
+                                      latency: Int): Unit = {
+    if (!QueryEngines.contains(queryEngine))
+      throw Invalid(s"query_engine must be one of " +
+        QueryEngines.toSeq.sorted.mkString("/"))
+    if (minReplicas < 0) throw Invalid("min_replicas must be >= 0")
+    if (maxReplicas < 1) throw Invalid("max_replicas must be >= 1")
+    if (minReplicas > maxReplicas)
+      throw Invalid("min_replicas cannot be greater than max_replicas")
+    if (cooldownSeconds < 0) throw Invalid("cooldown_seconds must be >= 0")
+    if (queued < 1) throw Invalid("queued_queries_threshold must be >= 1")
+    if (running < 1) throw Invalid("running_queries_threshold must be >= 1")
+    if (latency < 0) throw Invalid("latency_threshold_seconds must be >= 0")
+  }
+
+  /** Defaults are the reference's config defaults (config.go:921-926):
+    * queued ≥ 5, running ≥ 10, p95 ≥ 30 s, cooldown 300 s, 1..10. */
+  def createQueryScalingPolicy(name: String, queryEngine: String,
+                               minReplicas: Int = 1, maxReplicas: Int = 10,
+                               cooldownSeconds: Long = 300L,
+                               scaleToZero: Boolean = false,
+                               enabled: Boolean = true,
+                               queuedThreshold: Int = 5,
+                               runningThreshold: Int = 10,
+                               latencyThresholdSeconds: Int = 30)
+  : QueryScalingPolicy = lock.synchronized {
+    validName(name)
+    validQueryScalingFields(queryEngine, minReplicas, maxReplicas,
+      cooldownSeconds, queuedThreshold, runningThreshold,
+      latencyThresholdSeconds)
+    if (queryScalingPolicies.exists(_.name == name))
+      throw Conflict("query scaling policy with this name already exists")
+    val now = clock()
+    val p = QueryScalingPolicy(newId(), name, queryEngine, enabled,
+      minReplicas, maxReplicas, cooldownSeconds, scaleToZero,
+      queuedThreshold, runningThreshold, latencyThresholdSeconds, now, now)
+    queryScalingPolicies :+= p
+    queryScalingStates += p.id ->
+      ScalingPolicyState(math.max(minReplicas, 1), None, Map.empty)
+    persistQueryScalingPolicies(); persistQueryScalingStates()
+    p
+  }
+
+  def listQueryScalingPolicies(): Seq[QueryScalingPolicy] =
+    lock.synchronized(queryScalingPolicies)
+
+  def getQueryScalingPolicy(id: String): QueryScalingPolicy =
+    lock.synchronized(queryScalingPolicies.find(_.id == id)
+      .getOrElse(throw NotFound("query_scaling_policy", id)))
+
+  def updateQueryScalingPolicy(id: String, name: String, queryEngine: String,
+                               minReplicas: Int, maxReplicas: Int,
+                               cooldownSeconds: Long, scaleToZero: Boolean,
+                               enabled: Boolean, queuedThreshold: Int,
+                               runningThreshold: Int,
+                               latencyThresholdSeconds: Int)
+  : QueryScalingPolicy = lock.synchronized {
+    validName(name)
+    validQueryScalingFields(queryEngine, minReplicas, maxReplicas,
+      cooldownSeconds, queuedThreshold, runningThreshold,
+      latencyThresholdSeconds)
+    val p = getQueryScalingPolicy(id)
+    if (queryScalingPolicies.exists(x => x.name == name && x.id != id))
+      throw Conflict("query scaling policy with this name already exists")
+    val next = p.copy(name = name, queryEngine = queryEngine,
+      minReplicas = minReplicas, maxReplicas = maxReplicas,
+      cooldownSeconds = cooldownSeconds, scaleToZero = scaleToZero,
+      enabled = enabled, queuedThreshold = queuedThreshold,
+      runningThreshold = runningThreshold,
+      latencyThresholdSeconds = latencyThresholdSeconds,
+      updatedAtMs = clock())
+    queryScalingPolicies =
+      queryScalingPolicies.map(x => if (x.id == id) next else x)
+    // clamp the persisted width into the new bounds, same rationale as
+    // the generic policies: nothing else can move it back inside
+    val st = queryScalingStates.getOrElse(id,
+      ScalingPolicyState(math.max(next.minReplicas, 1), None, Map.empty))
+    val lo = if (next.scaleToZero) 0 else next.minReplicas
+    queryScalingStates += id -> st.copy(currentReplicas =
+      math.max(lo, math.min(next.maxReplicas, st.currentReplicas)))
+    persistQueryScalingPolicies(); persistQueryScalingStates()
+    next
+  }
+
+  def deleteQueryScalingPolicy(id: String): Unit = lock.synchronized {
+    val p = getQueryScalingPolicy(id)
+    queryScalingPolicies = queryScalingPolicies.filterNot(_.id == p.id)
+    queryScalingStates -= p.id
+    persistQueryScalingPolicies(); persistQueryScalingStates()
+  }
+
+  def getQueryScalingState(id: String): ScalingPolicyState =
+    lock.synchronized {
+      val p = getQueryScalingPolicy(id)
+      queryScalingStates.getOrElse(id,
+        ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+    }
+
+  /** One evaluation tick against the supplied queue metrics — what the
+    * reference's background evaluator does per poll; exposed the same
+    * dry-run-able way as the generic policies. */
+  def evaluateQueryScalingPolicy(id: String,
+                                 metrics: Option[graft.observe.Scaling.QueryMetrics])
+  : graft.observe.Scaling.QueryDecision = lock.synchronized {
+    import graft.observe.Scaling
+    val p = getQueryScalingPolicy(id)
+    val pol = Scaling.QueryPolicy(p.id, p.enabled, p.minReplicas,
+      p.maxReplicas, p.cooldownSeconds * 1000L, p.scaleToZero,
+      p.queuedThreshold, p.runningThreshold, p.latencyThresholdSeconds)
+    val st = queryScalingStates.getOrElse(id,
+      ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+    val now = clock()
+    val d = Scaling.evaluateQueryPolicy(pol,
+      Scaling.QueryState(st.currentReplicas, st.lastScaleAtMs), metrics, now)
+    queryScalingStates += id -> ScalingPolicyState(
+      d.next.currentReplicas, d.next.lastScaleTimeMs, Map.empty)
+    persistQueryScalingStates()
+    if (d.action != "none") {
+      queryScalingHistory :+= ScalingEvent(newId(), id, d.action,
+        st.currentReplicas, d.desiredReplicas, d.reason,
+        s"value:${d.triggerValue}", now)
+      persistQueryScalingHistory()
+    }
+    d
+  }
+
+  def listQueryScalingHistory(policyId: Option[String] = None)
+  : Seq[ScalingEvent] = lock.synchronized(
+    policyId.fold(queryScalingHistory)(id =>
+      queryScalingHistory.filter(_.policyId == id)))
 
   // ---- alert instances / history / silences (ref handlers/alerts.go:
   // 35-44; types.go AlertInstance/AlertHistory/AlertSilence) ----------

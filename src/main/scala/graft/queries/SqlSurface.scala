@@ -1638,6 +1638,111 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- the reference's query-engine scaling surface end-to-end (ref
+  // internal/api/handlers/queryscaling.go, the fixed-threshold model
+  // of internal/scaling/query/policy.go): policy CRUD, evaluation
+  // ticks over dry-run queue metrics (step-by-one up, half-threshold
+  // down, scale-to-zero only when queued=running=blocked=0), state,
+  // history of executed decisions, and the live metrics endpoint.
+  private def apiQueryScaling(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_qscalplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      def n_(v: JValue): Long = v match { case JInt(n) => n.toLong; case _ => -1L }
+      val body =
+        """{"name":"trino-pool","query_engine":"trino",
+          |"min_replicas":1,"max_replicas":3,"cooldown_seconds":0,
+          |"scale_to_zero":true,"queued_queries_threshold":5,
+          |"running_queries_threshold":10,
+          |"latency_threshold_seconds":30}""".stripMargin
+      val (c1, b1) = call("POST", "/api/v1/queryscaling/policies", body)
+      val pid = s_(b1 \ "id")
+      val (c2, _) = call("POST", "/api/v1/queryscaling/policies",
+        """{"name":"x","query_engine":"duckdb"}""")
+      val (c3, _) = call("POST", "/api/v1/queryscaling/policies", body)
+      def eval(q: Int, r: Int, bl: Int): JValue = call("POST",
+        s"/api/v1/queryscaling/policies/$pid/evaluate",
+        s"""{"metrics":{"queued":$q,"running":$r,"blocked":$bl}}""")._2
+      val e1 = eval(7, 0, 0) // 1 -> 2: queued over threshold, step ONE
+      val e2 = eval(7, 0, 0) // 2 -> 3
+      val e3 = eval(7, 0, 0) // at max: falls through, load too high to drop
+      val e4 = eval(0, 0, 0) // all idle + scale_to_zero -> 0
+      val (_, st) = call("GET",
+        s"/api/v1/queryscaling/policies/$pid/state")
+      val e5 = eval(7, 0, 0) // wake path: 0 -> 1
+      val (_, hist) = call("GET",
+        s"/api/v1/queryscaling/policies/$pid/history")
+      val (cm, bm) = call("GET", "/api/v1/queryscaling/metrics")
+      val (c10, b10) = call("PUT",
+        s"/api/v1/queryscaling/policies/$pid",
+        """{"name":"trino-pool","query_engine":"trino",
+          |"max_replicas":5}""".stripMargin)
+      val (c11, _) = call("DELETE",
+        s"/api/v1/queryscaling/policies/$pid")
+      val (c12, _) = call("GET",
+        s"/api/v1/queryscaling/policies/$pid")
+      Seq(
+        ("create_201", flag(c1 == 201)),
+        ("bad_engine_400", flag(c2 == 400)),
+        ("dup_409", flag(c3 == 409)),
+        ("eval_up1", n_(e1 \ "desired_replicas")),
+        ("eval_up2", n_(e2 \ "desired_replicas")),
+        ("eval_at_max_none", flag(s_(e3 \ "action") == "none")),
+        ("eval_scale_to_zero", flag(s_(e4 \ "action") == "scale_to_zero" &&
+          n_(e4 \ "desired_replicas") == 0L)),
+        ("state_after_zero", n_(st \ "current_replicas")),
+        ("eval_wake_up", n_(e5 \ "desired_replicas")),
+        ("history_executed", n_(hist \ "total")),
+        ("metrics_served", flag(cm == 200 &&
+          n_(bm \ "queued_queries") >= 0L && n_(bm \ "running_queries") >= 0L)),
+        ("update_max", flag(c10 == 200 && n_(b10 \ "max_replicas") == 5L)),
+        ("deleted_200", flag(c11 == 200)),
+        ("gone_404", flag(c12 == 404)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiQueryScalingSql =
+    """SELECT step, result FROM (VALUES
+      |  ('create_201', CAST(1 AS BIGINT)),
+      |  ('bad_engine_400', CAST(1 AS BIGINT)),
+      |  ('dup_409', CAST(1 AS BIGINT)),
+      |  ('eval_up1', CAST(2 AS BIGINT)),
+      |  ('eval_up2', CAST(3 AS BIGINT)),
+      |  ('eval_at_max_none', CAST(1 AS BIGINT)),
+      |  ('eval_scale_to_zero', CAST(1 AS BIGINT)),
+      |  ('state_after_zero', CAST(0 AS BIGINT)),
+      |  ('eval_wake_up', CAST(1 AS BIGINT)),
+      |  ('history_executed', CAST(4 AS BIGINT)),
+      |  ('metrics_served', CAST(1 AS BIGINT)),
+      |  ('update_max', CAST(1 AS BIGINT)),
+      |  ('deleted_200', CAST(1 AS BIGINT)),
+      |  ('gone_404', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   private val apiOidcProvidersSql =
     """SELECT step, result FROM (VALUES
       |  ('version_ok', CAST(1 AS BIGINT)),
@@ -1666,6 +1771,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
     GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
+    GraftQuery("api_query_scaling", apiQueryScaling, Some(apiQueryScalingSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),
     GraftQuery("rest_catalog_roundtrip", restCatalogRoundtrip,
