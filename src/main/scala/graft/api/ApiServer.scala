@@ -263,11 +263,55 @@ final class ApiServer(spark: SparkSession,
   private def queryEngineMetrics(): graft.observe.Scaling.QueryMetrics = {
     val tracker = spark.sparkContext.statusTracker
     val running = tracker.getActiveJobIds().length
-    val stages = tracker.getActiveStageIds().length
+    // queueing pressure = active stages with NO running task yet —
+    // counting by stage minus job would misread one job's parallel
+    // stages as a queue
+    val queued = tracker.getActiveStageIds().count(id =>
+      tracker.getStageInfo(id).exists(_.numActiveTasks == 0))
     graft.observe.Scaling.QueryMetrics(
-      queued = math.max(stages - running, 0),
-      running = running, blocked = 0)
+      queued = queued, running = running, blocked = 0)
   }
+
+  private def jstrOpt(v: JValue): Option[String] =
+    v match { case JString(x) => Some(x); case _ => None }
+  private def jintOpt(v: JValue, name: String): Option[Int] = v match {
+    case JInt(n) =>
+      if (n.isValidInt) Some(n.toInt)
+      else throw ControlPlane.Invalid(s"$name is out of range")
+    case JNothing | JNull => None
+    case other => throw ControlPlane.Invalid(
+      s"$name must be an integer, got ${JsonMethods.compact(JsonMethods.render(other))}")
+  }
+  private def jlongOpt(v: JValue, name: String): Option[Long] = v match {
+    case JInt(n) =>
+      if (n.isValidLong) Some(n.toLong)
+      else throw ControlPlane.Invalid(s"$name is out of range")
+    case JNothing | JNull => None
+    case other => throw ControlPlane.Invalid(
+      s"$name must be an integer, got ${JsonMethods.compact(JsonMethods.render(other))}")
+  }
+  private def jboolOpt(v: JValue, name: String): Option[Boolean] = v match {
+    case JBool(b)         => Some(b)
+    case JNothing | JNull => None
+    case other => throw ControlPlane.Invalid(
+      s"$name must be a boolean, got ${JsonMethods.compact(JsonMethods.render(other))}")
+  }
+  /** Whole-number count with a default for ABSENT: integers AND
+    * whole-valued floats accept (json encoders emit 7.0 for 7), a
+    * fractional or non-numeric value refuses — a coerced-to-zero
+    * dry-run count silently evaluating the wrong decision is the exact
+    * failure the strict family exists to prevent. */
+  private def jwholeStrict(v: JValue, name: String, default: Int): Int =
+    v match {
+      case JInt(n) =>
+        if (n.isValidInt) n.toInt
+        else throw ControlPlane.Invalid(s"$name is out of range")
+      case JDouble(x) if x.isWhole && x.abs <= Int.MaxValue => x.toInt
+      case JDecimal(x) if x.isWhole && x.isValidInt => x.toInt
+      case JNothing | JNull => default
+      case other => throw ControlPlane.Invalid(
+        s"$name must be a whole number, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
 
   /** Long field with a default for ABSENT; out-of-Long-range values
     * refuse instead of silently wrapping (a 2^32 cooldown truncating
@@ -507,15 +551,14 @@ final class ApiServer(spark: SparkSession,
       case ("GET", Seq("scaling", "policies", id)) =>
         respond(ex, 200, cp.scalingPolicyJson(cp.getScalingPolicy(id)))
       case ("PUT", Seq("scaling", "policies", id)) =>
+        // boolean keep-if-absent resolves inside the store's lock
         val b = jsonBody(ex)
-        val prev = cp.getScalingPolicy(id)
         respond(ex, 200, cp.scalingPolicyJson(cp.updateScalingPolicy(id,
           jstr(b \ "name"), jstr(b \ "target_type"),
           jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
           jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
-          jboolStrict(b \ "scale_to_zero", "scale_to_zero",
-            prev.scaleToZero),
-          jboolStrict(b \ "enabled", "enabled", prev.enabled),
+          jboolOpt(b \ "scale_to_zero", "scale_to_zero"),
+          jboolOpt(b \ "enabled", "enabled"),
           scalingRulesOf(b \ "scale_up_rules"),
           scalingRulesOf(b \ "scale_down_rules"))))
       case ("DELETE", Seq("scaling", "policies", id)) =>
@@ -596,22 +639,23 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200,
           cp.queryScalingPolicyJson(cp.getQueryScalingPolicy(id)))
       case ("PUT", Seq("queryscaling", "policies", id)) =>
+        // keep-if-absent resolves inside the store's lock — reading a
+        // prev row here would let concurrent PUTs revert each other
         val b = jsonBody(ex)
-        val prev = cp.getQueryScalingPolicy(id)
         respond(ex, 200,
           cp.queryScalingPolicyJson(cp.updateQueryScalingPolicy(id,
-            jstr(b \ "name"), jstr(b \ "query_engine"),
-            jint(b \ "min_replicas", prev.minReplicas),
-            jint(b \ "max_replicas", prev.maxReplicas),
-            jlongStrict(b \ "cooldown_seconds", "cooldown_seconds",
-              prev.cooldownSeconds),
-            jboolStrict(b \ "scale_to_zero", "scale_to_zero",
-              prev.scaleToZero),
-            jboolStrict(b \ "enabled", "enabled", prev.enabled),
-            jint(b \ "queued_queries_threshold", prev.queuedThreshold),
-            jint(b \ "running_queries_threshold", prev.runningThreshold),
-            jint(b \ "latency_threshold_seconds",
-              prev.latencyThresholdSeconds))))
+            jstrOpt(b \ "name"), jstrOpt(b \ "query_engine"),
+            jintOpt(b \ "min_replicas", "min_replicas"),
+            jintOpt(b \ "max_replicas", "max_replicas"),
+            jlongOpt(b \ "cooldown_seconds", "cooldown_seconds"),
+            jboolOpt(b \ "scale_to_zero", "scale_to_zero"),
+            jboolOpt(b \ "enabled", "enabled"),
+            jintOpt(b \ "queued_queries_threshold",
+              "queued_queries_threshold"),
+            jintOpt(b \ "running_queries_threshold",
+              "running_queries_threshold"),
+            jintOpt(b \ "latency_threshold_seconds",
+              "latency_threshold_seconds"))))
       case ("DELETE", Seq("queryscaling", "policies", id)) =>
         cp.deleteQueryScalingPolicy(id)
         respond(ex, 200, JObject("deleted" -> JBool(true)))
@@ -641,8 +685,9 @@ final class ApiServer(spark: SparkSession,
         val b = jsonBody(ex)
         val metrics = b \ "metrics" match {
           case o: JObject => Some(graft.observe.Scaling.QueryMetrics(
-            jint(o \ "queued", 0), jint(o \ "running", 0),
-            jint(o \ "blocked", 0),
+            jwholeStrict(o \ "queued", "queued", 0),
+            jwholeStrict(o \ "running", "running", 0),
+            jwholeStrict(o \ "blocked", "blocked", 0),
             o \ "p95_latency_ms" match {
               case JDouble(v)  => Some(v)
               case JInt(n)     => Some(n.toDouble)
@@ -653,7 +698,8 @@ final class ApiServer(spark: SparkSession,
         }
         val d = cp.evaluateQueryScalingPolicy(id, metrics)
         respond(ex, 200, JObject(
-          "action" -> JString(d.action),
+          // one action vocabulary across both scaling surfaces
+          "action" -> JString(d.action.replace('_', '-')),
           "desired_replicas" -> JInt(d.desiredReplicas),
           "reason" -> JString(d.reason),
           "trigger_value" -> JDouble(d.triggerValue)))
@@ -699,7 +745,6 @@ final class ApiServer(spark: SparkSession,
           case JString(s) if s.nonEmpty => Some(s)
           case _                        => None
         }
-        val prev = cp.getOidcProvider(id)
         respond(ex, 200, cp.oidcProviderJson(cp.updateOidcProvider(id,
           jstr(b \ "name"), jstr(b \ "display_name"),
           jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
@@ -707,10 +752,10 @@ final class ApiServer(spark: SparkSession,
           jstr(b \ "groups_claim"),
           // the enabled flag gates a CREDENTIAL: an absent field keeps
           // the stored value (a partial-body PUT must not silently
-          // re-enable a disabled issuer), a non-boolean is refused
-          jboolStrict(b \ "enabled", "enabled", prev.enabled),
-          jboolStrict(b \ "auto_create_users", "auto_create_users",
-            prev.autoCreateUsers))))
+          // re-enable a disabled issuer) resolved under the store's
+          // lock, a non-boolean is refused
+          jboolOpt(b \ "enabled", "enabled"),
+          jboolOpt(b \ "auto_create_users", "auto_create_users"))))
       case ("DELETE", Seq("settings", "oidc", "providers", id)) =>
         cp.deleteOidcProvider(id)
         respond(ex, 200, JObject("deleted" -> JBool(true)))

@@ -794,11 +794,13 @@ final class ControlPlane(metaDir: String,
                          providerType: String, issuerUrl: String,
                          clientId: String, clientSecret: Option[String],
                          scopes: Seq[String], groupsClaim: String,
-                         enabled: Boolean,
-                         autoCreateUsers: Boolean): OidcProvider =
+                         enabled: Option[Boolean],
+                         autoCreateUsers: Option[Boolean]): OidcProvider =
     lock.synchronized {
       validName(name)
       validOidcFields(providerType, issuerUrl, clientId)
+      // boolean keep-if-absent resolves against the STORED row under
+      // THIS lock — never against a row read in an earlier request
       val p = getOidcProvider(id)
       if (oidcProviders.exists(x => x.name == name && x.id != id))
         throw Conflict("OIDC provider with this name already exists")
@@ -810,7 +812,8 @@ final class ControlPlane(metaDir: String,
         scopes =
           if (scopes.isEmpty) Seq("openid", "profile", "email") else scopes,
         groupsClaim = if (groupsClaim.isEmpty) "groups" else groupsClaim,
-        enabled = enabled, autoCreateUsers = autoCreateUsers,
+        enabled = enabled.getOrElse(p.enabled),
+        autoCreateUsers = autoCreateUsers.getOrElse(p.autoCreateUsers),
         updatedAtMs = clock())
       oidcProviders = oidcProviders.map(x => if (x.id == id) next else x)
       persistOidcProviders()
@@ -1005,14 +1008,17 @@ final class ControlPlane(metaDir: String,
     * — pending for-duration clocks key on rule ids. */
   def updateScalingPolicy(id: String, name: String, targetType: String,
                           minReplicas: Int, maxReplicas: Int,
-                          cooldownSeconds: Long, scaleToZero: Boolean,
-                          enabled: Boolean,
+                          cooldownSeconds: Long,
+                          scaleToZero: Option[Boolean],
+                          enabled: Option[Boolean],
                           scaleUpRules: Seq[(String, String, Double, Long, Int)],
                           scaleDownRules: Seq[(String, String, Double, Long, Int)])
   : ScalingPolicy = lock.synchronized {
     validName(name)
     validScalingFields(targetType, minReplicas, maxReplicas,
       cooldownSeconds, scaleUpRules, scaleDownRules)
+    // boolean keep-if-absent resolves against the STORED row under
+    // THIS lock — never against a row read in an earlier request
     val p = getScalingPolicy(id)
     if (scalingPolicies.exists(x => x.name == name && x.id != id))
       throw Conflict("scaling policy with this name already exists")
@@ -1030,8 +1036,9 @@ final class ControlPlane(metaDir: String,
     }
     val next = p.copy(name = name, targetType = targetType,
       minReplicas = minReplicas, maxReplicas = maxReplicas,
-      cooldownSeconds = cooldownSeconds, scaleToZero = scaleToZero,
-      enabled = enabled,
+      cooldownSeconds = cooldownSeconds,
+      scaleToZero = scaleToZero.getOrElse(p.scaleToZero),
+      enabled = enabled.getOrElse(p.enabled),
       scaleUpRules = rekey(p.scaleUpRules, scaleUpRules),
       scaleDownRules = rekey(p.scaleDownRules, scaleDownRules),
       updatedAtMs = clock())
@@ -1252,6 +1259,11 @@ final class ControlPlane(metaDir: String,
     p
   }
 
+  /** The ONE missing-state fallback for query policies — state
+    * endpoint and evaluator must never disagree about the width. */
+  private def defaultQueryScalingState(p: QueryScalingPolicy): ScalingPolicyState =
+    ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty)
+
   def listQueryScalingPolicies(): Seq[QueryScalingPolicy] =
     lock.synchronized(queryScalingPolicies)
 
@@ -1259,33 +1271,49 @@ final class ControlPlane(metaDir: String,
     lock.synchronized(queryScalingPolicies.find(_.id == id)
       .getOrElse(throw NotFound("query_scaling_policy", id)))
 
-  def updateQueryScalingPolicy(id: String, name: String, queryEngine: String,
-                               minReplicas: Int, maxReplicas: Int,
-                               cooldownSeconds: Long, scaleToZero: Boolean,
-                               enabled: Boolean, queuedThreshold: Int,
-                               runningThreshold: Int,
-                               latencyThresholdSeconds: Int)
+  /** Partial update resolved against the STORED row under this one
+    * lock acquisition — keep-if-absent defaults must never come from
+    * a row read in an earlier request, or two concurrent PUTs silently
+    * revert each other's fields. */
+  def updateQueryScalingPolicy(id: String,
+                               name: Option[String] = None,
+                               queryEngine: Option[String] = None,
+                               minReplicas: Option[Int] = None,
+                               maxReplicas: Option[Int] = None,
+                               cooldownSeconds: Option[Long] = None,
+                               scaleToZero: Option[Boolean] = None,
+                               enabled: Option[Boolean] = None,
+                               queuedThreshold: Option[Int] = None,
+                               runningThreshold: Option[Int] = None,
+                               latencyThresholdSeconds: Option[Int] = None)
   : QueryScalingPolicy = lock.synchronized {
-    validName(name)
-    validQueryScalingFields(queryEngine, minReplicas, maxReplicas,
-      cooldownSeconds, queuedThreshold, runningThreshold,
-      latencyThresholdSeconds)
     val p = getQueryScalingPolicy(id)
-    if (queryScalingPolicies.exists(x => x.name == name && x.id != id))
+    val rName = name.getOrElse(p.name)
+    validName(rName)
+    val rEngine = queryEngine.getOrElse(p.queryEngine)
+    val rMin = minReplicas.getOrElse(p.minReplicas)
+    val rMax = maxReplicas.getOrElse(p.maxReplicas)
+    val rCooldown = cooldownSeconds.getOrElse(p.cooldownSeconds)
+    val rQueued = queuedThreshold.getOrElse(p.queuedThreshold)
+    val rRunning = runningThreshold.getOrElse(p.runningThreshold)
+    val rLatency = latencyThresholdSeconds.getOrElse(p.latencyThresholdSeconds)
+    validQueryScalingFields(rEngine, rMin, rMax, rCooldown,
+      rQueued, rRunning, rLatency)
+    if (queryScalingPolicies.exists(x => x.name == rName && x.id != id))
       throw Conflict("query scaling policy with this name already exists")
-    val next = p.copy(name = name, queryEngine = queryEngine,
-      minReplicas = minReplicas, maxReplicas = maxReplicas,
-      cooldownSeconds = cooldownSeconds, scaleToZero = scaleToZero,
-      enabled = enabled, queuedThreshold = queuedThreshold,
-      runningThreshold = runningThreshold,
-      latencyThresholdSeconds = latencyThresholdSeconds,
+    val next = p.copy(name = rName, queryEngine = rEngine,
+      minReplicas = rMin, maxReplicas = rMax,
+      cooldownSeconds = rCooldown,
+      scaleToZero = scaleToZero.getOrElse(p.scaleToZero),
+      enabled = enabled.getOrElse(p.enabled),
+      queuedThreshold = rQueued, runningThreshold = rRunning,
+      latencyThresholdSeconds = rLatency,
       updatedAtMs = clock())
     queryScalingPolicies =
       queryScalingPolicies.map(x => if (x.id == id) next else x)
     // clamp the persisted width into the new bounds, same rationale as
     // the generic policies: nothing else can move it back inside
-    val st = queryScalingStates.getOrElse(id,
-      ScalingPolicyState(math.max(next.minReplicas, 1), None, Map.empty))
+    val st = queryScalingStates.getOrElse(id, defaultQueryScalingState(next))
     val lo = if (next.scaleToZero) 0 else next.minReplicas
     queryScalingStates += id -> st.copy(currentReplicas =
       math.max(lo, math.min(next.maxReplicas, st.currentReplicas)))
@@ -1303,8 +1331,7 @@ final class ControlPlane(metaDir: String,
   def getQueryScalingState(id: String): ScalingPolicyState =
     lock.synchronized {
       val p = getQueryScalingPolicy(id)
-      queryScalingStates.getOrElse(id,
-        ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+      queryScalingStates.getOrElse(id, defaultQueryScalingState(p))
     }
 
   /** One evaluation tick against the supplied queue metrics — what the
@@ -1315,11 +1342,14 @@ final class ControlPlane(metaDir: String,
   : graft.observe.Scaling.QueryDecision = lock.synchronized {
     import graft.observe.Scaling
     val p = getQueryScalingPolicy(id)
+    // the SERVICE contract matches the generic surface: evaluating a
+    // disabled policy is the caller's error (409), not a quiet no-op
+    // tick that rewrites the state file
+    if (!p.enabled) throw Conflict("query scaling policy is disabled")
     val pol = Scaling.QueryPolicy(p.id, p.enabled, p.minReplicas,
       p.maxReplicas, p.cooldownSeconds * 1000L, p.scaleToZero,
       p.queuedThreshold, p.runningThreshold, p.latencyThresholdSeconds)
-    val st = queryScalingStates.getOrElse(id,
-      ScalingPolicyState(math.max(p.minReplicas, 1), None, Map.empty))
+    val st = queryScalingStates.getOrElse(id, defaultQueryScalingState(p))
     val now = clock()
     val d = Scaling.evaluateQueryPolicy(pol,
       Scaling.QueryState(st.currentReplicas, st.lastScaleAtMs), metrics, now)
@@ -1327,7 +1357,11 @@ final class ControlPlane(metaDir: String,
       d.next.currentReplicas, d.next.lastScaleTimeMs, Map.empty)
     persistQueryScalingStates()
     if (d.action != "none") {
-      queryScalingHistory :+= ScalingEvent(newId(), id, d.action,
+      // ONE action vocabulary across both scaling histories: the
+      // model's underscore names render hyphenated like the generic
+      // surface's rows, so a consumer filtering "scale-up" sees both
+      queryScalingHistory :+= ScalingEvent(newId(), id,
+        d.action.replace('_', '-'),
         st.currentReplicas, d.desiredReplicas, d.reason,
         s"value:${d.triggerValue}", now)
       persistQueryScalingHistory()

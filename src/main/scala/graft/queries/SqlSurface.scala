@@ -1709,7 +1709,7 @@ object SqlSurface extends QueryModule {
         ("eval_up1", n_(e1 \ "desired_replicas")),
         ("eval_up2", n_(e2 \ "desired_replicas")),
         ("eval_at_max_none", flag(s_(e3 \ "action") == "none")),
-        ("eval_scale_to_zero", flag(s_(e4 \ "action") == "scale_to_zero" &&
+        ("eval_scale_to_zero", flag(s_(e4 \ "action") == "scale-to-zero" &&
           n_(e4 \ "desired_replicas") == 0L)),
         ("state_after_zero", n_(st \ "current_replicas")),
         ("eval_wake_up", n_(e5 \ "desired_replicas")),

@@ -455,8 +455,8 @@ class ApiServerSpec extends SparkTestBase {
       // the operator out) and a fail-open path (disabling the last
       // provider reopens everything)
       cp.updateOidcProvider(p2.id, "corp2", "Corp2", "generic",
-        issuerBase, "graft-api", None, Nil, "", enabled = true,
-        autoCreateUsers = true)
+        issuerBase, "graft-api", None, Nil, "", enabled = Some(true),
+        autoCreateUsers = Some(true))
       val open = new ApiServer(spark, controlPlane = Some(cp))
       try assert(get(open.baseUri, "/query/catalogs")._1 === 200)
       finally open.close()

@@ -403,7 +403,7 @@ class ControlPlaneSpec extends SparkTestBase {
     // full PUT keeps the surviving rule's id (pending clocks key on it)
     val upId = p.scaleUpRules.head.id
     val upd = cp.updateScalingPolicy(p.id, "workers", "cdc-worker", 1, 8,
-      60L, scaleToZero = false, enabled = true,
+      60L, scaleToZero = Some(false), enabled = Some(true),
       Seq((lag, "gt", 10.0, 30L, 2)), Nil)
     assert(upd.scaleUpRules.head.id === upId &&
       upd.scaleDownRules.isEmpty && upd.maxReplicas === 8)
@@ -419,7 +419,7 @@ class ControlPlaneSpec extends SparkTestBase {
     cp2.evaluateScalingPolicy(p.id, Map(lag -> 42.0)) // arms the 30s rule
     assert(cp2.getScalingPolicyState(p.id).pendingSince.size === 1)
     cp2.updateScalingPolicy(p.id, "workers", "cdc-worker", 1, 1, 60L,
-      scaleToZero = false, enabled = true, Nil, Nil)
+      scaleToZero = None, enabled = None, Nil, Nil)
     val stAfter = cp2.getScalingPolicyState(p.id)
     assert(stAfter.pendingSince.isEmpty && stAfter.currentReplicas === 1)
     cp2.deleteScalingPolicy(p.id)
