@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.api.{AlertManager, ApiServer, ControlPlane}
+import graft.api.{AlertManager, ApiServer, ControlPlane, ScalingManager}
 import graft.lake.{GraftCatalog, RestCatalogServer}
 import graft.streaming.PgPipelineRunner
 
@@ -51,10 +51,12 @@ object Serve {
   final class Handle(val spark: SparkSession, val api: ApiServer,
                      val rest: RestCatalogServer,
                      val controlPlane: ControlPlane,
-                     val alerts: Option[AlertManager] = None)
+                     val alerts: Option[AlertManager] = None,
+                     val scaling: Option[ScalingManager] = None)
     extends AutoCloseable {
     override def close(): Unit = {
       alerts.foreach(_.close()) // stop evaluating before teardown
+      scaling.foreach(_.close())
       // the API goes down FIRST so no new actuation can race the sweep
       // (a start accepted after the pipeline snapshot would leave its
       // drain loop alive past Spark's stop); then every live pipeline
@@ -90,6 +92,7 @@ object Serve {
             openMetrics: Boolean = false,
             metricsToken: Option[String] = None,
             alertIntervalMs: Long = 15000L,
+            scalingIntervalMs: Long = 30000L,
             oidcIssuer: Option[String] = None,
             oidcAudience: Option[String] = None): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
@@ -139,7 +142,20 @@ object Serve {
         mgr.start()
         Some(mgr)
       }
-    new Handle(spark, api, rest, cp, alerts)
+    // the scaling evaluation loop (ref scaling/manager.go's ticker,
+    // 30 s default for both families): every enabled policy evaluated
+    // against the process registry / the engine's live query pressure
+    val scaling =
+      if (scalingIntervalMs <= 0L) None
+      else {
+        val mgr = new ScalingManager(cp,
+          queryMetricsSource =
+            () => Some(ScalingManager.sparkQueryMetrics(spark)),
+          intervalMs = scalingIntervalMs)
+        mgr.start()
+        Some(mgr)
+      }
+    new Handle(spark, api, rest, cp, alerts, scaling)
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,6 +196,11 @@ object Serve {
       // the reference's default is 15 s)
       alertIntervalMs = env.get("GRAFT_ALERT_INTERVAL_SECONDS")
         .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(15000L),
+      // GRAFT_SCALING_INTERVAL_SECONDS: scaling evaluation cadence
+      // (0 disables; the reference's default is 30 s for both the
+      // generic and the query-engine families)
+      scalingIntervalMs = env.get("GRAFT_SCALING_INTERVAL_SECONDS")
+        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(30000L),
       // GRAFT_OIDC_ISSUER + GRAFT_OIDC_AUDIENCE: accept JWTs minted by
       // this issuer for this audience as API credentials (RS256,
       // JWKS-verified — ref internal/oidc/client.go)

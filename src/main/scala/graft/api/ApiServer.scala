@@ -260,17 +260,8 @@ final class ApiServer(spark: SparkSession,
     * — the counterpart of the reference polling Trino /v1/cluster
     * (collector.go:55-160). Local mode has no admission queue, so
     * not-yet-running active stages stand in for queueing pressure. */
-  private def queryEngineMetrics(): graft.observe.Scaling.QueryMetrics = {
-    val tracker = spark.sparkContext.statusTracker
-    val running = tracker.getActiveJobIds().length
-    // queueing pressure = active stages with NO running task yet —
-    // counting by stage minus job would misread one job's parallel
-    // stages as a queue
-    val queued = tracker.getActiveStageIds().count(id =>
-      tracker.getStageInfo(id).exists(_.numActiveTasks == 0))
-    graft.observe.Scaling.QueryMetrics(
-      queued = queued, running = running, blocked = 0)
-  }
+  private def queryEngineMetrics(): graft.observe.Scaling.QueryMetrics =
+    ScalingManager.sparkQueryMetrics(spark)
 
   private def jstrOpt(v: JValue): Option[String] =
     v match { case JString(x) => Some(x); case _ => None }

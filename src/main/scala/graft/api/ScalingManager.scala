@@ -1,0 +1,103 @@
+package graft.api
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.control.NonFatal
+
+import graft.observe.{Metrics, Scaling}
+
+/** The scaling evaluation LOOP (ref internal/scaling/manager.go:
+  * 110-135 — a ticker driving EvaluatePolicy over every enabled
+  * policy at the configured EvaluationInterval, default 30 s for both
+  * the generic and the query-engine families, config.go:801,920):
+  * every interval, evaluate each ENABLED policy through the store's
+  * evaluate methods, which persist the next state (width, cooldown,
+  * pending clocks) and append history rows for executed decisions.
+  *
+  * This is the DECISION layer's runtime — the reference's executor
+  * then actuates through K8s; here executed decisions are the
+  * observable product (state + history + the `/scaling` routes), and
+  * the engine's own elasticity belongs to Spark dynamic allocation,
+  * per the SURVEY's standing scoping.
+  *
+  * One policy's failure (e.g. a malformed metric source value) is
+  * logged and never kills the loop or starves later policies. */
+final class ScalingManager(cp: ControlPlane,
+                           metricSource: () => Map[String, Double] =
+                             () => Metrics.global.snapshot(),
+                           queryMetricsSource: () => Option[Scaling.QueryMetrics] =
+                             () => None,
+                           intervalMs: Long = 30000L)
+  extends AutoCloseable {
+
+  private val stopped = new AtomicBoolean(false)
+  private var thread: Thread = _
+
+  /** One evaluation cycle over both families — safe to call directly
+    * (specs, manual ticks); the daemon calls it on the timer. Returns
+    * (generic decisions, query decisions) for observability. */
+  def tick(): (Seq[(String, Scaling.Decision)],
+               Seq[(String, Scaling.QueryDecision)]) = {
+    val metrics = metricSource()
+    val generic = cp.listScalingPolicies(enabledOnly = true).flatMap { p =>
+      try Some(p.id -> cp.evaluateScalingPolicy(p.id, metrics))
+      catch {
+        case NonFatal(e) =>
+          System.err.println(
+            s"[graft-scaling] policy ${p.name} failed: ${e.getMessage}")
+          None
+      }
+    }
+    val qm = queryMetricsSource()
+    val query = cp.listQueryScalingPolicies().filter(_.enabled).flatMap { p =>
+      try Some(p.id -> cp.evaluateQueryScalingPolicy(p.id, qm))
+      catch {
+        case NonFatal(e) =>
+          System.err.println(
+            s"[graft-scaling] query policy ${p.name} failed: ${e.getMessage}")
+          None
+      }
+    }
+    (generic, query)
+  }
+
+  /** Start the daemon (idempotent). */
+  def start(): Unit = synchronized {
+    if (thread != null) return
+    thread = new Thread(() => {
+      while (!stopped.get()) {
+        try { tick(); () }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[graft-scaling] cycle failed: ${e.getMessage}")
+        }
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+      }
+    })
+    thread.setDaemon(true)
+    thread.setName("graft-scaling-manager")
+    thread.start()
+  }
+
+  override def close(): Unit = synchronized {
+    stopped.set(true)
+    if (thread != null) { thread.interrupt(); thread.join(5000L); thread = null }
+  }
+}
+
+object ScalingManager {
+  /** Query pressure off the SparkContext status tracker — the ONE
+    * implementation shared by the loop and the API's
+    * `/queryscaling/metrics` endpoint (the reference's counterpart
+    * polls Trino /v1/cluster, collector.go:55-160). Queueing pressure
+    * is active stages with NO running task yet; local mode has no
+    * admission queue to read. */
+  def sparkQueryMetrics(spark: org.apache.spark.sql.SparkSession)
+  : Scaling.QueryMetrics = {
+    val tracker = spark.sparkContext.statusTracker
+    val running = tracker.getActiveJobIds().length
+    val queued = tracker.getActiveStageIds().count(id =>
+      tracker.getStageInfo(id).exists(_.numActiveTasks == 0))
+    Scaling.QueryMetrics(queued = queued, running = running, blocked = 0)
+  }
+}
