@@ -167,6 +167,14 @@ object Serve {
       v.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"$key must be a port number, got '$v'"))
     }.getOrElse(0)
+    // interval knobs fail LOUDLY on a malformed value: "0 " meant to
+    // DISABLE a loop silently falling back to the default would leave
+    // that loop running
+    def intervalMs(key: String, default: Long): Long = env.get(key).map { v =>
+      v.toLongOption.map(_ * 1000L).getOrElse(
+        throw new IllegalArgumentException(
+          s"$key must be a number of seconds, got '$v'"))
+    }.getOrElse(default)
     val builder = SparkSession.builder()
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions",
@@ -194,13 +202,11 @@ object Serve {
       metricsToken = env.get("GRAFT_METRICS_TOKEN"),
       // GRAFT_ALERT_INTERVAL_SECONDS: evaluation cadence (0 disables;
       // the reference's default is 15 s)
-      alertIntervalMs = env.get("GRAFT_ALERT_INTERVAL_SECONDS")
-        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(15000L),
+      alertIntervalMs = intervalMs("GRAFT_ALERT_INTERVAL_SECONDS", 15000L),
       // GRAFT_SCALING_INTERVAL_SECONDS: scaling evaluation cadence
       // (0 disables; the reference's default is 30 s for both the
       // generic and the query-engine families)
-      scalingIntervalMs = env.get("GRAFT_SCALING_INTERVAL_SECONDS")
-        .flatMap(_.toLongOption).map(_ * 1000L).getOrElse(30000L),
+      scalingIntervalMs = intervalMs("GRAFT_SCALING_INTERVAL_SECONDS", 30000L),
       // GRAFT_OIDC_ISSUER + GRAFT_OIDC_AUDIENCE: accept JWTs minted by
       // this issuer for this audience as API credentials (RS256,
       // JWKS-verified — ref internal/oidc/client.go)

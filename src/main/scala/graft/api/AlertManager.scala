@@ -1,9 +1,5 @@
 package graft.api
 
-import java.util.concurrent.atomic.AtomicBoolean
-
-import scala.util.control.NonFatal
-
 import graft.observe.{Alerts, Metrics, Webhooks}
 
 /** The reference's alerting MANAGER loop (ref internal/alerting/
@@ -37,8 +33,8 @@ final class AlertManager(cp: ControlPlane,
 
   @volatile private var machine = Alerts.MachineState.empty
   @volatile private var notifier = Alerts.NotifierState.empty
-  private val stopped = new AtomicBoolean(false)
-  private var thread: Thread = _
+  private val daemon =
+    new TickerDaemon("graft-alert-manager", intervalMs, () => { tick(); () })
 
   /** One delivered-or-suppressed notification from the last tick. */
   final case class Outcome(note: Alerts.Notification, silenced: Boolean,
@@ -127,27 +123,9 @@ final class AlertManager(cp: ControlPlane,
   }
 
   /** Start the daemon (idempotent). */
-  def start(): Unit = synchronized {
-    if (thread != null) return
-    thread = new Thread(() => {
-      while (!stopped.get()) {
-        try tick()
-        catch { case NonFatal(e) =>
-          System.err.println(s"[graft-alerts] cycle failed: ${e.getMessage}")
-        }
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
-      }
-    })
-    thread.setDaemon(true)
-    thread.setName("graft-alert-manager")
-    thread.start()
-  }
+  def start(): Unit = daemon.start()
 
-  override def close(): Unit = synchronized {
-    stopped.set(true)
-    if (thread != null) { thread.interrupt(); thread.join(5000L); thread = null }
-  }
+  override def close(): Unit = daemon.close()
 }
 
 object AlertManager {

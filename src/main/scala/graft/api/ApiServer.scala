@@ -578,8 +578,14 @@ final class ApiServer(spark: SparkSession,
           }.toMap
           case _ => registry.snapshot()
         }
-        val d = cp.evaluateScalingPolicy(id, metrics)
+        // "dry_run": true previews the decision WITHOUT persisting
+        // width/cooldown/history — with the background loop as a
+        // second writer, a what-if probe must never veto or poison
+        // its real decisions
+        val dryRun = jboolStrict(b \ "dry_run", "dry_run", default = false)
+        val d = cp.evaluateScalingPolicy(id, metrics, persist = !dryRun)
         respond(ex, 200, JObject(
+          "dry_run" -> JBool(dryRun),
           "action" -> JString(d.action match {
             case graft.observe.Scaling.Action.ScaleUp   => "scale-up"
             case graft.observe.Scaling.Action.ScaleDown => "scale-down"
@@ -687,8 +693,10 @@ final class ApiServer(spark: SparkSession,
             }))
           case _ => Some(queryEngineMetrics())
         }
-        val d = cp.evaluateQueryScalingPolicy(id, metrics)
+        val dryRun = jboolStrict(b \ "dry_run", "dry_run", default = false)
+        val d = cp.evaluateQueryScalingPolicy(id, metrics, persist = !dryRun)
         respond(ex, 200, JObject(
+          "dry_run" -> JBool(dryRun),
           // one action vocabulary across both scaling surfaces
           "action" -> JString(d.action.replace('_', '-')),
           "desired_replicas" -> JInt(d.desiredReplicas),

@@ -56,6 +56,11 @@ object ControlPlane {
     * astronomically unlikely rather than merely uncommon. */
   private[api] val PlainMarker = "!graft-stored-plain:v1!"
 
+  /** Retention cap for each scaling-history family: every append
+    * rewrites the whole file, and the evaluation loop makes growth
+    * autonomous — a flip-flopping policy is bounded, not unbounded. */
+  private[api] val ScalingHistoryCap = 1000
+
   /** `password` is stored with the source (the reference keeps it in
     * its control DB the same way, models/source.go CreateSourceRequest)
     * and REDACTED from every HTTP response — only the wire probes and
@@ -1095,7 +1100,8 @@ final class ControlPlane(metaDir: String,
     * decisions as history rows. The decision layer ends here —
     * actuation belongs to the deployment (`spark.dynamicAllocation`
     * on the engine side, K8s on the reference's). */
-  def evaluateScalingPolicy(id: String, metrics: Map[String, Double])
+  def evaluateScalingPolicy(id: String, metrics: Map[String, Double],
+                            persist: Boolean = true)
   : graft.observe.Scaling.Decision = lock.synchronized {
     import graft.observe.Scaling
     val p = getScalingPolicy(id)
@@ -1112,9 +1118,18 @@ final class ControlPlane(metaDir: String,
     val d = Scaling.evaluatePolicy(pol,
       Scaling.State(st.currentReplicas, st.lastScaleAtMs, st.pendingSince),
       metrics, now)
-    scalingStates += p.id -> ScalingPolicyState(d.next.currentReplicas,
+    // a DRY-RUN (persist=false) previews the decision without touching
+    // width, cooldown, pending clocks, or history — with the loop as a
+    // second writer, a what-if probe must never veto real decisions
+    if (!persist) return d
+    val nextState = ScalingPolicyState(d.next.currentReplicas,
       d.next.lastScaleTimeMs, d.next.pendingSinceMs)
-    persistScalingStates()
+    // a no-op tick with byte-identical state skips the file rewrite —
+    // the 30s loop must not be a permanent background disk load
+    if (scalingStates.get(p.id) != Some(nextState)) {
+      scalingStates += p.id -> nextState
+      persistScalingStates()
+    }
     if (d.shouldExecute) {
       val action = d.action match {
         case Scaling.Action.ScaleUp   => "scale-up"
@@ -1124,6 +1139,12 @@ final class ControlPlane(metaDir: String,
       scalingHistory :+= ScalingEvent(newId(), p.id, action,
         st.currentReplicas, d.desiredReplicas, d.reason,
         d.triggeredBy.getOrElse(""), now)
+      // retention cap: the loop makes growth autonomous, and every
+      // append rewrites the whole file — a misconfigured flip-flopping
+      // policy must not accrete unbounded rows
+      if (scalingHistory.size > ControlPlane.ScalingHistoryCap)
+        scalingHistory =
+          scalingHistory.takeRight(ControlPlane.ScalingHistoryCap)
       persistScalingHistory()
     }
     d
@@ -1338,7 +1359,8 @@ final class ControlPlane(metaDir: String,
     * reference's background evaluator does per poll; exposed the same
     * dry-run-able way as the generic policies. */
   def evaluateQueryScalingPolicy(id: String,
-                                 metrics: Option[graft.observe.Scaling.QueryMetrics])
+                                 metrics: Option[graft.observe.Scaling.QueryMetrics],
+                                 persist: Boolean = true)
   : graft.observe.Scaling.QueryDecision = lock.synchronized {
     import graft.observe.Scaling
     val p = getQueryScalingPolicy(id)
@@ -1353,9 +1375,13 @@ final class ControlPlane(metaDir: String,
     val now = clock()
     val d = Scaling.evaluateQueryPolicy(pol,
       Scaling.QueryState(st.currentReplicas, st.lastScaleAtMs), metrics, now)
-    queryScalingStates += id -> ScalingPolicyState(
+    if (!persist) return d
+    val nextState = ScalingPolicyState(
       d.next.currentReplicas, d.next.lastScaleTimeMs, Map.empty)
-    persistQueryScalingStates()
+    if (queryScalingStates.get(id) != Some(nextState)) {
+      queryScalingStates += id -> nextState
+      persistQueryScalingStates()
+    }
     if (d.action != "none") {
       // ONE action vocabulary across both scaling histories: the
       // model's underscore names render hyphenated like the generic
@@ -1364,6 +1390,9 @@ final class ControlPlane(metaDir: String,
         d.action.replace('_', '-'),
         st.currentReplicas, d.desiredReplicas, d.reason,
         s"value:${d.triggerValue}", now)
+      if (queryScalingHistory.size > ControlPlane.ScalingHistoryCap)
+        queryScalingHistory =
+          queryScalingHistory.takeRight(ControlPlane.ScalingHistoryCap)
       persistQueryScalingHistory()
     }
     d

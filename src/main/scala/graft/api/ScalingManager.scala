@@ -1,7 +1,5 @@
 package graft.api
 
-import java.util.concurrent.atomic.AtomicBoolean
-
 import scala.util.control.NonFatal
 
 import graft.observe.{Metrics, Scaling}
@@ -30,8 +28,8 @@ final class ScalingManager(cp: ControlPlane,
                            intervalMs: Long = 30000L)
   extends AutoCloseable {
 
-  private val stopped = new AtomicBoolean(false)
-  private var thread: Thread = _
+  private val daemon =
+    new TickerDaemon("graft-scaling-manager", intervalMs, () => { tick(); () })
 
   /** One evaluation cycle over both families — safe to call directly
     * (specs, manual ticks); the daemon calls it on the timer. Returns
@@ -48,8 +46,18 @@ final class ScalingManager(cp: ControlPlane,
           None
       }
     }
-    val qm = queryMetricsSource()
-    val query = cp.listQueryScalingPolicies().filter(_.enabled).flatMap { p =>
+    val qPolicies = cp.listQueryScalingPolicies().filter(_.enabled)
+    // the source is consulted only when a policy will consume it, and
+    // its failure costs THIS family's cycle, never the generic one's
+    val qm: Option[Scaling.QueryMetrics] =
+      if (qPolicies.isEmpty) None
+      else try queryMetricsSource() catch {
+        case NonFatal(e) =>
+          System.err.println(
+            s"[graft-scaling] query metrics source failed: ${e.getMessage}")
+          None
+      }
+    val query = qPolicies.flatMap { p =>
       try Some(p.id -> cp.evaluateQueryScalingPolicy(p.id, qm))
       catch {
         case NonFatal(e) =>
@@ -62,27 +70,9 @@ final class ScalingManager(cp: ControlPlane,
   }
 
   /** Start the daemon (idempotent). */
-  def start(): Unit = synchronized {
-    if (thread != null) return
-    thread = new Thread(() => {
-      while (!stopped.get()) {
-        try { tick(); () }
-        catch { case NonFatal(e) =>
-          System.err.println(s"[graft-scaling] cycle failed: ${e.getMessage}")
-        }
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
-      }
-    })
-    thread.setDaemon(true)
-    thread.setName("graft-scaling-manager")
-    thread.start()
-  }
+  def start(): Unit = daemon.start()
 
-  override def close(): Unit = synchronized {
-    stopped.set(true)
-    if (thread != null) { thread.interrupt(); thread.join(5000L); thread = null }
-  }
+  override def close(): Unit = daemon.close()
 }
 
 object ScalingManager {

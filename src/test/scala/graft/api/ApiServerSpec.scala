@@ -531,6 +531,17 @@ class ApiServerSpec extends SparkTestBase {
       // a malformed body is 400 — never a silent live evaluation that
       // ticks cooldown/history while ignoring the supplied metrics
       assert(call("POST", ev, """{"metrics":{,}}""")._1 === 400)
+      // dry_run previews WITHOUT persisting: with the background loop
+      // as a second writer, a what-if probe must never poison the live
+      // width, cooldown, or history
+      val widthBefore = cp.getScalingPolicyState(pid).currentReplicas
+      val histBefore = cp.listScalingHistory(Some(pid)).size
+      val (cd, bd) = call("POST", ev,
+        """{"metrics":{"philotes_cdc_lag_seconds":999},"dry_run":true}""")
+      assert(cd === 200 && bd \ "dry_run" === JBool(true) &&
+        bd \ "should_execute" === JBool(true))
+      assert(cp.getScalingPolicyState(pid).currentReplicas === widthBefore)
+      assert(cp.listScalingHistory(Some(pid)).size === histBefore)
       // strict field parsing: a string boolean and an out-of-range
       // cooldown refuse instead of silently coercing
       assert(call("POST", "/api/v1/scaling/policies",

@@ -48,4 +48,55 @@ class ScalingManagerSpec extends SparkTestBase {
       assert(cp.getQueryScalingState(q1.id).currentReplicas === 3)
     } finally mgr.close()
   }
+
+  test("the daemon SLEEPS before its first tick; a failing source costs only its family") {
+    val dir = Files.createTempDirectory("graft-scalmgr2").toString
+    @volatile var now = 100000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val p1 = cp.createScalingPolicy("workers", "cdc-worker", 1, 4,
+      cooldownSeconds = 0L,
+      scaleUpRules = Seq(("lag", "gt", 10.0, 0L, 1)))
+    val q1 = cp.createQueryScalingPolicy("trino-pool", "trino",
+      minReplicas = 1, maxReplicas = 3, cooldownSeconds = 0L)
+    // sleep-first (the reference's time.Ticker fires only AFTER the
+    // first interval): an immediate tick on service start would read a
+    // not-yet-populated registry and WIPE persisted pending clocks
+    val slow = new ScalingManager(cp,
+      metricSource = () => Map("lag" -> 42.0),
+      intervalMs = 3600000L)
+    try {
+      slow.start()
+      Thread.sleep(300L)
+      assert(cp.getScalingPolicyState(p1.id).currentReplicas === 1,
+        "the daemon must not tick before its first interval")
+    } finally slow.close()
+    // a THROWING query-metrics source costs the query family's cycle,
+    // never the generic family's
+    val mgr = new ScalingManager(cp,
+      metricSource = () => Map("lag" -> 42.0),
+      queryMetricsSource = () => throw new IllegalStateException("down"))
+    try {
+      val (g, q) = mgr.tick()
+      assert(g.size === 1 && g.head._2.shouldExecute)
+      // the source failure degrades to "no metrics" for the family,
+      // which the model reports as a non-executing decision
+      assert(q.size === 1 && q.head._2.action === "none" &&
+        q.head._2.reason.contains("no metrics"))
+      assert(cp.getScalingPolicyState(p1.id).currentReplicas === 2)
+      assert(cp.getQueryScalingState(q1.id).currentReplicas === 1)
+      // a short-interval daemon really ticks
+      now += 1000L
+    } finally mgr.close()
+    val fast = new ScalingManager(cp,
+      metricSource = () => Map("lag" -> 42.0), intervalMs = 50L)
+    try {
+      fast.start()
+      val deadline = System.currentTimeMillis() + 5000L
+      while (cp.getScalingPolicyState(p1.id).currentReplicas < 4 &&
+        System.currentTimeMillis() < deadline) {
+        now += 1000L; Thread.sleep(50L)
+      }
+      assert(cp.getScalingPolicyState(p1.id).currentReplicas === 4)
+    } finally fast.close()
+  }
 }
