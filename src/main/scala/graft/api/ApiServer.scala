@@ -246,15 +246,29 @@ final class ApiServer(spark: SparkSession,
     case _          => Nil
   }
   /** Scaling rule tuples off the wire: (metric, operator, threshold,
-    * duration_seconds, scale_by). */
+    * duration_seconds, scale_by). Numbers parse STRICTLY — a rule
+    * whose threshold or step silently coerced to 0 would evaluate a
+    * policy the operator never wrote. */
   private def scalingRulesOf(v: JValue): Seq[(String, String, Double, Long, Int)] =
     v match {
       case JArray(rs) => rs.map(r => (jstr(r \ "metric"),
-        jstr(r \ "operator"), jdouble(r \ "threshold"),
+        jstr(r \ "operator"),
+        jdoubleStrict(r \ "threshold", "threshold"),
         jlongStrict(r \ "duration_seconds", "duration_seconds", 0L),
-        jint(r \ "scale_by", 0)))
+        jwholeStrict(r \ "scale_by", "scale_by", 0)))
       case _ => Nil
     }
+
+  /** Required numeric field: integer or float accepts, anything else
+    * (including absent) refuses — used for rule thresholds where no
+    * default is meaningful. */
+  private def jdoubleStrict(v: JValue, name: String): Double = v match {
+    case JDouble(x)  => x
+    case JInt(n)     => n.toDouble
+    case JDecimal(x) => x.toDouble
+    case other => throw ControlPlane.Invalid(
+      s"$name must be a number, got ${JsonMethods.compact(JsonMethods.render(other))}")
+  }
 
   /** Current query-engine pressure off the SparkContext status tracker
     * — the counterpart of the reference polling Trino /v1/cluster
@@ -521,7 +535,8 @@ final class ApiServer(spark: SparkSession,
         val b = jsonBody(ex)
         respond(ex, 201, cp.scalingPolicyJson(cp.createScalingPolicy(
           jstr(b \ "name"), jstr(b \ "target_type"),
-          jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
+          jwholeStrict(b \ "min_replicas", "min_replicas", 0),
+          jwholeStrict(b \ "max_replicas", "max_replicas", 0),
           jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
           jboolStrict(b \ "scale_to_zero", "scale_to_zero", default = false),
           jboolStrict(b \ "enabled", "enabled", default = true),
@@ -546,7 +561,8 @@ final class ApiServer(spark: SparkSession,
         val b = jsonBody(ex)
         respond(ex, 200, cp.scalingPolicyJson(cp.updateScalingPolicy(id,
           jstr(b \ "name"), jstr(b \ "target_type"),
-          jint(b \ "min_replicas", 0), jint(b \ "max_replicas", 0),
+          jwholeStrict(b \ "min_replicas", "min_replicas", 0),
+          jwholeStrict(b \ "max_replicas", "max_replicas", 0),
           jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
           jboolOpt(b \ "scale_to_zero", "scale_to_zero"),
           jboolOpt(b \ "enabled", "enabled"),
@@ -571,12 +587,22 @@ final class ApiServer(spark: SparkSession,
         // acceptable degradation
         val b = jsonBody(ex)
         val metrics = b \ "metrics" match {
-          case JObject(fs) => fs.collect {
+          case JObject(fs) => fs.map {
             case (k, JDouble(v))  => k -> v
             case (k, JInt(n))     => k -> n.toDouble
             case (k, JDecimal(v)) => k -> v.toDouble
+            case (k, other) => throw ControlPlane.Invalid(
+              s"metrics.$k must be a number, got " +
+                JsonMethods.compact(JsonMethods.render(other)))
           }.toMap
-          case _ => registry.snapshot()
+          // ONLY an absent/null metrics field falls back to the live
+          // registry — a present non-object (a typo'd string) must 400,
+          // or a dry-run-less request evaluates and persists cooldown +
+          // history against live values the operator never supplied
+          case JNothing | JNull => registry.snapshot()
+          case other => throw ControlPlane.Invalid(
+            "metrics must be an object, got " +
+              JsonMethods.compact(JsonMethods.render(other)))
         }
         // "dry_run": true previews the decision WITHOUT persisting
         // width/cooldown/history — with the background loop as a
@@ -619,14 +645,18 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 201,
           cp.queryScalingPolicyJson(cp.createQueryScalingPolicy(
             jstr(b \ "name"), jstr(b \ "query_engine"),
-            jint(b \ "min_replicas", 1), jint(b \ "max_replicas", 10),
+            jwholeStrict(b \ "min_replicas", "min_replicas", 1),
+            jwholeStrict(b \ "max_replicas", "max_replicas", 10),
             jlongStrict(b \ "cooldown_seconds", "cooldown_seconds", 300L),
             jboolStrict(b \ "scale_to_zero", "scale_to_zero",
               default = false),
             jboolStrict(b \ "enabled", "enabled", default = true),
-            jint(b \ "queued_queries_threshold", 5),
-            jint(b \ "running_queries_threshold", 10),
-            jint(b \ "latency_threshold_seconds", 30))))
+            jwholeStrict(b \ "queued_queries_threshold",
+              "queued_queries_threshold", 5),
+            jwholeStrict(b \ "running_queries_threshold",
+              "running_queries_threshold", 10),
+            jwholeStrict(b \ "latency_threshold_seconds",
+              "latency_threshold_seconds", 30))))
       case ("GET", Seq("queryscaling", "policies")) =>
         val all = cp.listQueryScalingPolicies()
         respond(ex, 200, JObject(
@@ -691,7 +721,12 @@ final class ApiServer(spark: SparkSession,
               case JDecimal(v) => Some(v.toDouble)
               case _           => None
             }))
-          case _ => Some(queryEngineMetrics())
+          // same contract as the generic evaluate: only absent/null
+          // falls back to the live view; a present non-object is 400
+          case JNothing | JNull => Some(queryEngineMetrics())
+          case other => throw ControlPlane.Invalid(
+            "metrics must be an object, got " +
+              JsonMethods.compact(JsonMethods.render(other)))
         }
         val dryRun = jboolStrict(b \ "dry_run", "dry_run", default = false)
         val d = cp.evaluateQueryScalingPolicy(id, metrics, persist = !dryRun)

@@ -23,9 +23,12 @@ private[api] final class TickerDaemon(name: String, intervalMs: Long,
   private val stopped = new AtomicBoolean(false)
   private var thread: Thread = _
 
-  /** Start (idempotent). */
+  /** Start (idempotent, and restartable after [[close]] — the stop
+    * flag resets here, or a start-after-close would spawn a thread
+    * that exits immediately: a silently dead loop). */
   def start(): Unit = synchronized {
     if (thread != null) return
+    stopped.set(false)
     thread = new Thread(() => {
       while (!stopped.get()) {
         try Thread.sleep(intervalMs)

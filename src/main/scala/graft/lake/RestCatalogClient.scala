@@ -84,8 +84,13 @@ final class RestCatalogClient(baseUri: String, prefix: String,
     * separator — the raw control character is illegal in a URI path
     * ([[java.net.URI.create]] throws), `%1F` is the spec's convention,
     * and the server's decoded path splits it back out. Level names
-    * themselves are identifier-charset (no reserved URI characters). */
-  private def nsSeg(ns: Seq[String]): String = ns.mkString("%1F")
+    * percent-encode too (space as %20 — the server's getPath decodes
+    * percent escapes only, never '+'). */
+  private def nsSeg(ns: Seq[String]): String =
+    ns.map(l => java.net.URLEncoder
+        .encode(l, java.nio.charset.StandardCharsets.UTF_8)
+        .replace("+", "%20"))
+      .mkString("%1F")
 
   // ---- the reference Catalog interface -----------------------------
 
@@ -106,9 +111,19 @@ final class RestCatalogClient(baseUri: String, prefix: String,
       case (code, b)  => fail(code, b)
     }
 
+  // values are percent-encoded: the spec's next-page-token is OPAQUE,
+  // and third-party catalogs may mint tokens carrying reserved
+  // characters (+, =, &) that would otherwise corrupt the query
+  // string. Spaces go as %20, not URLEncoder's '+': servers reading
+  // URI.getQuery decode percent escapes only.
   private def listQuery(params: Seq[(String, String)]): String =
     if (params.isEmpty) ""
-    else params.map { case (k, v) => s"$k=$v" }.mkString("?", "&", "")
+    else params.map { case (k, v) =>
+      val enc = java.net.URLEncoder
+        .encode(v, java.nio.charset.StandardCharsets.UTF_8)
+        .replace("+", "%20")
+      s"$k=$enc"
+    }.mkString("?", "&", "")
 
   // an EMPTY next-page-token means "no more pages" on some servers
   // (instead of omitting the field) — treating it as a live cursor
@@ -149,7 +164,10 @@ final class RestCatalogClient(baseUri: String, prefix: String,
                          pageToken: Option[String] = None)
   : (Seq[Seq[String]], Option[String]) = {
     val params =
-      (if (parent.isEmpty) Nil else Seq("parent" -> nsSeg(parent))) ++
+      // RAW unit separator here — listQuery percent-encodes it to the
+      // %1F wire form (nsSeg's pre-encoded form would double-encode)
+      (if (parent.isEmpty) Nil
+       else Seq("parent" -> parent.mkString("\u001f"))) ++
         pageSize.map(n => "pageSize" -> n.toString) ++
         pageToken.map(t => "pageToken" -> t)
     request("GET", "/namespaces" + listQuery(params)) match {

@@ -267,8 +267,12 @@ final class RestCatalogServer(spark: SparkSession, warehouseDir: String,
     fs.exists(p) && !SnapshotLog.isSnapshotTable(spark, p.toString)
   }
 
+  // split the RAW query, decode each value exactly once — getQuery
+  // pre-decodes percent escapes, so splitting it corrupts any value
+  // legitimately carrying an encoded '&'/'='/'+' (an opaque
+  // third-party page token, a namespace name with a space)
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).toSeq
+    Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split('&').toSeq)
       .collectFirst { case kv if kv.startsWith(s"$name=") =>
         java.net.URLDecoder.decode(kv.substring(name.length + 1), UTF_8) }

@@ -551,6 +551,48 @@ class ApiServerSpec extends SparkTestBase {
         """{"name":"y","target_type":"cdc-worker","min_replicas":1,
           |"max_replicas":4,
           |"cooldown_seconds":4294967296000000000000}""".stripMargin)._1 === 400)
+      // replica counts parse strictly: a string refuses, a whole
+      // float (json encoders emit 7.0 for 7) accepts, a fractional
+      // value refuses — never a silently defaulted policy bound
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"z1","target_type":"cdc-worker","min_replicas":"1",
+          |"max_replicas":4}""".stripMargin)._1 === 400)
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"z2","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4.5}""".stripMargin)._1 === 400)
+      val (cz, bz) = call("POST", "/api/v1/scaling/policies",
+        """{"name":"z3","target_type":"cdc-worker","min_replicas":1.0,
+          |"max_replicas":4.0,"cooldown_seconds":0}""".stripMargin)
+      assert(cz === 201 && bz \ "max_replicas" === JInt(4))
+      // rule numbers too: a string threshold or fractional scale_by
+      // must 400, not coerce to zero
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"z4","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4,"scale_up_rules":[{"metric":"m",
+          |"operator":"gt","threshold":"high","scale_by":1}]}"""
+          .stripMargin)._1 === 400)
+      assert(call("POST", "/api/v1/scaling/policies",
+        """{"name":"z5","target_type":"cdc-worker","min_replicas":1,
+          |"max_replicas":4,"scale_up_rules":[{"metric":"m",
+          |"operator":"gt","threshold":1.0,"scale_by":1.5}]}"""
+          .stripMargin)._1 === 400)
+      // a present non-object metrics field is 400 on evaluate — only
+      // absent/null falls back to the live registry (a typo'd string
+      // must never evaluate-and-persist against live values)
+      assert(call("POST", ev, """{"metrics":"oops"}""")._1 === 400)
+      assert(call("POST", ev, """{"metrics":{"lag":"high"}}""")._1 === 400)
+      // queryscaling: same strictness on create thresholds and the
+      // evaluate metrics contract
+      val (cq, bq) = call("POST", "/api/v1/queryscaling/policies",
+        """{"name":"qp","query_engine":"trino","min_replicas":1,
+          |"max_replicas":3,"cooldown_seconds":0}""".stripMargin)
+      assert(cq === 201)
+      val qev = s"/api/v1/queryscaling/policies/${str(bq \ "id")}/evaluate"
+      assert(call("POST", qev, """{"metrics":[1,2]}""")._1 === 400)
+      assert(call("POST", "/api/v1/queryscaling/policies",
+        """{"name":"qp2","query_engine":"trino","min_replicas":1,
+          |"max_replicas":3,"queued_queries_threshold":"5"}"""
+          .stripMargin)._1 === 400)
     } finally srv.close()
   }
 

@@ -99,4 +99,24 @@ class ScalingManagerSpec extends SparkTestBase {
       assert(cp.getScalingPolicyState(p1.id).currentReplicas === 4)
     } finally fast.close()
   }
+
+  test("TickerDaemon restarts after close — never a silently dead loop") {
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val d = new TickerDaemon("graft-test-ticker", 20L,
+      () => { ticks.incrementAndGet(); () })
+    def awaitTicksAbove(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 5000L
+      while (ticks.get() <= n && System.currentTimeMillis() < deadline)
+        Thread.sleep(20L)
+      assert(ticks.get() > n, s"loop never ticked past $n")
+    }
+    d.start()
+    awaitTicksAbove(0)
+    d.close()
+    val afterClose = ticks.get()
+    // the stop flag resets on start: the restarted loop LIVES
+    d.start()
+    awaitTicksAbove(afterClose)
+    d.close()
+  }
 }

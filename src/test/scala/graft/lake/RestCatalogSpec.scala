@@ -810,6 +810,13 @@ class RestCatalogSpec extends SparkTestBase {
       intercept[RestCatalogError] {
         cli.listNamespacesPage(pageSize = Some(2), pageToken = Some("a!b"))
       }
+      // tokens are OPAQUE: one carrying reserved query characters
+      // ships percent-encoded and arrives verbatim — the server sees
+      // the whole "+=&" value (and 400s it as malformed base64)
+      // instead of a query string silently truncated at the '&'
+      intercept[RestCatalogError] {
+        cli.listNamespacesPage(pageSize = Some(2), pageToken = Some("+=&x"))
+      }
       // pageSize=0 must not silently return the unbounded listing
       intercept[RestCatalogError] {
         cli.listNamespacesPage(pageSize = Some(0))
