@@ -259,6 +259,41 @@ final class ApiServer(spark: SparkSession,
       case _ => Nil
     }
 
+  private def wakeResultJson(r: ControlPlane.WakeResult): JObject = JObject(
+    "policy_id" -> JString(r.policyId),
+    "previous_replicas" -> JInt(r.previousReplicas),
+    "target_replicas" -> JInt(r.targetReplicas),
+    "reason" -> JString(r.reason),
+    "status" -> JString(r.status),
+    "message" -> JString(r.message))
+
+  /** Integer query parameter with a default for ABSENT; a non-integer
+    * or below-minimum value refuses (ref wake.go silently keeps the
+    * default — strict here like every body field). */
+  private def intQueryParam(ex: HttpExchange, name: String,
+                            default: Int, min: Int = 1): Int =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .collectFirst { case kv if kv.startsWith(s"$name=") =>
+        kv.substring(name.length + 1) } match {
+      case None => default
+      case Some(raw) =>
+        val n = try raw.toInt catch { case _: NumberFormatException =>
+          throw ControlPlane.Invalid(s"$name must be an integer") }
+        if (n < min) throw ControlPlane.Invalid(s"$name must be >= $min")
+        n
+    }
+
+  /** String field with a default for ABSENT; a present non-string
+    * refuses instead of silently taking the default. */
+  private def jstrStrict(v: JValue, name: String, default: String): String =
+    v match {
+      case JString(s)       => s
+      case JNothing | JNull => default
+      case other => throw ControlPlane.Invalid(
+        s"$name must be a string, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
+
   /** Required numeric field: integer or float accepts, anything else
     * (including absent) refuses — used for rule thresholds where no
     * default is meaningful. */
@@ -635,6 +670,82 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, JObject(
           "history" -> JArray(all.toList.map(cp.scalingEventJson)),
           "total" -> JInt(all.size)))
+      // ---- wake / idle / savings (ref internal/api/handlers/wake.go:
+      // 27-38 — wake single/all, idle-state views, derived savings)
+      case ("POST", Seq("scaling", "policies", id, "wake")) =>
+        val b = jsonBody(ex)
+        respond(ex, 200, wakeResultJson(cp.wakeScalingPolicy(id,
+          jstrStrict(b \ "reason", "reason", "manual"))))
+      case ("POST", Seq("scaling", "wake")) =>
+        val b = jsonBody(ex)
+        // strict ids: a wrong-typed entry must not silently shrink the
+        // wake target set
+        val ids = b \ "policy_ids" match {
+          case JArray(xs) => xs.map {
+            case JString(s) => s
+            case _ => throw ControlPlane.Invalid(
+              "policy_ids entries must be strings")
+          }
+          case JNothing | JNull => Nil
+          case _ => throw ControlPlane.Invalid("policy_ids must be an array")
+        }
+        val results = cp.wakeScalingPolicies(ids,
+          jstrStrict(b \ "reason", "reason", "manual"))
+        // ref services/wake.go WakeAll counts: a completed result with
+        // a prior width is "already running", zero-width ones "woken"
+        val woken = results.count(r =>
+          r.status == "completed" && r.previousReplicas == 0)
+        val already = results.count(r =>
+          r.status == "completed" && r.previousReplicas > 0)
+        respond(ex, 200, JObject(
+          "woken" -> JInt(woken),
+          "already_running" -> JInt(already),
+          "failed" -> JInt(results.count(_.status == "failed")),
+          "policies" -> JArray(results.toList.map(wakeResultJson))))
+      case ("GET", Seq("scaling", "policies", id, "idle")) =>
+        respond(ex, 200, cp.idleStateJson(cp.getIdleState(id)))
+      case ("GET", Seq("scaling", "scaled-to-zero")) =>
+        val all = cp.listScaledToZero()
+        respond(ex, 200, JObject(
+          "policies" -> JArray(all.toList.map(cp.idleStateJson)),
+          "total_count" -> JInt(all.size)))
+      case ("GET", Seq("scaling", "policies", id, "savings")) =>
+        val days = intQueryParam(ex, "days",
+          ControlPlane.DefaultSavingsDays)
+        val cost = intQueryParam(ex, "hourly_cost_cents",
+          ControlPlane.DefaultHourlyCostCents, min = 0)
+        val daily = cp.scalingCostSavings(id, days, cost)
+        respond(ex, 200, JObject(
+          "policy_id" -> JString(id),
+          "period" -> JString(s"last_${days}_days"),
+          "hourly_cost_cents" -> JInt(cost),
+          "total_idle_seconds" -> JInt(BigInt(daily.map(_.idleSeconds).sum)),
+          "total_zero_seconds" -> JInt(BigInt(daily.map(_.zeroSeconds).sum)),
+          "savings_cents" -> JInt(BigInt(daily.map(_.savingsCents).sum)),
+          "daily_breakdown" -> JArray(daily.toList.map(d => JObject(
+            "date" -> JString(d.date),
+            "idle_seconds" -> JInt(BigInt(d.idleSeconds)),
+            "zero_seconds" -> JInt(BigInt(d.zeroSeconds)),
+            "savings_cents" -> JInt(BigInt(d.savingsCents)))))))
+      case ("GET", Seq("scaling", "savings", "summary")) =>
+        val cost = intQueryParam(ex, "hourly_cost_cents",
+          ControlPlane.DefaultHourlyCostCents, min = 0)
+        val rows = cp.scalingSavingsSummary(cost)
+        respond(ex, 200, JObject(
+          "policy_count" -> JInt(rows.size),
+          "hourly_cost_cents" -> JInt(cost),
+          "total_idle_seconds" -> JInt(BigInt(rows.map(_.idleSeconds).sum)),
+          "total_zero_seconds" -> JInt(BigInt(rows.map(_.zeroSeconds).sum)),
+          "savings_cents" -> JInt(BigInt(rows.map(_.savingsCents).sum)),
+          "policies" -> JArray(rows.toList.map(r => JObject(
+            "policy_id" -> JString(r.policyId),
+            "idle_seconds" -> JInt(BigInt(r.idleSeconds)),
+            "zero_seconds" -> JInt(BigInt(r.zeroSeconds)),
+            "savings_cents" -> JInt(BigInt(r.savingsCents)))))))
+      case ("POST", Seq("scaling", "policies", id, "activity")) =>
+        // the reference's activity sources call RecordActivity
+        // internally; exposed here as the same decision-layer hook
+        respond(ex, 200, cp.idleStateJson(cp.recordScalingActivity(id)))
       // ---- query-engine scaling (ref internal/api/handlers/
       // queryscaling.go:35-45 — policy CRUD, current queue metrics,
       // history; evaluation through the fixed-threshold model, driven

@@ -160,6 +160,42 @@ object ControlPlane {
                                 toReplicas: Int, reason: String,
                                 triggeredBy: String, atMs: Long)
 
+  /** Idle/wake state for one scaling policy (ref scaling/types.go:
+    * 389-401 IdleState) — maintained by activity recording, wake, the
+    * idle tick, and executed zero-width decisions, the way the
+    * reference's idle detector maintains its rows. */
+  final case class IdleState(policyId: String, lastActivityAtMs: Long,
+                             idleSinceMs: Option[Long],
+                             scaledToZeroAtMs: Option[Long],
+                             lastWakeAtMs: Option[Long],
+                             wakeReason: Option[String],
+                             isScaledToZero: Boolean,
+                             createdAtMs: Long, updatedAtMs: Long)
+
+  /** One wake outcome (ref scaling/wake/trigger.go:86-96 Result). */
+  final case class WakeResult(policyId: String, previousReplicas: Int,
+                              targetReplicas: Int, reason: String,
+                              status: String, message: String)
+
+  /** One day of savings (ref scaling/types.go:416-443 CostSavings) —
+    * DERIVED from the persisted scaling history's zero-width intervals
+    * plus the live idle stretch, not accrued rows. */
+  final case class DailySavings(date: String, idleSeconds: Long,
+                                zeroSeconds: Long, savingsCents: Long)
+
+  /** Per-policy all-time savings (ref wake.go GetSavingsSummary). */
+  final case class PolicySavings(policyId: String, idleSeconds: Long,
+                                 zeroSeconds: Long, savingsCents: Long)
+
+  /** ref scaling/types.go:359-374: the wake-reason vocabulary. */
+  private[api] val WakeReasons = Set("manual", "scheduled", "webhook",
+    "api_request", "database_activity")
+  private[api] val DefaultSavingsDays = 30
+  /** Savings are priced per replica-hour of avoided zero-width run
+    * time; the deployment's real rate arrives as a query parameter —
+    * this default only keeps the math visible without one. */
+  private[api] val DefaultHourlyCostCents = 100
+
   /** One query-ENGINE scaling policy (ref internal/api/models/
     * queryscaling.go:21-40 QueryScalingPolicy): the fixed-threshold
     * model [[graft.observe.Scaling.QueryPolicy]] evaluates — queue
@@ -312,6 +348,7 @@ final class ControlPlane(metaDir: String,
   private var scalingPolicies: Vector[ScalingPolicy] = loadScalingPolicies()
   private var scalingStates: Map[String, ScalingPolicyState] = loadScalingStates()
   private var scalingHistory: Vector[ScalingEvent] = loadScalingHistory()
+  private var idleStates: Map[String, IdleState] = loadIdleStates()
   private var queryScalingPolicies: Vector[QueryScalingPolicy] =
     loadQueryScalingPolicies()
   private var queryScalingStates: Map[String, ScalingPolicyState] =
@@ -888,6 +925,49 @@ final class ControlPlane(metaDir: String,
     writeFile("scaling_history.json",
       JArray(scalingHistory.toList.map(scalingEventJson)))
 
+  /** The API view (ref models/wake.go IdleStateResponse — duration is
+    * computed at read time off the injected clock). */
+  private[api] def idleStateJson(s: IdleState): JObject = JObject(
+    "policy_id" -> JString(s.policyId),
+    "last_activity_at_ms" -> JInt(BigInt(s.lastActivityAtMs)),
+    "idle_since_ms" -> optL(s.idleSinceMs),
+    "idle_duration_secs" ->
+      JInt(BigInt(math.max(0L, clock() - s.lastActivityAtMs) / 1000L)),
+    "is_scaled_to_zero" -> JBool(s.isScaledToZero),
+    "scaled_to_zero_at_ms" -> optL(s.scaledToZeroAtMs),
+    "last_wake_at_ms" -> optL(s.lastWakeAtMs),
+    "wake_reason" -> s.wakeReason.map(JString(_): JValue).getOrElse(JNull))
+
+  private def persistIdleStates(): Unit =
+    writeFile("idle_state.json", JArray(idleStates.values.toList.map(s =>
+      JObject(
+        "policy_id" -> JString(s.policyId),
+        "last_activity_at_ms" -> JInt(BigInt(s.lastActivityAtMs)),
+        "idle_since_ms" -> optL(s.idleSinceMs),
+        "scaled_to_zero_at_ms" -> optL(s.scaledToZeroAtMs),
+        "last_wake_at_ms" -> optL(s.lastWakeAtMs),
+        "wake_reason" -> s.wakeReason.map(JString(_): JValue).getOrElse(JNull),
+        "is_scaled_to_zero" -> JBool(s.isScaledToZero),
+        "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
+        "updated_at_ms" -> JInt(BigInt(s.updatedAtMs))))))
+
+  private def loadIdleStates(): Map[String, IdleState] =
+    readFile("idle_state.json") match {
+      case Some(JArray(items)) => items.map { o =>
+        val s = IdleState(str(o \ "policy_id"),
+          num(o \ "last_activity_at_ms"),
+          loadOptL(o \ "idle_since_ms"),
+          loadOptL(o \ "scaled_to_zero_at_ms"),
+          loadOptL(o \ "last_wake_at_ms"),
+          o \ "wake_reason" match {
+            case JString(x) => Some(x); case _ => None },
+          (o \ "is_scaled_to_zero") == JBool(true),
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+        s.policyId -> s
+      }.toMap
+      case _ => Map.empty
+    }
+
   private def loadScalingRule(v: JValue): ScalingRule =
     ScalingRule(str(v \ "id"), str(v \ "metric"), str(v \ "operator"),
       v \ "threshold" match {
@@ -1146,6 +1226,17 @@ final class ControlPlane(metaDir: String,
         scalingHistory =
           scalingHistory.takeRight(ControlPlane.ScalingHistoryCap)
       persistScalingHistory()
+      // executed zero-width transitions keep the idle/wake state
+      // truthful: landing at zero marks scaled-to-zero, leaving zero
+      // clears it (ref detector MarkScaledToZero / MarkWoken)
+      if (d.desiredReplicas == 0 && st.currentReplicas > 0)
+        idleUpsert(p.id)(s => s.copy(isScaledToZero = true,
+          scaledToZeroAtMs = Some(now),
+          idleSinceMs = s.idleSinceMs.orElse(Some(s.lastActivityAtMs))))
+      else if (st.currentReplicas == 0 && d.desiredReplicas > 0)
+        idleUpsert(p.id)(s => s.copy(isScaledToZero = false,
+          scaledToZeroAtMs = None, idleSinceMs = None,
+          lastActivityAtMs = now))
     }
     d
   }
@@ -1158,6 +1249,221 @@ final class ControlPlane(metaDir: String,
     lock.synchronized(
       policyId.fold(scalingHistory)(id =>
         scalingHistory.filter(_.policyId == id)))
+
+  // ---- idle / wake / savings (ref internal/api/handlers/wake.go:
+  // 27-38, scaling/wake/trigger.go, scaling/idle/detector.go — the
+  // decision layer over the same persisted stores; actuation stays
+  // with the deployment) ---------------------------------------------
+
+  /** Upsert under the lock; a no-change update skips the file write
+    * (the loop must not be a background disk load). */
+  private def idleUpsert(policyId: String)(f: IdleState => IdleState)
+  : IdleState = {
+    val now = clock()
+    val base = idleStates.getOrElse(policyId,
+      IdleState(policyId, now, None, None, None, None,
+        isScaledToZero = false, now, now))
+    val next0 = f(base)
+    if (idleStates.get(policyId).contains(next0)) next0
+    else {
+      val next = next0.copy(updatedAtMs = now)
+      idleStates += policyId -> next
+      persistIdleStates()
+      next
+    }
+  }
+
+  /** ref idle/detector.go:154-188 RecordActivity: reset the idle
+    * clock for a policy (creating its idle state on first sight). */
+  def recordScalingActivity(policyId: String): IdleState =
+    lock.synchronized {
+      getScalingPolicy(policyId) // 404 on unknown policy
+      val now = clock()
+      idleUpsert(policyId)(s =>
+        s.copy(lastActivityAtMs = now, idleSinceMs = None))
+    }
+
+  /** ref wake.go GetIdleState — 404 until the policy has any
+    * activity/wake history (the reference 404s a missing idle_state
+    * row the same way). */
+  def getIdleState(policyId: String): IdleState = lock.synchronized {
+    getScalingPolicy(policyId)
+    idleStates.getOrElse(policyId, throw NotFound("idle_state", policyId))
+  }
+
+  /** ref wake.go ListScaledToZero, in policy-listing order. */
+  def listScaledToZero(): Seq[IdleState] = lock.synchronized(
+    scalingPolicies.flatMap(p => idleStates.get(p.id))
+      .filter(_.isScaledToZero))
+
+  /** ref wake/trigger.go:120-241 Wake: an already-running policy is a
+    * completed no-op; a scaled-to-zero one comes back at
+    * max(min_replicas, 1) — wake IS a scale event, so the cooldown
+    * clock starts (the next evaluation tick respects it), the
+    * for-duration pending clocks reset with the width, and a history
+    * row records the wake. An unknown reason is 400, not silently
+    * "manual" — the strict-field convention every other route keeps. */
+  def wakeScalingPolicy(id: String, reason: String): WakeResult =
+    lock.synchronized {
+      val p = getScalingPolicy(id)
+      if (!ControlPlane.WakeReasons.contains(reason))
+        throw Invalid("wake reason must be one of " +
+          ControlPlane.WakeReasons.toSeq.sorted.mkString("/"))
+      val st = scalingStates.getOrElse(id, defaultScalingState(p))
+      if (st.currentReplicas > 0)
+        return WakeResult(id, st.currentReplicas, st.currentReplicas,
+          reason, "completed", "policy is already running")
+      val target = math.max(p.minReplicas, 1)
+      val now = clock()
+      scalingStates += id -> ScalingPolicyState(target, Some(now), Map.empty)
+      persistScalingStates()
+      idleUpsert(id)(s => s.copy(lastActivityAtMs = now,
+        idleSinceMs = None, scaledToZeroAtMs = None,
+        lastWakeAtMs = Some(now), wakeReason = Some(reason),
+        isScaledToZero = false))
+      appendScalingEvent(ScalingEvent(newId(), id, "scale-up", 0, target,
+        s"wake: $reason", reason, now))
+      WakeResult(id, 0, target, reason, "completed", "policy woken")
+    }
+
+  /** ref wake.go WakeAll: the listed policies, or — with no ids —
+    * every policy currently at zero width. Per-policy failures land in
+    * the result, never fail the batch. */
+  def wakeScalingPolicies(ids: Seq[String], reason: String)
+  : Seq[WakeResult] = lock.synchronized {
+    val targets =
+      if (ids.nonEmpty) ids
+      else scalingPolicies.collect {
+        case p if scalingStates.get(p.id).exists(_.currentReplicas == 0) =>
+          p.id
+      }
+    targets.map { id =>
+      try wakeScalingPolicy(id, reason)
+      catch {
+        case NotFound(_, _) =>
+          WakeResult(id, 0, 0, reason, "failed", "policy not found")
+      }
+    }
+  }
+
+  /** ref idle/detector.go's check loop distilled to the decision
+    * layer: every ENABLED scale-to-zero policy whose idle threshold
+    * has passed (outside the post-wake keep-alive window) is zeroed,
+    * marked, and recorded. A policy with NO recorded activity is never
+    * zeroed — absence of signal is not idleness. Returns the policy
+    * ids scaled to zero this tick. */
+  def idleScaleToZeroTick(
+      idleThresholdMs: Long = graft.observe.Scaling.DefaultIdleThresholdMs,
+      keepAliveWindowMs: Long = graft.observe.Scaling.DefaultKeepAliveWindowMs)
+  : Seq[String] = lock.synchronized {
+    val now = clock()
+    val zeroed = scalingPolicies.collect {
+      case p if p.enabled && p.scaleToZero &&
+        scalingStates.get(p.id).exists(_.currentReplicas > 0) &&
+        idleStates.get(p.id).exists(s =>
+          graft.observe.Scaling.shouldScaleToZero(s.lastActivityAtMs,
+            s.lastWakeAtMs, s.isScaledToZero, now,
+            idleThresholdMs, keepAliveWindowMs)) =>
+        val st = scalingStates(p.id)
+        scalingStates += p.id -> ScalingPolicyState(0, Some(now), Map.empty)
+        idleUpsert(p.id)(s => s.copy(isScaledToZero = true,
+          scaledToZeroAtMs = Some(now),
+          idleSinceMs = s.idleSinceMs.orElse(Some(s.lastActivityAtMs))))
+        appendScalingEvent(ScalingEvent(newId(), p.id, "scale-to-zero",
+          st.currentReplicas, 0, "idle threshold exceeded", "idle", now))
+        p.id
+    }
+    if (zeroed.nonEmpty) persistScalingStates()
+    zeroed
+  }
+
+  private def appendScalingEvent(e: ScalingEvent): Unit = {
+    scalingHistory :+= e
+    if (scalingHistory.size > ControlPlane.ScalingHistoryCap)
+      scalingHistory = scalingHistory.takeRight(ControlPlane.ScalingHistoryCap)
+    persistScalingHistory()
+  }
+
+  /** Zero-width intervals derived from the policy's history rows: an
+    * executed decision landing at zero opens an interval, the next
+    * event at nonzero width closes it, a still-open one closes at
+    * `now`. History is capped, so very old intervals age out with
+    * their rows — derived savings say so rather than guessing. */
+  private def zeroIntervals(policyId: String, nowMs: Long)
+  : Seq[(Long, Long)] = {
+    val evs = scalingHistory.filter(_.policyId == policyId).sortBy(_.atMs)
+    val out = Seq.newBuilder[(Long, Long)]
+    var openAt: Option[Long] = None
+    evs.foreach { e =>
+      if (e.toReplicas == 0) { if (openAt.isEmpty) openAt = Some(e.atMs) }
+      else openAt.foreach { a => out += ((a, e.atMs)); openAt = None }
+    }
+    openAt.foreach(a => out += ((a, nowMs)))
+    out.result()
+  }
+
+  /** The CURRENT idle-but-not-zero stretch (idleness is not evented,
+    * so only the live stretch is derivable — the documented proxy for
+    * the reference's accrued idle_seconds rows). */
+  private def idleIntervals(policyId: String, nowMs: Long)
+  : Seq[(Long, Long)] =
+    idleStates.get(policyId).toSeq.flatMap { s =>
+      val start = s.idleSinceMs.getOrElse(s.lastActivityAtMs)
+      val end = s.scaledToZeroAtMs.getOrElse(nowMs)
+      if (end <= start) Nil else Seq((start, end))
+    }
+
+  /** ref wake.go GetCostSavings: daily breakdown over the last `days`
+    * days, priced at `hourlyCostCents` per avoided replica-hour. */
+  def scalingCostSavings(id: String, days: Int = ControlPlane.DefaultSavingsDays,
+                         hourlyCostCents: Int = ControlPlane.DefaultHourlyCostCents)
+  : Seq[DailySavings] = lock.synchronized {
+    getScalingPolicy(id)
+    if (days <= 0) throw Invalid("days must be > 0")
+    if (hourlyCostCents < 0) throw Invalid("hourly_cost_cents must be >= 0")
+    val now = clock()
+    val windowStart = now - days.toLong * 86400000L
+    def perDayMs(intervals: Seq[(Long, Long)]): Map[Long, Long] = {
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      intervals.foreach { case (a0, b0) =>
+        var cur = math.max(a0, windowStart)
+        val b = math.min(b0, now)
+        while (cur < b) {
+          val day = Math.floorDiv(cur, 86400000L)
+          val end = math.min(b, (day + 1) * 86400000L)
+          m.update(day, m.getOrElse(day, 0L) + (end - cur))
+          cur = end
+        }
+      }
+      m.toMap
+    }
+    val zeroByDay = perDayMs(zeroIntervals(id, now))
+    val idleByDay = perDayMs(idleIntervals(id, now))
+    (zeroByDay.keySet ++ idleByDay.keySet).toSeq.sorted.map { day =>
+      val zs = zeroByDay.getOrElse(day, 0L) / 1000L
+      val is = idleByDay.getOrElse(day, 0L) / 1000L
+      DailySavings(java.time.LocalDate.ofEpochDay(day).toString,
+        is, zs, zs * hourlyCostCents / 3600L)
+    }
+  }
+
+  /** ref wake.go GetSavingsSummary: all-time totals per policy with
+    * any idle/zero signal, in policy-listing order. */
+  def scalingSavingsSummary(
+      hourlyCostCents: Int = ControlPlane.DefaultHourlyCostCents)
+  : Seq[PolicySavings] = lock.synchronized {
+    if (hourlyCostCents < 0) throw Invalid("hourly_cost_cents must be >= 0")
+    val now = clock()
+    scalingPolicies.toSeq.collect {
+      case p if idleStates.contains(p.id) ||
+        scalingHistory.exists(_.policyId == p.id) =>
+        val zs = zeroIntervals(p.id, now).map { case (a, b) => b - a }
+          .sum / 1000L
+        val is = idleIntervals(p.id, now).map { case (a, b) => b - a }
+          .sum / 1000L
+        PolicySavings(p.id, is, zs, zs * hourlyCostCents / 3600L)
+    }
+  }
 
   // ---- query-engine scaling policies (ref internal/api/handlers/
   // queryscaling.go:35-220 — the /queryscaling/policies CRUD, current

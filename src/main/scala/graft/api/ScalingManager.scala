@@ -66,6 +66,14 @@ final class ScalingManager(cp: ControlPlane,
           None
       }
     }
+    // the idle-detector leg of the loop (ref idle/detector.go's
+    // CheckInterval ticker): scale-to-zero policies whose idle
+    // threshold passed go to zero width here
+    try cp.idleScaleToZeroTick()
+    catch {
+      case NonFatal(e) =>
+        System.err.println(s"[graft-scaling] idle tick failed: ${e.getMessage}")
+    }
     (generic, query)
   }
 
@@ -79,15 +87,23 @@ object ScalingManager {
   /** Query pressure off the SparkContext status tracker — the ONE
     * implementation shared by the loop and the API's
     * `/queryscaling/metrics` endpoint (the reference's counterpart
-    * polls Trino /v1/cluster, collector.go:55-160). Queueing pressure
-    * is active stages with NO running task yet; local mode has no
-    * admission queue to read. */
+    * polls Trino /v1/cluster, collector.go:55-160). Both counts are
+    * JOB-granular so they partition the active set: a job is QUEUED
+    * while none of its active stages has a running task (local mode
+    * has no admission queue to read — this is the documented proxy),
+    * RUNNING otherwise. Counting queued at stage granularity would
+    * double-count one multi-stage job as queued AND running. */
   def sparkQueryMetrics(spark: org.apache.spark.sql.SparkSession)
   : Scaling.QueryMetrics = {
     val tracker = spark.sparkContext.statusTracker
-    val running = tracker.getActiveJobIds().length
-    val queued = tracker.getActiveStageIds().count(id =>
-      tracker.getStageInfo(id).exists(_.numActiveTasks == 0))
-    Scaling.QueryMetrics(queued = queued, running = running, blocked = 0)
+    val activeStages = tracker.getActiveStageIds().toSet
+    def hasRunningTask(jobId: Int): Boolean =
+      tracker.getJobInfo(jobId).exists(_.stageIds().exists(sid =>
+        activeStages.contains(sid) &&
+          tracker.getStageInfo(sid).exists(_.numActiveTasks > 0)))
+    val (runningJobs, queuedJobs) =
+      tracker.getActiveJobIds().partition(hasRunningTask)
+    Scaling.QueryMetrics(queued = queuedJobs.length,
+      running = runningJobs.length, blocked = 0)
   }
 }

@@ -1638,6 +1638,141 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- the reference's wake / idle / savings surface (ref internal/
+  // api/handlers/wake.go:27-38, scaling/wake/trigger.go, scaling/idle/
+  // detector.go): activity recording, scale-to-zero via executed
+  // decisions, the scaled-to-zero listing, wake single + all with the
+  // cooldown clock started, and savings DERIVED from the history.
+  private def apiScalingWake(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_wakeplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      def n_(v: JValue): Long = v match { case JInt(n) => n.toLong; case _ => -1L }
+      def mkPolicy(name: String, min: Int, by: Int): String = s_(call("POST",
+        "/api/v1/scaling/policies",
+        s"""{"name":"$name","target_type":"cdc-worker",
+           |"min_replicas":$min,"max_replicas":4,"cooldown_seconds":60,
+           |"scale_to_zero":true,
+           |"scale_up_rules":[{"metric":"graft_gate_lag","operator":"gt",
+           |  "threshold":10.0,"duration_seconds":0,"scale_by":1}],
+           |"scale_down_rules":[{"metric":"graft_gate_lag","operator":"lt",
+           |  "threshold":1.0,"duration_seconds":0,"scale_by":$by}]}"""
+          .stripMargin)._2 \ "id")
+      val pid = mkPolicy("workers", 2, 2)
+      // no activity recorded yet: the idle view 404s
+      val (cIdle0, _) = call("GET", s"/api/v1/scaling/policies/$pid/idle")
+      val (cAct, bAct) = call("POST", s"/api/v1/scaling/policies/$pid/activity")
+      // a scale-down decision lands at zero (scale_to_zero clamps to 0)
+      val ez = call("POST", s"/api/v1/scaling/policies/$pid/evaluate",
+        """{"metrics":{"graft_gate_lag":0.5}}""")._2
+      val (_, zlist) = call("GET", "/api/v1/scaling/scaled-to-zero")
+      val (_, idleZ) = call("GET", s"/api/v1/scaling/policies/$pid/idle")
+      // wake: width back at min_replicas, the cooldown clock started
+      val (cw, bw) = call("POST", s"/api/v1/scaling/policies/$pid/wake",
+        """{"reason":"api_request"}""")
+      val (_, bw2) = call("POST", s"/api/v1/scaling/policies/$pid/wake", "{}")
+      val (cBad, _) = call("POST", s"/api/v1/scaling/policies/$pid/wake",
+        """{"reason":"because"}""")
+      val eCooldown = call("POST", s"/api/v1/scaling/policies/$pid/evaluate",
+        """{"metrics":{"graft_gate_lag":42.0}}""")._2
+      // wake-all targets exactly the zero-width policies
+      val pid2 = mkPolicy("other", 1, 1)
+      call("POST", s"/api/v1/scaling/policies/$pid2/activity")
+      call("POST", s"/api/v1/scaling/policies/$pid2/evaluate",
+        """{"metrics":{"graft_gate_lag":0.5}}""")
+      val (_, ball) = call("POST", "/api/v1/scaling/wake",
+        """{"reason":"manual"}""")
+      val (cIds400, _) = call("POST", "/api/v1/scaling/wake",
+        """{"policy_ids":"oops"}""")
+      // savings derive from the history's zero intervals
+      val (cs, bs) = call("GET",
+        s"/api/v1/scaling/policies/$pid/savings?days=2&hourly_cost_cents=3600")
+      val (cs400, _) = call("GET",
+        s"/api/v1/scaling/policies/$pid/savings?days=0")
+      val (csum, bsum) = call("GET", "/api/v1/scaling/savings/summary")
+      val breakdown = bs \ "daily_breakdown" match {
+        case JArray(xs) => xs.size; case _ => -1
+      }
+      Seq(
+        ("idle_404_before_activity", flag(cIdle0 == 404)),
+        ("activity_200", flag(cAct == 200 &&
+          (bAct \ "is_scaled_to_zero") == JBool(false))),
+        ("eval_zero_desired", n_(ez \ "desired_replicas")),
+        ("zero_listed", flag(n_(zlist \ "total_count") == 1L &&
+          (zlist \ "policies" match {
+            case JArray(one :: Nil) => s_(one \ "policy_id") == pid
+            case _ => false
+          }))),
+        ("idle_marked_zero", flag(
+          (idleZ \ "is_scaled_to_zero") == JBool(true))),
+        ("wake_200", flag(cw == 200 &&
+          s_(bw \ "status") == "completed" &&
+          s_(bw \ "reason") == "api_request")),
+        ("wake_prev", n_(bw \ "previous_replicas")),
+        ("wake_target", n_(bw \ "target_replicas")),
+        ("wake_noop_running", flag(
+          n_(bw2 \ "previous_replicas") == 2L &&
+            s_(bw2 \ "message").contains("already running"))),
+        ("wake_bad_reason_400", flag(cBad == 400)),
+        ("wake_starts_cooldown", flag(
+          (eCooldown \ "should_execute") == JBool(false) &&
+            s_(eCooldown \ "reason").contains("cooldown"))),
+        ("wake_all_woken", n_(ball \ "woken")),
+        ("wake_all_failed", n_(ball \ "failed")),
+        ("wake_all_bad_ids_400", flag(cIds400 == 400)),
+        ("savings_200", flag(cs == 200 && breakdown >= 1 &&
+          n_(bs \ "total_zero_seconds") >= 0L)),
+        ("savings_bad_days_400", flag(cs400 == 400)),
+        ("summary_policies", flag(csum == 200 &&
+          n_(bsum \ "policy_count") == 2L)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiScalingWakeSql =
+    """SELECT step, result FROM (VALUES
+      |  ('idle_404_before_activity', CAST(1 AS BIGINT)),
+      |  ('activity_200', CAST(1 AS BIGINT)),
+      |  ('eval_zero_desired', CAST(0 AS BIGINT)),
+      |  ('zero_listed', CAST(1 AS BIGINT)),
+      |  ('idle_marked_zero', CAST(1 AS BIGINT)),
+      |  ('wake_200', CAST(1 AS BIGINT)),
+      |  ('wake_prev', CAST(0 AS BIGINT)),
+      |  ('wake_target', CAST(2 AS BIGINT)),
+      |  ('wake_noop_running', CAST(1 AS BIGINT)),
+      |  ('wake_bad_reason_400', CAST(1 AS BIGINT)),
+      |  ('wake_starts_cooldown', CAST(1 AS BIGINT)),
+      |  ('wake_all_woken', CAST(1 AS BIGINT)),
+      |  ('wake_all_failed', CAST(0 AS BIGINT)),
+      |  ('wake_all_bad_ids_400', CAST(1 AS BIGINT)),
+      |  ('savings_200', CAST(1 AS BIGINT)),
+      |  ('savings_bad_days_400', CAST(1 AS BIGINT)),
+      |  ('summary_policies', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   // ---- the reference's query-engine scaling surface end-to-end (ref
   // internal/api/handlers/queryscaling.go, the fixed-threshold model
   // of internal/scaling/query/policy.go): policy CRUD, evaluation
@@ -1771,6 +1906,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
     GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
+    GraftQuery("api_scaling_wake", apiScalingWake, Some(apiScalingWakeSql)),
     GraftQuery("api_query_scaling", apiQueryScaling, Some(apiQueryScalingSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),

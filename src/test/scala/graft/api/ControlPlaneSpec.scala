@@ -429,4 +429,82 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(new ControlPlane(dir, connTest = _ => Right(1L))
       .listScalingPolicies().isEmpty)
   }
+
+  test("wake/idle/savings: idle tick zeroes, wake restores width with cooldown, savings derive from history") {
+    val dir = freshDir()
+    val t0 = 86400000L * 100 // day 100, midnight UTC
+    @volatile var now = t0
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val p = cp.createScalingPolicy("workers", "cdc-worker", 2, 4,
+      cooldownSeconds = 60L, scaleToZero = true,
+      scaleUpRules = Seq(("lag", "gt", 10.0, 0L, 1)))
+    // no idle state yet: the view 404s, and the tick NEVER zeroes a
+    // policy with no recorded activity (absence of signal != idleness)
+    intercept[ControlPlane.NotFound] { cp.getIdleState(p.id) }
+    assert(cp.idleScaleToZeroTick() === Nil)
+    cp.recordScalingActivity(p.id)
+    assert(cp.getIdleState(p.id).lastActivityAtMs === t0)
+    // under the 30m default threshold: still running
+    now = t0 + 600000L
+    assert(cp.idleScaleToZeroTick() === Nil)
+    // past it: zeroed, marked, recorded
+    now = t0 + 2100000L // +35 min
+    assert(cp.idleScaleToZeroTick() === Seq(p.id))
+    assert(cp.getScalingPolicyState(p.id).currentReplicas === 0)
+    val idle0 = cp.getIdleState(p.id)
+    assert(idle0.isScaledToZero && idle0.scaledToZeroAtMs === Some(now))
+    assert(cp.listScaledToZero().map(_.policyId) === Seq(p.id))
+    assert(cp.idleScaleToZeroTick() === Nil) // already zero: no-op
+    // one hour at zero, then wake: width = min_replicas, cooldown set
+    now = t0 + 5700000L // +95 min
+    val w = cp.wakeScalingPolicy(p.id, "manual")
+    assert(w.status === "completed" && w.previousReplicas === 0 &&
+      w.targetReplicas === 2)
+    val idle1 = cp.getIdleState(p.id)
+    assert(!idle1.isScaledToZero && idle1.lastWakeAtMs === Some(now) &&
+      idle1.wakeReason === Some("manual"))
+    assert(cp.listScaledToZero() === Nil)
+    // the wake started the cooldown clock: an immediately following
+    // over-threshold evaluation is vetoed
+    now += 1000L
+    val d = cp.evaluateScalingPolicy(p.id, Map("lag" -> 42.0))
+    assert(!d.shouldExecute && d.reason.contains("cooldown"))
+    // waking a running policy: completed no-op, NO history row
+    val histBefore = cp.listScalingHistory(Some(p.id)).size
+    val w2 = cp.wakeScalingPolicy(p.id, "manual")
+    assert(w2.status === "completed" && w2.previousReplicas === 2 &&
+      w2.message.contains("already running"))
+    assert(cp.listScalingHistory(Some(p.id)).size === histBefore)
+    intercept[ControlPlane.Invalid] { cp.wakeScalingPolicy(p.id, "because") }
+    // keep-alive window after a wake vetoes re-zeroing (anti-flap),
+    // even with the idle threshold forced to zero
+    assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L) === Nil)
+    now = t0 + 6001000L // 5 min past the wake
+    assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L) === Seq(p.id))
+    // savings derive from the history rows: the closed zero interval
+    // (35..95 min = 3600 s) plus the open one (599 s), the idle
+    // stretch wake..re-zero (301 s); at 3600 cents/hour, cents == secs
+    now = t0 + 6600000L // +110 min
+    val daily = cp.scalingCostSavings(p.id, days = 1, hourlyCostCents = 3600)
+    assert(daily === Seq(ControlPlane.DailySavings(
+      java.time.LocalDate.ofEpochDay(100).toString, 301L, 4199L, 4199L)))
+    val summary = cp.scalingSavingsSummary(hourlyCostCents = 3600)
+    assert(summary === Seq(ControlPlane.PolicySavings(p.id, 301L, 4199L, 4199L)))
+    // wake-all with no ids wakes exactly the zero-width policies; a
+    // listed running policy reports already-running, a ghost id fails
+    // inside the batch without failing it
+    val p2 = cp.createScalingPolicy("other", "cdc-worker", 1, 2)
+    val all = cp.wakeScalingPolicies(Nil, "api_request")
+    assert(all.map(r => (r.policyId, r.status, r.previousReplicas)) ===
+      Seq((p.id, "completed", 0)))
+    val mixed = cp.wakeScalingPolicies(Seq(p2.id, "ghost"), "api_request")
+    assert(mixed.map(_.status) === Seq("completed", "failed") &&
+      mixed.head.previousReplicas === 1)
+    // idle/wake state survives a reopen
+    val cp2 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    val reloaded = cp2.getIdleState(p.id)
+    assert(reloaded.wakeReason === Some("api_request") &&
+      !reloaded.isScaledToZero)
+  }
 }

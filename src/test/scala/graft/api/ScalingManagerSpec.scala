@@ -100,6 +100,30 @@ class ScalingManagerSpec extends SparkTestBase {
     } finally fast.close()
   }
 
+  test("sparkQueryMetrics is job-granular: one running job is never double-counted as queued") {
+    val sc = spark.sparkContext
+    val fut = scala.concurrent.Future {
+      sc.parallelize(1 to 4, 4).mapPartitions { it =>
+        Thread.sleep(1500L); it
+      }.count()
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      val deadline = System.currentTimeMillis() + 10000L
+      var seenRunning = false
+      while (!seenRunning && System.currentTimeMillis() < deadline) {
+        val m = ScalingManager.sparkQueryMetrics(spark)
+        // queued + running partition the active-job set: the sleeping
+        // job shows up in exactly ONE bucket
+        assert(m.queued + m.running <= sc.statusTracker.getActiveJobIds().length + 1)
+        if (m.running >= 1) { seenRunning = true; assert(m.queued === 0) }
+        Thread.sleep(50L)
+      }
+      assert(seenRunning, "never observed the sleeping job as running")
+    } finally {
+      scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(30, "s"))
+    }
+  }
+
   test("TickerDaemon restarts after close — never a silently dead loop") {
     val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
     val d = new TickerDaemon("graft-test-ticker", 20L,
