@@ -679,14 +679,15 @@ final class ApiServer(spark: SparkSession,
       case ("POST", Seq("scaling", "wake")) =>
         val b = jsonBody(ex)
         // strict ids: a wrong-typed entry must not silently shrink the
-        // wake target set
-        val ids = b \ "policy_ids" match {
-          case JArray(xs) => xs.map {
+        // wake target set, and an EXPLICIT empty list is a no-op —
+        // only an ABSENT field means "all scaled-to-zero policies"
+        val ids: Option[Seq[String]] = b \ "policy_ids" match {
+          case JArray(xs) => Some(xs.map {
             case JString(s) => s
             case _ => throw ControlPlane.Invalid(
               "policy_ids entries must be strings")
-          }
-          case JNothing | JNull => Nil
+          })
+          case JNothing | JNull => None
           case _ => throw ControlPlane.Invalid("policy_ids must be an array")
         }
         val results = cp.wakeScalingPolicies(ids,

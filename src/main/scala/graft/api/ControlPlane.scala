@@ -1151,6 +1151,12 @@ final class ControlPlane(metaDir: String,
     scalingPolicies = scalingPolicies.filterNot(_.id == p.id)
     scalingStates -= p.id
     persistScalingPolicies(); persistScalingStates()
+    // the idle row goes with the policy (ref detector.RemovePolicy) —
+    // create/delete churn must not accrete orphans in idle_state.json
+    if (idleStates.contains(p.id)) {
+      idleStates -= p.id
+      persistIdleStates()
+    }
   }
 
   def setScalingPolicyEnabled(id: String, enabled: Boolean): ScalingPolicy =
@@ -1216,16 +1222,9 @@ final class ControlPlane(metaDir: String,
         case Scaling.Action.ScaleDown => "scale-down"
         case Scaling.Action.None      => "none"
       }
-      scalingHistory :+= ScalingEvent(newId(), p.id, action,
+      appendScalingEvent(ScalingEvent(newId(), p.id, action,
         st.currentReplicas, d.desiredReplicas, d.reason,
-        d.triggeredBy.getOrElse(""), now)
-      // retention cap: the loop makes growth autonomous, and every
-      // append rewrites the whole file — a misconfigured flip-flopping
-      // policy must not accrete unbounded rows
-      if (scalingHistory.size > ControlPlane.ScalingHistoryCap)
-        scalingHistory =
-          scalingHistory.takeRight(ControlPlane.ScalingHistoryCap)
-      persistScalingHistory()
+        d.triggeredBy.getOrElse(""), now))
       // executed zero-width transitions keep the idle/wake state
       // truthful: landing at zero marks scaled-to-zero, leaving zero
       // clears it (ref detector MarkScaledToZero / MarkWoken)
@@ -1326,17 +1325,21 @@ final class ControlPlane(metaDir: String,
       WakeResult(id, 0, target, reason, "completed", "policy woken")
     }
 
-  /** ref wake.go WakeAll: the listed policies, or — with no ids —
-    * every policy currently at zero width. Per-policy failures land in
-    * the result, never fail the batch. */
-  def wakeScalingPolicies(ids: Seq[String], reason: String)
+  /** ref wake.go WakeAll: the listed policies, or — with ids ABSENT —
+    * every policy currently at zero width. An EXPLICIT empty list is a
+    * no-op, never a mass wake (a client that filtered its candidates
+    * down to none must not wake the fleet). Per-policy failures land
+    * in the result, never fail the batch — but an invalid reason is
+    * 400 up front, not order-dependent on the target set. */
+  def wakeScalingPolicies(ids: Option[Seq[String]], reason: String)
   : Seq[WakeResult] = lock.synchronized {
-    val targets =
-      if (ids.nonEmpty) ids
-      else scalingPolicies.collect {
-        case p if scalingStates.get(p.id).exists(_.currentReplicas == 0) =>
-          p.id
-      }
+    if (!ControlPlane.WakeReasons.contains(reason))
+      throw Invalid("wake reason must be one of " +
+        ControlPlane.WakeReasons.toSeq.sorted.mkString("/"))
+    val targets = ids.getOrElse(scalingPolicies.collect {
+      case p if scalingStates.get(p.id).exists(_.currentReplicas == 0) =>
+        p.id
+    })
     targets.map { id =>
       try wakeScalingPolicy(id, reason)
       catch {
@@ -1360,6 +1363,12 @@ final class ControlPlane(metaDir: String,
     val zeroed = scalingPolicies.collect {
       case p if p.enabled && p.scaleToZero &&
         scalingStates.get(p.id).exists(_.currentReplicas > 0) &&
+        // the evaluator and this tick share the loop: a policy the
+        // evaluator JUST scaled (possibly up, under live metric
+        // pressure) is in cooldown — zeroing it here would bypass the
+        // cooldown the evaluator started
+        !scalingStates.get(p.id).exists(_.lastScaleAtMs.exists(t =>
+          now - t < p.cooldownSeconds * 1000L)) &&
         idleStates.get(p.id).exists(s =>
           graft.observe.Scaling.shouldScaleToZero(s.lastActivityAtMs,
             s.lastWakeAtMs, s.isScaledToZero, now,
@@ -1377,6 +1386,9 @@ final class ControlPlane(metaDir: String,
     zeroed
   }
 
+  /** Append + retention cap + persist — the ONE history write path.
+    * The cap exists because the loop makes growth autonomous and every
+    * append rewrites the whole file. */
   private def appendScalingEvent(e: ScalingEvent): Unit = {
     scalingHistory :+= e
     if (scalingHistory.size > ControlPlane.ScalingHistoryCap)
@@ -1384,37 +1396,80 @@ final class ControlPlane(metaDir: String,
     persistScalingHistory()
   }
 
-  /** Zero-width intervals derived from the policy's history rows: an
-    * executed decision landing at zero opens an interval, the next
-    * event at nonzero width closes it, a still-open one closes at
-    * `now`. History is capped, so very old intervals age out with
-    * their rows — derived savings say so rather than guessing. */
+  /** Zero-width intervals (start, end, avoided width) derived from the
+    * policy's history rows: an executed decision landing at zero opens
+    * an interval carrying the width it zeroed FROM, the next event at
+    * nonzero width closes it, a still-open one closes at `now`.
+    * History is capped, so very old intervals age out with their rows
+    * — derived savings say so rather than guessing. */
   private def zeroIntervals(policyId: String, nowMs: Long)
-  : Seq[(Long, Long)] = {
+  : Seq[(Long, Long, Int)] = {
     val evs = scalingHistory.filter(_.policyId == policyId).sortBy(_.atMs)
-    val out = Seq.newBuilder[(Long, Long)]
-    var openAt: Option[Long] = None
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    var open: Option[(Long, Int)] = None
     evs.foreach { e =>
-      if (e.toReplicas == 0) { if (openAt.isEmpty) openAt = Some(e.atMs) }
-      else openAt.foreach { a => out += ((a, e.atMs)); openAt = None }
+      if (e.toReplicas == 0) {
+        if (open.isEmpty) open = Some((e.atMs, math.max(e.fromReplicas, 1)))
+      } else open.foreach { case (a, w) =>
+        out += ((a, e.atMs, w)); open = None
+      }
     }
-    openAt.foreach(a => out += ((a, nowMs)))
+    open.foreach { case (a, w) => out += ((a, nowMs, w)) }
     out.result()
   }
 
-  /** The CURRENT idle-but-not-zero stretch (idleness is not evented,
-    * so only the live stretch is derivable — the documented proxy for
-    * the reference's accrued idle_seconds rows). */
+  /** Idle-but-running stretches: `idle_since` is set only when a
+    * zeroing actually happened (the threshold demonstrably passed) —
+    * time since the last activity on a BUSY policy is not idleness and
+    * never reaches the savings view. */
   private def idleIntervals(policyId: String, nowMs: Long)
   : Seq[(Long, Long)] =
     idleStates.get(policyId).toSeq.flatMap { s =>
-      val start = s.idleSinceMs.getOrElse(s.lastActivityAtMs)
-      val end = s.scaledToZeroAtMs.getOrElse(nowMs)
-      if (end <= start) Nil else Seq((start, end))
+      s.idleSinceMs match {
+        case Some(start) =>
+          val end = s.scaledToZeroAtMs.getOrElse(nowMs)
+          if (end <= start) Nil else Seq((start, end))
+        case None => Nil
+      }
     }
 
+  /** Daily rows since `windowStart` — the ONE derivation both the
+    * per-policy savings view and the summary price from, so the two
+    * endpoints can never disagree on the same data. Savings =
+    * avoided replica-milliseconds x rate, truncated per day. */
+  private def dailySavingsRows(id: String, windowStart: Long, nowMs: Long,
+                               hourlyCostCents: Int): Seq[DailySavings] = {
+    // day -> (plain ms, replica-weighted ms)
+    def splitDays(a0: Long, b0: Long, weight: Long,
+                  m: scala.collection.mutable.Map[Long, (Long, Long)]): Unit = {
+      var cur = math.max(a0, windowStart)
+      val b = math.min(b0, nowMs)
+      while (cur < b) {
+        val day = Math.floorDiv(cur, 86400000L)
+        val end = math.min(b, (day + 1) * 86400000L)
+        val (p, w) = m.getOrElse(day, (0L, 0L))
+        m.update(day, (p + (end - cur), w + (end - cur) * weight))
+        cur = end
+      }
+    }
+    val zeroByDay = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    zeroIntervals(id, nowMs).foreach { case (a, b, w) =>
+      splitDays(a, b, w.toLong, zeroByDay) }
+    val idleByDay = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    idleIntervals(id, nowMs).foreach { case (a, b) =>
+      splitDays(a, b, 0L, idleByDay) }
+    (zeroByDay.keySet ++ idleByDay.keySet).toSeq.sorted.map { day =>
+      val (zMs, zWeighted) = zeroByDay.getOrElse(day, (0L, 0L))
+      val (iMs, _) = idleByDay.getOrElse(day, (0L, 0L))
+      DailySavings(java.time.LocalDate.ofEpochDay(day).toString,
+        iMs / 1000L, zMs / 1000L,
+        zWeighted * hourlyCostCents / 3600000L)
+    }
+  }
+
   /** ref wake.go GetCostSavings: daily breakdown over the last `days`
-    * days, priced at `hourlyCostCents` per avoided replica-hour. */
+    * days, priced at `hourlyCostCents` per avoided REPLICA-hour (the
+    * width each zeroing took away rides the interval). */
   def scalingCostSavings(id: String, days: Int = ControlPlane.DefaultSavingsDays,
                          hourlyCostCents: Int = ControlPlane.DefaultHourlyCostCents)
   : Seq[DailySavings] = lock.synchronized {
@@ -1422,33 +1477,12 @@ final class ControlPlane(metaDir: String,
     if (days <= 0) throw Invalid("days must be > 0")
     if (hourlyCostCents < 0) throw Invalid("hourly_cost_cents must be >= 0")
     val now = clock()
-    val windowStart = now - days.toLong * 86400000L
-    def perDayMs(intervals: Seq[(Long, Long)]): Map[Long, Long] = {
-      val m = scala.collection.mutable.Map.empty[Long, Long]
-      intervals.foreach { case (a0, b0) =>
-        var cur = math.max(a0, windowStart)
-        val b = math.min(b0, now)
-        while (cur < b) {
-          val day = Math.floorDiv(cur, 86400000L)
-          val end = math.min(b, (day + 1) * 86400000L)
-          m.update(day, m.getOrElse(day, 0L) + (end - cur))
-          cur = end
-        }
-      }
-      m.toMap
-    }
-    val zeroByDay = perDayMs(zeroIntervals(id, now))
-    val idleByDay = perDayMs(idleIntervals(id, now))
-    (zeroByDay.keySet ++ idleByDay.keySet).toSeq.sorted.map { day =>
-      val zs = zeroByDay.getOrElse(day, 0L) / 1000L
-      val is = idleByDay.getOrElse(day, 0L) / 1000L
-      DailySavings(java.time.LocalDate.ofEpochDay(day).toString,
-        is, zs, zs * hourlyCostCents / 3600L)
-    }
+    dailySavingsRows(id, now - days.toLong * 86400000L, now, hourlyCostCents)
   }
 
   /** ref wake.go GetSavingsSummary: all-time totals per policy with
-    * any idle/zero signal, in policy-listing order. */
+    * any idle/zero signal, in policy-listing order — the sum of the
+    * SAME daily rows the per-policy view serves. */
   def scalingSavingsSummary(
       hourlyCostCents: Int = ControlPlane.DefaultHourlyCostCents)
   : Seq[PolicySavings] = lock.synchronized {
@@ -1457,11 +1491,9 @@ final class ControlPlane(metaDir: String,
     scalingPolicies.toSeq.collect {
       case p if idleStates.contains(p.id) ||
         scalingHistory.exists(_.policyId == p.id) =>
-        val zs = zeroIntervals(p.id, now).map { case (a, b) => b - a }
-          .sum / 1000L
-        val is = idleIntervals(p.id, now).map { case (a, b) => b - a }
-          .sum / 1000L
-        PolicySavings(p.id, is, zs, zs * hourlyCostCents / 3600L)
+        val rows = dailySavingsRows(p.id, 0L, now, hourlyCostCents)
+        PolicySavings(p.id, rows.map(_.idleSeconds).sum,
+          rows.map(_.zeroSeconds).sum, rows.map(_.savingsCents).sum)
     }
   }
 

@@ -97,12 +97,19 @@ object ScalingManager {
   : Scaling.QueryMetrics = {
     val tracker = spark.sparkContext.statusTracker
     val activeStages = tracker.getActiveStageIds().toSet
-    def hasRunningTask(jobId: Int): Boolean =
-      tracker.getJobInfo(jobId).exists(_.stageIds().exists(sid =>
-        activeStages.contains(sid) &&
-          tracker.getStageInfo(sid).exists(_.numActiveTasks > 0)))
-    val (runningJobs, queuedJobs) =
-      tracker.getActiveJobIds().partition(hasRunningTask)
+    // a job is QUEUED only when it demonstrably waits: it has active
+    // stages and none of them has a running task. A job between
+    // stages (no active stage) or racing the two tracker reads counts
+    // as running — a single-tick blip must never inflate queue
+    // pressure into a spurious scale-up
+    def isQueued(jobId: Int): Boolean =
+      tracker.getJobInfo(jobId).exists { j =>
+        val active = j.stageIds().filter(activeStages.contains)
+        active.nonEmpty && active.forall(sid =>
+          tracker.getStageInfo(sid).exists(_.numActiveTasks == 0))
+      }
+    val (queuedJobs, runningJobs) =
+      tracker.getActiveJobIds().partition(isQueued)
     Scaling.QueryMetrics(queued = queuedJobs.length,
       running = runningJobs.length, blocked = 0)
   }

@@ -483,28 +483,48 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L) === Seq(p.id))
     // savings derive from the history rows: the closed zero interval
     // (35..95 min = 3600 s) plus the open one (599 s), the idle
-    // stretch wake..re-zero (301 s); at 3600 cents/hour, cents == secs
+    // stretch wake..re-zero (301 s); both zeroings took TWO replicas
+    // away, so at 3600 cents/replica-hour cents == 2 x zero seconds
     now = t0 + 6600000L // +110 min
     val daily = cp.scalingCostSavings(p.id, days = 1, hourlyCostCents = 3600)
     assert(daily === Seq(ControlPlane.DailySavings(
-      java.time.LocalDate.ofEpochDay(100).toString, 301L, 4199L, 4199L)))
+      java.time.LocalDate.ofEpochDay(100).toString, 301L, 4199L, 8398L)))
+    // the summary sums the SAME daily derivation — never disagrees
     val summary = cp.scalingSavingsSummary(hourlyCostCents = 3600)
-    assert(summary === Seq(ControlPlane.PolicySavings(p.id, 301L, 4199L, 4199L)))
-    // wake-all with no ids wakes exactly the zero-width policies; a
-    // listed running policy reports already-running, a ghost id fails
-    // inside the batch without failing it
+    assert(summary === Seq(ControlPlane.PolicySavings(p.id, 301L, 4199L, 8398L)))
+    // wake-all with ABSENT ids wakes exactly the zero-width policies;
+    // an EXPLICIT empty list is a no-op; an invalid reason is 400 even
+    // when the target set would be empty; a listed running policy
+    // reports already-running; a ghost id fails inside the batch
     val p2 = cp.createScalingPolicy("other", "cdc-worker", 1, 2)
-    val all = cp.wakeScalingPolicies(Nil, "api_request")
+    cp.recordScalingActivity(p2.id) // idle row exists for the delete pin
+    val all = cp.wakeScalingPolicies(None, "api_request")
     assert(all.map(r => (r.policyId, r.status, r.previousReplicas)) ===
       Seq((p.id, "completed", 0)))
-    val mixed = cp.wakeScalingPolicies(Seq(p2.id, "ghost"), "api_request")
+    assert(cp.wakeScalingPolicies(Some(Nil), "manual") === Nil)
+    intercept[ControlPlane.Invalid] {
+      cp.wakeScalingPolicies(None, "bogus")
+    }
+    val mixed = cp.wakeScalingPolicies(Some(Seq(p2.id, "ghost")), "api_request")
     assert(mixed.map(_.status) === Seq("completed", "failed") &&
       mixed.head.previousReplicas === 1)
-    // idle/wake state survives a reopen
+    // the idle tick never bypasses a live cooldown (the wake-all just
+    // started one), even with both thresholds forced to zero
+    assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L,
+      keepAliveWindowMs = 0L) === Nil)
+    now += 60001L // cooldown over
+    assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L,
+      keepAliveWindowMs = 0L) === Seq(p.id))
+    // idle/wake state survives a reopen; a deleted policy's idle row
+    // goes with it (no orphans accreting in idle_state.json)
+    cp.deleteScalingPolicy(p2.id)
     val cp2 = new ControlPlane(dir, connTest = _ => Right(1L),
       clock = () => now)
     val reloaded = cp2.getIdleState(p.id)
     assert(reloaded.wakeReason === Some("api_request") &&
-      !reloaded.isScaledToZero)
+      reloaded.isScaledToZero)
+    val idleFile = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "idle_state.json"))
+    assert(idleFile.contains(p.id) && !idleFile.contains(p2.id))
   }
 }
