@@ -142,6 +142,15 @@ final class ApiServer(spark: SparkSession,
       val exempt = segs == Seq("query", "health") ||
         (segs == Seq("api", "v1", "auth", "oidc", "providers") &&
           ex.getRequestMethod == "GET") ||
+        // login is how session credentials get minted — it must answer
+        // unauthenticated (it only ever succeeds against a stored
+        // password). REGISTER is deliberately NOT exempt: the
+        // reference leaves first-admin registration public, but on a
+        // token-closed deployment that is an unauthenticated
+        // admin-mint — here bootstrap on a closed API uses an existing
+        // credential
+        (segs == Seq("api", "v1", "auth", "login") &&
+          ex.getRequestMethod == "POST") ||
         (segs == Seq("metrics") &&
           (openMetrics || metricsToken.exists(t => HttpUtil.bearerOk(ex, t))))
       if (authRequired && !exempt && !authorized(ex)) {
@@ -220,6 +229,10 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 409, JObject("error" -> JString(e.getMessage)))
       case e: ControlPlane.Invalid =>
         respond(ex, 400, JObject("error" -> JString(e.getMessage)))
+      case e: ControlPlane.Unauthorized =>
+        respond(ex, 401, JObject("error" -> JString(e.getMessage)))
+      case e: ControlPlane.Forbidden =>
+        respond(ex, 403, JObject("error" -> JString(e.getMessage)))
       case e: IllegalArgumentException => // Identifiers.validate
         respond(ex, 400, JObject("error" -> JString(e.getMessage)))
       case e: AnalysisException =>
@@ -860,6 +873,35 @@ final class ApiServer(spark: SparkSession,
       // authorize/callback dance is login-UI plumbing out of engine
       // scope — its PRODUCT, issuer-signed JWTs, is what the API's
       // auth path accepts)
+      // ---- session auth (ref internal/api/handlers/auth.go:31-158 —
+      // login, one-time admin registration, /auth/me). Login is exempt
+      // from the gate; register and me sit behind it when closed.
+      case ("POST", Seq("auth", "register")) =>
+        val b = jsonBody(ex)
+        val (u, tok, s) = cp.registerFirstAdmin(
+          jstrStrict(b \ "email", "email", ""),
+          jstrStrict(b \ "password", "password", ""),
+          jstrStrict(b \ "name", "name", ""))
+        // the session plaintext exists only in THIS response
+        respond(ex, 201, JObject(
+          "user" -> cp.userJson(u),
+          "token" -> JString(tok),
+          "expires_at_ms" -> JInt(BigInt(s.expiresAtMs))))
+      case ("POST", Seq("auth", "login")) =>
+        val b = jsonBody(ex)
+        val (u, tok, s) = cp.loginUser(
+          jstrStrict(b \ "email", "email", ""),
+          jstrStrict(b \ "password", "password", ""))
+        respond(ex, 200, JObject(
+          "token" -> JString(tok),
+          "expires_at_ms" -> JInt(BigInt(s.expiresAtMs)),
+          "user" -> cp.userJson(u)))
+      case ("GET", Seq("auth", "me")) =>
+        principalJson(ex) match {
+          case Some(p) => respond(ex, 200, p)
+          case None => respond(ex, 401,
+            JObject("error" -> JString("authentication required")))
+        }
       case ("GET", Seq("auth", "oidc", "providers")) =>
         val enabled = cp.listOidcProviders().filter(_.enabled)
         respond(ex, 200, JObject(
@@ -983,9 +1025,33 @@ final class ApiServer(spark: SparkSession,
   private def authorized(ex: HttpExchange): Boolean =
     authToken.exists(t => HttpUtil.bearerOk(ex, t)) ||
       controlPlane.exists(cp =>
-        HttpUtil.bearerToken(ex).exists(t => cp.validateApiKey(t).isDefined)) ||
+        HttpUtil.bearerToken(ex).exists(t =>
+          cp.validateApiKey(t).isDefined ||
+            cp.validateSession(t).isDefined)) ||
       HttpUtil.bearerToken(ex).exists(t =>
         (oidc.toSeq ++ storeValidators()).exists(_.validate(t).isRight))
+
+  /** Identify the PRESENTED credential for `/auth/me` (ref handlers/
+    * auth.go:79-91 GetMe over middleware.GetAuthContext) — one view
+    * across all four credential kinds, probed in the same order
+    * [[authorized]] accepts them. */
+  private def principalJson(ex: HttpExchange): Option[JObject] =
+    if (authToken.exists(t => HttpUtil.bearerOk(ex, t)))
+      Some(JObject("kind" -> JString("static_token")))
+    else HttpUtil.bearerToken(ex).flatMap { t =>
+      controlPlane.flatMap(cp => cp.validateSession(t).map { case (s, u) =>
+        JObject("kind" -> JString("session"),
+          "user" -> cp.userJson(u),
+          "expires_at_ms" -> JInt(BigInt(s.expiresAtMs)))
+      }).orElse(controlPlane.flatMap(_.validateApiKey(t)).map(k =>
+        JObject("kind" -> JString("api_key"),
+          "api_key" -> JObject("id" -> JString(k.id),
+            "name" -> JString(k.name), "prefix" -> JString(k.prefix)))))
+        .orElse((oidc.toSeq ++ storeValidators()).view
+          .flatMap(_.validate(t).toOption).headOption.map(c =>
+            JObject("kind" -> JString("oidc"),
+              "subject" -> JString(c.subject))))
+    }
 
   /** The DEPLOYMENT configuration decides whether the API is closed:
     * the static token or the env-configured OIDC issuer. Store-managed

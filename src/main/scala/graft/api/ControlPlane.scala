@@ -42,6 +42,10 @@ object ControlPlane {
     extends RuntimeException(s"$resource $id not found")
   final case class Conflict(message: String) extends RuntimeException(message)
   final case class Invalid(message: String) extends RuntimeException(message)
+  final case class Unauthorized(message: String)
+    extends RuntimeException(message)
+  final case class Forbidden(message: String)
+    extends RuntimeException(message)
 
   /** The deployment's credential key (`GRAFT_ENCRYPTION_KEY`, base64
     * 32 bytes) — None means credentials persist in plaintext, the
@@ -262,6 +266,40 @@ object ControlPlane {
       .digest(plaintext.getBytes(UTF_8))
       .map(b => f"$b%02x").mkString
 
+  /** One user account (ref models/auth.go:68-80 User + services/
+    * auth.go). The password is kept as PBKDF2-HMAC-SHA256 over a
+    * per-user random salt — the reference uses bcrypt; PBKDF2 is the
+    * JVM-native slow KDF this repo already speaks (RFC 5802 Hi). */
+  final case class User(id: String, email: String, name: String,
+                        role: String, isActive: Boolean,
+                        lastLoginAtMs: Option[Long],
+                        passwordHash: String, passwordSalt: String,
+                        kdfIterations: Int,
+                        createdAtMs: Long, updatedAtMs: Long)
+
+  /** One minted login session: the bearer plaintext exists only in
+    * the login response; the store keeps its SHA-256 and the expiry
+    * (the API-key treatment — the reference mints stateless HS256
+    * JWTs; hashed server-side rows add revocability-by-restart-purge
+    * and keep no signing secret on disk). */
+  final case class Session(id: String, userId: String, tokenHash: String,
+                           expiresAtMs: Long, createdAtMs: Long)
+
+  /** ref models/auth.go UserRole vocabulary. */
+  private[api] val UserRoles = Set("admin", "operator", "viewer")
+  /** ref config.go: PHILOTES_AUTH_JWT_EXPIRATION default 24h. */
+  private[api] val DefaultSessionTtlMs: Long = 24L * 3600 * 1000
+  /** OWASP-order PBKDF2-HMAC-SHA256 work factor. */
+  private[api] val KdfIterations = 100000
+
+  private[api] def pbkdf2(password: String, salt: Array[Byte],
+                          iterations: Int): String = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded.map(b => f"$b%02x").mkString
+  }
+
   /** Pipeline actuation hook. [[Noop]] is the reference's posture
     * (status-only); a real runner performs the lifecycle. `start` throws
     * to signal failure — the store records status `error`. */
@@ -349,6 +387,9 @@ final class ControlPlane(metaDir: String,
   private var scalingStates: Map[String, ScalingPolicyState] = loadScalingStates()
   private var scalingHistory: Vector[ScalingEvent] = loadScalingHistory()
   private var idleStates: Map[String, IdleState] = loadIdleStates()
+  private var users: Vector[User] = loadUsers()
+  private var sessions: Vector[Session] = loadSessions()
+  private val sessionTtlMs: Long = ControlPlane.DefaultSessionTtlMs
   private var queryScalingPolicies: Vector[QueryScalingPolicy] =
     loadQueryScalingPolicies()
   private var queryScalingStates: Map[String, ScalingPolicyState] =
@@ -2060,6 +2101,165 @@ final class ControlPlane(metaDir: String,
       java.security.MessageDigest.isEqual(digest, k.hash.getBytes(UTF_8)) &&
         k.revokedAtMs.isEmpty && k.expiresAtMs.forall(_ > now))
   }
+
+  // ---- users + login sessions (ref internal/api/handlers/auth.go:
+  // 31-158, services/auth.go — password login minting expiring
+  // session tokens, /auth/me, the one-time admin registration) -------
+
+  private def validUserFields(email: String, password: String): Unit = {
+    // ref binding:"required,email" / "required,min=8"
+    val at = email.indexOf('@')
+    if (email.isEmpty || at <= 0 || at >= email.length - 1 ||
+      email.exists(_.isWhitespace))
+      throw Invalid("email must be a valid address")
+    if (password.length < 8)
+      throw Invalid("password must be at least 8 characters")
+  }
+
+  private def mkUser(email: String, password: String, name: String,
+                     role: String): User = {
+    val salt = new Array[Byte](16)
+    secureRandom.nextBytes(salt)
+    val now = clock()
+    User(newId(), email, name, role, isActive = true, None,
+      ControlPlane.pbkdf2(password, salt, ControlPlane.KdfIterations),
+      salt.map(b => f"$b%02x").mkString, ControlPlane.KdfIterations,
+      now, now)
+  }
+
+  /** ref services/auth.go:291-340 RegisterFirstAdmin — the one-time
+    * onboarding bootstrap: 409 once ANY admin exists. Returns the user
+    * and a freshly minted session (token plaintext exists only here). */
+  def registerFirstAdmin(email: String, password: String, name: String = "")
+  : (User, String, Session) = lock.synchronized {
+    validUserFields(email, password)
+    if (users.exists(_.role == "admin"))
+      throw Conflict("admin user already exists; use login instead")
+    if (users.exists(_.email == email))
+      throw Conflict("user with this email already exists")
+    val u = mkUser(email, password, name, "admin")
+    users :+= u
+    persistUsers()
+    val (tok, session) = mintSession(u)
+    (u, tok, session)
+  }
+
+  /** ref services/auth.go:51-109 Login. Unknown email and wrong
+    * password are the SAME 401 (no user-existence oracle); an inactive
+    * account is 403. The KDF runs on every attempt — including for
+    * unknown emails, against a fixed dummy salt — so response timing
+    * does not reveal whether the email exists. */
+  def loginUser(email: String, password: String): (User, String, Session) =
+    lock.synchronized {
+      if (email.isEmpty) throw Invalid("email is required")
+      if (password.isEmpty) throw Invalid("password is required")
+      users.find(_.email == email) match {
+        case None =>
+          ControlPlane.pbkdf2(password, new Array[Byte](16),
+            ControlPlane.KdfIterations) // burn the same work
+          throw Unauthorized("invalid email or password")
+        case Some(u) =>
+          val presented = ControlPlane.pbkdf2(password,
+            hexBytes(u.passwordSalt), u.kdfIterations)
+          if (!java.security.MessageDigest.isEqual(
+            presented.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8)))
+            throw Unauthorized("invalid email or password")
+          if (!u.isActive) throw Forbidden("user account is inactive")
+          val now = clock()
+          val updated = u.copy(lastLoginAtMs = Some(now), updatedAtMs = now)
+          users = users.map(x => if (x.id == u.id) updated else x)
+          persistUsers()
+          val (tok, session) = mintSession(updated)
+          (updated, tok, session)
+      }
+    }
+
+  private def mintSession(u: User): (String, Session) = {
+    val raw = new Array[Byte](32)
+    secureRandom.nextBytes(raw)
+    val plaintext = "graft_sess_" +
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+    val now = clock()
+    val s = Session(newId(), u.id, ControlPlane.hashApiKey(plaintext),
+      now + sessionTtlMs, now)
+    // expired rows leave with every mint — the session file must not
+    // accrete a row per historical login forever
+    sessions = sessions.filter(_.expiresAtMs > now) :+ s
+    persistSessions()
+    (plaintext, s)
+  }
+
+  /** Authenticate a presented session token: digest-then-compare like
+    * the API keys; expired sessions and inactive users never validate. */
+  def validateSession(plaintext: String): Option[(Session, User)] =
+    lock.synchronized {
+      val digest = ControlPlane.hashApiKey(plaintext).getBytes(UTF_8)
+      val now = clock()
+      for {
+        s <- sessions.find(s =>
+          java.security.MessageDigest.isEqual(digest,
+            s.tokenHash.getBytes(UTF_8)) && s.expiresAtMs > now)
+        u <- users.find(u => u.id == s.userId && u.isActive)
+      } yield (s, u)
+    }
+
+  def getUser(id: String): User = lock.synchronized(
+    users.find(_.id == id).getOrElse(throw NotFound("user", id)))
+
+  def listUsers(): Seq[User] = lock.synchronized(users)
+
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** The API view — hash, salt, and iteration count NEVER render. */
+  private[api] def userJson(u: User): JObject = JObject(
+    "id" -> JString(u.id), "email" -> JString(u.email),
+    "name" -> JString(u.name), "role" -> JString(u.role),
+    "is_active" -> JBool(u.isActive),
+    "last_login_at_ms" -> optL(u.lastLoginAtMs),
+    "created_at_ms" -> JInt(BigInt(u.createdAtMs)),
+    "updated_at_ms" -> JInt(BigInt(u.updatedAtMs)))
+
+  private def persistUsers(): Unit =
+    writeFile("users.json", JArray(users.toList.map(u => JObject(
+      "id" -> JString(u.id), "email" -> JString(u.email),
+      "name" -> JString(u.name), "role" -> JString(u.role),
+      "is_active" -> JBool(u.isActive),
+      "last_login_at_ms" -> optL(u.lastLoginAtMs),
+      "password_hash" -> JString(u.passwordHash),
+      "password_salt" -> JString(u.passwordSalt),
+      "kdf_iterations" -> JInt(u.kdfIterations),
+      "created_at_ms" -> JInt(BigInt(u.createdAtMs)),
+      "updated_at_ms" -> JInt(BigInt(u.updatedAtMs))))))
+
+  private def loadUsers(): Vector[User] =
+    readFile("users.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        User(str(o \ "id"), str(o \ "email"), str(o \ "name"),
+          str(o \ "role"), (o \ "is_active") != JBool(false),
+          loadOptL(o \ "last_login_at_ms"),
+          str(o \ "password_hash"), str(o \ "password_salt"),
+          num(o \ "kdf_iterations").toInt,
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def persistSessions(): Unit =
+    writeFile("sessions.json", JArray(sessions.toList.map(s => JObject(
+      "id" -> JString(s.id), "user_id" -> JString(s.userId),
+      "token_hash" -> JString(s.tokenHash),
+      "expires_at_ms" -> JInt(BigInt(s.expiresAtMs)),
+      "created_at_ms" -> JInt(BigInt(s.createdAtMs))))))
+
+  private def loadSessions(): Vector[Session] =
+    readFile("sessions.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        Session(str(o \ "id"), str(o \ "user_id"), str(o \ "token_hash"),
+          num(o \ "expires_at_ms"), num(o \ "created_at_ms"))
+      }
+      case _ => Vector.empty
+    }
 
   // ---- sources ------------------------------------------------------
 

@@ -1773,6 +1773,98 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- the reference's session-auth surface (ref internal/api/
+  // handlers/auth.go:31-158, services/auth.go): one-time admin
+  // registration, password login minting expiring session tokens
+  // (hashed at rest), and /auth/me identifying the credential kind.
+  private def apiSessionAuth(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_authplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val srv = new ApiServer(s, controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = "",
+               bearer: Option[String] = None): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val req = method match {
+          case "GET" => b.GET()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(),
+          if (r.body().isEmpty) JNothing else JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      val reg = """{"email":"admin@example.com","password":"correct-horse-bs","name":"Admin"}"""
+      val (c1, b1) = call("POST", "/api/v1/auth/register", reg)
+      val (c2, _) = call("POST", "/api/v1/auth/register", reg)
+      val (c3, _) = call("POST", "/api/v1/auth/register",
+        """{"email":"bad","password":"longenough99"}""")
+      val (c4, _) = call("POST", "/api/v1/auth/register",
+        """{"email":"x@example.com","password":"short"}""")
+      val (c5, _) = call("POST", "/api/v1/auth/login",
+        """{"email":"admin@example.com","password":"wrong-password"}""")
+      val (c6, _) = call("POST", "/api/v1/auth/login",
+        """{"email":"ghost@example.com","password":"correct-horse-bs"}""")
+      val (c7, b7) = call("POST", "/api/v1/auth/login",
+        """{"email":"admin@example.com","password":"correct-horse-bs"}""")
+      val sess = s_(b7 \ "token")
+      val (c8, b8) = call("GET", "/api/v1/auth/me", bearer = Some(sess))
+      val (_, bk) = call("POST", "/api/v1/api-keys", """{"name":"ci"}""")
+      val (c9, b9) = call("GET", "/api/v1/auth/me",
+        bearer = Some(s_(bk \ "key")))
+      val (c10, _) = call("GET", "/api/v1/auth/me")
+      val rendered = JsonMethods.compact(JsonMethods.render(b1)) +
+        JsonMethods.compact(JsonMethods.render(b7))
+      Seq(
+        ("register_201", flag(c1 == 201 &&
+          s_(b1 \ "user" \ "role") == "admin" &&
+          s_(b1 \ "token").startsWith("graft_sess_"))),
+        ("register_again_409", flag(c2 == 409)),
+        ("register_bad_email_400", flag(c3 == 400)),
+        ("register_short_password_400", flag(c4 == 400)),
+        ("login_wrong_password_401", flag(c5 == 401)),
+        ("login_unknown_email_401", flag(c6 == 401)),
+        ("login_200", flag(c7 == 200 &&
+          s_(b7 \ "token").startsWith("graft_sess_"))),
+        ("me_session_kind", flag(c8 == 200 &&
+          s_(b8 \ "kind") == "session" &&
+          s_(b8 \ "user" \ "email") == "admin@example.com")),
+        ("me_api_key_kind", flag(c9 == 200 &&
+          s_(b9 \ "kind") == "api_key")),
+        ("me_no_credential_401", flag(c10 == 401)),
+        ("no_hash_in_responses", flag(!rendered.contains("hash") &&
+          !rendered.contains("correct-horse-bs"))))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiSessionAuthSql =
+    """SELECT step, result FROM (VALUES
+      |  ('register_201', CAST(1 AS BIGINT)),
+      |  ('register_again_409', CAST(1 AS BIGINT)),
+      |  ('register_bad_email_400', CAST(1 AS BIGINT)),
+      |  ('register_short_password_400', CAST(1 AS BIGINT)),
+      |  ('login_wrong_password_401', CAST(1 AS BIGINT)),
+      |  ('login_unknown_email_401', CAST(1 AS BIGINT)),
+      |  ('login_200', CAST(1 AS BIGINT)),
+      |  ('me_session_kind', CAST(1 AS BIGINT)),
+      |  ('me_api_key_kind', CAST(1 AS BIGINT)),
+      |  ('me_no_credential_401', CAST(1 AS BIGINT)),
+      |  ('no_hash_in_responses', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   // ---- the reference's query-engine scaling surface end-to-end (ref
   // internal/api/handlers/queryscaling.go, the fixed-threshold model
   // of internal/scaling/query/policy.go): policy CRUD, evaluation
@@ -1907,6 +1999,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
     GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
     GraftQuery("api_scaling_wake", apiScalingWake, Some(apiScalingWakeSql)),
+    GraftQuery("api_session_auth", apiSessionAuth, Some(apiSessionAuthSql)),
     GraftQuery("api_query_scaling", apiQueryScaling, Some(apiQueryScalingSql)),
     GraftQuery("alert_rules_crud", alertRulesCrud, Some(alertRulesCrudSql)),
     GraftQuery("alert_instances", alertInstancesGate, Some(alertInstancesSql)),

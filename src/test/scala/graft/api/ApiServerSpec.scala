@@ -596,6 +596,78 @@ class ApiServerSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("session auth: login exempt, register gated, /auth/me across credential kinds, expiry refusal") {
+    buildCatalog()
+    val dir = Files.createTempDirectory("graft-auth-api").toString
+    @volatile var now = 1000000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val srv = new ApiServer(spark, controlPlane = Some(cp),
+      authToken = Some("deploy-tok"))
+    try {
+      val base = srv.baseUri
+      def call(method: String, path: String, body: String = "",
+               bearer: Option[String] = None): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+        bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val req = method match {
+          case "GET" => b.GET()
+          case m     => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(),
+          if (r.body().isEmpty) JNothing else JsonMethods.parse(r.body()))
+      }
+      val reg = """{"email":"op@example.com","password":"hunter2hunter2","name":"Op"}"""
+      // register sits BEHIND the gate on a closed deployment — the
+      // reference's public register would be an unauthenticated
+      // admin-mint here (intentional deviation, documented)
+      assert(call("POST", "/api/v1/auth/register", reg)._1 === 401)
+      val (cr, br) = call("POST", "/api/v1/auth/register", reg,
+        bearer = Some("deploy-tok"))
+      assert(cr === 201 && str(br \ "user" \ "role") === "admin")
+      // hash/salt never render anywhere in the response
+      assert(!JsonMethods.compact(JsonMethods.render(br)).contains("hash"))
+      // one-time: the second register is 409 even authenticated
+      assert(call("POST", "/api/v1/auth/register", reg,
+        bearer = Some("deploy-tok"))._1 === 409)
+      // validation 400s
+      assert(call("POST", "/api/v1/auth/login",
+        """{"email":"","password":"x"}""")._1 === 400)
+      // login is EXEMPT (it mints the credential) but only succeeds
+      // against a stored password; wrong password and unknown email
+      // are the same 401
+      assert(call("POST", "/api/v1/auth/login",
+        """{"email":"op@example.com","password":"wrongwrong"}""")._1 === 401)
+      assert(call("POST", "/api/v1/auth/login",
+        """{"email":"ghost@example.com","password":"hunter2hunter2"}""")._1 === 401)
+      val (cl, bl) = call("POST", "/api/v1/auth/login",
+        """{"email":"op@example.com","password":"hunter2hunter2"}""")
+      assert(cl === 200)
+      val sess = str(bl \ "token")
+      assert(sess.startsWith("graft_sess_"))
+      // the session token authenticates protected routes...
+      assert(call("GET", "/query/catalogs", bearer = Some(sess))._1 === 200)
+      // ...and /auth/me identifies each credential kind
+      val (cm, bm) = call("GET", "/api/v1/auth/me", bearer = Some(sess))
+      assert(cm === 200 && str(bm \ "kind") === "session" &&
+        str(bm \ "user" \ "email") === "op@example.com")
+      val (cms, bms) = call("GET", "/api/v1/auth/me",
+        bearer = Some("deploy-tok"))
+      assert(cms === 200 && str(bms \ "kind") === "static_token")
+      val (_, bk) = call("POST", "/api/v1/api-keys",
+        """{"name":"ci"}""", bearer = Some("deploy-tok"))
+      val (cmk, bmk) = call("GET", "/api/v1/auth/me",
+        bearer = Some(str(bk \ "key")))
+      assert(cmk === 200 && str(bmk \ "kind") === "api_key" &&
+        str(bmk \ "api_key" \ "name") === "ci")
+      assert(call("GET", "/api/v1/auth/me")._1 === 401)
+      // expiry: past the 24h TTL the session refuses everywhere
+      now += ControlPlane.DefaultSessionTtlMs + 1000L
+      assert(call("GET", "/api/v1/auth/me", bearer = Some(sess))._1 === 401)
+      assert(call("GET", "/query/catalogs", bearer = Some(sess))._1 === 401)
+    } finally srv.close()
+  }
+
   test("GET /metrics serves the registry as Prometheus text exposition") {
     buildCatalog()
     val reg = new graft.observe.Metrics.Registry

@@ -430,6 +430,63 @@ class ControlPlaneSpec extends SparkTestBase {
       .listScalingPolicies().isEmpty)
   }
 
+  test("users + sessions: hash at rest, expiry, persistence, file-driven deactivation") {
+    val dir = freshDir()
+    @volatile var now = 5000000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    // validation family
+    intercept[ControlPlane.Invalid] {
+      cp.registerFirstAdmin("not-an-email", "longenough")
+    }
+    intercept[ControlPlane.Invalid] {
+      cp.registerFirstAdmin("a@b.example", "short")
+    }
+    val (u, tok, sess) = cp.registerFirstAdmin("a@b.example", "longenough", "A")
+    assert(u.role === "admin" && tok.startsWith("graft_sess_") &&
+      sess.expiresAtMs === now + ControlPlane.DefaultSessionTtlMs)
+    intercept[ControlPlane.Conflict] {
+      cp.registerFirstAdmin("other@b.example", "longenough")
+    }
+    // neither the password nor the session plaintext is on disk
+    val users = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "users.json"))
+    val sessFile = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "sessions.json"))
+    assert(!users.contains("longenough") && !sessFile.contains(tok))
+    // login: unknown email and wrong password are the SAME 401 class
+    intercept[ControlPlane.Unauthorized] {
+      cp.loginUser("ghost@b.example", "longenough")
+    }
+    intercept[ControlPlane.Unauthorized] {
+      cp.loginUser("a@b.example", "wrong-password")
+    }
+    val (u2, tok2, _) = cp.loginUser("a@b.example", "longenough")
+    assert(u2.lastLoginAtMs === Some(now))
+    // sessions survive a reopen (hash lookup, not memory)
+    val cp2 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    assert(cp2.validateSession(tok2).exists(_._2.email === "a@b.example"))
+    // expiry refuses, and expired rows are pruned at the next mint
+    now += ControlPlane.DefaultSessionTtlMs + 1L
+    assert(cp2.validateSession(tok2).isEmpty)
+    val (_, tok3, _) = cp2.loginUser("a@b.example", "longenough")
+    assert(cp2.validateSession(tok3).isDefined)
+    // deactivation is file-driven (no mutation API in engine scope):
+    // an operator flipping is_active in the store refuses login AND
+    // kills live sessions
+    val flipped = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "users.json"))
+      .replace("\"is_active\":true", "\"is_active\":false")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "users.json"), flipped)
+    val cp3 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    intercept[ControlPlane.Forbidden] {
+      cp3.loginUser("a@b.example", "longenough")
+    }
+    assert(cp3.validateSession(tok3).isEmpty)
+  }
+
   test("wake/idle/savings: idle tick zeroes, wake restores width with cooldown, savings derive from history") {
     val dir = freshDir()
     val t0 = 86400000L * 100 // day 100, midnight UTC
