@@ -233,6 +233,8 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 401, JObject("error" -> JString(e.getMessage)))
       case e: ControlPlane.Forbidden =>
         respond(ex, 403, JObject("error" -> JString(e.getMessage)))
+      case e: ControlPlane.TooManyRequests =>
+        respond(ex, 429, JObject("error" -> JString(e.getMessage)))
       case e: IllegalArgumentException => // Identifiers.validate
         respond(ex, 400, JObject("error" -> JString(e.getMessage)))
       case e: AnalysisException =>
@@ -902,6 +904,12 @@ final class ApiServer(spark: SparkSession,
           case None => respond(ex, 401,
             JObject("error" -> JString("authentication required")))
         }
+      // deactivation hook (ref services/auth.go UpdateUser's is_active
+      // arm): a deactivated user can neither log in nor use sessions
+      case ("POST", Seq("users", id, "deactivate")) =>
+        respond(ex, 200, cp.userJson(cp.setUserActive(id, active = false)))
+      case ("POST", Seq("users", id, "activate")) =>
+        respond(ex, 200, cp.userJson(cp.setUserActive(id, active = true)))
       case ("GET", Seq("auth", "oidc", "providers")) =>
         val enabled = cp.listOidcProviders().filter(_.enabled)
         respond(ex, 200, JObject(
@@ -1022,31 +1030,31 @@ final class ApiServer(spark: SparkSession,
     * the reference's auth middleware accepts its configured secrets,
     * api_key.go-validated keys, and oidc.go-validated tokens. Secret
     * compares are constant-time; the JWT path is signature-verified. */
+  /** A request authorizes iff it resolves to a principal — ONE
+    * resolution path shared with `/auth/me`, so the accepted set and
+    * the identified set can never diverge. */
   private def authorized(ex: HttpExchange): Boolean =
-    authToken.exists(t => HttpUtil.bearerOk(ex, t)) ||
-      controlPlane.exists(cp =>
-        HttpUtil.bearerToken(ex).exists(t =>
-          cp.validateApiKey(t).isDefined ||
-            cp.validateSession(t).isDefined)) ||
-      HttpUtil.bearerToken(ex).exists(t =>
-        (oidc.toSeq ++ storeValidators()).exists(_.validate(t).isRight))
+    principalJson(ex).isDefined
 
-  /** Identify the PRESENTED credential for `/auth/me` (ref handlers/
-    * auth.go:79-91 GetMe over middleware.GetAuthContext) — one view
-    * across all four credential kinds, probed in the same order
-    * [[authorized]] accepts them. */
+  /** Identify the PRESENTED credential (ref handlers/auth.go:79-91
+    * GetMe over middleware.GetAuthContext) — one view across all four
+    * credential kinds: static token, managed API key, login session,
+    * OIDC JWT. The token namespaces are disjoint (`graft_live_` /
+    * `graft_sess_` / JWT dots), so probe order cannot change which
+    * credential matches. */
   private def principalJson(ex: HttpExchange): Option[JObject] =
     if (authToken.exists(t => HttpUtil.bearerOk(ex, t)))
       Some(JObject("kind" -> JString("static_token")))
     else HttpUtil.bearerToken(ex).flatMap { t =>
-      controlPlane.flatMap(cp => cp.validateSession(t).map { case (s, u) =>
-        JObject("kind" -> JString("session"),
-          "user" -> cp.userJson(u),
-          "expires_at_ms" -> JInt(BigInt(s.expiresAtMs)))
-      }).orElse(controlPlane.flatMap(_.validateApiKey(t)).map(k =>
+      controlPlane.flatMap(cp => cp.validateApiKey(t).map(k =>
         JObject("kind" -> JString("api_key"),
           "api_key" -> JObject("id" -> JString(k.id),
-            "name" -> JString(k.name), "prefix" -> JString(k.prefix)))))
+            "name" -> JString(k.name), "prefix" -> JString(k.prefix))))
+        .orElse(cp.validateSession(t).map { case (s, u) =>
+          JObject("kind" -> JString("session"),
+            "user" -> cp.userJson(u),
+            "expires_at_ms" -> JInt(BigInt(s.expiresAtMs)))
+        }))
         .orElse((oidc.toSeq ++ storeValidators()).view
           .flatMap(_.validate(t).toOption).headOption.map(c =>
             JObject("kind" -> JString("oidc"),

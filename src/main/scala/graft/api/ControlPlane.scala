@@ -46,6 +46,8 @@ object ControlPlane {
     extends RuntimeException(message)
   final case class Forbidden(message: String)
     extends RuntimeException(message)
+  final case class TooManyRequests(message: String)
+    extends RuntimeException(message)
 
   /** The deployment's credential key (`GRAFT_ENCRYPTION_KEY`, base64
     * 32 bytes) — None means credentials persist in plaintext, the
@@ -285,12 +287,17 @@ object ControlPlane {
   final case class Session(id: String, userId: String, tokenHash: String,
                            expiresAtMs: Long, createdAtMs: Long)
 
-  /** ref models/auth.go UserRole vocabulary. */
-  private[api] val UserRoles = Set("admin", "operator", "viewer")
   /** ref config.go: PHILOTES_AUTH_JWT_EXPIRATION default 24h. */
   private[api] val DefaultSessionTtlMs: Long = 24L * 3600 * 1000
   /** OWASP-order PBKDF2-HMAC-SHA256 work factor. */
   private[api] val KdfIterations = 100000
+  /** Consecutive failures before an email locks out, and for how
+    * long. The tradeoff is explicit: a spray can lock a KNOWN email
+    * out of password login for the window (the static token, API keys
+    * and OIDC are unaffected) — unbounded online brute force on the
+    * gate-exempt login route is the worse failure. */
+  private[api] val MaxLoginFailures = 5
+  private[api] val LoginLockoutMs: Long = 60000L
 
   private[api] def pbkdf2(password: String, salt: Array[Byte],
                           iterations: Int): String = {
@@ -2144,35 +2151,83 @@ final class ControlPlane(metaDir: String,
     (u, tok, session)
   }
 
+  // consecutive login failures per email -> (count, last failure ms).
+  // In-memory by design: a restart clears it, persistence would let an
+  // attacker's spray permanently poison the store
+  private var loginFailures: Map[String, (Int, Long)] = Map.empty
+
   /** ref services/auth.go:51-109 Login. Unknown email and wrong
     * password are the SAME 401 (no user-existence oracle); an inactive
-    * account is 403. The KDF runs on every attempt — including for
-    * unknown emails, against a fixed dummy salt — so response timing
-    * does not reveal whether the email exists. */
-  def loginUser(email: String, password: String): (User, String, Session) =
-    lock.synchronized {
-      if (email.isEmpty) throw Invalid("email is required")
-      if (password.isEmpty) throw Invalid("password is required")
-      users.find(_.email == email) match {
-        case None =>
-          ControlPlane.pbkdf2(password, new Array[Byte](16),
-            ControlPlane.KdfIterations) // burn the same work
-          throw Unauthorized("invalid email or password")
-        case Some(u) =>
-          val presented = ControlPlane.pbkdf2(password,
-            hexBytes(u.passwordSalt), u.kdfIterations)
-          if (!java.security.MessageDigest.isEqual(
-            presented.getBytes(UTF_8), u.passwordHash.getBytes(UTF_8)))
-            throw Unauthorized("invalid email or password")
-          if (!u.isActive) throw Forbidden("user account is inactive")
-          val now = clock()
-          val updated = u.copy(lastLoginAtMs = Some(now), updatedAtMs = now)
-          users = users.map(x => if (x.id == u.id) updated else x)
-          persistUsers()
-          val (tok, session) = mintSession(updated)
-          (updated, tok, session)
+    * account is 403 BEFORE the password check, the reference's order —
+    * a post-verification 403 would be a password-correctness oracle
+    * for disabled accounts. The KDF runs OUTSIDE the store lock (a
+    * login-spam attacker must not serialize every authenticated
+    * request behind 100k PBKDF2 iterations), and for unknown emails
+    * the same work burns against a dummy salt so timing reveals
+    * nothing. After [[ControlPlane.MaxLoginFailures]] consecutive
+    * failures an email is locked out for
+    * [[ControlPlane.LoginLockoutMs]] — engaged on FAILURE, reset only
+    * by a successful login. */
+  def loginUser(email: String, password: String): (User, String, Session) = {
+    if (email.isEmpty) throw Invalid("email is required")
+    if (password.isEmpty) throw Invalid("password is required")
+    val snapshot = lock.synchronized {
+      loginFailures.get(email).foreach { case (n, lastMs) =>
+        if (n >= ControlPlane.MaxLoginFailures &&
+          clock() - lastMs < ControlPlane.LoginLockoutMs)
+          throw TooManyRequests(
+            "too many failed login attempts; try again later")
       }
+      users.find(_.email == email)
     }
+    // the expensive KDF runs lock-free
+    val verified = snapshot match {
+      case None =>
+        ControlPlane.pbkdf2(password, new Array[Byte](16),
+          ControlPlane.KdfIterations) // burn the same work
+        false
+      case Some(u) =>
+        if (!u.isActive) throw Forbidden("user account is inactive")
+        java.security.MessageDigest.isEqual(
+          ControlPlane.pbkdf2(password, hexBytes(u.passwordSalt),
+            u.kdfIterations).getBytes(UTF_8),
+          u.passwordHash.getBytes(UTF_8))
+    }
+    lock.synchronized {
+      val now = clock()
+      if (!verified) {
+        val n = loginFailures.get(email) match {
+          case Some((c, lastMs))
+            if now - lastMs < ControlPlane.LoginLockoutMs => c + 1
+          case _ => 1
+        }
+        loginFailures += email -> ((n, now))
+        throw Unauthorized("invalid email or password")
+      }
+      loginFailures -= email
+      // re-read the row: it may have changed while the KDF ran; a
+      // concurrent deactivation must win over a stale snapshot
+      val u = snapshot.flatMap(s => users.find(_.id == s.id))
+        .getOrElse(throw Unauthorized("invalid email or password"))
+      if (!u.isActive) throw Forbidden("user account is inactive")
+      val updated = u.copy(lastLoginAtMs = Some(now), updatedAtMs = now)
+      users = users.map(x => if (x.id == u.id) updated else x)
+      persistUsers()
+      val (tok, session) = mintSession(updated)
+      (updated, tok, session)
+    }
+  }
+
+  /** ref services/auth.go:188-215 UpdateUser's is_active arm — the
+    * deactivation hook: a deactivated user can neither log in (403)
+    * nor use existing sessions ([[validateSession]] checks isActive). */
+  def setUserActive(id: String, active: Boolean): User = lock.synchronized {
+    val u = users.find(_.id == id).getOrElse(throw NotFound("user", id))
+    val next = u.copy(isActive = active, updatedAtMs = clock())
+    users = users.map(x => if (x.id == id) next else x)
+    persistUsers()
+    next
+  }
 
   private def mintSession(u: User): (String, Session) = {
     val raw = new Array[Byte](32)
@@ -2202,11 +2257,6 @@ final class ControlPlane(metaDir: String,
         u <- users.find(u => u.id == s.userId && u.isActive)
       } yield (s, u)
     }
-
-  def getUser(id: String): User = lock.synchronized(
-    users.find(_.id == id).getOrElse(throw NotFound("user", id)))
-
-  def listUsers(): Seq[User] = lock.synchronized(users)
 
   private def hexBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

@@ -665,6 +665,12 @@ class ApiServerSpec extends SparkTestBase {
       now += ControlPlane.DefaultSessionTtlMs + 1000L
       assert(call("GET", "/api/v1/auth/me", bearer = Some(sess))._1 === 401)
       assert(call("GET", "/query/catalogs", bearer = Some(sess))._1 === 401)
+      // the deactivation route: login 403s afterwards
+      val uid = str(br \ "user" \ "id")
+      assert(call("POST", s"/api/v1/users/$uid/deactivate", "",
+        bearer = Some("deploy-tok"))._1 === 200)
+      assert(call("POST", "/api/v1/auth/login",
+        """{"email":"op@example.com","password":"hunter2hunter2"}""")._1 === 403)
     } finally srv.close()
   }
 

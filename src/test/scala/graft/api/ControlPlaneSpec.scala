@@ -430,7 +430,7 @@ class ControlPlaneSpec extends SparkTestBase {
       .listScalingPolicies().isEmpty)
   }
 
-  test("users + sessions: hash at rest, expiry, persistence, file-driven deactivation") {
+  test("users + sessions: hash at rest, expiry, persistence, deactivation, login lockout") {
     val dir = freshDir()
     @volatile var now = 5000000L
     val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
@@ -471,20 +471,37 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(cp2.validateSession(tok2).isEmpty)
     val (_, tok3, _) = cp2.loginUser("a@b.example", "longenough")
     assert(cp2.validateSession(tok3).isDefined)
-    // deactivation is file-driven (no mutation API in engine scope):
-    // an operator flipping is_active in the store refuses login AND
-    // kills live sessions
-    val flipped = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "users.json"))
-      .replace("\"is_active\":true", "\"is_active\":false")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "users.json"), flipped)
+    // deactivation refuses login (403 BEFORE the password check — no
+    // password oracle for disabled accounts) and kills live sessions
+    cp2.setUserActive(u.id, active = false)
+    intercept[ControlPlane.Forbidden] {
+      cp2.loginUser("a@b.example", "wrong-password-too")
+    }
+    intercept[ControlPlane.Forbidden] {
+      cp2.loginUser("a@b.example", "longenough")
+    }
+    assert(cp2.validateSession(tok3).isEmpty)
+    // ...and survives a reopen
     val cp3 = new ControlPlane(dir, connTest = _ => Right(1L),
       clock = () => now)
     intercept[ControlPlane.Forbidden] {
       cp3.loginUser("a@b.example", "longenough")
     }
-    assert(cp3.validateSession(tok3).isEmpty)
+    cp3.setUserActive(u.id, active = true)
+    // lockout engages on FAILURE: five consecutive wrong passwords
+    // lock the email out — even the CORRECT password refuses during
+    // the window; past it, a successful login resets the counter
+    (1 to 5).foreach { _ =>
+      intercept[ControlPlane.Unauthorized] {
+        cp3.loginUser("a@b.example", "wrong-password")
+      }
+    }
+    intercept[ControlPlane.TooManyRequests] {
+      cp3.loginUser("a@b.example", "longenough")
+    }
+    now += 60001L
+    assert(cp3.loginUser("a@b.example", "longenough")._1.email ===
+      "a@b.example")
   }
 
   test("wake/idle/savings: idle tick zeroes, wake restores width with cooldown, savings derive from history") {
