@@ -92,7 +92,10 @@ object ScalingManager {
     * while none of its active stages has a running task (local mode
     * has no admission queue to read — this is the documented proxy),
     * RUNNING otherwise. Counting queued at stage granularity would
-    * double-count one multi-stage job as queued AND running. */
+    * double-count one multi-stage job as queued AND running. Only
+    * DEFAULT-group jobs are visible ([[org.apache.spark.SparkStatusTracker
+    * .getActiveJobIds]]'s contract) — grouped work such as streaming
+    * micro-batches rides its own pipeline metrics, not this proxy. */
   def sparkQueryMetrics(spark: org.apache.spark.sql.SparkSession)
   : Scaling.QueryMetrics = {
     val tracker = spark.sparkContext.statusTracker

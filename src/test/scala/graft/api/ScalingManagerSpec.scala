@@ -103,6 +103,10 @@ class ScalingManagerSpec extends SparkTestBase {
   test("sparkQueryMetrics is job-granular: one running job is never double-counted as queued") {
     val sc = spark.sparkContext
     val fut = scala.concurrent.Future {
+      // getActiveJobIds() only lists DEFAULT-group jobs, and this EC
+      // thread may have inherited a job group from whichever earlier
+      // suite first spun it up (streaming sets one on its threads)
+      sc.clearJobGroup()
       sc.parallelize(1 to 4, 4).mapPartitions { it =>
         Thread.sleep(1500L); it
       }.count()
