@@ -734,6 +734,11 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, JObject(
           "policy_id" -> JString(id),
           "period" -> JString(s"last_${days}_days"),
+          // idle time is derived from the LIVE idle stretch only (it
+          // is not evented like zero-width intervals are) — a gauge,
+          // not an accumulator: past stretches leave the view after a
+          // wake. The field makes that contract machine-visible.
+          "idle_basis" -> JString("live_stretch"),
           "hourly_cost_cents" -> JInt(cost),
           "total_idle_seconds" -> JInt(BigInt(daily.map(_.idleSeconds).sum)),
           "total_zero_seconds" -> JInt(BigInt(daily.map(_.zeroSeconds).sum)),
@@ -749,6 +754,7 @@ final class ApiServer(spark: SparkSession,
         val rows = cp.scalingSavingsSummary(cost)
         respond(ex, 200, JObject(
           "policy_count" -> JInt(rows.size),
+          "idle_basis" -> JString("live_stretch"),
           "hourly_cost_cents" -> JInt(cost),
           "total_idle_seconds" -> JInt(BigInt(rows.map(_.idleSeconds).sum)),
           "total_zero_seconds" -> JInt(BigInt(rows.map(_.zeroSeconds).sum)),
@@ -1032,7 +1038,9 @@ final class ApiServer(spark: SparkSession,
     * compares are constant-time; the JWT path is signature-verified. */
   /** A request authorizes iff it resolves to a principal — ONE
     * resolution path shared with `/auth/me`, so the accepted set and
-    * the identified set can never diverge. */
+    * the identified set can never diverge. The cost of building one
+    * small principal object per request is deliberate: a parallel
+    * boolean-only probe is exactly the divergence bug this replaced. */
   private def authorized(ex: HttpExchange): Boolean =
     principalJson(ex).isDefined
 

@@ -298,6 +298,16 @@ object ControlPlane {
     * gate-exempt login route is the worse failure. */
   private[api] val MaxLoginFailures = 5
   private[api] val LoginLockoutMs: Long = 60000L
+  /** Failure-tracking cap (unique-email sprays must not grow heap)
+    * and per-user live-session cap (login-per-request clients must
+    * not grow sessions.json for a whole TTL). */
+  private[api] val MaxTrackedLoginFailures = 10000
+  private[api] val MaxSessionsPerUser = 10
+  /** Activity pings persist at most this often per policy (the
+    * transition writes — idle/zero/wake — always persist); a restart
+    * can lose at most this much activity FRESHNESS, harmless against
+    * a 30-minute idle threshold. */
+  private[api] val ActivityPersistIntervalMs: Long = 30000L
 
   private[api] def pbkdf2(password: String, salt: Array[Byte],
                           iterations: Int): String = {
@@ -1321,13 +1331,28 @@ final class ControlPlane(metaDir: String,
   }
 
   /** ref idle/detector.go:154-188 RecordActivity: reset the idle
-    * clock for a policy (creating its idle state on first sight). */
+    * clock for a policy (creating its idle state on first sight).
+    * This is the per-request activity hook, so a plain refresh of a
+    * recently-persisted, already-non-idle row updates MEMORY only —
+    * a full idle_state.json rewrite per query arrival would turn a
+    * timestamp bump into a disk-bound global bottleneck. Transitions
+    * (first sight, idle-since reset) always persist; freshness loss
+    * on restart is bounded by [[ControlPlane.ActivityPersistIntervalMs]],
+    * harmless against a 30-minute idle threshold. */
   def recordScalingActivity(policyId: String): IdleState =
     lock.synchronized {
       getScalingPolicy(policyId) // 404 on unknown policy
       val now = clock()
-      idleUpsert(policyId)(s =>
-        s.copy(lastActivityAtMs = now, idleSinceMs = None))
+      idleStates.get(policyId) match {
+        case Some(prev) if prev.idleSinceMs.isEmpty && !prev.isScaledToZero &&
+          now - prev.lastActivityAtMs < ControlPlane.ActivityPersistIntervalMs =>
+          val next = prev.copy(lastActivityAtMs = now, updatedAtMs = now)
+          idleStates += policyId -> next // memory-only refresh
+          next
+        case _ =>
+          idleUpsert(policyId)(s =>
+            s.copy(lastActivityAtMs = now, idleSinceMs = None))
+      }
     }
 
   /** ref wake.go GetIdleState — 404 until the policy has any
@@ -2153,8 +2178,17 @@ final class ControlPlane(metaDir: String,
 
   // consecutive login failures per email -> (count, last failure ms).
   // In-memory by design: a restart clears it, persistence would let an
-  // attacker's spray permanently poison the store
+  // attacker's spray permanently poison the store. BOUNDED: stale
+  // entries (outside the lockout window) prune on every record, and a
+  // hard cap evicts oldest-failure-first — a unique-email spray must
+  // not grow the heap without bound
   private var loginFailures: Map[String, (Int, Long)] = Map.empty
+
+  // the deliberate KDF burn makes every login cost ~100k PBKDF2
+  // iterations — bounded concurrency, or an unauthenticated spray
+  // saturates every core. Over-limit attempts 429 instead of queueing
+  // (queueing would just move the DoS to the HTTP thread pool)
+  private val kdfPermits = new java.util.concurrent.Semaphore(4)
 
   /** ref services/auth.go:51-109 Login. Unknown email and wrong
     * password are the SAME 401 (no user-existence oracle); an inactive
@@ -2180,19 +2214,22 @@ final class ControlPlane(metaDir: String,
       }
       users.find(_.email == email)
     }
-    // the expensive KDF runs lock-free
-    val verified = snapshot match {
-      case None =>
-        ControlPlane.pbkdf2(password, new Array[Byte](16),
-          ControlPlane.KdfIterations) // burn the same work
-        false
-      case Some(u) =>
-        if (!u.isActive) throw Forbidden("user account is inactive")
-        java.security.MessageDigest.isEqual(
-          ControlPlane.pbkdf2(password, hexBytes(u.passwordSalt),
-            u.kdfIterations).getBytes(UTF_8),
-          u.passwordHash.getBytes(UTF_8))
-    }
+    // the expensive KDF runs lock-free, under a bounded permit
+    if (!kdfPermits.tryAcquire())
+      throw TooManyRequests("too many login attempts in flight")
+    val verified =
+      try snapshot match {
+        case None =>
+          ControlPlane.pbkdf2(password, new Array[Byte](16),
+            ControlPlane.KdfIterations) // burn the same work
+          false
+        case Some(u) =>
+          if (!u.isActive) throw Forbidden("user account is inactive")
+          java.security.MessageDigest.isEqual(
+            ControlPlane.pbkdf2(password, hexBytes(u.passwordSalt),
+              u.kdfIterations).getBytes(UTF_8),
+            u.passwordHash.getBytes(UTF_8))
+      } finally kdfPermits.release()
     lock.synchronized {
       val now = clock()
       if (!verified) {
@@ -2201,7 +2238,13 @@ final class ControlPlane(metaDir: String,
             if now - lastMs < ControlPlane.LoginLockoutMs => c + 1
           case _ => 1
         }
-        loginFailures += email -> ((n, now))
+        // prune stale entries, then cap by evicting oldest failures
+        loginFailures = loginFailures.filter { case (_, (_, lastMs)) =>
+          now - lastMs < ControlPlane.LoginLockoutMs
+        } + (email -> ((n, now)))
+        if (loginFailures.size > ControlPlane.MaxTrackedLoginFailures)
+          loginFailures = loginFailures.toSeq.sortBy(-_._2._2)
+            .take(ControlPlane.MaxTrackedLoginFailures).toMap
         throw Unauthorized("invalid email or password")
       }
       loginFailures -= email
@@ -2237,9 +2280,15 @@ final class ControlPlane(metaDir: String,
     val now = clock()
     val s = Session(newId(), u.id, ControlPlane.hashApiKey(plaintext),
       now + sessionTtlMs, now)
-    // expired rows leave with every mint — the session file must not
-    // accrete a row per historical login forever
-    sessions = sessions.filter(_.expiresAtMs > now) :+ s
+    // expired rows leave with every mint, and each user keeps only
+    // the newest [[ControlPlane.MaxSessionsPerUser]] — a
+    // login-per-request client must not accrete a row per call for a
+    // whole TTL (unbounded file rewrites + linear validate scans)
+    val (mine, others) = sessions.filter(_.expiresAtMs > now)
+      .partition(_.userId == u.id)
+    sessions = others ++
+      mine.sortBy(-_.createdAtMs)
+        .take(ControlPlane.MaxSessionsPerUser - 1) :+ s
     persistSessions()
     (plaintext, s)
   }

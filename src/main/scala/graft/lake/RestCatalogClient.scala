@@ -86,11 +86,18 @@ final class RestCatalogClient(baseUri: String, prefix: String,
     * and the server's decoded path splits it back out. Level names
     * percent-encode too (space as %20 — the server's getPath decodes
     * percent escapes only, never '+'). */
+  /** One percent-encoded path segment (space as %20 — the server's
+    * getPath decodes percent escapes only, never '+'). Table names
+    * ride this too: a third-party catalog can list names with
+    * URI-reserved characters, and a raw segment would crash
+    * [[java.net.URI.create]] client-side instead of round-tripping. */
+  private def pathSeg(name: String): String =
+    java.net.URLEncoder
+      .encode(name, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
+
   private def nsSeg(ns: Seq[String]): String =
-    ns.map(l => java.net.URLEncoder
-        .encode(l, java.nio.charset.StandardCharsets.UTF_8)
-        .replace("+", "%20"))
-      .mkString("%1F")
+    ns.map(pathSeg).mkString("%1F")
 
   // ---- the reference Catalog interface -----------------------------
 
@@ -215,7 +222,7 @@ final class RestCatalogClient(baseUri: String, prefix: String,
   }
 
   def tableExists(ns: Seq[String], table: String): Boolean =
-    request("GET", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables/${pathSeg(table)}") match {
       case (200, _)  => true
       case (404, _)  => false
       case (code, b) => fail(code, b)
@@ -261,7 +268,7 @@ final class RestCatalogClient(baseUri: String, prefix: String,
   }
 
   def loadTable(ns: Seq[String], table: String): RestTable =
-    request("GET", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+    request("GET", s"/namespaces/${nsSeg(ns)}/tables/${pathSeg(table)}") match {
       case (200, body) => parseTable(body)
       case (code, b)   => fail(code, b)
     }
@@ -290,7 +297,7 @@ final class RestCatalogClient(baseUri: String, prefix: String,
           ("partition" -> JObject(f.partition.toList.map { case (k, v) =>
             k -> (JString(v): JValue) })))
       })))
-    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/$table",
+    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/${pathSeg(table)}",
       Some(JObject("requirements" -> JArray(reqs), "updates" -> JArray(List(update)))))
     if (code == 200 || code == 201) parseTable(body) else fail(code, body)
   }
@@ -318,13 +325,13 @@ final class RestCatalogClient(baseUri: String, prefix: String,
         "schema" -> RestWire.schemaJson(stamped, 0)),
       JObject("action" -> JString("set-current-schema-id"),
         "schema-id" -> JInt(-1)))
-    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/$table",
+    val (code, body) = request("POST", s"/namespaces/${nsSeg(ns)}/tables/${pathSeg(table)}",
       Some(JObject("requirements" -> JArray(reqs), "updates" -> JArray(updates))))
     if (code == 200 || code == 201) parseTable(body) else fail(code, body)
   }
 
   def dropTable(ns: Seq[String], table: String): Boolean =
-    request("DELETE", s"/namespaces/${nsSeg(ns)}/tables/$table") match {
+    request("DELETE", s"/namespaces/${nsSeg(ns)}/tables/${pathSeg(table)}") match {
       case (204 | 200, _) => true
       case (404, _)       => false
       case (code, b)      => fail(code, b)

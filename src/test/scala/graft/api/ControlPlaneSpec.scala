@@ -502,6 +502,38 @@ class ControlPlaneSpec extends SparkTestBase {
     now += 60001L
     assert(cp3.loginUser("a@b.example", "longenough")._1.email ===
       "a@b.example")
+    // per-user session cap: a login-per-request client keeps only the
+    // newest MaxSessionsPerUser sessions — the oldest stops validating
+    val toks = (1 to ControlPlane.MaxSessionsPerUser + 1).map { _ =>
+      now += 1L
+      cp3.loginUser("a@b.example", "longenough")._2
+    }
+    assert(cp3.validateSession(toks.head).isEmpty &&
+      cp3.validateSession(toks(1)).isDefined &&
+      cp3.validateSession(toks.last).isDefined)
+  }
+
+  test("activity pings persist throttled; transitions always persist") {
+    val dir = freshDir()
+    @volatile var now = 7000000L
+    val cp = new ControlPlane(dir, connTest = _ => Right(1L), clock = () => now)
+    val p = cp.createScalingPolicy("w", "cdc-worker", 1, 4,
+      scaleToZero = true)
+    cp.recordScalingActivity(p.id) // first sight: persists
+    val t0 = now
+    now += 5000L
+    cp.recordScalingActivity(p.id) // within the window: memory-only
+    assert(cp.getIdleState(p.id).lastActivityAtMs === now)
+    // a reopen sees the PERSISTED timestamp (bounded freshness loss)
+    val cp2 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    assert(cp2.getIdleState(p.id).lastActivityAtMs === t0)
+    // past the persist interval the ping writes through
+    now += ControlPlane.ActivityPersistIntervalMs
+    cp.recordScalingActivity(p.id)
+    val cp3 = new ControlPlane(dir, connTest = _ => Right(1L),
+      clock = () => now)
+    assert(cp3.getIdleState(p.id).lastActivityAtMs === now)
   }
 
   test("wake/idle/savings: idle tick zeroes, wake restores width with cooldown, savings derive from history") {
