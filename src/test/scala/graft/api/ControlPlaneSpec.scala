@@ -513,6 +513,53 @@ class ControlPlaneSpec extends SparkTestBase {
       cp3.validateSession(toks.last).isDefined)
   }
 
+  test("savings derivation property: random zero/wake walks reconstruct exact totals") {
+    // drive real zero/wake transitions with an injected clock and a
+    // seeded random walk; the derived savings must equal the
+    // independently-accumulated ground truth exactly (integer seconds)
+    val rnd = new scala.util.Random(421666L)
+    for (trial <- 1 to 8) {
+      val dir = freshDir()
+      @volatile var now = 86400000L * (200 + trial)
+      val cp = new ControlPlane(dir, connTest = _ => Right(1L),
+        clock = () => now)
+      val p = cp.createScalingPolicy(s"w$trial", "cdc-worker", 2, 4,
+        cooldownSeconds = 0L, scaleToZero = true)
+      cp.recordScalingActivity(p.id)
+      var expectedZeroMs = 0L
+      var zeroedAt = 0L
+      var isZero = false
+      for (_ <- 1 to 20) {
+        now += 1000L + rnd.nextInt(10000000) // up to ~2.8h steps
+        if (isZero) {
+          expectedZeroMs += now - zeroedAt
+          assert(cp.wakeScalingPolicy(p.id, "manual").status === "completed")
+          isZero = false
+        } else {
+          assert(cp.idleScaleToZeroTick(idleThresholdMs = 0L,
+            keepAliveWindowMs = 0L) === Seq(p.id))
+          zeroedAt = now; isZero = true
+        }
+      }
+      now += 1000L + rnd.nextInt(10000000)
+      if (isZero) expectedZeroMs += now - zeroedAt // open interval
+      val summary = cp.scalingSavingsSummary(hourlyCostCents = 3600)
+      assert(summary.size === 1)
+      val daily = cp.scalingCostSavings(p.id,
+        days = 3650, hourlyCostCents = 3600)
+      // seconds and cents both truncate PER DAY ROW (an interval
+      // crossing midnight floors each side), so the reconstruction is
+      // exact up to one unit per daily row — never more
+      assert((summary.head.zeroSeconds - expectedZeroMs / 1000L).abs
+        <= daily.size, s"trial $trial: zero seconds diverged")
+      assert(daily.map(_.zeroSeconds).sum === summary.head.zeroSeconds)
+      assert(daily.map(_.savingsCents).sum === summary.head.savingsCents)
+      val exactCents = 2L * expectedZeroMs * 3600 / 3600000L
+      assert((summary.head.savingsCents - exactCents).abs <= daily.size,
+        s"trial $trial: cents drifted beyond per-day truncation")
+    }
+  }
+
   test("activity pings persist throttled; transitions always persist") {
     val dir = freshDir()
     @volatile var now = 7000000L
