@@ -751,7 +751,147 @@ object Dedup extends QueryModule {
        |FROM asg a LEFT JOIN removed r ON a.vec_id = r.removed_id
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
 
+  // ------------------------------------------- duplicate-span detection
+
+  /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * public paper), at the K-token-window granularity a distributed
+    * engine can shuffle: hash every K-token window with the replayable
+    * [[graft.functions.PolyHash]]; a window whose hash occurs >= 2 times
+    * corpus-wide is duplicated; per doc, overlapping/adjacent duplicated
+    * windows merge into maximal spans (gap-and-island over positions).
+    *
+    * The paper's suffix array finds arbitrary-length repeats but does
+    * not distribute; the window grid finds every repeat of length >= K
+    * (any such repeat contains a duplicated window at each of its
+    * offsets) with O(tokens) hash rows and three key-partitioned
+    * shuffles — count by window hash (map-side combined), join back by
+    * the same hash (partitioning reused), island-merge by doc. That is
+    * the shape that survives 100 TB. Span semantics are defined on
+    * poly_hash equality, so both engines are bit-identical by
+    * construction; at production scale swap in a 128-bit hash to make
+    * collisions negligible rather than merely engine-consistent.
+    *
+    * Reference context: philotes has no substring-level dedup at all
+    * (its dup surface is row-identity GROUP BY,
+    * docs/query/sample-queries.sql:166-169); this extends the dedup
+    * family below content-granularity.
+    */
+  private val SpanK = 8
+
+  /** (doc_id, pos) of every window whose hash repeats corpus-wide. */
+  private def dupOccurrences(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    // no truncated tail windows: a doc shorter than K tokens contributes
+    // nothing (a partial window is not a K-token repeat)
+    val winHashes = when(size(toks) >= SpanK,
+      transform(sequence(lit(0), size(toks) - SpanK),
+        i => graft.functions.PolyHash(concat_ws(" ", slice(toks, i + lit(1), lit(SpanK))))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "wh")))
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    wins.join(dup, "wh").select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal duplicated spans per doc: islands over window positions —
+    * a window starting within K of the previous one overlaps or abuts
+    * its interval, so they fuse into one span. */
+  private def dupSpanIslands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupOccurrences(s, d)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= SpanK, 0).otherwise(1))
+      .withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(SpanK - 1)).as("e"))
+  }
+
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val perDoc = dupSpanIslands(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val sizes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    perDoc.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB window hash: [[Signatures.polyHash]] over the joined window
+    * string (same construction as [[polyHashSql]], inlined for a computed
+    * string rather than a lambda variable). */
+  private def spanWindowHashSql(winExpr: String) =
+    s"""list_reduce(list_transform(range(1, len($winExpr)+1),
+       |        j -> CAST(unicode(substr($winExpr, j, 1)) AS BIGINT)),
+       |        (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})""".stripMargin
+
+  /** Shared CTE prefix: window occurrences → duplicated hashes → merged
+    * spans (same gap-and-island as the Spark plan). */
+  private val dupSpanCtesSql = {
+    val win = s"array_to_string(t[i+1:i+$SpanK], ' ')"
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(t)-${SpanK - 1}, 0)), i -> i)) AS pos,
+       |    unnest(list_transform(range(0, greatest(len(t)-${SpanK - 1}, 0)),
+       |      i -> ${spanWindowHashSql(win)})) AS wh
+       |  FROM toks),
+       |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+       |occ AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dup USING (wh)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanK
+       |         THEN 0 ELSE 1 END AS b
+       |  FROM occ),
+       |isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+       |spans AS (SELECT doc_id, g, min(pos) AS s, max(pos)+${SpanK - 1} AS e
+       |          FROM isl GROUP BY doc_id, g)""".stripMargin
+  }
+
+  private val dupSpansSql =
+    s"""$dupSpanCtesSql
+       |SELECT sp.doc_id, sp.n_spans, sp.dup_tokens, sz.n_tokens,
+       |  round(CAST(sp.dup_tokens AS DOUBLE) / sz.n_tokens, 4) AS dup_ratio
+       |FROM (SELECT doc_id, count(*) AS n_spans,
+       |        CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+       |      FROM spans GROUP BY doc_id) sp
+       |JOIN (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |      FROM documents) sz USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level report: how much of the corpus is duplicated text —
+    * the number a curation pipeline publishes after a dedup pass. */
+  private def dupSpanSummary(s: SparkSession, d: String): DataFrame = {
+    val spanAgg = dupSpanIslands(s, d).agg(
+      countDistinct(col("doc_id")).as("n_docs_with_dups"),
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val total = Tables.documents(s, d)
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("total_tokens"))
+    spanAgg.crossJoin(total)
+      .select(col("n_docs_with_dups"), col("n_spans"), col("dup_tokens"),
+        col("total_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 4).as("dup_ratio"))
+  }
+
+  private val dupSpanSummarySql =
+    s"""$dupSpanCtesSql
+       |SELECT (SELECT count(DISTINCT doc_id) FROM spans) AS n_docs_with_dups,
+       |  (SELECT count(*) FROM spans) AS n_spans,
+       |  (SELECT CAST(sum(e - s + 1) AS BIGINT) FROM spans) AS dup_tokens,
+       |  (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents) AS total_tokens,
+       |  round(CAST((SELECT sum(e - s + 1) FROM spans) AS DOUBLE) /
+       |        (SELECT sum(len(string_split(text, ' '))) FROM documents), 4) AS dup_ratio""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_dup_spans", dupSpans, Some(dupSpansSql)),
+    GraftQuery("dedup_dup_span_summary", dupSpanSummary, Some(dupSpanSummarySql)),
     GraftQuery("dedup_semantic", semDedup, Some(semDedupSql)),
     GraftQuery("dedup_semantic_summary", semSummary, Some(semSummarySql)),
     GraftQuery("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),

@@ -495,6 +495,56 @@ object Similarity extends QueryModule {
       .orderBy(col("cid"), col("vec_id"))
   }
 
+  /** Prototype selection (SSL-prototypes pruning metric, Sorscher et al.
+    * 2022, arXiv:2206.14486; the D4 pipeline's second stage, Tirumala et
+    * al. 2023, arXiv:2308.12284 — public papers): rank each cluster's
+    * members by exact distance to their trained centroid and keep the
+    * closest M — the "most prototypical" cross-section used to prune or
+    * re-weight training corpora. Where [[clusterSample]] draws a random
+    * quota, this selects BY the geometry. Everything is integer math
+    * over the scaled vectors (dist = nrm + cnrm − 2·dot), so ranks are
+    * bit-replayable — no float-ordering hazard. Scale shape: broadcast
+    * the K×dim codebook, one window over the cluster key; the per-cell
+    * sort is bounded by the same bucket-balance invariant
+    * sim_ivf_buckets asserts. */
+  private val CoresetPerCluster = 8
+
+  private def coresetPrototypes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cdf = centroids(s, d).map(c => (c.cid, c.c, c.cnrm)).toDF("cid", "c", "cnrm")
+    val w = Window.partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+    assigned(s, d)
+      .join(broadcast(cdf), "cid")
+      .withColumn("dist",
+        col("nrm") + col("cnrm")
+          - lit(2L) * graft.functions.ScaledDotProduct(col("v"), col("c")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CoresetPerCluster)
+      .select(col("cid"), col("rk").cast("bigint").as("rk"),
+        col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  private def coresetPrototypesSql = {
+    val dist =
+      "x.nrm + c.cnrm - 2 * list_sum(list_transform(range(1, len(x.v)+1), k -> x.v[k] * c.c[k]))"
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |asg AS (
+       |  SELECT vec_id, label, cid, dist FROM (
+       |    SELECT x.vec_id, x.label, c.cid, $dist AS dist,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY $dist, c.cid) AS rn
+       |    FROM v x CROSS JOIN centroids c)
+       |  WHERE rn = 1),
+       |sel AS (
+       |  SELECT cid, vec_id, label, dist,
+       |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
+       |  FROM asg)
+       |SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, label, CAST(dist AS BIGINT) AS dist
+       |FROM sel WHERE rk <= $CoresetPerCluster
+       |ORDER BY cid, rk""".stripMargin
+  }
+
   private def clusterSampleSql =
     s"""WITH v AS ($scaledVecSql),
        |$centroidsSqlCtes,
@@ -668,6 +718,7 @@ object Similarity extends QueryModule {
     GraftQuery("sim_lake_knn_incremental", lakeKnnIncremental,
       Some(lakeKnnIncrementalSql)),
     GraftQuery("sim_cluster_sample", clusterSample, Some(clusterSampleSql)),
+    GraftQuery("sim_coreset_prototypes", coresetPrototypes, Some(coresetPrototypesSql)),
     GraftQuery("sim_knn_brute", knnBrute, Some(knnBruteSql)),
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     GraftQuery("sim_ivf_recall", ivfRecall, Some(ivfRecallSql)),

@@ -451,6 +451,64 @@ object TextAnalysis extends QueryModule {
       |FROM bgr b JOIN counts c ON b.bg = c.bg
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- smoothed bigram log-probability (perplexity proper): the
+  // CCNet/KenLM-style quality signal (Wenzek et al. 2020,
+  // arXiv:1911.00359 — public paper). Complements text_bigram_freq (the
+  // raw-frequency half): P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V),
+  // add-one smoothing over the corpus vocabulary V; a document scores
+  // the occurrence-weighted mean log-prob of its bigrams, and perplexity
+  // exp(-mean). Scale shape identical to bigramFreq: DISTINCT (doc,
+  // bigram) pairs shuffle, never the token stream; history counts C(w1 ·)
+  // derive from the already-aggregated bigram counts (one extra shuffle
+  // over the far smaller distinct-bigram set); the scalar V broadcasts.
+  // Cross-engine float honesty: per-term ln() agrees to ~1 ulp between
+  // the JVM and DuckDB and the per-doc sum is ~60 terms, so the 1e-14
+  // accumulated error sits ten orders of magnitude inside the round(4)
+  // boundary — the same argument the tfidf oracle records.
+  private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    val counts = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val hist = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    perDoc.join(counts, "bg").join(hist, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("k"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (sum(col("k") * col("lp")) / sum(col("k"))).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw"), 4).as("avg_logp"),
+        round(exp(-col("raw")), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmPerplexitySql =
+    """WITH bgr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bg
+      |  FROM documents),
+      |pairs AS (SELECT doc_id, bg, count(*) AS k FROM bgr GROUP BY doc_id, bg),
+      |counts AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c12,
+      |             string_split(bg, ' ')[1] AS w1 FROM pairs GROUP BY bg),
+      |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1),
+      |voc AS (SELECT count(DISTINCT tok) AS v
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |scored AS (
+      |  SELECT p.doc_id, p.k,
+      |    ln(CAST(c.c12 + 1 AS DOUBLE) / (h.c1 + voc.v)) AS lp
+      |  FROM pairs p JOIN counts c USING (bg) JOIN hist h ON c.w1 = h.w1, voc)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |  round(sum(k * lp) / sum(k), 4) AS avg_logp,
+      |  round(exp(-sum(k * lp) / sum(k)), 2) AS ppl
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- repetition measures (Gopher-style, Rae et al. 2021 §A1.1): the
   // filters that kill boilerplate/spam docs whose text is dominated by a
   // few repeated tokens or n-grams. Token-count fractions stand in for the
@@ -743,6 +801,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_contamination", contamination, Some(contaminationSql)),
     GraftQuery("text_corpus_stats", corpusStats, Some(corpusStatsSql)),
     GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),
+    GraftQuery("text_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     GraftQuery("text_repetition", repetition, Some(repetitionSql)),
     GraftQuery("text_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     GraftQuery("text_token_count", tokenCounts, Some(tokenCountsSql)),

@@ -92,4 +92,51 @@ class DedupSpec extends SparkTestBase {
       .select($"doc_new", $"n_matches").as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
+
+  test("duplicate spans: islands reconstruct brute-force window coverage") {
+    import graft.SparkEntry
+    import spark.implicits._
+    val K = 8
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // brute force: window hashes, corpus-duplicated hashes, per-doc
+    // union of [pos, pos+K-1] intervals merged into maximal spans
+    val wins = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < K) Array.empty[(Long, Int, Long)]
+      else (0 to toks.length - K).map(i =>
+        (id, i, Signatures.polyHash(toks.slice(i, i + K).mkString(" ")))).toArray
+    }
+    val dupHashes = wins.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val expected = wins.filter(w => dupHashes.contains(w._3))
+      .groupBy(_._1).map { case (id, occ) =>
+        val pos = occ.map(_._2).distinct.sorted
+        val spans = pos.tail.foldLeft(List((pos.head, pos.head + K - 1))) {
+          case ((s, e) :: rest, p) =>
+            if (p <= e + 1) (s, math.max(e, p + K - 1)) :: rest
+            else (p, p + K - 1) :: (s, e) :: rest
+          case (Nil, _) => sys.error("unreachable")
+        }
+        id -> (spans.length.toLong, spans.map { case (s, e) => e - s + 1 }.sum.toLong)
+      }
+    val got = SparkEntry.queries("dedup_dup_spans")(spark, sf0001)
+      .select($"doc_id", $"n_spans", $"dup_tokens").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain duplicated spans")
+    // an exact-duplicate doc with >= K tokens is one span covering it all
+    val fullDups = docs.groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap(_.map(_._1)).toSet
+    val ratios = SparkEntry.queries("dedup_dup_spans")(spark, sf0001)
+      .select($"doc_id", $"dup_ratio").as[(Long, Double)].collect().toMap
+    for (id <- fullDups if docs.find(_._1 == id).get._2.split(" ", -1).length >= K)
+      assert(ratios(id) === 1.0, s"exact-dup doc $id should be fully covered")
+    // summary agrees with the per-doc view it aggregates
+    val sums = SparkEntry.queries("dedup_dup_span_summary")(spark, sf0001)
+      .select($"n_docs_with_dups", $"n_spans", $"dup_tokens")
+      .as[(Long, Long, Long)].collect().head
+    assert(sums._1 === got.size.toLong)
+    assert(sums._2 === got.values.map(_._1).sum)
+    assert(sums._3 === got.values.map(_._2).sum)
+  }
 }

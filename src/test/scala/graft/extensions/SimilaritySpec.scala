@@ -104,4 +104,29 @@ class SimilaritySpec extends SparkTestBase {
     val mean = recall.sum / recall.length
     assert(mean >= 0.5, s"mean recall@5 = $mean — quantizer not earning its keep")
   }
+
+  test("coreset prototypes are exactly the M nearest members of each cell") {
+    import spark.implicits._
+    val cents = Similarity.centroids(spark, sf0001)
+      .map(c => c.cid -> (c.c.toArray, c.cnrm)).toMap
+    // brute force in exact Long arithmetic over the assignment the engine
+    // itself reports (cid correctness is pinned by the bucket specs)
+    val members = Similarity.assigned(spark, sf0001)
+      .select($"vec_id", $"v", $"nrm", $"cid")
+      .as[(Long, Seq[Long], Long, Int)].collect()
+    val expected = members.groupBy(_._4).flatMap { case (cid, ms) =>
+      val (c, cnrm) = cents(cid)
+      ms.map { case (id, v, nrm, _) =>
+        val dot = v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
+        (cid, id, nrm + cnrm - 2 * dot)
+      }.sortBy(m => (m._3, m._2)).take(8).zipWithIndex
+        .map { case ((ci, id, dist), i) => (ci, i + 1L, id, dist) }
+    }.toSet
+    val got = graft.SparkEntry.queries("sim_coreset_prototypes")(spark, sf0001)
+      .select($"cid", $"rk", $"vec_id", $"dist")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // every cell is represented: prototypes cover the whole codebook
+    assert(got.map(_._1) === members.map(_._4).toSet)
+  }
 }

@@ -161,4 +161,40 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getAs[Long]("residual_pii") === 0L, s"residual in $r")
     }
   }
+
+  test("LM perplexity matches a brute-force smoothed bigram model") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // brute force with the module's bigram convention: a 1-token doc
+    // contributes its lone token as a degenerate "bigram"
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (id, t) => bigrams(t).map(id -> _) }
+    val c12 = all.groupBy(_._2).map { case (bg, v) => bg -> v.length.toLong }
+    val c1 = c12.groupBy(_._1.split(" ")(0)).map { case (w, v) => w -> v.values.sum }
+    val v = docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    val expected = all.groupBy(_._1).map { case (id, bgs) =>
+      val lps = bgs.map { case (_, bg) =>
+        math.log((c12(bg) + 1).toDouble / (c1(bg.split(" ")(0)) + v))
+      }
+      id -> (bgs.length.toLong, lps.sum / lps.length)
+    }
+    val got = SparkEntry.queries("text_lm_perplexity")(spark, sf0001)
+      .select($"doc_id", $"n_bigrams", $"avg_logp", $"ppl")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === expected.size)
+    for ((id, n, avg, ppl) <- got) {
+      val (en, eavg) = expected(id)
+      assert(n === en, s"n_bigrams for doc $id")
+      // engine value is round(·,4); brute-force sum order may differ by ulps
+      assert(math.abs(avg - eavg) <= 5.001e-5, s"avg_logp for doc $id: $avg vs $eavg")
+      assert(math.abs(ppl - math.exp(-eavg)) <= 0.006, s"ppl for doc $id")
+      // smoothed probabilities are in (0, 1): log is strictly negative
+      assert(avg < 0 && ppl > 1, s"doc $id out of range")
+    }
+  }
 }
