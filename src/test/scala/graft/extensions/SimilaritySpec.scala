@@ -114,7 +114,7 @@ class SimilaritySpec extends SparkTestBase {
     val members = Similarity.assigned(spark, sf0001)
       .select($"vec_id", $"v", $"nrm", $"cid")
       .as[(Long, Seq[Long], Long, Int)].collect()
-    val expected = members.groupBy(_._4).flatMap { case (cid, ms) =>
+    val expected = members.groupBy(_._4).toSeq.flatMap { case (cid, ms) =>
       val (c, cnrm) = cents(cid)
       ms.map { case (id, v, nrm, _) =>
         val dot = v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
