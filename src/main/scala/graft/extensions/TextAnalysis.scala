@@ -466,8 +466,15 @@ object TextAnalysis extends QueryModule {
   // accumulated error sits ten orders of magnitude inside the round(4)
   // boundary — the same argument the tfidf oracle records.
   private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    // wordBigrams emits a lone token as a degenerate 'bigram' for
+    // 1-token docs (an engine-wide convention text_bigram_freq keeps);
+    // a language MODEL must not count it — it would pollute C(w1 ·) for
+    // every real bigram sharing that first word — so the LM filters to
+    // true 2-token grams and a <2-token doc simply has no defined score
+    // (no output row), r16 ADVICE.
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
+      .filter(col("bg").contains(" "))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
     val counts = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -494,7 +501,8 @@ object TextAnalysis extends QueryModule {
       |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
       |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bg
       |  FROM documents),
-      |pairs AS (SELECT doc_id, bg, count(*) AS k FROM bgr GROUP BY doc_id, bg),
+      |pairs AS (SELECT doc_id, bg, count(*) AS k FROM bgr
+      |          WHERE bg LIKE '% %' GROUP BY doc_id, bg),
       |counts AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c12,
       |             string_split(bg, ' ')[1] AS w1 FROM pairs GROUP BY bg),
       |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1),

@@ -139,4 +139,19 @@ class DedupSpec extends SparkTestBase {
     assert(sums._2 === got.values.map(_._1).sum)
     assert(sums._3 === got.values.map(_._2).sum)
   }
+
+  test("wide64 span hash yields the same spans as poly32 on the fixture") {
+    import graft.SparkEntry
+    import spark.implicits._
+    def spans() = SparkEntry.queries("dedup_dup_spans")(spark, sf0001)
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val poly = spans()
+    // the production-scale hash must change only collision odds, not
+    // semantics: on a corpus small enough that poly32 is collision-free,
+    // both widths find the identical span set
+    spark.conf.set(Dedup.SpanHashConf, "wide64")
+    try assert(spans() === poly)
+    finally spark.conf.unset(Dedup.SpanHashConf)
+  }
 }
