@@ -75,7 +75,8 @@ final class ApiServer(spark: SparkSession,
                       bindPort: Int = 0,
                       openMetrics: Boolean = false,
                       metricsToken: Option[String] = None,
-                      oidc: Option[OidcValidator] = None)
+                      oidc: Option[OidcValidator] = None,
+                      metricsStore: Option[MetricsHub.Store] = None)
   extends AutoCloseable {
 
   private val server =
@@ -460,6 +461,82 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, cp.pipelineJson(cp.startPipeline(id)))
       case ("POST", Seq("pipelines", id, "stop")) =>
         respond(ex, 200, cp.pipelineJson(cp.stopPipeline(id)))
+      // ---- per-pipeline metrics (ref internal/api/server.go:326-327,
+      // handlers/metrics.go, services/metrics.go:38-377). Registered
+      // only when a MetricsHub.Store is attached, exactly as the
+      // reference registers them only `if metricsService != nil`.
+      case ("GET", Seq("pipelines", id, "metrics"))
+          if metricsStore.isDefined =>
+        val ms = metricsStore.get
+        val p = cp.getPipeline(id) // NotFound -> 404 via the handler
+        val now = ms.nowMs
+        val src = p.name // the reference labels series by pipeline name
+        def sumI(metric: String): Long =
+          ms.sumInstant(metric, src, now).map(_.toLong).getOrElse(0L)
+        val uptime = p.startedAtMs
+          .filter(_ => p.status == "running")
+          .map(t => JString(MetricsHub.formatUptime(now - t)): JValue)
+        respond(ex, 200, JObject("metrics" -> JObject(List(
+          "pipeline_id" -> JString(p.id),
+          "status" -> JString(p.status),
+          "events_processed" -> JInt(sumI("philotes_cdc_events_total")),
+          "events_per_second" -> JDouble(
+            ms.ratePerSec("philotes_cdc_events_total", src, now).getOrElse(0.0)),
+          "lag_seconds" -> JDouble(
+            ms.maxInstant("philotes_cdc_lag_seconds", src, now).getOrElse(0.0)),
+          // present-but-unpopulated in the reference service too (the
+          // model declares it; GetPipelineMetrics never queries it)
+          "lag_p95_seconds" -> JDouble(0.0),
+          "buffer_depth" -> JInt(sumI("philotes_buffer_depth")),
+          "error_count" -> JInt(sumI("philotes_cdc_errors_total")),
+          "iceberg_commits" -> JInt(sumI("philotes_iceberg_commits_total")),
+          "iceberg_bytes_written" ->
+            JInt(sumI("philotes_iceberg_bytes_written_total"))) ++
+          uptime.map("uptime" -> _).toList ++
+          List("tables" -> JArray(p.tables.toList.map { m =>
+            JObject(
+              "schema" -> JString(m.sourceSchema),
+              "table" -> JString(m.sourceTable),
+              "events_processed" -> JInt(BigInt(
+                ms.tableInstant("philotes_cdc_events_total", src,
+                  m.sourceTable, now).map(_.toLong).getOrElse(0L))),
+              "lag_seconds" -> JDouble(
+                ms.tableInstant("philotes_cdc_lag_seconds", src,
+                  m.sourceTable, now).getOrElse(0.0)))
+          })))))
+      case ("GET", Seq("pipelines", id, "metrics", "history"))
+          if metricsStore.isDefined =>
+        val ms = metricsStore.get
+        val p = cp.getPipeline(id)
+        val src = p.name
+        val rangeStr = Option(ex.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&'))
+          .collectFirst { case q if q.startsWith("range=") =>
+            java.net.URLDecoder.decode(q.drop(6), "UTF-8") }
+          .getOrElse("1h") // ref handlers/metrics.go DefaultQuery("range","1h")
+        val tr = MetricsHub.parseTimeRange(rangeStr, ms.nowMs)
+          .fold(msg => throw ControlPlane.Invalid(msg), identity)
+        val points = ms.grid(tr).flatMap { t =>
+          val eps = ms.ratePerSec("philotes_cdc_events_total", src, t)
+          val lag = ms.maxInstant("philotes_cdc_lag_seconds", src, t)
+          val depth = ms.sumInstant("philotes_buffer_depth", src, t)
+          val errs = ms.sumInstant("philotes_cdc_errors_total", src, t)
+          // a grid instant where NO series has data yields no point
+          // (Prometheus range responses cover only the sampled span);
+          // a point present in one series zero-fills the others (the
+          // reference's merge loop does exactly that)
+          if (eps.isEmpty && lag.isEmpty && depth.isEmpty && errs.isEmpty) None
+          else Some(JObject(
+            "timestamp" -> JString(java.time.Instant.ofEpochMilli(t).toString),
+            "events_per_second" -> JDouble(eps.getOrElse(0.0)),
+            "lag_seconds" -> JDouble(lag.getOrElse(0.0)),
+            "buffer_depth" -> JInt(BigInt(depth.map(_.toLong).getOrElse(0L))),
+            "error_count" -> JInt(BigInt(errs.map(_.toLong).getOrElse(0L)))))
+        }
+        respond(ex, 200, JObject("history" -> JObject(
+          "pipeline_id" -> JString(p.id),
+          "time_range" -> JString(rangeStr),
+          "data_points" -> JArray(points.toList))))
       case ("GET", Seq("pipelines", id, "status")) =>
         // refresh consults the RUNNER: a drain loop that died after a
         // successful start must surface as error here, never a stale

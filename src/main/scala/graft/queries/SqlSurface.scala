@@ -861,6 +861,136 @@ object SqlSurface extends QueryModule {
       |  AS t(step, result)
       |ORDER BY step""".stripMargin
 
+  // ---- per-pipeline metrics routes end-to-end (ref internal/api/
+  // server.go:326-327, handlers/metrics.go, services/metrics.go:38-377):
+  // a pipeline's scoped registry is filled by the REAL batch processor
+  // (two deterministic batches split at max(event_id)/2), scraped into
+  // the MetricsHub store at injected-clock instants 30 s apart, and the
+  // two JSON routes are read back over loopback HTTP. Every gated number
+  // is a pure function of the events table (counts, the 1m-rate × 30,
+  // commits = tables × batches) or of the fixed clock/grid arithmetic
+  // (uptime 30s; 15m range → 9 s step → 4 in-data grid points), so the
+  // DuckDB oracle replays all of it. Wall-clock-dependent gauges (lag)
+  // stay out of the gated rows.
+  private def apiPipelineMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import graft.api.{ApiServer, ControlPlane, MetricsHub}
+    import graft.streaming.{IngestConfig, IngestPipeline}
+    val meta = s"${sqlWarehouse(s, d)}_metricshub"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val t0 = 1700000000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L),
+      clock = () => clock.get())
+    val store = new MetricsHub.Store(clock = () => clock.get())
+    val srv = new ApiServer(s, controlPlane = Some(cp),
+      metricsStore = Some(store))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        val req = method match {
+          case "GET"    => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      def lng(v: JValue): Long = v match { case JInt(n) => n.toLong; case _ => -1L }
+      def dbl(v: JValue): Double = v match {
+        case JDouble(x) => x; case JInt(n) => n.toDouble; case _ => Double.NaN }
+      val (_, b1) = call("POST", "/api/v1/sources",
+        """{"name":"pg-pm","host":"db","database_name":"app","username":"rep"}""")
+      val (_, b2) = call("POST", "/api/v1/pipelines",
+        s"""{"name":"pm1","source_id":"${s_(b1 \ "id")}","tables":[
+           |{"schema":"public","table":"events_0"},
+           |{"schema":"public","table":"events_1"}]}""".stripMargin)
+      val pid = s_(b2 \ "id")
+      call("POST", s"/api/v1/pipelines/$pid/start") // startedAtMs = t0
+      val base = Lifecycle.scratchDir(s, "graft_apimetrics", d)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val registry = new graft.observe.Metrics.Registry
+      val cfg = IngestConfig(outDir = s"$base/lake", dlqDir = s"$base/dlq",
+        checkpointDir = s"$base/ckpt", sourceId = "pm1", metrics = registry)
+      val env = CdcQueries.envelope(s, d).withColumn("_cdc_table",
+        concat(lit("events_"), (col("user_id") % 2).cast("string")))
+      val half = env.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+      IngestPipeline.processBatch(cfg)(env.filter(col("event_id") <= half), 0L)
+      val sampler = new MetricsHub.Sampler(store, () => Seq(("pm1", registry)))
+      sampler.tickNow() // scrape at t0
+      clock.addAndGet(30000L)
+      IngestPipeline.processBatch(cfg)(env.filter(col("event_id") > half), 1L)
+      sampler.tickNow() // scrape at t0 + 30 s
+      val (mc, mb) = call("GET", s"/api/v1/pipelines/$pid/metrics")
+      val m = mb \ "metrics"
+      val (hc, hb) = call("GET",
+        s"/api/v1/pipelines/$pid/metrics/history?range=15m")
+      val pts = (hb \ "history" \ "data_points") match {
+        case JArray(xs) => xs; case _ => Nil }
+      val (nc, _) = call("GET", "/api/v1/pipelines/ghost/metrics")
+      val (bc, _) = call("GET",
+        s"/api/v1/pipelines/$pid/metrics/history?range=bogus")
+      val tbls = (m \ "tables") match { case JArray(xs) => xs; case _ => Nil }
+      val t0events = tbls.collectFirst {
+        case t if (t \ "table") == JString("events_0") =>
+          lng(t \ "events_processed") }.getOrElse(-1L)
+      Seq(
+        ("metrics_200", flag(mc == 200)),
+        ("status_running", flag((m \ "status") == JString("running"))),
+        ("uptime_30s", flag(s_(m \ "uptime") == "30s")),
+        ("events_processed", lng(m \ "events_processed")),
+        ("eps_x30", math.round(dbl(m \ "events_per_second") * 30)),
+        ("error_count", lng(m \ "error_count")),
+        ("iceberg_commits", lng(m \ "iceberg_commits")),
+        ("iceberg_bytes_positive",
+          flag(lng(m \ "iceberg_bytes_written") > 0)),
+        ("tables_n", tbls.size.toLong),
+        ("table0_events", t0events),
+        ("history_200", flag(hc == 200)),
+        ("history_points", pts.size.toLong),
+        ("history_last_eps_x30", pts.lastOption
+          .map(p => math.round(dbl(p \ "events_per_second") * 30))
+          .getOrElse(-1L)),
+        ("unknown_404", flag(nc == 404)),
+        ("bad_range_400", flag(bc == 400)))
+    } finally srv.close()
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiPipelineMetricsSql =
+    s"""WITH envelope AS (${CdcQueries.envelopeSql}),
+       |th AS (SELECT max(event_id) // 2 AS half FROM envelope)
+       |SELECT step, result FROM (VALUES
+       |  ('metrics_200', CAST(1 AS BIGINT)),
+       |  ('status_running', CAST(1 AS BIGINT)),
+       |  ('uptime_30s', CAST(1 AS BIGINT)),
+       |  ('events_processed', (SELECT count(*) FROM envelope)),
+       |  ('eps_x30', (SELECT count(*) FROM envelope
+       |               WHERE event_id > (SELECT half FROM th))),
+       |  ('error_count', CAST(0 AS BIGINT)),
+       |  ('iceberg_commits', CAST(4 AS BIGINT)),
+       |  ('iceberg_bytes_positive', CAST(1 AS BIGINT)),
+       |  ('tables_n', CAST(2 AS BIGINT)),
+       |  ('table0_events', (SELECT count(*) FROM envelope
+       |                     WHERE user_id % 2 = 0)),
+       |  ('history_200', CAST(1 AS BIGINT)),
+       |  ('history_points', CAST(4 AS BIGINT)),
+       |  ('history_last_eps_x30', (SELECT count(*) FROM envelope
+       |                            WHERE event_id > (SELECT half FROM th))),
+       |  ('unknown_404', CAST(1 AS BIGINT)),
+       |  ('bad_range_400', CAST(1 AS BIGINT)))
+       |  AS t(step, result)
+       |ORDER BY step""".stripMargin
+
   // ---- alert-rule management on the control plane (ref internal/api/
   // handlers/alerts.go:28-32 /alerts/rules CRUD + alert_repository.go):
   // rules persist in the file-backed store, serve over HTTP with the
@@ -1996,6 +2126,8 @@ object SqlSurface extends QueryModule {
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("api_http_explore", apiHttpExplore, Some(apiHttpExploreSql)),
     GraftQuery("api_pipeline_crud", apiPipelineCrud, Some(apiPipelineCrudSql)),
+    GraftQuery("api_pipeline_metrics", apiPipelineMetrics,
+      Some(apiPipelineMetricsSql)),
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
     GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
     GraftQuery("api_scaling_wake", apiScalingWake, Some(apiScalingWakeSql)),

@@ -69,10 +69,33 @@ object IngestPipeline {
           // null name is as unroutable as a malformed one
           require(t != null && graft.model.Identifiers.isValid(t),
             s"invalid table name: '$t'")
+          val dirPath = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/$t")
+          val fs = dirPath.getFileSystem(
+            slice.sparkSession.sparkContext.hadoopConfiguration)
+          def dirBytes: Long =
+            if (fs.exists(dirPath)) fs.getContentSummary(dirPath).getLength else 0L
+          val bytesBefore = dirBytes
           Retry.execute(cfg.retry) { () =>
             CdcWriter.write(slice, s"${cfg.outDir}/$t", SaveMode.Append)
           }
           cfg.metrics.inc("iceberg", "commits_total")
+          // per-table series (exposition-label names — the
+          // `{source,table}` dimensions the reference's metrics service
+          // queries, services/metrics.go:179-210) plus the bytes
+          // counter its writer tracks. One agg job per slice — the
+          // batch is persisted above, so this scans cached blocks, and
+          // the byte delta is two metadata calls around the write.
+          cfg.metrics.inc("iceberg", "bytes_written_total",
+            math.max(0L, dirBytes - bytesBefore))
+          val hasTs = slice.columns.contains(graft.ingest.Cdc.TsColumn)
+          val sliceAgg = slice.agg(count(lit(1)),
+            max(if (hasTs) col(graft.ingest.Cdc.TsColumn)
+                else lit(null).cast("timestamp"))).collect()(0)
+          cfg.metrics.inc("cdc", s"""events_total{table="$t"}""",
+            sliceAgg.getLong(0))
+          if (hasTs && !sliceAgg.isNullAt(1))
+            cfg.metrics.setGauge("cdc", s"""lag_seconds{table="$t"}""",
+              (System.currentTimeMillis() - sliceAgg.getTimestamp(1).getTime) / 1000.0)
         } catch {
           case e: Throwable =>
             DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,

@@ -48,8 +48,19 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
   extends ControlPlane.Runner {
 
   private final case class Live(stopFlag: AtomicBoolean, thread: Thread,
-                                wire: PgWire)
+                                wire: PgWire,
+                                registry: graft.observe.Metrics.Registry,
+                                pipelineName: String)
   private val live = new ConcurrentHashMap[String, Live]()
+
+  /** Live (pipelineName, scoped registry) pairs — the provider a
+    * [[graft.api.MetricsHub.Sampler]] scrapes so the per-pipeline
+    * metrics routes see each pipeline's own counters (the reference's
+    * per-process metrics labelled by `source`). */
+  def liveRegistries(): Seq[(String, graft.observe.Metrics.Registry)] = {
+    import scala.jdk.CollectionConverters._
+    live.values.asScala.toSeq.map(l => (l.pipelineName, l.registry))
+  }
 
   /** Last loop error per pipeline id (surface for status probes). */
   private val lastError = new ConcurrentHashMap[String, String]()
@@ -92,11 +103,15 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
     } catch { case NonFatal(e) => wire.close(); throw e }
 
     val stopFlag = new AtomicBoolean(false)
+    // scoped registry: this pipeline's counters only (the reference's
+    // per-source metric labels), scraped via [[liveRegistries]]
+    val registry = new graft.observe.Metrics.Registry
     val cfg = IngestConfig(
       outDir = s"$lakeRoot/${p.id}/tables",
       dlqDir = s"$lakeRoot/${p.id}/dlq",
       checkpointDir = s"$lakeRoot/${p.id}/checkpoint",
-      sourceId = p.name)
+      sourceId = p.name,
+      metrics = registry)
     val decoder = new EvolvingDecoder(new org.apache.spark.sql.types.StructType())
     // (schema, table) pairs — matching on table name alone would admit a
     // same-named table from an UNMAPPED schema into the mapped table's
@@ -124,6 +139,12 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
                 if (sc.isEmpty) tMatch else tMatch && col("_cdc_schema") === sc
               }.reduce(_ || _))
             IngestPipeline.processBatch(cfg)(routed, batchId)
+            // the streaming-listener counters a wire-fed loop never
+            // gets from a progress bus (ref pipeline.go event-loop
+            // stats): drained envelope count + batch count
+            registry.inc("cdc", "events_total", envs.size.toLong)
+            registry.inc("buffer", "batches_total")
+            registry.inc("buffer", "events_processed_total", envs.size.toLong)
             batchId += 1
           }
           // confirm only AFTER the lake holds the batch (at-least-once;
@@ -138,7 +159,7 @@ final class PgPipelineRunner(spark: SparkSession, lakeRoot: String,
     })
     thread.setDaemon(true)
     thread.setName(s"graft-pg-runner-${p.id}")
-    live.put(p.id, Live(stopFlag, thread, wire))
+    live.put(p.id, Live(stopFlag, thread, wire, registry, p.name))
     thread.start()
   }
 
