@@ -158,8 +158,18 @@ object Bench {
     // Focused mode: `runMain graft.Bench <name>...` measures just those
     // queries (3 passes each, all reported) — for iterating on one
     // operator without a full suite run. No history/defense involved.
+    // `--full-context` first runs EVERY registered query once,
+    // unmeasured, so the named queries are then measured under the
+    // exact cache/memory/fixture state a driver full pass puts them in
+    // (weak-flag adjudication without driver archaeology): pass 1 is
+    // the full-pass-equivalent number, passes 2-3 show the warm floor.
     if (args.nonEmpty) {
-      args.foreach { name =>
+      val (flags, names) = args.partition(_.startsWith("--"))
+      if (flags.contains("--full-context")) {
+        System.err.println("[bench] building full-pass context (unmeasured)...")
+        measure(SparkEntry.queries.keys.toSeq.sorted.filterNot(names.contains))
+      }
+      names.foreach { name =>
         val ts = (1 to 3).map { _ => measure(Seq(name))(name) }
         println(s"""{"query":"$name","passes":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
       }

@@ -250,6 +250,75 @@ class PgReplicationSpec extends SparkTestBase
     assert(lakeState() === Some(Map(2L -> ("bo", 99.0))))
   }
 
+  test("live pipeline metrics: sampler scrapes the runner; HTTP routes serve them") {
+    assume(serverUp, "no usable postgres installation in this environment")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.api.{ApiServer, ControlPlane, MetricsHub}
+    import graft.streaming.PgPipelineRunner
+    psql("""CREATE TABLE mx_users (
+           |  id bigint primary key, name text, value double precision)""".stripMargin)
+    psql("ALTER TABLE mx_users REPLICA IDENTITY FULL")
+    psql("CREATE PUBLICATION mx_pub FOR TABLE mx_users")
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft-mx-lake").toString
+    val meta = java.nio.file.Files.createTempDirectory("graft-mx-meta").toString
+    val runner = new PgPipelineRunner(spark, lakeRoot,
+      quietMs = 200, maxWaitMs = 1500L)
+    val cp = new ControlPlane(meta, runner)
+    val store = new MetricsHub.Store()
+    // the provider IS the runner's live view: pipelines that start and
+    // stop come and go from the scrape set without reconfiguration
+    val sampler = new MetricsHub.Sampler(store, () => runner.liveRegistries())
+    val srv = new ApiServer(spark, controlPlane = Some(cp),
+      metricsStore = Some(store))
+    try {
+      val src = cp.createSource("live-mx", "", "127.0.0.1", Port, "postgres",
+        "graft", publicationName = "mx_pub")
+      val p = cp.createPipeline("live-mx-p", src.id,
+        Seq(("public", "mx_users", true)))
+      assert(cp.startPipeline(p.id).status === "running")
+      psql("INSERT INTO mx_users VALUES (1,'ada',1.5), (2,'bo',2.5), (3,'cy',3.5)")
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, JValue) = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(srv.baseUri + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def lng(v: JValue): Long = v match { case JInt(n) => n.toLong; case _ => -1L }
+      // scrape-and-check until the drain lands (ticks driven here so the
+      // test never waits on the daemon's interval)
+      val deadline = System.currentTimeMillis() + 60000L
+      def metricsBody(): JValue = { sampler.tickNow(); get(
+        s"/api/v1/pipelines/${p.id}/metrics")._2 \ "metrics" }
+      var m = metricsBody()
+      while (lng(m \ "events_processed") < 3 &&
+        System.currentTimeMillis() < deadline) { Thread.sleep(500L); m = metricsBody() }
+      assert(lng(m \ "events_processed") >= 3,
+        s"metrics never saw the inserts (runner error: ${runner.errorOf(p.id)})")
+      assert((m \ "status") === JString("running"))
+      assert(lng(m \ "iceberg_commits") >= 1)
+      assert(lng(m \ "iceberg_bytes_written") > 0)
+      m \ "uptime" match {
+        case JString(u) => assert(u.matches("""\d+[hms].*|\d+s"""))
+        case other      => fail(s"running pipeline reported no uptime: $other")
+      }
+      val tbl = (m \ "tables") match {
+        case JArray(xs) => xs.find(t => (t \ "table") == JString("mx_users"))
+        case _          => None
+      }
+      assert(tbl.exists(t => lng(t \ "events_processed") >= 3),
+        s"per-table row missing or empty: $tbl")
+      // history: the ticks above are real samples on the wall clock
+      val (hc, hb) = get(s"/api/v1/pipelines/${p.id}/metrics/history?range=15m")
+      assert(hc === 200)
+      val pts = (hb \ "history" \ "data_points") match {
+        case JArray(xs) => xs; case _ => Nil }
+      assert(pts.nonEmpty, "history served no data points after live samples")
+      assert(cp.stopPipeline(p.id).status === "stopped")
+    } finally { sampler.close(); srv.close() }
+  }
+
   test("SCRAM-SHA-256: the wire client authenticates a scram-only replication user") {
     assume(serverUp, "no usable postgres installation in this environment")
     // PG 15 stores passwords scram-sha-256 by default; an hba rule
