@@ -52,11 +52,13 @@ object Serve {
                      val rest: RestCatalogServer,
                      val controlPlane: ControlPlane,
                      val alerts: Option[AlertManager] = None,
-                     val scaling: Option[ScalingManager] = None)
+                     val scaling: Option[ScalingManager] = None,
+                     val metricsSampler: Option[graft.api.MetricsHub.Sampler] = None)
     extends AutoCloseable {
     override def close(): Unit = {
       alerts.foreach(_.close()) // stop evaluating before teardown
       scaling.foreach(_.close())
+      metricsSampler.foreach(_.close())
       // the API goes down FIRST so no new actuation can race the sweep
       // (a start accepted after the pipeline snapshot would leave its
       // drain loop alive past Spark's stop); then every live pipeline
@@ -93,6 +95,7 @@ object Serve {
             metricsToken: Option[String] = None,
             alertIntervalMs: Long = 15000L,
             scalingIntervalMs: Long = 30000L,
+            metricsSampleMs: Long = 5000L,
             oidcIssuer: Option[String] = None,
             oidcAudience: Option[String] = None): Handle = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[GraftCatalog].getName)
@@ -126,10 +129,19 @@ object Serve {
       case _ => throw new IllegalArgumentException(
         "GRAFT_OIDC_ISSUER and GRAFT_OIDC_AUDIENCE must be set together")
     }
+    // per-pipeline metrics (ref server.go:326-327): the store backs the
+    // /pipelines/:id/metrics routes; the sampler scrapes each live
+    // pipeline's scoped registry (0 disables the scrape loop — the
+    // routes still answer, from whatever samples exist)
+    val metricsStore = new graft.api.MetricsHub.Store()
+    val sampler =
+      if (metricsSampleMs <= 0L) None
+      else Some(new graft.api.MetricsHub.Sampler(metricsStore,
+        () => runner.liveRegistries(), intervalMs = metricsSampleMs).start())
     val api = new ApiServer(spark, authToken = token,
       controlPlane = Some(cp), bindPort = apiPort,
       openMetrics = openMetrics, metricsToken = metricsToken,
-      oidc = oidc)
+      oidc = oidc, metricsStore = Some(metricsStore))
     val rest = new RestCatalogServer(spark, warehouse, prefix = prefix,
       authToken = token, bindPort = restPort)
     // the alerting manager loop (ref internal/alerting/manager.go):
@@ -155,7 +167,7 @@ object Serve {
         mgr.start()
         Some(mgr)
       }
-    new Handle(spark, api, rest, cp, alerts, scaling)
+    new Handle(spark, api, rest, cp, alerts, scaling, sampler)
   }
 
   def main(args: Array[String]): Unit = {
@@ -207,6 +219,9 @@ object Serve {
       // (0 disables; the reference's default is 30 s for both the
       // generic and the query-engine families)
       scalingIntervalMs = intervalMs("GRAFT_SCALING_INTERVAL_SECONDS", 30000L),
+      // GRAFT_METRICS_SAMPLE_SECONDS: per-pipeline metrics scrape
+      // cadence feeding /pipelines/:id/metrics (0 disables the loop)
+      metricsSampleMs = intervalMs("GRAFT_METRICS_SAMPLE_SECONDS", 5000L),
       // GRAFT_OIDC_ISSUER + GRAFT_OIDC_AUDIENCE: accept JWTs minted by
       // this issuer for this audience as API credentials (RS256,
       // JWKS-verified — ref internal/oidc/client.go)
