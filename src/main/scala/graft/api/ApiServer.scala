@@ -143,6 +143,15 @@ final class ApiServer(spark: SparkSession,
       val exempt = segs == Seq("query", "health") ||
         (segs == Seq("api", "v1", "auth", "oidc", "providers") &&
           ex.getRequestMethod == "GET") ||
+        // the interactive login dance runs BEFORE any credential
+        // exists (the reference's public /auth/oidc group): authorize
+        // mints only an opaque state; the callback only ever succeeds
+        // against an issuer-signed ID token
+        (segs.length == 6 &&
+          segs.take(4) == Seq("api", "v1", "auth", "oidc") &&
+          segs(5) == "authorize" && ex.getRequestMethod == "POST") ||
+        (segs == Seq("api", "v1", "auth", "oidc", "callback") &&
+          (ex.getRequestMethod == "POST" || ex.getRequestMethod == "GET")) ||
         // login is how session credentials get minted — it must answer
         // unauthenticated (it only ever succeeds against a stored
         // password). REGISTER is deliberately NOT exempt: the
@@ -352,6 +361,22 @@ final class ApiServer(spark: SparkSession,
     case other => throw ControlPlane.Invalid(
       s"$name must be a boolean, got ${JsonMethods.compact(JsonMethods.render(other))}")
   }
+  /** `{"group":"role",...}` — the OIDC role_mapping shape (ref
+    * models/oidc.go role_mapping); absent is None, any non-object or
+    * non-string value is refused. */
+  private def jroleMapping(v: JValue): Option[Map[String, String]] =
+    v match {
+      case JObject(fs) => Some(fs.map {
+        case (g, JString(r)) => g -> r
+        case (g, other) => throw ControlPlane.Invalid(
+          s"role_mapping['$g'] must be a string, got " +
+            JsonMethods.compact(JsonMethods.render(other)))
+      }.toMap)
+      case JNothing | JNull => None
+      case other => throw ControlPlane.Invalid(
+        "role_mapping must be an object, got " +
+          JsonMethods.compact(JsonMethods.render(other)))
+    }
   /** Whole-number count with a default for ABSENT: integers AND
     * whole-valued floats accept (json encoders emit 7.0 for 7), a
     * fractional or non-numeric value refuses — a coerced-to-zero
@@ -953,11 +978,10 @@ final class ApiServer(spark: SparkSession,
           "history" -> JArray(all.toList.map(cp.scalingEventJson)),
           "total" -> JInt(all.size)))
       // ---- OIDC providers (ref internal/api/handlers/oidc.go — the
-      // pre-login /auth/oidc/providers listing and the
-      // /settings/oidc/providers admin CRUD; the interactive
-      // authorize/callback dance is login-UI plumbing out of engine
-      // scope — its PRODUCT, issuer-signed JWTs, is what the API's
-      // auth path accepts)
+      // pre-login /auth/oidc/providers listing, the
+      // /settings/oidc/providers admin CRUD, and the interactive
+      // authorize/callback dance below; issuer-signed JWTs ALSO
+      // authenticate directly on the bearer path)
       // ---- session auth (ref internal/api/handlers/auth.go:31-158 —
       // login, one-time admin registration, /auth/me). Login is exempt
       // from the gate; register and me sit behind it when closed.
@@ -998,6 +1022,94 @@ final class ApiServer(spark: SparkSession,
         respond(ex, 200, JObject(
           "providers" -> JArray(enabled.toList.map(cp.oidcProviderSummaryJson)),
           "total_count" -> JInt(enabled.size)))
+      // ---- the interactive OIDC login dance (ref handlers/oidc.go:
+      // 45-155 Authorize/Callback over services/oidc.go:86-285).
+      // authorize mints state+nonce+PKCE and hands back the
+      // front-channel URL; callback redeems the one-time state,
+      // exchanges the code on the back channel, validates the ID
+      // token (SIGNATURE included — a fidelity improvement over the
+      // reference's ParseIDToken, see OidcLogin scaladoc), checks the
+      // nonce, provisions the user, and mints a login session.
+      case ("POST", Seq("auth", "oidc", providerName, "authorize")) =>
+        val b = jsonBody(ex)
+        val redirect = jstr(b \ "redirect_uri")
+        if (redirect.isEmpty)
+          throw ControlPlane.Invalid("redirect_uri is required")
+        if (!OidcLogin.validRedirectUri(redirect))
+          throw ControlPlane.Invalid(
+            "redirect_uri must be an http(s) URL with a host")
+        val p = cp.getOidcProviderByName(providerName)
+        if (!p.enabled)
+          throw ControlPlane.Invalid("provider is disabled")
+        OidcLogin.discover(p.issuerUrl) match {
+          case Left(err) => respond(ex, 502, JObject("error" ->
+            JString(s"failed to start authorization: $err")))
+          case Right(d) =>
+            val st = cp.createOidcState(p.id, redirect)
+            val url = OidcLogin.authorizationUrl(d, p.clientId, p.scopes,
+              st.state, st.nonce, OidcLogin.codeChallenge(st.codeVerifier),
+              s"$baseUri/api/v1/auth/oidc/callback")
+            respond(ex, 200, JObject(
+              "authorization_url" -> JString(url),
+              "state" -> JString(st.state),
+              "provider" -> JString(p.name)))
+        }
+      case (m, Seq("auth", "oidc", "callback")) if m == "GET" || m == "POST" =>
+        // ref handlers/oidc.go:102-114: query params first, then the
+        // JSON body (IdPs redirect with GET; SPAs relay with POST)
+        val q = Option(ex.getRequestURI.getQuery).toSeq
+          .flatMap(_.split('&')).flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }
+          }.toMap
+        val b = if (m == "POST") jsonBody(ex) else JNothing
+        def field(name: String): String =
+          q.get(name).filter(_.nonEmpty).getOrElse(jstr(b \ name))
+        val errParam = field("error")
+        if (errParam.nonEmpty)
+          throw ControlPlane.Invalid(s"authentication failed: $errParam")
+        val code = field("code")
+        val state = field("state")
+        if (code.isEmpty || state.isEmpty)
+          throw ControlPlane.Invalid("code and state are required")
+        val st = cp.consumeOidcState(state)
+          .getOrElse(throw ControlPlane.Invalid("invalid or expired state"))
+        val p = try cp.getOidcProvider(st.providerId) catch {
+          case _: ControlPlane.NotFound =>
+            throw ControlPlane.Invalid("provider not found")
+        }
+        val d = OidcLogin.discover(p.issuerUrl).fold(
+          err => throw ControlPlane.Invalid(s"token exchange failed: $err"),
+          identity)
+        val tokens = OidcLogin.exchange(d, code, st.codeVerifier,
+          s"$baseUri/api/v1/auth/oidc/callback", p.clientId, p.clientSecret)
+          .fold(
+            err => throw ControlPlane.Invalid(s"token exchange failed: $err"),
+            identity)
+        val validator = new OidcValidator(p.issuerUrl, p.clientId)
+        val claims = validator.validate(tokens.idToken).fold(
+          err => throw ControlPlane.Invalid(
+            s"ID token validation failed: $err"),
+          identity)
+        // the nonce binds THIS id_token to THIS login attempt — a
+        // replayed token from another dance must die here
+        if ((claims.claims \ "nonce") != JString(st.nonce))
+          throw ControlPlane.Invalid("ID token validation failed: bad nonce")
+        val extra =
+          if (tokens.accessToken.nonEmpty)
+            OidcLogin.userInfo(d, tokens.accessToken)
+          else None
+        val info = OidcLogin.toUserInfo(claims.claims, p.groupsClaim, extra)
+        val (u, tok, session) = cp.oidcLogin(p.id, info)
+        respond(ex, 200, JObject(
+          "success" -> JBool(true),
+          "token" -> JString(tok),
+          "expires_at_ms" -> JInt(BigInt(session.expiresAtMs)),
+          "user" -> cp.userJson(u),
+          "redirect_uri" -> JString(st.redirectUri)))
       case ("POST", Seq("settings", "oidc", "providers")) =>
         val b = jsonBody(ex)
         respond(ex, 201, cp.oidcProviderJson(cp.createOidcProvider(
@@ -1005,6 +1117,8 @@ final class ApiServer(spark: SparkSession,
           jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
           jstr(b \ "client_id"), jstr(b \ "client_secret"),
           jstrs(b \ "scopes"), jstr(b \ "groups_claim"),
+          jroleMapping(b \ "role_mapping").getOrElse(Map.empty),
+          jstr(b \ "default_role"),
           jboolStrict(b \ "enabled", "enabled", default = true),
           jboolStrict(b \ "auto_create_users", "auto_create_users",
             default = true))))
@@ -1029,6 +1143,10 @@ final class ApiServer(spark: SparkSession,
           jstr(b \ "provider_type", "generic"), jstr(b \ "issuer_url"),
           jstr(b \ "client_id"), secret, jstrs(b \ "scopes"),
           jstr(b \ "groups_claim"),
+          // role mapping keeps the stored value when absent (like the
+          // booleans — a partial PUT must not wipe the group→role map)
+          jroleMapping(b \ "role_mapping"),
+          jstr(b \ "default_role"),
           // the enabled flag gates a CREDENTIAL: an absent field keeps
           // the stored value (a partial-body PUT must not silently
           // re-enable a disabled issuer) resolved under the store's

@@ -125,9 +125,28 @@ object ControlPlane {
                                 displayName: String, providerType: String,
                                 issuerUrl: String, clientId: String,
                                 clientSecret: String, scopes: Seq[String],
-                                groupsClaim: String, enabled: Boolean,
+                                groupsClaim: String,
+                                roleMapping: Map[String, String],
+                                defaultRole: String, enabled: Boolean,
                                 autoCreateUsers: Boolean,
                                 createdAtMs: Long, updatedAtMs: Long)
+
+  /** One in-flight interactive login (ref internal/api/models/oidc.go:
+    * 56-66 OIDCState): the `state` round-trips through the IdP and
+    * keys the row; nonce and PKCE verifier NEVER render over the API
+    * (the reference's `json:"-"`) — they exist to be compared/sent at
+    * callback time, then the row burns (one-time use). */
+  final case class OidcState(id: String, state: String, nonce: String,
+                             codeVerifier: String, providerId: String,
+                             redirectUri: String,
+                             createdAtMs: Long, expiresAtMs: Long)
+
+  /** ID-token identity as the callback path consumes it (ref
+    * models/oidc.go:322-331 OIDCUserInfo). */
+  final case class OidcUserInfo(subject: String, email: String,
+                                emailVerified: Boolean, name: String,
+                                givenName: String, familyName: String,
+                                groups: Seq[String])
 
   /** One scaling rule (ref internal/api/models/scaling.go:14-20
     * ScalingRuleRequest / internal/scaling/types.go:229-263): fire
@@ -277,7 +296,16 @@ object ControlPlane {
                         lastLoginAtMs: Option[Long],
                         passwordHash: String, passwordSalt: String,
                         kdfIterations: Int,
-                        createdAtMs: Long, updatedAtMs: Long)
+                        createdAtMs: Long, updatedAtMs: Long,
+                        // ref models/auth.go:75-77 — the OIDC link.
+                        // An OIDC-provisioned user has an EMPTY
+                        // password hash, which no password can ever
+                        // verify against (the digest compare runs on
+                        // the stored value, and PBKDF2 output is never
+                        // empty) — SSO accounts have no password login.
+                        oidcProviderId: Option[String] = None,
+                        oidcSubject: Option[String] = None,
+                        oidcGroups: Seq[String] = Nil)
 
   /** One minted login session: the bearer plaintext exists only in
     * the login response; the store keeps its SHA-256 and the expiry
@@ -289,6 +317,15 @@ object ControlPlane {
 
   /** ref config.go: PHILOTES_AUTH_JWT_EXPIRATION default 24h. */
   private[api] val DefaultSessionTtlMs: Long = 24L * 3600 * 1000
+  /** ref config.go:903: PHILOTES_OIDC_STATE_EXPIRATION default 10m. */
+  private[api] val OidcStateTtlMs: Long = 10L * 60 * 1000
+  /** Authorize is an UNAUTHENTICATED route — in-flight states must be
+    * bounded or a spray grows the store for a whole TTL. Oldest-first
+    * eviction: a flooded deployment fails the oldest pending login,
+    * never the newest legitimate one. */
+  private[api] val MaxOidcStates = 1000
+  /** ref models/auth.go:20-27 — the role vocabulary. */
+  private[api] val UserRoles = Set("admin", "operator", "viewer")
   /** OWASP-order PBKDF2-HMAC-SHA256 work factor. */
   private[api] val KdfIterations = 100000
   /** Consecutive failures before an email locks out, and for how
@@ -377,7 +414,7 @@ object ControlPlane {
     }
 }
 
-final class ControlPlane(metaDir: String,
+final class ControlPlane(val metaDir: String,
                          runner: ControlPlane.Runner = ControlPlane.Noop,
                          connTest: ControlPlane.Source => Either[String, Long] =
                            ControlPlane.wireConnTest,
@@ -400,6 +437,7 @@ final class ControlPlane(metaDir: String,
   private var alertHistory: Vector[AlertHistoryEntry] = loadAlertHistory()
   private var alertSilences: Vector[AlertSilence] = loadAlertSilences()
   private var oidcProviders: Vector[OidcProvider] = loadOidcProviders()
+  private var oidcStates: Vector[OidcState] = loadOidcStates()
   private var scalingPolicies: Vector[ScalingPolicy] = loadScalingPolicies()
   private var scalingStates: Map[String, ScalingPolicyState] = loadScalingStates()
   private var scalingHistory: Vector[ScalingEvent] = loadScalingHistory()
@@ -796,6 +834,9 @@ final class ControlPlane(metaDir: String,
     "client_id" -> JString(p.clientId),
     "scopes" -> JArray(p.scopes.toList.map(JString(_))),
     "groups_claim" -> JString(p.groupsClaim),
+    "role_mapping" -> JObject(p.roleMapping.toList.sortBy(_._1)
+      .map { case (g, r) => g -> (JString(r): JValue) }),
+    "default_role" -> JString(p.defaultRole),
     "enabled" -> JBool(p.enabled),
     "auto_create_users" -> JBool(p.autoCreateUsers),
     "created_at_ms" -> JInt(BigInt(p.createdAtMs)),
@@ -835,9 +876,43 @@ final class ControlPlane(metaDir: String,
             case JArray(ss) => ss.collect { case JString(x) => x }
             case _          => Nil
           },
-          str(o \ "groups_claim"), (o \ "enabled") == JBool(true),
+          str(o \ "groups_claim"),
+          o \ "role_mapping" match {
+            case JObject(fs) => fs.collect {
+              case (g, JString(r)) => g -> r
+            }.toMap
+            case _ => Map.empty[String, String]
+          },
+          // pre-role-mapping stores carry no default_role; the
+          // reference's ApplyDefaults picks viewer
+          str(o \ "default_role") match {
+            case "" => "viewer"
+            case r  => r
+          },
+          (o \ "enabled") == JBool(true),
           (o \ "auto_create_users") == JBool(true),
           num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+      }
+      case _ => Vector.empty
+    }
+
+  private def persistOidcStates(): Unit =
+    writeFile("oidc_states.json", JArray(oidcStates.toList.map(s => JObject(
+      "id" -> JString(s.id), "state" -> JString(s.state),
+      "nonce" -> JString(s.nonce),
+      "code_verifier" -> JString(s.codeVerifier),
+      "provider_id" -> JString(s.providerId),
+      "redirect_uri" -> JString(s.redirectUri),
+      "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
+      "expires_at_ms" -> JInt(BigInt(s.expiresAtMs))))))
+
+  private def loadOidcStates(): Vector[OidcState] =
+    readFile("oidc_states.json") match {
+      case Some(JArray(items)) => items.toVector.map { o =>
+        OidcState(str(o \ "id"), str(o \ "state"), str(o \ "nonce"),
+          str(o \ "code_verifier"), str(o \ "provider_id"),
+          str(o \ "redirect_uri"),
+          num(o \ "created_at_ms"), num(o \ "expires_at_ms"))
       }
       case _ => Vector.empty
     }
@@ -855,15 +930,35 @@ final class ControlPlane(metaDir: String,
     if (clientId.isEmpty) throw Invalid("client_id is required")
   }
 
+  /** ref models/oidc.go:127-146 — every mapped role and the default
+    * must come from the role vocabulary. */
+  private def validRoleMapping(roleMapping: Map[String, String],
+                               defaultRole: String): Unit = {
+    if (!UserRoles.contains(defaultRole))
+      throw Invalid(s"default_role must be one of " +
+        UserRoles.toSeq.sorted.mkString("/"))
+    roleMapping.foreach { case (group, role) =>
+      if (group.isEmpty) throw Invalid("role_mapping group must be non-empty")
+      if (!UserRoles.contains(role))
+        throw Invalid(s"role_mapping['$group'] must be one of " +
+          UserRoles.toSeq.sorted.mkString("/"))
+    }
+  }
+
   def createOidcProvider(name: String, displayName: String,
                          providerType: String, issuerUrl: String,
                          clientId: String, clientSecret: String = "",
                          scopes: Seq[String] = Nil, groupsClaim: String = "",
+                         roleMapping: Map[String, String] = Map.empty,
+                         defaultRole: String = "",
                          enabled: Boolean = true,
                          autoCreateUsers: Boolean = true): OidcProvider =
     lock.synchronized {
       validName(name)
       validOidcFields(providerType, issuerUrl, clientId)
+      // ref ApplyDefaults: absent default_role = viewer
+      val dRole = if (defaultRole.isEmpty) "viewer" else defaultRole
+      validRoleMapping(roleMapping, dRole)
       if (oidcProviders.exists(_.name == name))
         throw Conflict("OIDC provider with this name already exists")
       val now = clock()
@@ -875,6 +970,7 @@ final class ControlPlane(metaDir: String,
         issuerUrl.stripSuffix("/"), clientId, clientSecret,
         if (scopes.isEmpty) Seq("openid", "profile", "email") else scopes,
         if (groupsClaim.isEmpty) "groups" else groupsClaim,
+        roleMapping, dRole,
         enabled, autoCreateUsers, now, now)
       oidcProviders :+= p
       persistOidcProviders()
@@ -894,8 +990,10 @@ final class ControlPlane(metaDir: String,
                          providerType: String, issuerUrl: String,
                          clientId: String, clientSecret: Option[String],
                          scopes: Seq[String], groupsClaim: String,
-                         enabled: Option[Boolean],
-                         autoCreateUsers: Option[Boolean]): OidcProvider =
+                         roleMapping: Option[Map[String, String]] = None,
+                         defaultRole: String = "",
+                         enabled: Option[Boolean] = None,
+                         autoCreateUsers: Option[Boolean] = None): OidcProvider =
     lock.synchronized {
       validName(name)
       validOidcFields(providerType, issuerUrl, clientId)
@@ -904,6 +1002,9 @@ final class ControlPlane(metaDir: String,
       val p = getOidcProvider(id)
       if (oidcProviders.exists(x => x.name == name && x.id != id))
         throw Conflict("OIDC provider with this name already exists")
+      val dRole = if (defaultRole.isEmpty) p.defaultRole else defaultRole
+      val mapping = roleMapping.getOrElse(p.roleMapping)
+      validRoleMapping(mapping, dRole)
       val next = p.copy(name = name,
         displayName = if (displayName.isEmpty) name else displayName,
         providerType = providerType,
@@ -912,6 +1013,7 @@ final class ControlPlane(metaDir: String,
         scopes =
           if (scopes.isEmpty) Seq("openid", "profile", "email") else scopes,
         groupsClaim = if (groupsClaim.isEmpty) "groups" else groupsClaim,
+        roleMapping = mapping, defaultRole = dRole,
         enabled = enabled.getOrElse(p.enabled),
         autoCreateUsers = autoCreateUsers.getOrElse(p.autoCreateUsers),
         updatedAtMs = clock())
@@ -923,8 +1025,73 @@ final class ControlPlane(metaDir: String,
   def deleteOidcProvider(id: String): Unit = lock.synchronized {
     val p = getOidcProvider(id)
     oidcProviders = oidcProviders.filterNot(_.id == p.id)
+    // in-flight logins against a deleted issuer must not complete
+    if (oidcStates.exists(_.providerId == p.id)) {
+      oidcStates = oidcStates.filterNot(_.providerId == p.id)
+      persistOidcStates()
+    }
     persistOidcProviders()
   }
+
+  /** ref repositories/oidc.go GetProviderByName — the authorize
+    * route addresses providers by NAME (the login page's handle),
+    * not id. */
+  def getOidcProviderByName(name: String): OidcProvider =
+    lock.synchronized(oidcProviders.find(_.name == name)
+      .getOrElse(throw NotFound("oidc_provider", name)))
+
+  // ---- OIDC login states (ref services/oidc.go:86-160
+  // StartAuthorization / repositories storing OIDCState rows) --------
+
+  /** URL-safe random token; base64url of `n` secure-random bytes. */
+  private def randomToken(n: Int): String = {
+    val raw = new Array[Byte](n)
+    secureRandom.nextBytes(raw)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(raw)
+  }
+
+  /** Mint and persist one in-flight login: state + nonce (ref
+    * GenerateState/GenerateNonce — 32-byte tokens) and the PKCE
+    * verifier (GenerateCodeVerifier — 43-128 URL-safe chars; 48 bytes
+    * → 64). Expired rows leave with every mint, and the store is
+    * capped oldest-first ([[ControlPlane.MaxOidcStates]]) because the
+    * route minting these is unauthenticated. */
+  def createOidcState(providerId: String, redirectUri: String): OidcState =
+    lock.synchronized {
+      val now = clock()
+      val s = OidcState(newId(), randomToken(32), randomToken(32),
+        randomToken(48), providerId, redirectUri,
+        now, now + ControlPlane.OidcStateTtlMs)
+      oidcStates = (oidcStates.filter(_.expiresAtMs > now) :+ s)
+        .sortBy(_.createdAtMs).takeRight(ControlPlane.MaxOidcStates)
+      persistOidcStates()
+      s
+    }
+
+  /** One-time redemption: the row leaves the store whether or not it
+    * is still live (ref HandleCallback deletes the state FIRST —
+    * a failing exchange must not leave a replayable state behind);
+    * an expired or unknown state is None. */
+  def consumeOidcState(state: String): Option[OidcState] =
+    lock.synchronized {
+      val found = oidcStates.find(_.state == state)
+      found.foreach { _ =>
+        oidcStates = oidcStates.filterNot(_.state == state)
+        persistOidcStates()
+      }
+      found.filter(_.expiresAtMs > clock())
+    }
+
+  /** ref services/oidc.go:410-419 CleanupExpiredStates. */
+  def cleanupExpiredOidcStates(): Int = lock.synchronized {
+    val now = clock()
+    val (live, dead) = oidcStates.partition(_.expiresAtMs > now)
+    if (dead.nonEmpty) { oidcStates = live; persistOidcStates() }
+    dead.size
+  }
+
+  private[api] def countOidcStates(): Int =
+    lock.synchronized(oidcStates.size)
 
   // ---- scaling policies (ref internal/api/handlers/scaling.go:27-42
   // — the /scaling/policies CRUD + enable/disable/evaluate/state and
@@ -2225,7 +2392,15 @@ final class ControlPlane(metaDir: String,
           false
         case Some(u) =>
           if (!u.isActive) throw Forbidden("user account is inactive")
-          java.security.MessageDigest.isEqual(
+          if (u.passwordHash.isEmpty) {
+            // SSO-provisioned account: no password exists. Burn the
+            // same KDF work as any wrong password (no timing oracle
+            // distinguishing "SSO-only" from "wrong password") and
+            // fail with the same 401.
+            ControlPlane.pbkdf2(password, new Array[Byte](16),
+              ControlPlane.KdfIterations)
+            false
+          } else java.security.MessageDigest.isEqual(
             ControlPlane.pbkdf2(password, hexBytes(u.passwordSalt),
               u.kdfIterations).getBytes(UTF_8),
             u.passwordHash.getBytes(UTF_8))
@@ -2307,17 +2482,84 @@ final class ControlPlane(metaDir: String,
       } yield (s, u)
     }
 
+  /** ref services/oidc.go:501-510 mapGroupsToRole: first IdP group
+    * with a mapping wins, otherwise the provider's default role.
+    * Mapping entries are consulted in the USER'S group order — the
+    * reference iterates the presented groups, not the map. */
+  private[api] def mapGroupsToRole(p: OidcProvider,
+                                   groups: Seq[String]): String =
+    groups.collectFirst {
+      case g if p.roleMapping.contains(g) => p.roleMapping(g)
+    }.getOrElse(p.defaultRole)
+
+  /** The callback's provisioning + session mint (ref services/oidc.go:
+    * 244-284 and 423-499 provisionUser): find by (provider, subject);
+    * else link by email; else auto-create when the provider allows it.
+    * Every path refreshes groups/role/last-login and mints a session
+    * (the reference mints a stateless HS256 JWT; sessions are this
+    * repo's documented deviation — hashed revocable rows). A user
+    * deactivated since their last SSO login stays locked out. */
+  def oidcLogin(providerId: String, info: OidcUserInfo)
+  : (User, String, Session) = lock.synchronized {
+    if (info.subject.isEmpty) throw Invalid("ID token has no subject")
+    val p = getOidcProvider(providerId)
+    val now = clock()
+    val role = mapGroupsToRole(p, info.groups)
+    val existing = users.find(u =>
+      u.oidcProviderId.contains(p.id) && u.oidcSubject.contains(info.subject))
+      .orElse {
+        // email link only for users NOT already bound to another
+        // OIDC identity — a subject change must not hijack an
+        // account by sharing its email
+        if (info.email.isEmpty) None
+        else users.find(u => u.email == info.email && u.oidcSubject.isEmpty)
+      }
+    val u = existing match {
+      case Some(prior) =>
+        if (!prior.isActive) throw Forbidden("user account is inactive")
+        prior.copy(role = role, oidcProviderId = Some(p.id),
+          oidcSubject = Some(info.subject), oidcGroups = info.groups,
+          lastLoginAtMs = Some(now), updatedAtMs = now)
+      case None =>
+        if (!p.autoCreateUsers)
+          throw Forbidden("user not found and auto-create is disabled")
+        val name =
+          if (info.name.nonEmpty) info.name
+          else if (info.givenName.nonEmpty || info.familyName.nonEmpty)
+            s"${info.givenName} ${info.familyName}".trim
+          else info.email
+        // no password: empty hash/salt never verify (see User scaladoc)
+        User(newId(), info.email, name, role, isActive = true, Some(now),
+          passwordHash = "", passwordSalt = "", kdfIterations = 0,
+          now, now, Some(p.id), Some(info.subject), info.groups)
+    }
+    users = if (existing.isDefined)
+      users.map(x => if (x.id == u.id) u else x)
+    else users :+ u
+    persistUsers()
+    val (tok, session) = mintSession(u)
+    (u, tok, session)
+  }
+
   private def hexBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** The API view — hash, salt, and iteration count NEVER render. */
+  /** The API view — hash, salt, and iteration count NEVER render.
+    * The OIDC link renders only when present (ref models/auth.go:
+    * 75-77 omitempty). */
   private[api] def userJson(u: User): JObject = JObject(
-    "id" -> JString(u.id), "email" -> JString(u.email),
-    "name" -> JString(u.name), "role" -> JString(u.role),
-    "is_active" -> JBool(u.isActive),
-    "last_login_at_ms" -> optL(u.lastLoginAtMs),
-    "created_at_ms" -> JInt(BigInt(u.createdAtMs)),
-    "updated_at_ms" -> JInt(BigInt(u.updatedAtMs)))
+    List(
+      "id" -> (JString(u.id): JValue), "email" -> JString(u.email),
+      "name" -> JString(u.name), "role" -> JString(u.role),
+      "is_active" -> JBool(u.isActive),
+      "last_login_at_ms" -> optL(u.lastLoginAtMs),
+      "created_at_ms" -> JInt(BigInt(u.createdAtMs)),
+      "updated_at_ms" -> JInt(BigInt(u.updatedAtMs))) ++
+      u.oidcProviderId.map(p => "oidc_provider_id" -> (JString(p): JValue)) ++
+      u.oidcSubject.map(s => "oidc_subject" -> (JString(s): JValue)) ++
+      (if (u.oidcGroups.isEmpty) Nil
+       else List("oidc_groups" ->
+         (JArray(u.oidcGroups.toList.map(JString(_))): JValue))))
 
   private def persistUsers(): Unit =
     writeFile("users.json", JArray(users.toList.map(u => JObject(
@@ -2329,7 +2571,12 @@ final class ControlPlane(metaDir: String,
       "password_salt" -> JString(u.passwordSalt),
       "kdf_iterations" -> JInt(u.kdfIterations),
       "created_at_ms" -> JInt(BigInt(u.createdAtMs)),
-      "updated_at_ms" -> JInt(BigInt(u.updatedAtMs))))))
+      "updated_at_ms" -> JInt(BigInt(u.updatedAtMs)),
+      "oidc_provider_id" -> u.oidcProviderId
+        .map(p => JString(p): JValue).getOrElse(JNull),
+      "oidc_subject" -> u.oidcSubject
+        .map(s => JString(s): JValue).getOrElse(JNull),
+      "oidc_groups" -> JArray(u.oidcGroups.toList.map(JString(_)))))))
 
   private def loadUsers(): Vector[User] =
     readFile("users.json") match {
@@ -2339,7 +2586,19 @@ final class ControlPlane(metaDir: String,
           loadOptL(o \ "last_login_at_ms"),
           str(o \ "password_hash"), str(o \ "password_salt"),
           num(o \ "kdf_iterations").toInt,
-          num(o \ "created_at_ms"), num(o \ "updated_at_ms"))
+          num(o \ "created_at_ms"), num(o \ "updated_at_ms"),
+          o \ "oidc_provider_id" match {
+            case JString(p) => Some(p)
+            case _          => None
+          },
+          o \ "oidc_subject" match {
+            case JString(s) => Some(s)
+            case _          => None
+          },
+          o \ "oidc_groups" match {
+            case JArray(gs) => gs.collect { case JString(g) => g }
+            case _          => Nil
+          })
       }
       case _ => Vector.empty
     }

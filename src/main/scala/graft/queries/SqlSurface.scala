@@ -1979,6 +1979,205 @@ object SqlSurface extends QueryModule {
     rows.toDF("step", "result").orderBy(col("step"))
   }
 
+  // ---- the reference's interactive OIDC login dance (ref internal/
+  // api/handlers/oidc.go:45-155 Authorize/Callback over services/
+  // oidc.go:86-285): PKCE S256 authorize → scripted local IdP →
+  // one-time state redemption, code exchange, ID-token signature +
+  // nonce validation, group→role provisioning, session mint.
+  private def apiOidcLogin(s: SparkSession, d: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import java.net.{InetSocketAddress, URI}
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.security.{KeyPairGenerator, MessageDigest, Signature}
+    import java.util.Base64
+    import com.sun.net.httpserver.HttpServer
+    import graft.api.{ApiServer, ControlPlane}
+    val meta = s"${sqlWarehouse(s, d)}_oidcloginplane"
+    val mp = new org.apache.hadoop.fs.Path(meta)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, true)
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L))
+    val kpg = KeyPairGenerator.getInstance("RSA"); kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+    def uBig(b: java.math.BigInteger): String = {
+      val a = b.toByteArray
+      b64(if (a(0) == 0) a.drop(1) else a)
+    }
+    def sign(payload: String): String = {
+      val h = b64("""{"alg":"RS256","kid":"gl1"}""".getBytes("UTF-8"))
+      val p = b64(payload.getBytes("UTF-8"))
+      val sig = Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate); sig.update(s"$h.$p".getBytes("UTF-8"))
+      s"$h.$p.${b64(sig.sign())}"
+    }
+    // the scripted IdP: discovery + JWKS + a token endpoint minting an
+    // id_token for `idNonce`/`idGroups` (set per dance by the driver)
+    @volatile var idNonce = ""
+    @volatile var idSub = "sub-1"
+    @volatile var idGroups = Seq("eng")
+    @volatile var lastVerifier = ""
+    @volatile var lastSecret = ""
+    val issuer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val issuerBase = s"http://127.0.0.1:${issuer.getAddress.getPort}"
+    issuer.createContext("/", ex => {
+      val (status, body) = ex.getRequestURI.getPath match {
+        case "/.well-known/openid-configuration" =>
+          (200, s"""{"issuer":"$issuerBase","jwks_uri":"$issuerBase/jwks",
+            |"authorization_endpoint":"$issuerBase/authorize",
+            |"token_endpoint":"$issuerBase/token"}""".stripMargin)
+        case "/jwks" =>
+          (200, s"""{"keys":[{"kty":"RSA","kid":"gl1","use":"sig",
+            |"alg":"RS256","n":"${uBig(pub.getModulus)}",
+            |"e":"${uBig(pub.getPublicExponent)}"}]}""".stripMargin)
+        case "/token" =>
+          val form = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val params = form.split('&').toSeq.flatMap(kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }).toMap
+          lastVerifier = params.getOrElse("code_verifier", "")
+          lastSecret = params.getOrElse("client_secret", "")
+          val now = System.currentTimeMillis() / 1000
+          val gs = idGroups.map(g => "\"" + g + "\"").mkString(",")
+          val tok = sign(s"""{"iss":"$issuerBase","aud":"graft-api",
+            |"sub":"$idSub","email":"$idSub@example.com",
+            |"name":"Gate User","nonce":"$idNonce",
+            |"groups":[$gs],"exp":${now + 600}}""".stripMargin)
+          (200, s"""{"access_token":"at-1","token_type":"Bearer",
+            |"id_token":"$tok"}""".stripMargin)
+        case _ => (200, "{}")
+      }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    issuer.start()
+    val srv = new ApiServer(s, authToken = Some("gate-tok"),
+      controlPlane = Some(cp))
+    val rows = try {
+      val http = HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = "",
+               bearer: Option[String] = None): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(srv.baseUri + path))
+        bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val req = method match {
+          case "GET" => b.GET()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val r = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(),
+          if (r.body().isEmpty) JNothing else JsonMethods.parse(r.body()))
+      }
+      def flag(b: Boolean): Long = if (b) 1L else 0L
+      def s_(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+      call("POST", "/api/v1/settings/oidc/providers",
+        s"""{"name":"corp","display_name":"Corp SSO",
+           |"provider_type":"generic","issuer_url":"$issuerBase",
+           |"client_id":"graft-api","client_secret":"gate-cs2",
+           |"role_mapping":{"eng":"operator"},"default_role":"viewer"}"""
+          .stripMargin, bearer = Some("gate-tok"))
+      def params(url: String): Map[String, String] =
+        url.dropWhile(_ != '?').drop(1).split('&').toSeq.flatMap(kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+            case _ => None
+          }).toMap
+      // dance 1: happy path (authorize is PUBLIC on the closed API)
+      val (c1, b1) = call("POST", "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://localhost:3000/done"}""")
+      val p1 = params(s_(b1 \ "authorization_url"))
+      idNonce = p1.getOrElse("nonce", "")
+      val (c2, b2) = call("POST", "/api/v1/auth/oidc/callback",
+        s"""{"code":"authcode-1","state":"${p1.getOrElse("state", "")}"}""")
+      val sess = s_(b2 \ "token")
+      val pkceOk = lastVerifier.nonEmpty &&
+        b64(MessageDigest.getInstance("SHA-256")
+          .digest(lastVerifier.getBytes("UTF-8"))) ==
+          p1.getOrElse("code_challenge", "?")
+      val (c3, b3) = call("GET", "/api/v1/auth/me", bearer = Some(sess))
+      // replay: the state burned with the first redemption
+      val (c4, _) = call("POST", "/api/v1/auth/oidc/callback",
+        s"""{"code":"authcode-1","state":"${p1.getOrElse("state", "")}"}""")
+      val (c5, _) = call("POST", "/api/v1/auth/oidc/callback",
+        """{"code":"x","state":"no-such-state"}""")
+      val (c6, _) = call("GET",
+        "/api/v1/auth/oidc/callback?error=access_denied&state=x")
+      // dance 2: same subject, changed groups → role remaps, no new user
+      val (_, b7) = call("POST", "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://localhost:3000/done"}""")
+      val p7 = params(s_(b7 \ "authorization_url"))
+      idNonce = p7.getOrElse("nonce", ""); idGroups = Seq("sales")
+      val (c8, b8) = call("POST", "/api/v1/auth/oidc/callback",
+        s"""{"code":"authcode-2","state":"${p7.getOrElse("state", "")}"}""")
+      // dance 3: nonce mismatch refuses
+      val (_, b9) = call("POST", "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://localhost:3000/done"}""")
+      val p9 = params(s_(b9 \ "authorization_url"))
+      idNonce = "stolen-nonce"
+      val (c10, _) = call("POST", "/api/v1/auth/oidc/callback",
+        s"""{"code":"authcode-3","state":"${p9.getOrElse("state", "")}"}""")
+      val (c11, _) = call("POST", "/api/v1/auth/oidc/ghost/authorize",
+        """{"redirect_uri":"http://localhost:3000/done"}""")
+      val (c12, _) = call("POST", "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"not a url"}""")
+      val rendered = JsonMethods.compact(JsonMethods.render(b1)) +
+        JsonMethods.compact(JsonMethods.render(b2))
+      Seq(
+        ("authorize_200", flag(c1 == 200 &&
+          s_(b1 \ "authorization_url").startsWith(s"$issuerBase/authorize?") &&
+          p1.get("code_challenge_method").contains("S256") &&
+          p1.get("state").contains(s_(b1 \ "state")))),
+        ("callback_200", flag(c2 == 200 &&
+          (b2 \ "success") == JBool(true) &&
+          sess.startsWith("graft_sess_") &&
+          s_(b2 \ "redirect_uri") == "http://localhost:3000/done")),
+        ("role_mapped", flag(s_(b2 \ "user" \ "role") == "operator" &&
+          s_(b2 \ "user" \ "oidc_subject") == "sub-1")),
+        ("pkce_verified", flag(pkceOk)),
+        ("secret_on_back_channel", flag(lastSecret == "gate-cs2")),
+        ("session_works", flag(c3 == 200 && s_(b3 \ "kind") == "session" &&
+          s_(b3 \ "user" \ "email") == "sub-1@example.com")),
+        ("state_one_time_400", flag(c4 == 400)),
+        ("unknown_state_400", flag(c5 == 400)),
+        ("idp_error_400", flag(c6 == 400)),
+        ("relogin_same_user", flag(c8 == 200 &&
+          s_(b8 \ "user" \ "id") == s_(b2 \ "user" \ "id") &&
+          s_(b8 \ "user" \ "role") == "viewer")),
+        ("nonce_mismatch_400", flag(c10 == 400)),
+        ("unknown_provider_404", flag(c11 == 404)),
+        ("bad_redirect_400", flag(c12 == 400)),
+        ("no_secret_in_responses", flag(!rendered.contains("gate-cs2") &&
+          !rendered.contains("code_verifier"))))
+    } finally { srv.close(); issuer.stop(0) }
+    import s.implicits._
+    rows.toDF("step", "result").orderBy(col("step"))
+  }
+
+  private val apiOidcLoginSql =
+    """SELECT step, result FROM (VALUES
+      |  ('authorize_200', CAST(1 AS BIGINT)),
+      |  ('callback_200', CAST(1 AS BIGINT)),
+      |  ('role_mapped', CAST(1 AS BIGINT)),
+      |  ('pkce_verified', CAST(1 AS BIGINT)),
+      |  ('secret_on_back_channel', CAST(1 AS BIGINT)),
+      |  ('session_works', CAST(1 AS BIGINT)),
+      |  ('state_one_time_400', CAST(1 AS BIGINT)),
+      |  ('unknown_state_400', CAST(1 AS BIGINT)),
+      |  ('idp_error_400', CAST(1 AS BIGINT)),
+      |  ('relogin_same_user', CAST(1 AS BIGINT)),
+      |  ('nonce_mismatch_400', CAST(1 AS BIGINT)),
+      |  ('unknown_provider_404', CAST(1 AS BIGINT)),
+      |  ('bad_redirect_400', CAST(1 AS BIGINT)),
+      |  ('no_secret_in_responses', CAST(1 AS BIGINT)))
+      |  AS t(step, result)
+      |ORDER BY step""".stripMargin
+
   private val apiSessionAuthSql =
     """SELECT step, result FROM (VALUES
       |  ('register_201', CAST(1 AS BIGINT)),
@@ -2129,6 +2328,7 @@ object SqlSurface extends QueryModule {
     GraftQuery("api_pipeline_metrics", apiPipelineMetrics,
       Some(apiPipelineMetricsSql)),
     GraftQuery("api_oidc_providers", apiOidcProviders, Some(apiOidcProvidersSql)),
+    GraftQuery("api_oidc_login", apiOidcLogin, Some(apiOidcLoginSql)),
     GraftQuery("api_scaling_policies", apiScalingPolicies, Some(apiScalingPoliciesSql)),
     GraftQuery("api_scaling_wake", apiScalingWake, Some(apiScalingWakeSql)),
     GraftQuery("api_session_auth", apiSessionAuth, Some(apiSessionAuthSql)),

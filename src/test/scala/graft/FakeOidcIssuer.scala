@@ -4,15 +4,19 @@ import java.net.InetSocketAddress
 import java.security.KeyPairGenerator
 import java.util.Base64
 
-import com.sun.net.httpserver.HttpServer
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** THE shared fake OIDC issuer for tests — a real local HTTP server
   * publishing a discovery document and a JWKS over a fresh RSA
   * keypair, plus an RS256 compact-JWS signer over its private key.
-  * One implementation of the security-sensitive JWKS/JWT encoding;
-  * every suite that needs issuer-signed tokens uses this (the
-  * correctness GATE in SqlSurface necessarily carries its own copy —
-  * main source cannot depend on test scope). */
+  * For the interactive-login suites it is a full fake IdP: the
+  * discovery document names authorization/token/userinfo endpoints,
+  * and [[onToken]] / [[onUserInfo]] let a spec script the back
+  * channel (both default to refusals, so validation-only suites are
+  * unaffected). One implementation of the security-sensitive
+  * JWKS/JWT encoding; every suite that needs issuer-signed tokens
+  * uses this (the correctness GATE in SqlSurface necessarily carries
+  * its own copy — main source cannot depend on test scope). */
 final class FakeOidcIssuer(kid: String = "k1") {
 
   import FakeOidcIssuer._
@@ -27,18 +31,49 @@ final class FakeOidcIssuer(kid: String = "k1") {
     HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
 
-  srv.createContext("/", ex => {
-    val body = ex.getRequestURI.getPath match {
+  /** Scripted token endpoint: receives the parsed form params, returns
+    * (status, JSON body). The last request's params stay readable for
+    * PKCE/secret assertions. */
+  @volatile var onToken: Map[String, String] => (Int, String) =
+    _ => (400, """{"error":"unsupported_grant_type"}""")
+  @volatile var lastTokenParams: Map[String, String] = Map.empty
+
+  /** Scripted userinfo endpoint: receives the bearer token (if any). */
+  @volatile var onUserInfo: Option[String] => (Int, String) =
+    _ => (404, "{}")
+
+  srv.createContext("/", (ex: HttpExchange) => {
+    val (status, body) = ex.getRequestURI.getPath match {
       case "/.well-known/openid-configuration" =>
-        s"""{"issuer":"$base","jwks_uri":"$base/jwks"}"""
+        (200,
+          s"""{"issuer":"$base","jwks_uri":"$base/jwks",
+             |"authorization_endpoint":"$base/authorize",
+             |"token_endpoint":"$base/token",
+             |"userinfo_endpoint":"$base/userinfo"}""".stripMargin)
       case "/jwks" =>
-        s"""{"keys":[{"kty":"RSA","kid":"$kid","use":"sig","alg":"RS256",
-           |"n":"${b64urlBig(pub.getModulus)}",
-           |"e":"${b64urlBig(pub.getPublicExponent)}"}]}""".stripMargin
-      case _ => "{}"
+        (200,
+          s"""{"keys":[{"kty":"RSA","kid":"$kid","use":"sig","alg":"RS256",
+             |"n":"${b64urlBig(pub.getModulus)}",
+             |"e":"${b64urlBig(pub.getPublicExponent)}"}]}""".stripMargin)
+      case "/token" =>
+        val form = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val params = form.split('&').toSeq.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+            case _ => None
+          }
+        }.toMap
+        lastTokenParams = params
+        onToken(params)
+      case "/userinfo" =>
+        val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+        onUserInfo(bearer)
+      case _ => (200, "{}")
     }
     val bytes = body.getBytes("UTF-8")
-    ex.sendResponseHeaders(200, bytes.length)
+    ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes); ex.close()
   })
   srv.start()
