@@ -2,6 +2,7 @@ package graft.extensions
 
 import graft.{GraftQuery, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`.
@@ -417,19 +418,21 @@ object TextAnalysis extends QueryModule {
   }
 
   private def bigramFreq(s: SparkSession, d: String): DataFrame = {
-    // pre-aggregate per (doc, bigram) BEFORE the corpus-frequency
-    // join: the join and both shuffles then carry DISTINCT pairs, not
-    // the full occurrence stream (freq_sum = Σ k·n and n_bigrams = Σ k
-    // over pairs are identities of the per-occurrence sums). At corpus
-    // scale this is the difference between shuffling every token
-    // position twice and shuffling the much smaller pair set — and the
-    // map-side partial aggregation compresses the explode's output
-    // before it ever hits the wire.
+    // pre-aggregate per (doc, bigram) BEFORE the corpus count: the
+    // shuffles then carry DISTINCT pairs, not the full occurrence
+    // stream (freq_sum = Σ k·n and n_bigrams = Σ k over pairs are
+    // identities of the per-occurrence sums), and map-side partial
+    // aggregation compresses the explode's output before it hits the
+    // wire. The corpus frequency is a WINDOW over the same frame —
+    // sum(k) over (partition by bg) — not a groupBy + join-back,
+    // which would evaluate the scan+explode subtree twice (the r16
+    // dup-span lesson): one explode, three key-partitioned shuffles.
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val counts = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("n"))
-    perDoc.join(counts, "bg")
+    perDoc
+      .withColumn("n",
+        sum(col("k")).over(Window.partitionBy(col("bg"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("n")).as("freq_sum"))
@@ -472,17 +475,24 @@ object TextAnalysis extends QueryModule {
     // every real bigram sharing that first word — so the LM filters to
     // true 2-token grams and a <2-token doc simply has no defined score
     // (no output row), r16 ADVICE.
+    // corpus counts are WINDOWS over one evaluation of the pair frame
+    // (not groupBy + join-back, which doubles the scan+explode): C(w1
+    // w2) = sum(k) over (partition by bg); C(w1 ·) = sum(k) over
+    // (partition by w1) — the total corpus occurrences of bigrams
+    // opening with w1, exactly the history count the model divides by.
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
       .filter(col("bg").contains(" "))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    val counts = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val hist = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    perDoc.join(counts, "bg").join(hist, "w1")
+    perDoc
+      .withColumn("c12",
+        sum(col("k")).over(Window.partitionBy(col("bg"))))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("c1",
+        sum(col("k")).over(Window.partitionBy(col("w1"))))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("k"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))

@@ -11,22 +11,39 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(text).toDF("text").select(expr).collect()(0).get(0)
   }
 
-  test("bigram-frequency plan computes the per-doc aggregate ONCE: explode never duplicated across join sides") {
+  test("bigram-frequency plan: ONE explode, corpus count by window, no self-join") {
     val df = SparkEntry.queries("text_bigram_freq")(spark, "/root/testdata/sf0.001")
     df.collect()
     // the EXECUTED (final AQE) plan — the toString also prints the
-    // pre-adaptive Initial Plan section, which legitimately shows the
-    // duplicated subtree the runtime then deduplicates
+    // pre-adaptive Initial Plan section
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the corpus-frequency join's two inputs both derive from the
-    // (doc, bigram) aggregate; its shuffle must be REUSED so the
-    // explode + first aggregation run once, not once per join side —
-    // at corpus scale a duplicated explode doubles the heaviest scan
+    // the corpus frequency is sum(k) over (partition by bg) on the ONE
+    // evaluation of the (doc, bigram) aggregate — a groupBy +
+    // join-back would either duplicate the explode (the heaviest scan,
+    // doubled at corpus scale) or lean on AQE exchange reuse; the
+    // window needs neither a join nor reuse
     val nExplodes = "Generate explode".r.findAllMatchIn(plan).length
     assert(nExplodes == 1, s"explode appears $nExplodes times:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"per-doc aggregate shuffle not reused:\n$plan")
+    assert(plan.contains("Window"), s"corpus count not a window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+  }
+
+  test("lm-perplexity plan: ONE explode for the pair frame, both corpus counts by window") {
+    val df = SparkEntry.queries("text_lm_perplexity")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // two explodes total: the bigram pair frame (ONCE — C(w1 w2) and
+    // C(w1 ·) are windows over it, not join-backs) and the separate
+    // vocabulary-size scan; the only join is the scalar V broadcast
+    val nExplodes = "Generate explode".r.findAllMatchIn(plan).length
+    assert(nExplodes == 2, s"explode appears $nExplodes times:\n$plan")
+    val nWindows = "\\bWindow\\b".r.findAllMatchIn(plan).length
+    assert(nWindows >= 2, s"expected 2 count windows:\n$plan")
+    val nJoins = "Join".r.findAllMatchIn(plan).length
+    assert(nJoins == 1 && plan.contains("BroadcastNestedLoopJoin"),
+      s"only the scalar-V broadcast join may appear:\n$plan")
   }
 
   test("token count follows split semantics incl. degenerate inputs") {
