@@ -145,6 +145,71 @@ object TextAnalysis extends QueryModule {
        |   (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP}) AS poly_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- hashed-linear classifier inference (fastText-shaped, Joulin et
+  // al. 2016, arXiv:1607.01759 — the model family CCNet/LLaMA-style
+  // pipelines use for quality filtering; public papers): every token
+  // hashes into one of [[ClsDim]] feature buckets, the document logit is
+  // the mean bucket weight, keep = logit ≥ 0.05. The PLAN is the
+  // production shape for model inference at corpus scale: one explode,
+  // bucket ids by the codegen'd poly_hash, the weight table a
+  // BROADCAST dim join (a learned model ships as a file; at 100 TB the
+  // 4096-row table broadcasts once, the only shuffle is the per-doc
+  // aggregate). The weights here derive from a fixed integer formula so
+  // the DuckDB oracle reconstructs the identical model; the keep
+  // decision compares exact INTEGERS (sum-of-weight-ints
+  // cross-multiplied against the threshold) so no float boundary can
+  // disagree between engines — floats appear only in rounded display
+  // columns.
+  private val ClsDim = 4096L
+
+  private def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val weights = s.range(ClsDim).select(
+      col("id").as("bucket"),
+      (((col("id") * 1103515245L) + 12345L) % 2048L - 1024L).as("w_int"))
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.PolyHash(col("tok")) % ClsDim).as("bucket"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_int")).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sw").cast("double") / (col("n_tokens") * 1024.0), 4)
+          .as("score"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("sw").cast("double") / (col("n_tokens") * 1024.0)))), 4)
+          .as("p_keep"),
+        (col("sw") * 20L >= col("n_tokens") * 1024L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val classifierScoreSql =
+    s"""WITH w AS (
+       |  SELECT unnest(range(0, $ClsDim)) AS bucket),
+       |w2 AS (
+       |  SELECT bucket, (bucket*1103515245 + 12345) % 2048 - 1024 AS w_int
+       |  FROM w),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tok) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(range(1, len(tok)+1),
+       |        j -> CAST(unicode(substr(tok, j, 1)) AS BIGINT)),
+       |        (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})
+       |    END % $ClsDim AS bucket
+       |  FROM toks),
+       |agg AS (
+       |  SELECT f.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(w2.w_int) AS BIGINT) AS sw
+       |  FROM feats f JOIN w2 USING (bucket) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(sw / (n_tokens * 1024.0), 4) AS score,
+       |  round(1.0 / (1.0 + exp(-(sw / (n_tokens * 1024.0)))), 4) AS p_keep,
+       |  (sw * 20 >= n_tokens * 1024) AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---- deterministic stratified sampling: keep doc_id iff
   // poly_hash(doc_id) ≡ 0 (mod 20) — a ~5% sample that is reproducible
   // across runs, engines and retries (no RNG), joinable (the same ids
@@ -835,5 +900,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_poly_fp", polyFp, Some(polyFpSql)),
     GraftQuery("text_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GraftQuery("text_tfidf_top", tfidfTop, Some(tfidfTopSql)),
+    GraftQuery("text_classifier_score", classifierScore,
+      Some(classifierScoreSql)),
   )
 }

@@ -46,6 +46,30 @@ class TextAnalysisSpec extends SparkTestBase {
       s"only the scalar-V broadcast join may appear:\n$plan")
   }
 
+  test("classifier-score plan: one explode, weight table BROADCAST, per-doc agg the only shuffle of pairs") {
+    val df = SparkEntry.queries("text_classifier_score")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllMatchIn(plan).length === 1)
+    // the model ships as a dim table: it must broadcast, never shuffle
+    // the token stream against it
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join in plan:\n$plan")
+    // keep decides on exact integers: logit >= 0.05 ⇔ sw*20 >= n*1024,
+    // so the boolean must agree with the (rounded) score column
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      val keep = r.getAs[Boolean]("keep")
+      if (score > 0.0501) assert(keep, s"score $score but keep=false")
+      if (score < 0.0499) assert(!keep, s"score $score but keep=true")
+    }
+    assert(rows.length === 500)
+    // the split is non-degenerate on the fixture corpus
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length)
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
