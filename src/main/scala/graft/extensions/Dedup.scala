@@ -85,6 +85,75 @@ object Dedup extends QueryModule {
       | count(*) - count(DISTINCT md5(lower(text))) AS n_dups
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ cross-dataset membership
+
+  /** `dedup_bloom_prefilter`: drop from an incoming batch every document
+    * whose fingerprint already exists in the corpus — the cross-dataset
+    * stage (dedup against an earlier crawl, decontaminate against a prior
+    * dump) where the corpus fingerprint set is too large to broadcast
+    * exactly. Two stages:
+    *
+    *  1. a Bloom filter over corpus fingerprints, built DISTRIBUTED by
+    *     Spark's own `BloomFilterAggregate` (partial sketches merge on
+    *     the reduce side — the same machinery the engine's runtime-filter
+    *     optimization plants), collected once as metadata-sized bytes and
+    *     applied SCAN-SIDE to the batch via the codegen'd
+    *     `BloomFilterMightContain`: non-members die inside the scan
+    *     stage, shuffling nothing;
+    *  2. the survivors (true members + the sketch's false positives)
+    *     verify against the corpus by an exact fingerprint join with the
+    *     PREFILTERED batch side broadcast — the corpus never shuffles.
+    *
+    * The sketch admits no false negatives, and the verify join kills its
+    * false positives, so the output is exactly the true membership set —
+    * which the oracle replays sketch-free with a plain join. The batch
+    * here is synthesized from the corpus (every 5th doc re-arrives
+    * verbatim = a member; every 5th+1 arrives edited = a non-member) so
+    * both engines derive identical inputs. */
+  private def bloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"),
+      graft.functions.PolyHash(col("text")).as("fp"))
+    val batch = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("new_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .select(col("new_id"), graft.functions.PolyHash(col("text")).as("fp"))
+    // sizing stat for the sketch: a footer-served count, driver-side
+    // metadata like the sketch bytes themselves
+    val nCorpus = math.max(docs.count(), 1L)
+    val bloomBytes = corpus
+      .agg(org.apache.spark.sql.GraftBridge
+        .bloomAggregate(col("fp"), nCorpus).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val prefiltered = batch.where(org.apache.spark.sql.GraftBridge
+      .bloomMightContain(lit(bloomBytes), col("fp")))
+    corpus.join(broadcast(prefiltered), Seq("fp"))
+      .groupBy(col("new_id"))
+      .agg(min(col("doc_id")).as("rep_id"))
+      .orderBy(col("new_id"))
+  }
+
+  private def phSql(e: String) =
+    s"""list_reduce(list_transform(range(1, len($e)+1),
+       |      j -> CAST(unicode(substr($e, j, 1)) AS BIGINT)),
+       |      (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})"""
+      .stripMargin
+
+  private val bloomPrefilterSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, ${phSql("text")} AS fp FROM documents),
+       |batch AS (
+       |  SELECT doc_id + 1000000 AS new_id, ${phSql("text")} AS fp
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, ${phSql("text || ' v2'")}
+       |  FROM documents WHERE doc_id % 5 = 1)
+       |SELECT b.new_id, min(c.doc_id) AS rep_id
+       |FROM batch b JOIN corpus c USING (fp)
+       |GROUP BY b.new_id ORDER BY new_id""".stripMargin
+
   // ---------------------------------------------------------- MinHash + LSH
 
   private val K = 8 // minhash functions
@@ -927,6 +996,8 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_semantic", semDedup, Some(semDedupSql)),
     GraftQuery("dedup_semantic_summary", semSummary, Some(semSummarySql)),
     GraftQuery("dedup_exact_groups", exactGroups, Some(exactGroupsSql)),
+    GraftQuery("dedup_bloom_prefilter", bloomPrefilter,
+      Some(bloomPrefilterSql)),
     GraftQuery("dedup_exact_summary", exactSummary, Some(exactSummarySql)),
     GraftQuery("dedup_minhash_pairs", minhashPairs, Some(lshPairsSql(wordShinglesSql, 0.5))),
     GraftQuery("dedup_minhash_survivors", minhashSurvivors, Some(minhashSurvivorsSql)),

@@ -22,6 +22,20 @@ object GraftBridge {
     execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
 
+  /** Spark's own distributed Bloom-filter sketch builder
+    * (`BloomFilterAggregate`, the TypedImperativeAggregate the engine's
+    * runtime-filter optimization plants) exposed as a Column aggregate —
+    * input must be LongType; result is the serialized filter bytes. */
+  def bloomAggregate(child: Column, estimatedNumItems: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(child), estimatedNumItems).toAggregateExpression())
+
+  /** Membership probe against a serialized Bloom filter
+    * (`BloomFilterMightContain`, codegen'd; value must be LongType). */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    column(new catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
   /** Register a function triple on a live session's registry (the
     * post-build equivalent of SparkSessionExtensions.injectFunction). */
   def registerFunction(

@@ -154,4 +154,37 @@ class DedupSpec extends SparkTestBase {
     try assert(spans() === poly)
     finally spark.conf.unset(Dedup.SpanHashConf)
   }
+
+  test("bloom prefilter: sketch admits no false negatives, verify join kills its false positives, corpus side never shuffles") {
+    import org.apache.spark.sql.GraftBridge
+    val docs = graft.Tables.documents(spark, sf0001)
+    val fp = graft.functions.PolyHash(col("text"))
+    val corpus = docs.select(col("doc_id"), fp.as("fp"))
+    // the operator's own synthetic batch: %5==0 members, %5==1 edited
+    val members = docs.where(col("doc_id") % 5 === 0).count()
+    val nonMembers = docs.where(col("doc_id") % 5 === 1).count()
+    val bloom = corpus
+      .agg(GraftBridge.bloomAggregate(col("fp"), docs.count()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // no-FN contract: EVERY corpus fingerprint probes positive
+    val fn = corpus.where(!GraftBridge.bloomMightContain(lit(bloom), col("fp")))
+      .count()
+    assert(fn === 0L, "bloom filter reported a false negative")
+    val df = graft.SparkEntry.queries("dedup_bloom_prefilter")(spark, sf0001)
+    val out = df.collect()
+    // exactly the members survive the full pipeline (FPs verified away);
+    // an edited doc may only appear via a genuine fingerprint collision,
+    // in which case the oracle sees the identical collision
+    assert(out.length === members.toInt,
+      s"expected $members true dups (of ${members + nonMembers} batch rows)")
+    assert(out.forall(r => r.getAs[Long]("new_id") < 2000000L))
+    // plan: the verify join must broadcast the prefiltered batch — the
+    // corpus (the 100 TB side) neither shuffles nor sort-merges
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("might_contain"),
+      s"batch scan not bloom-prefiltered:\n${plan.take(2000)}")
+  }
 }
