@@ -473,6 +473,41 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rn = 1
        |GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** Clustering-quality metric: per-cell population and INERTIA — the
+    * exact integer sum of squared distances |v − c|² = nrm + cnrm − 2·dot
+    * to the assigned trained centroid. The number every k-means-backed
+    * curation stage (IVF sizing, SemDeDup cell quality, coreset pruning)
+    * watches to decide whether K fits the corpus. Exact BIGINT end to
+    * end (component sums < 2^53, per-cell sums ≪ 2^63), so the oracle
+    * reproduces it bit for bit. Scale shape: broadcast the K×dim
+    * codebook, dist as a codegen'd dot product on the scan, ONE shuffle
+    * on the cluster key for the aggregate. */
+  private def kmeansInertia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cdf = centroids(s, d).map(c => (c.cid, c.c, c.cnrm)).toDF("cid", "c", "cnrm")
+    assigned(s, d)
+      .join(broadcast(cdf), "cid")
+      .select(col("cid"),
+        (col("nrm") + col("cnrm")
+          - lit(2L) * graft.functions.ScaledDotProduct(col("v"), col("c")))
+          .as("dist"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
+  private def kmeansInertiaSql =
+    s"""WITH v AS ($scaledVecSql),
+       |$centroidsSqlCtes,
+       |$rankedSql,
+       |a AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE rn = 1)
+       |SELECT a.cid, count(*) AS n_assigned,
+       |  CAST(sum(a.nrm + c.cnrm
+       |    - 2 * list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.c[k])))
+       |    AS BIGINT) AS inertia
+       |FROM a JOIN centroids c USING (cid)
+       |GROUP BY a.cid ORDER BY cid""".stripMargin
+
   // ------------------------------------------- cluster-balanced sampling
 
   /** Diversity-preserving subset selection: a fixed per-cluster quota
@@ -723,6 +758,7 @@ object Similarity extends QueryModule {
     GraftQuery("sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     GraftQuery("sim_ivf_recall", ivfRecall, Some(ivfRecallSql)),
     GraftQuery("sim_ivf_buckets", ivfBuckets, Some(ivfBucketsSql)),
+    GraftQuery("sim_kmeans_inertia", kmeansInertia, Some(kmeansInertiaSql)),
     GraftQuery("sim_label_centroids", labelCentroids, Some(labelCentroidsSql)),
   )
 }

@@ -129,4 +129,17 @@ class SimilaritySpec extends SparkTestBase {
     // every cell is represented: prototypes cover the whole codebook
     assert(got.map(_._1) === members.map(_._4).toSet)
   }
+
+  test("kmeans inertia: covers the corpus, non-negative cells, codebook broadcast with one pair shuffle") {
+    val df = graft.SparkEntry.queries("sim_kmeans_inertia")(spark, sf0001)
+    val rows = df.collect()
+    val n = Similarity.scaledVecCached(spark, sf0001).count()
+    // every vector lands in exactly one cell; |v - c|² is never negative
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum === n)
+    assert(rows.forall(_.getAs[Long]("inertia") >= 0L))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
