@@ -11,5 +11,6 @@ object EngineCaches {
     extensions.Dedup.invalidateCaches()
     extensions.Similarity.invalidateCaches()
     extensions.Pq.invalidateCaches()
+    extensions.TextAnalysis.invalidateCaches()
   }
 }

@@ -210,6 +210,105 @@ object TextAnalysis extends QueryModule {
        |  (sw * 20 >= n_tokens * 1024) AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---- profile-based language ID (Cavnar & Trenkle 1994, "N-Gram-Based
+  // Text Categorization" — the classic rank-profile method fastText
+  // displaced; public paper): per-language character-trigram profiles
+  // are TRAINED from the corpus's own labels (top-N grams by frequency,
+  // rank order), each document's trigram ranking is compared to every
+  // profile by out-of-place distance (Σ |doc_rank − profile_rank|,
+  // unmatched grams pay the max penalty), argmin predicts. The corpus
+  // text here is synthetic so accuracy is chance — the operator's value
+  // is the SHAPE: profiles TRAIN ONCE per (session, dir) and cache as
+  // metadata (L×N rows, the k-means-codebook treatment), scoring is one
+  // explode with the model broadcast as a local relation, fanning each
+  // doc's N grams out L ways — key-partitioned shuffles only,
+  // exact-integer distances with total tie-breaks so the oracle
+  // replays bit for bit.
+  private val LangProfSize = 20
+
+  private def gramsOf(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(0, greatest(length(text)-3, 0))," +
+        " i -> substring(text, i+1, 3))")).as("g"))
+
+  /** Trained profiles per (session, dir): TRAIN ONCE, score many — the
+    * model is L×N rows, metadata-sized like the k-means codebook
+    * ([[Similarity.centroids]]'s pattern), so it collects to the driver
+    * and re-enters scoring as a local relation. Without this the
+    * broadcast side of the scoring join would re-run the corpus
+    * explode per query (broadcast subtrees reuse no exchanges). */
+  private val langProfileCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(String, String, Int)]]
+
+  private[extensions] def langProfiles(s: SparkSession, d: String)
+  : Seq[(String, String, Int)] =
+    langProfileCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+      val langCounts = gramsOf(s, d).groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val profW =
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
+      langCounts.withColumn("prank", row_number().over(profW))
+        .filter(col("prank") <= LangProfSize)
+        .select(col("lang"), col("g"), col("prank"))
+        .collect().map(r =>
+          (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    })
+
+  def invalidateCaches(): Unit =
+    langProfileCache.clear()
+
+  private def langidProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val profiles = langProfiles(s, d).toDF("plang", "g", "prank")
+    val langs = profiles.select(col("plang")).distinct()
+    val docCounts = gramsOf(s, d)
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val docW = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    val docTop = docCounts.withColumn("drank", row_number().over(docW))
+      .filter(col("drank") <= LangProfSize)
+    val scored = docTop.crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("plang", "g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(coalesce(abs(col("drank") - col("prank")),
+        lit(LangProfSize.toLong))).as("oop"))
+    val best = Window.partitionBy(col("doc_id")).orderBy(col("oop"), col("plang"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"),
+        col("oop").cast("bigint").as("oop_dist"),
+        (col("plang") === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langidProfileSql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(0, greatest(len(text)-2, 1)),
+       |      i -> substr(text, i+1, 3))) AS g
+       |  FROM documents),
+       |dc AS (SELECT doc_id, lang, g, count(*) AS c FROM grams GROUP BY 1,2,3),
+       |lc AS (SELECT lang, g, CAST(sum(c) AS BIGINT) AS c FROM dc GROUP BY 1,2),
+       |prof AS (SELECT lang AS plang, g, prank FROM (
+       |  SELECT lang, g,
+       |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS prank
+       |  FROM lc) WHERE prank <= $LangProfSize),
+       |dt AS (SELECT doc_id, lang, g, drank FROM (
+       |  SELECT doc_id, lang, g,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drank
+       |  FROM dc) WHERE drank <= $LangProfSize),
+       |langs AS (SELECT DISTINCT plang FROM prof),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, l.plang,
+       |    CAST(sum(coalesce(abs(d.drank - p.prank), $LangProfSize)) AS BIGINT) AS oop
+       |  FROM dt d CROSS JOIN langs l
+       |  LEFT JOIN prof p ON p.plang = l.plang AND p.g = d.g
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, plang AS predicted, oop AS oop_dist,
+       |  (plang = lang) AS is_match
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY oop, plang) AS rn FROM scored)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- deterministic stratified sampling: keep doc_id iff
   // poly_hash(doc_id) ≡ 0 (mod 20) — a ~5% sample that is reproducible
   // across runs, engines and retries (no RNG), joinable (the same ids
@@ -902,5 +1001,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_tfidf_top", tfidfTop, Some(tfidfTopSql)),
     GraftQuery("text_classifier_score", classifierScore,
       Some(classifierScoreSql)),
+    GraftQuery("text_langid_profile", langidProfile, Some(langidProfileSql)),
   )
 }

@@ -70,6 +70,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(kept > 0 && kept < rows.length)
   }
 
+  test("langid-profile plan: one explode feeds both profile training and doc ranking; model joins broadcast") {
+    val df = SparkEntry.queries("text_langid_profile")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length === 500) // every document scored
+    // prediction comes from the trained label set
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("predicted"))))
+    assert(rows.forall(_.getAs[Long]("oop_dist") >= 0L))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // language counts roll up from the per-doc counts: the trigram
+    // explode must appear ONCE, and the L-row language list + L×N
+    // profile table must broadcast (the corpus side never shuffles for
+    // the model)
+    assert("Generate explode".r.findAllMatchIn(plan).length === 1,
+      s"explode duplicated:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
