@@ -132,6 +132,75 @@ object Signatures {
     h
   }
 
+  /** [[polyHash]] of every n-char window of `s` in ONE pass — entry i
+    * equals `polyHash(s.substring(i, min(i+n, len)))`, and a string
+    * shorter than n yields its single whole-string hash (the
+    * `greatest(len-n+1, 1)` window-count convention the char-ngram SQL
+    * mirrors). The kernel exists because the declarative formulation —
+    * transform(sequence(...), i -> poly_hash(substring(...))) — runs on
+    * the interpreted higher-order-function path and allocates a
+    * substring per position; this is one scan of the char array. */
+  def polyNgramHashes(s: String, n: Int): Array[Long] = {
+    val len = s.length
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      val end = math.min(i + n, len)
+      var k = i
+      while (k < end) {
+        val c = s.charAt(k).toLong
+        h = if (k == i) c else (h * PolyB + c) % MinhashP
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** [[polyHash]] of every k-TOKEN window of `s` (tokens = split on a
+    * single space, trailing empties kept — `split(text, " ")`
+    * semantics), windows joined with one space before hashing: entry i
+    * equals `polyHash(tokens.slice(i, i+k).mkString(" "))`. Fewer than
+    * k tokens yield the single whole-string window (the
+    * `greatest(n-k+1, 1)` convention of the word-bigram SQL). One pass,
+    * no window-string allocation — the declarative
+    * transform(sequence, i -> hash(concat_ws(slice(...)))) form runs
+    * per-element on the interpreted higher-order path. */
+  def tokenWindowHashes(s: String, k: Int): Array[Long] = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val count = math.max(n - k + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var seen = false
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) {
+        if (j > i) {
+          if (!seen) { h = ' '.toLong; seen = true }
+          else h = (h * PolyB + ' '.toLong) % MinhashP
+        }
+        val t = toks(j)
+        var c = 0
+        while (c < t.length) {
+          val ch = t.charAt(c).toLong
+          if (!seen) { h = ch; seen = true }
+          else h = (h * PolyB + ch) % MinhashP
+          c += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Sorted-distinct copy of a raw hash array (mutates the input order). */
   def distinctSorted(hs: Array[Long]): Seq[Long] = {
     java.util.Arrays.sort(hs)

@@ -225,11 +225,25 @@ object TextAnalysis extends QueryModule {
   // exact-integer distances with total tie-breaks so the oracle
   // replays bit for bit.
   private val LangProfSize = 20
+  /** Language ID reads a PREFIX, not the document: the signal saturates
+    * within a few hundred characters (every production identifier —
+    * CLD, fastText langid — samples), and the trigram explode is the
+    * operator's whole cost: the prefix bounds it at O(docs), not
+    * O(corpus characters). */
+  private val LangIdPrefix = 256
 
+  // grams travel as their poly_hash (the codegen'd one-pass
+  // PolyNgramHashes kernel): the declarative substring-per-position
+  // formulation ran on the interpreted HOF path and was the whole cost
+  // of the query. Profile matching needs only gram IDENTITY, never the
+  // gram text, so hashed keys lose nothing (a collision is the same
+  // collision in the oracle's replay).
   private def gramsOf(s: SparkSession, d: String) =
-    Tables.documents(s, d).select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(0, greatest(length(text)-3, 0))," +
-        " i -> substring(text, i+1, 3))")).as("g"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, LangIdPrefix).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.PolyNgramHashes(col("t"), 3)).as("g"))
 
   /** Trained profiles per (session, dir): TRAIN ONCE, score many — the
     * model is L×N rows, metadata-sized like the k-means codebook
@@ -238,10 +252,10 @@ object TextAnalysis extends QueryModule {
     * broadcast side of the scoring join would re-run the corpus
     * explode per query (broadcast subtrees reuse no exchanges). */
   private val langProfileCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(String, String, Int)]]
+    .empty[(String, String), Seq[(String, Long, Int)]]
 
   private[extensions] def langProfiles(s: SparkSession, d: String)
-  : Seq[(String, String, Int)] =
+  : Seq[(String, Long, Int)] =
     langProfileCache.getOrElseUpdate((graft.SessionKeys(s), d), {
       val langCounts = gramsOf(s, d).groupBy(col("lang"), col("g"))
         .agg(count(lit(1)).as("c"))
@@ -251,7 +265,7 @@ object TextAnalysis extends QueryModule {
         .filter(col("prank") <= LangProfSize)
         .select(col("lang"), col("g"), col("prank"))
         .collect().map(r =>
-          (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+          (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
     })
 
   def invalidateCaches(): Unit =
@@ -281,11 +295,19 @@ object TextAnalysis extends QueryModule {
   }
 
   private val langidProfileSql =
-    s"""WITH grams AS (
-       |  SELECT doc_id, lang,
-       |    unnest(list_transform(range(0, greatest(len(text)-2, 1)),
-       |      i -> substr(text, i+1, 3))) AS g
+    s"""WITH pre AS (
+       |  SELECT doc_id, lang, substr(text, 1, $LangIdPrefix) AS t
        |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(
+       |      list_transform(range(0, greatest(len(t)-2, 1)),
+       |        i -> substr(t, i+1, 3)),
+       |      w -> list_reduce(list_transform(range(1, len(w)+1),
+       |        j -> CAST(unicode(substr(w, j, 1)) AS BIGINT)),
+       |        (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})
+       |    )) AS g
+       |  FROM pre),
        |dc AS (SELECT doc_id, lang, g, count(*) AS c FROM grams GROUP BY 1,2,3),
        |lc AS (SELECT lang, g, CAST(sum(c) AS BIGINT) AS c FROM dc GROUP BY 1,2),
        |prof AS (SELECT lang AS plang, g, prank FROM (
@@ -572,15 +594,10 @@ object TextAnalysis extends QueryModule {
   // integer-exact so it replays cross-engine: the per-doc numerator is a
   // BIGINT sum of occurrence counts (associative — no float accumulation
   // order), with ONE final division. Scale shape: explode → count by
-  // bigram → join back by bigram → per-doc agg; everything shuffles by
-  // bigram/doc key, the classic two-pass n-gram-LM layout.
-  private def wordBigrams(text: Column): Column = {
-    val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
-  }
-
+  // bigram → per-doc agg; everything shuffles by bigram/doc key, the
+  // classic two-pass n-gram-LM layout. A bigram is the k=2 case of
+  // [[graft.functions.TokenWindowHashes]] — a 1-token doc's single
+  // 'window' is the lone token, the engine-wide degenerate convention.
   private def bigramFreq(s: SparkSession, d: String): DataFrame = {
     // pre-aggregate per (doc, bigram) BEFORE the corpus count: the
     // shuffles then carry DISTINCT pairs, not the full occurrence
@@ -591,8 +608,13 @@ object TextAnalysis extends QueryModule {
     // sum(k) over (partition by bg) — not a groupBy + join-back,
     // which would evaluate the scan+explode subtree twice (the r16
     // dup-span lesson): one explode, three key-partitioned shuffles.
+    // Bigrams travel as their poly_hash (one-pass codegen'd
+    // TokenWindowHashes): frequency needs only gram IDENTITY, and the
+    // string formulation paid an interpreted lambda + window-string
+    // allocation per position.
     val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
     perDoc
       .withColumn("n",
@@ -605,18 +627,29 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB poly_hash of a string expression (empty → 0, matching the
+    * kernel — list_reduce refuses an empty list). */
+  private def phSql(e: String) =
+    s"""CASE WHEN len($e) = 0 THEN 0 ELSE
+       |  list_reduce(list_transform(range(1, len($e)+1),
+       |    j -> CAST(unicode(substr($e, j, 1)) AS BIGINT)),
+       |    (a, b) -> (a * ${graft.extensions.Signatures.PolyB} + b)
+       |      % ${graft.extensions.Signatures.MinhashP}) END""".stripMargin
+
   private val bigramFreqSql =
-    """WITH bgr AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
-      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bg
-      |  FROM documents),
-      |counts AS (SELECT bg, count(*) AS n FROM bgr GROUP BY bg)
-      |SELECT b.doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(c.n) AS BIGINT) AS freq_sum,
-      |  round(CAST(sum(c.n) AS DOUBLE) / count(*), 4) AS avg_freq
-      |FROM bgr b JOIN counts c ON b.bg = c.bg
-      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH bgr AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+       |        i -> array_to_string(string_split(text,' ')[i:i+1], ' ')),
+       |      w -> ${phSql("w")})) AS bg
+       |  FROM documents),
+       |counts AS (SELECT bg, count(*) AS n FROM bgr GROUP BY bg)
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(c.n) AS BIGINT) AS freq_sum,
+       |  round(CAST(sum(c.n) AS DOUBLE) / count(*), 4) AS avg_freq
+       |FROM bgr b JOIN counts c ON b.bg = c.bg
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
   // ---- smoothed bigram log-probability (perplexity proper): the
   // CCNet/KenLM-style quality signal (Wenzek et al. 2020,
@@ -644,17 +677,30 @@ object TextAnalysis extends QueryModule {
     // w2) = sum(k) over (partition by bg); C(w1 ·) = sum(k) over
     // (partition by w1) — the total corpus occurrences of bigrams
     // opening with w1, exactly the history count the model divides by.
+    // Grams travel as poly_hashes (codegen'd TokenWindowHashes — the
+    // string form paid an interpreted lambda per window): bigram i's
+    // history key is the i-th single-token hash, aligned by position.
+    val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
+    val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
     val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bg"))
-      .filter(col("bg").contains(" "))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .select(col("doc_id"), tokh.as("th"), bgh.as("bh"))
+      // a 1-token doc has no true bigram (its single 'window' is the
+      // lone token — the engine-wide degenerate convention the LM
+      // excludes, r16 ADVICE)
+      .filter(size(col("th")) >= 2)
+      .select(col("doc_id"), col("th"),
+        posexplode(col("bh")).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("bg"),
+        element_at(col("th"), col("pos") + 1).as("w1"))
+      .groupBy(col("doc_id"), col("bg"), col("w1"))
+      .agg(count(lit(1)).as("k"))
     val vocab = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
+      .select(explode(graft.functions.TokenWindowHashes(col("text"), 1))
+        .as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     perDoc
       .withColumn("c12",
         sum(col("k")).over(Window.partitionBy(col("bg"))))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("c1",
         sum(col("k")).over(Window.partitionBy(col("w1"))))
       .crossJoin(broadcast(vocab))
@@ -669,27 +715,29 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val lmPerplexitySql =
-    """WITH bgr AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
-      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bg
-      |  FROM documents),
-      |pairs AS (SELECT doc_id, bg, count(*) AS k FROM bgr
-      |          WHERE bg LIKE '% %' GROUP BY doc_id, bg),
-      |counts AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c12,
-      |             string_split(bg, ' ')[1] AS w1 FROM pairs GROUP BY bg),
-      |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM counts GROUP BY w1),
-      |voc AS (SELECT count(DISTINCT tok) AS v
-      |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
-      |scored AS (
-      |  SELECT p.doc_id, p.k,
-      |    ln(CAST(c.c12 + 1 AS DOUBLE) / (h.c1 + voc.v)) AS lp
-      |  FROM pairs p JOIN counts c USING (bg) JOIN hist h ON c.w1 = h.w1, voc)
-      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-      |  round(sum(k * lp) / sum(k), 4) AS avg_logp,
-      |  round(exp(-sum(k * lp) / sum(k)), 2) AS ppl
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  private def lmPerplexitySql =
+    s"""WITH pre AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bgr AS (
+       |  SELECT doc_id,
+       |    ${phSql("array_to_string(tk[i:i+1], ' ')")} AS bg,
+       |    ${phSql("tk[i]")} AS w1
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM pre WHERE len(tk) >= 2)),
+       |pairs AS (SELECT doc_id, bg, w1, count(*) AS k FROM bgr
+       |          GROUP BY doc_id, bg, w1),
+       |counts AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c12 FROM pairs GROUP BY bg),
+       |hist AS (SELECT w1, CAST(sum(k) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT ${phSql("tok")}) AS v
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |scored AS (
+       |  SELECT p.doc_id, p.k,
+       |    ln(CAST(c.c12 + 1 AS DOUBLE) / (h.c1 + voc.v)) AS lp
+       |  FROM pairs p JOIN counts c USING (bg) JOIN hist h ON p.w1 = h.w1, voc)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |  round(sum(k * lp) / sum(k), 4) AS avg_logp,
+       |  round(exp(-sum(k * lp) / sum(k)), 2) AS ppl
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- repetition measures (Gopher-style, Rae et al. 2021 §A1.1): the
   // filters that kill boilerplate/spam docs whose text is dominated by a
@@ -700,12 +748,17 @@ object TextAnalysis extends QueryModule {
   // and the second reuses the first's partitioning.
   private def repetition(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
+    // grams travel as poly_hashes (codegen'd TokenWindowHashes) — the
+    // fractions need only gram identity, and a collision is the same
+    // collision in the oracle's replay
+    val tok = docs.select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 1)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"),
         count(lit(1)).as("n_distinct"))
-    val bg = docs.select(col("doc_id"), explode(wordBigrams(col("text"))).as("g"))
+    val bg = docs.select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
@@ -720,19 +773,23 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val repetitionSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
-      |tc AS (
-      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok,
-      |    count(*) AS n_distinct
-      |  FROM (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2)
-      |  GROUP BY doc_id),
-      |bgr AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
-      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
-      |  FROM documents),
+  private def repetitionSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(string_split(text, ' '), w -> ${phSql("w")})) AS g
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok,
+       |    count(*) AS n_distinct
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |bgr AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+       |        i -> array_to_string(string_split(text,' ')[i:i+1], ' ')),
+       |      w -> ${phSql("w")})) AS g
+       |  FROM documents),
       |bc AS (
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
       |  FROM (SELECT doc_id, g, count(*) AS c FROM bgr GROUP BY 1, 2)

@@ -23,7 +23,8 @@ class EngineCachesSpec extends SparkTestBase {
     * whose manifest reads cold-start after eviction. */
   private val cacheSensitive = Seq(
     "dedup_semantic", "sim_lake_knn", "sim_coreset_prototypes",
-    "dedup_dup_spans", "dedup_minhash_pairs", "sim_knn_ivfpq")
+    "dedup_dup_spans", "dedup_minhash_pairs", "sim_knn_ivfpq",
+    "text_langid_profile")
 
   /** Cheap foreign traffic: what a full pass runs between a cache
     * fill and the measured query. */

@@ -34,10 +34,11 @@ class TextAnalysisSpec extends SparkTestBase {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // two explodes total: the bigram pair frame (ONCE — C(w1 w2) and
-    // C(w1 ·) are windows over it, not join-backs) and the separate
-    // vocabulary-size scan; the only join is the scalar V broadcast
-    val nExplodes = "Generate explode".r.findAllMatchIn(plan).length
+    // two generators total: the bigram pair frame (posexplode, ONCE —
+    // C(w1 w2) and C(w1 ·) are windows over it, not join-backs) and
+    // the separate vocabulary-size scan; the only join is the scalar V
+    // broadcast
+    val nExplodes = "Generate (pos)?explode".r.findAllMatchIn(plan).length
     assert(nExplodes == 2, s"explode appears $nExplodes times:\n$plan")
     val nWindows = "\\bWindow\\b".r.findAllMatchIn(plan).length
     assert(nWindows >= 2, s"expected 2 count windows:\n$plan")
@@ -68,6 +69,19 @@ class TextAnalysisSpec extends SparkTestBase {
     // the split is non-degenerate on the fixture corpus
     val kept = rows.count(_.getAs[Boolean]("keep"))
     assert(kept > 0 && kept < rows.length)
+  }
+
+  test("poly_ngram_hashes: windows equal polyHash of their substrings, short input yields one hash, expression matches kernel") {
+    val s = "abcdef"
+    assert(Signatures.polyNgramHashes(s, 3).toSeq ===
+      (0 to 3).map(i => Signatures.polyHash(s.substring(i, i + 3))))
+    assert(Signatures.polyNgramHashes("ab", 3).toSeq ===
+      Seq(Signatures.polyHash("ab")))
+    assert(Signatures.polyNgramHashes("", 3).toSeq ===
+      Seq(Signatures.polyHash("")))
+    val viaExpr = one(graft.functions.PolyNgramHashes(col("text"), 3),
+      "hello world").asInstanceOf[scala.collection.Seq[Long]]
+    assert(viaExpr.toSeq === Signatures.polyNgramHashes("hello world", 3).toSeq)
   }
 
   test("langid-profile plan: one explode feeds both profile training and doc ranking; model joins broadcast") {
