@@ -862,14 +862,18 @@ object Dedup extends QueryModule {
   /** (doc_id, pos) of every window whose hash repeats corpus-wide. */
   private def dupOccurrences(s: SparkSession, d: String): DataFrame = {
     val wide = s.conf.get(SpanHashConf, "poly32") == "wide64"
-    val winHash: Column => Column =
-      if (wide) xxhash64(_) else graft.functions.PolyHash(_)
     val toks = TextAnalysis.tokens(col("text"))
-    // no truncated tail windows: a doc shorter than K tokens contributes
-    // nothing (a partial window is not a K-token repeat)
+    // poly32 hashes come from the one-pass codegen'd TokenWindowHashes
+    // kernel (bit-identical to poly_hash of the joined window string —
+    // spec-pinned); the wide64 mode keeps the declarative
+    // xxhash64-of-window-string form, the price of the wider hash. No
+    // truncated tail windows either way: a doc shorter than K tokens
+    // contributes nothing (a partial window is not a K-token repeat).
     val winHashes = when(size(toks) >= SpanK,
-      transform(sequence(lit(0), size(toks) - SpanK),
-        i => winHash(concat_ws(" ", slice(toks, i + lit(1), lit(SpanK))))))
+      if (wide)
+        transform(sequence(lit(0), size(toks) - SpanK),
+          i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(SpanK)))))
+      else graft.functions.TokenWindowHashes(col("text"), SpanK))
       .otherwise(array().cast("array<bigint>"))
     val wins = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "wh")))
