@@ -864,16 +864,16 @@ object TextAnalysis extends QueryModule {
   // integer arithmetic so both engines agree exactly.
   private val EvalMod = 25
 
-  private def wordTrigrams(text: Column): Column = {
-    val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-  }
-
   private def contamination(s: SparkSession, d: String): DataFrame = {
+    // trigram membership needs only gram IDENTITY: grams travel as
+    // their poly_hash via the one-pass codegen'd TokenWindowHashes
+    // (the transform/concat_ws/slice form ran per window on the
+    // interpreted HOF path); a collision replays identically in the
+    // oracle. Window count max(n-2, 1) keeps the truncated-short-doc
+    // convention: a 2-token doc contributes its single whole string.
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(wordTrigrams(col("text"))).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     grams.filter(col("doc_id") % EvalMod =!= 0)
@@ -890,8 +890,10 @@ object TextAnalysis extends QueryModule {
   private val contaminationSql =
     s"""WITH grams AS (
        |  SELECT doc_id,
-       |    unnest(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
-       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+       |    unnest(list_transform(
+       |      list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+       |        i -> array_to_string(string_split(text,' ')[i:i+2], ' ')),
+       |      w -> ${phSql("w")})) AS g
        |  FROM documents),
        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0)
        |SELECT c.doc_id, count(*) AS n_grams,
