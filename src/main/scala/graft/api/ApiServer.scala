@@ -1056,8 +1056,12 @@ final class ApiServer(spark: SparkSession,
         }
       case (m, Seq("auth", "oidc", "callback")) if m == "GET" || m == "POST" =>
         // ref handlers/oidc.go:102-114: query params first, then the
-        // JSON body (IdPs redirect with GET; SPAs relay with POST)
-        val q = Option(ex.getRequestURI.getQuery).toSeq
+        // JSON body (IdPs redirect with GET; SPAs relay with POST).
+        // RAW query split first, THEN decode each value exactly once —
+        // getQuery pre-decodes, and a second URLDecoder pass corrupts
+        // codes containing '+'/'%' (the r16 percent-encoding rule,
+        // RestCatalogServer.scala)
+        val q = Option(ex.getRequestURI.getRawQuery).toSeq
           .flatMap(_.split('&')).flatMap { kv =>
             kv.split("=", 2) match {
               case Array(k, v) =>
@@ -1081,6 +1085,11 @@ final class ApiServer(spark: SparkSession,
           case _: ControlPlane.NotFound =>
             throw ControlPlane.Invalid("provider not found")
         }
+        // a provider disabled mid-dance must not complete (disable is
+        // how a compromised IdP gets cut off; the store also burns its
+        // in-flight states on the disable transition)
+        if (!p.enabled)
+          throw ControlPlane.Invalid("provider is disabled")
         val d = OidcLogin.discover(p.issuerUrl).fold(
           err => throw ControlPlane.Invalid(s"token exchange failed: $err"),
           identity)

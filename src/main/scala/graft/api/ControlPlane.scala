@@ -1018,6 +1018,14 @@ final class ControlPlane(val metaDir: String,
         autoCreateUsers = autoCreateUsers.getOrElse(p.autoCreateUsers),
         updatedAtMs = clock())
       oidcProviders = oidcProviders.map(x => if (x.id == id) next else x)
+      // disabling an issuer is a security action: in-flight logins
+      // minted while it was enabled must not complete (the callback
+      // also re-checks enabled — defense in both layers)
+      if (p.enabled && !next.enabled &&
+        oidcStates.exists(_.providerId == id)) {
+        oidcStates = oidcStates.filterNot(_.providerId == id)
+        persistOidcStates()
+      }
       persistOidcProviders()
       next
     }
@@ -2436,6 +2444,10 @@ final class ControlPlane(val metaDir: String,
     }
   }
 
+  /** ref services/auth.go ListUsers — the admin listing (also what
+    * specs read to assert provisioning outcomes). */
+  def listUsers(): Seq[User] = lock.synchronized(users)
+
   /** ref services/auth.go:188-215 UpdateUser's is_active arm — the
     * deactivation hook: a deactivated user can neither log in (403)
     * nor use existing sessions ([[validateSession]] checks isActive). */
@@ -2498,22 +2510,39 @@ final class ControlPlane(val metaDir: String,
     * Every path refreshes groups/role/last-login and mints a session
     * (the reference mints a stateless HS256 JWT; sessions are this
     * repo's documented deviation — hashed revocable rows). A user
-    * deactivated since their last SSO login stays locked out. */
+    * deactivated since their last SSO login stays locked out.
+    *
+    * Two deliberate tightenings over the reference's provisionUser
+    * (both takeover/invariant holes its bare email match opens):
+    *  - email LINKING requires the IdP to assert `email_verified` —
+    *    otherwise an attacker who can set an arbitrary email at a lax
+    *    IdP logs in AS any existing account;
+    *  - an email already bound to a DIFFERENT OIDC identity refuses
+    *    outright instead of silently re-linking (reference) or
+    *    minting a second user with the same email (which the rest of
+    *    this store treats as a uniqueness violation). */
   def oidcLogin(providerId: String, info: OidcUserInfo)
   : (User, String, Session) = lock.synchronized {
     if (info.subject.isEmpty) throw Invalid("ID token has no subject")
     val p = getOidcProvider(providerId)
     val now = clock()
     val role = mapGroupsToRole(p, info.groups)
-    val existing = users.find(u =>
+    val bySubject = users.find(u =>
       u.oidcProviderId.contains(p.id) && u.oidcSubject.contains(info.subject))
-      .orElse {
-        // email link only for users NOT already bound to another
-        // OIDC identity — a subject change must not hijack an
-        // account by sharing its email
-        if (info.email.isEmpty) None
-        else users.find(u => u.email == info.email && u.oidcSubject.isEmpty)
+    val existing = bySubject.orElse {
+      if (info.email.isEmpty) None
+      else users.find(_.email == info.email) match {
+        case None => None
+        case Some(candidate) =>
+          if (!info.emailVerified)
+            throw Forbidden(
+              "email not verified by the identity provider; cannot link")
+          if (candidate.oidcSubject.nonEmpty)
+            throw Forbidden(
+              "email already bound to a different SSO identity")
+          Some(candidate)
       }
+    }
     val u = existing match {
       case Some(prior) =>
         if (!prior.isActive) throw Forbidden("user account is inactive")

@@ -42,8 +42,20 @@ object OidcLogin {
   /** Token-endpoint response (ref client.go:39-47). */
   final case class Tokens(accessToken: String, idToken: String)
 
-  private def newHttp(): HttpClient =
+  /** ONE shared client: the authorize/callback routes are hot and a
+    * per-call client would rebuild a connection pool per login. */
+  private lazy val sharedHttp: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5)).build()
+  private def newHttp(): HttpClient = sharedHttp
+
+  /** Successful discovery documents cache per issuer with a TTL —
+    * authorize is an UNAUTHENTICATED route, and an uncached discovery
+    * per request is both request amplification against the IdP and a
+    * login-latency tax (two round-trips per dance otherwise).
+    * Failures are never cached (an IdP outage must heal immediately). */
+  private val DiscoveryTtlMs = 10L * 60 * 1000
+  private val discoveryCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Discovery)]
 
   private def getStr(v: JValue): Option[String] = v match {
     case JString(s) if s.nonEmpty => Some(s)
@@ -52,9 +64,22 @@ object OidcLogin {
 
   /** Fetch the FULL discovery document — the login flow needs the
     * authorization and token endpoints, not just the jwks_uri the
-    * validator resolves. */
+    * validator resolves. Cached per issuer (TTL) on success. */
   def discover(issuerUrl: String,
-               http: HttpClient = newHttp()): Either[String, Discovery] =
+               http: HttpClient = newHttp()): Either[String, Discovery] = {
+    val key = issuerUrl.stripSuffix("/")
+    val now = System.currentTimeMillis()
+    discoveryCache.get(key).filter(now - _._1 < DiscoveryTtlMs) match {
+      case Some((_, d)) => Right(d)
+      case None =>
+        val fetched = fetchDiscovery(issuerUrl, http)
+        fetched.foreach(d => discoveryCache.put(key, (now, d)))
+        fetched
+    }
+  }
+
+  private def fetchDiscovery(issuerUrl: String,
+                             http: HttpClient): Either[String, Discovery] =
     try {
       val res = http.send(HttpRequest.newBuilder(URI.create(
         issuerUrl.stripSuffix("/") + "/.well-known/openid-configuration"))
@@ -183,10 +208,17 @@ object OidcLogin {
       case Nil => extra.map(e => strs(e \ gc)).getOrElse(Nil)
       case gs  => gs
     }
+    // the verified flag travels WITH whichever source supplied the
+    // email — a userinfo-sourced email must not inherit an ID-token
+    // claim about a different (absent) value, and vice versa
+    val emailVerified =
+      if (s(claims \ "email").nonEmpty)
+        (claims \ "email_verified") == JBool(true)
+      else extra.exists(e => (e \ "email_verified") == JBool(true))
     ControlPlane.OidcUserInfo(
       subject = s(claims \ "sub"),
       email = merged("email"),
-      emailVerified = (claims \ "email_verified") == JBool(true),
+      emailVerified = emailVerified,
       name = merged("name"),
       givenName = merged("given_name"),
       familyName = merged("family_name"),

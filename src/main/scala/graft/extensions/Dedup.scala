@@ -135,11 +135,9 @@ object Dedup extends QueryModule {
       .orderBy(col("new_id"))
   }
 
-  private def phSql(e: String) =
-    s"""list_reduce(list_transform(range(1, len($e)+1),
-       |      j -> CAST(unicode(substr($e, j, 1)) AS BIGINT)),
-       |      (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})"""
-      .stripMargin
+  /** The ONE guarded DuckDB poly_hash snippet (empty string → 0 like
+    * the kernel — list_reduce refuses an empty list). */
+  private def phSql(e: String) = TextAnalysis.phSql(e)
 
   private val bloomPrefilterSql =
     s"""WITH corpus AS (

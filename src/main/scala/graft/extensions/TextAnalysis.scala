@@ -193,12 +193,7 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |feats AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(tok) = 0 THEN 0 ELSE
-       |      list_reduce(list_transform(range(1, len(tok)+1),
-       |        j -> CAST(unicode(substr(tok, j, 1)) AS BIGINT)),
-       |        (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})
-       |    END % $ClsDim AS bucket
+       |  SELECT doc_id, (${phSql("tok")}) % $ClsDim AS bucket
        |  FROM toks),
        |agg AS (
        |  SELECT f.doc_id, count(*) AS n_tokens,
@@ -303,10 +298,7 @@ object TextAnalysis extends QueryModule {
        |    unnest(list_transform(
        |      list_transform(range(0, greatest(len(t)-2, 1)),
        |        i -> substr(t, i+1, 3)),
-       |      w -> list_reduce(list_transform(range(1, len(w)+1),
-       |        j -> CAST(unicode(substr(w, j, 1)) AS BIGINT)),
-       |        (a, b) -> (a * ${Signatures.PolyB} + b) % ${Signatures.MinhashP})
-       |    )) AS g
+       |      w -> ${phSql("w")})) AS g
        |  FROM pre),
        |dc AS (SELECT doc_id, lang, g, count(*) AS c FROM grams GROUP BY 1,2,3),
        |lc AS (SELECT lang, g, CAST(sum(c) AS BIGINT) AS c FROM dc GROUP BY 1,2),
@@ -628,8 +620,9 @@ object TextAnalysis extends QueryModule {
   }
 
   /** DuckDB poly_hash of a string expression (empty → 0, matching the
-    * kernel — list_reduce refuses an empty list). */
-  private def phSql(e: String) =
+    * kernel — list_reduce refuses an empty list). THE one guarded
+    * implementation; every oracle that hashes a window string uses it. */
+  private[extensions] def phSql(e: String) =
     s"""CASE WHEN len($e) = 0 THEN 0 ELSE
        |  list_reduce(list_transform(range(1, len($e)+1),
        |    j -> CAST(unicode(substr($e, j, 1)) AS BIGINT)),

@@ -59,13 +59,15 @@ class OidcLoginSpec extends SparkTestBase {
   private def scriptToken(idp: FakeOidcIssuer, nonce: String, aud: String,
                           sub: String, email: String,
                           groups: Seq[String] = Nil,
-                          nonceOverride: Option[String] = None): Unit =
+                          nonceOverride: Option[String] = None,
+                          emailVerified: Boolean = true): Unit =
     idp.onToken = { _ =>
       val now = System.currentTimeMillis() / 1000
       val gs = groups.map(g => "\"" + g + "\"").mkString(",")
       val tok = idp.jwt(
         s"""{"iss":"${idp.base}","aud":"$aud","sub":"$sub",
-           |"email":"$email","name":"Pat Example",
+           |"email":"$email","email_verified":$emailVerified,
+           |"name":"Pat Example",
            |"nonce":"${nonceOverride.getOrElse(nonce)}",
            |"groups":[$gs],"exp":${now + 600}}""".stripMargin)
       (200, s"""{"access_token":"at-1","token_type":"Bearer",
@@ -300,6 +302,29 @@ class OidcLoginSpec extends SparkTestBase {
         """{"email":"root@example.com","password":"correct-horse-bs"}""")
       assert(c4 === 200)
 
+      // UNVERIFIED email must never link an existing account — the
+      // lax-IdP takeover: an attacker asserting the admin's email at
+      // an IdP that does not verify it must not become the admin
+      def loginUnverified(sub: String, email: String): (Int, JValue) = {
+        val (_, b) = call(srv.baseUri, "POST",
+          "/api/v1/auth/oidc/corp/authorize",
+          """{"redirect_uri":"http://localhost:3000/done"}""")
+        val p = urlParams(s_(b \ "authorization_url"))
+        scriptToken(idp, p("nonce"), "graft-api", sub, email,
+          emailVerified = false)
+        call(srv.baseUri, "POST", "/api/v1/auth/oidc/callback",
+          s"""{"code":"c","state":"${p("state")}"}""")
+      }
+      val (cT, bT) = loginUnverified("sub-evil", "root@example.com")
+      assert(cT === 403, JsonMethods.compact(JsonMethods.render(bT)))
+      // ...and the admin's account kept its original OIDC bond
+      assert(cp.listUsers().find(_.email == "root@example.com")
+        .flatMap(_.oidcSubject) === Some("sub-root"))
+      // an email already bound to a DIFFERENT SSO identity refuses
+      // (no silent re-link, no duplicate-email second user)
+      val (c6, _) = loginAs("sub-other", "root@example.com", Seq("eng"))
+      assert(c6 === 403)
+
       // auto-create off: unknown subject refuses with 403
       cp.createOidcProvider("strict", "Strict", "generic", idp.base,
         "graft-api", autoCreateUsers = false)
@@ -345,14 +370,42 @@ class OidcLoginSpec extends SparkTestBase {
       val (c3, _) = call(srv.baseUri, "POST",
         "/api/v1/auth/oidc/corp/authorize", """{}""")
       assert(c3 === 400)
-      // a live state dies with its provider
+      // an IdP redirect carrying '+' / '%' in the code must reach the
+      // token exchange byte-identical (raw-query single decode)
+      val (_, bd) = call(srv.baseUri, "POST",
+        "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://localhost:3000/x"}""")
+      val pd = urlParams(s_(bd \ "authorization_url"))
+      scriptToken(idp, pd("nonce"), "graft-api", "sub-enc", "enc@example.com")
+      val (cd, _) = call(srv.baseUri, "GET",
+        s"/api/v1/auth/oidc/callback?code=ab%2Bcd%25ef&state=${pd("state")}")
+      assert(cd === 200)
+      assert(idp.lastTokenParams("code") === "ab+cd%ef")
+
+      // disabling a provider mid-dance burns its in-flight states:
+      // the compromised-IdP cutoff admits nothing already in flight
       val (c4, b4) = call(srv.baseUri, "POST",
         "/api/v1/auth/oidc/corp/authorize",
         """{"redirect_uri":"http://localhost:3000/x"}""")
       assert(c4 === 200)
+      cp.updateOidcProvider(p.id, "corp", "Corp", "generic", idp.base,
+        "graft-api", None, Nil, "", enabled = Some(false))
+      val (cDis, bDis) = call(srv.baseUri, "POST",
+        "/api/v1/auth/oidc/callback",
+        s"""{"code":"c","state":"${s_(b4 \ "state")}"}""")
+      assert(cDis === 400 &&
+        s_(bDis \ "error").contains("invalid or expired"))
+      cp.updateOidcProvider(p.id, "corp", "Corp", "generic", idp.base,
+        "graft-api", None, Nil, "", enabled = Some(true))
+
+      // a live state dies with its provider
+      val (c4b, b4b) = call(srv.baseUri, "POST",
+        "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://localhost:3000/x"}""")
+      assert(c4b === 200)
       cp.deleteOidcProvider(p.id)
       val (c5, b5) = call(srv.baseUri, "POST", "/api/v1/auth/oidc/callback",
-        s"""{"code":"c","state":"${s_(b4 \ "state")}"}""")
+        s"""{"code":"c","state":"${s_(b4b \ "state")}"}""")
       assert(c5 === 400 && s_(b5 \ "error").contains("invalid or expired"))
     }
   }
