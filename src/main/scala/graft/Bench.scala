@@ -243,9 +243,13 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def jmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // Full per-query map for local inspection (stderr + file) …
+    // Full per-query map for local inspection (stderr + file) … with an
+    // `_sf_<tag>` sentinel so tools/rebase_baselines.py can refuse a
+    // cross-SF merge (min-merging a smaller SF's pass into a bigger
+    // SF's baseline corrupts every scale-dependent best)
     System.err.println(s"[bench] full: ${jmap(results)}")
-    writeTimes(java.nio.file.Paths.get("target/bench_full.json"), times)
+    writeTimes(java.nio.file.Paths.get("target/bench_full.json"),
+      times + (s"_sf_${tag(sfDir)}" -> 0.0))
     // Calibration-relative defense REPORTING: CPU steal inflates every
     // measured second by roughly cal / committed-cal (the fixed
     // arithmetic loop scales linearly with steal), so a per-query "weak"

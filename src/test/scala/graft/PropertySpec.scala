@@ -270,4 +270,36 @@ class PropertySpec extends AnyFunSuite {
     assert(agree(a, b) === k)
     assert(agree(a, c) <= k / 8)
   }
+
+  // strings that exercise the window kernels' edges: empties, runs of
+  // spaces (split keeps empty tokens), unicode, and lengths around the
+  // window size
+  private val genText: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.identifier.map(_.take(5)), Gen.const("")))
+      .map(_.mkString(" ")),
+    Gen.listOf(Gen.oneOf('a', 'b', ' ', ' ', 'é', '中')).map(_.mkString))
+
+  test("polyNgramHashes: entry i == polyHash(substring window), count == max(len-n+1, 1)") {
+    check(Prop.forAll(genText, Gen.choose(1, 5)) { (s, n) =>
+      val hs = Signatures.polyNgramHashes(s, n)
+      val count = math.max(s.length - n + 1, 1)
+      hs.length == count && hs.indices.forall { i =>
+        hs(i) == Signatures.polyHash(
+          s.substring(i, math.min(i + n, s.length)))
+      }
+    })
+  }
+
+  test("tokenWindowHashes: entry i == polyHash of the space-joined token window, count == max(tokens-k+1, 1)") {
+    check(Prop.forAll(genText, Gen.choose(1, 4)) { (s, k) =>
+      val toks = s.split(" ", -1)
+      val hs = Signatures.tokenWindowHashes(s, k)
+      val count = math.max(toks.length - k + 1, 1)
+      hs.length == count && hs.indices.forall { i =>
+        hs(i) == Signatures.polyHash(
+          toks.slice(i, math.min(i + k, toks.length)).mkString(" "))
+      }
+    })
+  }
 }

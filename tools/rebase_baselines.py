@@ -21,6 +21,17 @@ def main() -> None:
     overrides = dict(kv.split("=", 1) for kv in sys.argv[3:])
     committed = json.load(open(committed_path))
     full = json.load(open(full_path))
+    # cross-SF guard: merging a SMALLER scale factor's pass into a
+    # bigger SF's baseline min-merges scale-dependent entries far
+    # downward (this almost corrupted the sf0.1 baseline with sf0.001
+    # times in r17). Bench stamps its SF into bench_full.json as an
+    # `_sf_<tag>` sentinel; when present it must match the committed
+    # file's name. Sentinels (and `_cal`) never merge as queries.
+    sf_tags = [k[4:] for k in full if k.startswith("_sf_")]
+    if sf_tags and not any(t in committed_path for t in sf_tags):
+        sys.exit(f"refusing: full-pass file is from SF {sf_tags} but the "
+                 f"committed baseline is {committed_path} — wrong-SF merge")
+    full = {k: v for k, v in full.items() if not k.startswith("_sf_")}
     out = dict(committed)
     for name, t in full.items():
         if name in out:
