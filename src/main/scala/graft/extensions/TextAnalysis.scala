@@ -935,6 +935,65 @@ object TextAnalysis extends QueryModule {
       |    / (count(*) * 2)) AS BIGINT) AS avg_quality_bp
       |FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin
 
+  // ---- streaming corpus-quality monitor: the curation stats computed
+  // INCREMENTALLY as documents arrive, via Structured Streaming — the
+  // shape a live ingestion pipeline uses to watch quality/language
+  // drift without re-scanning the corpus per batch. A 3-slice file
+  // source drains AvailableNow one file per micro-batch, the per-lang
+  // aggregate state carries across batches (complete mode — language
+  // cardinality is bounded), and the LAST batch's table is the result.
+  // The oracle recomputes the same aggregates from the full corpus, so
+  // any state loss or double-count across batches fails the gate.
+  // Integer quality basis points, the corpusStats convention — no float
+  // crosses engines.
+  private def streamQuality(s: SparkSession, d: String): DataFrame = {
+    val base = graft.queries.Lifecycle.scratchDir(s, "graft_streamtext", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+    val src = s"$base/src"
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach(i => docs.where(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(src))
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q4 = round(qualityScore(col("text")) * 10000).cast("long")
+    val agg = stream.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(q4).as("q4sum"))
+    val q = agg.writeStream
+      .queryName("graft-stream-text-quality")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/out")
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        floor((col("q4sum") * 2 + col("n_docs")) / (col("n_docs") * 2))
+          .cast("long").as("avg_quality_bp"))
+      .orderBy(col("lang"))
+  }
+
+  private val streamQualitySql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(round((least(1.0, len(string_split(text, ' ')) / 100.0)
+      |      * (1.0 - len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a'))) * 1.0
+      |           / len(string_split(text, ' ')))) * 10000) AS BIGINT) AS q4
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(floor((CAST(sum(q4) AS BIGINT) * 2 + count(*))
+      |    / (count(*) * 2)) AS BIGINT) AS avg_quality_bp
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- sequence packing: bin documents into fixed token-budget training
   // sequences — the concat-and-chunk packing an LLM pretraining pipeline
   // runs as its last data-prep stage. Docs are laid end-to-end in
@@ -1054,5 +1113,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_classifier_score", classifierScore,
       Some(classifierScoreSql)),
     GraftQuery("text_langid_profile", langidProfile, Some(langidProfileSql)),
+    GraftQuery("text_stream_quality", streamQuality, Some(streamQualitySql)),
   )
 }

@@ -26,7 +26,7 @@ object Lifecycle extends QueryModule {
     * dir (e.g. bench and verify overlapping) never Overwrite-race on each
     * other's half-written files. Within one JVM the id is stable, so
     * re-measures still reuse the path. */
-  private[queries] def scratchDir(s: SparkSession, prefix: String, sfDir: String): String = {
+  private[graft] def scratchDir(s: SparkSession, prefix: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     s"${System.getProperty("java.io.tmpdir")}/${prefix}_${s.sparkContext.applicationId}$tag"
   }

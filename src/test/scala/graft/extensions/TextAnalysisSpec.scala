@@ -105,6 +105,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("stream-quality drains in multiple micro-batches with state carried across them") {
+    val rows = SparkEntry.queries("text_stream_quality")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 5) // one row per language
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    // the 3-slice source at one file per trigger must have produced 3
+    // offset commits — the aggregate really carried state across
+    // micro-batches rather than draining in one
+    val ckpt = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_streamtext_" +
+        s"${spark.sparkContext.applicationId}_root_testdata_sf0_001/ckpt/offsets")
+    val batches = Option(ckpt.list()).map(_.count(!_.contains("."))).getOrElse(-1)
+    assert(batches === 3, s"expected 3 offset commits, got $batches")
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
