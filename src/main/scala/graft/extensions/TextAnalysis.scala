@@ -935,6 +935,135 @@ object TextAnalysis extends QueryModule {
       |    / (count(*) * 2)) AS BIGINT) AS avg_quality_bp
       |FROM t GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin
 
+  // ---- the end-to-end curation funnel: the whole pre-training data
+  // pipeline COMPOSED — row-level cleaning → exact dedup → classifier
+  // quality filter → benchmark decontamination — with per-stage
+  // document/token counts (the acceptance report every curation run
+  // publishes). Each stage reuses the standalone operator's exact
+  // semantics (filterFunnel rules, fingerprint dedup, the hashed-linear
+  // classifier, trigram-overlap decontamination incl. dropping the
+  // benchmark slice itself), so the funnel proves the operators
+  // compose. The lineage re-evaluates per stage aggregate here (gate
+  // scale); a production run checkpoints between stages — the shapes
+  // themselves are the scale story: row-local filters, one
+  // fingerprint-key shuffle, broadcast model/benchmark joins.
+  private def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nTok = tokenCount(col("text"))
+    val distinctRatio =
+      size(array_distinct(tokens(col("text")))).cast("double") / nTok
+    val clean = docs.where(nTok >= 10 &&
+      stopwordRatio(col("text")) <= 0.5 && distinctRatio >= 0.2 &&
+      qualityScore(col("text")) >= 0.2)
+    val deduped = clean
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1).drop("rn")
+    val weights = s.range(ClsDim).select(
+      col("id").as("bucket"),
+      (((col("id") * 1103515245L) + 12345L) % 2048L - 1024L).as("w_int"))
+    val clsKeep = deduped
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.PolyHash(col("tok")) % ClsDim).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("w_int")).as("sw"))
+      .where(col("sw") * 20L >= col("n") * 1024L)
+      .select(col("doc_id"))
+    val classified = deduped.join(clsKeep, Seq("doc_id"), "left_semi")
+    val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
+      .select(explode(graft.functions.TokenWindowHashes(col("text"), 3))
+        .as("g"))
+      .distinct().withColumn("hit", lit(1L))
+    // the benchmark slice itself leaves the training corpus, and so
+    // does anything >= 80% covered by its trigrams
+    val candidates = classified.where(col("doc_id") % EvalMod =!= 0)
+    val contamKeep = candidates
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .where(col("n_hit") * 5 < col("n_g") * 4)
+      .select(col("doc_id"))
+    val finalSet = candidates.join(contamKeep, Seq("doc_id"), "left_semi")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    stage("0_raw", docs)
+      .unionAll(stage("1_clean", clean))
+      .unionAll(stage("2_exact_dedup", deduped))
+      .unionAll(stage("3_classifier", classified))
+      .unionAll(stage("4_decontaminated", finalSet))
+      .orderBy(col("stage"))
+  }
+
+  private def curationFunnelSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+       |      * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS distinct_ratio
+       |  FROM documents),
+       |clean AS (
+       |  SELECT * FROM base
+       |  WHERE n_tok >= 10 AND stop_ratio <= 0.5 AND distinct_ratio >= 0.2
+       |    AND least(1.0, n_tok / 100.0) * (1.0 - stop_ratio) >= 0.2),
+       |dedup AS (
+       |  SELECT * FROM clean
+       |  QUALIFY row_number() OVER (PARTITION BY md5(lower(text))
+       |    ORDER BY doc_id) = 1),
+       |w2 AS (
+       |  SELECT unnest(range(0, $ClsDim)) AS bucket),
+       |w3 AS (
+       |  SELECT bucket, (bucket*1103515245 + 12345) % 2048 - 1024 AS w_int
+       |  FROM w2),
+       |cls AS (
+       |  SELECT f.doc_id FROM (
+       |    SELECT doc_id, (${phSql("tok")}) % $ClsDim AS bucket
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM dedup)) f
+       |  JOIN w3 USING (bucket)
+       |  GROUP BY f.doc_id
+       |  HAVING CAST(sum(w3.w_int) AS BIGINT) * 20 >= count(*) * 1024),
+       |classified AS (
+       |  SELECT * FROM dedup WHERE doc_id IN (SELECT doc_id FROM cls)),
+       |trig AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+       |        i -> array_to_string(string_split(text,' ')[i:i+2], ' ')),
+       |      w -> ${phSql("w")})) AS g
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT g FROM trig WHERE doc_id % $EvalMod = 0),
+       |cand AS (SELECT * FROM classified WHERE doc_id % $EvalMod <> 0),
+       |cont AS (
+       |  SELECT t.doc_id FROM trig t
+       |  LEFT JOIN ev e ON t.g = e.g
+       |  WHERE t.doc_id IN (SELECT doc_id FROM cand)
+       |  GROUP BY t.doc_id
+       |  HAVING sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) * 5
+       |    < count(*) * 4),
+       |fin AS (SELECT * FROM cand WHERE doc_id IN (SELECT doc_id FROM cont))
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM base
+       |  UNION ALL SELECT '1_clean', count(*),
+       |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM clean
+       |  UNION ALL SELECT '2_exact_dedup', count(*),
+       |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM dedup
+       |  UNION ALL SELECT '3_classifier', count(*),
+       |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM classified
+       |  UNION ALL SELECT '4_decontaminated', count(*),
+       |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fin)
+       |ORDER BY stage""".stripMargin
+
   // ---- streaming corpus-quality monitor: the curation stats computed
   // INCREMENTALLY as documents arrive, via Structured Streaming — the
   // shape a live ingestion pipeline uses to watch quality/language
@@ -1114,5 +1243,7 @@ object TextAnalysis extends QueryModule {
       Some(classifierScoreSql)),
     GraftQuery("text_langid_profile", langidProfile, Some(langidProfileSql)),
     GraftQuery("text_stream_quality", streamQuality, Some(streamQualitySql)),
+    GraftQuery("text_curation_funnel", curationFunnel,
+      Some(curationFunnelSql)),
   )
 }

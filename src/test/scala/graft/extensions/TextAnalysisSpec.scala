@@ -120,6 +120,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(batches === 3, s"expected 3 offset commits, got $batches")
   }
 
+  test("curation funnel: monotone non-increasing stages, non-degenerate, model/benchmark joins broadcast") {
+    val df = SparkEntry.queries("text_curation_funnel")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq === Seq(
+      "0_raw", "1_clean", "2_exact_dedup", "3_classifier",
+      "4_decontaminated"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.head === 500L)
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"stages must only shrink: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a })
+    // non-degenerate on the fixture: the funnel drops documents, and
+    // SOME survive to train on
+    assert(docs.last > 0L && docs.last < docs.head)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
