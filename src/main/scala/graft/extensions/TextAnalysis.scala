@@ -658,28 +658,28 @@ object TextAnalysis extends QueryModule {
   // the JVM and DuckDB and the per-doc sum is ~60 terms, so the 1e-14
   // accumulated error sits ten orders of magnitude inside the round(4)
   // boundary — the same argument the tfidf oracle records.
-  private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
-    // wordBigrams emits a lone token as a degenerate 'bigram' for
-    // 1-token docs (an engine-wide convention text_bigram_freq keeps);
-    // a language MODEL must not count it — it would pollute C(w1 ·) for
-    // every real bigram sharing that first word — so the LM filters to
-    // true 2-token grams and a <2-token doc simply has no defined score
-    // (no output row), r16 ADVICE.
-    // corpus counts are WINDOWS over one evaluation of the pair frame
-    // (not groupBy + join-back, which doubles the scan+explode): C(w1
-    // w2) = sum(k) over (partition by bg); C(w1 ·) = sum(k) over
-    // (partition by w1) — the total corpus occurrences of bigrams
-    // opening with w1, exactly the history count the model divides by.
-    // Grams travel as poly_hashes (codegen'd TokenWindowHashes — the
-    // string form paid an interpreted lambda per window): bigram i's
-    // history key is the i-th single-token hash, aligned by position.
+  /** Per-doc LM scores (doc_id, n_bigrams, raw mean log-prob) — the
+    * shared core of text_lm_perplexity and text_ppl_buckets.
+    *
+    * wordBigrams emits a lone token as a degenerate 'bigram' for
+    * 1-token docs (an engine-wide convention text_bigram_freq keeps);
+    * a language MODEL must not count it — it would pollute C(w1 ·) for
+    * every real bigram sharing that first word — so the LM filters to
+    * true 2-token grams and a <2-token doc simply has no defined score
+    * (no output row), r16 ADVICE.
+    * Corpus counts are WINDOWS over one evaluation of the pair frame
+    * (not groupBy + join-back, which doubles the scan+explode): C(w1
+    * w2) = sum(k) over (partition by bg); C(w1 ·) = sum(k) over
+    * (partition by w1) — the total corpus occurrences of bigrams
+    * opening with w1, exactly the history count the model divides by.
+    * Grams travel as poly_hashes (codegen'd TokenWindowHashes — the
+    * string form paid an interpreted lambda per window): bigram i's
+    * history key is the i-th single-token hash, aligned by position. */
+  private def lmDocScores(s: SparkSession, d: String): DataFrame = {
     val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
     val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), tokh.as("th"), bgh.as("bh"))
-      // a 1-token doc has no true bigram (its single 'window' is the
-      // lone token — the engine-wide degenerate convention the LM
-      // excludes, r16 ADVICE)
       .filter(size(col("th")) >= 2)
       .select(col("doc_id"), col("th"),
         posexplode(col("bh")).as(Seq("pos", "bg")))
@@ -702,14 +702,84 @@ object TextAnalysis extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         (sum(col("k") * col("lp")) / sum(col("k"))).as("raw"))
+  }
+
+  private def lmPerplexity(s: SparkSession, d: String): DataFrame =
+    lmDocScores(s, d)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("raw"), 4).as("avg_logp"),
         round(exp(-col("raw")), 2).as("ppl"))
       .orderBy(col("doc_id"))
+
+  // ---- perplexity-bucketed pruning (Wenzek et al. 2020 §4.3 — CCNet's
+  // actual application of the LM scores: split the corpus into
+  // head/middle/tail perplexity terciles and keep the cleaner ones).
+  // Scale shape: a global ntile would funnel every (doc, score) row
+  // through ONE window task, so the terciles come instead from ORDER-
+  // STATISTIC CUTOFFS computed on the distinct-ROUNDED-score grid —
+  // bounded at ~1e5 rows by the 1e-4 granularity REGARDLESS of corpus
+  // size (the lone ordered window runs over that bounded grid, never
+  // the corpus) — then broadcast, and every doc buckets by plain
+  // comparison, CCNet's own cutoff-then-filter application. Rounded
+  // scores are the trusted 1e-4 cross-engine boundary and the cutoffs
+  // ARE grid values (no interpolation), so assignment replays bit for
+  // bit; score ties straddling a cutoff all take the cleaner bucket,
+  // so bucket sizes are n/3 up to tie mass (documented CCNet behavior).
+  private def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val scores = lmDocScores(s, d)
+      .select(col("doc_id"), round(col("raw"), 4).as("avg_logp"))
+    val byScore = scores.groupBy(col("avg_logp"))
+      .agg(count(lit(1)).as("c"))
+    // cumulative doc count descending the score grid: the first score
+    // whose cumulative count reaches ceil(n/3) is the head cutoff
+    // (higher mean log-prob = more predictable = cleaner = "head")
+    val wDesc = Window.orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore.withColumn("cum", sum(col("c")).over(wDesc))
+    val cuts = ranked
+      .crossJoin(broadcast(byScore.agg(sum(col("c")).as("n"))))
+      .agg(
+        max(when(col("cum") >= floor((col("n") + 2) / 3), col("avg_logp")))
+          .as("c_hi"),
+        max(when(col("cum") >= floor((col("n") * 2 + 2) / 3),
+          col("avg_logp"))).as("c_lo"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_logp"),
+        when(col("avg_logp") >= col("c_hi"), 1L)
+          .when(col("avg_logp") >= col("c_lo"), 2L)
+          .otherwise(3L).as("bucket"))
+      .withColumn("keep", col("bucket") <= 2)
+      .orderBy(col("doc_id"))
   }
 
-  private def lmPerplexitySql =
-    s"""WITH pre AS (
+  private def pplBucketsSql =
+    s"""WITH $lmScoredCtes,
+       |byscore AS (
+       |  SELECT avg_logp, count(*) AS c FROM docscore GROUP BY avg_logp),
+       |ranked AS (
+       |  SELECT avg_logp,
+       |    sum(c) OVER (ORDER BY avg_logp DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM byscore),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byscore),
+       |cuts AS (
+       |  SELECT
+       |    max(CASE WHEN cum >= (n + 2) // 3 THEN avg_logp END) AS c_hi,
+       |    max(CASE WHEN cum >= (n * 2 + 2) // 3 THEN avg_logp END) AS c_lo
+       |  FROM ranked, tot)
+       |SELECT d.doc_id, d.avg_logp,
+       |  CAST(CASE WHEN d.avg_logp >= k.c_hi THEN 1
+       |            WHEN d.avg_logp >= k.c_lo THEN 2
+       |            ELSE 3 END AS BIGINT) AS bucket,
+       |  (CASE WHEN d.avg_logp >= k.c_hi THEN 1
+       |        WHEN d.avg_logp >= k.c_lo THEN 2
+       |        ELSE 3 END) <= 2 AS keep
+       |FROM docscore d, cuts k ORDER BY doc_id""".stripMargin
+
+  /** Shared LM-scoring CTE chain; the final CTE is
+    * `docscore(doc_id, n_bigrams, avg_logp, ppl)`. */
+  private def lmScoredCtes =
+    s"""pre AS (
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |bgr AS (
        |  SELECT doc_id,
@@ -726,11 +796,17 @@ object TextAnalysis extends QueryModule {
        |scored AS (
        |  SELECT p.doc_id, p.k,
        |    ln(CAST(c.c12 + 1 AS DOUBLE) / (h.c1 + voc.v)) AS lp
-       |  FROM pairs p JOIN counts c USING (bg) JOIN hist h ON p.w1 = h.w1, voc)
-       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-       |  round(sum(k * lp) / sum(k), 4) AS avg_logp,
-       |  round(exp(-sum(k * lp) / sum(k)), 2) AS ppl
-       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM pairs p JOIN counts c USING (bg) JOIN hist h ON p.w1 = h.w1, voc),
+       |docscore AS (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |    round(sum(k * lp) / sum(k), 4) AS avg_logp,
+       |    round(exp(-sum(k * lp) / sum(k)), 2) AS ppl
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private def lmPerplexitySql =
+    s"""WITH $lmScoredCtes
+       |SELECT doc_id, n_bigrams, avg_logp, ppl
+       |FROM docscore ORDER BY doc_id""".stripMargin
 
   // ---- repetition measures (Gopher-style, Rae et al. 2021 §A1.1): the
   // filters that kill boilerplate/spam docs whose text is dominated by a
@@ -1245,5 +1321,6 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_stream_quality", streamQuality, Some(streamQualitySql)),
     GraftQuery("text_curation_funnel", curationFunnel,
       Some(curationFunnelSql)),
+    GraftQuery("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
   )
 }

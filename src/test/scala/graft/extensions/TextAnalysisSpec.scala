@@ -141,6 +141,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("ppl buckets: score-monotone terciles, near-even split, cutoffs broadcast to the assignment") {
+    val df = SparkEntry.queries("text_ppl_buckets")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length === 500)
+    // bucket order follows score order: a cleaner doc never lands in a
+    // dirtier bucket
+    val byBucket = rows.groupBy(_.getAs[Long]("bucket"))
+      .view.mapValues(_.map(_.getAs[Double]("avg_logp"))).toMap
+    assert(byBucket.keySet === Set(1L, 2L, 3L))
+    assert(byBucket(1L).min >= byBucket(2L).max)
+    assert(byBucket(2L).min >= byBucket(3L).max)
+    // near-even split (exact n/3 up to score-tie mass at the cutoffs)
+    byBucket.values.foreach(b =>
+      assert(math.abs(b.length - 500 / 3) <= 5, s"skewed: ${b.length}"))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("keep") === (r.getAs[Long]("bucket") <= 2L)))
+    // the cutoffs cross back in as a broadcast — the corpus side is
+    // never globally sorted for the assignment
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("token count follows split semantics incl. degenerate inputs") {
     assert(one(TextAnalysis.tokenCount(col("text")), "a b c") === 3L)
     assert(one(TextAnalysis.tokenCount(col("text")), "solo") === 1L)
