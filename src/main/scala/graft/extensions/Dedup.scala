@@ -271,6 +271,123 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------ exact set-similarity join
+
+  /** Exact all-pairs Jaccard join via PREFIX FILTERING (Bayardo, Ma &
+    * Srikant 2007, "Scaling Up All Pairs Similarity Search", WWW; the
+    * PPJoin family, Xiao et al. 2008 — public papers): a pair with
+    * J >= t MUST share an element within each side's first
+    * |s| − ⌈t·|s|⌉ + 1 elements of a global token order, so the
+    * candidate join explodes only that bounded prefix of each doc's
+    * SORTED shingle-hash set. EXACT — no sketch false negatives —
+    * which makes it the ground truth [[lshRecall]] measures the
+    * MinHash candidate stage against. Scale shape: the prefix explode
+    * is a bounded fraction of the shingle mass, candidates come from
+    * an equi-join on the shingle hash (a hot shingle skews exactly
+    * like any hot join key — and lands in the prefix of FEW sets,
+    * since prefixes prefer rare-end hashes under a frequency order;
+    * plain hash order keeps the oracle exact and stays within ~2× of
+    * that), and the verify stage reuses the sorted linear-merge
+    * kernel. */
+  private val SSJoinT = 0.5
+
+  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (graft.SessionKeys(s), d, s"word|exact|$SSJoinT"),
+      exactJaccardPairsUncached(s, d).persist())
+
+  private def exactJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d, "word", wordSig, 2)
+    val sh = sig.select(col("doc_id"), col("sh")) // sorted-distinct asc
+    val prefLen =
+      (size(col("sh")) - ceil(size(col("sh")) * lit(SSJoinT)) + 1).cast("int")
+    val pref = sh.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= SSJoinT)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared CTE block: sorted shingle sets + exact prefix-filtered
+    * pairs, appended after [[lshCtesSql]] (which provides `shi`). */
+  private def exactPairsCtesSql =
+    s"""shs AS (SELECT doc_id, list_sort(sh) AS sh FROM shi),
+       |pre AS (
+       |  SELECT doc_id,
+       |    unnest(sh[1:CAST(len(sh) - ceil(len(sh)*$SSJoinT) + 1 AS BIGINT)]) AS h
+       |  FROM shs),
+       |ecand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |exact AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |  FROM ecand c
+       |  JOIN shs x ON c.doc_a = x.doc_id
+       |  JOIN shs y ON c.doc_b = y.doc_id
+       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) >= $SSJoinT)"""
+      .stripMargin
+
+  private def exactJaccardPairsSql =
+    s"""${lshCtesSql(wordShinglesSql, 2, md5HashSql)},
+       |$exactPairsCtesSql
+       |SELECT doc_a, doc_b, jaccard FROM exact
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash candidate-stage RECALL against the exact join — the
+    * metric that tunes K/bandRows (each band of r rows catches a pair
+    * with probability j^r; K/r bands miss with (1−j^r)^(K/r)). The
+    * exact side admits no false negatives, so every miss is the
+    * sketch's. */
+  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = exactJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val lsh = lshPairs(s, d, "word", wordSig, SSJoinT)
+      .select(col("doc_a"), col("doc_b"))
+    val hit = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+    import s.implicits._
+    Seq((exact.count(), lsh.count(), hit.count()))
+      .toDF("n_exact", "n_lsh", "n_hit")
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") > 0,
+          round(col("n_hit") * lit(1.0) / col("n_exact"), 4)).as("recall"))
+  }
+
+  private def lshRecallSql =
+    s"""${lshCtesSql(wordShinglesSql, 2, md5HashSql)},
+       |$exactPairsCtesSql,
+       |lcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |lsh AS (
+       |  SELECT c.doc_a, c.doc_b FROM lcand c
+       |  JOIN shi x ON c.doc_a = x.doc_id
+       |  JOIN shi y ON c.doc_b = y.doc_id
+       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) >= $SSJoinT),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |    (SELECT count(*) FROM lsh) AS n_lsh,
+       |    (SELECT count(*) FROM lsh l JOIN exact e
+       |       ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b) AS n_hit)
+       |SELECT n_exact, n_lsh, n_hit,
+       |  CASE WHEN n_exact > 0
+       |       THEN round(n_hit * 1.0 / n_exact, 4) END AS recall
+       |FROM stats""".stripMargin
+
   /** md5w32 in SQL — the word-shingle base hash. */
   private val md5HashSql = "('0x' || substr(md5(s), 1, 8))::BIGINT"
 
@@ -1010,6 +1127,9 @@ object Dedup extends QueryModule {
     GraftQuery("dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("dedup_clusters", clusters, Some(clustersSql)),
     GraftQuery("dedup_jaccard_est", jaccardEst, Some(jaccardEstSql)),
+    GraftQuery("dedup_exact_jaccard_join", exactJaccardPairs,
+      Some(exactJaccardPairsSql)),
+    GraftQuery("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),
     GraftQuery("dedup_embedding_pairs", embeddingPairs, Some(embeddingPairsSql)),
   )
 }

@@ -155,6 +155,38 @@ class DedupSpec extends SparkTestBase {
     finally spark.conf.unset(Dedup.SpanHashConf)
   }
 
+  test("exact jaccard join: prefix filtering is COMPLETE against an independent brute force; candidates come from an equi-join") {
+    val df = graft.SparkEntry.queries("dedup_exact_jaccard_join")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // independent O(n²) truth via the JVM kernels — feasible at the
+    // fixture's 500 docs, never in the operator itself
+    val sets = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        Signatures.hashedSet(Signatures.wordShingles(r.getString(1))).toSet)
+      .sortBy(_._1)
+    val truth = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      inter = (sets(i)._2 & sets(j)._2).size
+      jac = inter.toDouble /
+        (sets(i)._2.size + sets(j)._2.size - inter)
+      if BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.5
+    } yield (sets(i)._1, sets(j)._1)).toSet
+    assert(got === truth, s"prefix filter missed ${truth -- got} / invented ${got -- truth}")
+    assert(truth.nonEmpty) // the fixture plants near-dups
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // LSH recall against this exact truth is 1.0 on the fixture (the
+    // planted dups sit far above the threshold)
+    val rec = graft.SparkEntry.queries("dedup_lsh_recall")(spark, sf0001)
+      .collect()(0)
+    assert(rec.getAs[Long]("n_exact") === truth.size.toLong)
+    assert(rec.getAs[Double]("recall") === 1.0)
+  }
+
   test("bloom prefilter: sketch admits no false negatives, verify join kills its false positives, corpus side never shuffles") {
     import org.apache.spark.sql.GraftBridge
     val docs = graft.Tables.documents(spark, sf0001)
