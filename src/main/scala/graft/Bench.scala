@@ -246,10 +246,14 @@ object Bench {
     // Full per-query map for local inspection (stderr + file) … with an
     // `_sf_<tag>` sentinel so tools/rebase_baselines.py can refuse a
     // cross-SF merge (min-merging a smaller SF's pass into a bigger
-    // SF's baseline corrupts every scale-dependent best)
+    // SF's baseline corrupts every scale-dependent best). ERRORED
+    // queries are excluded like the history excludes them — their tiny
+    // failure durations must never min-merge into a committed best and
+    // poison every future healthy run as "inflated".
     System.err.println(s"[bench] full: ${jmap(results)}")
     writeTimes(java.nio.file.Paths.get("target/bench_full.json"),
-      times + (s"_sf_${tag(sfDir)}" -> 0.0))
+      times.filter { case (k, _) => !errored(k) } +
+        (s"_sf_${tag(sfDir)}" -> 0.0))
     // Calibration-relative defense REPORTING: CPU steal inflates every
     // measured second by roughly cal / committed-cal (the fixed
     // arithmetic loop scales linearly with steal), so a per-query "weak"

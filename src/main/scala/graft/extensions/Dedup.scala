@@ -290,6 +290,12 @@ object Dedup extends QueryModule {
     * that), and the verify stage reuses the sorted linear-merge
     * kernel. */
   private val SSJoinT = 0.5
+  /** The verify stage admits round(J, 4) >= t, i.e. true J down to
+    * t − 5e-5 — so the prefix must be sized for THAT bound, or a
+    * razor-edge pair (possible once unions reach ~10k shingles) could
+    * pass verification yet never surface as a candidate, silently
+    * breaking the no-false-negative contract. */
+  private val SSJoinPrefixT = SSJoinT - 1e-4
 
   private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(
@@ -297,10 +303,11 @@ object Dedup extends QueryModule {
       exactJaccardPairsUncached(s, d).persist())
 
   private def exactJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d, "word", wordSig, 2)
+    val sig = signatures(s, d, "word3", wordSig, 2)
     val sh = sig.select(col("doc_id"), col("sh")) // sorted-distinct asc
     val prefLen =
-      (size(col("sh")) - ceil(size(col("sh")) * lit(SSJoinT)) + 1).cast("int")
+      (size(col("sh")) - ceil(size(col("sh")) * lit(SSJoinPrefixT)) + 1)
+        .cast("int")
     val pref = sh.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), prefLen)).as("h"))
     val cand = pref.alias("a")
@@ -325,7 +332,7 @@ object Dedup extends QueryModule {
     s"""shs AS (SELECT doc_id, list_sort(sh) AS sh FROM shi),
        |pre AS (
        |  SELECT doc_id,
-       |    unnest(sh[1:CAST(len(sh) - ceil(len(sh)*$SSJoinT) + 1 AS BIGINT)]) AS h
+       |    unnest(sh[1:CAST(len(sh) - ceil(len(sh)*$SSJoinPrefixT) + 1 AS BIGINT)]) AS h
        |  FROM shs),
        |ecand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -337,9 +344,7 @@ object Dedup extends QueryModule {
        |  FROM ecand c
        |  JOIN shs x ON c.doc_a = x.doc_id
        |  JOIN shs y ON c.doc_b = y.doc_id
-       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
-       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) >= $SSJoinT)"""
-      .stripMargin
+       |  WHERE jaccard >= $SSJoinT)""".stripMargin
 
   private def exactJaccardPairsSql =
     s"""${lshCtesSql(wordShinglesSql, 2, md5HashSql)},
@@ -354,7 +359,7 @@ object Dedup extends QueryModule {
     * sketch's. */
   private def lshRecall(s: SparkSession, d: String): DataFrame = {
     val exact = exactJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val lsh = lshPairs(s, d, "word", wordSig, SSJoinT)
+    val lsh = lshPairs(s, d, "word3", wordSig, SSJoinT)
       .select(col("doc_a"), col("doc_b"))
     val hit = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
     import s.implicits._
@@ -373,11 +378,14 @@ object Dedup extends QueryModule {
        |  FROM bands a JOIN bands b
        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |lsh AS (
-       |  SELECT c.doc_a, c.doc_b FROM lcand c
-       |  JOIN shi x ON c.doc_a = x.doc_id
-       |  JOIN shi y ON c.doc_b = y.doc_id
-       |  WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
-       |          len(list_distinct(list_concat(x.sh, y.sh))), 4) >= $SSJoinT),
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |            len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+       |    FROM lcand c
+       |    JOIN shi x ON c.doc_a = x.doc_id
+       |    JOIN shi y ON c.doc_b = y.doc_id)
+       |  WHERE jaccard >= $SSJoinT),
        |stats AS (
        |  SELECT (SELECT count(*) FROM exact) AS n_exact,
        |    (SELECT count(*) FROM lsh) AS n_lsh,

@@ -162,14 +162,26 @@ object TextAnalysis extends QueryModule {
   // columns.
   private val ClsDim = 4096L
 
-  private def classifierScore(s: SparkSession, d: String): DataFrame = {
-    val weights = s.range(ClsDim).select(
+  /** THE model: bucketed weights and the keep rule — classifierScore
+    * reports them per doc, curationFunnel filters by them; one
+    * implementation each so the two can never drift. */
+  private def clsWeights(s: SparkSession): DataFrame =
+    s.range(ClsDim).select(
       col("id").as("bucket"),
       (((col("id") * 1103515245L) + 12345L) % 2048L - 1024L).as("w_int"))
-    val feats = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        (graft.functions.PolyHash(col("tok")) % ClsDim).as("bucket"))
+
+  private def clsBuckets(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    .select(col("doc_id"),
+      (graft.functions.PolyHash(col("tok")) % ClsDim).as("bucket"))
+
+  /** logit >= 0.05 on exact integers: Σw·20 >= n·1024. */
+  private def clsKeep(sw: Column, n: Column): Column =
+    sw * 20L >= n * 1024L
+
+  private def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val weights = clsWeights(s)
+    val feats = clsBuckets(Tables.documents(s, d))
     feats.join(broadcast(weights), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_int")).as("sw"))
@@ -179,16 +191,23 @@ object TextAnalysis extends QueryModule {
         round(lit(1.0) / (lit(1.0) +
           exp(-(col("sw").cast("double") / (col("n_tokens") * 1024.0)))), 4)
           .as("p_keep"),
-        (col("sw") * 20L >= col("n_tokens") * 1024L).as("keep"))
+        clsKeep(col("sw"), col("n_tokens")).as("keep"))
       .orderBy(col("doc_id"))
   }
 
-  private val classifierScoreSql =
-    s"""WITH w AS (
+  /** THE model's weight table in SQL — emits CTEs `wbuckets`/`wweights`
+    * (shared by classifierScoreSql and curationFunnelSql so the two
+    * oracles can never diverge from each other; [[clsWeights]] is the
+    * Spark twin). */
+  private def clsWeightsSqlCtes =
+    s"""wbuckets AS (
        |  SELECT unnest(range(0, $ClsDim)) AS bucket),
-       |w2 AS (
+       |wweights AS (
        |  SELECT bucket, (bucket*1103515245 + 12345) % 2048 - 1024 AS w_int
-       |  FROM w),
+       |  FROM wbuckets)""".stripMargin
+
+  private def classifierScoreSql =
+    s"""WITH $clsWeightsSqlCtes,
        |toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
@@ -197,8 +216,8 @@ object TextAnalysis extends QueryModule {
        |  FROM toks),
        |agg AS (
        |  SELECT f.doc_id, count(*) AS n_tokens,
-       |    CAST(sum(w2.w_int) AS BIGINT) AS sw
-       |  FROM feats f JOIN w2 USING (bucket) GROUP BY 1)
+       |    CAST(sum(w.w_int) AS BIGINT) AS sw
+       |  FROM feats f JOIN wweights w USING (bucket) GROUP BY 1)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  round(sw / (n_tokens * 1024.0), 4) AS score,
        |  round(1.0 / (1.0 + exp(-(sw / (n_tokens * 1024.0)))), 4) AS p_keep,
@@ -878,17 +897,24 @@ object TextAnalysis extends QueryModule {
   // snapshot. Pure column expressions (array_distinct is per-row, no
   // explode), so the whole query is one scan + a tiny final agg: the ideal
   // 100 TB shape.
-  private def filterFunnel(s: SparkSession, d: String): DataFrame = {
+  /** THE row-level cleaning verdict — filterFunnel reports its
+    * distribution, curationFunnel keeps only `"keep"`; one expression
+    * so the two can never drift. */
+  private def funnelReason: Column = {
     val toks = tokens(col("text"))
     val nTok = tokenCount(col("text"))
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
-    val reason = when(nTok < 10, "too_short")
+    when(nTok < 10, "too_short")
       .when(stopwordRatio(col("text")) > 0.5, "too_stoppy")
       .when(distinctRatio < 0.2, "repetitive")
       .when(qualityScore(col("text")) < 0.2, "low_quality")
       .otherwise("keep")
+  }
+
+  private def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val nTok = tokenCount(col("text"))
     Tables.documents(s, d)
-      .groupBy(reason.as("reason"))
+      .groupBy(funnelReason.as("reason"))
       .agg(count(lit(1)).as("n_docs"),
         sum(nTok).as("n_tokens"),
         round(avg(qualityScore(col("text"))), 4).as("avg_quality"))
@@ -1027,28 +1053,19 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nTok = tokenCount(col("text"))
-    val distinctRatio =
-      size(array_distinct(tokens(col("text")))).cast("double") / nTok
-    val clean = docs.where(nTok >= 10 &&
-      stopwordRatio(col("text")) <= 0.5 && distinctRatio >= 0.2 &&
-      qualityScore(col("text")) >= 0.2)
+    // stage 1 IS filterFunnel's verdict — shared expression, no copy
+    val clean = docs.where(funnelReason === "keep")
     val deduped = clean
       .withColumn("rn", row_number().over(
         Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
       .where(col("rn") === 1).drop("rn")
-    val weights = s.range(ClsDim).select(
-      col("id").as("bucket"),
-      (((col("id") * 1103515245L) + 12345L) % 2048L - 1024L).as("w_int"))
-    val clsKeep = deduped
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        (graft.functions.PolyHash(col("tok")) % ClsDim).as("bucket"))
-      .join(broadcast(weights), "bucket")
+    val clsKeepDocs = clsBuckets(deduped)
+      .join(broadcast(clsWeights(s)), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("w_int")).as("sw"))
-      .where(col("sw") * 20L >= col("n") * 1024L)
+      .where(clsKeep(col("sw"), col("n")))
       .select(col("doc_id"))
-    val classified = deduped.join(clsKeep, Seq("doc_id"), "left_semi")
+    val classified = deduped.join(clsKeepDocs, Seq("doc_id"), "left_semi")
     val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
       .select(explode(graft.functions.TokenWindowHashes(col("text"), 3))
         .as("g"))
@@ -1095,19 +1112,15 @@ object TextAnalysis extends QueryModule {
        |  SELECT * FROM clean
        |  QUALIFY row_number() OVER (PARTITION BY md5(lower(text))
        |    ORDER BY doc_id) = 1),
-       |w2 AS (
-       |  SELECT unnest(range(0, $ClsDim)) AS bucket),
-       |w3 AS (
-       |  SELECT bucket, (bucket*1103515245 + 12345) % 2048 - 1024 AS w_int
-       |  FROM w2),
+       |$clsWeightsSqlCtes,
        |cls AS (
        |  SELECT f.doc_id FROM (
        |    SELECT doc_id, (${phSql("tok")}) % $ClsDim AS bucket
        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |          FROM dedup)) f
-       |  JOIN w3 USING (bucket)
+       |  JOIN wweights w USING (bucket)
        |  GROUP BY f.doc_id
-       |  HAVING CAST(sum(w3.w_int) AS BIGINT) * 20 >= count(*) * 1024),
+       |  HAVING CAST(sum(w.w_int) AS BIGINT) * 20 >= count(*) * 1024),
        |classified AS (
        |  SELECT * FROM dedup WHERE doc_id IN (SELECT doc_id FROM cls)),
        |trig AS (
