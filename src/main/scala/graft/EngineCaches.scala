@@ -12,5 +12,6 @@ object EngineCaches {
     extensions.Similarity.invalidateCaches()
     extensions.Pq.invalidateCaches()
     extensions.TextAnalysis.invalidateCaches()
+    extensions.Multimodal.invalidateCaches()
   }
 }

@@ -562,6 +562,180 @@ object Multimodal extends QueryModule {
       |  CAST(sum((oy * 8 + ox + 1) * v) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- perceptual-hash image near-dup
+
+  /** dHash geometry: an 8×8 nearest-neighbor sample grid (the same
+    * sampling as [[resizePixels]]), 7 horizontal-gradient comparisons per
+    * row → a 56-bit hash. 56 (not the classic 64) keeps every banded
+    * arithmetic step inside a POSITIVE signed 64-bit value on both
+    * engines — DuckDB has no unsigned shift-out semantics to lean on. */
+  private val PhGrid = 8
+  private val PhBits = 56
+  private val PhBandBits = 14
+  private val PhBands = PhBits / PhBandBits // 4
+  /** Hamming threshold; < PhBands, so a qualifying pair must share at
+    * least one exact band (pigeonhole) — perfect recall at the cutoff. */
+  private val PhHamMax = 3
+
+  /** 56-bit difference hash per image over REAL decoded pixels: decode
+    * ([[Png.decodeRgb]] — inflate + unfilter), sample the 8×8 grid
+    * nearest-neighbor, and set bit (oy·7+ox) iff the channel-sum
+    * brightness increases from grid column ox to ox+1. The gradient-sign
+    * encoding is what makes it PERCEPTUAL: uniform brightness/contrast
+    * changes and resampling preserve the signs, so re-encoded or resized
+    * variants of one image land within a few bits of each other (public
+    * aHash/dHash folklore, e.g. the pHash project). Partition-parallel
+    * kernel; persisted per (session, dir) — three registered queries
+    * consume it. */
+  private val phashCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def invalidateCaches(): Unit = {
+    phashCache.values.foreach(_.unpersist())
+    phashCache.clear()
+  }
+
+  /** The per-image kernel, exposed for the spec's perceptual-property
+    * tests (brightness invariance, brute-force completeness). */
+  private[extensions] def phash56(w: Int, h: Int, px: Array[Byte]): Long = {
+    var ph = 0L
+    var oy = 0
+    while (oy < PhGrid) {
+      val sy = oy * h / PhGrid
+      var prev = 0
+      var ox = 0
+      while (ox < PhGrid) {
+        val sx = ox * w / PhGrid
+        val base = (sy * w + sx) * 3
+        val g = (px(base) & 0xff) + (px(base + 1) & 0xff) +
+          (px(base + 2) & 0xff)
+        if (ox > 0 && g > prev)
+          ph |= 1L << (oy * (PhGrid - 1) + ox - 1)
+        prev = g
+        ox += 1
+      }
+      oy += 1
+    }
+    ph
+  }
+
+  private def phashes(s: SparkSession, d: String): DataFrame =
+    phashCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+      import s.implicits._
+      pixelPngs(s, d).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val dec = Png.decodeRgb(bytes).getOrElse(
+            throw new IllegalArgumentException(s"doc $id: invalid PNG"))
+          (id, phash56(dec.width, dec.height, dec.pixels))
+        })
+        .toDF("doc_id", "ph")
+        .persist()
+    })
+
+  /** DISTINCT near-dup neighbor pairs (doc_id > dup_of) from the banded
+    * Hamming-bucket join: each hash splits into 4 bands of 14 bits, the
+    * candidate join is an equi-join on (band index, band value) — never
+    * all-pairs — and candidates verify by exact popcount of the XOR.
+    * Same layout as [[Dedup.simhashPairs]]. Scale shape: each image
+    * shuffles 4 band rows; a bucket's cost is quadratic in its size, and
+    * dHash bands (gradient signs) are corpus-dependent — a production
+    * deployment watches the bucket histogram (spec-pinned here) and
+    * widens bands if one runs hot. */
+  private def phashNeighbors(s: SparkSession, d: String): DataFrame = {
+    val ph = phashes(s, d)
+    val bands = ph.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhBands).map(j =>
+        shiftright(col("ph"), j * PhBandBits) % lit(1 << PhBandBits)): _*))
+        .as(Seq("b", "bv")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= PhHamMax)
+      .distinct()
+  }
+
+  /** Per-image near-dup DECISION, not all-pairs: every image with at
+    * least one near-dup of smaller doc_id links to its MINIMUM such
+    * neighbor. All-pairs output is quadratic in dup-cluster size — a
+    * 130-image cluster alone is 8k pairs — which no 100 TB pipeline
+    * materializes; the keep/drop decision list is linear in the corpus
+    * and is what the downstream filter actually consumes (the same shape
+    * as dedup_minhash_survivors). */
+  private def phashDups(s: SparkSession, d: String): DataFrame = {
+    val m = phashNeighbors(s, d)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
+    m.select(col("doc_id"), col("m.dup_of").as("dup_of"),
+        col("m.hamming").as("hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The aggregate evidence over the quadratic pair mass the decision
+    * list elides: DISTINCT verified pairs counted by Hamming distance.
+    * Bounded output (≤ PhHamMax+1 rows) regardless of corpus size. */
+  private def phashHist(s: SparkSession, d: String): DataFrame =
+    phashNeighbors(s, d)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+
+  /** Hash + band + verified-neighbor CTE chain replaying the dHash
+    * arithmetically from the pixel formula — the oracle never decodes a
+    * PNG, so engine decoder and oracle stay independent (same discipline
+    * as [[pixelStatsSql]]). */
+  private val phashCtesSql =
+    s"""png AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, 8 + n % 56 AS w, 8 + (n * 3) % 40 AS h, n % 251 AS s
+       |  FROM png),
+       |phc AS (
+       |  SELECT d.doc_id, d.s, oy.range AS oy, ox.range AS ox,
+       |    (ox.range * d.w) // $PhGrid AS sxa,
+       |    ((ox.range + 1) * d.w) // $PhGrid AS sxb,
+       |    (oy.range * d.h) // $PhGrid AS sy
+       |  FROM dims d, range($PhGrid) oy, range(${PhGrid - 1}) ox),
+       |phg AS (
+       |  SELECT doc_id, oy, ox,
+       |    (5*sxa + 3*sy + s) % 256 + (5*sxa + 3*sy + 37 + s) % 256
+       |      + (5*sxa + 3*sy + 74 + s) % 256 AS ga,
+       |    (5*sxb + 3*sy + s) % 256 + (5*sxb + 3*sy + 37 + s) % 256
+       |      + (5*sxb + 3*sy + 74 + s) % 256 AS gb
+       |  FROM phc),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN gb > ga
+       |      THEN CAST(1 AS BIGINT) << CAST(oy * ${PhGrid - 1} + ox AS INT)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+       |  FROM phg GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, ph, j,
+       |    (ph >> CAST($PhBandBits * j AS INT)) % ${1 << PhBandBits} AS bv
+       |  FROM ph, unnest(${(0 until PhBands).mkString("[", ", ", "]")}) AS t(j)),
+       |neigh AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id > b.doc_id
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= $PhHamMax)""".stripMargin
+
+  private val phashDupsSql =
+    s"""WITH $phashCtesSql,
+       |d AS (SELECT doc_id, min(dup_of) AS dup_of FROM neigh GROUP BY doc_id)
+       |SELECT d.doc_id, d.dup_of, n.hamming
+       |FROM d JOIN neigh n ON n.doc_id = d.doc_id AND n.dup_of = d.dup_of
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val phashHistSql =
+    s"""WITH $phashCtesSql
+       |SELECT hamming, count(*) AS n_pairs FROM neigh
+       |GROUP BY hamming ORDER BY hamming""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_resize_pixels", resizePixels, Some(resizePixelsSql)),
@@ -572,5 +746,7 @@ object Multimodal extends QueryModule {
     GraftQuery("mm_frame_sample", frameSample, Some(frameSampleSql)),
     GraftQuery("mm_pixel_stats", pixelStats, Some(pixelStatsSql)),
     GraftQuery("mm_audio_levels", audioLevels, Some(audioLevelsSql)),
+    GraftQuery("dedup_phash_dups", phashDups, Some(phashDupsSql)),
+    GraftQuery("dedup_phash_hist", phashHist, Some(phashHistSql)),
   )
 }
