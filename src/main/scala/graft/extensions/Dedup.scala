@@ -305,11 +305,24 @@ object Dedup extends QueryModule {
   private def exactJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d, "word3", wordSig, 2)
     val sh = sig.select(col("doc_id"), col("sh")) // sorted-distinct asc
-    val prefLen =
-      (size(col("sh")) - ceil(size(col("sh")) * lit(SSJoinPrefixT)) + 1)
-        .cast("int")
-    val pref = sh.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
+    // Prefixes are taken under ASCENDING CORPUS FREQUENCY (ties by hash)
+    // — Bayardo 2007's canonical order. Any global total order preserves
+    // exactness (a qualifying pair must collide within both prefixes
+    // under the SAME order), but rare-first prefixes shrink the candidate
+    // mass ~2× on this corpus (spec-pinned) and defuse hot-shingle skew:
+    // a shingle shared by 10% of the corpus sorts LAST, so it enters
+    // almost no prefix and never becomes a hot join key. The frequency
+    // table is one extra groupBy over the exploded shingles; the per-doc
+    // rank window shuffles by doc_id, both standard PPJoin preprocessing.
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("h"))
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    val pref = ex.join(freq, "h")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(SSJoinPrefixT)) + 1)
+      .select(col("doc_id"), col("h"))
     val cand = pref.alias("a")
       .join(pref.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -330,10 +343,16 @@ object Dedup extends QueryModule {
     * pairs, appended after [[lshCtesSql]] (which provides `shi`). */
   private def exactPairsCtesSql =
     s"""shs AS (SELECT doc_id, list_sort(sh) AS sh FROM shi),
+       |hfreq AS (
+       |  SELECT h, count(*) AS f
+       |  FROM (SELECT unnest(sh) AS h FROM shs) GROUP BY h),
        |pre AS (
-       |  SELECT doc_id,
-       |    unnest(sh[1:CAST(len(sh) - ceil(len(sh)*$SSJoinPrefixT) + 1 AS BIGINT)]) AS h
-       |  FROM shs),
+       |  SELECT doc_id, h FROM (
+       |    SELECT e.doc_id, e.h, e.sz,
+       |      row_number() OVER (PARTITION BY e.doc_id ORDER BY f.f, e.h) AS rn
+       |    FROM (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM shs) e
+       |    JOIN hfreq f ON e.h = f.h) r
+       |  WHERE rn <= sz - ceil(sz * $SSJoinPrefixT) + 1),
        |ecand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),

@@ -282,8 +282,11 @@ object TextAnalysis extends QueryModule {
           (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
     })
 
-  def invalidateCaches(): Unit =
+  def invalidateCaches(): Unit = {
     langProfileCache.clear()
+    lmScoreCache.values.foreach(_.unpersist())
+    lmScoreCache.clear()
+  }
 
   private def langidProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -693,8 +696,21 @@ object TextAnalysis extends QueryModule {
     * opening with w1, exactly the history count the model divides by.
     * Grams travel as poly_hashes (codegen'd TokenWindowHashes — the
     * string form paid an interpreted lambda per window): bigram i's
-    * history key is the i-th single-token hash, aligned by position. */
-  private def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    * history key is the i-th single-token hash, aligned by position.
+    *
+    * PERSISTED per (session, dir): three consumers — text_lm_perplexity,
+    * and text_ppl_buckets' cutoffs pass AND assignment pass — would each
+    * re-run the tokenize+explode corpus scan off the raw lineage; the
+    * persisted frame is one row per doc (id + two numbers), so the cache
+    * is corpus-linear and tiny next to the exploded intermediates. */
+  private val lmScoreCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lmDocScores(s: SparkSession, d: String): DataFrame =
+    lmScoreCache.getOrElseUpdate((graft.SessionKeys(s), d),
+      lmDocScoresUncached(s, d).persist())
+
+  private def lmDocScoresUncached(s: SparkSession, d: String): DataFrame = {
     val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
     val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
     val perDoc = Tables.documents(s, d)

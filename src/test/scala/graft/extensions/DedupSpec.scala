@@ -187,6 +187,52 @@ class DedupSpec extends SparkTestBase {
     assert(rec.getAs[Double]("recall") === 1.0)
   }
 
+  test("rare-first prefixes shrink the candidate mass on the real corpus") {
+    // replay BOTH prefix orders over the corpus' hashed shingle sets and
+    // compare the equi-join work each implies: sum over shingle h of
+    // C(|docs with h in prefix|, 2)
+    val t = 0.5 - 1e-4 // SSJoinPrefixT
+    def prefLen(sz: Int): Int = sz - math.ceil(sz * t).toInt + 1
+    val sets = graft.Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .map(r => Signatures.hashedSet(Signatures.wordShingles(r.getString(0))).toVector)
+      .filter(_.nonEmpty)
+    val freq = sets.flatten.groupBy(identity).map { case (h, o) => (h, o.length) }
+    def mass(order: Vector[Long] => Vector[Long]): Long =
+      sets.flatMap(s => order(s).take(prefLen(s.length)))
+        .groupBy(identity).values
+        .map(o => o.length.toLong * (o.length - 1) / 2).sum
+    val hashMass = mass(_.sorted)
+    val freqMass = mass(_.sortBy(h => (freq(h), h)))
+    assert(freqMass < hashMass,
+      s"rare-first prefixes must shrink candidates: $freqMass vs $hashMass")
+    assert(freqMass.toDouble / hashMass <= 0.8,
+      s"expected >=20% candidate drop, got $freqMass / $hashMass")
+  }
+
+  test("rare-first prefixes: a planted hot shingle stays out of the join") {
+    // skew stress: every doc shares ONE hot shingle whose hash sorts
+    // FIRST by value — the worst case for hash-ordered prefixes (the hot
+    // key enters every prefix and the equi-join bucket goes quadratic).
+    // Under ascending-frequency order it sorts LAST and enters none.
+    val t = 0.5 - 1e-4
+    def prefLen(sz: Int): Int = sz - math.ceil(sz * t).toInt + 1
+    val hot = Long.MinValue
+    val docs = (0 until 200).map(i =>
+      ((1 to 20).map(k => (i * 100 + k).toLong) :+ hot).toVector)
+    val freq = docs.flatten.groupBy(identity).map { case (h, o) => (h, o.length) }
+    def mass(order: Vector[Long] => Vector[Long]): Long =
+      docs.flatMap(s => order(s).take(prefLen(s.length)))
+        .groupBy(identity).values
+        .map(o => o.length.toLong * (o.length - 1) / 2).sum
+    assert(mass(_.sorted) === 200L * 199 / 2) // hot key in EVERY hash prefix
+    assert(mass(_.sortBy(h => (freq(h), h))) === 0L) // and in NO rare-first one
+    // exactness is unthreatened: no pair reaches J >= t (share 1 of 41),
+    // so the empty candidate set IS the correct answer here
+    assert(docs.combinations(2).forall { case Seq(a, b) =>
+      (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size < t })
+  }
+
   test("bloom prefilter: sketch admits no false negatives, verify join kills its false positives, corpus side never shuffles") {
     import org.apache.spark.sql.GraftBridge
     val docs = graft.Tables.documents(spark, sf0001)

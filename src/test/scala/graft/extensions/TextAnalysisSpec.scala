@@ -47,6 +47,31 @@ class TextAnalysisSpec extends SparkTestBase {
       s"only the scalar-V broadcast join may appear:\n$plan")
   }
 
+  test("lm score frame is persisted and SHARED: ppl_buckets reads the cache, not the corpus") {
+    // text_lm_perplexity, ppl_buckets' cutoffs pass, and ppl_buckets'
+    // assignment pass all consume lmDocScores; after the first
+    // materialization the other consumers must read the persisted
+    // one-row-per-doc frame instead of re-running tokenize+explode
+    SparkEntry.queries("text_lm_perplexity")(spark, "/root/testdata/sf0.001").collect()
+    val df = SparkEntry.queries("text_ppl_buckets")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // pin at the logical level (the physical broadcast stage hides its
+    // subtree in the toString): after cache substitution, the cutoffs
+    // branch AND the assignment branch are both InMemoryRelations, and
+    // NO scan of the documents table survives outside them
+    val cached = df.queryExecution.withCachedData
+    val inMem = cached.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(inMem.size >= 2,
+      s"cutoffs + assignment must both hit the cache:\n$cached")
+    val liveScans = cached.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(liveScans.isEmpty,
+      s"corpus scan re-ran outside the cache:\n$cached")
+  }
+
   test("classifier-score plan: one explode, weight table BROADCAST, per-doc agg the only shuffle of pairs") {
     val df = SparkEntry.queries("text_classifier_score")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
