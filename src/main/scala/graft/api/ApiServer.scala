@@ -76,7 +76,16 @@ final class ApiServer(spark: SparkSession,
                       openMetrics: Boolean = false,
                       metricsToken: Option[String] = None,
                       oidc: Option[OidcValidator] = None,
-                      metricsStore: Option[MetricsHub.Store] = None)
+                      metricsStore: Option[MetricsHub.Store] = None,
+                      // origins (scheme://host[:port]) allowed as OIDC
+                      // login redirect targets, besides this server's
+                      // own origin. The callback response carries a
+                      // fresh session token next to the echoed
+                      // redirect_uri, so an attacker-choosable target
+                      // is a token-exfiltration vector — the reference
+                      // accepts any http(s) URL; we require an
+                      // allowlisted or same-origin one
+                      oidcRedirectOrigins: Seq[String] = Nil)
   extends AutoCloseable {
 
   private val server =
@@ -1038,6 +1047,12 @@ final class ApiServer(spark: SparkSession,
         if (!OidcLogin.validRedirectUri(redirect))
           throw ControlPlane.Invalid(
             "redirect_uri must be an http(s) URL with a host")
+        val origin = java.net.URI.create(redirect)
+        val originKey = origin.getScheme + "://" + origin.getHost +
+          (if (origin.getPort >= 0) s":${origin.getPort}" else "")
+        if (originKey != baseUri && !oidcRedirectOrigins.contains(originKey))
+          throw ControlPlane.Invalid(
+            "redirect_uri origin is not allowlisted")
         val p = cp.getOidcProviderByName(providerName)
         if (!p.enabled)
           throw ControlPlane.Invalid("provider is disabled")
@@ -1098,7 +1113,15 @@ final class ApiServer(spark: SparkSession,
           .fold(
             err => throw ControlPlane.Invalid(s"token exchange failed: $err"),
             identity)
-        val validator = new OidcValidator(p.issuerUrl, p.clientId)
+        // reuse the bearer path's cached validator (same JWKS cache
+        // across requests) instead of paying discovery + JWKS per login
+        val validator = {
+          storeValidators() // refresh if the provider rows changed
+          val (keys, vs) = providerValidators // one volatile read: aligned
+          keys.zip(vs).collectFirst { case ((iss, cid, _), v)
+            if iss == p.issuerUrl && cid == p.clientId => v }
+            .getOrElse(new OidcValidator(p.issuerUrl, p.clientId))
+        }
         val claims = validator.validate(tokens.idToken).fold(
           err => throw ControlPlane.Invalid(
             s"ID token validation failed: $err"),

@@ -896,21 +896,37 @@ final class ControlPlane(val metaDir: String,
       case _ => Vector.empty
     }
 
-  private def persistOidcStates(): Unit =
+  /** In-flight states persist so a restart keeps pending logins
+    * redeemable (the reference stores OIDCState rows in its control
+    * DB) — but the nonce and PKCE verifier are REDEEMING secrets: with
+    * them plus the state, a reader of the meta dir can complete an
+    * in-flight login within the TTL. They go through the same at-rest
+    * encryption as source passwords and client secrets; the state
+    * itself is the front-channel handle (it travels in the authorize
+    * URL) and stays plain. */
+  private def persistOidcStates(): Unit = {
+    def seal(v: String): String = credentialKey match {
+      case Some(k) if v.nonEmpty   => CredentialCrypto.encrypt(k, v)
+      case _ if markerCollision(v) => ControlPlane.PlainMarker + v
+      case _                       => v
+    }
     writeFile("oidc_states.json", JArray(oidcStates.toList.map(s => JObject(
       "id" -> JString(s.id), "state" -> JString(s.state),
-      "nonce" -> JString(s.nonce),
-      "code_verifier" -> JString(s.codeVerifier),
+      "nonce" -> JString(seal(s.nonce)),
+      "code_verifier" -> JString(seal(s.codeVerifier)),
       "provider_id" -> JString(s.providerId),
       "redirect_uri" -> JString(s.redirectUri),
       "created_at_ms" -> JInt(BigInt(s.createdAtMs)),
       "expires_at_ms" -> JInt(BigInt(s.expiresAtMs))))))
+  }
 
   private def loadOidcStates(): Vector[OidcState] =
     readFile("oidc_states.json") match {
       case Some(JArray(items)) => items.toVector.map { o =>
-        OidcState(str(o \ "id"), str(o \ "state"), str(o \ "nonce"),
-          str(o \ "code_verifier"), str(o \ "provider_id"),
+        OidcState(str(o \ "id"), str(o \ "state"),
+          storedPassword(str(o \ "nonce")),
+          storedPassword(str(o \ "code_verifier")),
+          str(o \ "provider_id"),
           str(o \ "redirect_uri"),
           num(o \ "created_at_ms"), num(o \ "expires_at_ms"))
       }
@@ -2552,6 +2568,12 @@ final class ControlPlane(val metaDir: String,
       case None =>
         if (!p.autoCreateUsers)
           throw Forbidden("user not found and auto-create is disabled")
+        // an IdP that omits the email claim must not mint an account
+        // keyed on "": multiple such subjects would collide on the
+        // empty email and break the password-login uniqueness lookup
+        if (info.email.isEmpty)
+          throw Forbidden(
+            "identity provider supplied no email; cannot auto-create")
         val name =
           if (info.name.nonEmpty) info.name
           else if (info.givenName.nonEmpty || info.familyName.nonEmpty)

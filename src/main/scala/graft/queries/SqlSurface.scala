@@ -2058,7 +2058,8 @@ object SqlSurface extends QueryModule {
     })
     issuer.start()
     val srv = new ApiServer(s, authToken = Some("gate-tok"),
-      controlPlane = Some(cp))
+      controlPlane = Some(cp),
+      oidcRedirectOrigins = Seq("http://localhost:3000"))
     val rows = try {
       val http = HttpClient.newHttpClient()
       def call(method: String, path: String, body: String = "",
@@ -2126,6 +2127,12 @@ object SqlSurface extends QueryModule {
         """{"redirect_uri":"http://localhost:3000/done"}""")
       val (c12, _) = call("POST", "/api/v1/auth/oidc/corp/authorize",
         """{"redirect_uri":"not a url"}""")
+      // a well-formed http(s) target on a NON-allowlisted origin must
+      // refuse: the callback response pairs a fresh session token with
+      // the echoed redirect_uri, so an open redirect here is an
+      // exfiltration vector
+      val (c13, _) = call("POST", "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://evil.example.com/steal"}""")
       val rendered = JsonMethods.compact(JsonMethods.render(b1)) +
         JsonMethods.compact(JsonMethods.render(b2))
       Seq(
@@ -2152,6 +2159,7 @@ object SqlSurface extends QueryModule {
         ("nonce_mismatch_400", flag(c10 == 400)),
         ("unknown_provider_404", flag(c11 == 404)),
         ("bad_redirect_400", flag(c12 == 400)),
+        ("evil_redirect_400", flag(c13 == 400)),
         ("no_secret_in_responses", flag(!rendered.contains("gate-cs2") &&
           !rendered.contains("code_verifier"))))
     } finally { srv.close(); issuer.stop(0) }
@@ -2174,6 +2182,7 @@ object SqlSurface extends QueryModule {
       |  ('nonce_mismatch_400', CAST(1 AS BIGINT)),
       |  ('unknown_provider_404', CAST(1 AS BIGINT)),
       |  ('bad_redirect_400', CAST(1 AS BIGINT)),
+      |  ('evil_redirect_400', CAST(1 AS BIGINT)),
       |  ('no_secret_in_responses', CAST(1 AS BIGINT)))
       |  AS t(step, result)
       |ORDER BY step""".stripMargin

@@ -69,6 +69,28 @@ class CredentialCryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("in-flight OIDC nonce and PKCE verifier are encrypted at rest") {
+    val meta = Files.createTempDirectory("graft-oidcst").toString
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    val p = cp.createOidcProvider("corp", "Corp", "generic",
+      "http://localhost:1", "cid")
+    val st = cp.createOidcState(p.id, "http://localhost:3000/done")
+    val raw = new String(
+      Files.readAllBytes(Paths.get(meta, "oidc_states.json")), UTF_8)
+    // the redeeming secrets never touch disk in the clear; the state
+    // (the public front-channel handle) stays plain for lookup
+    assert(!raw.contains(st.nonce), "nonce leaked to disk")
+    assert(!raw.contains(st.codeVerifier), "code_verifier leaked to disk")
+    assert(raw.contains(st.state))
+    // a restart redeems the login with the original secrets intact
+    val reopened = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    val got = reopened.consumeOidcState(st.state)
+    assert(got.map(_.nonce) === Some(st.nonce))
+    assert(got.map(_.codeVerifier) === Some(st.codeVerifier))
+  }
+
   test("a keyless password colliding with a format marker round-trips (escaped)") {
     val meta = Files.createTempDirectory("graft-cred-collide").toString
     val cp = new ControlPlane(meta, connTest = _ => Right(1L),

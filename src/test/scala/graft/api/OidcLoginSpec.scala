@@ -79,7 +79,8 @@ class OidcLoginSpec extends SparkTestBase {
     val idp = new FakeOidcIssuer("login-k1")
     val cp = new ControlPlane(freshDir(), connTest = _ => Right(1L))
     val srv = new ApiServer(spark, authToken = Some("admin-tok"),
-      controlPlane = Some(cp))
+      controlPlane = Some(cp),
+      oidcRedirectOrigins = Seq("http://localhost:3000"))
     try f(cp, srv, idp) finally { srv.close(); idp.stop() }
   }
 
@@ -338,6 +339,16 @@ class OidcLoginSpec extends SparkTestBase {
         s"""{"code":"c","state":"${p5("state")}"}""")
       assert(c5 === 403)
 
+      // an IdP that omits the email claim must not auto-create: a
+      // second such subject would collide with the first on email ""
+      // and poison the password-login uniqueness lookup
+      val noEmail = intercept[ControlPlane.Forbidden] {
+        cp.oidcLogin(cp.getOidcProviderByName("corp").id,
+          ControlPlane.OidcUserInfo("sub-no-email", "",
+            emailVerified = false, "Ghost", "", "", Nil))
+      }
+      assert(noEmail.getMessage.contains("no email"))
+
       // provisioned users survive a restart with their OIDC bond
       val cp2 = new ControlPlane(cp.metaDir, connTest = _ => Right(1L))
       val again = cp2.oidcLogin(
@@ -370,6 +381,18 @@ class OidcLoginSpec extends SparkTestBase {
       val (c3, _) = call(srv.baseUri, "POST",
         "/api/v1/auth/oidc/corp/authorize", """{}""")
       assert(c3 === 400)
+      // well-formed http(s) but NOT on the allowlist (the callback
+      // response pairs a session token with the echoed redirect_uri,
+      // so an open redirect is a token-exfiltration vector)
+      val (c3b, _) = call(srv.baseUri, "POST",
+        "/api/v1/auth/oidc/corp/authorize",
+        """{"redirect_uri":"http://evil.example.com/steal"}""")
+      assert(c3b === 400)
+      // the server's OWN origin needs no allowlist entry
+      val (c3c, _) = call(srv.baseUri, "POST",
+        "/api/v1/auth/oidc/corp/authorize",
+        s"""{"redirect_uri":"${srv.baseUri}/app/done"}""")
+      assert(c3c === 200)
       // an IdP redirect carrying '+' / '%' in the code must reach the
       // token exchange byte-identical (raw-query single decode)
       val (_, bd) = call(srv.baseUri, "POST",

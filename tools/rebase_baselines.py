@@ -28,9 +28,15 @@ def main() -> None:
     # `_sf_<tag>` sentinel; when present it must match the committed
     # file's name. Sentinels (and `_cal`) never merge as queries.
     sf_tags = [k[4:] for k in full if k.startswith("_sf_")]
-    if sf_tags and not any(t in committed_path for t in sf_tags):
+    # exact-tag equality against the committed filename (baseline_<tag>
+    # .json), not substring containment — a tag that is a prefix of
+    # another (sf0_1 vs sf0_12) must not slip through the guard
+    committed_name = committed_path.rsplit("/", 1)[-1]
+    committed_tag = committed_name.removeprefix("baseline_")
+    committed_tag = committed_tag.removesuffix(".json")
+    if sf_tags and committed_tag not in sf_tags:
         sys.exit(f"refusing: full-pass file is from SF {sf_tags} but the "
-                 f"committed baseline is {committed_path} — wrong-SF merge")
+                 f"committed baseline is {committed_tag} — wrong-SF merge")
     full = {k: v for k, v in full.items() if not k.startswith("_sf_")}
     out = dict(committed)
     for name, t in full.items():
