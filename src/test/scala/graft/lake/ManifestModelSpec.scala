@@ -140,4 +140,92 @@ class ManifestModelSpec extends SparkTestBase {
     for (b <- bases; k <- 1 to perWriter)
       assert(paths.contains(entry(b + k).path))
   }
+
+  test("chaos sweep: crash debris injected under concurrent writers — every surviving snapshot reads whole") {
+    // Crash injection by artifact: a writer can die at exactly three
+    // points — after data files (orphan data), after segment files
+    // (orphan/truncated seg-*.json), after the temp manifest but before
+    // the exclusive publish (un-renamed, possibly truncated .tmp-snap).
+    // A chaos thread plants ALL of those continuously while three
+    // lock-free writers race; none of it may become visible, corrupt a
+    // committed snapshot, or wedge a later commit, and expire must
+    // reclaim it.
+    val dir = Files.createTempDirectory("graft-chaos").toString + "/t"
+    SnapshotLog.withTableLock(dir) {
+      SnapshotLog.commit(spark, dir, "append", Seq(entry(0)), schema, None)
+    }
+    val md = new Path(dir, SnapshotLog.MetaDirName)
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(p: Path, bytes: Array[Byte]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    val perWriter = 10
+    val bases = Seq(1000, 2000, 3000)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bases.size + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val chaos = scala.concurrent.Future {
+      var i = 0
+      while (!stop.get()) {
+        i += 1
+        i % 4 match {
+          case 0 => // un-renamed temp manifest, garbage bytes
+            plant(new Path(md, s".tmp-snap-chaos-$i"),
+              "{not json".getBytes("UTF-8"))
+          case 1 => // truncated orphan segment (crashed mid-write)
+            plant(new Path(md, s"seg-chaos-$i.json"),
+              """{"entries":[{"path":"data/x.par""".getBytes("UTF-8"))
+          case 2 => // orphan data file no snapshot references
+            plant(new Path(new Path(dir, "data"), s"chaos-$i.parquet"),
+              Array.fill[Byte](16)(0x7f))
+          case _ => // empty temp manifest (crash between create and write)
+            plant(new Path(md, s".tmp-snap-chaos-$i"), Array.emptyByteArray)
+        }
+        Thread.sleep(3)
+      }
+    }
+    def writer(base: Int) = scala.concurrent.Future {
+      (1 to perWriter).foreach { k =>
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        SnapshotLog.appendFiles(spark, dir, Seq(entry(base + k)), schema,
+          expectedParent = cur, maxRetries = 200)
+      }
+    }
+    val done = scala.concurrent.Future.sequence(bases.map(writer))
+    scala.concurrent.Await.result(done, scala.concurrent.duration.Duration(180, "s"))
+    stop.set(true)
+    scala.concurrent.Await.result(chaos, scala.concurrent.duration.Duration(30, "s"))
+    pool.shutdown()
+    // EVERY surviving snapshot reads whole: ids gapless, each manifest
+    // parses, each resolved file set free of dupes, monotone growth
+    val snaps = SnapshotLog.snapshots(spark, dir)
+    val total = 1 + bases.size * perWriter
+    assert(snaps.map(_.id) === (1L to total.toLong))
+    snaps.foreach { s =>
+      val ps = s.files.map(_.path)
+      assert(ps.distinct.size === ps.size, s"snapshot ${s.id} double-counts")
+    }
+    assert(snaps.map(_.files.size) === (1 to total))
+    for (b <- bases; k <- 1 to perWriter)
+      assert(snaps.last.files.map(_.path).contains(entry(b + k).path))
+    // the debris never wedges a later commit...
+    val next = SnapshotLog.appendFiles(spark, dir, Seq(entry(7777)), schema,
+      expectedParent = Some(snaps.last), maxRetries = 50)
+    assert(next.files.size === total + 1)
+    // ...and expire reclaims every planted artifact (grace 0: sweep now)
+    SnapshotLog.expire(spark, dir, keepLast = 1, debrisGraceMs = 0L)
+    val leftMeta = fs.listStatus(md).map(_.getPath.getName)
+    assert(!leftMeta.exists(_.contains("chaos")),
+      s"unclaimed metadata debris: ${leftMeta.filter(_.contains("chaos")).take(5).mkString(",")}")
+    val dataDir = new Path(dir, "data")
+    val leftData =
+      if (fs.exists(dataDir)) fs.listStatus(dataDir).map(_.getPath.getName)
+      else Array.empty[String]
+    assert(!leftData.exists(_.contains("chaos")),
+      s"unclaimed data debris: ${leftData.filter(_.contains("chaos")).take(5).mkString(",")}")
+    val after = SnapshotLog.currentSnapshot(spark, dir).get
+    assert(after.files.map(_.path).size === total + 1)
+  }
 }
