@@ -317,9 +317,14 @@ object Dedup extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("h"))
-    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    // corpus frequency as a COUNT WINDOW over the exploded frame (a
+    // groupBy + join-back would shuffle the explode twice for the same
+    // partitioning), then the per-doc rank window — two key-partitioned
+    // exchanges of (id, sz, h) rows total
+    val fW = Window.partitionBy(col("h"))
     val rankW = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
-    val pref = ex.join(freq, "h")
+    val pref = ex
+      .withColumn("f", count(lit(1)).over(fW))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(SSJoinPrefixT)) + 1)
       .select(col("doc_id"), col("h"))
