@@ -588,7 +588,7 @@ object Multimodal extends QueryModule {
     * kernel; persisted per (session, dir) — three registered queries
     * consume it. */
   private val phashCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   def invalidateCaches(): Unit = {
     phashCache.values.foreach(_.unpersist())
@@ -620,7 +620,7 @@ object Multimodal extends QueryModule {
   }
 
   private def phashes(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, "image"), {
       import s.implicits._
       pixelPngs(s, d).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
@@ -641,8 +641,10 @@ object Multimodal extends QueryModule {
     * dHash bands (gradient signs) are corpus-dependent — a production
     * deployment watches the bucket histogram (spec-pinned here) and
     * widens bands if one runs hot. */
-  private def phashNeighbors(s: SparkSession, d: String): DataFrame = {
-    val ph = phashes(s, d)
+  private def phashNeighbors(s: SparkSession, d: String): DataFrame =
+    hammingNeighbors(phashes(s, d))
+
+  private def hammingNeighbors(ph: DataFrame): DataFrame = {
     val bands = ph.select(col("doc_id"), col("ph"),
       posexplode(array((0 until PhBands).map(j =>
         shiftright(col("ph"), j * PhBandBits) % lit(1 << PhBandBits)): _*))
@@ -665,8 +667,8 @@ object Multimodal extends QueryModule {
     * materializes; the keep/drop decision list is linear in the corpus
     * and is what the downstream filter actually consumes (the same shape
     * as dedup_minhash_survivors). */
-  private def phashDups(s: SparkSession, d: String): DataFrame = {
-    val m = phashNeighbors(s, d)
+  private def starDups(neigh: DataFrame): DataFrame = {
+    val m = neigh
       .groupBy(col("doc_id"))
       .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
     m.select(col("doc_id"), col("m.dup_of").as("dup_of"),
@@ -674,14 +676,20 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private def phashDups(s: SparkSession, d: String): DataFrame =
+    starDups(phashNeighbors(s, d))
+
   /** The aggregate evidence over the quadratic pair mass the decision
     * list elides: DISTINCT verified pairs counted by Hamming distance.
     * Bounded output (≤ PhHamMax+1 rows) regardless of corpus size. */
-  private def phashHist(s: SparkSession, d: String): DataFrame =
-    phashNeighbors(s, d)
+  private def hammingHist(neigh: DataFrame): DataFrame =
+    neigh
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("hamming"))
+
+  private def phashHist(s: SparkSession, d: String): DataFrame =
+    hammingHist(phashNeighbors(s, d))
 
   /** Hash + band + verified-neighbor CTE chain replaying the dHash
     * arithmetically from the pixel formula — the oracle never decodes a
@@ -713,10 +721,15 @@ object Multimodal extends QueryModule {
        |      THEN CAST(1 AS BIGINT) << CAST(oy * ${PhGrid - 1} + ox AS INT)
        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
        |  FROM phg GROUP BY doc_id),
-       |bands AS (
+       |${bandNeighSql("ph")}""".stripMargin
+
+  /** Shared banded-join tail: bands + verified neighbors over any CTE
+    * `src`(doc_id, ph). */
+  private def bandNeighSql(src: String): String =
+    s"""bands AS (
        |  SELECT doc_id, ph, j,
        |    (ph >> CAST($PhBandBits * j AS INT)) % ${1 << PhBandBits} AS bv
-       |  FROM ph, unnest(${(0 until PhBands).mkString("[", ", ", "]")}) AS t(j)),
+       |  FROM $src, unnest(${(0 until PhBands).mkString("[", ", ", "]")}) AS t(j)),
        |neigh AS (
        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
        |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
@@ -724,17 +737,113 @@ object Multimodal extends QueryModule {
        |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id > b.doc_id
        |  WHERE bit_count(xor(a.ph, b.ph)) <= $PhHamMax)""".stripMargin
 
+  private val starSelectSql =
+    """d AS (SELECT doc_id, min(dup_of) AS dup_of FROM neigh GROUP BY doc_id)
+      |SELECT d.doc_id, d.dup_of, n.hamming
+      |FROM d JOIN neigh n ON n.doc_id = d.doc_id AND n.dup_of = d.dup_of
+      |ORDER BY d.doc_id""".stripMargin
+
+  private val histSelectSql =
+    """SELECT hamming, count(*) AS n_pairs FROM neigh
+      |GROUP BY hamming ORDER BY hamming""".stripMargin
+
   private val phashDupsSql =
-    s"""WITH $phashCtesSql,
-       |d AS (SELECT doc_id, min(dup_of) AS dup_of FROM neigh GROUP BY doc_id)
-       |SELECT d.doc_id, d.dup_of, n.hamming
-       |FROM d JOIN neigh n ON n.doc_id = d.doc_id AND n.dup_of = d.dup_of
-       |ORDER BY d.doc_id""".stripMargin
+    s"WITH $phashCtesSql,\n$starSelectSql"
 
   private val phashHistSql =
-    s"""WITH $phashCtesSql
-       |SELECT hamming, count(*) AS n_pairs FROM neigh
-       |GROUP BY hamming ORDER BY hamming""".stripMargin
+    s"WITH $phashCtesSql\n$histSelectSql"
+
+  // -------------------------------- perceptual audio near-dup (energy hash)
+
+  /** Frames per clip: PhBits gradient comparisons need PhBits+1 energies. */
+  private val AudioFrames = PhBits + 1
+
+  /** 56-bit audio difference hash over REALLY DECODED PCM: the sample
+    * stream splits into [[AudioFrames]] equal frames, each frame's energy
+    * is the exact-integer sum of absolute amplitudes, and bit f is set
+    * iff energy rises from frame f to f+1 — the sign-of-energy-difference
+    * layout of audio fingerprinting (Haitsma & Kalker 2002, public
+    * paper), integer-exact so the oracle replays it from payload bytes.
+    * Uniform gain preserves every sign, so re-levelled copies of a clip
+    * hash identically — the audio analogue of dHash's brightness
+    * invariance (spec-pinned). Exposed for the spec. */
+  private[extensions] def audioHash56(samples: Array[Int]): Long = {
+    val ns = samples.length
+    var ph = 0L
+    var prev = 0L
+    var f = 0
+    while (f < AudioFrames) {
+      var e = 0L
+      var i = f * ns / AudioFrames
+      val end = (f + 1) * ns / AudioFrames
+      while (i < end) { e += math.abs(samples(i)); i += 1 }
+      if (f > 0 && e > prev) ph |= 1L << (f - 1)
+      prev = e
+      f += 1
+    }
+    ph
+  }
+
+  private def audioHashes(s: SparkSession, d: String): DataFrame =
+    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, "audio"), {
+      import s.implicits._
+      assets(s, d)
+        .filter(col("meta.mime") === "audio/wav")
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val samples = Wav.decodeSamples(bytes).getOrElse(
+            throw new IllegalArgumentException(s"doc $id: undecodable PCM"))
+          (id, audioHash56(samples))
+        })
+        .toDF("doc_id", "ph")
+        .persist()
+    })
+
+  private def audioDups(s: SparkSession, d: String): DataFrame =
+    starDups(hammingNeighbors(audioHashes(s, d)))
+
+  private def audioHist(s: SparkSession, d: String): DataFrame =
+    hammingHist(hammingNeighbors(audioHashes(s, d)))
+
+  /** Amplitude + frame-energy + hash CTEs replaying the PCM synthesis
+    * arithmetically (the fixture corpus is pure ASCII, so DuckDB's char
+    * codes ARE the payload bytes — the audio_levels discipline). */
+  private val audioHashCtesSql =
+    s"""wav AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |amps AS (
+       |  SELECT doc_id, n // 2 AS ns,
+       |    list_transform(range(0, n // 2), i ->
+       |      CASE WHEN unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) >= 32768
+       |           THEN abs(unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) - 65536)
+       |           ELSE unicode(substr(text, CAST(2*i+1 AS INT), 1)) +
+       |                256 * unicode(substr(text, CAST(2*i+2 AS INT), 1)) END) AS a
+       |  FROM wav),
+       |frames AS (
+       |  SELECT doc_id, f.range AS f,
+       |    COALESCE(list_sum(a[
+       |      CAST((f.range * ns) // $AudioFrames + 1 AS BIGINT) :
+       |      CAST(((f.range + 1) * ns) // $AudioFrames AS BIGINT)]), 0) AS e
+       |  FROM amps, range($AudioFrames) f),
+       |aph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN ne > e
+       |      THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+       |  FROM (SELECT doc_id, f, e,
+       |          lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne
+       |        FROM frames)
+       |  WHERE f < ${AudioFrames - 1} GROUP BY doc_id),
+       |${bandNeighSql("aph")}""".stripMargin
+
+  private val audioDupsSql =
+    s"WITH $audioHashCtesSql,\n$starSelectSql"
+
+  private val audioHistSql =
+    s"WITH $audioHashCtesSql\n$histSelectSql"
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
@@ -748,5 +857,7 @@ object Multimodal extends QueryModule {
     GraftQuery("mm_audio_levels", audioLevels, Some(audioLevelsSql)),
     GraftQuery("dedup_phash_dups", phashDups, Some(phashDupsSql)),
     GraftQuery("dedup_phash_hist", phashHist, Some(phashHistSql)),
+    GraftQuery("dedup_audio_dups", audioDups, Some(audioDupsSql)),
+    GraftQuery("dedup_audio_hist", audioHist, Some(audioHistSql)),
   )
 }
