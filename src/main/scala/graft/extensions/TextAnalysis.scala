@@ -128,6 +128,92 @@ object TextAnalysis extends QueryModule {
        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- BPE merge TRAINING (Sennrich, Haddow & Birch 2016, "Neural
+  // Machine Translation of Rare Words with Subword Units", ACL — public
+  // paper, algorithm 1): iteratively find the most frequent adjacent
+  // symbol pair over the corpus and fuse it into one symbol — the loop
+  // that LEARNS a tokenizer's merge table, where text_bpe_tokens only
+  // applies a pre-tokenization shape. Scale shape: pair statistics are
+  // computed over the DISTINCT-WORD table weighted by corpus frequency
+  // (the vocabulary, shuffled once into a persisted frame — never the
+  // token stream), each round is one scan of that frame plus a top-1
+  // aggregate, and the only driver-side data is the single winning pair
+  // per round (metadata-sized by construction). Segmentations live as
+  // plain strings with merged pairs fused into private-use placeholder
+  // chars, so applying merges is String.replace — leftmost
+  // non-overlapping on BOTH engines (java.lang.String.replace and SQL
+  // replace() share that contract), which IS BPE's greedy application
+  // order. Ranking ties break on the raw pair's UTF-8 bytes (binary
+  // collation on both engines).
+  private val BpeRounds = 5
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .persist()
+    var merges = Vector.empty[(String, Char)] // raw pair -> placeholder
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (k <- 1 to BpeRounds) {
+      val ms = merges
+      val best = words.mapPartitions(_.flatMap { case (w, f) =>
+        var sgs = w
+        ms.foreach { case (p, ph) => sgs = sgs.replace(p, ph.toString) }
+        (0 until sgs.length - 1).iterator
+          .map(i => (sgs.substring(i, i + 2), f))
+      }).toDF("p", "f")
+        .groupBy(col("p")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1)
+        .as[(String, Long)].collect()
+      best.foreach { case (pair, n) =>
+        merges :+= ((pair, (0xE000 + k).toChar))
+        // full expansion: merge k's pair can only contain placeholders
+        // < k, each of whose raw pairs only contains placeholders below
+        // IT — one descending pass resolves everything
+        var tok = pair
+        (merges.size - 1 to 0 by -1).foreach { i =>
+          tok = tok.replace(merges(i)._2.toString, merges(i)._1)
+        }
+        out += ((k.toLong, tok, n))
+      }
+    }
+    words.unpersist()
+    out.toSeq.toDF("rank", "token", "n")
+  }
+
+  private def bpeTrainSql: String = {
+    val roundCtes = (1 to BpeRounds).map { k =>
+      s"""bpe_p$k AS (
+         |  SELECT substr(s, CAST(i AS INT), 2) AS p, sum(f) AS n
+         |  FROM bpe_seg${k - 1}, unnest(range(1, len(s))) AS t$k(i)
+         |  GROUP BY p),
+         |bpe_b$k AS (
+         |  SELECT p, CAST(n AS BIGINT) AS n FROM bpe_p$k
+         |  ORDER BY n DESC, p LIMIT 1),
+         |bpe_seg$k AS (
+         |  SELECT replace(s, (SELECT p FROM bpe_b$k), chr(${0xE000 + k}))
+         |    AS s, f
+         |  FROM bpe_seg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeRounds).map { k =>
+      val tok = (k - 1 to 1 by -1).foldLeft(s"(SELECT p FROM bpe_b$k)") {
+        (acc, j) => s"replace($acc, chr(${0xE000 + j}), (SELECT p FROM bpe_b$j))"
+      }
+      s"SELECT CAST($k AS BIGINT) AS rank, $tok AS token, (SELECT n FROM bpe_b$k) AS n"
+    }.mkString("\nUNION ALL ")
+    s"""WITH bpe_seg0 AS (
+       |  SELECT w AS s, count(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |$roundCtes
+       |$rows
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- whole-document polynomial fingerprint via the native poly_hash
   // Catalyst expression (codegen'd; same kernel as the char-ngram dedup
   // base hash) — an order-sensitive content id that is cheaper than md5
@@ -1336,6 +1422,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_langid", langid, Some(langidSql)),
     GraftQuery("text_fingerprint", fingerprints, Some(fingerprintsSql)),
     GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    GraftQuery("text_bpe_train", bpeTrain, Some(bpeTrainSql)),
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("text_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -72,6 +72,49 @@ class TextAnalysisSpec extends SparkTestBase {
       s"corpus scan re-ran outside the cache:\n$cached")
   }
 
+  test("bpe training matches an independent in-JVM reference, merges compose") {
+    import spark.implicits._
+    // independent reference: classic Sennrich algorithm 1 over the same
+    // word-frequency table, with pair fusion as an explicit token-list
+    // rewrite (no placeholder strings, no String.replace — a different
+    // mechanism that must land on the same merge table)
+    val freq = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    var segs: Map[Vector[String], Long] =
+      freq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    def fuse(ts: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+          out += (a + b); i += 2 // leftmost, non-overlapping
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    // count ties break on the pair's PLACEHOLDER-space bytes (a merged
+    // symbol ranks by the round that minted it), mirroring the engine
+    var symChar = Map.empty[String, Char]
+    def chrOf(sym: String): Char =
+      if (sym.length == 1) sym.head else symChar(sym)
+    val expect = (1 to 5).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ts, f) <- segs; i <- 0 until ts.length - 1)
+        counts((ts(i), ts(i + 1))) = counts.getOrElse((ts(i), ts(i + 1)), 0L) + f
+      val ((a, b), n) = counts.minBy { case ((x, y), c) =>
+        (-c, s"${chrOf(x)}${chrOf(y)}")
+      }
+      symChar += ((a + b) -> (0xE000 + k).toChar)
+      segs = segs.groupMapReduce(e => fuse(e._1, a, b))(_._2)(_ + _)
+      (k.toLong, a + b, n)
+    }
+    val got = SparkEntry.queries("text_bpe_train")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
   test("classifier-score plan: one explode, weight table BROADCAST, per-doc agg the only shuffle of pairs") {
     val df = SparkEntry.queries("text_classifier_score")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
