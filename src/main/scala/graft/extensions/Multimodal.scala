@@ -695,7 +695,7 @@ object Multimodal extends QueryModule {
     * arithmetically from the pixel formula — the oracle never decodes a
     * PNG, so engine decoder and oracle stay independent (same discipline
     * as [[pixelStatsSql]]). */
-  private val phashCtesSql =
+  private val phashCtesSqlPrefix =
     s"""png AS (
        |  SELECT doc_id, octet_length(encode(text)) AS n
        |  FROM documents WHERE doc_id % 3 = 0),
@@ -720,16 +720,22 @@ object Multimodal extends QueryModule {
        |    CAST(sum(CASE WHEN gb > ga
        |      THEN CAST(1 AS BIGINT) << CAST(oy * ${PhGrid - 1} + ox AS INT)
        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
-       |  FROM phg GROUP BY doc_id),
-       |${bandNeighSql("ph")}""".stripMargin
+       |  FROM phg GROUP BY doc_id)""".stripMargin
+
+  private val phashCtesSql =
+    s"$phashCtesSqlPrefix,\n${bandNeighSql("ph")}"
+
+  /** Band CTE over any hash CTE `src`(doc_id, ph). */
+  private def bandsSql(src: String): String =
+    s"""bands AS (
+       |  SELECT doc_id, ph, j,
+       |    (ph >> CAST($PhBandBits * j AS INT)) % ${1 << PhBandBits} AS bv
+       |  FROM $src, unnest(${(0 until PhBands).mkString("[", ", ", "]")}) AS t(j))""".stripMargin
 
   /** Shared banded-join tail: bands + verified neighbors over any CTE
     * `src`(doc_id, ph). */
   private def bandNeighSql(src: String): String =
-    s"""bands AS (
-       |  SELECT doc_id, ph, j,
-       |    (ph >> CAST($PhBandBits * j AS INT)) % ${1 << PhBandBits} AS bv
-       |  FROM $src, unnest(${(0 until PhBands).mkString("[", ", ", "]")}) AS t(j)),
+    s"""${bandsSql(src)},
        |neigh AS (
        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
        |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
@@ -752,6 +758,46 @@ object Multimodal extends QueryModule {
 
   private val phashHistSql =
     s"WITH $phashCtesSql\n$histSelectSql"
+
+  /** Incremental image near-dup — the crawl-cadence shape: a NEW batch
+    * of images (every fifth image doc) screens against the standing
+    * corpus (the rest). The asymmetry is the 100 TB story: the corpus
+    * side shuffles only its 4 band rows per image and is never compared
+    * all-pairs against itself; per new image the output is one decision
+    * row (match count + closest distance), the admit/reject signal an
+    * ingestion pipeline consumes. Same cached hash frame as the batch
+    * queries. */
+  private def phashIncremental(s: SparkSession, d: String): DataFrame = {
+    val ph = phashes(s, d)
+    val isNew = col("doc_id") % 15 === 0 // image docs are % 3 == 0
+    val bands = ph.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhBands).map(j =>
+        shiftright(col("ph"), j * PhBandBits) % lit(1 << PhBandBits)): _*))
+        .as(Seq("b", "bv")))
+    bands.filter(isNew).alias("a")
+      .join(bands.filter(!isNew).alias("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= PhHamMax)
+      .distinct()
+      .groupBy(col("doc_new"))
+      .agg(count(lit(1)).as("n_matches"), min(col("hamming")).as("best_hamming"))
+      .orderBy(col("doc_new"))
+  }
+
+  private val phashIncrementalSql =
+    s"""WITH ${phashCtesSqlPrefix},
+       |${bandsSql("ph")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+       |  WHERE a.doc_id % 15 = 0 AND b.doc_id % 15 <> 0
+       |    AND bit_count(xor(a.ph, b.ph)) <= $PhHamMax)
+       |SELECT doc_new, count(*) AS n_matches, min(hamming) AS best_hamming
+       |FROM cand GROUP BY doc_new ORDER BY doc_new""".stripMargin
 
   // -------------------------------- perceptual audio near-dup (energy hash)
 
@@ -859,5 +905,7 @@ object Multimodal extends QueryModule {
     GraftQuery("dedup_phash_hist", phashHist, Some(phashHistSql)),
     GraftQuery("dedup_audio_dups", audioDups, Some(audioDupsSql)),
     GraftQuery("dedup_audio_hist", audioHist, Some(audioHistSql)),
+    GraftQuery("dedup_phash_incremental", phashIncremental,
+      Some(phashIncrementalSql)),
   )
 }

@@ -147,7 +147,12 @@ object TextAnalysis extends QueryModule {
   // collation on both engines).
   private val BpeRounds = 5
 
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** Learn the merge table: (raw pair in placeholder space, placeholder
+    * char, corpus count at merge time) per round — the shared core of
+    * text_bpe_train (which reports it) and text_bpe_apply (which
+    * segments with it). Driver-sized by construction. */
+  private def bpeMerges(s: SparkSession, d: String)
+  : Vector[(String, Char, Long)] = {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -155,13 +160,12 @@ object TextAnalysis extends QueryModule {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .persist()
-    var merges = Vector.empty[(String, Char)] // raw pair -> placeholder
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var merges = Vector.empty[(String, Char, Long)]
     for (k <- 1 to BpeRounds) {
       val ms = merges
-      val best = words.mapPartitions(_.flatMap { case (w, f) =>
+      words.mapPartitions(_.flatMap { case (w, f) =>
         var sgs = w
-        ms.foreach { case (p, ph) => sgs = sgs.replace(p, ph.toString) }
+        ms.foreach { case (p, ph, _) => sgs = sgs.replace(p, ph.toString) }
         (0 until sgs.length - 1).iterator
           .map(i => (sgs.substring(i, i + 2), f))
       }).toDF("p", "f")
@@ -169,23 +173,35 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("n").desc, col("p"))
         .limit(1)
         .as[(String, Long)].collect()
-      best.foreach { case (pair, n) =>
-        merges :+= ((pair, (0xE000 + k).toChar))
-        // full expansion: merge k's pair can only contain placeholders
-        // < k, each of whose raw pairs only contains placeholders below
-        // IT — one descending pass resolves everything
-        var tok = pair
-        (merges.size - 1 to 0 by -1).foreach { i =>
-          tok = tok.replace(merges(i)._2.toString, merges(i)._1)
+        .foreach { case (pair, n) =>
+          merges :+= ((pair, (0xE000 + k).toChar, n))
         }
-        out += ((k.toLong, tok, n))
-      }
     }
     words.unpersist()
-    out.toSeq.toDF("rank", "token", "n")
+    merges
   }
 
-  private def bpeTrainSql: String = {
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(s, d)
+    val out = merges.zipWithIndex.map { case ((pair, _, n), idx) =>
+      // full expansion: merge k's pair can only contain placeholders
+      // < k, each of whose raw pairs only contains placeholders below
+      // IT — one descending pass resolves everything
+      var tok = pair
+      (idx to 0 by -1).foreach { i =>
+        tok = tok.replace(merges(i)._2.toString, merges(i)._1)
+      }
+      ((idx + 1).toLong, tok, n)
+    }
+    out.toDF("rank", "token", "n")
+  }
+
+  /** The unrolled training CTE prefix shared by both oracles; every
+    * bpe_seg$k carries the ORIGINAL word alongside its current
+    * segmentation so the apply oracle can join segment lengths back to
+    * the token stream. */
+  private def bpeTrainCtes: String = {
     val roundCtes = (1 to BpeRounds).map { k =>
       s"""bpe_p$k AS (
          |  SELECT substr(s, CAST(i AS INT), 2) AS p, sum(f) AS n
@@ -195,24 +211,81 @@ object TextAnalysis extends QueryModule {
          |  SELECT p, CAST(n AS BIGINT) AS n FROM bpe_p$k
          |  ORDER BY n DESC, p LIMIT 1),
          |bpe_seg$k AS (
-         |  SELECT replace(s, (SELECT p FROM bpe_b$k), chr(${0xE000 + k}))
+         |  SELECT w, replace(s, (SELECT p FROM bpe_b$k), chr(${0xE000 + k}))
          |    AS s, f
          |  FROM bpe_seg${k - 1})""".stripMargin
     }.mkString(",\n")
+    s"""bpe_seg0 AS (
+       |  SELECT w, w AS s, count(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeTrainSql: String = {
     val rows = (1 to BpeRounds).map { k =>
       val tok = (k - 1 to 1 by -1).foldLeft(s"(SELECT p FROM bpe_b$k)") {
         (acc, j) => s"replace($acc, chr(${0xE000 + j}), (SELECT p FROM bpe_b$j))"
       }
       s"SELECT CAST($k AS BIGINT) AS rank, $tok AS token, (SELECT n FROM bpe_b$k) AS n"
     }.mkString("\nUNION ALL ")
-    s"""WITH bpe_seg0 AS (
-       |  SELECT w AS s, count(*) AS f FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE len(w) >= 2 GROUP BY w),
-       |$roundCtes
+    s"""WITH $bpeTrainCtes
        |$rows
        |ORDER BY rank""".stripMargin
   }
+
+  // ---- applying the learned merge table: per-doc segmentation stats.
+  // The measurable EFFECT of bpe_train — how many symbols each document
+  // tokenizes into under the learned merges vs its raw character count
+  // (the compression a tokenizer buys). Scale shape: the merge table is
+  // DRIVER-SIZED (BpeRounds pairs) and rides the same replace chain as
+  // training; segmentation lengths are computed once per DISTINCT word
+  // and joined back to the token stream on the word (the vocabulary is
+  // the small side — at fixture scale it broadcasts, at 100 TB it's a
+  // plain equi-join AQE can pick a strategy for).
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the merge table is driver-sized (BpeRounds pairs); training is
+    // deterministic, so re-deriving it is the uncached cost of one
+    // vocabulary scan per round
+    val merges = bpeMerges(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val segLen = toks.select(col("w")).distinct().as[String]
+      .map { w =>
+        var sgs = w
+        merges.foreach { case (p, ph, _) => sgs = sgs.replace(p, ph.toString) }
+        (w, sgs.length.toLong)
+      }
+      .toDF("w", "n_syms")
+    toks.join(segLen, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("bigint").as("n_chars"),
+        sum(col("n_syms")).as("n_syms"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_syms"),
+        round(col("n_syms") * lit(1.0) / col("n_chars"), 4).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bpeApplySql: String =
+    // bpe_seg$BpeRounds covers words of length >= 2 (1-char words have
+    // no pairs and segment as themselves — COALESCE supplies them)
+    s"""WITH $bpeTrainCtes,
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |seglen AS (
+       |  SELECT t.w, CAST(len(COALESCE(g.s, t.w)) AS BIGINT) AS n_syms
+       |  FROM (SELECT DISTINCT w FROM toks) t
+       |  LEFT JOIN bpe_seg$BpeRounds g ON g.w = t.w)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(t.w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(l.n_syms) AS BIGINT) AS n_syms,
+       |  round(sum(l.n_syms) * 1.0 / sum(len(t.w)), 4) AS compression
+       |FROM toks t JOIN seglen l ON l.w = t.w
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- whole-document polynomial fingerprint via the native poly_hash
   // Catalyst expression (codegen'd; same kernel as the char-ngram dedup
@@ -1423,6 +1496,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_fingerprint", fingerprints, Some(fingerprintsSql)),
     GraftQuery("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     GraftQuery("text_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    GraftQuery("text_bpe_apply", bpeApply, Some(bpeApplySql)),
     GraftQuery("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     GraftQuery("text_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("text_pii_redact", piiRedact, Some(piiRedactSql)),

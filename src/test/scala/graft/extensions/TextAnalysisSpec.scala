@@ -99,6 +99,7 @@ class TextAnalysisSpec extends SparkTestBase {
     var symChar = Map.empty[String, Char]
     def chrOf(sym: String): Char =
       if (sym.length == 1) sym.head else symChar(sym)
+    val refMerges = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
     val expect = (1 to 5).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((ts, f) <- segs; i <- 0 until ts.length - 1)
@@ -107,12 +108,34 @@ class TextAnalysisSpec extends SparkTestBase {
         (-c, s"${chrOf(x)}${chrOf(y)}")
       }
       symChar += ((a + b) -> (0xE000 + k).toChar)
+      refMerges += (((a, b), n))
       segs = segs.groupMapReduce(e => fuse(e._1, a, b))(_._2)(_ + _)
       (k.toLong, a + b, n)
     }
     val got = SparkEntry.queries("text_bpe_train")(spark, "/root/testdata/sf0.001")
       .as[(Long, String, Long)].collect().toSeq
     assert(got === expect)
+
+    // ...and applying those merges: per-doc symbol counts from the SAME
+    // independent fuse-based segmenter must match text_bpe_apply
+    def segment(w: Vector[String]): Vector[String] = {
+      var ts = w
+      for (((a, b), _) <- refMerges) ts = fuse(ts, a, b)
+      ts
+    }
+    val applyGot = SparkEntry.queries("text_bpe_apply")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).toVector
+      val nSyms = ws.map(w => segment(w.map(_.toString).toVector).length.toLong).sum
+      val nChars = ws.map(_.length.toLong).sum
+      val (gw, gc, gs) = applyGot(id)
+      assert(gw === ws.length.toLong && gc === nChars && gs === nSyms,
+        s"doc $id: got ($gw,$gc,$gs) want (${ws.length},$nChars,$nSyms)")
+    }
   }
 
   test("classifier-score plan: one explode, weight table BROADCAST, per-doc agg the only shuffle of pairs") {
