@@ -1157,6 +1157,47 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination at benchmark-suite scale: when the held-out
+    * n-gram set is too big to broadcast exactly, its distributed
+    * Bloom sketch (driver-held bytes, metadata-sized) prefilters the
+    * corpus gram stream SCAN-SIDE (`BloomFilterMightContain`,
+    * codegen'd), and only the surviving (doc, gram) rows pay the exact
+    * verification join that kills the sketch's false positives — the
+    * corpus never joins in full, and the no-false-negative contract
+    * means results are IDENTICAL to [[contamination]] (same oracle —
+    * the sketch must be invisible in the output). Same layout as
+    * [[Dedup.bloomPrefilter]], applied to the CCNet/GPT-3-style
+    * decontamination stage. */
+  private def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct()
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloomBytes = evalGrams
+      .agg(org.apache.spark.sql.GraftBridge
+        .bloomAggregate(col("g"), nEval).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = grams.filter(col("doc_id") % EvalMod =!= 0)
+    val totals = corpusGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .where(org.apache.spark.sql.GraftBridge
+        .bloomMightContain(lit(bloomBytes), col("g")))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("contamination"),
+        (col("n_hit") * 5 >= col("n_grams") * 4).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   private val contaminationSql =
     s"""WITH grams AS (
        |  SELECT doc_id,
@@ -1485,6 +1526,8 @@ object TextAnalysis extends QueryModule {
     GraftQuery("text_mix_rebalance", mixRebalance, Some(mixRebalanceSql)),
     GraftQuery("text_pack_sequences", packSequences, Some(packSequencesSql)),
     GraftQuery("text_contamination", contamination, Some(contaminationSql)),
+    GraftQuery("text_contamination_bloom", contaminationBloom,
+      Some(contaminationSql)),
     GraftQuery("text_corpus_stats", corpusStats, Some(corpusStatsSql)),
     GraftQuery("text_bigram_freq", bigramFreq, Some(bigramFreqSql)),
     GraftQuery("text_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),

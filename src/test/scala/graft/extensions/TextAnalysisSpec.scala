@@ -47,6 +47,20 @@ class TextAnalysisSpec extends SparkTestBase {
       s"only the scalar-V broadcast join may appear:\n$plan")
   }
 
+  test("bloom decontamination: sketch invisible in results, might_contain runs scan-side") {
+    val exact = SparkEntry.queries("text_contamination")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val df = SparkEntry.queries("text_contamination_bloom")(spark, "/root/testdata/sf0.001")
+    val viaBloom = df.collect().map(_.toSeq).toSeq
+    // no-FN contract: the sketch may only ADD candidates (killed by the
+    // exact verify), never drop one — results must be identical
+    assert(viaBloom === exact)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"), s"sketch not in the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("lm score frame is persisted and SHARED: ppl_buckets reads the cache, not the corpus") {
     // text_lm_perplexity, ppl_buckets' cutoffs pass, and ppl_buckets'
     // assignment pass all consume lmDocScores; after the first
