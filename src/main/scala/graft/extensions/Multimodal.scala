@@ -597,7 +597,7 @@ object Multimodal extends QueryModule {
 
   /** The per-image kernel, exposed for the spec's perceptual-property
     * tests (brightness invariance, brute-force completeness). */
-  private[extensions] def phash56(w: Int, h: Int, px: Array[Byte]): Long = {
+  private[graft] def phash56(w: Int, h: Int, px: Array[Byte]): Long = {
     var ph = 0L
     var oy = 0
     while (oy < PhGrid) {
@@ -813,7 +813,7 @@ object Multimodal extends QueryModule {
     * Uniform gain preserves every sign, so re-levelled copies of a clip
     * hash identically — the audio analogue of dHash's brightness
     * invariance (spec-pinned). Exposed for the spec. */
-  private[extensions] def audioHash56(samples: Array[Int]): Long = {
+  private[graft] def audioHash56(samples: Array[Int]): Long = {
     val ns = samples.length
     var ph = 0L
     var prev = 0L

@@ -302,4 +302,36 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("phash56: 56-bit range, deterministic, brightness-shift invariant") {
+    val genImg = for {
+      w <- Gen.choose(8, 40); h <- Gen.choose(8, 32)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, seed)
+    check(Prop.forAll(genImg, Gen.choose(1, 30)) { case ((w, h, seed), shift) =>
+      val rnd = new scala.util.Random(seed)
+      // bounded so a uniform +shift never wraps any channel
+      val px = Array.fill(w * h * 3)((rnd.nextInt(200)).toByte)
+      val brighter = px.map(b => ((b & 0xff) + shift).toByte)
+      val hash = extensions.Multimodal.phash56(w, h, px)
+      (hash >>> 56) == 0L &&
+        hash == extensions.Multimodal.phash56(w, h, px.clone()) &&
+        hash == extensions.Multimodal.phash56(w, h, brighter)
+    })
+  }
+
+  test("audioHash56: 56-bit range, deterministic, positive-gain invariant") {
+    val genClip = for {
+      n <- Gen.choose(0, 600)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (n, seed)
+    check(Prop.forAll(genClip, Gen.choose(2, 8)) { case ((n, seed), gain) =>
+      val rnd = new scala.util.Random(seed)
+      val clip = Array.fill(n)(rnd.nextInt(4000) - 2000)
+      val hash = extensions.Multimodal.audioHash56(clip)
+      (hash >>> 56) == 0L &&
+        hash == extensions.Multimodal.audioHash56(clip.clone()) &&
+        hash == extensions.Multimodal.audioHash56(clip.map(_ * gain))
+    })
+  }
 }
