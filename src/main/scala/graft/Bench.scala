@@ -74,12 +74,16 @@ object Bench {
     * queries are precisely where a sub-3x inflation dominates the total
     * (a 5.9 s-best query reporting 16.9 s is 2.85x — under the classic
     * ratio — yet carries ~11 extra seconds):
-    *  - the classic 3x AND >1 s absolute (sub-second jitter never fires);
+    *  - the classic 3x AND >0.5 s absolute — the SAME absolute slack the
+    *    weak verdict uses, so anything that could flag weak first earns a
+    *    defensive re-measure (a 1.0 s gate here once let a 0.2 s-best
+    *    query flag weak three passes running on ~0.9 s of neighborhood
+    *    noise it was never re-measured out of);
     *  - 2x for heavy queries (best > 3 s);
     *  - any absolute excess above 5% of the suite's best total — weight-
     *    scaled, so whatever could move the headline number gets re-checked. */
   private def suspect(t: Double, best: Double, totalBest: Double): Boolean =
-    (t > 3 * best && t - best > 1.0) ||
+    (t > 3 * best && t - best > 0.5) ||
       (best > 3.0 && t > 2 * best) ||
       (t - best > math.max(1.0, 0.05 * totalBest))
 
