@@ -920,16 +920,25 @@ final class ControlPlane(val metaDir: String,
       "expires_at_ms" -> JInt(BigInt(s.expiresAtMs))))))
   }
 
+  /** Unlike source passwords — long-lived credentials that must refuse
+    * loudly when the store is encrypted and the key is gone — in-flight
+    * OIDC states are 10-minute ephemera: a state that is expired, or
+    * whose sealed nonce/verifier can no longer be decrypted (key unset
+    * or rotated), is safely discardable, and throwing here would brick
+    * the whole ControlPlane load over a login the user can just retry. */
   private def loadOidcStates(): Vector[OidcState] =
     readFile("oidc_states.json") match {
-      case Some(JArray(items)) => items.toVector.map { o =>
-        OidcState(str(o \ "id"), str(o \ "state"),
-          storedPassword(str(o \ "nonce")),
-          storedPassword(str(o \ "code_verifier")),
-          str(o \ "provider_id"),
-          str(o \ "redirect_uri"),
-          num(o \ "created_at_ms"), num(o \ "expires_at_ms"))
-      }
+      case Some(JArray(items)) =>
+        val now = clock()
+        items.toVector.flatMap { o =>
+          if (num(o \ "expires_at_ms") <= now) None
+          else scala.util.Try(OidcState(str(o \ "id"), str(o \ "state"),
+            storedPassword(str(o \ "nonce")),
+            storedPassword(str(o \ "code_verifier")),
+            str(o \ "provider_id"),
+            str(o \ "redirect_uri"),
+            num(o \ "created_at_ms"), num(o \ "expires_at_ms"))).toOption
+        }
       case _ => Vector.empty
     }
 
@@ -1105,6 +1114,10 @@ final class ControlPlane(val metaDir: String,
       }
       found.filter(_.expiresAtMs > clock())
     }
+
+  /** Snapshot of the in-flight login states (test hook). */
+  private[api] def listOidcStates: Vector[OidcState] =
+    lock.synchronized(oidcStates)
 
   /** ref services/oidc.go:410-419 CleanupExpiredStates. */
   def cleanupExpiredOidcStates(): Int = lock.synchronized {

@@ -145,6 +145,23 @@ object TextAnalysis extends QueryModule {
   // replace() share that contract), which IS BPE's greedy application
   // order. Ranking ties break on the raw pair's UTF-8 bytes (binary
   // collation on both engines).
+  //
+  // Cost envelope and operating range: training is O(BpeRounds ×
+  // |vocabulary|) — one scan of the persisted distinct-word frequency
+  // table plus one top-1 aggregate PER ROUND, because classic BPE's
+  // sequential dependency (round k's stats depend on round k-1's merge)
+  // admits no exact batching. 5 rounds here is deliberate demo scale
+  // proving the loop; a production 32k-merge tokenizer over this layout
+  // would pay 32k vocab scans and instead batches top-K NON-OVERLAPPING
+  // pairs per scan (the standard batched-BPE refinement, an
+  // approximation of the sequential order) or moves pair-stat deltas to
+  // a driver-side heap once the vocabulary fits one node — both change
+  // the learned table, so this operator keeps the exact sequential
+  // semantics the oracle replays. Corpus precondition: text must not
+  // contain private-use code points U+E000..U+E0FF (the placeholder
+  // alphabet the merge chain fuses into — a corpus PUA char would be
+  // indistinguishable from a placeholder on BOTH engines and
+  // mis-segment identically); the fixture corpus is ASCII.
   private val BpeRounds = 5
 
   /** Learn the merge table: (raw pair in placeholder space, placeholder
@@ -211,8 +228,9 @@ object TextAnalysis extends QueryModule {
          |  SELECT p, CAST(n AS BIGINT) AS n FROM bpe_p$k
          |  ORDER BY n DESC, p LIMIT 1),
          |bpe_seg$k AS (
-         |  SELECT w, replace(s, (SELECT p FROM bpe_b$k), chr(${0xE000 + k}))
-         |    AS s, f
+         |  SELECT w, replace(s,
+         |    COALESCE((SELECT p FROM bpe_b$k), chr(${0xE000 + k})),
+         |    chr(${0xE000 + k})) AS s, f
          |  FROM bpe_seg${k - 1})""".stripMargin
     }.mkString(",\n")
     s"""bpe_seg0 AS (
@@ -223,11 +241,21 @@ object TextAnalysis extends QueryModule {
   }
 
   private def bpeTrainSql: String = {
+    // A round with NO pair (tiny or fully-merged corpus) leaves bpe_b$k
+    // empty: its seg CTE COALESCEs to an identity replace, its output
+    // row is suppressed by the EXISTS guard (the engine likewise skips
+    // the merge), and the expansion chain COALESCEs the missing pair to
+    // '' — replacing an absent placeholder with '' is identity. Empty
+    // rounds are necessarily a SUFFIX (no pair now ⇒ no pair ever
+    // after), so surviving ranks stay contiguous on both engines.
     val rows = (1 to BpeRounds).map { k =>
       val tok = (k - 1 to 1 by -1).foldLeft(s"(SELECT p FROM bpe_b$k)") {
-        (acc, j) => s"replace($acc, chr(${0xE000 + j}), (SELECT p FROM bpe_b$j))"
+        (acc, j) =>
+          s"replace($acc, chr(${0xE000 + j}), " +
+            s"COALESCE((SELECT p FROM bpe_b$j), ''))"
       }
-      s"SELECT CAST($k AS BIGINT) AS rank, $tok AS token, (SELECT n FROM bpe_b$k) AS n"
+      s"SELECT CAST($k AS BIGINT) AS rank, $tok AS token, " +
+        s"(SELECT n FROM bpe_b$k) AS n WHERE EXISTS (SELECT 1 FROM bpe_b$k)"
     }.mkString("\nUNION ALL ")
     s"""WITH $bpeTrainCtes
        |$rows
@@ -445,6 +473,8 @@ object TextAnalysis extends QueryModule {
     langProfileCache.clear()
     lmScoreCache.values.foreach(_.unpersist())
     lmScoreCache.clear()
+    evalGramsCache.values.foreach(_.unpersist())
+    evalGramsCache.clear()
   }
 
   private def langidProfile(s: SparkSession, d: String): DataFrame = {
@@ -1134,20 +1164,35 @@ object TextAnalysis extends QueryModule {
   // integer arithmetic so both engines agree exactly.
   private val EvalMod = 25
 
-  private def contamination(s: SparkSession, d: String): DataFrame = {
-    // trigram membership needs only gram IDENTITY: grams travel as
-    // their poly_hash via the one-pass codegen'd TokenWindowHashes
-    // (the transform/concat_ws/slice form ran per window on the
-    // interpreted HOF path); a collision replays identically in the
-    // oracle. Window count max(n-2, 1) keeps the truncated-short-doc
-    // convention: a 2-token doc contributes its single whole string.
-    val grams = Tables.documents(s, d)
+  /** Corpus word-trigram stream: grams travel as their poly_hash via
+    * the one-pass codegen'd TokenWindowHashes (the
+    * transform/concat_ws/slice form ran per window on the interpreted
+    * HOF path); a collision replays identically in the oracle. Window
+    * count max(n-2, 1) keeps the truncated-short-doc convention: a
+    * 2-token doc contributes its single whole string. */
+  private def grams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
-    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
-      .select(col("g")).distinct().withColumn("hit", lit(1L))
-    grams.filter(col("doc_id") % EvalMod =!= 0)
-      .join(broadcast(evalGrams), Seq("g"), "left")
+
+  /** The held-out slice's distinct-gram table, persisted per (session,
+    * dir): both decontamination variants consume it — exact as the
+    * broadcast probe side, Bloom as sketch source AND verify side —
+    * and the Bloom path alone reads it three times (count, sketch
+    * aggregate, verify semi-join), so without the persist the
+    * tokenize+explode+distinct lineage re-runs per read. */
+  private val evalGramsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def evalGrams(s: SparkSession, d: String): DataFrame =
+    evalGramsCache.getOrElseUpdate((graft.SessionKeys(s), d),
+      grams(s, d).filter(col("doc_id") % EvalMod === 0)
+        .select(col("g")).distinct().persist())
+
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val evalHits = evalGrams(s, d).withColumn("hit", lit(1L))
+    grams(s, d).filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalHits), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -1169,23 +1214,19 @@ object TextAnalysis extends QueryModule {
     * [[Dedup.bloomPrefilter]], applied to the CCNet/GPT-3-style
     * decontamination stage. */
   private def contaminationBloom(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
-    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
-      .select(col("g")).distinct()
-    val nEval = math.max(evalGrams.count(), 1L)
-    val bloomBytes = evalGrams
+    val ev = evalGrams(s, d) // persisted: read 3× below (count/sketch/verify)
+    val nEval = math.max(ev.count(), 1L)
+    val bloomBytes = ev
       .agg(org.apache.spark.sql.GraftBridge
         .bloomAggregate(col("g"), nEval).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val corpusGrams = grams.filter(col("doc_id") % EvalMod =!= 0)
+    val corpusGrams = grams(s, d).filter(col("doc_id") % EvalMod =!= 0)
     val totals = corpusGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val hits = corpusGrams
       .where(org.apache.spark.sql.GraftBridge
         .bloomMightContain(lit(bloomBytes), col("g")))
-      .join(evalGrams, Seq("g"), "left_semi")
+      .join(ev, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq("doc_id"), "left")
@@ -1282,17 +1323,16 @@ object TextAnalysis extends QueryModule {
       .where(clsKeep(col("sw"), col("n")))
       .select(col("doc_id"))
     val classified = deduped.join(clsKeepDocs, Seq("doc_id"), "left_semi")
-    val evalGrams = docs.where(col("doc_id") % EvalMod === 0)
-      .select(explode(graft.functions.TokenWindowHashes(col("text"), 3))
-        .as("g"))
-      .distinct().withColumn("hit", lit(1L))
+    // the same persisted held-out gram table the standalone
+    // decontamination queries probe
+    val evalHits = evalGrams(s, d).withColumn("hit", lit(1L))
     // the benchmark slice itself leaves the training corpus, and so
     // does anything >= 80% covered by its trigrams
     val candidates = classified.where(col("doc_id") % EvalMod =!= 0)
     val contamKeep = candidates
       .select(col("doc_id"),
         explode(graft.functions.TokenWindowHashes(col("text"), 3)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"), "left")
+      .join(broadcast(evalHits), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_g"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

@@ -91,6 +91,34 @@ class CredentialCryptoSpec extends AnyFunSuite {
     assert(got.map(_.codeVerifier) === Some(st.codeVerifier))
   }
 
+  test("undecryptable or expired OIDC states are dropped on load, not fatal") {
+    // Unlike source passwords (long-lived credentials — keyless reopen
+    // over encrypted values must refuse loudly, covered above), pending
+    // OIDC login states are 10-minute ephemera: losing the key only
+    // costs the user a login retry, so a restart without the key must
+    // come up clean instead of bricking the whole control-plane load.
+    val meta = Files.createTempDirectory("graft-oidcst-drop").toString
+    val cp = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key))
+    val p = cp.createOidcProvider("corp", "Corp", "generic",
+      "http://localhost:1", "cid")
+    cp.createOidcState(p.id, "http://localhost:3000/done")
+    // keyless reopen: the sealed nonce/verifier can't be resolved — the
+    // state is discarded, nothing throws, and new logins work
+    val keyless = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = None)
+    assert(keyless.listOidcStates.isEmpty)
+    // expired-at-load states are dropped too (clock injected past TTL)
+    var now = 1_000_000L
+    val cp2 = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key), clock = () => now)
+    val st = cp2.createOidcState(p.id, "http://localhost:3000/done")
+    now += ControlPlane.OidcStateTtlMs + 1
+    val reopened = new ControlPlane(meta, connTest = _ => Right(1L),
+      credentialKey = Some(key), clock = () => now)
+    assert(!reopened.listOidcStates.exists(_.state == st.state))
+  }
+
   test("a keyless password colliding with a format marker round-trips (escaped)") {
     val meta = Files.createTempDirectory("graft-cred-collide").toString
     val cp = new ControlPlane(meta, connTest = _ => Right(1L),
