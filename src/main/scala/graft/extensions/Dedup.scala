@@ -302,7 +302,8 @@ object Dedup extends QueryModule {
       (graft.SessionKeys(s), d, s"word|exact|$SSJoinT"),
       exactJaccardPairsUncached(s, d).persist())
 
-  private def exactJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
+  /** private[extensions]: the spec pins this plan's Window keys. */
+  private[extensions] def exactJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d, "word3", wordSig, 2)
     val sh = sig.select(col("doc_id"), col("sh")) // sorted-distinct asc
     // Prefixes are taken under ASCENDING CORPUS FREQUENCY (ties by hash)
@@ -311,20 +312,24 @@ object Dedup extends QueryModule {
     // under the SAME order), but rare-first prefixes shrink the candidate
     // mass ~2× on this corpus (spec-pinned) and defuse hot-shingle skew:
     // a shingle shared by 10% of the corpus sorts LAST, so it enters
-    // almost no prefix and never becomes a hot join key. The frequency
-    // table is one extra groupBy over the exploded shingles; the per-doc
-    // rank window shuffles by doc_id, both standard PPJoin preprocessing.
+    // almost no prefix and never becomes a hot join key.
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("h"))
-    // corpus frequency as a COUNT WINDOW over the exploded frame (a
-    // groupBy + join-back would shuffle the explode twice for the same
-    // partitioning), then the per-doc rank window — two key-partitioned
-    // exchanges of (id, sz, h) rows total
-    val fW = Window.partitionBy(col("h"))
+    // Corpus frequency via groupBy + join-back, NOT count().over(Window
+    // .partitionBy(h)): the window formulation gathers ALL of a hot
+    // shingle's exploded rows into ONE unsplittable window task
+    // (WindowExec buffers the partition and AQE cannot skew-split a
+    // window), so the very key the frequency ORDER defuses downstream
+    // would straggle the frequency stage itself at 100×. The groupBy
+    // partial-aggregates map-side (a hot key reduces to one partial
+    // count per map task) and the join-back is a plain shuffled
+    // equi-join AQE's OptimizeSkewedJoin CAN split. `sh` projects the
+    // persisted signature cache, so the two scans of `ex` read cached
+    // columnar batches, not the tokenize+shingle lineage twice.
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val rankW = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
-    val pref = ex
-      .withColumn("f", count(lit(1)).over(fW))
+    val pref = ex.join(freq, "h")
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(SSJoinPrefixT)) + 1)
       .select(col("doc_id"), col("h"))
@@ -1006,8 +1011,8 @@ object Dedup extends QueryModule {
     * production-scale setting the ADVICE asked to make actionable). */
   private[extensions] val SpanHashConf = "graft.dedup.spanHash"
 
-  /** (doc_id, pos) of every window whose hash repeats corpus-wide. */
-  private def dupOccurrences(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, pos, wh) of every K-token window in the corpus. */
+  private def windowFrame(s: SparkSession, d: String): DataFrame = {
     val wide = s.conf.get(SpanHashConf, "poly32") == "wide64"
     val toks = TextAnalysis.tokens(col("text"))
     // poly32 hashes come from the one-pass codegen'd TokenWindowHashes
@@ -1022,17 +1027,26 @@ object Dedup extends QueryModule {
           i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(SpanK)))))
       else graft.functions.TokenWindowHashes(col("text"), SpanK))
       .otherwise(array().cast("array<bigint>"))
-    val wins = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "wh")))
-    // count-per-hash as a window function: the tokenize+explode subtree is
-    // evaluated once (the earlier groupBy + join-back formulation computed
-    // it twice per query — r16 verdict #4). One shuffle on wh; a hot
-    // boilerplate hash skews this partition exactly as it would skew the
-    // join build side, so nothing is lost at scale.
-    wins
-      .withColumn("n_occ",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
+  }
+
+  /** Occurrences of corpus-wide repeated hashes, from a PINNED window
+    * frame: groupBy(wh) + semi-join-back, NOT count().over(Window
+    * .partitionBy(wh)) — a hot boilerplate hash (the operator's whole
+    * point is that boilerplate repeats) would gather its entire row
+    * set into ONE unsplittable window task, while the groupBy
+    * partial-aggregates map-side and the semi-join is skew-splittable
+    * by AQE. The caller persists `wins` so the O(tokens) tokenize +
+    * window-hash explode still runs ONCE per session (the r16 concern
+    * with join-back); at 100 TB that pin is MEMORY_AND_DISK — or a
+    * recompute, a storage-level knob, not a plan change. */
+  private def dupOccurrences(wins: DataFrame): DataFrame = {
+    val dupHashes = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+      .select(col("wh"))
+    wins.join(dupHashes, Seq("wh"), "left_semi")
       .select(col("doc_id"), col("pos"))
   }
 
@@ -1048,17 +1062,36 @@ object Dedup extends QueryModule {
   private def dupSpanIslands(s: SparkSession, d: String): DataFrame =
     spanIslandCache.getOrElseUpdate(
       (graft.SessionKeys(s), d, s.conf.get(SpanHashConf, "poly32")),
-      dupSpanIslandsUncached(s, d).persist())
+      dupSpanIslandsUncached(s, d))
 
-  private def dupSpanIslandsUncached(s: SparkSession, d: String): DataFrame = {
+  /** Island merge over a window frame — lazy plan, shared by the eager
+    * build below and the spec's Window-key plan pin. */
+  private[extensions] def islandsOf(wins: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupOccurrences(s, d)
+    dupOccurrences(wins)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= SpanK, 0).otherwise(1))
       .withColumn("g", sum(col("brk")).over(byDoc))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(SpanK - 1)).as("e"))
+  }
+
+  /** The span-island plan with no persists — the spec pins its shape. */
+  private[extensions] def spanIslandPlan(s: SparkSession, d: String): DataFrame =
+    islandsOf(windowFrame(s, d))
+
+  /** Returns the island frame already persisted AND materialized: the
+    * window frame is pinned only for the duration of this build (both
+    * the repeat-hash aggregate and the semi-join probe read it), then
+    * released — eager so the temporary pin has a bounded lifetime. */
+  private def dupSpanIslandsUncached(s: SparkSession, d: String): DataFrame = {
+    val wins = windowFrame(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val islands = islandsOf(wins).persist()
+    islands.count()
+    wins.unpersist()
+    islands
   }
 
   private def dupSpans(s: SparkSession, d: String): DataFrame = {

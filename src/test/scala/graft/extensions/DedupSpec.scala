@@ -233,6 +233,42 @@ class DedupSpec extends SparkTestBase {
       (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size < t })
   }
 
+  test("corpus-hash frequency stages plan with NO Window keyed on h/wh") {
+    // The skew half of the prefix-filter story: the frequency ORDER
+    // keeps a hot shingle out of every prefix, but COMPUTING that
+    // frequency (and the repeated-window-hash filter in dedup_dup_spans)
+    // must not itself gather the hot key into one task. A Window
+    // partitioned by the corpus hash buffers the whole hot partition in
+    // ONE task that AQE cannot split; the groupBy+join-back formulation
+    // partial-aggregates map-side and leaves a skew-splittable join.
+    // Pin: no Window node keyed on the corpus hash in either plan.
+    // Earlier tests populate pairsCache/spanIslandCache with these very
+    // plans; Spark's cache replacement would then swallow the whole
+    // fresh plan into one InMemoryRelation and the pin would match
+    // nothing — drop the caches so the real operator tree is visible.
+    graft.EngineCaches.invalidateAll()
+    def corpusKeyedWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(a =>
+            a.name == "h" || a.name == "wh")) => w
+      }
+    val jac = Dedup.exactJaccardPairsUncached(spark, sf0001)
+    assert(corpusKeyedWindows(jac).isEmpty,
+      "exact-jaccard frequency rank must not window by shingle hash")
+    val spans = Dedup.spanIslandPlan(spark, sf0001)
+    assert(corpusKeyedWindows(spans).isEmpty,
+      "dup-span occurrence filter must not window by window hash")
+    // guard the pin itself: the per-doc windows (rank / island breaks)
+    // are still Window nodes — the collect isn't trivially empty
+    def docKeyedWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "doc_id")) => w
+      }
+    assert(docKeyedWindows(jac).nonEmpty && docKeyedWindows(spans).nonEmpty)
+  }
+
   test("bloom prefilter: sketch admits no false negatives, verify join kills its false positives, corpus side never shuffles") {
     import org.apache.spark.sql.GraftBridge
     val docs = graft.Tables.documents(spark, sf0001)
