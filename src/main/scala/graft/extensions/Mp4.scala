@@ -80,6 +80,94 @@ object Mp4 {
     }
   }
 
+  // ------------------------------------------------- full video fixture
+
+  /** A COMPLETE tiny movie: ftyp + moov(mvhd + trak(tkhd)) + mdat of
+    * raw frame-major RGB24 — the video analogue of [[Png.encodeRgb]]'s
+    * full-pixel fixtures. tkhd (§8.3.3) is the real home of the visual
+    * dimensions (mvhd carries none — true to the format); the mdat
+    * payload is what a decoded-sample plane buffer looks like after the
+    * codec stage, which keeps the fixture codec-free while the
+    * container walk, the fixed-point 16.16 dims, and the frame math
+    * stay REAL. `duration` ticks at `timescale` must equal `frames` at
+    * the pipeline's nominal fps for the header to be self-consistent —
+    * the caller owns that arithmetic. */
+  def encodeVideo(timescale: Int, duration: Int, w: Int, h: Int,
+                  frames: Int, px: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0)
+    val ftyp = be32(20) ++ tag("ftyp") ++ tag("isom") ++ be32(0x200) ++ tag("isom")
+    val mvhdData =
+      be32(0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(duration) ++
+        be32(0x00010000) ++
+        Array[Byte](0x01, 0x00) ++ Array.fill[Byte](10)(0) ++
+        IdentityMatrix ++
+        Array.fill[Byte](24)(0) ++
+        be32(2)
+    val mvhd = be32(8 + mvhdData.length) ++ tag("mvhd") ++ mvhdData
+    val tkhdData = // version 0, flags 0x7 (enabled|in_movie|in_preview)
+      be32(0x000007) ++
+        be32(0) ++ be32(0) ++ // creation/modification
+        be32(1) ++ be32(0) ++ // track_ID, reserved
+        be32(duration) ++
+        Array.fill[Byte](8)(0) ++ // reserved
+        Array.fill[Byte](2)(0) ++ Array.fill[Byte](2)(0) ++ // layer, group
+        Array.fill[Byte](2)(0) ++ Array.fill[Byte](2)(0) ++ // volume, reserved
+        IdentityMatrix ++
+        be32(w << 16) ++ be32(h << 16) // 16.16 fixed point
+    val tkhd = be32(8 + tkhdData.length) ++ tag("tkhd") ++ tkhdData
+    val trak = be32(8 + tkhd.length) ++ tag("trak") ++ tkhd
+    val moov = be32(8 + mvhd.length + trak.length) ++ tag("moov") ++ mvhd ++ trak
+    val data = new Array[Byte](frames * w * h * 3)
+    var i = 0
+    var f = 0
+    while (f < frames) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          data(i) = px(f, x, y, 0).toByte
+          data(i + 1) = px(f, x, y, 1).toByte
+          data(i + 2) = px(f, x, y, 2).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    val mdat = be32(8 + data.length) ++ tag("mdat") ++ data
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Box-walk moov → trak → tkhd and read the 16.16 visual dims. */
+  def parseTkhd(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 16 || readBe32(bytes, 0) < 16) return None
+    if (!bytes.slice(4, 8).sameElements(tag("ftyp"))) return None
+    findBox(bytes, 0, bytes.length, "moov").flatMap { case (mOff, mEnd) =>
+      findBox(bytes, mOff, mEnd, "trak").flatMap { case (tOff, tEnd) =>
+        findBox(bytes, tOff, tEnd, "tkhd").flatMap { case (off, end) =>
+          if (off + 4 > end) None
+          else (bytes(off) & 0xff) match {
+            case 0 if off + 84 <= end =>
+              Some((readBe32(bytes, off + 76) >>> 16,
+                readBe32(bytes, off + 80) >>> 16))
+            case 1 if off + 96 <= end =>
+              Some((readBe32(bytes, off + 88) >>> 16,
+                readBe32(bytes, off + 92) >>> 16))
+            case _ => None
+          }
+        }
+      }
+    }
+  }
+
+  /** Top-level mdat payload span (offset until end of box). */
+  def parseMdat(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 16 || readBe32(bytes, 0) < 16) return None
+    if (!bytes.slice(4, 8).sameElements(tag("ftyp"))) return None
+    findBox(bytes, 0, bytes.length, "mdat")
+  }
+
   /** Scan sibling boxes in [from, to); return the payload span of the
     * first box of the wanted type. */
   private def findBox(b: Array[Byte], from: Int, to: Int, want: String): Option[(Int, Int)] = {

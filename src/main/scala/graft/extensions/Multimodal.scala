@@ -590,9 +590,20 @@ object Multimodal extends QueryModule {
   private val phashCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
+  /** Verified neighbor-pair sets per (session, dir, kind, bound): the
+    * banded join runs ONCE per modality and both its consumers (the
+    * star decision list and the distance histogram) read the persisted
+    * result — pair sets are decision-sized (bounded by the near-dup
+    * mass, not the corpus), so the pin is cheap and the join never
+    * re-runs per query. Same discipline as TextAnalysis.lmDocScores. */
+  private val neighCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Long), DataFrame]
+
   def invalidateCaches(): Unit = {
     phashCache.values.foreach(_.unpersist())
     phashCache.clear()
+    neighCache.values.foreach(_.unpersist())
+    neighCache.clear()
   }
 
   /** The per-image kernel, exposed for the spec's perceptual-property
@@ -619,18 +630,62 @@ object Multimodal extends QueryModule {
     ph
   }
 
+  /** Session conf: when "true", an undecodable blob fails the hash
+    * stage loudly — the posture for the synthesized fixture, where a
+    * decode failure IS an engine bug. Default is the crawl posture:
+    * route the blob to the counted reject frame ([[decodeRejects]], the
+    * DLQ discipline of [[graft.reliability.DeadLetter]]) and keep
+    * hashing the rest — one corrupt image must not kill a corpus-wide
+    * dedup pass. */
+  private[graft] val StrictDecodeConf = "graft.multimodal.strictDecode"
+
+  /** One pass over the blobs: (doc_id, ph) with ph NULL for
+    * undecodables; persisted per (session, dir, kind) — the dup/hist/
+    * incremental queries read the valid rows, [[decodeRejects]] the
+    * null ones, from the same frame. */
+  private def decodedHashes(s: SparkSession, d: String, kind: String,
+                            blobs: (SparkSession, String) => DataFrame,
+                            hash: (Long, Array[Byte]) => Option[Long]): DataFrame =
+    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, kind),
+      hashFrame(s, blobs(s, d), kind, hash).persist())
+
+  /** Uncached single pass blob → nullable hash; exposed so the spec can
+    * feed a corrupted blob through the exact dedup pipeline. */
+  private[graft] def hashFrame(s: SparkSession, blobs: DataFrame, kind: String,
+                               hash: (Long, Array[Byte]) => Option[Long]): DataFrame = {
+    import s.implicits._
+    val strict = s.conf.get(StrictDecodeConf, "false") == "true"
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h = hash(id, bytes)
+        if (strict && h.isEmpty) throw new IllegalArgumentException(
+          s"doc $id: undecodable $kind blob")
+        (id, h.map(java.lang.Long.valueOf).orNull)
+      })
+      .toDF("doc_id", "ph")
+  }
+
+  /** The per-modality decode+hash kernels, keyed like the cache. */
+  private[graft] def hashKernel(kind: String): (Long, Array[Byte]) => Option[Long] =
+    kind match {
+      case "image" => (_, b) => Png.decodeRgb(b)
+        .map(dec => phash56(dec.width, dec.height, dec.pixels))
+      case "audio" => (_, b) => Wav.decodeSamples(b).map(audioHash56)
+      case _       => (_, b) => videoHash56(b)
+    }
+
+  /** doc_ids whose blob failed the perceptual-hash decode (empty on the
+    * fixture corpus; fed by the crawl posture above). */
+  private[graft] def decodeRejects(s: SparkSession, d: String,
+                                   kind: String): DataFrame =
+    (kind match {
+      case "image" => phashes(s, d)
+      case "audio" => audioHashes(s, d)
+      case _       => videoHashes(s, d)
+    }).filter(col("ph").isNull).select(col("doc_id"))
+
   private def phashes(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, "image"), {
-      import s.implicits._
-      pixelPngs(s, d).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val dec = Png.decodeRgb(bytes).getOrElse(
-            throw new IllegalArgumentException(s"doc $id: invalid PNG"))
-          (id, phash56(dec.width, dec.height, dec.pixels))
-        })
-        .toDF("doc_id", "ph")
-        .persist()
-    })
+    decodedHashes(s, d, "image", pixelPngs, hashKernel("image"))
 
   /** DISTINCT near-dup neighbor pairs (doc_id > dup_of) from the banded
     * Hamming-bucket join: each hash splits into 4 bands of 14 bits, the
@@ -638,26 +693,100 @@ object Multimodal extends QueryModule {
     * all-pairs — and candidates verify by exact popcount of the XOR.
     * Same layout as [[Dedup.simhashPairs]]. Scale shape: each image
     * shuffles 4 band rows; a bucket's cost is quadratic in its size, and
-    * dHash bands (gradient signs) are corpus-dependent — a production
-    * deployment watches the bucket histogram (spec-pinned here) and
-    * widens bands if one runs hot. */
+    * dHash bands (gradient signs) are corpus-dependent — the bucket
+    * histogram is spec-pinned AND the operator now defends itself: any
+    * (band, value) bucket above [[BucketBoundConf]] is re-keyed by
+    * sub-bands of its remaining bits (see [[hammingNeighborsBounded]]),
+    * splitting the quadratic bucket ~4× per level while keeping
+    * pigeonhole completeness. */
   private def phashNeighbors(s: SparkSession, d: String): DataFrame =
-    hammingNeighbors(phashes(s, d))
+    cachedNeighbors(s, d, "image", phashes(s, d))
 
-  private def hammingNeighbors(ph: DataFrame): DataFrame = {
-    val bands = ph.select(col("doc_id"), col("ph"),
-      posexplode(array((0 until PhBands).map(j =>
-        shiftright(col("ph"), j * PhBandBits) % lit(1 << PhBandBits)): _*))
-        .as(Seq("b", "bv")))
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") > col("b.doc_id"))
+  private[graft] val BucketBoundConf = "graft.multimodal.bucketBound"
+  private val DefaultBucketBound = 4096L
+
+  private def cachedNeighbors(s: SparkSession, d: String, kind: String,
+                              hashes: => DataFrame): DataFrame = {
+    val bound =
+      s.conf.get(BucketBoundConf, DefaultBucketBound.toString).toLong
+    neighCache.getOrElseUpdate((graft.SessionKeys(s), d, kind, bound),
+      hammingNeighborsBounded(hashes, bound).persist())
+  }
+
+  private def bandCols(ph: Column): Seq[Column] =
+    (0 until PhBands).map(j =>
+      shiftright(ph, j * PhBandBits) % lit(1 << PhBandBits))
+
+  /** Verified pairs from a self equi-join of `bands` on `keys`. */
+  private def bandPairs(bands: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.doc_id") > col("b.doc_id")
+    bands.alias("a").join(bands.alias("b"), cond)
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
         bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("bigint")
           .as("hamming"))
       .filter(col("hamming") <= PhHamMax)
-      .distinct()
+  }
+
+  /** The hash's 42 bits OUTSIDE band `j`, as one packed value. */
+  private def remBits(ph: Column, j: Int): Column =
+    shiftleft(shiftright(ph, (j + 1) * PhBandBits), j * PhBandBits)
+      .bitwiseOR(ph % lit(1L << (j * PhBandBits)))
+
+  /** Sub-band widths over the 42 remaining bits: [[PhHamMax]] + 1 = 4
+    * sub-bands, so <= 3 differing bits leave >= 1 sub-band equal —
+    * the same pigeonhole, one level down. */
+  private val SubWidths = Seq(11, 11, 10, 10)
+
+  private def subBandCols(rem: Column): Seq[Column] = {
+    val offs = SubWidths.scanLeft(0)(_ + _)
+    SubWidths.zip(offs).map { case (wd, off) =>
+      shiftright(rem, off) % lit(1 << wd)
+    }
+  }
+
+  /** The banded join with the bucket-overflow DEFENSE. Bucket sizes are
+    * measured first — a groupBy over (band, value), map-side partial
+    * and INTRINSICALLY bounded output (4 bands × 2^14 values = 65 536
+    * rows max, whatever the corpus size) — and a driver-side probe asks
+    * whether ANY bucket exceeds `bound`:
+    *
+    *  - No (the overwhelmingly common case): the plan IS the plain
+    *    banded equi-join; the defense costs one metadata-sized
+    *    aggregate job and nothing in the join itself.
+    *  - Yes: rows in bounded buckets join on (band, value) as usual;
+    *    rows in OVERSIZED buckets additionally split by sub-bands of
+    *    their remaining 42 bits and join on (band, value, sub-band,
+    *    sub-value). A qualifying pair (Hamming <= [[PhHamMax]] = 3)
+    *    sharing an oversized band has <= 3 differing bits spread over
+    *    4 sub-bands, so at least one sub-band still matches — recall
+    *    stays perfect while the hot bucket's quadratic mass drops by
+    *    the sub-bucket split (recursively ~16x smaller buckets). The
+    *    bucket-key frames broadcast (<= 65 536 rows by construction).
+    *
+    * Exposed with an explicit bound for the spec's forced-overflow
+    * completeness gate. */
+  private[graft] def hammingNeighborsBounded(ph: DataFrame,
+                                             bound: Long): DataFrame = {
+    val hashes = ph.filter(col("ph").isNotNull)
+    val bands = hashes.select(col("doc_id"), col("ph"),
+      posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
+    val sizes = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+    val hotKeys = sizes.filter(col("bn") > bound).select(col("b"), col("bv"))
+    if (hotKeys.limit(1).collect().isEmpty)
+      return bandPairs(bands, Seq("b", "bv")).distinct()
+    val okKeys = sizes.filter(col("bn") <= bound).select(col("b"), col("bv"))
+    val cand1 = bandPairs(bands.join(broadcast(okKeys), Seq("b", "bv"),
+      "left_semi"), Seq("b", "bv"))
+    val rem = (0 until PhBands).foldLeft(lit(0L)) { (acc, j) =>
+      when(col("b") === j, remBits(col("ph"), j)).otherwise(acc)
+    }
+    val sub = bands.join(broadcast(hotKeys), Seq("b", "bv"), "left_semi")
+      .select(col("doc_id"), col("ph"), col("b"), col("bv"),
+        posexplode(array(subBandCols(rem): _*)).as(Seq("sb", "sbv")))
+    val cand2 = bandPairs(sub, Seq("b", "bv", "sb", "sbv"))
+    cand1.union(cand2).distinct()
   }
 
   /** Per-image near-dup DECISION, not all-pairs: every image with at
@@ -667,7 +796,7 @@ object Multimodal extends QueryModule {
     * materializes; the keep/drop decision list is linear in the corpus
     * and is what the downstream filter actually consumes (the same shape
     * as dedup_minhash_survivors). */
-  private def starDups(neigh: DataFrame): DataFrame = {
+  private[graft] def starDups(neigh: DataFrame): DataFrame = {
     val m = neigh
       .groupBy(col("doc_id"))
       .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
@@ -768,12 +897,10 @@ object Multimodal extends QueryModule {
     * ingestion pipeline consumes. Same cached hash frame as the batch
     * queries. */
   private def phashIncremental(s: SparkSession, d: String): DataFrame = {
-    val ph = phashes(s, d)
+    val ph = phashes(s, d).filter(col("ph").isNotNull)
     val isNew = col("doc_id") % 15 === 0 // image docs are % 3 == 0
     val bands = ph.select(col("doc_id"), col("ph"),
-      posexplode(array((0 until PhBands).map(j =>
-        shiftright(col("ph"), j * PhBandBits) % lit(1 << PhBandBits)): _*))
-        .as(Seq("b", "bv")))
+      posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
     bands.filter(isNew).alias("a")
       .join(bands.filter(!isNew).alias("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv"))
@@ -831,25 +958,17 @@ object Multimodal extends QueryModule {
   }
 
   private def audioHashes(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, "audio"), {
-      import s.implicits._
-      assets(s, d)
+    decodedHashes(s, d, "audio",
+      (s2, d2) => assets(s2, d2)
         .filter(col("meta.mime") === "audio/wav")
-        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val samples = Wav.decodeSamples(bytes).getOrElse(
-            throw new IllegalArgumentException(s"doc $id: undecodable PCM"))
-          (id, audioHash56(samples))
-        })
-        .toDF("doc_id", "ph")
-        .persist()
-    })
+        .select(col("doc_id"), col("blob")),
+      hashKernel("audio"))
 
   private def audioDups(s: SparkSession, d: String): DataFrame =
-    starDups(hammingNeighbors(audioHashes(s, d)))
+    starDups(cachedNeighbors(s, d, "audio", audioHashes(s, d)))
 
   private def audioHist(s: SparkSession, d: String): DataFrame =
-    hammingHist(hammingNeighbors(audioHashes(s, d)))
+    hammingHist(cachedNeighbors(s, d, "audio", audioHashes(s, d)))
 
   /** Amplitude + frame-energy + hash CTEs replaying the PCM synthesis
     * arithmetically (the fixture corpus is pure ASCII, so DuckDB's char
@@ -891,6 +1010,130 @@ object Multimodal extends QueryModule {
   private val audioHistSql =
     s"WITH $audioHashCtesSql\n$histSelectSql"
 
+  // ------------------------------- perceptual video near-dup (frame hashes)
+
+  /** Frame geometry/count/seed for the full-pixel MP4 fixtures — same
+    * discipline as [[pixelDims]]: small enough that the whole corpus
+    * encodes+decodes in seconds, derived only from the payload length so
+    * the oracle replays every pixel arithmetically. */
+  def videoDims(n: Int): (Int, Int) = (8 + n % 48, 8 + (n * 5) % 32)
+  def videoFrames(n: Int): Int = 4 + n % 5 // 4..8 — always >= 3 samples
+  /** Per-frame pixel: the [[pixelValue]] formula with a frame-stepped
+    * seed, so consecutive frames of one video are related-but-distinct
+    * (a real clip's temporal coherence) while videos with congruent
+    * payload lengths collide — the natural near-dup source. */
+  def videoPixel(f: Int, x: Int, y: Int, c: Int, seed: Int): Int =
+    pixelValue(x, y, c, seed + 19 * f)
+
+  /** Ticks per frame keeping mvhd self-consistent: [[Mp4Timescale]] is
+    * an exact multiple of [[Fps]] (600 / 24 = 25), so duration =
+    * frames × 25 parses back to the exact frame count. */
+  private val TicksPerFrame = Mp4Timescale / Fps
+
+  /** COMPLETE movies (ftyp + moov(mvhd+trak/tkhd) + raw-RGB mdat) for
+    * every video-mime doc. Partition-parallel, formula-replayable. */
+  private def pixelMp4s(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val n = text.getBytes("UTF-8").length
+        val (w, h) = videoDims(n)
+        val nf = videoFrames(n)
+        val seed = pixelSeed(n)
+        (id, Mp4.encodeVideo(Mp4Timescale, nf * TicksPerFrame, w, h, nf,
+          (f, x, y, c) => videoPixel(f, x, y, c, seed)))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** The three sampled frame indices of an nf-frame clip: first, middle,
+    * last — the cheap temporal spread a crawl-scale video dedup samples
+    * (hashing every frame is decode-bound for no recall gain at the
+    * near-exact-copy distances banding covers). */
+  private[graft] def sampleIdx(nf: Int): Seq[Int] =
+    Seq(0, nf / 2, nf - 1)
+
+  /** Per-bit majority of three 56-bit hashes — one hash per video, so
+    * the SHARED banded join stays one-row-per-asset. A bit survives iff
+    * >= 2 sampled frames agree, which keeps the video hash stable when
+    * one sampled frame differs (re-encode glitch, title card). */
+  private[graft] def majority3(a: Long, b: Long, c: Long): Long =
+    (a & b) | (a & c) | (b & c)
+
+  /** REAL decode: box-walk to tkhd dims and the mdat payload, slice the
+    * three sampled frames out of the raw RGB plane, dHash each with the
+    * SAME [[phash56]] kernel as images, majority-combine. */
+  private[graft] def videoHash56(bytes: Array[Byte]): Option[Long] = for {
+    (w, h) <- Mp4.parseTkhd(bytes)
+    (from, to) <- Mp4.parseMdat(bytes)
+    frameBytes = w * h * 3
+    if frameBytes > 0 && (to - from) % frameBytes == 0
+    nf = (to - from) / frameBytes
+    if nf >= 3
+    hs = sampleIdx(nf).map { f =>
+      phash56(w, h, java.util.Arrays.copyOfRange(
+        bytes, from + f * frameBytes, from + (f + 1) * frameBytes))
+    }
+  } yield majority3(hs(0), hs(1), hs(2))
+
+  private def videoHashes(s: SparkSession, d: String): DataFrame =
+    decodedHashes(s, d, "video", pixelMp4s, hashKernel("video"))
+
+  private def videoDups(s: SparkSession, d: String): DataFrame =
+    starDups(cachedNeighbors(s, d, "video", videoHashes(s, d)))
+
+  private def videoHist(s: SparkSession, d: String): DataFrame =
+    hammingHist(cachedNeighbors(s, d, "video", videoHashes(s, d)))
+
+  /** Frame-hash + per-bit majority CTEs replaying [[videoHash56]]
+    * arithmetically from the synthesis formulas — the oracle never
+    * touches container bytes, so the engine's box walk, mdat slicing,
+    * and majority fold are all under test. */
+  private val videoHashCtesSql =
+    s"""vid AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vdims AS (
+       |  SELECT doc_id, 8 + n % 48 AS w, 8 + (n * 5) % 32 AS h,
+       |    4 + n % 5 AS nf, n % 251 AS s
+       |  FROM vid),
+       |vfr AS (
+       |  SELECT doc_id, w, h, s + 19 * f AS fs
+       |  FROM vdims, unnest([0, nf // 2, nf - 1]) AS t(f)),
+       |vphc AS (
+       |  SELECT d.doc_id, d.fs, oy.range AS oy, ox.range AS ox,
+       |    (ox.range * d.w) // $PhGrid AS sxa,
+       |    ((ox.range + 1) * d.w) // $PhGrid AS sxb,
+       |    (oy.range * d.h) // $PhGrid AS sy
+       |  FROM vfr d, range($PhGrid) oy, range(${PhGrid - 1}) ox),
+       |vphg AS (
+       |  SELECT doc_id, oy, ox,
+       |    CASE WHEN
+       |      (5*sxb + 3*sy + fs) % 256 + (5*sxb + 3*sy + 37 + fs) % 256
+       |        + (5*sxb + 3*sy + 74 + fs) % 256
+       |      > (5*sxa + 3*sy + fs) % 256 + (5*sxa + 3*sy + 37 + fs) % 256
+       |        + (5*sxa + 3*sy + 74 + fs) % 256
+       |      THEN 1 ELSE 0 END AS risen
+       |  FROM vphc),
+       |vbits AS (
+       |  SELECT doc_id, oy, ox, sum(risen) AS nr
+       |  FROM vphg GROUP BY doc_id, oy, ox),
+       |vph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN nr >= 2
+       |      THEN CAST(1 AS BIGINT) << CAST(oy * ${PhGrid - 1} + ox AS INT)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+       |  FROM vbits GROUP BY doc_id),
+       |${bandNeighSql("vph")}""".stripMargin
+
+  private val videoDupsSql =
+    s"WITH $videoHashCtesSql,\n$starSelectSql"
+
+  private val videoHistSql =
+    s"WITH $videoHashCtesSql\n$histSelectSql"
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_resize_pixels", resizePixels, Some(resizePixelsSql)),
@@ -907,5 +1150,7 @@ object Multimodal extends QueryModule {
     GraftQuery("dedup_audio_hist", audioHist, Some(audioHistSql)),
     GraftQuery("dedup_phash_incremental", phashIncremental,
       Some(phashIncrementalSql)),
+    GraftQuery("dedup_video_dups", videoDups, Some(videoDupsSql)),
+    GraftQuery("dedup_video_hist", videoHist, Some(videoHistSql)),
   )
 }

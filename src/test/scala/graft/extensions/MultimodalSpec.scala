@@ -326,4 +326,142 @@ class MultimodalSpec extends SparkTestBase {
       s"candidate mass $candidateMass vs all-pairs $allPairs")
     assert(buckets.max < n / 2, s"hot bucket ${buckets.max} of $n")
   }
+
+  /** Independent formula replay of [[Multimodal.videoHash56]]: per-frame
+    * pixels from the synthesis formula, dHash, per-bit majority. */
+  private def videoFormulaHash(n: Int): Long = {
+    val (w, h) = Multimodal.videoDims(n)
+    val nf = Multimodal.videoFrames(n)
+    val s = Multimodal.pixelSeed(n)
+    val hs = Multimodal.sampleIdx(nf).map { f =>
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = Multimodal.videoPixel(f, x, y, c, s).toByte
+      Multimodal.phash56(w, h, px)
+    }
+    Multimodal.majority3(hs(0), hs(1), hs(2))
+  }
+
+  test("full MP4 fixture: tkhd dims and mdat frames round-trip; hash replays the formula") {
+    val enc = Mp4.encodeVideo(600, 5 * 25, 16, 12, 5,
+      (f, x, y, c) => Multimodal.videoPixel(f, x, y, c, 7))
+    assert(Mp4.parseMvhd(enc) === Some(Mp4.Mvhd(600L, 125L)))
+    assert(Mp4.parseTkhd(enc) === Some((16, 12)))
+    val (from, to) = Mp4.parseMdat(enc).get
+    assert(to - from === 5 * 16 * 12 * 3)
+    assert(to === enc.length) // mdat is the tail box
+    // engine decode == arithmetic replay (frames 0, 2, 4 of 5)
+    val direct = {
+      val hs = Seq(0, 2, 4).map { f =>
+        val px = new Array[Byte](16 * 12 * 3)
+        for (y <- 0 until 12; x <- 0 until 16; c <- 0 until 3)
+          px((y * 16 + x) * 3 + c) = Multimodal.videoPixel(f, x, y, c, 7).toByte
+        Multimodal.phash56(16, 12, px)
+      }
+      Multimodal.majority3(hs(0), hs(1), hs(2))
+    }
+    assert(Multimodal.videoHash56(enc) === Some(direct))
+    // malformed containers are None, not garbage
+    assert(Multimodal.videoHash56("not an mp4".getBytes("UTF-8")) === None)
+    assert(Multimodal.videoHash56(enc.take(60)) === None)
+    assert(Multimodal.videoHash56(Mp4.header(600, 125) ++
+      "payload".getBytes("UTF-8")) === None) // no trak/mdat
+    // a 2-frame clip can't fill the 3 samples: rejected, not mis-hashed
+    val short = Mp4.encodeVideo(600, 2 * 25, 8, 8, 2, (_, _, _, _) => 0)
+    assert(Multimodal.videoHash56(short) === None)
+    // majority3 is the per-bit median: any two agreeing inputs win
+    assert(Multimodal.majority3(5L, 5L, 9L) === 5L)
+    assert(Multimodal.majority3(0L, -1L, 0x55AAL) === 0x55AAL)
+  }
+
+  test("video banded join finds EVERY pair within the Hamming threshold") {
+    import spark.implicits._
+    val lens = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.getBytes("UTF-8").length) }
+    assert(lens.nonEmpty)
+    val hs = lens.map { case (id, n) => (id, videoFormulaHash(n)) }
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a > b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSeq
+    assert(brute.nonEmpty, "fixture must contain video near-dups")
+    val expect = brute.groupBy(_._1).map { case (id, ns) =>
+      val m = ns.minBy(_._2)
+      (id, m._2, m._3)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("dedup_video_dups")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    val gotHist = graft.SparkEntry.queries("dedup_video_hist")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val expectHist = brute.groupBy(_._3).map { case (d, ps) => (d, ps.size.toLong) }
+    assert(gotHist === expectHist)
+  }
+
+  test("undecodable blobs route to the reject frame; strict mode throws") {
+    import spark.implicits._
+    // 3 valid full-pixel PNGs + 1 corrupt blob, through the exact
+    // dedup pipeline stages (hash frame -> banded join -> star list)
+    val valid = (0 until 3).map { i =>
+      (100L + i, Png.encodeRgb(9, 9, (x, y, c) =>
+        Multimodal.pixelValue(x, y, c, i)))
+    }
+    val blobs = (valid :+ ((999L, "corrupt bytes, no PNG".getBytes("UTF-8"))))
+      .toDF("doc_id", "blob")
+    val hf = Multimodal.hashFrame(spark, blobs, "image",
+      Multimodal.hashKernel("image")).persist()
+    val rejects = hf.filter(col("ph").isNull).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(rejects === Seq(999L), "exactly the corrupt blob is rejected")
+    val dups = Multimodal.starDups(
+      Multimodal.hammingNeighborsBounded(hf, Long.MaxValue))
+      .as[(Long, Long, Long)].collect()
+    // the valid rows still dedup (seeds 0..2 differ by small gradients
+    // only if within threshold — just assert the pipeline ran over
+    // exactly the 3 decodable rows, none dropped, none crashed)
+    assert(hf.filter(col("ph").isNotNull).count() === 3)
+    assert(dups.forall(r => r._1 != 999L && r._2 != 999L))
+    hf.unpersist()
+    // strict posture: the same corrupt blob fails loudly
+    spark.conf.set(Multimodal.StrictDecodeConf, "true")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Multimodal.hashFrame(spark, blobs, "image",
+          Multimodal.hashKernel("image")).collect()
+      }
+      assert(e.getMessage.contains("undecodable") ||
+        Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+    } finally spark.conf.unset(Multimodal.StrictDecodeConf)
+    // the fixture corpus has no rejects in any modality
+    for (kind <- Seq("image", "audio", "video"))
+      assert(Multimodal.decodeRejects(spark, sf0001, kind).count() === 0L)
+  }
+
+  test("bucket-overflow guard: a forced tiny bound keeps perfect recall") {
+    import spark.implicits._
+    val lens = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.getBytes("UTF-8").length) }
+    val hs = lens.map { case (id, n) => (id, formulaHash(n)) }
+    // buckets above the forced bound exist, so the sub-band path runs
+    val bucketSizes = hs.flatMap { case (_, h) =>
+      (0 until 4).map(j => (j, (h >> (14 * j)) & 0x3FFF))
+    }.groupBy(identity).map(_._2.length)
+    assert(bucketSizes.max > 4, s"fixture too uniform: max ${bucketSizes.max}")
+    val ph = hs.toSeq.toDF("doc_id", "ph")
+    def pairs(bound: Long) =
+      Multimodal.hammingNeighborsBounded(ph, bound)
+        .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a > b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs(Long.MaxValue) === brute)
+    assert(pairs(4L) === brute,
+      "sub-band split of oversized buckets must not lose pairs")
+    assert(pairs(1L) === brute, "even an all-hot split stays complete")
+  }
 }
