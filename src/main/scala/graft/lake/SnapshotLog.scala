@@ -537,8 +537,22 @@ object SnapshotLog {
 
   // ---- resolution
 
+  /** Read a manifest TOLERATING a concurrent expire: readers are
+    * lock-free, so a manifest listed a moment ago (or its exclusive
+    * segments — expire deletes the manifest first, segments after) may
+    * vanish mid-read. None iff the manifest file no longer exists — for
+    * this reader the snapshot was already expired, the same answer a
+    * slightly later listing would have given. A read failure while the
+    * manifest IS still present can't be expiry (retained manifests'
+    * segments are never reclaimed) and stays loud. */
+  private def readManifestIfPresent(fs: FileSystem, md: Path,
+                                    p: Path): Option[Snapshot] =
+    try Some(readManifest(fs, md, p))
+    catch { case e: Throwable if !fs.exists(p) => None }
+
   /** All committed snapshots, ascending id. Un-renamed temp manifests and
-    * foreign files are ignored — a crashed commit simply never exists. */
+    * foreign files are ignored — a crashed commit simply never exists —
+    * and so are manifests a concurrent expire reclaims mid-listing. */
   def snapshots(spark: SparkSession, tableDir: String): Seq[Snapshot] = {
     val (fs, root) = fsOf(spark, tableDir)
     val md = metaDir(root)
@@ -548,7 +562,7 @@ object SnapshotLog {
         case SnapRe(_) => Some(st.getPath)
         case _         => None
       })
-      .map(p => readManifest(fs, metaDir(root), p))
+      .flatMap(p => readManifestIfPresent(fs, metaDir(root), p))
       .sortBy(_.id)
   }
 
@@ -572,12 +586,15 @@ object SnapshotLog {
         case SnapRe(_) => Some(st.getPath)
         case _         => None
       })
-      .map { p =>
-        val n = mapper.readTree(readFully(fs, p))
-        SnapshotHeader(n.get("id").asLong(),
-          Option(n.get("parent_id")).map(_.asLong()),
-          n.get("ts_ms").asLong(), n.get("operation").asText(),
-          Option(n.get("schema_id")).map(_.asInt()).getOrElse(0))
+      .flatMap { p =>
+        // same expiry tolerance as [[snapshots]]: vanished = never listed
+        try {
+          val n = mapper.readTree(readFully(fs, p))
+          Some(SnapshotHeader(n.get("id").asLong(),
+            Option(n.get("parent_id")).map(_.asLong()),
+            n.get("ts_ms").asLong(), n.get("operation").asText(),
+            Option(n.get("schema_id")).map(_.asInt()).getOrElse(0)))
+        } catch { case e: Throwable if !fs.exists(p) => None }
       }
       .sortBy(_.id)
   }
@@ -636,15 +653,33 @@ object SnapshotLog {
     * linearly with stream age). */
   def currentSnapshot(spark: SparkSession, tableDir: String): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, tableDir)
-    val md = metaDir(root)
-    if (!fs.exists(md)) return None
-    fs.listStatus(md).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case SnapRe(id) => Some(id.toLong -> st.getPath)
-        case _          => None
-      })
-      .maxByOption(_._1)
-      .map { case (_, p) => readManifest(fs, metaDir(root), p) }
+    // If the picked maximum vanishes mid-read, an expire raced us —
+    // and expire keeps the newest snapshot, so a NEWER current must
+    // exist (a writer advanced the log): re-list and pick it up. The
+    // retry can only be starved by the log advancing, so a small bound
+    // distinguishes that from genuine corruption.
+    var attempt = 0
+    while (attempt < 5) {
+      val md = metaDir(root)
+      if (!fs.exists(md)) return None
+      val cand = fs.listStatus(md).toSeq
+        .flatMap(st => st.getPath.getName match {
+          case SnapRe(id) => Some(id.toLong -> st.getPath)
+          case _          => None
+        })
+        .maxByOption(_._1)
+      cand match {
+        case None => return None
+        case Some((_, p)) =>
+          readManifestIfPresent(fs, metaDir(root), p) match {
+            case some @ Some(_) => return some
+            case None           => attempt += 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"current snapshot of $tableDir kept vanishing mid-read " +
+        "(5 attempts) — expiry racing faster than re-listing")
   }
 
   /** Resolve the newest snapshot committed at or before `tsMs` —
@@ -895,7 +930,11 @@ object SnapshotLog {
     val p = new Path(metaDir(root), f"snap-$id%012d.json")
     if (!fs.exists(p))
       throw new NoSuchElementException(s"no snapshot $id in $tableDir")
-    readManifest(fs, metaDir(root), p)
+    // expired between the exists check and the read = same answer,
+    // consistent exception type for time-travel-of-expired-id callers
+    readManifestIfPresent(fs, metaDir(root), p).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot $id in $tableDir (expired mid-read)"))
   }
 
   /** Measurement surface for the metadata-scaling gates: the segment

@@ -228,4 +228,76 @@ class ManifestModelSpec extends SparkTestBase {
     val after = SnapshotLog.currentSnapshot(spark, dir).get
     assert(after.files.map(_.path).size === total + 1)
   }
+
+  test("reader sweep: lock-free readers race a continuous expire loop without errors") {
+    // The other half of the chaos sweep (writers were r18): readers are
+    // lock-free, expire holds the table lock but deletes manifests and
+    // segments OUT from under a reader that has already listed them.
+    // Contract: a vanished manifest reads as never-listed (the answer a
+    // later listing gives), the current snapshot re-resolves to the
+    // newer head expire must have kept, and nothing ever throws.
+    val dir = Files.createTempDirectory("graft-read-race").toString + "/t"
+    SnapshotLog.withTableLock(dir) {
+      SnapshotLog.commit(spark, dir, "append", Seq(entry(0)), schema, None)
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def guard[A](body: => A): Unit =
+      try { body; () } catch { case t: Throwable => failures.add(t); stop.set(true) }
+    val nCommits = 40
+    val writer = scala.concurrent.Future(guard {
+      (1 to nCommits).foreach { k =>
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        SnapshotLog.appendFiles(spark, dir, Seq(entry(k)), schema,
+          expectedParent = cur, maxRetries = 200)
+      }
+      stop.set(true)
+    })
+    val expirer = scala.concurrent.Future(guard {
+      while (!stop.get()) {
+        // grace > commit latency: with WRITERS live, a zero grace is
+        // outside expire's contract — a writer's freshly written
+        // segment is indistinguishable from crashed-writer debris
+        // until its manifest publishes, and the modtime grace window
+        // is exactly what shields it (this sweep CAUGHT that: grace 0
+        // here corrupted a mid-flight commit). Dropped snapshots'
+        // manifests and their exclusive segments are reclaimed
+        // IMMEDIATELY regardless of grace, so the reader races stay
+        // fully exercised.
+        SnapshotLog.expire(spark, dir, keepLast = 2, debrisGraceMs = 60000L)
+        Thread.sleep(2)
+      }
+    })
+    def reader = scala.concurrent.Future(guard {
+      var lastSeen = 0L
+      while (!stop.get()) {
+        val snaps = SnapshotLog.snapshots(spark, dir)
+        assert(snaps.map(_.id) === snaps.map(_.id).sorted, "ids out of order")
+        // the head never goes backwards for any reader
+        val head = snaps.lastOption.map(_.id).getOrElse(0L)
+        assert(head >= lastSeen, s"head regressed: $head < $lastSeen")
+        lastSeen = head
+        // every snapshot a reader gets back resolves a coherent file set
+        snaps.foreach(s => assert(s.files.map(_.path).distinct.size === s.files.size))
+        val headers = SnapshotLog.snapshotHeaders(spark, dir)
+        assert(headers.map(_.id) === headers.map(_.id).sorted)
+        val cur = SnapshotLog.currentSnapshot(spark, dir)
+        assert(cur.nonEmpty, "table never empties (keepLast = 2)")
+      }
+    })
+    val readers = Seq(reader, reader)
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(writer, expirer) ++ readers),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    if (!failures.isEmpty) throw failures.peek()
+    // final state: exactly the last 2 snapshots retained, fully readable
+    SnapshotLog.expire(spark, dir, keepLast = 2, debrisGraceMs = 0L)
+    val left = SnapshotLog.snapshots(spark, dir)
+    assert(left.map(_.id) === Seq(nCommits.toLong, nCommits + 1L))
+    assert(left.last.files.size === nCommits + 1)
+  }
 }
