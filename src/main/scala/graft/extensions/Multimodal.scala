@@ -896,9 +896,11 @@ object Multimodal extends QueryModule {
     * row (match count + closest distance), the admit/reject signal an
     * ingestion pipeline consumes. Same cached hash frame as the batch
     * queries. */
-  private def phashIncremental(s: SparkSession, d: String): DataFrame = {
-    val ph = phashes(s, d).filter(col("ph").isNotNull)
-    val isNew = col("doc_id") % 15 === 0 // image docs are % 3 == 0
+  /** Shared by all three modalities: `isNewMod` selects every fifth
+    * doc of the modality's doc_id stripe as the incoming batch. */
+  private def bandedIncremental(hashes: DataFrame, isNewMod: Int): DataFrame = {
+    val ph = hashes.filter(col("ph").isNotNull)
+    val isNew = col("doc_id") % 15 === isNewMod
     val bands = ph.select(col("doc_id"), col("ph"),
       posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
     bands.filter(isNew).alias("a")
@@ -914,17 +916,23 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_new"))
   }
 
-  private val phashIncrementalSql =
-    s"""WITH ${phashCtesSqlPrefix},
-       |${bandsSql("ph")},
+  private def phashIncremental(s: SparkSession, d: String): DataFrame =
+    bandedIncremental(phashes(s, d), 0) // image docs are % 3 == 0
+
+  /** Incremental SQL tail over any hash CTE `src`(doc_id, ph). */
+  private def incrementalSql(ctes: String, src: String, newMod: Int): String =
+    s"""WITH $ctes,
+       |${bandsSql(src)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
        |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
-       |  WHERE a.doc_id % 15 = 0 AND b.doc_id % 15 <> 0
+       |  WHERE a.doc_id % 15 = $newMod AND b.doc_id % 15 <> $newMod
        |    AND bit_count(xor(a.ph, b.ph)) <= $PhHamMax)
        |SELECT doc_new, count(*) AS n_matches, min(hamming) AS best_hamming
        |FROM cand GROUP BY doc_new ORDER BY doc_new""".stripMargin
+
+  private def phashIncrementalSql = incrementalSql(phashCtesSqlPrefix, "ph", 0)
 
   // -------------------------------- perceptual audio near-dup (energy hash)
 
@@ -973,7 +981,7 @@ object Multimodal extends QueryModule {
   /** Amplitude + frame-energy + hash CTEs replaying the PCM synthesis
     * arithmetically (the fixture corpus is pure ASCII, so DuckDB's char
     * codes ARE the payload bytes — the audio_levels discipline). */
-  private val audioHashCtesSql =
+  private val audioHashCtesPrefix =
     s"""wav AS (
        |  SELECT doc_id, text, octet_length(encode(text)) AS n
        |  FROM documents WHERE doc_id % 3 = 1),
@@ -1001,14 +1009,24 @@ object Multimodal extends QueryModule {
        |  FROM (SELECT doc_id, f, e,
        |          lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS ne
        |        FROM frames)
-       |  WHERE f < ${AudioFrames - 1} GROUP BY doc_id),
-       |${bandNeighSql("aph")}""".stripMargin
+       |  WHERE f < ${AudioFrames - 1} GROUP BY doc_id)""".stripMargin
+
+  private def audioHashCtesSql =
+    s"$audioHashCtesPrefix,\n${bandNeighSql("aph")}"
 
   private val audioDupsSql =
     s"WITH $audioHashCtesSql,\n$starSelectSql"
 
   private val audioHistSql =
     s"WITH $audioHashCtesSql\n$histSelectSql"
+
+  /** Incremental audio dedup — the crawl-cadence shape of
+    * [[phashIncremental]] over the energy fingerprints (audio docs are
+    * % 3 == 1; the % 15 == 1 slice is every fifth of them). */
+  private def audioIncremental(s: SparkSession, d: String): DataFrame =
+    bandedIncremental(audioHashes(s, d), 1)
+
+  private def audioIncrementalSql = incrementalSql(audioHashCtesPrefix, "aph", 1)
 
   // ------------------------------- perceptual video near-dup (frame hashes)
 
@@ -1091,7 +1109,7 @@ object Multimodal extends QueryModule {
     * arithmetically from the synthesis formulas — the oracle never
     * touches container bytes, so the engine's box walk, mdat slicing,
     * and majority fold are all under test. */
-  private val videoHashCtesSql =
+  private val videoHashCtesPrefix =
     s"""vid AS (
        |  SELECT doc_id, octet_length(encode(text)) AS n
        |  FROM documents WHERE doc_id % 3 = 2),
@@ -1125,14 +1143,23 @@ object Multimodal extends QueryModule {
        |    CAST(sum(CASE WHEN nr >= 2
        |      THEN CAST(1 AS BIGINT) << CAST(oy * ${PhGrid - 1} + ox AS INT)
        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
-       |  FROM vbits GROUP BY doc_id),
-       |${bandNeighSql("vph")}""".stripMargin
+       |  FROM vbits GROUP BY doc_id)""".stripMargin
+
+  private def videoHashCtesSql =
+    s"$videoHashCtesPrefix,\n${bandNeighSql("vph")}"
 
   private val videoDupsSql =
     s"WITH $videoHashCtesSql,\n$starSelectSql"
 
   private val videoHistSql =
     s"WITH $videoHashCtesSql\n$histSelectSql"
+
+  /** Incremental video dedup (video docs are % 3 == 2; the % 15 == 2
+    * slice is every fifth of them). */
+  private def videoIncremental(s: SparkSession, d: String): DataFrame =
+    bandedIncremental(videoHashes(s, d), 2)
+
+  private def videoIncrementalSql = incrementalSql(videoHashCtesPrefix, "vph", 2)
 
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
@@ -1152,5 +1179,9 @@ object Multimodal extends QueryModule {
       Some(phashIncrementalSql)),
     GraftQuery("dedup_video_dups", videoDups, Some(videoDupsSql)),
     GraftQuery("dedup_video_hist", videoHist, Some(videoHistSql)),
+    GraftQuery("dedup_audio_incremental", audioIncremental,
+      Some(audioIncrementalSql)),
+    GraftQuery("dedup_video_incremental", videoIncremental,
+      Some(videoIncrementalSql)),
   )
 }

@@ -293,11 +293,24 @@ class MultimodalSpec extends SparkTestBase {
     val gotHist = graft.SparkEntry.queries("dedup_audio_hist")(spark, sf0001)
       .as[(Long, Long)].collect().toMap
     assert(gotHist === brute.groupBy(_._3).map { case (d2, ps) => (d2, ps.size.toLong) })
+    // incremental: the % 15 == 1 slice screens against the rest
+    val incBrute = (for {
+      (a, ha) <- hs if a % 15 == 1
+      (b, hb) <- hs if b % 15 != 1
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (a, b, dist.toLong)).toSeq
+    val incExpect = incBrute.groupBy(_._1).map { case (id, ms) =>
+      (id, ms.size.toLong, ms.map(_._3).min)
+    }.toSeq.sortBy(_._1)
+    val incGot = graft.SparkEntry.queries("dedup_audio_incremental")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(incGot === incExpect)
   }
 
   test("banded joins plan as hash/merge equi-joins — no cartesian, no nested loop") {
-    for (q <- Seq("dedup_phash_dups", "dedup_audio_dups",
-        "dedup_phash_incremental")) {
+    for (q <- Seq("dedup_phash_dups", "dedup_audio_dups", "dedup_video_dups",
+        "dedup_phash_incremental", "dedup_audio_incremental",
+        "dedup_video_incremental")) {
       val df = graft.SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -398,6 +411,18 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     val expectHist = brute.groupBy(_._3).map { case (d, ps) => (d, ps.size.toLong) }
     assert(gotHist === expectHist)
+    // incremental: the % 15 == 2 slice screens against the rest
+    val incBrute = (for {
+      (a, ha) <- hs if a % 15 == 2
+      (b, hb) <- hs if b % 15 != 2
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (a, b, dist.toLong)).toSeq
+    val incExpect = incBrute.groupBy(_._1).map { case (id, ms) =>
+      (id, ms.size.toLong, ms.map(_._3).min)
+    }.toSeq.sortBy(_._1)
+    val incGot = graft.SparkEntry.queries("dedup_video_incremental")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(incGot === incExpect)
   }
 
   test("undecodable blobs route to the reject frame; strict mode throws") {
