@@ -697,7 +697,13 @@ object Dedup extends QueryModule {
   }
 
   /** Near-dup pairs by SimHash: band equi-join (4 bands of 8 bits) then
-    * verify hamming distance <= 3. */
+    * verify hamming distance <= 3. Scale note: 8-bit bands cap the
+    * bucket space at 4 × 256, so buckets grow linearly with the corpus
+    * and the ALL-PAIRS output is itself quadratic in cluster size —
+    * this is the demo-scale sketch; at 100 TB the star-list operators
+    * ([[Multimodal.hammingNeighborsBounded]], whose oversized buckets
+    * re-split by sub-bands of the remaining bits) and the 56-bit hash
+    * space are the production path. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nBands = SimBits / SimBandBits

@@ -488,5 +488,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs(4L) === brute,
       "sub-band split of oversized buckets must not lose pairs")
     assert(pairs(1L) === brute, "even an all-hot split stays complete")
+    // fast-path pin: with no overflowing bucket the defense must cost
+    // nothing in the plan — exactly the one banded self-join, no
+    // sub-band explode, no semi-joins (the probe is a driver-side
+    // action on the intrinsically bounded sizes aggregate)
+    val fast = Multimodal.hammingNeighborsBounded(ph, Long.MaxValue)
+    val joins = fast.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1,
+      s"no-overflow plan must be the plain banded join, got ${joins.size} joins")
   }
 }

@@ -152,6 +152,25 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("bpe training runs dry gracefully: empty rounds are a suffix, ranks contiguous") {
+    // A corpus so small the merge loop exhausts before BpeRounds: one
+    // mergeable word. Round 1 learns "ab"; rounds 2..5 find no pair and
+    // must emit NOTHING (the SQL oracle mirrors this with an EXISTS
+    // guard + identity-COALESCE replaces — validated against DuckDB on
+    // this exact corpus: train [(1,'ab',2)], apply [(1,3,5,3,0.6)]).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-dry").toString
+    Seq((1L, "ab ab x", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val train = SparkEntry.queries("text_bpe_train")(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(train === Seq((1L, "ab", 2L)))
+    val ap = SparkEntry.queries("text_bpe_apply")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(ap === Seq((1L, 3L, 5L, 3L, 0.6)))
+  }
+
   test("classifier-score plan: one explode, weight table BROADCAST, per-doc agg the only shuffle of pairs") {
     val df = SparkEntry.queries("text_classifier_score")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
