@@ -334,4 +334,38 @@ class PropertySpec extends AnyFunSuite {
         hash == extensions.Multimodal.audioHash56(clip.map(_ * gain))
     })
   }
+
+  test("majority3: per-bit median — idempotent, symmetric, bounded by OR/AND") {
+    import extensions.Multimodal.majority3
+    check(Prop.forAll { (a: Long, b: Long, c: Long) =>
+      val m = majority3(a, b, c)
+      majority3(a, a, b) == a && // any two agreeing inputs win
+        m == majority3(b, c, a) && m == majority3(c, a, b) && // symmetric
+        m == majority3(b, a, c) &&
+        (m & (a | b | c)) == m && // no bit from nowhere
+        (m & (a & b & c)) == (a & b & c) // unanimous bits survive
+    })
+  }
+
+  test("videoHash56: 56-bit range, deterministic, whole-clip brightness invariant") {
+    // a uniform brightness shift on EVERY frame shifts each sampled
+    // frame's gradients identically, so each frame hash — and therefore
+    // the per-bit majority — is unchanged (the video inherits dHash's
+    // invariance through the fold)
+    val genVid = for {
+      w <- Gen.choose(8, 24); h <- Gen.choose(8, 16)
+      nf <- Gen.choose(3, 7); seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, nf, seed)
+    check(Prop.forAll(genVid, Gen.choose(1, 30)) { case ((w, h, nf, seed), shift) =>
+      val rnd = new scala.util.Random(seed)
+      val frames = Array.fill(nf, w * h * 3)(rnd.nextInt(200))
+      def enc(delta: Int) = extensions.Mp4.encodeVideo(
+        600, nf * 25, w, h, nf,
+        (f, x, y, c) => frames(f)((y * w + x) * 3 + c) + delta)
+      val hash = extensions.Multimodal.videoHash56(enc(0))
+      hash.exists(v => (v >>> 56) == 0L) &&
+        hash == extensions.Multimodal.videoHash56(enc(0)) &&
+        hash == extensions.Multimodal.videoHash56(enc(shift))
+    })
+  }
 }
