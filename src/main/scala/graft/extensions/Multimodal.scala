@@ -640,14 +640,20 @@ object Multimodal extends QueryModule {
   private[graft] val StrictDecodeConf = "graft.multimodal.strictDecode"
 
   /** One pass over the blobs: (doc_id, ph) with ph NULL for
-    * undecodables; persisted per (session, dir, kind) — the dup/hist/
-    * incremental queries read the valid rows, [[decodeRejects]] the
-    * null ones, from the same frame. */
+    * undecodables; persisted per (session, dir, kind + decode posture)
+    * — the dup/hist/incremental queries read the valid rows,
+    * [[decodeRejects]] the null ones, from the same frame. The strict
+    * flag is part of the KEY because it changes the frame's behavior
+    * (throw vs null-route): flipping the conf mid-session must not be
+    * silently ignored by a frame cached under the other posture. */
   private def decodedHashes(s: SparkSession, d: String, kind: String,
                             blobs: (SparkSession, String) => DataFrame,
-                            hash: (Long, Array[Byte]) => Option[Long]): DataFrame =
-    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, kind),
+                            hash: (Long, Array[Byte]) => Option[Long]): DataFrame = {
+    val posture =
+      if (s.conf.get(StrictDecodeConf, "false") == "true") "strict" else "lenient"
+    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, s"$kind|$posture"),
       hashFrame(s, blobs(s, d), kind, hash).persist())
+  }
 
   /** Uncached single pass blob → nullable hash; exposed so the spec can
     * feed a corrupted blob through the exact dedup pipeline. */
@@ -665,13 +671,17 @@ object Multimodal extends QueryModule {
       .toDF("doc_id", "ph")
   }
 
-  /** The per-modality decode+hash kernels, keyed like the cache. */
+  /** The per-modality decode+hash kernels, keyed like the cache. An
+    * unknown kind fails fast — a typo must not silently box-walk
+    * arbitrary blobs as MP4s and read back as 100% decode rejects. */
   private[graft] def hashKernel(kind: String): (Long, Array[Byte]) => Option[Long] =
     kind match {
       case "image" => (_, b) => Png.decodeRgb(b)
         .map(dec => phash56(dec.width, dec.height, dec.pixels))
       case "audio" => (_, b) => Wav.decodeSamples(b).map(audioHash56)
-      case _       => (_, b) => videoHash56(b)
+      case "video" => (_, b) => videoHash56(b)
+      case other   => throw new IllegalArgumentException(
+        s"unknown modality kind '$other' (image/audio/video)")
     }
 
   /** doc_ids whose blob failed the perceptual-hash decode (empty on the
@@ -681,7 +691,9 @@ object Multimodal extends QueryModule {
     (kind match {
       case "image" => phashes(s, d)
       case "audio" => audioHashes(s, d)
-      case _       => videoHashes(s, d)
+      case "video" => videoHashes(s, d)
+      case other   => throw new IllegalArgumentException(
+        s"unknown modality kind '$other' (image/audio/video)")
     }).filter(col("ph").isNull).select(col("doc_id"))
 
   private def phashes(s: SparkSession, d: String): DataFrame =
@@ -766,27 +778,45 @@ object Multimodal extends QueryModule {
     *
     * Exposed with an explicit bound for the spec's forced-overflow
     * completeness gate. */
+  /** Bucket classification for a bands frame: ONE aggregate job (the
+    * output is intrinsically <= 4 x 2^14 rows, so the driver holds it
+    * whole), split locally into (bounded bands, sub-banded hot bands).
+    * None = no bucket exceeds `bound` — the caller keeps its plain
+    * plan. The hot side carries the extra (sb, sbv) key over the 42
+    * bits OUTSIDE the hot band. */
+  private def splitByBucketBound(bands: DataFrame,
+                                 bound: Long): Option[(DataFrame, DataFrame)] = {
+    val s = bands.sparkSession
+    import s.implicits._
+    val sizes = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("bn"))
+      .as[(Int, Long, Long)].collect() // bounded by construction
+    val hot = sizes.filter(_._3 > bound).map { case (b, bv, _) => (b, bv) }
+    if (hot.isEmpty) return None
+    val hotDf = broadcast(hot.toSeq.toDF("b", "bv"))
+    val okDf = broadcast(sizes.filter(_._3 <= bound)
+      .map { case (b, bv, _) => (b, bv) }.toSeq.toDF("b", "bv"))
+    val rem = (0 until PhBands).foldLeft(lit(0L)) { (acc, j) =>
+      when(col("b") === j, remBits(col("ph"), j)).otherwise(acc)
+    }
+    val sub = bands.join(hotDf, Seq("b", "bv"), "left_semi")
+      .select(col("doc_id"), col("ph"), col("b"), col("bv"),
+        posexplode(array(subBandCols(rem): _*)).as(Seq("sb", "sbv")))
+    Some((bands.join(okDf, Seq("b", "bv"), "left_semi"), sub))
+  }
+
   private[graft] def hammingNeighborsBounded(ph: DataFrame,
                                              bound: Long): DataFrame = {
     val hashes = ph.filter(col("ph").isNotNull)
     val bands = hashes.select(col("doc_id"), col("ph"),
       posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
-    val sizes = bands.groupBy(col("b"), col("bv"))
-      .agg(count(lit(1)).as("bn"))
-    val hotKeys = sizes.filter(col("bn") > bound).select(col("b"), col("bv"))
-    if (hotKeys.limit(1).collect().isEmpty)
-      return bandPairs(bands, Seq("b", "bv")).distinct()
-    val okKeys = sizes.filter(col("bn") <= bound).select(col("b"), col("bv"))
-    val cand1 = bandPairs(bands.join(broadcast(okKeys), Seq("b", "bv"),
-      "left_semi"), Seq("b", "bv"))
-    val rem = (0 until PhBands).foldLeft(lit(0L)) { (acc, j) =>
-      when(col("b") === j, remBits(col("ph"), j)).otherwise(acc)
+    splitByBucketBound(bands, bound) match {
+      case None => bandPairs(bands, Seq("b", "bv")).distinct()
+      case Some((ok, sub)) =>
+        bandPairs(ok, Seq("b", "bv"))
+          .union(bandPairs(sub, Seq("b", "bv", "sb", "sbv")))
+          .distinct()
     }
-    val sub = bands.join(broadcast(hotKeys), Seq("b", "bv"), "left_semi")
-      .select(col("doc_id"), col("ph"), col("b"), col("bv"),
-        posexplode(array(subBandCols(rem): _*)).as(Seq("sb", "sbv")))
-    val cand2 = bandPairs(sub, Seq("b", "bv", "sb", "sbv"))
-    cand1.union(cand2).distinct()
   }
 
   /** Per-image near-dup DECISION, not all-pairs: every image with at
@@ -896,28 +926,51 @@ object Multimodal extends QueryModule {
     * row (match count + closest distance), the admit/reject signal an
     * ingestion pipeline consumes. Same cached hash frame as the batch
     * queries. */
-  /** Shared by all three modalities: `isNewMod` selects every fifth
-    * doc of the modality's doc_id stripe as the incoming batch. */
-  private def bandedIncremental(hashes: DataFrame, isNewMod: Int): DataFrame = {
-    val ph = hashes.filter(col("ph").isNotNull)
-    val isNew = col("doc_id") % 15 === isNewMod
-    val bands = ph.select(col("doc_id"), col("ph"),
-      posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
+  /** Verified (doc_new, doc_corpus, hamming) rows from a new-vs-corpus
+    * equi-join of one band frame on `keys`. */
+  private def incrementalPairs(bands: DataFrame, isNew: Column,
+                               keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     bands.filter(isNew).alias("a")
-      .join(bands.filter(!isNew).alias("b"),
-        col("a.b") === col("b.b") && col("a.bv") === col("b.bv"))
+      .join(bands.filter(!isNew).alias("b"), cond)
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"),
         bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("bigint")
           .as("hamming"))
       .filter(col("hamming") <= PhHamMax)
-      .distinct()
+  }
+
+  /** Shared by all three modalities: `isNewMod` selects every fifth
+    * doc of the modality's doc_id stripe as the incoming batch. Rides
+    * the SAME bucket-overflow defense as the batch join: a hot
+    * (band, value) bucket with B corpus x b new rows is the identical
+    * quadratic straggler, so oversized buckets (classified over the
+    * combined frame) re-key by sub-bands before the new-vs-corpus
+    * join. Exposed with an explicit bound for the spec. */
+  private[graft] def bandedIncrementalBounded(hashes: DataFrame, isNewMod: Int,
+                                              bound: Long): DataFrame = {
+    val ph = hashes.filter(col("ph").isNotNull)
+    val isNew = col("doc_id") % 15 === isNewMod
+    val bands = ph.select(col("doc_id"), col("ph"),
+      posexplode(array(bandCols(col("ph")): _*)).as(Seq("b", "bv")))
+    val cand = splitByBucketBound(bands, bound) match {
+      case None => incrementalPairs(bands, isNew, Seq("b", "bv"))
+      case Some((ok, sub)) =>
+        incrementalPairs(ok, isNew, Seq("b", "bv"))
+          .union(incrementalPairs(sub, isNew, Seq("b", "bv", "sb", "sbv")))
+    }
+    cand.distinct()
       .groupBy(col("doc_new"))
       .agg(count(lit(1)).as("n_matches"), min(col("hamming")).as("best_hamming"))
       .orderBy(col("doc_new"))
   }
 
+  private def bandedIncremental(s: SparkSession, hashes: DataFrame,
+                                isNewMod: Int): DataFrame =
+    bandedIncrementalBounded(hashes, isNewMod,
+      s.conf.get(BucketBoundConf, DefaultBucketBound.toString).toLong)
+
   private def phashIncremental(s: SparkSession, d: String): DataFrame =
-    bandedIncremental(phashes(s, d), 0) // image docs are % 3 == 0
+    bandedIncremental(s, phashes(s, d), 0) // image docs are % 3 == 0
 
   /** Incremental SQL tail over any hash CTE `src`(doc_id, ph). */
   private def incrementalSql(ctes: String, src: String, newMod: Int): String =
@@ -1024,7 +1077,7 @@ object Multimodal extends QueryModule {
     * [[phashIncremental]] over the energy fingerprints (audio docs are
     * % 3 == 1; the % 15 == 1 slice is every fifth of them). */
   private def audioIncremental(s: SparkSession, d: String): DataFrame =
-    bandedIncremental(audioHashes(s, d), 1)
+    bandedIncremental(s, audioHashes(s, d), 1)
 
   private def audioIncrementalSql = incrementalSql(audioHashCtesPrefix, "aph", 1)
 
@@ -1157,7 +1210,7 @@ object Multimodal extends QueryModule {
   /** Incremental video dedup (video docs are % 3 == 2; the % 15 == 2
     * slice is every fifth of them). */
   private def videoIncremental(s: SparkSession, d: String): DataFrame =
-    bandedIncremental(videoHashes(s, d), 2)
+    bandedIncremental(s, videoHashes(s, d), 2)
 
   private def videoIncrementalSql = incrementalSql(videoHashCtesPrefix, "vph", 2)
 

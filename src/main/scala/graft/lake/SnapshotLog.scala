@@ -548,7 +548,11 @@ object SnapshotLog {
   private def readManifestIfPresent(fs: FileSystem, md: Path,
                                     p: Path): Option[Snapshot] =
     try Some(readManifest(fs, md, p))
-    catch { case e: Throwable if !fs.exists(p) => None }
+    catch {
+      // NonFatal only: an interrupt or VM-level error must propagate,
+      // not dissolve into "snapshot never existed"
+      case scala.util.control.NonFatal(e) if !fs.exists(p) => None
+    }
 
   /** All committed snapshots, ascending id. Un-renamed temp manifests and
     * foreign files are ignored — a crashed commit simply never exists —
@@ -594,7 +598,7 @@ object SnapshotLog {
             Option(n.get("parent_id")).map(_.asLong()),
             n.get("ts_ms").asLong(), n.get("operation").asText(),
             Option(n.get("schema_id")).map(_.asInt()).getOrElse(0)))
-        } catch { case e: Throwable if !fs.exists(p) => None }
+        } catch { case scala.util.control.NonFatal(e) if !fs.exists(p) => None }
       }
       .sortBy(_.id)
   }

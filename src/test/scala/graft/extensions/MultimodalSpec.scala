@@ -498,5 +498,34 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(joins.size === 1,
       s"no-overflow plan must be the plain banded join, got ${joins.size} joins")
+    // the incremental join rides the SAME defense: forced-overflow
+    // results equal the unbounded ones (which the oracle gate verifies)
+    def inc(bound: Long) =
+      Multimodal.bandedIncrementalBounded(ph, 0, bound)
+        .as[(Long, Long, Long)].collect().toSet
+    val incPlain = inc(Long.MaxValue)
+    assert(incPlain.nonEmpty, "fixture has incremental matches")
+    assert(inc(4L) === incPlain,
+      "sub-band split must not change incremental results")
+    assert(inc(1L) === incPlain)
+  }
+
+  test("decode posture is part of the hash-frame cache key") {
+    // a frame cached lenient must not satisfy a later strict session
+    // posture (and vice versa): flipping the conf takes effect
+    import spark.implicits._
+    spark.conf.unset(Multimodal.StrictDecodeConf)
+    assert(Multimodal.decodeRejects(spark, sf0001, "image").count() === 0L)
+    spark.conf.set(Multimodal.StrictDecodeConf, "true")
+    try {
+      // same (session, dir, kind): the strict frame is a DIFFERENT
+      // cache entry — on the clean fixture both hash identically, so
+      // equality here proves the strict path ran without throwing
+      assert(Multimodal.decodeRejects(spark, sf0001, "image").count() === 0L)
+    } finally spark.conf.unset(Multimodal.StrictDecodeConf)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeRejects(spark, sf0001, "pdf")
+    }
+    intercept[IllegalArgumentException] { Multimodal.hashKernel("imgae") }
   }
 }
