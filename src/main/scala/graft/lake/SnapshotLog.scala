@@ -696,19 +696,40 @@ object SnapshotLog {
                        tsMs: Long): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, tableDir)
     val md = metaDir(root)
-    val ids = snapshotIds(spark, tableDir)
-    var lo = 0
-    var hi = ids.size - 1
-    var best: Option[Long] = None
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      // header-only probe: the search needs ts_ms, not the file list —
-      // segment resolution happens once, for the winner
-      val t = mapper.readTree(readFully(fs,
-        new Path(md, f"snap-${ids(mid)}%012d.json"))).get("ts_ms").asLong()
-      if (t <= tsMs) { best = Some(ids(mid)); lo = mid + 1 } else hi = mid - 1
+    // A probed id can expire between the listing and its header read
+    // — even when the ANSWER snapshot is retained. The correct result
+    // under that race is whatever a moment-later listing yields, so:
+    // re-list and re-search (bounded; expiry racing a binary search
+    // more than a few times means something else is wrong).
+    var attempt = 0
+    while (attempt < 5) {
+      val ids = snapshotIds(spark, tableDir)
+      try {
+        var lo = 0
+        var hi = ids.size - 1
+        var best: Option[Long] = None
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          // header-only probe: the search needs ts_ms, not the file
+          // list — segment resolution happens once, for the winner
+          val t = mapper.readTree(readFully(fs,
+            new Path(md, f"snap-${ids(mid)}%012d.json"))).get("ts_ms").asLong()
+          if (t <= tsMs) { best = Some(ids(mid)); lo = mid + 1 } else hi = mid - 1
+        }
+        return best.map(snapshotAt(spark, tableDir, _))
+      } catch {
+        // probe or winner expired underneath us: a fresh listing gives
+        // the post-expiry answer. Anything else (or a manifest that is
+        // still present) stays loud.
+        case _: java.io.FileNotFoundException => attempt += 1
+        case e: NoSuchElementException
+          if e.getMessage != null && e.getMessage.contains("expired mid-read") =>
+          attempt += 1
+      }
     }
-    best.map(snapshotAt(spark, tableDir, _))
+    throw new IllegalStateException(
+      s"as-of-time resolution on $tableDir kept losing probes to " +
+        "concurrent expiry (5 attempts)")
   }
 
   // ---- named refs (Iceberg tags): a tag pins a snapshot id under a
@@ -742,15 +763,20 @@ object SnapshotLog {
       }
     }
 
-  /** All tags: name → pinned snapshot id. */
+  /** All tags: name → pinned snapshot id. A tag file deleted (deleteTag)
+    * between the listing and its read is skipped — the answer a later
+    * listing gives; a failed read of a still-present file stays loud. */
   def tags(spark: SparkSession, tableDir: String): Map[String, Long] = {
     val (fs, root) = fsOf(spark, tableDir)
     val md = metaDir(root)
     if (!fs.exists(md)) return Map.empty
     fs.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
       case TagRe(name) =>
-        val n = mapper.readTree(readFully(fs, st.getPath))
-        Some(name -> n.get("snapshot_id").asLong())
+        try Some(name ->
+          mapper.readTree(readFully(fs, st.getPath)).get("snapshot_id").asLong())
+        catch {
+          case scala.util.control.NonFatal(e) if !fs.exists(st.getPath) => None
+        }
       case _ => None
     }).toMap
   }

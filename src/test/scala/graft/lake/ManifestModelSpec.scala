@@ -286,6 +286,12 @@ class ManifestModelSpec extends SparkTestBase {
         assert(headers.map(_.id) === headers.map(_.id).sorted)
         val cur = SnapshotLog.currentSnapshot(spark, dir)
         assert(cur.nonEmpty, "table never empties (keepLast = 2)")
+        // binary-search time travel races probes against expiring mids
+        val asOf = SnapshotLog.snapshotAsOfTime(spark, dir, Long.MaxValue)
+        assert(asOf.nonEmpty, "as-of(infinity) always resolves the head")
+        assert(asOf.get.id >= lastSeen, "as-of head regressed")
+        // tag listing races deleteTag/expire-era listings harmlessly
+        SnapshotLog.tags(spark, dir)
       }
     })
     val readers = Seq(reader, reader)
