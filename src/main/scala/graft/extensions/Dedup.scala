@@ -791,19 +791,21 @@ object Dedup extends QueryModule {
 
   // ------------------------------------------- near-dup cluster assignment
 
-  /** Connected components over the verified near-dup pair graph:
-    * every doc gets a cluster id = min doc_id of its component (singletons
-    * keep their own id). Implemented as distributed hash-to-min label
-    * propagation — each iteration is one join + aggregation over the edge
-    * list, labels converge in O(component diameter) rounds. That is the
-    * standard BSP shape for connected components at scale (the pair graph
-    * at 100 TB still fits the join-per-round pattern; no driver-side
-    * union-find, no collect). Deterministic: the fixpoint is the
-    * component-wise minimum regardless of iteration order. */
-  private def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  /** Connected components over a verified near-dup pair graph:
+    * (u, lbl) with lbl = min id of u's component — docs absent from the
+    * pair list get no row (singletons; callers coalesce to self).
+    * Implemented as distributed hash-to-min label propagation — each
+    * iteration is one join + aggregation over the edge list, labels
+    * converge in O(component diameter) rounds. That is the standard BSP
+    * shape for connected components at scale (the pair graph at 100 TB
+    * still fits the join-per-round pattern; no driver-side union-find,
+    * no collect). Deterministic: the fixpoint is the component-wise
+    * minimum regardless of iteration order. Shared by the text cluster
+    * query and the multimodal cluster queries. */
+  private[extensions] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p2 = pairs.toDF("a", "b")
+    val edges = p2
+      .union(p2.select(col("b"), col("a")))
       .toDF("u", "v").persist()
     // seed with one propagation folded in: lbl = min(self, neighbors)
     var backing = edges
@@ -833,6 +835,12 @@ object Dedup extends QueryModule {
     // track the surviving labels frame for invalidateCaches()
     edges.unpersist()
     retained.add(backing)
+    labels
+  }
+
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val labels =
+      connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
     Tables.documents(s, d)
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -1214,6 +1214,59 @@ object Multimodal extends QueryModule {
 
   private def videoIncrementalSql = incrementalSql(videoHashCtesPrefix, "vph", 2)
 
+  // ------------------------------------------- near-dup cluster assignment
+
+  /** Connected components over a modality's verified near-dup graph:
+    * every asset gets cluster_id = min doc_id of its component
+    * (singletons keep their own id) — the keep-one-per-cluster
+    * assignment a dedup pipeline joins its retention decision against.
+    * Reuses [[Dedup.connectedComponents]] (distributed hash-to-min
+    * label propagation, O(diameter) rounds of join+agg — no
+    * driver-side union-find) over the SAME cached neighbor pairs the
+    * dups/hist queries read. */
+  private def modalityClusters(s: SparkSession, d: String,
+                               kind: String, hashes: DataFrame): DataFrame = {
+    val pairs = cachedNeighbors(s, d, kind, hashes)
+      .select(col("doc_id"), col("dup_of"))
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("u", "doc_id")
+    hashes.filter(col("ph").isNotNull).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def phashClusters(s: SparkSession, d: String): DataFrame =
+    modalityClusters(s, d, "image", phashes(s, d))
+
+  private def videoClusters(s: SparkSession, d: String): DataFrame =
+    modalityClusters(s, d, "video", videoHashes(s, d))
+
+  /** Recursive-CTE transitive closure over `neigh`, base rows from the
+    * hash CTE `src` — the oracle twin of [[modalityClusters]]. */
+  private def clustersSelectSql(src: String) =
+    s"""edges AS (
+       |  SELECT doc_id AS u, dup_of AS v FROM neigh
+       |  UNION SELECT dup_of, doc_id FROM neigh),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(least(p.doc_id, m.lbl), p.doc_id) AS BIGINT)
+       |    AS cluster_id
+       |FROM $src p
+       |LEFT JOIN (SELECT u, min(v) AS lbl FROM reach GROUP BY u) m
+       |  ON p.doc_id = m.u
+       |ORDER BY p.doc_id""".stripMargin
+
+  private val phashClustersSql =
+    s"WITH RECURSIVE $phashCtesSql,\n${clustersSelectSql("ph")}"
+
+  private val videoClustersSql =
+    s"WITH RECURSIVE $videoHashCtesSql,\n${clustersSelectSql("vph")}"
+
   override def all: Seq[GraftQuery] = Seq(
     GraftQuery("mm_blob_meta", blobMeta, Some(blobMetaSql)),
     GraftQuery("mm_resize_pixels", resizePixels, Some(resizePixelsSql)),
@@ -1236,5 +1289,7 @@ object Multimodal extends QueryModule {
       Some(audioIncrementalSql)),
     GraftQuery("dedup_video_incremental", videoIncremental,
       Some(videoIncrementalSql)),
+    GraftQuery("dedup_phash_clusters", phashClusters, Some(phashClustersSql)),
+    GraftQuery("dedup_video_clusters", videoClusters, Some(videoClustersSql)),
   )
 }

@@ -510,6 +510,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(inc(1L) === incPlain)
   }
 
+  test("modality clusters equal brute-force connected components") {
+    import spark.implicits._
+    def bruteClusters(hs: Array[(Long, Long)]): Map[Long, Long] = {
+      // tiny union-find over the <= ham-3 pair graph
+      val parent = scala.collection.mutable.Map(hs.map(x => x._1 -> x._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for { (a, ha) <- hs; (b, hb) <- hs if a < b
+            if java.lang.Long.bitCount(ha ^ hb) <= 3 } {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      hs.map(x => x._1 -> find(x._1)).toMap
+    }
+    def lens(mod: Int) = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === mod)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.getBytes("UTF-8").length) }
+    for ((q, mod, fh) <- Seq(
+        ("dedup_phash_clusters", 0, formulaHash _),
+        ("dedup_video_clusters", 2, videoFormulaHash _))) {
+      val hs = lens(mod).map { case (id, n) => (id, fh(n)) }
+      val expect = bruteClusters(hs)
+      assert(expect.values.toSet.size < hs.length, s"$q: no clusters formed")
+      val got = graft.SparkEntry.queries(q)(spark, sf0001)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"$q diverges from brute-force components")
+    }
+  }
+
   test("decode posture is part of the hash-frame cache key") {
     // a frame cached lenient must not satisfy a later strict session
     // posture (and vice versa): flipping the conf takes effect
