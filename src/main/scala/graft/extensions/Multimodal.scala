@@ -1240,6 +1240,9 @@ object Multimodal extends QueryModule {
   private def phashClusters(s: SparkSession, d: String): DataFrame =
     modalityClusters(s, d, "image", phashes(s, d))
 
+  private def audioClusters(s: SparkSession, d: String): DataFrame =
+    modalityClusters(s, d, "audio", audioHashes(s, d))
+
   private def videoClusters(s: SparkSession, d: String): DataFrame =
     modalityClusters(s, d, "video", videoHashes(s, d))
 
@@ -1263,6 +1266,9 @@ object Multimodal extends QueryModule {
 
   private val phashClustersSql =
     s"WITH RECURSIVE $phashCtesSql,\n${clustersSelectSql("ph")}"
+
+  private def audioClustersSql =
+    s"WITH RECURSIVE $audioHashCtesSql,\n${clustersSelectSql("aph")}"
 
   private val videoClustersSql =
     s"WITH RECURSIVE $videoHashCtesSql,\n${clustersSelectSql("vph")}"
@@ -1290,6 +1296,7 @@ object Multimodal extends QueryModule {
     GraftQuery("dedup_video_incremental", videoIncremental,
       Some(videoIncrementalSql)),
     GraftQuery("dedup_phash_clusters", phashClusters, Some(phashClustersSql)),
+    GraftQuery("dedup_audio_clusters", audioClusters, Some(audioClustersSql)),
     GraftQuery("dedup_video_clusters", videoClusters, Some(videoClustersSql)),
   )
 }

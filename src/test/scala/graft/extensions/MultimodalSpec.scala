@@ -524,14 +524,21 @@ class MultimodalSpec extends SparkTestBase {
       }
       hs.map(x => x._1 -> find(x._1)).toMap
     }
-    def lens(mod: Int) = graft.Tables.documents(spark, sf0001)
+    def docs(mod: Int) = graft.Tables.documents(spark, sf0001)
       .filter(col("doc_id") % 3 === mod)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      .map { case (id, t) => (id, t.getBytes("UTF-8").length) }
-    for ((q, mod, fh) <- Seq(
-        ("dedup_phash_clusters", 0, formulaHash _),
-        ("dedup_video_clusters", 2, videoFormulaHash _))) {
-      val hs = lens(mod).map { case (id, n) => (id, fh(n)) }
+    def audioHashOf(t: String): Long = {
+      val b = t.getBytes("UTF-8")
+      Multimodal.audioHash56((0 until b.length / 2).map(i =>
+        ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt).toArray)
+    }
+    val modalities: Seq[(String, Int, String => Long)] = Seq(
+      ("dedup_phash_clusters", 0, t => formulaHash(t.getBytes("UTF-8").length)),
+      ("dedup_audio_clusters", 1, audioHashOf _),
+      ("dedup_video_clusters", 2,
+        t => videoFormulaHash(t.getBytes("UTF-8").length)))
+    for ((q, mod, fh) <- modalities) {
+      val hs = docs(mod).map { case (id, t) => (id, fh(t)) }
       val expect = bruteClusters(hs)
       assert(expect.values.toSet.size < hs.length, s"$q: no clusters formed")
       val got = graft.SparkEntry.queries(q)(spark, sf0001)
