@@ -803,39 +803,78 @@ object Dedup extends QueryModule {
     * minimum regardless of iteration order. Shared by the text cluster
     * query and the multimodal cluster queries. */
   private[extensions] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val p2 = pairs.toDF("a", "b")
-    val edges = p2
-      .union(p2.select(col("b"), col("a")))
-      .toDF("u", "v").persist()
-    // seed with one propagation folded in: lbl = min(self, neighbors)
-    var backing = edges
-      .groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl"))
-      .persist()
-    var labels = backing
-    var changed = 1L
+    // Alternating large-star / small-star contraction (Kiveris,
+    // Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    // in MapReduce and Beyond", SoCC 2014 — public paper): each round
+    // rewires every vertex's neighbors to its neighborhood minimum
+    // (large-star: the strictly-larger neighbors; small-star: the rest),
+    // which provably converges to per-component stars on the component
+    // minima in O(log^2 n) rounds (O(log n) observed) REGARDLESS of
+    // graph shape. Plain min-label propagation needs O(diameter)
+    // rounds, and chain-shaped components — hashes drifting a bit per
+    // step, exactly what perceptual near-dup graphs produce — made that
+    // 100+ Spark jobs at sf0.1. Each round is two join+agg passes over
+    // the (near-dup-vertices-only) edge list; no driver-side
+    // union-find, no collect.
+    //
+    // freeze(): materialize a round, TRUNCATE its lineage, and RESET
+    // its statistics. Un-truncated lineage grows exponentially with
+    // rounds, and Dataset.localCheckpoint alone is not enough — it
+    // snapshots the origin plan's sizeInBytes into the LogicalRDD, and
+    // since visitJoin MULTIPLIES child sizes, the stat's bit-length
+    // compounds per round until the BigInt arithmetic inside
+    // JoinSelection itself becomes the bottleneck (observed as a hang
+    // ~25 rounds in). Rebuilding from the checkpointed RDD gives a
+    // stats-free leaf: plain shuffle joins each round, which is what
+    // these are. A production run on a real cluster would use reliable
+    // checkpointing here to survive executor loss.
+    def freeze(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val dir = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
+      // center u's neighborhood minimum m = min(u, all neighbors)
+      val m = dir.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+        .withColumnRenamed("a", "ctr")
+      val sided =
+        if (large) dir.filter(col("b") > col("a")) // strictly larger side
+        else dir.filter(col("b") <= col("a")) // rest, + the center itself
+      val base = sided.join(m, sided("a") === m("ctr"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val self =
+        if (large) base
+        else base.union(m.select(col("ctr").as("a"), col("m").as("b")))
+      freeze(self.filter(col("a") =!= col("b")).distinct())
+    }
+    var edges = freeze(pairs.toDF("a", "b")
+      .filter(col("a") =!= col("b")).distinct())
+    val vertices = freeze(edges.select(col("a").as("u"))
+      .union(edges.select(col("b").as("u"))).distinct())
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("u", "v"), "v")
-        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
-      // one persisted join per round carries BOTH the new labels and the
-      // convergence signal — no second labels join just to count changes
-      val step = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("nlbl"))
-        .persist()
-      changed = step.filter(col("nlbl") < col("lbl")).count()
-      backing.unpersist()
-      backing = step
-      labels = step.select(col("u"), col("nlbl").as("lbl"))
+    var done = edges.isEmpty
+    while (!done && rounds < 60) {
+      val next = star(star(edges, large = true), large = false)
+      // fixpoint = the edge set stopped changing (same cardinality AND
+      // nothing new — both sides are exact on the frozen frames)
+      done = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
       rounds += 1
     }
-    // the loop's count() actions materialized `backing`; the edge list is
-    // only lineage now (recompute-on-eviction), so release it eagerly and
-    // track the surviving labels frame for invalidateCaches()
-    edges.unpersist()
-    retained.add(backing)
-    labels
+    // a silent non-fixpoint would hand out WRONG cluster ids — loud only
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge in $rounds rounds")
+    // converged: per-component stars centered on the component minimum;
+    // every non-min vertex appears as (v, min)
+    vertices
+      .join(edges.select(col("a").as("u"), col("b").as("star_lbl")),
+        Seq("u"), "left")
+      .groupBy(col("u"))
+      .agg(least(col("u"), min(col("star_lbl"))).as("lbl"))
   }
 
   private def clusters(s: SparkSession, d: String): DataFrame = {

@@ -233,6 +233,30 @@ class DedupSpec extends SparkTestBase {
       (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size < t })
   }
 
+  test("connected components converge on a long chain in O(log diameter) rounds") {
+    // A path graph is the worst case for plain neighbor-min label
+    // propagation (rounds = diameter); perceptual-hash near-dup graphs
+    // produce exactly these chains (hashes drifting a bit per step).
+    // Pointer jumping must converge a 3000-node chain well inside the
+    // round cap and still land every node on the component minimum.
+    // Ids are permuted so the minimum sits at a random chain position.
+    import spark.implicits._
+    val n = 3000
+    val perm = new scala.util.Random(11).shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ === 0L), "every node labels to the chain min")
+    // and two disjoint chains stay distinct components
+    val two = ((0 until 50).map(i => (i.toLong, i + 1L)) ++
+      (100 until 150).map(i => (i.toLong, i + 1L))).toDF("a", "b")
+    val twoLbl = Dedup.connectedComponents(two).as[(Long, Long)].collect().toMap
+    assert((0 to 50).forall(i => twoLbl(i.toLong) === 0L))
+    assert((100 to 150).forall(i => twoLbl(i.toLong) === 100L))
+  }
+
   test("corpus-hash frequency stages plan with NO Window keyed on h/wh") {
     // The skew half of the prefix-filter story: the frequency ORDER
     // keeps a hot shingle out of every prefix, but COMPUTING that
