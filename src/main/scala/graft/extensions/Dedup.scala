@@ -869,12 +869,21 @@ object Dedup extends QueryModule {
     if (!done) throw new IllegalStateException(
       s"connected components did not converge in $rounds rounds")
     // converged: per-component stars centered on the component minimum;
-    // every non-min vertex appears as (v, min)
-    vertices
+    // every non-min vertex appears as (v, min). The result persists and
+    // MATERIALIZES here so downstream planners see its REAL size (the
+    // freeze() leaves are stats-free): the consumer's corpus←labels
+    // join then broadcasts when the label table is genuinely small and
+    // shuffles when it is not — the size-adaptive behavior the
+    // dedup_clusters plan pin asserts at fixture scale.
+    val labels = vertices
       .join(edges.select(col("a").as("u"), col("b").as("star_lbl")),
         Seq("u"), "left")
       .groupBy(col("u"))
       .agg(least(col("u"), min(col("star_lbl"))).as("lbl"))
+      .persist()
+    labels.count()
+    retained.add(labels)
+    labels
   }
 
   private def clusters(s: SparkSession, d: String): DataFrame = {
