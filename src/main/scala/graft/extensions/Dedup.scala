@@ -220,6 +220,14 @@ object Dedup extends QueryModule {
   private val retained =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
+  /** locally-checkpointed per-round RDDs of the component-contraction
+    * loop (tiny: near-dup vertex/edge lists). The ContextCleaner only
+    * reclaims them on GC, so [[invalidateCaches]] releases them
+    * deterministically; NOT released per-round because the final label
+    * frame's lineage reaches the last round's checkpoints. */
+  private val frozenRdds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
+
   /** Release every persisted frame this module holds. A long-lived engine
     * calls this between workloads (specs exercise it); the bench/verify
     * binaries rely on process exit. Safe anytime: unpersist only forces
@@ -233,6 +241,8 @@ object Dedup extends QueryModule {
     spanIslandCache.clear()
     retained.forEach(df => df.unpersist())
     retained.clear()
+    frozenRdds.forEach(rdd => rdd.unpersist(false))
+    frozenRdds.clear()
   }
 
   private def lshPairs(s: SparkSession, d: String, kind: String,
@@ -832,6 +842,7 @@ object Dedup extends QueryModule {
       val rdd = df.rdd
       rdd.localCheckpoint()
       rdd.count()
+      frozenRdds.add(rdd)
       df.sparkSession.createDataFrame(rdd, df.schema)
     }
     def star(e: DataFrame, large: Boolean): DataFrame = {
