@@ -229,9 +229,14 @@ object Dedup extends QueryModule {
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
 
   /** Release every persisted frame this module holds. A long-lived engine
-    * calls this between workloads (specs exercise it); the bench/verify
-    * binaries rely on process exit. Safe anytime: unpersist only forces
-    * recomputation, never wrong answers. */
+    * calls this BETWEEN workloads (specs exercise it); the bench/verify
+    * binaries rely on process exit. For the keyed caches, unpersist only
+    * forces recomputation, never wrong answers — but the cluster-label
+    * frames and their [[frozenRdds]] are lineage-TRUNCATED local
+    * checkpoints, so an invalidate that races an in-flight cluster query
+    * fails that query's job (checkpoint blocks gone, no lineage to
+    * recompute) rather than recomputing silently. Between workloads —
+    * the documented call point — nothing is in flight. */
   def invalidateCaches(): Unit = {
     sigCache.values.foreach(_.unpersist())
     sigCache.clear()
@@ -241,6 +246,7 @@ object Dedup extends QueryModule {
     spanIslandCache.clear()
     retained.forEach(df => df.unpersist())
     retained.clear()
+    componentLabelCache.clear() // frames owned by retained above
     frozenRdds.forEach(rdd => rdd.unpersist(false))
     frozenRdds.clear()
   }
@@ -838,12 +844,25 @@ object Dedup extends QueryModule {
     // stats-free leaf: plain shuffle joins each round, which is what
     // these are. A production run on a real cluster would use reliable
     // checkpointing here to survive executor loss.
+    // Superseded rounds release EAGERLY: once round k's checkpoints
+    // are materialized, round k-1's blocks are in no live lineage
+    // (localCheckpoint truncated it), so holding them adds only risk.
+    // The FINAL round's checkpoints stay tracked in [[frozenRdds]] —
+    // the returned label frame's lineage reaches them.
+    var liveRound = List.empty[org.apache.spark.rdd.RDD[_]]
+    var thisRound = List.empty[org.apache.spark.rdd.RDD[_]]
     def freeze(df: DataFrame): DataFrame = {
       val rdd = df.rdd
       rdd.localCheckpoint()
       rdd.count()
       frozenRdds.add(rdd)
+      thisRound ::= rdd
       df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    def retire(): Unit = {
+      liveRound.foreach { r => r.unpersist(false); frozenRdds.remove(r) }
+      liveRound = thisRound
+      thisRound = Nil
     }
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val dir = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
@@ -863,22 +882,34 @@ object Dedup extends QueryModule {
     }
     var edges = freeze(pairs.toDF("a", "b")
       .filter(col("a") =!= col("b")).distinct())
-    val vertices = freeze(edges.select(col("a").as("u"))
-      .union(edges.select(col("b").as("u"))).distinct())
+    // vertices live until the final label join — never retired
+    val vertices = {
+      val vdf = edges.select(col("a").as("u"))
+        .union(edges.select(col("b").as("u"))).distinct()
+      val rdd = vdf.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      frozenRdds.add(rdd)
+      vdf.sparkSession.createDataFrame(rdd, vdf.schema)
+    }
     var rounds = 0
     var done = edges.isEmpty
+    // seed edges+vertices form round 0; they must survive until the
+    // first contraction's fixpoint check has read them
+    retire()
     while (!done && rounds < 60) {
       val next = star(star(edges, large = true), large = false)
       // fixpoint = the edge set stopped changing (same cardinality AND
       // nothing new — both sides are exact on the frozen frames)
       done = next.count() == edges.count() &&
         next.except(edges).isEmpty
+      retire() // previous round fully consumed by the check above
       edges = next
       rounds += 1
     }
-    // a silent non-fixpoint would hand out WRONG cluster ids — loud only
-    if (!done) throw new IllegalStateException(
-      s"connected components did not converge in $rounds rounds")
+    // a silent non-fixpoint would hand out WRONG cluster ids — loud
+    // only. NO retire() here: liveRound is the FINAL round — its edges
+    // feed the label join below and must stay until invalidateCaches.
     // converged: per-component stars centered on the component minimum;
     // every non-min vertex appears as (v, min). The result persists and
     // MATERIALIZES here so downstream planners see its REAL size (the
@@ -897,9 +928,21 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** Converged label frames per (session key, cache key): repeat cluster
+    * queries in one session must not re-run the contraction loop. The
+    * frames inside are persisted via [[retained]]; this map only keys
+    * them. */
+  private[extensions] val componentLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private[extensions] def cachedComponents(sessionKey: String, key: String,
+                                           pairs: => DataFrame): DataFrame =
+    componentLabelCache.getOrElseUpdate((sessionKey, key),
+      connectedComponents(pairs))
+
   private def clusters(s: SparkSession, d: String): DataFrame = {
-    val labels =
-      connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val labels = cachedComponents(graft.SessionKeys(s), s"$d|minhash",
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
     Tables.documents(s, d)
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

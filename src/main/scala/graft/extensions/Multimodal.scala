@@ -1226,9 +1226,9 @@ object Multimodal extends QueryModule {
     * dups/hist queries read. */
   private def modalityClusters(s: SparkSession, d: String,
                                kind: String, hashes: DataFrame): DataFrame = {
-    val pairs = cachedNeighbors(s, d, kind, hashes)
-      .select(col("doc_id"), col("dup_of"))
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = Dedup.cachedComponents(graft.SessionKeys(s), s"$d|$kind",
+      cachedNeighbors(s, d, kind, hashes)
+        .select(col("doc_id"), col("dup_of")))
       .withColumnRenamed("u", "doc_id")
     hashes.filter(col("ph").isNotNull).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

@@ -704,28 +704,40 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < 5) {
       val ids = snapshotIds(spark, tableDir)
-      try {
-        var lo = 0
-        var hi = ids.size - 1
-        var best: Option[Long] = None
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          // header-only probe: the search needs ts_ms, not the file
-          // list — segment resolution happens once, for the winner
-          val t = mapper.readTree(readFully(fs,
-            new Path(md, f"snap-${ids(mid)}%012d.json"))).get("ts_ms").asLong()
-          if (t <= tsMs) { best = Some(ids(mid)); lo = mid + 1 } else hi = mid - 1
+      var lo = 0
+      var hi = ids.size - 1
+      var best: Option[Long] = None
+      var vanished = false
+      while (lo <= hi && !vanished) {
+        val mid = (lo + hi) >>> 1
+        val p = new Path(md, f"snap-${ids(mid)}%012d.json")
+        // header-only probe: the search needs ts_ms, not the file
+        // list — segment resolution happens once, for the winner.
+        // A probe whose manifest VANISHED re-lists; a read failure
+        // with the file still present is corruption and stays loud
+        // (same discipline as readManifestIfPresent).
+        try {
+          val t = mapper.readTree(readFully(fs, p)).get("ts_ms").asLong()
+          if (t <= tsMs) { best = Some(ids(mid)); lo = mid + 1 }
+          else hi = mid - 1
+        } catch {
+          case scala.util.control.NonFatal(e) if !fs.exists(p) =>
+            vanished = true
         }
-        return best.map(snapshotAt(spark, tableDir, _))
-      } catch {
-        // probe or winner expired underneath us: a fresh listing gives
-        // the post-expiry answer. Anything else (or a manifest that is
-        // still present) stays loud.
-        case _: java.io.FileNotFoundException => attempt += 1
-        case e: NoSuchElementException
-          if e.getMessage != null && e.getMessage.contains("expired mid-read") =>
-          attempt += 1
       }
+      if (!vanished) best match {
+        case None => return None
+        case Some(id) =>
+          // the winner itself can expire between its probe and the full
+          // read: snapshotAt reports that as NoSuchElementException
+          // (either its exists precheck or the expired-mid-read path) —
+          // a race by construction, since the id came from the listing.
+          // Real corruption (segments missing under a live manifest)
+          // surfaces as a different exception and propagates.
+          try return Some(snapshotAt(spark, tableDir, id))
+          catch { case _: NoSuchElementException => }
+      }
+      attempt += 1
     }
     throw new IllegalStateException(
       s"as-of-time resolution on $tableDir kept losing probes to " +
