@@ -817,8 +817,14 @@ object Dedup extends QueryModule {
     * still fits the join-per-round pattern; no driver-side union-find,
     * no collect). Deterministic: the fixpoint is the component-wise
     * minimum regardless of iteration order. Shared by the text cluster
-    * query and the multimodal cluster queries. */
-  private[extensions] def connectedComponents(pairs: DataFrame): DataFrame = {
+    * query and the multimodal cluster queries.
+    *
+    * `maxRounds` is injectable ONLY so the spec can force the cap and
+    * pin the non-convergence throw below — production callers take the
+    * default, which is far above the O(log²n) bound (60 rounds covers
+    * n ≈ 2^(sqrt 60·c) vertices for any plausible constant). */
+  private[extensions] def connectedComponents(pairs: DataFrame,
+                                              maxRounds: Int = 60): DataFrame = {
     // Alternating large-star / small-star contraction (Kiveris,
     // Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
     // in MapReduce and Beyond", SoCC 2014 — public paper): each round
@@ -897,7 +903,7 @@ object Dedup extends QueryModule {
     // seed edges+vertices form round 0; they must survive until the
     // first contraction's fixpoint check has read them
     retire()
-    while (!done && rounds < 60) {
+    while (!done && rounds < maxRounds) {
       val next = star(star(edges, large = true), large = false)
       // fixpoint = the edge set stopped changing (same cardinality AND
       // nothing new — both sides are exact on the frozen frames)
@@ -907,9 +913,21 @@ object Dedup extends QueryModule {
       edges = next
       rounds += 1
     }
-    // a silent non-fixpoint would hand out WRONG cluster ids — loud
-    // only. NO retire() here: liveRound is the FINAL round — its edges
-    // feed the label join below and must stay until invalidateCaches.
+    // a silent non-fixpoint would hand out WRONG cluster ids (the
+    // labels below would be neighborhood minima, not component minima)
+    // — loud only. Spec-pinned via the injectable cap: this throw was
+    // once deleted by a refactor and the fixture never hits the cap,
+    // so only a forced-cap spec keeps it un-deletable.
+    if (!done) {
+      // the aborted final round's blocks are debris, not results —
+      // release them before failing so a caught throw leaks no storage
+      // (thisRound is already Nil: the loop's retire() promoted it)
+      retire()
+      throw new IllegalStateException(
+        s"connected components did not converge in $rounds rounds")
+    }
+    // NO retire() here on success: liveRound is the FINAL round — its
+    // edges feed the label join below and must stay until invalidateCaches.
     // converged: per-component stars centered on the component minimum;
     // every non-min vertex appears as (v, min). The result persists and
     // MATERIALIZES here so downstream planners see its REAL size (the

@@ -95,6 +95,14 @@ object Mp4 {
   def encodeVideo(timescale: Int, duration: Int, w: Int, h: Int,
                   frames: Int, px: (Int, Int, Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && frames > 0)
+    // 16.16 fixed point holds 15 unsigned integer bits: w << 16 at
+    // w >= 0x8000 sets the sign bit / wraps, silently encoding garbage
+    // dims parseTkhd would faithfully read back; and the mdat size
+    // arithmetic must not overflow Int into a negative array length
+    require(w < 0x8000 && h < 0x8000,
+      s"tkhd 16.16 dims overflow: w=$w h=$h (max 32767)")
+    require(frames.toLong * w * h * 3 <= Int.MaxValue,
+      s"mdat payload exceeds Int.MaxValue: frames=$frames w=$w h=$h")
     val ftyp = be32(20) ++ tag("ftyp") ++ tag("isom") ++ be32(0x200) ++ tag("isom")
     val mvhdData =
       be32(0) ++ be32(0) ++ be32(0) ++

@@ -475,6 +475,10 @@ object TextAnalysis extends QueryModule {
     lmScoreCache.clear()
     evalGramsCache.values.foreach(_.unpersist())
     evalGramsCache.clear()
+    bigramPairCache.values.foreach(_.unpersist())
+    bigramPairCache.clear()
+    lmPairCache.values.foreach(_.unpersist())
+    lmPairCache.clear()
   }
 
   private def langidProfile(s: SparkSession, d: String): DataFrame = {
@@ -630,22 +634,26 @@ object TextAnalysis extends QueryModule {
   // ---- composite cleaning pipeline: quality gates + exact dedup in one
   // pass — the C4-style "filter then keep one representative per content
   // fingerprint" shape. Gates and dedup are both shuffle-by-fp only; at
-  // 100 TB the filters run scan-side (pushed ahead of the shuffle) and the
-  // window dedup is a single hash-partitioned pass.
-  private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gated = Tables.documents(s, d).select(
+  // 100 TB the filters run scan-side (pushed ahead of the shuffle) and
+  // the dedup is ONE partial-aggregated groupBy: keep-first-by-doc_id IS
+  // min_by(doc_id) ([[Dedup]]'s exactGroups idiom), so a hot fingerprint
+  // — the same boilerplate page crawled millions of times, routine — is
+  // reduced to one candidate row PER MAP TASK before the shuffle instead
+  // of buffering the whole duplicate cluster in one window task that AQE
+  // cannot split.
+  private def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       tokenCount(col("text")).as("n_tokens"),
       round(qualityScore(col("text")), 4).as("quality"),
       fingerprint(col("text")).as("fp"))
       .filter(col("n_tokens") >= 10 && col("quality") >= 0.2)
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    gated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_tokens").as("n_tokens"), col("r.quality").as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   private val cleanCorpusSql =
     """WITH t AS (
@@ -801,27 +809,47 @@ object TextAnalysis extends QueryModule {
   // classic two-pass n-gram-LM layout. A bigram is the k=2 case of
   // [[graft.functions.TokenWindowHashes]] — a 1-token doc's single
   // 'window' is the lone token, the engine-wide degenerate convention.
+  /** Per-(doc, bigram) occurrence counts, PERSISTED per (session, dir):
+    * the corpus-frequency stage reads this frame twice (count by bigram
+    * + join-back), and without the persist both reads would re-run the
+    * tokenize+explode corpus scan. One row per DISTINCT pair — the
+    * explode's occurrence stream never materializes. */
+  private val bigramPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def bigramPairs(s: SparkSession, d: String): DataFrame =
+    bigramPairCache.getOrElseUpdate((graft.SessionKeys(s), d),
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TokenWindowHashes(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+        .persist())
+
   private def bigramFreq(s: SparkSession, d: String): DataFrame = {
     // pre-aggregate per (doc, bigram) BEFORE the corpus count: the
     // shuffles then carry DISTINCT pairs, not the full occurrence
     // stream (freq_sum = Σ k·n and n_bigrams = Σ k over pairs are
     // identities of the per-occurrence sums), and map-side partial
     // aggregation compresses the explode's output before it hits the
-    // wire. The corpus frequency is a WINDOW over the same frame —
-    // sum(k) over (partition by bg) — not a groupBy + join-back,
-    // which would evaluate the scan+explode subtree twice (the r16
-    // dup-span lesson): one explode, three key-partitioned shuffles.
+    // wire. The corpus frequency is groupBy(bg) + join-back over the
+    // PERSISTED pair frame, NOT sum(k) over (partition by bg): a
+    // stopword bigram appears in essentially every document, so the
+    // bg-keyed window would gather ≈N_docs rows into ONE task that
+    // WindowExec buffers whole and AQE cannot split — the same hot-key
+    // trap the exact-jaccard frequency stage already abandoned
+    // ([[Dedup.exactJaccardPairsUncached]]). The groupBy
+    // partial-aggregates map-side (a hot bigram reduces to one partial
+    // count per map task) and the join-back is a plain shuffled
+    // equi-join AQE's OptimizeSkewedJoin CAN split; the persist answers
+    // the old double-evaluation objection — both consumers read cached
+    // columnar batches, not the tokenize+explode lineage twice.
     // Bigrams travel as their poly_hash (one-pass codegen'd
     // TokenWindowHashes): frequency needs only gram IDENTITY, and the
     // string formulation paid an interpreted lambda + window-string
     // allocation per position.
-    val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TokenWindowHashes(col("text"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    perDoc
-      .withColumn("n",
-        sum(col("k")).over(Window.partitionBy(col("bg"))))
+    val perDoc = bigramPairs(s, d)
+    val freq = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("n"))
+    perDoc.join(freq, "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("n")).as("freq_sum"))
@@ -878,11 +906,16 @@ object TextAnalysis extends QueryModule {
     * every real bigram sharing that first word — so the LM filters to
     * true 2-token grams and a <2-token doc simply has no defined score
     * (no output row), r16 ADVICE.
-    * Corpus counts are WINDOWS over one evaluation of the pair frame
-    * (not groupBy + join-back, which doubles the scan+explode): C(w1
-    * w2) = sum(k) over (partition by bg); C(w1 ·) = sum(k) over
-    * (partition by w1) — the total corpus occurrences of bigrams
-    * opening with w1, exactly the history count the model divides by.
+    * Corpus counts are groupBy + join-back over the PERSISTED pair
+    * frame, not windows keyed on bg/w1: a stopword history key ("the ·")
+    * opens a constant fraction of all bigrams, so a w1-keyed window
+    * buffers that whole partition in one task AQE cannot split, while
+    * the groupBy partial-aggregates map-side and the join-backs are
+    * skew-splittable equi-joins. C(w1 w2) = sum(k) by bg; C(w1 ·) =
+    * sum(k) by w1 — the total corpus occurrences of bigrams opening
+    * with w1, exactly the history count the model divides by. The
+    * persist answers the double-evaluation objection that once argued
+    * for the windows: all three reads hit cached columnar batches.
     * Grams travel as poly_hashes (codegen'd TokenWindowHashes — the
     * string form paid an interpreted lambda per window): bigram i's
     * history key is the i-th single-token hash, aligned by position.
@@ -899,27 +932,40 @@ object TextAnalysis extends QueryModule {
     lmScoreCache.getOrElseUpdate((graft.SessionKeys(s), d),
       lmDocScoresUncached(s, d).persist())
 
+  /** Distinct (doc, bigram, history) pair counts, PERSISTED per
+    * (session, dir): the LM's three reads (corpus bigram counts, history
+    * counts, per-doc scoring) share one evaluation of the
+    * tokenize+explode lineage. Pair-linear, like [[bigramPairCache]]. */
+  private val lmPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lmPairs(s: SparkSession, d: String): DataFrame =
+    lmPairCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+      val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
+      val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokh.as("th"), bgh.as("bh"))
+        .filter(size(col("th")) >= 2)
+        .select(col("doc_id"), col("th"),
+          posexplode(col("bh")).as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("bg"),
+          element_at(col("th"), col("pos") + 1).as("w1"))
+        .groupBy(col("doc_id"), col("bg"), col("w1"))
+        .agg(count(lit(1)).as("k"))
+        .persist()
+    })
+
   private def lmDocScoresUncached(s: SparkSession, d: String): DataFrame = {
-    val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
-    val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
-    val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), tokh.as("th"), bgh.as("bh"))
-      .filter(size(col("th")) >= 2)
-      .select(col("doc_id"), col("th"),
-        posexplode(col("bh")).as(Seq("pos", "bg")))
-      .select(col("doc_id"), col("bg"),
-        element_at(col("th"), col("pos") + 1).as("w1"))
-      .groupBy(col("doc_id"), col("bg"), col("w1"))
-      .agg(count(lit(1)).as("k"))
+    val perDoc = lmPairs(s, d)
     val vocab = Tables.documents(s, d)
       .select(explode(graft.functions.TokenWindowHashes(col("text"), 1))
         .as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
+    val c12 = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+    val c1 = perDoc.groupBy(col("w1")).agg(sum(col("k")).as("c1"))
     perDoc
-      .withColumn("c12",
-        sum(col("k")).over(Window.partitionBy(col("bg"))))
-      .withColumn("c1",
-        sum(col("k")).over(Window.partitionBy(col("w1"))))
+      .join(c12, "bg")
+      .join(c1, "w1")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("k"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
@@ -1307,15 +1353,19 @@ object TextAnalysis extends QueryModule {
   // themselves are the scale story: row-local filters, one
   // fingerprint-key shuffle, broadcast model/benchmark joins.
   private def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nTok = tokenCount(col("text"))
     // stage 1 IS filterFunnel's verdict — shared expression, no copy
     val clean = docs.where(funnelReason === "keep")
+    // stage 2: keep-first-per-fingerprint as groupBy + min_by (NOT an
+    // fp-keyed row_number window — a hot fingerprint is a massive
+    // duplicate cluster one window task would buffer whole; min_by
+    // partial-aggregates map-side, and first-by-doc_id IS min_by, so
+    // the rewrite is semantics-preserving — cleanCorpus's shape)
     val deduped = clean
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
-      .where(col("rn") === 1).drop("rn")
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(clean.columns.map(col): _*), col("doc_id")).as("r"))
+      .select(col("r.*"))
     val clsKeepDocs = clsBuckets(deduped)
       .join(broadcast(clsWeights(s)), "bucket")
       .groupBy(col("doc_id"))

@@ -138,9 +138,17 @@ object CdcQueries extends QueryModule {
   // upsert in the physical merge fails the hash.
   private def cdcLakeMerge(s: SparkSession, d: String): DataFrame = {
     val dir = Lifecycle.scratchDir(s, "graft_lakemerge", d)
+    // pre-delete (the FixtureCache discipline): merge() below turns the
+    // dir snapshot-backed, and write() REFUSES a snapshot-backed target
+    // — so a second run in the same session (a bench re-measure, a
+    // second full-surface pass) must start from a clean dir, not trip
+    // the hive-append guard. SaveMode.Overwrite alone cannot clear the
+    // commit log.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val env = envelope(s, d)
     val base = graft.ingest.TimeTravel.asOfLsn(env, Seq("user_id"), lit(ApplyLsn))
-    graft.ingest.CdcWriter.write(base, dir) // SaveMode.Overwrite: clean per run
+    graft.ingest.CdcWriter.write(base, dir)
     graft.ingest.CdcWriter.merge(
       s, dir, env.filter(col(Cdc.LsnColumn) > ApplyLsn), Seq("user_id"))
     graft.ingest.CdcWriter.read(s, dir)

@@ -24,7 +24,10 @@ class EngineCachesSpec extends SparkTestBase {
   private val cacheSensitive = Seq(
     "dedup_semantic", "sim_lake_knn", "sim_coreset_prototypes",
     "dedup_dup_spans", "dedup_minhash_pairs", "sim_knn_ivfpq",
-    "text_langid_profile")
+    "text_langid_profile",
+    // the bigram pair frames (corpus frequency + LM counts join back
+    // over them; r20's window-to-join rewrites)
+    "text_bigram_freq", "text_lm_perplexity")
 
   /** Cheap foreign traffic: what a full pass runs between a cache
     * fill and the measured query. */

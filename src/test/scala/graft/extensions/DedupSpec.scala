@@ -257,6 +257,98 @@ class DedupSpec extends SparkTestBase {
     assert((100 to 150).forall(i => twoLbl(i.toLong) === 100L))
   }
 
+  test("non-convergence at the round cap throws — never silent wrong labels") {
+    // The guard this pins was once deleted by a refactor and nothing
+    // noticed, because the fixtures converge well inside the default
+    // cap: labels computed from a non-fixpoint edge set are
+    // neighborhood minima, not component minima — a silently WRONG
+    // answer. The cap is injectable exactly so this test can force it.
+    import spark.implicits._
+    val n = 300
+    val perm = new scala.util.Random(17).shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge in 1 rounds"))
+    // the same graph converges exactly under the default cap — the
+    // forced cap is the ONLY thing the intercept above relies on
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === n && labels.values.forall(_ === 0L))
+  }
+
+  test("contraction under a hot vertex (~12% of all pairs) stays exact") {
+    // Near-dup graphs skew: one template page pairs with a large slice
+    // of the corpus. The star joins key on vertex ids, so a hot vertex
+    // is a hot join key — the rounds must still converge to the exact
+    // per-component minima (the joins are plain shuffled equi-joins
+    // AQE can skew-split; nothing in the loop windows or buffers a
+    // neighborhood in one task). Truth via driver-side union-find.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val star = (1 to 250).map(i => (0L, i.toLong))
+    val chains = (0 until 4).flatMap { c =>
+      val base = 1000L * (c + 1)
+      (0 until 450).map(i => (base + i, base + i + 1L))
+    }
+    val all = rnd.shuffle(star ++ chains)
+    val labels = Dedup.connectedComponents(all.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(v => v -> find(v)).toMap
+    assert(labels === truth)
+  }
+
+  test("invalidate racing an in-flight cluster query fails loud or exact, and leaves no debris") {
+    // invalidateCaches' documented contract: racing an in-flight
+    // cluster query may FAIL that query (the contraction rounds are
+    // lineage-truncated local checkpoints — unpersisted blocks cannot
+    // recompute) but must never let it return silently wrong labels;
+    // and after the dust settles a full invalidate leaves no persisted
+    // debris and a fresh run is exact.
+    import spark.implicits._
+    graft.EngineCaches.invalidateAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val n = 4000
+    val perm = new scala.util.Random(23).shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("a", "b")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val raced = Future {
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
+    Thread.sleep(1500) // land inside the contraction loop
+    graft.EngineCaches.invalidateAll()
+    scala.util.Try(Await.result(raced, Duration(600, "s"))) match {
+      case scala.util.Success(labels) =>
+        assert(labels.size === n && labels.values.forall(_ === 0L),
+          "a raced run that completes must still be exact")
+      case scala.util.Failure(_) => // loud is the documented contract
+    }
+    pool.shutdown()
+    graft.EngineCaches.invalidateAll()
+    val debris = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(debris.isEmpty, s"cluster debris survived invalidate: $debris")
+    // and the engine recovers: a fresh run is exact
+    val fresh = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(fresh.size === n && fresh.values.forall(_ === 0L))
+    graft.EngineCaches.invalidateAll()
+  }
+
   test("corpus-hash frequency stages plan with NO Window keyed on h/wh") {
     // The skew half of the prefix-filter story: the frequency ORDER
     // keeps a hot shingle out of every prefix, but COMPUTING that

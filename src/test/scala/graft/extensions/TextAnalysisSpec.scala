@@ -11,40 +11,63 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(text).toDF("text").select(expr).collect()(0).get(0)
   }
 
-  test("bigram-frequency plan: ONE explode, corpus count by window, no self-join") {
+  // windows must be counted THROUGH persisted frames and AQE wrappers
+  // (graft.PlanWalk), or a skew-prone window could hide inside a cache
+  // and the pin would match nothing
+  private def allWindows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    graft.PlanWalk.deepCollectLogical[Any](p) {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    } {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
+  test("bigram-frequency plan: NO bg-keyed window, corpus count by skew-splittable join-back over the cached pair frame") {
+    // A stopword bigram appears in essentially every document, so a
+    // bg-keyed window gathers ≈N_docs rows into ONE task WindowExec
+    // buffers whole and AQE cannot split. The corpus frequency must be
+    // groupBy(bg) + join-back over the PERSISTED pair frame: both
+    // consumers read cached columnar batches (the tokenize+explode
+    // lineage runs ONCE, at cache materialization), the groupBy
+    // partial-aggregates map-side, and the join is skew-splittable.
+    graft.EngineCaches.invalidateAll()
     val df = SparkEntry.queries("text_bigram_freq")(spark, "/root/testdata/sf0.001")
     df.collect()
-    // the EXECUTED (final AQE) plan — the toString also prints the
-    // pre-adaptive Initial Plan section
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    // the corpus frequency is sum(k) over (partition by bg) on the ONE
-    // evaluation of the (doc, bigram) aggregate — a groupBy +
-    // join-back would either duplicate the explode (the heaviest scan,
-    // doubled at corpus scale) or lean on AQE exchange reuse; the
-    // window needs neither a join nor reuse
-    val nExplodes = "Generate explode".r.findAllMatchIn(plan).length
-    assert(nExplodes == 1, s"explode appears $nExplodes times:\n$plan")
-    assert(plan.contains("Window"), s"corpus count not a window:\n$plan")
-    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+    val plan = df.queryExecution.optimizedPlan
+    assert(allWindows(plan).isEmpty,
+      s"corpus count must not window (incl. inside caches):\n$plan")
+    // the explode lives inside the cached pair frame — both consumers
+    // read the cache and never re-run the scan
+    val gens = plan.collectWithSubqueries {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty, s"explode re-ran outside the pair cache:\n$plan")
+    val cacheReads = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cacheReads.size == 2, s"expected 2 pair-cache reads:\n$plan")
   }
 
-  test("lm-perplexity plan: ONE explode for the pair frame, both corpus counts by window") {
+  test("lm-perplexity plan: NO bg/w1-keyed windows, corpus+history counts by join-back over the cached pair frame") {
+    // C(w1 w2) and C(w1 ·) are groupBy + join-back over the persisted
+    // (doc, bg, w1, k) frame — a w1-keyed window would buffer a
+    // stopword history's whole partition in one unsplittable task
+    graft.EngineCaches.invalidateAll()
     val df = SparkEntry.queries("text_lm_perplexity")(spark, "/root/testdata/sf0.001")
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    // two generators total: the bigram pair frame (posexplode, ONCE —
-    // C(w1 w2) and C(w1 ·) are windows over it, not join-backs) and
-    // the separate vocabulary-size scan; the only join is the scalar V
-    // broadcast
-    val nExplodes = "Generate (pos)?explode".r.findAllMatchIn(plan).length
-    assert(nExplodes == 2, s"explode appears $nExplodes times:\n$plan")
-    val nWindows = "\\bWindow\\b".r.findAllMatchIn(plan).length
-    assert(nWindows >= 2, s"expected 2 count windows:\n$plan")
-    val nJoins = "Join".r.findAllMatchIn(plan).length
-    assert(nJoins == 1 && plan.contains("BroadcastNestedLoopJoin"),
-      s"only the scalar-V broadcast join may appear:\n$plan")
+    val plan = df.queryExecution.optimizedPlan
+    assert(allWindows(plan).isEmpty,
+      s"corpus counts must not window (incl. inside caches):\n$plan")
+    // the result frame itself is persisted (the shared-score contract):
+    // the consumer plan is a read of that cache, and the pair cache is
+    // consumed three times INSIDE it (two count branches + scoring)
+    val resultCache = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(resultCache.nonEmpty, s"lm score frame not persisted:\n$plan")
+    val nested = resultCache.map(r => graft.PlanWalk.deepCollect(r.cachedPlan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.size).sum
+    assert(nested == 3, s"expected 3 pair-cache reads inside the score cache, got $nested:\n$plan")
   }
 
   test("bloom decontamination: sketch invisible in results, might_contain runs scan-side") {
