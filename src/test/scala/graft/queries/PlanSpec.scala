@@ -222,4 +222,26 @@ class PlanSpec extends SparkTestBase {
     // column pruning: the scan must not read the unused lang/n_chars cols
     assert(!plan.contains("n_chars"), "scan should not read unused columns")
   }
+
+  test("top-K-per-group windows push a WindowGroupLimit below the shuffle") {
+    // text_top_terms' lang and q20's c_nationkey partitions are
+    // whitelisted low-cardinality keys, but the per-key row set (distinct
+    // terms / customers per key) grows with the corpus — a plain
+    // rank-then-filter window would buffer it whole in one task. Spark's
+    // InferWindowGroupLimit turns `row_number/rank <= k` into a two-phase
+    // WindowGroupLimit: each MAP task keeps only its local top-k per key
+    // before the exchange, so the final window sees <= k x tasks rows per
+    // key regardless of corpus size. Pin that the pushdown fires (a
+    // refactor that breaks the filter pattern — e.g. ranking into a
+    // non-literal bound — would silently lose it).
+    for (name <- Seq("text_top_terms", "q20_window_rank")) {
+      val plan = planOf(name)
+      // formatted explain separates the node tree from its Arguments
+      // blocks: the Partial-mode limit shows as
+      // "Arguments: [key], [order], row_number()|rank(), k, Partial"
+      assert(plan.contains("WindowGroupLimit") &&
+        "(row_number|rank)\\([^)]*\\), \\d+, Partial".r.findFirstIn(plan).nonEmpty,
+        s"$name: no map-side (Partial) WindowGroupLimit:\n${plan.take(3000)}")
+    }
+  }
 }
