@@ -58,6 +58,28 @@ class EngineCachesSpec extends SparkTestBase {
     } finally churn.unpersist(blocking = true)
   }
 
+  test("an invalidate racing a pair-cache query still yields EXACT rows") {
+    // The bigram pair frames are plain persisted DataFrames (full
+    // lineage, unlike the contraction loop's lineage-truncated local
+    // checkpoints), so an invalidateAll firing MID-QUERY may cost a
+    // recompute but must never change rows or fail: Spark falls back
+    // to the lineage when cached blocks vanish. This is the cache-loss
+    // contract one notch harsher than eviction-between-queries above.
+    val fresh = rowsOf("text_bigram_freq")
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    EngineCaches.invalidateAll()
+    val raced = scala.concurrent.Future { rowsOf("text_bigram_freq") }
+    Thread.sleep(150) // land inside the query (cache fill or join-back)
+    EngineCaches.invalidateAll()
+    val got = scala.concurrent.Await.result(
+      raced, scala.concurrent.duration.Duration(600, "s"))
+    pool.shutdown()
+    assert(got === fresh, "raced pair-cache query diverged")
+    EngineCaches.invalidateAll()
+  }
+
   test("invalidateAll is idempotent and caches re-derive after clearing") {
     EngineCaches.invalidateAll()
     EngineCaches.invalidateAll() // double-clear must not throw

@@ -223,6 +223,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("n_chars"), "scan should not read unused columns")
   }
 
+  test("fp-dedup is a partial-aggregated min_by, not a window (text_clean_corpus)") {
+    // keep-one-per-fingerprint must partial-aggregate map-side: a hot
+    // fingerprint (one boilerplate page duplicated across the crawl)
+    // reduces to one candidate row per map task BEFORE the shuffle,
+    // where the old fp-keyed row_number window buffered the whole
+    // duplicate cluster in a single task
+    val plan = planOf("text_clean_corpus")
+    assert(!plan.contains("Window"), s"fp dedup must not window:\n${plan.take(3000)}")
+    assert("partial_min_by|Partial".r.findFirstIn(plan).nonEmpty,
+      s"min_by must partial-aggregate:\n${plan.take(3000)}")
+  }
+
   test("top-K-per-group windows push a WindowGroupLimit below the shuffle") {
     // text_top_terms' lang and q20's c_nationkey partitions are
     // whitelisted low-cardinality keys, but the per-key row set (distinct
