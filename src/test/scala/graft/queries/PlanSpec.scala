@@ -246,7 +246,8 @@ class PlanSpec extends SparkTestBase {
     // key regardless of corpus size. Pin that the pushdown fires (a
     // refactor that breaks the filter pattern — e.g. ranking into a
     // non-literal bound — would silently lose it).
-    for (name <- Seq("text_top_terms", "q20_window_rank")) {
+    for (name <- Seq("text_top_terms", "q20_window_rank",
+        "sim_cluster_sample", "sim_coreset_prototypes")) {
       val plan = planOf(name)
       // formatted explain separates the node tree from its Arguments
       // blocks: the Partial-mode limit shows as
