@@ -58,25 +58,29 @@ class EngineCachesSpec extends SparkTestBase {
     } finally churn.unpersist(blocking = true)
   }
 
-  test("an invalidate racing a pair-cache query still yields EXACT rows") {
-    // The bigram pair frames are plain persisted DataFrames (full
-    // lineage, unlike the contraction loop's lineage-truncated local
-    // checkpoints), so an invalidateAll firing MID-QUERY may cost a
-    // recompute but must never change rows or fail: Spark falls back
-    // to the lineage when cached blocks vanish. This is the cache-loss
-    // contract one notch harsher than eviction-between-queries above.
+  test("invalidateAll quiesces: concurrent invalidates never corrupt an in-flight query") {
+    // Uncaching an InMemoryRelation WHILE the AQE stage materializing it
+    // runs can silently EMPTY that query's result (reproduced: raw
+    // module invalidates landing 125-175 ms into a warm pair-cache query
+    // returned Success(0 rows), no exception — the worst failure class
+    // this engine has). EngineCaches.invalidateAll therefore waits for
+    // the context's active jobs to drain + settle before touching any
+    // cache. Sweep invalidates across launch offsets that bracket the
+    // reproduced anomaly window and require EXACT rows every time.
     val fresh = rowsOf("text_bigram_freq")
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    EngineCaches.invalidateAll()
-    val raced = scala.concurrent.Future { rowsOf("text_bigram_freq") }
-    Thread.sleep(150) // land inside the query (cache fill or join-back)
-    EngineCaches.invalidateAll()
-    val got = scala.concurrent.Await.result(
-      raced, scala.concurrent.duration.Duration(600, "s"))
+    for (off <- Seq(0L, 75L, 125L, 150L, 175L, 250L)) {
+      EngineCaches.invalidateAll()
+      val raced = scala.concurrent.Future { rowsOf("text_bigram_freq") }
+      Thread.sleep(off)
+      EngineCaches.invalidateAll()
+      val got = scala.concurrent.Await.result(
+        raced, scala.concurrent.duration.Duration(600, "s"))
+      assert(got === fresh, s"raced pair-cache query diverged at offset $off ms")
+    }
     pool.shutdown()
-    assert(got === fresh, "raced pair-cache query diverged")
     EngineCaches.invalidateAll()
   }
 

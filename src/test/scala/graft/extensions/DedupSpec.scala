@@ -331,7 +331,9 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
     }
     Thread.sleep(1500) // land inside the contraction loop
-    graft.EngineCaches.invalidateAll()
+    // the RAW module invalidate, deliberately: EngineCaches.invalidateAll
+    // quiesces (waits for active jobs) and would never actually race
+    Dedup.invalidateCaches()
     scala.util.Try(Await.result(raced, Duration(600, "s"))) match {
       case scala.util.Success(labels) =>
         assert(labels.size === n && labels.values.forall(_ === 0L),
