@@ -178,7 +178,7 @@ object Dedup extends QueryModule {
   private def signatures(s: SparkSession, d: String, kind: String,
                          sigFn: String => (Seq[Long], Seq[Long]),
                          bandRows: Int): DataFrame =
-    sigCache.getOrElseUpdate((graft.SessionKeys(s), d, kind, bandRows), {
+    graft.CacheFill(sigCache, (graft.SessionKeys(s), d, kind, bandRows)) {
       import s.implicits._
       // repartition: the fixture is one parquet file = one input split; the
       // signature kernel is the expensive stage, so spread it across cores
@@ -192,7 +192,7 @@ object Dedup extends QueryModule {
         }
         .toDF("doc_id", "sh", "mh", "bands")
         .persist()
-    })
+    }
 
   /** Word-shingle signature function: md5w32 per distinct shingle; the
     * verify set is the distinct HASH set, not the strings — Jaccard over
@@ -254,8 +254,8 @@ object Dedup extends QueryModule {
   private def lshPairs(s: SparkSession, d: String, kind: String,
                        sigFn: String => (Seq[Long], Seq[Long]), threshold: Double,
                        bandRows: Int = 2): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (graft.SessionKeys(s), d, s"$kind|$threshold|$bandRows"),
+    graft.CacheFill(pairsCache,
+      (graft.SessionKeys(s), d, s"$kind|$threshold|$bandRows"))(
       lshPairsUncached(s, d, kind, sigFn, threshold, bandRows).persist())
 
   private def lshPairsUncached(s: SparkSession, d: String, kind: String,
@@ -314,8 +314,8 @@ object Dedup extends QueryModule {
   private val SSJoinPrefixT = SSJoinT - 1e-4
 
   private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (graft.SessionKeys(s), d, s"word|exact|$SSJoinT"),
+    graft.CacheFill(pairsCache,
+      (graft.SessionKeys(s), d, s"word|exact|$SSJoinT"))(
       exactJaccardPairsUncached(s, d).persist())
 
   /** private[extensions]: the spec pins this plan's Window keys. */
@@ -723,8 +723,8 @@ object Dedup extends QueryModule {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nBands = SimBits / SimBandBits
-    val sg = sigCache.getOrElseUpdate(
-      (graft.SessionKeys(s), d, "simhash32", 0),
+    val sg = graft.CacheFill(sigCache,
+      (graft.SessionKeys(s), d, "simhash32", 0))(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .repartition(s.sparkContext.defaultParallelism)
@@ -888,16 +888,20 @@ object Dedup extends QueryModule {
     }
     var edges = freeze(pairs.toDF("a", "b")
       .filter(col("a") =!= col("b")).distinct())
-    // vertices live until the final label join — never retired
-    val vertices = {
+    // vertices live until the final label join — never retired on the
+    // success path (the throw path releases them: they are that call's
+    // largest stranded asset, O(distinct vertex ids) blocks)
+    val (verticesRdd, verticesSchema) = {
       val vdf = edges.select(col("a").as("u"))
         .union(edges.select(col("b").as("u"))).distinct()
       val rdd = vdf.rdd
       rdd.localCheckpoint()
       rdd.count()
       frozenRdds.add(rdd)
-      vdf.sparkSession.createDataFrame(rdd, vdf.schema)
+      (rdd, vdf.schema)
     }
+    val vertices =
+      pairs.sparkSession.createDataFrame(verticesRdd, verticesSchema)
     var rounds = 0
     var done = edges.isEmpty
     // seed edges+vertices form round 0; they must survive until the
@@ -919,10 +923,13 @@ object Dedup extends QueryModule {
     // once deleted by a refactor and the fixture never hits the cap,
     // so only a forced-cap spec keeps it un-deletable.
     if (!done) {
-      // the aborted final round's blocks are debris, not results —
-      // release them before failing so a caught throw leaks no storage
-      // (thisRound is already Nil: the loop's retire() promoted it)
-      retire()
+      // the aborted call's blocks are debris, not results — release the
+      // final round AND the vertices checkpoint before failing, so a
+      // caught throw strands nothing in executor storage (a long-lived
+      // engine retrying cluster queries must not accumulate leaks)
+      retire() // liveRound = final round; thisRound already Nil
+      verticesRdd.unpersist(false)
+      frozenRdds.remove(verticesRdd)
       throw new IllegalStateException(
         s"connected components did not converge in $rounds rounds")
     }
@@ -955,7 +962,7 @@ object Dedup extends QueryModule {
 
   private[extensions] def cachedComponents(sessionKey: String, key: String,
                                            pairs: => DataFrame): DataFrame =
-    componentLabelCache.getOrElseUpdate((sessionKey, key),
+    graft.CacheFill(componentLabelCache, (sessionKey, key))(
       connectedComponents(pairs))
 
   private def clusters(s: SparkSession, d: String): DataFrame = {
@@ -1194,8 +1201,8 @@ object Dedup extends QueryModule {
     * a window starting within K of the previous one overlaps or abuts
     * its interval, so they fuse into one span. */
   private def dupSpanIslands(s: SparkSession, d: String): DataFrame =
-    spanIslandCache.getOrElseUpdate(
-      (graft.SessionKeys(s), d, s.conf.get(SpanHashConf, "poly32")),
+    graft.CacheFill(spanIslandCache,
+      (graft.SessionKeys(s), d, s.conf.get(SpanHashConf, "poly32")))(
       dupSpanIslandsUncached(s, d))
 
   /** Island merge over a window frame — lazy plan, shared by the eager

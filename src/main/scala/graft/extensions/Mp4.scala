@@ -101,8 +101,12 @@ object Mp4 {
     // arithmetic must not overflow Int into a negative array length
     require(w < 0x8000 && h < 0x8000,
       s"tkhd 16.16 dims overflow: w=$w h=$h (max 32767)")
-    require(frames.toLong * w * h * 3 <= Int.MaxValue,
-      s"mdat payload exceeds Int.MaxValue: frames=$frames w=$w h=$h")
+    // headroom for the mdat box header AND the ftyp+moov prefix of the
+    // final concatenated array — a payload of exactly Int.MaxValue
+    // would wrap `be32(8 + data.length)` negative and overflow the
+    // total file length, the very failure the guard exists to exclude
+    require(frames.toLong * w * h * 3 <= Int.MaxValue - 1024,
+      s"mdat payload too large for one Int-addressed file: frames=$frames w=$w h=$h")
     val ftyp = be32(20) ++ tag("ftyp") ++ tag("isom") ++ be32(0x200) ++ tag("isom")
     val mvhdData =
       be32(0) ++ be32(0) ++ be32(0) ++

@@ -651,7 +651,7 @@ object Multimodal extends QueryModule {
                             hash: (Long, Array[Byte]) => Option[Long]): DataFrame = {
     val posture =
       if (s.conf.get(StrictDecodeConf, "false") == "true") "strict" else "lenient"
-    phashCache.getOrElseUpdate((graft.SessionKeys(s), d, s"$kind|$posture"),
+    graft.CacheFill(phashCache, (graft.SessionKeys(s), d, s"$kind|$posture"))(
       hashFrame(s, blobs(s, d), kind, hash).persist())
   }
 
@@ -721,7 +721,7 @@ object Multimodal extends QueryModule {
                               hashes: => DataFrame): DataFrame = {
     val bound =
       s.conf.get(BucketBoundConf, DefaultBucketBound.toString).toLong
-    neighCache.getOrElseUpdate((graft.SessionKeys(s), d, kind, bound),
+    graft.CacheFill(neighCache, (graft.SessionKeys(s), d, kind, bound))(
       hammingNeighborsBounded(hashes, bound).persist())
   }
 

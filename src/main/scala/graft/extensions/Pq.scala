@@ -102,7 +102,7 @@ object Pq extends QueryModule {
     * sampled id, then [[PqIters]] iterations of ONE distributed
     * aggregation each. Only M × Ks × (SubDim + 1) longs reach the driver. */
   private[extensions] def codebooks(s: SparkSession, d: String): Seq[PqCentroid] =
-    codebookCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+    graft.CacheFill(codebookCache, (graft.SessionKeys(s), d)) {
       val m = mOf(s, d)
       val sample = subVectors(s, d, m).filter(
         (col("vec_id") * Similarity.SampleMult) % Similarity.SampleMod
@@ -130,7 +130,7 @@ object Pq extends QueryModule {
         }.sortBy(c => (c.sub, c.cid)).toSeq
       }
       cents
-    })
+    }
 
   // ---------------------------------------------------------- encoding
 

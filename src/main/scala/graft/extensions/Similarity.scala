@@ -92,7 +92,7 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def scaledVecCached(s: SparkSession, d: String): DataFrame =
-    vecCache.getOrElseUpdate((graft.SessionKeys(s), d),
+    graft.CacheFill(vecCache, (graft.SessionKeys(s), d))(
       scaledVec(s, d).persist())
 
   /** Release every persisted frame / trained model this module holds (see
@@ -144,7 +144,7 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Centroid]]
 
   private[extensions] def centroids(s: SparkSession, d: String): Seq[Centroid] =
-    centroidCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+    graft.CacheFill(centroidCache, (graft.SessionKeys(s), d)) {
       val nCent = ivfParams(s, d)._1
       val sampleRdd = scaledVecCached(s, d)
         .filter((col("vec_id") * SampleMult) % SampleMod < SampleKeep)
@@ -211,7 +211,7 @@ object Similarity extends QueryModule {
       }
       sampleRdd.unpersist(blocking = false)
       cents
-    })
+    }
 
   /** Trained centroids as a flat-array coarse-quantizer codebook: the
     * m = 1, subDim = dim special case of [[graft.functions.PqCodebookData]],

@@ -457,7 +457,7 @@ object TextAnalysis extends QueryModule {
 
   private[extensions] def langProfiles(s: SparkSession, d: String)
   : Seq[(String, Long, Int)] =
-    langProfileCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+    graft.CacheFill(langProfileCache, (graft.SessionKeys(s), d)) {
       val langCounts = gramsOf(s, d).groupBy(col("lang"), col("g"))
         .agg(count(lit(1)).as("c"))
       val profW =
@@ -467,7 +467,7 @@ object TextAnalysis extends QueryModule {
         .select(col("lang"), col("g"), col("prank"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
-    })
+    }
 
   def invalidateCaches(): Unit = {
     langProfileCache.clear()
@@ -818,7 +818,7 @@ object TextAnalysis extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def bigramPairs(s: SparkSession, d: String): DataFrame =
-    bigramPairCache.getOrElseUpdate((graft.SessionKeys(s), d),
+    graft.CacheFill(bigramPairCache, (graft.SessionKeys(s), d))(
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.TokenWindowHashes(col("text"), 2)).as("bg"))
@@ -929,7 +929,7 @@ object TextAnalysis extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def lmDocScores(s: SparkSession, d: String): DataFrame =
-    lmScoreCache.getOrElseUpdate((graft.SessionKeys(s), d),
+    graft.CacheFill(lmScoreCache, (graft.SessionKeys(s), d))(
       lmDocScoresUncached(s, d).persist())
 
   /** Distinct (doc, bigram, history) pair counts, PERSISTED per
@@ -940,7 +940,7 @@ object TextAnalysis extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def lmPairs(s: SparkSession, d: String): DataFrame =
-    lmPairCache.getOrElseUpdate((graft.SessionKeys(s), d), {
+    graft.CacheFill(lmPairCache, (graft.SessionKeys(s), d)) {
       val tokh = graft.functions.TokenWindowHashes(col("text"), 1)
       val bgh = graft.functions.TokenWindowHashes(col("text"), 2)
       Tables.documents(s, d)
@@ -953,7 +953,7 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("doc_id"), col("bg"), col("w1"))
         .agg(count(lit(1)).as("k"))
         .persist()
-    })
+    }
 
   private def lmDocScoresUncached(s: SparkSession, d: String): DataFrame = {
     val perDoc = lmPairs(s, d)
@@ -1231,7 +1231,7 @@ object TextAnalysis extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def evalGrams(s: SparkSession, d: String): DataFrame =
-    evalGramsCache.getOrElseUpdate((graft.SessionKeys(s), d),
+    graft.CacheFill(evalGramsCache, (graft.SessionKeys(s), d))(
       grams(s, d).filter(col("doc_id") % EvalMod === 0)
         .select(col("g")).distinct().persist())
 

@@ -71,16 +71,17 @@ class EngineCachesSpec extends SparkTestBase {
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    for (off <- Seq(0L, 75L, 125L, 150L, 175L, 250L)) {
-      EngineCaches.invalidateAll()
-      val raced = scala.concurrent.Future { rowsOf("text_bigram_freq") }
-      Thread.sleep(off)
-      EngineCaches.invalidateAll()
-      val got = scala.concurrent.Await.result(
-        raced, scala.concurrent.duration.Duration(600, "s"))
-      assert(got === fresh, s"raced pair-cache query diverged at offset $off ms")
-    }
-    pool.shutdown()
+    try {
+      for (off <- Seq(0L, 75L, 125L, 150L, 175L, 250L)) {
+        EngineCaches.invalidateAll()
+        val raced = scala.concurrent.Future { rowsOf("text_bigram_freq") }
+        Thread.sleep(off)
+        EngineCaches.invalidateAll()
+        val got = scala.concurrent.Await.result(
+          raced, scala.concurrent.duration.Duration(600, "s"))
+        assert(got === fresh, s"raced pair-cache query diverged at offset $off ms")
+      }
+    } finally pool.shutdown() // a failed offset must not leak the thread
     EngineCaches.invalidateAll()
   }
 

@@ -41,4 +41,26 @@ object PlanWalk {
     }.flatten
     p.collectWithSubqueries(lpf) ++ nested
   }
+
+  /** Every window-family node's partition key set, walked through the
+    * wrappers above — THE one window collector, shared by the global
+    * WindowKeyGateSpec and the per-operator plan pins so the two can
+    * never drift apart (a wrapper handled in one walk but not the other
+    * would re-open exactly the blindness this object exists to close). */
+  def windowKeySets(p: LogicalPlan): Seq[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def keys(exprs: Seq[Expression]): Set[String] =
+      exprs.flatMap(_.references.toSeq.map(_.name)).toSet
+    deepCollectLogical[Set[String]](p) {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        keys(w.partitionSpec)
+      case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+        keys(w.partitionSpec)
+    } {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        keys(w.partitionSpec)
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        keys(w.partitionSpec)
+    }
+  }
 }

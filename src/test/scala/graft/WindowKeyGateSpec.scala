@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow, WindowGroupLimit}
-import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -66,19 +65,11 @@ class WindowKeyGateSpec extends SparkTestBase {
   private val globalWindowBounded: Set[String] =
     Set("q29_moving_avg", "text_ppl_buckets")
 
-  private def keySet(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Set[String] =
-    exprs.flatMap(_.references.toSeq.map(_.name)).toSet
-
   /** Every window's partition-key name set, walked through persisted
-    * frames, AQE wrappers, and query stages ([[PlanWalk]]). */
+    * frames, AQE wrappers, and query stages — [[PlanWalk.windowKeySets]],
+    * the collector shared with the per-operator pins. */
   private def windows(plan: LogicalPlan): Seq[Set[String]] =
-    PlanWalk.deepCollectLogical[Set[String]](plan) {
-      case w: LWindow => keySet(w.partitionSpec)
-      case w: WindowGroupLimit => keySet(w.partitionSpec)
-    } {
-      case w: WindowExec => keySet(w.partitionSpec)
-      case w: WindowGroupLimitExec => keySet(w.partitionSpec)
-    }
+    PlanWalk.windowKeySets(plan)
 
   test("every registered query plans Windows keyed only on bounded keys") {
     // fresh caches: Spark's cache replacement would otherwise swallow

@@ -334,13 +334,14 @@ class DedupSpec extends SparkTestBase {
     // the RAW module invalidate, deliberately: EngineCaches.invalidateAll
     // quiesces (waits for active jobs) and would never actually race
     Dedup.invalidateCaches()
-    scala.util.Try(Await.result(raced, Duration(600, "s"))) match {
-      case scala.util.Success(labels) =>
-        assert(labels.size === n && labels.values.forall(_ === 0L),
-          "a raced run that completes must still be exact")
-      case scala.util.Failure(_) => // loud is the documented contract
-    }
-    pool.shutdown()
+    try {
+      scala.util.Try(Await.result(raced, Duration(600, "s"))) match {
+        case scala.util.Success(labels) =>
+          assert(labels.size === n && labels.values.forall(_ === 0L),
+            "a raced run that completes must still be exact")
+        case scala.util.Failure(_) => // loud is the documented contract
+      }
+    } finally pool.shutdown()
     graft.EngineCaches.invalidateAll()
     val debris = spark.sparkContext.getPersistentRDDs.keySet -- baseline
     assert(debris.isEmpty, s"cluster debris survived invalidate: $debris")

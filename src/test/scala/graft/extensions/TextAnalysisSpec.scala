@@ -11,15 +11,12 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(text).toDF("text").select(expr).collect()(0).get(0)
   }
 
-  // windows must be counted THROUGH persisted frames and AQE wrappers
-  // (graft.PlanWalk), or a skew-prone window could hide inside a cache
-  // and the pin would match nothing
+  // windows must be counted THROUGH persisted frames and AQE wrappers,
+  // via the SAME collector the global gate uses (graft.PlanWalk) — a
+  // private re-implementation here could drift and go blind to a
+  // wrapper the shared walk learns about later
   private def allWindows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-    graft.PlanWalk.deepCollectLogical[Any](p) {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    } {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
+    graft.PlanWalk.windowKeySets(p)
 
   test("bigram-frequency plan: NO bg-keyed window, corpus count by skew-splittable join-back over the cached pair frame") {
     // A stopword bigram appears in essentially every document, so a
