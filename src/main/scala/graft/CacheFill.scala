@@ -12,16 +12,45 @@ package graft
   * reachable whenever two registered queries sharing a cache key run
   * concurrently (Verify's pool, the plan-gate spec, any embedder).
   *
-  * Fill under one lock per cache with a lock-free first read, so warm
-  * lookups cost a TrieMap get and only cold fills serialize — the
-  * [[graft.queries.Lifecycle.FixtureCache]] discipline, generalized.
-  * Unrelated caches keep building in parallel (each map is its own
-  * lock).
+  * Locking is two-level so the fix costs no parallelism:
+  *  - one lock PER (cache, key) serializes duplicate builds of the
+  *    same entry (a losing duplicate contraction/training pass is the
+  *    expensive waste the old coarse lock prevented) while UNRELATED
+  *    keys of the same cache still build concurrently;
+  *  - the INSERT happens under the map's own monitor, which the
+  *    module's `invalidateCaches()` also takes around its
+  *    unpersist+clear — so a fill completing mid-invalidate either
+  *    lands before the clear (and is unpersisted by it) or after (and
+  *    stays keyed for the next invalidate); no frame can be dropped
+  *    from the map without a matching unpersist.
+  * Warm lookups stay lock-free. Lock objects are never evicted: the
+  * set of (cache, key) pairs is session-bounded and tiny, and evicting
+  * one while a builder holds it would only cost a duplicate build,
+  * never correctness (the monitor-guarded insert stays authoritative).
   */
 object CacheFill {
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[(AnyRef, Any), AnyRef]
+
   def apply[K, V](m: scala.collection.concurrent.TrieMap[K, V], k: K)(
       build: => V): V =
-    m.get(k).getOrElse(m.synchronized {
-      m.getOrElseUpdate(k, build)
-    })
+    m.get(k).getOrElse {
+      val lock = locks.getOrElseUpdate((m, k), new Object)
+      lock.synchronized {
+        m.get(k).getOrElse {
+          val v = build
+          m.synchronized(m.getOrElseUpdate(k, v))
+        }
+      }
+    }
+
+  /** The invalidation side of the contract: unpersist+clear under the
+    * map's monitor so no concurrent fill's insert can slip between the
+    * value sweep and the clear (which would orphan its persist). */
+  def invalidate[K, V](m: scala.collection.concurrent.TrieMap[K, V])(
+      release: V => Unit): Unit =
+    m.synchronized {
+      m.values.foreach(release)
+      m.clear()
+    }
 }

@@ -42,13 +42,20 @@ object EngineCaches {
   }
 
   /** Job activity, fed by the listener bus: lets an IDLE context pass
-    * quiesce immediately instead of sleeping out a full settle window —
-    * the suite and Bench call invalidateAll dozens of times on a quiet
-    * context and must not pay ~300 ms each. Listener delivery is async,
-    * which only makes the check conservative (a just-ended job keeps
-    * lastEndNanos fresh a little longer). */
+    * quiesce after one bus-lag confirmation (~[[BusLagMs]]) instead of
+    * sleeping out a full settle window — the suite and Bench call
+    * invalidateAll dozens of times on a quiet context. Job-END delivery
+    * being async only makes the check conservative (a just-ended job
+    * keeps lastEndNanos fresh a little longer); job-START visibility
+    * lag is the dangerous direction, covered by the double read in
+    * [[quiesce]]. */
   private object Activity extends org.apache.spark.scheduler.SparkListener {
-    @volatile var lastEndNanos = 0L
+    // initialized to CLASS-LOAD time, which the JVM's class-init lock
+    // publishes to every thread: a job that ended just before the
+    // listener attached (or a quiesce racing the registration block)
+    // still sees a fresh timestamp and pays the settle window — it can
+    // never read a stale 0 and skip it
+    @volatile var lastEndNanos: Long = System.nanoTime
     override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
       lastEndNanos = System.nanoTime
   }
@@ -57,6 +64,13 @@ object EngineCaches {
 
   /** No active jobs for [[SettleMs]], or the deadline passed. */
   private val SettleMs = 300L
+  /** Upper bound on listener-bus lag for a job-START to reach the app
+    * status store: settled() must be observed TWICE this far apart,
+    * because a query submitted microseconds ago can be invisible to
+    * getActiveJobIds() on the first read — an instant single-read pass
+    * would re-open the mid-materialization window on exactly that
+    * query. */
+  private val BusLagMs = 100L
   private def settled(tracker: org.apache.spark.SparkStatusTracker): Boolean =
     tracker.getActiveJobIds().isEmpty &&
       System.nanoTime - Activity.lastEndNanos >= SettleMs * 1000 * 1000
@@ -66,16 +80,26 @@ object EngineCaches {
       .filterNot(_.sparkContext.isStopped)
       .foreach { s =>
         val sc = s.sparkContext
+        // registration may race a concurrent context stop — a teardown
+        // caller must get a no-op invalidate, not an exception out of
+        // the listener bus; on failure drop the id so a later (live)
+        // registration can retry
         if (listenerRegistered.add(sc.applicationId)) {
-          sc.addSparkListener(Activity)
-          // registration time counts as activity: a job that ended just
-          // BEFORE the listener attached left no event, so the first
-          // invalidate must pay one full settle window, not skip it
-          Activity.lastEndNanos = System.nanoTime
+          try sc.addSparkListener(Activity)
+          catch { case _: IllegalStateException =>
+            listenerRegistered.remove(sc.applicationId)
+            return
+          }
         }
         val tracker = sc.statusTracker
         val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-        while (!settled(tracker) && System.nanoTime < deadline)
-          Thread.sleep(10)
+        var confirmed = false
+        while (!confirmed && System.nanoTime < deadline) {
+          if (!settled(tracker)) Thread.sleep(10)
+          else {
+            Thread.sleep(BusLagMs) // let a just-submitted job surface
+            confirmed = settled(tracker)
+          }
+        }
       }
 }

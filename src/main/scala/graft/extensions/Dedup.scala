@@ -238,15 +238,17 @@ object Dedup extends QueryModule {
     * recompute) rather than recomputing silently. Between workloads —
     * the documented call point — nothing is in flight. */
   def invalidateCaches(): Unit = {
-    sigCache.values.foreach(_.unpersist())
-    sigCache.clear()
-    pairsCache.values.foreach(_.unpersist())
-    pairsCache.clear()
-    spanIslandCache.values.foreach(_.unpersist())
-    spanIslandCache.clear()
+    // keyed caches sweep under each map's monitor (CacheFill.invalidate)
+    // so a fill completing mid-invalidate cannot be dropped from the map
+    // unpersisted; retained/frozenRdds are append-only SETS, where an
+    // add landing after the clear simply stays visible to the NEXT
+    // sweep — no interleaving can orphan an entry
+    graft.CacheFill.invalidate(sigCache)(_.unpersist())
+    graft.CacheFill.invalidate(pairsCache)(_.unpersist())
+    graft.CacheFill.invalidate(spanIslandCache)(_.unpersist())
     retained.forEach(df => df.unpersist())
     retained.clear()
-    componentLabelCache.clear() // frames owned by retained above
+    graft.CacheFill.invalidate(componentLabelCache)(_ => ()) // owned by retained
     frozenRdds.forEach(rdd => rdd.unpersist(false))
     frozenRdds.clear()
   }

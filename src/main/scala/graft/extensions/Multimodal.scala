@@ -600,10 +600,8 @@ object Multimodal extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String, String, Long), DataFrame]
 
   def invalidateCaches(): Unit = {
-    phashCache.values.foreach(_.unpersist())
-    phashCache.clear()
-    neighCache.values.foreach(_.unpersist())
-    neighCache.clear()
+    graft.CacheFill.invalidate(phashCache)(_.unpersist())
+    graft.CacheFill.invalidate(neighCache)(_.unpersist())
   }
 
   /** The per-image kernel, exposed for the spec's perceptual-property

@@ -71,7 +71,8 @@ object Pq extends QueryModule {
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[PqCentroid]]
 
-  def invalidateCaches(): Unit = codebookCache.clear()
+  def invalidateCaches(): Unit =
+    graft.CacheFill.invalidate(codebookCache)(_ => ())
 
   /** Number of subspaces, from the data (64-dim fixture → 8). */
   private def mOf(s: SparkSession, d: String): Int = {

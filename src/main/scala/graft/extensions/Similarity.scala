@@ -98,10 +98,9 @@ object Similarity extends QueryModule {
   /** Release every persisted frame / trained model this module holds (see
     * [[Dedup.invalidateCaches]] for the contract). */
   def invalidateCaches(): Unit = {
-    vecCache.values.foreach(_.unpersist())
-    vecCache.clear()
-    centroidCache.clear()
-    paramCache.clear()
+    graft.CacheFill.invalidate(vecCache)(_.unpersist())
+    graft.CacheFill.invalidate(centroidCache)(_ => ())
+    graft.CacheFill.invalidate(paramCache)(_ => ())
   }
 
   val scaledVecSql: String =

@@ -470,15 +470,11 @@ object TextAnalysis extends QueryModule {
     }
 
   def invalidateCaches(): Unit = {
-    langProfileCache.clear()
-    lmScoreCache.values.foreach(_.unpersist())
-    lmScoreCache.clear()
-    evalGramsCache.values.foreach(_.unpersist())
-    evalGramsCache.clear()
-    bigramPairCache.values.foreach(_.unpersist())
-    bigramPairCache.clear()
-    lmPairCache.values.foreach(_.unpersist())
-    lmPairCache.clear()
+    graft.CacheFill.invalidate(langProfileCache)(_ => ())
+    graft.CacheFill.invalidate(lmScoreCache)(_.unpersist())
+    graft.CacheFill.invalidate(evalGramsCache)(_.unpersist())
+    graft.CacheFill.invalidate(bigramPairCache)(_.unpersist())
+    graft.CacheFill.invalidate(lmPairCache)(_.unpersist())
   }
 
   private def langidProfile(s: SparkSession, d: String): DataFrame = {

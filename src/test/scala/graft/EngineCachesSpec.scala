@@ -81,8 +81,12 @@ class EngineCachesSpec extends SparkTestBase {
           raced, scala.concurrent.duration.Duration(600, "s"))
         assert(got === fresh, s"raced pair-cache query diverged at offset $off ms")
       }
-    } finally pool.shutdown() // a failed offset must not leak the thread
-    EngineCaches.invalidateAll()
+    } finally {
+      // a failed offset must leak neither the thread nor the raced
+      // runs' persisted caches into the storage-sensitive tests after
+      pool.shutdown()
+      EngineCaches.invalidateAll()
+    }
   }
 
   test("invalidateAll is idempotent and caches re-derive after clearing") {

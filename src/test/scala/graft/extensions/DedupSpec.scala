@@ -341,8 +341,12 @@ class DedupSpec extends SparkTestBase {
             "a raced run that completes must still be exact")
         case scala.util.Failure(_) => // loud is the documented contract
       }
-    } finally pool.shutdown()
-    graft.EngineCaches.invalidateAll()
+    } finally {
+      // a failed exactness assert must leak neither the thread nor the
+      // raced run's persists into the suite
+      pool.shutdown()
+      graft.EngineCaches.invalidateAll()
+    }
     val debris = spark.sparkContext.getPersistentRDDs.keySet -- baseline
     assert(debris.isEmpty, s"cluster debris survived invalidate: $debris")
     // and the engine recovers: a fresh run is exact
