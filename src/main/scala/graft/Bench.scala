@@ -121,8 +121,14 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       val wbase = s"/tmp/graft-bench-warm-${java.util.UUID.randomUUID()}"
+      // exactly 2 source files → 2 micro-batches: enough to JIT both the
+      // first-batch path AND the carried-state path. (An unrepartitioned
+      // range(64) wrote one file per core — 32 micro-batches at ~0.9 s of
+      // pure state-store machinery each, ~29 s of unmeasured wall per
+      // bench invocation for no extra warmup coverage.)
       spark.range(64)
         .select(current_timestamp().as("ts"), col("id"))
+        .repartition(2)
         .write.parquet(s"$wbase/src")
       val sch = spark.read.parquet(s"$wbase/src").schema
       spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")

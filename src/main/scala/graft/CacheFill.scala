@@ -27,15 +27,34 @@ package graft
   * set of (cache, key) pairs is session-bounded and tiny, and evicting
   * one while a builder holds it would only cost a duplicate build,
   * never correctness (the monitor-guarded insert stays authoritative).
+  *
+  * Lock identity is by cache-map REFERENCE, not value: a mutable map's
+  * structural `hashCode`/`equals` change with its contents (and two
+  * empty caches compare equal), so a `(m, k)` tuple key registered
+  * while `m` was empty becomes unreachable the moment any fill lands in
+  * `m` — two threads cold-filling the SAME key could then hold
+  * DIFFERENT locks and run duplicate builds, whose losing `persist()`
+  * the invalidate sweep can never release (the exact leak this class
+  * exists to close). [[LockKey]] pins the map component to
+  * `eq`/`System.identityHashCode` semantics, stable under mutation.
   */
 object CacheFill {
+  private final class LockKey(val m: AnyRef, val k: Any) {
+    override def hashCode: Int =
+      System.identityHashCode(m) * 31 + (if (k == null) 0 else k.hashCode)
+    override def equals(o: Any): Boolean = o match {
+      case other: LockKey => (other.m eq m) && other.k == k
+      case _              => false
+    }
+  }
+
   private val locks =
-    scala.collection.concurrent.TrieMap.empty[(AnyRef, Any), AnyRef]
+    scala.collection.concurrent.TrieMap.empty[LockKey, AnyRef]
 
   def apply[K, V](m: scala.collection.concurrent.TrieMap[K, V], k: K)(
       build: => V): V =
     m.get(k).getOrElse {
-      val lock = locks.getOrElseUpdate((m, k), new Object)
+      val lock = locks.getOrElseUpdate(new LockKey(m, k), new Object)
       lock.synchronized {
         m.get(k).getOrElse {
           val v = build

@@ -101,5 +101,12 @@ object EngineCaches {
             confirmed = settled(tracker)
           }
         }
+        // an unsettled invalidation proceeding past the deadline is the
+        // exact silent-empty-result window this guard exists for — it
+        // must at least be diagnosable in a busy long-lived engine's log
+        if (!confirmed) System.err.println(
+          "[graft] EngineCaches.invalidateAll: quiesce deadline (30s) " +
+            "expired with jobs still active — invalidating anyway; " +
+            "in-flight queries may race the uncache")
       }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named queries to files — the
+  * optimization rounds' plan-evidence tool (`plans/r<k>/<query>_{before,
+  * after}.txt`). Runs under the exact session configuration Bench uses,
+  * so the dumped plan is the one the measured query executes.
+  *
+  * Usage: `runMain graft.PlanDump <outDir> <suffix> <query>...`
+  * writes `<outDir>/<query>_<suffix>.txt` per query. The query function
+  * is INVOKED to obtain the frame (for the pipeline queries that means
+  * the fixture pipeline runs first — their returned frame is the
+  * read-back whose plan is dumped). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.parquet.aggregatePushDown", "true")
+      .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        System.err.println(s"[plandump] wrote $name ($suffix)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name failed: $e")
+      }
+    }
+    spark.stop()
+  }
+}

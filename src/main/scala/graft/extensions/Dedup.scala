@@ -859,20 +859,24 @@ object Dedup extends QueryModule {
     // the returned label frame's lineage reaches them.
     var liveRound = List.empty[org.apache.spark.rdd.RDD[_]]
     var thisRound = List.empty[org.apache.spark.rdd.RDD[_]]
-    def freeze(df: DataFrame): DataFrame = {
+    // freeze already materializes with a count — CAPTURE it so the
+    // fixpoint check below never re-scans a frozen round (the old
+    // next.count()/edges.count() re-reads were 2 extra jobs per round
+    // on a loop whose cost is all per-job fixed overhead at small SF)
+    def freeze(df: DataFrame): (DataFrame, Long) = {
       val rdd = df.rdd
       rdd.localCheckpoint()
-      rdd.count()
+      val n = rdd.count()
       frozenRdds.add(rdd)
       thisRound ::= rdd
-      df.sparkSession.createDataFrame(rdd, df.schema)
+      (df.sparkSession.createDataFrame(rdd, df.schema), n)
     }
     def retire(): Unit = {
       liveRound.foreach { r => r.unpersist(false); frozenRdds.remove(r) }
       liveRound = thisRound
       thisRound = Nil
     }
-    def star(e: DataFrame, large: Boolean): DataFrame = {
+    def star(e: DataFrame, large: Boolean): (DataFrame, Long) = {
       val dir = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
       // center u's neighborhood minimum m = min(u, all neighbors)
       val m = dir.groupBy(col("a"))
@@ -888,7 +892,7 @@ object Dedup extends QueryModule {
         else base.union(m.select(col("ctr").as("a"), col("m").as("b")))
       freeze(self.filter(col("a") =!= col("b")).distinct())
     }
-    var edges = freeze(pairs.toDF("a", "b")
+    var (edges, edgeCount) = freeze(pairs.toDF("a", "b")
       .filter(col("a") =!= col("b")).distinct())
     // vertices live until the final label join — never retired on the
     // success path (the throw path releases them: they are that call's
@@ -905,18 +909,21 @@ object Dedup extends QueryModule {
     val vertices =
       pairs.sparkSession.createDataFrame(verticesRdd, verticesSchema)
     var rounds = 0
-    var done = edges.isEmpty
+    var done = edgeCount == 0L
     // seed edges+vertices form round 0; they must survive until the
     // first contraction's fixpoint check has read them
     retire()
     while (!done && rounds < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
+      val (mid, _) = star(edges, large = true)
+      val (next, nextCount) = star(mid, large = false)
       // fixpoint = the edge set stopped changing (same cardinality AND
-      // nothing new — both sides are exact on the frozen frames)
-      done = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // nothing new — cardinalities come from the freeze counts, and the
+      // except runs only on a cardinality tie; both sides are exact on
+      // the frozen frames)
+      done = nextCount == edgeCount && next.except(edges).isEmpty
       retire() // previous round fully consumed by the check above
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     // a silent non-fixpoint would hand out WRONG cluster ids (the

@@ -446,6 +446,23 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.PolyNgramHashes(col("t"), 3)).as("g"))
 
+  /** Per-doc trigram counts, persisted per (session, dir): the trigram
+    * explode over the corpus prefixes is the whole cost of the langid
+    * family, and BOTH profile training and document scoring reduce from
+    * this one frame (the oracle's own CTE chain derives `lc` from `dc`
+    * the same way) — share one explode instead of running it per
+    * consumer. */
+  private val docGramCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def docGramCounts(s: SparkSession, d: String): DataFrame =
+    graft.CacheFill(docGramCache, (graft.SessionKeys(s), d)) {
+      gramsOf(s, d)
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+    }
+
   /** Trained profiles per (session, dir): TRAIN ONCE, score many — the
     * model is L×N rows, metadata-sized like the k-means codebook
     * ([[Similarity.centroids]]'s pattern), so it collects to the driver
@@ -458,8 +475,10 @@ object TextAnalysis extends QueryModule {
   private[extensions] def langProfiles(s: SparkSession, d: String)
   : Seq[(String, Long, Int)] =
     graft.CacheFill(langProfileCache, (graft.SessionKeys(s), d)) {
-      val langCounts = gramsOf(s, d).groupBy(col("lang"), col("g"))
-        .agg(count(lit(1)).as("c"))
+      // Σ_doc c per (lang, g) ≡ count(*) per (lang, g) over the raw
+      // grams — exact integers, and one shared explode with scoring
+      val langCounts = docGramCounts(s, d).groupBy(col("lang"), col("g"))
+        .agg(sum(col("c")).as("c"))
       val profW =
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
       langCounts.withColumn("prank", row_number().over(profW))
@@ -471,6 +490,7 @@ object TextAnalysis extends QueryModule {
 
   def invalidateCaches(): Unit = {
     graft.CacheFill.invalidate(langProfileCache)(_ => ())
+    graft.CacheFill.invalidate(docGramCache)(_.unpersist())
     graft.CacheFill.invalidate(lmScoreCache)(_.unpersist())
     graft.CacheFill.invalidate(evalGramsCache)(_.unpersist())
     graft.CacheFill.invalidate(bigramPairCache)(_.unpersist())
@@ -481,9 +501,7 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     val profiles = langProfiles(s, d).toDF("plang", "g", "prank")
     val langs = profiles.select(col("plang")).distinct()
-    val docCounts = gramsOf(s, d)
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val docCounts = docGramCounts(s, d) // shared with profile training
     val docW = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
     val docTop = docCounts.withColumn("drank", row_number().over(docW))
       .filter(col("drank") <= LangProfSize)

@@ -150,24 +150,33 @@ object CdcWriter {
     * Returns the rewritten partition values (sorted). DELETE deltas drop
     * the key; a partition emptied of all rows leaves the manifest. */
   def merge(spark: SparkSession, tableDir: String, deltas: DataFrame,
-            keyCols: Seq[String]): Seq[String] = {
+            keyCols: Seq[String]): Seq[String] = BatchExec.withAqe(deltas) {
     val pcol = SchemaBuilder.partitionColumn
-    // newest TRUNCATE marker of the batch: a 1-row aggregate over the
-    // (op, lsn) columns only — column pruning reaches the delta source,
-    // so the probe reads two thin columns, not the batch (marker
-    // metadata, not data — same driver-side budget as the day lists)
-    val wmRow = deltas.agg(
-      max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0)
-    val truncLsn = if (wmRow.isNullAt(0)) None else Some(wmRow.getString(0))
-    val effective = truncLsn.fold(deltas)(t =>
-      deltas.filter(col(Cdc.OpColumn) =!= "TRUNCATE" && col(Cdc.LsnColumn) > t))
-    // the collapsed batch feeds four consumers (key probe, new-day scan,
-    // upsert union, anti-join key set) — persist so the delta source and
-    // its latest-per-key window run once, not four times
-    val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
-    try graft.lake.SnapshotLog.withTableLock(tableDir) {
-      merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol)
-    } finally deltaLatest.unpersist(blocking = true)
+    // persist the batch FIRST: the TRUNCATE probe below and the
+    // latest-per-key collapse are otherwise two independent actions that
+    // each replay the delta's full lineage — for a streaming micro-batch
+    // that is a whole re-read + envelope re-decode of the source per
+    // action (measured: the dominant single-task jobs of every e2e
+    // streaming query). The batch is admission-bounded by construction
+    // (the same bound processBatch relies on to persist it), so caching
+    // it whole is O(micro-batch), never O(table).
+    val deltasP = deltas.persist()
+    try {
+      // newest TRUNCATE marker of the batch: a 1-row aggregate that also
+      // serves as the cache-filling action (marker metadata, not data)
+      val wmRow = deltasP.agg(
+        max(when(col(Cdc.OpColumn) === "TRUNCATE", col(Cdc.LsnColumn)))).collect()(0)
+      val truncLsn = if (wmRow.isNullAt(0)) None else Some(wmRow.getString(0))
+      val effective = truncLsn.fold(deltasP)(t =>
+        deltasP.filter(col(Cdc.OpColumn) =!= "TRUNCATE" && col(Cdc.LsnColumn) > t))
+      // the collapsed batch feeds four consumers (key probe, new-day scan,
+      // upsert union, anti-join key set) — persist so the latest-per-key
+      // window runs once, not four times
+      val deltaLatest = Cdc.latestVersions(effective, keyCols).persist()
+      try graft.lake.SnapshotLog.withTableLock(tableDir) {
+        merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol)
+      } finally deltaLatest.unpersist(blocking = true)
+    } finally deltasP.unpersist(blocking = true)
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
@@ -305,7 +314,18 @@ object CdcWriter {
     * delta would strand unreadable narrow files — use [[merge]], whose
     * in-commit promotion rewrite covers it). */
   def morMerge(spark: SparkSession, tableDir: String, deltas: DataFrame,
-               keyCols: Seq[String]): graft.lake.SnapshotLog.Snapshot = {
+               keyCols: Seq[String]): graft.lake.SnapshotLog.Snapshot =
+    BatchExec.withAqe(deltas) {
+      // persist first: the TRUNCATE guard probe and the latest-per-key
+      // collapse otherwise each replay the micro-batch's full decode
+      // lineage (see merge); the batch is admission-bounded.
+      val deltasP = deltas.persist()
+      try morMerge0(spark, tableDir, deltasP, keyCols)
+      finally deltasP.unpersist(blocking = true)
+    }
+
+  private def morMerge0(spark: SparkSession, tableDir: String, deltas: DataFrame,
+                        keyCols: Seq[String]): graft.lake.SnapshotLog.Snapshot = {
     import graft.lake.SnapshotLog
     val pcol = SchemaBuilder.partitionColumn
     val hasTrunc = !deltas.agg(

@@ -508,6 +508,7 @@ object PipelineOps extends QueryModule {
         // Spark jobs sharing the executor pool, exactly how a real
         // cluster overlaps per-table commits instead of serializing the
         // fanout on the driver.
+        graft.ingest.BatchExec.withAqe(b) {
         b.persist()
         try {
           import scala.collection.parallel.CollectionConverters._
@@ -518,6 +519,7 @@ object PipelineOps extends QueryModule {
               b.filter(col("_cdc_table") === t), Seq("user_id")): Unit
           }
         } finally { b.unpersist(): Unit }
+        }
       }
       .start()
     q.awaitTermination()

@@ -48,18 +48,38 @@ object IngestPipeline {
   /** Process one micro-batch: route per table, write each with retry,
     * dead-letter a table's slice if retries exhaust. Public so batch jobs
     * and tests can drive it without a stream. */
-  def processBatch(cfg: IngestConfig)(batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(cfg: IngestConfig)(batch: DataFrame, batchId: Long): Unit =
+    // foreachBatch hands us a frame bound to the streaming session clone,
+    // where AQE is force-disabled — re-enable it for these plain batch
+    // actions (post-shuffle coalescing, runtime join planning); a batch
+    // caller's session is untouched (see BatchExec)
+    graft.ingest.BatchExec.withAqe(batch) { processBatch0(cfg, batch) }
+
+  private def processBatch0(cfg: IngestConfig, batch: DataFrame): Unit = {
     // the fanout runs T per-table filtered writes plus the table-list and
     // lag aggregates off this one frame — persist so the upstream source
     // (WAL decode, file scan) is computed once, not T + 2 times
     batch.persist()
     try {
-      // a nullable table column yields a null distinct value; sort via
-      // Option so it can't NPE the ordering, and route it like any other
-      // malformed identifier below
-      val tables = batch.select(col(cfg.tableCol)).distinct()
-        .collect().map(_.getString(0)).toSeq.sortBy(Option(_))
-      tables.foreach { t =>
+      val hasTs = batch.columns.contains(graft.ingest.Cdc.TsColumn)
+      // ONE grouped aggregate replaces the table-list distinct + one
+      // count/max(ts) job per table slice + the whole-batch max(ts) job
+      // (T + 2 jobs per micro-batch → 1): the routing fanout is O(tables)
+      // on the driver either way, but every extra action here is a full
+      // pass over the (cached) batch — and at a real trigger cadence the
+      // per-batch job count is the pipeline's fixed overhead.
+      // A nullable table column yields a null group key; sort via Option
+      // so it can't NPE the ordering, and route it like any other
+      // malformed identifier below.
+      val tableAggs = batch.groupBy(col(cfg.tableCol))
+        .agg(count(lit(1)).as("n"),
+          max(if (hasTs) col(graft.ingest.Cdc.TsColumn)
+              else lit(null).cast("timestamp")).as("max_ts"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getTimestamp(2))))
+        .sortBy(p => Option(p._1))
+      tableAggs.foreach { case (t, (nRows, maxTsOpt)) =>
         val slice =
           if (t == null) batch.filter(col(cfg.tableCol).isNull)
           else batch.filter(col(cfg.tableCol) === t)
@@ -82,20 +102,15 @@ object IngestPipeline {
           // per-table series (exposition-label names — the
           // `{source,table}` dimensions the reference's metrics service
           // queries, services/metrics.go:179-210) plus the bytes
-          // counter its writer tracks. One agg job per slice — the
-          // batch is persisted above, so this scans cached blocks, and
-          // the byte delta is two metadata calls around the write.
+          // counter its writer tracks; counts come from the fused
+          // aggregate above, and the byte delta is two metadata calls
+          // around the write.
           cfg.metrics.inc("iceberg", "bytes_written_total",
             math.max(0L, dirBytes - bytesBefore))
-          val hasTs = slice.columns.contains(graft.ingest.Cdc.TsColumn)
-          val sliceAgg = slice.agg(count(lit(1)),
-            max(if (hasTs) col(graft.ingest.Cdc.TsColumn)
-                else lit(null).cast("timestamp"))).collect()(0)
-          cfg.metrics.inc("cdc", s"""events_total{table="$t"}""",
-            sliceAgg.getLong(0))
-          if (hasTs && !sliceAgg.isNullAt(1))
+          cfg.metrics.inc("cdc", s"""events_total{table="$t"}""", nRows)
+          maxTsOpt.foreach(ts =>
             cfg.metrics.setGauge("cdc", s"""lag_seconds{table="$t"}""",
-              (System.currentTimeMillis() - sliceAgg.getTimestamp(1).getTime) / 1000.0)
+              (System.currentTimeMillis() - ts.getTime) / 1000.0))
         } catch {
           case e: Throwable =>
             DeadLetter.append(slice, cfg.dlqDir, cfg.sourceId, t, e,
@@ -105,12 +120,11 @@ object IngestPipeline {
       }
       // replication lag: wall clock minus newest commit timestamp in the
       // batch (ref T12 lag gauge, internal/cdc/pipeline/pipeline.go:247-250)
-      if (batch.columns.contains(graft.ingest.Cdc.TsColumn)) {
-        val maxTs = batch.agg(max(col(graft.ingest.Cdc.TsColumn))).collect()(0)
-        if (!maxTs.isNullAt(0))
-          cfg.metrics.setGauge("cdc", "lag_seconds",
-            (System.currentTimeMillis() - maxTs.getTimestamp(0).getTime) / 1000.0)
-      }
+      // — the max over the per-table group maxes, no extra pass
+      val batchMaxTs = tableAggs.flatMap(_._2._2).sortBy(_.getTime).lastOption
+      batchMaxTs.foreach(ts =>
+        cfg.metrics.setGauge("cdc", "lag_seconds",
+          (System.currentTimeMillis() - ts.getTime) / 1000.0))
     } finally batch.unpersist()
   }
 

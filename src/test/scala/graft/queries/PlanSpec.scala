@@ -231,7 +231,10 @@ class PlanSpec extends SparkTestBase {
     // duplicate cluster in a single task
     val plan = planOf("text_clean_corpus")
     assert(!plan.contains("Window"), s"fp dedup must not window:\n${plan.take(3000)}")
-    assert("partial_min_by|Partial".r.findFirstIn(plan).nonEmpty,
+    // the marker must be the min_by aggregate itself in Partial mode —
+    // a bare "Partial" matches any other partial aggregate in the plan
+    // and would let a regression losing the partial min_by pass
+    assert(plan.contains("partial_min_by"),
       s"min_by must partial-aggregate:\n${plan.take(3000)}")
   }
 
