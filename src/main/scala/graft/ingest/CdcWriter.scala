@@ -433,9 +433,16 @@ object CdcWriter {
     import graft.lake.SnapshotLog
     import org.apache.spark.sql.types.StructType
     val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
-    val schemaOf = carried.map { f =>
-      f -> footerSchema(spark, new org.apache.hadoop.fs.Path(s"$tableDir/${f.path}"))
-    }.toMap
+    // footer opens are independent driver-side metadata reads — do them
+    // in parallel (same treatment as SnapshotLog.writeData's stats pass);
+    // a widening merge over a year of carried day files would otherwise
+    // serialize O(files) opens inside the table lock
+    val schemaOf = locally {
+      import scala.collection.parallel.CollectionConverters._
+      carried.par.map { f =>
+        f -> footerSchema(spark, new org.apache.hadoop.fs.Path(s"$tableDir/${f.path}"))
+      }.seq.toMap
+    }
     val (narrow, fine) = carried.partition(f => schemaOf(f).fields.exists(ff =>
       targetTypes.get(ff.name).exists(tt => !readableAs(ff.dataType, tt))))
     if (narrow.isEmpty) return carried

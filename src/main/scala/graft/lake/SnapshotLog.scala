@@ -1401,24 +1401,32 @@ object SnapshotLog {
         df.write.parquet(dest.toString)
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    def dataFiles(dir: Path, partition: String): Seq[DataFile] =
+    // list first, then read every file's footer in PARALLEL: the footer
+    // stats are a driver-side metadata pass that used to run file by
+    // file — a day-spread commit writes O(days × targetFiles) files per
+    // merge, and on the streaming sinks this sequential scan was a
+    // visible per-batch driver gap between the write job and the commit
+    def listFiles(dir: Path, partition: String)
+    : Seq[(org.apache.hadoop.fs.FileStatus, String)] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val nm = st.getPath.getName
         if (st.isDirectory && nm.startsWith("_pday="))
-          dataFiles(st.getPath, nm.stripPrefix("_pday="))
-        else if (st.isFile && isParquetFile(nm)) {
-          val (rows, bounds) =
-            footerStatsMulti(conf, st.getPath, statsCol +: extraStatsCols)
-          val (lo, hi) = bounds.get(statsCol)
-            .map { case (mn, mx) => (Some(mn), Some(mx)) }
-            .getOrElse((None, None))
-          val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
-          Seq(DataFile(relPath, partition, hive = false, rows,
-            st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol),
-            spec = spec, extraBounds = bounds - statsCol))
-        } else Seq.empty
+          listFiles(st.getPath, nm.stripPrefix("_pday="))
+        else if (st.isFile && isParquetFile(nm)) Seq(st -> partition)
+        else Seq.empty
       }
-    dataFiles(dest, "")
+    import scala.collection.parallel.CollectionConverters._
+    listFiles(dest, "").par.map { case (st, partition) =>
+      val (rows, bounds) =
+        footerStatsMulti(conf, st.getPath, statsCol +: extraStatsCols)
+      val (lo, hi) = bounds.get(statsCol)
+        .map { case (mn, mx) => (Some(mn), Some(mx)) }
+        .getOrElse((None, None))
+      val relPath = st.getPath.toString.stripPrefix(root.toString + "/")
+      DataFile(relPath, partition, hive = false, rows,
+        st.getLen, lo, hi, seq = -1L, statsCol = Some(statsCol),
+        spec = spec, extraBounds = bounds - statsCol)
+    }.seq
   }
 
   /** Drop the 0-row entries of a fresh [[writeData]] result: delete each

@@ -587,8 +587,13 @@ object PipelineOps extends QueryModule {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        IngestPipeline.processBatch(cfg)(
+        // the raw lines feed TWO full passes — the decoder's inference
+        // scan and the processBatch cache fill — and each would re-read
+        // the log source through the DSv2 admission filter without this
+        b.persist()
+        try IngestPipeline.processBatch(cfg)(
           graft.ingest.EnvelopeDecoder.flattened(decoder.decode(b, "value")), id)
+        finally b.unpersist(): Unit
       }
       .start()
     q.awaitTermination()
@@ -647,9 +652,13 @@ object PipelineOps extends QueryModule {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
-        lastTouched = graft.ingest.CdcWriter.merge(s, s"$base/t",
+        // share one source read between the inference scan and the
+        // merge's delta cache fill (same rationale as streamEvolve)
+        b.persist()
+        try lastTouched = graft.ingest.CdcWriter.merge(s, s"$base/t",
           graft.ingest.EnvelopeDecoder.flattened(decoder.decode(b, "value")),
           Seq("user_id", "event_id"))
+        finally b.unpersist(): Unit
       }
       .start()
     q.awaitTermination()

@@ -79,7 +79,15 @@ object IngestPipeline {
         .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
           (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getTimestamp(2))))
         .sortBy(p => Option(p._1))
-      tableAggs.foreach { case (t, (nRows, maxTsOpt)) =>
+      // per-table slices write to DISJOINT dirs and the batch is cached:
+      // submit them CONCURRENTLY so one table's write tail back-fills
+      // with the next table's tasks (guide §2.6 — the same overlap
+      // e2eMultitable's merge fanout uses; the reference writer loops
+      // sequentially). DLQ appends serialize on the DLQ table lock, the
+      // metrics registry is atomic, and per-table failure isolation is
+      // unchanged — each slice's try/catch is its own.
+      import scala.collection.parallel.CollectionConverters._
+      tableAggs.par.foreach { case (t, (nRows, maxTsOpt)) =>
         val slice =
           if (t == null) batch.filter(col(cfg.tableCol).isNull)
           else batch.filter(col(cfg.tableCol) === t)
