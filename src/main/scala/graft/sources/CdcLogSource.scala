@@ -159,6 +159,47 @@ object CdcLog {
     }
     lo
   }
+
+  /** Split one admission interval `(startLsn, endLsn]` into up to
+    * `maxParts` LSN sub-ranges of roughly equal event count, so a
+    * micro-batch's decode PARALLELIZES instead of flowing through one
+    * task (measured: the per-batch envelope decode was the dominant
+    * single-task job of every log-sourced e2e query). Quantile cuts
+    * come from the cached LSN index — no extra log read at plan time —
+    * and cuts are LSN VALUES, so all events sharing an LSN land in
+    * exactly one range (the same no-split-within-an-LSN rule admission
+    * uses). `minRows` floors the per-task row count so a small batch
+    * stays a single task; the cap is the context's parallelism, which
+    * makes the fan-out scale-adaptive rather than a tuned constant. */
+  def splitRange(path: String, startLsn: Long, endLsn: Long,
+                 minRows: Int, maxParts: Int): Array[CdcLogPartition] = {
+    val idx = lsnIndex(path)
+    val from = upperBound(idx, startLsn)
+    val upTo = if (endLsn == Long.MaxValue) idx.length
+               else upperBound(idx, endLsn)
+    val pending = (upTo - from).toLong
+    val k = math.max(1L, math.min(maxParts.toLong,
+      pending / math.max(1, minRows))).toInt
+    if (k <= 1) return Array(CdcLogPartition(path, startLsn, endLsn))
+    val cuts = (1 until k)
+      .map(i => idx(from + (pending * i / k).toInt - 1))
+      .filter(b => b > startLsn && b < endLsn)
+      .distinct.sorted
+    val los = startLsn +: cuts
+    val his = cuts :+ endLsn
+    los.zip(his).map { case (lo, hi) => CdcLogPartition(path, lo, hi) }.toArray
+  }
+
+  /** Plan-time parallelism bound: the active context's default
+    * parallelism (planInputPartitions always runs on the driver). */
+  def planParallelism: Int =
+    try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+    catch { case _: Throwable => 1 }
+
+  /** Per-task row floor for [[splitRange]]: ~1 MB of JSON lines per
+    * task at typical envelope sizes — below this, task overhead beats
+    * the parallelism. */
+  val MinRowsPerPartition = 4096
 }
 
 class CdcLogSource extends TableProvider {
@@ -187,7 +228,9 @@ final class CdcLogScan(path: String, maxEvents: Option[Int]) extends Scan {
   override def readSchema(): StructType = CdcLog.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(CdcLogPartition(path, -1L, Long.MaxValue))
+      CdcLog.splitRange(path, -1L, Long.MaxValue,
+        CdcLog.MinRowsPerPartition, CdcLog.planParallelism)
+        .asInstanceOf[Array[InputPartition]]
     override def createReaderFactory(): PartitionReaderFactory = CdcLogReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -259,7 +302,9 @@ final class CdcLogMicroBatchStream(path: String, maxEvents: Option[Int])
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(CdcLogPartition(path, lsnOf(start), lsnOf(end)))
+    CdcLog.splitRange(path, lsnOf(start), lsnOf(end),
+      CdcLog.MinRowsPerPartition, CdcLog.planParallelism)
+      .asInstanceOf[Array[InputPartition]]
 
   override def createReaderFactory(): PartitionReaderFactory = CdcLogReaderFactory
 

@@ -16,6 +16,42 @@ class CdcLogSourceSpec extends SparkTestBase {
 
   private val Fmt = "graft.sources.CdcLogSource"
 
+  test("splitRange partitions one admission interval exactly: full coverage, no overlap, LSN-atomic") {
+    val dir = Files.createTempDirectory("graft-wal-split").toString
+    CdcQueries.writeDebeziumLog(spark, sf0001, dir)
+    val idx = CdcLog.lsnIndex(dir)
+    val n = idx.length
+    assert(n > 0)
+    // a duplicate-free check is vacuous if splitRange can't see dups —
+    // exercise both a mid-log interval and the full log, several widths
+    for (maxParts <- Seq(1, 3, 8, 64);
+         (lo, hi) <- Seq((-1L, Long.MaxValue),
+           (idx(n / 4), idx(3 * n / 4)), (idx(0), idx(0)))) {
+      val parts = CdcLog.splitRange(dir, lo, hi, minRows = 16, maxParts)
+      // contiguous: each range starts where the previous ended
+      assert(parts.head.startLsn === lo)
+      assert(parts.last.endLsn === hi)
+      parts.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0).endLsn === w(1).startLsn)
+      }
+      // exact coverage: per-range pending counts sum to the interval's
+      val from = CdcLog.upperBound(idx, lo)
+      val upTo = if (hi == Long.MaxValue) n else CdcLog.upperBound(idx, hi)
+      val per = parts.map(p =>
+        (if (p.endLsn == Long.MaxValue) n else CdcLog.upperBound(idx, p.endLsn)) -
+          CdcLog.upperBound(idx, p.startLsn))
+      assert(per.sum === upTo - from, s"coverage broke at $lo..$hi×$maxParts")
+      // LSN-atomic: no cut boundary splits a duplicate LSN (all cuts are
+      // realized LSN values, ranges are (lo, hi] — an LSN's events all
+      // satisfy exactly one range)
+      parts.dropRight(1).foreach(p =>
+        assert(idx.contains(p.endLsn), s"cut ${p.endLsn} is not a log LSN"))
+    }
+    // the floor keeps small intervals single-task
+    assert(CdcLog.splitRange(dir, -1L, Long.MaxValue, minRows = n + 1,
+      maxParts = 64).length === 1)
+  }
+
   test("batch read surfaces every event exactly once with sortable LSNs") {
     val dir = Files.createTempDirectory("graft-wal-batch").toString
     CdcQueries.writeDebeziumLog(spark, sf0001, dir)
