@@ -97,6 +97,15 @@ object Bench {
       // default makes every scan one task. Smaller splits keep all
       // cores busy at these SFs (at 100 TB the default is fine).
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // local-FS open cost: the 4 MB default models object-store opens
+      // and caps packing at 2 files per 8 MB split — every freshly
+      // written lake's read-back (60-150 KB-sized day files) then pays
+      // ~file-count/2 scheduled tasks for KBs of data (measured: a 90-
+      // file read-back = 90 tasks, 0.55 s). 128 KB reflects a local-FS
+      // open and packs those scans to a handful of tasks; single-file
+      // table scans are unaffected (at 100 TB on an object store the
+      // default is right — this is split-packing, not a plan change).
+      .config("spark.sql.files.openCostInBytes", (128L * 1024).toString)
       // filterless COUNT/MIN/MAX answered from parquet footer stats
       // (exact; Spark refuses the pushdown where NaN could lie)
       .config("spark.sql.parquet.aggregatePushDown", "true")
@@ -313,7 +322,25 @@ object Bench {
     // truncated its head — the driver parsed nothing. Report the slowest
     // 18 queries (the informative ones) and keep the line well under 2 KB.
     val slowest = results.sortBy(-_._2).take(18).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"cal_committed":${fmt(committedCal)},"steal":${fmt(steal)},"floor_sec":${fmt(floorSec)},"ratio_raw":${fmt(ratioRaw)},"ratio_corrected":${fmt(ratioCorrected)},"weak_n":${weak.size},"weak":$weakJson,"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
+    // `cpus`/`master` echo the HONORED core count (additions-only,
+    // contract-safe): the driver's low-core scaling pass previously had
+    // no way to distinguish "bench honored $SPARK_GRAFT_CPUS" from
+    // "bench ignored it" and flagged suspect_cpus_ignored against a
+    // harness that honors it (Bench builds local[$cpus] above).
+    // `par_cal_sec` is the positive control: a fixed CPU-bound job of
+    // 256 independent tasks, timed — its wall time scales ~1/cores, so
+    // a scaling pass can verify the core count from timings alone even
+    // when every real query is fixed-overhead-bound at bench SF.
+    val parCal = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(1 to 256, 256).map { s =>
+        var acc = s.toLong; var i = 0L
+        while (i < 40000000L) { acc += i ^ (acc >>> 3); i += 1 }
+        acc
+      }.reduce(_ ^ _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"master":"local[$cpus]","par_cal_sec":${fmt(parCal)},"first_pass_total":${fmt(firstPassTotal)},"n_queries":${results.size},"cal_sec":${fmt(cal)},"cal_committed":${fmt(committedCal)},"steal":${fmt(steal)},"floor_sec":${fmt(floorSec)},"ratio_raw":${fmt(ratioRaw)},"ratio_corrected":${fmt(ratioCorrected)},"weak_n":${weak.size},"weak":$weakJson,"reruns":$reruns,"queries":${jmap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,7 @@ object PlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", (128L * 1024).toString) // match Bench
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.sql.extensions", "graft.lake.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")

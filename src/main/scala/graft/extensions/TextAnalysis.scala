@@ -460,7 +460,14 @@ object TextAnalysis extends QueryModule {
       gramsOf(s, d)
         .groupBy(col("doc_id"), col("lang"), col("g"))
         .agg(count(lit(1)).as("c"))
-        .persist()
+        // SER level: this frame is O(docs × distinct prefix trigrams) —
+        // the whole corpus's trigram profile at 100 TB — and the default
+        // deserialized MEMORY_AND_DISK level holds it as open Java rows.
+        // Serialized columnar blocks are several× smaller, so eviction/
+        // spill starts that much later (guide §5); the two consumers
+        // each read it exactly once, so the per-read deserialization is
+        // noise against the explode it replaces.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Trained profiles per (session, dir): TRAIN ONCE, score many — the

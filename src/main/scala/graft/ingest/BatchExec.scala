@@ -28,17 +28,71 @@ import org.apache.spark.sql.DataFrame
 object BatchExec {
   private val Key = "spark.sql.adaptive.enabled"
 
+  /** Reentrancy state per session: depth + the conf value the OUTERMOST
+    * entrant saw. Session conf is session-global (not thread-local), and
+    * nested/concurrent uses are real — processBatch's per-table
+    * `par.foreach` calls merge(), which is itself wrapped. Without the
+    * guard, restore-last is only accidentally safe (every caller sets the
+    * SAME value); a body wanting a different conf value, or an inner
+    * restore racing an outer body, would leave the streaming engine's
+    * conf flipped. The outermost exit alone restores. */
+  private final class Entry(val prev: Option[String]) {
+    var depth = 0
+  }
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Entry]
+
+  /** Is `df` cheap to recompute? True when every leaf of its optimized
+    * plan is a file scan, an in-memory (already-persisted) relation, or
+    * local data — re-running such lineage costs one more scan of an
+    * admission-bounded micro-batch. False as soon as any leaf is
+    * something opaque/expensive (the DSv2 WAL log scan, an RDD seam),
+    * where each extra action replays the full decode. The merge writers
+    * use this to persist micro-batches ONLY when recompute is the
+    * expensive side: an unconditional persist pays cache-write
+    * amplification per batch even when the lineage is a two-file parquet
+    * scan (guide §5 — cache only when recompute outweighs the memory
+    * traffic). Conservative by construction: unknown leaf kinds count as
+    * expensive, so the worst case is an unnecessary persist, never a
+    * repeated expensive decode. */
+  def cheapToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
+    df.queryExecution.optimizedPlan.collectLeaves().forall {
+      case l: LogicalRelation  => l.relation.isInstanceOf[HadoopFsRelation]
+      case _: InMemoryRelation => true
+      case _: LocalRelation    => true
+      case _: OneRowRelation   => true
+      case _: Range            => true
+      case _                   => false
+    }
+  }
+
   /** Run `body` with AQE enabled on `df`'s session (the streaming clone
     * inside foreachBatch; the caller's own session in batch contexts,
-    * where this is a no-op). */
+    * where this is a no-op). Reentrant: nested and sibling-concurrent
+    * uses on the same session share one saved previous value, and only
+    * the last exit restores it. */
   def withAqe[T](df: DataFrame)(body: => T): T = {
-    val conf = df.sparkSession.conf
-    val prev = conf.getOption(Key)
-    conf.set(Key, "true")
+    val session = df.sparkSession
+    val conf = session.conf
+    val entry = entries.synchronized {
+      val e = entries.computeIfAbsent(session, _ => new Entry(conf.getOption(Key)))
+      if (e.depth == 0) conf.set(Key, "true")
+      e.depth += 1
+      e
+    }
     try body
-    finally prev match {
-      case Some(v) => conf.set(Key, v)
-      case None    => conf.unset(Key)
+    finally entries.synchronized {
+      entry.depth -= 1
+      if (entry.depth == 0) {
+        entries.remove(session)
+        entry.prev match {
+          case Some(v) => conf.set(Key, v)
+          case None    => conf.unset(Key)
+        }
+      }
     }
   }
 }

@@ -45,8 +45,18 @@ object CdcWriter {
     require(!graft.lake.SnapshotLog.isSnapshotTable(envelope.sparkSession, tableDir),
       s"$tableDir is snapshot-backed; append through merge, not write " +
         "(a hive-layout append would be invisible to manifest readers)")
+    // PINNED partition count: an unpinned `repartition(col)` is fair
+    // game for AQE's post-shuffle coalescing, which folds a small
+    // micro-batch into ONE write task that then opens/writes/commits
+    // every day's parquet file SERIALLY (measured: ~0.55 s per-table
+    // write jobs with stages=2 tasks=3 on the streaming bench queries —
+    // the dominant per-batch cost). Pinning to defaultParallelism keeps
+    // the one-file-per-day layout (each day still hashes to exactly one
+    // task) while days write in parallel; scale-adaptive by definition
+    // (cores on the cluster, 100 TB batches are admission-bounded).
+    val parts = envelope.sparkSession.sparkContext.defaultParallelism
     withPartitionColumn(envelope)
-      .repartition(col(SchemaBuilder.partitionColumn))
+      .repartition(parts, col(SchemaBuilder.partitionColumn))
       .write.mode(mode)
       .partitionBy(SchemaBuilder.partitionColumn)
       .parquet(tableDir)
@@ -152,15 +162,18 @@ object CdcWriter {
   def merge(spark: SparkSession, tableDir: String, deltas: DataFrame,
             keyCols: Seq[String]): Seq[String] = BatchExec.withAqe(deltas) {
     val pcol = SchemaBuilder.partitionColumn
-    // persist the batch FIRST: the TRUNCATE probe below and the
-    // latest-per-key collapse are otherwise two independent actions that
-    // each replay the delta's full lineage — for a streaming micro-batch
+    // persist the batch FIRST — CONDITIONALLY: the TRUNCATE probe below
+    // and the latest-per-key collapse are two independent actions that
+    // each replay the delta's full lineage. For a WAL-log micro-batch
     // that is a whole re-read + envelope re-decode of the source per
     // action (measured: the dominant single-task jobs of every e2e
-    // streaming query). The batch is admission-bounded by construction
-    // (the same bound processBatch relies on to persist it), so caching
+    // streaming query) — persist. For a plain file-source micro-batch
+    // (lineage = a two-file parquet scan) the recompute is cheaper than
+    // the cache-write amplification — skip (guide §5). The batch is
+    // admission-bounded by construction, so when it does cache, caching
     // it whole is O(micro-batch), never O(table).
-    val deltasP = deltas.persist()
+    val doPersist = !BatchExec.cheapToRecompute(deltas)
+    val deltasP = if (doPersist) deltas.persist() else deltas
     try {
       // newest TRUNCATE marker of the batch: a 1-row aggregate that also
       // serves as the cache-filling action (marker metadata, not data)
@@ -176,7 +189,7 @@ object CdcWriter {
       try graft.lake.SnapshotLog.withTableLock(tableDir) {
         merge0(spark, tableDir, deltaLatest, keyCols, truncLsn, pcol)
       } finally deltaLatest.unpersist(blocking = true)
-    } finally deltasP.unpersist(blocking = true)
+    } finally if (doPersist) deltasP.unpersist(blocking = true)
   }
 
   private def merge0(spark: SparkSession, tableDir: String,
@@ -199,14 +212,19 @@ object CdcWriter {
         "run SnapshotLog.normalizeLayout before a COW merge"))
     val upserts = withPartitionColumn(
       deltaLatest.filter(col(Cdc.OpColumn) =!= "DELETE"))
-    val deltaKeys = deltaLatest.select(keyCols.map(col): _*).distinct()
+    // deltaLatest IS one row per key (Cdc.latestVersions keeps rn=1 per
+    // key partition) — a .distinct() here would add a full exchange +
+    // aggregate inside every broadcast build for nothing
+    val deltaKeys = deltaLatest.select(keyCols.map(col): _*)
     val stored0 = cur.map(s => SnapshotLog.read(spark, tableDir, s))
       .getOrElse(upserts.filter(lit(false)))
     // TRUNCATE: stored rows at or before the marker are discarded; every
     // day holding such rows must be rewritten (or dropped). With LSN
     // bounds in the manifest this is metadata-only: a file whose minLsn
     // ≤ marker holds at least one doomed row, so its day is touched.
-    val wipedDays: Seq[String] = truncLsn match {
+    // A boundless manifest falls back to a thin two-column scan, fused
+    // below into the single touched-day job.
+    val wipedMetaDays: Seq[String] = truncLsn match {
       case None => Seq.empty
       case Some(t) => cur match {
         // the metadata shortcut only holds when every file's recorded
@@ -217,19 +235,32 @@ object CdcWriter {
         case Some(snap) if snap.files.nonEmpty && snap.files.forall(f =>
           f.boundsColumn == Cdc.LsnColumn && f.minLsn.isDefined) =>
           snap.files.filter(_.minLsn.exists(_ <= t)).map(_.partition).distinct
-        case _ =>
-          stored0.filter(col(Cdc.LsnColumn) <= t)
-            .select(col(pcol)).distinct().collect().map(_.getString(0)).toSeq
+        case _ => Seq.empty
       }
     }
+    val needWipedScan = truncLsn.isDefined && (cur match {
+      case Some(snap) => !(snap.files.nonEmpty && snap.files.forall(f =>
+        f.boundsColumn == Cdc.LsnColumn && f.minLsn.isDefined))
+      case None => false
+    })
     val stored = truncLsn.fold(stored0)(t => stored0.filter(col(Cdc.LsnColumn) > t))
-    val affectedDays = stored
+    // ONE fused touched-day probe (affected ∪ new ∪ wiped-fallback) where
+    // three independent actions used to run per micro-batch — on the
+    // streaming sinks the per-batch job count IS the fixed overhead
+    // (guide §1.2): each action here is a full pass over the stored
+    // key/partition projection or the cached delta.
+    val affectedFrame = stored
       .select(keyCols.map(col) :+ col(pcol): _*)
       .join(broadcast(deltaKeys), keyCols, "left_semi")
-      .select(col(pcol)).distinct().collect().map(_.getString(0))
-    val newDays = upserts.select(col(pcol)).distinct()
-      .collect().map(_.getString(0))
-    val touched = (wipedDays ++ affectedDays ++ newDays).distinct.sorted.toSeq
+      .select(col(pcol))
+    val newFrame = upserts.select(col(pcol))
+    val wipedFrame =
+      if (needWipedScan)
+        Seq(stored0.filter(col(Cdc.LsnColumn) <= truncLsn.get).select(col(pcol)))
+      else Seq.empty
+    val probed = (Seq(affectedFrame, newFrame) ++ wipedFrame)
+      .reduce(_ union _).distinct().collect().map(_.getString(0)).toSeq
+    val touched = (wipedMetaDays ++ probed).distinct.sorted.toSeq
     if (touched.isEmpty) return Seq.empty
     val touchedSet = touched.toSet
     // survivors: manifest-pruned read of ONLY the touched days
@@ -316,12 +347,14 @@ object CdcWriter {
   def morMerge(spark: SparkSession, tableDir: String, deltas: DataFrame,
                keyCols: Seq[String]): graft.lake.SnapshotLog.Snapshot =
     BatchExec.withAqe(deltas) {
-      // persist first: the TRUNCATE guard probe and the latest-per-key
-      // collapse otherwise each replay the micro-batch's full decode
-      // lineage (see merge); the batch is admission-bounded.
-      val deltasP = deltas.persist()
+      // persist first — conditionally, same rule as merge: the TRUNCATE
+      // guard probe and the latest-per-key collapse otherwise each
+      // replay the micro-batch's full decode lineage; a cheap file-scan
+      // lineage recomputes for less than the cache write costs.
+      val doPersist = !BatchExec.cheapToRecompute(deltas)
+      val deltasP = if (doPersist) deltas.persist() else deltas
       try morMerge0(spark, tableDir, deltasP, keyCols)
-      finally deltasP.unpersist(blocking = true)
+      finally if (doPersist) deltasP.unpersist(blocking = true)
     }
 
   private def morMerge0(spark: SparkSession, tableDir: String, deltas: DataFrame,

@@ -1394,8 +1394,12 @@ object SnapshotLog {
     val dest = new Path(root, rel)
     partitionCol match {
       case Some(pc) =>
+        // pinned count: see CdcWriter.write — an unpinned repartition is
+        // AQE-coalesced to one task on small merge batches, serializing
+        // every touched day's file write behind a single core. Each day
+        // still hashes to exactly one task (one file per day per commit).
         df.withColumn("_pday", col(pc))
-          .repartition(col(pc))
+          .repartition(df.sparkSession.sparkContext.defaultParallelism, col(pc))
           .write.partitionBy("_pday").parquet(dest.toString)
       case None =>
         df.write.parquet(dest.toString)

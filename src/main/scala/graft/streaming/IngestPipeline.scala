@@ -56,10 +56,13 @@ object IngestPipeline {
     graft.ingest.BatchExec.withAqe(batch) { processBatch0(cfg, batch) }
 
   private def processBatch0(cfg: IngestConfig, batch: DataFrame): Unit = {
-    // the fanout runs T per-table filtered writes plus the table-list and
-    // lag aggregates off this one frame — persist so the upstream source
-    // (WAL decode, file scan) is computed once, not T + 2 times
-    batch.persist()
+    // the fanout runs T per-table filtered writes plus the fused
+    // table-list/lag aggregate off this one frame — persist so an
+    // EXPENSIVE upstream (WAL decode) is computed once, not T + 1
+    // times. A cheap lineage (the file source's few-file parquet scan)
+    // re-scans for less than the cache write costs — skip (guide §5).
+    val doPersist = !graft.ingest.BatchExec.cheapToRecompute(batch)
+    if (doPersist) batch.persist()
     try {
       val hasTs = batch.columns.contains(graft.ingest.Cdc.TsColumn)
       // ONE grouped aggregate replaces the table-list distinct + one
@@ -133,7 +136,7 @@ object IngestPipeline {
       batchMaxTs.foreach(ts =>
         cfg.metrics.setGauge("cdc", "lag_seconds",
           (System.currentTimeMillis() - ts.getTime) / 1000.0))
-    } finally batch.unpersist()
+    } finally if (doPersist) batch.unpersist()
   }
 
   /** Rate-limited file-based envelope source: `maxFilesPerTrigger` caps
