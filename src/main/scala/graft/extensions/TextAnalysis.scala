@@ -443,6 +443,14 @@ object TextAnalysis extends QueryModule {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, LangIdPrefix).as("t"))
+      // the explode+hash kernel is CPU-bound and otherwise runs on the
+      // handful of scan splits the single documents file yields (measured:
+      // the docGramCache fill was one 0.53 s job over 5 tasks at 32
+      // cores). The pre-explode rows are doc_id+lang+a 256-char prefix —
+      // KBs per doc — so spreading THEM across the cores is a near-free
+      // shuffle that parallelizes the expensive part (guide §2.5 input
+      // parallelism; §8's rule — move the light proxy, not the payload).
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.PolyNgramHashes(col("t"), 3)).as("g"))
 

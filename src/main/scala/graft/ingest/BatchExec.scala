@@ -59,7 +59,8 @@ object BatchExec {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
-    df.queryExecution.optimizedPlan.collectLeaves().forall {
+    val plan = df.queryExecution.optimizedPlan
+    val leavesCheap = plan.collectLeaves().forall {
       case l: LogicalRelation  => l.relation.isInstanceOf[HadoopFsRelation]
       case _: InMemoryRelation => true
       case _: LocalRelation    => true
@@ -67,6 +68,17 @@ object BatchExec {
       case _: Range            => true
       case _                   => false
     }
+    // cheap leaves are not enough: the evolve/promote bodies persist the
+    // RAW log lines and decode with from_json ON TOP of that cache —
+    // re-running such lineage re-parses the whole micro-batch's JSON per
+    // action (measured ~0.2 s per pass at bench SF). Any JSON parse in
+    // the plan makes recompute the expensive side.
+    def expensiveExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.JsonToStructs => true
+        case _ => false
+      }
+    leavesCheap && !plan.exists(_.expressions.exists(expensiveExpr))
   }
 
   /** Run `body` with AQE enabled on `df`'s session (the streaming clone
