@@ -42,6 +42,11 @@ class MergeActionCountSpec extends AnyFunSuite with SparkTestBase {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
     }
+    // listener events post asynchronously on a shared bus: give any
+    // PRIOR suite's (or the bootstrap merge's) in-flight events time to
+    // land before the counted window opens, so they are never attributed
+    // to the measured merge
+    Thread.sleep(500)
     spark.listenerManager.register(listener)
     try {
       // an update batch touching a subset of keys, no TRUNCATE marker
